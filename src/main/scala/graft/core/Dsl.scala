@@ -1,0 +1,59 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cross-engine determinism helpers (SURVEY Appendix A).
+  *
+  * Numeric discipline, validated by live DuckDB 1.0.0 probes:
+  *  - SUM/AVG over DOUBLE money columns is order-dependent FP → always cast
+  *    to DECIMAL first (decimal addition is associative ⇒ partition-order
+  *    independent, and exact in both engines).
+  *  - DuckDB decimal÷anything returns DOUBLE, so ratios are defined as
+  *    `CAST(exact-decimal AS DOUBLE) / count` on BOTH engines: identical
+  *    IEEE-754 expression trees on identical operands are bit-identical.
+  *  - `round()` on DOUBLE is NOT cross-engine safe (Spark rounds the
+  *    shortest decimal repr via BigDecimal.valueOf; DuckDB rounds the
+  *    binary value) → never round derived doubles; emit them raw.
+  *  - Never cast a decimal down below its true scale (ties at the dropped
+  *    digit round differently) — pick output scale ≥ true scale so casts
+  *    only ever drop trailing zeros.
+  */
+object Dsl {
+  /** Factor type for decimal products: small enough that a three-way
+    * product stays under precision 38 in both engines. Money fixtures are
+    * ≤ 7 integer digits with ≤ 2 true decimals (FIXTURES.md) — (12,4) is
+    * lossless. */
+  val DFac: DecimalType = DecimalType(12, 4)
+  /** Accumulator/result type for plain sums. */
+  val D18: DecimalType = DecimalType(18, 4)
+  val D186: DecimalType = DecimalType(18, 6)
+
+  def dec(c: Column): Column = c.cast(DFac)
+
+  /** Exact order-independent sum of a ≤2-decimal DOUBLE column, pinned to
+    * DECIMAL(18,4) so the Spark and DuckDB output schemas agree. */
+  def dsum(c: Column): Column = sum(c.cast(D18)).cast(D18)
+  def dsumSql(x: String): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DECIMAL(18,4))"
+
+  /** Exact mean as DOUBLE: exact decimal sum → double → ÷ count. The same
+    * two IEEE ops run in DuckDB ⇒ bit-identical. */
+  def davg(c: Column): Column =
+    sum(c.cast(D18)).cast(D18).cast(DoubleType) / count(lit(1))
+  def davgSql(x: String): String =
+    s"CAST(CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) / COUNT(*)"
+
+  /** DECIMAL→DOUBLE for values whose unscaled form may exceed 2^53: a plain
+    * cast double-rounds differently in DuckDB (int128→fp÷10^s) vs the JVM
+    * (correctly-rounded BigDecimal). Split into an exact integer part
+    * (< 2^53 ⇒ bit-exact long→double in both engines) plus an exact small
+    * fraction, then one shared IEEE add. Requires value ≥ 0 with true scale
+    * ≤ 4 — validated by live probe (0/2000 adversarial mismatches). */
+  def d2d(c: Column): Column =
+    floor(c).cast(LongType).cast(DoubleType) +
+      (c - floor(c)).cast(DecimalType(5, 4)).cast(DoubleType)
+  def d2dSql(x: String): String =
+    s"(CAST(CAST(FLOOR($x) AS BIGINT) AS DOUBLE) + CAST(CAST(($x) - FLOOR($x) AS DECIMAL(5,4)) AS DOUBLE))"
+}

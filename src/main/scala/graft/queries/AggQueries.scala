@@ -1,0 +1,270 @@
+package graft.queries
+
+import graft.core.{Dsl, Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.4 aggregations. All sums run through exact DECIMAL (partial+
+  * final HashAggregate is then order-independent → safe under any partition
+  * count, incl. 1000-executor shuffles); ratios/moments convert the exact
+  * decimals to DOUBLE and run one identical IEEE expression tree in both
+  * engines (Dsl scaladoc).
+  */
+object AggQueries {
+  import Dsl._
+
+  /** Exact decimal product sum, result pinned to scale 4 (the true scale of
+    * ≤2-decimal × ≤2-decimal products — the down-cast only drops trailing
+    * zeros). DuckDB factors are DECIMAL(19,4) to force int128 multiply
+    * (width ≤18 overflows int64, probed); Spark's BigDecimal is arbitrary
+    * precision so (12,4) suffices and keeps the product narrow. */
+  private def psum(a: Column, b: Column): Column =
+    sum(dec(a) * dec(b)).cast(DecimalType(38, 4))
+  private def psumSql(a: String, b: String): String =
+    s"CAST(SUM(CAST($a AS DECIMAL(19,4)) * CAST($b AS DECIMAL(19,4))) AS DECIMAL(38,4))"
+
+  val all: Seq[Q] = Seq(
+    // Flagship (TPC-H Q1 shape). sum_charge keeps scale 6 — the true scale of
+    // price*(1-disc)*(1+tax) — so the final cast only drops trailing zeros
+    // (casting below true scale would round cross-engine-unsafely).
+    Q("q_agg_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4))) * (1 + CAST(l_tax AS DECIMAL(12,4)))) AS DECIMAL(18,6)) AS sum_charge,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(D18).as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+            * (lit(1) + dec(col("l_tax")))).cast(D186).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    Q("q_agg_count_distinct",
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS uniq_cust, COUNT(*) AS cnt
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("uniq_cust"), count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    },
+
+    // GROUPING() is pinned to INT on both sides (Spark emits TINYINT, DuckDB
+    // BIGINT natively); NULLS FIRST pinned explicitly in the oracle (DuckDB
+    // defaults NULLS LAST, Spark ASC defaults NULLS FIRST).
+    Q("q_agg_rollup",
+      s"""SELECT r_name, n_name,
+         |  CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n,
+         |  COUNT(*) AS cnt, ${dsumSql("c_acctbal")} AS sum_bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)
+         |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, d) =>
+      // DataFrame .rollup + grouping() trips Spark's ambiguous-self-join
+      // lint on the re-selected key columns → express via SQL (same plan:
+      // Expand + HashAggregate over two broadcast joins).
+      val joined = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "c_acctbal")
+      joined.createOrReplaceTempView("cust_nr")
+      s.sql(
+        s"""SELECT r_name, n_name,
+           |  CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n,
+           |  COUNT(*) AS cnt, ${dsumSql("c_acctbal")} AS sum_bal
+           |FROM cust_nr
+           |GROUP BY ROLLUP(r_name, n_name)
+           |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+    },
+
+    Q("q_agg_cube",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_s, CAST(GROUPING(o_orderpriority) AS INT) AS g_p,
+        |  COUNT(*) AS cnt
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(grouping("o_orderstatus").cast("int").as("g_s"),
+          grouping("o_orderpriority").cast("int").as("g_p"),
+          count(lit(1)).as("cnt"))
+        .select("o_orderstatus", "o_orderpriority", "g_s", "g_p", "cnt")
+        .orderBy(col("g_s"), col("g_p"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    Q("q_agg_grouping_sets",
+      s"""SELECT event_type, day,
+         |  CAST(GROUPING(event_type) AS INT) AS g_t, CAST(GROUPING(day) AS INT) AS g_d,
+         |  COUNT(*) AS cnt, ${dsumSql("value")} AS sum_value
+         |FROM (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value FROM events) e
+         |GROUP BY GROUPING SETS ((event_type), (day), ())
+         |ORDER BY g_t, g_d, event_type NULLS FIRST, day NULLS FIRST""".stripMargin) { (s, d) =>
+      // day is computed in a subquery: GROUPING() over a raw expression does
+      // not resolve in either engine; DuckDB's date_trunc('day') yields DATE
+      // so the oracle pins TIMESTAMP to match Spark.
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql(
+        s"""SELECT event_type, day,
+           |  CAST(GROUPING(event_type) AS INT) AS g_t, CAST(GROUPING(day) AS INT) AS g_d,
+           |  COUNT(*) AS cnt, ${dsumSql("value")} AS sum_value
+           |FROM (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP_NTZ) AS day, value FROM events) e
+           |GROUP BY GROUPING SETS ((event_type), (day), ())
+           |ORDER BY g_t, g_d, event_type NULLS FIRST, day NULLS FIRST""".stripMargin)
+    },
+
+    // stddev/var/corr/covar from exact decimal moments + one shared IEEE
+    // formula — the builtin one-pass reducers are partition-order-dependent
+    // FP and would never hash-match (Appendix A rule 4).
+    Q("q_agg_stats",
+      s"""WITH m AS (
+         |  SELECT l_returnflag,
+         |    COUNT(*) AS n,
+         |    ${d2dSql(dsumSql("l_extendedprice"))} AS sx,
+         |    ${d2dSql(dsumSql("l_quantity"))} AS sy,
+         |    ${d2dSql(psumSql("l_extendedprice", "l_extendedprice"))} AS sxx,
+         |    ${d2dSql(psumSql("l_quantity", "l_quantity"))} AS syy,
+         |    ${d2dSql(psumSql("l_extendedprice", "l_quantity"))} AS sxy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  (sxx - sx * sx / n) / (n - 1) AS var_price,
+         |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_price,
+         |  (syy - sy * sy / n) / (n - 1) AS var_qty,
+         |  (sxy - sx * sy / n) / (n - 1) AS covar_pq,
+         |  (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_pq
+         |FROM m ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val m = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          d2d(dsum(col("l_extendedprice"))).as("sx"),
+          d2d(dsum(col("l_quantity"))).as("sy"),
+          d2d(psum(col("l_extendedprice"), col("l_extendedprice"))).as("sxx"),
+          d2d(psum(col("l_quantity"), col("l_quantity"))).as("syy"),
+          d2d(psum(col("l_extendedprice"), col("l_quantity"))).as("sxy"))
+      m.select(col("l_returnflag"), col("n"),
+          ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_price"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("stddev_price"),
+          ((col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1)).as("var_qty"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1)).as("covar_pq"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+              (col("syy") - col("sy") * col("sy") / col("n")))).as("corr_pq"))
+        .orderBy("l_returnflag")
+    },
+
+    // max_by/arg_max are tie-unstable in both engines → deterministic
+    // windowed pick (Appendix B).
+    Q("q_agg_argmax",
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority")
+    },
+
+    // Exact interpolated percentiles via a shared manual formula: builtin
+    // percentile/percentile_cont interpolate with different FP expression
+    // trees across engines, so both sides compute
+    //   v[k] + f * (v[k+1] - v[k]),  pos = p*(n-1), k = floor(pos), f = pos-k
+    // from row_number over the value ordering (ties interchangeable).
+    Q("q_agg_percentile",
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_totalprice AS v,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) - 1 AS i,
+        |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders),
+        |k AS (
+        |  SELECT o_orderstatus, v, i,
+        |    CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) AS k50, 0.5 * (n - 1) - FLOOR(0.5 * (n - 1)) AS f50,
+        |    CAST(FLOOR(0.9 * (n - 1)) AS BIGINT) AS k90, 0.9 * (n - 1) - FLOOR(0.9 * (n - 1)) AS f90
+        |  FROM r)
+        |SELECT o_orderstatus,
+        |  MAX(CASE WHEN i = k50 THEN v END)
+        |    + MAX(f50) * (COALESCE(MAX(CASE WHEN i = k50 + 1 THEN v END), MAX(CASE WHEN i = k50 THEN v END))
+        |                  - MAX(CASE WHEN i = k50 THEN v END)) AS p50,
+        |  MAX(CASE WHEN i = k90 THEN v END)
+        |    + MAX(f90) * (COALESCE(MAX(CASE WHEN i = k90 + 1 THEN v END), MAX(CASE WHEN i = k90 THEN v END))
+        |                  - MAX(CASE WHEN i = k90 THEN v END)) AS p90
+        |FROM k GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val wOrd = Window.partitionBy("o_orderstatus").orderBy("v")
+      val wAll = Window.partitionBy("o_orderstatus")
+      val r = Tables.orders(s, d).select(col("o_orderstatus"), col("o_totalprice").as("v"))
+        .withColumn("i", row_number().over(wOrd) - 1)
+        .withColumn("n", count(lit(1)).over(wAll))
+      def pctCols(p: Double, tag: String) = {
+        val pos = lit(p) * (col("n") - 1)
+        Seq(floor(pos).cast("bigint").as(s"k$tag"), (pos - floor(pos)).as(s"f$tag"))
+      }
+      val k = r.select(Seq(col("o_orderstatus"), col("v"), col("i")) ++
+        pctCols(0.5, "50") ++ pctCols(0.9, "90"): _*)
+      def interp(tag: String) = {
+        val va = max(when(col("i") === col(s"k$tag"), col("v")))
+        val vb = coalesce(max(when(col("i") === col(s"k$tag") + 1, col("v"))), va)
+        va + max(col(s"f$tag")) * (vb - va)
+      }
+      k.groupBy("o_orderstatus")
+        .agg(interp("50").as("p50"), interp("90").as("p90"))
+        .orderBy("o_orderstatus")
+    },
+
+    Q("q_agg_collect_sorted",
+      """SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS names
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(array_join(array_sort(collect_list(col("s_name"))), ",").as("names"))
+        .orderBy("n_name")
+    },
+
+    Q("q_agg_weighted_avg",
+      s"""SELECT p_type,
+         |  ${d2dSql(psumSql("l_extendedprice", "l_quantity"))}
+         |    / CAST(${dsumSql("l_quantity")} AS DOUBLE) AS wavg
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_type ORDER BY p_type""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_type")
+        .agg((d2d(psum(col("l_extendedprice"), col("l_quantity")))
+          / dsum(col("l_quantity")).cast(DoubleType)).as("wavg"))
+        .orderBy("p_type")
+    },
+
+    // HLL sketches are not bit-portable across engines → capability only;
+    // ScalaTest bounds-checks vs exact (AggSpec).
+    Q.cap("cap_agg_approx") { (s, d) =>
+      Tables.orders(s, d)
+        .select(approx_count_distinct(col("o_custkey")).as("approx_cust"))
+    }
+  )
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.core.{Dsl, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.1 scans/sources + §2.2 projections/filters/predicates.
+  *
+  * Scale notes: every query here is a single-pass scan whose predicates and
+  * projections reach the parquet reader (PushedFilters/ReadSchema asserted in
+  * ScanSpec); at 100 TB these become row-group/page skips + column pruning
+  * with no shuffle except the final (tiny) ordered aggregate output.
+  */
+object ScanQueries {
+  import Dsl._
+
+  val all: Seq[Q] = Seq(
+    Q("q_scan_project",
+      """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_partkey, l_quantity, l_extendedprice, l_shipdate
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      // lineitem has no small unique key (FIXTURES.md) → order by the whole
+      // output column list; identical rows are byte-interchangeable so the
+      // LIMIT cut stays hash-deterministic.
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate")
+        .orderBy("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate")
+        .limit(100)
+    },
+
+    Q("q_scan_filter_pushdown",
+      s"""SELECT l_linestatus, COUNT(*) AS cnt, ${dsumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1999-01-01'
+         |  AND l_returnflag = 'R'
+         |GROUP BY l_linestatus
+         |ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp") &&
+          col("l_returnflag") === "R")
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_linestatus")
+    },
+
+    // CSV round-trip is engine-internal: the oracle answers from parquet, so
+    // the CSV read must faithfully reproduce the committed data.
+    Q("q_source_csv",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") { (s, d) =>
+      val src = Tables.nation(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      src.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.schema(src.schema).option("header", "true").csv(tmp)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    },
+
+    Q("q_source_json",
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") { (s, d) =>
+      val src = Tables.region(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+      src.coalesce(1).write.mode("overwrite").json(tmp)
+      s.read.schema(src.schema).json(tmp)
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")
+    },
+
+    Q("q_filter_complex",
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  AND o_totalprice BETWEEN 50000 AND 200000
+        |  AND (o_orderstatus = 'F' OR o_orderdate >= TIMESTAMP '1998-01-01')
+        |  AND o_orderpriority LIKE '1-%'
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+          col("o_totalprice").between(50000, 200000) &&
+          (col("o_orderstatus") === "F" ||
+            col("o_orderdate") >= lit("1998-01-01").cast("timestamp")) &&
+          col("o_orderpriority").like("1-%"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")
+    },
+
+    // Integer sums: Spark SUM(int)→BIGINT but DuckDB SUM(int)→HUGEINT, so the
+    // oracle pins CAST(... AS BIGINT).
+    Q("q_case_conditional",
+      """SELECT
+        |  CASE WHEN p_retailprice < 950 THEN 'low'
+        |       WHEN p_retailprice < 1450 THEN 'mid'
+        |       ELSE 'high' END AS band,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(COALESCE(NULLIF(p_size, 0), -1)) AS BIGINT) AS sum_sz,
+        |  CAST(SUM(LEAST(p_size, 25)) AS BIGINT) AS sum_least,
+        |  CAST(SUM(GREATEST(p_size, 10)) AS BIGINT) AS sum_greatest
+        |FROM part
+        |GROUP BY 1
+        |ORDER BY band""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .select(
+          when(col("p_retailprice") < 950, "low")
+            .when(col("p_retailprice") < 1450, "mid")
+            .otherwise("high").as("band"),
+          coalesce(nullif(col("p_size"), lit(0)), lit(-1)).as("sz"),
+          least(col("p_size"), lit(25)).as("l25"),
+          greatest(col("p_size"), lit(10)).as("g10"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("cnt"), sum("sz").as("sum_sz"),
+          sum("l25").as("sum_least"), sum("g10").as("sum_greatest"))
+        .orderBy("band")
+    }
+  )
+}

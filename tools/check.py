@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 tools/check.py [sfDir] [outDir] [query ...]
+
+1. Runs graft.Verify via sbt (writes per-query parquet + oracle_sql.json).
+2. Registers the sfDir parquet tables in DuckDB, runs each oracle SQL.
+3. Compares Spark output vs DuckDB output: row count, column names/dtypes
+   (sorted by name), and exact values (bitwise for floats).
+
+Driver-side-only deps (duckdb/pandas/pyarrow) — dev tooling, not shipped.
+"""
+import json, math, subprocess, sys, os
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def run_verify(sf_dir, out_dir, run=True):
+    if not run:
+        return
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}']
+    r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True)
+    for line in r.stdout.splitlines():
+        if "[verify]" in line or "error" in line.lower():
+            print(line)
+    if r.returncode != 0:
+        print(r.stdout[-3000:]); print(r.stderr[-2000:])
+        sys.exit(1)
+
+
+def compare(name, spark_dir, con, sql):
+    try:
+        oracle = con.execute(sql).arrow()
+    except Exception as e:
+        return f"ORACLE-ERR {e}"
+    try:
+        spark = pq.read_table(spark_dir)
+    except Exception as e:
+        return f"SPARK-MISSING {e}"
+    sc = sorted(spark.column_names)
+    oc = sorted(oracle.column_names)
+    if sc != oc:
+        return f"COLS spark={sc} oracle={oc}"
+    if spark.num_rows != oracle.num_rows:
+        return f"ROWS spark={spark.num_rows} oracle={oracle.num_rows}"
+    spark = spark.select(sc)
+    oracle = oracle.select(sc)
+    for col in sc:
+        st, ot = spark.schema.field(col).type, oracle.schema.field(col).type
+        if str(st) != str(ot):
+            return f"TYPE {col}: spark={st} oracle={ot}"
+    sd, od = spark.to_pylist(), oracle.to_pylist()
+    for i, (a, b) in enumerate(zip(sd, od)):
+        for col in sc:
+            va, vb = a[col], b[col]
+            if isinstance(va, float) and isinstance(vb, float):
+                if math.isnan(va) and math.isnan(vb):
+                    continue
+                if va != vb:
+                    return f"VAL row {i} col {col}: spark={va!r} oracle={vb!r}"
+            elif va != vb:
+                return f"VAL row {i} col {col}: spark={va!r} oracle={vb!r}"
+    return None
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    only = set(sys.argv[3:])
+    run_verify(sf_dir, out_dir, run=not os.environ.get("SKIP_VERIFY"))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    sqls = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok = fail = 0
+    for name in sorted(sqls):
+        if only and name not in only:
+            continue
+        err = compare(name, f"{out_dir}/{name}", con, sqls[name])
+        if err:
+            fail += 1
+            print(f"FAIL {name}: {err}")
+        else:
+            ok += 1
+            print(f"ok   {name}")
+    # capability (no-oracle) entries: rows-only presence check
+    for d in sorted(os.listdir(out_dir)):
+        full = os.path.join(out_dir, d)
+        if os.path.isdir(full) and d not in sqls and (not only or d in only):
+            try:
+                n = pq.read_table(full).num_rows
+                print(f"cap  {d}: rows={n}" + ("" if n > 0 else "  (EMPTY!)"))
+            except Exception as e:
+                print(f"cap  {d}: UNREADABLE {e}")
+    print(f"\n{ok} ok, {fail} fail")
+    sys.exit(1 if fail else 0)
+
+
+if __name__ == "__main__":
+    main()
