@@ -1,7 +1,189 @@
 package graft.queries
 
-import graft.core.Q
+import graft.core.{Dsl, Q, Tables}
+import org.apache.spark.sql.functions._
 
+/** SURVEY §2.3 — the join matrix.
+  *
+  * Scale story (100 TB): dimension joins (part/nation/region/customer-side
+  * lookups) are explicitly `broadcast()` — no shuffle of the fact table;
+  * fact-fact joins (lineitem⨝orders, events self-join) shuffle on the join
+  * key and rely on AQE for skew splitting; the as-of join is the
+  * aggregate-then-join composition whose shuffles are all on `user_id`, so
+  * a pre-partitioned (bucketed) events table would make it shuffle-free.
+  */
 object JoinQueries {
-  val all: Seq[Q] = Seq()
+  import Dsl._
+
+  val all: Seq[Q] = Seq(
+    Q("q_join_inner",
+      s"""SELECT c_mktsegment, COUNT(*) AS cnt, ${dsumSql("o_totalprice")} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment")
+    },
+
+    Q("q_join_broadcast",
+      s"""SELECT p_brand, COUNT(*) AS cnt, ${dsumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("p_brand")
+    },
+
+    Q("q_join_sortmerge",
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt, ${dsumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      // Big-big: pin SortMergeJoin via hint (broadcast would OOM at scale).
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+
+    Q("q_join_multiway",
+      s"""SELECT r_name, COUNT(*) AS cnt, ${dsumSql("c_acctbal")} AS sum_bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("cnt"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("r_name")
+    },
+
+    Q("q_join_left_outer",
+      s"""SELECT o_orderstatus,
+         |  COUNT(DISTINCT o_orderkey) AS n_orders,
+         |  COUNT(DISTINCT CASE WHEN l_orderkey IS NULL THEN o_orderkey END) AS n_empty,
+         |  ${dsumSql("l_extendedprice")} AS sum_price
+         |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+          countDistinct(when(col("l_orderkey").isNull, col("o_orderkey"))).as("n_empty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+
+    // (user_id, day) signup pairs FULL OUTER error pairs; the day column is
+    // join-internal so no cross-engine timestamp-type pinning is needed.
+    Q("q_join_full_outer",
+      """WITH s AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+        |           FROM events WHERE event_type = 'signup'),
+        |     e AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+        |           FROM events WHERE event_type = 'error')
+        |SELECT CASE WHEN e.user_id IS NULL THEN 'left_only'
+        |            WHEN s.user_id IS NULL THEN 'right_only'
+        |            ELSE 'both' END AS cls,
+        |  COUNT(*) AS cnt
+        |FROM s FULL JOIN e ON s.user_id = e.user_id AND s.d = e.d
+        |GROUP BY 1 ORDER BY cls""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      def pairs(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("d")).distinct()
+      val sp = pairs("signup").withColumnsRenamed(Map("user_id" -> "su", "d" -> "sd"))
+      val ep = pairs("error").withColumnsRenamed(Map("user_id" -> "eu", "d" -> "ed"))
+      sp.join(ep, col("su") === col("eu") && col("sd") === col("ed"), "full")
+        .select(when(col("eu").isNull, "left_only")
+          .when(col("su").isNull, "right_only")
+          .otherwise("both").as("cls"))
+        .groupBy("cls").agg(count(lit(1)).as("cnt"))
+        .orderBy("cls")
+    },
+
+    Q("q_join_semi",
+      """SELECT c_mktsegment, COUNT(*) AS cnt
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")
+    },
+
+    Q("q_join_anti",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    Q("q_join_cross",
+      """SELECT r_name, seg FROM region
+        |CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) m
+        |ORDER BY r_name, seg""".stripMargin) { (s, d) =>
+      Tables.region(s, d)
+        .crossJoin(Tables.customer(s, d).select(col("c_mktsegment").as("seg")).distinct())
+        .select("r_name", "seg")
+        .orderBy("r_name", "seg")
+    },
+
+    // Non-equi self-join with an equi anchor on user_id: planner runs SMJ on
+    // user_id with the time-range as a post-condition — bounded because the
+    // fixture has ~67 events/user at every sf (FIXTURES.md).
+    Q("q_join_theta_range",
+      """SELECT e1.user_id, COUNT(*) AS pairs
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 24 HOURS
+        |WHERE e1.event_type = 'click'
+        |GROUP BY e1.user_id ORDER BY e1.user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val e1 = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("ts1"))
+      val e2 = ev.select(col("user_id").as("u2"), col("ts").as("ts2"))
+      e1.join(e2, col("user_id") === col("u2") && col("ts2") > col("ts1") &&
+          col("ts2") <= col("ts1") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(count(lit(1)).as("pairs"))
+        .orderBy("user_id")
+    },
+
+    // As-of join (no native Spark operator): aggregate-then-join composition
+    // — LEFT join purchases→views on (user, vts < pts), take max(vts) per
+    // purchase. Unmatched purchases survive with null view_ts. Output only
+    // depends on the max timestamp ⇒ duplicate-ts views are harmless.
+    // lag is exact microseconds (second-granularity diffs are boundary-
+    // counting in DuckDB vs truncation in Spark — µs is exact in both).
+    Q("q_join_asof",
+      """SELECT p.event_id, p.user_id, p.ts AS purchase_ts, v.ts AS view_ts,
+        |  date_diff('microsecond', v.ts, p.ts) AS lag_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts < p.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("vu"), col("ts").as("vts"))
+      p.join(v, col("user_id") === col("vu") && col("vts") < col("purchase_ts"), "left")
+        .groupBy("event_id", "user_id", "purchase_ts")
+        .agg(max(col("vts")).as("view_ts"))
+        .withColumn("lag_us", expr("timestampdiff(MICROSECOND, view_ts, purchase_ts)"))
+        .select("event_id", "user_id", "purchase_ts", "view_ts", "lag_us")
+        .orderBy("event_id")
+    }
+  )
 }

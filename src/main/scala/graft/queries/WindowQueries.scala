@@ -1,7 +1,143 @@
 package graft.queries
 
-import graft.core.Q
+import graft.core.{Dsl, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** SURVEY §2.5 window functions + §2.6 sorts/top-k.
+  *
+  * Scale story: every window partitions by an entity key (priority /
+  * customer / user) — state per partition stays small and the shuffle is a
+  * single hash exchange on that key; no global sorts except the two §2.6
+  * queries, where `TakeOrderedAndProject` (top-k) avoids a full sort, and
+  * q_sort_multi is a genuine range-partitioned export sort.
+  */
 object WindowQueries {
-  val all: Seq[Q] = Seq()
+  import Dsl._
+
+  val all: Seq[Q] = Seq(
+    Q("q_window_rank",
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn, rk, drk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)) t
+        |WHERE rk <= 5
+        |ORDER BY o_orderpriority, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast("bigint").as("rn"),
+          rank().over(w).cast("bigint").as("rk"),
+          dense_rank().over(w).cast("bigint").as("drk"))
+        .filter(col("rk") <= 5)
+        .orderBy("o_orderpriority", "rn")
+    },
+
+    Q("q_window_topk_group",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast("bigint").as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+
+    Q("q_window_lag_lead",
+      """SELECT user_id, event_id, ts,
+        |  date_diff('microsecond', lag(ts) OVER w, ts) AS gap_us,
+        |  lead(event_type) OVER w AS next_type
+        |FROM events
+        |WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          expr("timestampdiff(MICROSECOND, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)").as("gap_us"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+
+    Q("q_window_running",
+      """SELECT user_id, event_id, ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS run_sum
+        |FROM events
+        |ORDER BY user_id, ts, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          sum(col("value").cast(D18)).over(w).cast(D18).as("run_sum"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+
+    // 24-hour trailing RANGE frame over epoch-microseconds (epoch seconds
+    // would tie-break differently on sub-second data; µs is exact).
+    Q("q_window_range_frame",
+      """SELECT user_id, event_id,
+        |  COUNT(*) OVER w AS cnt_24h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS sum_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(expr("unix_micros(cast(ts as timestamp))"))
+        .rangeBetween(-86400000000L, 0L)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("cnt_24h"),
+          sum(col("value").cast(D18)).over(w).cast(D18).as("sum_24h"))
+        .orderBy("user_id", "event_id")
+    },
+
+    Q("q_window_ntile",
+      s"""SELECT q, COUNT(*) AS cnt, ${dsumSql("c_acctbal")} AS sum_bal
+         |FROM (SELECT c_acctbal,
+         |        ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS q
+         |      FROM customer) t
+         |GROUP BY q ORDER BY q""".stripMargin) { (s, d) =>
+      val w = Window.orderBy("c_acctbal", "c_custkey")
+      Tables.customer(s, d)
+        .select(col("c_acctbal"), ntile(4).over(w).cast("bigint").as("q"))
+        .groupBy("q")
+        .agg(count(lit(1)).as("cnt"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("q")
+    },
+
+    Q("q_topk_global",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 50""".stripMargin) { (s, d) =>
+      // orderBy+limit fuses to TakeOrderedAndProject: per-partition top-50
+      // then a driver-side merge — no global sort at any scale.
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(50)
+    },
+
+    Q("q_sort_multi",
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier
+        |ORDER BY s_nationkey ASC, s_acctbal DESC, s_suppkey ASC""".stripMargin) { (s, d) =>
+      Tables.supplier(s, d)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy(col("s_nationkey").asc, col("s_acctbal").desc, col("s_suppkey").asc)
+    }
+  )
 }
