@@ -1,7 +1,87 @@
 package graft.queries
 
-import graft.core.Q
+import graft.core.{Dsl, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** SURVEY §2.10 event-stream operators — batch twins (hash-matched).
+  * The true Structured Streaming versions live in graft.streaming and are
+  * asserted equal to these results in StreamingSpec (§5.2.4).
+  *
+  * Scale story: tumbling/sliding buckets are pure hash-aggregates on
+  * (bucket, type) — linear, shuffle-light; sessionization partitions by
+  * user_id so per-partition state is one user's (sorted) event stream, the
+  * same layout `session_window` + RocksDB state store uses in streaming.
+  */
 object EventQueries {
-  val all: Seq[Q] = Seq()
+  import Dsl._
+
+  val all: Seq[Q] = Seq(
+    Q("q_window_tumbling_batch",
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+         |  COUNT(*) AS cnt, ${dsumSql("value")} AS sum_value
+         |FROM events
+         |GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(expr("CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ)").as("bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .orderBy("bucket", "event_type")
+    },
+
+    // 1h windows sliding 30min — every event lands in exactly 2 buckets.
+    // Spark uses the native window() generator; the oracle explodes each
+    // event to its two bucket starts in epoch-µs arithmetic.
+    Q("q_window_sliding_batch",
+      s"""WITH b AS (
+         |  SELECT event_type, value,
+         |    make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - k * 1800000000) AS ws
+         |  FROM events, (SELECT unnest([0, 1]) AS k) ks)
+         |SELECT ws AS window_start, event_type, COUNT(*) AS cnt, ${dsumSql("value")} AS sum_value
+         |FROM b
+         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .select(expr("CAST(window.start AS TIMESTAMP_NTZ)").as("window_start"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    },
+
+    // Gap-based sessionization (12h inactivity, FIXTURES-calibrated):
+    // new-session flag via lag, session id via running sum — the classic
+    // batch-SQL formulation, identical in both engines.
+    Q("q_sessionize",
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('microsecond', lag(ts) OVER w, ts) > 43200000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("is_new",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            expr("timestampdiff(MICROSECOND, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)") > 43200000000L, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("is_new")).over(wRun))
+        .groupBy("user_id", "sid")
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(D18)).cast(D18).as("sum_value"))
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .orderBy("user_id", "session_start")
+    }
+  )
 }

@@ -1,7 +1,207 @@
 package graft.queries
 
-import graft.core.Q
+import graft.core.{Dsl, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** SURVEY §2.9 text / LLM-data-pipeline operators.
+  *
+  * Scale story (100 TB): exact pairwise Jaccard is bucketed by
+  * (lang, source) — the quadratic blowup is bounded per bucket, and the
+  * oracle-exact method doubles as ground truth for the MinHash-LSH path
+  * (`cap_dedup_minhash`, [[graft.operators.MinHashDedup]]) which is the
+  * linear-ish production method. Cosine top-k anchors on a bounded query
+  * set (vec_id < 100) with broadcast anchors; the brute-force scan is the
+  * correctness baseline for the LSH/IVF variants in graft.operators.
+  *
+  * All similarity scores are raw doubles from identical IEEE expression
+  * trees (sequential index-order folds in both engines — probed bit-equal);
+  * no rounding anywhere.
+  */
 object TextQueries {
-  val all: Seq[Q] = Seq()
+  import Dsl._
+
+  /** Spark-side sequential dot product over two float arrays in index
+    * order: bit-identical to DuckDB's list_zip/list_sum fold. */
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+  val all: Seq[Q] = Seq(
+    // Exact dedup on md5(text), keep-min-doc_id; survivor flag via a window
+    // so per-lang counts come out of one pass.
+    Q("q_dedup_exact",
+      """SELECT lang, COUNT(*) AS n_total,
+        |  CAST(SUM(is_surv) AS BIGINT) AS n_surv,
+        |  CAST(COUNT(*) - SUM(is_surv) AS BIGINT) AS n_removed
+        |FROM (SELECT lang,
+        |        CASE WHEN MIN(doc_id) OVER (PARTITION BY md5(text)) = doc_id
+        |             THEN 1 ELSE 0 END AS is_surv
+        |      FROM documents) t
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("is_surv",
+          when(min(col("doc_id")).over(Window.partitionBy(md5(col("text")))) === col("doc_id"), 1)
+            .otherwise(0))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("is_surv")).as("n_surv"),
+          (count(lit(1)) - sum(col("is_surv"))).as("n_removed"))
+        .orderBy("lang")
+    },
+
+    Q("q_text_tokens_tf",
+      """SELECT token, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token
+        |ORDER BY cnt DESC, token
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)
+    },
+
+    Q("q_text_stats",
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  ${davgSql("n_chars")} AS avg_chars,
+         |  COUNT(DISTINCT source) AS n_sources
+         |FROM documents
+         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          davg(col("n_chars")).as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")
+    },
+
+    // Pairwise exact Jaccard within (lang, source) buckets, J ≥ 0.5.
+    // |A∪B| = |A|+|B|−|A∩B| from distinct token sets; the double division
+    // of two ints is bit-identical across engines.
+    Q("q_text_jaccard_pairs",
+      """WITH t AS (
+        |  SELECT lang, source, doc_id,
+        |    list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT d1, d2, jac FROM p
+        |WHERE jac >= 0.5
+        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("lang"), col("source"), col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+      val a = t.select(col("lang"), col("source"), col("doc_id").as("d1"), col("toks").as("ta"))
+      val b = t.select(col("lang").as("lb"), col("source").as("sb"),
+        col("doc_id").as("d2"), col("toks").as("tb"))
+      val ni = size(array_intersect(col("ta"), col("tb")))
+      a.join(b, col("lang") === col("lb") && col("source") === col("sb") &&
+          col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          (ni.cast("double") / (size(col("ta")) + size(col("tb")) - ni)).as("jac"))
+        .filter(col("jac") >= 0.5)
+        .orderBy("d1", "d2")
+    },
+
+    // Brute-force exact cosine top-5 for anchor vectors vec_id < 100:
+    // the correctness baseline for ANN. Norms are precomputed per side with
+    // the same fold, so cos = dot/(sqrt(na)*sqrt(nb)) is one shared tree.
+    Q("q_sim_cosine_topk",
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm
+         |  FROM embeddings)
+         |SELECT a_id, b_id, rnk, sim FROM (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS sim,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.nrm) * sqrt(b.nrm)) DESC,
+         |               b.vec_id) AS rnk
+         |  FROM n a JOIN n b ON b.vec_id != a.vec_id
+         |  WHERE a.vec_id < 100) t
+         |WHERE rnk <= 5
+         |ORDER BY a_id, rnk""".stripMargin) { (s, d) =>
+      val n = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          dot(col("embedding"), col("embedding")).as("nrm"))
+      val a = n.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = n.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("nrm").as("nb"))
+      val sim = (dot(col("ea"), col("eb")) / (sqrt(col("na")) * sqrt(col("nb")))).as("sim")
+      val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+      broadcast(a).join(b, col("b_id") =!= col("a_id"))
+        .select(col("a_id"), col("b_id"), sim)
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 5)
+        .select("a_id", "b_id", "rnk", "sim")
+        .orderBy("a_id", "rnk")
+    },
+
+    // 5-NN majority label vote over the q_sim_cosine_topk neighbor set;
+    // tie → smaller label.
+    Q("q_knn_vote",
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, label, ${dotSql("embedding", "embedding")} AS nrm
+         |  FROM embeddings),
+         |knn AS (
+         |  SELECT a_id, b_label FROM (
+         |    SELECT a.vec_id AS a_id, b.label AS b_label,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.nrm) * sqrt(b.nrm)) DESC,
+         |                 b.vec_id) AS rnk
+         |    FROM n a JOIN n b ON b.vec_id != a.vec_id
+         |    WHERE a.vec_id < 100) t
+         |  WHERE rnk <= 5),
+         |votes AS (
+         |  SELECT a_id, b_label, COUNT(*) AS votes,
+         |    row_number() OVER (PARTITION BY a_id ORDER BY COUNT(*) DESC, b_label) AS vr
+         |  FROM knn GROUP BY a_id, b_label)
+         |SELECT a_id, b_label AS pred_label, votes
+         |FROM votes WHERE vr = 1 ORDER BY a_id""".stripMargin) { (s, d) =>
+      val n = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"),
+          dot(col("embedding"), col("embedding")).as("nrm"))
+      val a = n.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = n.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+        col("label").as("b_label"), col("nrm").as("nb"))
+      val sim = dot(col("ea"), col("eb")) / (sqrt(col("na")) * sqrt(col("nb")))
+      val wSim = Window.partitionBy("a_id").orderBy(sim.desc, col("b_id"))
+      val knn = broadcast(a).join(b, col("b_id") =!= col("a_id"))
+        .withColumn("rnk", row_number().over(wSim))
+        .filter(col("rnk") <= 5)
+        .select("a_id", "b_label")
+      val wVote = Window.partitionBy("a_id").orderBy(col("votes").desc, col("b_label"))
+      knn.groupBy("a_id", "b_label").agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(wVote))
+        .filter(col("vr") === 1)
+        .select(col("a_id"), col("b_label").as("pred_label"), col("votes"))
+        .orderBy("a_id")
+    },
+
+    // MinHash-LSH near-dup candidates (the 100 TB dedup path; exact Jaccard
+    // above is its small-scale oracle — recall asserted in TextSpec).
+    Q.cap("cap_dedup_minhash") { (s, d) =>
+      graft.operators.MinHashDedup.candidatePairs(
+        Tables.documents(s, d), minJaccard = 0.5)
+    },
+
+    // Multimodal column round-trip: typed embedding attached to documents,
+    // written + re-read as parquet with the nested type intact.
+    Q.cap("cap_embed_column") { (s, d) =>
+      val joined = Tables.documents(s, d)
+        .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .select("doc_id", "lang", "text", "embedding", "label")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_embed").toString
+      joined.write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp).orderBy("doc_id")
+    }
+  )
 }

@@ -32,6 +32,14 @@ def run_verify(sf_dir, out_dir, run=True):
         sys.exit(1)
 
 
+def _type_eq(a, b):
+    """Structural type equality ignoring nested list field names."""
+    import pyarrow as pa
+    if pa.types.is_list(a) and pa.types.is_list(b):
+        return _type_eq(a.value_type, b.value_type)
+    return str(a) == str(b)
+
+
 def compare(name, spark_dir, con, sql):
     try:
         oracle = con.execute(sql).arrow()
@@ -51,7 +59,7 @@ def compare(name, spark_dir, con, sql):
     oracle = oracle.select(sc)
     for col in sc:
         st, ot = spark.schema.field(col).type, oracle.schema.field(col).type
-        if str(st) != str(ot):
+        if not _type_eq(st, ot):
             return f"TYPE {col}: spark={st} oracle={ot}"
     sd, od = spark.to_pylist(), oracle.to_pylist()
     for i, (a, b) in enumerate(zip(sd, od)):
