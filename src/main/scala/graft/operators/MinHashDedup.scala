@@ -28,9 +28,11 @@ object MinHashDedup {
     val vecs = tf.transform(toks).filter(size(col("toks")) > 0)
     val mh = new MinHashLSH()
       .setInputCol("features").setOutputCol("sig")
-      .setNumHashTables(8).setSeed(42L)
+      .setNumHashTables(20).setSeed(42L)
     val model = mh.fit(vecs)
-    model.approxSimilarityJoin(vecs, vecs, 1.0 - minJaccard, "dist")
+    // radius slack 0.2: approxSimilarityJoin prunes on *estimated* distance,
+    // so borderline true-J pairs need head-room to stay in the candidate set
+    model.approxSimilarityJoin(vecs, vecs, math.min(1.0, 1.0 - minJaccard + 0.2), "dist")
       .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"),
         (lit(1.0) - col("dist")).as("est_jaccard"))
       .filter(col("d1") < col("d2"))

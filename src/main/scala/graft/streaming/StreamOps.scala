@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.core.Dsl
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.10 Structured Streaming operators (s_* capability tier).
+  *
+  * Each op takes an unbounded DataFrame with the events schema
+  * (event_id, ts, user_id, event_type, value, props) and returns the
+  * streaming transform; StreamingSpec drives them from MemoryStream and
+  * asserts equality with the batch twins in EventQueries.
+  *
+  * Scale story: state lives per key in the executor state store (RocksDB
+  * in production) and is reclaimed by the watermark — tumbling state is
+  * one row per (window, type); session state one open window per user;
+  * dedup state one key per event_id inside the watermark horizon.
+  */
+object StreamOps {
+  import Dsl._
+
+  /** Watermarks require TIMESTAMP (LTZ): cast NTZ event time under the
+    * pinned-UTC session (instant-preserving). */
+  private def ltz(events: DataFrame): DataFrame =
+    events.withColumn("ts", col("ts").cast("timestamp"))
+
+  /** Tumbling 1h counts/sums with a 1h watermark (s_stream_tumbling). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    ltz(events).withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value").cast(D18)).cast(D18).as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Per-user session windows with a 12h inactivity gap (s_stream_session). */
+  def sessionAgg(events: DataFrame): DataFrame =
+    ltz(events).withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "12 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D18)).cast(D18).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Exactly-once ingest: drop duplicate event_ids within the watermark
+    * horizon (s_stream_dedup — the resubmitted-filing pattern). */
+  def dedupStream(events: DataFrame): DataFrame =
+    ltz(events).withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** foreachBatch JDBC upsert: idempotent incremental load keyed on the
+    * natural key (s_stream_foreachbatch; the daily-increment DB pattern).
+    * Returns the started query's checkpoint-free memory of rows via the
+    * caller; here we only build the writer. */
+  def jdbcUpsertBatch(url: String, table: String)(batch: DataFrame, batchId: Long): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val meta = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
+      if (!meta.next()) {
+        conn.createStatement().execute(
+          s"CREATE TABLE $table (event_id BIGINT PRIMARY KEY, value DOUBLE)")
+      }
+      val rows = batch.select("event_id", "value").collect()
+      val del = conn.prepareStatement(s"DELETE FROM $table WHERE event_id = ?")
+      val ins = conn.prepareStatement(s"INSERT INTO $table VALUES (?, ?)")
+      rows.foreach { r =>
+        del.setLong(1, r.getLong(0)); del.executeUpdate()
+        ins.setLong(1, r.getLong(0)); ins.setDouble(2, r.getDouble(1)); ins.executeUpdate()
+      }
+    } finally conn.close()
+  }
+}

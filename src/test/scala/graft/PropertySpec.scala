@@ -1,0 +1,89 @@
+package graft
+
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** SURVEY §5.2.3 algebraic laws over the fixtures. */
+class PropertySpec extends SparkSuite {
+
+  test("exact dedup is idempotent") {
+    val docs = Tables.documents(spark, sf("0.001"))
+    val surv1 = docs.withColumn("h", md5(col("text")))
+      .withColumn("m", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("doc_id") === col("m")).drop("h", "m")
+    val surv2 = surv1.withColumn("h", md5(col("text")))
+      .withColumn("m", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("doc_id") === col("m")).drop("h", "m")
+    assert(surv1.count() == surv2.count())
+  }
+
+  test("jaccard scores are within [0,1] and d1 < d2") {
+    val rows = SparkEntry.queries("q_text_jaccard_pairs")(spark, sf("0.001")).collect()
+    rows.foreach { r =>
+      val j = r.getDouble(r.fieldIndex("jac"))
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getLong(r.fieldIndex("d1")) < r.getLong(r.fieldIndex("d2")))
+    }
+  }
+
+  test("cosine(v, v) == 1 within 1e-12") {
+    import org.apache.spark.sql.Column
+    def dot(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val e = Tables.embeddings(spark, sf("0.001")).limit(50)
+    val sims = e.select((dot(col("embedding"), col("embedding")) /
+        (sqrt(dot(col("embedding"), col("embedding"))) *
+          sqrt(dot(col("embedding"), col("embedding"))))).as("s"))
+      .collect().map(_.getDouble(0))
+    sims.foreach(s => assert(math.abs(s - 1.0) < 1e-12))
+  }
+
+  test("sessionization conserves events and bounds sessions") {
+    val sess = SparkEntry.queries("q_sessionize")(spark, sf("0.001")).collect()
+    val total = Tables.events(spark, sf("0.001")).count()
+    assert(sess.map(r => r.getLong(r.fieldIndex("n_events"))).sum == total)
+    sess.foreach { r =>
+      assert(!r.getAs[java.time.LocalDateTime]("session_start")
+        .isAfter(r.getAs[java.time.LocalDateTime]("session_end")))
+    }
+  }
+
+  test("running sum final value equals group total") {
+    val run = SparkEntry.queries("q_window_running")(spark, sf("0.001"))
+    val last = run.groupBy("user_id").agg(max("run_sum").as("m"))
+    // max over a cumulative sum of positive values = final value
+    val direct = Tables.events(spark, sf("0.001")).groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,4)")).cast("decimal(18,4)").as("t"))
+    val joined = last.join(direct, "user_id")
+      .filter(col("m") =!= col("t"))
+    assert(joined.count() == 0)
+  }
+
+  test("union-all cardinality law") {
+    val out = SparkEntry.queries("q_union_all")(spark, sf("0.001")).collect()
+    val total = out.map(_.getLong(1)).sum
+    val expect = Tables.customer(spark, sf("0.001")).count() +
+      Tables.supplier(spark, sf("0.001")).count()
+    assert(total == expect)
+  }
+
+  test("intersect + except partition the signup pair set") {
+    val d = sf("0.001")
+    def pairs(t: String) = Tables.events(spark, d)
+      .filter(col("event_type") === t)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d")).distinct()
+    val s = pairs("signup"); val e = pairs("error")
+    assert(s.intersect(e).count() + s.except(e).count() == s.count())
+  }
+
+  test("approx_count_distinct is within 10% of exact") {
+    val approx = SparkEntry.queries("cap_agg_approx")(spark, sf("0.01"))
+      .collect()(0).getLong(0)
+    val exact = Tables.orders(spark, sf("0.01"))
+      .select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.10)
+  }
+}

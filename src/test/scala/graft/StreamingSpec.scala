@@ -1,0 +1,128 @@
+package graft
+
+import graft.core.Tables
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.10 s_* streaming capabilities (§5.2.4): each Structured
+  * Streaming op is asserted equal to its batch twin on the same fixture,
+  * fed through MemoryStream with explicit watermark advancement.
+  */
+class StreamingSpec extends SparkSuite {
+
+  case class Ev(event_id: Long, ts: java.time.LocalDateTime, user_id: Long,
+                event_type: String, value: Double)
+
+  private lazy val fixture: Seq[Ev] = {
+    Tables.events(spark, sf("0.001"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getString(3), r.getDouble(4))).toSeq
+  }
+  /** Far-future sentinel that advances the watermark past every fixture
+    * window; its own rows are filtered from assertions. */
+  private val sentinel = Ev(999999L, java.time.LocalDateTime.of(2030, 1, 1, 0, 0),
+    999999L, "sentinel", 0.0)
+
+  test("s_stream_tumbling: streaming tumbling agg == batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.tumblingCounts(mem.toDF()).writeStream
+      .format("memory").queryName("s_tumbling").outputMode("append").start()
+    mem.addData(fixture)
+    q.processAllAvailable()
+    mem.addData(Seq(sentinel))   // advance watermark → close all windows
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("s_tumbling")
+      .filter(col("event_type") =!= "sentinel")
+      .select(col("bucket"), col("event_type"), col("cnt"), col("sum_value"))
+      .collect().map(_.toString).sorted.toSeq
+    val want = SparkEntry.queries("q_window_tumbling_batch")(spark, sf("0.001"))
+      .select(col("bucket").cast("timestamp"), col("event_type"), col("cnt"), col("sum_value"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+  }
+
+  test("s_stream_session: streaming session windows == batch sessionization") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.sessionAgg(mem.toDF()).writeStream
+      .format("memory").queryName("s_session").outputMode("append").start()
+    mem.addData(fixture)
+    q.processAllAvailable()
+    mem.addData(Seq(sentinel))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("s_session")
+      .filter(col("user_id") =!= sentinel.user_id)
+      .select(col("user_id"), col("session_start").cast("timestamp_ntz"),
+        col("n_events"), col("sum_value"))
+      .collect().map(_.toString).sorted.toSeq
+    val want = SparkEntry.queries("q_sessionize")(spark, sf("0.001"))
+      .select(col("user_id"), col("session_start"), col("n_events"), col("sum_value"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+  }
+
+  test("s_stream_dedup: duplicate event_ids within watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.dedupStream(mem.toDF()).writeStream
+      .format("memory").queryName("s_dedup").outputMode("append").start()
+    val base = fixture.take(100)
+    mem.addData(base)
+    q.processAllAvailable()
+    mem.addData(base.take(50))   // exact duplicates, same micro-horizon
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("s_dedup").select("event_id").collect().map(_.getLong(0))
+    assert(got.length == got.distinct.length, "duplicates must be dropped")
+    assert(got.toSet == base.map(_.event_id).toSet)
+  }
+
+  test("s_stream_late: events behind the watermark are dropped from closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.tumblingCounts(mem.toDF()).writeStream
+      .format("memory").queryName("s_late").outputMode("append").start()
+    val base = fixture.sortBy(_.ts.toString).take(200)
+    mem.addData(base)
+    q.processAllAvailable()
+    mem.addData(Seq(sentinel))   // watermark → 2030, all fixture windows closed
+    q.processAllAvailable()
+    val closed = spark.table("s_late").count()
+    val late = base.head.copy(event_id = 888888L)
+    mem.addData(Seq(late))       // behind watermark → must be discarded
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("s_late").count() == closed,
+      "late event must not reopen or re-emit a closed window")
+  }
+
+  test("s_stream_foreachbatch: idempotent JDBC upsert sink (Derby)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val url = "jdbc:derby:memory:streamdb;create=true"
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF().writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamOps.jdbcUpsertBatch(url, "stream_sink")(b, id))
+      .start()
+    val base = fixture.take(80)
+    mem.addData(base)
+    q.processAllAvailable()
+    mem.addData(base.take(40))   // replay → upsert must stay idempotent
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "stream_sink").load().count()
+    assert(n == base.length)
+  }
+}
