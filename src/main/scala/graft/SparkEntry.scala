@@ -20,6 +20,7 @@ object SparkEntry {
       SetQueries.all ++
       ScalarQueries.all ++
       TextQueries.all ++
+      PipelineQueries.all ++
       EventQueries.all ++
       UdfQueries.all
 

@@ -1,0 +1,16 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/** Session registration for graft's custom Catalyst expressions. */
+object GraftFunctions {
+
+  /** Idempotent: register graft_* functions in the session's registry. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", children => DotProduct(children(0), children(1)), "built-in")
+
+  /** Codegen'd dot product; requires register(spark) in the session. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+}

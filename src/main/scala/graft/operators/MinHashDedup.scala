@@ -20,7 +20,10 @@ object MinHashDedup {
   /** Candidate near-dup pairs (d1 < d2) with estimated Jaccard ≥ minJaccard.
     * Deterministic given the fixed seed. */
   def candidatePairs(documents: DataFrame, minJaccard: Double): DataFrame = {
-    val toks = documents
+    // Small single-file inputs arrive as one partition; the LSH join's cost
+    // is in the exploded band-bucket join, so spread rows first.
+    val parts = documents.sparkSession.sparkContext.defaultParallelism
+    val toks = documents.repartition(parts)
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
     val tf = new HashingTF()
       .setInputCol("toks").setOutputCol("features")

@@ -1,0 +1,261 @@
+package graft.queries
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators beyond the reference surface
+  * (BASELINE.json north-star: dedup / similarity / text analysis at
+  * 100 TB). All are linear single-pass scans or bucket-bounded self-joins;
+  * fingerprints (simhash / rolling hash) are the shuffle-light primitives
+  * that replace pairwise comparison at scale.
+  */
+object PipelineQueries {
+
+  /** Deterministic 31-polynomial char hash of a token, mod 2^31-1 —
+    * identical fold in both engines (probed). */
+  private def tokHash(tok: Column): Column =
+    aggregate(filter(split(tok, ""), c => c =!= ""), lit(7L),
+      (acc, c) => (acc * 31 + ascii(c)) % 2147483647L)
+  private def tokHashSql(tok: String): String =
+    s"list_reduce(list_prepend(7::BIGINT, list_transform(list_filter(string_split($tok, ''), c -> c != ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 2147483647)"
+
+  private val stopWords = Seq("join", "hash", "row")
+
+  val all: Seq[Q] = Seq(
+    // Quality scoring: token count, average token length (exact from
+    // n_chars: single-space text ⇒ Σ|tok| = n_chars − (n_tok−1)),
+    // stopword ratio, and a shared-tree composite score.
+    Q("q_text_quality",
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |  CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS avg_tok_len,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |       t -> t IN (${stopWords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS stop_ratio,
+         |  CAST(len(string_split(text, ' ')) AS DOUBLE) / 100
+         |    - CAST(len(list_filter(string_split(text, ' '),
+         |         t -> t IN (${stopWords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      val nStop = size(filter(toks, t => t.isin(stopWords: _*)))
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          nTok.cast("bigint").as("n_tok"),
+          ((col("n_chars") - (nTok - 1)).cast("double") / nTok).as("avg_tok_len"),
+          (nStop.cast("double") / nTok).as("stop_ratio"),
+          (nTok.cast("double") / 100 - nStop.cast("double") / nTok).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID by character-trigram profile matching: per-lang top-10
+    // trigram profiles are built from the corpus itself, then each doc is
+    // classified by largest distinct-trigram overlap (ties → lang asc).
+    Q("q_text_langid",
+      """WITH tri AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, length(text) - 1),
+        |                          i -> substring(text, i, 3))) AS tg
+        |  FROM documents),
+        |prof AS (
+        |  SELECT lang, tg FROM (
+        |    SELECT lang, tg, row_number() OVER (PARTITION BY lang
+        |      ORDER BY COUNT(*) DESC, tg) AS rn
+        |    FROM tri GROUP BY lang, tg) p
+        |  WHERE rn <= 10),
+        |docset AS (SELECT DISTINCT doc_id, tg FROM tri),
+        |score AS (
+        |  SELECT d.doc_id, p.lang, COUNT(*) AS ov
+        |  FROM docset d JOIN prof p ON d.tg = p.tg
+        |  GROUP BY d.doc_id, p.lang),
+        |pred AS (
+        |  SELECT doc_id, lang AS pred_lang, ov,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY ov DESC, lang) AS rn
+        |  FROM score)
+        |SELECT doc_id, pred_lang, ov FROM pred WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tri = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tg"))
+      val prof = tri.groupBy("lang", "tg").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(col("c").desc, col("tg"))))
+        .filter(col("rn") <= 10)
+        .select(col("lang").as("plang"), col("tg"))
+      val docset = tri.select("doc_id", "tg").distinct()
+      docset.join(prof, "tg")
+        .groupBy("doc_id", "plang").agg(count(lit(1)).as("ov"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("ov").desc, col("plang"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("plang").as("pred_lang"), col("ov"))
+        .orderBy("doc_id")
+    },
+
+    // Token counting two ways: whitespace split vs a BPE-ish regex
+    // ([a-z]+ | digit runs | any other non-space symbol), aggregated per lang.
+    Q("q_text_token_count",
+      """SELECT lang,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS re_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(sum(size(split(col("text"), " ")).cast("bigint")).as("ws_tokens"),
+          sum(size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("bigint")).as("re_tokens"))
+        .orderBy("lang")
+    },
+
+    // Positional rolling-hash document fingerprint:
+    //   fp = Σ_i i · h(tok_i) mod 1e9+7   (h = 31-poly char hash)
+    // order-sensitive (a permuted doc fingerprints differently), exact in
+    // int64, and one explode+sum — the linear-scale identity for shingle
+    // indexes.
+    Q("q_text_fingerprint",
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |pos AS (
+         |  SELECT doc_id, i, toks[i] AS tok
+         |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g)
+         |SELECT doc_id,
+         |  CAST(SUM(i * ${tokHashSql("tok")}) % 1000000007 AS BIGINT) AS fp
+         |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+        .select(col("doc_id"), (col("p") + 1).as("i"), col("tok"))
+        .groupBy("doc_id")
+        .agg((sum(col("i") * tokHash(col("tok"))) % 1000000007L).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // N-gram (token 3-shingle) Jaccard near-dup pairs — stricter than the
+    // unigram q_text_jaccard_pairs (catches reordered-but-copied passages).
+    Q("q_dedup_ngram",
+      """WITH t AS (
+        |  SELECT lang, source, doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |           || ' ' || string_split(text, ' ')[i+2])) AS sh
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac3
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT d1, d2, jac3 FROM p WHERE jac3 >= 0.05
+        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      // materialize the token array once per row — building shingles from
+      // a re-evaluated split() costs 3 splits per shingle element
+      val t = Tables.documents(s, d)
+        .select(col("lang"), col("source"), col("doc_id"),
+          split(col("text"), " ").as("toks"))
+        .select(col("lang"), col("source"), col("doc_id"),
+          array_distinct(expr(
+            "transform(sequence(1, size(toks) - 2), " +
+              "i -> concat(element_at(toks, i), ' ', " +
+              "element_at(toks, i + 1), ' ', element_at(toks, i + 2)))")).as("sh"))
+      val a = t.select(col("lang"), col("source"), col("doc_id").as("d1"), col("sh").as("sa"))
+      val b = t.select(col("lang").as("lb"), col("source").as("sb"),
+        col("doc_id").as("d2"), col("sh").as("sb2"))
+      val ni = size(array_intersect(col("sa"), col("sb2")))
+      a.join(b, col("lang") === col("lb") && col("source") === col("sb") &&
+          col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          (ni.cast("double") / (size(col("sa")) + size(col("sb2")) - ni)).as("jac3"))
+        .filter(col("jac3") >= 0.05)
+        .orderBy("d1", "d2")
+    },
+
+    // SimHash near-dup: 30-bit fingerprint from per-token hash signs, pairs
+    // with Hamming distance ≤ 4 within (lang, source) buckets. At 100 TB
+    // the pair join becomes an equi-join on fingerprint bands — no O(n²).
+    Q("q_dedup_simhash",
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, source,
+         |    unnest(list_distinct(string_split(text, ' '))) AS tok
+         |  FROM documents),
+         |th AS (SELECT doc_id, lang, source, ${tokHashSql("tok")} AS h FROM tok),
+         |sh AS (
+         |  SELECT doc_id, lang, source,
+         |    ${(0 until 30).map(b =>
+              s"(CASE WHEN SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN (1::BIGINT << $b) ELSE 0 END)")
+              .mkString(" + ")} AS simhash
+         |  FROM th GROUP BY doc_id, lang, source)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sh a JOIN sh b
+         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .withColumn("h", tokHash(col("tok")))
+      val bits = (0 until 30).map { b =>
+        when(sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
+          lit(1L << b)).otherwise(0L)
+      }.reduce(_ + _)
+      val sh = tok.groupBy("doc_id", "lang", "source").agg(bits.as("simhash"))
+      val a = sh.select(col("lang"), col("source"), col("doc_id").as("d1"),
+        col("simhash").as("h1"))
+      val b = sh.select(col("lang").as("lb"), col("source").as("sb"),
+        col("doc_id").as("d2"), col("simhash").as("h2"))
+      a.join(b, col("lang") === col("lb") && col("source") === col("sb") &&
+          col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+        .filter(col("hamming") <= 4)
+        .orderBy("d1", "d2")
+    },
+
+    // Embedding-cosine near-dup report: global top-20 most-similar vector
+    // pairs (codegen'd dot product; TakeOrderedAndProject keeps it
+    // memory-bounded at any scale — the brute-force twin of cap_sim_ann).
+    Q("q_sim_embed_neardup",
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(list_zip(embedding, embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(a.nrm) * sqrt(b.nrm)) AS sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |ORDER BY sim DESC, v1, v2 LIMIT 20""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.dot
+      val n = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          dot(col("embedding"), col("embedding")).as("nrm"))
+      val a = n.select(col("vec_id").as("v1"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = n.select(col("vec_id").as("v2"), col("embedding").as("eb"), col("nrm").as("nb"))
+      a.join(b, col("v1") < col("v2"))
+        .select(col("v1"), col("v2"),
+          (dot(col("ea"), col("eb")) / (sqrt(col("na")) * sqrt(col("nb")))).as("sim"))
+        .orderBy(col("sim").desc, col("v1"), col("v2"))
+        .limit(20)
+    },
+
+    // LSH-bucketed ANN over normalized embeddings (the scale path whose
+    // recall AnnSpec gates against the exact top-k).
+    Q.cap("cap_sim_ann") { (s, d) =>
+      graft.operators.AnnCosine.topK(Tables.embeddings(s, d), k = 5,
+        anchorPred = col("vec_id") < 100)
+    },
+
+    // Multimodal column plumbing with a STUBBED decoder (no codec libs in
+    // this container): binary payload + typed metadata → per-partition
+    // batched feature extraction.
+    Q.cap("cap_multimodal_decode") { (s, d) =>
+      graft.operators.Multimodal.decodeFeatures(
+        graft.operators.Multimodal.attachBinary(Tables.documents(s, d)), dims = 8)
+    }
+  )
+}

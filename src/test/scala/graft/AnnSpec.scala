@@ -1,0 +1,37 @@
+package graft
+
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+
+/** Recall gate for the ANN scale path + multimodal plumbing checks. */
+class AnnSpec extends SparkSuite {
+
+  test("LSH-bucketed ANN recalls >=60% of exact top-5 neighbors") {
+    val d = sf("0.01")
+    val exact = SparkEntry.queries("q_sim_cosine_topk")(spark, d)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SparkEntry.queries("cap_sim_ann")(spark, d)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    info(f"ANN recall vs exact top-5: $recall%.3f")
+    assert(recall >= 0.6, f"recall $recall%.3f below 0.6")
+  }
+
+  test("multimodal decode keeps schema, count, and determinism") {
+    val out = SparkEntry.queries("cap_multimodal_decode")(spark, sf("0.001"))
+    assert(out.schema("doc_id").dataType == LongType)
+    assert(out.schema("features").dataType ==
+      ArrayType(FloatType, containsNull = false))
+    val rows = out.collect()
+    assert(rows.length == Tables.documents(spark, sf("0.001")).count())
+    // stub decode is deterministic: first feature = first utf-8 byte / 255
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    val text0 = Tables.documents(spark, sf("0.001"))
+      .filter(col("doc_id") === 0).select("text").collect()(0).getString(0)
+    assert(r0.getSeq[Float](r0.fieldIndex("features")).head ==
+      (text0.getBytes("UTF-8")(0) & 0xff) / 255.0f)
+  }
+}
