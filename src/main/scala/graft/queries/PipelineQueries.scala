@@ -160,6 +160,10 @@ object PipelineQueries {
             "transform(sequence(1, size(toks) - 2), " +
               "i -> concat(element_at(toks, i), ' ', " +
               "element_at(toks, i + 1), ' ', element_at(toks, i + 2)))")).as("sh"))
+        // exchange barrier: materialize sh once per row — CollapseProject
+        // would otherwise inline it into the post-join projection and
+        // recompute it per candidate pair
+        .repartition(col("lang"), col("source"))
       val a = t.select(col("lang"), col("source"), col("doc_id").as("d1"), col("sh").as("sa"))
       val b = t.select(col("lang").as("lb"), col("source").as("sb"),
         col("doc_id").as("d2"), col("sh").as("sb2"))

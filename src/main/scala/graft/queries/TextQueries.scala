@@ -101,6 +101,8 @@ object TextQueries {
       val t = Tables.documents(s, d)
         .select(col("lang"), col("source"), col("doc_id"),
           array_distinct(split(col("text"), " ")).as("toks"))
+        // exchange barrier: tokenize once per row, not once per pair
+        .repartition(col("lang"), col("source"))
       val a = t.select(col("lang"), col("source"), col("doc_id").as("d1"), col("toks").as("ta"))
       val b = t.select(col("lang").as("lb"), col("source").as("sb"),
         col("doc_id").as("d2"), col("toks").as("tb"))

@@ -1,0 +1,40 @@
+package graft
+
+import graft.core.Tables
+import graft.operators.BucketedLayout
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-location: the fact-fact join must plan with no shuffle. */
+class LayoutSpec extends SparkSuite {
+
+  test("bucketed lineitem x orders joins with zero Exchange nodes") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    BucketedLayout.writeBucketed(
+      Tables.lineitem(spark, sf("0.001")).select("l_orderkey", "l_extendedprice"),
+      "li_bkt", "l_orderkey", 8)
+    BucketedLayout.writeBucketed(
+      Tables.orders(spark, sf("0.001")).select("o_orderkey", "o_orderstatus"),
+      "ord_bkt", "o_orderkey", 8)
+    val joined = BucketedLayout.colocatedJoin(spark, "li_bkt", "ord_bkt",
+      "l_orderkey", "o_orderkey")
+    // disable AQE so the static plan shows the join strategy directly,
+    // and broadcast so the small side can't dodge the merge join
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      // and it computes the right thing
+      val cnt = joined.count()
+      val expect = Tables.lineitem(spark, sf("0.001"))
+        .join(Tables.orders(spark, sf("0.001")),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(cnt == expect)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+}
