@@ -9,6 +9,16 @@ class LayoutSpec extends SparkSuite {
 
   test("bucketed lineitem x orders joins with zero Exchange nodes") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // dirs persist — clear both before writing
+    Seq("li_bkt", "ord_bkt").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     BucketedLayout.writeBucketed(
       Tables.lineitem(spark, sf("0.001")).select("l_orderkey", "l_extendedprice"),
       "li_bkt", "l_orderkey", 8)
