@@ -260,6 +260,41 @@ object AggQueries {
         .orderBy("p_type")
     },
 
+    // Pivot: wide counts per (priority × status). The oracle spells the
+    // fixed status domain as FILTER'd counts — same columns, same values.
+    Q("q_pivot",
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .orderBy("o_orderpriority")
+    },
+
+    // Unpivot/melt: two decimal measures to (measure, value) rows.
+    Q("q_unpivot",
+      """SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS measure,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS value
+        |  FROM lineitem GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price' AS measure,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS value
+        |  FROM lineitem GROUP BY l_returnflag) u
+        |ORDER BY l_returnflag, measure""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price")), "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    },
+
     // HLL sketches are not bit-portable across engines → capability only;
     // ScalaTest bounds-checks vs exact (AggSpec).
     Q.cap("cap_agg_approx") { (s, d) =>
