@@ -81,12 +81,16 @@ object PipelineQueries {
       val tri = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tg"))
-      val prof = tri.groupBy("lang", "tg").agg(count(lit(1)).as("c"))
+      // one shared exchange: per-(doc, tg) counts feed BOTH the profile
+      // aggregation and the distinct doc set, so ReusedExchange runs the
+      // expensive explode once instead of once per consumer
+      val base = tri.groupBy("doc_id", "lang", "tg").agg(count(lit(1)).as("c"))
+      val prof = base.groupBy("lang", "tg").agg(sum("c").as("c"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("lang").orderBy(col("c").desc, col("tg"))))
         .filter(col("rn") <= 10)
         .select(col("lang").as("plang"), col("tg"))
-      val docset = tri.select("doc_id", "tg").distinct()
+      val docset = base.select("doc_id", "tg")
       docset.join(prof, "tg")
         .groupBy("doc_id", "plang").agg(count(lit(1)).as("ov"))
         .withColumn("rn", row_number().over(
@@ -251,6 +255,13 @@ object PipelineQueries {
     // recall AnnSpec gates against the exact top-k).
     Q.cap("cap_sim_ann") { (s, d) =>
       graft.operators.AnnCosine.topK(Tables.embeddings(s, d), k = 5,
+        anchorPred = col("vec_id") < 100)
+    },
+
+    // IVF (k-means inverted-file) ANN — the second scale path, same recall
+    // gate in AnnSpec.
+    Q.cap("cap_sim_ivf") { (s, d) =>
+      graft.operators.IvfCosine.topK(Tables.embeddings(s, d), k = 5,
         anchorPred = col("vec_id") < 100)
     },
 

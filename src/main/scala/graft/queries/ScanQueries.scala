@@ -67,6 +67,19 @@ object ScanQueries {
         .orderBy("r_regionkey")
     },
 
+    // ORC round-trip (spark-avro connector is not shipped offline; ORC is
+    // built in): columnar alternative source with schema + pushdown parity.
+    Q("q_source_orc",
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier WHERE s_nationkey < 10 ORDER BY s_suppkey") { (s, d) =>
+      val src = Tables.supplier(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      src.write.mode("overwrite").orc(tmp)
+      s.read.schema(src.schema).orc(tmp)
+        .filter(col("s_nationkey") < 10)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy("s_suppkey")
+    },
+
     Q("q_filter_complex",
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
         |FROM orders

@@ -20,6 +20,19 @@ class AnnSpec extends SparkSuite {
     assert(recall >= 0.6, f"recall $recall%.3f below 0.6")
   }
 
+  test("IVF ANN recalls >=60% of exact top-5 neighbors") {
+    val d = sf("0.01")
+    val exact = SparkEntry.queries("q_sim_cosine_topk")(spark, d)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("cap_sim_ivf")(spark, d)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(f"IVF recall vs exact top-5: $recall%.3f")
+    assert(recall >= 0.6, f"recall $recall%.3f below 0.6")
+  }
+
   test("multimodal decode keeps schema, count, and determinism") {
     val out = SparkEntry.queries("cap_multimodal_decode")(spark, sf("0.001"))
     assert(out.schema("doc_id").dataType == LongType)
