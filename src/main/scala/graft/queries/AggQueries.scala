@@ -260,6 +260,36 @@ object AggQueries {
         .orderBy("p_type")
     },
 
+    // Scalar subquery: orders priced above 2× the global mean (exact
+    // decimal mean → shared double tree) — exercises ScalarSubquery
+    // planning (one broadcast scalar, no per-row recompute).
+    Q("q_subquery_scalar",
+      s"""SELECT o_orderkey, o_totalprice
+         |FROM orders
+         |WHERE o_totalprice > 2 * (SELECT ${davgSql("o_totalprice")} FROM orders)
+         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_sq")
+      s.sql(
+        s"""SELECT o_orderkey, o_totalprice
+           |FROM orders_sq
+           |WHERE o_totalprice > 2 * (SELECT ${davgSql("o_totalprice")} FROM orders_sq)
+           |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // GROUP BY + HAVING on an exact decimal sum.
+    Q("q_having",
+      s"""SELECT o_custkey, COUNT(*) AS cnt, ${dsumSql("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY o_custkey
+         |HAVING ${dsumSql("o_totalprice")} > 1500000
+         |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .filter(col("total") > 1500000)
+        .orderBy("o_custkey")
+    },
+
     // Pivot: wide counts per (priority × status). The oracle spells the
     // fixed status domain as FILTER'd counts — same columns, same values.
     Q("q_pivot",

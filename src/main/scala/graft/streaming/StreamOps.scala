@@ -47,6 +47,31 @@ object StreamOps {
     ltz(events).withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Custom keyed state via mapGroupsWithState (s_stream_state): running
+    * per-user event count + decimal-cents value total, emitted per
+    * micro-batch. The KeyValueGroupedDataset state API is the escape hatch
+    * when window/session semantics don't fit; state is per-key in the
+    * state store exactly like the built-in stateful operators. */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = ltz(events)
+      .selectExpr("user_id", "CAST(ROUND(value * 100) AS BIGINT) AS cents")
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[(Long, Long)]) =>
+          val (c0, s0) = state.getOption.getOrElse((0L, 0L))
+          var c = c0; var sum = s0
+          rows.foreach { r => c += 1; sum += r._2 }
+          state.update((c, sum))
+          (user, c, sum)
+      }
+      .toDF("user_id", "n_events", "cents_total")
+  }
+
   /** foreachBatch JDBC upsert: idempotent incremental load keyed on the
     * natural key (s_stream_foreachbatch; the daily-increment DB pattern).
     * Returns the started query's checkpoint-free memory of rows via the

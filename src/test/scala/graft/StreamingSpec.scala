@@ -106,6 +106,32 @@ class StreamingSpec extends SparkSuite {
       "late event must not reopen or re-emit a closed window")
   }
 
+  test("s_stream_state: mapGroupsWithState running totals == batch totals") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.runningUserTotals(mem.toDF()).writeStream
+      .format("memory").queryName("s_state").outputMode("update").start()
+    val (h1, h2) = fixture.splitAt(fixture.length / 2)
+    mem.addData(h1)
+    q.processAllAvailable()
+    mem.addData(h2)   // state must carry across micro-batches
+    q.processAllAvailable()
+    q.stop()
+    // memory sink in update mode appends each emission; last row per user
+    // is the final state
+    val got = spark.table("s_state")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("n_events").desc)))
+      .filter(col("rn") === 1).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = fixture.groupBy(_.user_id).map { case (u, evs) =>
+      (u, evs.size.toLong, evs.map(e => math.round(e.value * 100)).sum)
+    }.toSet
+    assert(got == want)
+  }
+
   test("s_stream_foreachbatch: idempotent JDBC upsert sink (Derby)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
