@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Banded SimHash candidate generation — the linear-scale form of
+  * q_dedup_simhash's bucket self-join.
+  *
+  * Pigeonhole guarantee: split a 30-bit fingerprint into 5 bands of 6
+  * bits; any pair with Hamming distance ≤ 4 differs in at most 4 bands, so
+  * at least one band is identical — an equi-join on (band_idx, band_value)
+  * finds every such pair. At 100 TB that is one shuffle on band values
+  * (linear in candidates) instead of an O(n²) per-bucket cross join; the
+  * exact Hamming check then verifies candidates. SimHashSpec asserts the
+  * candidate set covers the exact q_dedup_simhash pairs.
+  */
+object SimHashBanding {
+
+  private val Bands = 5
+  private val BandBits = 6
+
+  /** Hamming ≤ maxHamming pairs (d1 < d2) from a (doc_id, simhash) frame,
+    * via banded candidate generation + exact verification.
+    * Requires maxHamming < Bands. */
+  def pairs(fingerprints: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming < Bands,
+      s"pigeonhole needs maxHamming < $Bands bands")
+    val banded = fingerprints.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until Bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * BandBits)
+            .bitwiseAND((1 << BandBits) - 1).as("bval"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val a = banded.select(col("band"), col("bval"),
+      col("doc_id").as("d1"), col("simhash").as("h1"))
+    val b = banded.select(col("band").as("band2"), col("bval").as("bval2"),
+      col("doc_id").as("d2"), col("simhash").as("h2"))
+    a.join(b, col("band") === col("band2") && col("bval") === col("bval2") &&
+        col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .distinct() // a pair can collide on several bands
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("d1", "d2")
+  }
+}
