@@ -47,4 +47,20 @@ class LayoutSpec extends SparkSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
   }
+
+  test("dynamic partition pruning fires on a partitioned fact x filtered dim join") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.lineitem(spark, sf("0.001"))
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+    val fact = spark.read.parquet(tmp)
+    // dim values must come from a scan (a literal folds to a static
+    // partition filter — also pruning, but not the dynamic path)
+    val dim = Tables.lineitem(spark, sf("0.001"))
+      .filter(col("l_partkey") < 5 && col("l_linenumber") === 1)
+      .select(col("l_returnflag").as("flag")).distinct()
+    val joined = fact.join(dim, col("l_returnflag") === col("flag"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter on the fact scan:\n$plan")
+  }
 }
