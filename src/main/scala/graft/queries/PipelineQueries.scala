@@ -81,9 +81,10 @@ object PipelineQueries {
       val tri = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tg"))
-      // one shared exchange: per-(doc, tg) counts feed BOTH the profile
-      // aggregation and the distinct doc set, so ReusedExchange runs the
-      // expensive explode once instead of once per consumer
+      // per-(doc, tg) counts feed BOTH the profile aggregation and the
+      // distinct doc set (measured: materializing this subtree via
+      // localCheckpoint does NOT help — the cost is in the downstream
+      // aggregations, not the explode — so keep the plan declarative)
       val base = tri.groupBy("doc_id", "lang", "tg").agg(count(lit(1)).as("c"))
       val prof = base.groupBy("lang", "tg").agg(sum("c").as("c"))
         .withColumn("rn", row_number().over(

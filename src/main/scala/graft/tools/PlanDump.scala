@@ -17,8 +17,11 @@ object PlanDump {
       val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
       val p = df.queryExecution.executedPlan.toString
       println(s"== $q")
-      p.linesIterator.filter(_.contains("Join")).map(_.trim.take(120))
-        .foreach(l => println("   " + l))
+      val interesting = if (args.nonEmpty)
+        p.linesIterator.filter(l => l.contains("Join") || l.contains("Exchange") ||
+          l.contains("Generate") || l.contains("Scan"))
+      else p.linesIterator.filter(_.contains("Join"))
+      interesting.map(_.trim.take(120)).foreach(l => println("   " + l))
     }
     spark.stop()
   }
