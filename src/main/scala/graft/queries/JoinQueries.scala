@@ -177,10 +177,9 @@ object JoinQueries {
       val p = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
       val v = ev.filter(col("event_type") === "view")
-        .select(col("user_id").as("vu"), col("ts").as("vts"))
-      p.join(v, col("user_id") === col("vu") && col("vts") < col("purchase_ts"), "left")
-        .groupBy("event_id", "user_id", "purchase_ts")
-        .agg(max(col("vts")).as("view_ts"))
+        .select(col("user_id"), col("ts").as("vts"))
+      graft.operators.AsOfJoin.leftAsOf(p, v, Seq("user_id"),
+          leftTime = "purchase_ts", rightTime = "vts", asOfCol = "view_ts")
         .withColumn("lag_us", expr("timestampdiff(MICROSECOND, view_ts, purchase_ts)"))
         .select("event_id", "user_id", "purchase_ts", "view_ts", "lag_us")
         .orderBy("event_id")
