@@ -202,9 +202,12 @@ object AggQueries {
         |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
         |  FROM orders),
         |k AS (
+        |  -- 0.5e0/0.9e0: scientific literals are DOUBLE in DuckDB; a bare
+        |  -- 0.9 parses as DECIMAL there, making f EXACT where Spark's
+        |  -- double math is not (1-ulp p90 divergence, caught at sf0.1)
         |  SELECT o_orderstatus, v, i,
-        |    CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) AS k50, 0.5 * (n - 1) - FLOOR(0.5 * (n - 1)) AS f50,
-        |    CAST(FLOOR(0.9 * (n - 1)) AS BIGINT) AS k90, 0.9 * (n - 1) - FLOOR(0.9 * (n - 1)) AS f90
+        |    CAST(FLOOR(0.5e0 * (n - 1)) AS BIGINT) AS k50, 0.5e0 * (n - 1) - FLOOR(0.5e0 * (n - 1)) AS f50,
+        |    CAST(FLOOR(0.9e0 * (n - 1)) AS BIGINT) AS k90, 0.9e0 * (n - 1) - FLOOR(0.9e0 * (n - 1)) AS f90
         |  FROM r)
         |SELECT o_orderstatus,
         |  MAX(CASE WHEN i = k50 THEN v END)
