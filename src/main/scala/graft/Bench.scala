@@ -26,6 +26,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Compact total-only line LAST: the driver tail-captures output, and in
+    // round 1 the single long line was truncated from the front ("parsed":
+    // null). A short final line always survives tail capture.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

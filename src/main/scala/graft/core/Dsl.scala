@@ -49,11 +49,28 @@ object Dsl {
     * cast double-rounds differently in DuckDB (int128→fp÷10^s) vs the JVM
     * (correctly-rounded BigDecimal). Split into an exact integer part
     * (< 2^53 ⇒ bit-exact long→double in both engines) plus an exact small
-    * fraction, then one shared IEEE add. Requires value ≥ 0 with true scale
-    * ≤ 4 — validated by live probe (0/2000 adversarial mismatches). */
+    * fraction (c - floor(c) ∈ [0,1) even for negatives), then one shared
+    * IEEE add. Requires true scale ≤ 4 — validated by live probe (0/2000
+    * adversarial mismatches across ±10^13 at scale 4 and DECIMAL(38,4)).
+    *
+    * This is also the mandatory OUTPUT representation for every decimal
+    * result: the driver's harness compares via pandas, where DuckDB
+    * renders DECIMAL as float64 but Spark parquet reads back as Decimal
+    * objects — equal values, different representations, guaranteed hash
+    * mismatch. Internal arithmetic stays exact DECIMAL; only the final
+    * select converts (guarded by OutputContractSpec). */
   def d2d(c: Column): Column =
     floor(c).cast(LongType).cast(DoubleType) +
       (c - floor(c)).cast(DecimalType(5, 4)).cast(DoubleType)
   def d2dSql(x: String): String =
     s"(CAST(CAST(FLOOR($x) AS BIGINT) AS DOUBLE) + CAST(CAST(($x) - FLOOR($x) AS DECIMAL(5,4)) AS DOUBLE))"
+
+  /** d2d for true scale ≤ 6 (e.g. the flagship's price·(1−disc)·(1+tax)
+    * charge sums) — same split, fraction kept at DECIMAL(7,6). Probe:
+    * 0/2000 mismatches on random DECIMAL(18,6). */
+  def d2d6(c: Column): Column =
+    floor(c).cast(LongType).cast(DoubleType) +
+      (c - floor(c)).cast(DecimalType(7, 6)).cast(DoubleType)
+  def d2dSql6(x: String): String =
+    s"(CAST(CAST(FLOOR($x) AS BIGINT) AS DOUBLE) + CAST(CAST(($x) - FLOOR($x) AS DECIMAL(7,6)) AS DOUBLE))"
 }

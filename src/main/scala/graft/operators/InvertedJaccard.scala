@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object InvertedJaccard {
 
+  /** Corpus-wide (d1, d2, jac) pairs with jac ≥ minJ — no bucket
+    * constraint. The ground-truth twin for the corpus-wide MinHash-LSH
+    * candidate generator (TextSpec measures its prune quality against
+    * this). Same linear postings shape; only the join key shrinks to the
+    * token alone. */
+  def globalPairs(documents: DataFrame, minJ: Double): DataFrame =
+    pairs(documents.withColumn("lang", lit("*")).withColumn("source", lit("*")), minJ)
+
   /** (d1, d2, jac) pairs with jac ≥ minJ, bucketed by (lang, source) like
     * the pairwise twin. */
   def pairs(documents: DataFrame, minJ: Double): DataFrame = {

@@ -17,6 +17,24 @@ import org.apache.spark.sql.functions._
   */
 object MinHashDedup {
 
+  /** Estimator accuracy: the LSH join prunes on estimated Jaccard =
+    * matching-minhash fraction over [[NumHashTables]] tables; σ at J=0.5
+    * is √(J(1−J)/48) ≈ 0.072, so [[RadiusSlack]] = 0.15 ≈ 2σ of head-room
+    * keeps borderline true-J pairs in the candidate set (a better recall
+    * margin than round 1's h=20/slack=0.2 ≈ 1.8σ) while pruning pairs
+    * whose estimate falls materially below the threshold.
+    *
+    * Candidate-ratio reality check: on the sf fixtures the candidate set
+    * is necessarily near-all-pairs — the corpus is near-dup-dense BY
+    * CONSTRUCTION (74% of all doc pairs at sf0.01 have TRUE Jaccard
+    * ≥ 0.5, measured exactly), so any full-recall candidate generator
+    * must emit ≥74% of pairs; that is a property of the data, not a
+    * degenerate prune. TextSpec proves both directions: full recall on
+    * the dense fixture AND a <2% candidate ratio on a sparse corpus with
+    * planted dups (the 100 TB-realistic shape). */
+  val NumHashTables = 48
+  val RadiusSlack = 0.15
+
   /** Candidate near-dup pairs (d1 < d2) with estimated Jaccard ≥ minJaccard.
     * Deterministic given the fixed seed. */
   def candidatePairs(documents: DataFrame, minJaccard: Double): DataFrame = {
@@ -31,11 +49,10 @@ object MinHashDedup {
     val vecs = tf.transform(toks).filter(size(col("toks")) > 0)
     val mh = new MinHashLSH()
       .setInputCol("features").setOutputCol("sig")
-      .setNumHashTables(20).setSeed(42L)
+      .setNumHashTables(NumHashTables).setSeed(42L)
     val model = mh.fit(vecs)
-    // radius slack 0.2: approxSimilarityJoin prunes on *estimated* distance,
-    // so borderline true-J pairs need head-room to stay in the candidate set
-    model.approxSimilarityJoin(vecs, vecs, math.min(1.0, 1.0 - minJaccard + 0.2), "dist")
+    model.approxSimilarityJoin(vecs, vecs,
+        math.min(1.0, 1.0 - minJaccard + RadiusSlack), "dist")
       .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"),
         (lit(1.0) - col("dist")).as("est_jaccard"))
       .filter(col("d1") < col("d2"))

@@ -26,15 +26,15 @@ object AggQueries {
     s"CAST(SUM(CAST($a AS DECIMAL(19,4)) * CAST($b AS DECIMAL(19,4))) AS DECIMAL(38,4))"
 
   val all: Seq[Q] = Seq(
-    // Flagship (TPC-H Q1 shape). sum_charge keeps scale 6 — the true scale of
-    // price*(1-disc)*(1+tax) — so the final cast only drops trailing zeros
-    // (casting below true scale would round cross-engine-unsafely).
+    // Flagship (TPC-H Q1 shape). Sums run exact DECIMAL internally (scale 6
+    // for price*(1-disc)*(1+tax) — its true scale), then d2d/d2d6 to the
+    // shared DOUBLE output representation (Dsl scaladoc).
     Q("q_agg_pricing_summary",
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(18,4)) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4))) * (1 + CAST(l_tax AS DECIMAL(12,4)))) AS DECIMAL(18,6)) AS sum_charge,
+      s"""SELECT l_returnflag, l_linestatus,
+        |  ${d2dSql(dsumSql("l_quantity"))} AS sum_qty,
+        |  ${d2dSql(dsumSql("l_extendedprice"))} AS sum_base_price,
+        |  ${d2dSql("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(18,4))")} AS sum_disc_price,
+        |  ${d2dSql6("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4))) * (1 + CAST(l_tax AS DECIMAL(12,4)))) AS DECIMAL(18,6))")} AS sum_charge,
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) / COUNT(*) AS avg_price,
         |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -45,12 +45,12 @@ object AggQueries {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast(D18).as("sum_disc_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
-            * (lit(1) + dec(col("l_tax")))).cast(D186).as("sum_charge"),
+          d2d(dsum(col("l_quantity"))).as("sum_qty"),
+          d2d(dsum(col("l_extendedprice"))).as("sum_base_price"),
+          d2d(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(D18)).as("sum_disc_price"),
+          d2d6(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+            * (lit(1) + dec(col("l_tax")))).cast(D186)).as("sum_charge"),
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
           davg(col("l_discount")).as("avg_disc"),
@@ -73,7 +73,7 @@ object AggQueries {
     Q("q_agg_rollup",
       s"""SELECT r_name, n_name,
          |  CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n,
-         |  COUNT(*) AS cnt, ${dsumSql("c_acctbal")} AS sum_bal
+         |  COUNT(*) AS cnt, ${d2dSql(dsumSql("c_acctbal"))} AS sum_bal
          |FROM customer
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
@@ -90,7 +90,7 @@ object AggQueries {
       s.sql(
         s"""SELECT r_name, n_name,
            |  CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n,
-           |  COUNT(*) AS cnt, ${dsumSql("c_acctbal")} AS sum_bal
+           |  COUNT(*) AS cnt, ${d2dSql(dsumSql("c_acctbal"))} AS sum_bal
            |FROM cust_nr
            |GROUP BY ROLLUP(r_name, n_name)
            |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
@@ -116,7 +116,7 @@ object AggQueries {
     Q("q_agg_grouping_sets",
       s"""SELECT event_type, day,
          |  CAST(GROUPING(event_type) AS INT) AS g_t, CAST(GROUPING(day) AS INT) AS g_d,
-         |  COUNT(*) AS cnt, ${dsumSql("value")} AS sum_value
+         |  COUNT(*) AS cnt, ${d2dSql(dsumSql("value"))} AS sum_value
          |FROM (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value FROM events) e
          |GROUP BY GROUPING SETS ((event_type), (day), ())
          |ORDER BY g_t, g_d, event_type NULLS FIRST, day NULLS FIRST""".stripMargin) { (s, d) =>
@@ -127,7 +127,7 @@ object AggQueries {
       s.sql(
         s"""SELECT event_type, day,
            |  CAST(GROUPING(event_type) AS INT) AS g_t, CAST(GROUPING(day) AS INT) AS g_d,
-           |  COUNT(*) AS cnt, ${dsumSql("value")} AS sum_value
+           |  COUNT(*) AS cnt, ${d2dSql(dsumSql("value"))} AS sum_value
            |FROM (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP_NTZ) AS day, value FROM events) e
            |GROUP BY GROUPING SETS ((event_type), (day), ())
            |ORDER BY g_t, g_d, event_type NULLS FIRST, day NULLS FIRST""".stripMargin)
@@ -194,7 +194,11 @@ object AggQueries {
     // percentile/percentile_cont interpolate with different FP expression
     // trees across engines, so both sides compute
     //   v[k] + f * (v[k+1] - v[k]),  pos = p*(n-1), k = floor(pos), f = pos-k
-    // from row_number over the value ordering (ties interchangeable).
+    // The ORACLE ranks with a per-group row_number (fine in DuckDB); the
+    // Spark side gets the same v[k] values scale-safely via HistogramRank —
+    // a per-status global window would sort the whole table in 3 tasks at
+    // 100 TB, whereas the histogram form only sorts the buckets containing
+    // the target positions (RankSpec asserts equality with the window form).
     Q("q_agg_percentile",
       """WITH r AS (
         |  SELECT o_orderstatus, o_totalprice AS v,
@@ -217,24 +221,35 @@ object AggQueries {
         |    + MAX(f90) * (COALESCE(MAX(CASE WHEN i = k90 + 1 THEN v END), MAX(CASE WHEN i = k90 THEN v END))
         |                  - MAX(CASE WHEN i = k90 THEN v END)) AS p90
         |FROM k GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
-      val wOrd = Window.partitionBy("o_orderstatus").orderBy("v")
-      val wAll = Window.partitionBy("o_orderstatus")
-      val r = Tables.orders(s, d).select(col("o_orderstatus"), col("o_totalprice").as("v"))
-        .withColumn("i", row_number().over(wOrd) - 1)
-        .withColumn("n", count(lit(1)).over(wAll))
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_totalprice").as("v"))
+      val nDf = orders.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
       def pctCols(p: Double, tag: String) = {
         val pos = lit(p) * (col("n") - 1)
         Seq(floor(pos).cast("bigint").as(s"k$tag"), (pos - floor(pos)).as(s"f$tag"))
       }
-      val k = r.select(Seq(col("o_orderstatus"), col("v"), col("i")) ++
+      val ks = nDf.select(Seq(col("o_orderstatus")) ++
         pctCols(0.5, "50") ++ pctCols(0.9, "90"): _*)
+      val positions = ks.select(col("o_orderstatus"),
+        explode(array(col("k50"), col("k50") + 1, col("k90"), col("k90") + 1)).as("pos"))
+        .distinct()
+      val vals = graft.operators.HistogramRank.valuesAtPositions(
+        orders, "o_orderstatus", "v", positions, bucketWidth = 1000.0)
+      def at(name: String) =
+        vals.select(col("grp").as(s"g_$name"), col("pos").as(s"p_$name"),
+          col("v").as(name))
+      def joined(base: org.apache.spark.sql.DataFrame, name: String, k: Column) =
+        base.join(at(name),
+          col("o_orderstatus") === col(s"g_$name") && k === col(s"p_$name"), "left")
+      val j = joined(joined(joined(joined(ks,
+        "va50", col("k50")), "vb50", col("k50") + 1),
+        "va90", col("k90")), "vb90", col("k90") + 1)
       def interp(tag: String) = {
-        val va = max(when(col("i") === col(s"k$tag"), col("v")))
-        val vb = coalesce(max(when(col("i") === col(s"k$tag") + 1, col("v"))), va)
-        va + max(col(s"f$tag")) * (vb - va)
+        val va = col(s"va$tag")
+        val vb = coalesce(col(s"vb$tag"), va)
+        va + col(s"f$tag") * (vb - va)
       }
-      k.groupBy("o_orderstatus")
-        .agg(interp("50").as("p50"), interp("90").as("p90"))
+      j.select(col("o_orderstatus"), interp("50").as("p50"), interp("90").as("p90"))
         .orderBy("o_orderstatus")
     },
 
@@ -279,17 +294,19 @@ object AggQueries {
            |ORDER BY o_orderkey""".stripMargin)
     },
 
-    // GROUP BY + HAVING on an exact decimal sum.
+    // GROUP BY + HAVING on an exact decimal sum (the HAVING predicate stays
+    // on the exact decimal; only the emitted column converts to double).
     Q("q_having",
-      s"""SELECT o_custkey, COUNT(*) AS cnt, ${dsumSql("o_totalprice")} AS total
+      s"""SELECT o_custkey, COUNT(*) AS cnt, ${d2dSql(dsumSql("o_totalprice"))} AS total
          |FROM orders
          |GROUP BY o_custkey
          |HAVING ${dsumSql("o_totalprice")} > 1500000
          |ORDER BY o_custkey""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
         .groupBy("o_custkey")
-        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
-        .filter(col("total") > 1500000)
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total_dec"))
+        .filter(col("total_dec") > 1500000)
+        .select(col("o_custkey"), col("cnt"), d2d(col("total_dec")).as("total"))
         .orderBy("o_custkey")
     },
 
@@ -308,21 +325,22 @@ object AggQueries {
         .orderBy("o_orderpriority")
     },
 
-    // Unpivot/melt: two decimal measures to (measure, value) rows.
+    // Unpivot/melt: two exact-decimal measures converted to the double
+    // output representation, then stacked to (measure, value) rows.
     Q("q_unpivot",
-      """SELECT l_returnflag, measure, value FROM (
+      s"""SELECT l_returnflag, measure, value FROM (
         |  SELECT l_returnflag, 'sum_qty' AS measure,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS value
+        |    ${d2dSql(dsumSql("l_quantity"))} AS value
         |  FROM lineitem GROUP BY l_returnflag
         |  UNION ALL
         |  SELECT l_returnflag, 'sum_price' AS measure,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS value
+        |    ${d2dSql(dsumSql("l_extendedprice"))} AS value
         |  FROM lineitem GROUP BY l_returnflag) u
         |ORDER BY l_returnflag, measure""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_price"))
+        .agg(d2d(dsum(col("l_quantity"))).as("sum_qty"),
+          d2d(dsum(col("l_extendedprice"))).as("sum_price"))
         .unpivot(Array(col("l_returnflag")),
           Array(col("sum_qty"), col("sum_price")), "measure", "value")
         .orderBy("l_returnflag", "measure")

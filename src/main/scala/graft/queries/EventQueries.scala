@@ -19,13 +19,13 @@ object EventQueries {
   val all: Seq[Q] = Seq(
     Q("q_window_tumbling_batch",
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
-         |  COUNT(*) AS cnt, ${dsumSql("value")} AS sum_value
+         |  COUNT(*) AS cnt, ${d2dSql(dsumSql("value"))} AS sum_value
          |FROM events
          |GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy(expr("CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ)").as("bucket"),
           col("event_type"))
-        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("cnt"), d2d(dsum(col("value"))).as("sum_value"))
         .orderBy("bucket", "event_type")
     },
 
@@ -37,12 +37,12 @@ object EventQueries {
          |  SELECT event_type, value,
          |    make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - k * 1800000000) AS ws
          |  FROM events, (SELECT unnest([0, 1]) AS k) ks)
-         |SELECT ws AS window_start, event_type, COUNT(*) AS cnt, ${dsumSql("value")} AS sum_value
+         |SELECT ws AS window_start, event_type, COUNT(*) AS cnt, ${d2dSql(dsumSql("value"))} AS sum_value
          |FROM b
          |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("cnt"), d2d(dsum(col("value"))).as("sum_value"))
         .select(expr("CAST(window.start AS TIMESTAMP_NTZ)").as("window_start"),
           col("event_type"), col("cnt"), col("sum_value"))
         .orderBy("window_start", "event_type")
@@ -52,7 +52,7 @@ object EventQueries {
     // new-session flag via lag, session id via running sum — the classic
     // batch-SQL formulation, identical in both engines.
     Q("q_sessionize",
-      """WITH o AS (
+      s"""WITH o AS (
         |  SELECT user_id, event_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR date_diff('microsecond', lag(ts) OVER w, ts) > 43200000000
@@ -65,7 +65,7 @@ object EventQueries {
         |  FROM o)
         |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+        |  ${d2dSql("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))")} AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -79,7 +79,7 @@ object EventQueries {
         .groupBy("user_id", "sid")
         .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
           count(lit(1)).as("n_events"),
-          sum(col("value").cast(D18)).cast(D18).as("sum_value"))
+          d2d(sum(col("value").cast(D18)).cast(D18)).as("sum_value"))
         .select("user_id", "session_start", "session_end", "n_events", "sum_value")
         .orderBy("user_id", "session_start")
     }

@@ -17,41 +17,41 @@ object JoinQueries {
 
   val all: Seq[Q] = Seq(
     Q("q_join_inner",
-      s"""SELECT c_mktsegment, COUNT(*) AS cnt, ${dsumSql("o_totalprice")} AS revenue
+      s"""SELECT c_mktsegment, COUNT(*) AS cnt, ${d2dSql(dsumSql("o_totalprice"))} AS revenue
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("revenue"))
+        .agg(count(lit(1)).as("cnt"), d2d(dsum(col("o_totalprice"))).as("revenue"))
         .orderBy("c_mktsegment")
     },
 
     Q("q_join_broadcast",
-      s"""SELECT p_brand, COUNT(*) AS cnt, ${dsumSql("l_extendedprice")} AS sum_price
+      s"""SELECT p_brand, COUNT(*) AS cnt, ${d2dSql(dsumSql("l_extendedprice"))} AS sum_price
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
-        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("sum_price"))
+        .agg(count(lit(1)).as("cnt"), d2d(dsum(col("l_extendedprice"))).as("sum_price"))
         .orderBy("p_brand")
     },
 
     Q("q_join_sortmerge",
-      s"""SELECT o_orderstatus, COUNT(*) AS cnt, ${dsumSql("l_extendedprice")} AS sum_price
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt, ${d2dSql(dsumSql("l_extendedprice"))} AS sum_price
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
       // Big-big: pin SortMergeJoin via hint (broadcast would OOM at scale).
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d).hint("merge"), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("sum_price"))
+        .agg(count(lit(1)).as("cnt"), d2d(dsum(col("l_extendedprice"))).as("sum_price"))
         .orderBy("o_orderstatus")
     },
 
     Q("q_join_multiway",
-      s"""SELECT r_name, COUNT(*) AS cnt, ${dsumSql("c_acctbal")} AS sum_bal
+      s"""SELECT r_name, COUNT(*) AS cnt, ${d2dSql(dsumSql("c_acctbal"))} AS sum_bal
          |FROM customer
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
@@ -60,7 +60,7 @@ object JoinQueries {
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
-        .agg(count(lit(1)).as("cnt"), dsum(col("c_acctbal")).as("sum_bal"))
+        .agg(count(lit(1)).as("cnt"), d2d(dsum(col("c_acctbal"))).as("sum_bal"))
         .orderBy("r_name")
     },
 
@@ -68,7 +68,7 @@ object JoinQueries {
       s"""SELECT o_orderstatus,
          |  COUNT(DISTINCT o_orderkey) AS n_orders,
          |  COUNT(DISTINCT CASE WHEN l_orderkey IS NULL THEN o_orderkey END) AS n_empty,
-         |  ${dsumSql("l_extendedprice")} AS sum_price
+         |  ${d2dSql(dsumSql("l_extendedprice"))} AS sum_price
          |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
@@ -76,7 +76,7 @@ object JoinQueries {
         .groupBy("o_orderstatus")
         .agg(countDistinct(col("o_orderkey")).as("n_orders"),
           countDistinct(when(col("l_orderkey").isNull, col("o_orderkey"))).as("n_empty"),
-          dsum(col("l_extendedprice")).as("sum_price"))
+          d2d(dsum(col("l_extendedprice"))).as("sum_price"))
         .orderBy("o_orderstatus")
     },
 

@@ -270,8 +270,15 @@ object PipelineQueries {
     // this container): binary payload + typed metadata → per-partition
     // batched feature extraction.
     Q.cap("cap_multimodal_decode") { (s, d) =>
+      // Returned frame is scalar-only (Appendix B): features quantized to
+      // exact ints and comma-joined; the typed array stays internal.
       graft.operators.Multimodal.decodeFeatures(
         graft.operators.Multimodal.attachBinary(Tables.documents(s, d)), dims = 8)
+        .select(col("doc_id"), col("n_bytes"),
+          array_join(transform(col("features"),
+            x => floor(x.cast("double") * 1000000).cast("long").cast("string")), ",")
+            .as("features_q"))
+        .orderBy("doc_id")
     }
   )
 }

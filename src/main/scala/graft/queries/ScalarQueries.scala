@@ -54,14 +54,17 @@ object ScalarQueries {
 
     // dow normalized to 0=Monday on both sides (Spark dayofweek 1=Sunday,
     // DuckDB dayofweek 0=Sunday); day diffs on midnight timestamps are
-    // exact in both; date_add pinned to DATE.
+    // exact in both. DATE never reaches the output (Appendix B, same rule
+    // as DECIMAL): pandas reads Spark parquet DATE as datetime.date
+    // objects while DuckDB .df() renders DATE as datetime64 — so date
+    // arithmetic results are emitted as midnight TIMESTAMPs.
     Q("q_datetime",
       """SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS INT) AS y,
         |  CAST(month(o_orderdate) AS INT) AS m,
         |  CAST(quarter(o_orderdate) AS INT) AS q,
         |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+        |  CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS TIMESTAMP) AS plus30,
         |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_2000,
         |  CAST((dayofweek(o_orderdate) + 6) % 7 AS INT) AS dow_iso
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
@@ -71,7 +74,7 @@ object ScalarQueries {
           month(col("o_orderdate")).as("m"),
           quarter(col("o_orderdate")).as("q"),
           expr("CAST(date_trunc('month', o_orderdate) AS TIMESTAMP_NTZ)").as("month_start"),
-          date_add(col("o_orderdate"), 30).as("plus30"),
+          date_add(col("o_orderdate"), 30).cast("timestamp_ntz").as("plus30"),
           datediff(lit("2000-01-01").cast("date"), col("o_orderdate")).as("days_to_2000"),
           ((dayofweek(col("o_orderdate")) + 5) % 7).as("dow_iso"))
         .orderBy("o_orderkey")
@@ -113,25 +116,32 @@ object ScalarQueries {
 
     // Higher-order array functions over the 64-dim embedding column.
     // Elementwise math casts to DOUBLE first (float→double is exact; both
-    // engines then do identical IEEE ops).
+    // engines then do identical IEEE ops). ARRAY never reaches the output
+    // (Appendix B, same rule as MAP): element arrays are quantized to
+    // exact integers (floor(x·10⁶) — identical IEEE ops both engines)
+    // and emitted as comma-joined strings; float scalars widen to DOUBLE.
     Q("q_array_funcs",
       """SELECT vec_id,
         |  CAST(len(embedding) AS INT) AS dim,
-        |  list_slice(embedding, 1, 4) AS head4,
-        |  embedding[1] AS first_el,
-        |  list_max(embedding) AS el_max,
-        |  list_min(embedding) AS el_min,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE) * 2) AS doubled,
+        |  array_to_string(list_transform(list_slice(embedding, 1, 4),
+        |    x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR)), ',') AS head4_q,
+        |  CAST(embedding[1] AS DOUBLE) AS first_el,
+        |  CAST(list_max(embedding) AS DOUBLE) AS el_max,
+        |  CAST(list_min(embedding) AS DOUBLE) AS el_min,
+        |  array_to_string(list_transform(embedding,
+        |    x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 2 * 1000000) AS BIGINT) AS VARCHAR)), ',') AS doubled_q,
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
       Tables.embeddings(s, d).select(
           col("vec_id"),
           size(col("embedding")).as("dim"),
-          slice(col("embedding"), 1, 4).as("head4"),
-          element_at(col("embedding"), 1).as("first_el"),
-          array_max(col("embedding")).as("el_max"),
-          array_min(col("embedding")).as("el_min"),
-          transform(col("embedding"), x => x.cast("double") * 2).as("doubled"),
+          array_join(transform(slice(col("embedding"), 1, 4),
+            x => floor(x.cast("double") * 1000000).cast("long").cast("string")), ",").as("head4_q"),
+          element_at(col("embedding"), 1).cast("double").as("first_el"),
+          array_max(col("embedding")).cast("double").as("el_max"),
+          array_min(col("embedding")).cast("double").as("el_min"),
+          array_join(transform(col("embedding"),
+            x => floor(x.cast("double") * 2 * 1000000).cast("long").cast("string")), ",").as("doubled_q"),
           size(filter(col("embedding"), x => x > 0)).as("n_pos"))
         .orderBy("vec_id")
     },

@@ -29,7 +29,7 @@ object ScanQueries {
     },
 
     Q("q_scan_filter_pushdown",
-      s"""SELECT l_linestatus, COUNT(*) AS cnt, ${dsumSql("l_extendedprice")} AS sum_price
+      s"""SELECT l_linestatus, COUNT(*) AS cnt, ${d2dSql(dsumSql("l_extendedprice"))} AS sum_price
          |FROM lineitem
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
          |  AND l_shipdate < TIMESTAMP '1999-01-01'
@@ -41,7 +41,7 @@ object ScanQueries {
           col("l_shipdate") < lit("1999-01-01").cast("timestamp") &&
           col("l_returnflag") === "R")
         .groupBy("l_linestatus")
-        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("sum_price"))
+        .agg(count(lit(1)).as("cnt"), d2d(dsum(col("l_extendedprice"))).as("sum_price"))
         .orderBy("l_linestatus")
     },
 

@@ -200,14 +200,23 @@ object TextQueries {
     },
 
     // Multimodal column round-trip: typed embedding attached to documents,
-    // written + re-read as parquet with the nested type intact.
+    // written + re-read as parquet with the nested type intact. The
+    // RETURNED frame is scalar-only (Appendix B: no ARRAY/MAP/STRUCT ever
+    // reaches the harness) — dim + an exact integer checksum over the
+    // round-tripped array prove the nested payload survived.
     Q.cap("cap_embed_column") { (s, d) =>
       val joined = Tables.documents(s, d)
         .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
         .select("doc_id", "lang", "text", "embedding", "label")
       val tmp = java.nio.file.Files.createTempDirectory("graft_embed").toString
       joined.write.mode("overwrite").parquet(tmp)
-      s.read.parquet(tmp).orderBy("doc_id")
+      s.read.parquet(tmp)
+        .select(col("doc_id"), col("lang"), col("label"),
+          size(col("embedding")).as("dim"),
+          aggregate(col("embedding"), lit(0L),
+            (acc, x) => acc + floor(x.cast("double") * 1000000).cast("long"))
+            .as("checksum"))
+        .orderBy("doc_id")
     }
   )
 }

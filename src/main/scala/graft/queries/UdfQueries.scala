@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.core.{Q, Tables}
+import graft.core.{Dsl, Q, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -38,13 +38,13 @@ object UdfQueries {
     },
 
     Q("q_udaf_l2",
-      """SELECT p_brand,
-        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(19,4)) * CAST(p_retailprice AS DECIMAL(19,4))) AS DECIMAL(38,4)) AS sum_sq
+      s"""SELECT p_brand,
+        |  ${Dsl.d2dSql("CAST(SUM(CAST(p_retailprice AS DECIMAL(19,4)) * CAST(p_retailprice AS DECIMAL(19,4))) AS DECIMAL(38,4))")} AS sum_sq
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
       val l2 = udaf(graft.functions.SumSquares)
       Tables.part(s, d)
         .groupBy("p_brand")
-        .agg(l2(col("p_retailprice")).cast(DecimalType(38, 4)).as("sum_sq"))
+        .agg(Dsl.d2d(l2(col("p_retailprice")).cast(DecimalType(38, 4))).as("sum_sq"))
         .orderBy("p_brand")
     },
 

@@ -70,29 +70,33 @@ object WindowQueries {
     },
 
     Q("q_window_running",
-      """SELECT user_id, event_id, ts,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS run_sum
-        |FROM events
+      s"""SELECT user_id, event_id, ts, ${d2dSql("run_sum")} AS run_sum FROM (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS run_sum
+        |  FROM events) t
         |ORDER BY user_id, ts, event_id""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"), col("ts"),
-          sum(col("value").cast(D18)).over(w).cast(D18).as("run_sum"))
+          sum(col("value").cast(D18)).over(w).cast(D18).as("run_sum_dec"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          d2d(col("run_sum_dec")).as("run_sum"))
         .orderBy("user_id", "ts", "event_id")
     },
 
     // 24-hour trailing RANGE frame over epoch-microseconds (epoch seconds
     // would tie-break differently on sub-second data; µs is exact).
     Q("q_window_range_frame",
-      """SELECT user_id, event_id,
-        |  COUNT(*) OVER w AS cnt_24h,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS sum_24h
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+      s"""SELECT user_id, event_id, cnt_24h, ${d2dSql("sum_24h")} AS sum_24h FROM (
+        |  SELECT user_id, event_id,
+        |    COUNT(*) OVER w AS cnt_24h,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(18,4)) AS sum_24h
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)) t
         |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("user_id")
         .orderBy(expr("unix_micros(cast(ts as timestamp))"))
@@ -100,21 +104,46 @@ object WindowQueries {
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"),
           count(lit(1)).over(w).as("cnt_24h"),
-          sum(col("value").cast(D18)).over(w).cast(D18).as("sum_24h"))
+          sum(col("value").cast(D18)).over(w).cast(D18).as("sum_24h_dec"))
+        .select(col("user_id"), col("event_id"), col("cnt_24h"),
+          d2d(col("sum_24h_dec")).as("sum_24h"))
         .orderBy("user_id", "event_id")
     },
 
+    // Scale-safe global ntile: a bare `Window.orderBy` (no partitionBy)
+    // would move the whole table into ONE task. Instead: global rank =
+    // cumulative histogram offset (coarse value bucket — the aggregated
+    // histogram is bounded by the acctbal domain, ~11k rows at ANY table
+    // size) + row_number within the bucket (small partitions, parallel).
+    // Quartile membership is then a pure CASE on rank vs ntile boundaries.
     Q("q_window_ntile",
-      s"""SELECT q, COUNT(*) AS cnt, ${dsumSql("c_acctbal")} AS sum_bal
+      s"""SELECT q, COUNT(*) AS cnt, ${d2dSql(dsumSql("c_acctbal"))} AS sum_bal
          |FROM (SELECT c_acctbal,
          |        ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS q
          |      FROM customer) t
          |GROUP BY q ORDER BY q""".stripMargin) { (s, d) =>
-      val w = Window.orderBy("c_acctbal", "c_custkey")
-      Tables.customer(s, d)
-        .select(col("c_acctbal"), ntile(4).over(w).cast("bigint").as("q"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+        .withColumn("hb", floor(col("c_acctbal")).cast("long"))
+      val wHist = Window.orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = cust.groupBy("hb").agg(count(lit(1)).as("hb_cnt"))
+        .withColumn("hb_off", coalesce(sum("hb_cnt").over(wHist), lit(0L)))
+        .select("hb", "hb_off")
+      val total = cust.agg(count(lit(1)).as("n"))
+      val wInB = Window.partitionBy("hb").orderBy("c_acctbal", "c_custkey")
+      // ntile(4) boundary i = i*(n div 4) + min(i, n mod 4)
+      def bnd(i: Int) =
+        expr("n div 4") * i + least(lit(i.toLong), col("n") % 4)
+      cust
+        .join(broadcast(offsets), "hb")
+        .withColumn("grk", col("hb_off") + row_number().over(wInB))
+        .crossJoin(broadcast(total))
+        .select(col("c_acctbal"),
+          (lit(1L) + (col("grk") > bnd(1)).cast("long")
+            + (col("grk") > bnd(2)).cast("long")
+            + (col("grk") > bnd(3)).cast("long")).as("q"))
         .groupBy("q")
-        .agg(count(lit(1)).as("cnt"), dsum(col("c_acctbal")).as("sum_bal"))
+        .agg(count(lit(1)).as("cnt"), d2d(dsum(col("c_acctbal"))).as("sum_bal"))
         .orderBy("q")
     },
 

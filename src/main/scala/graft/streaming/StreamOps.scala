@@ -24,22 +24,37 @@ object StreamOps {
   private def ltz(events: DataFrame): DataFrame =
     events.withColumn("ts", col("ts").cast("timestamp"))
 
-  /** Tumbling 1h counts/sums with a 1h watermark (s_stream_tumbling). */
+  /** Tumbling 1h counts/sums with a 1h watermark (s_stream_tumbling).
+    * Sums aggregate as exact DECIMAL, then emit through d2d — the same
+    * output representation as the batch twin (Dsl scaladoc). */
   def tumblingCounts(events: DataFrame): DataFrame =
     ltz(events).withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(col("value").cast(D18)).cast(D18).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value").cast(D18)).cast(D18).as("sum_dec"))
       .select(col("window.start").as("bucket"), col("event_type"),
-        col("cnt"), col("sum_value"))
+        col("cnt"), d2d(col("sum_dec")).as("sum_value"))
 
   /** Per-user session windows with a 12h inactivity gap (s_stream_session). */
   def sessionAgg(events: DataFrame): DataFrame =
     ltz(events).withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "12 hours"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(D18)).cast(D18).as("sum_value"))
+        sum(col("value").cast(D18)).cast(D18).as("sum_dec"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
-        col("n_events"), col("sum_value"))
+        col("n_events"), d2d(col("sum_dec")).as("sum_value"))
+
+  /** File-drop ingest (s_stream_file): the daily-index incremental
+    * pattern — `readStream` over a drop directory where each arriving
+    * parquet file becomes a micro-batch, feeding the same tumbling
+    * aggregation as the MemoryStream twin. At scale this is the archival
+    * ingest loop: writers land daily files, the stream discovers them by
+    * listing, and `maxFilesPerTrigger` bounds per-batch work. */
+  def fileDropCounts(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     schema: org.apache.spark.sql.types.StructType): DataFrame =
+    tumblingCounts(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(dir))
 
   /** Exactly-once ingest: drop duplicate event_ids within the watermark
     * horizon (s_stream_dedup — the resubmitted-filing pattern). */
@@ -74,8 +89,14 @@ object StreamOps {
 
   /** foreachBatch JDBC upsert: idempotent incremental load keyed on the
     * natural key (s_stream_foreachbatch; the daily-increment DB pattern).
-    * Returns the started query's checkpoint-free memory of rows via the
-    * caller; here we only build the writer. */
+    *
+    * DDL runs once on the driver (metadata-only); the DATA path is fully
+    * distributed — each partition opens its own connection and ships
+    * delete+insert pairs in JDBC batches (one DB round-trip per
+    * [[JdbcBatchSize]] rows), the streaming twin of IncrementalLoad.
+    * No driver collect: micro-batch size never hits driver memory. */
+  val JdbcBatchSize = 500
+
   def jdbcUpsertBatch(url: String, table: String)(batch: DataFrame, batchId: Long): Unit = {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
@@ -84,13 +105,26 @@ object StreamOps {
         conn.createStatement().execute(
           s"CREATE TABLE $table (event_id BIGINT PRIMARY KEY, value DOUBLE)")
       }
-      val rows = batch.select("event_id", "value").collect()
-      val del = conn.prepareStatement(s"DELETE FROM $table WHERE event_id = ?")
-      val ins = conn.prepareStatement(s"INSERT INTO $table VALUES (?, ?)")
-      rows.foreach { r =>
-        del.setLong(1, r.getLong(0)); del.executeUpdate()
-        ins.setLong(1, r.getLong(0)); ins.setDouble(2, r.getDouble(1)); ins.executeUpdate()
-      }
     } finally conn.close()
+    batch.select("event_id", "value").foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val c = java.sql.DriverManager.getConnection(url)
+          try {
+            c.setAutoCommit(false)
+            val del = c.prepareStatement(s"DELETE FROM $table WHERE event_id = ?")
+            val ins = c.prepareStatement(s"INSERT INTO $table VALUES (?, ?)")
+            var n = 0
+            it.foreach { r =>
+              del.setLong(1, r.getLong(0)); del.addBatch()
+              ins.setLong(1, r.getLong(0)); ins.setDouble(2, r.getDouble(1)); ins.addBatch()
+              n += 1
+              if (n % JdbcBatchSize == 0) { del.executeBatch(); ins.executeBatch() }
+            }
+            del.executeBatch(); ins.executeBatch()
+            c.commit()
+          } finally c.close()
+        }
+    }
   }
 }

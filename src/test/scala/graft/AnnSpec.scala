@@ -34,17 +34,24 @@ class AnnSpec extends SparkSuite {
   }
 
   test("multimodal decode keeps schema, count, and determinism") {
-    val out = SparkEntry.queries("cap_multimodal_decode")(spark, sf("0.001"))
-    assert(out.schema("doc_id").dataType == LongType)
-    assert(out.schema("features").dataType ==
+    // Operator level: the typed array column is real…
+    val op = graft.operators.Multimodal.decodeFeatures(
+      graft.operators.Multimodal.attachBinary(
+        Tables.documents(spark, sf("0.001"))), dims = 8)
+    assert(op.schema("doc_id").dataType == LongType)
+    assert(op.schema("features").dataType ==
       ArrayType(FloatType, containsNull = false))
-    val rows = out.collect()
-    assert(rows.length == Tables.documents(spark, sf("0.001")).count())
+    val opRows = op.collect()
+    assert(opRows.length == Tables.documents(spark, sf("0.001")).count())
     // stub decode is deterministic: first feature = first utf-8 byte / 255
-    val r0 = rows.find(_.getLong(0) == 0L).get
+    val r0 = opRows.find(_.getLong(0) == 0L).get
     val text0 = Tables.documents(spark, sf("0.001"))
       .filter(col("doc_id") === 0).select("text").collect()(0).getString(0)
     assert(r0.getSeq[Float](r0.fieldIndex("features")).head ==
       (text0.getBytes("UTF-8")(0) & 0xff) / 255.0f)
+    // …query level: the harness-facing frame is scalar-only.
+    val out = SparkEntry.queries("cap_multimodal_decode")(spark, sf("0.001"))
+    assert(out.schema("features_q").dataType == org.apache.spark.sql.types.StringType)
+    assert(out.count() == opRows.length)
   }
 }

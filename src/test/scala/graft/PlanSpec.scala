@@ -34,6 +34,43 @@ class PlanSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final agg")
   }
 
+  test("CBO: ANALYZE TABLE column stats flip the filtered-dim join to broadcast") {
+    // The 100 TB join-reorder story (SURVEY §4.2): without column stats the
+    // planner only knows raw file size, so a selectively-filtered dimension
+    // still looks too big to broadcast → SortMergeJoin. ANALYZE TABLE ...
+    // FOR ALL COLUMNS gives the CBO rowCount + column histograms, the
+    // filter's selectivity shrinks the estimate below the threshold, and
+    // the SAME query plans a BroadcastHashJoin.
+    val s = spark
+    s.conf.set("spark.sql.adaptive.enabled", "false") // deterministic initial plan
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    // 1 KB: below the pruned-column file-size estimate of the unanalyzed
+    // dim (~tens of KB) but above the CBO's post-filter estimate (~15 rows)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try {
+      graft.core.Tables.customer(s, sf("0.01"))
+        .write.mode("overwrite").saveAsTable("cbo_customer")
+      graft.core.Tables.orders(s, sf("0.01"))
+        .write.mode("overwrite").saveAsTable("cbo_orders")
+      val q = """SELECT o.o_orderkey FROM cbo_orders o
+                |JOIN cbo_customer c ON o.o_custkey = c.c_custkey
+                |WHERE c.c_custkey < 15""".stripMargin
+      val before = s.sql(q).queryExecution.executedPlan.toString
+      assert(before.contains("SortMergeJoin"),
+        s"without stats the filtered dim should not look broadcastable:\n$before")
+      s.sql("ANALYZE TABLE cbo_customer COMPUTE STATISTICS FOR ALL COLUMNS")
+      val after = s.sql(q).queryExecution.executedPlan.toString
+      assert(after.contains("BroadcastHashJoin"),
+        s"column stats should shrink the filtered dim below the threshold:\n$after")
+    } finally {
+      s.sql("DROP TABLE IF EXISTS cbo_customer")
+      s.sql("DROP TABLE IF EXISTS cbo_orders")
+      s.conf.unset("spark.sql.cbo.enabled")
+      s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // AQE wraps the plan lazily and hides codegen spans from toString →
     // inspect the non-adaptive physical plan for this assertion only.

@@ -5,14 +5,16 @@ import graft.streaming.StreamOps
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+/** Top-level so Spark can build its encoder without an outer-instance
+  * pointer (required by the file-source toDF path). */
+case class Ev(event_id: Long, ts: java.time.LocalDateTime, user_id: Long,
+              event_type: String, value: Double)
+
 /** SURVEY §2.10 s_* streaming capabilities (§5.2.4): each Structured
   * Streaming op is asserted equal to its batch twin on the same fixture,
   * fed through MemoryStream with explicit watermark advancement.
   */
 class StreamingSpec extends SparkSuite {
-
-  case class Ev(event_id: Long, ts: java.time.LocalDateTime, user_id: Long,
-                event_type: String, value: Double)
 
   private lazy val fixture: Seq[Ev] = {
     Tables.events(spark, sf("0.001"))
@@ -129,6 +131,31 @@ class StreamingSpec extends SparkSuite {
     val want = fixture.groupBy(_.user_id).map { case (u, evs) =>
       (u, evs.size.toLong, evs.map(e => math.round(e.value * 100)).sum)
     }.toSet
+    assert(got == want)
+  }
+
+  test("s_stream_file: file-drop source tumbling agg == batch twin") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_drop").toString
+    val (h1, h2) = fixture.splitAt(fixture.length / 2)
+    // first daily drop lands BEFORE the stream starts (backfill discovery)
+    h1.toDF().repartition(1).write.mode("append").parquet(dir)
+    val q = StreamOps.fileDropCounts(spark, dir, h1.toDF().schema).writeStream
+      .format("memory").queryName("s_file").outputMode("append").start()
+    q.processAllAvailable()
+    // second drop arrives while the stream runs (the daily-index loop)
+    h2.toDF().repartition(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    Seq(sentinel).toDF().repartition(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("s_file")
+      .filter(col("event_type") =!= "sentinel")
+      .select(col("bucket"), col("event_type"), col("cnt"), col("sum_value"))
+      .collect().map(_.toString).sorted.toSeq
+    val want = SparkEntry.queries("q_window_tumbling_batch")(spark, sf("0.001"))
+      .select(col("bucket").cast("timestamp"), col("event_type"), col("cnt"), col("sum_value"))
+      .collect().map(_.toString).sorted.toSeq
     assert(got == want)
   }
 

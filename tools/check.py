@@ -75,6 +75,57 @@ def compare(name, spark_dir, con, sql):
     return None
 
 
+def compare_pandas(name, spark_dir, con, sql):
+    """Driver-representation replica: the driver compares via pandas, where
+    DuckDB .df() renders DECIMAL as float64 but Spark parquet reads back as
+    Decimal objects, and ARRAY columns crash sort_values. The pyarrow path
+    above cannot see either — this one can."""
+    import pandas as pd
+    try:
+        oracle = con.execute(sql).df()
+    except Exception as e:
+        return f"ORACLE-ERR {e}"
+    try:
+        spark = pd.read_parquet(spark_dir)
+    except Exception as e:
+        return f"SPARK-MISSING {e}"
+    sc, oc = sorted(spark.columns), sorted(oracle.columns)
+    if sc != oc:
+        return f"COLS spark={sc} oracle={oc}"
+    if len(spark) != len(oracle):
+        return f"ROWS spark={len(spark)} oracle={len(oracle)}"
+    try:
+        spark = spark[sc].sort_values(sc).reset_index(drop=True)
+        oracle = oracle[sc].sort_values(sc).reset_index(drop=True)
+    except Exception as e:
+        return f"SORT-ERR {type(e).__name__}: {e}"
+    for col in sc:
+        if str(spark[col].dtype) != str(oracle[col].dtype):
+            return f"DTYPE {col}: spark={spark[col].dtype} oracle={oracle[col].dtype}"
+        for i, (va, vb) in enumerate(zip(spark[col], oracle[col])):
+            na, nb = va is None or va != va, vb is None or vb != vb
+            if na or nb:
+                if na != nb:
+                    return f"NULL row {i} col {col}: spark={va!r} oracle={vb!r}"
+                continue
+            if type(va) is not type(vb):
+                return (f"PYTYPE row {i} col {col}: "
+                        f"spark={type(va).__name__}({va!r}) oracle={type(vb).__name__}({vb!r})")
+            if va != vb:
+                return f"VAL row {i} col {col}: spark={va!r} oracle={vb!r}"
+    return None
+
+
+def cap_pandas_check(full):
+    """Caps have no oracle, but the driver still pandas-loads + sorts them
+    to count rows — ARRAY columns crash that. Replicate."""
+    import pandas as pd
+    df = pd.read_parquet(full)
+    cols = sorted(df.columns)
+    df[cols].sort_values(cols)
+    return len(df)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
@@ -91,21 +142,26 @@ def main():
         if only and name not in only:
             continue
         err = compare(name, f"{out_dir}/{name}", con, sqls[name])
+        if not err:
+            perr = compare_pandas(name, f"{out_dir}/{name}", con, sqls[name])
+            err = f"[pandas] {perr}" if perr else None
         if err:
             fail += 1
             print(f"FAIL {name}: {err}")
         else:
             ok += 1
             print(f"ok   {name}")
-    # capability (no-oracle) entries: rows-only presence check
+    # capability (no-oracle) entries: rows-only presence check, via the
+    # same pandas load+sort the driver does
     for d in sorted(os.listdir(out_dir)):
         full = os.path.join(out_dir, d)
         if os.path.isdir(full) and d not in sqls and (not only or d in only):
             try:
-                n = pq.read_table(full).num_rows
+                n = cap_pandas_check(full)
                 print(f"cap  {d}: rows={n}" + ("" if n > 0 else "  (EMPTY!)"))
             except Exception as e:
-                print(f"cap  {d}: UNREADABLE {e}")
+                fail += 1
+                print(f"FAIL cap {d}: UNREADABLE {type(e).__name__}: {e}")
     print(f"\n{ok} ok, {fail} fail")
     sys.exit(1 if fail else 0)
 
