@@ -1,20 +1,32 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import graft.plans.{AsOfJoinNode, GraftStrategy}
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions._
 
 /** As-of join (no native Spark operator; SURVEY §2.3 q_join_asof, §4.2).
   *
-  * `leftAsOf(l, r, keys, lTime, rTime)`: for every left row, the single
-  * right row with the greatest rTime strictly before lTime among matching
-  * keys — LEFT semantics (unmatched left rows survive with nulls).
+  * For every left row, the single right row with the greatest rTime
+  * strictly before lTime among matching keys — LEFT semantics (unmatched
+  * left rows survive with nulls).
   *
-  * Composition: left-join on (keys, rTime < lTime) then max(rTime) per
-  * left row. Output carries the matched right timestamp; joining further
-  * right-side payload columns is a second equi-join on (keys, rTime).
-  * Every shuffle is on the key columns, so bucketed/pre-partitioned inputs
-  * ([[BucketedLayout]]) run it shuffle-free; a dedicated SparkStrategy
-  * (single partitioned merge pass) is the documented future optimization.
+  * Two formulations, asserted equal in AsOfSpec:
+  *  - [[leftAsOf]]: pure-DataFrame composition — left-join on (keys,
+  *    rTime < lTime) then max(rTime) per left row. Simple and portable,
+  *    but materializes every candidate pair before re-aggregating (the
+  *    pair blow-up is bounded by matches-per-key), and the groupBy
+  *    collapses fully-duplicate left rows.
+  *  - [[leftAsOfMerge]]: whole-operator form — a custom logical node
+  *    ([[graft.plans.AsOfJoinNode]]) planned by [[graft.plans.GraftStrategy]]
+  *    into the single-pass partitioned merge [[graft.plans.AsOfJoinExec]]:
+  *    one hash shuffle per side, in-partition sort, O(|L|+|R|) scan with
+  *    O(1) state, no intermediate pairs. Preferred at scale; emits exactly
+  *    one output row per left input row.
+  *
+  * Every shuffle is on the key columns, so bucketed/pre-partitioned
+  * inputs ([[BucketedLayout]]) run either form shuffle-free.
   */
 object AsOfJoin {
 
@@ -29,5 +41,29 @@ object AsOfJoin {
     left.join(r, cond, "left")
       .groupBy(leftCols.map(col): _*)
       .agg(max(col("__r_t")).as(asOfCol))
+  }
+
+  /** Single-pass merge form (see class doc). Registers the planner
+    * strategy on the session idempotently. */
+  def leftAsOfMerge(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    leftTime: String, rightTime: String,
+                    asOfCol: String = "asof_time"): DataFrame = {
+    val spark = left.sparkSession
+    GraftSqlBridge.addStrategy(spark, GraftStrategy)
+    // Self-join safety: left and right may share scan attributes (same
+    // source); DeduplicateRelations will re-id the right subtree during
+    // analysis of the new plan. Pin each side's output behind fresh
+    // top-level aliases — alias exprIds are stable under dedup, so the
+    // node's key/time references cannot go stale.
+    val lp = left.toDF(left.columns: _*).queryExecution.analyzed
+    val rp = right.toDF(right.columns: _*).queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not in ${p.output.map(_.name)}"))
+    val asofAttr =
+      AttributeReference(asOfCol, attr(rp, rightTime).dataType, nullable = true)()
+    GraftSqlBridge.ofRows(spark, AsOfJoinNode(lp, rp,
+      keys.map(attr(lp, _)), keys.map(attr(rp, _)),
+      attr(lp, leftTime), attr(rp, rightTime), asofAttr))
   }
 }

@@ -1,0 +1,93 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** Single-pass partitioned-merge as-of join.
+  *
+  * Physical contract: both sides hash-clustered on the join keys (ONE
+  * shuffle each — reused when inputs are already bucketed/pre-partitioned
+  * on the keys) and sorted within partitions by (keys..., time). One
+  * synchronized forward scan per partition then yields, for each left
+  * row, the greatest right time strictly before the left time with equal
+  * keys — O(|L|+|R|) per partition with O(1) state (the last matching
+  * right time seen), versus the composition's candidate-pair join +
+  * re-aggregation. This is the shape that survives 100 TB: the dominant
+  * cost is the two key shuffles, which any formulation needs.
+  */
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    asofAttr: AttributeReference) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output :+ asofAttr
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lk = leftKeys
+    val rk = rightKeys
+    val lt = leftTime
+    val rt = rightTime
+    val attr = asofAttr
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lk, lOut)
+      val rKeyProj = UnsafeProjection.create(rk, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lt), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rt), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lk.map(_.dataType))
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lt.dataType))
+      val resultProj = UnsafeProjection.create(lOut :+ attr, lOut :+ attr)
+      val joiner = new JoinedRow
+      val nullTime = new GenericInternalRow(1)
+
+      var rRow: InternalRow = null
+      def advance(): Unit = rRow = if (rIter.hasNext) rIter.next() else null
+      advance()
+      // Last right (key, time) consumed with key equal to some left key —
+      // O(1) merge state; copies because projection buffers are reused.
+      var bestKey: InternalRow = null
+      var bestTime: InternalRow = null
+
+      lIter.map { l =>
+        val lKey = lKeyProj(l)
+        val lTimeRow = lTimeProj(l)
+        var cont = rRow != null
+        while (cont) {
+          val c = keyOrd.compare(rKeyProj(rRow), lKey)
+          if (c < 0 || (c == 0 && timeOrd.compare(rTimeProj(rRow), lTimeRow) < 0)) {
+            if (c == 0) {
+              bestKey = rKeyProj(rRow).copy()
+              bestTime = rTimeProj(rRow).copy()
+            }
+            advance()
+            cont = rRow != null
+          } else cont = false
+        }
+        val matched = bestKey != null && keyOrd.compare(bestKey, lKey) == 0
+        resultProj(joiner(l, if (matched) bestTime else nullTime))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}

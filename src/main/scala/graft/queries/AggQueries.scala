@@ -235,19 +235,21 @@ object AggQueries {
         .distinct()
       val vals = graft.operators.HistogramRank.valuesAtPositions(
         orders, "o_orderstatus", "v", positions, bucketWidth = 1000.0)
-      def at(name: String) =
-        vals.select(col("grp").as(s"g_$name"), col("pos").as(s"p_$name"),
-          col("v").as(name))
-      def joined(base: org.apache.spark.sql.DataFrame, name: String, k: Column) =
-        base.join(at(name),
-          col("o_orderstatus") === col(s"g_$name") && k === col(s"p_$name"), "left")
-      val j = joined(joined(joined(joined(ks,
-        "va50", col("k50")), "vb50", col("k50") + 1),
-        "va90", col("k90")), "vb90", col("k90") + 1)
+      // Classify the ≤12 positional values by tag in ONE pass (MAX-of-CASE,
+      // the oracle's own shape) — a join per tag would re-evaluate the
+      // whole rank subtree four times.
+      val j = vals.join(broadcast(ks), col("grp") === col("o_orderstatus"))
+        .groupBy("o_orderstatus")
+        .agg(
+          max(when(col("pos") === col("k50"), col("v"))).as("va50"),
+          max(when(col("pos") === col("k50") + 1, col("v"))).as("vb50"),
+          max(when(col("pos") === col("k90"), col("v"))).as("va90"),
+          max(when(col("pos") === col("k90") + 1, col("v"))).as("vb90"),
+          max(col("f50")).as("fx50"), max(col("f90")).as("fx90"))
       def interp(tag: String) = {
         val va = col(s"va$tag")
         val vb = coalesce(col(s"vb$tag"), va)
-        va + col(s"f$tag") * (vb - va)
+        va + col(s"fx$tag") * (vb - va)
       }
       j.select(col("o_orderstatus"), interp("50").as("p50"), interp("90").as("p90"))
         .orderBy("o_orderstatus")

@@ -160,12 +160,13 @@ object JoinQueries {
         .orderBy("user_id")
     },
 
-    // As-of join (no native Spark operator): aggregate-then-join composition
-    // — LEFT join purchases→views on (user, vts < pts), take max(vts) per
-    // purchase. Unmatched purchases survive with null view_ts. Output only
-    // depends on the max timestamp ⇒ duplicate-ts views are harmless.
-    // lag is exact microseconds (second-granularity diffs are boundary-
-    // counting in DuckDB vs truncation in Spark — µs is exact in both).
+    // As-of join (no native Spark operator): the custom single-pass
+    // partitioned-merge operator (AsOfJoinExec via GraftStrategy) — one
+    // shuffle per side, no candidate-pair blow-up; AsOfSpec asserts
+    // equality with the pure-DataFrame composition. Unmatched purchases
+    // survive with null view_ts. lag is exact microseconds (second-
+    // granularity diffs are boundary-counting in DuckDB vs truncation in
+    // Spark — µs is exact in both).
     Q("q_join_asof",
       """SELECT p.event_id, p.user_id, p.ts AS purchase_ts, v.ts AS view_ts,
         |  date_diff('microsecond', v.ts, p.ts) AS lag_us
@@ -178,7 +179,7 @@ object JoinQueries {
         .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
       val v = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts").as("vts"))
-      graft.operators.AsOfJoin.leftAsOf(p, v, Seq("user_id"),
+      graft.operators.AsOfJoin.leftAsOfMerge(p, v, Seq("user_id"),
           leftTime = "purchase_ts", rightTime = "vts", asOfCol = "view_ts")
         .withColumn("lag_us", expr("timestampdiff(MICROSECOND, view_ts, purchase_ts)"))
         .select("event_id", "user_id", "purchase_ts", "view_ts", "lag_us")

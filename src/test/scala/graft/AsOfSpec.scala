@@ -1,0 +1,50 @@
+package graft
+
+import graft.core.Tables
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+
+/** The custom single-pass as-of join (AsOfJoinExec) must be bit-equal to
+  * the pure-DataFrame composition and must plan as one merge operator —
+  * no candidate-pair join, no re-aggregation.
+  */
+class AsOfSpec extends SparkSuite {
+
+  private def sides(d: String) = {
+    val ev = Tables.events(spark, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("pts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"))
+    (p, v)
+  }
+
+  test("merge form equals the join+aggregate composition") {
+    val (p, v) = sides(sf("0.01"))
+    val merge = AsOfJoin.leftAsOfMerge(p, v, Seq("user_id"), "pts", "vts")
+      .collect().map(_.toString).sorted.toSeq
+    val comp = AsOfJoin.leftAsOf(p, v, Seq("user_id"), "pts", "vts")
+      .select("event_id", "user_id", "pts", "asof_time")
+      .collect().map(_.toString).sorted.toSeq
+    assert(merge.nonEmpty && merge == comp)
+  }
+
+  test("merge form keeps unmatched left rows (null asof)") {
+    val (p, v) = sides(sf("0.001"))
+    val out = AsOfJoin.leftAsOfMerge(p, v, Seq("user_id"), "pts", "vts")
+    assert(out.count() == p.count(), "exactly one output row per left row")
+    // users whose first event is a purchase have no earlier view
+    assert(out.filter(col("asof_time").isNull).count() ==
+      AsOfJoin.leftAsOf(p, v, Seq("user_id"), "pts", "vts")
+        .filter(col("asof_time").isNull).count())
+  }
+
+  test("merge form plans one AsOfJoinExec, no pair join or re-aggregation") {
+    val (p, v) = sides(sf("0.001"))
+    val plan = AsOfJoin.leftAsOfMerge(p, v, Seq("user_id"), "pts", "vts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashAggregate"),
+      s"merge form must not fall back to join+aggregate:\n$plan")
+  }
+}
