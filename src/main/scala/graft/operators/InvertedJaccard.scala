@@ -29,18 +29,41 @@ object InvertedJaccard {
 
   /** (d1, d2, jac) pairs with jac ≥ minJ, bucketed by (lang, source) like
     * the pairwise twin. */
-  def pairs(documents: DataFrame, minJ: Double): DataFrame = {
+  def pairs(documents: DataFrame, minJ: Double): DataFrame =
+    impl(documents, minJ, salt = 1)
+
+  /** [[pairs]] with hot-token skew spreading: a token appearing in d docs
+    * contributes d² co-occurrence work to ONE reducer (its shuffle key) —
+    * the classic straggler when a stopword-like token hits 10⁶ postings at
+    * 100 TB. Salting splits the A-side postings of every token `salt`
+    * ways and replicates the B side, so the hot token's pair work spreads
+    * over `salt` reducers. Bit-equal to [[pairs]] (JaccardSpec); total
+    * work is unchanged — per-reducer share is what shrinks. For corpora
+    * where ultra-frequent tokens carry no signal, drop them BEFORE calling
+    * (stopword filter) — a semantic choice this operator does not make
+    * silently. */
+  def pairsSalted(documents: DataFrame, minJ: Double, salt: Int): DataFrame =
+    impl(documents, minJ, salt)
+
+  private def impl(documents: DataFrame, minJ: Double, salt: Int): DataFrame = {
     val t = documents.select(col("lang"), col("source"), col("doc_id"),
       array_distinct(split(col("text"), " ")).as("toks"))
     val sizes = t.select(col("doc_id"), size(col("toks")).as("n"))
     val postings = t.select(col("lang"), col("source"), col("doc_id"),
       explode(col("toks")).as("tok"))
-    val a = postings.select(col("lang"), col("source"), col("tok"),
+    val a0 = postings.select(col("lang"), col("source"), col("tok"),
       col("doc_id").as("d1"))
-    val b = postings.select(col("lang").as("lb"), col("source").as("sb"),
+    val b0 = postings.select(col("lang").as("lb"), col("source").as("sb"),
       col("tok").as("tokb"), col("doc_id").as("d2"))
+    // row-local salt on A (any assignment is result-invariant), B replicated
+    val (a, b, saltCond) =
+      if (salt <= 1) (a0, b0, lit(true))
+      else (
+        a0.withColumn("_sa", pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int")),
+        b0.withColumn("_sb", explode(sequence(lit(0), lit(salt - 1)))),
+        col("_sa") === col("_sb"))
     val co = a.join(b, col("lang") === col("lb") && col("source") === col("sb") &&
-        col("tok") === col("tokb") && col("d1") < col("d2"))
+        col("tok") === col("tokb") && col("d1") < col("d2") && saltCond)
       .groupBy("d1", "d2").agg(count(lit(1)).as("ni"))
     co.join(sizes.withColumnsRenamed(Map("doc_id" -> "d1", "n" -> "na")), "d1")
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "d2", "n" -> "nb")), "d2")

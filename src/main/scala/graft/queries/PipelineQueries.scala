@@ -224,8 +224,11 @@ object PipelineQueries {
     },
 
     // Embedding-cosine near-dup report: global top-20 most-similar vector
-    // pairs (codegen'd dot product; TakeOrderedAndProject keeps it
-    // memory-bounded at any scale — the brute-force twin of cap_sim_ann).
+    // pairs. This is the EXACT ORACLE TWIN — an all-pairs nested-loop
+    // (n²/2 dot products; TakeOrderedAndProject keeps only memory bounded,
+    // not compute). At production scale route this workload to the
+    // bucketed paths instead: AnnCosine (cap_sim_ann) or IvfCosine
+    // (cap_sim_ivf), whose recall AnnSpec gates against exact top-k.
     Q("q_sim_embed_neardup",
       """WITH n AS (
         |  SELECT vec_id, embedding,

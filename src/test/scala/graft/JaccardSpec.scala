@@ -14,4 +14,13 @@ class JaccardSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(inverted == pairwise)
   }
+
+  test("hot-token salted join is bit-equal to the unsalted index") {
+    val d = sf("0.01")
+    val plain = InvertedJaccard.pairs(Tables.documents(spark, d), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = InvertedJaccard.pairsSalted(Tables.documents(spark, d), 0.5, salt = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+  }
 }
