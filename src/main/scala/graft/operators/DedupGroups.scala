@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-dup candidate pairs → duplicate CLUSTERS (connected components)
+  * → canonical representative per cluster. The step every dedup pipeline
+  * needs after candidate generation: pairs alone don't say which docs to
+  * drop — transitive closure does (A≈B, B≈C ⇒ {A,B,C} is one group even
+  * if A,C never paired).
+  *
+  * Algorithm: iterative min-label propagation — label(v) starts as v,
+  * each round takes the min over neighbors' labels, until fixpoint.
+  * Rounds = graph diameter; near-dup graphs are dense clique-ish
+  * clusters, so 2–4 rounds in practice. Each round is one shuffle on the
+  * edge key (scales like a join, no driver data); the convergence check
+  * is a scalar count. Lineage is cut per round (localCheckpoint) so the
+  * plan stays bounded — the standard Spark iterative-graph shape.
+  */
+object DedupGroups {
+
+  /** Component label per vertex: (v, lbl) where lbl = min doc_id reachable.
+    * `pairs` needs columns (d1, d2); vertices not in any pair are absent
+    * (callers union isolated docs back as their own group). */
+  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("v").as("dst"), col("lbl")), "dst")
+        .groupBy("src").agg(min("lbl").as("nlbl"))
+      val updated = labels
+        .join(nbrMin.withColumnRenamed("src", "v"), Seq("v"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val changed = updated
+        .join(labels.withColumnRenamed("lbl", "prev"), "v")
+        .filter(col("lbl") =!= col("prev"))
+        .count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIters rounds")
+    labels
+  }
+
+  /** Drop non-canonical duplicates: keep each document whose doc_id is its
+    * component's min (docs in no component survive untouched). */
+  def dropDuplicates(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = components(pairs)
+    documents.join(comp.select(col("v").as("doc_id"), col("lbl")),
+        Seq("doc_id"), "left")
+      .filter(col("lbl").isNull || col("lbl") === col("doc_id"))
+      .drop("lbl")
+  }
+}

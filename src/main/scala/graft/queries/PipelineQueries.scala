@@ -18,6 +18,22 @@ object PipelineQueries {
   private def tokHash(tok: Column): Column =
     aggregate(filter(split(tok, ""), c => c =!= ""), lit(7L),
       (acc, c) => (acc * 31 + ascii(c)) % 2147483647L)
+
+  /** 30-bit SimHash fingerprint per (doc, lang, source) from per-token
+    * hash signs — shared by q_dedup_simhash, cap_dedup_groups and
+    * cap_pipeline_clean. */
+  private def simhashFingerprints(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", tokHash(col("tok")))
+    val bits = (0 until 30).map { b =>
+      when(sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
+        lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    tok.groupBy("doc_id", "lang", "source").agg(bits.as("simhash"))
+  }
   private def tokHashSql(tok: String): String =
     s"list_reduce(list_prepend(7::BIGINT, list_transform(list_filter(string_split($tok, ''), c -> c != ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 2147483647)"
 
@@ -202,15 +218,7 @@ object PipelineQueries {
          |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
          |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("source"),
-          explode(array_distinct(split(col("text"), " "))).as("tok"))
-        .withColumn("h", tokHash(col("tok")))
-      val bits = (0 until 30).map { b =>
-        when(sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
-          lit(1L << b)).otherwise(0L)
-      }.reduce(_ + _)
-      val sh = tok.groupBy("doc_id", "lang", "source").agg(bits.as("simhash"))
+      val sh = simhashFingerprints(Tables.documents(s, d))
       val a = sh.select(col("lang"), col("source"), col("doc_id").as("d1"),
         col("simhash").as("h1"))
       val b = sh.select(col("lang").as("lb"), col("source").as("sb"),
@@ -272,6 +280,46 @@ object PipelineQueries {
     // Multimodal column plumbing with a STUBBED decoder (no codec libs in
     // this container): binary payload + typed metadata → per-partition
     // batched feature extraction.
+    // End-to-end corpus cleaning — the composed training-data pipeline:
+    // quality floor → exact dedup (keep min doc per text hash) → near-dup
+    // cluster drop (banded SimHash → connected components → canonical
+    // doc). Emits per-stage retention accounting as one lazy frame (four
+    // scalar aggregates unioned — no driver-side actions).
+    Q.cap("cap_pipeline_clean") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val ntok = size(split(col("text"), " "))
+      val quality = docs.filter(ntok >= 5 &&
+        (length(col("text")) - ntok + 1).cast("double") / ntok <= 12.0)
+      val exact = quality
+        .withColumn("__k", md5(col("text")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("__k").orderBy("doc_id")))
+        .filter(col("__rn") === 1).drop("__k", "__rn")
+      val fp = simhashFingerprints(exact).select("doc_id", "simhash")
+      val cleaned = graft.operators.DedupGroups.dropDuplicates(
+        exact, graft.operators.SimHashBanding.pairs(fp, maxHamming = 4))
+      def stage(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.agg(count(lit(1)).as("docs")).select(lit(name).as("stage"), col("docs"))
+      stage(docs, "0_raw")
+        .unionAll(stage(quality, "1_quality"))
+        .unionAll(stage(exact, "2_exact_dedup"))
+        .unionAll(stage(cleaned, "3_neardup_dedup"))
+        .orderBy("stage")
+    },
+
+    // Dedup clustering end-to-end: banded SimHash candidates → connected
+    // components (transitive closure — A≈B, B≈C ⇒ one group) → per-group
+    // stats. The pipeline step that decides WHICH docs to drop; DedupSpec
+    // gates component assignment against a union-find ground truth.
+    Q.cap("cap_dedup_groups") { (s, d) =>
+      val fp = simhashFingerprints(Tables.documents(s, d)).select("doc_id", "simhash")
+      val pairs = graft.operators.SimHashBanding.pairs(fp, maxHamming = 4)
+      graft.operators.DedupGroups.components(pairs)
+        .groupBy("lbl").agg(count(lit(1)).as("n_docs"), max("v").as("max_doc"))
+        .select(col("lbl").as("group_id"), col("n_docs"), col("max_doc"))
+        .orderBy("group_id")
+    },
+
     Q.cap("cap_multimodal_decode") { (s, d) =>
       // Returned frame is scalar-only (Appendix B): features quantized to
       // exact ints and comma-joined; the typed array stays internal.
