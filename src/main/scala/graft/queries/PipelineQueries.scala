@@ -98,9 +98,10 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"),
           explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tg"))
       // per-(doc, tg) counts feed BOTH the profile aggregation and the
-      // distinct doc set (measured: materializing this subtree via
-      // localCheckpoint does NOT help — the cost is in the downstream
-      // aggregations, not the explode — so keep the plan declarative)
+      // distinct doc set through ONE shared shuffle (ReusedExchange).
+      // Measured alternatives that do NOT win: localCheckpoint of the
+      // explode (r1), and profile-broadcast prefilter before the distinct
+      // (r2: re-explodes the corpus per branch — 4.9 s → 6.1 s at sf0.1).
       val base = tri.groupBy("doc_id", "lang", "tg").agg(count(lit(1)).as("c"))
       val prof = base.groupBy("lang", "tg").agg(sum("c").as("c"))
         .withColumn("rn", row_number().over(
@@ -275,6 +276,24 @@ object PipelineQueries {
     Q.cap("cap_sim_ivf") { (s, d) =>
       graft.operators.IvfCosine.topK(Tables.embeddings(s, d), k = 5,
         anchorPred = col("vec_id") < 100)
+    },
+
+    // Real multimodal INGESTION path: opaque media files on disk read via
+    // the built-in binaryFile source → (path, length, content) → content
+    // checksum. At 100 TB this is the input shape for image/audio corpora
+    // (each file one row, scanned in parallel, no decode on the scan
+    // path); the batched decoder (cap_multimodal_decode) then runs per
+    // partition. Fixture stand-in: one coalesced text file written from
+    // the documents table (deterministic single part file).
+    Q.cap("cap_source_binaryfile") { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_bin").toString
+      Tables.documents(s, d).filter(col("doc_id") < 5)
+        .orderBy("doc_id").select("text")
+        .coalesce(1).write.mode("overwrite").text(dir)
+      s.read.format("binaryFile").load(dir)
+        .filter(col("path").endsWith(".txt"))
+        .select(col("length"), crc32(col("content")).as("crc"))
+        .orderBy("length", "crc")
     },
 
     // Multimodal column plumbing with a STUBBED decoder (no codec libs in

@@ -33,6 +33,15 @@ class AnnSpec extends SparkSuite {
     assert(recall >= 0.6, f"recall $recall%.3f below 0.6")
   }
 
+  test("binaryFile source ingests opaque payloads deterministically") {
+    val out = SparkEntry.queries("cap_source_binaryfile")(spark, sf("0.001"))
+    val rows = out.collect()
+    assert(rows.length == 1 && rows(0).getLong(0) > 0)
+    val again = SparkEntry.queries("cap_source_binaryfile")(spark, sf("0.001"))
+      .collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("multimodal decode keeps schema, count, and determinism") {
     // Operator level: the typed array column is real…
     val op = graft.operators.Multimodal.decodeFeatures(
