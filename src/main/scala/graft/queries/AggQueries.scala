@@ -174,6 +174,57 @@ object AggQueries {
 
     // max_by/arg_max are tie-unstable in both engines → deterministic
     // windowed pick (Appendix B).
+    // Pearson correlation via the one-pass moment formula over EXACT
+    // decimal sums (builtin corr/covar accumulate doubles in partition
+    // order — nondeterministic under shuffle). The five moments convert
+    // through d2d, then one identical IEEE tree on both engines. The
+    // formula's cancellation behavior is likewise identical bit-for-bit.
+    Q("q_agg_corr",
+      s"""WITH s AS (
+         |  SELECT l_returnflag,
+         |    CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${d2dSql(dsumSql("l_quantity"))} AS sx,
+         |    ${d2dSql(dsumSql("l_extendedprice"))} AS sy,
+         |    ${d2dSql(psumSql("l_quantity", "l_extendedprice"))} AS sxy,
+         |    ${d2dSql(psumSql("l_quantity", "l_quantity"))} AS sxx,
+         |    ${d2dSql(psumSql("l_extendedprice", "l_extendedprice"))} AS syy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, CAST(n AS BIGINT) AS cnt,
+         |  (n * sxy - sx * sy)
+         |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qp
+         |FROM s ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          d2d(dsum(col("l_quantity"))).as("sx"),
+          d2d(dsum(col("l_extendedprice"))).as("sy"),
+          d2d(psum(col("l_quantity"), col("l_extendedprice"))).as("sxy"),
+          d2d(psum(col("l_quantity"), col("l_quantity"))).as("sxx"),
+          d2d(psum(col("l_extendedprice"), col("l_extendedprice"))).as("syy"))
+        .select(col("l_returnflag"), col("n").cast("bigint").as("cnt"),
+          ((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+              * sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qp"))
+        .orderBy("l_returnflag")
+    },
+
+    // Bitwise aggregates — exact integer folds, associative+commutative ⇒
+    // partition-order independent by construction.
+    Q("q_agg_bitwise",
+      """SELECT o_orderstatus,
+        |  BIT_AND(o_orderkey) AS k_and,
+        |  BIT_OR(o_orderkey) AS k_or,
+        |  BIT_XOR(o_orderkey) AS k_xor,
+        |  COUNT(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).groupBy("o_orderstatus")
+        .agg(expr("bit_and(o_orderkey)").as("k_and"),
+          expr("bit_or(o_orderkey)").as("k_or"),
+          expr("bit_xor(o_orderkey)").as("k_xor"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")
+    },
+
     Q("q_agg_argmax",
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

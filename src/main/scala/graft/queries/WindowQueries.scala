@@ -168,6 +168,27 @@ object WindowQueries {
         .orderBy("user_id", "event_id")
     },
 
+    // Distribution window functions over a HIGH-cardinality key (per
+    // customer, not per status — bounded partitions at any scale).
+    // percent_rank = (rank−1)/(n−1), cume_dist = n≤/n: integer÷integer in
+    // DOUBLE — one identical IEEE division on identical operands.
+    Q("q_window_dist",
+      """SELECT o_custkey, o_orderkey,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     Q("q_topk_global",
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
