@@ -225,6 +225,27 @@ object AggQueries {
         .orderBy("o_orderstatus")
     },
 
+    // Mode (most frequent value) with deterministic ties — the window
+    // runs over the already-aggregated (status, priority) pairs (tiny).
+    Q("q_agg_mode",
+      """SELECT o_orderstatus, pri AS mode_priority, c FROM (
+        |  SELECT o_orderstatus, o_orderpriority AS pri, COUNT(*) AS c,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+        |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val agg = Tables.orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("c").desc, col("o_orderpriority"))
+      agg.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+          col("c"))
+        .orderBy("o_orderstatus")
+    },
+
     Q("q_agg_argmax",
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -48,6 +48,30 @@ object EventQueries {
         .orderBy("window_start", "event_type")
     },
 
+    // Gap-filled hourly series: dense time spine (sequence over the global
+    // [min,max] hour range — bounded by calendar time, not rows; the
+    // 1-row bounds agg broadcasts) left-joined to the bucket counts with
+    // zero fill. The standard dashboard/feature-engineering shape.
+    Q("q_time_gapfill",
+      """WITH e AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket
+        |  FROM events WHERE event_type = 'click'),
+        |a AS (SELECT bucket, COUNT(*) AS cnt FROM e GROUP BY bucket),
+        |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM e),
+        |s AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM b)
+        |SELECT s.bucket, COALESCE(a.cnt, CAST(0 AS BIGINT)) AS cnt
+        |FROM s LEFT JOIN a ON s.bucket = a.bucket
+        |ORDER BY s.bucket""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("event_type") === "click")
+        .select(expr("CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ)").as("bucket"))
+      val agg = ev.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      val spine = ev.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("bucket"))
+      spine.join(agg, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .orderBy("bucket")
+    },
+
     // Gap-based sessionization (12h inactivity, FIXTURES-calibrated):
     // new-session flag via lag, session id via running sum — the classic
     // batch-SQL formulation, identical in both engines.

@@ -87,6 +87,25 @@ object StreamOps {
       .toDF("user_id", "n_events", "cents_total")
   }
 
+  /** Stream-stream event-time interval join (s_stream_join): each
+    * purchase matched to the same user's views in the trailing 24 h —
+    * the attribution-join shape. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so the state store retires a
+    * view row as soon as no future purchase can reach back to it: state
+    * is O(24 h of views per user), not unbounded. */
+  def purchaseViewJoin(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = ltz(purchases)
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val v = ltz(views)
+      .select(col("user_id").as("vu"), col("ts").as("vts"))
+      .withWatermark("vts", "25 hours")
+    p.join(v, col("user_id") === col("vu") &&
+        col("vts") < col("pts") &&
+        col("vts") >= col("pts") - expr("INTERVAL 24 HOURS"))
+      .select(col("p_id"), col("user_id"), col("pts"), col("vts"))
+  }
+
   /** foreachBatch JDBC upsert: idempotent incremental load keyed on the
     * natural key (s_stream_foreachbatch; the daily-increment DB pattern).
     *

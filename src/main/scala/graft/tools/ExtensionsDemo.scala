@@ -2,8 +2,9 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev check: graft.GraftExtensions registers graft_dot via the
-  * spark.sql.extensions config path (run in a fresh JVM). */
+/** Dev check: graft.GraftExtensions registers graft_dot AND the as-of
+  * join planner strategy via the spark.sql.extensions config path (run in
+  * a fresh JVM — the zero-code-change deployment story). */
 object ExtensionsDemo {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[2]")
@@ -14,6 +15,30 @@ object ExtensionsDemo {
       "SELECT graft_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
         "array(cast(3.0 as float), cast(4.0 as float))) AS d").collect()(0).getDouble(0)
     println(s"EXTENSIONS_DEMO graft_dot=(1,2)x(3,4)=$r expected=11.0 ok=${r == 11.0}")
+    // as-of node planned by the INJECTED strategy (no addStrategy call):
+    // build the logical node directly and check the physical operator.
+    import org.apache.spark.sql.functions._
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("pts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"))
+    def mk() = {
+      val lp = p.toDF(p.columns: _*).queryExecution.analyzed
+      val rp = v.toDF(v.columns: _*).queryExecution.analyzed
+      def attr(pl: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+        pl.output.find(_.name == n).get
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        graft.plans.AsOfJoinNode(lp, rp,
+          Seq(attr(lp, "user_id")), Seq(attr(rp, "user_id")),
+          attr(lp, "pts"), attr(rp, "vts"),
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(
+            "asof_time", attr(rp, "vts").dataType, nullable = true)()))
+    }
+    val asof = mk()
+    val planned = asof.queryExecution.executedPlan.toString.contains("AsOfJoin")
+    val rows = asof.count()
+    println(s"EXTENSIONS_DEMO asof planned=$planned rows=$rows ok=${planned && rows > 0}")
     spark.stop()
   }
 }
