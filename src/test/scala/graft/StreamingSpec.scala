@@ -189,6 +189,36 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("s_stream_recovery: checkpointed restart resumes exactly-once") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_rec_src").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft_rec_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rec_ckpt").toString
+    val (h1, h2) = fixture.splitAt(fixture.length / 2)
+    def start() = StreamOps
+      .fileDropCounts(spark, src, h1.toDF().schema).writeStream
+      .format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // epoch 1: first drop, then stop — offsets + state live in the checkpoint
+    h1.toDF().repartition(1).write.mode("append").parquet(src)
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    // epoch 2: NEW query instance, same checkpoint — second drop + sentinel
+    h2.toDF().repartition(1).write.mode("append").parquet(src)
+    Seq(sentinel).toDF().repartition(1).write.mode("append").parquet(src)
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(sink)
+      .filter(col("event_type") =!= "sentinel")
+      .select(col("bucket"), col("event_type"), col("cnt"), col("sum_value"))
+      .collect().map(_.toString).sorted.toSeq
+    val want = SparkEntry.queries("q_window_tumbling_batch")(spark, sf("0.001"))
+      .select(col("bucket").cast("timestamp"), col("event_type"), col("cnt"), col("sum_value"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want, "restart from checkpoint must neither lose nor duplicate windows")
+  }
+
   test("s_stream_foreachbatch: idempotent JDBC upsert sink (Derby)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
