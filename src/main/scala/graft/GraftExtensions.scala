@@ -21,5 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Whole-operator as-of join: plans AsOfJoinNode into the single-pass
     // partitioned-merge AsOfJoinExec (graft.plans).
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+    // Scale lint: opt-in analysis failure on unpartitioned ordered windows
+    // (spark.graft.failUnpartitionedWindow=true).
+    ext.injectCheckRule(s => new graft.plans.UnpartitionedWindowCheck(s))
   }
 }

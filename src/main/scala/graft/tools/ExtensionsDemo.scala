@@ -39,6 +39,19 @@ object ExtensionsDemo {
     val planned = asof.queryExecution.executedPlan.toString.contains("AsOfJoin")
     val rows = asof.count()
     println(s"EXTENSIONS_DEMO asof planned=$planned rows=$rows ok=${planned && rows > 0}")
+    // injected check rule: strict mode rejects unpartitioned ordered windows
+    val globalWindow = "SELECT event_id, row_number() OVER (ORDER BY ts) AS rn " +
+      "FROM ev_view ORDER BY rn LIMIT 1"
+    ev.createOrReplaceTempView("ev_view")
+    val okOff = scala.util.Try(spark.sql(globalWindow).count()).isSuccess
+    spark.conf.set("spark.graft.failUnpartitionedWindow", "true")
+    val failedStrict = scala.util.Try(spark.sql(globalWindow).count()).isFailure
+    val okPartitioned = scala.util.Try(spark.sql(
+      "SELECT event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn " +
+        "FROM ev_view ORDER BY rn LIMIT 1").count()).isSuccess
+    spark.conf.unset("spark.graft.failUnpartitionedWindow")
+    println(s"EXTENSIONS_DEMO lint off=$okOff strictFails=$failedStrict " +
+      s"partitionedOk=$okPartitioned ok=${okOff && failedStrict && okPartitioned}")
     spark.stop()
   }
 }
