@@ -33,6 +33,22 @@ class AnnSpec extends SparkSuite {
     assert(recall >= 0.6, f"recall $recall%.3f below 0.6")
   }
 
+  test("IVF index survives a parquet save/load round-trip (query-equal)") {
+    val d = sf("0.01")
+    val emb = Tables.embeddings(spark, d)
+    val built = graft.operators.IvfCosine.buildIndex(emb)
+    val direct = graft.operators.IvfCosine
+      .query(built, k = 5, anchorPred = col("vec_id") < 100)
+      .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    graft.operators.IvfCosine.save(built, dir)
+    val loaded = graft.operators.IvfCosine.load(spark, dir)
+    val reloaded = graft.operators.IvfCosine
+      .query(loaded, k = 5, anchorPred = col("vec_id") < 100)
+      .collect().map(_.toString).sorted.toSeq
+    assert(direct.nonEmpty && direct == reloaded)
+  }
+
   test("binaryFile source ingests opaque payloads deterministically") {
     val out = SparkEntry.queries("cap_source_binaryfile")(spark, sf("0.001"))
     val rows = out.collect()
