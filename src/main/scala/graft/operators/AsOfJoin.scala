@@ -43,13 +43,13 @@ object AsOfJoin {
       .agg(max(col("__r_t")).as(asOfCol))
   }
 
-  /** Single-pass merge form (see class doc). Registers the planner
-    * strategy on the session idempotently. */
-  def leftAsOfMerge(left: DataFrame, right: DataFrame, keys: Seq[String],
-                    leftTime: String, rightTime: String,
-                    asOfCol: String = "asof_time"): DataFrame = {
-    val spark = left.sparkSession
-    GraftSqlBridge.addStrategy(spark, GraftStrategy)
+  private def attr(p: LogicalPlan, n: String) =
+    p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"column $n not in ${p.output.map(_.name)}"))
+
+  private def mkNode(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     rightKeyNames: Seq[String], leftTime: String,
+                     rightTime: String): AsOfJoinNode = {
     // Self-join safety: left and right may share scan attributes (same
     // source); DeduplicateRelations will re-id the right subtree during
     // analysis of the new plan. Pin each side's output behind fresh
@@ -57,13 +57,43 @@ object AsOfJoin {
     // node's key/time references cannot go stale.
     val lp = left.toDF(left.columns: _*).queryExecution.analyzed
     val rp = right.toDF(right.columns: _*).queryExecution.analyzed
-    def attr(p: LogicalPlan, n: String) =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(s"column $n not in ${p.output.map(_.name)}"))
-    val asofAttr =
-      AttributeReference(asOfCol, attr(rp, rightTime).dataType, nullable = true)()
-    GraftSqlBridge.ofRows(spark, AsOfJoinNode(lp, rp,
-      keys.map(attr(lp, _)), keys.map(attr(rp, _)),
-      attr(lp, leftTime), attr(rp, rightTime), asofAttr))
+    val mirror = rp.output.map(a =>
+      AttributeReference(a.name, a.dataType, nullable = true)())
+    AsOfJoinNode(lp, rp,
+      keys.map(attr(lp, _)), rightKeyNames.map(attr(rp, _)),
+      attr(lp, leftTime), attr(rp, rightTime), mirror)
+  }
+
+  /** Single-pass merge form emitting left.* + the matched right TIME (the
+    * composition-compatible shape). Registers the planner strategy on the
+    * session idempotently. */
+  def leftAsOfMerge(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    leftTime: String, rightTime: String,
+                    asOfCol: String = "asof_time"): DataFrame = {
+    val spark = left.sparkSession
+    GraftSqlBridge.addStrategy(spark, GraftStrategy)
+    // project the right side down to uniquely-named key+time columns so
+    // the merged output never collides with left names
+    val rNarrow = right.select(
+      keys.map(k => col(k).as(s"__rk_$k")) :+ col(rightTime).as("__rt"): _*)
+    val node = mkNode(left, rNarrow, keys,
+      keys.map(k => s"__rk_$k"), leftTime, "__rt")
+    GraftSqlBridge.ofRows(spark, node)
+      .select(left.columns.map(col) :+ col("__rt").as(asOfCol): _*)
+  }
+
+  /** Single-pass merge form carrying the FULL matched right row (true
+    * ASOF JOIN payload semantics — null right columns when unmatched).
+    * Right column names (keys included) must be disjoint from the
+    * left's; rename before calling. */
+  def leftAsOfMergeAll(left: DataFrame, right: DataFrame,
+                       leftKeys: Seq[String], rightKeys: Seq[String],
+                       leftTime: String, rightTime: String): DataFrame = {
+    val clash = left.columns.toSet.intersect(right.columns.toSet)
+    require(clash.isEmpty, s"rename right columns to be disjoint first: $clash")
+    val spark = left.sparkSession
+    GraftSqlBridge.addStrategy(spark, GraftStrategy)
+    GraftSqlBridge.ofRows(spark,
+      mkNode(left, right, leftKeys, rightKeys, leftTime, rightTime))
   }
 }

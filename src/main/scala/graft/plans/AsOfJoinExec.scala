@@ -12,11 +12,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * shuffle each — reused when inputs are already bucketed/pre-partitioned
   * on the keys) and sorted within partitions by (keys..., time). One
   * synchronized forward scan per partition then yields, for each left
-  * row, the greatest right time strictly before the left time with equal
-  * keys — O(|L|+|R|) per partition with O(1) state (the last matching
-  * right time seen), versus the composition's candidate-pair join +
-  * re-aggregation. This is the shape that survives 100 TB: the dominant
-  * cost is the two key shuffles, which any formulation needs.
+  * row, the full right row with the greatest time strictly before the
+  * left time among equal keys — O(|L|+|R|) per partition with O(1) state
+  * (the last matching right row seen), versus the composition's
+  * candidate-pair join + re-aggregation + payload re-join. This is the
+  * shape that survives 100 TB: the dominant cost is the two key
+  * shuffles, which any formulation needs.
   */
 case class AsOfJoinExec(
     left: SparkPlan,
@@ -25,11 +26,11 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    asofAttr: AttributeReference) extends BinaryExecNode {
+    rightMirror: Seq[AttributeReference]) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output :+ asofAttr
+  override def output: Seq[Attribute] = left.output ++ rightMirror
 
-  override def producedAttributes: AttributeSet = AttributeSet(asofAttr)
+  override def producedAttributes: AttributeSet = AttributeSet(rightMirror)
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
@@ -48,7 +49,7 @@ case class AsOfJoinExec(
     val rk = rightKeys
     val lt = leftTime
     val rt = rightTime
-    val attr = asofAttr
+    val mirror = rightMirror
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lk, lOut)
       val rKeyProj = UnsafeProjection.create(rk, rOut)
@@ -56,17 +57,17 @@ case class AsOfJoinExec(
       val rTimeProj = UnsafeProjection.create(Seq(rt), rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lk.map(_.dataType))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lt.dataType))
-      val resultProj = UnsafeProjection.create(lOut :+ attr, lOut :+ attr)
+      val resultProj = UnsafeProjection.create(lOut ++ mirror, lOut ++ mirror)
       val joiner = new JoinedRow
-      val nullTime = new GenericInternalRow(1)
+      val nullRight = new GenericInternalRow(rOut.length)
 
       var rRow: InternalRow = null
       def advance(): Unit = rRow = if (rIter.hasNext) rIter.next() else null
       advance()
-      // Last right (key, time) consumed with key equal to some left key —
-      // O(1) merge state; copies because projection buffers are reused.
+      // Last right row consumed with key equal to some left key — O(1)
+      // merge state; copies because iterator/projection buffers are reused.
       var bestKey: InternalRow = null
-      var bestTime: InternalRow = null
+      var bestRow: InternalRow = null
 
       lIter.map { l =>
         val lKey = lKeyProj(l)
@@ -77,14 +78,14 @@ case class AsOfJoinExec(
           if (c < 0 || (c == 0 && timeOrd.compare(rTimeProj(rRow), lTimeRow) < 0)) {
             if (c == 0) {
               bestKey = rKeyProj(rRow).copy()
-              bestTime = rTimeProj(rRow).copy()
+              bestRow = rRow.copy()
             }
             advance()
             cont = rRow != null
           } else cont = false
         }
         val matched = bestKey != null && keyOrd.compare(bestKey, lKey) == 0
-        resultProj(joiner(l, if (matched) bestTime else nullTime))
+        resultProj(joiner(l, if (matched) bestRow else nullRight))
       }
     }
   }

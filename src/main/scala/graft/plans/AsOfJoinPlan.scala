@@ -4,17 +4,19 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 
-/** Logical as-of join: for every left row, the greatest right `time`
-  * strictly before the left row's time among rows with equal keys —
-  * emitted as one extra column `asofAttr` on top of the unchanged left
-  * output (LEFT semantics: unmatched rows get null).
+/** Logical as-of join: for every left row, the single right row with the
+  * greatest `rightTime` strictly before the left row's `leftTime` among
+  * rows with equal keys. Emits the unchanged left output plus
+  * `rightMirror` — fresh nullable attributes mirroring the matched right
+  * row's columns (null when no right row qualifies; LEFT semantics).
   *
   * This is the whole-operator form of [[graft.operators.AsOfJoin]]'s
   * join+aggregate composition: one custom node, planned by
   * [[GraftStrategy]] into the single-pass partitioned merge
-  * [[AsOfJoinExec]] — no pair blow-up, no re-aggregation. Registered per
-  * session via GraftSqlBridge.addStrategy or globally via
-  * `spark.sql.extensions=graft.GraftExtensions`.
+  * [[AsOfJoinExec]] — no pair blow-up, no re-aggregation, and the full
+  * right payload rides along (the composition needs a second join for
+  * that). Registered per session via GraftSqlBridge.addStrategy or
+  * globally via `spark.sql.extensions=graft.GraftExtensions`.
   */
 case class AsOfJoinNode(
     left: LogicalPlan,
@@ -23,15 +25,19 @@ case class AsOfJoinNode(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    asofAttr: AttributeReference) extends BinaryNode {
+    rightMirror: Seq[AttributeReference]) extends BinaryNode {
 
-  override def output: Seq[Attribute] = left.output :+ asofAttr
+  require(rightMirror.length == right.output.length,
+    "rightMirror must mirror right.output one-to-one")
 
-  override def producedAttributes: AttributeSet = AttributeSet(asofAttr)
+  override def output: Seq[Attribute] = left.output ++ rightMirror
 
-  // Every left column is emitted, so none may be pruned from the child.
+  override def producedAttributes: AttributeSet = AttributeSet(rightMirror)
+
+  // Every left column and every right column is emitted/read, so none may
+  // be pruned from the children.
   override def references: AttributeSet =
-    AttributeSet(left.output) ++
+    AttributeSet(left.output) ++ AttributeSet(right.output) ++
       AttributeSet((leftKeys ++ rightKeys :+ leftTime :+ rightTime)
         .flatMap(_.references))
 
@@ -43,8 +49,8 @@ case class AsOfJoinNode(
 /** Plans [[AsOfJoinNode]] into [[AsOfJoinExec]]. */
 object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, attr) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, attr) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, mirror) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, mirror) :: Nil
     case _ => Nil
   }
 }

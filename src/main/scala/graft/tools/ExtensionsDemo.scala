@@ -23,19 +23,8 @@ object ExtensionsDemo {
       .select(col("event_id"), col("user_id"), col("ts").as("pts"))
     val v = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("vts"))
-    def mk() = {
-      val lp = p.toDF(p.columns: _*).queryExecution.analyzed
-      val rp = v.toDF(v.columns: _*).queryExecution.analyzed
-      def attr(pl: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
-        pl.output.find(_.name == n).get
-      org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
-        graft.plans.AsOfJoinNode(lp, rp,
-          Seq(attr(lp, "user_id")), Seq(attr(rp, "user_id")),
-          attr(lp, "pts"), attr(rp, "vts"),
-          org.apache.spark.sql.catalyst.expressions.AttributeReference(
-            "asof_time", attr(rp, "vts").dataType, nullable = true)()))
-    }
-    val asof = mk()
+    val asof = graft.operators.AsOfJoin
+      .leftAsOfMerge(p, v, Seq("user_id"), "pts", "vts")
     val planned = asof.queryExecution.executedPlan.toString.contains("AsOfJoin")
     val rows = asof.count()
     println(s"EXTENSIONS_DEMO asof planned=$planned rows=$rows ok=${planned && rows > 0}")

@@ -39,6 +39,34 @@ class AsOfSpec extends SparkSuite {
         .filter(col("asof_time").isNull).count())
   }
 
+  test("payload form carries the matched right row, nulls when unmatched") {
+    val ev = Tables.events(spark, sf("0.01"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("pts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("vts"),
+        col("event_id").as("v_id"))
+    val all = AsOfJoin.leftAsOfMergeAll(p, v,
+      Seq("user_id"), Seq("v_user"), "pts", "vts")
+    // the payload row's time must equal the time-only form's asof_time
+    val timeOnly = AsOfJoin.leftAsOfMerge(p, v.withColumnRenamed("v_user", "user_id")
+        .select(col("user_id"), col("vts")),
+      Seq("user_id"), "pts", "vts")
+    val gotTimes = all.select("event_id", "vts")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString))).toMap
+    val wantTimes = timeOnly.select("event_id", "asof_time")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString))).toMap
+    assert(gotTimes == wantTimes)
+    // unmatched rows have null across the ENTIRE payload
+    val unmatched = all.filter(col("vts").isNull)
+    assert(unmatched.count() ==
+      unmatched.filter(col("v_user").isNull && col("v_id").isNull).count())
+    // matched payload ids really are view events of the same user
+    val badPairs = all.filter(col("vts").isNotNull &&
+      (col("v_user") =!= col("user_id") || col("vts") >= col("pts"))).count()
+    assert(badPairs == 0)
+  }
+
   test("merge form plans one AsOfJoinExec, no pair join or re-aggregation") {
     val (p, v) = sides(sf("0.001"))
     val plan = AsOfJoin.leftAsOfMerge(p, v, Seq("user_id"), "pts", "vts")
