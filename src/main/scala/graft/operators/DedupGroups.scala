@@ -9,13 +9,17 @@ import org.apache.spark.sql.functions._
   * drop — transitive closure does (A≈B, B≈C ⇒ {A,B,C} is one group even
   * if A,C never paired).
   *
-  * Algorithm: iterative min-label propagation — label(v) starts as v,
-  * each round takes the min over neighbors' labels, until fixpoint.
-  * Rounds = graph diameter; near-dup graphs are dense clique-ish
-  * clusters, so 2–4 rounds in practice. Each round is one shuffle on the
-  * edge key (scales like a join, no driver data); the convergence check
-  * is a scalar count. Lineage is cut per round (localCheckpoint) so the
-  * plan stays bounded — the standard Spark iterative-graph shape.
+  * Algorithm: iterative min-label propagation with pointer jumping —
+  * label(v) starts as v; each round takes the min over neighbors' labels
+  * AND shortcuts through label(label(v)), so label chains halve per
+  * round: convergence in O(log diameter) rounds (a 2^20-diameter chain
+  * fits the default 20-round budget), not O(diameter) as plain
+  * propagation would need on chain-shaped clusters (incremental document
+  * revisions pairing only with their neighbors). Each round is two
+  * shuffles (neighbor join + jump self-join, no driver data); the
+  * convergence check is a scalar count. Lineage is cut per round
+  * (localCheckpoint) so the plan stays bounded — the standard Spark
+  * iterative-graph shape.
   */
 object DedupGroups {
 
@@ -36,10 +40,16 @@ object DedupGroups {
       val nbrMin = edges
         .join(labels.select(col("v").as("dst"), col("lbl")), "dst")
         .groupBy("src").agg(min("lbl").as("nlbl"))
-      val updated = labels
+      val propagated = labels
         .join(nbrMin.withColumnRenamed("src", "v"), Seq("v"), "left")
         .select(col("v"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // pointer jumping: shortcut to label(label(v)) — halves chains
+      val updated = propagated
+        .join(propagated.select(col("v").as("lv"), col("lbl").as("lbl2")),
+          col("lbl") === col("lv"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
       val changed = updated
         .join(labels.withColumnRenamed("lbl", "prev"), "v")

@@ -27,6 +27,26 @@ import org.apache.spark.sql.functions._
   */
 object HistogramRank {
 
+  /** Global 1-based ascending rank for EVERY row, no global sort: the
+    * same histogram-offset decomposition, but every bucket gets its local
+    * row_number (parallel, small partitions) plus the broadcast offset.
+    * Used by q_window_ntile; valuesAtPositions is the sparse variant that
+    * only sorts the buckets containing requested positions. */
+  def withGlobalRank(df: DataFrame, valueCol: String, tieCols: Seq[String],
+                     bucketWidth: Double, rankCol: String): DataFrame = {
+    val r = df.withColumn("__hb",
+      floor(col(valueCol).cast("double") / bucketWidth).cast("long"))
+    val wh = Window.orderBy("__hb").rowsBetween(Window.unboundedPreceding, -1)
+    val off = r.groupBy("__hb").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum("__cnt").over(wh), lit(0L)))
+      .select("__hb", "__off")
+    val wb = Window.partitionBy("__hb")
+      .orderBy((valueCol +: tieCols).map(col): _*)
+    r.join(broadcast(off), "__hb")
+      .withColumn(rankCol, col("__off") + row_number().over(wb))
+      .drop("__hb", "__off")
+  }
+
   /** Values at the given per-group global ascending-sort positions.
     *
     * @param df        input rows

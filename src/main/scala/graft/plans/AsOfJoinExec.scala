@@ -61,8 +61,21 @@ case class AsOfJoinExec(
       val joiner = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.length)
 
+      // SQL join semantics for NULLs: a null key or null time never
+      // matches anything (the composition's `l.key = r.key AND rt < lt`
+      // predicate is false on NULL) — such right rows are skipped, such
+      // left rows emit the null payload without consuming the right side.
       var rRow: InternalRow = null
-      def advance(): Unit = rRow = if (rIter.hasNext) rIter.next() else null
+      def advance(): Unit = {
+        rRow = null
+        var search = rIter.hasNext
+        while (search) {
+          val cand = rIter.next()
+          if (!rKeyProj(cand).anyNull && !rTimeProj(cand).isNullAt(0)) {
+            rRow = cand; search = false
+          } else search = rIter.hasNext
+        }
+      }
       advance()
       // Last right row consumed with key equal to some left key — O(1)
       // merge state; copies because iterator/projection buffers are reused.
@@ -72,20 +85,24 @@ case class AsOfJoinExec(
       lIter.map { l =>
         val lKey = lKeyProj(l)
         val lTimeRow = lTimeProj(l)
-        var cont = rRow != null
-        while (cont) {
-          val c = keyOrd.compare(rKeyProj(rRow), lKey)
-          if (c < 0 || (c == 0 && timeOrd.compare(rTimeProj(rRow), lTimeRow) < 0)) {
-            if (c == 0) {
-              bestKey = rKeyProj(rRow).copy()
-              bestRow = rRow.copy()
-            }
-            advance()
-            cont = rRow != null
-          } else cont = false
+        if (lKey.anyNull || lTimeRow.isNullAt(0)) {
+          resultProj(joiner(l, nullRight))
+        } else {
+          var cont = rRow != null
+          while (cont) {
+            val c = keyOrd.compare(rKeyProj(rRow), lKey)
+            if (c < 0 || (c == 0 && timeOrd.compare(rTimeProj(rRow), lTimeRow) < 0)) {
+              if (c == 0) {
+                bestKey = rKeyProj(rRow).copy()
+                bestRow = rRow.copy()
+              }
+              advance()
+              cont = rRow != null
+            } else cont = false
+          }
+          val matched = bestKey != null && keyOrd.compare(bestKey, lKey) == 0
+          resultProj(joiner(l, if (matched) bestRow else nullRight))
         }
-        val matched = bestKey != null && keyOrd.compare(bestKey, lKey) == 0
-        resultProj(joiner(l, if (matched) bestRow else nullRight))
       }
     }
   }

@@ -286,7 +286,7 @@ object PipelineQueries {
     // partition. Fixture stand-in: one coalesced text file written from
     // the documents table (deterministic single part file).
     Q.cap("cap_source_binaryfile") { (s, d) =>
-      val dir = java.nio.file.Files.createTempDirectory("graft_bin").toString
+      val dir = graft.core.Scratch.dir("bin")
       Tables.documents(s, d).filter(col("doc_id") < 5)
         .orderBy("doc_id").select("text")
         .coalesce(1).write.mode("overwrite").text(dir)

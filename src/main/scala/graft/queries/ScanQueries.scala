@@ -50,7 +50,7 @@ object ScanQueries {
     Q("q_source_csv",
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") { (s, d) =>
       val src = Tables.nation(s, d)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val tmp = graft.core.Scratch.dir("csv")
       src.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
       s.read.schema(src.schema).option("header", "true").csv(tmp)
         .select("n_nationkey", "n_name", "n_regionkey")
@@ -60,7 +60,7 @@ object ScanQueries {
     Q("q_source_json",
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") { (s, d) =>
       val src = Tables.region(s, d)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+      val tmp = graft.core.Scratch.dir("json")
       src.coalesce(1).write.mode("overwrite").json(tmp)
       s.read.schema(src.schema).json(tmp)
         .select("r_regionkey", "r_name")
@@ -72,7 +72,7 @@ object ScanQueries {
     Q("q_source_orc",
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier WHERE s_nationkey < 10 ORDER BY s_suppkey") { (s, d) =>
       val src = Tables.supplier(s, d)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val tmp = graft.core.Scratch.dir("orc")
       src.write.mode("overwrite").orc(tmp)
       s.read.schema(src.schema).orc(tmp)
         .filter(col("s_nationkey") < 10)

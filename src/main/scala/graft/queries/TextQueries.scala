@@ -208,7 +208,7 @@ object TextQueries {
       val joined = Tables.documents(s, d)
         .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
         .select("doc_id", "lang", "text", "embedding", "label")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_embed").toString
+      val tmp = graft.core.Scratch.dir("embed")
       joined.write.mode("overwrite").parquet(tmp)
       s.read.parquet(tmp)
         .select(col("doc_id"), col("lang"), col("label"),

@@ -86,7 +86,7 @@ object UdfQueries {
     // Partitioned parquet write + partition-pruned re-read (exercises DPP
     // metadata layout — the 100 TB table layout primitive).
     Q.cap("cap_sink_parquet") { (s, d) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+      val tmp = graft.core.Scratch.dir("part")
       Tables.lineitem(s, d)
         .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
       s.read.parquet(tmp)

@@ -111,11 +111,10 @@ object WindowQueries {
     },
 
     // Scale-safe global ntile: a bare `Window.orderBy` (no partitionBy)
-    // would move the whole table into ONE task. Instead: global rank =
-    // cumulative histogram offset (coarse value bucket — the aggregated
-    // histogram is bounded by the acctbal domain, ~11k rows at ANY table
-    // size) + row_number within the bucket (small partitions, parallel).
-    // Quartile membership is then a pure CASE on rank vs ntile boundaries.
+    // would move the whole table into ONE task. Instead the shared
+    // HistogramRank primitive assigns every row its global rank (bucket
+    // offsets + parallel per-bucket row_number); quartile membership is
+    // then a pure CASE on rank vs ntile boundaries.
     Q("q_window_ntile",
       s"""SELECT q, COUNT(*) AS cnt, ${d2dSql(dsumSql("c_acctbal"))} AS sum_bal
          |FROM (SELECT c_acctbal,
@@ -123,20 +122,13 @@ object WindowQueries {
          |      FROM customer) t
          |GROUP BY q ORDER BY q""".stripMargin) { (s, d) =>
       val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
-        .withColumn("hb", floor(col("c_acctbal")).cast("long"))
-      val wHist = Window.orderBy("hb")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = cust.groupBy("hb").agg(count(lit(1)).as("hb_cnt"))
-        .withColumn("hb_off", coalesce(sum("hb_cnt").over(wHist), lit(0L)))
-        .select("hb", "hb_off")
+      val ranked = graft.operators.HistogramRank.withGlobalRank(
+        cust, "c_acctbal", Seq("c_custkey"), bucketWidth = 1.0, rankCol = "grk")
       val total = cust.agg(count(lit(1)).as("n"))
-      val wInB = Window.partitionBy("hb").orderBy("c_acctbal", "c_custkey")
       // ntile(4) boundary i = i*(n div 4) + min(i, n mod 4)
       def bnd(i: Int) =
         expr("n div 4") * i + least(lit(i.toLong), col("n") % 4)
-      cust
-        .join(broadcast(offsets), "hb")
-        .withColumn("grk", col("hb_off") + row_number().over(wInB))
+      ranked
         .crossJoin(broadcast(total))
         .select(col("c_acctbal"),
           (lit(1L) + (col("grk") > bnd(1)).cast("long")

@@ -125,18 +125,27 @@ object StreamOps {
           s"CREATE TABLE $table (event_id BIGINT PRIMARY KEY, value DOUBLE)")
       }
     } finally conn.close()
-    batch.select("event_id", "value").foreachPartition {
-      (it: Iterator[org.apache.spark.sql.Row]) =>
+    // One partition per key (repartition on the natural key) so the same
+    // key never races two connections; within the partition, last write
+    // wins via a keep-last pre-pass — a micro-batch may legitimately
+    // carry the same key twice (the resubmitted-filing pattern), and a
+    // delete-batch followed by an insert-batch would otherwise hit the
+    // PRIMARY KEY twice.
+    batch.select("event_id", "value")
+      .repartition(col("event_id"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
+          val lastByKey = new scala.collection.mutable.LinkedHashMap[Long, Double]
+          it.foreach(r => lastByKey.put(r.getLong(0), r.getDouble(1)))
           val c = java.sql.DriverManager.getConnection(url)
           try {
             c.setAutoCommit(false)
             val del = c.prepareStatement(s"DELETE FROM $table WHERE event_id = ?")
             val ins = c.prepareStatement(s"INSERT INTO $table VALUES (?, ?)")
             var n = 0
-            it.foreach { r =>
-              del.setLong(1, r.getLong(0)); del.addBatch()
-              ins.setLong(1, r.getLong(0)); ins.setDouble(2, r.getDouble(1)); ins.addBatch()
+            lastByKey.foreach { case (k, v) =>
+              del.setLong(1, k); del.addBatch()
+              ins.setLong(1, k); ins.setDouble(2, v); ins.addBatch()
               n += 1
               if (n % JdbcBatchSize == 0) { del.executeBatch(); ins.executeBatch() }
             }
@@ -144,6 +153,6 @@ object StreamOps {
             c.commit()
           } finally c.close()
         }
-    }
+      }
   }
 }

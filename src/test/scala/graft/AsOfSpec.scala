@@ -67,6 +67,34 @@ class AsOfSpec extends SparkSuite {
     assert(badPairs == 0)
   }
 
+  test("SQL null semantics: null keys and null times never match") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, Option(1L), Option(10L)),   // normal: should match right rt=5
+      (2L, Option.empty[Long], Option(10L)), // null key → no match
+      (3L, Option(1L), Option.empty[Long]))  // null time → no match
+      .toDF("id", "k", "t")
+    val r = Seq(
+      (Option(1L), Option(5L), "a"),         // the match for id=1
+      (Option.empty[Long], Option(4L), "b"), // null key: matches nothing
+      (Option(1L), Option.empty[Long], "c")) // null time: matches nothing
+      .toDF("rk", "rt", "payload")
+    val out = AsOfJoin.leftAsOfMergeAll(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      .collect().map(row => (row.getLong(0),
+        Option(row.get(row.fieldIndex("rt"))).map(_.toString),
+        Option(row.getAs[String]("payload")))).toSet
+    assert(out == Set(
+      (1L, Some("5"), Some("a")),
+      (2L, None, None),
+      (3L, None, None)))
+    // the composition agrees (its join predicate is false on NULLs)
+    val comp = AsOfJoin.leftAsOf(l, r.select(col("rk").as("k"), col("rt")),
+        Seq("k"), "t", "rt")
+      .collect().map(row => (row.getLong(0),
+        Option(row.get(row.fieldIndex("asof_time"))).map(_.toString))).toSet
+    assert(comp.map(x => (x._1, x._2)) == out.map(x => (x._1, x._2)))
+  }
+
   test("merge form plans one AsOfJoinExec, no pair join or re-aggregation") {
     val (p, v) = sides(sf("0.001"))
     val plan = AsOfJoin.leftAsOfMerge(p, v, Seq("user_id"), "pts", "vts")

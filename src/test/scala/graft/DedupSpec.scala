@@ -35,6 +35,16 @@ class DedupSpec extends SparkSuite {
     assert(kept == Set(1L, 10L, 99L))
   }
 
+  test("pointer jumping converges on a 40-long chain within the round budget") {
+    import spark.implicits._
+    // plain one-hop propagation would need 39 rounds (> maxIters);
+    // jumping halves chains per round → ~6
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val comp = DedupGroups.components(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 40 && comp.values.toSet == Set(0L))
+  }
+
   test("components == union-find ground truth on real simhash pairs") {
     val pairs = SparkEntry.queries("q_dedup_simhash")(spark, sf("0.01"))
       .select("d1", "d2")

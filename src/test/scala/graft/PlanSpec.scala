@@ -88,6 +88,15 @@ class PlanSpec extends SparkSuite {
       intercept[IllegalStateException] {
         check(bad.queryExecution.analyzed)
       }
+      // an Aggregate in a JOINED BRANCH does not bound the window input —
+      // fact-sized global sort must still be rejected
+      val orders = graft.core.Tables.orders(spark, sf("0.001"))
+      val sneaky = orders
+        .crossJoin(broadcast(orders.agg(max("o_orderkey").as("mx"))))
+        .select(row_number().over(Window.orderBy("o_orderkey")).as("rn"))
+      intercept[IllegalStateException] {
+        check(sneaky.queryExecution.analyzed)
+      }
     } finally spark.conf.unset("spark.graft.failUnpartitionedWindow")
   }
 

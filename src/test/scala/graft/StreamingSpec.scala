@@ -229,7 +229,9 @@ class StreamingSpec extends SparkSuite {
         StreamOps.jdbcUpsertBatch(url, "stream_sink")(b, id))
       .start()
     val base = fixture.take(80)
-    mem.addData(base)
+    // duplicates WITHIN one micro-batch (resubmitted filings landing in
+    // the same trigger) must upsert cleanly, not violate the PK
+    mem.addData(base ++ base.take(10))
     q.processAllAvailable()
     mem.addData(base.take(40))   // replay → upsert must stay idempotent
     q.processAllAvailable()

@@ -79,7 +79,13 @@ def compare_pandas(name, spark_dir, con, sql):
     """Driver-representation replica: the driver compares via pandas, where
     DuckDB .df() renders DECIMAL as float64 but Spark parquet reads back as
     Decimal objects, and ARRAY columns crash sort_values. The pyarrow path
-    above cannot see either — this one can."""
+    above cannot see either — this one can.
+
+    Deliberately RE-EXECUTES the oracle SQL: .df() must go through DuckDB's
+    own pandas conversion (converting the pyarrow result via .to_pandas()
+    would keep decimal128 and mask exactly the divergence this path
+    exists to catch). Costs a second oracle run per query — dev-gate
+    wall-clock, accepted."""
     import pandas as pd
     try:
         oracle = con.execute(sql).df()
