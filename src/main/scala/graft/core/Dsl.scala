@@ -47,11 +47,15 @@ object Dsl {
 
   /** DECIMAL→DOUBLE for values whose unscaled form may exceed 2^53: a plain
     * cast double-rounds differently in DuckDB (int128→fp÷10^s) vs the JVM
-    * (correctly-rounded BigDecimal). Split into an exact integer part
+    * (correctly-rounded BigDecimal). Split |x| into an exact integer part
     * (< 2^53 ⇒ bit-exact long→double in both engines) plus an exact small
-    * fraction (c - floor(c) ∈ [0,1) even for negatives), then one shared
-    * IEEE add. Requires true scale ≤ 4 — validated by live probe (0/2000
-    * adversarial mismatches across ±10^13 at scale 4 and DECIMAL(38,4)).
+    * fraction, one shared IEEE add, then an exact ±1 multiply. The
+    * sign-split matters: the fraction of a NEGATIVE value (c − floor(c) =
+    * 1 − |frac|) is inexact in binary, and adding it to the inexact
+    * integer part lands ~1 ulp off the correctly-rounded conversion
+    * (caught by PropertySpec's 1000-random d2d == BigDecimal.doubleValue
+    * guard — d2d(-0.0001) was -9.9999999999989e-5 in the unsplit form).
+    * Requires true scale ≤ 4, |x| < 2^53·10⁻⁴.
     *
     * This is also the mandatory OUTPUT representation for every decimal
     * result: the driver's harness compares via pandas, where DuckDB
@@ -59,18 +63,22 @@ object Dsl {
     * objects — equal values, different representations, guaranteed hash
     * mismatch. Internal arithmetic stays exact DECIMAL; only the final
     * select converts (guarded by OutputContractSpec). */
-  def d2d(c: Column): Column =
-    floor(c).cast(LongType).cast(DoubleType) +
-      (c - floor(c)).cast(DecimalType(5, 4)).cast(DoubleType)
-  def d2dSql(x: String): String =
-    s"(CAST(CAST(FLOOR($x) AS BIGINT) AS DOUBLE) + CAST(CAST(($x) - FLOOR($x) AS DECIMAL(5,4)) AS DOUBLE))"
+  private def d2dAbs(c: Column, fracType: DecimalType): Column = {
+    val a = abs(c)
+    val pos = floor(a).cast(LongType).cast(DoubleType) +
+      (a - floor(a)).cast(fracType).cast(DoubleType)
+    when(c < 0, lit(-1.0)).otherwise(lit(1.0)) * pos
+  }
+  private def d2dAbsSql(x: String, frac: String): String =
+    s"((CASE WHEN ($x) < 0 THEN -1.0e0 ELSE 1.0e0 END) * " +
+      s"(CAST(CAST(FLOOR(ABS($x)) AS BIGINT) AS DOUBLE) + " +
+      s"CAST(CAST(ABS($x) - FLOOR(ABS($x)) AS $frac) AS DOUBLE)))"
+
+  def d2d(c: Column): Column = d2dAbs(c, DecimalType(5, 4))
+  def d2dSql(x: String): String = d2dAbsSql(x, "DECIMAL(5,4)")
 
   /** d2d for true scale ≤ 6 (e.g. the flagship's price·(1−disc)·(1+tax)
-    * charge sums) — same split, fraction kept at DECIMAL(7,6). Probe:
-    * 0/2000 mismatches on random DECIMAL(18,6). */
-  def d2d6(c: Column): Column =
-    floor(c).cast(LongType).cast(DoubleType) +
-      (c - floor(c)).cast(DecimalType(7, 6)).cast(DoubleType)
-  def d2dSql6(x: String): String =
-    s"(CAST(CAST(FLOOR($x) AS BIGINT) AS DOUBLE) + CAST(CAST(($x) - FLOOR($x) AS DECIMAL(7,6)) AS DOUBLE))"
+    * charge sums) — same split, fraction kept at DECIMAL(7,6). */
+  def d2d6(c: Column): Column = d2dAbs(c, DecimalType(7, 6))
+  def d2dSql6(x: String): String = d2dAbsSql(x, "DECIMAL(7,6)")
 }

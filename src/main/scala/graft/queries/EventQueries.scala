@@ -48,6 +48,43 @@ object EventQueries {
         .orderBy("window_start", "event_type")
     },
 
+    // Gaps-and-islands: longest consecutive-active-day streak per user.
+    // Island key = day − row_number (constant within a consecutive run);
+    // the window partitions by user (high cardinality, scale-safe).
+    // DATE stays internal; the streak start emits as midnight TIMESTAMP.
+    Q("q_window_streak",
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS island
+        |  FROM days),
+        |strk AS (
+        |  SELECT user_id, COUNT(*) AS streak_len, MIN(day) AS start_day
+        |  FROM isl GROUP BY user_id, island)
+        |SELECT user_id, streak_len, CAST(start_day AS TIMESTAMP) AS streak_start FROM (
+        |  SELECT user_id, streak_len, start_day,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY streak_len DESC, start_day) AS rn
+        |  FROM strk) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val wD = Window.partitionBy("user_id").orderBy("day")
+      val isl = days.withColumn("island",
+        date_sub(col("day"), row_number().over(wD)))
+      val strk = isl.groupBy("user_id", "island")
+        .agg(count(lit(1)).as("streak_len"), min("day").as("start_day"))
+      val wS = Window.partitionBy("user_id")
+        .orderBy(col("streak_len").desc, col("start_day"))
+      strk.withColumn("rn", row_number().over(wS))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("streak_len"),
+          col("start_day").cast("timestamp_ntz").as("streak_start"))
+        .orderBy("user_id")
+    },
+
     // Gap-filled hourly series: dense time spine (sequence over the global
     // [min,max] hour range — bounded by calendar time, not rows; the
     // 1-row bounds agg broadcasts) left-joined to the bucket counts with

@@ -54,6 +54,41 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // TF-IDF-style term ranking with EXACT cross-engine math: idf as the
+    // rational N/df instead of ln(N/df) (ln differs JVM-vs-libm by 1 ulp
+    // — banned from oracles, Dsl scaladoc), so score = tf·N/df is one
+    // integer product and one identical IEEE division. Monotone in the
+    // log form for fixed tf ordering; top-3 terms per doc, deterministic
+    // ties. Scale: tf/df are linear aggs; N broadcasts; the rank window
+    // partitions by doc_id (high cardinality).
+    Q("q_text_tfidf",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT doc_id, term, tf, df, score, rn FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf * n.n AS DOUBLE) / df.df AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.term) AS rn
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n) t
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      val score = (col("tf") * col("n")).cast("double") / col("df")
+      val w = Window.partitionBy("doc_id").orderBy(score.desc, col("term"))
+      tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rn")
+        .orderBy("doc_id", "rn")
+    },
+
     Q("q_text_tokens_tf",
       """SELECT token, COUNT(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t

@@ -19,6 +19,30 @@ class PropertySpec extends SparkSuite {
     assert(surv1.count() == surv2.count())
   }
 
+  test("d2d equals the JVM's correctly-rounded decimal-to-double (1000 randoms)") {
+    // d2d's split conversion (floor→long→double + small exact fraction)
+    // must land on the SAME double as BigDecimal.doubleValue for every
+    // value in its contract range (scale ≤ 4, |x| < 1e13) — including
+    // negatives and unscaled values past 2^53.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val samples = Seq.fill(1000) {
+      val unscaled = BigInt(rnd.nextLong() % 10000000000000000L)
+      BigDecimal(unscaled, 4)
+    } ++ Seq(BigDecimal("0.0001"), BigDecimal("-0.0001"), BigDecimal(0),
+      BigDecimal("9999999999999.9999"), BigDecimal("-9999999999999.9999"))
+    val df = samples.map(_.toString).toDF("s")
+      .select(col("s").cast("decimal(21,4)").as("x"))
+    val got = df.select(col("x"), graft.core.Dsl.d2d(col("x")).as("d"))
+      .collect()
+    got.foreach { r =>
+      val x = r.getDecimal(0)
+      val expect = x.doubleValue()
+      assert(r.getDouble(1) == expect,
+        s"d2d($x) = ${r.getDouble(1)} != correctly-rounded $expect")
+    }
+  }
+
   test("jaccard scores are within [0,1] and d1 < d2") {
     val rows = SparkEntry.queries("q_text_jaccard_pairs")(spark, sf("0.001")).collect()
     rows.foreach { r =>
