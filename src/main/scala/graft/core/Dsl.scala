@@ -81,4 +81,9 @@ object Dsl {
     * charge sums) — same split, fraction kept at DECIMAL(7,6). */
   def d2d6(c: Column): Column = d2dAbs(c, DecimalType(7, 6))
   def d2dSql6(x: String): String = d2dAbsSql(x, "DECIMAL(7,6)")
+
+  /** d2d for true scale ≤ 8 (fourth powers of 2-decimal inputs —
+    * q_agg_moments' Σx⁴). */
+  def d2d8(c: Column): Column = d2dAbs(c, DecimalType(9, 8))
+  def d2dSql8(x: String): String = d2dAbsSql(x, "DECIMAL(9,8)")
 }

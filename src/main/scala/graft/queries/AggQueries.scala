@@ -208,6 +208,59 @@ object AggQueries {
         .orderBy("l_returnflag")
     },
 
+    // Skewness + kurtosis (population) from EXACT raw moments: x² of a
+    // 2-decimal input is exactly DECIMAL(12,4), so x³ = x²·x and x⁴ =
+    // x²·x² stay exact; the four decimal sums convert through d2d and
+    // the central-moment expansion runs as one identical IEEE tree on
+    // both engines (m2^1.5 via m2·sqrt(m2) — pow is libm, banned).
+    // Builtin skewness/kurtosis accumulate doubles in partition order —
+    // nondeterministic under shuffle, never used (same rule as corr).
+    Q("q_agg_moments",
+      s"""WITH b AS (
+         |  SELECT l_returnflag, CAST(l_quantity AS DECIMAL(12,4)) AS xd,
+         |    CAST(CAST(l_quantity AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4)) AS DECIMAL(12,4)) AS x2
+         |  FROM lineitem),
+         |s AS (
+         |  SELECT l_returnflag,
+         |    CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${d2dSql("CAST(SUM(xd) AS DECIMAL(18,4))")} AS sx,
+         |    ${d2dSql("CAST(SUM(x2) AS DECIMAL(38,4))")} AS sxx,
+         |    ${d2dSql6("CAST(SUM(x2 * xd) AS DECIMAL(38,6))")} AS sxxx,
+         |    ${d2dSql8("CAST(SUM(x2 * x2) AS DECIMAL(38,8))")} AS sxxxx
+         |  FROM b GROUP BY l_returnflag)
+         |SELECT l_returnflag, CAST(n AS BIGINT) AS cnt,
+         |  (sxxx / n - 3e0 * (sx / n) * (sxx / n)
+         |     + 2e0 * (sx / n) * (sx / n) * (sx / n))
+         |    / ((sxx / n - (sx / n) * (sx / n))
+         |       * sqrt(sxx / n - (sx / n) * (sx / n))) AS skewness,
+         |  (sxxxx / n - 4e0 * (sx / n) * (sxxx / n)
+         |     + 6e0 * (sx / n) * (sx / n) * (sxx / n)
+         |     - 3e0 * (sx / n) * (sx / n) * (sx / n) * (sx / n))
+         |    / ((sxx / n - (sx / n) * (sx / n))
+         |       * (sxx / n - (sx / n) * (sx / n))) AS kurtosis
+         |FROM s ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val xd = col("l_quantity").cast(DFac)
+      val x2 = (xd * xd).cast(DFac)
+      val base = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), xd.as("xd"), x2.as("x2"))
+      val sums = base.groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        d2d(sum(col("xd")).cast(D18)).as("sx"),
+        d2d(sum(col("x2")).cast(DecimalType(38, 4))).as("sxx"),
+        d2d6(sum(col("x2") * col("xd")).cast(DecimalType(38, 6))).as("sxxx"),
+        d2d8(sum(col("x2") * col("x2")).cast(DecimalType(38, 8))).as("sxxxx"))
+      val m = col("sx") / col("n")
+      val m2 = col("sxx") / col("n") - m * m
+      val skew = (col("sxxx") / col("n") - lit(3e0) * m * (col("sxx") / col("n"))
+          + lit(2e0) * m * m * m) / (m2 * sqrt(m2))
+      val kurt = (col("sxxxx") / col("n") - lit(4e0) * m * (col("sxxx") / col("n"))
+          + lit(6e0) * m * m * (col("sxx") / col("n"))
+          - lit(3e0) * m * m * m * m) / (m2 * m2)
+      sums.select(col("l_returnflag"), col("n").cast("bigint").as("cnt"),
+          skew.as("skewness"), kurt.as("kurtosis"))
+        .orderBy("l_returnflag")
+    },
+
     // Bitwise aggregates — exact integer folds, associative+commutative ⇒
     // partition-order independent by construction.
     Q("q_agg_bitwise",
