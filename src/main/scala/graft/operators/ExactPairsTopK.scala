@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** EXACT global top-k most-similar vector pairs with centroid
+  * triangle-inequality pruning — the scale-honest form of
+  * q_sim_embed_neardup's all-pairs nested loop.
+  *
+  * Why not LSH banding: the fixture's global top-20 sims were MEASURED at
+  * only ~0.44–0.60 (both sf0.01 and sf0.1) — at those angles a random
+  * hyperplane agrees with probability ~0.65/bit, so any banding scheme
+  * either misses top-20 pairs (breaking the exact oracle) or generates
+  * more candidates than the n²/2 it replaces. Banding is the right tool
+  * for near-dup sims (≥0.9, see [[SimHashBanding]]); for exact moderate-sim
+  * top-k the provable accelerator is geometric:
+  *
+  *  1. k-means cells over normalized vectors ([[IvfCosine.buildIndex]],
+  *     deterministic seed) — one linear pass;
+  *  2. per-cell angular radius r_c = max angle(v, centroid);
+  *  3. lower bound s_lb = k-th best sim among SAME-CELL pairs (a subset of
+  *     all pairs ⇒ s_lb ≤ true k-th best);
+  *  4. spherical triangle inequality: for a∈Ci, b∈Cj,
+  *     angle(a,b) ≥ θ(Ci,Cj) − r_i − r_j, so
+  *     cos(a,b) ≤ cos(max(0, θ_ij − r_i − r_j)). Cell pairs whose bound
+  *     falls below s_lb (minus an FP guard margin) cannot contain a top-k
+  *     pair and are dropped BEFORE any per-vector work;
+  *  5. surviving cell pairs drive an equi-join on (cell_i, cell_j); exact
+  *     sims (codegen [[graft.functions.DotProduct]], bit-identical to the
+  *     brute-force twin) re-rank and the global top-k is taken.
+  *
+  * Exactness does not depend on the data: pruning only ever removes pairs
+  * provably below the k-th best (AnnSpec asserts equality with brute force
+  * and prune-safety on a planted clustered corpus). Scale story: on real
+  * embedding corpora (clustered; near-dup tails ≥0.9) s_lb lands high and
+  * the bound kills almost every cell pair — work approaches
+  * Σ|survivor cells|², linear-ish in practice. On this deliberately
+  * diffuse fixture the radii are wide, nothing prunes, and the operator
+  * degrades gracefully to a blocked, evenly-distributed all-pairs join —
+  * which is the information-theoretic floor for exact top-k on
+  * structure-free data.
+  */
+object ExactPairsTopK {
+
+  /** (v1, v2, sim) — the exact global top-k pairs, v1 < v2, ordered by
+    * (sim DESC, v1, v2). */
+  def topPairs(embeddings: DataFrame, k: Int, cells: Int = 8): DataFrame =
+    build(embeddings, k, cells)._1
+
+  /** Test/diagnostic variant: (result, surviving cell pairs, total cell
+    * pairs) — AnnSpec asserts both exactness and that the bound actually
+    * prunes on a clustered corpus. */
+  def topPairsWithStats(embeddings: DataFrame, k: Int,
+                        cells: Int = 8): (DataFrame, Long, Long) = {
+    val (res, surv) = build(embeddings, k, cells)
+    (res, surv.count(), cells.toLong * cells)
+  }
+
+  private def build(embeddings: DataFrame, k: Int,
+                    cells: Int): (DataFrame, DataFrame) = {
+    val spark = embeddings.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.dot
+
+    val idx = IvfCosine.buildIndex(embeddings, cells)
+    val normed = idx.assignments.select(col("vec_id"), col("cell"),
+      col("embedding"), dot(col("embedding"), col("embedding")).as("nrm"))
+
+    // per-cell angular radius (radians), one aggregated pass
+    val cosVC = dot(col("embedding"), col("cvec")) /
+      (sqrt(col("nrm")) * sqrt(dot(col("cvec"), col("cvec"))))
+    val radii = normed.join(broadcast(idx.centroids), col("cell") === col("pcell"))
+      .select(col("cell"), acos(least(lit(1.0), greatest(lit(-1.0), cosVC))).as("ang"))
+      .groupBy("cell").agg(max("ang").as("r"))
+
+    // s_lb: k-th best same-cell sim (subset of all pairs ⇒ valid lower
+    // bound). Driver action over k tiny rows; fewer than k pairs ⇒ no
+    // pruning (still exact).
+    val a = normed.select(col("cell").as("ca"), col("vec_id").as("v1"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = normed.select(col("cell").as("cb"), col("vec_id").as("v2"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val simExpr = (dot(col("ea"), col("eb")) /
+      (sqrt(col("na")) * sqrt(col("nb")))).as("sim")
+    val sameCellTopK = a.join(b, col("ca") === col("cb") && col("v1") < col("v2"))
+      .select(simExpr).orderBy(col("sim").desc).limit(k)
+      .collect().map(_.getDouble(0))
+    val sLb = if (sameCellTopK.length < k) -2.0 else sameCellTopK.last
+
+    // cell-pair bounds over C² metadata rows; FP guard margin on the
+    // internal double math (conservative direction only — the bound is
+    // never part of the output)
+    val ci = idx.centroids.select(col("pcell").as("ci"), col("cvec").as("cva"))
+    val cj = idx.centroids.select(col("pcell").as("cj"), col("cvec").as("cvb"))
+    val cosCC = dot(col("cva"), col("cvb")) /
+      (sqrt(dot(col("cva"), col("cva"))) * sqrt(dot(col("cvb"), col("cvb"))))
+    val survivors = ci.crossJoin(cj)
+      .select(col("ci"), col("cj"),
+        acos(least(lit(1.0), greatest(lit(-1.0), cosCC))).as("theta"))
+      .join(radii.select(col("cell").as("ci"), col("r").as("ri")), "ci")
+      .join(radii.select(col("cell").as("cj"), col("r").as("rj")), "cj")
+      .filter(cos(greatest(lit(0.0), col("theta") - col("ri") - col("rj")))
+        >= sLb - 1e-9)
+      .select("ci", "cj")
+
+    val result = a.join(broadcast(survivors), col("ca") === col("ci"))
+      .join(b, col("cb") === col("cj") && col("v1") < col("v2"))
+      .select(col("v1"), col("v2"), simExpr)
+      .orderBy(col("sim").desc, col("v1"), col("v2"))
+      .limit(k)
+    (result, survivors)
+  }
+}

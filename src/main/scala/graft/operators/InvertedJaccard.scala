@@ -32,6 +32,16 @@ object InvertedJaccard {
   def pairs(documents: DataFrame, minJ: Double): DataFrame =
     impl(documents, minJ, salt = 1)
 
+  /** Postings-join Jaccard over a PREBUILT distinct-set column instead of
+    * whitespace tokens — the shingle (n-gram) variant used by
+    * q_dedup_ngram. `sets` must carry (lang, source, doc_id, setCol); the
+    * set elements become the posting keys, so the same linear shuffle
+    * shape covers any set representation (tokens, shingles, hashes).
+    * Output columns: (d1, d2, jacCol). */
+  def pairsFromSets(sets: DataFrame, setCol: String, minJ: Double,
+                    jacCol: String): DataFrame =
+    implSets(sets.withColumnRenamed(setCol, "toks"), minJ, salt = 1, jacCol)
+
   /** [[pairs]] with hot-token skew spreading: a token appearing in d docs
     * contributes d² co-occurrence work to ONE reducer (its shuffle key) —
     * the classic straggler when a stopword-like token hits 10⁶ postings at
@@ -45,9 +55,12 @@ object InvertedJaccard {
   def pairsSalted(documents: DataFrame, minJ: Double, salt: Int): DataFrame =
     impl(documents, minJ, salt)
 
-  private def impl(documents: DataFrame, minJ: Double, salt: Int): DataFrame = {
-    val t = documents.select(col("lang"), col("source"), col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("toks"))
+  private def impl(documents: DataFrame, minJ: Double, salt: Int): DataFrame =
+    implSets(documents.select(col("lang"), col("source"), col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("toks")), minJ, salt, "jac")
+
+  private def implSets(t: DataFrame, minJ: Double, salt: Int,
+                       jacCol: String): DataFrame = {
     val sizes = t.select(col("doc_id"), size(col("toks")).as("n"))
     val postings = t.select(col("lang"), col("source"), col("doc_id"),
       explode(col("toks")).as("tok"))
@@ -68,8 +81,8 @@ object InvertedJaccard {
     co.join(sizes.withColumnsRenamed(Map("doc_id" -> "d1", "n" -> "na")), "d1")
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "d2", "n" -> "nb")), "d2")
       .select(col("d1"), col("d2"),
-        (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jac"))
-      .filter(col("jac") >= minJ)
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as(jacCol))
+      .filter(col(jacCol) >= minJ)
       .orderBy("d1", "d2")
   }
 }

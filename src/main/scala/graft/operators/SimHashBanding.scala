@@ -20,26 +20,35 @@ object SimHashBanding {
   private val BandBits = 6
 
   /** Hamming ≤ maxHamming pairs (d1 < d2) from a (doc_id, simhash) frame,
-    * via banded candidate generation + exact verification.
+    * via banded candidate generation + exact verification. `bucketCols`
+    * (e.g. lang/source) are appended to the band equi-join key, restricting
+    * pairs to the same bucket without any per-bucket cross join.
     * Requires maxHamming < Bands. */
-  def pairs(fingerprints: DataFrame, maxHamming: Int): DataFrame = {
+  def pairs(fingerprints: DataFrame, maxHamming: Int,
+            bucketCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming < Bands,
       s"pigeonhole needs maxHamming < $Bands bands")
     val banded = fingerprints.select(
-      col("doc_id"), col("simhash"),
-      explode(array((0 until Bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * BandBits)
-            .bitwiseAND((1 << BandBits) - 1).as("bval"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"),
-        col("bb.band").as("band"), col("bb.bval").as("bval"))
-    val a = banded.select(col("band"), col("bval"),
-      col("doc_id").as("d1"), col("simhash").as("h1"))
-    val b = banded.select(col("band").as("band2"), col("bval").as("bval2"),
-      col("doc_id").as("d2"), col("simhash").as("h2"))
+      (Seq(col("doc_id"), col("simhash")) ++ bucketCols.map(col) :+
+        explode(array((0 until Bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * BandBits)
+              .bitwiseAND((1 << BandBits) - 1).as("bval"))
+        }: _*)).as("bb")): _*)
+      .select((Seq(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bval").as("bval")) ++
+        bucketCols.map(col)): _*)
+    val a = banded.select((Seq(col("band"), col("bval"),
+      col("doc_id").as("d1"), col("simhash").as("h1")) ++
+      bucketCols.map(col)): _*)
+    val b = banded.select((Seq(col("band").as("band2"), col("bval").as("bval2"),
+      col("doc_id").as("d2"), col("simhash").as("h2")) ++
+      bucketCols.map(c => col(c).as(c + "2"))): _*)
+    val bucketCond = bucketCols
+      .map(c => col(c) === col(c + "2"))
+      .foldLeft(lit(true))(_ && _)
     a.join(b, col("band") === col("band2") && col("bval") === col("bval2") &&
-        col("d1") < col("d2"))
+        col("d1") < col("d2") && bucketCond)
       .select(col("d1"), col("d2"),
         bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
       .distinct() // a pair can collide on several bands

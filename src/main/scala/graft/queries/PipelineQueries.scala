@@ -172,8 +172,10 @@ object PipelineQueries {
         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT d1, d2, jac3 FROM p WHERE jac3 >= 0.05
         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-      // materialize the token array once per row — building shingles from
-      // a re-evaluated split() costs 3 splits per shingle element
+      // Linear-scale shingle-postings form: explode distinct 3-shingles to
+      // (shingle, doc) postings and equi-join per shingle — pairs sharing
+      // no shingle never materialize, unlike the oracle's bucket cross
+      // join. JaccardSpec asserts bit-equality with the pairwise form.
       val t = Tables.documents(s, d)
         .select(col("lang"), col("source"), col("doc_id"),
           split(col("text"), " ").as("toks"))
@@ -182,20 +184,8 @@ object PipelineQueries {
             "transform(sequence(1, size(toks) - 2), " +
               "i -> concat(element_at(toks, i), ' ', " +
               "element_at(toks, i + 1), ' ', element_at(toks, i + 2)))")).as("sh"))
-        // exchange barrier: materialize sh once per row — CollapseProject
-        // would otherwise inline it into the post-join projection and
-        // recompute it per candidate pair
-        .repartition(col("lang"), col("source"))
-      val a = t.select(col("lang"), col("source"), col("doc_id").as("d1"), col("sh").as("sa"))
-      val b = t.select(col("lang").as("lb"), col("source").as("sb"),
-        col("doc_id").as("d2"), col("sh").as("sb2"))
-      val ni = size(array_intersect(col("sa"), col("sb2")))
-      a.join(b, col("lang") === col("lb") && col("source") === col("sb") &&
-          col("d1") < col("d2"))
-        .select(col("d1"), col("d2"),
-          (ni.cast("double") / (size(col("sa")) + size(col("sb2")) - ni)).as("jac3"))
-        .filter(col("jac3") >= 0.05)
-        .orderBy("d1", "d2")
+      graft.operators.InvertedJaccard.pairsFromSets(t, "sh",
+        minJ = 0.05, jacCol = "jac3")
     },
 
     // SimHash near-dup: 30-bit fingerprint from per-token hash signs, pairs
@@ -219,25 +209,21 @@ object PipelineQueries {
          |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
          |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-      val sh = simhashFingerprints(Tables.documents(s, d))
-      val a = sh.select(col("lang"), col("source"), col("doc_id").as("d1"),
-        col("simhash").as("h1"))
-      val b = sh.select(col("lang").as("lb"), col("source").as("sb"),
-        col("doc_id").as("d2"), col("simhash").as("h2"))
-      a.join(b, col("lang") === col("lb") && col("source") === col("sb") &&
-          col("d1") < col("d2"))
-        .select(col("d1"), col("d2"),
-          bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
-        .filter(col("hamming") <= 4)
-        .orderBy("d1", "d2")
+      // Linear-scale banded form: Hamming ≤ 4 on 30 bits ⇒ at least one of
+      // 5 6-bit bands matches exactly (pigeonhole), so an equi-join on
+      // (band, value, lang, source) finds every pair the oracle's bucket
+      // cross-join finds — SimHashSpec asserts the coverage.
+      graft.operators.SimHashBanding.pairs(
+        simhashFingerprints(Tables.documents(s, d)), maxHamming = 4,
+        bucketCols = Seq("lang", "source"))
     },
 
     // Embedding-cosine near-dup report: global top-20 most-similar vector
-    // pairs. This is the EXACT ORACLE TWIN — an all-pairs nested-loop
-    // (n²/2 dot products; TakeOrderedAndProject keeps only memory bounded,
-    // not compute). At production scale route this workload to the
-    // bucketed paths instead: AnnCosine (cap_sim_ann) or IvfCosine
-    // (cap_sim_ivf), whose recall AnnSpec gates against exact top-k.
+    // pairs — EXACT, via centroid triangle-inequality pruning
+    // (ExactPairsTopK: cell equi-join + provable cell-pair bound instead
+    // of the oracle's n²/2 nested loop; AnnSpec gates equality with brute
+    // force). The approximate scale paths stay AnnCosine (cap_sim_ann) /
+    // IvfCosine (cap_sim_ivf).
     Q("q_sim_embed_neardup",
       """WITH n AS (
         |  SELECT vec_id, embedding,
@@ -250,18 +236,7 @@ object PipelineQueries {
         |    / (sqrt(a.nrm) * sqrt(b.nrm)) AS sim
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |ORDER BY sim DESC, v1, v2 LIMIT 20""".stripMargin) { (s, d) =>
-      graft.functions.GraftFunctions.register(s)
-      import graft.functions.GraftFunctions.dot
-      val n = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          dot(col("embedding"), col("embedding")).as("nrm"))
-      val a = n.select(col("vec_id").as("v1"), col("embedding").as("ea"), col("nrm").as("na"))
-      val b = n.select(col("vec_id").as("v2"), col("embedding").as("eb"), col("nrm").as("nb"))
-      a.join(b, col("v1") < col("v2"))
-        .select(col("v1"), col("v2"),
-          (dot(col("ea"), col("eb")) / (sqrt(col("na")) * sqrt(col("nb")))).as("sim"))
-        .orderBy(col("sim").desc, col("v1"), col("v2"))
-        .limit(20)
+      graft.operators.ExactPairsTopK.topPairs(Tables.embeddings(s, d), k = 20)
     },
 
     // LSH-bucketed ANN over normalized embeddings (the scale path whose

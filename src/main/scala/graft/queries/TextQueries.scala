@@ -133,21 +133,10 @@ object TextQueries {
         |SELECT d1, d2, jac FROM p
         |WHERE jac >= 0.5
         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-      val t = Tables.documents(s, d)
-        .select(col("lang"), col("source"), col("doc_id"),
-          array_distinct(split(col("text"), " ")).as("toks"))
-        // exchange barrier: tokenize once per row, not once per pair
-        .repartition(col("lang"), col("source"))
-      val a = t.select(col("lang"), col("source"), col("doc_id").as("d1"), col("toks").as("ta"))
-      val b = t.select(col("lang").as("lb"), col("source").as("sb"),
-        col("doc_id").as("d2"), col("toks").as("tb"))
-      val ni = size(array_intersect(col("ta"), col("tb")))
-      a.join(b, col("lang") === col("lb") && col("source") === col("sb") &&
-          col("d1") < col("d2"))
-        .select(col("d1"), col("d2"),
-          (ni.cast("double") / (size(col("ta")) + size(col("tb")) - ni)).as("jac"))
-        .filter(col("jac") >= 0.5)
-        .orderBy("d1", "d2")
+      // Linear-scale postings form (token-keyed self-join; pairs sharing no
+      // token never materialize). JaccardSpec asserts bit-equality with the
+      // all-pairs bucket join the oracle SQL above spells out.
+      graft.operators.InvertedJaccard.pairs(Tables.documents(s, d), minJ = 0.5)
     },
 
     // Brute-force exact cosine top-5 for anchor vectors vec_id < 100:

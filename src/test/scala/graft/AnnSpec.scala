@@ -49,6 +49,52 @@ class AnnSpec extends SparkSuite {
     assert(direct.nonEmpty && direct == reloaded)
   }
 
+  test("centroid-pruned exact top-pairs is bitwise-equal to brute force") {
+    import graft.functions.GraftFunctions.dot
+    val emb = Tables.embeddings(spark, sf("0.01"))
+    val n = emb.select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nrm"))
+    val a = n.select(col("vec_id").as("v1"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("v2"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val brute = a.join(b, col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        (dot(col("ea"), col("eb")) / (sqrt(col("na")) * sqrt(col("nb")))).as("sim"))
+      .orderBy(col("sim").desc, col("v1"), col("v2")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val pruned = graft.operators.ExactPairsTopK.topPairs(emb, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pruned == brute) // includes bitwise sim equality
+  }
+
+  test("centroid pruning drops most cell pairs on a clustered corpus, exactly") {
+    import graft.functions.GraftFunctions.dot
+    // planted corpus: 16 tight clusters of 12 vectors in R^16 — the shape
+    // of a real near-dup-bearing embedding table. Deterministic PRNG.
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(16)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 16; i <- 0 until 12) yield {
+      val v = centers(c).map(x => x + 0.03f * rnd.nextGaussian().toFloat)
+      (c * 12L + i, v.toSeq)
+    }
+    val emb = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val (res, surv, total) =
+      graft.operators.ExactPairsTopK.topPairsWithStats(emb, k = 20, cells = 16)
+    val n = emb.select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nrm"))
+    val a = n.select(col("vec_id").as("v1"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("v2"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val brute = a.join(b, col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        (dot(col("ea"), col("eb")) / (sqrt(col("na")) * sqrt(col("nb")))).as("sim"))
+      .orderBy(col("sim").desc, col("v1"), col("v2")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val pruned = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    info(s"surviving cell pairs: $surv of $total")
+    assert(pruned == brute)
+    assert(surv < total / 2, s"bound pruned nothing: $surv of $total survive")
+  }
+
   test("binaryFile source ingests opaque payloads deterministically") {
     val out = SparkEntry.queries("cap_source_binaryfile")(spark, sf("0.001"))
     val rows = out.collect()
