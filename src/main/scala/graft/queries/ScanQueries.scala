@@ -80,6 +80,51 @@ object ScanQueries {
         .orderBy("s_suppkey")
     },
 
+    // XML round-trip via Spark 4's native XML source — the reference's core
+    // input shape (SEC EDGAR XBRL filings are XML). Engine-internal like
+    // the CSV/JSON twins: the oracle answers from parquet, so the XML
+    // write+read must faithfully reproduce the committed data (the writer
+    // escapes markup; doubles survive via shortest-roundtrip formatting).
+    Q("q_source_xml",
+      "SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey") { (s, d) =>
+      val src = Tables.customer(s, d).filter(col("c_custkey") <= 500)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      val tmp = graft.core.Scratch.dir("xml")
+      src.write.mode("overwrite").format("xml")
+        .option("rootTag", "customers").option("rowTag", "customer").save(tmp)
+      s.read.format("xml").schema(src.schema)
+        .option("rowTag", "customer").load(tmp)
+        .orderBy("c_custkey")
+    },
+
+    // from_xml over XBRL-fact-shaped strings: each row renders as
+    // <fact><key>…</key><name>…</name><size>…</size><value>…</value></fact>
+    // (the reference's numeric-fact record: concept + typed value), then
+    // the native XML parser recovers the typed columns. The oracle selects
+    // the source columns directly — the parse must be lossless (doubles
+    // round-trip exactly through Java shortest-repr formatting; p_name is
+    // markup-free alphanumerics).
+    Q("q_xml_extract",
+      """SELECT p_partkey, p_name, p_size, p_retailprice FROM part
+        |WHERE p_size >= 40 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      val xml = concat(
+        lit("<fact><key>"), col("p_partkey"),
+        lit("</key><name>"), col("p_name"),
+        lit("</name><size>"), col("p_size"),
+        lit("</size><value>"), col("p_retailprice"), lit("</value></fact>"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("size", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+      Tables.part(s, d).filter(col("p_size") >= 40)
+        .select(xml.as("x"))
+        .select(from_xml(col("x"), schema).as("f"))
+        .select(col("f.key").as("p_partkey"), col("f.name").as("p_name"),
+          col("f.size").as("p_size"), col("f.value").as("p_retailprice"))
+        .orderBy("p_partkey")
+    },
+
     Q("q_filter_complex",
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
         |FROM orders
