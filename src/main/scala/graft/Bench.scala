@@ -16,8 +16,13 @@ object Bench {
       .foreach(fn => try fn(spark, sfDir).count()
       catch { case _: Throwable => () })
     // Headline queries = the oracle-gated q_* set; cap_* capabilities are
-    // ScalaTest-gated and excluded from the perf contract.
-    val results = SparkEntry.queries.filter(!_._1.startsWith("cap_")).map { case (name, fn) =>
+    // ScalaTest-gated and excluded from the perf contract. Optional args
+    // restrict to the named queries (dev loop; the driver passes none).
+    val only = args.toSet
+    val results = SparkEntry.queries
+      .filter { case (name, _) =>
+        !name.startsWith("cap_") && (only.isEmpty || only(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

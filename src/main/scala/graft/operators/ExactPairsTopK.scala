@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   * for near-dup sims (≥0.9, see [[SimHashBanding]]); for exact moderate-sim
   * top-k the provable accelerator is geometric:
   *
-  *  1. k-means cells over normalized vectors ([[IvfCosine.buildIndex]],
-  *     deterministic seed) — one linear pass;
-  *  2. per-cell angular radius r_c = max angle(v, centroid);
+  *  1. cells from `planes` fixed random hyperplane signs (deterministic
+  *     seed; one codegen'd pass — cheaper than a k-means fit, and the
+  *     bound below is valid for ANY cell assignment);
+  *  2. per-cell mean centroid + angular radius r_c = max angle(v, c) —
+  *     both fully lazy aggregations;
   *  3. lower bound s_lb = k-th best sim among SAME-CELL pairs (a subset of
   *     all pairs ⇒ s_lb ≤ true k-th best);
   *  4. spherical triangle inequality: for a∈Ci, b∈Cj,
@@ -31,46 +33,68 @@ import org.apache.spark.sql.functions._
   *
   * Exactness does not depend on the data: pruning only ever removes pairs
   * provably below the k-th best (AnnSpec asserts equality with brute force
-  * and prune-safety on a planted clustered corpus). Scale story: on real
-  * embedding corpora (clustered; near-dup tails ≥0.9) s_lb lands high and
-  * the bound kills almost every cell pair — work approaches
-  * Σ|survivor cells|², linear-ish in practice. On this deliberately
-  * diffuse fixture the radii are wide, nothing prunes, and the operator
-  * degrades gracefully to a blocked, evenly-distributed all-pairs join —
-  * which is the information-theoretic floor for exact top-k on
-  * structure-free data.
+  * and prune-safety on a planted clustered corpus; degenerate centroids
+  * fall back to no-prune via NaN guards). Scale story: on real embedding
+  * corpora (clustered; near-dup tails ≥0.9) s_lb lands high and the bound
+  * kills almost every cell pair — work approaches Σ|survivor cells|²,
+  * linear-ish in practice. On this deliberately diffuse fixture the radii
+  * are wide, little prunes, and the operator degrades gracefully to a
+  * blocked, evenly-distributed all-pairs equi-join — the
+  * information-theoretic floor for exact top-k on structure-free data.
   */
 object ExactPairsTopK {
 
   /** (v1, v2, sim) — the exact global top-k pairs, v1 < v2, ordered by
-    * (sim DESC, v1, v2). */
-  def topPairs(embeddings: DataFrame, k: Int, cells: Int = 8): DataFrame =
-    build(embeddings, k, cells)._1
+    * (sim DESC, v1, v2). `planes` sign bits ⇒ 2^planes cells. */
+  def topPairs(embeddings: DataFrame, k: Int, planes: Int = 3): DataFrame =
+    build(embeddings, k, planes)._1
 
   /** Test/diagnostic variant: (result, surviving cell pairs, total cell
     * pairs) — AnnSpec asserts both exactness and that the bound actually
     * prunes on a clustered corpus. */
   def topPairsWithStats(embeddings: DataFrame, k: Int,
-                        cells: Int = 8): (DataFrame, Long, Long) = {
-    val (res, surv) = build(embeddings, k, cells)
-    (res, surv.count(), cells.toLong * cells)
+                        planes: Int = 3): (DataFrame, Long, Long) = {
+    val (res, surv) = build(embeddings, k, planes)
+    val cells = 1L << planes
+    (res, surv.count(), cells * cells)
   }
 
   private def build(embeddings: DataFrame, k: Int,
-                    cells: Int): (DataFrame, DataFrame) = {
+                    planes: Int): (DataFrame, DataFrame) = {
     val spark = embeddings.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions.dot
 
-    val idx = IvfCosine.buildIndex(embeddings, cells)
-    val normed = idx.assignments.select(col("vec_id"), col("cell"),
-      col("embedding"), dot(col("embedding"), col("embedding")).as("nrm"))
+    val dim = embeddings.select(size(col("embedding")).as("d")).first().getInt(0)
+    val rnd = new scala.util.Random(42)
+    val planeVecs = Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val cellExpr = planeVecs.zipWithIndex.map { case (h, i) =>
+      when(dot(col("embedding"), typedLit(h.toSeq)) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
 
-    // per-cell angular radius (radians), one aggregated pass
+    // lineage barrier: three separate actions (s_lb, survivors, result)
+    // would otherwise each re-scan and re-hash the corpus
+    val normed = embeddings.select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nrm"))
+      .withColumn("cell", cellExpr)
+      .localCheckpoint(eager = false)
+
+    // per-cell mean centroid, rebuilt as array<float> — lazy, no driver state
+    val centroids = normed
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .groupBy("cell", "p").agg(avg(col("x").cast("double")).as("m"))
+      .groupBy("cell").agg(
+        transform(array_sort(collect_list(struct(col("p"), col("m")))),
+          s => s.getField("m").cast("float")).as("cvec"))
+      .select(col("cell").as("pcell"), col("cvec"))
+
+    // per-cell angular radius; NaN (zero-norm centroid) ⇒ π = never prune
     val cosVC = dot(col("embedding"), col("cvec")) /
       (sqrt(col("nrm")) * sqrt(dot(col("cvec"), col("cvec"))))
-    val radii = normed.join(broadcast(idx.centroids), col("cell") === col("pcell"))
-      .select(col("cell"), acos(least(lit(1.0), greatest(lit(-1.0), cosVC))).as("ang"))
+    val ang = acos(least(lit(1.0), greatest(lit(-1.0), cosVC)))
+    val radii = normed.join(broadcast(centroids), col("cell") === col("pcell"))
+      .select(col("cell"),
+        when(isnan(ang), lit(math.Pi)).otherwise(ang).as("ang"))
       .groupBy("cell").agg(max("ang").as("r"))
 
     // s_lb: k-th best same-cell sim (subset of all pairs ⇒ valid lower
@@ -89,14 +113,15 @@ object ExactPairsTopK {
 
     // cell-pair bounds over C² metadata rows; FP guard margin on the
     // internal double math (conservative direction only — the bound is
-    // never part of the output)
-    val ci = idx.centroids.select(col("pcell").as("ci"), col("cvec").as("cva"))
-    val cj = idx.centroids.select(col("pcell").as("cj"), col("cvec").as("cvb"))
+    // never part of the output). NaN θ ⇒ 0 = keep the pair.
+    val ci = centroids.select(col("pcell").as("ci"), col("cvec").as("cva"))
+    val cj = centroids.select(col("pcell").as("cj"), col("cvec").as("cvb"))
     val cosCC = dot(col("cva"), col("cvb")) /
       (sqrt(dot(col("cva"), col("cva"))) * sqrt(dot(col("cvb"), col("cvb"))))
+    val thetaRaw = acos(least(lit(1.0), greatest(lit(-1.0), cosCC)))
     val survivors = ci.crossJoin(cj)
       .select(col("ci"), col("cj"),
-        acos(least(lit(1.0), greatest(lit(-1.0), cosCC))).as("theta"))
+        when(isnan(thetaRaw), lit(0.0)).otherwise(thetaRaw).as("theta"))
       .join(radii.select(col("cell").as("ci"), col("r").as("ri")), "ci")
       .join(radii.select(col("cell").as("cj"), col("r").as("rj")), "cj")
       .filter(cos(greatest(lit(0.0), col("theta") - col("ri") - col("rj")))

@@ -37,10 +37,17 @@ object InvertedJaccard {
     * q_dedup_ngram. `sets` must carry (lang, source, doc_id, setCol); the
     * set elements become the posting keys, so the same linear shuffle
     * shape covers any set representation (tokens, shingles, hashes).
-    * Output columns: (d1, d2, jacCol). */
+    * Long string elements (shingles) are xxhash64'd into 8-byte posting
+    * keys before the shuffle — intersection counts are unchanged because
+    * the hash is applied to DISTINCT elements per doc (deterministic;
+    * a 64-bit collision within one doc pair's sets is ~n²/2⁶⁴ and the
+    * fixture gate would catch it bitwise). Output: (d1, d2, jacCol). */
   def pairsFromSets(sets: DataFrame, setCol: String, minJ: Double,
                     jacCol: String): DataFrame =
-    implSets(sets.withColumnRenamed(setCol, "toks"), minJ, salt = 1, jacCol)
+    implSets(
+      sets.withColumn("toks", transform(col(setCol), e => xxhash64(e)))
+        .drop(setCol),
+      minJ, salt = 1, jacCol)
 
   /** [[pairs]] with hot-token skew spreading: a token appearing in d docs
     * contributes d² co-occurrence work to ONE reducer (its shuffle key) —
@@ -61,13 +68,25 @@ object InvertedJaccard {
 
   private def implSets(t: DataFrame, minJ: Double, salt: Int,
                        jacCol: String): DataFrame = {
-    val sizes = t.select(col("doc_id"), size(col("toks")).as("n"))
-    val postings = t.select(col("lang"), col("source"), col("doc_id"),
-      explode(col("toks")).as("tok"))
+    // lineage barrier: materialize the set column once per row BEFORE the
+    // self-join branches — otherwise InferFiltersFromConstraints +
+    // CollapseProject clone the whole set-building expression tree into
+    // pre-join Filters on BOTH sides, and whole-stage codegen recompiles
+    // the giant lambda chain per stage (measured: sf0.001 ngram took 3.3 s
+    // of pure plan overhead). localCheckpoint truncates the logical plan
+    // to the materialized rows (executor-local storage — a deliberate
+    // materialization point, like any indexing pass would be at 100 TB).
+    val tm = t.select(col("lang"), col("source"), col("doc_id"),
+        size(col("toks")).as("n"), col("toks"))
+      .localCheckpoint(eager = false)
+    // postings carry the owning set's size: the co-occurrence agg then has
+    // |A| and |B| in-row (first() under the groupBy) — no sizes re-join
+    val postings = tm.select(col("lang"), col("source"), col("doc_id"),
+      col("n"), explode(col("toks")).as("tok"))
     val a0 = postings.select(col("lang"), col("source"), col("tok"),
-      col("doc_id").as("d1"))
+      col("doc_id").as("d1"), col("n").as("na"))
     val b0 = postings.select(col("lang").as("lb"), col("source").as("sb"),
-      col("tok").as("tokb"), col("doc_id").as("d2"))
+      col("tok").as("tokb"), col("doc_id").as("d2"), col("n").as("nb"))
     // row-local salt on A (any assignment is result-invariant), B replicated
     val (a, b, saltCond) =
       if (salt <= 1) (a0, b0, lit(true))
@@ -75,11 +94,10 @@ object InvertedJaccard {
         a0.withColumn("_sa", pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int")),
         b0.withColumn("_sb", explode(sequence(lit(0), lit(salt - 1)))),
         col("_sa") === col("_sb"))
-    val co = a.join(b, col("lang") === col("lb") && col("source") === col("sb") &&
+    a.join(b, col("lang") === col("lb") && col("source") === col("sb") &&
         col("tok") === col("tokb") && col("d1") < col("d2") && saltCond)
-      .groupBy("d1", "d2").agg(count(lit(1)).as("ni"))
-    co.join(sizes.withColumnsRenamed(Map("doc_id" -> "d1", "n" -> "na")), "d1")
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "d2", "n" -> "nb")), "d2")
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("ni"), first("na").as("na"), first("nb").as("nb"))
       .select(col("d1"), col("d2"),
         (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as(jacCol))
       .filter(col(jacCol) >= minJ)

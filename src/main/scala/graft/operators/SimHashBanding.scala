@@ -47,11 +47,19 @@ object SimHashBanding {
     val bucketCond = bucketCols
       .map(c => col(c) === col(c + "2"))
       .foldLeft(lit(true))(_ && _)
+    // first-matching-band dedup: a pair colliding on several bands is kept
+    // only where every EARLIER band differs — exactly-once per pair with a
+    // cheap codegen predicate instead of a distinct() shuffle over the
+    // (much larger) candidate set
+    def bandVal(h: org.apache.spark.sql.Column, p: Int) =
+      shiftright(h, p * BandBits).bitwiseAND((1 << BandBits) - 1)
+    val earlierMatch = (0 until Bands - 1).map { p =>
+      col("band") > p && bandVal(col("h1"), p) === bandVal(col("h2"), p)
+    }.reduce(_ || _)
     a.join(b, col("band") === col("band2") && col("bval") === col("bval2") &&
-        col("d1") < col("d2") && bucketCond)
+        col("d1") < col("d2") && bucketCond && !earlierMatch)
       .select(col("d1"), col("d2"),
         bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
-      .distinct() // a pair can collide on several bands
       .filter(col("hamming") <= maxHamming)
       .orderBy("d1", "d2")
   }

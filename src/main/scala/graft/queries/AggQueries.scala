@@ -358,8 +358,11 @@ object AggQueries {
       val positions = ks.select(col("o_orderstatus"),
         explode(array(col("k50"), col("k50") + 1, col("k90"), col("k90") + 1)).as("pos"))
         .distinct()
+      // depth 1: adaptive bounds alone spread this domain; the recursive
+      // refinement level (RankSpec) is for adversarially-clustered domains
+      // and costs an extra round of driver-blocking jobs
       val vals = graft.operators.HistogramRank.valuesAtPositions(
-        orders, "o_orderstatus", "v", positions, bucketWidth = 1000.0)
+        orders, "o_orderstatus", "v", positions, depth = 1)
       // Classify the ≤12 positional values by tag in ONE pass (MAX-of-CASE,
       // the oracle's own shape) — a join per tag would re-evaluate the
       // whole rank subtree four times.
@@ -474,10 +477,24 @@ object AggQueries {
     },
 
     // HLL sketches are not bit-portable across engines → capability only;
-    // ScalaTest bounds-checks vs exact (AggSpec).
+    // ScalaTest bounds-checks vs exact (PropertySpec).
     Q.cap("cap_agg_approx") { (s, d) =>
       Tables.orders(s, d)
         .select(approx_count_distinct(col("o_custkey")).as("approx_cust"))
+    },
+
+    // Approximate percentile sketch: at 100 TB the exact HistogramRank
+    // percentiles (q_agg_percentile) trade for a mergeable single-pass
+    // sketch when interpolated exactness is waived. Sketch internals are
+    // not bit-portable across engines → capability only; PropertySpec
+    // bounds-checks against the exact query.
+    Q.cap("cap_agg_approx_percentile") { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("ap50"),
+          percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("ap90"))
+        .orderBy("o_orderstatus")
     }
   )
 }

@@ -109,6 +109,8 @@ object PipelineQueries {
         .filter(col("rn") <= 10)
         .select(col("lang").as("plang"), col("tg"))
       val docset = base.select("doc_id", "tg")
+      // measured-and-rejected (r3): broadcast(prof) breaks the shared
+      // ReusedExchange and re-runs the trigram agg per branch — 4.7→6.7 s
       docset.join(prof, "tg")
         .groupBy("doc_id", "plang").agg(count(lit(1)).as("ov"))
         .withColumn("rn", row_number().over(
@@ -176,14 +178,20 @@ object PipelineQueries {
       // (shingle, doc) postings and equi-join per shingle — pairs sharing
       // no shingle never materialize, unlike the oracle's bucket cross
       // join. JaccardSpec asserts bit-equality with the pairwise form.
+      // Shingle identity is pure int64 arithmetic (xxhash64 of the three
+      // token hashes — injective modulo ~2⁻⁶⁴ collisions, gate-verified):
+      // Jaccard depends only on set-membership counts, so any injective
+      // element mapping is exact, and the string-concat shingle build the
+      // oracle spells out never runs on the Spark side (the join-key
+      // constraint filter would re-evaluate it per row, measured 2-4×).
       val t = Tables.documents(s, d)
         .select(col("lang"), col("source"), col("doc_id"),
-          split(col("text"), " ").as("toks"))
+          expr("transform(split(text, ' '), t -> xxhash64(t))").as("th"))
         .select(col("lang"), col("source"), col("doc_id"),
           array_distinct(expr(
-            "transform(sequence(1, size(toks) - 2), " +
-              "i -> concat(element_at(toks, i), ' ', " +
-              "element_at(toks, i + 1), ' ', element_at(toks, i + 2)))")).as("sh"))
+            "transform(sequence(1, size(th) - 2), " +
+              "i -> xxhash64(element_at(th, i), " +
+              "element_at(th, i + 1), element_at(th, i + 2)))")).as("sh"))
       graft.operators.InvertedJaccard.pairsFromSets(t, "sh",
         minJ = 0.05, jacCol = "jac3")
     },

@@ -123,7 +123,7 @@ object WindowQueries {
          |GROUP BY q ORDER BY q""".stripMargin) { (s, d) =>
       val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
       val ranked = graft.operators.HistogramRank.withGlobalRank(
-        cust, "c_acctbal", Seq("c_custkey"), bucketWidth = 1.0, rankCol = "grk")
+        cust, "c_acctbal", Seq("c_custkey"), rankCol = "grk")
       val total = cust.agg(count(lit(1)).as("n"))
       // ntile(4) boundary i = i*(n div 4) + min(i, n mod 4)
       def bnd(i: Int) =

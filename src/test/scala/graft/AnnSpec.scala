@@ -50,6 +50,7 @@ class AnnSpec extends SparkSuite {
   }
 
   test("centroid-pruned exact top-pairs is bitwise-equal to brute force") {
+    graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions.dot
     val emb = Tables.embeddings(spark, sf("0.01"))
     val n = emb.select(col("vec_id"), col("embedding"),
@@ -67,6 +68,7 @@ class AnnSpec extends SparkSuite {
   }
 
   test("centroid pruning drops most cell pairs on a clustered corpus, exactly") {
+    graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions.dot
     // planted corpus: 16 tight clusters of 12 vectors in R^16 — the shape
     // of a real near-dup-bearing embedding table. Deterministic PRNG.
@@ -78,7 +80,7 @@ class AnnSpec extends SparkSuite {
     }
     val emb = spark.createDataFrame(rows).toDF("vec_id", "embedding")
     val (res, surv, total) =
-      graft.operators.ExactPairsTopK.topPairsWithStats(emb, k = 20, cells = 16)
+      graft.operators.ExactPairsTopK.topPairsWithStats(emb, k = 20, planes = 5)
     val n = emb.select(col("vec_id"), col("embedding"),
       dot(col("embedding"), col("embedding")).as("nrm"))
     val a = n.select(col("vec_id").as("v1"), col("embedding").as("ea"), col("nrm").as("na"))

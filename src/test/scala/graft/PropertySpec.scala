@@ -110,4 +110,17 @@ class PropertySpec extends SparkSuite {
       .select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.10)
   }
+
+  test("approx_percentile is within 1% of the exact percentiles") {
+    val d = sf("0.01")
+    val approx = SparkEntry.queries("cap_agg_approx_percentile")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = SparkEntry.queries("q_agg_percentile")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, (e50, e90)) <- exact; (a50, a90) = approx(k)) {
+      assert(math.abs(a50 - e50) / e50 < 0.01, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a90 - e90) / e90 < 0.01, s"$k p90: $a90 vs $e90")
+    }
+  }
 }

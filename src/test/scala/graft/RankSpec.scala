@@ -5,8 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** HistogramRank (the scale-safe positional-value primitive behind
-  * q_agg_percentile) must return exactly what the global-window form
-  * returns — including first/middle/last positions of every group.
+  * q_agg_percentile / q_window_ntile) must return exactly what the
+  * global-window form returns — including first/middle/last positions of
+  * every group — and must stay parallel under pathological value skew
+  * (adaptive bounds + hot-value tie split; no hardcoded bucket widths).
   */
 class RankSpec extends SparkSuite {
 
@@ -17,7 +19,7 @@ class RankSpec extends SparkSuite {
     val positions = nDf.select(col("o_orderstatus"),
       explode(array(lit(0L), (col("n") / 2).cast("long"), col("n") - 1)).as("pos"))
     val got = graft.operators.HistogramRank
-      .valuesAtPositions(orders, "o_orderstatus", "v", positions, bucketWidth = 1000.0)
+      .valuesAtPositions(orders, "o_orderstatus", "v", positions)
       .collect().map(r => (r.getString(0), r.getLong(1), r.get(2).toString)).toSet
     val w = Window.partitionBy("o_orderstatus").orderBy("v")
     val want = orders.withColumn("i", row_number().over(w).cast("long") - 1)
@@ -29,13 +31,78 @@ class RankSpec extends SparkSuite {
     assert(got.size == positions.count())
   }
 
+  test("HistogramRank recursion level (tiny fan-out) still matches") {
+    val orders = Tables.orders(spark, sf("0.001"))
+      .select(col("o_orderstatus"), col("o_totalprice").as("v"))
+    val nDf = orders.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    val positions = nDf.select(col("o_orderstatus"),
+      explode(array(lit(1L), (col("n") / 3).cast("long"), col("n") - 2)).as("pos"))
+      .filter(col("pos") >= 0)
+    // buckets = 4 forces every target bucket to be multi-valued ⇒ the
+    // recursive finer-histogram path runs (depth 2), then local sorts
+    val got = graft.operators.HistogramRank
+      .valuesAtPositions(orders, "o_orderstatus", "v", positions, buckets = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.get(2).toString)).toSet
+    val w = Window.partitionBy("o_orderstatus").orderBy("v")
+    val want = orders.withColumn("i", row_number().over(w).cast("long") - 1)
+      .join(positions.withColumnRenamed("o_orderstatus", "st"),
+        col("o_orderstatus") === col("st") && col("i") === col("pos"))
+      .select(col("o_orderstatus"), col("pos"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.get(2).toString)).toSet
+    assert(got == want)
+  }
+
   test("HistogramRank returns nothing for past-the-end positions") {
     val orders = Tables.orders(spark, sf("0.001"))
       .select(col("o_orderstatus"), col("o_totalprice").as("v"))
     val past = orders.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
       .select(col("o_orderstatus"), col("n").as("pos"))
     val got = graft.operators.HistogramRank
-      .valuesAtPositions(orders, "o_orderstatus", "v", past, bucketWidth = 1000.0)
+      .valuesAtPositions(orders, "o_orderstatus", "v", past)
     assert(got.count() == 0)
+  }
+
+  test("withGlobalRank is exact and stays parallel when one value holds 90%") {
+    import spark.implicits._
+    // 2000 rows, 1800 share value 42.0; unique tie keys
+    val rows = (0 until 2000).map { i =>
+      (if (i < 1800) 42.0 else 100.0 + i % 37, i.toLong)
+    }
+    val df = rows.toDF("v", "k")
+    val ranked = graft.operators.HistogramRank.withGlobalRank(
+      df, "v", Seq("k"), rankCol = "r", buckets = 64, hotGroup = 100,
+      keepBuckets = true)
+    val w = Window.orderBy("v", "k")
+    val want = df.withColumn("r", row_number().over(w).cast("long"))
+      .select("v", "k", "r").collect().map(x => (x.getDouble(0), x.getLong(1), x.getLong(2))).toSet
+    val got = ranked.select("v", "k", "r").collect()
+      .map(x => (x.getDouble(0), x.getLong(1), x.getLong(2))).toSet
+    assert(got == want)
+    // the hot value's 1800 rows must be spread over many tie sub-buckets —
+    // each (__hb, __tb) pair is an independent parallel sort partition
+    val hotBuckets = ranked.filter(col("v") === 42.0)
+      .select(countDistinct(col("__tb"))).collect()(0).getLong(0)
+    info(s"hot value split over $hotBuckets tie buckets")
+    assert(hotBuckets >= 16, s"hot value sorted in only $hotBuckets buckets")
+  }
+
+  test("valuesAtPositions answers skewed-median from the no-sort branch") {
+    import spark.implicits._
+    // one value holds 90% of rows ⇒ the median bucket is single-valued and
+    // must resolve directly (correctness is what we can observe; the
+    // single-valued shortcut guarantees no sort of the dominant bucket)
+    val rows = (0 until 5000).map { i =>
+      ("g", if (i < 4500) 7.5 else i.toDouble)
+    }
+    val df = rows.toDF("g", "v")
+    val positions = Seq(("g", 2500L), ("g", 0L), ("g", 4999L)).toDF("g", "pos")
+    val got = graft.operators.HistogramRank
+      .valuesAtPositions(df, "g", "v", positions)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    val w = Window.partitionBy("g").orderBy("v")
+    val want = df.withColumn("i", row_number().over(w).cast("long") - 1)
+      .filter(col("i").isin(2500L, 0L, 4999L))
+      .collect().map(r => (r.getLong(2), r.getDouble(1))).toMap
+    assert(got == want)
   }
 }

@@ -240,4 +240,46 @@ class StreamingSpec extends SparkSuite {
       .option("dbtable", "stream_sink").load().count()
     assert(n == base.length)
   }
+
+  test("s_stream_rocksdb: tumbling agg on the RocksDB state store == batch twin") {
+    // The 100 TB streaming state story (SURVEY §7.5): keyed state lives in
+    // per-partition RocksDB instances (native memory + local disk with
+    // changelog/snapshot files), not on the executor heap — state size
+    // stops being bounded by JVM memory. Same query, same results; the
+    // provider swap is pure configuration.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = StreamOps.tumblingCounts(mem.toDF()).writeStream
+        .format("memory").queryName("s_rocksdb").outputMode("append").start()
+      mem.addData(fixture)
+      q.processAllAvailable()
+      mem.addData(Seq(sentinel))
+      q.processAllAvailable()
+      // prove RocksDB actually held the state: the state operator exports
+      // rocksdb-prefixed custom metrics only under this provider
+      val metrics = q.lastProgress.stateOperators(0).customMetrics
+      assert(metrics.keySet().toArray.exists(_.toString.startsWith("rocksdb")),
+        s"no rocksdb metrics in $metrics")
+      q.stop()
+      val got = spark.table("s_rocksdb")
+        .filter(col("event_type") =!= "sentinel")
+        .select(col("bucket"), col("event_type"), col("cnt"), col("sum_value"))
+        .collect().map(_.toString).sorted.toSeq
+      val want = SparkEntry.queries("q_window_tumbling_batch")(spark, sf("0.001"))
+        .select(col("bucket").cast("timestamp"), col("event_type"), col("cnt"), col("sum_value"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }

@@ -19,10 +19,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def run_verify(sf_dir, out_dir, run=True):
+def run_verify(sf_dir, out_dir, run=True, only=()):
     if not run:
         return
-    cmd = ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}']
+    names = " ".join(only)
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir} {names}'.strip()]
     r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True)
     for line in r.stdout.splitlines():
         if "[verify]" in line or "error" in line.lower():
@@ -136,7 +137,7 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
     only = set(sys.argv[3:])
-    run_verify(sf_dir, out_dir, run=not os.environ.get("SKIP_VERIFY"))
+    run_verify(sf_dir, out_dir, run=not os.environ.get("SKIP_VERIFY"), only=sorted(only))
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
