@@ -18,6 +18,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "graft_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[graft.functions.CharNGrams].getName, "graft_ngrams"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.CharNGrams(children(0), children(1))))
     // Whole-operator as-of join: plans AsOfJoinNode into the single-pass
     // partitioned-merge AsOfJoinExec (graft.plans).
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)

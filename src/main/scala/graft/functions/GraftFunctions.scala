@@ -7,10 +7,17 @@ import org.apache.spark.sql.functions.call_function
 object GraftFunctions {
 
   /** Idempotent: register graft_* functions in the session's registry. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", children => DotProduct(children(0), children(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ngrams", children => CharNGrams(children(0), children(1)), "built-in")
+  }
 
   /** Codegen'd dot product; requires register(spark) in the session. */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Codegen'd character n-grams; requires register(spark) in the session. */
+  def ngrams(s: Column, n: Int): Column =
+    call_function("graft_ngrams", s, org.apache.spark.sql.functions.lit(n))
 }

@@ -94,24 +94,33 @@ object PipelineQueries {
         |  FROM score)
         |SELECT doc_id, pred_lang, ov FROM pred WHERE rn = 1
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val tri = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tg"))
-      // per-(doc, tg) counts feed BOTH the profile aggregation and the
-      // distinct doc set through ONE shared shuffle (ReusedExchange).
-      // Measured alternatives that do NOT win: localCheckpoint of the
-      // explode (r1), and profile-broadcast prefilter before the distinct
-      // (r2: re-explodes the corpus per branch — 4.9 s → 6.1 s at sf0.1).
-      val base = tri.groupBy("doc_id", "lang", "tg").agg(count(lit(1)).as("c"))
-      val prof = base.groupBy("lang", "tg").agg(sum("c").as("c"))
+      // The trigram base is NEVER shuffled at doc granularity. Earlier
+      // forms paid one (or two) full (doc_id, lang, tg) exchanges —
+      // measured 4.7 s at sf0.1 for the best shared-exchange variant, and
+      // worse for every broadcast tweak that split the shared exchange
+      // (r2: 6.1 s, r3: 6.7 s). Instead:
+      //  - profile branch aggregates straight to (lang, tg): map-side
+      //    partial aggregation bounds the shuffle at
+      //    #langs × #distinct-trigrams rows per task, corpus-size-free;
+      //  - doc branch computes per-doc DISTINCT trigrams row-locally
+      //    (array_distinct — no exchange) and broadcast-joins the
+      //    ≤ 10×#langs-row profile, so only profile hits (≤ 10×#langs
+      //    per doc) ever reach the (doc_id) shuffle.
+      // The corpus is trigram-transformed twice, but through the O(len)
+      // codegen'd graft_ngrams (the substring-per-index builtin form is
+      // O(len²) per doc — see CharNGrams scaladoc for the measurements);
+      // at 100 TB the deleted exchanges dominate.
+      graft.functions.GraftFunctions.register(s)
+      val tgsOf = graft.functions.GraftFunctions.ngrams(col("text"), 3)
+      val docs = Tables.documents(s, d)
+      val prof = docs.select(col("lang"), explode(tgsOf).as("tg"))
+        .groupBy("lang", "tg").agg(count(lit(1)).as("c"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("lang").orderBy(col("c").desc, col("tg"))))
         .filter(col("rn") <= 10)
         .select(col("lang").as("plang"), col("tg"))
-      val docset = base.select("doc_id", "tg")
-      // measured-and-rejected (r3): broadcast(prof) breaks the shared
-      // ReusedExchange and re-runs the trigram agg per branch — 4.7→6.7 s
-      docset.join(prof, "tg")
+      val docset = docs.select(col("doc_id"), explode(array_distinct(tgsOf)).as("tg"))
+      docset.join(broadcast(prof), "tg")
         .groupBy("doc_id", "plang").agg(count(lit(1)).as("ov"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("ov").desc, col("plang"))))
