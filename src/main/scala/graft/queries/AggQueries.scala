@@ -495,6 +495,26 @@ object AggQueries {
           percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("ap50"),
           percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("ap90"))
         .orderBy("o_orderstatus")
+    },
+
+    // Mergeable distinct-count sketches (DataSketches HLL): the incremental
+    // 100 TB pattern. Stage 1 builds one small binary sketch per
+    // (status, order-month) partition — at scale these are persisted next to
+    // each day's ingest; stage 2 answers per-status distinct customers by
+    // UNIONing the partials (hll_union_agg), never rescanning the fact
+    // table. PropertySpec asserts the merged estimate tracks both the exact
+    // count and the single-pass sketch.
+    Q.cap("cap_agg_sketch_merge") { (s, d) =>
+      val partials = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"),
+          date_trunc("month", col("o_orderdate")).as("om"))
+        .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"))
+      partials
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_partials"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_cust"))
+        .orderBy("o_orderstatus")
     }
   )
 }

@@ -111,6 +111,30 @@ class PropertySpec extends SparkSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.10)
   }
 
+  test("merged HLL partials track exact distinct counts and the single-pass sketch") {
+    val d = sf("0.01")
+    val merged = SparkEntry.queries("cap_agg_sketch_merge")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.orders(spark, d)
+      .groupBy("o_orderstatus").agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val onePass = Tables.orders(spark, d)
+      .groupBy("o_orderstatus")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"), lit(12))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.keySet == exact.keySet)
+    for ((k, n) <- exact; (parts, est) = merged(k)) {
+      assert(parts > 1, s"$k: expected multiple monthly partials, got $parts")
+      // Union of partials is NOT bit-identical to the one-pass sketch
+      // (sparse partials promote through a different register path), but
+      // both must sit inside HLL's error envelope of each other and of
+      // the exact count.
+      assert(math.abs(est - onePass(k)).toDouble / onePass(k) < 0.03,
+        s"$k: merged $est vs one-pass ${onePass(k)}")
+      assert(math.abs(est - n).toDouble / n < 0.05, s"$k: $est vs exact $n")
+    }
+  }
+
   test("approx_percentile is within 1% of the exact percentiles") {
     val d = sf("0.01")
     val approx = SparkEntry.queries("cap_agg_approx_percentile")(spark, d)
