@@ -341,6 +341,84 @@ object PipelineQueries {
             x => floor(x.cast("double") * 1000000).cast("long").cast("string")), ",")
             .as("features_q"))
         .orderBy("doc_id")
+    },
+
+    // Deterministic train/test split: assignment is a pure function of the
+    // row key (md5 prefix < 'cd' ⇒ 205/256 ≈ 80 % train), so the split is
+    // reproducible across runs, engines, partitionings and incremental
+    // ingests — the property random() splits lack. Embarrassingly
+    // parallel: one map per row + one count agg; the whole-frame share
+    // window runs over the ≤|splits×langs| aggregated rows, not the data.
+    Q("q_split_train_test",
+      """SELECT split, lang, n_docs,
+        |  CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS share
+        |FROM (
+        |  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+        |           THEN 'train' ELSE 'test' END AS split,
+        |    lang, COUNT(*) AS n_docs
+        |  FROM documents GROUP BY 1, 2)
+        |ORDER BY split, lang""".stripMargin) { (s, d) =>
+      val split = when(
+        substring(md5(col("doc_id").cast("string")), 1, 2) < "cd", "train")
+        .otherwise("test")
+      val agg = Tables.documents(s, d)
+        .groupBy(split.as("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      agg.withColumn("share",
+          col("n_docs").cast("double") /
+            sum("n_docs").over(Window.partitionBy()))
+        .orderBy("split", "lang")
+    },
+
+    // Deterministic per-group sample: top-5 docs per (lang, source) by md5
+    // of the key — an order-stable stratified sample (same rows on every
+    // run/engine). The window partitions on the strata key, so each
+    // stratum sorts independently; no global sort, no driver collect.
+    Q("q_sample_group",
+      """SELECT lang, source, doc_id, rk FROM (
+        |  SELECT lang, source, doc_id,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY lang, source, rk""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("lang", "source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("source"), col("doc_id"),
+          row_number().over(w).cast("long").as("rk"))
+        .filter(col("rk") <= 5)
+        .orderBy("lang", "source", "rk")
+    },
+
+    // Per-label embedding centroids (the class-prototype op: k-NN seeds,
+    // IVF coarse quantizers, contrastive-pair mining all start here).
+    // posexplode fans each vector to (pos, v) rows; the mean folds in
+    // vec_id order — an identical IEEE add sequence in both engines, so
+    // the gate compares bitwise (FP addition is order-dependent; a plain
+    // avg() is partition-order FP noise). The scale twin is plain
+    // avg(v) per (label, pos) — pure map-side-combine linear form —
+    // asserted within 1e-9 of this fold in PropertySpec.
+    Q("q_embed_centroid",
+      """SELECT label, pos,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(v ORDER BY vec_id)),
+        |    (a, b) -> a + b) / COUNT(*) AS centroid
+        |FROM (
+        |  SELECT label, vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |    unnest(range(len(embedding))) AS pos
+        |  FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), col("vec_id"),
+          posexplode(col("embedding")))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          col("vec_id"), col("col").cast("double").as("v"))
+        .groupBy("label", "pos")
+        .agg(collect_list(struct(col("vec_id"), col("v"))).as("xs"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("pos"),
+          (aggregate(array_sort(col("xs")), lit(0.0),
+            (acc, x) => acc + x.getField("v")) / col("n")).as("centroid"))
+        .orderBy("label", "pos")
     }
   )
 }
