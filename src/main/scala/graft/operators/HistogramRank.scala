@@ -116,32 +116,45 @@ object HistogramRank {
     * @param groupCol  grouping column name
     * @param valueCol  numeric column to rank by
     * @param positions tiny DataFrame of (group, pos) targets, 0-based;
-    *                  broadcast to every stage
+    *                  broadcast to every stage (duplicate targets are fine —
+    *                  they just emit duplicate output rows)
     * @param buckets   histogram fan-out per level
     * @param depth     recursion depth: multi-valued target buckets are
     *                  re-histogrammed (buckets× finer) this many levels
     *                  before a local sort
+    * @param stats     optional precomputed per-group (groupCol, lo, hi)
+    *                  domain bounds — callers that already aggregate
+    *                  per-group statistics (e.g. counts for percentile
+    *                  positions) pass them here to drop one full scan;
+    *                  recursion levels always compute their own
     * @return (grp, pos, v) — one row per target position that exists;
     *         positions past the end of a group yield no row
     */
   def valuesAtPositions(df: DataFrame, groupCol: String, valueCol: String,
                         positions: DataFrame, buckets: Int = 1024,
-                        depth: Int = 2): DataFrame = {
+                        depth: Int = 2,
+                        stats: Option[DataFrame] = None): DataFrame = {
     val r = df.select(col(groupCol).cast("string").as("grp"),
       col(valueCol).as("v"))
     val tgt = positions.toDF("__g0", "pos")
       .select(col("__g0").cast("string").as("grp"), col("pos").cast("long").as("pos"))
+    val st = stats.map(_.toDF("__g0", "__lo", "__hi")
+      .select(col("__g0").cast("string").as("grp"),
+        col("__lo").cast("double").as("__glo"),
+        col("__hi").cast("double").as("__ghi")))
     // groups travel internally as strings (recursion composes sub-group
     // keys); cast back at the end — string round-trip is the identity for
     // the string/integer/timestamp group keys this engine uses
-    go(r, tgt, buckets, depth)
+    go(r, tgt, buckets, depth, st)
       .select(col("grp").cast(df.schema(groupCol).dataType).as("grp"),
         col("pos"), col("v"))
   }
 
-  private def go(r: DataFrame, tgt: DataFrame, nb: Int, depth: Int): DataFrame = {
-    val stats = r.groupBy("grp").agg(min(col("v").cast("double")).as("__glo"),
-      max(col("v").cast("double")).as("__ghi"))
+  private def go(r: DataFrame, tgt: DataFrame, nb: Int, depth: Int,
+                 statsIn: Option[DataFrame] = None): DataFrame = {
+    val stats = statsIn.getOrElse(
+      r.groupBy("grp").agg(min(col("v").cast("double")).as("__glo"),
+        max(col("v").cast("double")).as("__ghi")))
     // broadcast: stats is one row per group — a plain join would shuffle
     // the whole table by the (low-cardinality) group key. localCheckpoint:
     // the bucketed rows feed the histogram AND both resolution branches

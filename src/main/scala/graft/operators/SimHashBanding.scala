@@ -3,16 +3,31 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Banded SimHash candidate generation — the linear-scale form of
-  * q_dedup_simhash's bucket self-join.
+/** Density-aware SimHash near-dup pair generation — the linear-scale form
+  * of q_dedup_simhash's bucket self-join.
   *
-  * Pigeonhole guarantee: split a 30-bit fingerprint into 5 bands of 6
-  * bits; any pair with Hamming distance ≤ 4 differs in at most 4 bands, so
-  * at least one band is identical — an equi-join on (band_idx, band_value)
-  * finds every such pair. At 100 TB that is one shuffle on band values
-  * (linear in candidates) instead of an O(n²) per-bucket cross join; the
-  * exact Hamming check then verifies candidates. SimHashSpec asserts the
-  * candidate set covers the exact q_dedup_simhash pairs.
+  * Two physical plans, routed per bucket by MEASURED bucket size:
+  *
+  *  - small buckets (≤ `directMax` docs): the plain bucket equi-self-join
+  *    the oracle spells out — m²/2 codegen'd xor/bit_count comparisons per
+  *    bucket, no explode, no extra shuffle. At ≤ 8k docs a bucket that is
+  *    ≤ 34M cheap comparisons inside one task: fractions of a second.
+  *  - large buckets: banded candidate generation. Pigeonhole guarantee:
+  *    split a 30-bit fingerprint into 5 bands of 6 bits; any pair with
+  *    Hamming distance ≤ 4 differs in at most 4 bands, so at least one
+  *    band is identical — an equi-join on (band_idx, band_value) finds
+  *    every such pair, linear in candidates instead of O(m²) per bucket.
+  *
+  * Why route at all (the round-3 lesson, BENCH_r03): on a duplicate-dense
+  * corpus near-identical fingerprints collide on MOST bands, so banding
+  * produces up to Bands× the candidates of the direct join it replaces —
+  * measured 4.5× slower on this fixture, where no (lang, source) bucket
+  * exceeds ~112 docs. Banding only pays when m²/2 per-bucket work dwarfs
+  * the candidate count, i.e. for buckets too large to cross — exactly the
+  * 100 TB case. The routing statistic is a metadata-scale aggregate
+  * (one count per bucket, broadcast); both plans are exact (banding
+  * verifies candidates with the true Hamming distance), so routing cannot
+  * change the result set — SimHashSpec asserts direct ≡ banded ≡ routed.
   */
 object SimHashBanding {
 
@@ -20,14 +35,56 @@ object SimHashBanding {
   private val BandBits = 6
 
   /** Hamming ≤ maxHamming pairs (d1 < d2) from a (doc_id, simhash) frame,
-    * via banded candidate generation + exact verification. `bucketCols`
-    * (e.g. lang/source) are appended to the band equi-join key, restricting
-    * pairs to the same bucket without any per-bucket cross join.
-    * Requires maxHamming < Bands. */
+    * routed per bucket: direct self-join for buckets ≤ `directMax` docs,
+    * banded candidate generation above. `bucketCols` (e.g. lang/source)
+    * restrict pairs to the same bucket. Requires maxHamming < Bands. */
   def pairs(fingerprints: DataFrame, maxHamming: Int,
-            bucketCols: Seq[String] = Nil): DataFrame = {
+            bucketCols: Seq[String] = Nil,
+            directMax: Long = 8192): DataFrame = {
     require(maxHamming < Bands,
       s"pigeonhole needs maxHamming < $Bands bands")
+    // lineage barrier: the (expensive) fingerprint aggregation feeds the
+    // size statistic plus both sides of both join branches — without it
+    // the tokenize+30-bit-sum subtree re-runs up to 5×
+    val fp = fingerprints.localCheckpoint(eager = false)
+    val sized =
+      if (bucketCols.isEmpty)
+        fp.crossJoin(broadcast(fp.groupBy().agg(count(lit(1)).as("__bn"))))
+      else {
+        val sizes = fp.groupBy(bucketCols.map(col): _*)
+          .agg(count(lit(1)).as("__bn"))
+        fp.join(broadcast(sizes), bucketCols)
+      }
+    val small = sized.filter(col("__bn") <= directMax).drop("__bn")
+    val large = sized.filter(col("__bn") > directMax).drop("__bn")
+    directPairs(small, maxHamming, bucketCols)
+      .unionByName(bandedPairs(large, maxHamming, bucketCols))
+      .orderBy("d1", "d2")
+  }
+
+  /** The oracle's own plan: equi-self-join on the bucket columns (a pure
+    * cross join when bucketCols is empty — only ever routed to for frames
+    * below `directMax` rows), exact Hamming filter. Right when buckets are
+    * small or duplicate-dense. */
+  def directPairs(fingerprints: DataFrame, maxHamming: Int,
+                  bucketCols: Seq[String] = Nil): DataFrame = {
+    val a = fingerprints.select(bucketCols.map(col) ++
+      Seq(col("doc_id").as("d1"), col("simhash").as("h1")): _*)
+    val b = fingerprints.select(bucketCols.map(c => col(c).as(c + "2")) ++
+      Seq(col("doc_id").as("d2"), col("simhash").as("h2")): _*)
+    val bucketCond = bucketCols.map(c => col(c) === col(c + "2"))
+      .foldLeft(col("d1") < col("d2"))(_ && _)
+    a.join(b, bucketCond)
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Banded candidate generation + exact verification — the large-bucket
+    * path. One shuffle on (band, value, bucket) keys; candidates verified
+    * with the true Hamming distance. */
+  def bandedPairs(fingerprints: DataFrame, maxHamming: Int,
+                  bucketCols: Seq[String] = Nil): DataFrame = {
     val banded = fingerprints.select(
       (Seq(col("doc_id"), col("simhash")) ++ bucketCols.map(col) :+
         explode(array((0 until Bands).map { b =>
@@ -61,6 +118,5 @@ object SimHashBanding {
       .select(col("d1"), col("d2"),
         bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .orderBy("d1", "d2")
   }
 }

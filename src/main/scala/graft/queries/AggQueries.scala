@@ -348,21 +348,30 @@ object AggQueries {
         |FROM k GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
       val orders = Tables.orders(s, d)
         .select(col("o_orderstatus"), col("o_totalprice").as("v"))
-      val nDf = orders.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      // ONE stats scan feeds the percentile positions AND the histogram's
+      // domain bounds (HistogramRank's stats hook); the lazy checkpoint
+      // stops each broadcast of a derived frame from re-running the scan
+      val nDf = orders.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          min(col("v").cast("double")).as("lo"),
+          max(col("v").cast("double")).as("hi"))
+        .localCheckpoint(eager = false)
       def pctCols(p: Double, tag: String) = {
         val pos = lit(p) * (col("n") - 1)
         Seq(floor(pos).cast("bigint").as(s"k$tag"), (pos - floor(pos)).as(s"f$tag"))
       }
       val ks = nDf.select(Seq(col("o_orderstatus")) ++
         pctCols(0.5, "50") ++ pctCols(0.9, "90"): _*)
+      // duplicate positions (k50+1 == k90 etc.) are harmless downstream —
+      // the MAX-of-CASE agg dedups — so no distinct() shuffle
       val positions = ks.select(col("o_orderstatus"),
         explode(array(col("k50"), col("k50") + 1, col("k90"), col("k90") + 1)).as("pos"))
-        .distinct()
       // depth 1: adaptive bounds alone spread this domain; the recursive
       // refinement level (RankSpec) is for adversarially-clustered domains
       // and costs an extra round of driver-blocking jobs
       val vals = graft.operators.HistogramRank.valuesAtPositions(
-        orders, "o_orderstatus", "v", positions, depth = 1)
+        orders, "o_orderstatus", "v", positions, depth = 1,
+        stats = Some(nDf.select("o_orderstatus", "lo", "hi")))
       // Classify the ≤12 positional values by tag in ONE pass (MAX-of-CASE,
       // the oracle's own shape) — a join per tag would re-evaluate the
       // whole rank subtree four times.
