@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   * for near-dup sims (≥0.9, see [[SimHashBanding]]); for exact moderate-sim
   * top-k the provable accelerator is geometric:
   *
-  *  1. cells from `planes` fixed random hyperplane signs (deterministic
-  *     seed; one codegen'd pass — cheaper than a k-means fit, and the
-  *     bound below is valid for ANY cell assignment);
+  *  1. cells from `planes` pseudo-random hyperplane signs with components
+  *     derived from hash(position, plane) inside the expression
+  *     (deterministic, dim-agnostic, no driver probe — cheaper than a
+  *     k-means fit, and the bound below is valid for ANY cell assignment);
   *  2. per-cell mean centroid + angular radius r_c = max angle(v, c) —
   *     both fully lazy aggregations;
   *  3. lower bound s_lb = k-th best sim among SAME-CELL pairs (a subset of
@@ -65,15 +66,21 @@ object ExactPairsTopK {
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions.dot
 
-    val dim = embeddings.select(size(col("embedding")).as("d")).first().getInt(0)
-    val rnd = new scala.util.Random(42)
-    val planeVecs = Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
-    val cellExpr = planeVecs.zipWithIndex.map { case (h, i) =>
-      when(dot(col("embedding"), typedLit(h.toSeq)) > 0, lit(1 << i)).otherwise(lit(0))
+    // Pseudo-random hyperplanes with components derived from hash(p, i)
+    // INSIDE the expression — no data-dependent dim probe, so constructing
+    // the plan fires no driver action (the round-3 `.first()` made plan
+    // construction eager). The triangle-inequality bound is valid for ANY
+    // cell assignment, so hyperplane quality only affects pruning rate,
+    // and uniform[-1,1] components partition as well as gaussians here.
+    val cellExpr = (0 until planes).map { i =>
+      val proj = expr(
+        "aggregate(sequence(0, size(embedding) - 1), CAST(0.0 AS DOUBLE), " +
+          s"(acc, p) -> acc + embedding[p] * ((pmod(hash(p, $i), 2001) - 1000) / 1000.0))")
+      when(proj > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-    // lineage barrier: three separate actions (s_lb, survivors, result)
-    // would otherwise each re-scan and re-hash the corpus
+    // lineage barrier: the remaining actions (s_lb now; survivors/result at
+    // execution) would otherwise each re-scan and re-hash the corpus
     val normed = embeddings.select(col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("nrm"))
       .withColumn("cell", cellExpr)

@@ -8,32 +8,171 @@ import org.apache.spark.sql.types._
   * columns"): opaque binary payloads + typed metadata, decoded per
   * partition in batches.
   *
-  * The actual codec step is a clearly-marked STUB — this container ships
-  * no image/audio libraries — but everything Spark-side is real: the
-  * binary column schema, the metadata struct, the repartitioning, and the
-  * mapPartitions batch shape (the Scala twin of Python's mapInPandas: one
-  * iterator of rows per partition, features emitted columnar-ready). A
-  * real deployment swaps `stubDecode` for a JNI/ONNX call with the same
-  * signature.
+  * The decoder is REAL for codec-free rasters — PPM (P6), PGM (P5) and
+  * uncompressed 24-bit BMP are parsed in pure JVM (no native libs) and
+  * yield true pixel statistics (dimensions, channel means, intensity
+  * moments). Payloads in any other format fall back to deterministic
+  * byte-level features; that fallback is the documented seam where a real
+  * deployment plugs a JNI/ONNX codec with the same batch signature. The
+  * Spark side — binary column schema, metadata struct, repartitioning,
+  * whole-partition batched iteration (the Scala twin of Python's
+  * mapInPandas) — is identical for both paths.
   */
 object Multimodal {
 
-  /** Attach an opaque binary payload + metadata struct. The fixture has no
-    * true media blobs, so the utf-8 text bytes stand in as the payload —
-    * the schema and IO path are what matters. */
-  def attachBinary(documents: DataFrame): DataFrame =
+  /** A decoded raster: interleaved channel samples in [0, 255], row-major
+    * top-down. */
+  final case class Raster(width: Int, height: Int, channels: Int,
+                          samples: Array[Int])
+
+  /** Attach an opaque binary payload + metadata struct. The fixture ships
+    * no media blobs, so each document's text is rendered into a REAL
+    * 16×16 binary PPM (P6 header + 768 sample bytes, text-derived,
+    * zero-padded) — the downstream decoder then exercises the true codec
+    * path end-to-end rather than a checksum. Byte-exact construction:
+    * concat/substring on BinaryType, no char/byte ambiguity. */
+  def attachBinary(documents: DataFrame): DataFrame = {
+    val w = 16; val h = 16
+    val body = w * h * 3
+    val header = lit(s"P6\n$w $h\n255\n".getBytes("US-ASCII"))
+    val padded = concat(encode(col("text"), "UTF-8"),
+      lit(Array.fill[Byte](body)(0)))
     documents.select(
       col("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"),
+      concat(header, substring(padded, 1, body)).as("payload"),
       struct(
         length(col("text")).cast("long").as("n_bytes"),
-        lit("application/octet-stream").as("mime"),
-        (col("doc_id") % 4 + 1).cast("int").as("channels")).as("meta"))
+        lit("image/x-portable-pixmap").as("mime"),
+        lit(3).cast("int").as("channels")).as("meta"))
+  }
 
-  /** STUB decoder: deterministic fake features from the first bytes of the
-    * payload. ??? -> replace with the real codec (e.g. JNI image decode +
-    * model forward) keeping this exact batch shape. */
-  private def stubDecode(payload: Array[Byte], dims: Int): Array[Float] = {
+  /** Pure-JVM decode of PPM (P6) / PGM (P5) / uncompressed 24-bit BMP.
+    * None for anything else (including malformed headers) — callers fall
+    * back to byte features. */
+  def decodeRaster(payload: Array[Byte]): Option[Raster] = {
+    if (payload == null || payload.length < 2) None
+    else if (payload(0) == 'P' && (payload(1) == '5' || payload(1) == '6'))
+      decodePnm(payload)
+    else if (payload(0) == 'B' && payload(1) == 'M') decodeBmp(payload)
+    else None
+  }
+
+  /** PNM binary formats: "P6" (RGB) / "P5" (gray), ASCII header of
+    * width/height/maxval with '#' comments, one whitespace, raw samples.
+    * maxval must fit a byte (≤ 255). */
+  private def decodePnm(b: Array[Byte]): Option[Raster] = {
+    val channels = if (b(1) == '6') 3 else 1
+    var i = 2
+    def skipWs(): Unit = {
+      var run = true
+      while (run && i < b.length) {
+        val c = b(i)
+        if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
+        else run = false
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = 0; var any = false
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0'); i += 1; any = true
+      }
+      if (any) v else -1
+    }
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+    i += 1 // single whitespace after maxval, then raw data
+    val n = w * h * channels
+    if (i + n > b.length) return None
+    val out = new Array[Int](n)
+    var k = 0
+    while (k < n) { out(k) = b(i + k) & 0xff; k += 1 }
+    Some(Raster(w, h, channels, out))
+  }
+
+  /** BMP, BITMAPINFOHEADER, 24 bpp, BI_RGB (uncompressed): BGR samples,
+    * rows padded to 4 bytes, bottom-up unless height < 0. Emitted as RGB
+    * top-down. */
+  private def decodeBmp(b: Array[Byte]): Option[Raster] = {
+    if (b.length < 54) return None
+    def le32(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    val dataOff = le32(10)
+    val w = le32(18)
+    val hRaw = le32(22)
+    val bpp = le16(28)
+    val compression = le32(30)
+    if (w <= 0 || hRaw == 0 || bpp != 24 || compression != 0) return None
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    val rowBytes = (w * 3 + 3) & ~3
+    if (dataOff < 0 || dataOff.toLong + rowBytes.toLong * h > b.length) return None
+    val out = new Array[Int](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = dataOff + (if (topDown) y else h - 1 - y) * rowBytes
+      var x = 0
+      while (x < w) {
+        val s = srcRow + x * 3
+        val d = (y * w + x) * 3
+        out(d) = b(s + 2) & 0xff     // R
+        out(d + 1) = b(s + 1) & 0xff // G
+        out(d + 2) = b(s) & 0xff     // B
+        x += 1
+      }
+      y += 1
+    }
+    Some(Raster(w, h, 3, out))
+  }
+
+  /** Pixel-statistic feature vector from a decoded raster, `dims` floats:
+    * [w, h, channels, mean/255, std/255, chan0/255, chan1/255, chan2/255,
+    * then a (dims−8)-bin normalized intensity histogram]; truncated or
+    * zero-padded to `dims`. std is the population standard deviation over
+    * all samples. Deterministic and hand-computable (AnnSpec checks a
+    * handwritten fixture image). */
+  def rasterFeatures(r: Raster, dims: Int): Array[Float] = {
+    val n = r.samples.length
+    var s = 0.0; var s2 = 0.0
+    val chSum = new Array[Double](3)
+    var k = 0
+    while (k < n) {
+      val v = r.samples(k)
+      s += v; s2 += v.toDouble * v
+      chSum(k % r.channels) += v
+      k += 1
+    }
+    val mean = s / n
+    val std = math.sqrt(math.max(0.0, s2 / n - mean * mean))
+    val perCh = n / r.channels
+    val base = Array[Float](
+      r.width.toFloat, r.height.toFloat, r.channels.toFloat,
+      (mean / 255.0).toFloat, (std / 255.0).toFloat,
+      (chSum(0) / perCh / 255.0).toFloat,
+      (if (r.channels > 1) chSum(1) / perCh / 255.0 else 0.0).toFloat,
+      (if (r.channels > 2) chSum(2) / perCh / 255.0 else 0.0).toFloat)
+    val out = new Array[Float](dims)
+    System.arraycopy(base, 0, out, 0, math.min(8, dims))
+    if (dims > 8) {
+      val bins = dims - 8
+      val histo = new Array[Int](bins)
+      k = 0
+      while (k < n) {
+        histo(math.min(bins - 1, r.samples(k) * bins / 256)) += 1
+        k += 1
+      }
+      var j = 0
+      while (j < bins) { out(8 + j) = (histo(j).toDouble / n).toFloat; j += 1 }
+    }
+    out
+  }
+
+  /** Fallback for unrecognized codecs: deterministic features from the
+    * first bytes of the payload. The seam where a real deployment plugs a
+    * JNI/ONNX decoder with the same (payload, dims) => features shape. */
+  private def byteFallback(payload: Array[Byte], dims: Int): Array[Float] = {
     val out = new Array[Float](dims)
     var i = 0
     while (i < dims) {
@@ -42,6 +181,14 @@ object Multimodal {
     }
     out
   }
+
+  /** Decode one payload to `dims` features: real raster statistics when
+    * the payload parses as PPM/PGM/BMP, byte fallback otherwise. */
+  def decodePayload(payload: Array[Byte], dims: Int): Array[Float] =
+    decodeRaster(payload) match {
+      case Some(r) => rasterFeatures(r, dims)
+      case None    => byteFallback(payload, dims)
+    }
 
   /** Per-partition batched feature extraction over the binary column. */
   def decodeFeatures(withBinary: DataFrame, dims: Int): DataFrame = {
@@ -55,9 +202,9 @@ object Multimodal {
       .repartition(parts)
       .rdd.mapPartitions { it =>
         // batch shape: whole-partition iterator, rows processed in order —
-        // a real decoder would buffer N payloads and run a vectorized call
+        // a vectorized decoder would buffer N payloads per native call
         it.map { r =>
-          val feats = stubDecode(r.getAs[Array[Byte]]("payload"), dims)
+          val feats = decodePayload(r.getAs[Array[Byte]]("payload"), dims)
           Row(r.getLong(0), r.getLong(2), feats.toSeq)
         }
       }

@@ -106,8 +106,50 @@ class AnnSpec extends SparkSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
-  test("multimodal decode keeps schema, count, and determinism") {
-    // Operator level: the typed array column is real…
+  test("raster decoder: handwritten P6 fixture yields hand-computed stats") {
+    import graft.operators.Multimodal
+    // 2×2 RGB: red, green / blue, white — every stat is exactly 0.5
+    val pixels = Array[Byte](
+      255.toByte, 0, 0, 0, 255.toByte, 0,
+      0, 0, 255.toByte, 255.toByte, 255.toByte, 255.toByte)
+    val ppm = ("P6\n# comment\n2 2\n255\n".getBytes("US-ASCII")) ++ pixels
+    val r = Multimodal.decodeRaster(ppm).get
+    assert(r.width == 2 && r.height == 2 && r.channels == 3)
+    assert(r.samples.toSeq == pixels.map(_ & 0xff).toSeq)
+    val f = Multimodal.rasterFeatures(r, 8)
+    assert(f.toSeq == Seq(2f, 2f, 3f, 0.5f, 0.5f, 0.5f, 0.5f, 0.5f))
+    // histogram tail: 12 samples, 2 bins → 6 dark (0), 6 bright (255)
+    val f10 = Multimodal.rasterFeatures(r, 10)
+    assert(f10(8) == 0.5f && f10(9) == 0.5f)
+  }
+
+  test("raster decoder: 24-bit BMP decodes to the same pixels as the P6") {
+    import graft.operators.Multimodal
+    // same 2×2 image as the P6 fixture, BMP-encoded by hand: BGR samples,
+    // rows padded to 4 bytes, stored bottom-up
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val fileHeader = "BM".getBytes("US-ASCII") ++ le32(70) ++
+      le16(0) ++ le16(0) ++ le32(54)
+    val infoHeader = le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(16) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val bottomRow = Array[Byte](               // image row 1: blue, white
+      255.toByte, 0, 0, 255.toByte, 255.toByte, 255.toByte, 0, 0)
+    val topRow = Array[Byte](                  // image row 0: red, green
+      0, 0, 255.toByte, 0, 255.toByte, 0, 0, 0)
+    val bmp = fileHeader ++ infoHeader ++ bottomRow ++ topRow
+    val r = Multimodal.decodeRaster(bmp).get
+    assert(r.width == 2 && r.height == 2 && r.channels == 3)
+    val expected = Seq(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255)
+    assert(r.samples.toSeq == expected)
+    // non-raster payloads fall back, not crash
+    assert(Multimodal.decodeRaster("plain text".getBytes).isEmpty)
+  }
+
+  test("multimodal decode runs the real codec path end-to-end") {
+    // Operator level: attachBinary renders true 16×16 P6 payloads, so the
+    // decoded features carry real raster geometry…
     val op = graft.operators.Multimodal.decodeFeatures(
       graft.operators.Multimodal.attachBinary(
         Tables.documents(spark, sf("0.001"))), dims = 8)
@@ -116,12 +158,19 @@ class AnnSpec extends SparkSuite {
       ArrayType(FloatType, containsNull = false))
     val opRows = op.collect()
     assert(opRows.length == Tables.documents(spark, sf("0.001")).count())
-    // stub decode is deterministic: first feature = first utf-8 byte / 255
-    val r0 = opRows.find(_.getLong(0) == 0L).get
+    opRows.foreach { r =>
+      val f = r.getSeq[Float](r.fieldIndex("features"))
+      assert(f(0) == 16f && f(1) == 16f && f(2) == 3f, s"geometry: $f")
+      assert(f(3) > 0f && f(3) < 1f, s"mean out of range: $f")
+    }
+    // …and matches a driver-side decode of the same construction
     val text0 = Tables.documents(spark, sf("0.001"))
       .filter(col("doc_id") === 0).select("text").collect()(0).getString(0)
-    assert(r0.getSeq[Float](r0.fieldIndex("features")).head ==
-      (text0.getBytes("UTF-8")(0) & 0xff) / 255.0f)
+    val body = text0.getBytes("UTF-8").padTo(768, 0.toByte).take(768)
+    val ppm0 = "P6\n16 16\n255\n".getBytes("US-ASCII") ++ body
+    val expect0 = graft.operators.Multimodal.decodePayload(ppm0, 8).toSeq
+    val r0 = opRows.find(_.getLong(0) == 0L).get
+    assert(r0.getSeq[Float](r0.fieldIndex("features")) == expect0)
     // …query level: the harness-facing frame is scalar-only.
     val out = SparkEntry.queries("cap_multimodal_decode")(spark, sf("0.001"))
     assert(out.schema("features_q").dataType == org.apache.spark.sql.types.StringType)
