@@ -133,7 +133,59 @@ def cap_pandas_check(full):
     return len(df)
 
 
+def bench_guard(only=()):
+    """Perf-regression gate: run graft.Bench with the driver's settings and
+    fail loudly when any query exceeds its recorded threshold
+    (tools/bench_thresholds.json = best known time x 1.5, floored at 0.6 s
+    to absorb scheduling noise on sub-second queries). A reroute that
+    silently quadruples a query — the round-3 q_dedup_simhash failure —
+    now fails this gate instead of surfacing a round later in the
+    driver's BENCH artifact. Queries without a recorded threshold (new
+    this round) are reported but never fail; refresh the file whenever a
+    real win lowers the floor.
+
+    Thresholds are calibrated on FULL-sequence runs, where earlier
+    queries absorb codegen/footer warmup. A filtered subset run pays
+    that cold cost itself (measured: ProfQuery run1 is 5-7x run3), so
+    subset runs get a 2x allowance — still tight enough to catch a
+    genuine reroute blow-up, loose enough not to flag warmup."""
+    thr = json.load(open(os.path.join(os.path.dirname(__file__),
+                                      "bench_thresholds.json")))
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
+               SPARK_GRAFT_CPUS="32")
+    cmd = ["sbt", "-batch", ("runMain graft.Bench " + " ".join(only)).strip()]
+    r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True,
+                       env=env)
+    m = None
+    for line in r.stdout.splitlines():
+        if '"queries"' in line:
+            m = json.loads(line[line.index("{"):])
+    if r.returncode != 0 or m is None:
+        print(r.stdout[-3000:]); print(r.stderr[-2000:])
+        print("BENCH-GUARD: bench run failed")
+        sys.exit(1)
+    cold = 2.0 if only else 1.0
+    fails = []
+    for name, sec in sorted(m["queries"].items()):
+        lim = thr.get(name)
+        if lim is not None:
+            lim = round(lim * cold, 2)
+        if lim is None:
+            print(f"new  {name}: {sec:6.2f}s (no threshold yet)")
+        elif sec > lim:
+            fails.append(name)
+            print(f"SLOW {name}: {sec:6.2f}s > {lim}s limit")
+        else:
+            print(f"ok   {name}: {sec:6.2f}s (limit {lim}s)")
+    print(f"\ntotal {m['value']:.1f}s; {len(fails)} over threshold")
+    if fails:
+        print("BENCH-GUARD FAIL: " + ", ".join(fails))
+    sys.exit(1 if fails else 0)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--bench":
+        bench_guard(tuple(sys.argv[2:]))
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
     only = set(sys.argv[3:])
