@@ -60,9 +60,16 @@ object Multimodal {
   /** PNM binary formats: "P6" (RGB) / "P5" (gray), ASCII header of
     * width/height/maxval with '#' comments, one whitespace, raw samples.
     * maxval must fit a byte (≤ 255). */
-  private def decodePnm(b: Array[Byte]): Option[Raster] = {
-    val channels = if (b(1) == '6') 3 else 1
-    var i = 2
+  private def decodePnm(b: Array[Byte]): Option[Raster] =
+    decodePnmAt(b, 0).map(_._1)
+
+  /** Parse one PNM frame starting at `off`; returns the raster and the
+    * offset just past its data (concatenated-frame containers). */
+  private def decodePnmAt(b: Array[Byte], off: Int): Option[(Raster, Int)] = {
+    if (off + 2 > b.length || b(off) != 'P' ||
+      (b(off + 1) != '5' && b(off + 1) != '6')) return None
+    val channels = if (b(off + 1) == '6') 3 else 1
+    var i = off + 2
     def skipWs(): Unit = {
       var run = true
       while (run && i < b.length) {
@@ -88,7 +95,42 @@ object Multimodal {
     val out = new Array[Int](n)
     var k = 0
     while (k < n) { out(k) = b(i + k) & 0xff; k += 1 }
-    Some(Raster(w, h, channels, out))
+    Some((Raster(w, h, channels, out), i + n))
+  }
+
+  /** All frames of a concatenated-PNM container ("video" stand-in: one
+    * P5/P6 frame after another). Empty for non-PNM payloads. */
+  def frames(payload: Array[Byte]): Seq[Raster] = {
+    val out = Seq.newBuilder[Raster]
+    var off = 0
+    var more = true
+    while (more) decodePnmAt(payload, off) match {
+      case Some((r, end)) => out += r; off = end
+      case None           => more = false
+    }
+    out.result()
+  }
+
+  /** Nearest-neighbor resize — pure JVM, deterministic, channel-agnostic. */
+  def resize(r: Raster, w2: Int, h2: Int): Raster = {
+    val out = new Array[Int](w2 * h2 * r.channels)
+    var y = 0
+    while (y < h2) {
+      val sy = y * r.height / h2
+      var x = 0
+      while (x < w2) {
+        val sx = x * r.width / w2
+        var c = 0
+        while (c < r.channels) {
+          out((y * w2 + x) * r.channels + c) =
+            r.samples((sy * r.width + sx) * r.channels + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Raster(w2, h2, r.channels, out)
   }
 
   /** BMP, BITMAPINFOHEADER, 24 bpp, BI_RGB (uncompressed): BGR samples,
@@ -209,5 +251,72 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rdd, schema).orderBy("doc_id")
+  }
+
+  /** Decode + nearest-neighbor resize to (w, h) + feature-extract, batched
+    * per partition — the thumbnail/normalize step of an image pipeline.
+    * Non-raster payloads fall back to byte features (geometry slots 0). */
+  def resizeFeatures(withBinary: DataFrame, w: Int, h: Int,
+                     dims: Int): DataFrame = {
+    val spark = withBinary.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val parts = spark.sparkContext.defaultParallelism
+    val rdd = withBinary.select(col("doc_id"), col("payload"))
+      .repartition(parts)
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val p = r.getAs[Array[Byte]]("payload")
+          val feats = decodeRaster(p) match {
+            case Some(img) => rasterFeatures(resize(img, w, h), dims)
+            case None      => byteFallback(p, dims)
+          }
+          Row(r.getLong(0), feats.toSeq)
+        }
+      }
+    spark.createDataFrame(rdd, schema).orderBy("doc_id")
+  }
+
+  /** Attach a multi-frame "video" payload: `nFrames` concatenated 8×8 P6
+    * frames rendered from successive slices of the document text
+    * (deterministic; each frame is a REAL raster the decoder parses). */
+  def attachVideo(documents: DataFrame, nFrames: Int): DataFrame = {
+    val w = 8; val h = 8
+    val body = w * h * 3
+    val header = lit(s"P6\n$w $h\n255\n".getBytes("US-ASCII"))
+    val padded = concat(encode(col("text"), "UTF-8"),
+      lit(Array.fill[Byte](body * nFrames)(0)))
+    val frameCols = (0 until nFrames).map { f =>
+      concat(header, substring(padded, f * body + 1, body))
+    }
+    documents.select(col("doc_id"), concat(frameCols: _*).as("payload"))
+  }
+
+  /** Frame sampling over a concatenated-frame payload: keep every
+    * `every`-th frame, one output row per kept frame with its features —
+    * the video-corpus shape (explode frames AFTER the per-partition
+    * decode so the scan stays one-row-per-file). */
+  def sampleFrames(withVideo: DataFrame, every: Int, dims: Int): DataFrame = {
+    val spark = withVideo.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val parts = spark.sparkContext.defaultParallelism
+    val rdd = withVideo.select(col("doc_id"), col("payload"))
+      .repartition(parts)
+      .rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          val fs = frames(r.getAs[Array[Byte]]("payload"))
+          fs.zipWithIndex.collect {
+            case (img, idx) if idx % every == 0 =>
+              Row(r.getLong(0), idx, fs.length,
+                rasterFeatures(img, dims).toSeq)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema).orderBy("doc_id", "frame_idx")
   }
 }

@@ -343,6 +343,35 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Decode + nearest-neighbor resize to a 4×4 thumbnail before feature
+    // extraction — the image-normalization step; same batched partition
+    // shape as the decoder.
+    Q.cap("cap_multimodal_resize") { (s, d) =>
+      graft.operators.Multimodal.resizeFeatures(
+        graft.operators.Multimodal.attachBinary(Tables.documents(s, d)),
+        w = 4, h = 4, dims = 8)
+        .select(col("doc_id"),
+          array_join(transform(col("features"),
+            x => floor(x.cast("double") * 1000000).cast("long").cast("string")), ",")
+            .as("features_q"))
+        .orderBy("doc_id")
+    },
+
+    // Frame sampling over a concatenated-frame "video" payload (4 real P6
+    // frames per doc, keep every 2nd): one row per sampled frame. The
+    // explode happens AFTER the per-partition decode, so the scan stays
+    // one-row-per-file — the 100 TB video-corpus shape.
+    Q.cap("cap_multimodal_frames") { (s, d) =>
+      graft.operators.Multimodal.sampleFrames(
+        graft.operators.Multimodal.attachVideo(Tables.documents(s, d), nFrames = 4),
+        every = 2, dims = 8)
+        .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+          array_join(transform(col("features"),
+            x => floor(x.cast("double") * 1000000).cast("long").cast("string")), ",")
+            .as("features_q"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // Deterministic train/test split: assignment is a pure function of the
     // row key (md5 prefix < 'cd' ⇒ 205/256 ≈ 80 % train), so the split is
     // reproducible across runs, engines, partitionings and incremental

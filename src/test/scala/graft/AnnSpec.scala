@@ -147,6 +147,38 @@ class AnnSpec extends SparkSuite {
     assert(Multimodal.decodeRaster("plain text".getBytes).isEmpty)
   }
 
+  test("raster resize and frame sampling are exact on handwritten fixtures") {
+    import graft.operators.Multimodal
+    val pixels = Array[Byte](
+      255.toByte, 0, 0, 0, 255.toByte, 0,
+      0, 0, 255.toByte, 255.toByte, 255.toByte, 255.toByte)
+    val ppm = ("P6\n2 2\n255\n".getBytes("US-ASCII")) ++ pixels
+    val r = Multimodal.decodeRaster(ppm).get
+    // nearest-neighbor 2×2 → 1×1 keeps the top-left (red) pixel
+    val tiny = Multimodal.resize(r, 1, 1)
+    assert(tiny.samples.toSeq == Seq(255, 0, 0))
+    // 2×2 → 4×4 replicates each source pixel into a 2×2 block
+    val big = Multimodal.resize(r, 4, 4)
+    assert(big.width == 4 && big.height == 4)
+    assert(big.samples.slice(0, 6).toSeq == Seq(255, 0, 0, 255, 0, 0))
+    // concatenated frames split back losslessly; every-2nd sampling
+    val gray = ("P5\n1 1\n255\n".getBytes("US-ASCII")) ++ Array[Byte](42)
+    val video = ppm ++ gray ++ ppm
+    val fs = Multimodal.frames(video)
+    assert(fs.length == 3 && fs(1).channels == 1 && fs(1).samples.head == 42)
+    assert(Multimodal.frames("not a video".getBytes).isEmpty)
+
+    // Spark-side: 4 frames per doc, every 2nd kept → 2 rows per doc
+    val out = SparkEntry.queries("cap_multimodal_frames")(spark, sf("0.001"))
+    val rows = out.collect()
+    val nDocs = Tables.documents(spark, sf("0.001")).count()
+    assert(rows.length == 2 * nDocs)
+    assert(rows.forall(r => r.getInt(r.fieldIndex("n_frames")) == 4))
+    assert(rows.map(r => r.getInt(r.fieldIndex("frame_idx"))).toSet == Set(0, 2))
+    val resized = SparkEntry.queries("cap_multimodal_resize")(spark, sf("0.001"))
+    assert(resized.count() == nDocs)
+  }
+
   test("multimodal decode runs the real codec path end-to-end") {
     // Operator level: attachBinary renders true 16×16 P6 payloads, so the
     // decoded features carry real raster geometry…
