@@ -15,14 +15,15 @@ import org.apache.spark.sql.functions._
   * for near-dup sims (≥0.9, see [[SimHashBanding]]); for exact moderate-sim
   * top-k the provable accelerator is geometric:
   *
-  *  1. cells from `planes` pseudo-random hyperplane signs with components
-  *     derived from hash(position, plane) inside the expression
-  *     (deterministic, dim-agnostic, no driver probe — cheaper than a
-  *     k-means fit, and the bound below is valid for ANY cell assignment);
+  *  1. cells from `planes` pseudo-random hyperplane signs against LITERAL
+  *     component arrays baked into the plan from a seeded Scala PRNG
+  *     (deterministic, no driver probe — cheaper than a k-means fit, and
+  *     the bound below is valid for ANY cell assignment);
   *  2. per-cell mean centroid + angular radius r_c = max angle(v, c) —
   *     both fully lazy aggregations;
   *  3. lower bound s_lb = k-th best sim among SAME-CELL pairs (a subset of
-  *     all pairs ⇒ s_lb ≤ true k-th best);
+  *     all pairs ⇒ s_lb ≤ true k-th best) — a one-row frame broadcast into
+  *     the survivor filter, so the whole operator is ONE lazy plan;
   *  4. spherical triangle inequality: for a∈Ci, b∈Cj,
   *     angle(a,b) ≥ θ(Ci,Cj) − r_i − r_j, so
   *     cos(a,b) ≤ cos(max(0, θ_ij − r_i − r_j)). Cell pairs whose bound
@@ -60,27 +61,42 @@ object ExactPairsTopK {
     (res, surv.count(), cells * cells)
   }
 
+  /** Hyperplane components are LITERAL float arrays baked into the plan:
+    * a seeded PRNG on the Scala side (deterministic, no data probe, no
+    * driver action) — the round-4 in-expression `hash(p, i)` form
+    * recomputed 3×64 hash-derived values per row per plane and regressed
+    * the bench 1.81 → 2.99 s; here the sign projection is one codegen'd
+    * [[graft.functions.DotProduct]] against the literal (it iterates the
+    * SHORTER length, so only the first `size(embedding)` components
+    * matter). Dims past `MaxDim` contribute zero to the projection —
+    * still a valid cell assignment (the bound holds for ANY assignment;
+    * only pruning rate could suffer, and real embedding models are far
+    * below 1024 dims here). */
+  private val MaxDim = 1024
+
+  private def planeComponents(plane: Int): Array[Float] = {
+    val rng = new scala.util.Random(0x9e3779b9L + plane)
+    Array.fill(MaxDim)(rng.nextFloat() * 2 - 1)
+  }
+
   private def build(embeddings: DataFrame, k: Int,
                     planes: Int): (DataFrame, DataFrame) = {
     val spark = embeddings.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions.dot
 
-    // Pseudo-random hyperplanes with components derived from hash(p, i)
-    // INSIDE the expression — no data-dependent dim probe, so constructing
-    // the plan fires no driver action (the round-3 `.first()` made plan
-    // construction eager). The triangle-inequality bound is valid for ANY
-    // cell assignment, so hyperplane quality only affects pruning rate,
-    // and uniform[-1,1] components partition as well as gaussians here.
+    // Sign bit per hyperplane: one codegen'd dot against a literal
+    // component array. The triangle-inequality bound is valid for ANY cell
+    // assignment, so hyperplane quality only affects pruning rate, and
+    // uniform[-1,1] components partition as well as gaussians here.
     val cellExpr = (0 until planes).map { i =>
-      val proj = expr(
-        "aggregate(sequence(0, size(embedding) - 1), CAST(0.0 AS DOUBLE), " +
-          s"(acc, p) -> acc + embedding[p] * ((pmod(hash(p, $i), 2001) - 1000) / 1000.0))")
+      val proj = dot(col("embedding"), typedLit(planeComponents(i)))
       when(proj > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-    // lineage barrier: the remaining actions (s_lb now; survivors/result at
-    // execution) would otherwise each re-scan and re-hash the corpus
+    // lineage barrier: normed feeds four subtrees (a/b sides, centroids,
+    // radii) that execute as separate broadcast exchanges — without the
+    // barrier each would re-scan and re-project the corpus
     val normed = embeddings.select(col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("nrm"))
       .withColumn("cell", cellExpr)
@@ -105,18 +121,21 @@ object ExactPairsTopK {
       .groupBy("cell").agg(max("ang").as("r"))
 
     // s_lb: k-th best same-cell sim (subset of all pairs ⇒ valid lower
-    // bound). Driver action over k tiny rows; fewer than k pairs ⇒ no
-    // pruning (still exact).
+    // bound). A one-row frame folded into the plan as a broadcast cross
+    // join — plan construction fires NO driver action (the round-5 k-row
+    // `.collect()` forced an eager multi-job probe before the real work).
+    // Fewer than k same-cell pairs ⇒ -2.0 = no pruning (still exact).
     val a = normed.select(col("cell").as("ca"), col("vec_id").as("v1"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = normed.select(col("cell").as("cb"), col("vec_id").as("v2"),
       col("embedding").as("eb"), col("nrm").as("nb"))
     val simExpr = (dot(col("ea"), col("eb")) /
       (sqrt(col("na")) * sqrt(col("nb")))).as("sim")
-    val sameCellTopK = a.join(b, col("ca") === col("cb") && col("v1") < col("v2"))
+    val sLb = a.join(b, col("ca") === col("cb") && col("v1") < col("v2"))
       .select(simExpr).orderBy(col("sim").desc).limit(k)
-      .collect().map(_.getDouble(0))
-    val sLb = if (sameCellTopK.length < k) -2.0 else sameCellTopK.last
+      .agg(count(lit(1)).as("__c"), min(col("sim")).as("__m"))
+      .select(when(col("__c") < k || col("__m").isNull, lit(-2.0))
+        .otherwise(col("__m")).as("__slb"))
 
     // cell-pair bounds over C² metadata rows; FP guard margin on the
     // internal double math (conservative direction only — the bound is
@@ -131,8 +150,9 @@ object ExactPairsTopK {
         when(isnan(thetaRaw), lit(0.0)).otherwise(thetaRaw).as("theta"))
       .join(radii.select(col("cell").as("ci"), col("r").as("ri")), "ci")
       .join(radii.select(col("cell").as("cj"), col("r").as("rj")), "cj")
+      .crossJoin(broadcast(sLb))
       .filter(cos(greatest(lit(0.0), col("theta") - col("ri") - col("rj")))
-        >= sLb - 1e-9)
+        >= col("__slb") - 1e-9)
       .select("ci", "cj")
 
     val result = a.join(broadcast(survivors), col("ca") === col("ci"))

@@ -19,12 +19,23 @@ import org.apache.spark.sql.functions._
   * Size routing (mirror of [[SimHashBanding]]'s density routing, and for
   * the same reason measured in BENCH_r04: the histogram decomposition's
   * fixed multi-stage overhead only pays when a group is too large for one
-  * sort task): a broadcast per-group count splits rows into a `small`
-  * branch (≤ `directMax` rows — the plain window-rank form, the cheapest
-  * exact plan at that size) and a `large` branch (the histogram
-  * machinery). Both plans are exact, so routing cannot change results —
-  * RankSpec asserts window ≡ histogram ≡ routed. The routing statistic is
-  * a metadata-scale aggregate; no driver action fires.
+  * sort task): per-group counts split rows into a `small` branch
+  * (≤ `directMax` rows — the plain window-rank form, the cheapest exact
+  * plan at that size) and a `large` branch (the histogram machinery).
+  * Both plans are exact, so routing cannot change results — RankSpec
+  * asserts window ≡ histogram ≡ routed. The routing statistic is probed
+  * with ONE metadata-scale driver action (a count / a max over the
+  * per-group stats aggregate) so that the all-small and all-large cases
+  * emit exactly one plan with zero scaffolding — the round-5 fully-lazy
+  * routing kept both branches in a checkpoint+union pipeline and its
+  * fixed overhead (2 localCheckpoint barriers + a broadcast self-join)
+  * dominated the small case it was built to make cheap (BENCH_r05
+  * q_agg_percentile 1.99 s vs the plain window plan at ~0.6 s).
+  *
+  * Precondition: `valueCol` must be non-null. The window form sorts NULLs
+  * first while the histogram's bucketOf sends them to the last bucket, so
+  * with NULLs present the routed output would depend on group size; all
+  * engine callers rank non-null fixture columns.
   *
   * Skew handling, by construction:
   *  - [[withGlobalRank]] decomposes rank = bucketOffset + valueOffset +
@@ -68,25 +79,29 @@ object HistogramRank {
                      hotGroup: Int = 4096, keepBuckets: Boolean = false,
                      directMax: Long = 1L << 20): DataFrame = {
     require(tieCols.nonEmpty, "tie columns are required for a total order")
+    // directMax bounds a deliberate single-task sort; cap it so a careless
+    // caller cannot reintroduce the unbounded global sort this operator
+    // exists to avoid (and slip past UnpartitionedWindowCheck's strict
+    // gate via the constant partition key below)
+    require(directMax <= (1L << 24),
+      s"directMax $directMax exceeds the single-task sort ceiling 2^24")
     val ord = (valueCol +: tieCols).map(col)
-    // lineage barrier: the scan feeds the routing count and both branches
-    val sized = df.crossJoin(broadcast(df.groupBy().agg(count(lit(1)).as("__gn"))))
-      .localCheckpoint(eager = false)
-    // small branch: bounded ≤ directMax rows BY the routing filter — the
-    // single-task sort is the intent (cheapest exact plan at this size).
-    // The constant partition key marks that deliberately, keeping
-    // UnpartitionedWindowCheck's strict gate meaningful for unrouted plans.
-    val small0 = sized.filter(col("__gn") <= directMax).drop("__gn")
-      .withColumn("__all", lit(0))
-      .withColumn(rankCol, row_number().over(
-        Window.partitionBy("__all").orderBy(ord: _*)).cast("long"))
-      .drop("__all")
-    val small = if (keepBuckets)
-      small0.withColumn("__hb", lit(0L)).withColumn("__tb", lit(0L))
-    else small0
-    val large = sized.filter(col("__gn") > directMax).drop("__gn")
-    small.unionByName(
-      histogramRank(large, valueCol, tieCols, rankCol, buckets, hotGroup, keepBuckets))
+    // routing probe: ONE count job picks exactly one plan (see object doc)
+    if (df.count() <= directMax) {
+      // bounded ≤ directMax rows by the probe — the single-task sort is
+      // the intent (cheapest exact plan at this size). The constant
+      // partition key marks that deliberately, keeping
+      // UnpartitionedWindowCheck's strict gate meaningful for unrouted
+      // plans.
+      val small = df.withColumn("__all", lit(0))
+        .withColumn(rankCol, row_number().over(
+          Window.partitionBy("__all").orderBy(ord: _*)).cast("long"))
+        .drop("__all")
+      if (keepBuckets)
+        small.withColumn("__hb", lit(0L)).withColumn("__tb", lit(0L))
+      else small
+    } else
+      histogramRank(df, valueCol, tieCols, rankCol, buckets, hotGroup, keepBuckets)
   }
 
   /** The histogram decomposition (large-input branch of withGlobalRank). */
@@ -177,6 +192,8 @@ object HistogramRank {
                         depth: Int = 2,
                         stats: Option[DataFrame] = None,
                         directMax: Long = 1L << 20): DataFrame = {
+    require(directMax <= (1L << 24),
+      s"directMax $directMax exceeds the single-task sort ceiling 2^24")
     val r = df.select(col(groupCol).cast("string").as("grp"),
       col(valueCol).as("v"))
     val tgt = positions.toDF("__g0", "pos")
@@ -191,25 +208,46 @@ object HistogramRank {
         max(col("v").cast("double")).as("__ghi")))
       .localCheckpoint(eager = false)
     // size routing: small groups take the plain per-group window rank (the
-    // oracle's own shape; bounded ≤ directMax rows by the filter), large
-    // groups the histogram machinery — both exact, RankSpec-gated
-    val sized = r.join(broadcast(st.select("grp", "__gn")), "grp")
-      .localCheckpoint(eager = false)
-    val smallVals = sized.filter(col("__gn") <= directMax)
-      .withColumn("i", row_number().over(
-        Window.partitionBy("grp").orderBy("v")).cast("long") - 1)
-      .join(broadcast(tgt), Seq("grp"))
-      .filter(col("i") === col("pos"))
-      .select(col("grp"), col("pos"), col("v"))
-    val large = sized.filter(col("__gn") > directMax).select("grp", "v")
+    // oracle's own shape; bounded ≤ directMax rows by the routing), large
+    // groups the histogram machinery — both exact, RankSpec-gated. The
+    // probe is ONE driver action over the metadata-scale stats frame (one
+    // row per group), and it also materializes st's checkpoint for every
+    // downstream broadcast; the all-small / all-large cases then emit a
+    // single plan with no checkpoint+union scaffolding (see object doc).
+    val probe = st.agg(min(col("__gn")).as("mn"), max(col("__gn")).as("mx")).head()
+    val (mn, mx) =
+      if (probe.isNullAt(1)) (0L, 0L) else (probe.getLong(0), probe.getLong(1))
+    val out =
+      if (mx <= directMax) {
+        // all groups small: the oracle's own shape, nothing else
+        r.withColumn("i", row_number().over(
+            Window.partitionBy("grp").orderBy("v")).cast("long") - 1)
+          .join(broadcast(tgt), Seq("grp"))
+          .filter(col("i") === col("pos"))
+          .select(col("grp"), col("pos"), col("v"))
+      } else if (mn > directMax) {
+        // all groups large: histogram only
+        go(r, tgt, buckets, depth, Some(st.select("grp", "__glo", "__ghi")))
+      } else {
+        // mixed: both branches share one checkpointed sized scan
+        val sized = r.join(broadcast(st.select("grp", "__gn")), "grp")
+          .localCheckpoint(eager = false)
+        val smallVals = sized.filter(col("__gn") <= directMax)
+          .withColumn("i", row_number().over(
+            Window.partitionBy("grp").orderBy("v")).cast("long") - 1)
+          .join(broadcast(tgt), Seq("grp"))
+          .filter(col("i") === col("pos"))
+          .select(col("grp"), col("pos"), col("v"))
+        val large = sized.filter(col("__gn") > directMax).select("grp", "v")
+        smallVals.unionByName(
+          go(large, tgt, buckets, depth,
+            Some(st.filter(col("__gn") > directMax).select("grp", "__glo", "__ghi"))))
+      }
     // groups travel internally as strings (recursion composes sub-group
     // keys); cast back at the end — string round-trip is the identity for
     // the string/integer/timestamp group keys this engine uses
-    smallVals.unionByName(
-        go(large, tgt, buckets, depth,
-          Some(st.filter(col("__gn") > directMax).select("grp", "__glo", "__ghi"))))
-      .select(col("grp").cast(df.schema(groupCol).dataType).as("grp"),
-        col("pos"), col("v"))
+    out.select(col("grp").cast(df.schema(groupCol).dataType).as("grp"),
+      col("pos"), col("v"))
   }
 
   private def go(r: DataFrame, tgt: DataFrame, nb: Int, depth: Int,

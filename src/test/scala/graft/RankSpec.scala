@@ -18,8 +18,11 @@ class RankSpec extends SparkSuite {
     val nDf = orders.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
     val positions = nDf.select(col("o_orderstatus"),
       explode(array(lit(0L), (col("n") / 2).cast("long"), col("n") - 1)).as("pos"))
+    // directMax = 0 forces the histogram machinery (the default routing
+    // would send these sf0.01 groups to the small/window branch, which the
+    // routing tests below already cover)
     val got = graft.operators.HistogramRank
-      .valuesAtPositions(orders, "o_orderstatus", "v", positions)
+      .valuesAtPositions(orders, "o_orderstatus", "v", positions, directMax = 0)
       .collect().map(r => (r.getString(0), r.getLong(1), r.get(2).toString)).toSet
     val w = Window.partitionBy("o_orderstatus").orderBy("v")
     val want = orders.withColumn("i", row_number().over(w).cast("long") - 1)
@@ -59,8 +62,11 @@ class RankSpec extends SparkSuite {
     val past = orders.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
       .select(col("o_orderstatus"), col("n").as("pos"))
     val got = graft.operators.HistogramRank
-      .valuesAtPositions(orders, "o_orderstatus", "v", past)
+      .valuesAtPositions(orders, "o_orderstatus", "v", past, directMax = 0)
     assert(got.count() == 0)
+    val gotSmall = graft.operators.HistogramRank
+      .valuesAtPositions(orders, "o_orderstatus", "v", past)
+    assert(gotSmall.count() == 0)
   }
 
   test("withGlobalRank is exact and stays parallel when one value holds 90%") {
