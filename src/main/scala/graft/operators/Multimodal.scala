@@ -41,7 +41,9 @@ object Multimodal {
       col("doc_id"),
       concat(header, substring(padded, 1, body)).as("payload"),
       struct(
-        length(col("text")).cast("long").as("n_bytes"),
+        // octet_length: n_bytes must count UTF-8 BYTES; length() counts
+        // characters, which diverges on any multibyte text
+        octet_length(col("text")).cast("long").as("n_bytes"),
         lit("image/x-portable-pixmap").as("mime"),
         lit(3).cast("int").as("channels")).as("meta"))
   }
@@ -81,17 +83,26 @@ object Multimodal {
     }
     def readInt(): Int = {
       skipWs()
-      var v = 0; var any = false
+      var v = 0L; var any = false
       while (i < b.length && b(i) >= '0' && b(i) <= '9') {
-        v = v * 10 + (b(i) - '0'); i += 1; any = true
+        // clamp instead of wrapping: a malformed 20-digit header must fail
+        // the bounds check below, not alias a plausible small dimension
+        v = math.min(v * 10 + (b(i) - '0'), Int.MaxValue.toLong)
+        i += 1; any = true
       }
-      if (any) v else -1
+      if (any) v.toInt else -1
     }
     val w = readInt(); val h = readInt(); val maxval = readInt()
     if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
     i += 1 // single whitespace after maxval, then raw data
-    val n = w * h * channels
-    if (i + n > b.length) return None
+    // Staged Long arithmetic: w*h*channels on hostile headers overflows
+    // Int — and w*h*3 with both dims near 2^31 overflows even Long, so
+    // bound w*h to Int range BEFORE multiplying by channels
+    val whL = w.toLong * h
+    if (whL > Int.MaxValue / channels) return None
+    val nL = whL * channels
+    if (nL > b.length - i) return None
+    val n = nL.toInt
     val out = new Array[Int](n)
     var k = 0
     while (k < n) { out(k) = b(i + k) & 0xff; k += 1 }
@@ -146,11 +157,18 @@ object Multimodal {
     val hRaw = le32(22)
     val bpp = le16(28)
     val compression = le32(30)
-    if (w <= 0 || hRaw == 0 || bpp != 24 || compression != 0) return None
+    // hRaw == Int.MinValue: math.abs is the identity there (still negative)
+    if (w <= 0 || hRaw == 0 || hRaw == Int.MinValue ||
+      bpp != 24 || compression != 0) return None
     val h = math.abs(hRaw)
     val topDown = hRaw < 0
-    val rowBytes = (w * 3 + 3) & ~3
-    if (dataOff < 0 || dataOff.toLong + rowBytes.toLong * h > b.length) return None
+    // Staged Long arithmetic: hostile 4-byte dims overflow w*3 / w*h*3 in
+    // Int (executor NegativeArraySizeException) — and rowBytes*h with both
+    // dims near 2^31 overflows even Long, so bound the pixel area FIRST
+    if (w.toLong * h > Int.MaxValue / 3) return None
+    val rowBytesL = (w.toLong * 3 + 3) & ~3L
+    if (dataOff < 0 || dataOff.toLong + rowBytesL * h > b.length) return None
+    val rowBytes = rowBytesL.toInt
     val out = new Array[Int](w * h * 3)
     var y = 0
     while (y < h) {
@@ -216,6 +234,7 @@ object Multimodal {
     * JNI/ONNX decoder with the same (payload, dims) => features shape. */
   private def byteFallback(payload: Array[Byte], dims: Int): Array[Float] = {
     val out = new Array[Float](dims)
+    if (payload == null) return out // null/empty payloads ⇒ zero features
     var i = 0
     while (i < dims) {
       out(i) = if (i < payload.length) (payload(i) & 0xff) / 255.0f else 0.0f
@@ -232,6 +251,20 @@ object Multimodal {
       case None    => byteFallback(payload, dims)
     }
 
+  /** Decode happens on the scan's OWN partitions: re-exchanging every
+    * payload byte before a CPU-bound, embarrassingly-parallel decode is a
+    * scale-killer at 100 TB (the shuffle would move the entire corpus
+    * once for zero locality gain). Repartition only when the input has
+    * collapsed to too few splits to occupy the cluster — the
+    * single-small-file fixture case, where the exchange is cheap by
+    * construction. */
+  private[graft] def spreadRows(df: DataFrame): org.apache.spark.rdd.RDD[Row] = {
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val base = df.rdd
+    if (base.getNumPartitions * 2 >= parts) base
+    else df.repartition(parts).rdd
+  }
+
   /** Per-partition batched feature extraction over the binary column. */
   def decodeFeatures(withBinary: DataFrame, dims: Int): DataFrame = {
     val spark = withBinary.sparkSession
@@ -239,10 +272,9 @@ object Multimodal {
       StructField("doc_id", LongType),
       StructField("n_bytes", LongType),
       StructField("features", ArrayType(FloatType, containsNull = false))))
-    val parts = spark.sparkContext.defaultParallelism
-    val rdd = withBinary.select(col("doc_id"), col("payload"), col("meta.n_bytes"))
-      .repartition(parts)
-      .rdd.mapPartitions { it =>
+    val rdd = spreadRows(
+      withBinary.select(col("doc_id"), col("payload"), col("meta.n_bytes")))
+      .mapPartitions { it =>
         // batch shape: whole-partition iterator, rows processed in order —
         // a vectorized decoder would buffer N payloads per native call
         it.map { r =>
@@ -262,10 +294,8 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("features", ArrayType(FloatType, containsNull = false))))
-    val parts = spark.sparkContext.defaultParallelism
-    val rdd = withBinary.select(col("doc_id"), col("payload"))
-      .repartition(parts)
-      .rdd.mapPartitions { it =>
+    val rdd = spreadRows(withBinary.select(col("doc_id"), col("payload")))
+      .mapPartitions { it =>
         it.map { r =>
           val p = r.getAs[Array[Byte]]("payload")
           val feats = decodeRaster(p) match {
@@ -298,16 +328,16 @@ object Multimodal {
     * the video-corpus shape (explode frames AFTER the per-partition
     * decode so the scan stays one-row-per-file). */
   def sampleFrames(withVideo: DataFrame, every: Int, dims: Int): DataFrame = {
+    // fail at plan time, not as a per-row ArithmeticException in executors
+    require(every > 0, s"frame sampling stride must be positive, got $every")
     val spark = withVideo.sparkSession
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("frame_idx", IntegerType),
       StructField("n_frames", IntegerType),
       StructField("features", ArrayType(FloatType, containsNull = false))))
-    val parts = spark.sparkContext.defaultParallelism
-    val rdd = withVideo.select(col("doc_id"), col("payload"))
-      .repartition(parts)
-      .rdd.mapPartitions { it =>
+    val rdd = spreadRows(withVideo.select(col("doc_id"), col("payload")))
+      .mapPartitions { it =>
         it.flatMap { r =>
           val fs = frames(r.getAs[Array[Byte]]("payload"))
           fs.zipWithIndex.collect {

@@ -208,4 +208,66 @@ class AnnSpec extends SparkSuite {
     assert(out.schema("features_q").dataType == org.apache.spark.sql.types.StringType)
     assert(out.count() == opRows.length)
   }
+
+  test("decoder survives hostile headers and degenerate payloads") {
+    import graft.operators.Multimodal
+    // PNM header whose w*h*channels overflows Int — must parse to None,
+    // not throw NegativeArraySizeException in an executor
+    val hugePnm = "P6\n2000000000 2000000000\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3)
+    assert(Multimodal.decodeRaster(hugePnm).isEmpty)
+    // 20-digit dimension: readInt must clamp, not wrap into a plausible Int
+    val wrapPnm = "P6\n18446744073709551617 2\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](64)(0)
+    assert(Multimodal.decodeRaster(wrapPnm).isEmpty)
+    // BMP with hostile 4-byte dims (w*3 and w*h*3 overflow) and the
+    // Int.MinValue height whose abs is still negative
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](64)
+      b(0) = 'B'; b(1) = 'M'
+      def putLe32(off: Int, v: Int): Unit = {
+        b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+        b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+      }
+      putLe32(10, 54); putLe32(18, w); putLe32(22, h)
+      b(28) = 24; putLe32(30, 0)
+      b
+    }
+    assert(Multimodal.decodeRaster(bmp(0x40000000, 2)).isEmpty)
+    assert(Multimodal.decodeRaster(bmp(2, Int.MinValue)).isEmpty)
+    // null/empty payloads yield zero features, no NPE
+    assert(Multimodal.decodePayload(null, 4).toSeq == Seq(0f, 0f, 0f, 0f))
+    assert(Multimodal.decodePayload(Array.empty[Byte], 4).toSeq ==
+      Seq(0f, 0f, 0f, 0f))
+    // a zero sampling stride fails at plan construction, not per-row
+    val docs = Tables.documents(spark, sf("0.001"))
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(Multimodal.attachVideo(docs, 4), every = 0, dims = 8)
+    }
+  }
+
+  test("n_bytes counts UTF-8 bytes and decode keeps scan partitioning") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    // 3 chars, 7 UTF-8 bytes: meta.n_bytes must be the byte count
+    val multibyte = Seq((1L, "aé文")).toDF("doc_id", "text")
+    val meta = Multimodal.attachBinary(multibyte)
+      .select(col("meta.n_bytes")).collect()(0).getLong(0)
+    assert(meta == "aé文".getBytes("UTF-8").length.toLong)
+    // multi-split input: the decode stage must NOT re-exchange payloads
+    val parts = spark.sparkContext.defaultParallelism
+    val wide = spark.range(0, 1000).toDF("doc_id")
+      .withColumn("text", col("doc_id").cast("string"))
+      .repartition(parts)
+    val wideRdd = Multimodal.spreadRows(Multimodal.attachBinary(wide)
+      .select(col("doc_id"), col("payload")))
+    assert(wideRdd.getNumPartitions == parts,
+      s"multi-split input was re-exchanged: ${wideRdd.getNumPartitions}")
+    // degenerate single-partition input: spread to occupy the cluster
+    val narrow = wide.coalesce(1)
+    val narrowRdd = Multimodal.spreadRows(Multimodal.attachBinary(narrow)
+      .select(col("doc_id"), col("payload")))
+    assert(narrowRdd.getNumPartitions >= parts / 2,
+      s"degenerate input not spread: ${narrowRdd.getNumPartitions}")
+  }
 }
