@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pressure-tests the scale machinery ~20× above fixture density — the
+  * branches that sf0.01/sf0.1 routing never exercises (histogram rank
+  * above directMax, SimHash banding above its bucket ceiling) and the
+  * scaling-shape claims the operator docs make.
+  *
+  * Timing assertions discriminate complexity classes, not absolute speed:
+  * a 20× input with a quadratic plan costs ~400×, so a < 80× bound passes
+  * any linear plan on a noisy CI box while failing a quadratic one by 5×.
+  * Work-shape assertions (candidate counts, branch engagement) carry the
+  * precise claims.
+  */
+class StressSpec extends SparkSuite {
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  test("InvertedJaccard scales near-linearly on a sparse corpus") {
+    import spark.implicits._
+    // realistic sparsity: vocab grows with the corpus, so posting lists
+    // stay bounded (~12 docs/token) and co-occurrence work is linear in n
+    def corpus(n: Int) = {
+      val rnd = new scala.util.Random(11)
+      (0 until n).map { i =>
+        val toks = Seq.fill(12)("t" + rnd.nextInt(n))
+        ("en", "s0", i.toLong, toks.mkString(" "))
+      }.toDF("lang", "source", "doc_id", "text")
+    }
+    // planted near-dup pair at the large scale: 11 of 12 tokens shared
+    val big = corpus(50000).unionByName(Seq(
+      ("en", "s0", 900001L, (0 until 12).map("dup" + _).mkString(" ")),
+      ("en", "s0", 900002L, ((0 until 11).map("dup" + _) :+ "other").mkString(" "))
+    ).toDF("lang", "source", "doc_id", "text"))
+    val (_, tSmall) = timed(
+      graft.operators.InvertedJaccard.pairs(corpus(2500), 0.8).count())
+    val ((bigPairs, nBig), tBig) = timed {
+      val p = graft.operators.InvertedJaccard.pairs(big, 0.8)
+        .localCheckpoint(eager = false)
+      (p.filter(col("d1") === 900001L && col("d2") === 900002L).count(), p.count())
+    }
+    info(f"jaccard 2.5k: $tSmall%.2f s, 50k: $tBig%.2f s, ratio ${tBig / tSmall}%.1f (20x data)")
+    assert(bigPairs == 1L, s"planted near-dup pair not found among $nBig pairs")
+    assert(tBig / tSmall < 80.0,
+      f"20x data cost ${tBig / tSmall}%.1fx - quadratic, not linear")
+  }
+
+  test("HistogramRank histogram branch is exact and near-linear at 200k rows") {
+    import spark.implicits._
+    // 20x the largest fixture group; directMax = 0 forces the histogram
+    // machinery that default routing never runs below 2^20 rows
+    def ranked(n: Int) = {
+      val df = (0 until n).map(i => ((i.toLong * 6364136223846793005L >>> 33)
+        .toDouble, i.toLong)).toDF("v", "k")
+      graft.operators.HistogramRank.withGlobalRank(
+        df, "v", Seq("k"), rankCol = "r", directMax = 0)
+    }
+    val (_, tSmall) = timed(ranked(10000).count())
+    val (cntBig, tBig) = timed(ranked(200000).count())
+    info(f"histogram rank 10k: $tSmall%.2f s, 200k: $tBig%.2f s, ratio ${tBig / tSmall}%.1f (20x data)")
+    assert(cntBig == 200000L)
+    assert(tBig / tSmall < 80.0,
+      f"20x data cost ${tBig / tSmall}%.1fx - quadratic, not linear")
+    // exactness at scale: spot-check 1k rows of the 200k ranking against
+    // the single-task window form (full window materialization is the
+    // thing this operator exists to avoid; equality on a deterministic
+    // sample plus the count above pins the decomposition)
+    val df = (0 until 200000).map(i => ((i.toLong * 6364136223846793005L >>> 33)
+      .toDouble, i.toLong)).toDF("v", "k")
+    val got = graft.operators.HistogramRank.withGlobalRank(
+        df, "v", Seq("k"), rankCol = "r", directMax = 0)
+      .filter(col("k") % 200 === 0)
+      .collect().map(x => (x.getLong(1), x.getLong(2))).toMap
+    val want = df.withColumn("r", row_number().over(
+        Window.partitionBy(lit(0)).orderBy("v", "k")).cast("long"))
+      .filter(col("k") % 200 === 0)
+      .collect().map(x => (x.getLong(1), x.getLong(2))).toMap
+    assert(got == want)
+  }
+
+  test("valuesAtPositions histogram branch answers 200k-row percentiles exactly") {
+    import spark.implicits._
+    val df = (0 until 200000).map { i =>
+      (if (i % 2 == 0) "a" else "b",
+        ((i.toLong * 2862933555777941757L) >>> 30).toDouble)
+    }.toDF("g", "v")
+    val positions = Seq(("a", 0L), ("a", 49999L), ("a", 99999L),
+      ("b", 50000L)).toDF("g", "pos")
+    val got = graft.operators.HistogramRank
+      .valuesAtPositions(df, "g", "v", positions, directMax = 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val w = Window.partitionBy("g").orderBy("v")
+    val want = df.withColumn("i", row_number().over(w).cast("long") - 1)
+      .join(positions.withColumnRenamed("g", "g2"),
+        col("g") === col("g2") && col("i") === col("pos"))
+      .select(col("g"), col("pos"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want && got.size == 4)
+  }
+
+  test("SimHash banded branch engages above directMax and stays exact") {
+    import spark.implicits._
+    // near-dup corpus 70x the fixture's densest (lang, source) bucket:
+    // 800 clusters x 10 docs, 1-bit perturbations => Hamming <= 2 inside
+    // a cluster. directMax = 500 routes the whole bucket to banding.
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(800)(rnd.nextInt(1 << 30))
+    val rows = (for (c <- 0 until 800; i <- 0 until 10) yield {
+      val fp = if (i == 0) centers(c) else centers(c) ^ (1 << rnd.nextInt(30))
+      (c * 10L + i, fp.toLong)
+    }).toDF("doc_id", "simhash")
+    val fps = rows.localCheckpoint(eager = false)
+    val (banded, tBanded) = timed(graft.operators.SimHashBanding
+      .pairs(fps, maxHamming = 2, directMax = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val (direct, tDirect) = timed(graft.operators.SimHashBanding
+      .directPairs(fps, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    info(f"simhash 8k docs: banded $tBanded%.2f s, direct (m^2/2) $tDirect%.2f s, ${banded.size} pairs")
+    assert(banded == direct, "banded branch diverged from the direct join")
+    assert(banded.size >= 800, s"cluster pairs missing: ${banded.size}")
+  }
+
+  test("ExactPairsTopK prunes and stays exact 20x above the planted fixture") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.dot
+    // 40 clusters x 75 vectors in R^16 (AnnSpec's planted corpus is 192):
+    // the clustered shape where the triangle-inequality bound must kill
+    // most of the 32x32 cell pairs
+    val rnd = new scala.util.Random(31)
+    val centers = Array.fill(40)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 40; i <- 0 until 75) yield {
+      val v = centers(c).map(x => x + 0.03f * rnd.nextGaussian().toFloat)
+      (c * 75L + i, v.toSeq)
+    }
+    val emb = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val ((res, surv, total), tPruned) = timed {
+      val (r, s, t) = graft.operators.ExactPairsTopK
+        .topPairsWithStats(emb, k = 20, planes = 5)
+      (r.collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq, s, t)
+    }
+    val n = emb.select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nrm"))
+    val a = n.select(col("vec_id").as("v1"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("v2"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val (brute, tBrute) = timed {
+      a.join(b, col("v1") < col("v2"))
+        .select(col("v1"), col("v2"),
+          (dot(col("ea"), col("eb")) / (sqrt(col("na")) * sqrt(col("nb")))).as("sim"))
+        .orderBy(col("sim").desc, col("v1"), col("v2")).limit(20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    info(f"3k vectors: pruned $tPruned%.2f s ($surv/$total cell pairs), brute $tBrute%.2f s")
+    assert(res == brute) // bitwise sim equality at 20x the fixture scale
+    assert(surv < total / 2, s"bound pruned nothing: $surv of $total survive")
+  }
+}
