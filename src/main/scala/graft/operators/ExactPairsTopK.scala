@@ -47,9 +47,51 @@ import org.apache.spark.sql.functions._
 object ExactPairsTopK {
 
   /** (v1, v2, sim) — the exact global top-k pairs, v1 < v2, ordered by
-    * (sim DESC, v1, v2). `planes` sign bits ⇒ 2^planes cells. */
-  def topPairs(embeddings: DataFrame, k: Int, planes: Int = 3): DataFrame =
-    build(embeddings, k, planes)._1
+    * (sim DESC, v1, v2). `planes` sign bits ⇒ 2^planes cells.
+    *
+    * Size-routed like [[HistogramRank]]: corpora at or below `directMax`
+    * rows take a plain blocked all-pairs plan (one broadcast nested-loop
+    * join + TakeOrdered — ≤ directMax²/2 ≈ 33.5 M candidate dots at the
+    * default, spread over defaultParallelism partitions), because at that
+    * size the centroid/radius/s_lb machinery is pure plan overhead: the
+    * pruned form runs ~12 codegen stages whose one-shot compile cost
+    * exceeds the entire brute-force runtime. Above `directMax` the
+    * centroid triangle-inequality pruning is the only exact shape that
+    * survives — tests pin `directMax = 0` to force it. The routing probe
+    * is one metadata-scale count (parquet count-star); both branches
+    * share the same codegen'd sim expression, so routing cannot change a
+    * single output bit (AnnSpec asserts route equality). */
+  def topPairs(embeddings: DataFrame, k: Int, planes: Int = 3,
+               directMax: Long = 8192): DataFrame = {
+    require(directMax <= 65536,
+      s"directMax $directMax exceeds the blocked all-pairs ceiling 2^16")
+    if (embeddings.count() <= directMax) bruteTopK(embeddings, k)
+    else build(embeddings, k, planes)._1
+  }
+
+  /** The small-route plan: normed self-join on v1 < v2 (broadcast
+    * nested-loop — the build side is bounded ≤ directMax rows by the
+    * routing), exact codegen dot, global TakeOrdered(k). The streamed
+    * side is spread to defaultParallelism because a small parquet file
+    * arrives as one split and would otherwise dot every pair on one
+    * core. */
+  private def bruteTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.dot
+    val normed = embeddings.select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nrm"))
+    val a = normed.select(col("vec_id").as("v1"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val b = normed.select(col("vec_id").as("v2"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    a.join(broadcast(b), col("v1") < col("v2"))
+      .select(col("v1"), col("v2"), (dot(col("ea"), col("eb")) /
+        (sqrt(col("na")) * sqrt(col("nb")))).as("sim"))
+      .orderBy(col("sim").desc, col("v1"), col("v2"))
+      .limit(k)
+  }
 
   /** Test/diagnostic variant: (result, surviving cell pairs, total cell
     * pairs) — AnnSpec asserts both exactness and that the bound actually

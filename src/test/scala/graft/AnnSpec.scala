@@ -62,9 +62,16 @@ class AnnSpec extends SparkSuite {
         (dot(col("ea"), col("eb")) / (sqrt(col("na")) * sqrt(col("nb")))).as("sim"))
       .orderBy(col("sim").desc, col("v1"), col("v2")).limit(20)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-    val pruned = graft.operators.ExactPairsTopK.topPairs(emb, k = 20)
+    // directMax = 0 forces the centroid-pruned machinery (default routing
+    // sends a 500-row corpus down the brute path, which IS this twin)
+    val pruned = graft.operators.ExactPairsTopK
+      .topPairs(emb, k = 20, directMax = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(pruned == brute) // includes bitwise sim equality
+    // and the default-routed brute plan must be bit-identical to both
+    val routed = graft.operators.ExactPairsTopK.topPairs(emb, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(routed == brute)
   }
 
   test("centroid pruning drops most cell pairs on a clustered corpus, exactly") {
