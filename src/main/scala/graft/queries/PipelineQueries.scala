@@ -448,6 +448,129 @@ object PipelineQueries {
           (aggregate(array_sort(col("xs")), lit(0.0),
             (acc, x) => acc + x.getField("v")) / col("n")).as("centroid"))
         .orderBy("label", "pos")
+    },
+
+    // Duplicate n-gram fraction (the Gopher/C4 repetition filter): share
+    // of word and bigram occurrences that are repeats within the doc.
+    // Pure per-row array math — no shuffle at all, embarrassingly
+    // parallel at any scale.
+    Q("q_text_repetition",
+      """SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tok,
+        |  CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |    AS dup_word_frac,
+        |  CASE WHEN len(bg) > 0
+        |    THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+        |    ELSE 0.0 END AS dup_bigram_frac
+        |FROM (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)),
+        |             i -> toks[i] || ' ' || toks[i + 1])
+        |      ELSE [] END AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("bg", when(size(col("toks")) >= 2,
+            transform(sequence(lit(1), size(col("toks")) - 1),
+              i => concat_ws(" ", element_at(col("toks"), i),
+                element_at(col("toks"), i + 1))))
+          .otherwise(array().cast("array<string>")))
+      base.select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tok"),
+          ((size(col("toks")) - size(array_distinct(col("toks"))))
+            .cast("double") / size(col("toks"))).as("dup_word_frac"),
+          when(size(col("bg")) > 0,
+            (size(col("bg")) - size(array_distinct(col("bg"))))
+              .cast("double") / size(col("bg")))
+            .otherwise(lit(0.0)).as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // Token-window chunking with overlap (LLM context prep: 50-token
+    // chunks, stride 40 ⇒ 10-token overlap). Linear fan-out per row —
+    // starts come from sequence(), the slice clamps at the tail; no
+    // shuffle before the output sort, and chunk_id derives from the
+    // start offset so no ordinality dependence.
+    Q("q_text_chunk",
+      """SELECT doc_id, CAST((start - 1) // 40 AS BIGINT) AS chunk_id,
+        |  CAST(len(toks[start : start + 49]) AS BIGINT) AS n_tok,
+        |  array_to_string(toks[start : start + 49], ' ') AS chunk_text
+        |FROM (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(1, greatest(len(toks), 1), 40)) AS start
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents))
+        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), greatest(size(col("toks")), lit(1)),
+            lit(40))).as("start"))
+        .select(col("doc_id"),
+          ((col("start") - 1) / 40).cast("long").as("chunk_id"),
+          slice(col("toks"), col("start"), lit(50)).as("chunk"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).cast("long").as("n_tok"),
+          array_join(col("chunk"), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Symmetric int8 embedding quantization (4x smaller vectors for the
+    // ANN index build): per-vector scale = max|x| (guarded against the
+    // zero vector), component -> floor(x*127/scale + 0.5). floor(x+0.5)
+    // instead of round(): both engines floor doubles identically, while
+    // round() ties differ JVM-vs-libm (Dsl scaladoc). Per-row map, no
+    // shuffle.
+    Q("q_embed_quantize",
+      """SELECT vec_id, scale,
+        |  array_to_string(list_transform(embedding, x ->
+        |    CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS BIGINT)),
+        |    ',') AS qvec
+        |FROM (
+        |  SELECT vec_id, embedding,
+        |    greatest(list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS scale
+        |  FROM embeddings)
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      // qvec serialized to a comma string: the int components survive
+      // exactly, and the gate's value-sort can't order list cells (same
+      // trade the multimodal feature dumps make)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          greatest(array_max(transform(col("embedding"),
+            x => abs(x.cast("double")))), lit(1e-30)).as("scale"))
+        .select(col("vec_id"), col("scale"),
+          array_join(transform(col("embedding"), x =>
+            floor(x.cast("double") * 127.0 / col("scale") + 0.5)
+              .cast("string")), ",").as("qvec"))
+        .orderBy("vec_id")
+    },
+
+    // Canonical-representative selection: the step after exact dedup that
+    // MATERIALIZES survivors (q_dedup_exact only counts them) — one row
+    // per distinct text, highest n_chars then lowest doc_id wins, group
+    // size carried. The window partitions on the content hash (high
+    // cardinality ⇒ even shuffle; the 100 TB shape).
+    Q("q_dedup_keep_best",
+      """SELECT doc_id, lang, source, n_chars, grp_n FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    row_number() OVER (PARTITION BY md5(text)
+        |      ORDER BY n_chars DESC, doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY md5(text)) AS grp_n
+        |  FROM documents)
+        |WHERE rk = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val part = Window.partitionBy(md5(col("text")))
+      val ord = part.orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          row_number().over(ord).as("rk"),
+          count(lit(1)).over(part).as("grp_n"))
+        .filter(col("rk") === 1)
+        .select("doc_id", "lang", "source", "n_chars", "grp_n")
+        .orderBy("doc_id")
     }
   )
 }
