@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding-cosine near-duplicate DEDUP: candidate pairs above `tau` →
+  * connected components ([[DedupGroups]]) → keep the min-vec_id
+  * representative per component. The semantic twin of the lexical dedup
+  * family (exact / n-gram / SimHash / MinHash): two docs whose embeddings
+  * point the same way are duplicates even when they share no tokens.
+  *
+  * Size-routed like [[ExactPairsTopK]]: corpora at or below `directMax`
+  * rows take an exact blocked all-pairs threshold join (complete at ANY
+  * tau — the fixture shape). Above `directMax`, candidate generation is
+  * hyperplane-signature banding: `planes` sign bits from the same literal
+  * hyperplane family, split into `bands` bands; vectors agreeing on any
+  * full band meet in an equi-join bucket and only those pairs pay an
+  * exact cosine. Banding is the 100 TB shape but is probabilistic, and
+  * honest only for the near-dup regime it exists for — at tau ≥ 0.8 a
+  * same-band miss needs every band to split a ≤ 37° angle
+  * (p_collide = (1 − θ/π)^{planes/bands} per band), while at moderate
+  * tau recall decays fast (the round-3 lesson that killed LSH for
+  * exact top-k). DedupSpec gates the banded route's component recall on
+  * a planted clustered corpus; the exact route is gated pair-for-pair
+  * against brute force.
+  */
+object SemanticDedup {
+
+  private val MaxDim = 1024
+
+  /** Same seeded-literal hyperplane family as [[ExactPairsTopK]] (plane
+    * index offset so the two operators stay independent). */
+  private def planeComponents(plane: Int): Array[Float] = {
+    val rng = new scala.util.Random(0x51ed2701L + plane)
+    Array.fill(MaxDim)(rng.nextFloat() * 2 - 1)
+  }
+
+  /** (vec_id, lbl, kept): component label (min reachable vec_id; own id
+    * when isolated) and survivor flag per vector. */
+  def flags(embeddings: DataFrame, tau: Double, planes: Int = 16,
+            bands: Int = 4, directMax: Long = 8192): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val pairs =
+      if (embeddings.count() <= directMax) exactPairs(embeddings, tau)
+      else bandedPairs(embeddings, tau, planes, bands)
+    val comps = DedupGroups.components(pairs)
+      .select(col("v").as("vec_id"), col("lbl"))
+    embeddings.select(col("vec_id"))
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("lbl"), col("vec_id")).as("lbl"))
+      .withColumn("kept", col("lbl") === col("vec_id"))
+  }
+
+  private def normed(embeddings: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.dot
+    embeddings.select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nrm"))
+  }
+
+  private def simCol: org.apache.spark.sql.Column = {
+    import graft.functions.GraftFunctions.dot
+    dot(col("ea"), col("eb")) / (sqrt(col("na")) * sqrt(col("nb")))
+  }
+
+  /** Exact small-route: broadcast nested-loop threshold join, bounded
+    * ≤ directMax²/2 candidate dots by the routing. */
+  private def exactPairs(embeddings: DataFrame, tau: Double): DataFrame = {
+    val spark = embeddings.sparkSession
+    val n = normed(embeddings)
+    val a = n.select(col("vec_id").as("d1"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val b = n.select(col("vec_id").as("d2"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    a.join(broadcast(b), col("d1") < col("d2"))
+      .filter(simCol >= tau)
+      .select("d1", "d2")
+  }
+
+  /** Banded scale route: only same-band vectors pay an exact cosine; a
+    * pair appears once per shared band, so `distinct()` inside
+    * [[DedupGroups.components]]' edge build dedups the multi-band hits. */
+  private def bandedPairs(embeddings: DataFrame, tau: Double, planes: Int,
+                          bands: Int): DataFrame = {
+    import graft.functions.GraftFunctions.dot
+    require(planes % bands == 0, s"planes $planes not divisible by $bands")
+    val r = planes / bands
+    val sig = (0 until planes).map { i =>
+      val proj = dot(col("embedding"), typedLit(planeComponents(i)))
+      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val banded = normed(embeddings).withColumn("sig", sig)
+      .localCheckpoint(eager = false)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * r)
+              .bitwiseAND(lit((1L << r) - 1)).as("bits"))
+        }: _*)).as("bb"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val a = banded.select(col("band"), col("bits"), col("vec_id").as("d1"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = banded.select(col("band"), col("bits"), col("vec_id").as("d2"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("band", "bits"))
+      .filter(col("d1") < col("d2") && simCol >= tau)
+      .select("d1", "d2")
+  }
+}

@@ -450,6 +450,22 @@ object PipelineQueries {
         .orderBy("label", "pos")
     },
 
+    // Embedding-cosine near-dup dedup (the semantic member of the dedup
+    // family): threshold pairs -> connected components -> min-id
+    // survivor. tau=0.45 sits inside the fixture's top pair sims
+    // (max 0.51 at sf0.01 / 0.60 at sf0.1, 14 / 144 pairs above 0.45 —
+    // measured) so real merges happen at both SFs; the routing sends
+    // this 500-2000-row corpus down the exact path, and DedupSpec gates
+    // the banded scale route on a planted clustered corpus.
+    Q.cap("cap_dedup_semantic") { (s, d) =>
+      graft.operators.SemanticDedup.flags(Tables.embeddings(s, d), tau = 0.45)
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_surv"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).as("n_removed"),
+          countDistinct(when(col("lbl") =!= col("vec_id"), col("lbl")))
+            .as("n_multi_groups"))
+    },
+
     // Duplicate n-gram fraction (the Gopher/C4 repetition filter): share
     // of word and bigram occurrences that are repeats within the doc.
     // Pure per-row array math — no shuffle at all, embarrassingly

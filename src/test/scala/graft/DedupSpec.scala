@@ -74,4 +74,61 @@ class DedupSpec extends SparkSuite {
     // every group's min member IS its id (canonical representative)
     assert(out.filter(col("group_id") > col("max_doc")).count() == 0)
   }
+
+  test("semantic dedup (exact route) matches brute-force threshold components") {
+    import graft.functions.GraftFunctions.dot
+    graft.functions.GraftFunctions.register(spark)
+    val tau = 0.45
+    val emb = graft.core.Tables.embeddings(spark, sf("0.01"))
+    val n = emb.select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nrm"))
+    val a = n.select(col("vec_id").as("d1"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("d2"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val brutePairs = a.join(b, col("d1") < col("d2"))
+      .filter(dot(col("ea"), col("eb")) /
+        (sqrt(col("na")) * sqrt(col("nb"))) >= tau)
+      .select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = unionFindMinLabels(brutePairs)
+    val flags = graft.operators.SemanticDedup.flags(emb, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val total = emb.count()
+    assert(flags.length == total)
+    // labels match union-find ground truth (isolated vecs label themselves)
+    flags.foreach { case (v, lbl, kept) =>
+      assert(lbl == want.getOrElse(v, v), s"vec $v")
+      assert(kept == (lbl == v))
+    }
+    val merged = flags.count(!_._3)
+    info(s"removed $merged of $total at tau=$tau")
+    assert(merged > 0, "fixture should contain pairs above tau=0.45")
+  }
+
+  test("semantic dedup banded route: full component recall on a near-dup corpus") {
+    import spark.implicits._
+    // planted near-dup corpus: 20 clusters of 8 vectors in R^16 at
+    // ~0.99 cosine within a cluster — the regime banding exists for.
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(20)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 20; i <- 0 until 8) yield {
+      val v = centers(c).map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      (c * 8L + i, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val tau = 0.9
+    // directMax = 0 forces the banded route
+    val banded = graft.operators.SemanticDedup
+      .flags(emb, tau, planes = 16, bands = 4, directMax = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val exact = graft.operators.SemanticDedup.flags(emb, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // at 0.99 intra-cluster cosine a same-band miss needs all 4 bands to
+    // split a <10-degree angle: P < (1-(1-θ/π)^4)^4 ≈ 3e-3 per pair; the
+    // chained components make cluster-level recall effectively certain
+    assert(banded == exact,
+      "banded components diverge from exact on a tight near-dup corpus")
+    assert(exact.values.toSet.size == 20, "expected 20 clusters")
+  }
 }
