@@ -160,4 +160,59 @@ class StressSpec extends SparkSuite {
     assert(res == brute) // bitwise sim equality at 20x the fixture scale
     assert(surv < total / 2, s"bound pruned nothing: $surv of $total survive")
   }
+
+  test("SemanticDedup banded route is exact and sub-quadratic on near-dup clusters") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.dot
+    // clusters of 8 at ~0.99 intra-cosine — the production near-dup shape.
+    // directMax = 0 forces the banded route at BOTH sizes, so the timing
+    // ratio compares the banded plan against itself: 10x data through a
+    // bucketed plan costs ~10-20x (bucket count grows with n), while an
+    // all-pairs plan costs 100x.
+    def corpus(nClusters: Int) = {
+      val rnd = new scala.util.Random(17)
+      val centers = Array.fill(nClusters)(Array.fill(16)(rnd.nextGaussian().toFloat))
+      val rows = for (c <- 0 until nClusters; i <- 0 until 8) yield {
+        val v = centers(c).map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+        (c * 8L + i, v.toSeq)
+      }
+      spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    }
+    val tau = 0.9
+    val (smallFlags, tSmall) = timed(graft.operators.SemanticDedup
+      .flags(corpus(75), tau, directMax = 0).count())
+    val big = corpus(750).localCheckpoint(true)
+    val ((bandedBig, nBig), tBig) = timed {
+      val f = graft.operators.SemanticDedup.flags(big, tau, directMax = 0)
+        .localCheckpoint(eager = false)
+      (f.collect().map(r => (r.getLong(0), r.getLong(1))).toMap, f.count())
+    }
+    // airtight oracle at the big size: union-find over brute threshold pairs
+    val n = big.select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nrm"))
+    val a = n.select(col("vec_id").as("d1"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("d2"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val brutePairs = a.join(b, col("d1") < col("d2"))
+      .filter(dot(col("ea"), col("eb")) / (sqrt(col("na")) * sqrt(col("nb"))) >= tau)
+      .select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    brutePairs.foreach { case (x, y) =>
+      val (rx, ry) = (find(x), find(y)); if (rx != ry) parent(rx) = ry
+    }
+    val minLbl = parent.keys.toSeq.groupBy(find).flatMap {
+      case (_, vs) => val m = vs.min; vs.map(_ -> m)
+    }
+    info(f"semantic banded 600: $tSmall%.2f s, 6000: $tBig%.2f s, ratio ${tBig / tSmall}%.1f (10x data)")
+    assert(nBig == 6000L && smallFlags == 600L)
+    bandedBig.foreach { case (v, lbl) =>
+      assert(lbl == minLbl.getOrElse(v, v), s"vec $v: banded label $lbl")
+    }
+    assert(tBig / tSmall < 40.0,
+      f"10x data cost ${tBig / tSmall}%.1fx - quadratic, not bucketed")
+  }
 }
