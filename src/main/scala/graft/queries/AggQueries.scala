@@ -58,6 +58,34 @@ object AggQueries {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // Fixed-width value histogram ($5000 buckets over l_extendedprice):
+    // the distribution-profile primitive (skew diagnosis, bucket sizing).
+    // Bucket ids from exact integer cents through one IEEE double divide
+    // + floor (cents < 2^53 ⇒ exact in both engines); one map-side
+    // combinable groupBy — linear at any scale.
+    Q("q_agg_histogram",
+      s"""SELECT bucket, COUNT(*) AS n,
+         |  ${d2dSql("MIN(l_extendedprice)")} AS lo,
+         |  ${d2dSql("MAX(l_extendedprice)")} AS hi,
+         |  ${d2dSql(dsumSql("l_extendedprice"))} AS sum_price
+         |FROM (
+         |  SELECT l_extendedprice,
+         |    CAST(FLOOR(CAST(CAST(l_extendedprice * 100 AS BIGINT) AS DOUBLE)
+         |      / 500000.0) AS BIGINT) AS bucket
+         |  FROM lineitem)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_extendedprice"),
+          floor((col("l_extendedprice") * 100).cast("long").cast("double")
+            / 500000.0).cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          d2d(min(col("l_extendedprice"))).as("lo"),
+          d2d(max(col("l_extendedprice"))).as("hi"),
+          d2d(dsum(col("l_extendedprice"))).as("sum_price"))
+        .orderBy("bucket")
+    },
+
     Q("q_agg_count_distinct",
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS uniq_cust, COUNT(*) AS cnt
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>

@@ -587,6 +587,42 @@ object PipelineQueries {
         .filter(col("rk") === 1)
         .select("doc_id", "lang", "source", "n_chars", "grp_n")
         .orderBy("doc_id")
+    },
+
+    // Edit-distance nearest neighbor (OCR/typo near-dup detection):
+    // classic Levenshtein — identical DP definition in both engines —
+    // over 40-char prefixes, anchors bounded (doc_id < 50) and candidates
+    // bucketed by lang, so the quadratic primitive runs on a
+    // contract-bounded anchor x bucket set, never all-pairs. The anchor
+    // side broadcasts; the rank window partitions per anchor.
+    Q("q_text_editdist",
+      """SELECT d1, d2, dist FROM (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40))
+        |      AS dist,
+        |    row_number() OVER (PARTITION BY a.doc_id
+        |      ORDER BY levenshtein(substring(a.text, 1, 40),
+        |                           substring(b.text, 1, 40)), b.doc_id) AS rn
+        |  FROM documents a JOIN documents b
+        |    ON a.lang = b.lang AND a.doc_id != b.doc_id
+        |  WHERE a.doc_id < 50) t
+        |WHERE rn = 1 ORDER BY d1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val a = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("d1"), col("lang"),
+          substring(col("text"), 1, 40).as("ta"))
+      val b = docs.select(col("doc_id").as("d2"), col("lang"),
+        substring(col("text"), 1, 40).as("tb"))
+      val w = Window.partitionBy("d1")
+        .orderBy(col("dist"), col("d2"))
+      broadcast(a).join(b, Seq("lang"))
+        .filter(col("d1") =!= col("d2"))
+        .select(col("d1"), col("d2"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("d1", "d2", "dist")
+        .orderBy("d1")
     }
   )
 }
