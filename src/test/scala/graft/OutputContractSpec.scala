@@ -34,4 +34,8 @@ class OutputContractSpec extends SparkSuite {
     }
     assert(bad.isEmpty, s"harness-breaking output columns:\n  ${bad.mkString("\n  ")}")
   }
+
+  test("driver smoke contract: entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
 }
