@@ -58,15 +58,18 @@ object ExactPairsTopK {
     * exceeds the entire brute-force runtime. Above `directMax` the
     * centroid triangle-inequality pruning is the only exact shape that
     * survives — tests pin `directMax = 0` to force it. The routing probe
-    * is one metadata-scale count (parquet count-star); both branches
-    * share the same codegen'd sim expression, so routing cannot change a
-    * single output bit (AnnSpec asserts route equality). */
+    * is one [[graft.core.SizeProbe]] count: metadata-scale over a bare
+    * parquet scan, and a shared (checkpointed) single execution over a
+    * derived frame — the probe never doubles the input's lineage. Both
+    * branches share the same codegen'd sim expression, so routing cannot
+    * change a single output bit (AnnSpec asserts route equality). */
   def topPairs(embeddings: DataFrame, k: Int, planes: Int = 3,
                directMax: Long = 8192): DataFrame = {
     require(directMax <= 65536,
       s"directMax $directMax exceeds the blocked all-pairs ceiling 2^16")
-    if (embeddings.count() <= directMax) bruteTopK(embeddings, k)
-    else build(embeddings, k, planes)._1
+    val (n, shared) = graft.core.SizeProbe.count(embeddings)
+    if (n <= directMax) bruteTopK(shared, k)
+    else build(shared, k, planes)._1
   }
 
   /** The small-route plan: normed self-join on v1 < v2 (broadcast
@@ -121,10 +124,13 @@ object ExactPairsTopK {
     Array.fill(MaxDim)(rng.nextFloat() * 2 - 1)
   }
 
-  private def build(embeddings: DataFrame, k: Int,
-                    planes: Int): (DataFrame, DataFrame) = {
-    val spark = embeddings.sparkSession
-    graft.functions.GraftFunctions.register(spark)
+  /** The shared cell geometry: (normed rows with cell ids, per-cell
+    * centroids, per-cell angular radii) — the inputs to any spherical
+    * triangle-inequality bound (top-k via s_lb in [[build]]; a fixed
+    * threshold in [[thresholdPairs]]). */
+  private def geometry(embeddings: DataFrame,
+                       planes: Int): (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     import graft.functions.GraftFunctions.dot
 
     // Sign bit per hyperplane: one codegen'd dot against a literal
@@ -161,6 +167,55 @@ object ExactPairsTopK {
       .select(col("cell"),
         when(isnan(ang), lit(math.Pi)).otherwise(ang).as("ang"))
       .groupBy("cell").agg(max("ang").as("r"))
+    (normed, centroids, radii)
+  }
+
+  /** EXACT (d1, d2) pairs with cosine ≥ `tau`, d1 < d2 — the
+    * threshold-join sibling of [[topPairs]]. Same cell geometry, but the
+    * pruning bound is `tau` itself (no s_lb probe, so the whole operator
+    * is one lazy plan with no driver action at all): a cell pair (Ci, Cj)
+    * with cos(max(0, θij − ri − rj)) < tau cannot contain a pair at or
+    * above tau and is dropped before any per-vector work. Complete at
+    * ANY tau — unlike signature banding, whose recall collapses below the
+    * near-dup regime (see [[SemanticDedup]], which routes its moderate-tau
+    * scale branch here for exactly that reason). Same-cell pairs always
+    * survive (θ = 0 ⇒ bound = 1), so no pair can be lost to its own cell;
+    * cross-cell pairs appear under exactly one (cell(d1), cell(d2))
+    * orientation, so no duplicates are emitted either. */
+  def thresholdPairs(embeddings: DataFrame, tau: Double,
+                     planes: Int = 5): DataFrame = {
+    import graft.functions.GraftFunctions.dot
+    val (normed, centroids, radii) = geometry(embeddings, planes)
+    val ci = centroids.select(col("pcell").as("ci"), col("cvec").as("cva"))
+    val cj = centroids.select(col("pcell").as("cj"), col("cvec").as("cvb"))
+    val cosCC = dot(col("cva"), col("cvb")) /
+      (sqrt(dot(col("cva"), col("cva"))) * sqrt(dot(col("cvb"), col("cvb"))))
+    val thetaRaw = acos(least(lit(1.0), greatest(lit(-1.0), cosCC)))
+    // FP guard margin keeps the bound conservative only — never the output
+    val survivors = ci.crossJoin(cj)
+      .select(col("ci"), col("cj"),
+        when(isnan(thetaRaw), lit(0.0)).otherwise(thetaRaw).as("theta"))
+      .join(radii.select(col("cell").as("ci"), col("r").as("ri")), "ci")
+      .join(radii.select(col("cell").as("cj"), col("r").as("rj")), "cj")
+      .filter(cos(greatest(lit(0.0), col("theta") - col("ri") - col("rj")))
+        >= tau - 1e-9)
+      .select("ci", "cj")
+    val a = normed.select(col("cell").as("ca"), col("vec_id").as("d1"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = normed.select(col("cell").as("cb"), col("vec_id").as("d2"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(broadcast(survivors), col("ca") === col("ci"))
+      .join(b, col("cb") === col("cj") && col("d1") < col("d2"))
+      .filter(dot(col("ea"), col("eb")) /
+        (sqrt(col("na")) * sqrt(col("nb"))) >= tau)
+      .select("d1", "d2")
+  }
+
+  private def build(embeddings: DataFrame, k: Int,
+                    planes: Int): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    import graft.functions.GraftFunctions.dot
+    val (normed, centroids, radii) = geometry(embeddings, planes)
 
     // s_lb: k-th best same-cell sim (subset of all pairs ⇒ valid lower
     // bound). A one-row frame folded into the plan as a broadcast cross

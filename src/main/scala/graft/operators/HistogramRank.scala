@@ -86,14 +86,17 @@ object HistogramRank {
     require(directMax <= (1L << 24),
       s"directMax $directMax exceeds the single-task sort ceiling 2^24")
     val ord = (valueCol +: tieCols).map(col)
-    // routing probe: ONE count job picks exactly one plan (see object doc)
-    if (df.count() <= directMax) {
+    // routing probe: ONE count job picks exactly one plan (see object
+    // doc); SizeProbe checkpoint-shares the scan on derived frames so the
+    // probe never executes the input lineage twice
+    val (n, shared) = graft.core.SizeProbe.count(df)
+    if (n <= directMax) {
       // bounded ≤ directMax rows by the probe — the single-task sort is
       // the intent (cheapest exact plan at this size). The constant
       // partition key marks that deliberately, keeping
       // UnpartitionedWindowCheck's strict gate meaningful for unrouted
       // plans.
-      val small = df.withColumn("__all", lit(0))
+      val small = shared.withColumn("__all", lit(0))
         .withColumn(rankCol, row_number().over(
           Window.partitionBy("__all").orderBy(ord: _*)).cast("long"))
         .drop("__all")
@@ -101,7 +104,7 @@ object HistogramRank {
         small.withColumn("__hb", lit(0L)).withColumn("__tb", lit(0L))
       else small
     } else
-      histogramRank(df, valueCol, tieCols, rankCol, buckets, hotGroup, keepBuckets)
+      histogramRank(shared, valueCol, tieCols, rankCol, buckets, hotGroup, keepBuckets)
   }
 
   /** The histogram decomposition (large-input branch of withGlobalRank). */

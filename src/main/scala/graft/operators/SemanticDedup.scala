@@ -11,20 +11,37 @@ import org.apache.spark.sql.functions._
   *
   * Size-routed like [[ExactPairsTopK]]: corpora at or below `directMax`
   * rows take an exact blocked all-pairs threshold join (complete at ANY
-  * tau — the fixture shape). Above `directMax`, candidate generation is
-  * hyperplane-signature banding: `planes` sign bits from the same literal
-  * hyperplane family, split into `bands` bands; vectors agreeing on any
-  * full band meet in an equi-join bucket and only those pairs pay an
-  * exact cosine. Banding is the 100 TB shape but is probabilistic, and
-  * honest only for the near-dup regime it exists for — at tau ≥ 0.8 a
-  * same-band miss needs every band to split a ≤ 37° angle
-  * (p_collide = (1 − θ/π)^{planes/bands} per band), while at moderate
-  * tau recall decays fast (the round-3 lesson that killed LSH for
-  * exact top-k). DedupSpec gates the banded route's component recall on
-  * a planted clustered corpus; the exact route is gated pair-for-pair
-  * against brute force.
+  * tau — the fixture shape). Above `directMax` the route depends on tau,
+  * because banding is honest only for the near-dup regime it exists for:
+  *
+  *  - **tau ≥ [[BandedTauFloor]] (0.8)** — hyperplane-signature banding:
+  *    `planes` sign bits from the same literal hyperplane family, split
+  *    into `bands` bands; vectors agreeing on any full band meet in an
+  *    equi-join bucket and only those pairs pay an exact cosine. At
+  *    tau ≥ 0.8 a same-band miss needs every band to split a ≤ 37° angle
+  *    (p_collide = (1 − θ/π)^{planes/bands} per band) — recall is
+  *    effectively certain on chained components.
+  *  - **tau < 0.8** — banding's recall decays fast at moderate angles
+  *    (the round-3 lesson that killed LSH for exact top-k), so instead of
+  *    silently returning incomplete components the scale route switches
+  *    to [[ExactPairsTopK.thresholdPairs]]: centroid triangle-inequality
+  *    pruning, PROVABLY complete at any tau — cell pairs whose spherical
+  *    upper bound falls below tau are dropped, survivors pay the exact
+  *    cosine. On clustered (real) corpora the bound kills most cell
+  *    pairs; on diffuse data it degrades gracefully toward the blocked
+  *    all-pairs floor rather than dropping duplicates.
+  *
+  * Every route is gated: DedupSpec checks the exact route pair-for-pair
+  * against brute force, the banded route's component recall on a planted
+  * 0.99-cosine corpus, and the moderate-tau pruned route label-for-label
+  * against the exact route on the fixture.
   */
 object SemanticDedup {
+
+  /** Below this tau the banded route's per-pair recall is no longer
+    * near-certain, so the scale branch uses provably-complete centroid
+    * pruning instead (see object doc). */
+  val BandedTauFloor = 0.8
 
   private val MaxDim = 1024
 
@@ -39,14 +56,24 @@ object SemanticDedup {
     * when isolated) and survivor flag per vector. */
   def flags(embeddings: DataFrame, tau: Double, planes: Int = 16,
             bands: Int = 4, directMax: Long = 8192): DataFrame = {
+    // mirror ExactPairsTopK's ceiling: directMax bounds a deliberate
+    // O(n²/2) broadcast exact join — a careless caller must not be able
+    // to route an unbounded corpus into it
+    require(directMax <= 65536,
+      s"directMax $directMax exceeds the blocked all-pairs ceiling 2^16")
+    // signature bits live in one Long (1L << i per plane)
+    require(planes <= 63, s"planes $planes overflows a 64-bit signature")
     val spark = embeddings.sparkSession
     graft.functions.GraftFunctions.register(spark)
+    // one-scan routing probe (shared lineage on derived frames)
+    val (n, shared) = graft.core.SizeProbe.count(embeddings)
     val pairs =
-      if (embeddings.count() <= directMax) exactPairs(embeddings, tau)
-      else bandedPairs(embeddings, tau, planes, bands)
+      if (n <= directMax) exactPairs(shared, tau)
+      else if (tau >= BandedTauFloor) bandedPairs(shared, tau, planes, bands)
+      else ExactPairsTopK.thresholdPairs(shared, tau)
     val comps = DedupGroups.components(pairs)
       .select(col("v").as("vec_id"), col("lbl"))
-    embeddings.select(col("vec_id"))
+    shared.select(col("vec_id"))
       .join(comps, Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("lbl"), col("vec_id")).as("lbl"))

@@ -60,9 +60,12 @@ object AggQueries {
 
     // Fixed-width value histogram ($5000 buckets over l_extendedprice):
     // the distribution-profile primitive (skew diagnosis, bucket sizing).
-    // Bucket ids from exact integer cents through one IEEE double divide
-    // + floor (cents < 2^53 ⇒ exact in both engines); one map-side
-    // combinable groupBy — linear at any scale.
+    // Cents via FLOOR(x*100 + 0.5), spelled IDENTICALLY in both engines:
+    // a bare double→long cast would truncate in Spark but round in DuckDB,
+    // so the cents step must be an explicit symmetric floor (both engines'
+    // FLOOR over the same IEEE doubles). Integer cents < 2^53 are exact;
+    // one more divide + floor yields the bucket; one map-side combinable
+    // groupBy — linear at any scale.
     Q("q_agg_histogram",
       s"""SELECT bucket, COUNT(*) AS n,
          |  ${d2dSql("MIN(l_extendedprice)")} AS lo,
@@ -70,13 +73,13 @@ object AggQueries {
          |  ${d2dSql(dsumSql("l_extendedprice"))} AS sum_price
          |FROM (
          |  SELECT l_extendedprice,
-         |    CAST(FLOOR(CAST(CAST(l_extendedprice * 100 AS BIGINT) AS DOUBLE)
+         |    CAST(FLOOR(FLOOR(l_extendedprice * 100 + 0.5)
          |      / 500000.0) AS BIGINT) AS bucket
          |  FROM lineitem)
          |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .select(col("l_extendedprice"),
-          floor((col("l_extendedprice") * 100).cast("long").cast("double")
+          floor(floor(col("l_extendedprice") * 100 + 0.5).cast("double")
             / 500000.0).cast("long").as("bucket"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),

@@ -595,6 +595,11 @@ object PipelineQueries {
     // bucketed by lang, so the quadratic primitive runs on a
     // contract-bounded anchor x bucket set, never all-pairs. The anchor
     // side broadcasts; the rank window partitions per anchor.
+    // ASCII PRECONDITION: Spark's levenshtein counts code points while
+    // DuckDB's counts bytes, so hash parity holds only while the compared
+    // prefixes are pure ASCII (true of the documents fixture at every sf
+    // — verified at sf0.01/sf0.1). A non-ASCII fixture would need both
+    // twins to normalize (e.g. strip to ASCII) before comparing.
     Q("q_text_editdist",
       """SELECT d1, d2, dist FROM (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2,

@@ -104,6 +104,36 @@ class AnnSpec extends SparkSuite {
     assert(surv < total / 2, s"bound pruned nothing: $surv of $total survive")
   }
 
+  test("centroid-pruned threshold pairs are complete at moderate tau") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.dot
+    // same planted clustered shape; tau = 0.45 is far below the banding
+    // regime — completeness here is exactly what the triangle-inequality
+    // bound guarantees and banding cannot
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(16)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 16; i <- 0 until 12) yield {
+      val v = centers(c).map(x => x + 0.03f * rnd.nextGaussian().toFloat)
+      (c * 12L + i, v.toSeq)
+    }
+    val emb = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val tau = 0.45
+    val got = graft.operators.ExactPairsTopK.thresholdPairs(emb, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = emb.select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nrm"))
+    val a = n.select(col("vec_id").as("d1"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("d2"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val brute = a.join(b, col("d1") < col("d2"))
+      .filter(dot(col("ea"), col("eb")) /
+        (sqrt(col("na")) * sqrt(col("nb"))) >= tau)
+      .select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(s"threshold pairs at tau=$tau: ${got.size}")
+    assert(got == brute)
+    assert(brute.nonEmpty, "planted clusters should produce pairs above tau")
+  }
+
   test("binaryFile source ingests opaque payloads deterministically") {
     val out = SparkEntry.queries("cap_source_binaryfile")(spark, sf("0.001"))
     val rows = out.collect()

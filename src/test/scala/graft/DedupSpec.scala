@@ -106,6 +106,24 @@ class DedupSpec extends SparkSuite {
     assert(merged > 0, "fixture should contain pairs above tau=0.45")
   }
 
+  test("semantic dedup scale route at moderate tau is exact (centroid-pruned)") {
+    // tau < BandedTauFloor must NOT take the banded route (recall decays
+    // fast at moderate angles): directMax = 0 forces the scale branch,
+    // which at tau = 0.45 is the provably-complete centroid-pruned
+    // threshold join — labels must match the exact route bit-for-bit
+    val emb = graft.core.Tables.embeddings(spark, sf("0.01"))
+    val tau = 0.45
+    assert(tau < graft.operators.SemanticDedup.BandedTauFloor)
+    val routed = graft.operators.SemanticDedup.flags(emb, tau, directMax = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val exact = graft.operators.SemanticDedup.flags(emb, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(routed == exact,
+      "moderate-tau scale route diverged from the exact route")
+    assert(exact.count { case (v, lbl) => v != lbl } > 0,
+      "fixture should contain merges at tau=0.45")
+  }
+
   test("semantic dedup banded route: full component recall on a near-dup corpus") {
     import spark.implicits._
     // planted near-dup corpus: 20 clusters of 8 vectors in R^16 at
