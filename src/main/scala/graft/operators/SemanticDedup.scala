@@ -106,10 +106,9 @@ object SemanticDedup {
       .select("d1", "d2")
   }
 
-  /** Banded scale route: only same-band vectors pay an exact cosine; a
-    * pair appears once per shared band, so `distinct()` inside
-    * [[DedupGroups.components]]' edge build dedups the multi-band hits. */
-  private def bandedPairs(embeddings: DataFrame, tau: Double, planes: Int,
+  /** The banded (band, bits)-keyed row set behind [[bandedPairs]] and the
+    * candidate-count diagnostic. */
+  private def bandedFrame(embeddings: DataFrame, planes: Int,
                           bands: Int): DataFrame = {
     import graft.functions.GraftFunctions.dot
     require(planes % bands == 0, s"planes $planes not divisible by $bands")
@@ -118,7 +117,7 @@ object SemanticDedup {
       val proj = dot(col("embedding"), typedLit(planeComponents(i)))
       when(proj > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val banded = normed(embeddings).withColumn("sig", sig)
+    normed(embeddings).withColumn("sig", sig)
       .localCheckpoint(eager = false)
       .select(col("vec_id"), col("embedding"), col("nrm"),
         explode(array((0 until bands).map { b =>
@@ -128,6 +127,14 @@ object SemanticDedup {
         }: _*)).as("bb"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("bb.band").as("band"), col("bb.bits").as("bits"))
+  }
+
+  /** Banded scale route: only same-band vectors pay an exact cosine; a
+    * pair appears once per shared band, so `distinct()` inside
+    * [[DedupGroups.components]]' edge build dedups the multi-band hits. */
+  private def bandedPairs(embeddings: DataFrame, tau: Double, planes: Int,
+                          bands: Int): DataFrame = {
+    val banded = bandedFrame(embeddings, planes, bands)
     val a = banded.select(col("band"), col("bits"), col("vec_id").as("d1"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = banded.select(col("band"), col("bits"), col("vec_id").as("d2"),
@@ -136,4 +143,17 @@ object SemanticDedup {
       .filter(col("d1") < col("d2") && simCol >= tau)
       .select("d1", "d2")
   }
+
+  /** Work-metric diagnostic (StressSpec): how many same-band candidate
+    * pairs the banded route pays an exact cosine for — Σ over (band,
+    * bits) buckets of C(|bucket|, 2). The complexity claim lives here,
+    * not in wall-clock: banding is honest when this is far below the
+    * all-pairs n(n−1)/2. */
+  private[graft] def bandedCandidateCount(embeddings: DataFrame,
+                                          planes: Int = 16,
+                                          bands: Int = 4): Long =
+    bandedFrame(embeddings, planes, bands)
+      .groupBy("band", "bits").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)).as("s"))
+      .head().getLong(0) / 2
 }

@@ -100,6 +100,32 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.failUnpartitionedWindow")
   }
 
+  test("plan shapes of the top-10 most expensive queries are pinned") {
+    // The bench guard catches timing drift, but timing is noisy (±1.5×
+    // run-to-run — SURVEY round-6 variance study); plan shape is
+    // deterministic. Any added Exchange or join-strategy flip in these
+    // queries is a regression that must arrive as a deliberate diff of
+    // this table, not as unexplained timing noise. Signatures measured at
+    // sf0.001 (routing probes take the same routes at every test sf).
+    val pinned = Map(
+      "q_dedup_simhash" -> "shuffle=5,broadcast=6,BroadcastHashJoin=6",
+      "q_text_editdist" -> "shuffle=2,broadcast=1,BroadcastHashJoin=1",
+      "q_text_jaccard_pairs" -> "shuffle=2,broadcast=1,BroadcastHashJoin=1",
+      "q_agg_percentile" -> "shuffle=2,broadcast=2,BroadcastHashJoin=2",
+      "q_join_sortmerge" -> "shuffle=4,broadcast=0,SortMergeJoin=1",
+      "q_sim_embed_neardup" -> "shuffle=1,broadcast=1,BroadcastNestedLoopJoin=1",
+      "q_dedup_ngram" -> "shuffle=2,broadcast=1,BroadcastHashJoin=1",
+      "q_text_langid" -> "shuffle=5,broadcast=1,BroadcastHashJoin=1",
+      "q_join_asof" -> "shuffle=3,broadcast=0",
+      "q_window_ntile" -> "shuffle=2,broadcast=1,BroadcastNestedLoopJoin=1")
+    val got = pinned.keys.toSeq.sorted
+      .map(q => q -> graft.tools.PlanShape.of(plan(q)))
+    val diffs = got.filter { case (q, s) => s != pinned(q) }
+    assert(diffs.isEmpty, diffs.map { case (q, s) =>
+      s"\n  $q: got $s\n  ${" " * q.length}  pin ${pinned(q)}"
+    }.mkString)
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // AQE wraps the plan lazily and hides codegen spans from toString →
     // inspect the non-adaptive physical plan for this assertion only.

@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * above directMax, SimHash banding above its bucket ceiling) and the
   * scaling-shape claims the operator docs make.
   *
-  * Timing assertions discriminate complexity classes, not absolute speed:
-  * a 20× input with a quadratic plan costs ~400×, so a < 80× bound passes
-  * any linear plan on a noisy CI box while failing a quadratic one by 5×.
-  * Work-shape assertions (candidate counts, branch engagement) carry the
-  * precise claims.
+  * Complexity claims are carried by WORK-METRIC assertions (candidate
+  * counts, sort-partition bounds, pruning factors): they are
+  * data-deterministic, so a loaded CI host can never flake them — the
+  * round-6 variance study measured 1.5× wall-clock spread on unchanged
+  * code, which would make any timing `assert` here either meaningless or
+  * flaky. Wall-clock is reported as `info` only, for the human reading
+  * the log.
   */
 class StressSpec extends SparkSuite {
 
@@ -45,10 +47,24 @@ class StressSpec extends SparkSuite {
         .localCheckpoint(eager = false)
       (p.filter(col("d1") === 900001L && col("d2") === 900002L).count(), p.count())
     }
-    info(f"jaccard 2.5k: $tSmall%.2f s, 50k: $tBig%.2f s, ratio ${tBig / tSmall}%.1f (20x data)")
+    info(f"jaccard 2.5k: $tSmall%.2f s, 50k: $tBig%.2f s (20x data)")
     assert(bigPairs == 1L, s"planted near-dup pair not found among $nBig pairs")
-    assert(tBig / tSmall < 80.0,
-      f"20x data cost ${tBig / tSmall}%.1fx - quadratic, not linear")
+    // work metric (deterministic): the postings join's candidate volume is
+    // Σ over (lang, source, token) of C(df_t, 2) — exactly the row count
+    // the co-occurrence join feeds the groupBy. Bounded posting lists ⇒
+    // candidates grow ~linearly; an all-pairs plan at 20x data would cost
+    // 400x. 2x headroom over linear growth.
+    def candidates(df: org.apache.spark.sql.DataFrame): Long = df
+      .select(col("lang"), col("source"), col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .groupBy("lang", "source", "tok").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)))
+      .head().getLong(0) / 2
+    val (candSmall, candBig) = (candidates(corpus(2500)), candidates(big))
+    info(s"candidate pairs: 2.5k -> $candSmall, 50k -> $candBig " +
+      f"(${candBig.toDouble / candSmall}%.1fx work for 20x data)")
+    assert(candBig < 40L * candSmall,
+      s"candidate volume $candBig vs $candSmall at 20x data - super-linear")
   }
 
   test("HistogramRank histogram branch is exact and near-linear at 200k rows") {
@@ -63,10 +79,22 @@ class StressSpec extends SparkSuite {
     }
     val (_, tSmall) = timed(ranked(10000).count())
     val (cntBig, tBig) = timed(ranked(200000).count())
-    info(f"histogram rank 10k: $tSmall%.2f s, 200k: $tBig%.2f s, ratio ${tBig / tSmall}%.1f (20x data)")
+    info(f"histogram rank 10k: $tSmall%.2f s, 200k: $tBig%.2f s (20x data)")
     assert(cntBig == 200000L)
-    assert(tBig / tSmall < 80.0,
-      f"20x data cost ${tBig / tSmall}%.1fx - quadratic, not linear")
+    // work metric (deterministic): the decomposition's whole point is that
+    // no single sort task sees more than bucket-scale rows. keepBuckets
+    // exposes the (__hb, __tb) sort-partition keys; the largest partition
+    // must stay far below n — a collapsed histogram (the round-2
+    // hardcoded-width flaw) would put ~200k rows in one partition.
+    val bigDf = (0 until 200000).map(i => ((i.toLong * 6364136223846793005L >>> 33)
+      .toDouble, i.toLong)).toDF("v", "k")
+    val maxPart = graft.operators.HistogramRank.withGlobalRank(
+        bigDf, "v", Seq("k"), rankCol = "r", directMax = 0, keepBuckets = true)
+      .groupBy("__hb", "__tb").agg(count(lit(1)).as("c"))
+      .agg(max("c")).head().getLong(0)
+    info(s"largest sort partition: $maxPart of 200000 rows")
+    assert(maxPart <= 4096,
+      s"a single sort task sees $maxPart rows - histogram not splitting")
     // exactness at scale: spot-check 1k rows of the 200k ranking against
     // the single-task window form (full window materialization is the
     // thing this operator exists to avoid; equality on a deterministic
@@ -207,12 +235,22 @@ class StressSpec extends SparkSuite {
     val minLbl = parent.keys.toSeq.groupBy(find).flatMap {
       case (_, vs) => val m = vs.min; vs.map(_ -> m)
     }
-    info(f"semantic banded 600: $tSmall%.2f s, 6000: $tBig%.2f s, ratio ${tBig / tSmall}%.1f (10x data)")
+    info(f"semantic banded 600: $tSmall%.2f s, 6000: $tBig%.2f s (10x data)")
     assert(nBig == 6000L && smallFlags == 600L)
     bandedBig.foreach { case (v, lbl) =>
       assert(lbl == minLbl.getOrElse(v, v), s"vec $v: banded label $lbl")
     }
-    assert(tBig / tSmall < 40.0,
-      f"10x data cost ${tBig / tSmall}%.1fx - quadratic, not bucketed")
+    // work metric (deterministic): banding's claim is that only same-band
+    // vectors pay an exact cosine. Compare the banded candidate volume
+    // against the all-pairs floor n(n−1)/2 it replaces — the pruning
+    // factor is the honest complexity statement (bucket count is fixed at
+    // 2^(planes/bands) per band, so work is quadratic-with-small-constant
+    // once clusters saturate the buckets, NOT asymptotically linear).
+    val candBig = graft.operators.SemanticDedup.bandedCandidateCount(big)
+    val allPairs = 6000L * 5999L / 2
+    info(f"banded candidates: $candBig of $allPairs all-pairs " +
+      f"(${allPairs.toDouble / candBig}%.1fx pruned)")
+    assert(candBig * 2 < allPairs,
+      s"banding pruned under 2x: $candBig of $allPairs pairs still paid")
   }
 }
