@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Marquee 100x-density stress runs are opt-in: excluded from the `test`
+// task's budget, still reachable via `testOnly graft.MarqueeStressSpec`
+// (the exclusion is scoped to the test TASK, so testOnly is unaffected).
+Test / test / testOptions +=
+  Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.Marquee")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -110,6 +110,7 @@ object SemanticDedup {
     * candidate-count diagnostic. */
   private def bandedFrame(embeddings: DataFrame, planes: Int,
                           bands: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     import graft.functions.GraftFunctions.dot
     require(planes % bands == 0, s"planes $planes not divisible by $bands")
     val r = planes / bands

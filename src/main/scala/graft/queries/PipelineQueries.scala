@@ -270,6 +270,15 @@ object PipelineQueries {
         anchorPred = col("vec_id") < 100)
     },
 
+    // IVF-PQ ANN — the 100 TB memory story: candidates scored from
+    // m-byte PQ codes via ADC (32x smaller scan set than full float64
+    // vectors), exact re-rank only on the shortlist. Same AnnSpec recall
+    // gate as cap_sim_ann / cap_sim_ivf.
+    Q.cap("cap_sim_ivfpq") { (s, d) =>
+      graft.operators.IvfPq.topK(Tables.embeddings(s, d), k = 5,
+        anchorPred = col("vec_id") < 100)
+    },
+
     // Real multimodal INGESTION path: opaque media files on disk read via
     // the built-in binaryFile source → (path, length, content) → content
     // checksum. At 100 TB this is the input shape for image/audio corpora
@@ -502,6 +511,63 @@ object PipelineQueries {
             (size(col("bg")) - size(array_distinct(col("bg"))))
               .cast("double") / size(col("bg")))
             .otherwise(lit(0.0)).as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus-trained bigram LM quality score (the C4/Gopher shape beyond
+    // per-doc heuristics): train word-bigram + bigram-prefix counts on
+    // the corpus itself, score each doc by its count-weighted mean
+    // conditional bigram probability Σc(w1,w2)/Σc(w1·) — docs built from
+    // corpus-typical word transitions score high, garbled or atypical
+    // text scores low. LOG-FREE BY DESIGN: a product-of-probabilities
+    // perplexity needs ln (banned from oracles — libm vs JVM ULP drift)
+    // or unbounded rationals, while this linear form stays EXACT: two
+    // BIGINT sums per doc and one IEEE division, bit-identical in both
+    // engines. Scale shape: two combinable count aggs keyed by word, one
+    // bigram→counts equi-join (hot stopword keys are AQE-skew fodder,
+    // same as the postings join), one final doc_id agg — all linear,
+    // map-side combinable; the bigram frame is checkpoint-barriered
+    // because it feeds the model aggs AND the scoring join.
+    Q("q_text_lm_score",
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |             FROM documents),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |       FROM tok, LATERAL (SELECT unnest(
+        |         generate_series(1, len(toks) - 1)) AS i) g),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS cbg FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, COUNT(*) AS cpre FROM bg GROUP BY w1),
+        |d AS (SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |        CAST(SUM(c2.cbg) AS BIGINT) AS num,
+        |        CAST(SUM(c1.cpre) AS BIGINT) AS den
+        |      FROM bg b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        |                JOIN c1 ON b.w1 = c1.w1
+        |      GROUP BY b.doc_id)
+        |SELECT doc_id, n_bigrams, num, den,
+        |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS lm_score
+        |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      // sequence(1, 0) is DESCENDING in Spark (vs empty in DuckDB) —
+      // guard single-token docs explicitly; explode then drops them from
+      // the output in both engines
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(when(size(toks) >= 2,
+            transform(sequence(lit(1), size(toks) - 1), i =>
+              struct(element_at(toks, i).as("w1"),
+                element_at(toks, i + 1).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+            .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .localCheckpoint(eager = false)
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("cpre"))
+      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum("cbg").as("num"), sum("cpre").as("den"))
+        .select(col("doc_id"), col("n_bigrams"), col("num"), col("den"),
+          (col("num").cast("double") / col("den").cast("double"))
+            .as("lm_score"))
         .orderBy("doc_id")
     },
 

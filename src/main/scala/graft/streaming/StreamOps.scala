@@ -62,6 +62,21 @@ object StreamOps {
     ltz(events).withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Content dedup within the watermark horizon (s_stream_dedup_text):
+    * dropDuplicatesWithinWatermark on md5(text) — the resubmitted-filing
+    * pattern keyed on CONTENT, not id, tying the batch dedup family
+    * (q_dedup_exact / q_dedup_keep_best) to the streaming surface. A
+    * resubmission with a fresh doc_id but identical text is dropped as
+    * long as it arrives inside the horizon; state is one 32-hex key per
+    * distinct text seen in the horizon, reclaimed by the watermark.
+    * Expects (ts, text, ...) columns; passes every input column through. */
+  def dedupTextStream(docs: DataFrame): DataFrame =
+    docs.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .withColumn("__h", md5(col("text")))
+      .dropDuplicatesWithinWatermark(Seq("__h"))
+      .drop("__h")
+
   /** Custom keyed state via mapGroupsWithState (s_stream_state): running
     * per-user event count + decimal-cents value total, emitted per
     * micro-batch. The KeyValueGroupedDataset state API is the escape hatch

@@ -33,6 +33,35 @@ class AnnSpec extends SparkSuite {
     assert(recall >= 0.6, f"recall $recall%.3f below 0.6")
   }
 
+  test("IVF-PQ ANN recalls >=60% of exact top-5 neighbors") {
+    val d = sf("0.01")
+    val exact = SparkEntry.queries("q_sim_cosine_topk")(spark, d)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SparkEntry.queries("cap_sim_ivfpq")(spark, d)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(f"IVF-PQ recall vs exact top-5: $recall%.3f")
+    assert(recall >= 0.6, f"recall $recall%.3f below 0.6")
+  }
+
+  test("IVF-PQ index survives a parquet save/load round-trip (query-equal)") {
+    val d = sf("0.01")
+    val emb = Tables.embeddings(spark, d)
+    val built = graft.operators.IvfPq.buildIndex(emb)
+    val direct = graft.operators.IvfPq
+      .query(built, emb, k = 5, anchorPred = col("vec_id") < 100)
+      .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    graft.operators.IvfPq.save(built, dir)
+    val loaded = graft.operators.IvfPq.load(spark, dir)
+    val reloaded = graft.operators.IvfPq
+      .query(loaded, emb, k = 5, anchorPred = col("vec_id") < 100)
+      .collect().map(_.toString).sorted.toSeq
+    assert(direct.nonEmpty && direct == reloaded)
+  }
+
   test("IVF index survives a parquet save/load round-trip (query-equal)") {
     val d = sf("0.01")
     val emb = Tables.embeddings(spark, d)

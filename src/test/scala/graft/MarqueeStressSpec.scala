@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.Tag
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Marquee tag: excluded from the default `sbt test` budget (build.sbt
+  * scopes the exclusion to the `test` task); run explicitly with
+  * `sbt "testOnly graft.MarqueeStressSpec"`. */
+object Marquee extends Tag("graft.Marquee")
+
+/** 100×-density stress runs — one per scale branch, at the row ranges
+  * where the production routes engage by DEFAULT routing (no pinned
+  * directMax), not test-forced. StressSpec proves complexity class at
+  * 10–20× fixture density; this suite measures the same branches at
+  * 2²²-row / 10⁵–10⁶-row range and records the curves (SURVEY round-7
+  * addendum is written from these measurements).
+  *
+  * All inputs are generated DISTRIBUTED (spark.range + hash-derived
+  * columns) — a half-million-row driver-side Seq would itself be a
+  * scale bug. Assertions are work metrics and exact oracles, never
+  * wall-clock (see StressSpec's doc for why); timings are info-only.
+  */
+class MarqueeStressSpec extends AnyFunSuite {
+
+  // own session: local[32] (the bench shape) — this suite runs alone in
+  // a fresh forked JVM, so the builder wins over SparkSuite's local[4]
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Synthetic sparse corpus: n docs × 12 tokens drawn hash-uniform from
+    * an n-slot vocab (df ≈ Poisson(12) — bounded posting lists at every
+    * n, the realistic sparse-text shape). */
+  private def jaccardCorpus(n: Long): DataFrame =
+    spark.range(n).select(
+      lit("en").as("lang"), lit("s0").as("source"), col("id").as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(11)), s =>
+        concat(lit("t"), pmod(xxhash64(col("id") * 12 + s), lit(n)))),
+        " ").as("text"))
+
+  private def jaccardCandidates(df: DataFrame): Long = df
+    .select(col("lang"), col("source"), col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    .groupBy("lang", "source", "tok").agg(count(lit(1)).as("c"))
+    .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)))
+    .head().getLong(0) / 2
+
+  test("InvertedJaccard: 500k docs, linear candidate volume", Marquee) {
+    import spark.implicits._
+    val planted = Seq(
+      ("en", "s0", 9000001L, (0 until 12).map("dup" + _).mkString(" ")),
+      ("en", "s0", 9000002L, ((0 until 11).map("dup" + _) :+ "other").mkString(" "))
+    ).toDF("lang", "source", "doc_id", "text")
+    val big = jaccardCorpus(500000L).unionByName(planted)
+    val ((found, nPairs), tBig) = timed {
+      val p = graft.operators.InvertedJaccard.pairs(big, 0.8)
+        .localCheckpoint(eager = false)
+      (p.filter(col("d1") === 9000001L && col("d2") === 9000002L).count(),
+        p.count())
+    }
+    val candBig = jaccardCandidates(big)
+    val candSmall = jaccardCandidates(jaccardCorpus(25000L))
+    info(f"500k docs: $tBig%.1f s, $nPairs pairs; candidates 25k -> " +
+      f"$candSmall, 500k -> $candBig (${candBig.toDouble / candSmall}%.1fx work, 20x data)")
+    assert(found == 1L, "planted near-dup pair not found at 500k docs")
+    assert(candBig < 40L * candSmall,
+      s"candidate volume super-linear: $candBig vs $candSmall at 20x data")
+  }
+
+  test("HistogramRank: default routing takes the histogram branch at 2^22 rows", Marquee) {
+    val n = 1L << 22
+    // xxhash64, not a multiplicative hash: ANSI mode (Spark 4 default)
+    // rejects the wrapping long multiply that the Scala-side generator in
+    // StressSpec exploits
+    def rows = spark.range(n).select(
+      xxhash64(col("id")).cast("double").as("v"), col("id").as("k"))
+    // NO directMax pin: 2^22 > the default 2^20 ceiling, so this is the
+    // production route as a real caller gets it
+    val (cnt, tRank) = timed(graft.operators.HistogramRank
+      .withGlobalRank(rows, "v", Seq("k"), rankCol = "r").count())
+    assert(cnt == n)
+    val ranked = graft.operators.HistogramRank
+      .withGlobalRank(rows, "v", Seq("k"), rankCol = "r", keepBuckets = true)
+      .localCheckpoint(eager = false)
+    // branch engagement: the small branch stamps a single constant bucket
+    val nBuckets = ranked.select(countDistinct("__hb")).head().getLong(0)
+    assert(nBuckets > 512, s"histogram branch not engaged: $nBuckets buckets")
+    // work metric: largest single sort task stays bucket-scale
+    val maxPart = ranked.groupBy("__hb", "__tb").agg(count(lit(1)).as("c"))
+      .agg(max("c")).head().getLong(0)
+    info(f"2^22 rows: $tRank%.1f s, $nBuckets buckets, largest sort partition $maxPart of $n")
+    assert(maxPart <= 16384, s"sort task saw $maxPart rows - not splitting")
+    // exactness: spot-check 1024 sampled ranks against the single-task
+    // window oracle (the very plan the operator replaces)
+    val got = ranked.filter(pmod(col("k"), lit(4096)) === 0)
+      .select("k", "r").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = rows.withColumn("r", row_number().over(
+        Window.partitionBy(lit(0)).orderBy("v", "k")).cast("long"))
+      .filter(pmod(col("k"), lit(4096)) === 0)
+      .select("k", "r").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  /** 12.5k planted clusters × 8 vectors in R^32 at ~0.9999 intra-cosine,
+    * generated distributed from hash-uniform centers + 1% noise. 32 dims
+    * keep the cross-cluster cosine tail far below tau (16 dims would
+    * risk chance merges across 78M center pairs). */
+  private def clusteredEmbeddings(nVecs: Long): DataFrame = {
+    def u(seed: org.apache.spark.sql.Column) =
+      pmod(xxhash64(seed), lit(2000001L)).cast("double") / 1000000.0 - 1.0
+    val c = (col("vec_id") / 8).cast("long")
+    spark.range(nVecs).select(col("id").as("vec_id"))
+      .withColumn("embedding", transform(sequence(lit(0), lit(31)), d =>
+        (u(concat_ws("_", lit("c"), c, d)) +
+          lit(0.01) * u(concat_ws("_", lit("v"), col("vec_id"), d)))
+          .cast("float")))
+  }
+
+  test("SemanticDedup: banded route at 100k vectors, default routing", Marquee) {
+    val n = 100000L
+    val emb = clusteredEmbeddings(n).localCheckpoint(eager = false)
+    // planes must scale with n: bucket count per band is 2^(planes/bands),
+    // so the fixture default (16 planes -> 16 buckets/band) would pay
+    // ~16x the candidates at this density. Measure both — the curve the
+    // SURVEY addendum records.
+    val cand32 = graft.operators.SemanticDedup.bandedCandidateCount(emb, 32, 4)
+    val cand16 = graft.operators.SemanticDedup.bandedCandidateCount(emb, 16, 4)
+    val allPairs = n * (n - 1) / 2
+    info(f"banded candidates at 100k: planes=32 -> $cand32 " +
+      f"(${allPairs.toDouble / cand32}%.0fx pruned), planes=16 -> $cand16 " +
+      f"(${allPairs.toDouble / cand16}%.0fx pruned), all-pairs $allPairs")
+    assert(cand32 * 20 < allPairs,
+      s"banding at planes=32 pruned under 20x: $cand32 of $allPairs")
+    // default routing: n > directMax and tau >= 0.8 -> banded route
+    val (flags, tFlags) = timed(graft.operators.SemanticDedup
+      .flags(emb, tau = 0.9, planes = 32, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))))
+    info(f"flags at 100k vectors: $tFlags%.1f s")
+    assert(flags.length == n)
+    // planted ground truth: every vector's component is its cluster,
+    // labeled by the cluster's min vec_id
+    flags.foreach { case (v, lbl, kept) =>
+      assert(lbl == (v / 8) * 8, s"vec $v labeled $lbl")
+      assert(kept == (v % 8 == 0), s"vec $v kept=$kept")
+    }
+  }
+}

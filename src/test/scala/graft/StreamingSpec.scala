@@ -10,6 +10,11 @@ import org.apache.spark.sql.functions._
 case class Ev(event_id: Long, ts: java.time.LocalDateTime, user_id: Long,
               event_type: String, value: Double)
 
+/** Documents-shaped stream row for the content-dedup op (top-level for
+  * the same encoder reason as [[Ev]]). */
+case class Doc(doc_id: Long, ts: java.time.LocalDateTime, lang: String,
+               text: String)
+
 /** SURVEY §2.10 s_* streaming capabilities (§5.2.4): each Structured
   * Streaming op is asserted equal to its batch twin on the same fixture,
   * fed through MemoryStream with explicit watermark advancement.
@@ -86,6 +91,46 @@ class StreamingSpec extends SparkSuite {
     val got = spark.table("s_dedup").select("event_id").collect().map(_.getLong(0))
     assert(got.length == got.distinct.length, "duplicates must be dropped")
     assert(got.toSet == base.map(_.event_id).toSet)
+  }
+
+  test("s_stream_dedup_text: resubmitted content is dropped; survivors match q_dedup_exact") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    val docs = Tables.documents(spark, sf("0.001"))
+      .select("doc_id", "lang", "text").collect()
+      .map(r => Doc(r.getLong(0), base.plusSeconds(r.getLong(0)),
+        r.getString(1), r.getString(2))).toSeq
+    val mem = MemoryStream[Doc]
+    val q = StreamOps.dedupTextStream(mem.toDF()).writeStream
+      .format("memory").queryName("s_dedup_text").outputMode("append").start()
+    mem.addData(docs)
+    q.processAllAvailable()
+    // resubmissions: fresh doc_ids, identical text, inside the horizon —
+    // the content key must drop every one
+    mem.addData(docs.take(100).map(d =>
+      d.copy(doc_id = d.doc_id + 1000000L, ts = d.ts.plusSeconds(60))))
+    q.processAllAvailable()
+    // genuinely new content still lands
+    mem.addData(Seq(Doc(2000000L, base.plusSeconds(7200), "en",
+      "a genuinely new document body")))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("s_dedup_text")
+      .filter(col("doc_id") < 2000000L)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.map(_._1).sorted.toSeq == docs.map(_.doc_id).sorted,
+      "survivors must be exactly the first arrival of each distinct text")
+    assert(spark.table("s_dedup_text")
+      .filter(col("doc_id") === 2000000L).count() == 1)
+    // per-lang survivor counts match the batch twin's (q_dedup_exact)
+    val batchSurv = SparkEntry.queries("q_dedup_exact")(spark, sf("0.001"))
+      .select("lang", "n_surv").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamSurv = kept.groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+    assert(streamSurv == batchSurv,
+      s"streaming survivors $streamSurv != batch $batchSurv")
   }
 
   test("s_stream_late: events behind the watermark are dropped from closed windows") {

@@ -189,6 +189,54 @@ class StressSpec extends SparkSuite {
     assert(surv < total / 2, s"bound pruned nothing: $surv of $total survive")
   }
 
+  test("IvfPq prunes the candidate scan and keeps recall at 10x density") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.dot
+    // 100 clusters x 50 vectors in R^16 — 10x AnnSpec's planted corpus
+    val rnd = new scala.util.Random(41)
+    val centers = Array.fill(100)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 100; i <- 0 until 50) yield {
+      val v = centers(c).map(x => x + 0.03f * rnd.nextGaussian().toFloat)
+      (c * 50L + i, v.toSeq)
+    }
+    val emb = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+      .localCheckpoint(eager = false)
+    val anchorPred = col("vec_id") < 50
+    val idx = graft.operators.IvfPq.buildIndex(emb, cells = 16, m = 4, ksub = 16)
+    // work metric (deterministic): ADC scores only the probed cells'
+    // candidates — the scan-volume claim. nprobe/cells = 1/4 of the
+    // index; require at least a 2x cut vs the anchors x n brute scan.
+    val cand = graft.operators.IvfPq.candidateCount(idx, emb, anchorPred)
+    val brute = 50L * 5000L
+    info(s"ADC candidates: $cand of $brute brute pairs " +
+      f"(${brute.toDouble / cand}%.1fx pruned)")
+    assert(cand * 2 < brute, s"IVF probe pruned under 2x: $cand of $brute")
+    // recall gate at 10x: the same >= 0.6 bar AnnSpec holds at fixture
+    // density (exact oracle = full brute top-5)
+    val got = graft.operators.IvfPq
+      .query(idx, emb, k = 5, anchorPred = anchorPred)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = emb.select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nrm"))
+    val a = n.filter(anchorPred).select(col("vec_id").as("a_id"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+    val exact = a.join(b, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), (dot(col("ea"), col("eb")) /
+        (sqrt(col("na")) * sqrt(col("nb")))).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"IVF-PQ recall at 10x density: $recall%.3f")
+    assert(recall >= 0.6, f"recall $recall%.3f below 0.6")
+  }
+
   test("SemanticDedup banded route is exact and sub-quadratic on near-dup clusters") {
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions.dot
