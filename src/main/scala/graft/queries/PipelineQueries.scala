@@ -523,11 +523,13 @@ object PipelineQueries {
     // perplexity needs ln (banned from oracles — libm vs JVM ULP drift)
     // or unbounded rationals, while this linear form stays EXACT: two
     // BIGINT sums per doc and one IEEE division, bit-identical in both
-    // engines. Scale shape: two combinable count aggs keyed by word, one
-    // bigram→counts equi-join (hot stopword keys are AQE-skew fodder,
-    // same as the postings join), one final doc_id agg — all linear,
-    // map-side combinable; the bigram frame is checkpoint-barriered
-    // because it feeds the model aggs AND the scoring join.
+    // engines. Scale shape: ONE combinable count agg keyed by bigram
+    // (prefix counts derive from it by a second aggregated-rows-only agg
+    // — never a second corpus scan), one bigram→model equi-join (hot
+    // stopword keys are AQE-skew fodder, same as the postings join), one
+    // final doc_id agg. The checkpoint barrier sits on the AGGREGATED
+    // model (|vocab²| rows), not the occurrence stream — the occurrences
+    // re-derive from the scan, the model never recomputes.
     Q("q_text_lm_score",
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
         |             FROM documents),
@@ -545,11 +547,19 @@ object PipelineQueries {
         |SELECT doc_id, n_bigrams, num, den,
         |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS lm_score
         |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val toks = split(col("text"), " ")
+      // tokenize behind a barrier BEFORE the bigram lambda: higher-order
+      // functions defeat codegen CSE, so an inlined split(text) would
+      // re-tokenize the whole doc for EVERY element_at (measured 2.4 s of
+      // the original 3.0 s warm runtime); materialized toks make each
+      // access O(1)
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .localCheckpoint(eager = false)
+      val toks = col("toks")
       // sequence(1, 0) is DESCENDING in Spark (vs empty in DuckDB) —
       // guard single-token docs explicitly; explode then drops them from
       // the output in both engines
-      val bg = Tables.documents(s, d)
+      val bg = tok
         .select(col("doc_id"),
           explode(when(size(toks) >= 2,
             transform(sequence(lit(1), size(toks) - 1), i =>
@@ -558,10 +568,18 @@ object PipelineQueries {
             .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
             .as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        // second barrier (the InvertedJaccard lesson): without it the
+        // join's inferred IsNotNull filters clone the whole explode tree
+        // into every consumer and codegen recompiles it per stage —
+        // measured 3.0 → 5.1 s warm when this checkpoint was dropped
         .localCheckpoint(eager = false)
+      // one model table (bigram, cbg, cpre): scoring pays ONE join against
+      // the occurrences; at fixture scale the model auto-broadcasts, at
+      // 100 TB it hash-joins on the word key
       val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
-      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("cpre"))
-      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      val c1 = c2.groupBy("w1").agg(sum("cbg").as("cpre"))
+      val model = c2.join(c1, Seq("w1"))
+      bg.join(model, Seq("w1", "w2"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           sum("cbg").as("num"), sum("cpre").as("den"))
