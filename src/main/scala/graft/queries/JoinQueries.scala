@@ -160,6 +160,75 @@ object JoinQueries {
         .orderBy("user_id")
     },
 
+    // PURE range join (no equi key): orders placed into OVERLAPPING price
+    // bands (stride 25k, width 40k — most orders land in two bands).
+    // Spark would plan the bare BETWEEN theta join as
+    // BroadcastNestedLoopJoin — O(n·m) pairs and a whole-side broadcast,
+    // fatal when the interval side is large. RangeBinJoin turns it into
+    // a hash join on a computed bin id (intervals explode to covered
+    // bins, points map to one bin, exact residual after the equi-join) —
+    // the published range-join optimization shape. PlanSpec asserts the
+    // executed plan has no nested-loop join; RangeSpec asserts
+    // pair-equality with the nested-loop form at 40x density.
+    Q("q_join_range",
+      s"""WITH bands AS (
+         |  SELECT i AS band_id,
+         |    CAST(i * 25000 AS DOUBLE) AS lo,
+         |    CAST(i * 25000 + 40000 AS DOUBLE) AS hi
+         |  FROM (SELECT unnest(generate_series(0, 19)) AS i))
+         |SELECT band_id, COUNT(*) AS n_orders,
+         |  ${d2dSql(dsumSql("o_totalprice"))} AS band_value
+         |FROM bands b JOIN orders o
+         |  ON o.o_totalprice >= b.lo AND o.o_totalprice <= b.hi
+         |GROUP BY band_id ORDER BY band_id""".stripMargin) { (s, d) =>
+      val bands = s.range(0, 20).select(col("id").as("band_id"),
+        (col("id") * 25000).cast("double").as("lo"),
+        (col("id") * 25000 + 40000).cast("double").as("hi"))
+      graft.operators.RangeBinJoin.pointInInterval(
+          Tables.orders(s, d).select("o_totalprice"), bands,
+          "o_totalprice", "lo", "hi")
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_orders"),
+          d2d(dsum(col("o_totalprice"))).as("band_value"))
+        .orderBy("band_id")
+    },
+
+    // Interval-OVERLAP join (both sides are intervals, no equi key):
+    // per-order price tolerance windows [p−5000, p+5000] against the
+    // same overlapping bands. RangeBinJoin.intervalOverlap explodes both
+    // sides to covered bins and emits each overlapping pair exactly once
+    // (emit-once rule: first shared bin) — no dedup pass, no nested
+    // loop. RangeSpec gates pair-equality with the theta form at 40x
+    // interval density.
+    Q("q_join_overlap",
+      s"""WITH bands AS (
+         |  SELECT i AS band_id,
+         |    CAST(i * 25000 AS DOUBLE) AS blo,
+         |    CAST(i * 25000 + 40000 AS DOUBLE) AS bhi
+         |  FROM (SELECT unnest(generate_series(0, 19)) AS i)),
+         |ords AS (
+         |  SELECT o_orderkey, o_totalprice - 5000 AS olo,
+         |    o_totalprice + 5000 AS ohi
+         |  FROM orders)
+         |SELECT band_id, COUNT(*) AS n_overlap,
+         |  ${d2dSql(dsumSql("(ohi - olo)"))} AS sum_width
+         |FROM bands b JOIN ords o
+         |  ON b.blo <= o.ohi AND o.olo <= b.bhi
+         |GROUP BY band_id ORDER BY band_id""".stripMargin) { (s, d) =>
+      val bands = s.range(0, 20).select(col("id").as("band_id"),
+        (col("id") * 25000).cast("double").as("blo"),
+        (col("id") * 25000 + 40000).cast("double").as("bhi"))
+      val ords = Tables.orders(s, d).select(col("o_orderkey"),
+        (col("o_totalprice") - 5000).as("olo"),
+        (col("o_totalprice") + 5000).as("ohi"))
+      graft.operators.RangeBinJoin.intervalOverlap(
+          ords, bands, "olo", "ohi", "blo", "bhi")
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_overlap"),
+          d2d(dsum(col("ohi") - col("olo"))).as("sum_width"))
+        .orderBy("band_id")
+    },
+
     // As-of join (no native Spark operator): the custom single-pass
     // partitioned-merge operator (AsOfJoinExec via GraftStrategy) — one
     // shuffle per side, no candidate-pair blow-up; AsOfSpec asserts
