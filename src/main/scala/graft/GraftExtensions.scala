@@ -29,5 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Scale lint: opt-in analysis failure on unpartitioned ordered windows
     // (spark.graft.failUnpartitionedWindow=true).
     ext.injectCheckRule(s => new graft.plans.UnpartitionedWindowCheck(s))
+    // Opt-in rewrite of pure BETWEEN theta joins to bin-keyed hash joins
+    // (fires only when spark.graft.rangeJoin.binWidth is set).
+    ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRewrite)
   }
 }

@@ -129,6 +129,50 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Benchmark decontamination (the GPT-3/C4 test-set-overlap filter):
+    // flag corpus docs sharing any word 5-gram with a held-out benchmark
+    // set (doc_id < 10 stands in for the eval set), reporting how many
+    // distinct 5-grams leak. Shape: the benchmark side is tiny by
+    // definition → its distinct grams BROADCAST; the corpus explodes to
+    // per-doc DISTINCT grams (row-local array_distinct — no pre-join
+    // shuffle) and only gram hits reach the (doc_id) agg. Grams stay
+    // strings here for oracle parity; at 100 TB xxhash64 them into
+    // 8-byte keys first (the pairsFromSets pattern). Tokenization sits
+    // behind a barrier — the q_text_lm_score HOF-CSE lesson.
+    Q("q_text_contamination",
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |             FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |    toks[i+3] || ' ' || toks[i+4] AS gram
+        |  FROM tok, LATERAL (SELECT unnest(
+        |    generate_series(1, len(toks) - 4)) AS i) g),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 10)
+        |SELECT g.doc_id, COUNT(*) AS n_shared
+        |FROM grams g JOIN bench b ON g.gram = b.gram
+        |WHERE g.doc_id >= 10
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .localCheckpoint(eager = false)
+      val toks = col("toks")
+      val grams = tok.select(col("doc_id"),
+          explode(when(size(toks) >= 5,
+            array_distinct(transform(sequence(lit(1), size(toks) - 4), i =>
+              concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+                element_at(toks, i + 2), element_at(toks, i + 3),
+                element_at(toks, i + 4)))))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+        .localCheckpoint(eager = false)
+      val bench = grams.filter(col("doc_id") < 10)
+        .select("gram").distinct()
+      grams.filter(col("doc_id") >= 10)
+        .join(broadcast(bench), "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    },
+
     // Token counting two ways: whitespace split vs a BPE-ish regex
     // ([a-z]+ | digit runs | any other non-space symbol), aggregated per lang.
     Q("q_text_token_count",

@@ -88,6 +88,61 @@ class RangeSpec extends SparkSuite {
       s"range residual missing from the hash join:\n$hashJoinLine")
   }
 
+  test("optimizer rule rewrites the bare BETWEEN theta join to a hash join") {
+    val (pts, ivs) = fixture
+    val theta = pts.join(ivs, col("x") >= col("lo") && col("x") <= col("hi"))
+    val want = theta.select("p_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // without the rule: Spark has no equi key → nested loop
+    assert(theta.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RangeBinJoinRewrite
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "1000")
+    try {
+      val rewritten = pts.join(ivs,
+        col("x") >= col("lo") && col("x") <= col("hi"))
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("HashJoin") && plan.contains("__bin"),
+        s"rule did not produce a bin hash join:\n${plan.take(1200)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"))
+      val got = rewritten.select("p_id", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, "rewritten join diverged from the theta join")
+      // conf unset → the rule is inert, plan reverts to the nested loop
+      spark.conf.unset("spark.graft.rangeJoin.binWidth")
+      assert(pts.join(ivs, col("x") >= col("lo") && col("x") <= col("hi"))
+        .queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.binWidth")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ eq graft.plans.RangeBinJoinRewrite)
+    }
+  }
+
+  test("rewrite rule leaves equi-keyed and non-range joins untouched") {
+    val (pts, ivs) = fixture
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RangeBinJoinRewrite
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "1000")
+    try {
+      // equi key present → Spark's own hash join, no __bin anywhere
+      val equi = pts.join(ivs, col("p_id") === col("iv_id") &&
+        col("x") >= col("lo") && col("x") <= col("hi"))
+      assert(!equi.queryExecution.optimizedPlan.toString.contains("__bin"))
+      // one-sided bound only → not a range join, untouched
+      val half = pts.join(ivs, col("x") >= col("lo"))
+      assert(!half.queryExecution.optimizedPlan.toString.contains("__bin"))
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.binWidth")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ eq graft.plans.RangeBinJoinRewrite)
+    }
+  }
+
   test("candidate volume stays near the output size (work metric)") {
     val (pts, ivs) = fixture
     // with w = mean interval length (~1000), candidates = pairs sharing a
