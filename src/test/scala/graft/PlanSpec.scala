@@ -100,7 +100,7 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.failUnpartitionedWindow")
   }
 
-  test("plan shapes of the top-10 most expensive queries are pinned") {
+  test("plan shapes of the most expensive queries are pinned") {
     // The bench guard catches timing drift, but timing is noisy (±1.5×
     // run-to-run — SURVEY round-6 variance study); plan shape is
     // deterministic. Any added Exchange or join-strategy flip in these
@@ -117,7 +117,16 @@ class PlanSpec extends SparkSuite {
       "q_dedup_ngram" -> "shuffle=2,broadcast=1,BroadcastHashJoin=1",
       "q_text_langid" -> "shuffle=5,broadcast=1,BroadcastHashJoin=1",
       "q_join_asof" -> "shuffle=3,broadcast=0",
-      "q_window_ntile" -> "shuffle=2,broadcast=1,BroadcastNestedLoopJoin=1")
+      "q_window_ntile" -> "shuffle=2,broadcast=1,BroadcastNestedLoopJoin=1",
+      // round-7 additions to the expensive set; the BNL=2 in the range
+      // joins are the two one-row width-scalar broadcasts (the blessed
+      // scalar-probe pattern), NOT data-sized nested loops
+      "q_text_lm_score" -> "shuffle=5,broadcast=2,BroadcastHashJoin=2",
+      "q_text_contamination" -> "shuffle=3,broadcast=1,BroadcastHashJoin=1",
+      "q_join_range" ->
+        "shuffle=4,broadcast=3,BroadcastHashJoin=1,BroadcastNestedLoopJoin=2",
+      "q_join_overlap" ->
+        "shuffle=4,broadcast=3,BroadcastHashJoin=1,BroadcastNestedLoopJoin=2")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
