@@ -41,6 +41,22 @@ object ExtensionsDemo {
     spark.conf.unset("spark.graft.failUnpartitionedWindow")
     println(s"EXTENSIONS_DEMO lint off=$okOff strictFails=$failedStrict " +
       s"partitionedOk=$okPartitioned ok=${okOff && failedStrict && okPartitioned}")
+    // injected OPTIMIZER rule: with a stated bin width, the bare BETWEEN
+    // theta join plans as a bin-keyed hash join instead of a nested loop
+    import spark.implicits._
+    val pts = Seq((1L, 5.0), (2L, 42.0)).toDF("p_id", "x")
+    val ivs = Seq((10L, 0.0, 10.0), (11L, 40.0, 50.0)).toDF("iv_id", "lo", "hi")
+    val theta = () => pts.join(ivs,
+      col("x") >= col("lo") && col("x") <= col("hi"))
+    val before = theta().queryExecution.optimizedPlan.toString
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "10")
+    val after = theta().queryExecution.optimizedPlan.toString
+    val pairs = theta().select("p_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.unset("spark.graft.rangeJoin.binWidth")
+    val rewrote = !before.contains("__bin") && after.contains("__bin")
+    println(s"EXTENSIONS_DEMO rangeRewrite fired=$rewrote " +
+      s"pairs=$pairs ok=${rewrote && pairs == Set((1L, 10L), (2L, 11L))}")
     spark.stop()
   }
 }

@@ -157,7 +157,17 @@ def bench_guard(only=()):
     with zero code change) — host-load noise of that magnitude makes any
     single-run comparison meaningless, while the median of 3 held every
     unchanged query inside its ceiling. Filtered dev-loop runs stay
-    single-shot (fast feedback; the 2x cold allowance absorbs the rest)."""
+    single-shot (fast feedback; the 2x cold allowance absorbs the rest).
+
+    Limits carry a +0.15 s ADDITIVE allowance on top of the 1.5x
+    multiplicative headroom: scheduling noise is additive, so a
+    multiplicative ceiling pinches sub-second queries hardest. Measured
+    round 7: q_sample_group (unchanged code, 0.32 s warm steady-state)
+    medianed 0.52 / 0.76 / 0.76 s across three median-of-3 guard runs —
+    the 0.75 s ceiling (best 0.50 x 1.5) flagged pure scheduler jitter
+    twice while every multi-second query sat comfortably inside its
+    limit. +0.15 s is noise-floor-sized at the low end and negligible
+    (<8%) for anything over 2 s."""
     thr = json.load(open(os.path.join(os.path.dirname(__file__),
                                       "bench_thresholds.json")))
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
@@ -185,7 +195,7 @@ def bench_guard(only=()):
     for name, sec in sorted(med.items()):
         lim = thr.get(name)
         if lim is not None:
-            lim = round(lim * cold, 2)
+            lim = round(lim * cold + 0.15, 2)
         if lim is None:
             print(f"new  {name}: {sec:6.2f}s (no threshold yet)")
         elif sec > lim:
