@@ -71,44 +71,52 @@ object RangeBinJoin {
   }
 
   /** INTERVAL-OVERLAP join: `left ⋈ right ON lo1 ≤ hi2 AND lo2 ≤ hi1`
-    * as the same bin equi-join. Both sides explode to their covered
-    * bins; an overlapping pair shares every bin in the intersection of
-    * the two covers, so the join would emit it once per shared bin —
-    * the EMIT-ONCE rule keeps only the first shared bin
-    * (`__bin == max(floor(lo1/w), floor(lo2/w))`), making the output
-    * exactly the theta join's with no dedup pass. Column names must be
-    * disjoint across the two sides (standard join hygiene). Inverted
-    * intervals on either side are dropped. `binWidth` None derives w
-    * from the mean interval length over BOTH sides. */
+    * as the same bin equi-join. Both sides explode to the bins of their
+    * NORMALIZED cover [least(lo,hi), greatest(lo,hi)] — not the raw
+    * (lo, hi) pair, because the raw theta predicate is still satisfiable
+    * when an interval is inverted (the other side then has to span the
+    * whole swapped range; RangeSpec's randomized-geometry property
+    * caught exactly this: a validity pre-filter silently lost those
+    * pairs). The raw predicate implies the normalized covers overlap
+    * (min(lo1,hi1) ≤ lo1 ≤ hi2 ≤ max(lo2,hi2) and symmetrically), so
+    * binning the normalized covers is a complete candidate generator
+    * and the original predicate rides along as the exact residual. An
+    * overlapping pair shares every bin in the intersection of the two
+    * covers; the EMIT-ONCE rule keeps only the first shared bin
+    * (`__bin == max(floor(nlo1/w), floor(nlo2/w))`, provably inside
+    * both covers), so the output is exactly the theta join's with no
+    * dedup pass. Column names must be disjoint across the two sides
+    * (standard join hygiene). `binWidth` None derives w from the mean
+    * normalized interval length over BOTH sides. */
   def intervalOverlap(left: DataFrame, right: DataFrame,
                       lo1Col: String, hi1Col: String,
                       lo2Col: String, hi2Col: String,
                       binWidth: Option[Double] = None): DataFrame = {
     val (lo1, hi1) = (col(lo1Col).cast("double"), col(hi1Col).cast("double"))
     val (lo2, hi2) = (col(lo2Col).cast("double"), col(hi2Col).cast("double"))
-    val lv = left.filter(hi1 >= lo1)
-    val rv = right.filter(hi2 >= lo2)
+    val (nlo1, nhi1) = (least(lo1, hi1), greatest(lo1, hi1))
+    val (nlo2, nhi2) = (least(lo2, hi2), greatest(lo2, hi2))
     val wFrame = binWidth match {
       case Some(w) =>
         require(w > 0, s"binWidth $w must be positive")
-        lv.sparkSession.range(1).select(lit(w).as("__w"))
+        left.sparkSession.range(1).select(lit(w).as("__w"))
       case None =>
-        lv.select((hi1 - lo1).as("__len"))
-          .unionByName(rv.select((hi2 - lo2).as("__len")))
+        left.select((nhi1 - nlo1).as("__len"))
+          .unionByName(right.select((nhi2 - nlo2).as("__len")))
           .agg(greatest((sum(col("__len")) / count(lit(1))).cast("double"),
             lit(1e-9)).as("__w"))
     }
-    val la = lv.crossJoin(broadcast(wFrame))
+    val la = left.crossJoin(broadcast(wFrame))
       .withColumn("__bin",
-        explode(sequence(floor(lo1 / col("__w")), floor(hi1 / col("__w")))))
-    val rb = rv.crossJoin(broadcast(wFrame))
+        explode(sequence(floor(nlo1 / col("__w")), floor(nhi1 / col("__w")))))
+    val rb = right.crossJoin(broadcast(wFrame))
       .withColumn("__bin",
-        explode(sequence(floor(lo2 / col("__w")), floor(hi2 / col("__w")))))
+        explode(sequence(floor(nlo2 / col("__w")), floor(nhi2 / col("__w")))))
       .drop("__w")
     la.join(rb, Seq("__bin"))
       .filter(lo1 <= hi2 && lo2 <= hi1 &&
-        col("__bin") === greatest(floor(lo1 / col("__w")),
-          floor(lo2 / col("__w"))))
+        col("__bin") === greatest(floor(nlo1 / col("__w")),
+          floor(nlo2 / col("__w"))))
       .drop("__bin", "__w")
   }
 }

@@ -452,6 +452,34 @@ object PipelineQueries {
         .orderBy("split", "lang")
     },
 
+    // Domain-mixing weights (the data-mixture op): per-(lang, source)
+    // resampling weights that would equalize the mix toward a uniform
+    // target share. weight = (total/n_groups)/n — docs
+    // from over-represented sources weight < 1, rare sources > 1. One
+    // combinable count agg + a one-row broadcast total (the scalar-probe
+    // pattern); identical double division sequence in both engines.
+    Q("q_mix_weights",
+      """WITH cur AS (
+        |  SELECT lang, source, COUNT(*) AS n
+        |  FROM documents GROUP BY lang, source),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |               CAST(COUNT(*) AS BIGINT) AS n_groups FROM cur)
+        |SELECT lang, source, n,
+        |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS cur_share,
+        |  (CAST(total AS DOUBLE) / n_groups) / n AS weight
+        |FROM cur, tot ORDER BY lang, source""".stripMargin) { (s, d) =>
+      val cur = Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val tot = cur.agg(sum("n").as("total"), count(lit(1)).as("n_groups"))
+      cur.crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n"),
+          (col("n").cast("double") / col("total").cast("double"))
+            .as("cur_share"),
+          ((col("total").cast("double") / col("n_groups")) / col("n"))
+            .as("weight"))
+        .orderBy("lang", "source")
+    },
+
     // Deterministic per-group sample: top-5 docs per (lang, source) by md5
     // of the key — an order-stable stratified sample (same rows on every
     // run/engine). The window partitions on the strata key, so each

@@ -88,6 +88,55 @@ class RangeSpec extends SparkSuite {
       s"range residual missing from the hash join:\n$hashJoinLine")
   }
 
+  test("range joins match the nested loop across randomized geometries") {
+    import spark.implicits._
+    // seeded property sweep: negative domains, zero-length and inverted
+    // intervals, random or derived bin widths — every configuration must
+    // be pair-identical to the nested-loop theta join
+    val rnd = new scala.util.Random(97)
+    for (round <- 1 to 3) {
+      val scale = rnd.nextDouble() * 1e5 + 10
+      val pts = (0 until 500 + rnd.nextInt(1000))
+        .map(i => (i.toLong, (rnd.nextDouble() - 0.5) * scale))
+        .toDF("p_id", "x").localCheckpoint(eager = false)
+      val ivs = (0 until 200 + rnd.nextInt(600)).map { i =>
+        val lo = (rnd.nextDouble() - 0.5) * scale
+        val len = rnd.nextInt(4) match {
+          case 0 => 0.0               // degenerate point interval
+          case 1 => -scale * 0.01     // inverted: matches nothing
+          case _ => rnd.nextDouble() * scale * 0.05
+        }
+        (i.toLong, lo, lo + len)
+      }.toDF("iv_id", "lo", "hi").localCheckpoint(eager = false)
+      val w = if (rnd.nextBoolean()) None
+        else Some(rnd.nextDouble() * scale * 0.1 + 1e-3)
+      val wantPt = pts.join(ivs, col("x") >= col("lo") && col("x") <= col("hi"))
+        .select("p_id", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val gotPt = graft.operators.RangeBinJoin
+        .pointInInterval(pts, ivs, "x", "lo", "hi", w)
+        .select("p_id", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotPt == wantPt, s"pointInInterval round $round (w=$w)")
+      // overlap: points widened to random tolerance windows vs the same
+      // interval set
+      val hw = rnd.nextDouble() * scale * 0.02
+      val aIv = pts.select(col("p_id"),
+        (col("x") - hw).as("alo"), (col("x") + hw).as("ahi"))
+      val wantOv = aIv.join(ivs,
+          col("alo") <= col("hi") && col("lo") <= col("ahi"))
+        .select("p_id", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val gotOv = graft.operators.RangeBinJoin
+        .intervalOverlap(aIv, ivs, "alo", "ahi", "lo", "hi", w)
+        .select("p_id", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(gotOv.length == gotOv.distinct.length,
+        s"intervalOverlap round $round emitted duplicates")
+      assert(gotOv.toSet == wantOv.toSet, s"intervalOverlap round $round (w=$w)")
+    }
+  }
+
   test("optimizer rule rewrites the bare BETWEEN theta join to a hash join") {
     val (pts, ivs) = fixture
     val theta = pts.join(ivs, col("x") >= col("lo") && col("x") <= col("hi"))
