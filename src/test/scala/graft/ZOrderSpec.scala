@@ -65,4 +65,46 @@ class ZOrderSpec extends SparkSuite {
     assert(zLead < total / 2,
       s"z layout lost leading-key pruning entirely: $zLead of $total")
   }
+
+  test("parquet bloom filters prune point lookups where dictionaries cannot") {
+    // the complement to z-order: min/max stats are useless for equality
+    // probes on a high-cardinality UNSORTED column (every row group spans
+    // the domain). At fixture scale parquet's DICTIONARY filtering covers
+    // that gap for free (measured: the no-bloom control scanned 3 963 of
+    // 60 000 rows with dictionaries on) — but at 100 TB a billions-range
+    // key overflows the dictionary page and falls back to plain encoding,
+    // where only a written BLOOM filter can reject row groups. This test
+    // models that regime by writing both layouts dictionary-free and
+    // measures the bloom filter alone, from scan metrics.
+    val li = Tables.lineitem(spark, sf("0.01"))
+      .select("l_orderkey", "l_partkey", "l_extendedprice")
+    val total = li.count()
+    val probeKey = li.select("l_orderkey").head().getLong(0)
+    val plainDir = java.nio.file.Files.createTempDirectory("graft_nb").toString
+    val bloomDir = java.nio.file.Files.createTempDirectory("graft_bf").toString
+    // scatter BY the probe key: one order's rows land in one file while
+    // every file still spans the full key domain (scattering by an
+    // unrelated column spreads the 7 matching rows over 7 files and the
+    // bloom filter correctly keeps all 7 — measured)
+    val scattered = li.repartition(16, col("l_orderkey"))
+    scattered.write.mode("overwrite")
+      .option("parquet.enable.dictionary", "false")
+      .parquet(plainDir)
+    scattered.write.mode("overwrite")
+      .option("parquet.enable.dictionary", "false")
+      .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#l_orderkey", "20000")
+      .parquet(bloomDir)
+    val pred = col("l_orderkey") === probeKey
+    val matches = li.filter(pred).count()
+    val plainScan = scannedRows(spark.read.parquet(plainDir).filter(pred))
+    val bloomScan = scannedRows(spark.read.parquet(bloomDir).filter(pred))
+    info(s"point lookup key=$probeKey ($matches rows of $total): " +
+      s"scanned plain=$plainScan bloom=$bloomScan")
+    assert(spark.read.parquet(bloomDir).filter(pred).count() == matches)
+    assert(plainScan >= total / 2,
+      s"control broken: nothing should prune a dictionary-free scattered layout ($plainScan)")
+    assert(bloomScan * 4 <= plainScan,
+      s"bloom pruned nothing: $bloomScan vs $plainScan")
+  }
 }
