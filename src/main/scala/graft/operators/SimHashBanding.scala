@@ -37,12 +37,23 @@ object SimHashBanding {
   /** Hamming ≤ maxHamming pairs (d1 < d2) from a (doc_id, simhash) frame,
     * routed per bucket: direct self-join for buckets ≤ `directMax` docs,
     * banded candidate generation above. `bucketCols` (e.g. lang/source)
-    * restrict pairs to the same bucket. Requires maxHamming < Bands. */
+    * restrict pairs to the same bucket. Requires maxHamming < bands.
+    *
+    * `bands` × `bandBits` is the fingerprint width (default 5×6 = the
+    * fixture's 30-bit tokHash form). WIDTH MUST SCALE WITH BUCKET
+    * DENSITY: a band's value space is 2^bandBits, so expected candidates
+    * are bands · 2^bandBits · C(m/2^bandBits, 2) per bucket — at 50k
+    * docs in one bucket a 30-bit fingerprint pays ~95M candidate
+    * comparisons where a 60-bit one (5×12) pays ~1.5M (measured in
+    * StressSpec). [[fingerprints64]] builds the wide form. */
   def pairs(fingerprints: DataFrame, maxHamming: Int,
             bucketCols: Seq[String] = Nil,
-            directMax: Long = 8192): DataFrame = {
-    require(maxHamming < Bands,
-      s"pigeonhole needs maxHamming < $Bands bands")
+            directMax: Long = 8192,
+            bands: Int = Bands, bandBits: Int = BandBits): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < $bands bands")
+    require(bands * bandBits <= 63,
+      s"$bands x $bandBits bits overflows a 64-bit fingerprint")
     // lineage barrier: the (expensive) fingerprint aggregation feeds the
     // size statistic plus both sides of both join branches — without it
     // the tokenize+30-bit-sum subtree re-runs up to 5×
@@ -58,9 +69,43 @@ object SimHashBanding {
     val small = sized.filter(col("__bn") <= directMax).drop("__bn")
     val large = sized.filter(col("__bn") > directMax).drop("__bn")
     directPairs(small, maxHamming, bucketCols)
-      .unionByName(bandedPairs(large, maxHamming, bucketCols))
+      .unionByName(bandedPairs(large, maxHamming, bucketCols, bands, bandBits))
       .orderBy("d1", "d2")
   }
+
+  /** 60-bit SimHash fingerprints from xxhash64 token hashes — the scale
+    * form of the 30-bit oracle-parity tokHash fingerprint (5 bands × 12
+    * bits: 64× finer band buckets, same pigeonhole guarantee at
+    * maxHamming ≤ 4). One explode + one combinable agg, like the 30-bit
+    * builder. Output: (doc_id [, bucketCols...], simhash). */
+  def fingerprints64(docs: DataFrame,
+                     bucketCols: Seq[String] = Nil): DataFrame = {
+    val tok = docs
+      .select((Seq(col("doc_id")) ++ bucketCols.map(col) :+
+        explode(array_distinct(split(col("text"), " "))).as("tok")): _*)
+      .withColumn("h", xxhash64(col("tok")))
+    val bits = (0 until 60).map { b =>
+      when(sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)) > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    tok.groupBy((col("doc_id") +: bucketCols.map(col)): _*)
+      .agg(bits.as("simhash"))
+  }
+
+  /** Work-metric diagnostic (StressSpec): same-band candidate pairs the
+    * banded route pays an exact Hamming check for — Σ over (band, value)
+    * of C(|bucket|, 2). The width-must-scale-with-density claim lives
+    * here. */
+  private[graft] def bandedCandidateCount(fingerprints: DataFrame,
+                                          bands: Int = Bands,
+                                          bandBits: Int = BandBits): Long =
+    fingerprints.select(explode(array((0 until bands).map { b =>
+        shiftright(col("simhash"), b * bandBits)
+          .bitwiseAND((1L << bandBits) - 1) * bands + b
+      }: _*)).as("bk"))
+      .groupBy("bk").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)))
+      .head().getLong(0) / 2
 
   /** The oracle's own plan: equi-self-join on the bucket columns (a pure
     * cross join when bucketCols is empty — only ever routed to for frames
@@ -84,13 +129,14 @@ object SimHashBanding {
     * path. One shuffle on (band, value, bucket) keys; candidates verified
     * with the true Hamming distance. */
   def bandedPairs(fingerprints: DataFrame, maxHamming: Int,
-                  bucketCols: Seq[String] = Nil): DataFrame = {
+                  bucketCols: Seq[String] = Nil,
+                  bands: Int = Bands, bandBits: Int = BandBits): DataFrame = {
     val banded = fingerprints.select(
       (Seq(col("doc_id"), col("simhash")) ++ bucketCols.map(col) :+
-        explode(array((0 until Bands).map { b =>
+        explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
-            shiftright(col("simhash"), b * BandBits)
-              .bitwiseAND((1 << BandBits) - 1).as("bval"))
+            shiftright(col("simhash"), b * bandBits)
+              .bitwiseAND((1L << bandBits) - 1).as("bval"))
         }: _*)).as("bb")): _*)
       .select((Seq(col("doc_id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bval").as("bval")) ++
@@ -109,8 +155,8 @@ object SimHashBanding {
     // cheap codegen predicate instead of a distinct() shuffle over the
     // (much larger) candidate set
     def bandVal(h: org.apache.spark.sql.Column, p: Int) =
-      shiftright(h, p * BandBits).bitwiseAND((1 << BandBits) - 1)
-    val earlierMatch = (0 until Bands - 1).map { p =>
+      shiftright(h, p * bandBits).bitwiseAND((1L << bandBits) - 1)
+    val earlierMatch = (0 until bands - 1).map { p =>
       col("band") > p && bandVal(col("h1"), p) === bandVal(col("h2"), p)
     }.reduce(_ || _)
     a.join(b, col("band") === col("band2") && col("bval") === col("bval2") &&

@@ -371,6 +371,24 @@ object PipelineQueries {
         .orderBy("stage")
     },
 
+    // Wide-fingerprint SimHash dedup (the 100 TB form): 60-bit xxhash64
+    // fingerprints + 5x12-bit bands. The fixture's 30-bit tokHash form
+    // exists for oracle parity; this is what a dense bucket needs —
+    // StressSpec measured 43x fewer banded candidates at 50k docs/bucket.
+    // Emits scan-level stats (pair counts at the pigeonhole ceiling are
+    // corpus-dependent and may be zero on a dup-free fixture — the
+    // capability is the end-to-end wide path, not a fixture property).
+    Q.cap("cap_dedup_simhash64") { (s, d) =>
+      val fp = graft.operators.SimHashBanding.fingerprints64(
+        Tables.documents(s, d), Seq("lang", "source"))
+      val pairs = graft.operators.SimHashBanding.pairs(fp, maxHamming = 4,
+        bucketCols = Seq("lang", "source"), bands = 5, bandBits = 12)
+      fp.agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("simhash")).as("n_distinct_fp"))
+        .crossJoin(broadcast(
+          pairs.agg(count(lit(1)).as("n_neardup_pairs"))))
+    },
+
     // Dedup clustering end-to-end: banded SimHash candidates → connected
     // components (transitive closure — A≈B, B≈C ⇒ one group) → per-group
     // stats. The pipeline step that decides WHICH docs to drop; DedupSpec

@@ -155,6 +155,48 @@ class StressSpec extends SparkSuite {
     assert(banded.size >= 800, s"cluster pairs missing: ${banded.size}")
   }
 
+  test("SimHash width must scale with bucket density: 60-bit vs 30-bit") {
+    import spark.implicits._
+    // 5000 planted clusters x 10 fingerprints in ONE bucket — the density
+    // where the fixture's 30-bit fingerprint saturates its 2^6-value
+    // bands. Members are centers with <= 2 random bit flips, so every
+    // intra-cluster pair sits at Hamming <= 4 (the pigeonhole target).
+    val rnd = new scala.util.Random(67)
+    val mask60 = (1L << 60) - 1
+    val centers = Array.fill(5000)(rnd.nextLong() & mask60)
+    val rows = for (c <- 0 until 5000; i <- 0 until 10) yield {
+      val flips = Seq.fill(rnd.nextInt(3))(1L << rnd.nextInt(60))
+      (c * 10L + i, flips.foldLeft(centers(c))(_ ^ _))
+    }
+    val fps = rows.toDF("doc_id", "simhash").localCheckpoint(eager = false)
+    // ground truth: all intra-cluster Hamming<=4 pairs (cross-cluster
+    // hits at 60 bits are ~1e-13 per pair — none expected, and the set
+    // equality below would catch one)
+    val byId = rows.toMap
+    val want = (for {
+      c <- 0 until 5000; i <- 0 until 10; j <- i + 1 until 10
+      a = c * 10L + i; b = c * 10L + j
+      if java.lang.Long.bitCount(byId(a) ^ byId(b)) <= 4
+    } yield (a, b)).toSet
+    val got = graft.operators.SimHashBanding
+      .pairs(fps, maxHamming = 4, directMax = 500, bands = 5, bandBits = 12)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"60-bit banding: got ${got.size} vs ${want.size}")
+    // the width claim, as a work metric: the same corpus through 30-bit
+    // bands (fingerprints truncated — what an undersized hash gives you)
+    // pays orders of magnitude more candidate comparisons
+    val cand60 = graft.operators.SimHashBanding
+      .bandedCandidateCount(fps, bands = 5, bandBits = 12)
+    val cand30 = graft.operators.SimHashBanding.bandedCandidateCount(
+      fps.withColumn("simhash", col("simhash").bitwiseAND(lit((1L << 30) - 1))),
+      bands = 5, bandBits = 6)
+    info(f"candidates at 50k docs/bucket: 60-bit $cand60, 30-bit $cand30 " +
+      f"(${cand30.toDouble / cand60}%.0fx more)")
+    assert(cand60 * 10 < cand30,
+      s"widening bought <10x: $cand60 vs $cand30")
+  }
+
   test("ExactPairsTopK prunes and stays exact 20x above the planted fixture") {
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions.dot
