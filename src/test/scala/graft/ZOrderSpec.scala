@@ -66,6 +66,33 @@ class ZOrderSpec extends SparkSuite {
       s"z layout lost leading-key pruning entirely: $zLead of $total")
   }
 
+  test("Morton code matches a reference bit-interleave on the full rank grid") {
+    import spark.implicits._
+    // withZ on a frame whose columns span exactly [0, 65535] makes the
+    // normalized rank the identity, so __z must equal the reference
+    // interleave of the raw values — pins the 32 unrolled expressions
+    // against an independent Scala implementation over a 129x129 grid
+    // (all bit patterns of both bytes at the corners + interior)
+    def ref(a: Long, b: Long): Long =
+      (0 until 16).map(i => (((a >> i) & 1L) << (2 * i)) |
+        (((b >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    // stride must DIVIDE 65535 (= 3·5·17·257) so the grid max IS the
+    // domain max — otherwise the min/max normalization rescales every
+    // rank and the identity assumption breaks (found by this test's
+    // first run with a non-divisor stride)
+    val step = 255
+    val grid = for (a <- 0L to 65535L by step; b <- 0L to 65535L by step)
+      yield (a, b)
+    val df = grid.toDF("a", "b")
+    val got = graft.operators.ZOrderLayout.withZ(df, "a", "b")
+      .select("a", "b", "__z").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    grid.foreach { case (a, b) =>
+      assert(got((a, b)) == ref(a, b),
+        s"morton($a, $b) = ${got((a, b))} != reference ${ref(a, b)}")
+    }
+  }
+
   test("parquet bloom filters prune point lookups where dictionaries cannot") {
     // the complement to z-order: min/max stats are useless for equality
     // probes on a high-cardinality UNSORTED column (every row group spans
