@@ -173,6 +173,58 @@ class MarqueeStressSpec extends AnyFunSuite {
           .cast("float")))
   }
 
+  test("IvfPq: build, persist and query a 250k-vector index", Marquee) {
+    // 2.5k planted clusters x 100 vectors in R^64 (the fixture dim),
+    // 500x the fixture corpus: the index-BUILD path at density — coarse
+    // k-means over 250k normalized vectors + 8 subspace codebook fits —
+    // plus parquet persistence and an ADC query, recall-gated against
+    // brute force on 50 anchors.
+    def u(seed: org.apache.spark.sql.Column) =
+      pmod(xxhash64(seed), lit(2000001L)).cast("double") / 1000000.0 - 1.0
+    val c = (col("vec_id") / 100).cast("long")
+    val emb = spark.range(250000L).select(col("id").as("vec_id"))
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)), d =>
+        (u(concat_ws("_", lit("c"), c, d)) +
+          lit(0.05) * u(concat_ws("_", lit("v"), col("vec_id"), d)))
+          .cast("float")))
+      .localCheckpoint(eager = false)
+    val (idx, tBuild) = timed(
+      graft.operators.IvfPq.buildIndex(emb, cells = 32, m = 8, ksub = 16))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_m").toString
+    graft.operators.IvfPq.save(idx, dir)
+    val loaded = graft.operators.IvfPq.load(spark, dir)
+    val anchorPred = col("vec_id") % 5000 === 0 // 50 anchors
+    val cand = graft.operators.IvfPq.candidateCount(loaded, emb, anchorPred)
+    val (got, tQuery) = timed(graft.operators.IvfPq
+      .query(loaded, emb, k = 5, anchorPred = anchorPred)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    import graft.functions.GraftFunctions.dot
+    graft.functions.GraftFunctions.register(spark)
+    val n = emb.select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nrm"))
+    val a = n.filter(anchorPred).select(col("vec_id").as("a_id"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+    val exact = a.join(b, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), (dot(col("ea"), col("eb")) /
+        (sqrt(col("na")) * sqrt(col("nb")))).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    val brute = 50L * 250000L
+    info(f"250k vectors: build $tBuild%.1f s, query $tQuery%.1f s, " +
+      f"ADC candidates $cand of $brute (${brute.toDouble / cand}%.1fx pruned), " +
+      f"recall $recall%.3f")
+    assert(recall >= 0.6, f"recall $recall%.3f below 0.6 at 250k vectors")
+    assert(cand * 4 < brute, s"IVF probe pruned under 4x: $cand of $brute")
+  }
+
   test("SemanticDedup: banded route at 100k vectors, default routing", Marquee) {
     val n = 100000L
     val emb = clusteredEmbeddings(n).localCheckpoint(eager = false)
