@@ -29,6 +29,46 @@ object EventQueries {
         .orderBy("bucket", "event_type")
     },
 
+    // OHLC downsampling (the financial-bars shape: per-period open /
+    // high / low / close from a tick stream). Open/close come from
+    // rank-1 rows under (ts, event_id) total order — first()/last() are
+    // banned (partition-order-dependent), min/max of the rank-1
+    // conditional is deterministic in both engines; high/low are plain
+    // extrema. Values pass through untouched (no double arithmetic), so
+    // parity is exact. One window per (day, type) partition key — the
+    // high-cardinality even shuffle — plus a combinable final agg.
+    Q("q_time_ohlc",
+      """SELECT day, event_type,
+        |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  COUNT(*) AS n_ticks
+        |FROM (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    event_type, value,
+        |    row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin) { (s, d) =>
+      val day = expr("CAST(date_trunc('day', ts) AS TIMESTAMP_NTZ)")
+      val wA = Window.partitionBy(day, col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val wD = Window.partitionBy(day, col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .select(day.as("day"), col("event_type"), col("value"),
+          row_number().over(wA).as("rn_a"),
+          row_number().over(wD).as("rn_d"))
+        .groupBy("day", "event_type")
+        .agg(max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max("value").as("high"), min("value").as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n_ticks"))
+        .orderBy("day", "event_type")
+    },
+
     // 1h windows sliding 30min — every event lands in exactly 2 buckets.
     // Spark uses the native window() generator; the oracle explodes each
     // event to its two bucket starts in epoch-µs arithmetic.
