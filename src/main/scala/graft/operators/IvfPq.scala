@@ -175,9 +175,13 @@ object IvfPq {
     // exact re-rank: only the shortlist touches full float vectors
     val full = embeddings.select(col("vec_id").as("b_id"),
       col("embedding").as("eb"))
-    val sim = (dot(col("ea"), col("eb")) /
-      (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))))
-      .as("sim")
+    // zero-norm guard (round-7 advice): an unguarded x/0 yields NaN, and
+    // NaN sorts as the LARGEST double descending — a degenerate vector
+    // would occupy top-k slots ahead of real neighbors. Score it 0, the
+    // same convention as `normalized`.
+    val denom = sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))
+    val sim = when(denom > 0, dot(col("ea"), col("eb")) / denom)
+      .otherwise(lit(0.0)).as("sim")
     val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
     short.join(full, "b_id")
       .join(anchors.select(col("a_id"), col("ea")), "a_id")

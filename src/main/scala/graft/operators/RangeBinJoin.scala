@@ -12,9 +12,15 @@ import org.apache.spark.sql.functions._
   * published range-join optimization in Spark-family engines) turns the
   * theta join into an EQUI join on a computed bin id:
   *
-  *  1. pick a bin width `w` (caller-supplied, or derived in-plan from
-  *     the mean interval length — a one-row broadcast aggregate, the
-  *     [[HistogramRank]] stats pattern, so no driver action);
+  *  1. pick a bin width `w` (caller-supplied, or derived from the mean
+  *     interval length by a one-row aggregate probe — the SizeProbe
+  *     idiom: resolved ONCE on the driver to a literal, so both sides
+  *     provably share the same value. Round-7 advice: the previous
+  *     in-plan one-row width frame was cross-joined into both sides and
+  *     could execute twice — exchange reuse is an optimization, not a
+  *     guarantee — and two float aggregations merging in different
+  *     orders can differ in the last ULP, silently re-binning a point
+  *     sitting exactly on a bin boundary);
   *  2. every interval explodes to the bins it covers
   *     (floor(lo/w) .. floor(hi/w));
   *  3. every point maps to its single bin floor(p/w);
@@ -29,45 +35,73 @@ import org.apache.spark.sql.functions._
   * point distribution Spark's hash can spread (a single pathological
   * bin is AQE skew-join fodder, like any hot key).
   *
+  * FAN-OUT CLAMP (round-7 advice): one outlier interval vastly longer
+  * than w explodes to len/w bins — unbounded, and past sequence()'s
+  * element cap the query would throw where the plain theta join
+  * succeeds. Intervals covering more than `maxBinsPerInterval` bins are
+  * routed to a broadcast nested-loop side union instead of exploding.
+  * With the derived width w = mean length, Markov bounds the wide set:
+  * at most n/maxBinsPerInterval intervals are ≥ maxBins·mean long, so
+  * the broadcast side is ≤ 1/4096 of the interval count by default.
+  * The route EXISTS only when the probe sees an over-wide interval
+  * (max length rides the same one-row aggregate), so the common plan
+  * stays a pure hash join with no nested-loop node at all.
+  *
   * JoinSpec-style gate: RangeSpec asserts pair-for-pair equality with
   * the nested-loop form and that the executed plan contains no
-  * BroadcastNestedLoopJoin / CartesianProduct.
+  * CartesianProduct and joins on the bin id.
   */
 object RangeBinJoin {
+
+  /** Default per-interval bin-count clamp; 4096 keeps the worst explode
+    * fan-out 3 decimal orders under sequence()'s ~2³¹ element cap while
+    * bounding the broadcast side at n/4096 for derived widths. */
+  val MaxBinsPerInterval = 4096L
+
+  private def positive(w: Double): Double = {
+    require(w > 0 && !w.isNaN && !w.isInfinity,
+      s"binWidth $w must be a finite positive number")
+    w
+  }
 
   /** `points ⋈ intervals ON points(pointCol) BETWEEN lo AND hi` as a
     * bin equi-join. Returns all point columns + all interval columns.
     * Intervals with hi < lo are dropped (they match nothing; an
     * unguarded descending `sequence()` would throw instead). `binWidth`
-    * None derives w from the mean interval length inside the plan. */
+    * None derives w from the mean interval length via a one-row probe. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointCol: String, loCol: String, hiCol: String,
-                      binWidth: Option[Double] = None): DataFrame = {
+                      binWidth: Option[Double] = None,
+                      maxBinsPerInterval: Long = MaxBinsPerInterval): DataFrame = {
+    require(maxBinsPerInterval >= 2, "maxBinsPerInterval must be >= 2")
     val lo = col(loCol).cast("double")
     val hi = col(hiCol).cast("double")
     val p = col(pointCol).cast("double")
     val valid = intervals.filter(hi >= lo)
-    // one-row width frame: caller constant, or mean interval length
-    // (floored away from zero so zero-length intervals cannot divide by
-    // zero) — broadcast into both sides' bin expressions
-    val wFrame = binWidth match {
-      case Some(w) =>
-        require(w > 0, s"binWidth $w must be positive")
-        valid.sparkSession.range(1).select(lit(w).as("__w"))
-      case None =>
-        valid.agg(greatest(
-          (sum(hi - lo) / count(lit(1))).cast("double"), lit(1e-9)).as("__w"))
-    }
-    val iv = valid.crossJoin(broadcast(wFrame))
-      .withColumn("__bin",
-        explode(sequence(floor(lo / col("__w")), floor(hi / col("__w")))))
-      .drop("__w")
-    val pt = points.crossJoin(broadcast(wFrame))
-      .withColumn("__bin", floor(p / col("__w")))
-      .drop("__w")
-    pt.join(iv, Seq("__bin"))
+    // one-row probe: mean length resolves the derived width to a DRIVER
+    // LITERAL (single value by construction); max length decides whether
+    // the wide route exists at all
+    val stats = valid.agg(
+      coalesce(sum(hi - lo), lit(0.0)).as("s"),
+      count(lit(1)).as("n"),
+      coalesce(max(hi - lo), lit(0.0)).as("mx")).head()
+    val w = binWidth.map(positive).getOrElse(
+      math.max(stats.getDouble(0) / math.max(stats.getLong(1), 1L), 1e-9))
+    val isWide = (hi - lo) >= lit(w * maxBinsPerInterval)
+    val hasWide = stats.getDouble(2) >= w * maxBinsPerInterval
+
+    val narrow = if (hasWide) valid.filter(!isWide) else valid
+    val iv = narrow.withColumn("__bin",
+      explode(sequence(floor(lo / w), floor(hi / w))))
+    val pt = points.withColumn("__bin", floor(p / w))
+    val binned = pt.join(iv, Seq("__bin"))
       .filter(p >= lo && p <= hi)
       .drop("__bin")
+    if (!hasWide) binned
+    else binned.unionByName(
+      // over-wide outliers: a small broadcast theta join (≤ n/maxBins
+      // rows for derived widths by Markov) instead of a len/w explode
+      points.join(broadcast(valid.filter(isWide)), p >= lo && p <= hi))
   }
 
   /** INTERVAL-OVERLAP join: `left ⋈ right ON lo1 ≤ hi2 AND lo2 ≤ hi1`
@@ -85,38 +119,57 @@ object RangeBinJoin {
     * covers; the EMIT-ONCE rule keeps only the first shared bin
     * (`__bin == max(floor(nlo1/w), floor(nlo2/w))`, provably inside
     * both covers), so the output is exactly the theta join's with no
-    * dedup pass. Column names must be disjoint across the two sides
-    * (standard join hygiene). `binWidth` None derives w from the mean
-    * normalized interval length over BOTH sides. */
+    * dedup pass — and with `w` a driver literal the rule is evaluated
+    * against the SAME width everywhere by construction. Column names
+    * must be disjoint across the two sides (standard join hygiene).
+    * `binWidth` None derives w from the mean normalized interval length
+    * over BOTH sides via the probe. Covers wider than
+    * `maxBinsPerInterval` bins route to broadcast theta side unions
+    * (wide-left × all-right, narrow-left × wide-right — disjoint, so
+    * no pair is double-counted). */
   def intervalOverlap(left: DataFrame, right: DataFrame,
                       lo1Col: String, hi1Col: String,
                       lo2Col: String, hi2Col: String,
-                      binWidth: Option[Double] = None): DataFrame = {
+                      binWidth: Option[Double] = None,
+                      maxBinsPerInterval: Long = MaxBinsPerInterval): DataFrame = {
+    require(maxBinsPerInterval >= 2, "maxBinsPerInterval must be >= 2")
     val (lo1, hi1) = (col(lo1Col).cast("double"), col(hi1Col).cast("double"))
     val (lo2, hi2) = (col(lo2Col).cast("double"), col(hi2Col).cast("double"))
     val (nlo1, nhi1) = (least(lo1, hi1), greatest(lo1, hi1))
     val (nlo2, nhi2) = (least(lo2, hi2), greatest(lo2, hi2))
-    val wFrame = binWidth match {
-      case Some(w) =>
-        require(w > 0, s"binWidth $w must be positive")
-        left.sparkSession.range(1).select(lit(w).as("__w"))
-      case None =>
-        left.select((nhi1 - nlo1).as("__len"))
-          .unionByName(right.select((nhi2 - nlo2).as("__len")))
-          .agg(greatest((sum(col("__len")) / count(lit(1))).cast("double"),
-            lit(1e-9)).as("__w"))
-    }
-    val la = left.crossJoin(broadcast(wFrame))
-      .withColumn("__bin",
-        explode(sequence(floor(nlo1 / col("__w")), floor(nhi1 / col("__w")))))
-    val rb = right.crossJoin(broadcast(wFrame))
-      .withColumn("__bin",
-        explode(sequence(floor(nlo2 / col("__w")), floor(nhi2 / col("__w")))))
-      .drop("__w")
-    la.join(rb, Seq("__bin"))
-      .filter(lo1 <= hi2 && lo2 <= hi1 &&
-        col("__bin") === greatest(floor(nlo1 / col("__w")),
-          floor(nlo2 / col("__w"))))
-      .drop("__bin", "__w")
+    // one-row probe over BOTH sides' normalized lengths (see
+    // pointInInterval): width literal + per-side max for wide routing
+    val stats = left.select((nhi1 - nlo1).as("__len"), lit(0).as("__side"))
+      .unionByName(right.select((nhi2 - nlo2).as("__len"), lit(1).as("__side")))
+      .groupBy("__side")
+      .agg(coalesce(sum(col("__len")), lit(0.0)).as("s"),
+        count(lit(1)).as("n"),
+        coalesce(max(col("__len")), lit(0.0)).as("mx"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    def s(i: Int, f: org.apache.spark.sql.Row => Double) = stats.get(i).map(f).getOrElse(0.0)
+    val totalN = stats.values.map(_.getLong(2)).sum
+    val w = binWidth.map(positive).getOrElse(
+      math.max((s(0, _.getDouble(1)) + s(1, _.getDouble(1))) / math.max(totalN, 1L), 1e-9))
+    val wideL = (nhi1 - nlo1) >= lit(w * maxBinsPerInterval)
+    val wideR = (nhi2 - nlo2) >= lit(w * maxBinsPerInterval)
+    val hasWideL = s(0, _.getDouble(3)) >= w * maxBinsPerInterval
+    val hasWideR = s(1, _.getDouble(3)) >= w * maxBinsPerInterval
+    val theta = lo1 <= hi2 && lo2 <= hi1
+
+    val ln = if (hasWideL) left.filter(!wideL) else left
+    val rn = if (hasWideR) right.filter(!wideR) else right
+    val la = ln.withColumn("__bin",
+      explode(sequence(floor(nlo1 / w), floor(nhi1 / w))))
+    val rb = rn.withColumn("__bin",
+      explode(sequence(floor(nlo2 / w), floor(nhi2 / w))))
+    var out = la.join(rb, Seq("__bin"))
+      .filter(theta &&
+        col("__bin") === greatest(floor(nlo1 / w), floor(nlo2 / w)))
+      .drop("__bin")
+    if (hasWideL)
+      out = out.unionByName(broadcast(left.filter(wideL)).join(right, theta))
+    if (hasWideR)
+      out = out.unionByName(ln.join(broadcast(right.filter(wideR)), theta))
+    out
   }
 }

@@ -68,9 +68,12 @@ object SimHashBanding {
       }
     val small = sized.filter(col("__bn") <= directMax).drop("__bn")
     val large = sized.filter(col("__bn") > directMax).drop("__bn")
+    // NO global sort here (round-7 advice): only the gated query needs
+    // ORDER BY (d1, d2) for oracle parity and adds it at the query layer;
+    // operator callers (DedupGroups component builds, cap counts) would
+    // pay a wasted full-range exchange over the pair set at scale.
     directPairs(small, maxHamming, bucketCols)
       .unionByName(bandedPairs(large, maxHamming, bucketCols, bands, bandBits))
-      .orderBy("d1", "d2")
   }
 
   /** 60-bit SimHash fingerprints from xxhash64 token hashes — the scale
@@ -156,9 +159,14 @@ object SimHashBanding {
     // (much larger) candidate set
     def bandVal(h: org.apache.spark.sql.Column, p: Int) =
       shiftright(h, p * bandBits).bitwiseAND((1L << bandBits) - 1)
-    val earlierMatch = (0 until bands - 1).map { p =>
-      col("band") > p && bandVal(col("h1"), p) === bandVal(col("h2"), p)
-    }.reduce(_ || _)
+    // bands == 1 has no earlier band to test — reduce over the empty
+    // sequence would throw, and every pair trivially meets in its only
+    // band exactly once, so the dedup predicate degenerates to false
+    val earlierMatch =
+      if (bands <= 1) lit(false)
+      else (0 until bands - 1).map { p =>
+        col("band") > p && bandVal(col("h1"), p) === bandVal(col("h2"), p)
+      }.reduce(_ || _)
     a.join(b, col("band") === col("band2") && col("bval") === col("bval2") &&
         col("d1") < col("d2") && bucketCond && !earlierMatch)
       .select(col("d1"), col("d2"),

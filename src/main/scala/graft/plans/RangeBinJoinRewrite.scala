@@ -45,9 +45,22 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object RangeBinJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** Validated conf read (round-7 advice): a non-numeric value would
+    * otherwise throw NumberFormatException inside the optimizer for
+    * EVERY query, and w ≤ 0 builds divide-by-zero / descending Sequence
+    * expressions that fail at execution — a bad session conf must not
+    * break unrelated query planning. Invalid values log once per plan
+    * and leave the rule inert. */
   private def width: Option[Double] =
     Option(SQLConf.get.getConfString("spark.graft.rangeJoin.binWidth", null))
-      .map(_.toDouble)
+      .flatMap { raw =>
+        val parsed = scala.util.Try(raw.trim.toDouble).toOption
+          .filter(w => w > 0 && !w.isNaN && !w.isInfinity)
+        if (parsed.isEmpty) logWarning(
+          s"ignoring invalid spark.graft.rangeJoin.binWidth='$raw' " +
+            "(requires a finite number > 0); range-join rewrite is inert")
+        parsed
+      }
 
   /** (point expr, lo expr, hi expr, pointsOnLeft) when the condition is
     * a pure range join between the two sides. */

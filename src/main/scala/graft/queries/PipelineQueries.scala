@@ -277,6 +277,7 @@ object PipelineQueries {
       graft.operators.SimHashBanding.pairs(
         simhashFingerprints(Tables.documents(s, d)), maxHamming = 4,
         bucketCols = Seq("lang", "source"))
+        .orderBy("d1", "d2") // oracle parity sort lives here, not in the operator
     },
 
     // Embedding-cosine near-dup report: global top-20 most-similar vector

@@ -118,15 +118,14 @@ class PlanSpec extends SparkSuite {
       "q_text_langid" -> "shuffle=5,broadcast=1,BroadcastHashJoin=1",
       "q_join_asof" -> "shuffle=3,broadcast=0",
       "q_window_ntile" -> "shuffle=2,broadcast=1,BroadcastNestedLoopJoin=1",
-      // round-7 additions to the expensive set; the BNL=2 in the range
-      // joins are the two one-row width-scalar broadcasts (the blessed
-      // scalar-probe pattern), NOT data-sized nested loops
       "q_text_lm_score" -> "shuffle=5,broadcast=2,BroadcastHashJoin=2",
       "q_text_contamination" -> "shuffle=3,broadcast=1,BroadcastHashJoin=1",
-      "q_join_range" ->
-        "shuffle=4,broadcast=3,BroadcastHashJoin=1,BroadcastNestedLoopJoin=2",
-      "q_join_overlap" ->
-        "shuffle=4,broadcast=3,BroadcastHashJoin=1,BroadcastNestedLoopJoin=2")
+      // round 8: the bin width is resolved to a driver literal by the
+      // one-row probe (r7 advice — the in-plan width frame could execute
+      // twice), which deleted 2 shuffles, 2 broadcasts and BOTH nested
+      // loops from each range join
+      "q_join_range" -> "shuffle=2,broadcast=1,BroadcastHashJoin=1",
+      "q_join_overlap" -> "shuffle=2,broadcast=1,BroadcastHashJoin=1")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }

@@ -76,12 +76,15 @@ class RangeSpec extends SparkSuite {
     val p = SparkEntry.queries("q_join_range")(spark, sf("0.001"))
       .queryExecution.executedPlan.toString
     // the point↔interval join must be a HASH join keyed on the computed
-    // bin with the exact range residual attached (a one-row width-scalar
-    // broadcast — the blessed scalar-probe crossJoin pattern — is the
-    // only nested loop allowed anywhere in the tree)
+    // bin with the exact range residual attached; since round 8 the
+    // width is a driver-resolved literal, so NO nested loop of any kind
+    // remains in the tree (the wide-outlier route only exists when the
+    // probe sees one, and these bands are uniform)
     assert(p.contains("HashJoin [__bin"),
       s"range join is not a bin-keyed hash join:\n${p.take(1500)}")
     assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"width literal should have removed all nested loops:\n${p.take(1500)}")
     val hashJoinLine = p.linesIterator
       .find(l => l.contains("HashJoin [__bin")).get
     assert(hashJoinLine.contains(">=") && hashJoinLine.contains("<="),
@@ -184,6 +187,68 @@ class RangeSpec extends SparkSuite {
       // one-sided bound only → not a range join, untouched
       val half = pts.join(ivs, col("x") >= col("lo"))
       assert(!half.queryExecution.optimizedPlan.toString.contains("__bin"))
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.binWidth")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ eq graft.plans.RangeBinJoinRewrite)
+    }
+  }
+
+  test("over-wide outlier intervals route to the clamp, exactly (r7 advice)") {
+    import spark.implicits._
+    // one interval 10^8 wide at binWidth=1 would explode to 10^8 bins
+    // (sequence() element blow-up); the clamp must route it to the
+    // broadcast theta side and keep the result pair-identical
+    val pts = (0 until 2000).map(i => (i.toLong, i * 97.0 % 100000))
+      .toDF("p_id", "x").localCheckpoint(eager = false)
+    val ivs = ((0 until 200).map { i =>
+      val lo = i * 500.0
+      (i.toLong, lo, lo + 40.0)
+    } :+ ((999L, 0.0, 1e8))).toDF("iv_id", "lo", "hi")
+      .localCheckpoint(eager = false)
+    val want = pts.join(ivs, col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("p_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.count(_._2 == 999L) == 2000, "outlier must cover every point")
+    val got = graft.operators.RangeBinJoin
+      .pointInInterval(pts, ivs, "x", "lo", "hi", Some(1.0))
+      .select("p_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, "clamped plan diverged from the theta join")
+    // derived width + a tight clamp: same exactness through the wide route
+    val gotDerived = graft.operators.RangeBinJoin
+      .pointInInterval(pts, ivs, "x", "lo", "hi", None, maxBinsPerInterval = 16)
+      .select("p_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotDerived == want, "derived-width clamp diverged from the theta join")
+    // overlap form: widen points to windows, keep the outlier on the right
+    val aIv = pts.select(col("p_id"), (col("x") - 10).as("alo"),
+      (col("x") + 10).as("ahi"))
+    val wantOv = aIv.join(ivs, col("alo") <= col("hi") && col("lo") <= col("ahi"))
+      .select("p_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotOv = graft.operators.RangeBinJoin
+      .intervalOverlap(aIv, ivs, "alo", "ahi", "lo", "hi", Some(1.0))
+      .select("p_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotOv.length == gotOv.distinct.length, "clamped overlap emitted dupes")
+    assert(gotOv.toSet == wantOv, "clamped overlap diverged from the theta join")
+  }
+
+  test("invalid binWidth conf is ignored, not a planner crash (r7 advice)") {
+    val (pts, ivs) = fixture
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RangeBinJoinRewrite
+    try {
+      for (bad <- Seq("not-a-number", "0", "-5", "NaN", "Infinity")) {
+        spark.conf.set("spark.graft.rangeJoin.binWidth", bad)
+        // the rule must stay inert (nested loop, no __bin) — and, above
+        // all, planning must not throw
+        val plan = pts.join(ivs, col("x") >= col("lo") && col("x") <= col("hi"))
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("__bin"), s"rule fired on binWidth='$bad'")
+      }
     } finally {
       spark.conf.unset("spark.graft.rangeJoin.binWidth")
       spark.experimental.extraOptimizations =
