@@ -30,11 +30,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(full)
     // Compact total-only line LAST: the driver tail-captures output, and in
     // round 1 the single long line was truncated from the front ("parsed":
     // null). A short final line always survives tail capture.
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    // File artifact (round-7 advice): every BENCH_r*.json to date lost
+    // ~35 queries to log-tail truncation; the engine writes the per-query
+    // map itself so nothing depends on scraping an sbt log. Best-effort —
+    // a read-only cwd must not fail the bench.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -175,11 +175,21 @@ def bench_guard(only=()):
     cmd = ["sbt", "-batch", ("runMain graft.Bench " + " ".join(only)).strip()]
     runs = []
     for _ in range(1 if only else 3):
+        artifact = "/root/repo/BENCH_QUERIES.json"
+        if os.path.exists(artifact):  # never reuse a stale run's artifact
+            os.remove(artifact)
         r = subprocess.run(cmd, cwd="/root/repo", capture_output=True,
                            text=True, env=env)
+        # prefer the file artifact Bench writes (immune to log truncation —
+        # the round-7 "parsed": null fix); fall back to scraping stdout
         m = None
+        try:
+            with open(artifact) as f:
+                m = json.loads(f.read())
+        except Exception:
+            pass
         for line in r.stdout.splitlines():
-            if '"queries"' in line:
+            if m is None and '"queries"' in line:
                 m = json.loads(line[line.index("{"):])
         if r.returncode != 0 or m is None:
             print(r.stdout[-3000:]); print(r.stderr[-2000:])
