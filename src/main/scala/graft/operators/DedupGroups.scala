@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
   * fits the default 20-round budget), not O(diameter) as plain
   * propagation would need on chain-shaped clusters (incremental document
   * revisions pairing only with their neighbors). Each round is two
-  * shuffles (neighbor join + jump self-join, no driver data); the
-  * convergence check is a scalar count. Lineage is cut per round
-  * (localCheckpoint) so the plan stays bounded — the standard Spark
-  * iterative-graph shape.
+  * shuffles (neighbor join + jump self-join, no driver data) in ONE
+  * Spark job: the previous label rides the update frame, the round's
+  * convergence count is the action that materializes the round's LAZY
+  * localCheckpoint, and labels-only reads reuse the cached blocks —
+  * round-7 advice folded the former separate count()-with-join plus
+  * eager checkpoint (~3 jobs/round, 2 of them recomputing the update)
+  * into this single pass. Lineage is still cut per round so the plan
+  * stays bounded — the standard Spark iterative-graph shape.
   */
 object DedupGroups {
 
@@ -42,20 +46,21 @@ object DedupGroups {
         .groupBy("src").agg(min("lbl").as("nlbl"))
       val propagated = labels
         .join(nbrMin.withColumnRenamed("src", "v"), Seq("v"), "left")
-        .select(col("v"),
+        .select(col("v"), col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      // pointer jumping: shortcut to label(label(v)) — halves chains
+      // pointer jumping: shortcut to label(label(v)) — halves chains.
+      // `prev` (this round's starting label) rides along so convergence
+      // is a plain column compare, not a join back to `labels`.
       val updated = propagated
         .join(propagated.select(col("v").as("lv"), col("lbl").as("lbl2")),
           col("lbl") === col("lv"), "left")
-        .select(col("v"),
+        .select(col("v"), col("prev"),
           least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      val changed = updated
-        .join(labels.withColumnRenamed("lbl", "prev"), "v")
-        .filter(col("lbl") =!= col("prev"))
-        .count()
-      labels = updated
+        .localCheckpoint(eager = false)
+      // the ONE action of the round: materializes the lazy checkpoint
+      // (labels are monotone non-increasing, so lbl != prev ⟺ changed)
+      val changed = updated.filter(col("lbl") =!= col("prev")).count()
+      labels = updated.drop("prev")
       converged = changed == 0
       iter += 1
     }
