@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * Algorithm: iterative min-label propagation with pointer jumping —
   * label(v) starts as v; each round takes the min over neighbors' labels
   * AND shortcuts through label(label(v)), so label chains halve per
-  * round: convergence in O(log diameter) rounds (a 2^20-diameter chain
-  * fits the default 20-round budget), not O(diameter) as plain
+  * round: convergence in O(log diameter) rounds — label reach doubles
+  * per round (reach(r) = 2^(r+1) − 2), so a 2^20-vertex chain converges
+  * in 20 propagation rounds + 1 detection round, comfortably inside the
+  * default 24-round budget (which covers diameters to ~2^24) — not
+  * O(diameter) as plain
   * propagation would need on chain-shaped clusters (incremental document
   * revisions pairing only with their neighbors). Each round is two
   * shuffles (neighbor join + jump self-join, no driver data) in ONE
@@ -27,10 +30,15 @@ import org.apache.spark.sql.functions._
   */
 object DedupGroups {
 
+  /** Diagnostic (MarqueeStressSpec): rounds the last components() call
+    * took to converge, detection round included. Same contract as the
+    * other private[graft] work-metric probes — test telemetry, not API. */
+  private[graft] val lastRounds = new java.util.concurrent.atomic.AtomicInteger
+
   /** Component label per vertex: (v, lbl) where lbl = min doc_id reachable.
     * `pairs` needs columns (d1, d2); vertices not in any pair are absent
     * (callers union isolated docs back as their own group). */
-  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def components(pairs: DataFrame, maxIters: Int = 24): DataFrame = {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .distinct()
@@ -64,6 +72,7 @@ object DedupGroups {
       converged = changed == 0
       iter += 1
     }
+    lastRounds.set(iter)
     require(converged, s"label propagation did not converge in $maxIters rounds")
     labels
   }

@@ -803,6 +803,50 @@ object PipelineQueries {
         .filter(col("rn") === 1)
         .select("d1", "d2", "dist")
         .orderBy("d1")
+    },
+
+    // End-to-end EDGAR-shaped pipeline — the BASELINE north star ("parses
+    // XBRL filings into a DB") as ONE composed run over the library's own
+    // seams: two XML filing batches on disk → native XML ingest →
+    // from_xml fact extraction → accession-keyed incremental upsert
+    // (batch 2 re-files every 8th accession with a revised value — the
+    // amendment wins) → exact fact dedup → narrative near-dup dedup →
+    // decimal-exact period rollup. EtlSpec gates idempotence (replaying
+    // batch 2 changes nothing), amendment semantics, retention
+    // monotonicity and rollup exactness; this capability emits the
+    // retention accounting plus rollup totals as one scalar frame.
+    Q.cap("cap_pipeline_xbrl") { (s, d) =>
+      import graft.operators.{FilingsPipeline => FP}
+      val orders = Tables.orders(s, d)
+      val filings = FP.ordersAsFilings(orders)
+      val b1 = filings.filter(col("filing_id") % 4 < 3)
+      val b2 = FP.ordersAsFilings(
+          orders.filter(col("o_orderkey") % 8 === 0), "1111.00", amended = true)
+        .unionByName(filings.filter(col("filing_id") % 4 === 3))
+      val dir1 = graft.core.Scratch.dir("xbrl_b1")
+      val dir2 = graft.core.Scratch.dir("xbrl_b2")
+      FP.writeBatch(b1, dir1)
+      FP.writeBatch(b2, dir2)
+      val facts1 = FP.extractFacts(FP.ingest(s, dir1))
+      val facts2 = FP.extractFacts(FP.ingest(s, dir2))
+      val upserted = graft.operators.IncrementalLoad
+        .upsert(facts1, facts2, "accession")
+      val exact = FP.dedupExact(upserted)
+      val near = FP.dedupNear(exact)
+      val roll = near.transform(FP.rollup)
+      def stage(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.agg(count(lit(1)).as("n"))
+          .select(lit(name).as("stage"), col("n").cast("double").as("v"))
+      stage(facts1, "0_batch1_facts")
+        .unionAll(stage(facts2, "1_batch2_facts"))
+        .unionAll(stage(upserted, "2_upserted"))
+        .unionAll(stage(exact, "3_exact_dedup"))
+        .unionAll(stage(near, "4_neardup_dedup"))
+        .unionAll(stage(roll, "5_rollup_periods"))
+        .unionAll(roll.agg(sum(col("total_value")).as("t"))
+          .select(lit("6_rollup_total").as("stage"),
+            col("t").cast("double").as("v")))
+        .orderBy("stage")
     }
   )
 }

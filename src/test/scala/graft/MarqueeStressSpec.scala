@@ -158,6 +158,126 @@ class MarqueeStressSpec extends AnyFunSuite {
       s"candidate volume $cand not output-bounded ($nOut pairs)")
   }
 
+  test("AsOfJoinExec: 10M events x 1M probes, single-pass merge", Marquee) {
+    // 5k users x 200 probes x 2000 events — the flagship custom physical
+    // operator at 100x the fixture density, with per-key candidate sets
+    // dense enough that the composition would pay ~200x the merge's scan.
+    // Ground truth (the candidate-pair composition) is checked
+    // bit-for-bit on a ~1k-probe anchor sample against the FULL
+    // 10M-event right side; the full-output cardinality contract
+    // (exactly one row per probe) and the plan shape (2 shuffles, no
+    // joins, no pair blow-up) carry the rest.
+    val probes = spark.range(1000000L).select(col("id").as("p_id"),
+        pmod(col("id"), lit(5000L)).as("user_id"),
+        pmod(xxhash64(col("id")), lit(1000000000L)).as("pts"))
+      .localCheckpoint(eager = false)
+    val events = spark.range(10000000L).select(
+        pmod(col("id"), lit(5000L)).as("user_id"),
+        pmod(xxhash64(col("id") + 424242L), lit(1000000000L)).as("vts"))
+      .localCheckpoint(eager = false)
+    val merged = graft.operators.AsOfJoin.leftAsOfMerge(
+      probes, events, Seq("user_id"), leftTime = "pts", rightTime = "vts",
+      asOfCol = "asof")
+    val plan = merged.queryExecution.executedPlan.toString
+    // nodeName strips the Exec suffix: the operator prints as "AsOfJoin"
+    assert(plan.contains("AsOfJoin "), "merge operator not planned")
+    val shape = graft.tools.PlanShape.of(plan)
+    assert(shape == "shuffle=2,broadcast=0",
+      s"as-of merge should be exactly one shuffle per side, got $shape")
+    val (nOut, tMerge) = timed(merged.count())
+    assert(nOut == 1000000L, s"merge must emit one row per probe, got $nOut")
+    // sampled bit-equality vs the composition (candidate join + max) —
+    // the very plan AsOfJoinExec replaces
+    val sample = probes.filter(pmod(col("p_id"), lit(997)) === 0)
+    def toMap(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val got = toMap(merged.filter(pmod(col("p_id"), lit(997)) === 0)
+      .select("p_id", "asof"))
+    val want = toMap(graft.operators.AsOfJoin.leftAsOf(
+        sample, events, Seq("user_id"), leftTime = "pts", rightTime = "vts",
+        asOfCol = "asof")
+      .select("p_id", "asof"))
+    assert(got.size == want.size && got.size >= 1000)
+    assert(got == want, "merge diverged from the composition on the sample")
+    // work metric: the composition's candidate volume vs the merge's
+    // O(|L|+|R|) scan (per-partition state is one buffered right row)
+    val cand = probes.groupBy("user_id").agg(count(lit(1)).as("nl"))
+      .join(events.groupBy("user_id").agg(count(lit(1)).as("nr")), "user_id")
+      .agg(coalesce(sum(col("nl") * col("nr")), lit(0L))).head().getLong(0)
+    info(f"10M x 1M: merge $tMerge%.1f s, $nOut rows; composition would " +
+      f"materialize $cand candidate pairs vs ${11000000L} scanned rows " +
+      f"(${cand / 11000000.0}%.0fx)")
+    assert(cand > 100L * 11000000L, "fixture too sparse to demonstrate the claim")
+  }
+
+  test("DedupGroups: 2^20-vertex deep chain converges in log2(diameter) rounds", Marquee) {
+    // the pointer-jumping claim at its worst case: one chain of 2^20
+    // vertices (diameter 2^20 - 1). Label reach doubles per round
+    // (2^(r+1) - 2), so convergence takes exactly 20 propagation rounds
+    // + 1 detection round — O(log d), where plain propagation would need
+    // a million rounds.
+    val n = 1L << 20
+    val chain = spark.range(n - 1)
+      .select(col("id").as("d1"), (col("id") + 1).as("d2"))
+    val (labels, tChain) = timed {
+      val l = graft.operators.DedupGroups.components(chain, maxIters = 24)
+        .localCheckpoint(eager = false)
+      (l.count(), l.agg(max("lbl"), min("lbl")).head())
+    }
+    val rounds = graft.operators.DedupGroups.lastRounds.get()
+    info(f"2^20 chain: $tChain%.1f s, $rounds rounds " +
+      f"(log2(diameter) = ${math.log(n.toDouble) / math.log(2)}%.0f)")
+    assert(labels._1 == n, "every vertex must be labeled")
+    assert(labels._2.getLong(0) == 0L && labels._2.getLong(1) == 0L,
+      "chain must collapse to the single component labeled 0")
+    assert(rounds <= 21, s"convergence took $rounds rounds, expected <= 21")
+  }
+
+  test("DedupGroups: 2^20 vertices in 128k clusters, one job per round", Marquee) {
+    // the realistic dedup-funnel shape: 131072 planted 8-vertex stars.
+    // Asserts component exactness, O(1)-round convergence on bounded
+    // diameter, and the round-8 single-action contract: ONE Spark job
+    // per propagation round (the convergence count materializes the
+    // round's lazy checkpoint — no separate count job, no eager
+    // checkpoint job).
+    val n = 1L << 20
+    val stars = spark.range(n).filter(pmod(col("id"), lit(8)) =!= 0)
+      .select(((col("id") / 8).cast("long") * 8).as("d1"), col("id").as("d2"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // AQE submits every query stage as its own Spark job, which would
+    // make "jobs" count shuffle stages, not actions — and a runtime
+    // broadcast conversion adds collection jobs on top. Pin both off so
+    // one action is exactly one job for the duration of the metric.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sparkContext.addSparkListener(listener)
+    val (bad, tStars) = try timed {
+      graft.operators.DedupGroups.components(stars)
+        .filter(col("lbl") =!= (col("v") / 8).cast("long") * 8).count()
+    } finally {
+      // listener events are async; drain before reading the counter
+      Thread.sleep(1000)
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    val rounds = graft.operators.DedupGroups.lastRounds.get()
+    val nJobs = jobs.get()
+    info(f"128k stars: $tStars%.1f s, $rounds rounds, $nJobs jobs")
+    assert(bad == 0L, s"$bad vertices mislabeled")
+    assert(rounds <= 3, s"star corpus took $rounds rounds, diameter is 2")
+    // jobs = edges checkpoint + initial labels checkpoint + 1/round +
+    // the final mislabel count; anything above that means a convergence
+    // count spawned its own job again
+    assert(nJobs <= rounds + 4,
+      s"$nJobs jobs for $rounds rounds - not one action per round")
+  }
+
   /** 12.5k planted clusters × 8 vectors in R^32 at ~0.9999 intra-cosine,
     * generated distributed from hash-uniform centers + 1% noise. 32 dims
     * keep the cross-cluster cosine tail far below tau (16 dims would
