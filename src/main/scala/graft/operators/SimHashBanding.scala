@@ -58,22 +58,36 @@ object SimHashBanding {
     // size statistic plus both sides of both join branches — without it
     // the tokenize+30-bit-sum subtree re-runs up to 5×
     val fp = fingerprints.localCheckpoint(eager = false)
-    val sized =
-      if (bucketCols.isEmpty)
-        fp.crossJoin(broadcast(fp.groupBy().agg(count(lit(1)).as("__bn"))))
-      else {
-        val sizes = fp.groupBy(bucketCols.map(col): _*)
-          .agg(count(lit(1)).as("__bn"))
-        fp.join(broadcast(sizes), bucketCols)
-      }
-    val small = sized.filter(col("__bn") <= directMax).drop("__bn")
-    val large = sized.filter(col("__bn") > directMax).drop("__bn")
+    val sizes =
+      if (bucketCols.isEmpty) fp.groupBy().agg(count(lit(1)).as("__bn"))
+      else fp.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("__bn"))
+    // one-row routing probe (round-8, the SizeProbe idiom): when EVERY
+    // bucket sits on one side of the threshold, build only that branch —
+    // the common small-bucket case drops the per-bucket-size broadcast
+    // join, the empty banded subtree and the union from the plan
+    // entirely, and the probe doubles as the checkpoint materializer so
+    // the query plan starts from the cached fingerprints
+    // (q_dedup_simhash: 5 shuffles/6 broadcasts → 1/1). Routing stays
+    // bit-exact: the skipped branch was provably empty, and mixed
+    // densities fall through to the per-bucket two-branch plan.
+    val bounds = sizes.agg(
+      coalesce(max(col("__bn")), lit(0L)),
+      coalesce(min(col("__bn")), lit(0L))).head()
+    val (maxBucket, minBucket) = (bounds.getLong(0), bounds.getLong(1))
     // NO global sort here (round-7 advice): only the gated query needs
     // ORDER BY (d1, d2) for oracle parity and adds it at the query layer;
     // operator callers (DedupGroups component builds, cap counts) would
     // pay a wasted full-range exchange over the pair set at scale.
-    directPairs(small, maxHamming, bucketCols)
-      .unionByName(bandedPairs(large, maxHamming, bucketCols, bands, bandBits))
+    if (maxBucket <= directMax) directPairs(fp, maxHamming, bucketCols)
+    else if (minBucket > directMax)
+      bandedPairs(fp, maxHamming, bucketCols, bands, bandBits)
+    else {
+      val sized = fp.join(broadcast(sizes), bucketCols)
+      val small = sized.filter(col("__bn") <= directMax).drop("__bn")
+      val large = sized.filter(col("__bn") > directMax).drop("__bn")
+      directPairs(small, maxHamming, bucketCols)
+        .unionByName(bandedPairs(large, maxHamming, bucketCols, bands, bandBits))
+    }
   }
 
   /** 60-bit SimHash fingerprints from xxhash64 token hashes — the scale

@@ -108,7 +108,10 @@ class PlanSpec extends SparkSuite {
     // this table, not as unexplained timing noise. Signatures measured at
     // sf0.001 (routing probes take the same routes at every test sf).
     val pinned = Map(
-      "q_dedup_simhash" -> "shuffle=5,broadcast=6,BroadcastHashJoin=6",
+      // round 8: the bucket-density probe builds only the engaged branch
+      // and materializes the fingerprint checkpoint, so the gated plan is
+      // just the direct self-join + oracle sort (was 5/6/6)
+      "q_dedup_simhash" -> "shuffle=1,broadcast=1,BroadcastHashJoin=1",
       "q_text_editdist" -> "shuffle=2,broadcast=1,BroadcastHashJoin=1",
       "q_text_jaccard_pairs" -> "shuffle=2,broadcast=1,BroadcastHashJoin=1",
       "q_agg_percentile" -> "shuffle=2,broadcast=2,BroadcastHashJoin=2",
