@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -62,53 +60,24 @@ object IvfPq {
             .otherwise(lit(0.0)).cast("float")).as("nv"))
   }
 
-  /** Arg-min codeword id for subspace `m` against a literal codebook:
-    * array_min over (squared-distance, code) structs — pure codegen'd
-    * expressions, evaluated once per row for all `ksub` codewords. */
-  private def encodeExpr(book: Array[Array[Float]], mIdx: Int,
-                         sub: Int): Column = {
-    val subvec = slice(col("nv"), mIdx * sub + 1, sub)
-    val dists = book.zipWithIndex.map { case (cw, code) =>
-      val d2 = aggregate(
-        zip_with(subvec, typedLit(cw.toSeq), (x, c) => {
-          val diff = x.cast("double") - c.cast("double")
-          diff * diff
-        }),
-        lit(0.0), (acc, x) => acc + x)
-      struct(d2.as("d2"), lit(code).as("code"))
-    }
-    array_min(array(dists: _*)).getField("code")
-  }
-
   def buildIndex(embeddings: DataFrame, cells: Int = 8, m: Int = 8,
                  ksub: Int = 16): IvfPqIndex = {
     val spark = embeddings.sparkSession
     val ivf = IvfCosine.buildIndex(embeddings, cells)
     val nv = normalized(embeddings).localCheckpoint(eager = false)
 
-    val dim = nv.select(size(col("embedding"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
-    val sub = dim / m
-
     // per-subspace k-means over the normalized subvectors (deterministic
-    // seed per subspace); codebooks become literals in the encode plan
-    val toVec = udf { (a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray) }
-    val books: Array[Array[Array[Float]]] = (0 until m).map { mi =>
-      val subDf = nv.select(toVec(slice(col("nv"), mi * sub + 1, sub)).as("sv"))
-      new KMeans().setK(ksub).setSeed(42L + mi)
-        .setFeaturesCol("sv").setPredictionCol("c")
-        .fit(subDf).clusterCenters
-        .map(_.toArray.map(_.toFloat))
-    }.toArray
-
+    // seed per subspace, shared [[PqCodec]] fit); codebooks become
+    // literals in the codegen'd encode plan
+    val codec = PqCodec.fit(nv, "nv", m, ksub)
     val codesCol = array((0 until m).map(mi =>
-      encodeExpr(books(mi), mi, sub)): _*).as("codes")
+      PqCodec.codeCol(codec, mi, "nv")): _*).as("codes")
     val codes = nv.select(col("vec_id"), codesCol)
       .join(ivf.assignments.select("vec_id", "cell"), "vec_id")
       .select("vec_id", "cell", "codes")
 
     val bookRows = for (mi <- 0 until m; c <- 0 until ksub)
-      yield (mi, c, books(mi)(c).toSeq)
+      yield (mi, c, codec.books(mi)(c).toSeq)
     val codebooks = spark.createDataFrame(bookRows.toSeq)
       .toDF("m", "code", "cw")
     IvfPqIndex(codes, ivf.centroids, codebooks)

@@ -69,7 +69,7 @@ object SemanticDedup {
     val (n, shared) = graft.core.SizeProbe.count(embeddings)
     val pairs =
       if (n <= directMax) exactPairs(shared, tau)
-      else if (tau >= BandedTauFloor) bandedPairs(shared, tau, planes, bands)
+      else if (tau >= BandedTauFloor) bandedPairs(shared, tau, planes, bands, n)
       else ExactPairsTopK.thresholdPairs(shared, tau)
     val comps = DedupGroups.components(pairs)
       .select(col("v").as("vec_id"), col("lbl"))
@@ -106,35 +106,117 @@ object SemanticDedup {
       .select("d1", "d2")
   }
 
-  /** The banded (band, bits)-keyed row set behind [[bandedPairs]] and the
-    * candidate-count diagnostic. */
+  /** Hyperplane sign signature over `vecCol`; the sign of ⟨v, plane⟩ is
+    * scale-invariant, so raw and unit-normalized inputs bucket
+    * identically (the PQ and float routes share band geometry). */
+  private def signatureCol(vecCol: String, planes: Int): org.apache.spark.sql.Column = {
+    import graft.functions.GraftFunctions.dot
+    (0 until planes).map { i =>
+      val proj = dot(col(vecCol), typedLit(planeComponents(i)))
+      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Explode a frame carrying a `sig` column into its (band, bits) keys,
+    * preserving every other column. */
+  private def explodeBands(df: DataFrame, planes: Int,
+                           bands: Int): DataFrame = {
+    require(planes % bands == 0, s"planes $planes not divisible by $bands")
+    val r = planes / bands
+    df.withColumn("bb", explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * r)
+            .bitwiseAND(lit((1L << r) - 1)).as("bits"))
+      }: _*)))
+      .withColumn("band", col("bb.band"))
+      .withColumn("bits", col("bb.bits"))
+      .drop("bb", "sig")
+  }
+
+  /** The float (band, bits)-keyed row set behind [[bandedPairsFloat]] and
+    * the candidate-count diagnostic. */
   private def bandedFrame(embeddings: DataFrame, planes: Int,
                           bands: Int): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    import graft.functions.GraftFunctions.dot
-    require(planes % bands == 0, s"planes $planes not divisible by $bands")
-    val r = planes / bands
-    val sig = (0 until planes).map { i =>
-      val proj = dot(col("embedding"), typedLit(planeComponents(i)))
-      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    normed(embeddings).withColumn("sig", sig)
-      .localCheckpoint(eager = false)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sig"), b * r)
-              .bitwiseAND(lit((1L << r) - 1)).as("bits"))
-        }: _*)).as("bb"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    explodeBands(
+      normed(embeddings)
+        .withColumn("sig", signatureCol("embedding", planes))
+        .localCheckpoint(eager = false),
+      planes, bands)
+      .select("vec_id", "embedding", "nrm", "band", "bits")
   }
 
-  /** Banded scale route: only same-band vectors pay an exact cosine; a
+  /** PQ parameters for the banded candidate payload: 8 subspaces × 16
+    * codewords = 4-bit codes, all 8 packed into ONE long. */
+  private val PqM = 8
+  private val PqKsub = 16
+  /** Below this corpus size a 16-centroid k-means per subspace is not
+    * meaningfully fit — use the float payload (the pre-round-8 plan). */
+  private val PqMinRows = 4L * PqKsub
+
+  /** Banded scale route: only same-band vectors pay a distance check; a
     * pair appears once per shared band, so `distinct()` inside
-    * [[DedupGroups.components]]' edge build dedups the multi-band hits. */
+    * [[DedupGroups.components]]' edge build dedups the multi-band hits.
+    *
+    * Round 8: the band join shuffles PQ-coded candidates — one packed
+    * long of 8×4-bit codes plus the exact quantization residual — not
+    * `bands` copies of the full float embedding (4·dim+ bytes → 16).
+    * Candidates are scored with the SDC table first and only pairs that
+    * clear the PROVABLE bound `sdc + ra + rb + ra·rb ≥ tau`
+    * ([[PqCodec]] doc) are re-ranked against the true floats via two
+    * narrow vec_id joins — so the final pair set is bit-identical to
+    * the float plan's (DedupSpec/StressSpec gate it), the bound prunes
+    * the exact-cosine work on clustered corpora, and the shuffle pays
+    * bytes proportional to codes, not dimensions. Falls back to the
+    * float payload when the dimension does not split into [[PqM]]
+    * subspaces or the corpus is too small to fit codebooks. */
   private def bandedPairs(embeddings: DataFrame, tau: Double, planes: Int,
-                          bands: Int): DataFrame = {
+                          bands: Int, n: Long): DataFrame = {
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    if (dim % PqM != 0 || n < PqMinRows)
+      return bandedPairsFloat(embeddings, tau, planes, bands)
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    // unit-normalized copy: the PQ bound is stated on the unit sphere
+    val nf = normed(embeddings)
+    val unit = nf.select(col("vec_id"),
+        transform(col("embedding"), x =>
+          when(col("nrm") > 0, x.cast("double") / sqrt(col("nrm")))
+            .otherwise(lit(0.0)).cast("float")).as("uv"))
+      .localCheckpoint(eager = false)
+    val codec = PqCodec.fit(unit, "uv", PqM, PqKsub)
+    // materialize BEFORE the band explode: packed codes + residual are
+    // plain column reads in the join, not re-evaluated encode trees
+    val coded = unit.select(col("vec_id"),
+        signatureCol("uv", planes).as("sig"),
+        PqCodec.packedCol(codec, "uv").as("pq"),
+        sqrt(PqCodec.residual2Col(codec, "uv")).as("r"))
+      .localCheckpoint(eager = false)
+    val banded = explodeBands(coded, planes, bands)
+      .select(col("vec_id"), col("pq"), col("r"), col("band"), col("bits"))
+    val a = banded.select(col("band"), col("bits"), col("vec_id").as("d1"),
+      col("pq").as("pq1"), col("r").as("r1"))
+    val b = banded.select(col("band"), col("bits"), col("vec_id").as("d2"),
+      col("pq").as("pq2"), col("r").as("r2"))
+    // 1e-6 slack: the codec quantizes the FLOAT-cast unit vector, which
+    // sits within ~1e-7·√dim of the ideal unit vector the exact re-rank
+    // scores — the analytic bound plus this epsilon stays conservative
+    val cand = a.join(b, Seq("band", "bits"))
+      .filter(col("d1") < col("d2") &&
+        PqCodec.sdcSim(codec, col("pq1"), col("pq2")) +
+          col("r1") + col("r2") + col("r1") * col("r2") + lit(1e-6) >= tau)
+      .select("d1", "d2")
+    // exact re-rank: only bound survivors fetch floats, by key
+    cand.join(nf.select(col("vec_id").as("d1"), col("embedding").as("ea"),
+        col("nrm").as("na")), "d1")
+      .join(nf.select(col("vec_id").as("d2"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "d2")
+      .filter(simCol >= tau)
+      .select("d1", "d2")
+  }
+
+  /** Float-payload banded plan (fallback + gate twin for the PQ route). */
+  private[graft] def bandedPairsFloat(embeddings: DataFrame, tau: Double,
+                                      planes: Int, bands: Int): DataFrame = {
     val banded = bandedFrame(embeddings, planes, bands)
     val a = banded.select(col("band"), col("bits"), col("vec_id").as("d1"),
       col("embedding").as("ea"), col("nrm").as("na"))
@@ -145,8 +227,25 @@ object SemanticDedup {
       .select("d1", "d2")
   }
 
+  /** Work-metric diagnostic (StressSpec): per-row PAYLOAD bytes entering
+    * the banded candidate shuffle under the float plan vs the round-8 PQ
+    * plan — rows and dimension measured from the actual banded frame,
+    * payload from the physical column layout (float array: 4·dim + 16
+    * bytes header, + 8 for nrm; PQ: one packed long + one residual
+    * double = 16 bytes). The shared key/id columns are identical in both
+    * plans and excluded. */
+  private[graft] def bandedPayloadBytes(embeddings: DataFrame,
+                                        planes: Int = 16,
+                                        bands: Int = 4): (Long, Long) = {
+    val f = bandedFrame(embeddings, planes, bands)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(size(col("embedding")) * 4 + 16 + 8), lit(0L)).as("fb"))
+      .head()
+    (f.getLong(1), f.getLong(0) * 16L)
+  }
+
   /** Work-metric diagnostic (StressSpec): how many same-band candidate
-    * pairs the banded route pays an exact cosine for — Σ over (band,
+    * pairs the banded route pays a distance check for — Σ over (band,
     * bits) buckets of C(|bucket|, 2). The complexity claim lives here,
     * not in wall-clock: banding is honest when this is far below the
     * all-pairs n(n−1)/2. */

@@ -354,6 +354,11 @@ class MarqueeStressSpec extends AnyFunSuite {
     // SURVEY addendum records.
     val cand32 = graft.operators.SemanticDedup.bandedCandidateCount(emb, 32, 4)
     val cand16 = graft.operators.SemanticDedup.bandedCandidateCount(emb, 16, 4)
+    val (floatB, pqB) = graft.operators.SemanticDedup
+      .bandedPayloadBytes(emb, 32, 4)
+    info(f"banded shuffle payload at 100k x R^32: float $floatB B vs " +
+      f"PQ $pqB B (${floatB.toDouble / pqB}%.1fx)")
+    assert(pqB * 4 <= floatB, "PQ payload not 4x below float at marquee scale")
     val allPairs = n * (n - 1) / 2
     info(f"banded candidates at 100k: planes=32 -> $cand32 " +
       f"(${allPairs.toDouble / cand32}%.0fx pruned), planes=16 -> $cand16 " +

@@ -342,5 +342,14 @@ class StressSpec extends SparkSuite {
       f"(${allPairs.toDouble / candBig}%.1fx pruned)")
     assert(candBig * 2 < allPairs,
       s"banding pruned under 2x: $candBig of $allPairs pairs still paid")
+    // round-8 PQ payload claim: the band join shuffles packed codes +
+    // residual (16 B) instead of the float embedding (4·dim+16 B array
+    // + nrm) — ≥4x fewer payload bytes per candidate row even at the
+    // minimal 16-dim fixture, growing linearly with dimension
+    val (floatB, pqB) = graft.operators.SemanticDedup.bandedPayloadBytes(big)
+    info(f"banded shuffle payload: float $floatB B vs PQ $pqB B " +
+      f"(${floatB.toDouble / pqB}%.1fx)")
+    assert(pqB * 4 <= floatB,
+      s"PQ payload $pqB B not 4x below float payload $floatB B")
   }
 }
