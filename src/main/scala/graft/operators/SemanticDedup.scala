@@ -183,7 +183,18 @@ object SemanticDedup {
           when(col("nrm") > 0, x.cast("double") / sqrt(col("nrm")))
             .otherwise(lit(0.0)).cast("float")).as("uv"))
       .localCheckpoint(eager = false)
-    val codec = PqCodec.fit(unit, "uv", PqM, PqKsub)
+    // bounded-sample codebook fit — the 100 TB design point: k-means cost
+    // must not grow with the corpus. A deterministic hash sample of
+    // ~16 k vectors trains 16 centroids per subspace just as well, and a
+    // weaker codebook can never break exactness — it only inflates
+    // residuals, which the conservative bound converts into less pruning,
+    // never into dropped pairs.
+    val fitRows = 16384L
+    val fitInput =
+      if (n <= fitRows) unit
+      else unit.filter(pmod(xxhash64(col("vec_id")),
+        lit(math.max(n / fitRows, 1L))) === 0)
+    val codec = PqCodec.fit(fitInput, "uv", PqM, PqKsub)
     // materialize BEFORE the band explode: packed codes + residual are
     // plain column reads in the join, not re-evaluated encode trees
     val coded = unit.select(col("vec_id"),
