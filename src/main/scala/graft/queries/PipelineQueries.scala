@@ -805,6 +805,43 @@ object PipelineQueries {
         .orderBy("d1")
     },
 
+    // Boilerplate profiling (C4/RefinedWeb template detection): the 50
+    // most frequent word 3-grams across the corpus with total and
+    // document frequencies — the corpus-level statistic that drives
+    // boilerplate stripping (a gram appearing in many documents is
+    // template text, not content). One explode + one map-side-combinable
+    // groupBy on the gram (high-cardinality ⇒ even shuffle) + global
+    // top-50 via TakeOrdered (no full sort). At 100 TB the gram key
+    // becomes xxhash64 of the token triple (the q_dedup_ngram shingle
+    // discipline) with strings recovered only for the 50 survivors; the
+    // string form here is the oracle-parity surface.
+    Q("q_text_boilerplate",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+        |  FROM t)
+        |SELECT gram, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM g GROUP BY gram
+        |ORDER BY n_total DESC, gram LIMIT 50""".stripMargin) { (s, d) =>
+      // tokenization barriered before the element_at HOF (the lm_score
+      // lesson: collapsed projections re-run split() per element_at)
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 3) // guards sequence(1, 0) descending
+        .localCheckpoint(eager = false)
+      tk.select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(tk) - 2), " +
+            "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), " +
+            "element_at(tk, i + 2)))")).as("gram"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("n_total"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_total").desc, col("gram"))
+        .limit(50)
+    },
+
     // End-to-end EDGAR-shaped pipeline — the BASELINE north star ("parses
     // XBRL filings into a DB") as ONE composed run over the library's own
     // seams: two XML filing batches on disk → native XML ingest →

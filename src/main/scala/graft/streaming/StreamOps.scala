@@ -102,6 +102,47 @@ object StreamOps {
       .toDF("user_id", "n_events", "cents_total")
   }
 
+  /** Streaming as-of join (s_stream_asof): the flagship batch operator's
+    * streaming twin — every purchase matched to the same user's latest
+    * view STRICTLY before it. State per user is ONE long (the max view
+    * time seen), the O(1)-state streaming analogue of AsOfJoinExec's
+    * merge cursor. Within a micro-batch events fold in event-time order
+    * with purchases before views at equal timestamps, and the `last <
+    * purchase` guard keeps the strict `<` rule across micro-batch
+    * boundaries — so with per-user event-time-ordered arrival (the
+    * replay / ingest-loop case) the output equals the batch operator
+    * exactly (StreamingSpec gates it against leftAsOfMerge). Late or
+    * out-of-order views need the watermarked interval join
+    * ([[purchaseViewJoin]]) instead — a semantic trade, not a hidden
+    * approximation. */
+  def asOfStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = ltz(events)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long, Option[Long])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[Long]) =>
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[(Long, Long, Long, Option[Long])]
+          rows.toSeq
+            .sortBy(r => (r._4, if (r._3 == "view") 1 else 0, r._2))
+            .foreach { case (_, id, typ, us) =>
+              if (typ == "view") { if (us > last) last = us }
+              else if (typ == "purchase")
+                out += ((id, user, us,
+                  if (last != Long.MinValue && last < us) Some(last) else None))
+            }
+          if (last != Long.MinValue) state.update(last)
+          out.result().iterator
+      }
+      .toDF("event_id", "user_id", "purchase_us", "view_us")
+  }
+
   /** Stream-stream event-time interval join (s_stream_join): each
     * purchase matched to the same user's views in the trailing 24 h —
     * the attribution-join shape. Both sides carry watermarks and the join

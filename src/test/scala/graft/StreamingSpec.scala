@@ -133,6 +133,41 @@ class StreamingSpec extends SparkSuite {
       s"streaming survivors $streamSurv != batch $batchSurv")
   }
 
+  test("s_stream_asof: streaming as-of == the batch AsOfJoinExec merge") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ldtOrd: Ordering[java.time.LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    // event-time-ordered arrival (the replay case), split across two
+    // micro-batches so per-user state must carry the cursor over
+    val ordered = fixture.sortBy(e => (e.ts, e.event_id))
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.asOfStream(mem.toDF()).writeStream
+      .format("memory").queryName("s_asof").outputMode("append").start()
+    mem.addData(ordered.take(ordered.length / 2))
+    q.processAllAvailable()
+    mem.addData(ordered.drop(ordered.length / 2))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("s_asof").collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val ev = Tables.events(spark, sf("0.001"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"))
+    val want = graft.operators.AsOfJoin.leftAsOfMerge(p, v, Seq("user_id"),
+        leftTime = "purchase_ts", rightTime = "vts", asOfCol = "view_ts")
+      .select(col("event_id"),
+        unix_micros(col("purchase_ts").cast("timestamp")),
+        unix_micros(col("view_ts").cast("timestamp")))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(want.nonEmpty && got.size == want.size)
+    assert(got == want, "streaming as-of diverged from the batch merge")
+  }
+
   test("s_stream_late: events behind the watermark are dropped from closed windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
