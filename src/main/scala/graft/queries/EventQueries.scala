@@ -149,6 +149,48 @@ object EventQueries {
         .orderBy("bucket")
     },
 
+    // Last-observation-carried-forward (the financial-facts carry rule:
+    // a fact reported in period P holds for every later period until
+    // re-reported). Hourly spine per entity (bounded user set × global
+    // span), sparse observations joined on, then a per-entity
+    // ignore-nulls last() window fills forward; buckets before the first
+    // observation stay NULL in both engines. max(value) per bucket keeps
+    // the observation deterministic (avg would sum doubles in
+    // partition order). The window partitions by user — no global sort;
+    // the spine build is a one-row span broadcast (scalar-probe pattern).
+    Q("q_time_locf",
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, value
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 5),
+        |a AS (SELECT user_id, bucket, max(value) AS v FROM e GROUP BY user_id, bucket),
+        |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM e),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |s AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        |      FROM b, u)
+        |SELECT s.user_id, s.bucket,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM s LEFT JOIN a ON s.user_id = a.user_id AND s.bucket = a.bucket
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("user_id") < 5)
+        .select(col("user_id"),
+          expr("CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ)").as("bucket"),
+          col("value"))
+      val a = e.groupBy("user_id", "bucket").agg(max("value").as("v"))
+      val span = e.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      val spine = e.select("user_id").distinct()
+        .crossJoin(broadcast(span))
+        .select(col("user_id"),
+          explode(expr("sequence(lo, hi, interval 1 hour)")).as("bucket"))
+      val w = Window.partitionBy("user_id").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(a, Seq("user_id", "bucket"), "left")
+        .select(col("user_id"), col("bucket"),
+          last(col("v"), ignoreNulls = true).over(w).as("filled"))
+        .orderBy("user_id", "bucket")
+    },
+
     // Gap-based sessionization (12h inactivity, FIXTURES-calibrated):
     // new-session flag via lag, session id via running sum — the classic
     // batch-SQL formulation, identical in both engines.
