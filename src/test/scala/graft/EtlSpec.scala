@@ -97,5 +97,24 @@ class EtlSpec extends SparkSuite {
     // and the rollup is deterministic across reruns (fresh plan)
     val roll2 = near.transform(FP.rollup)
     assert(rows(roll2) == rows(roll))
+
+    // the literal north star: the pipeline ends IN A DB. Land the rollup
+    // in Derby (the offline stand-in for the documented SQLite target)
+    // through the same df.write.jdbc seam, read it back, and assert the
+    // round-trip is exact and the landing idempotent (overwrite = the
+    // daily-rebuild contract: second run leaves the same table)
+    val url = "jdbc:derby:memory:graft_xbrl;create=true"
+    def land(): Unit = roll
+      .select(col("period"), col("n_facts"),
+        col("total_value").cast("string").as("total_value"))
+      .write.mode("overwrite")
+      .format("jdbc").option("url", url).option("dbtable", "period_rollup")
+      .save()
+    land(); land() // idempotent daily rebuild
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "period_rollup").load()
+      .select(col("period"), col("n_facts"),
+        col("total_value").cast("decimal(18,2)").as("total_value"))
+    assert(rows(back) == rows(roll), "DB round-trip must be exact")
   }
 }
