@@ -225,6 +225,108 @@ object EventQueries {
           d2d(sum(col("value").cast(D18)).cast(D18)).as("sum_value"))
         .select("user_id", "session_start", "session_end", "n_events", "sum_value")
         .orderBy("user_id", "session_start")
+    },
+
+    // Ordered conversion funnel: view -> click -> purchase, each stage
+    // anchored at the user's EARLIEST event strictly after the previous
+    // stage (min-ts chaining — deterministic, unlike "any path" funnels).
+    // All three stage frames hash-partition on user_id, so Catalyst reuses
+    // one exchange across the chain; the per-stage aggregates are
+    // map-side-combinable. At 100 TB this is the standard funnel shape:
+    // no global sort, no per-user event collection, state per user is one
+    // timestamp per stage. Output is integer counts only — parity-exact.
+    Q("q_event_funnel",
+      """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage_idx, 'view' AS stage, COUNT(*) AS users FROM v
+        |  UNION ALL SELECT 2, 'click', COUNT(*) FROM c
+        |  UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p)
+        |ORDER BY stage_idx""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      v.agg(count(lit(1)).as("users"))
+        .select(lit(1).as("stage_idx"), lit("view").as("stage"), col("users"))
+        .unionAll(c.agg(count(lit(1)).as("users"))
+          .select(lit(2).as("stage_idx"), lit("click").as("stage"), col("users")))
+        .unionAll(p.agg(count(lit(1)).as("users"))
+          .select(lit(3).as("stage_idx"), lit("purchase").as("stage"), col("users")))
+        .orderBy("stage_idx")
+    },
+
+    // Cohort retention matrix: users grouped by first-activity day, then
+    // distinct-active-day counts at each day offset — the activation/
+    // retention curve every usage-analytics stack computes. Two frames,
+    // both hash-partitioned on user_id (first-touch agg + distinct
+    // activity days), one co-partitioned join, then a small (cohort,
+    // offset) rollup. Integer/date outputs only — parity-exact; datediff
+    // is exact integer day arithmetic in both engines.
+    Q("q_event_retention",
+      """WITH f AS (SELECT user_id,
+        |             CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_day
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id,
+        |        CAST(date_trunc('day', ts) AS DATE) AS active_day FROM events)
+        |SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+        |  CAST(a.active_day - f.cohort_day AS BIGINT) AS day_offset,
+        |  COUNT(*) AS active_users
+        |FROM f JOIN a ON f.user_id = a.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val f = ev.groupBy("user_id")
+        .agg(expr("CAST(date_trunc('day', MIN(ts)) AS DATE)").as("cohort_day"))
+      val a = ev.select(col("user_id"),
+        expr("CAST(date_trunc('day', ts) AS DATE)").as("active_day")).distinct()
+      f.join(a, "user_id")
+        // DATE internally (exact integer day arithmetic); TIMESTAMP_NTZ on
+        // the output wire — parquet DATE reads back as python objects in
+        // the harness's pandas compare, NTZ as datetime64 (the
+        // tumbling-batch bucket precedent).
+        .groupBy(col("cohort_day").cast("timestamp_ntz").as("cohort_day"),
+          datediff(col("active_day"), col("cohort_day")).cast("long").as("day_offset"))
+        .agg(count(lit(1)).as("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
+    // Exponentially-weighted moving average per entity, α = 1/2: the
+    // smoothing fold y ← y/2 + x/2 over the time-ordered series. α is
+    // deliberately dyadic — halving a double is EXACT (exponent
+    // decrement, no rounding), so the only rounded op per step is one
+    // add, executed in the identical sequence by both engines via the
+    // ordered-fold pattern (the q_embed_centroid precedent: DuckDB
+    // list_reduce over list(… ORDER BY), Spark aggregate over the
+    // sorted collected array) ⇒ bit-identical. General-α EWMA would
+    // compound a rounded multiply per step — same determinism, kept
+    // dyadic for clarity. Per-entity collect is bounded by entity
+    // cardinality; the unbounded-stream twin is one double of
+    // mapGroupsWithState state per key (the s_stream_asof shape).
+    Q("q_time_ewma",
+      """SELECT user_id, COUNT(*) AS n,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(value ORDER BY ts, event_id)),
+        |    (a, b) -> a / 2 + b / 2) AS ewma
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          aggregate(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("value")))),
+            lit(0.0),
+            (acc, x) => acc / lit(2) + x.getField("value") / lit(2)).as("ewma"))
+        .orderBy("user_id")
     }
   )
 }

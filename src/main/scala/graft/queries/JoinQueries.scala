@@ -253,6 +253,155 @@ object JoinQueries {
         .withColumn("lag_us", expr("timestampdiff(MICROSECOND, view_ts, purchase_ts)"))
         .select("event_id", "user_id", "purchase_ts", "view_ts", "lag_us")
         .orderBy("event_id")
+    },
+
+    // Skew-mitigated equi-join: the fact side (events, ~13k rows per hot
+    // user at scale) joins the customer dim through SaltedJoin — the big
+    // side takes a row-local salt, the dim is replicated salt×, and the
+    // join key becomes (key, salt), spreading any hot key over 8 reducers.
+    // The oracle is the PLAIN join: salting is result-invariant by
+    // construction, so the gate proves the skew machinery changes the
+    // physical spread and nothing else. shuffle_hash hint keeps the join
+    // a shuffled hash join (broadcasting the replicated dim would bypass
+    // the very shuffle the salt is spreading). Aggregates are exact
+    // decimal (order-independent) — parity-safe under any salt layout.
+    Q("q_join_skew_salted",
+      s"""SELECT c.c_mktsegment, COUNT(*) AS n_events,
+         |  ${d2dSql(dsumSql("e.value"))} AS sum_value
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select("user_id", "value")
+      val cust = Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment").hint("shuffle_hash")
+      graft.operators.SaltedJoin
+        .join(ev, cust, "user_id", "c_custkey", salt = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          d2d(dsum(col("value"))).as("sum_value"))
+        .orderBy("c_mktsegment")
+    },
+
+    // TPC-H Q3 shape (shipping priority, minus the fixture-absent
+    // o_shippriority): segment-filtered customers × date-bracketed
+    // orders × lineitem, top-10 open orders by revenue. The ORDER BY
+    // runs on the EXACT decimal (double conversion can collapse unequal
+    // decimals to equal doubles and scramble a tiebreak); the DOUBLE
+    // form is output-only. Plan: broadcast the filtered customer dim,
+    // fact-fact join shuffles on orderkey, top-10 fuses to
+    // TakeOrderedAndProject — no global sort.
+    Q("q_tpch_q3",
+      s"""SELECT l_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+         |  ${d2dSql("rev")} AS revenue
+         |FROM (
+         |  SELECT l_orderkey, o_orderdate,
+         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) *
+         |      (1 - CAST(l_discount AS DECIMAL(19,4)))) AS DECIMAL(18,4)) AS rev
+         |  FROM customer JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |  WHERE c_mktsegment = 'BUILDING'
+         |    AND o_orderdate < TIMESTAMP '1998-06-01'
+         |    AND l_shipdate > TIMESTAMP '1998-06-01'
+         |  GROUP BY l_orderkey, o_orderdate)
+         |ORDER BY rev DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ords = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp_ntz"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp_ntz"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      ords.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(D18).as("rev"))
+        .orderBy(col("rev").desc, col("l_orderkey")).limit(10)
+        .select(col("l_orderkey"), col("o_orderdate"), d2d(col("rev")).as("revenue"))
+    },
+
+    // TPC-H Q5 shape (local supplier volume): the 6-way join with the
+    // c_nationkey = s_nationkey "local" constraint. region+nation
+    // broadcast; customer/orders/lineitem/supplier shuffle on their
+    // join keys. Revenue ordered on the exact decimal, name tiebreak.
+    Q("q_tpch_q5",
+      s"""SELECT n_name, ${d2dSql("rev")} AS revenue
+         |FROM (
+         |  SELECT n_name,
+         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) *
+         |      (1 - CAST(l_discount AS DECIMAL(19,4)))) AS DECIMAL(18,4)) AS rev
+         |  FROM customer JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |    AND c_nationkey = s_nationkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'ASIA'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o_orderdate < TIMESTAMP '1997-01-01'
+         |  GROUP BY n_name)
+         |ORDER BY rev DESC, n_name""".stripMargin) { (s, d) =>
+      val ords = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+        .select("o_orderkey", "o_custkey")
+      val asiaNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        .join(ords, col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d)
+            .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(D18).as("rev"))
+        .orderBy(col("rev").desc, col("n_name"))
+        .select(col("n_name"), d2d(col("rev")).as("revenue"))
+    },
+
+    // TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    // revenue lost to returns in a quarter. Exact-decimal ordering with
+    // custkey tiebreak; c_acctbal passes through untouched (no
+    // arithmetic ⇒ no parity exposure).
+    Q("q_tpch_q10",
+      s"""SELECT c_custkey, c_name, ${d2dSql("rev")} AS revenue, c_acctbal, n_name
+         |FROM (
+         |  SELECT c_custkey, c_name, c_acctbal, n_name,
+         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) *
+         |      (1 - CAST(l_discount AS DECIMAL(19,4)))) AS DECIMAL(18,4)) AS rev
+         |  FROM customer JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  WHERE l_returnflag = 'R'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o_orderdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY c_custkey, c_name, c_acctbal, n_name)
+         |ORDER BY rev DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      val ords = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp_ntz"))
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+        .join(ords, col("c_custkey") === col("o_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(D18).as("rev"))
+        .orderBy(col("rev").desc, col("c_custkey")).limit(20)
+        .select(col("c_custkey"), col("c_name"), d2d(col("rev")).as("revenue"),
+          col("c_acctbal"), col("n_name"))
     }
   )
 }

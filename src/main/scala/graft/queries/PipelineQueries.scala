@@ -884,6 +884,58 @@ object PipelineQueries {
           .select(lit("6_rollup_total").as("stage"),
             col("t").cast("double").as("v")))
         .orderBy("stage")
+    },
+
+    // Lexical diversity: Simpson/Herfindahl concentration of the per-doc
+    // token distribution (1 − Σc²/N²) plus type/token counts — the C4-ish
+    // "degenerate repetition" signal that true Shannon entropy would give,
+    // but with an EXACT integer numerator (Σc² and N are integers; one
+    // shared IEEE mul+div+sub at the end ⇒ bit-identical cross-engine,
+    // where log-based entropy would ride libm differences — the lm_score
+    // lesson). Spark side is fully row-local: token counts come from run
+    // lengths of the row's SORTED token array (run starts → zip with next
+    // start), so there is NO shuffle at all — embarrassingly parallel at
+    // 100 TB where the explode+groupBy(doc,tok) twin (the oracle's shape)
+    // would shuffle every token. Sorted array sits behind a barrier
+    // (HOF-CSE lesson: lambdas re-evaluate inlined inputs per element_at).
+    Q("q_text_diversity",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_tok,
+        |  COUNT(*) AS n_types,
+        |  CAST(MAX(c) AS BIGINT) AS top_count,
+        |  1.0e0 - CAST(SUM(c * c) AS DOUBLE) /
+        |    (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS simpson
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val st = Tables.documents(s, d)
+        .select(col("doc_id"),
+          sort_array(split(col("text"), " ")).as("st"))
+        .localCheckpoint(eager = false)
+      val n = size(col("st"))
+      val starts = filter(sequence(lit(1), n), i =>
+        i === 1 || element_at(col("st"), i) =!= element_at(col("st"), i - 1))
+      // runs barrier: starts feeds three downstream expressions (ends,
+      // zip_with, n_types) — keep it an attribute, not an inlined HOF.
+      val runsDf = st
+        .select(col("doc_id"), n.as("n"), starts.as("starts"))
+        .withColumn("runs", zip_with(
+          col("starts"),
+          concat(slice(col("starts"), lit(2), size(col("starts"))),
+            array(col("n") + 1)),
+          (a, b) => (b - a).cast("long")))
+        .localCheckpoint(eager = false)
+      runsDf.select(
+          col("doc_id"),
+          col("n").cast("long").as("n_tok"),
+          size(col("starts")).cast("long").as("n_types"),
+          array_max(col("runs")).as("top_count"),
+          (lit(1.0) - aggregate(col("runs"), lit(0L),
+            (acc, x) => acc + x * x).cast("double")
+            / (col("n").cast("double") * col("n").cast("double")))
+            .as("simpson"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -128,7 +128,15 @@ class PlanSpec extends SparkSuite {
       // twice), which deleted 2 shuffles, 2 broadcasts and BOTH nested
       // loops from each range join
       "q_join_range" -> "shuffle=2,broadcast=1,BroadcastHashJoin=1",
-      "q_join_overlap" -> "shuffle=2,broadcast=1,BroadcastHashJoin=1")
+      "q_join_overlap" -> "shuffle=2,broadcast=1,BroadcastHashJoin=1",
+      // round 8: per-doc token stats from sorted-array run lengths —
+      // row-local by design; the only exchange is the output ORDER BY.
+      // The oracle's explode+groupBy(doc,tok) twin would shuffle every
+      // token; this pin is the proof we don't.
+      "q_text_diversity" -> "shuffle=1,broadcast=0",
+      // round 8: salting must stay a SHUFFLED hash join — a broadcast of
+      // the replicated dim would bypass the exchange the salt spreads.
+      "q_join_skew_salted" -> "shuffle=4,broadcast=0,ShuffledHashJoin=1")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }

@@ -69,4 +69,42 @@ class TextSpec extends SparkSuite {
     assert(row.getAs[Int]("dim") == vec.length)
     assert(row.getAs[Long]("checksum") == expected)
   }
+
+  test("diversity run-length stats equal the explode+groupBy brute force") {
+    // q_text_diversity derives per-doc token counts from run lengths of
+    // the SORTED token array (shuffle-free); the brute force shuffles
+    // every token. Σc², max c, distinct count and N must agree exactly.
+    val d = sf("0.001")
+    val got = SparkEntry.queries("q_text_diversity")(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val brute = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"), count(lit(1)).as("types"),
+        max("c").as("top"), sum(col("c") * col("c")).as("sumsq"))
+      .collect().map { r =>
+        val n = r.getLong(1)
+        r.getLong(0) -> (n, r.getLong(2), r.getLong(3),
+          1.0 - r.getLong(4).toDouble / (n.toDouble * n.toDouble))
+      }.toMap
+    assert(got == brute)
+  }
+
+  test("funnel stages are non-increasing; retention day-0 equals cohort size") {
+    val d = sf("0.001")
+    val funnel = SparkEntry.queries("q_event_funnel")(spark, d)
+      .orderBy("stage_idx").collect().map(_.getAs[Long]("users"))
+    assert(funnel.length == 3)
+    assert(funnel.sliding(2).forall(p => p(0) >= p(1)),
+      s"funnel must narrow monotonically: ${funnel.mkString(",")}")
+    // every user is active on their own cohort day, so Σ(day-0 counts)
+    // across cohorts = total distinct users
+    val ret = SparkEntry.queries("q_event_retention")(spark, d)
+    val day0 = ret.filter(col("day_offset") === 0)
+      .agg(sum("active_users")).collect()(0).getLong(0)
+    val users = Tables.events(spark, d).select("user_id").distinct().count()
+    assert(day0 == users, s"day-0 total $day0 != distinct users $users")
+  }
 }
