@@ -40,10 +40,12 @@ object Bench {
     // ~35 queries to log-tail truncation; the engine writes the per-query
     // map itself so nothing depends on scraping an sbt log. Best-effort —
     // a read-only cwd must not fail the bench.
+    // NonFatal only (round-8 advice): a read-only cwd is survivable, an
+    // OutOfMemoryError / InterruptedException must propagate.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (full + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

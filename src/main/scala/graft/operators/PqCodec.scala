@@ -36,6 +36,13 @@ object PqCodec {
       32 - Integer.numberOfLeadingZeros(ksub - 1))
     require(m * bitsPerCode <= 63,
       s"$m codes x $bitsPerCode bits overflow a packed long")
+    // mirror of the packed-long guard for the OTHER scaling axis: the SDC
+    // table is an m·ksub² codegen literal, so a wide-codebook caller
+    // (ksub=256 → 4.2M doubles at m=64) must fail at construction, not
+    // as an unplannable literal (round-8 advice)
+    require(m.toLong * ksub * ksub <= 65536,
+      s"SDC table $m x $ksub^2 = ${m.toLong * ksub * ksub} doubles " +
+        "exceeds the 2^16 codegen-literal cap")
     /** Flat m×ksub×ksub SDC table: ⟨cw[mi][i], cw[mi][j]⟩. */
     lazy val sdcFlat: Seq[Double] =
       for (mi <- 0 until m; i <- 0 until ksub; j <- 0 until ksub) yield

@@ -58,6 +58,15 @@ object RangeBinJoin {
     * bounding the broadcast side at n/4096 for derived widths. */
   val MaxBinsPerInterval = 4096L
 
+  /** Broadcast-safe row cap for the wide-outlier side when `binWidth` is
+    * CALLER-SUPPLIED. A derived width bounds the wide set by Markov
+    * (≤ n/maxBinsPerInterval), but a caller's too-small width can
+    * classify an arbitrarily large fraction of intervals as wide — and
+    * broadcasting them all would OOM where the old plan merely exploded
+    * bins (round-8 advice). The probe counts wide rows up front and the
+    * route fails fast past this cap with an actionable message. */
+  val WideBroadcastMaxRows = 1L << 20
+
   private def positive(w: Double): Double = {
     require(w > 0 && !w.isNaN && !w.isInfinity,
       s"binWidth $w must be a finite positive number")
@@ -72,7 +81,8 @@ object RangeBinJoin {
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointCol: String, loCol: String, hiCol: String,
                       binWidth: Option[Double] = None,
-                      maxBinsPerInterval: Long = MaxBinsPerInterval): DataFrame = {
+                      maxBinsPerInterval: Long = MaxBinsPerInterval,
+                      wideRowCap: Long = WideBroadcastMaxRows): DataFrame = {
     require(maxBinsPerInterval >= 2, "maxBinsPerInterval must be >= 2")
     val lo = col(loCol).cast("double")
     val hi = col(hiCol).cast("double")
@@ -80,15 +90,28 @@ object RangeBinJoin {
     val valid = intervals.filter(hi >= lo)
     // one-row probe: mean length resolves the derived width to a DRIVER
     // LITERAL (single value by construction); max length decides whether
-    // the wide route exists at all
+    // the wide route exists at all. For caller-supplied widths the wide
+    // count rides the same probe (see [[WideBroadcastMaxRows]]).
+    val suppliedW = binWidth.map(positive)
+    val wideCnt = suppliedW.map { w0 =>
+      coalesce(sum(when(hi - lo >= lit(w0 * maxBinsPerInterval), 1L)
+        .otherwise(0L)), lit(0L))
+    }.getOrElse(lit(0L))
     val stats = valid.agg(
       coalesce(sum(hi - lo), lit(0.0)).as("s"),
       count(lit(1)).as("n"),
-      coalesce(max(hi - lo), lit(0.0)).as("mx")).head()
-    val w = binWidth.map(positive).getOrElse(
+      coalesce(max(hi - lo), lit(0.0)).as("mx"),
+      wideCnt.as("wc")).head()
+    val w = suppliedW.getOrElse(
       math.max(stats.getDouble(0) / math.max(stats.getLong(1), 1L), 1e-9))
     val isWide = (hi - lo) >= lit(w * maxBinsPerInterval)
     val hasWide = stats.getDouble(2) >= w * maxBinsPerInterval
+    if (suppliedW.isDefined && hasWide)
+      require(stats.getLong(3) <= wideRowCap,
+        s"binWidth $w classifies ${stats.getLong(3)} intervals as wide " +
+          s"(>= $maxBinsPerInterval bins each) — past the broadcast-safe " +
+          s"cap $wideRowCap; supply a larger binWidth or None " +
+          "to derive one from the mean interval length")
 
     val narrow = if (hasWide) valid.filter(!isWide) else valid
     val iv = narrow.withColumn("__bin",
@@ -131,29 +154,46 @@ object RangeBinJoin {
                       lo1Col: String, hi1Col: String,
                       lo2Col: String, hi2Col: String,
                       binWidth: Option[Double] = None,
-                      maxBinsPerInterval: Long = MaxBinsPerInterval): DataFrame = {
+                      maxBinsPerInterval: Long = MaxBinsPerInterval,
+                      wideRowCap: Long = WideBroadcastMaxRows): DataFrame = {
     require(maxBinsPerInterval >= 2, "maxBinsPerInterval must be >= 2")
     val (lo1, hi1) = (col(lo1Col).cast("double"), col(hi1Col).cast("double"))
     val (lo2, hi2) = (col(lo2Col).cast("double"), col(hi2Col).cast("double"))
     val (nlo1, nhi1) = (least(lo1, hi1), greatest(lo1, hi1))
     val (nlo2, nhi2) = (least(lo2, hi2), greatest(lo2, hi2))
     // one-row probe over BOTH sides' normalized lengths (see
-    // pointInInterval): width literal + per-side max for wide routing
+    // pointInInterval): width literal + per-side max for wide routing;
+    // per-side wide counts ride along for caller-supplied widths
+    // (see [[WideBroadcastMaxRows]])
+    val suppliedW = binWidth.map(positive)
+    val wideCnt = suppliedW.map { w0 =>
+      coalesce(sum(when(col("__len") >= lit(w0 * maxBinsPerInterval), 1L)
+        .otherwise(0L)), lit(0L))
+    }.getOrElse(lit(0L))
     val stats = left.select((nhi1 - nlo1).as("__len"), lit(0).as("__side"))
       .unionByName(right.select((nhi2 - nlo2).as("__len"), lit(1).as("__side")))
       .groupBy("__side")
       .agg(coalesce(sum(col("__len")), lit(0.0)).as("s"),
         count(lit(1)).as("n"),
-        coalesce(max(col("__len")), lit(0.0)).as("mx"))
+        coalesce(max(col("__len")), lit(0.0)).as("mx"),
+        wideCnt.as("wc"))
       .collect().map(r => r.getInt(0) -> r).toMap
     def s(i: Int, f: org.apache.spark.sql.Row => Double) = stats.get(i).map(f).getOrElse(0.0)
     val totalN = stats.values.map(_.getLong(2)).sum
-    val w = binWidth.map(positive).getOrElse(
+    val w = suppliedW.getOrElse(
       math.max((s(0, _.getDouble(1)) + s(1, _.getDouble(1))) / math.max(totalN, 1L), 1e-9))
     val wideL = (nhi1 - nlo1) >= lit(w * maxBinsPerInterval)
     val wideR = (nhi2 - nlo2) >= lit(w * maxBinsPerInterval)
     val hasWideL = s(0, _.getDouble(3)) >= w * maxBinsPerInterval
     val hasWideR = s(1, _.getDouble(3)) >= w * maxBinsPerInterval
+    if (suppliedW.isDefined && (hasWideL || hasWideR)) {
+      val nWide = stats.values.map(_.getLong(4)).sum
+      require(nWide <= wideRowCap,
+        s"binWidth $w classifies $nWide intervals as wide " +
+          s"(>= $maxBinsPerInterval bins each) — past the broadcast-safe " +
+          s"cap $wideRowCap; supply a larger binWidth or None " +
+          "to derive one from the mean interval length")
+    }
     val theta = lo1 <= hi2 && lo2 <= hi1
 
     val ln = if (hasWideL) left.filter(!wideL) else left

@@ -170,15 +170,23 @@ object SemanticDedup {
     * bytes proportional to codes, not dimensions. Falls back to the
     * float payload when the dimension does not split into [[PqM]]
     * subspaces or the corpus is too small to fit codebooks. */
-  private def bandedPairs(embeddings: DataFrame, tau: Double, planes: Int,
-                          bands: Int, n: Long): DataFrame = {
+  private[graft] def bandedPairs(embeddings: DataFrame, tau: Double, planes: Int,
+                                 bands: Int, n: Long): DataFrame = {
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     if (dim % PqM != 0 || n < PqMinRows)
       return bandedPairsFloat(embeddings, tau, planes, bands)
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    // unit-normalized copy: the PQ bound is stated on the unit sphere
+    // unit-normalized copy for the PQ codes (the bound is stated on the
+    // unit sphere) — but the RAW embedding rides along because band
+    // signatures are computed on it, not on uv: sign is scale-invariant,
+    // so mathematically the buckets agree, yet a hyperplane projection
+    // within one float ulp of zero could band differently on the
+    // float-cast uv (round-8 advice). Signing the same column the float
+    // route signs makes the two plans' band geometry IDENTICAL by
+    // construction, so the final pair set is bit-equal (DedupSpec gates
+    // it pair-for-pair).
     val nf = normed(embeddings)
-    val unit = nf.select(col("vec_id"),
+    val unit = nf.select(col("vec_id"), col("embedding"),
         transform(col("embedding"), x =>
           when(col("nrm") > 0, x.cast("double") / sqrt(col("nrm")))
             .otherwise(lit(0.0)).cast("float")).as("uv"))
@@ -198,7 +206,7 @@ object SemanticDedup {
     // materialize BEFORE the band explode: packed codes + residual are
     // plain column reads in the join, not re-evaluated encode trees
     val coded = unit.select(col("vec_id"),
-        signatureCol("uv", planes).as("sig"),
+        signatureCol("embedding", planes).as("sig"),
         PqCodec.packedCol(codec, "uv").as("pq"),
         sqrt(PqCodec.residual2Col(codec, "uv")).as("r"))
       .localCheckpoint(eager = false)

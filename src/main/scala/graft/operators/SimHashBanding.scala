@@ -39,6 +39,14 @@ object SimHashBanding {
     * banded candidate generation above. `bucketCols` (e.g. lang/source)
     * restrict pairs to the same bucket. Requires maxHamming < bands.
     *
+    * EAGER PROBE (the blessed SizeProbe idiom, as in
+    * [[RangeBinJoin.pointInInterval]]): building the returned frame runs
+    * a bucket-size aggregation — Spark jobs fire at CONSTRUCTION time,
+    * the input fingerprints are snapshotted via localCheckpoint, and
+    * routing is frozen against that snapshot. Callers that construct but
+    * never execute still pay the probe; nondeterministic inputs are
+    * routed on the materialized snapshot, never re-observed.
+    *
     * `bands` × `bandBits` is the fingerprint width (default 5×6 = the
     * fixture's 30-bit tokHash form). WIDTH MUST SCALE WITH BUCKET
     * DENSITY: a band's value space is 2^bandBits, so expected candidates

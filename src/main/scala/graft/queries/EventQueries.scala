@@ -311,8 +311,11 @@ object EventQueries {
     // sorted collected array) ⇒ bit-identical. General-α EWMA would
     // compound a rounded multiply per step — same determinism, kept
     // dyadic for clarity. Per-entity collect is bounded by entity
-    // cardinality; the unbounded-stream twin is one double of
-    // mapGroupsWithState state per key (the s_stream_asof shape).
+    // cardinality; the unbounded-stream twin — one (count, ewma) pair of
+    // mapGroupsWithState state per key — is [[graft.streaming.StreamOps
+    // .ewmaStream]] (s_stream_ewma), gated BIT-equal to this fold in
+    // StreamingSpec. That construction, not this collect, is the 100 TB
+    // form.
     Q("q_time_ewma",
       """SELECT user_id, COUNT(*) AS n,
         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),

@@ -143,6 +143,44 @@ object StreamOps {
       .toDF("event_id", "user_id", "purchase_us", "view_us")
   }
 
+  /** Streaming EWMA (s_stream_ewma): the SCALE form of q_time_ewma's
+    * per-entity ordered fold. The batch query materializes each entity's
+    * full history into one array via collect_list — bounded only by
+    * entity cardinality, the one assumption in its 100 TB story. Here
+    * state is ONE (count, ewma) pair per user in the state store, and
+    * each micro-batch folds its rows in (event-time, event_id) order on
+    * top of that state. The fold is the IDENTICAL IEEE sequence —
+    * acc/2 + value/2 seeded at 0.0, the same order — so with per-user
+    * event-time-ordered arrival (the replay / ingest-loop case, the
+    * [[asOfStream]] contract) the final emitted row per user is
+    * BIT-EQUAL to the batch fold (StreamingSpec gates it against
+    * q_time_ewma via doubleToRawLongBits). Out-of-order arrival across
+    * micro-batches would need watermark-horizon buffering instead — a
+    * semantic trade, not a hidden approximation. */
+  def ewmaStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = ltz(events)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[(Long, Double)]) =>
+          var (n, ewma) = state.getOption.getOrElse((0L, 0.0))
+          // (ts, event_id) order inside the batch = the batch fold's
+          // array_sort(struct(ts, event_id, value)) order
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            n += 1; ewma = ewma / 2 + r._4 / 2
+          }
+          state.update((n, ewma))
+          (user, n, ewma)
+      }
+      .toDF("user_id", "n", "ewma")
+  }
+
   /** Stream-stream event-time interval join (s_stream_join): each
     * purchase matched to the same user's views in the trailing 24 h —
     * the attribution-join shape. Both sides carry watermarks and the join

@@ -149,4 +149,42 @@ class DedupSpec extends SparkSuite {
       "banded components diverge from exact on a tight near-dup corpus")
     assert(exact.values.toSet.size == 20, "expected 20 clusters")
   }
+
+  test("PQ banded route emits the SAME pairs as the float route, bit-for-bit") {
+    import spark.implicits._
+    // The round-8 claim made testable (round-8 advice): the PQ-coded
+    // candidate path must be a pure payload optimization — identical band
+    // geometry (both sign the RAW embedding), conservative SDC bound,
+    // exact float re-rank — so its pair set equals the float plan's
+    // exactly. Fixture engages the PQ branch: dim 16 % 8 == 0 and
+    // n = 160 >= PqMinRows; mild cluster spread keeps some pairs near
+    // tau so the bound actually prunes and re-ranks.
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(20)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 20; i <- 0 until 8) yield {
+      val v = centers(c).map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+      (c * 8L + i, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val tau = 0.9
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = pairSet(graft.operators.SemanticDedup
+      .bandedPairs(emb, tau, planes = 16, bands = 4, n = 160L))
+    val fl = pairSet(graft.operators.SemanticDedup
+      .bandedPairsFloat(emb, tau, planes = 16, bands = 4))
+    assert(pq == fl, s"PQ route diverged: only-pq=${pq.diff(fl)} " +
+      s"only-float=${fl.diff(pq)}")
+    assert(pq.nonEmpty, "fixture should produce pairs at tau=0.9")
+  }
+
+  test("PqCodec rejects an SDC table past the codegen-literal cap") {
+    // m=2, ksub=512 clears the packed-long guard (2 x 9 bits) but its SDC
+    // table would be 2*512^2 = 524288 doubles — fail at construction
+    val books = Array.fill(2)(Array.fill(512)(Array.fill(2)(0f)))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.PqCodec.Codec(m = 2, ksub = 512, sub = 2, books)
+    }
+    assert(e.getMessage.contains("SDC table"))
+  }
 }

@@ -260,8 +260,10 @@ class MarqueeStressSpec extends AnyFunSuite {
       graft.operators.DedupGroups.components(stars)
         .filter(col("lbl") =!= (col("v") / 8).cast("long") * 8).count()
     } finally {
-      // listener events are async; drain before reading the counter
-      Thread.sleep(1000)
+      // listener events are async; drain DETERMINISTICALLY before reading
+      // the counter (a fixed sleep was flaky on a loaded host — r8 advice)
+      org.apache.spark.GraftListenerDrain.waitUntilEmpty(
+        spark.sparkContext, 30000)
       spark.sparkContext.removeSparkListener(listener)
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

@@ -236,6 +236,36 @@ class RangeSpec extends SparkSuite {
     assert(gotOv.toSet == wantOv, "clamped overlap diverged from the theta join")
   }
 
+  test("caller-supplied binWidth past the wide-row cap fails fast (r8 advice)") {
+    import spark.implicits._
+    // a pathologically small caller width makes EVERY interval wide; with
+    // a derived width Markov bounds the broadcast side, but here nothing
+    // does — the probe must count the wide rows and refuse, not broadcast
+    // the whole interval table (wideRowCap pinned low, the size-routing
+    // test discipline)
+    val pts = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("p_id", "x")
+    val ivs = (0 until 50).map { i =>
+      (i.toLong, i * 2.0, i * 2.0 + 100.0)
+    }.toDF("iv_id", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.RangeBinJoin.pointInInterval(
+        pts, ivs, "x", "lo", "hi", Some(1e-6), wideRowCap = 10)
+    }
+    assert(e.getMessage.contains("broadcast-safe"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.RangeBinJoin.intervalOverlap(
+        pts.select(col("p_id"), col("x").as("alo"), (col("x") + 5).as("ahi")),
+        ivs, "alo", "ahi", "lo", "hi", Some(1e-6), wideRowCap = 10)
+    }
+    assert(e2.getMessage.contains("broadcast-safe"))
+    // the same widths clear an adequate cap and stay exact
+    val want = pts.join(ivs, col("x") >= col("lo") && col("x") <= col("hi"))
+      .count()
+    val got = graft.operators.RangeBinJoin.pointInInterval(
+      pts, ivs, "x", "lo", "hi", Some(1e-6), wideRowCap = 50).count()
+    assert(got == want, "capped route diverged once under the cap")
+  }
+
   test("invalid binWidth conf is ignored, not a planner crash (r7 advice)") {
     val (pts, ivs) = fixture
     spark.experimental.extraOptimizations =

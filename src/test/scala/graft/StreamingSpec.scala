@@ -214,6 +214,39 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("s_stream_ewma: O(1)-state streaming fold is BIT-equal to the batch EWMA") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // event-time-ordered arrival split across two micro-batches: state
+    // (one (count, ewma) pair per user) must carry the fold over the
+    // boundary — the scale form of q_time_ewma's per-entity collect_list
+    implicit val ldtOrd: Ordering[java.time.LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val ordered = fixture.sortBy(e => (e.ts, e.event_id))
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.ewmaStream(mem.toDF()).writeStream
+      .format("memory").queryName("s_ewma").outputMode("update").start()
+    mem.addData(ordered.take(ordered.length / 2))
+    q.processAllAvailable()
+    mem.addData(ordered.drop(ordered.length / 2))
+    q.processAllAvailable()
+    q.stop()
+    // update-mode memory sink appends each emission; the max-n row per
+    // user is the final state
+    val got = spark.table("s_ewma")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("n").desc)))
+      .filter(col("rn") === 1).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)))).toSet
+    val want = SparkEntry.queries("q_time_ewma")(spark, sf("0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)))).toSet
+    assert(want.nonEmpty && got.size == want.size)
+    assert(got == want, "streaming EWMA diverged bitwise from the batch fold")
+  }
+
   test("s_stream_join: stream-stream interval join == batch twin") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

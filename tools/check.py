@@ -200,6 +200,14 @@ def bench_guard(only=()):
     med = {name: sorted(r["queries"][name] for r in runs)[len(runs) // 2]
            for name in runs[0]["queries"]}
     total = sorted(r["value"] for r in runs)[len(runs) // 2]
+    if not only:
+        # persist the controlled medians: --compare reconciles a (noisy,
+        # single-shot) driver BENCH_r*.json against this file
+        out = {"_total": round(total, 3)}
+        out.update({k: round(v, 4) for k, v in sorted(med.items())})
+        with open(os.path.join(os.path.dirname(__file__),
+                               "bench_medians.json"), "w") as f:
+            json.dump(out, f, indent=1)
     cold = 2.0 if only else 1.0
     fails = []
     for name, sec in sorted(med.items()):
@@ -220,9 +228,67 @@ def bench_guard(only=()):
     sys.exit(1 if fails else 0)
 
 
+def load_bench_artifact(path):
+    """Per-query seconds from either a complete Bench artifact
+    (BENCH_QUERIES.json — one JSON object with a "queries" map) or a
+    driver BENCH_r*.json whose "tail" holds a front-truncated fragment
+    of that line (the historical "parsed": null shape)."""
+    import re
+    d = json.load(open(path))
+    if isinstance(d.get("queries"), dict):
+        return d["queries"], d.get("value")
+    qs = {m.group(1): float(m.group(2)) for m in
+          re.finditer(r'"((?:q|cap|s)_\w+)":([0-9.eE+]+)', d.get("tail", ""))}
+    return qs, d.get("value")
+
+
+def bench_compare(path):
+    """Reconcile a driver bench artifact against the guard's controlled
+    median-of-3 file (tools/bench_medians.json, written by every full
+    `--bench` run) so a 68.5s-vs-45.0s driver artifact reads as one
+    computed table instead of a per-round re-derivation.
+
+    Noise envelope: measured on UNCHANGED code — round 6 saw 49.2 /
+    57.1 / 76.7 s across three back-to-back full runs with individual
+    queries spreading 3.1x (q_agg_bitwise 0.19->0.59), and round 8's
+    driver run repeated the pattern. A single-shot driver timing within
+    median*3.2 + 0.3s is therefore indistinguishable from host load;
+    beyond that envelope the delta needs a plan-level look."""
+    qs, total = load_bench_artifact(path)
+    med = json.load(open(os.path.join(os.path.dirname(__file__),
+                                      "bench_medians.json")))
+    gtotal = med.pop("_total", None)
+    noise = investigate = missing = 0
+    rows = []
+    for name, sec in qs.items():
+        m = med.get(name)
+        if m is None:
+            missing += 1
+            continue
+        env = m * 3.2 + 0.3
+        if sec <= env:
+            noise += sec > m
+            rows.append((sec / m, name, sec, m, env, "within-noise"))
+        else:
+            investigate += 1
+            rows.append((sec / m, name, sec, m, env, "INVESTIGATE"))
+    for ratio, name, sec, m, env, verdict in sorted(rows, reverse=True)[:15]:
+        print(f"{verdict:13s} {name}: driver {sec:5.2f}s vs guard median "
+              f"{m:5.2f}s ({ratio:.1f}x; noise envelope {env:.2f}s)")
+    print(f"\ndriver total {total:.1f}s vs guard median-of-3 total "
+          f"{gtotal:.1f}s" if total and gtotal else "")
+    print(f"{len(rows)} compared: {investigate} beyond the measured noise "
+          f"envelope, {len(rows) - investigate} within it "
+          f"({missing} queries absent from the medians file)")
+    sys.exit(1 if investigate else 0)
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--bench":
         bench_guard(tuple(sys.argv[2:]))
+    if len(sys.argv) > 1 and sys.argv[1] == "--compare":
+        bench_compare(sys.argv[2] if len(sys.argv) > 2
+                      else "/root/repo/BENCH_QUERIES.json")
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
     only = set(sys.argv[3:])
