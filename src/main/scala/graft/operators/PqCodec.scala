@@ -71,6 +71,39 @@ object PqCodec {
     Codec(m, ksub, sub, books)
   }
 
+  /** Persist a fitted codec as parquet (m, code, cw) rows — the
+    * [[IvfPq.save]] pattern: the codec is data, not driver state, so a
+    * corpus pays its ~30 s codebook fit ONCE and every later
+    * [[SemanticDedup.flags]] call (or another session) reloads it in
+    * milliseconds. A few KB; coalesced to one file. */
+  def save(c: Codec, dir: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val rows = for (mi <- 0 until c.m; k <- 0 until c.ksub)
+      yield (mi, k, c.books(mi)(k).toSeq)
+    spark.createDataFrame(rows).toDF("m", "code", "cw")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Inverse of [[save]]; (m, ksub, sub) are recovered from the rows. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Codec = {
+    val rows = spark.read.parquet(dir).select("m", "code", "cw").collect()
+    require(rows.nonEmpty, s"no codec rows under $dir")
+    val m = rows.map(_.getInt(0)).max + 1
+    val ksub = rows.map(_.getInt(1)).max + 1
+    val sub = rows.head.getSeq[Float](2).length
+    val books = Array.ofDim[Array[Float]](m, ksub)
+    rows.foreach(r => books(r.getInt(0))(r.getInt(1)) =
+      r.getSeq[Float](2).toArray)
+    Codec(m, ksub, sub, books.map(_.toArray))
+  }
+
+  /** Whether a saved codec exists under `dir` (committed write only —
+    * keys off parquet's _SUCCESS marker, so a torn save refits). */
+  def exists(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** (squared-distance, code) arg-min struct for one subspace against the
     * LITERAL codebook — array_min over codegen'd expressions, no UDF. */
   private def encodeStruct(c: Codec, mIdx: Int, vecCol: String): Column = {

@@ -53,9 +53,19 @@ object SemanticDedup {
   }
 
   /** (vec_id, lbl, kept): component label (min reachable vec_id; own id
-    * when isolated) and survivor flag per vector. */
+    * when isolated) and survivor flag per vector.
+    *
+    * `codecDir`: optional persistence seam for the banded route's PQ
+    * codebooks (the [[IvfPq]] save/load pattern). First call fits and
+    * saves; later calls load — so a corpus pays the codebook fit once,
+    * not once per flags() invocation (round-8's honest ~30 s-at-100 k
+    * cost note, closed). A weaker/stale-but-same-dimension codec can
+    * never change the result — only the pruning rate (the conservative
+    * bound, [[PqCodec]] doc); a codec for a different dimension fails
+    * fast. */
   def flags(embeddings: DataFrame, tau: Double, planes: Int = 16,
-            bands: Int = 4, directMax: Long = 8192): DataFrame = {
+            bands: Int = 4, directMax: Long = 8192,
+            codecDir: Option[String] = None): DataFrame = {
     // mirror ExactPairsTopK's ceiling: directMax bounds a deliberate
     // O(n²/2) broadcast exact join — a careless caller must not be able
     // to route an unbounded corpus into it
@@ -69,7 +79,8 @@ object SemanticDedup {
     val (n, shared) = graft.core.SizeProbe.count(embeddings)
     val pairs =
       if (n <= directMax) exactPairs(shared, tau)
-      else if (tau >= BandedTauFloor) bandedPairs(shared, tau, planes, bands, n)
+      else if (tau >= BandedTauFloor)
+        bandedPairs(shared, tau, planes, bands, n, codecDir)
       else ExactPairsTopK.thresholdPairs(shared, tau)
     val comps = DedupGroups.components(pairs)
       .select(col("v").as("vec_id"), col("lbl"))
@@ -171,7 +182,8 @@ object SemanticDedup {
     * float payload when the dimension does not split into [[PqM]]
     * subspaces or the corpus is too small to fit codebooks. */
   private[graft] def bandedPairs(embeddings: DataFrame, tau: Double, planes: Int,
-                                 bands: Int, n: Long): DataFrame = {
+                                 bands: Int, n: Long,
+                                 codecDir: Option[String] = None): DataFrame = {
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     if (dim % PqM != 0 || n < PqMinRows)
       return bandedPairsFloat(embeddings, tau, planes, bands)
@@ -202,7 +214,21 @@ object SemanticDedup {
       if (n <= fitRows) unit
       else unit.filter(pmod(xxhash64(col("vec_id")),
         lit(math.max(n / fitRows, 1L))) === 0)
-    val codec = PqCodec.fit(fitInput, "uv", PqM, PqKsub)
+    val spark = embeddings.sparkSession
+    // fit-once seam: load a persisted codec when one exists, else fit
+    // (and persist when a dir was given) — see [[flags]] scaladoc
+    val codec = codecDir.filter(PqCodec.exists(spark, _)) match {
+      case Some(d) =>
+        val c = PqCodec.load(spark, d)
+        require(c.m * c.sub == dim,
+          s"persisted codec at $d is for dimension ${c.m * c.sub}, " +
+            s"corpus is $dim")
+        c
+      case None =>
+        val c = PqCodec.fit(fitInput, "uv", PqM, PqKsub)
+        codecDir.foreach(PqCodec.save(c, _))
+        c
+    }
     // materialize BEFORE the band explode: packed codes + residual are
     // plain column reads in the join, not re-evaluated encode trees
     val coded = unit.select(col("vec_id"),

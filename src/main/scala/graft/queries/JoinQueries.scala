@@ -402,6 +402,125 @@ object JoinQueries {
         .orderBy(col("rev").desc, col("c_custkey")).limit(20)
         .select(col("c_custkey"), col("c_name"), d2d(col("rev")).as("revenue"),
           col("c_acctbal"), col("n_name"))
+    },
+
+    // TPC-H Q6 shape (forecast revenue change): a pure scan-side query —
+    // every predicate pushes to the parquet scan, the aggregate is one
+    // combinable decimal sum, no join and no shuffle beyond the one-row
+    // final agg. The decimal product discipline is q3's.
+    Q("q_tpch_q6",
+      s"""SELECT ${d2dSql("rev")} AS revenue FROM (
+         |  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) *
+         |    CAST(l_discount AS DECIMAL(19,4))) AS DECIMAL(18,4)) AS rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1998-01-01'
+         |    AND l_discount BETWEEN 0.05 AND 0.07
+         |    AND l_quantity < 24)""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast(D18).as("rev"))
+        .select(d2d(col("rev")).as("revenue"))
+    },
+
+    // TPC-H Q12 shape (shipping-mode priority counts): the fixture has
+    // no l_shipmode/l_commitdate columns, so l_linestatus stands in for
+    // the mode and "late" = shipped more than 60 days after the order
+    // date — what the query exercises is unchanged: a fact-fact equi
+    // join with conditional integer counts grouped by a low-cardinality
+    // column. Counts are exact longs, no float anywhere.
+    Q("q_tpch_q12",
+      """SELECT l_linestatus,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .select("l_orderkey", "l_linestatus", "l_shipdate")
+      Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+          .otherwise(0)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+
+    // TPC-H Q14 shape (promo revenue share): lineitem ⋈ broadcast part,
+    // two combinable decimal sums in ONE aggregate pass (the conditional
+    // sum rides the same shuffle), ratio taken after both sums land as
+    // exact decimals — one double division and one multiply, identically
+    // ordered in both engines.
+    Q("q_tpch_q14",
+      s"""SELECT 100.0 * ${d2dSql("promo")} / ${d2dSql("total")} AS promo_revenue
+         |FROM (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+         |      THEN CAST(l_extendedprice AS DECIMAL(19,4)) *
+         |           (1 - CAST(l_discount AS DECIMAL(19,4)))
+         |      ELSE 0 END) AS DECIMAL(18,4)) AS promo,
+         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) *
+         |      (1 - CAST(l_discount AS DECIMAL(19,4)))) AS DECIMAL(18,4)) AS total
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+         |    AND l_shipdate < TIMESTAMP '1997-10-01')""".stripMargin) { (s, d) =>
+      val rev = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp_ntz"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", rev).otherwise(0))
+          .cast(D18).as("promo"),
+          sum(rev).cast(D18).as("total"))
+        .select((lit(100.0) * d2d(col("promo")) / d2d(col("total")))
+          .as("promo_revenue"))
+    },
+
+    // TPC-H Q18 shape (large-volume customers): the HAVING-subquery
+    // pattern — the qualifying order keys (a tiny set by construction)
+    // come from a first aggregate and BROADCAST into the fact scan, so
+    // the big join only materializes qualifying orders. l_quantity is
+    // integral-valued, so its double sums are exact in any order (no
+    // decimal detour needed — probed, 0 fractional quantities).
+    Q("q_tpch_q18",
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice,
+        |  SUM(l_quantity) AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+      val big = li.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("q")).filter(col("q") > 300)
+        .select(col("l_orderkey").as("b_orderkey"))
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .join(broadcast(big), col("o_orderkey") === col("b_orderkey"), "left_semi")
+        .join(Tables.customer(s, d).select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+          "o_totalprice")
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
     }
   )
 }

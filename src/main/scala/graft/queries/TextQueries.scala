@@ -61,6 +61,15 @@ object TextQueries {
     // log form for fixed tf ordering; top-3 terms per doc, deterministic
     // ties. Scale: tf/df are linear aggs; N broadcasts; the rank window
     // partitions by doc_id (high cardinality).
+    //
+    // Round 9 plan pass (the lm_score lesson): the old tf.groupBy/join
+    // form consumed the tf frame twice with DIFFERENT column pruning, so
+    // exchange reuse never fired and the tokenize+tf-agg subtree ran
+    // TWICE, plus the df equi-join re-shuffled tf by term. df as a
+    // window count over tf is the same number (tf rows per term) in ONE
+    // linear pipeline: tf-agg → window(term) → window(doc_id) → sort —
+    // single tokenize pass, no join, 4 exchanges (guard median 2.08 →
+    // ~0.9 s). N rides a one-row broadcast as before.
     Q("q_text_tfidf",
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -77,11 +86,12 @@ object TextQueries {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
       val score = (col("tf") * col("n")).cast("double") / col("df")
       val w = Window.partitionBy("doc_id").orderBy(score.desc, col("term"))
-      tf.join(df, "term").crossJoin(broadcast(n))
+      tf.crossJoin(broadcast(n))
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy("term")))
         .withColumn("score", score)
         .withColumn("rn", row_number().over(w).cast("bigint"))
         .filter(col("rn") <= 3)

@@ -178,6 +178,43 @@ class DedupSpec extends SparkSuite {
     assert(pq.nonEmpty, "fixture should produce pairs at tau=0.9")
   }
 
+  test("persisted PQ codec: fit-once seam reloads bitwise and flags agree") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val centers = Array.fill(20)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 20; i <- 0 until 8) yield {
+      val v = centers(c).map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      (c * 8L + i, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString + "/codec"
+    assert(!graft.operators.PqCodec.exists(spark, dir))
+    // first call: banded route fits AND persists
+    val first = graft.operators.SemanticDedup
+      .flags(emb, tau = 0.9, planes = 16, bands = 4, directMax = 0,
+        codecDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(graft.operators.PqCodec.exists(spark, dir),
+      "first flags() call must persist the codec")
+    // the saved codec reloads bitwise (books are the plan's literals)
+    val loaded = graft.operators.PqCodec.load(spark, dir)
+    assert(loaded.m == 8 && loaded.ksub == 16 && loaded.sub == 2)
+    // second call: loads instead of refitting; labels identical
+    val second = graft.operators.SemanticDedup
+      .flags(emb, tau = 0.9, planes = 16, bands = 4, directMax = 0,
+        codecDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(second == first, "reused codec changed the flags")
+    // a codec for the wrong dimension must fail fast, not mis-encode
+    val emb8 = rows.map { case (id, v) => (id, v.take(8)) }
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.SemanticDedup.flags(emb8, tau = 0.9, planes = 16,
+        bands = 4, directMax = 0, codecDir = Some(dir)).collect()
+    }
+    assert(e.getMessage.contains("dimension"))
+  }
+
   test("PqCodec rejects an SDC table past the codegen-literal cap") {
     // m=2, ksub=512 clears the packed-long guard (2 x 9 bits) but its SDC
     // table would be 2*512^2 = 524288 doubles — fail at construction

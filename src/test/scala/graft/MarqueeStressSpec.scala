@@ -367,17 +367,170 @@ class MarqueeStressSpec extends AnyFunSuite {
       f"(${allPairs.toDouble / cand16}%.0fx pruned), all-pairs $allPairs")
     assert(cand32 * 20 < allPairs,
       s"banding at planes=32 pruned under 20x: $cand32 of $allPairs")
-    // default routing: n > directMax and tau >= 0.8 -> banded route
+    // default routing: n > directMax and tau >= 0.8 -> banded route.
+    // First call fits AND persists the PQ codebooks (the fit-once seam);
+    // the corpus pays the k-means cost exactly once.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sd_codec")
+      .toString + "/codec"
     val (flags, tFlags) = timed(graft.operators.SemanticDedup
-      .flags(emb, tau = 0.9, planes = 32, bands = 4)
+      .flags(emb, tau = 0.9, planes = 32, bands = 4, codecDir = Some(dir))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))))
-    info(f"flags at 100k vectors: $tFlags%.1f s")
+    info(f"flags at 100k vectors (fit + persist): $tFlags%.1f s")
     assert(flags.length == n)
     // planted ground truth: every vector's component is its cluster,
     // labeled by the cluster's min vec_id
     flags.foreach { case (v, lbl, kept) =>
       assert(lbl == (v / 8) * 8, s"vec $v labeled $lbl")
       assert(kept == (v % 8 == 0), s"vec $v kept=$kept")
+    }
+    // reuse: the persisted codec replaces the ~8-subspace k-means fit
+    // with a millisecond parquet load — same labels, measured delta
+    assert(graft.operators.PqCodec.exists(spark, dir))
+    val (flags2, tReuse) = timed(graft.operators.SemanticDedup
+      .flags(emb, tau = 0.9, planes = 32, bands = 4, codecDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))))
+    info(f"flags at 100k vectors (persisted codec): $tReuse%.1f s " +
+      f"(fit run $tFlags%.1f s)")
+    assert(flags2.sameElements(flags), "persisted codec changed the flags")
+  }
+
+  test("FilingsPipeline: 1M filings end-to-end, per-stage work metrics", Marquee) {
+    // The composed north-star pipeline at ~67x its fixture scale: every
+    // OPERATOR it chains is individually marquee-proven; this run proves
+    // the COMPOSITION — XML ingest does not bottleneck, the stages stay
+    // distributed (shuffle volumes measured per stage), amendment
+    // semantics and idempotence hold at 1M rows WITHOUT any driver-side
+    // row materialization (the replay gate is exceptAll, not collect).
+    import graft.operators.{FilingsPipeline => FP, IncrementalLoad}
+    // 1M filings over 50k entities x 24 periods, generated distributed;
+    // same-entity (period, priority, status) collisions plant real
+    // near-dup narratives at a measurable rate
+    def synthOrders(n: Long): DataFrame = spark.range(n).select(
+      col("id").as("o_orderkey"),
+      pmod(xxhash64(col("id"), lit(1)), lit(50000L)).as("o_custkey"),
+      date_add(lit("2020-01-01").cast("date"),
+        pmod(xxhash64(col("id"), lit(2)), lit(720)).cast("int"))
+        .as("o_orderdate"),
+      element_at(array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
+        lit("4-NOT SPECIFIED"), lit("5-LOW")),
+        (pmod(xxhash64(col("id"), lit(3)), lit(5)) + 1).cast("int"))
+        .as("o_orderpriority"),
+      element_at(array(lit("O"), lit("F"), lit("P")),
+        (pmod(xxhash64(col("id"), lit(4)), lit(3)) + 1).cast("int"))
+        .as("o_orderstatus"),
+      (pmod(xxhash64(col("id"), lit(5)), lit(10000000L)).cast("double")
+        / 100.0).as("o_totalprice"))
+    val nOrders = 1000000L
+    val orders = synthOrders(nOrders)
+    val filings = FP.ordersAsFilings(orders)
+    val b1 = filings.filter(col("filing_id") % 4 < 3)           // 750k
+    val amendments = FP.ordersAsFilings(
+      orders.filter(col("o_orderkey") % 8 === 0), "1111.00", amended = true)
+    val b2 = amendments.unionByName(filings.filter(col("filing_id") % 4 === 3))
+    val d1 = java.nio.file.Files.createTempDirectory("graft_xbrl_m1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_xbrl_m2").toString
+
+    // per-stage shuffle-write accounting: snapshot a listener counter at
+    // each materialization boundary (deterministic drain before reading)
+    val shuffleW = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleW.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    def snap(): Double = {
+      org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+      shuffleW.get() / 1e6
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (_, tWrite) = timed { FP.writeBatch(b1, d1); FP.writeBatch(b2, d2) }
+      val s0 = snap()
+      val facts1 = FP.extractFacts(FP.ingest(spark, d1))
+        .localCheckpoint(eager = false)
+      val facts2 = FP.extractFacts(FP.ingest(spark, d2))
+        .localCheckpoint(eager = false)
+      val ((nF1, nF2), tIngest) = timed((facts1.count(), facts2.count()))
+      val s1 = snap()
+      assert(nF1 == 750000L && nF2 == 375000L,
+        s"XML round-trip lost filings: $nF1 / $nF2")
+      assert(facts1.filter(col("value").isNull || col("concept").isNull)
+        .count() == 0, "fact parse must be total at 1M scale")
+
+      val upserted = IncrementalLoad.upsert(facts1, facts2, "accession")
+        .localCheckpoint(eager = false)
+      val (nUp, tUpsert) = timed(upserted.count())
+      val s2 = snap()
+      assert(nUp == nOrders, s"upsert must land one row per accession: $nUp")
+      // amendment semantics at scale: accession 0 is amended in b2
+      val origPrice = orders.filter(col("o_orderkey") === 0)
+        .select("o_totalprice").head().getDouble(0)
+      val wantValue = new java.math.BigDecimal(origPrice)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .add(new java.math.BigDecimal("1111.00"))
+      val gotValue = upserted.filter(col("filing_id") === 0)
+        .select("value").head().getDecimal(0)
+      assert(gotValue.compareTo(wantValue) == 0,
+        s"amended value $gotValue != $wantValue")
+      // idempotence at scale, fully distributed: replaying batch 2 is a
+      // row-for-row no-op (exceptAll both ways + count, no collect)
+      val replay = IncrementalLoad.upsert(upserted, facts2, "accession")
+      assert(replay.count() == nUp &&
+        replay.exceptAll(upserted).count() == 0 &&
+        upserted.exceptAll(replay).count() == 0,
+        "upsert replay must be a distributed no-op")
+      val s3 = snap()
+
+      val exact = FP.dedupExact(upserted).localCheckpoint(eager = false)
+      val (nEx, tExact) = timed(exact.count())
+      val s4 = snap()
+      val near = FP.dedupNear(exact).localCheckpoint(eager = false)
+      val (nNear, tNear) = timed(near.count())
+      val s5 = snap()
+      assert(nEx <= nUp && nNear < nEx,
+        s"retention must be monotone with near-dup engaged: $nUp/$nEx/$nNear")
+
+      val roll = near.transform(FP.rollup).localCheckpoint(eager = false)
+      val (nPeriods, tRoll) = timed(roll.count())
+      val s6 = snap()
+      assert(nPeriods >= 20 && nPeriods <= 26, s"$nPeriods periods")
+      assert(roll.agg(sum(col("n_facts"))).head().getLong(0) == nNear,
+        "rollup must account for every surviving fact")
+      // decimal addition is exact ⇒ the rollup is partitioning-invariant
+      // bit-for-bit — the distributed-determinism form of the fixture
+      // gate's driver-fold comparison (collecting 1M decimals would
+      // itself be a scale bug)
+      val rollRows = roll.collect().map(_.toSeq).toSet
+      val reparted = near.repartition(7).transform(FP.rollup)
+        .collect().map(_.toSeq).toSet
+      assert(reparted == rollRows, "rollup not partitioning-invariant")
+
+      // the DB landing (daily-rebuild contract), idempotent at scale
+      val url = "jdbc:derby:memory:graft_xbrl_m;create=true"
+      def land(): Unit = roll
+        .select(col("period"), col("n_facts"),
+          col("total_value").cast("string").as("total_value"))
+        .write.mode("overwrite")
+        .format("jdbc").option("url", url).option("dbtable", "period_rollup")
+        .save()
+      val (_, tLand) = timed { land(); land() }
+      val back = spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "period_rollup").load()
+        .select(col("period"), col("n_facts"),
+          col("total_value").cast("decimal(18,2)").as("total_value"))
+        .collect().map(_.toSeq).toSet
+      assert(back == rollRows, "DB round-trip must be exact")
+
+      info(f"1M filings: write $tWrite%.1f s | ingest+parse $tIngest%.1f s " +
+        f"(shuffle ${s1 - s0}%.0f MB) | upsert $tUpsert%.1f s " +
+        f"(${s2 - s1}%.0f MB) | replay-gate ${s3 - s2}%.0f MB | " +
+        f"exact-dedup $tExact%.1f s (${s4 - s3}%.0f MB) | " +
+        f"near-dedup $tNear%.1f s (${s5 - s4}%.0f MB) | " +
+        f"rollup $tRoll%.1f s (${s6 - s5}%.0f MB) | land $tLand%.1f s")
+      info(s"retention: upserted $nUp -> exact $nEx -> near $nNear " +
+        s"over $nPeriods periods")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
     }
   }
 }

@@ -122,6 +122,11 @@ class PlanSpec extends SparkSuite {
       "q_join_asof" -> "shuffle=3,broadcast=0",
       "q_window_ntile" -> "shuffle=2,broadcast=1,BroadcastNestedLoopJoin=1",
       "q_text_lm_score" -> "shuffle=5,broadcast=2,BroadcastHashJoin=2",
+      // round 9: df as a window count over tf (was tf consumed twice with
+      // different pruning — double tokenize — plus a join-on-term
+      // reshuffle). One linear pipeline: tf-agg → window(term) →
+      // window(doc_id) → sort (+ the one-row N agg and its broadcast).
+      "q_text_tfidf" -> "shuffle=5,broadcast=1,BroadcastNestedLoopJoin=1",
       "q_text_contamination" -> "shuffle=3,broadcast=1,BroadcastHashJoin=1",
       // round 8: the bin width is resolved to a driver literal by the
       // one-row probe (r7 advice — the in-plan width frame could execute
