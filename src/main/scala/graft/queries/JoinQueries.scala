@@ -404,6 +404,34 @@ object JoinQueries {
           col("c_acctbal"), col("n_name"))
     },
 
+    // TPC-H Q4 shape (order-priority checking): correlated EXISTS with a
+    // NON-equi correlated predicate (a late lineitem for THIS order) —
+    // planned as a left-semi join on the key plus the residual date
+    // condition, then a combinable count by priority. The fixture has no
+    // l_commitdate, so "late" = shipped >30 days after the order date.
+    Q("q_tpch_q4",
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp_ntz"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
     // TPC-H Q6 shape (forecast revenue change): a pure scan-side query —
     // every predicate pushes to the parquet scan, the aggregate is one
     // combinable decimal sum, no join and no shuffle beyond the one-row
@@ -434,10 +462,10 @@ object JoinQueries {
     // column. Counts are exact longs, no float anywhere.
     Q("q_tpch_q12",
       """SELECT l_linestatus,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |      THEN 1 ELSE 0 END) AS high_line_count,
-        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-        |      THEN 1 ELSE 0 END) AS low_line_count
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
         |  AND l_shipdate >= TIMESTAMP '1997-01-01'
