@@ -549,6 +549,292 @@ object JoinQueries {
           "o_totalprice")
         .agg(sum(col("l_quantity")).as("total_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+    },
+
+    // TPC-H Q7 shape (volume shipping between two nations): the
+    // nation-PAIR disjunction — revenue flowing either direction between
+    // NATION_1 and NATION_2, by supplier nation × customer nation ×
+    // ship year. Both nation dims broadcast onto their fact side; the
+    // only shuffles are lineitem⨝orders (orderkey) and ⨝customer
+    // (custkey). The pair filter lands AFTER both nations are attached
+    // (it references both sides), but each broadcast join already
+    // reduced its side to the two named nations.
+    Q("q_tpch_q7",
+      s"""SELECT supp_nation, cust_nation, l_year, ${d2dSql("rev")} AS revenue
+         |FROM (
+         |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         |    CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) *
+         |      (1 - CAST(l_discount AS DECIMAL(19,4)))) AS DECIMAL(18,4)) AS rev
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+         |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+         |  WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+         |     OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+         |  GROUP BY ns.n_name, nc.n_name, YEAR(l_shipdate))
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+      val pairNations = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(pairNations), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(pairNations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+          "l_extendedprice", "l_discount")
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(D18).as("rev"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+        .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+          d2d(col("rev")).as("revenue"))
+    },
+
+    // TPC-H Q8 shape (national market share): conditional-sum RATIO per
+    // year — NATION_5 suppliers' share of ECONOMY-part revenue sold to
+    // ASIA customers. Both decimal sums ride ONE aggregate pass; the
+    // division happens once per year row on d2d doubles (identical IEEE
+    // tree in DuckDB). part + both nation sides broadcast.
+    Q("q_tpch_q8",
+      s"""SELECT o_year,
+         |  ${d2dSql("nat")} / ${d2dSql("tot")} AS mkt_share
+         |FROM (
+         |  SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+         |    CAST(SUM(CASE WHEN ns.n_name = 'NATION_5'
+         |      THEN CAST(l_extendedprice AS DECIMAL(19,4)) *
+         |           (1 - CAST(l_discount AS DECIMAL(19,4)))
+         |      ELSE 0 END) AS DECIMAL(18,4)) AS nat,
+         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) *
+         |      (1 - CAST(l_discount AS DECIMAL(19,4)))) AS DECIMAL(18,4)) AS tot
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+         |  JOIN region ON nc.n_regionkey = r_regionkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+         |  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+         |  GROUP BY YEAR(o_orderdate))
+         |ORDER BY o_year""".stripMargin) { (s, d) =>
+      val rev = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+      val econParts = Tables.part(s, d)
+        .filter(col("p_type") === "ECONOMY").select("p_partkey")
+      val asiaCust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d)
+                .filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val suppNation = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "supp_nation")
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")
+        .join(broadcast(econParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_5", rev).otherwise(0))
+          .cast(D18).as("nat"),
+          sum(rev).cast(D18).as("tot"))
+        .orderBy("o_year")
+        .select(col("o_year"), (d2d(col("nat")) / d2d(col("tot"))).as("mkt_share"))
+    },
+
+    // TPC-H Q13 shape (customer order-count distribution): the LEFT
+    // OUTER fact join whose NULL side carries signal — customers with
+    // zero qualifying orders must survive into the c_count=0 bucket.
+    // Two aggregations: per-customer count (shuffles on custkey), then
+    // the tiny count-of-counts (the distribution domain is ≤ ~50 rows).
+    // All-integer outputs — no float parity exposure at all.
+    Q("q_tpch_q13",
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select("c_custkey")
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderpriority") =!= "1-URGENT")
+            .select("o_orderkey", "o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q15 shape (top supplier): the VIEW + scalar-MAX pattern —
+    // quarterly revenue per supplier, then select the supplier(s) whose
+    // revenue EQUALS the max. The per-supplier frame is computed once
+    // (localCheckpoint barrier — it feeds both the max and the final
+    // select), the one-row max broadcasts via crossJoin (the blessed
+    // one-row stats-frame idiom), and equality compares EXACT decimals
+    // (never the d2d doubles — double collapse could admit a false tie).
+    Q("q_tpch_q15",
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) *
+         |      (1 - CAST(l_discount AS DECIMAL(19,4)))) AS DECIMAL(18,4)) AS total_rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, ${d2dSql("total_rev")} AS total_revenue
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp_ntz"))
+        .groupBy("l_suppkey")
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(D18).as("total_rev"))
+        .localCheckpoint(eager = false)
+      val top = rev.agg(max(col("total_rev")).as("max_rev"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("total_rev") === col("max_rev"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .orderBy("s_suppkey")
+        .select(col("s_suppkey"), col("s_name"),
+          d2d(col("total_rev")).as("total_revenue"))
+    },
+
+    // TPC-H Q17 shape (small-quantity-order revenue): the CORRELATED
+    // SCALAR AVG subquery, decorrelated as aggregate-then-join — the
+    // per-part mean quantity joins back to the fact on partkey.
+    // l_quantity is integral (probed: 0 fractional), so SUM(double) is
+    // exact in any partition order and avg = exact_sum / exact_count is
+    // the same two IEEE ops in both engines — the 0.2·avg threshold is
+    // bit-identical. The part filter broadcasts; the per-part avg frame
+    // is small (one row per filtered part) and broadcasts too.
+    Q("q_tpch_q17",
+      s"""SELECT ${d2dSql("s")} / 7.0e0 AS avg_yearly FROM (
+         |  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+         |    AS DECIMAL(18,4)) AS s
+         |  FROM lineitem
+         |  JOIN part ON p_partkey = l_partkey
+         |  WHERE p_brand = 'Brand#1' AND p_type = 'SMALL'
+         |    AND l_quantity < 0.2e0 * (
+         |      SELECT SUM(l_quantity) / COUNT(*) FROM lineitem l2
+         |      WHERE l2.l_partkey = p_partkey))""".stripMargin) { (s, d) =>
+      val parts = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#1" && col("p_type") === "SMALL")
+        .select("p_partkey")
+      val li = Tables.lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      val avgQty = li.groupBy(col("p_partkey").as("a_partkey"))
+        .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      li.join(broadcast(avgQty), col("p_partkey") === col("a_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(sum(col("l_extendedprice").cast(D18)).cast(D18).as("s"))
+        .select((d2d(col("s")) / lit(7.0)).as("avg_yearly"))
+    },
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive brackets): three
+    // OR'd (brand × size-range × quantity-range) predicates spanning
+    // BOTH join sides. Spark splits the disjunction: the part-only
+    // conjuncts (brand, size) prune the broadcast build side, the
+    // lineitem-only bounds (quantity envelope 1..40) push to the scan,
+    // and the full OR evaluates as the join residual — the classic
+    // "derive implied single-side predicates from a cross-side OR" test.
+    Q("q_tpch_q19",
+      s"""SELECT ${d2dSql("rev")} AS revenue FROM (
+         |  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) *
+         |    (1 - CAST(l_discount AS DECIMAL(19,4)))) AS DECIMAL(18,4)) AS rev
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+         |      AND l_quantity BETWEEN 1 AND 11)
+         |     OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+         |      AND l_quantity BETWEEN 10 AND 20)
+         |     OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+         |      AND l_quantity BETWEEN 20 AND 40))""".stripMargin) { (s, d) =>
+      val p = Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+          col("p_size").between(1, 15))
+        .select("p_partkey", "p_brand", "p_size")
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity").between(1, 40))
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(broadcast(p), col("p_partkey") === col("l_partkey") && (
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 40))))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(D18).as("rev"))
+        .select(d2d(col("rev")).as("revenue"))
+    },
+
+    // TPC-H Q22 shape (global sales opportunity): scalar-subquery
+    // threshold + ANTI join — rich (above-average-balance) customers in
+    // seven nations with no URGENT orders, counted per nation. Two
+    // fixture adaptations: c_nationkey stands in for the phone-prefix
+    // country code (no c_phone column), and the NOT EXISTS tests for
+    // '1-URGENT' orders because this generator gives EVERY customer at
+    // least one order (probed: 0 order-less customers at both SFs — the
+    // literal TPC-H predicate would gate an empty result). The
+    // positive-balance average follows the davg discipline (exact
+    // decimal sum → double ÷ count, same IEEE ops in DuckDB); the
+    // one-row threshold broadcasts via crossJoin; the anti join
+    // shuffles on custkey (at scale: the filtered orders side is a
+    // fraction of the fact, and Spark's left-anti build ships only its
+    // distinct custkeys).
+    Q("q_tpch_q22",
+      s"""SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+         |  ${d2dSql(dsumSql("c_acctbal"))} AS totacctbal
+         |FROM customer
+         |WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6)
+         |  AND c_acctbal > (
+         |    SELECT ${davgSql("c_acctbal")} FROM customer
+         |    WHERE c_acctbal > 0.0 AND c_nationkey IN (0, 1, 2, 3, 4, 5, 6))
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         |      AND o_orderpriority = '1-URGENT')
+         |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .filter(col("c_nationkey").isin(0, 1, 2, 3, 4, 5, 6))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .localCheckpoint(eager = false)
+      val thresh = cust.filter(col("c_acctbal") > 0.0)
+        .agg(davg(col("c_acctbal")).as("avg_bal"))
+      cust.crossJoin(broadcast(thresh))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"), d2d(dsum(col("c_acctbal"))).as("totacctbal"))
+        .orderBy("cntrycode")
     }
   )
 }
