@@ -330,6 +330,54 @@ object EventQueries {
             lit(0.0),
             (acc, x) => acc / lit(2) + x.getField("value") / lit(2)).as("ewma"))
         .orderBy("user_id")
+    },
+
+    // SCD2 dimension build (slowly-changing-dimension type 2): collapse
+    // each customer's order-priority history to its CHANGE points, then
+    // version the survivors with [valid_from, valid_to) ranges —
+    // valid_to NULL marks the current version. The north-star ETL shape
+    // (an XBRL fact's amendment history versions identically).
+    //
+    // Plan: both windows partition by o_custkey, and the change-filter
+    // between them preserves hash partitioning AND sort order — the
+    // whole build is ONE exchange + one sort, the second window rides
+    // the same layout free (pinned in PlanSpec: shuffle=2 incl. the
+    // output orderBy, no second sort-exchange). version_key (the source
+    // row id) makes the output ordering total when several versions of
+    // one customer share a date.
+    Q("q_scd2_orders",
+      """WITH chg AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |    LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev_p
+        |  FROM orders),
+        |ver AS (
+        |  SELECT o_custkey, o_orderpriority,
+        |    CAST(o_orderdate AS TIMESTAMP) AS valid_from,
+        |    o_orderkey AS version_key
+        |  FROM chg WHERE prev_p IS NULL OR prev_p <> o_orderpriority)
+        |SELECT o_custkey, o_orderpriority, valid_from,
+        |  LEAD(valid_from) OVER (PARTITION BY o_custkey
+        |    ORDER BY valid_from, version_key) AS valid_to,
+        |  version_key
+        |FROM ver
+        |ORDER BY o_custkey, valid_from, version_key""".stripMargin) { (s, d) =>
+      val byCust = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      val byVer = Window.partitionBy("o_custkey")
+        .orderBy("valid_from", "version_key")
+      Tables.orders(s, d)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+        .withColumn("prev_p", lag(col("o_orderpriority"), 1).over(byCust))
+        .filter(col("prev_p").isNull ||
+          col("prev_p") =!= col("o_orderpriority"))
+        .select(col("o_custkey"), col("o_orderpriority"),
+          col("o_orderdate").as("valid_from"),
+          col("o_orderkey").as("version_key"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(byVer))
+        .orderBy("o_custkey", "valid_from", "version_key")
+        .select("o_custkey", "o_orderpriority", "valid_from", "valid_to",
+          "version_key")
     }
   )
 }

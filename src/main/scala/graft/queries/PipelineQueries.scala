@@ -936,6 +936,46 @@ object PipelineQueries {
             / (col("n").cast("double") * col("n").cast("double")))
             .as("simpson"))
         .orderBy("doc_id")
+    },
+
+    // Token-budget sequence packing (the LLM-batching operator): assign
+    // documents to contiguous fixed-budget bins (2048 tokens) so a
+    // training loader reads one bin per batch. Greedy contiguous
+    // packing in deterministic doc_id order; a doc belongs to the bin
+    // where its tokens START (long docs straddle — the loader truncates
+    // at the boundary, the standard packed-pretraining trade).
+    //
+    // Scale: packing is per (lang, shard) with shard = doc_id % 64 —
+    // partition-local running sums, no global coordination, 64·|langs|
+    // independent partitions at 100 TB (PARTITION BY lang alone would
+    // put a whole language's corpus through one task). All-integer
+    // math: window cumsum is exact, bin id is an exact FLOOR on
+    // < 2^53 doubles — no float parity exposure.
+    Q("q_text_pack",
+      """WITH t AS (
+        |  SELECT doc_id, lang, doc_id % 64 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, shard, toks,
+        |    SUM(toks) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT lang, shard,
+        |  CAST(FLOOR(CAST(cum - toks AS DOUBLE) / 2048.0e0) AS BIGINT) AS bin_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY lang, shard, FLOOR(CAST(cum - toks AS DOUBLE) / 2048.0e0)
+        |ORDER BY lang, shard, bin_id""".stripMargin) { (s, d) =>
+      val byShard = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), (col("doc_id") % 64).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .withColumn("cum", sum(col("toks")).over(byShard))
+        .groupBy(col("lang"), col("shard"),
+          floor((col("cum") - col("toks")).cast("double") / lit(2048.0))
+            .cast("long").as("bin_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
+        .orderBy("lang", "shard", "bin_id")
     }
   )
 }

@@ -141,7 +141,17 @@ class PlanSpec extends SparkSuite {
       "q_text_diversity" -> "shuffle=1,broadcast=0",
       // round 8: salting must stay a SHUFFLED hash join — a broadcast of
       // the replicated dim would bypass the exchange the salt spreads.
-      "q_join_skew_salted" -> "shuffle=4,broadcast=0,ShuffledHashJoin=1")
+      "q_join_skew_salted" -> "shuffle=4,broadcast=0,ShuffledHashJoin=1",
+      // round 9: the SCD2 build's two windows both partition by custkey
+      // and the change-filter preserves hash layout AND sort order —
+      // ONE window exchange + the output sort. A refactor that breaks
+      // the sort-order derivation (e.g. re-deriving valid_from) shows
+      // up here as shuffle=3.
+      "q_scd2_orders" -> "shuffle=2,broadcast=0",
+      // round 9: packing is per (lang, shard) — one window exchange on
+      // the composite key + the output sort; the cumsum and the bin
+      // groupBy ride the same layout.
+      "q_text_pack" -> "shuffle=2,broadcast=0")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
