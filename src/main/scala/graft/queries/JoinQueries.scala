@@ -835,6 +835,65 @@ object JoinQueries {
         .groupBy(col("c_nationkey").as("cntrycode"))
         .agg(count(lit(1)).as("numcust"), d2d(dsum(col("c_acctbal"))).as("totacctbal"))
         .orderBy("cntrycode")
+    },
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the DOUBLE
+    // correlated-EXISTS — a semi join (some OTHER supplier contributed
+    // to the order) and an anti join (but no OTHER supplier was late)
+    // against the SAME fact, both with a non-equi residual on top of
+    // the orderkey equi key, the anti's residual referencing a column
+    // (o_orderdate) from a THIRD table. "Late" = shipped >30 days after
+    // the order date (the q4 convention — no l_commitdate/receiptdate
+    // in this fixture). All three lineitem sides key on l_orderkey, so
+    // the semi and anti ride the same co-partitioning as the
+    // lineitem⨝orders join — one shuffle key end to end; the two-nation
+    // supplier dim broadcasts.
+    Q("q_tpch_q21",
+      """SELECT s_name, COUNT(*) AS numwait FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |  AND n_name IN ('NATION_3', 'NATION_4')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin) { (s, d) =>
+      val nat = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_3", "NATION_4"))
+        .select("n_nationkey")
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS")
+      li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(late)
+        .join(li.select(col("l_orderkey").as("l2_orderkey"),
+            col("l_suppkey").as("l2_suppkey")),
+          col("l2_orderkey") === col("l_orderkey") &&
+            col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+        .join(li.select(col("l_orderkey").as("l3_orderkey"),
+            col("l_suppkey").as("l3_suppkey"),
+            col("l_shipdate").as("l3_shipdate")),
+          col("l3_orderkey") === col("l_orderkey") &&
+            col("l3_suppkey") =!= col("l_suppkey") &&
+            col("l3_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_anti")
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
     }
   )
 }
