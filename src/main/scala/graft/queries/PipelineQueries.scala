@@ -976,6 +976,38 @@ object PipelineQueries {
             .cast("long").as("bin_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
         .orderBy("lang", "shard", "bin_id")
+    },
+
+    // Hashing-trick feature vectorizer: each token hashes into one of 16
+    // buckets (tokHash % 16), the per-doc bucket counts form a dense
+    // vector, serialized "c0,c1,…,c15" (the comparer can't sort list
+    // cells — comma strings are the output contract for vectors).
+    // 16 dims keeps the oracle readable; a real pipeline uses 2^18+
+    // with the SAME plan. Fully row-local — the only exchange is the
+    // output sort; at 100 TB this is embarrassingly parallel
+    // vectorization on the scan, no shuffle, no vocabulary build (the
+    // whole point of the hashing trick vs a fitted CountVectorizer).
+    // Bucket array sits behind a barrier (HOF-CSE: the dense-count
+    // lambda references it 16×; inlined, the tokenize+hash subtree
+    // would re-run per bucket).
+    Q("q_feature_hash",
+      s"""WITH t AS (
+         |  SELECT doc_id, list_transform(string_split(text, ' '),
+         |    tok -> ${tokHashSql("tok")} % 16) AS bks
+         |  FROM documents)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(generate_series(0, 15),
+         |    b -> len(list_filter(bks, x -> x = b))), ',') AS fvec
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          transform(split(col("text"), " "), t => tokHash(t) % 16).as("bks"))
+        .localCheckpoint(eager = false)
+        .select(col("doc_id"),
+          concat_ws(",", transform(sequence(lit(0), lit(15)),
+            b => size(filter(col("bks"), x => x === b)).cast("string")))
+            .as("fvec"))
+        .orderBy("doc_id")
     }
   )
 }

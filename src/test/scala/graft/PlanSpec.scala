@@ -151,7 +151,10 @@ class PlanSpec extends SparkSuite {
       // round 9: packing is per (lang, shard) — one window exchange on
       // the composite key + the output sort; the cumsum and the bin
       // groupBy ride the same layout.
-      "q_text_pack" -> "shuffle=2,broadcast=0")
+      "q_text_pack" -> "shuffle=2,broadcast=0",
+      // round 9: hashing-trick vectorization is row-local — the only
+      // exchange is the output sort (no vocabulary build, no shuffle).
+      "q_feature_hash" -> "shuffle=1,broadcast=0")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
