@@ -1008,6 +1008,102 @@ object PipelineQueries {
             b => size(filter(col("bks"), x => x === b)).cast("string")))
             .as("fvec"))
         .orderBy("doc_id")
+    },
+
+    // Group-stratified k-fold assignment (sklearn's GroupKFold): every
+    // doc of a SOURCE lands in the same fold — the leakage-free CV
+    // split (near-duplicate docs cluster within a source; a per-row
+    // split would leak them across train/validation). fold =
+    // tokHash(source) % 5 is deterministic and engine-identical. The
+    // per-fold distinct counts prove the property in the output: the 20
+    // sources partition across folds (Σ n_groups = 20, no source
+    // counted twice). Row-local fold tag + one agg — no join, no
+    // vocabulary, linear at 100 TB.
+    Q("q_split_kfold",
+      s"""SELECT fold, COUNT(*) AS n_docs,
+         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_groups,
+         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM (
+         |  SELECT source, lang, ${tokHashSql("source")} % 5 AS fold
+         |  FROM documents)
+         |GROUP BY fold ORDER BY fold""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy((tokHash(col("source")) % 5).as("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_groups"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("fold")
+    },
+
+    // Incremental dedup (new-batch-vs-corpus — the production ingest
+    // shape): docs split by parity into an existing corpus (even
+    // doc_id) and an arriving batch (odd). A batch doc is dropped if
+    // (1) EXACT: its md5(text) matches any corpus doc — an equi join on
+    // the hash, shuffle-partitioned at scale, or (2) NEAR: unigram
+    // Jaccard ≥ 0.5 against a same-(lang,source)-bucket corpus doc,
+    // tested on INTEGERS (3·|∩| ≥ |A|+|B| ⟺ J ≥ 0.5 — no float in the
+    // predicate). Near only runs on the exact-survivors (staged
+    // funnel). The gated form spells the bucket join (fixture-capped,
+    // q_text_jaccard_pairs precedent); at 100 TB the near stage routes
+    // through InvertedJaccard postings on batch∪corpus exactly as
+    // q_dedup_ngram does.
+    Q("q_dedup_incremental",
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, md5(text) AS h,
+        |    list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |corpus AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+        |batch  AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+        |ex AS (SELECT DISTINCT b.doc_id FROM batch b
+        |       JOIN corpus c ON b.h = c.h),
+        |nr AS (SELECT DISTINCT b.doc_id FROM batch b
+        |       JOIN corpus c ON b.lang = c.lang AND b.source = c.source
+        |         AND 3 * len(list_intersect(b.toks, c.toks))
+        |             >= len(b.toks) + len(c.toks)
+        |       WHERE b.doc_id NOT IN (SELECT doc_id FROM ex))
+        |SELECT b.lang, COUNT(*) AS n_batch,
+        |  CAST(SUM(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_exact,
+        |  CAST(SUM(CASE WHEN nr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_near,
+        |  CAST(SUM(CASE WHEN ex.doc_id IS NULL AND nr.doc_id IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |FROM batch b
+        |LEFT JOIN ex ON b.doc_id = ex.doc_id
+        |LEFT JOIN nr ON b.doc_id = nr.doc_id
+        |GROUP BY b.lang ORDER BY b.lang""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(col("text")).as("h"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+        .localCheckpoint(eager = false) // feeds corpus AND batch sides
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      val ex = batch
+        .join(corpus.select(col("h").as("ch")), col("h") === col("ch"),
+          "left_semi")
+        .select(col("doc_id").as("e_id"))
+      val nr = batch
+        .join(ex, col("doc_id") === col("e_id"), "left_anti")
+        .join(corpus.select(col("lang").as("clang"),
+            col("source").as("csrc"), col("toks").as("ctoks")),
+          col("lang") === col("clang") && col("source") === col("csrc") &&
+            lit(3) * size(array_intersect(col("toks"), col("ctoks"))) >=
+              size(col("toks")) + size(col("ctoks")),
+          "left_semi")
+        .select(col("doc_id").as("n_id"))
+      batch
+        .join(ex, col("doc_id") === col("e_id"), "left_outer")
+        .join(nr, col("doc_id") === col("n_id"), "left_outer")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_batch"),
+          sum(when(col("e_id").isNotNull, 1).otherwise(0))
+            .cast("long").as("n_exact"),
+          sum(when(col("n_id").isNotNull, 1).otherwise(0))
+            .cast("long").as("n_near"),
+          sum(when(col("e_id").isNull && col("n_id").isNull, 1).otherwise(0))
+            .cast("long").as("n_new"))
+        .orderBy("lang")
     }
   )
 }
