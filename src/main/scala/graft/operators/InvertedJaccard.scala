@@ -49,6 +49,43 @@ object InvertedJaccard {
         .drop(setCol),
       minJ, salt = 1, jacCol)
 
+  /** Batch×corpus postings join — the incremental-ingest near-dup
+    * generator (q_dedup_incremental's 100 TB near stage, made a
+    * construction instead of a reference). Same linear postings shuffle
+    * as [[pairs]]: both sides explode to (bucket, token, doc) postings
+    * and equi-join per token, so a (batch, corpus) pair materializes
+    * ONLY if the docs share a token — the batch/corpus asymmetry
+    * replaces the d1 < d2 triangle constraint of the self-join form.
+    * Output (d1 = batch doc, d2 = corpus doc, jac ≥ minJ). Hot-token
+    * skew: same story as [[pairsSalted]] — drop stopword-frequency
+    * tokens before calling, or extend with the salt split if a corpus
+    * demands it. JaccardSpec gates pair-set equality with the bucketed
+    * all-pairs form on the parity-split fixture. */
+  def crossPairs(batch: DataFrame, corpus: DataFrame,
+                 minJ: Double): DataFrame = {
+    def prep(df: DataFrame) = df
+      .select(col("lang"), col("source"), col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+      .select(col("lang"), col("source"), col("doc_id"),
+        size(col("toks")).as("n"), col("toks"))
+      .localCheckpoint(eager = false) // barrier (see implSets)
+    val bp = prep(batch).select(col("lang"), col("source"),
+      col("doc_id").as("d1"), col("n").as("na"),
+      explode(col("toks")).as("tok"))
+    val cp = prep(corpus).select(col("lang").as("lb"), col("source").as("sb"),
+      col("doc_id").as("d2"), col("n").as("nb"),
+      explode(col("toks")).as("tokb"))
+    bp.join(cp, col("lang") === col("lb") && col("source") === col("sb") &&
+        col("tok") === col("tokb"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("ni"), first("na").as("na"), first("nb").as("nb"))
+      .select(col("d1"), col("d2"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
+          .as("jac"))
+      .filter(col("jac") >= minJ)
+      .orderBy("d1", "d2")
+  }
+
   /** [[pairs]] with hot-token skew spreading: a token appearing in d docs
     * contributes d² co-occurrence work to ONE reducer (its shuffle key) —
     * the classic straggler when a stopword-like token hits 10⁶ postings at

@@ -1036,8 +1036,14 @@ object PipelineQueries {
     },
 
     // Incremental dedup (new-batch-vs-corpus — the production ingest
-    // shape): docs split by parity into an existing corpus (even
-    // doc_id) and an arriving batch (odd). A batch doc is dropped if
+    // shape): docs split by the md5 convention (q_split_train_test)
+    // into an existing corpus (~half) and an arriving batch. The split
+    // MUST be hash-based: this generator block-assigns doc_ids to
+    // sources (every (lang, source) bucket is single-residue mod 4 —
+    // probed), so any doc_id-arithmetic split leaves zero cross-side
+    // bucket pairs and the near stage would gate an empty branch; the
+    // md5 split engages it hard (sf0.01: 195 of 250 batch docs are
+    // near-dups of the corpus). A batch doc is dropped if
     // (1) EXACT: its md5(text) matches any corpus doc — an equi join on
     // the hash, shuffle-partitioned at scale, or (2) NEAR: unigram
     // Jaccard ≥ 0.5 against a same-(lang,source)-bucket corpus doc,
@@ -1052,8 +1058,10 @@ object PipelineQueries {
         |  SELECT doc_id, lang, source, md5(text) AS h,
         |    list_distinct(string_split(text, ' ')) AS toks
         |  FROM documents),
-        |corpus AS (SELECT * FROM d WHERE doc_id % 2 = 0),
-        |batch  AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+        |corpus AS (SELECT * FROM d
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+        |batch  AS (SELECT * FROM d
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8'),
         |ex AS (SELECT DISTINCT b.doc_id FROM batch b
         |       JOIN corpus c ON b.h = c.h),
         |nr AS (SELECT DISTINCT b.doc_id FROM batch b
@@ -1077,8 +1085,9 @@ object PipelineQueries {
           md5(col("text")).as("h"),
           array_distinct(split(col("text"), " ")).as("toks"))
         .localCheckpoint(eager = false) // feeds corpus AND batch sides
-      val corpus = docs.filter(col("doc_id") % 2 === 0)
-      val batch = docs.filter(col("doc_id") % 2 === 1)
+      val half = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val corpus = docs.filter(half < "8")
+      val batch = docs.filter(half >= "8")
       val ex = batch
         .join(corpus.select(col("h").as("ch")), col("h") === col("ch"),
           "left_semi")
