@@ -181,6 +181,52 @@ object StreamOps {
       .toDF("user_id", "n", "ewma")
   }
 
+  /** Streaming funnel (s_stream_funnel): the O(1)-state form of
+    * q_event_funnel's three chained min-aggregates. State per user is
+    * the stage cursor — up to three timestamps (first view, first
+    * strictly-later click, first strictly-later purchase), nothing
+    * else; each micro-batch folds its rows in (event-time, event_id)
+    * order on top of it. With per-user event-time-ordered arrival (the
+    * [[asOfStream]] contract) the first qualifying event the fold
+    * meets IS the batch chain's MIN, so the per-user final stage
+    * matches the batch frames exactly — StreamingSpec gates the three
+    * stage counts against q_event_funnel. Out-of-order arrival across
+    * micro-batches would need watermark-horizon buffering — the same
+    * documented trade as [[ewmaStream]]. Emits (user_id, stage 0–3);
+    * stage is monotone non-decreasing across emissions, so the
+    * max-stage row per user is the final state under update mode. */
+  def funnelStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val unset = Long.MinValue
+    val typed = ltz(events)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long), (Long, Int)](
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[(Long, Long, Long)]) =>
+          var (t1, t2, t3) = state.getOption.getOrElse((unset, unset, unset))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            r._4 match {
+              case "view" if t1 == unset => t1 = r._2
+              case "click" if t1 != unset && t2 == unset && r._2 > t1 =>
+                t2 = r._2
+              case "purchase" if t2 != unset && t3 == unset && r._2 > t2 =>
+                t3 = r._2
+              case _ => ()
+            }
+          }
+          state.update((t1, t2, t3))
+          (user,
+            if (t3 != unset) 3 else if (t2 != unset) 2
+            else if (t1 != unset) 1 else 0)
+      }
+      .toDF("user_id", "stage")
+  }
+
   /** Stream-stream event-time interval join (s_stream_join): each
     * purchase matched to the same user's views in the trailing 24 h —
     * the attribution-join shape. Both sides carry watermarks and the join

@@ -247,6 +247,36 @@ class StreamingSpec extends SparkSuite {
     assert(got == want, "streaming EWMA diverged bitwise from the batch fold")
   }
 
+  test("s_stream_funnel: O(1)-state funnel cursor == batch stage counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // event-time-ordered arrival split across two micro-batches: the
+    // (t1, t2, t3) stage cursor must carry over the boundary — a user
+    // whose view lands in batch 1 and click in batch 2 still converts
+    implicit val ldtOrd: Ordering[java.time.LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val ordered = fixture.sortBy(e => (e.ts, e.event_id))
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.funnelStream(mem.toDF()).writeStream
+      .format("memory").queryName("s_funnel").outputMode("update").start()
+    mem.addData(ordered.take(ordered.length / 2))
+    q.processAllAvailable()
+    mem.addData(ordered.drop(ordered.length / 2))
+    q.processAllAvailable()
+    q.stop()
+    // stage is monotone non-decreasing per user: max = final state
+    val finalStage = spark.table("s_funnel")
+      .groupBy("user_id").agg(max(col("stage")).as("stage"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val gotCounts = (1 to 3)
+      .map(k => k.toLong -> finalStage.count(_._2 >= k).toLong).toMap
+    val want = SparkEntry.queries("q_event_funnel")(spark, sf("0.001"))
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(2))).toMap
+    assert(want.values.forall(_ > 0), "fixture must engage all stages")
+    assert(gotCounts == want,
+      s"streaming funnel $gotCounts diverged from batch $want")
+  }
+
   test("s_stream_join: stream-stream interval join == batch twin") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
