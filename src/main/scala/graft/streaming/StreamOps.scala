@@ -227,6 +227,46 @@ object StreamOps {
       .toDF("user_id", "stage")
   }
 
+  /** Streaming cohort retention (s_stream_retention): the O(1)-state
+    * form of q_event_retention's two-frame join. State per user is ONE
+    * epoch-day cohort long plus ONE 64-bit activity bitmap — bit k set
+    * means "active on cohort day + k". Retention analyses are bounded
+    * by design (offsets beyond the observation window are dropped, here
+    * 64 days; a longer window would swap the long for a roaring bitmap
+    * behind the same fold — the documented seam). Day bucketing uses
+    * the NTZ wall-clock date (to_date on the raw column), matching the
+    * batch date_trunc exactly and independent of session timezone;
+    * with per-user event-time-ordered arrival the first event IS the
+    * cohort anchor (min ts). StreamingSpec gates the exploded
+    * (cohort, offset) counts against the batch matrix. */
+  def retentionStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val unset = Long.MinValue
+    val typed = events
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .as[(Long, Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[(Long, Long)]) =>
+          var (cohort, bits) = state.getOption.getOrElse((unset, 0L))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            if (cohort == unset) cohort = r._4
+            val off = r._4 - cohort
+            if (off >= 0 && off < 64) bits |= 1L << off
+          }
+          state.update((cohort, bits))
+          (user, cohort, bits)
+      }
+      .toDF("user_id", "cohort_day", "active_bits")
+  }
+
   /** Stream-stream event-time interval join (s_stream_join): each
     * purchase matched to the same user's views in the trailing 24 h —
     * the attribution-join shape. Both sides carry watermarks and the join

@@ -277,6 +277,44 @@ class StreamingSpec extends SparkSuite {
       s"streaming funnel $gotCounts diverged from batch $want")
   }
 
+  test("s_stream_retention: one-long-bitmap state == batch cohort matrix") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ldtOrd: Ordering[java.time.LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val ordered = fixture.sortBy(e => (e.ts, e.event_id))
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.retentionStream(mem.toDF()).writeStream
+      .format("memory").queryName("s_retention").outputMode("update").start()
+    mem.addData(ordered.take(ordered.length / 2))
+    q.processAllAvailable()
+    mem.addData(ordered.drop(ordered.length / 2))
+    q.processAllAvailable()
+    q.stop()
+    // bits only accrue (numeric value monotone) and the cohort is fixed
+    // after the first event: max per user = final state
+    val finalRows = spark.table("s_retention")
+      .groupBy("user_id").agg(max(col("cohort_day")).as("cohort"),
+        max(col("active_bits")).as("bits"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val got = finalRows
+      .flatMap { case (cohort, bits) =>
+        (0 until 64).filter(k => (bits & (1L << k)) != 0)
+          .map(k => (cohort, k.toLong))
+      }
+      .groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+      .toSet
+    val want = SparkEntry.queries("q_event_retention")(spark, sf("0.001"))
+      .select(
+        datediff(to_date(col("cohort_day")), lit("1970-01-01").cast("date"))
+          .cast("long").as("cd"),
+        col("day_offset"), col("active_users"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.size > 3, "fixture must span several cohort/offset cells")
+    assert(got == want,
+      "streaming retention bitmap diverged from the batch matrix")
+  }
+
   test("s_stream_join: stream-stream interval join == batch twin") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
