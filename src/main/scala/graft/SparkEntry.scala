@@ -15,6 +15,7 @@ object SparkEntry {
   lazy val registry: Seq[Q] =
     ScanQueries.all ++
       JoinQueries.all ++
+      PartsuppQueries.all ++
       AggQueries.all ++
       WindowQueries.all ++
       SetQueries.all ++
