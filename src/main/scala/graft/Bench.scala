@@ -1,6 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Wall seconds for a FIXED amount of single-thread integer work
+    * (xorshift64*, 2×10⁸ steps ≈ 0.4 s on an unloaded core). A host
+    * yardstick: identical work, so any run-to-run spread in this number
+    * is machine speed, not query plans. Run before and after the query
+    * loop; emitted in the artifact so a noisy BENCH self-documents.
+    * (Round-10: guard runs on an 81%-idle guest measured the same binary
+    * at 117 s and 436 s back-to-back — hypervisor CPU starvation is
+    * invisible to guest load metrics, but not to this probe.) */
+  private def spinProbe(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < 200000000) {
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      i += 1
+    }
+    if (x == 42L) println("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+  /** JVM-wide CPU seconds consumed so far (all threads). wall≫cpu over a
+    * query ⇒ the process was starved or serialized, not computing. */
+  private def procCpuSec(): Double = osBean.getProcessCpuTime / 1e9
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,19 +45,68 @@ object Bench {
     // ScalaTest-gated and excluded from the perf contract. Optional args
     // restrict to the named queries (dev loop; the driver passes none).
     val only = args.toSet
+    val spinBefore = spinProbe()
+    val cpu0 = procCpuSec()
+    var cpuMark = cpu0
+    val cpuPer = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // A query that THROWS must never masquerade as a fast timing: the
+    // round-10 fixture regeneration broke 22 events queries at analysis
+    // time and two full guard sessions recorded them as 0.07 s "wins".
+    // Failures are listed in the artifact and poison the guard.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries
       .filter { case (name, _) =>
         !name.startsWith("cap_") && (only.isEmpty || only(name)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).linesIterator.take(1).mkString)
+      }
+      val c1 = procCpuSec()
+      cpuPer(name) = c1 - cpuMark
+      cpuMark = c1
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val spinAfter = spinProbe()
+    val cpuTotal = procCpuSec() - cpu0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qsCpu = cpuPer.map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // queries_cpu / proc_cpu_sec / spin_sec: measurement-integrity channel
+    // (extra keys; the driver's parse reads only metric/value/queries).
+    // A query whose wall time spikes while its cpu share stays flat was
+    // starved by the host, not slowed by its plan.
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"proc_cpu_sec":${f"$cpuTotal%.1f"},"spin_sec":[${f"$spinBefore%.3f"},${f"$spinAfter%.3f"}],"queries_cpu":$qsCpu}"""
     println(full)
+    // Self-triage (round-10 verdict): reconcile THIS run against the
+    // controlled median-of-3 file so every driver artifact carries its own
+    // noise analysis instead of waiting a round for a manual
+    // `check.py --compare`. Envelope = median*3.2 + 0.3s, the host-load
+    // spread measured on unchanged code in the round-6 variance study
+    // (identical back-to-back full runs totalled 49.2/57.1/76.7s with
+    // per-query spreads up to 3.1x). Best-effort: a missing medians file
+    // must not fail the bench.
+    try {
+      val medPath = sys.env.getOrElse("SPARK_GRAFT_MEDIANS", "tools/bench_medians.json")
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(medPath)), "UTF-8")
+      val med = """"([^"]+)":\s*([0-9.Ee+-]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap - "_total"
+      val offenders = results.toSeq
+        .flatMap { case (name, sec) => med.get(name).collect {
+          case m if sec > m * 3.2 + 0.3 =>
+            val cpu = cpuPer.getOrElse(name, 0.0)
+            (sec / math.max(m, 1e-9), f"""{"query":"$name","sec":$sec%.2f,"guard_median":$m%.2f,"cpu_sec":$cpu%.2f}""")
+        } }
+        .sortBy(-_._1).map(_._2)
+      val compared = results.keysIterator.count(med.contains)
+      println(s"""{"metric":"triage","beyond_envelope":${offenders.size},"compared":$compared,"envelope":"median*3.2+0.3s","offenders":[${offenders.mkString(",")}]}""")
+    } catch { case scala.util.control.NonFatal(_) => () }
     // Compact total-only line LAST: the driver tail-captures output, and in
     // round 1 the single long line was truncated from the front ("parsed":
     // null). A short final line always survives tail capture.

@@ -23,7 +23,9 @@ object SparkEntry {
       TextQueries.all ++
       PipelineQueries.all ++
       EventQueries.all ++
-      UdfQueries.all
+      UdfQueries.all ++
+      SqlParityQueries.all ++
+      EntropyQueries.all
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -23,17 +23,27 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's TimestampType
-    * (micros) cannot read natively: read nanos as long and rebuild micros
-    * (integer div — the fixture is micro-aligned, verified ns%1000==0).
-    * Oracle twins must CAST(ts AS TIMESTAMP) for the same truncation. */
+  /** events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (rounds ≤9 —
+    * unreadable by Spark's micros TimestampType without the nanosAsLong
+    * legacy conf) and TIMESTAMP(MICROS, naive) (round 10 regenerated the
+    * fixtures). Sniff the resolved type and normalize either form to
+    * timestamp_ntz micros: the rest of the engine — and every oracle twin's
+    * CAST(ts AS TIMESTAMP) — sees identical values regardless of vintage. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // timestamp_ntz: the fixtures' naive parquet timestamps read as NTZ in
-    // Spark 4, and the oracle compare needs isAdjustedToUTC=false on write.
-    table(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.expr(
-        "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      // NANOS vintage, read as raw long via the conf: rebuild micros
+      // (integer div — the fixture is micro-aligned, verified ns%1000==0)
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      // MICROS naive vintage: already timestamp_ntz, nothing to rebuild
+      case org.apache.spark.sql.types.TimestampNTZType => raw
+      // any other vintage (e.g. UTC-adjusted micros): align representation
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -36,18 +36,26 @@ object PqCodec {
       32 - Integer.numberOfLeadingZeros(ksub - 1))
     require(m * bitsPerCode <= 63,
       s"$m codes x $bitsPerCode bits overflow a packed long")
-    // mirror of the packed-long guard for the OTHER scaling axis: the SDC
-    // table is an m·ksub² codegen literal, so a wide-codebook caller
-    // (ksub=256 → 4.2M doubles at m=64) must fail at construction, not
-    // as an unplannable literal (round-8 advice)
-    require(m.toLong * ksub * ksub <= 65536,
-      s"SDC table $m x $ksub^2 = ${m.toLong * ksub * ksub} doubles " +
-        "exceeds the 2^16 codegen-literal cap")
-    /** Flat m×ksub×ksub SDC table: ⟨cw[mi][i], cw[mi][j]⟩. */
-    lazy val sdcFlat: Seq[Double] =
+    /** Whether [[sdcSim]] (SemanticDedup's SDC route) may be used: the SDC
+      * table is an m·ksub² codegen literal, capped at 2¹⁶ doubles. NOT a
+      * construction requirement (round-9 advice): ADC-only codecs — e.g.
+      * IvfPq at m=4, ksub=256, which passes the packed-long guard but
+      * whose 262144-double table would be unplannable — never build the
+      * table and stay valid. The cap is enforced where the table
+      * materializes ([[sdcFlat]]). */
+    def sdcCapable: Boolean = m.toLong * ksub * ksub <= 65536
+    /** Flat m×ksub×ksub SDC table: ⟨cw[mi][i], cw[mi][j]⟩. Forcing this
+      * on an ADC-only-sized codec fails here, at the materialization
+      * site, with the sizing rule in the message. */
+    lazy val sdcFlat: Seq[Double] = {
+      require(sdcCapable,
+        s"SDC table $m x $ksub^2 = ${m.toLong * ksub * ksub} doubles " +
+          "exceeds the 2^16 codegen-literal cap; use ADC (anchor floats) " +
+          "or reduce m*ksub^2")
       for (mi <- 0 until m; i <- 0 until ksub; j <- 0 until ksub) yield
         books(mi)(i).zip(books(mi)(j)).map { case (x, y) =>
           x.toDouble * y.toDouble }.sum
+    }
   }
 
   /** Per-subspace k-means over `vecCol` (an Array[Float] column of
@@ -90,10 +98,20 @@ object PqCodec {
     require(rows.nonEmpty, s"no codec rows under $dir")
     val m = rows.map(_.getInt(0)).max + 1
     val ksub = rows.map(_.getInt(1)).max + 1
+    // fail fast on a partially-written / foreign parquet dir (round-9
+    // advice): a hole in the (m, code) grid or a ragged codeword length
+    // would otherwise surface as an opaque NPE inside generated code
+    require(rows.length == m * ksub,
+      s"codec at $dir has ${rows.length} rows, expected $m x $ksub — " +
+        "torn or foreign write; delete the dir to refit")
     val sub = rows.head.getSeq[Float](2).length
+    require(rows.forall(_.getSeq[Float](2).length == sub),
+      s"codec at $dir has ragged codeword lengths (expected $sub)")
     val books = Array.ofDim[Array[Float]](m, ksub)
     rows.foreach(r => books(r.getInt(0))(r.getInt(1)) =
       r.getSeq[Float](2).toArray)
+    require(books.forall(_.forall(_ != null)),
+      s"codec at $dir duplicates some (m, code) cell and misses another")
     Codec(m, ksub, sub, books.map(_.toArray))
   }
 

@@ -229,6 +229,12 @@ object SemanticDedup {
         codecDir.foreach(PqCodec.save(c, _))
         c
     }
+    // a persisted codec sized for ADC-only use (m·ksub² beyond the SDC
+    // codegen-literal cap — e.g. one saved by an IvfPq build) cannot take
+    // the SDC route; degrade to the float-payload plan rather than fail
+    // at sdcFlat materialization (round-9 advice)
+    if (!codec.sdcCapable)
+      return bandedPairsFloat(embeddings, tau, planes, bands)
     // materialize BEFORE the band explode: packed codes + residual are
     // plain column reads in the join, not re-evaluated encode trees
     val coded = unit.select(col("vec_id"),

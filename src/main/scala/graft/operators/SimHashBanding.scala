@@ -47,28 +47,41 @@ object SimHashBanding {
     * never execute still pay the probe; nondeterministic inputs are
     * routed on the materialized snapshot, never re-observed.
     *
-    * `bands` × `bandBits` is the fingerprint width (default 5×6 = the
-    * fixture's 30-bit tokHash form). WIDTH MUST SCALE WITH BUCKET
-    * DENSITY: a band's value space is 2^bandBits, so expected candidates
-    * are bands · 2^bandBits · C(m/2^bandBits, 2) per bucket — at 50k
-    * docs in one bucket a 30-bit fingerprint pays ~95M candidate
+    * `bands` × `bandBits` is the banding geometry. WIDTH MUST SCALE WITH
+    * BUCKET DENSITY: a band's value space is 2^bandBits, so expected
+    * candidates are bands · 2^bandBits · C(m/2^bandBits, 2) per bucket —
+    * at 50k docs in one bucket a 30-bit fingerprint pays ~95M candidate
     * comparisons where a 60-bit one (5×12) pays ~1.5M (measured in
-    * StressSpec). [[fingerprints64]] builds the wide form. */
+    * StressSpec). [[fingerprints64]] builds the wide form.
+    *
+    * `bandBits = 0` (the default since round 10) AUTO-SIZES from the
+    * probe: bandBits ≈ log₂(maxBucket / (bands·c)) — the documented
+    * production rule `planes ≈ bands·log₂(n/(bands·c))` with occupancy
+    * target c = 4 — clamped to the bits the fingerprints actually carry
+    * (measured off the probe's max fingerprint), so callers can no
+    * longer under-size the bucket space as the corpus grows. Banding on
+    * a PREFIX of the fingerprint keeps the pigeonhole guarantee (≤
+    * maxHamming differing bits in total ⇒ ≤ maxHamming differing bands
+    * over ANY bit subset) and the final filter always verifies the
+    * full-width Hamming distance, so auto-sizing is plan-only — the
+    * pair set is bit-identical at every width (SimHashSpec). */
   def pairs(fingerprints: DataFrame, maxHamming: Int,
             bucketCols: Seq[String] = Nil,
             directMax: Long = 8192,
-            bands: Int = Bands, bandBits: Int = BandBits): DataFrame = {
+            bands: Int = Bands, bandBits: Int = 0): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming < $bands bands")
-    require(bands * bandBits <= 63,
+    require(bandBits == 0 || bands * bandBits <= 63,
       s"$bands x $bandBits bits overflows a 64-bit fingerprint")
     // lineage barrier: the (expensive) fingerprint aggregation feeds the
     // size statistic plus both sides of both join branches — without it
     // the tokenize+30-bit-sum subtree re-runs up to 5×
     val fp = fingerprints.localCheckpoint(eager = false)
     val sizes =
-      if (bucketCols.isEmpty) fp.groupBy().agg(count(lit(1)).as("__bn"))
-      else fp.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("__bn"))
+      if (bucketCols.isEmpty)
+        fp.groupBy().agg(count(lit(1)).as("__bn"), max(col("simhash")).as("__mx"))
+      else fp.groupBy(bucketCols.map(col): _*)
+        .agg(count(lit(1)).as("__bn"), max(col("simhash")).as("__mx"))
     // one-row routing probe (round-8, the SizeProbe idiom): when EVERY
     // bucket sits on one side of the threshold, build only that branch —
     // the common small-bucket case drops the per-bucket-size broadcast
@@ -80,22 +93,44 @@ object SimHashBanding {
     // densities fall through to the per-bucket two-branch plan.
     val bounds = sizes.agg(
       coalesce(max(col("__bn")), lit(0L)),
-      coalesce(min(col("__bn")), lit(0L))).head()
+      coalesce(min(col("__bn")), lit(0L)),
+      coalesce(max(col("__mx")), lit(0L))).head()
     val (maxBucket, minBucket) = (bounds.getLong(0), bounds.getLong(1))
+    // observed fingerprint width off the same probe (no extra job): the
+    // position of the highest bit any fingerprint sets. Slightly
+    // UNDER-measuring width (no doc happens to set the top bit) only
+    // narrows the auto clamp — still correct, marginally less pruning.
+    val availBits = 64 - java.lang.Long.numberOfLeadingZeros(bounds.getLong(2) | 1L)
+    val bb = if (bandBits > 0) bandBits
+             else autoBandBits(maxBucket, bands, availBits)
     // NO global sort here (round-7 advice): only the gated query needs
     // ORDER BY (d1, d2) for oracle parity and adds it at the query layer;
     // operator callers (DedupGroups component builds, cap counts) would
     // pay a wasted full-range exchange over the pair set at scale.
     if (maxBucket <= directMax) directPairs(fp, maxHamming, bucketCols)
     else if (minBucket > directMax)
-      bandedPairs(fp, maxHamming, bucketCols, bands, bandBits)
+      bandedPairs(fp, maxHamming, bucketCols, bands, bb)
     else {
-      val sized = fp.join(broadcast(sizes), bucketCols)
+      val sized = fp.join(broadcast(sizes.drop("__mx")), bucketCols)
       val small = sized.filter(col("__bn") <= directMax).drop("__bn")
       val large = sized.filter(col("__bn") > directMax).drop("__bn")
       directPairs(small, maxHamming, bucketCols)
-        .unionByName(bandedPairs(large, maxHamming, bucketCols, bands, bandBits))
+        .unionByName(bandedPairs(large, maxHamming, bucketCols, bands, bb))
     }
+  }
+
+  /** The production sizing rule, applied when the caller does not pin
+    * `bandBits`: a band's bucket space should hold the densest bucket at
+    * ~c docs per (band, value) cell ⇒ bandBits = ⌈log₂(n/(bands·c))⌉,
+    * clamped to [1, availBits/bands] (can't band bits the fingerprint
+    * doesn't carry) and the 63-bit packing cap. c = 4 keeps expected
+    * per-cell self-join work at ~C(4,2)·bands per doc — constant. */
+  private[graft] def autoBandBits(maxBucket: Long, bands: Int,
+                                  availBits: Int, c: Long = 4): Int = {
+    val want = math.ceil(math.log(math.max(maxBucket, 1L).toDouble /
+      (bands.toLong * c)) / math.log(2.0)).toInt
+    val widthCap = math.max(availBits / bands, 1)
+    math.max(1, math.min(want, math.min(widthCap, 63 / bands)))
   }
 
   /** 60-bit SimHash fingerprints from xxhash64 token hashes — the scale

@@ -558,12 +558,31 @@ object PipelineQueries {
     // this 500-2000-row corpus down the exact path, and DedupSpec gates
     // the banded scale route on a planted clustered corpus.
     Q.cap("cap_dedup_semantic") { (s, d) =>
-      graft.operators.SemanticDedup.flags(Tables.embeddings(s, d), tau = 0.45)
+      val emb = Tables.embeddings(s, d)
+      val exact = graft.operators.SemanticDedup.flags(emb, tau = 0.45)
         .agg(count(lit(1)).as("n_total"),
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_surv"),
           sum(when(!col("kept"), 1L).otherwise(0L)).as("n_removed"),
           countDistinct(when(col("lbl") =!= col("vec_id"), col("lbl")))
             .as("n_multi_groups"))
+      // The banded-PQ route with its fit-once codec seam, exercised on the
+      // SAME driver-visible path (round-10 verdict item 7): directMax=64
+      // routes the fixture corpus into banding, codecDir persists the
+      // codebooks under the deterministic scratch path — first-ever call
+      // fits and saves, every later call (second call here; every
+      // subsequent driver round) loads. `reuse_bitexact` proves the
+      // persisted codec changes nothing (the conservative-bound property).
+      val dir = graft.core.Scratch.dir("sem_codec") + "/pq"
+      def banded() = graft.operators.SemanticDedup
+        .flags(emb, tau = 0.9, directMax = 64, codecDir = Some(dir))
+      val b1 = banded().localCheckpoint(eager = false)
+      val persisted = graft.operators.PqCodec.exists(s, dir)
+      val b2 = banded()
+      val reuseExact = b1.exceptAll(b2).isEmpty && b2.exceptAll(b1).isEmpty
+      exact.crossJoin(broadcast(
+        b1.agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_banded_surv"))
+          .select(col("n_banded_surv"), lit(persisted).as("codec_persisted"),
+            lit(reuseExact).as("reuse_bitexact"))))
     },
 
     // Duplicate n-gram fraction (the Gopher/C4 repetition filter): share

@@ -227,20 +227,28 @@ object StreamOps {
       .toDF("user_id", "stage")
   }
 
-  /** Streaming cohort retention (s_stream_retention): the O(1)-state
+  /** Streaming cohort retention (s_stream_retention): the bounded-state
     * form of q_event_retention's two-frame join. State per user is ONE
-    * epoch-day cohort long plus ONE 64-bit activity bitmap — bit k set
-    * means "active on cohort day + k". Retention analyses are bounded
-    * by design (offsets beyond the observation window are dropped, here
-    * 64 days; a longer window would swap the long for a roaring bitmap
-    * behind the same fold — the documented seam). Day bucketing uses
-    * the NTZ wall-clock date (to_date on the raw column), matching the
-    * batch date_trunc exactly and independent of session timezone;
-    * with per-user event-time-ordered arrival the first event IS the
-    * cohort anchor (min ts). StreamingSpec gates the exploded
-    * (cohort, offset) counts against the batch matrix. */
-  def retentionStream(events: DataFrame): DataFrame = {
+    * epoch-day cohort long plus a CHUNKED activity bitmap — an
+    * Array[Long] where chunk ci bit k set means "active on cohort day +
+    * 64·ci + k". The array grows lazily to the user's OBSERVED horizon
+    * and is capped at `maxDays` (default 2048 days ≈ 5.6 years = at most
+    * 32 longs ≈ 256 B/user plus two counters — roaring-style compression
+    * is unnecessary below ~10⁵ days). Activity at an offset beyond the
+    * horizon (or before the cohort anchor: out-of-order arrival) is
+    * NEVER silently lost — it increments the `dropped` counter, so a
+    * corpus outliving the horizon is visible in the output (round-9
+    * advice). Day bucketing uses the NTZ wall-clock date (to_date on
+    * the raw column), matching the batch date_trunc exactly and
+    * independent of session timezone; with per-user event-time-ordered
+    * arrival the first event IS the cohort anchor (min ts). `n_events`
+    * is strictly monotone per user, so "row with max n_events" = final
+    * state under update-mode sinks. StreamingSpec gates the exploded
+    * (cohort, offset) counts against the batch matrix and the >64-day
+    * horizon + dropped accounting on a synthetic wide fixture. */
+  def retentionStream(events: DataFrame, maxDays: Int = 2048): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    require(maxDays >= 1, s"maxDays must be positive: $maxDays")
     val spark = events.sparkSession
     import spark.implicits._
     val unset = Long.MinValue
@@ -252,19 +260,27 @@ object StreamOps {
           .cast("long").as("day"))
       .as[(Long, Long, Long, Long)]
     typed.groupByKey(_._1)
-      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](
+      .mapGroupsWithState[(Long, Array[Long], Long, Long),
+        (Long, Long, Array[Long], Long, Long)](
         GroupStateTimeout.NoTimeout) {
-        case (user, rows, state: GroupState[(Long, Long)]) =>
-          var (cohort, bits) = state.getOption.getOrElse((unset, 0L))
+        case (user, rows, state: GroupState[(Long, Array[Long], Long, Long)]) =>
+          var (cohort, chunks, nEvents, dropped) =
+            state.getOption.getOrElse((unset, Array.empty[Long], 0L, 0L))
           rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            nEvents += 1
             if (cohort == unset) cohort = r._4
             val off = r._4 - cohort
-            if (off >= 0 && off < 64) bits |= 1L << off
+            if (off >= 0 && off < maxDays) {
+              val ci = (off / 64).toInt
+              if (ci >= chunks.length)
+                chunks = java.util.Arrays.copyOf(chunks, ci + 1)
+              chunks(ci) |= 1L << (off % 64).toInt
+            } else dropped += 1
           }
-          state.update((cohort, bits))
-          (user, cohort, bits)
+          state.update((cohort, chunks, nEvents, dropped))
+          (user, cohort, chunks, nEvents, dropped)
       }
-      .toDF("user_id", "cohort_day", "active_bits")
+      .toDF("user_id", "cohort_day", "active_bits", "n_events", "dropped")
   }
 
   /** Stream-stream event-time interval join (s_stream_join): each

@@ -197,6 +197,54 @@ class StressSpec extends SparkSuite {
       s"widening bought <10x: $cand60 vs $cand30")
   }
 
+  test("SimHash auto-sizing derives band width from the probe: saturation " +
+    "no longer degrades at 10x density") {
+    import spark.implicits._
+    // Round-10 verdict item 6. The documented failure: callers keeping the
+    // fixture default (bandBits=6 -> 64 cells/band) see candidate volume go
+    // small-constant-quadratic once a bucket outgrows the cell space.
+    // Auto-sizing reads maxBucket off the existing probe and widens bands
+    // to hold the density at ~4 docs/cell. Gate: work-metric RATIO across a
+    // 10x density step — fixed-6 grows ~quadratically (100x per 10x),
+    // auto grows near-linearly (<30x per 10x) on the same corpora.
+    val mask60 = (1L << 60) - 1
+    def corpus(nClusters: Int, seed: Int) = {
+      val rnd = new scala.util.Random(seed)
+      val centers = Array.fill(nClusters)(rnd.nextLong() & mask60)
+      (for (c <- 0 until nClusters; i <- 0 until 10) yield {
+        val flips = Seq.fill(rnd.nextInt(3))(1L << rnd.nextInt(60))
+        (c * 10L + i, flips.foldLeft(centers(c))(_ ^ _))
+      }).toDF("doc_id", "simhash").localCheckpoint(eager = false)
+    }
+    val small = corpus(500, 91)   //  5k docs, one bucket
+    val big = corpus(5000, 92)    // 50k docs, one bucket
+    import graft.operators.SimHashBanding
+    // what auto derives (probe-equivalent inputs: one bucket of n, 60 bits)
+    val bbSmall = SimHashBanding.autoBandBits(5000L, 5, 60)
+    val bbBig = SimHashBanding.autoBandBits(50000L, 5, 60)
+    assert(bbBig > bbSmall && bbBig <= 12,
+      s"auto width must grow with density within the fingerprint: $bbSmall -> $bbBig")
+    val candFixedSmall = SimHashBanding.bandedCandidateCount(small, 5, 6)
+    val candFixedBig = SimHashBanding.bandedCandidateCount(big, 5, 6)
+    val candAutoSmall = SimHashBanding.bandedCandidateCount(small, 5, bbSmall)
+    val candAutoBig = SimHashBanding.bandedCandidateCount(big, 5, bbBig)
+    info(f"10x density step: fixed-6 $candFixedSmall -> $candFixedBig " +
+      f"(${candFixedBig.toDouble / candFixedSmall}%.0fx), auto " +
+      f"($bbSmall/$bbBig bits) $candAutoSmall -> $candAutoBig " +
+      f"(${candAutoBig.toDouble / candAutoSmall}%.1fx)")
+    assert(candFixedBig.toDouble / candFixedSmall > 50,
+      "fixture stopped demonstrating saturation — rescale it")
+    assert(candAutoBig.toDouble / candAutoSmall < 30,
+      f"auto-sized growth super-linear: ${candAutoBig.toDouble / candAutoSmall}%.1fx per 10x")
+    // exactness is width-independent: the auto-routed plan returns the
+    // same pairs as the direct join on the small corpus
+    val got = SimHashBanding.pairs(small, maxHamming = 4, directMax = 500)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantPairs = SimHashBanding.directPairs(small, maxHamming = 4)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == wantPairs, "auto-sized banding diverged from the direct join")
+  }
+
   test("ExactPairsTopK prunes and stays exact 20x above the planted fixture") {
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions.dot

@@ -195,8 +195,23 @@ def bench_guard(only=()):
             print(r.stdout[-3000:]); print(r.stderr[-2000:])
             print("BENCH-GUARD: bench run failed")
             sys.exit(1)
+        if m.get("failed"):
+            # a throwing query records a near-zero wall time — letting it
+            # through would both hide the breakage AND poison the medians
+            # file with bogus "fast" entries (round-10 fixture episode)
+            print(f"BENCH-GUARD: {len(m['failed'])} queries FAILED inside "
+                  f"the bench run: {', '.join(sorted(m['failed']))}")
+            sys.exit(1)
         runs.append(m)
         print(f"run {len(runs)}: total {m['value']:.1f}s")
+        if not only:
+            # keep every individual full run: each is exactly the driver's
+            # single-shot shape, so `--compare tools/bench_last_runs/runN.json`
+            # reconciles a real driver-shaped run against the medians
+            rdir = os.path.join(os.path.dirname(__file__), "bench_last_runs")
+            os.makedirs(rdir, exist_ok=True)
+            with open(os.path.join(rdir, f"run{len(runs)}.json"), "w") as f:
+                json.dump(m, f)
     med = {name: sorted(r["queries"][name] for r in runs)[len(runs) // 2]
            for name in runs[0]["queries"]}
     total = sorted(r["value"] for r in runs)[len(runs) // 2]
@@ -254,9 +269,18 @@ def bench_compare(path):
     driver run repeated the pattern. A single-shot driver timing within
     median*3.2 + 0.3s is therefore indistinguishable from host load;
     beyond that envelope the delta needs a plan-level look."""
-    qs, total = load_bench_artifact(path)
-    med = json.load(open(os.path.join(os.path.dirname(__file__),
-                                      "bench_medians.json")))
+    try:
+        qs, total = load_bench_artifact(path)
+    except (OSError, json.JSONDecodeError) as e:
+        sys.exit(f"bench_compare: cannot read bench artifact {path!r}: {e}\n"
+                 f"Pass a BENCH_QUERIES.json / BENCH_r*.json path, or run "
+                 f"`check.py --bench` first to produce one.")
+    med_path = os.path.join(os.path.dirname(__file__), "bench_medians.json")
+    try:
+        med = json.load(open(med_path))
+    except (OSError, json.JSONDecodeError) as e:
+        sys.exit(f"bench_compare: cannot read guard medians {med_path!r}: {e}\n"
+                 f"Run a full `check.py --bench` to (re)write it.")
     gtotal = med.pop("_total", None)
     noise = investigate = missing = 0
     rows = []
@@ -287,8 +311,8 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--bench":
         bench_guard(tuple(sys.argv[2:]))
     if len(sys.argv) > 1 and sys.argv[1] == "--compare":
-        bench_compare(sys.argv[2] if len(sys.argv) > 2
-                      else "/root/repo/BENCH_QUERIES.json")
+        bench_compare(sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+            os.path.dirname(__file__), "..", "BENCH_QUERIES.json"))
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
     only = set(sys.argv[3:])
