@@ -154,7 +154,18 @@ class PlanSpec extends SparkSuite {
       "q_text_pack" -> "shuffle=2,broadcast=0",
       // round 9: hashing-trick vectorization is row-local — the only
       // exchange is the output sort (no vocabulary build, no shuffle).
-      "q_feature_hash" -> "shuffle=1,broadcast=0")
+      "q_feature_hash" -> "shuffle=1,broadcast=0",
+      // round 10: the five partsupp-derived TPC-H shapes. partsupp is a
+      // part×supplier expansion whose build rides the part scan (one
+      // broadcast of supplier onto it); every dim stays broadcast and the
+      // only exchanges are the aggregate/sort boundaries.
+      // (the BroadcastNestedLoopJoin in q9/q11/q16/q20 is the one-row
+      // total/stats crossJoin(broadcast(...)) idiom, not a data join)
+      "q_tpch_q2" -> "shuffle=1,broadcast=1,BroadcastHashJoin=1",
+      "q_tpch_q9" -> "shuffle=3,broadcast=5,BroadcastHashJoin=4,BroadcastNestedLoopJoin=1",
+      "q_tpch_q11" -> "shuffle=3,broadcast=1,BroadcastNestedLoopJoin=1",
+      "q_tpch_q16" -> "shuffle=4,broadcast=3,BroadcastHashJoin=2,BroadcastNestedLoopJoin=1",
+      "q_tpch_q20" -> "shuffle=4,broadcast=5,BroadcastHashJoin=4,BroadcastNestedLoopJoin=1")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }

@@ -26,4 +26,33 @@ class SqlParitySpec extends SparkSuite {
     val cats = set.map(_.split("_")(1)).toSet
     assert(cats.size >= 6, s"categories covered: $cats")
   }
+
+  test("full-surface SQL dialect census (every oracle through spark.sql)", Marquee) {
+    // Informational sweep over ALL oracle strings — the DuckDB-dialect
+    // ones (list_*, string_split, unnest, strftime…) legitimately fail to
+    // parse; everything that PARSES must also match frames, and the
+    // curated paritySet must stay a subset of the ok set. Opt-in
+    // (Marquee): runs the whole query surface twice.
+    SqlParityQueries.registerViews(spark, sf("0.001"))
+    val results = SparkEntry.oracleSql.keys.toSeq.sorted.map { name =>
+      val status =
+        try SqlParityQueries.diff(spark, sf("0.001"), name) match {
+          case None => "ok"
+          case Some(why) => s"mismatch: ${why.take(120)}"
+        } catch { case e: Exception => s"parse/run: ${
+          String.valueOf(e.getMessage).linesIterator.take(1).mkString.take(120)}" }
+      name -> status
+    }
+    val ok = results.collect { case (n, "ok") => n }
+    val mismatch = results.filter(_._2.startsWith("mismatch"))
+    info(s"census: ${ok.size} ok, ${mismatch.size} mismatch, " +
+      s"${results.size - ok.size - mismatch.size} DuckDB-dialect-only " +
+      s"of ${results.size} oracles")
+    mismatch.foreach { case (n, s) => info(s"  MISMATCH $n: $s") }
+    assert(SqlParityQueries.paritySet.forall(ok.contains),
+      "curated parity set must round-trip")
+    assert(mismatch.isEmpty,
+      "every Spark-parseable oracle must match frames: " +
+        mismatch.map(_._1).mkString(", "))
+  }
 }
