@@ -110,6 +110,34 @@ object WindowQueries {
         .orderBy("user_id", "event_id")
     },
 
+    // Sequential-pattern detection (the MATCH_RECOGNIZE shape, expressed
+    // as lag windows): customers with runs of 3 strictly-increasing
+    // consecutive order totals in order-date sequence. Row-local after
+    // ONE per-customer window pass — the scalable form of event-pattern
+    // matching (no self-joins, no pattern automaton state).
+    Q("q_window_pattern",
+      """SELECT o_custkey, COUNT(*) AS n_streaks FROM (
+        |  SELECT o_custkey, o_totalprice,
+        |    lag(o_totalprice, 1) OVER w AS p1,
+        |    lag(o_totalprice, 2) OVER w AS p2
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) t
+        |WHERE o_totalprice > p1 AND p1 > p2
+        |GROUP BY o_custkey
+        |ORDER BY n_streaks DESC, o_custkey
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("p1"),
+          lag(col("o_totalprice"), 2).over(w).as("p2"))
+        .filter(col("o_totalprice") > col("p1") && col("p1") > col("p2"))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_streaks"))
+        .orderBy(col("n_streaks").desc, col("o_custkey"))
+        .limit(100)
+    },
+
     // Scale-safe global ntile: a bare `Window.orderBy` (no partitionBy)
     // would move the whole table into ONE task. Instead the shared
     // HistogramRank primitive assigns every row its global rank (bucket

@@ -174,6 +174,43 @@ class PlanSpec extends SparkSuite {
     }.mkString)
   }
 
+  test("runtime bloom-filter pruning injects on the selective-dim fact join") {
+    // The 100 TB scan-pruning path: when a dim side is filtered selective,
+    // Spark can build a bloom filter from it at runtime and push a
+    // might_contain predicate into the FACT scan — row groups that cannot
+    // match never leave the parquet reader. This proves the engine's join
+    // shapes are ELIGIBLE (no UDF/opaque-expression barrier between the
+    // scan and the join key); the thresholds are relaxed because at
+    // fixture scale the fact side is below the 10 GB application-side
+    // default. Off by default in the gated queries (the pinned shapes
+    // above are the production plans); this is the scale-path proof.
+    val c = spark.conf
+    c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    c.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    // injection targets SHUFFLE joins (a broadcast join's dim is already
+    // colocated with every fact task); at 100 TB this join IS a shuffle
+    // join, so pin broadcast off to reproduce that shape at fixture scale
+    c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val d = sf("0.001")
+      val li = graft.core.Tables.lineitem(spark, d)
+      val part = graft.core.Tables.part(spark, d)
+        .filter(org.apache.spark.sql.functions.col("p_size") === 1)
+      val j = li.join(part,
+        org.apache.spark.sql.functions.col("l_partkey") ===
+          org.apache.spark.sql.functions.col("p_partkey"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"runtime bloom filter not injected:\n$plan")
+    } finally {
+      c.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      c.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      c.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      c.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // AQE wraps the plan lazily and hides codegen spans from toString →
     // inspect the non-adaptive physical plan for this assertion only.
