@@ -283,6 +283,44 @@ object StreamOps {
       .toDF("user_id", "cohort_day", "active_bits", "n_events", "dropped")
   }
 
+  /** Streaming sequential-pattern counter (s_stream_pattern): the
+    * O(1)-state twin of q_window_pattern's lag-window pass. State per
+    * customer is exactly what the batch lag(1)/lag(2) window reads — the
+    * last two order totals — plus the streak count and a monotone
+    * per-customer row counter (`n_orders`, so "row with max n_orders" =
+    * final state under update-mode sinks). A streak is counted when
+    * three consecutive totals in (o_orderdate, o_orderkey) order are
+    * strictly increasing, matching the batch filter `t > p1 AND p1 > p2`
+    * exactly (NaN sentinels stand in for the lag nulls of the first two
+    * rows). StreamingSpec gates the top-100 list against the registered
+    * batch query row-for-row. */
+  def patternStream(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val typed = orders.select(
+        col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        col("o_orderkey"),
+        col("o_totalprice"))
+      .as[(Long, Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(Double, Double, Long, Long), (Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        case (cust, rows, state: GroupState[(Double, Double, Long, Long)]) =>
+          var (p1, p2, streaks, n) =
+            state.getOption.getOrElse((Double.NaN, Double.NaN, 0L, 0L))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            val t = r._4
+            if (!p1.isNaN && !p2.isNaN && t > p1 && p1 > p2) streaks += 1
+            p2 = p1; p1 = t; n += 1
+          }
+          state.update((p1, p2, streaks, n))
+          (cust, streaks, n)
+      }
+      .toDF("o_custkey", "n_streaks", "n_orders")
+  }
+
   /** Stream-stream event-time interval join (s_stream_join): each
     * purchase matched to the same user's views in the trailing 24 h —
     * the attribution-join shape. Both sides carry watermarks and the join

@@ -15,6 +15,10 @@ case class Ev(event_id: Long, ts: java.time.LocalDateTime, user_id: Long,
 case class Doc(doc_id: Long, ts: java.time.LocalDateTime, lang: String,
                text: String)
 
+/** Orders-shaped stream row for the sequential-pattern op. */
+case class Ord(o_orderkey: Long, o_custkey: Long,
+               o_orderdate: java.time.LocalDateTime, o_totalprice: Double)
+
 /** SURVEY §2.10 s_* streaming capabilities (§5.2.4): each Structured
   * Streaming op is asserted equal to its batch twin on the same fixture,
   * fed through MemoryStream with explicit watermark advancement.
@@ -275,6 +279,39 @@ class StreamingSpec extends SparkSuite {
     assert(want.values.forall(_ > 0), "fixture must engage all stages")
     assert(gotCounts == want,
       s"streaming funnel $gotCounts diverged from batch $want")
+  }
+
+  test("s_stream_pattern: O(1)-state streak counter == batch lag-window top-100") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ldtOrd: Ordering[java.time.LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val orders = Tables.orders(spark, sf("0.001"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .collect().map(r => Ord(r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2), r.getDouble(3))).toSeq
+      .sortBy(o => (o.o_orderdate, o.o_orderkey))
+    val mem = MemoryStream[Ord]
+    val q = StreamOps.patternStream(mem.toDF()).writeStream
+      .format("memory").queryName("s_pattern").outputMode("update").start()
+    // a customer's streak can span the micro-batch boundary: the last two
+    // totals carry in state
+    mem.addData(orders.take(orders.length / 2))
+    q.processAllAvailable()
+    mem.addData(orders.drop(orders.length / 2))
+    q.processAllAvailable()
+    q.stop()
+    val finals = spark.table("s_pattern")
+      .groupBy("o_custkey").agg(max_by(col("n_streaks"), col("n_orders")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = SparkEntry.queries("q_window_pattern")(spark, sf("0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(want.nonEmpty && want.exists(_._2 >= 2),
+      "fixture must contain customers with multiple streaks")
+    val got = finals.filter(_._2 > 0)
+      .sortBy { case (c, n) => (-n, c) }.take(want.length).toSeq
+    assert(got == want,
+      s"streaming pattern top-${want.length} diverged from the batch window")
   }
 
   test("s_stream_retention: chunked bitmap spans a >64-day horizon; " +
