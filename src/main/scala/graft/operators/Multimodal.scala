@@ -349,4 +349,141 @@ object Multimodal {
       }
     spark.createDataFrame(rdd, schema).orderBy("doc_id", "frame_idx")
   }
+
+  // ───────────────────────── audio (WAV / RIFF PCM) ─────────────────────────
+
+  /** Decoded PCM clip: samples normalized per channel-interleaved frame
+    * order, values in the native integer range of `bits`. */
+  final case class Audio(sampleRate: Int, channels: Int, bits: Int,
+                         samples: Array[Int])
+
+  /** Attach a REAL WAV payload: each document's text bytes become the
+    * data chunk of an 8-bit unsigned mono PCM RIFF/WAVE file (8 kHz,
+    * fixed 256-sample clip, zero-... silence-padded at 0x80 = unsigned
+    * midpoint). Same byte-exact SQL construction as [[attachBinary]]
+    * (concat/substring on BinaryType), so the downstream decoder
+    * exercises true RIFF chunk-walking end-to-end. */
+  def attachAudio(documents: DataFrame): DataFrame = {
+    val nSamples = 256
+    val sampleRate = 8000
+    val dataLen = nSamples // 8-bit mono: 1 byte/sample
+    val hdr = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdr.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)            // PCM
+      .putShort(1.toShort)            // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate)             // byte rate (8-bit mono)
+      .putShort(1.toShort)            // block align
+      .putShort(8.toShort)            // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val padded = concat(encode(col("text"), "UTF-8"),
+      lit(Array.fill[Byte](dataLen)(0x80.toByte)))
+    documents.select(
+      col("doc_id"),
+      concat(lit(hdr.array()), substring(padded, 1, dataLen)).as("payload"),
+      struct(
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        lit("audio/wav").as("mime"),
+        lit(sampleRate).cast("int").as("sample_rate")).as("meta"))
+  }
+
+  /** Pure-JVM RIFF/WAVE PCM decode: walks the chunk list (tolerating
+    * LIST/INFO and other non-fmt/data chunks plus odd-size padding),
+    * accepts uncompressed PCM at 8-bit unsigned or 16-bit signed LE, any
+    * channel count. None for anything else — callers fall back to byte
+    * features, the same honesty contract as [[decodeRaster]]. */
+  def decodeWav(b: Array[Byte]): Option[Audio] = {
+    def le32(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+    if (b == null || b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var data: Option[(Int, Int)] = None     // (offset, len)
+    while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(off)
+      val len = le32(off + 4)
+      if (len < 0 || off + 8 + len > b.length) return None
+      id match {
+        case "fmt " =>
+          if (len < 16 || le16(off + 8) != 1) return None // PCM only
+          fmt = Some((le16(off + 10), le32(off + 12), le16(off + 22)))
+        case "data" => data = Some((off + 8, len))
+        case _ => () // LIST, fact, cue… — skip
+      }
+      off += 8 + len + (len & 1) // RIFF chunks pad to even
+    }
+    for ((ch, rate, bits) <- fmt; (dOff, dLen) <- data;
+         if (bits == 8 || bits == 16) && ch >= 1 && rate > 0) yield {
+      val n = dLen / (bits / 8)
+      val samples = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        samples(i) =
+          if (bits == 8) b(dOff + i) & 0xff // unsigned
+          else le16(dOff + i * 2).toShort.toInt // signed LE
+        i += 1
+      }
+      Audio(rate, ch, bits, samples)
+    }
+  }
+
+  /** Deterministic clip features, `dims` floats: [duration_s, rms,
+    * zero-crossing rate, mean, peak] then a windowed energy profile over
+    * the remaining slots — the audio analogue of [[rasterFeatures]].
+    * Samples are centered to the format midpoint first so 8-bit unsigned
+    * and 16-bit signed clips of the same waveform agree in shape. */
+  def audioFeatures(a: Audio, dims: Int): Array[Float] = {
+    val mid = if (a.bits == 8) 128.0 else 0.0
+    val full = if (a.bits == 8) 127.0 else 32767.0
+    val xs = a.samples.map(s => (s - mid) / full)
+    val n = math.max(xs.length, 1)
+    val rms = math.sqrt(xs.map(x => x * x).sum / n)
+    val zcr = if (xs.length < 2) 0.0
+      else xs.sliding(2).count(p => p(0) * p(1) < 0).toDouble / (xs.length - 1)
+    val head = Array(
+      (a.samples.length.toDouble / (a.sampleRate * a.channels)).toFloat,
+      rms.toFloat, zcr.toFloat,
+      (xs.sum / n).toFloat,
+      xs.foldLeft(0.0)((m, x) => math.max(m, math.abs(x))).toFloat)
+    val tail = math.max(dims - head.length, 0)
+    val prof = Array.tabulate(tail) { w =>
+      val lo = xs.length.toLong * w / math.max(tail, 1)
+      val hi = xs.length.toLong * (w + 1) / math.max(tail, 1)
+      val win = xs.slice(lo.toInt, hi.toInt)
+      if (win.isEmpty) 0f
+      else math.sqrt(win.map(x => x * x).sum / win.length).toFloat
+    }
+    (head ++ prof).take(dims)
+  }
+
+  /** Per-partition batched audio feature extraction — same scan-locality
+    * contract as [[decodeFeatures]]: decode on the scan's own partitions,
+    * no exchange of payload bytes. Non-WAV payloads fall back to byte
+    * features with sample_rate 0. */
+  def audioFeaturesFrame(withAudio: DataFrame, dims: Int): DataFrame = {
+    val spark = withAudio.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val rdd = spreadRows(withAudio.select(col("doc_id"), col("payload")))
+      .mapPartitions { it =>
+        it.map { r =>
+          val p = r.getAs[Array[Byte]]("payload")
+          decodeWav(p) match {
+            case Some(a) => Row(r.getLong(0), a.sampleRate, a.samples.length,
+              audioFeatures(a, dims).toSeq)
+            case None => Row(r.getLong(0), 0, 0, byteFallback(p, dims).toSeq)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema).orderBy("doc_id")
+  }
 }

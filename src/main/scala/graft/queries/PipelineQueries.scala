@@ -444,6 +444,21 @@ object PipelineQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // Audio modality: REAL RIFF/WAVE PCM payloads (8-bit mono clips
+    // rendered from the text bytes) decoded by true chunk-walking on the
+    // scan's own partitions; clip features = duration/rms/zcr/mean/peak +
+    // windowed energy profile. Same quantize-to-scalar output contract as
+    // the image caps.
+    Q.cap("cap_multimodal_audio") { (s, d) =>
+      graft.operators.Multimodal.audioFeaturesFrame(
+        graft.operators.Multimodal.attachAudio(Tables.documents(s, d)), dims = 8)
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          array_join(transform(col("features"),
+            x => floor(x.cast("double") * 1000000).cast("long").cast("string")), ",")
+            .as("features_q"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic train/test split: assignment is a pure function of the
     // row key (md5 prefix < 'cd' ⇒ 205/256 ≈ 80 % train), so the split is
     // reproducible across runs, engines, partitionings and incremental

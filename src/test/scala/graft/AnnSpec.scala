@@ -172,6 +172,66 @@ class AnnSpec extends SparkSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("WAV decoder: handwritten 16-bit stereo RIFF with a LIST chunk") {
+    import graft.operators.Multimodal
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    // 4 frames of 16-bit stereo at 44100 Hz: (1000,-1000) alternating —
+    // plus a LIST chunk BEFORE fmt/data that the walker must skip
+    val samples = Seq(1000, -1000, 1000, -1000, -32768, 32767, 0, 257)
+    val data = samples.flatMap(le16(_)).toArray
+    val list = "LIST".getBytes("US-ASCII") ++ le32(4) ++
+      "INFO".getBytes("US-ASCII")
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++
+      le16(2) ++ le32(44100) ++ le32(44100 * 4) ++ le16(4) ++ le16(16)
+    val dataCh = "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+    val body = list ++ fmt ++ dataCh
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(4 + body.length) ++
+      "WAVE".getBytes("US-ASCII") ++ body
+    val a = Multimodal.decodeWav(wav).get
+    assert(a.sampleRate == 44100 && a.channels == 2 && a.bits == 16)
+    assert(a.samples.toSeq == samples)
+    // duration counts FRAMES (samples / channels): 4 / 44100
+    val f = Multimodal.audioFeatures(a, 8)
+    assert(math.abs(f(0) - 4.0 / 44100) < 1e-9)
+    // peak: |-32768| / 32767 is one ulp past full scale
+    assert(f(4) >= 1.0f && f(4) < 1.001f, "peak must hit the -32768 clip")
+    // honesty contract: non-WAV and truncated payloads decode to None
+    assert(Multimodal.decodeWav("plain text padded to length....................".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(wav.take(30)).isEmpty)
+    // a data chunk longer than the file must not read out of bounds
+    val torn = wav.dropRight(4)
+    assert(Multimodal.decodeWav(torn).isEmpty)
+  }
+
+  test("attachAudio round-trips text bytes through a real 8-bit PCM WAV") {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf("0.001")).limit(20)
+    val rows = Multimodal.attachAudio(docs)
+      .select(col("doc_id"), col("payload"), col("meta.n_bytes"))
+      .collect()
+    assert(rows.nonEmpty)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val a = Multimodal.decodeWav(r.getAs[Array[Byte]]("payload")).get
+      assert(a.sampleRate == 8000 && a.channels == 1 && a.bits == 8)
+      assert(a.samples.length == 256)
+      val want = texts(r.getLong(0)).getBytes("UTF-8").take(256).map(_ & 0xff)
+      assert(a.samples.take(want.length).toSeq == want.toSeq,
+        s"doc ${r.getLong(0)}: data chunk must carry the text bytes")
+      // padding is the unsigned midpoint = digital silence
+      assert(a.samples.drop(want.length).forall(_ == 0x80))
+    }
+    // the cap entry: one row per doc, quantized scalar features
+    val cap = SparkEntry.queries("cap_multimodal_audio")(spark, sf("0.001"))
+      .collect()
+    assert(cap.length == Tables.documents(spark, sf("0.001")).count())
+    assert(cap.forall(r => r.getInt(1) == 8000 && r.getInt(2) == 256))
+  }
+
   test("raster decoder: handwritten P6 fixture yields hand-computed stats") {
     import graft.operators.Multimodal
     // 2×2 RGB: red, green / blue, white — every stat is exactly 0.5
