@@ -94,6 +94,55 @@ object IvfPq {
       spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/codebooks"))
 
+  /** Encode a batch of NEW vectors against an EXISTING index's centroids
+    * and codebooks — the incremental-ingest path: a daily embedding batch
+    * joins the index with one distributed pass (nearest-centroid assign +
+    * literal-codebook encode), no k-means refit, no touch of the base
+    * codes. Returns (vec_id, cell, codes), the [[IvfPqIndex.codes]]
+    * schema.
+    *
+    * Honesty contract: appended vectors are quantized with codebooks
+    * fitted on the ORIGINAL corpus. ADC stays a valid approximate score
+    * and the exact re-rank is unaffected, but if the new data drifts from
+    * the training distribution, its quantization error — and with it the
+    * chance of missing the shortlist — grows. Rebuild policy: refit when
+    * the appended fraction is large (rule of thumb ~30%) or measured
+    * recall on held-out anchors degrades. */
+  def encode(index: IvfPqIndex, embeddings: DataFrame): DataFrame = {
+    val spark = index.codes.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.dot
+    val codec = PqCodec.fromRows(
+      index.codebooks.select("m", "code", "cw").collect(), "index.codebooks")
+    val nv = normalized(embeddings).localCheckpoint(eager = false)
+    val wCell = Window.partitionBy("vec_id")
+      .orderBy(col("cd").desc, col("pcell"))
+    val assign = nv.crossJoin(broadcast(index.centroids))
+      .withColumn("cd", dot(col("nv"), col("cvec")))
+      .withColumn("r", row_number().over(wCell))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("pcell").as("cell"))
+    val codesCol = array((0 until codec.m).map(mi =>
+      PqCodec.codeCol(codec, mi, "nv")): _*).as("codes")
+    nv.select(col("vec_id"), codesCol)
+      .join(assign, "vec_id")
+      .select("vec_id", "cell", "codes")
+  }
+
+  /** In-memory incremental append: same centroids + codebooks, codes
+    * unioned. Caller owns vec_id uniqueness across batches. */
+  def append(index: IvfPqIndex, embeddings: DataFrame): IvfPqIndex =
+    index.copy(codes = index.codes.unionByName(encode(index, embeddings)))
+
+  /** Persistent incremental append: encodes against the SAVED index and
+    * appends only the new code files under `dir`/codes — the base codes,
+    * centroids and codebooks are never rewritten, so a 100 TB index
+    * grows by one batch-sized parquet append per ingest. */
+  def appendToDir(spark: SparkSession, dir: String,
+                  embeddings: DataFrame): Unit =
+    encode(load(spark, dir), embeddings)
+      .write.mode("append").parquet(s"$dir/codes")
+
   /** ADC-scored probe + exact shortlist re-rank. `embeddings` supplies
     * the anchor vectors and the full floats for the final re-rank —
     * candidates are scored from their `m`-byte codes alone. Returns

@@ -93,9 +93,16 @@ object PqCodec {
   }
 
   /** Inverse of [[save]]; (m, ksub, sub) are recovered from the rows. */
-  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Codec = {
-    val rows = spark.read.parquet(dir).select("m", "code", "cw").collect()
-    require(rows.nonEmpty, s"no codec rows under $dir")
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Codec =
+    fromRows(spark.read.parquet(dir).select("m", "code", "cw").collect(), dir)
+
+  /** Rebuild a codec from collected (m, code, cw) rows — the codebook
+    * frame is bounded driver metadata (m·ksub rows ≈ a few KB), the same
+    * class of collect as KMeans clusterCenters. Shared by [[load]] and
+    * [[IvfPq.encode]]'s incremental ingest. */
+  def fromRows(rows: Array[org.apache.spark.sql.Row], what: String): Codec = {
+    require(rows.nonEmpty, s"no codec rows under $what")
+    val dir = what
     val m = rows.map(_.getInt(0)).max + 1
     val ksub = rows.map(_.getInt(1)).max + 1
     // fail fast on a partially-written / foreign parquet dir (round-9

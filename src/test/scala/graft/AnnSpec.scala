@@ -62,6 +62,60 @@ class AnnSpec extends SparkSuite {
     assert(direct.nonEmpty && direct == reloaded)
   }
 
+  test("IVF-PQ incremental append: new batch encodes against the frozen " +
+    "index, recall holds, dir append is load-equal") {
+    val d = sf("0.001")
+    val emb = Tables.embeddings(spark, d)
+    val base = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    val built = graft.operators.IvfPq.buildIndex(base)
+    val appended = graft.operators.IvfPq.append(built, batch)
+    // every vector indexed exactly once; appended rows carry valid cells
+    assert(appended.codes.count() == emb.count())
+    val cells = built.centroids.select("pcell").collect()
+      .map(_.getInt(0)).toSet
+    val newRows = graft.operators.IvfPq.encode(built, batch).collect()
+    assert(newRows.length == batch.count() &&
+      newRows.forall(r => cells.contains(r.getInt(1))))
+    // recall on anchors drawn from the APPENDED batch, vs brute force
+    // over the full corpus — the quantization-drift honesty gate
+    val anchorPred = col("vec_id") >= 400 && col("vec_id") % 10 === 0
+    val got = graft.operators.IvfPq
+      .query(appended, emb, k = 5, anchorPred = anchorPred)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions.dot
+    graft.functions.GraftFunctions.register(spark)
+    val n = emb.select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nrm"))
+    val a = n.filter(anchorPred).select(col("vec_id").as("a_id"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+    val exact = a.join(b, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (dot(col("ea"), col("eb")) / (sqrt(col("na")) * sqrt(col("nb"))))
+          .as("sim"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"appended-anchor recall vs exact top-5: $recall%.3f")
+    assert(recall >= 0.6, f"recall $recall%.3f below 0.6 after append")
+    // persistent path: appendToDir grows codes only; load sees the union
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
+    graft.operators.IvfPq.save(built, dir)
+    graft.operators.IvfPq.appendToDir(spark, dir, batch)
+    val loaded = graft.operators.IvfPq.load(spark, dir)
+    def idCells(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(idCells(loaded.codes) == idCells(appended.codes),
+      "dir-appended index diverged from the in-memory union")
+  }
+
   test("IVF index survives a parquet save/load round-trip (query-equal)") {
     val d = sf("0.01")
     val emb = Tables.embeddings(spark, d)
