@@ -423,6 +423,62 @@ object AggQueries {
         .orderBy("o_orderstatus")
     },
 
+    // Robust statistics: per-group DISCRETE median (the value at rank
+    // ⌊(n−1)/2⌋ — an actual data point, so no cross-engine interpolation
+    // arithmetic) and the median absolute deviation around it. Both
+    // selections ride HistogramRank.valuesAtPositions: small groups take
+    // the plain window form, large groups the bucketed histogram — never
+    // an unbounded single-task sort (the 100 TB shape for two-level
+    // order statistics).
+    Q("q_agg_mad",
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) - 1 AS i,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |med AS (
+        |  SELECT l_returnflag,
+        |    MAX(CASE WHEN i = CAST(FLOOR((n - 1) / 2.0e0) AS BIGINT) THEN v END) AS med
+        |  FROM r GROUP BY l_returnflag),
+        |dev AS (
+        |  SELECT r.l_returnflag, m.med, ABS(r.v - m.med) AS dv,
+        |    row_number() OVER (PARTITION BY r.l_returnflag ORDER BY ABS(r.v - m.med)) - 1 AS j,
+        |    COUNT(*) OVER (PARTITION BY r.l_returnflag) AS n2
+        |  FROM r JOIN med m ON r.l_returnflag = m.l_returnflag)
+        |SELECT l_returnflag, MAX(med) AS med,
+        |  MAX(CASE WHEN j = CAST(FLOOR((n2 - 1) / 2.0e0) AS BIGINT) THEN dv END) AS mad
+        |FROM dev GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      import graft.operators.HistogramRank
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity").as("v"))
+      val stats = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"),
+          min(col("v").cast("double")).as("lo"),
+          max(col("v").cast("double")).as("hi"))
+        .localCheckpoint(eager = false)
+      val pos = stats.select(col("l_returnflag"),
+        floor((col("n") - 1) / 2.0).cast("long").as("pos"))
+      val med = HistogramRank.valuesAtPositions(li, "l_returnflag", "v",
+          pos, stats = Some(stats))
+        .select(col("grp").as("l_returnflag"), col("v").as("med"))
+      // med is one row per group — broadcast back onto the fact rows
+      val dev = li.join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"), abs(col("v") - col("med")).as("dv"))
+        .localCheckpoint(eager = false)
+      val stats2 = dev.groupBy("l_returnflag").agg(count(lit(1)).as("n"),
+          min(col("dv").cast("double")).as("lo"),
+          max(col("dv").cast("double")).as("hi"))
+        .localCheckpoint(eager = false)
+      val pos2 = stats2.select(col("l_returnflag"),
+        floor((col("n") - 1) / 2.0).cast("long").as("pos"))
+      val mad = HistogramRank.valuesAtPositions(dev, "l_returnflag", "dv",
+          pos2, stats = Some(stats2))
+        .select(col("grp").as("l_returnflag"), col("v").as("mad"))
+      med.join(mad, "l_returnflag")
+        .select(col("l_returnflag"), col("med"), col("mad"))
+        .orderBy("l_returnflag")
+    },
+
     Q("q_agg_collect_sorted",
       """SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS names
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey

@@ -77,6 +77,34 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(Seq("__h"))
       .drop("__h")
 
+  /** Streaming per-window token entropy (s_stream_entropy): CHAINED
+    * stateful aggregations — Spark 3.4+ allows a second windowed
+    * aggregation over `window_time` of the first, so the classic
+    * two-level entropy shape (token counts per window, then
+    * H = log2 N − Σ c·log2 c / N re-aggregated per window) runs fully
+    * incrementally in ONE streaming query: no foreachBatch escape hatch,
+    * no driver recomputation. State = one count per (window, token) in
+    * level 1 + one (n, s) pair per window in level 2, both reclaimed by
+    * the watermark. The log-domain streaming member of the
+    * [[graft.queries.EntropyQueries]] family; StreamingSpec gates the
+    * closed windows against an in-JVM reference at 1e-9 relative (same
+    * libm; only float summation ORDER differs across partitions). */
+  def entropyStream(docs: DataFrame, windowLen: String = "1 day"): DataFrame = {
+    val tok = docs.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", windowLen)
+      .select(col("ts"), explode(split(col("text"), " ")).as("tok"))
+    val counts = tok
+      .groupBy(window(col("ts"), windowLen), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy(window(window_time(col("window")), windowLen))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c").cast("double") * log2(col("c"))).as("s"))
+      .select(col("window.start").as("win_start"),
+        col("n_tokens"),
+        (log2(col("n_tokens")) - col("s") / col("n_tokens")).as("entropy"))
+  }
+
   /** Custom keyed state via mapGroupsWithState (s_stream_state): running
     * per-user event count + decimal-cents value total, emitted per
     * micro-batch. The KeyValueGroupedDataset state API is the escape hatch

@@ -314,6 +314,55 @@ class StreamingSpec extends SparkSuite {
       s"streaming pattern top-${want.length} diverged from the batch window")
   }
 
+  test("s_stream_entropy: chained windowed aggs compute per-day token entropy") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val day0 = java.time.LocalDateTime.of(2021, 3, 1, 6, 0)
+    // three days of docs; day 2 is a degenerate single-token day (H = 0)
+    val docs = Seq(
+      Doc(1L, day0, "en", "a b a b"),
+      Doc(2L, day0.plusHours(2), "en", "c c d"),
+      Doc(3L, day0.plusDays(1), "en", "x y z"),
+      Doc(4L, day0.plusDays(1).plusHours(3), "en", "x x"),
+      Doc(5L, day0.plusDays(2), "en", "q q q q"))
+    val mem = MemoryStream[Doc]
+    val q = StreamOps.entropyStream(mem.toDF()).writeStream
+      .format("memory").queryName("s_entropy").outputMode("append").start()
+    mem.addData(docs.take(3))
+    q.processAllAvailable()
+    mem.addData(docs.drop(3))
+    q.processAllAvailable()
+    // far-future doc advances the watermark past every fixture window
+    mem.addData(Seq(Doc(99L, day0.plusYears(5), "en", "sentinel")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("s_entropy")
+      .filter(col("win_start") < java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+      .collect()
+      .map(r => (r.getTimestamp(0).toInstant.toString,
+        r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    def h(tokens: Seq[String]): Double = {
+      val n = tokens.length.toDouble
+      -tokens.groupBy(identity).values
+        .map(g => g.length / n * log2(g.length / n)).sum
+    }
+    val want = Seq(
+      ("2021-03-01", Seq("a", "b", "a", "b", "c", "c", "d")),
+      ("2021-03-02", Seq("x", "y", "z", "x", "x")),
+      ("2021-03-03", Seq("q", "q", "q", "q")))
+    assert(got.length == want.length, s"closed windows: ${got.toSeq}")
+    got.zip(want).foreach { case ((ws, n, ent), (day, toks)) =>
+      assert(ws.startsWith(day), s"window $ws vs $day")
+      assert(n == toks.length)
+      val ref = h(toks)
+      assert((ent == ref) || math.abs(ent - ref) <=
+        1e-9 * math.max(math.abs(ent), math.abs(ref)),
+        s"$day entropy $ent vs $ref")
+    }
+    assert(got(2)._3 == 0.0, "degenerate single-token day must be exactly 0 bits")
+  }
+
   test("s_stream_retention: chunked bitmap spans a >64-day horizon; " +
     "beyond-horizon activity is counted, not silent") {
     // Round-10 verdict item 5 + the round-9 advice on silent truncation:
