@@ -21,6 +21,7 @@ object SparkEntry {
       SetQueries.all ++
       ScalarQueries.all ++
       TextQueries.all ++
+      CleanseQueries.all ++
       PipelineQueries.all ++
       EventQueries.all ++
       UdfQueries.all ++

@@ -165,7 +165,15 @@ class PlanSpec extends SparkSuite {
       "q_tpch_q9" -> "shuffle=3,broadcast=5,BroadcastHashJoin=4,BroadcastNestedLoopJoin=1",
       "q_tpch_q11" -> "shuffle=3,broadcast=1,BroadcastNestedLoopJoin=1",
       "q_tpch_q16" -> "shuffle=4,broadcast=3,BroadcastHashJoin=2,BroadcastNestedLoopJoin=1",
-      "q_tpch_q20" -> "shuffle=4,broadcast=5,BroadcastHashJoin=4,BroadcastNestedLoopJoin=1")
+      "q_tpch_q20" -> "shuffle=4,broadcast=5,BroadcastHashJoin=4,BroadcastNestedLoopJoin=1",
+      // round 10: cleansing family. normalize/redact are row-local scans —
+      // the only exchange is the output ORDER BY. Span dedup is the
+      // designed two-exchange linear plan: window on the span hash, then
+      // the per-doc rollup; the top-100 fuses to TakeOrderedAndProject
+      // (no third exchange).
+      "q_text_normalize" -> "shuffle=1,broadcast=0",
+      "q_text_redact" -> "shuffle=1,broadcast=0",
+      "q_dedup_span" -> "shuffle=2,broadcast=0")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
