@@ -25,6 +25,8 @@ object SparkEntry {
       PipelineQueries.all ++
       EventQueries.all ++
       UdfQueries.all ++
+      TypedQueries.all ++
+      MaintenanceQueries.all ++
       SqlParityQueries.all ++
       EntropyQueries.all
 

@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.core.{Q, Scratch, Tables}
+import graft.operators.Compaction
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance and data-management operators: column profiling
+  * (the ANALYZE/stats pass), schema-evolution reads, and small-file
+  * compaction — the operational layer a 100 TB table lives or dies by.
+  */
+object MaintenanceQueries {
+
+  val all: Seq[Q] = Seq(
+    // Column profiler: the stats a catalog/CBO ingests — row count, null
+    // count, exact NDV, min/max — for four orders columns in ONE scan
+    // (multi-distinct lands in a single Expand-based aggregate, not four
+    // passes; the single output row is exploded to per-column rows).
+    // At 100 TB the same plan runs with approx_count_distinct swapped in
+    // (cap_agg_approx is that sketch's gate); exact NDV here keeps the
+    // DuckDB twin bit-checkable. min/max travel as VARCHAR so the
+    // unpivoted rows are one type: BIGINT and DATE casts are
+    // format-stable across engines (no doubles — double→string differs).
+    Q("q_profile_table",
+      """SELECT col_name, n, n_null, ndv, min_s, max_s FROM (
+        |  SELECT 'o_orderkey' AS col_name, COUNT(*) AS n,
+        |    CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+        |    COUNT(DISTINCT o_orderkey) AS ndv,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+        |    CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(*),
+        |    CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+        |    COUNT(DISTINCT o_custkey),
+        |    CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*),
+        |    CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+        |    COUNT(DISTINCT o_orderstatus),
+        |    CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', COUNT(*),
+        |    CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+        |    COUNT(DISTINCT CAST(o_orderdate AS DATE)),
+        |    CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR),
+        |    CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR)
+        |  FROM orders) t
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .withColumn("o_orderdate_d", col("o_orderdate").cast("date"))
+      def prof(name: String, c: String) = struct(
+        lit(name).as("col_name"),
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col(c))).as("n_null"),
+        countDistinct(col(c)).as("ndv"),
+        min(col(c)).cast("string").as("min_s"),
+        max(col(c)).cast("string").as("max_s"))
+      o.agg(
+        prof("o_orderkey", "o_orderkey").as("p1"),
+        prof("o_custkey", "o_custkey").as("p2"),
+        prof("o_orderstatus", "o_orderstatus").as("p3"),
+        prof("o_orderdate", "o_orderdate_d").as("p4"))
+        .select(explode(array(col("p1"), col("p2"), col("p3"), col("p4"))).as("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    },
+
+    // Schema-evolution read: a table whose later ingest batches carry an
+    // extra column (the normal life of a 100 TB table). Two batches land
+    // under ingest=1/ (o_orderkey, o_orderstatus) and ingest=2/ (+
+    // o_totalprice); a mergeSchema read of the root must unify the schema
+    // and null-backfill the old batch. Emits one row per ingest batch
+    // with the null count of the late column — batch 1 all-null, batch 2
+    // none — so a silent column drop or misalignment fails the ScalaTest
+    // gate (MaintenanceSpec).
+    Q.cap("cap_source_evolution") { (s, d) =>
+      val root = Scratch.dir("evolve")
+      val o = Tables.orders(s, d)
+      o.select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite").parquet(s"$root/ingest=1")
+      o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$root/ingest=2")
+      s.read.option("mergeSchema", "true").parquet(root)
+        .groupBy("ingest")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("n_null_late"))
+        .orderBy("ingest")
+    },
+
+    // Small-file compaction ([[graft.operators.Compaction]]): fragment
+    // lineitem into 64 splinter files, compact to 4, and report the
+    // before/after file counts plus row parity in one frame.
+    Q.cap("cap_maintain_compact") { (s, d) =>
+      val in = Scratch.dir("frag_in")
+      val out = Scratch.dir("frag_out")
+      val li = Tables.lineitem(s, d)
+      li.repartition(64).write.mode("overwrite").parquet(in)
+      val st = Compaction.compact(s, in, out, targetFiles = Some(4))
+      val expected = li.count()
+      import s.implicits._
+      Seq((st.filesBefore, st.filesAfter, st.rows, expected,
+        st.rows == expected))
+        .toDF("files_before", "files_after", "rows_out", "rows_in", "rows_match")
+    }
+  )
+}
