@@ -219,6 +219,42 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("dynamic partition pruning injects into the partitioned fact scan") {
+    // The other half of the 100 TB scan-pruning story (the bloom test
+    // above covers unpartitioned row-group skipping): when the fact table
+    // is PARTITIONED on the join key and the dim side carries a selective
+    // filter, the fact scan must receive a dynamicpruningexpression in its
+    // PartitionFilters — whole partition DIRECTORIES are skipped before a
+    // single row is read. This is the primary I/O lever for date/tenant
+    // partitioned corpora; cap_sink_parquet writes such layouts, this
+    // proves reads prune them at join time.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val factDir = graft.core.Scratch.dir("dpp_fact")
+    val dimDir = graft.core.Scratch.dir("dpp_dim")
+    val li = graft.core.Tables.lineitem(spark, sf("0.001"))
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(factDir)
+    // the dim filter must hit a NON-join column: a literal filter on the
+    // join key itself is propagated statically through the join by
+    // constraint inference (no DPP needed — verified: the fact scan gets
+    // `l_returnflag = R` as a static PartitionFilter). Runtime pruning is
+    // only exercised when the qualifying key set exists only at runtime.
+    li.select(col("l_returnflag").as("rf"), col("l_returnflag").as("keep"))
+      .distinct().write.mode("overwrite").parquet(dimDir)
+    val fact = spark.read.parquet(factDir)
+    val dim = spark.read.parquet(dimDir).filter(col("keep") === "R")
+    val j = fact.join(dim, col("l_returnflag") === col("rf"))
+      .groupBy("l_linestatus").agg(count(lit(1)).as("cnt"))
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamicpruningexpression in the fact scan's PartitionFilters:\n$p")
+    // behavior, not just shape: result equals the statically-pruned scan
+    val got = j.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = li.filter(col("l_returnflag") === "R")
+      .groupBy("l_linestatus").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // AQE wraps the plan lazily and hides codegen spans from toString →
     // inspect the non-adaptive physical plan for this assertion only.

