@@ -191,6 +191,81 @@ object EventQueries {
         .orderBy("user_id", "bucket")
     },
 
+    // Linear interpolation between knots on the same hourly spine as
+    // q_time_locf — the other standard gap-fill policy. The interpolation
+    // fraction is computed from integer GRID POSITIONS (row_number), not
+    // timestamps, so `(i−iₚ)/(iₙ−iₚ)` is a single exact-operand IEEE
+    // division and `prev + (next−prev)·frac` is the identical three-op
+    // tree in both engines (Dsl discipline: never round, share the tree).
+    // Edges hold flat (leading rows take the first knot, trailing the
+    // last). Scale: one window exchange per user partition; the spine
+    // explode is row-local off a one-row broadcast span.
+    Q("q_time_interp",
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, value
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 5),
+        |a AS (SELECT user_id, bucket, max(value) AS v FROM e GROUP BY user_id, bucket),
+        |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM e),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |s AS (SELECT u.user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        |      FROM b, u),
+        |g AS (
+        |  SELECT s.user_id, s.bucket, a.v,
+        |    row_number() OVER (PARTITION BY s.user_id ORDER BY s.bucket) AS i
+        |  FROM s LEFT JOIN a ON s.user_id = a.user_id AND s.bucket = a.bucket),
+        |sel AS (
+        |  SELECT user_id, bucket, v, i,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS) OVER wp AS pi,
+        |    first_value(v IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS) OVER wf AS ni
+        |  FROM g
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY user_id ORDER BY i
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, bucket,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       ELSE pv + (nv - pv) *
+        |         (CAST(i - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE)) END AS interp
+        |FROM sel ORDER BY user_id, bucket""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("user_id") < 5)
+        .select(col("user_id"),
+          expr("CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ)").as("bucket"),
+          col("value"))
+      val a = e.groupBy("user_id", "bucket").agg(max("value").as("v"))
+      val span = e.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      val spine = e.select("user_id").distinct()
+        .crossJoin(broadcast(span))
+        .select(col("user_id"),
+          explode(expr("sequence(lo, hi, interval 1 hour)")).as("bucket"))
+      val wOrd = Window.partitionBy("user_id").orderBy("bucket")
+      val wp = Window.partitionBy("user_id").orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id").orderBy("i")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val g = spine.join(a, Seq("user_id", "bucket"), "left")
+        .withColumn("i", row_number().over(wOrd).cast("bigint"))
+      val frac = (col("i") - col("pi")).cast("double") /
+        (col("ni") - col("pi")).cast("double")
+      g.withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+        .withColumn("pi",
+          last(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(wp))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wf))
+        .withColumn("ni",
+          first(when(col("v").isNotNull, col("i")), ignoreNulls = true).over(wf))
+        .select(col("user_id"), col("bucket"),
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) * frac)
+            .as("interp"))
+        .orderBy("user_id", "bucket")
+    },
+
     // Gap-based sessionization (12h inactivity, FIXTURES-calibrated):
     // new-session flag via lag, session id via running sum — the classic
     // batch-SQL formulation, identical in both engines.
