@@ -24,9 +24,23 @@ import org.apache.spark.sql.functions._
   */
 object CleanseQueries {
 
-  /** java/RE2-common email shape; explicit classes only. */
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhoneRe = "\\+1-555-[0-9]{4}"
+  /** java/RE2-common shapes; explicit classes only (shared with the
+    * composed pipeline operator). */
+  private val EmailRe = graft.operators.PretrainPipeline.EmailRe
+  private val PhoneRe = graft.operators.PretrainPipeline.PhoneRe
+
+  /** Deterministic PII injection from (text, doc_id) — identical string
+    * expression on both engines; see the module scaladoc. */
+  private def injectPii(): org.apache.spark.sql.Column = concat(
+    col("text"), lit(" Contact user"), col("doc_id").cast("string"),
+    lit("@example.com"),
+    when(col("doc_id") % 4 === 0, lit(" cc admin.team+x@example.org"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 2 === 0,
+      concat(lit(" or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(lit("")),
+    lit(" today."))
 
   val all: Seq[Q] = Seq(
     // Unicode canonicalization via the codegen'd graft_normalize
@@ -86,18 +100,8 @@ object CleanseQueries {
          |  md5(regexp_replace(regexp_replace(raw, '$EmailRe', '<EMAIL>', 'g'),
          |                     '$PhoneRe', '<PHONE>', 'g')) AS h
          |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val raw = concat(
-        col("text"), lit(" Contact user"), col("doc_id").cast("string"),
-        lit("@example.com"),
-        when(col("doc_id") % 4 === 0, lit(" cc admin.team+x@example.org"))
-          .otherwise(lit("")),
-        when(col("doc_id") % 2 === 0,
-          concat(lit(" or +1-555-"),
-            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-          .otherwise(lit("")),
-        lit(" today."))
       Tables.documents(s, d)
-        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"), injectPii().as("raw"))
         .select(col("doc_id"),
           regexp_count(col("raw"), lit(EmailRe)).cast("long").as("n_emails"),
           regexp_count(col("raw"), lit(PhoneRe)).cast("long").as("n_phones"),
@@ -137,6 +141,17 @@ object CleanseQueries {
       SpanDedup.coverage(Tables.documents(s, d), w = 8, stride = 4)
         .orderBy(col("dup_frac").desc, col("doc_id"))
         .limit(100)
+    },
+
+    // The composed corpus run ([[graft.operators.PretrainPipeline]]):
+    // PII-injected fixture → cleanse (redact THEN normalize — the
+    // idempotence-preserving order) → span-dup drop → quality floor,
+    // reported as a per-stage retention funnel in one lazy frame.
+    // CleanseSpec gates idempotence, redaction completeness, funnel
+    // monotonicity, and the span-drop ground truth.
+    Q.cap("cap_pipeline_pretrain") { (s, d) =>
+      graft.operators.PretrainPipeline.retention(
+        Tables.documents(s, d).withColumn("text", injectPii()))
     }
   )
 }

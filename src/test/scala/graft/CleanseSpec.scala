@@ -81,6 +81,49 @@ class CleanseSpec extends SparkSuite {
       (2L, 3L, 1L, 1.0 / 3)))
   }
 
+  test("PretrainPipeline: cleanse is idempotent and redaction is complete") {
+    import graft.operators.PretrainPipeline
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("text", concat(col("text"),
+        lit(" mail me: User"), col("doc_id").cast("string"),
+        lit("@Example.COM or +1-555-0042  NOW")))
+    val once = PretrainPipeline.cleanse(docs)
+    // completeness: nothing matching either pattern survives
+    val leftovers = once.select(
+      sum(regexp_count(col("clean_text"), lit(PretrainPipeline.EmailRe))) +
+        sum(regexp_count(col("clean_text"), lit(PretrainPipeline.PhoneRe))))
+      .head().getLong(0)
+    assert(leftovers == 0L, s"$leftovers PII matches survived redaction")
+    // scrubbing actually happened (2 per doc injected)
+    assert(once.agg(sum("n_scrubbed")).head().getLong(0) == 2 * docs.count())
+    // idempotence: a second pass over clean_text changes nothing
+    val twice = PretrainPipeline.cleanse(
+      once.select(col("doc_id"), col("clean_text").as("text")))
+    val diff = twice.filter(col("clean_text") =!= col("text")).count()
+    assert(diff == 0L, s"cleanse not idempotent on $diff docs")
+  }
+
+  test("PretrainPipeline: retention funnel is monotone; span drop hits planted dups") {
+    import spark.implicits._
+    import graft.operators.PretrainPipeline
+    val boiler = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = (
+      // two distinct docs sharing ALL their spans (pure boilerplate) …
+      Seq((1L, boiler), (2L, boiler)) ++
+        // … and clean unique docs that must survive every stage
+        (10L to 19L).map(i => (i, (1 to 20).map(j => s"u${i}_$j").mkString(" ")))
+      ).toDF("doc_id", "text")
+    val r = PretrainPipeline.retention(docs)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("1_raw")._1 == 12 && r("2_cleansed")._1 == 12)
+    // C4-style rule: ALL docs at/above the dup threshold drop (keep-one
+    // exact dedup is a separate upstream stage)
+    assert(r("3_span_dedup")._1 == 10, s"span stage kept ${r("3_span_dedup")._1}")
+    assert(r("4_quality")._1 == 10)
+    val counts = Seq("1_raw", "2_cleansed", "3_span_dedup", "4_quality").map(r(_)._1)
+    assert(counts == counts.sorted.reverse, s"funnel not monotone: $counts")
+  }
+
   test("SpanDedup: hashed keys reproduce raw-text keys on the fixture") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     def rows(hashed: Boolean) =
