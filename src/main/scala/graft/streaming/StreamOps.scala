@@ -77,6 +77,23 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(Seq("__h"))
       .drop("__h")
 
+  /** Streaming cleanse + CANONICAL content dedup (s_stream_cleanse): the
+    * [[graft.operators.PretrainPipeline]] cleanse stage is a pure
+    * projection — streaming-safe by construction — so the interesting
+    * composition is deduping on the cleaned text: resubmissions that
+    * differ only by case, accents, whitespace runs, or the PII that
+    * redaction scrubs all canonicalize to the same `clean_text` and are
+    * dropped, where raw-text md5 ([[dedupTextStream]]) would admit them.
+    * State: one 32-hex key per distinct CANONICAL text in the horizon,
+    * reclaimed by the watermark. */
+  def cleanseStream(docs: DataFrame): DataFrame =
+    graft.operators.PretrainPipeline
+      .cleanse(docs.withColumn("ts", col("ts").cast("timestamp")))
+      .withWatermark("ts", "1 hour")
+      .withColumn("__h", md5(col("clean_text")))
+      .dropDuplicatesWithinWatermark(Seq("__h"))
+      .drop("__h")
+
   /** Streaming per-window token entropy (s_stream_entropy): CHAINED
     * stateful aggregations — Spark 3.4+ allows a second windowed
     * aggregation over `window_time` of the first, so the classic

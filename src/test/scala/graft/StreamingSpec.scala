@@ -97,6 +97,52 @@ class StreamingSpec extends SparkSuite {
     assert(got.toSet == base.map(_.event_id).toSet)
   }
 
+  test("s_stream_cleanse: variant resubmissions canonicalize away; " +
+    "survivors match the batch cleanse") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    val docs = Tables.documents(spark, sf("0.001"))
+      .select("doc_id", "lang", "text").limit(200).collect()
+      .map(r => Doc(r.getLong(0), base.plusSeconds(r.getLong(0)),
+        r.getString(1), r.getString(2))).toSeq
+    val mem = MemoryStream[Doc]
+    val q = StreamOps.cleanseStream(mem.toDF()).writeStream
+      .format("memory").queryName("s_cleanse").outputMode("append").start()
+    mem.addData(docs)
+    q.processAllAvailable()
+    // variant resubmissions raw-md5 dedup would ADMIT: case flips,
+    // whitespace runs, and a pair differing only in the PII scrubbed —
+    // all canonicalize to an already-seen clean_text and must drop
+    mem.addData(docs.take(50).map(d => d.copy(
+      doc_id = d.doc_id + 1000000L, ts = d.ts.plusSeconds(60),
+      text = d.text.toUpperCase + "  ")))
+    mem.addData(docs.slice(50, 100).map(d => d.copy(
+      doc_id = d.doc_id + 2000000L, ts = d.ts.plusSeconds(61),
+      text = d.text.replace(" ", "   "))))
+    q.processAllAvailable()
+    // two fresh docs equal up to their (different) PII: first lands,
+    // second dedups against its redacted twin
+    mem.addData(Seq(
+      Doc(3000000L, base.plusSeconds(7200), "en", "totally new body mail a@b.co now"),
+      Doc(3000001L, base.plusSeconds(7201), "en", "totally new body mail z@q.org now")))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("s_cleanse").select("doc_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(kept.toSeq == (docs.map(_.doc_id) :+ 3000000L).sorted,
+      s"expected the 200 originals + one PII-variant survivor, got ${kept.length}")
+    // survivors' clean_text equals the batch cleanse of the same rows
+    val got = spark.table("s_cleanse").filter(col("doc_id") < 1000000L)
+      .select("doc_id", "clean_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = graft.operators.PretrainPipeline
+      .cleanse(docs.toDF().filter(col("doc_id") < 1000000L))
+      .select("doc_id", "clean_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == batch, "streaming clean_text diverged from batch cleanse")
+  }
+
   test("s_stream_dedup_text: resubmitted content is dropped; survivors match q_dedup_exact") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
