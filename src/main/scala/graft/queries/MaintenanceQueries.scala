@@ -67,6 +67,43 @@ object MaintenanceQueries {
         .orderBy("col_name")
     },
 
+    // Cross-engine table checksum — the migration-validation primitive: a
+    // user switching engines needs ROW-LEVEL proof the data came across,
+    // not just matching counts. Each row is canonicalized to a '|'-joined
+    // string (ints/strings as-is, timestamps via DATE, money via
+    // DECIMAL(12,4) — the only cross-engine-stable string forms; raw
+    // doubles are banned from the repr), md5'd, the first 15 hex digits
+    // parsed to a BIGINT, and SUMmed as DECIMAL(38,0) — an
+    // order-independent, partition-independent, overflow-free fingerprint
+    // per group. One linear scan with map-side partial sums; any single
+    // changed/missing/extra row flips the group checksum.
+    Q("q_table_checksum",
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(CAST('0x' || substr(md5(
+        |    l_orderkey || '|' || l_linenumber || '|' || l_returnflag || '|' ||
+        |    l_linestatus || '|' || CAST(CAST(l_shipdate AS DATE) AS VARCHAR) || '|' ||
+        |    CAST(CAST(l_quantity AS DECIMAL(12,4)) AS VARCHAR)), 1, 15)
+        |    AS BIGINT) AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        val repr = concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_linestatus"), col("l_shipdate").cast("date"),
+          col("l_quantity").cast("decimal(12,4)"))
+        // addends at (20,0): the sum widens exactly in BOTH engines
+        // (DuckDB would demote a SUM of DECIMAL(38,_) to DOUBLE). The
+        // ~2^79 exact sum ships as its canonical digit STRING — a raw
+        // decimal column would be rendered float64 by the driver's pandas
+        // path, and d2d's double form would cap row-level sensitivity at
+        // ulp(1e23) ≈ 1e7.
+        val h = conv(substring(md5(repr), 1, 15), 16, 10).cast("decimal(20,0)")
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(h).cast("decimal(38,0)").cast("string").as("checksum"))
+          .orderBy("l_returnflag")
+    },
+
     // Schema-evolution read: a table whose later ingest batches carry an
     // extra column (the normal life of a 100 TB table). Two batches land
     // under ingest=1/ (o_orderkey, o_orderstatus) and ingest=2/ (+
