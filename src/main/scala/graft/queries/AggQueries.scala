@@ -461,13 +461,21 @@ object AggQueries {
       val med = HistogramRank.valuesAtPositions(li, "l_returnflag", "v",
           pos, stats = Some(stats))
         .select(col("grp").as("l_returnflag"), col("v").as("med"))
-      // med is one row per group — broadcast back onto the fact rows
+        .localCheckpoint(eager = false)
+      // med is one row per group — broadcast back onto the fact rows.
+      // No checkpoint: with level-2 stats DERIVED below, the deviations
+      // frame has exactly one consumer and materializing 600k rows to
+      // local disk was the single biggest cost of this query (round-10
+      // guard: 5.4 s, 2.8x the next-slowest query).
       val dev = li.join(broadcast(med), "l_returnflag")
         .select(col("l_returnflag"), abs(col("v") - col("med")).as("dv"))
-        .localCheckpoint(eager = false)
-      val stats2 = dev.groupBy("l_returnflag").agg(count(lit(1)).as("n"),
-          min(col("dv").cast("double")).as("lo"),
-          max(col("dv").cast("double")).as("hi"))
+      // Level-2 stats need NO scan of dev: the row count is level 1's n
+      // exactly (|v−med| keeps every row), and HistogramRank only needs
+      // BOUNDS for its bucket domain — 0 ≤ |v−med| ≤ max(hi−med, med−lo)
+      // is tight enough and metadata-derived (3 rows joined to 3 rows).
+      val stats2 = stats.join(med, "l_returnflag")
+        .select(col("l_returnflag"), col("n"), lit(0.0).as("lo"),
+          greatest(col("hi") - col("med"), col("med") - col("lo")).as("hi"))
         .localCheckpoint(eager = false)
       val pos2 = stats2.select(col("l_returnflag"),
         floor((col("n") - 1) / 2.0).cast("long").as("pos"))
