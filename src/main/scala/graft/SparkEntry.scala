@@ -27,6 +27,9 @@ object SparkEntry {
       UdfQueries.all ++
       TypedQueries.all ++
       MaintenanceQueries.all ++
+      StatQueries.all ++
+      TokenizerQueries.all ++
+      GraphQueries.all ++
       SqlParityQueries.all ++
       EntropyQueries.all
 

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative score propagation (PageRank) as pure DataFrame iterations —
+  * the engine's proof that iterative graph algorithms run as a sequence of
+  * declarative joins, not a specialized runtime.
+  *
+  * Per iteration: contributions = edges ⨝ ranks on src (edges carry the
+  * precomputed out-degree, so the contribution is rank/outdeg row-locally),
+  * then one map-side-combinable groupBy dst. The edge frame is
+  * materialized ONCE (localCheckpoint) and every iteration joins against
+  * it; at cluster scale the edges would be written bucketed by src so the
+  * per-iteration join needs no edge-side shuffle at all
+  * ([[BucketedLayout]] is that seam). Rank-frame lineage is truncated
+  * every `checkpointEvery` iterations — without it, iteration k's plan
+  * contains k copies of the join tree and the driver dies long before the
+  * executors do.
+  *
+  * Dangling nodes (out-degree 0) would leak rank mass; callers either
+  * symmetrize the graph (every endpoint then has outdeg ≥ 1 — what
+  * [[supplierCustomerGraph]] does) or accept the standard mass leak. The
+  * node count N rides in-plan via a broadcast one-row frame — no literal
+  * baked from a collect, so the plan stays lazy end to end.
+  */
+object PageRank {
+
+  /** ranks(node, rank) after `iters` damped iterations over edges(src,
+    * dst). Requires every node to appear as a src (no dangling). */
+  def run(edges: DataFrame, iters: Int, damping: Double = 0.85,
+          checkpointEvery: Int = 5): DataFrame = {
+    val e = edges.select("src", "dst")
+      .distinct()
+      .localCheckpoint(true) // materialize once; every iteration reuses it
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(outdeg, "src").localCheckpoint(true)
+    // One-row node-count frame, crossed onto node-sized frames only (the
+    // broadcast-one-row-stats idiom; never a data-sized cross join).
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val nFrame = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
+    var ranks = nodes.crossJoin(nFrame)
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
+    var i = 0
+    while (i < iters) {
+      val contribs = withDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("contrib"))
+      ranks = contribs.crossJoin(nFrame)
+        .select(col("node"),
+          (lit(1.0 - damping) / col("n_nodes") +
+            lit(damping) * col("contrib")).as("rank"))
+      if ((i + 1) % checkpointEvery == 0 && i + 1 < iters)
+        ranks = ranks.localCheckpoint(true)
+      i += 1
+    }
+    ranks
+  }
+
+  /** The fixture graph: supplier↔customer trade edges from lineitem ⨝
+    * orders, symmetrized (both directions) so no node dangles. Node ids
+    * disambiguate the two key spaces: supplier s ↦ 2s, customer c ↦ 2c+1. */
+  def supplierCustomerGraph(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val pairs = lineitem.select("l_orderkey", "l_suppkey")
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("s"), (col("o_custkey") * 2 + 1).as("c"))
+      .distinct()
+    pairs.select(col("s").as("src"), col("c").as("dst"))
+      .union(pairs.select(col("c").as("src"), col("s").as("dst")))
+  }
+
+  /** Reference in-JVM PageRank over a collected edge list — the spec's
+    * ground truth. Same formula; summation order differs, so comparisons
+    * are tolerance-gated (FP associativity), not bitwise. */
+  def referenceRun(edges: Seq[(Long, Long)], iters: Int,
+                   damping: Double = 0.85): Map[Long, Double] = {
+    val e = edges.distinct
+    val outdeg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val n = nodes.size
+    var ranks = nodes.map(_ -> 1.0 / n).toMap
+    val byDst = e.groupBy(_._2)
+    for (_ <- 0 until iters) {
+      ranks = nodes.map { v =>
+        val contrib = byDst.getOrElse(v, Nil)
+          .map { case (s, _) => ranks(s) / outdeg(s) }.sum
+        v -> ((1.0 - damping) / n + damping * contrib)
+      }.toMap
+    }
+    ranks
+  }
+}

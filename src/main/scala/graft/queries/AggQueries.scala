@@ -619,6 +619,25 @@ object AggQueries {
           count(lit(1)).as("n_partials"),
           hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_cust"))
         .orderBy("o_orderstatus")
+    },
+
+    // SpaceSaving heavy hitters ([[graft.operators.HeavyHitters]]): the
+    // mergeable top-k frequency sketch — top terms over a key domain too
+    // wide to groupBy exactly. Planned as a normal partial+final
+    // aggregate: each scan task folds its rows into one m-entry summary
+    // and only #tasks × m entries cross the wire. SketchSpec gates the
+    // SpaceSaving invariants (est ≥ true ≥ est − err; every key above
+    // the m-th estimate is present) and exactness when m ≥ vocabulary.
+    Q.cap("cap_agg_heavyhitters") { (s, d) =>
+      val terms = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      terms
+        .agg(graft.operators.HeavyHitters.heavyHitters(16)(col("term")).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e._1").as("term"), col("e._2").as("est_count"),
+          col("e._3").as("max_err"))
+        .orderBy(desc("est_count"), col("term"))
     }
   )
 }

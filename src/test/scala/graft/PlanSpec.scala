@@ -173,7 +173,16 @@ class PlanSpec extends SparkSuite {
       // (no third exchange).
       "q_text_normalize" -> "shuffle=1,broadcast=0",
       "q_text_redact" -> "shuffle=1,broadcast=0",
-      "q_dedup_span" -> "shuffle=2,broadcast=0")
+      "q_dedup_span" -> "shuffle=2,broadcast=0",
+      // round 10 second half: winsorize computes rank AND both percentile
+      // thresholds inside ONE window exchange (unordered window aggs over
+      // the same partitioning — no threshold join, no second fact scan);
+      // the groupBy reuses the window layout, so the only other exchange
+      // is the output sort. The snapshot diff is the canonical CDC shape:
+      // each snapshot hash-shuffled on the key once, one full-outer SMJ,
+      // the tiny status rollup and output sort after it.
+      "q_stat_winsorize" -> "shuffle=2,broadcast=0",
+      "q_snapshot_diff" -> "shuffle=4,broadcast=0,SortMergeJoin=1")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }

@@ -1,0 +1,63 @@
+package graft
+
+import graft.core.Tables
+import graft.operators.HeavyHitters
+import org.apache.spark.sql.functions._
+
+/** SpaceSaving heavy-hitters gates. An approximate sketch has no bit-equal
+  * oracle; its contract is its INVARIANTS, which hold under any partition
+  * split and any merge tree:
+  *   - est ≥ true ≥ est − err for every reported key;
+  *   - every key whose true count exceeds the m-th (smallest) reported
+  *     estimate is present in the summary;
+  *   - with m ≥ vocabulary size nothing is ever evicted, so the sketch
+  *     IS the exact count table with zero error.
+  */
+class SketchSpec extends SparkSuite {
+
+  private lazy val terms = Tables.documents(spark, sf("0.001"))
+    .select(explode(split(col("text"), " ")).as("term"))
+    .filter(length(col("term")) > 0)
+
+  private lazy val exact: Map[String, Long] =
+    terms.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def sketch(m: Int, parts: Int): Seq[(String, Long, Long)] =
+    terms.repartition(parts)
+      .agg(HeavyHitters.heavyHitters(m)(col("term")).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e._1"), col("e._2"), col("e._3"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("m >= vocabulary: the sketch is the exact count table, zero error") {
+    assert(exact.size <= 64, s"fixture vocabulary grew past 64 (${exact.size})")
+    for (parts <- Seq(1, 7)) {
+      val got = sketch(64, parts)
+      assert(got.map { case (t, c, _) => t -> c }.toMap == exact,
+        s"parts=$parts: eviction-free sketch must equal exact counts")
+      assert(got.forall(_._3 == 0L), s"parts=$parts: nothing evicted => err 0")
+    }
+  }
+
+  test("m < vocabulary: SpaceSaving invariants hold under any split") {
+    for (parts <- Seq(1, 3, 8)) {
+      val got = sketch(8, parts)
+      assert(got.size == 8)
+      got.foreach { case (t, est, err) =>
+        val tru = exact.getOrElse(t, 0L)
+        assert(est >= tru, s"parts=$parts $t: est $est < true $tru")
+        assert(est - err <= tru, s"parts=$parts $t: est-err ${est - err} > true $tru")
+      }
+      // coverage: every key with true count above the smallest reported
+      // estimate is guaranteed present (an absent key's true count is
+      // bounded by the merged minimum, which bounds the m-th estimate)
+      val minEst = got.map(_._2).min
+      val reported = got.map(_._1).toSet
+      exact.foreach { case (t, c) =>
+        if (c > minEst)
+          assert(reported(t), s"parts=$parts: $t (true=$c) missing, minEst=$minEst")
+      }
+    }
+  }
+}
