@@ -122,6 +122,30 @@ object StreamOps {
         (log2(col("n_tokens")) - col("s") / col("n_tokens")).as("entropy"))
   }
 
+  /** Streaming heavy hitters (s_stream_heavyhitters): per-window top
+    * terms via the [[graft.operators.HeavyHitters]] SpaceSaving
+    * aggregator running INSIDE the streaming aggregation — state per
+    * window is the m-entry sketch buffer itself in the state store, not
+    * a count per token. That is the 100 TB trade against
+    * [[entropyStream]]'s exact per-(window, token) counts: state size is
+    * fixed by m however wide the token domain grows, at the cost of the
+    * sketch's documented overestimation bound. Windows are emitted
+    * closed (append mode + watermark), so each sketch folds its whole
+    * window before leaving the store. StreamingSpec gates with m ≥
+    * vocabulary (sketch provably exact ⇒ bit-equal to batch counts) and
+    * the SpaceSaving invariants under eviction pressure (small m). */
+  def heavyHittersStream(docs: DataFrame, m: Int = 64,
+                         windowLen: String = "1 day"): DataFrame =
+    docs.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", windowLen)
+      .select(col("ts"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(graft.operators.HeavyHitters.heavyHitters(m)(col("tok")).as("sk"))
+      .select(col("window.start").as("win_start"), explode(col("sk")).as("e"))
+      .select(col("win_start"), col("e._1").as("term"),
+        col("e._2").as("est_count"), col("e._3").as("max_err"))
+
   /** Custom keyed state via mapGroupsWithState (s_stream_state): running
     * per-user event count + decimal-cents value total, emitted per
     * micro-batch. The KeyValueGroupedDataset state API is the escape hatch

@@ -409,6 +409,71 @@ class StreamingSpec extends SparkSuite {
     assert(got(2)._3 == 0.0, "degenerate single-token day must be exactly 0 bits")
   }
 
+  test("s_stream_heavyhitters: windowed sketch == exact counts when m >= vocab") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val day0 = java.time.LocalDateTime.of(2021, 3, 1, 6, 0)
+    val docs = Seq(
+      Doc(1L, day0, "en", "a b a b a"),
+      Doc(2L, day0.plusHours(2), "en", "c c d a"),
+      Doc(3L, day0.plusDays(1), "en", "x y x x"))
+    val mem = MemoryStream[Doc]
+    val q = StreamOps.heavyHittersStream(mem.toDF(), m = 64).writeStream
+      .format("memory").queryName("s_hh").outputMode("append").start()
+    mem.addData(docs.take(2))
+    q.processAllAvailable()
+    mem.addData(docs.drop(2))
+    q.processAllAvailable()
+    mem.addData(Seq(Doc(99L, day0.plusYears(5), "en", "sentinel")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("s_hh")
+      .filter(col("win_start") < java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+      .collect()
+      .map(r => (r.getTimestamp(0).toInstant.toString.take(10),
+        r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // m >= vocabulary: nothing evicted, so the streamed sketch IS the
+    // exact per-window count table with zero error — bit-equal gate
+    val want = Seq(
+      ("2021-03-01", "a", 4L, 0L), ("2021-03-01", "b", 2L, 0L),
+      ("2021-03-01", "c", 2L, 0L), ("2021-03-01", "d", 1L, 0L),
+      ("2021-03-02", "x", 3L, 0L), ("2021-03-02", "y", 1L, 0L))
+    assert(got == want, s"got $got")
+  }
+
+  test("s_stream_heavyhitters: SpaceSaving invariants under eviction (m=2)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val day0 = java.time.LocalDateTime.of(2021, 4, 1, 6, 0)
+    val mem = MemoryStream[Doc]
+    val q = StreamOps.heavyHittersStream(mem.toDF(), m = 2).writeStream
+      .format("memory").queryName("s_hh2").outputMode("append").start()
+    // one day, 4 distinct tokens, skewed: a×5 b×3 c×1 d×1
+    mem.addData(Seq(Doc(1L, day0, "en", "a a a b b"),
+      Doc(2L, day0.plusHours(1), "en", "a a b c d")))
+    q.processAllAvailable()
+    mem.addData(Seq(Doc(99L, day0.plusYears(5), "en", "sentinel")))
+    q.processAllAvailable()
+    q.stop()
+    val exact = Map("a" -> 5L, "b" -> 3L, "c" -> 1L, "d" -> 1L)
+    val got = spark.table("s_hh2")
+      .filter(col("win_start") < java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.size == 2, s"summary must hold exactly m entries: $got")
+    got.foreach { case (t, est, err) =>
+      val tru = exact.getOrElse(t, 0L)
+      assert(est >= tru, s"$t: est $est < true $tru")
+      assert(est - err <= tru, s"$t: est-err ${est - err} > true $tru")
+    }
+    // the true heavy hitter must survive eviction pressure
+    val minEst = got.map(_._2).min
+    exact.foreach { case (t, c) =>
+      if (c > minEst) assert(got.exists(_._1 == t),
+        s"$t (true=$c) missing from summary with minEst=$minEst")
+    }
+  }
+
   test("s_stream_retention: chunked bitmap spans a >64-day horizon; " +
     "beyond-horizon activity is counted, not silent") {
     // Round-10 verdict item 5 + the round-9 advice on silent truncation:

@@ -451,4 +451,53 @@ class StressSpec extends SparkSuite {
       spark.sparkContext.removeSparkListener(listener)
     }
   }
+
+  test("BpeTrain shuffle volume is vocabulary-bounded, not corpus-bounded: " +
+    "20x corpus, same merges, ~same shuffle records") {
+    // The scale claim behind training BPE on the word-frequency dict: the
+    // corpus is touched once (dict build, map-side-combined down to
+    // vocab-sized partials) and every merge iteration shuffles only
+    // dict-derived pair counts. A 20x-replicated corpus (identical word
+    // MULTISET x20) must therefore produce the identical merge sequence
+    // with pair weights exactly x20 — and near-identical total shuffle
+    // records, where a corpus-shaped trainer would pay ~20x.
+    def corpus(copies: Int) = spark.range(2000L * copies).selectExpr(
+      "id as doc_id",
+      // 8 words per doc from a 17-word vocabulary, driven by id MOD 2000
+      // so every copy block repeats the same multiset
+      "concat_ws(' ', transform(sequence(0, 7), " +
+        "p -> concat('w', cast((id % 2000) * (p + 3) % 17 as string)))) as text")
+    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          shuffleRecords.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    def measured(copies: Int): (Seq[graft.operators.BpeTrain.Merge], Long) = {
+      shuffleRecords.set(0L)
+      val merges = graft.operators.BpeTrain.train(
+        graft.operators.BpeTrain.wordDict(corpus(copies)), numMerges = 5)
+      org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+      (merges, shuffleRecords.get())
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (m1, r1) = measured(1)
+      val (m20, r20) = measured(20)
+      assert(m1.size == 5 && m20.size == 5)
+      m1.zip(m20).foreach { case (a, b) =>
+        assert(a.left == b.left && a.right == b.right && a.rank == b.rank,
+          s"merge sequence diverged: $a vs $b")
+        assert(b.weight == a.weight * 20,
+          s"pair weight must scale exactly with replication: $a vs $b")
+      }
+      info(s"shuffle records: 1x corpus $r1 vs 20x corpus $r20")
+      assert(r20 <= r1 * 2,
+        s"20x corpus must not shuffle ~20x records ($r1 -> $r20): " +
+          "the dict build's map-side combine or the pair count is broken")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
 }
