@@ -894,6 +894,40 @@ object JoinQueries {
           "left_anti")
         .groupBy("s_name").agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
+    },
+
+    // Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the
+    // semantic corner where plain equi-joins silently drop rows — a NULL
+    // join key must match the dim's NULL bucket, not vanish. Nullable
+    // keys derive deterministically (NULLIF(k % 23, 11)) on both sides
+    // so both engines see identical NULL populations. Output ordering
+    // pins NULLS FIRST explicitly — the engines' defaults differ
+    // (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST). Planning note:
+    // Spark plans a null-safe equi-condition as a HASH join on the
+    // key's null-wrapped form — not a nested loop — so the shape
+    // survives scale like any equi-join.
+    Q("q_join_null_safe",
+      s"""WITH f AS (
+         |  SELECT NULLIF(o_custkey % 23, 11) AS grp, o_totalprice
+         |  FROM orders),
+         |d AS (
+         |  SELECT DISTINCT NULLIF(c_custkey % 23, 11) AS dgrp
+         |  FROM customer)
+         |SELECT grp, COUNT(*) AS n,
+         |  ${Dsl.d2dSql(Dsl.dsumSql("o_totalprice"))} AS total
+         |FROM f JOIN d ON f.grp IS NOT DISTINCT FROM d.dgrp
+         |GROUP BY grp ORDER BY grp NULLS FIRST""".stripMargin) { (s, d) =>
+      val f = Tables.orders(s, d)
+        .select(nullif(col("o_custkey") % 23, lit(11)).as("grp"),
+          col("o_totalprice"))
+      val dim = Tables.customer(s, d)
+        .select(nullif(col("c_custkey") % 23, lit(11)).as("dgrp"))
+        .distinct()
+      f.join(broadcast(dim), col("grp") <=> col("dgrp"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          Dsl.d2d(Dsl.dsum(col("o_totalprice"))).as("total"))
+        .orderBy(col("grp").asc_nulls_first)
     }
   )
 }

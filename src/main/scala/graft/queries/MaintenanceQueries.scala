@@ -126,6 +126,45 @@ object MaintenanceQueries {
         .orderBy("ingest")
     },
 
+    // Dynamic partition overwrite: rewrite ONLY the partitions the
+    // incoming frame touches — the daily-restatement primitive for a
+    // partitioned 100 TB table (static overwrite mode would TRUNCATE the
+    // whole root; the conf scopes the write to the partitions present in
+    // the data). Writes lineitem partitioned by l_returnflag, restates
+    // just the R partition with doubled quantities, and reports per-flag
+    // counts and exact sums before/after — MaintenanceSpec asserts A/N
+    // survive bit-identically while R doubles.
+    Q.cap("cap_sink_dynamic_overwrite") { (s, d) =>
+      val root = Scratch.dir("dynover")
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      li.write.mode("overwrite").partitionBy("l_returnflag").parquet(root)
+      // materialize the before-stats NOW — a lazy read over the same root
+      // would execute after the restatement and see the rewritten data
+      val before = s.read.parquet(root).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_before"),
+          graft.core.Dsl.dsum(col("l_quantity")).as("q_before"))
+        .localCheckpoint(true)
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        li.filter(col("l_returnflag") === "R")
+          .withColumn("l_quantity", col("l_quantity") * 2)
+          .write.mode("overwrite").partitionBy("l_returnflag").parquet(root)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      val after = s.read.parquet(root).groupBy(col("l_returnflag").as("flag2"))
+        .agg(count(lit(1)).as("n_after"),
+          graft.core.Dsl.dsum(col("l_quantity")).as("q_after"))
+      before.join(after, col("l_returnflag") === col("flag2"))
+        .select(col("l_returnflag"), col("n_before"), col("n_after"),
+          graft.core.Dsl.d2d(col("q_before")).as("sum_before"),
+          graft.core.Dsl.d2d(col("q_after")).as("sum_after"))
+        .orderBy("l_returnflag")
+    },
+
     // Small-file compaction ([[graft.operators.Compaction]]): fragment
     // lineitem into 64 splinter files, compact to 4, and report the
     // before/after file counts plus row parity in one frame.

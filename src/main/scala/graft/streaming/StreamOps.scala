@@ -409,6 +409,28 @@ object StreamOps {
       .select(col("p_id"), col("user_id"), col("pts"), col("vts"))
   }
 
+  /** LEFT OUTER stream-stream interval join (s_stream_join_outer): the
+    * attribution join that must also SURFACE unattributed purchases —
+    * the rows an inner join silently drops. Semantics are
+    * watermark-driven: a purchase with no qualifying view is held in
+    * state until the view-side watermark proves no future view can still
+    * fall inside its trailing window, then emits with a NULL vts. Same
+    * state bound as [[purchaseViewJoin]] (the outer row adds one held
+    * purchase per pending window, reclaimed at watermark). */
+  def purchaseViewJoinOuter(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = ltz(purchases)
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val v = ltz(views)
+      .select(col("user_id").as("vu"), col("ts").as("vts"))
+      .withWatermark("vts", "25 hours")
+    p.join(v, col("user_id") === col("vu") &&
+        col("vts") < col("pts") &&
+        col("vts") >= col("pts") - expr("INTERVAL 24 HOURS"),
+      "left_outer")
+      .select(col("p_id"), col("user_id"), col("pts"), col("vts"))
+  }
+
   /** foreachBatch JDBC upsert: idempotent incremental load keyed on the
     * natural key (s_stream_foreachbatch; the daily-increment DB pattern).
     *

@@ -84,4 +84,24 @@ class MaintenanceSpec extends SparkSuite {
       .toSeq.sortBy(_._1)
     assert(typed.nonEmpty && typed == decl)
   }
+
+  test("dynamic partition overwrite restates ONLY the touched partition") {
+    val rows = SparkEntry.queries("cap_sink_dynamic_overwrite")(spark, sf("0.001"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows.keySet == Set("A", "N", "R"))
+    // untouched partitions survive bit-identically — a static overwrite
+    // would have truncated them away entirely
+    Seq("A", "N").foreach { f =>
+      val (nb, na, sb, sa) = rows(f)
+      assert(nb == na && nb > 0, s"$f rows changed: $nb -> $na")
+      assert(sb == sa, s"$f sum changed: $sb -> $sa")
+    }
+    // the restated partition carries the rewrite: same rows, doubled sum
+    // (x2 is a power-of-two scale, so the doubles compare exactly)
+    val (nb, na, sb, sa) = rows("R")
+    assert(nb == na && nb > 0)
+    assert(sa == sb * 2, s"R sum must double exactly: $sb -> $sa")
+  }
 }

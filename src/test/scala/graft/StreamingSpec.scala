@@ -587,6 +587,43 @@ class StreamingSpec extends SparkSuite {
     assert(want.nonEmpty && got == want)
   }
 
+  test("s_stream_join_outer: unattributed purchases surface with NULL " +
+    "after the watermark closes their window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val memP = MemoryStream[Ev]
+    val memV = MemoryStream[Ev]
+    val q = StreamOps.purchaseViewJoinOuter(memP.toDF(), memV.toDF()).writeStream
+      .format("memory").queryName("s_join_outer").outputMode("append").start()
+    memP.addData(fixture.filter(_.event_type == "purchase"))
+    memV.addData(fixture.filter(_.event_type == "view"))
+    q.processAllAvailable()
+    // the sentinel advances BOTH watermarks far past every fixture window,
+    // forcing held unmatched purchases to emit their NULL row
+    memP.addData(Seq(sentinel)); memV.addData(Seq(sentinel))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("s_join_outer")
+      .filter(col("user_id") =!= sentinel.user_id)
+      .collect().map(_.toString).sorted.toSeq
+    val ev = Tables.events(spark, sf("0.001"))
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("pts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").as("vts"))
+    val want = p.join(v, col("user_id") === col("vu") &&
+        col("vts") < col("pts") &&
+        col("vts") >= col("pts") - expr("INTERVAL 24 HOURS"), "left_outer")
+      .select(col("p_id"), col("user_id"), col("pts"), col("vts"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(want.nonEmpty && got == want)
+    // the outer rows are the point: some purchase must be unattributed
+    assert(spark.table("s_join_outer")
+      .filter(col("user_id") =!= sentinel.user_id && col("vts").isNull)
+      .count() > 0, "fixture must contain at least one view-less purchase")
+  }
+
   test("s_stream_file: file-drop source tumbling agg == batch twin") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_drop").toString
