@@ -3,6 +3,7 @@ package graft.streaming
 import graft.core.Dsl
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** SURVEY §2.10 Structured Streaming operators (s_* capability tier).
   *
@@ -210,6 +211,87 @@ object StreamOps {
           out.result().iterator
       }
       .toDF("event_id", "user_id", "purchase_us", "view_us")
+  }
+
+  /** Session state for [[sessionTimeoutStream]]: start/last in event-time
+    * micros plus the exact DECIMAL(18,4) value total as unscaled
+    * ten-thousandths — FP-order-free, and re-emitted through the SAME
+    * d2d expression tree as the batch twin (d2d is one ulp away from the
+    * correctly-rounded conversion for some fractions — e.g. 2.97 — so a
+    * "mathematically equal" different tree would NOT be bit-equal). */
+  final case class SessTO(startUs: Long, lastUs: Long, n: Long, units: Long)
+
+  /** Timeout-driven sessionization (s_stream_timeout): the
+    * flatMapGroupsWithState + EventTimeTimeout formulation of
+    * [[sessionAgg]] — the escape hatch when session semantics need
+    * custom per-event logic the built-in session_window can't express
+    * (here it reproduces session_window exactly, which is the point:
+    * StreamingSpec gates it row-for-row against batch q_sessionize).
+    * Within a batch, gaps > the threshold close sessions inline; the
+    * LAST open session per user closes when the event-time watermark
+    * passes last + gap and the state store fires hasTimedOut — state is
+    * removed, so an idle user costs nothing after the timeout. The
+    * timeout timestamp clamps to watermark+1 (setTimeoutTimestamp
+    * rejects values at or behind the watermark — the backlog-replay
+    * corner where last+gap is already in the past). */
+  def sessionTimeoutStream(events: DataFrame, gapHours: Int = 12): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapHours.toLong * 3600L * 1000000L
+    // the watermark COLUMN (ts) must survive into the typed frame —
+    // projecting it into a derived long hides it from the event-time
+    // timeout check; micros are derived inside the lambda instead
+    val typed = ltz(events).withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"),
+        // exact unscaled DECIMAL(18,4): decimal cast first, THEN the
+        // exact x10000 — rounding v*10000 in FP could round differently
+        expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)").as("units"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessTO, (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[SessTO]) =>
+          def closed(s: SessTO) = (user, s.startUs, s.n, s.units)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(closed(s))
+          } else {
+            val out = Seq.newBuilder[(Long, Long, Long, Long)]
+            var cur = state.getOption
+            rows.toSeq.map { case (_, t, units) => (micros(t), units) }
+              .sortBy(_._1).foreach { case (us, units) =>
+              cur match {
+                case Some(s) if us - s.lastUs <= gapUs =>
+                  cur = Some(SessTO(s.startUs, us, s.n + 1, s.units + units))
+                case Some(s) =>
+                  out += closed(s)
+                  cur = Some(SessTO(us, us, 1L, units))
+                case None =>
+                  cur = Some(SessTO(us, us, 1L, units))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(math.max(
+                (s.lastUs + gapUs) / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            out.result().iterator
+          }
+      }
+      .toDF("user_id", "start_us", "n_events", "units")
+      .select(col("user_id"),
+        expr("CAST(timestamp_micros(start_us) AS TIMESTAMP)").as("session_start"),
+        col("n_events"),
+        // rebuild the exact DECIMAL(18,4) (units x 0.0001 is an exact
+        // decimal multiply) and convert through the SAME d2d tree as the
+        // batch twin — bit-equality, not just mathematical equality
+        d2d((col("units").cast(DecimalType(20, 0)) *
+          lit(0.0001).cast(DecimalType(4, 4))).cast(D18)).as("sum_value"))
   }
 
   /** Streaming EWMA (s_stream_ewma): the SCALE form of q_time_ewma's

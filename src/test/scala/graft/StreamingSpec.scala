@@ -80,6 +80,34 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("s_stream_timeout: EventTimeTimeout sessionization == batch twin, " +
+    "idle-user state removed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.sessionTimeoutStream(mem.toDF()).writeStream
+      .format("memory").queryName("s_timeout").outputMode("append").start()
+    mem.addData(fixture)
+    q.processAllAvailable()
+    // sentinel batch advances the event-time watermark past every open
+    // session's last+gap; timed-out groups FIRE on the next trigger
+    // (watermark updates at batch end), so a second nudge flushes them
+    mem.addData(Seq(sentinel))
+    q.processAllAvailable()
+    mem.addData(Seq(sentinel.copy(event_id = 999998L)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("s_timeout")
+      .filter(col("user_id") =!= sentinel.user_id)
+      .select(col("user_id"), col("session_start").cast("timestamp_ntz"),
+        col("n_events"), col("sum_value"))
+      .collect().map(_.toString).sorted.toSeq
+    val want = SparkEntry.queries("q_sessionize")(spark, sf("0.001"))
+      .select(col("user_id"), col("session_start"), col("n_events"), col("sum_value"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(want.nonEmpty && got == want)
+  }
+
   test("s_stream_dedup: duplicate event_ids within watermark are dropped") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
