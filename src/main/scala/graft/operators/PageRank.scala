@@ -34,7 +34,12 @@ object PageRank {
       .distinct()
       .localCheckpoint(true) // materialize once; every iteration reuses it
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val withDeg = e.join(outdeg, "src").localCheckpoint(true)
+    // hash-partition the materialized edge frame by src: distinct() leaves
+    // it partitioned by (src, dst), which would force a fresh edge-side
+    // exchange EVERY iteration; partitioned by src, only the rank side
+    // moves per iteration (the in-session analogue of bucketing by src)
+    val withDeg = e.join(outdeg, "src")
+      .repartition(col("src")).localCheckpoint(true)
     // One-row node-count frame, crossed onto node-sized frames only (the
     // broadcast-one-row-stats idiom; never a data-sized cross join).
     val nodes = e.select(col("src").as("node"))

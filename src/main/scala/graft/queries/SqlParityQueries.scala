@@ -37,7 +37,10 @@ object SqlParityQueries {
     "q_union_all", "q_intersect", "q_except",
     "q_topk_global", "q_sort_multi",
     "q_window_rank",
-    "q_tpch_q3", "q_tpch_q6")
+    "q_tpch_q3", "q_tpch_q6",
+    // round-10 third session: IS NOT DISTINCT FROM parses in both
+    // dialects (the <=> corner), as does the degree-profile double agg
+    "q_join_null_safe", "q_graph_degree")
 
   /** Register every fixture parquet as a temp view so oracle SQL table
     * names resolve. Uses the same readers as the DataFrame path (events

@@ -500,4 +500,62 @@ class StressSpec extends SparkSuite {
       spark.sparkContext.removeSparkListener(listener)
     }
   }
+
+  test("HeavyHitters shuffles one summary per task, not the key domain: " +
+    "400k rows / 100k keys, exact top-10 recovered") {
+    // 10 hot keys at 20k rows each + a 100k-key tail at ~2 rows each. The
+    // sketch's partial+final plan ships ONE m-entry buffer per scan task;
+    // the exact groupBy ships (per-partition-distinct) key counts — the
+    // whole point of the sketch at a 100 TB key domain. Hot keys dominate
+    // every partial min (20k ≫ N/m), so the m=64 summary must contain all
+    // ten with estimates inside the SpaceSaving bound.
+    val rows = spark.range(400000L).selectExpr(
+      "case when id % 2 = 0 then concat('hot', cast((id div 2) % 10 as string)) " +
+        "else concat('tail', cast(id % 100000 as string)) end as term")
+      .repartition(8).localCheckpoint(eager = true)
+    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          shuffleRecords.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    def measure[A](body: => A): (A, Long) = {
+      shuffleRecords.set(0L)
+      val a = body
+      org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+      (a, shuffleRecords.get())
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      import org.apache.spark.sql.functions._
+      val (sketch, skRecords) = measure {
+        rows.agg(graft.operators.HeavyHitters.heavyHitters(64)(col("term")).as("sk"))
+          .select(explode(col("sk")).as("e"))
+          .select(col("e._1"), col("e._2"), col("e._3"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      }
+      val (exact, exRecords) = measure {
+        rows.groupBy("term").count()
+          .orderBy(desc("count"), col("term")).limit(10)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      // exact top-10 = the hot keys; the sketch's 10 largest estimates
+      // must be exactly that set
+      val top10 = sketch.sortBy { case (t, c, _) => (-c, t) }.take(10)
+      assert(top10.map(_._1).toSet == exact.keySet,
+        s"sketch top-10 ${top10.toSeq} != exact ${exact.keySet}")
+      top10.foreach { case (t, est, err) =>
+        val tru = exact(t)
+        assert(est >= tru && est - err <= tru,
+          s"$t: est $est err $err outside bound around true $tru")
+      }
+      info(s"shuffle records: sketch $skRecords vs exact groupBy $exRecords")
+      assert(skRecords * 100 <= exRecords,
+        s"sketch must ship ~tasks summaries, not the key domain " +
+          s"($skRecords vs $exRecords)")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
 }
