@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.operators._
+
+/** The library's one-stop user surface: every generic operator, grouped by
+  * domain, each delegating to its implementation in [[graft.operators]]
+  * (see the target's scaladoc for schema contracts and the 100 TB design
+  * notes; ApiSpec drives each group through this facade).
+  *
+  * Three ways to consume the library:
+  *   1. this facade — `Graft.dedup.semantic(embeddings, tau = 0.9)`;
+  *   2. the SQL extension — `--conf spark.sql.extensions=graft.GraftExtensions`
+  *      registers `graft_dot`/`graft_ngrams`/`graft_normalize`, the as-of
+  *      join strategy, the range-join rewrite, and the window lint into
+  *      any Spark deployment with no code changes;
+  *   3. the contract registry — [[SparkEntry.queries]], 140+ named
+  *      oracle-verified query implementations over the fixture schema.
+  */
+object Graft {
+
+  /** Deduplication: exact, MinHash-LSH, SimHash, semantic (embedding),
+    * span-level; connected-component survivor selection. */
+  object dedup {
+    /** Candidate near-dup pairs via MLlib MinHash-LSH banding. */
+    def minhashPairs(documents: DataFrame, minJaccard: Double): DataFrame =
+      MinHashDedup.candidatePairs(documents, minJaccard)
+    /** Exact-Jaccard pairs via hashed-shingle postings (no all-pairs). */
+    def jaccardPairs(documents: DataFrame, minJ: Double): DataFrame =
+      InvertedJaccard.pairs(documents, minJ)
+    /** 64-bit SimHash fingerprints for [[simhashPairs]] (bucketCols
+      * append to the band key — e.g. Seq("lang", "source")). */
+    def simhashFingerprints(docs: DataFrame,
+                            bucketCols: Seq[String] = Nil): DataFrame =
+      SimHashBanding.fingerprints64(docs, bucketCols)
+    /** Hamming-banded near-dup pairs over fingerprints (density-routed). */
+    def simhashPairs(fingerprints: DataFrame, maxHamming: Int): DataFrame =
+      SimHashBanding.pairs(fingerprints, maxHamming)
+    /** Embedding-cosine duplicate flags at threshold tau (PQ-coded
+      * banding above the routing threshold; codecDir persists codebooks). */
+    def semantic(embeddings: DataFrame, tau: Double, planes: Int = 16): DataFrame =
+      SemanticDedup.flags(embeddings, tau, planes)
+    /** Connected components over a (d1, d2) pair frame (pointer
+      * jumping, log-diameter rounds); returns (v, lbl). */
+    def components(pairs: DataFrame, maxIters: Int = 24): DataFrame =
+      DedupGroups.components(pairs, maxIters)
+    /** Keep one survivor per duplicate component. */
+    def survivors(documents: DataFrame, pairs: DataFrame): DataFrame =
+      DedupGroups.dropDuplicates(documents, pairs)
+    /** Span-level (substring) duplicate coverage per doc. */
+    def spanCoverage(docs: DataFrame, hashed: Boolean = true): DataFrame =
+      SpanDedup.coverage(docs, hashed = hashed)
+  }
+
+  /** Similarity search over embedding columns: exact pruned top-k and the
+    * IVF-PQ persisted-index path. */
+  object sim {
+    /** Exact global top-k cosine pairs (centroid triangle-inequality
+      * pruning; anchorPred bounds the left side). */
+    def topKPairs(embeddings: DataFrame, k: Int): DataFrame =
+      ExactPairsTopK.topPairs(embeddings, k)
+    /** All pairs at cosine ≥ tau, exact, centroid-pruned. */
+    def thresholdPairs(embeddings: DataFrame, tau: Double): DataFrame =
+      ExactPairsTopK.thresholdPairs(embeddings, tau)
+    /** Build / persist / load / query the IVF-PQ ANN index — the index is
+      * DATA (parquet), not driver state. */
+    def buildIndex(embeddings: DataFrame, cells: Int = 8, m: Int = 8): IvfPq.IvfPqIndex =
+      IvfPq.buildIndex(embeddings, cells, m)
+    def saveIndex(index: IvfPq.IvfPqIndex, dir: String): Unit = IvfPq.save(index, dir)
+    def loadIndex(spark: SparkSession, dir: String): IvfPq.IvfPqIndex =
+      IvfPq.load(spark, dir)
+    def query(index: IvfPq.IvfPqIndex, queries: DataFrame, k: Int,
+              anchorPred: Column, nprobe: Int = 4): DataFrame =
+      IvfPq.query(index, queries, k, anchorPred, nprobe)
+  }
+
+  /** Corpus cleansing and tokenizer training — the pretrain data path. */
+  object text {
+    /** normalize + PII-redact projection (idempotent; adds clean_text). */
+    def cleanse(docs: DataFrame, textCol: String = "text"): DataFrame =
+      PretrainPipeline.cleanse(docs, textCol)
+    /** Drop docs whose span-dup fraction exceeds the threshold. */
+    def dropSpanDups(docs: DataFrame, maxDupFrac: Double = 0.5): DataFrame =
+      PretrainPipeline.dropSpanDups(docs, maxDupFrac = maxDupFrac)
+    /** Aggregated word-frequency dict — BPE training input (ONE corpus pass). */
+    def wordDict(docs: DataFrame, textCol: String = "text"): DataFrame =
+      BpeTrain.wordDict(docs, textCol)
+    /** Learn a BPE merge table from the dict (vocab-bounded shuffles). */
+    def bpeTrain(words: DataFrame, numMerges: Int): Seq[BpeTrain.Merge] =
+      BpeTrain.train(words, numMerges)
+    /** Apply a learned merge table; adds bpe_tokens per row. */
+    def bpeEncode(docs: DataFrame, merges: Seq[BpeTrain.Merge]): DataFrame =
+      BpeTrain.encode(docs, merges)
+  }
+
+  /** Join shapes Spark lacks natively. */
+  object joins {
+    /** Single-pass partitioned-merge as-of join (latest right row ≤ left
+      * time per key); also plannable via GraftExtensions' strategy. */
+    def asOf(left: DataFrame, right: DataFrame,
+             leftKeys: Seq[String], rightKeys: Seq[String],
+             leftTime: String, rightTime: String): DataFrame =
+      AsOfJoin.leftAsOfMergeAll(left, right, leftKeys, rightKeys, leftTime, rightTime)
+    /** Skew-mitigated fact⨝dim equi-join (salted key spread). */
+    def salted(big: DataFrame, small: DataFrame,
+               bigKey: String, smallKey: String, salt: Int = 8): DataFrame =
+      SaltedJoin.join(big, small, bigKey, smallKey, salt)
+  }
+
+  /** Distribution statistics without global sorts. */
+  object stats {
+    /** Global rank per row via adaptive histogram offsets (no single-task
+      * sort; skew-safe sub-bucketing). */
+    def withGlobalRank(df: DataFrame, valueCol: String, tieCols: Seq[String],
+                       rankCol: String = "rank"): DataFrame =
+      HistogramRank.withGlobalRank(df, valueCol, tieCols, rankCol)
+    /** SpaceSaving heavy-hitters aggregate column (top-m sketch). */
+    def heavyHitters(m: Int): Column => Column = HeavyHitters.heavyHitters(m)
+  }
+
+  /** Iterative graph analytics as DataFrame iterations. */
+  object graph {
+    /** Damped PageRank over (src, dst) edges; every node must appear as
+      * a src (symmetrize first if the graph can dangle). */
+    def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame =
+      PageRank.run(edges, iters, damping)
+    /** Connected components over a (d1, d2) pair frame. */
+    def components(pairs: DataFrame, maxIters: Int = 24): DataFrame =
+      DedupGroups.components(pairs, maxIters)
+  }
+
+  /** Table maintenance: the operational layer of a partitioned store. */
+  object maintain {
+    /** Compact a splintered directory to evenly-sized files. */
+    def compact(spark: SparkSession, in: String, out: String,
+                targetFiles: Option[Int] = None): Compaction.Stats =
+      Compaction.compact(spark, in, out, targetFiles = targetFiles)
+    /** Write Z-ordered by two columns for multi-dim row-group pruning. */
+    def writeZOrdered(df: DataFrame, dir: String, colA: String, colB: String,
+                      files: Int = 8): Unit =
+      ZOrderLayout.writeZOrdered(df, dir, colA, colB, files)
+  }
+}

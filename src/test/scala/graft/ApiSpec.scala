@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Facade smoke: every [[Graft]] group is drivable end-to-end through the
+  * public surface (deep semantics live in each operator's own spec — this
+  * gate pins the facade's signatures and delegation, so an operator
+  * refactor that breaks the public API fails HERE, not in a user's build).
+  */
+class ApiSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs = graft.core.Tables.documents(spark, sf("0.001"))
+  private def embs = graft.core.Tables.embeddings(spark, sf("0.001"))
+
+  test("dedup group: pairs -> components -> survivors") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val comp = Graft.dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == comp(2L) && comp(2L) == comp(3L))
+    assert(comp(10L) == comp(11L) && comp(1L) != comp(10L))
+    assert(Graft.dedup.jaccardPairs(docs, 0.5).columns.nonEmpty)
+  }
+
+  test("sim group: exact top-k pairs through the facade") {
+    val top = Graft.sim.topKPairs(embs, k = 5).collect()
+    assert(top.length == 5)
+  }
+
+  test("text group: cleanse projects clean_text; BPE trains and encodes") {
+    val cleansed = Graft.text.cleanse(docs)
+    assert(cleansed.columns.contains("clean_text"))
+    val merges = Graft.text.bpeTrain(Graft.text.wordDict(docs), numMerges = 5)
+    assert(merges.size == 5)
+    val enc = Graft.text.bpeEncode(docs, merges)
+    assert(enc.agg(min(col("bpe_tokens"))).head().getInt(0) > 0)
+  }
+
+  test("joins group: as-of and salted joins through the facade") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "lt", "lv")
+    val right = Seq((1L, 9L, "v1"), (1L, 15L, "v2"), (2L, 7L, "v3"))
+      .toDF("rk", "rt", "rv")
+    val asOf = Graft.joins.asOf(left, right, Seq("k"), Seq("rk"), "lt", "rt")
+      .select("lv", "rv").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // p1@10 -> v1@9; p2@20 -> v2@15; p3@5 -> no view before it
+    assert(asOf("p1") == "v1" && asOf("p2") == "v2" && asOf("p3") == null)
+    val big = Seq((1L, 100.0), (1L, 50.0), (2L, 10.0)).toDF("bk", "v")
+    val dim = Seq((1L, "x"), (2L, "y")).toDF("dk", "name")
+    val salted = Graft.joins.salted(big, dim, "bk", "dk", salt = 4)
+      .groupBy("name").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == Map("x" -> 2L, "y" -> 1L))
+  }
+
+  test("stats group: histogram global rank matches a window row_number") {
+    val df = graft.core.Tables.orders(spark, sf("0.001"))
+      .select("o_orderkey", "o_totalprice")
+    val ranked = Graft.stats.withGlobalRank(df, "o_totalprice", Seq("o_orderkey"))
+      .select("o_orderkey", "rank")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.orderBy("o_totalprice", "o_orderkey")
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (k, i) => k -> (i + 1L) }.toMap
+    assert(ranked == want)
+  }
+
+  test("graph group: pageRank conserves mass on a symmetric triangle") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val ranks = Graft.graph.pageRank(edges, iters = 5).collect()
+      .map(_.getDouble(1))
+    assert(math.abs(ranks.sum - 1.0) < 1e-12)
+  }
+
+  test("maintain group: compact reduces the file count, keeps every row") {
+    val in = graft.core.Scratch.dir("api_frag")
+    val out = graft.core.Scratch.dir("api_compact")
+    val o = graft.core.Tables.orders(spark, sf("0.001"))
+    o.repartition(16).write.mode("overwrite").parquet(in)
+    val st = Graft.maintain.compact(spark, in, out, targetFiles = Some(2))
+    assert(st.filesAfter == 2 && st.rows == o.count())
+  }
+}
