@@ -452,39 +452,74 @@ object AggQueries {
       import graft.operators.HistogramRank
       val li = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_quantity").as("v"))
-      val stats = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"),
-          min(col("v").cast("double")).as("lo"),
-          max(col("v").cast("double")).as("hi"))
-        .localCheckpoint(eager = false)
-      val pos = stats.select(col("l_returnflag"),
-        floor((col("n") - 1) / 2.0).cast("long").as("pos"))
-      val med = HistogramRank.valuesAtPositions(li, "l_returnflag", "v",
-          pos, stats = Some(stats))
-        .select(col("grp").as("l_returnflag"), col("v").as("med"))
-        .localCheckpoint(eager = false)
-      // med is one row per group — broadcast back onto the fact rows.
-      // No checkpoint: with level-2 stats DERIVED below, the deviations
-      // frame has exactly one consumer and materializing 600k rows to
-      // local disk was the single biggest cost of this query (round-10
-      // guard: 5.4 s, 2.8x the next-slowest query).
-      val dev = li.join(broadcast(med), "l_returnflag")
-        .select(col("l_returnflag"), abs(col("v") - col("med")).as("dv"))
-      // Level-2 stats need NO scan of dev: the row count is level 1's n
-      // exactly (|v−med| keeps every row), and HistogramRank only needs
-      // BOUNDS for its bucket domain — 0 ≤ |v−med| ≤ max(hi−med, med−lo)
-      // is tight enough and metadata-derived (3 rows joined to 3 rows).
-      val stats2 = stats.join(med, "l_returnflag")
-        .select(col("l_returnflag"), col("n"), lit(0.0).as("lo"),
-          greatest(col("hi") - col("med"), col("med") - col("lo")).as("hi"))
-        .localCheckpoint(eager = false)
-      val pos2 = stats2.select(col("l_returnflag"),
-        floor((col("n") - 1) / 2.0).cast("long").as("pos"))
-      val mad = HistogramRank.valuesAtPositions(dev, "l_returnflag", "dv",
-          pos2, stats = Some(stats2))
-        .select(col("grp").as("l_returnflag"), col("v").as("mad"))
-      med.join(mad, "l_returnflag")
-        .select(col("l_returnflag"), col("med"), col("mad"))
-        .orderBy("l_returnflag")
+      // Routing probe: when the value domain is DISCRETE and small (the
+      // quantity fixture carries 50 distinct values), both order
+      // statistics collapse to count-histogram selection — ONE scan of
+      // the fact builds per-(group, value) counts, and median AND MAD are
+      // then metadata-sized cumulative-count lookups (the deviation
+      // histogram is a regroup of the SAME counts, no second scan). The
+      // continuous-domain fallback below is the prior HistogramRank
+      // two-level selection. (Discrete selection is exact — identical to
+      // the oracle's rank definition — not an approximation.)
+      val ndv = li.agg(approx_count_distinct(col("v"), 0.01).as("ndv"))
+        .head().getLong(0)
+      if (ndv <= 65536) {
+        val counts = li.groupBy("l_returnflag", "v")
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint(true) // ndv-sized; reused by both selections
+        def valueAt(cnts: org.apache.spark.sql.DataFrame, valCol: String,
+                    outCol: String) = {
+          val run = Window.partitionBy("l_returnflag").orderBy(valCol)
+          val all = Window.partitionBy("l_returnflag")
+          // 0-based target index floor((n-1)/2): the value whose
+          // cumulative-count interval [cum−c, cum) covers it
+          cnts.withColumn("cum", sum(col("c")).over(run))
+            .withColumn("p", floor((sum(col("c")).over(all) - 1) / 2.0))
+            .filter(col("cum") - col("c") <= col("p") && col("p") < col("cum"))
+            .select(col("l_returnflag"), col(valCol).as(outCol))
+        }
+        val med = valueAt(counts, "v", "med")
+        val devCounts = counts.join(broadcast(med), "l_returnflag")
+          .groupBy(col("l_returnflag"), abs(col("v") - col("med")).as("dv"))
+          .agg(sum(col("c")).as("c"))
+        med.join(valueAt(devCounts, "dv", "mad"), "l_returnflag")
+          .select(col("l_returnflag"), col("med"), col("mad"))
+          .orderBy("l_returnflag")
+      } else {
+        val stats = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"),
+            min(col("v").cast("double")).as("lo"),
+            max(col("v").cast("double")).as("hi"))
+          .localCheckpoint(eager = false)
+        val pos = stats.select(col("l_returnflag"),
+          floor((col("n") - 1) / 2.0).cast("long").as("pos"))
+        val med = HistogramRank.valuesAtPositions(li, "l_returnflag", "v",
+            pos, stats = Some(stats))
+          .select(col("grp").as("l_returnflag"), col("v").as("med"))
+          .localCheckpoint(eager = false)
+        // med is one row per group — broadcast back onto the fact rows.
+        // No checkpoint: with level-2 stats DERIVED below, the deviations
+        // frame has exactly one consumer and materializing 600k rows to
+        // local disk was the single biggest cost of this query (round-10
+        // guard: 5.4 s, 2.8x the next-slowest query).
+        val dev = li.join(broadcast(med), "l_returnflag")
+          .select(col("l_returnflag"), abs(col("v") - col("med")).as("dv"))
+        // Level-2 stats need NO scan of dev: the row count is level 1's n
+        // exactly (|v−med| keeps every row), and HistogramRank only needs
+        // BOUNDS for its bucket domain — 0 ≤ |v−med| ≤ max(hi−med, med−lo)
+        // is tight enough and metadata-derived (3 rows joined to 3 rows).
+        val stats2 = stats.join(med, "l_returnflag")
+          .select(col("l_returnflag"), col("n"), lit(0.0).as("lo"),
+            greatest(col("hi") - col("med"), col("med") - col("lo")).as("hi"))
+          .localCheckpoint(eager = false)
+        val pos2 = stats2.select(col("l_returnflag"),
+          floor((col("n") - 1) / 2.0).cast("long").as("pos"))
+        val mad = HistogramRank.valuesAtPositions(dev, "l_returnflag", "dv",
+            pos2, stats = Some(stats2))
+          .select(col("grp").as("l_returnflag"), col("v").as("mad"))
+        med.join(mad, "l_returnflag")
+          .select(col("l_returnflag"), col("med"), col("mad"))
+          .orderBy("l_returnflag")
+      }
     },
 
     Q("q_agg_collect_sorted",
