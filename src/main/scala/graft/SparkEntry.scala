@@ -31,7 +31,8 @@ object SparkEntry {
       TokenizerQueries.all ++
       GraphQueries.all ++
       SqlParityQueries.all ++
-      EntropyQueries.all
+      EntropyQueries.all ++
+      InsightQueries.all
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

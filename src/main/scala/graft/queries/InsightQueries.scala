@@ -1,0 +1,399 @@
+package graft.queries
+
+import graft.core.{Dsl, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Higher-order analytics idioms a SECDB-style analyst runs daily over the
+  * fact tables: interval-union coverage (gaps-and-islands), Markov
+  * transition matrices, deterministic hash sampling, last-touch
+  * attribution, top-N concentration, and rate-anomaly flagging.
+  *
+  * Scale story (common to all six): every query is one hash shuffle on a
+  * high-cardinality key (suppkey / user_id / orderkey-hash) followed by
+  * metadata-sized post-aggregation. Window passes are always partitioned
+  * by that key — no global single-task sort touches data-sized frames;
+  * the only unpartitioned frames are post-aggregate outputs bounded by
+  * the key domain (25 transition pairs, ~720 hourly buckets, 25 nations).
+  */
+object InsightQueries {
+  import Dsl._
+
+  /** Deterministic total order for lineitem interval rows — ties in
+    * (start, end) are broken by the full physical key so both engines
+    * compute the identical running maximum (FIXTURES.md: full rows are
+    * distinct at sf0.01; (orderkey, linenumber, partkey) collides only
+    * once at sf0.001, where the colliding rows are identical anyway).
+    */
+  private val ivOrder = Seq("s", "e", "l_orderkey", "l_linenumber", "l_partkey")
+
+  val all: Seq[Q] = Seq(
+    // Interval-union coverage (gaps-and-islands): per supplier, merge the
+    // overlapping shipment windows [shipdate, shipdate + quantity days]
+    // into maximal islands and report how many islands and how many total
+    // covered days. The island test is the classic running-max sweep:
+    // a row opens a new island iff its start exceeds the max end seen so
+    // far; islands are contiguous by construction, so each contributes
+    // exactly (max end − min start) days. All arithmetic is integer date
+    // math — exact in both engines.
+    //
+    // Scale shape: ONE shuffle (hash by l_suppkey), per-key sorted window
+    // sweep (each supplier's group is task-sized at any sf), then two
+    // combinable aggregations that reuse the window's hash layout.
+    Q("q_interval_coverage",
+      """WITH iv AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS s,
+        |         CAST(l_shipdate AS DATE) + CAST(l_quantity AS INTEGER) AS e,
+        |         l_orderkey, l_linenumber, l_partkey
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT *, MAX(e) OVER (PARTITION BY l_suppkey
+        |      ORDER BY s, e, l_orderkey, l_linenumber, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        |  FROM iv),
+        |g AS (
+        |  SELECT *, SUM(CASE WHEN prevmax IS NULL OR s > prevmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY l_suppkey
+        |            ORDER BY s, e, l_orderkey, l_linenumber, l_partkey
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM g0) ,
+        |isl AS (
+        |  SELECT l_suppkey, island, MAX(e) - MIN(s) AS d
+        |  FROM g GROUP BY 1, 2)
+        |SELECT l_suppkey, COUNT(*) AS n_islands,
+        |       CAST(SUM(d) AS BIGINT) AS covered_days
+        |FROM isl GROUP BY l_suppkey ORDER BY l_suppkey"""
+        .stripMargin.replace("FROM g0", "FROM m")) { (s, d) =>
+      val iv = Tables.lineitem(s, d)
+        .select(col("l_suppkey"), to_date(col("l_shipdate")).as("s"),
+          date_add(to_date(col("l_shipdate")),
+            col("l_quantity").cast("int")).as("e"),
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(ivOrder.map(col): _*)
+      val swept = iv
+        .withColumn("prevmax",
+          max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("isNew",
+          when(col("prevmax").isNull || col("s") > col("prevmax"), 1)
+            .otherwise(0))
+        .withColumn("island",
+          sum(col("isNew")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      swept.groupBy("l_suppkey", "island")
+        .agg(datediff(max(col("e")), min(col("s"))).as("d"))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("d")).cast("long").as("covered_days"))
+        .orderBy("l_suppkey")
+    },
+
+    // Markov transition matrix over the event stream: per user, the
+    // (state → next state) counts under the (ts, event_id) total order,
+    // plus each transition's probability within its source state. The
+    // probability is a ratio of two exact BIGINT counts through one IEEE
+    // division — bit-identical across engines. Output is the 5×5 =
+    // ≤25-row matrix (metadata-sized at any sf).
+    //
+    // Scale shape: one shuffle on user_id for the lead() pass (per-user
+    // groups are task-sized), one map-side-combinable count over ≤25
+    // keys, and a window over the 25-row aggregate.
+    Q("q_event_transitions",
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |t AS (
+        |  SELECT from_type, to_type, COUNT(*) AS cnt
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, cnt,
+        |  CAST(cnt AS DOUBLE) /
+        |    CAST(SUM(cnt) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+        |FROM t ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
+      val wSeq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val t = Tables.events(s, d)
+        .select(col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(wSeq).as("to_type"))
+        .where(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("cnt"))
+      t.withColumn("prob",
+          col("cnt").cast("double") /
+            sum(col("cnt")).over(Window.partitionBy("from_type"))
+              .cast("double"))
+        .orderBy("from_type", "to_type")
+    },
+
+    // Deterministic hash sampling: a reproducible ~3.7% Bernoulli sample
+    // of orders selected by Knuth multiplicative hashing on the primary
+    // key — the sampling primitive that lets two independent runs (or two
+    // engines) agree row-for-row on the sample, unlike rand(). Pure
+    // int64 arithmetic (max key · 2654435761 ≪ 2⁶³), identical in both
+    // engines. The filter is pushdown-eligible row-local work; the
+    // aggregate is map-side combinable over 5 priority groups.
+    Q("q_sample_hash",
+      s"""SELECT o_orderpriority, COUNT(*) AS n_sampled,
+         |  ${d2dSql(dsumSql("o_totalprice"))} AS sum_sampled
+         |FROM orders
+         |WHERE (o_orderkey * 2654435761) % 1000 < 37
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .where((col("o_orderkey") * lit(2654435761L)) % 1000 < 37)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_sampled"),
+            d2d(dsum(col("o_totalprice"))).as("sum_sampled"))
+          .orderBy("o_orderpriority")
+    },
+
+    // Last-touch attribution: each purchase is attributed to the most
+    // recent PRECEDING non-purchase event of the same user (the
+    // marketing-channel question). last(... IGNORE NULLS) over the
+    // (ts, event_id)-ordered preceding frame is deterministic under the
+    // total order; purchases with no prior touch land in 'none'.
+    //
+    // Scale shape: one shuffle on user_id, per-user window sweep, then a
+    // ≤5-row combinable aggregate. At 100 TB this is the streaming
+    // flatMapGroupsWithState shape; batch keeps the same partitioning.
+    Q("q_event_attribution",
+      s"""WITH a AS (
+         |  SELECT event_type, value,
+         |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+         |               IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch
+         |  FROM events)
+         |SELECT COALESCE(ch, 'none') AS channel, COUNT(*) AS n_purchases,
+         |  ${d2dSql(dsumSql("value"))} AS revenue
+         |FROM a WHERE event_type = 'purchase'
+         |GROUP BY 1 ORDER BY channel""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"),
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w).as("ch"))
+        .where(col("event_type") === "purchase")
+        .groupBy(coalesce(col("ch"), lit("none")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          d2d(dsum(col("value"))).as("revenue"))
+        .orderBy("channel")
+    },
+
+    // Top-N concentration: per nation, what share of order revenue comes
+    // from its top-5 customers (revenue ties broken by custkey so both
+    // engines pick the same five). Internal arithmetic stays exact
+    // DECIMAL; the share is one IEEE division of the two d2d-converted
+    // exact sums — bit-identical.
+    //
+    // Scale shape: customer is a broadcast dim onto the orders fact; the
+    // per-customer rollup shuffles once on (nation, custkey); the window
+    // runs per nation over ≤|customers-per-nation| aggregated rows; the
+    // final aggregate is 25 rows.
+    Q("q_agg_topn_share",
+      """WITH rev AS (
+        |  SELECT c_nationkey, c_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS r
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |    ORDER BY r DESC, c_custkey) AS rn
+        |  FROM rev),
+        |agg AS (
+        |  SELECT c_nationkey, COUNT(*) AS n_cust,
+        |    CAST(SUM(r) AS DECIMAL(18,4)) AS total_r,
+        |    CAST(SUM(CASE WHEN rn <= 5 THEN r ELSE 0 END) AS DECIMAL(18,4)) AS top5_r
+        |  FROM rk GROUP BY 1)
+        |SELECT c_nationkey, n_cust, %TOT% AS total_rev, %TOP% AS top5_rev,
+        |  %TOP% / %TOT% AS top5_share
+        |FROM agg ORDER BY c_nationkey""".stripMargin
+        .replace("%TOT%", Dsl.d2dSql("total_r"))
+        .replace("%TOP%", Dsl.d2dSql("top5_r"))) { (s, d) =>
+      val rev = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(dsum(col("o_totalprice")).as("r"))
+      val rk = rev.withColumn("rn",
+        row_number().over(Window.partitionBy("c_nationkey")
+          .orderBy(col("r").desc, col("c_custkey"))))
+      rk.groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("r")).cast(D18).as("total_r"),
+          sum(when(col("rn") <= 5, col("r")).otherwise(lit(0))).cast(D18)
+            .as("top5_r"))
+        .select(col("c_nationkey"), col("n_cust"),
+          d2d(col("total_r")).as("total_rev"),
+          d2d(col("top5_r")).as("top5_rev"),
+          (d2d(col("top5_r")) / d2d(col("total_r"))).as("top5_share"))
+        .orderBy("c_nationkey")
+    },
+
+    // Rate-anomaly flagging: hourly event-count buckets whose rate
+    // exceeds 2× the corpus mean. The threshold test is the integer
+    // cross-multiply cnt·n_hours > 2·total — NO floating-point compare
+    // anywhere near the decision boundary, so the flagged set is exact in
+    // both engines; the reported ratio is one IEEE division of exact
+    // int64 products. Stats come from a broadcast one-row aggregate (the
+    // SizeProbe idiom), not a global window.
+    Q("q_time_anomaly",
+      """WITH h AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+        |              COUNT(*) AS n_hours FROM h)
+        |SELECT bucket, cnt,
+        |  CAST(cnt * n_hours AS DOUBLE) / CAST(total AS DOUBLE) AS rate_ratio
+        |FROM h, st
+        |WHERE cnt * n_hours > 2 * total
+        |ORDER BY bucket""".stripMargin) { (s, d) =>
+      val h = Tables.events(s, d)
+        .groupBy(expr("CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ)")
+          .as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val st = h.agg(sum(col("cnt")).cast("long").as("total"),
+        count(lit(1)).as("n_hours"))
+      h.crossJoin(broadcast(st))
+        .where(col("cnt") * col("n_hours") > col("total") * 2)
+        .select(col("bucket"), col("cnt"),
+          ((col("cnt") * col("n_hours")).cast("double") /
+            col("total").cast("double")).as("rate_ratio"))
+        .orderBy("bucket")
+    },
+
+    // Co-occurrence lift between event types at user-day granularity:
+    // lift(a,b) = P(a∧b) / (P(a)·P(b)) over the user-day universe — the
+    // association-mining primitive (PMI without the banned log). The
+    // numerator/denominator are exact BIGINT products (n_ab·n_userdays ≪
+    // 2⁶³) through one IEEE division — bit-identical.
+    //
+    // Scale shape: NO self-join, and ONE pass over the data. The first
+    // shuffle builds per-(user, day) sorted type-sets (collect_set over a
+    // bounded 5-value domain ⇒ O(1) per-key state). Then a single
+    // row-local explode emits a TAGGED union — the ≤C(5,2)=10 pair
+    // structs, the ≤5 singleton structs (tb NULL), and one universe
+    // marker (both NULL) — so ONE ≤16-key aggregation produces n_ab, n_a
+    // AND the user-day count together; numerator and denominators are
+    // filters over that one tally frame (its exchange is reused, not
+    // recomputed), joined back broadcast. The oracle's
+    // distinct-self-join twin would shuffle a pair frame and scan the
+    // events three times; this plan scans once and never puts per-user
+    // pairs on the wire.
+    Q("q_event_lift",
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    event_type
+        |  FROM events),
+        |p AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n_ab
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.day = b.day
+        |   AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |na AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+        |u AS (SELECT COUNT(*) AS nu
+        |      FROM (SELECT DISTINCT user_id, day FROM ut))
+        |SELECT ta, tb, n_ab,
+        |  CAST(n_ab * nu AS DOUBLE) / CAST(x.n * y.n AS DOUBLE) AS lift
+        |FROM p, u
+        |JOIN na x ON p.ta = x.event_type
+        |JOIN na y ON p.tb = y.event_type
+        |ORDER BY ta, tb""".stripMargin) { (s, d) =>
+      val sets = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sort_array(collect_set(col("event_type"))).as("tset"))
+      val tally = sets.select(explode(expr(
+          """concat(
+            |  flatten(transform(tset, (x, i) ->
+            |    transform(slice(tset, i + 2, size(tset)),
+            |              y -> struct(x AS ta, y AS tb)))),
+            |  transform(tset, x ->
+            |    struct(x AS ta, CAST(NULL AS STRING) AS tb)),
+            |  array(struct(CAST(NULL AS STRING) AS ta,
+            |               CAST(NULL AS STRING) AS tb)))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
+        .agg(count(lit(1)).as("c"))
+        // ≤16-row tally: materialize once (the SizeProbe/checkpoint idiom,
+        // eager — documented construction-time job) so the three filter
+        // branches below reread a tiny cached frame instead of re-running
+        // the data-sized sets shuffle per branch
+        .localCheckpoint()
+      val pairs = tally.where(col("ta").isNotNull && col("tb").isNotNull)
+        .select(col("ta"), col("tb"), col("c").as("n_ab"))
+      val na = tally.where(col("ta").isNotNull && col("tb").isNull)
+        .select(col("ta").as("event_type"), col("c").as("n"))
+      val nu = tally.where(col("ta").isNull && col("tb").isNull)
+        .select(col("c").as("nu"))
+      pairs.crossJoin(broadcast(nu))
+        .join(broadcast(na.select(col("event_type").as("ta"),
+          col("n").as("n_a"))), "ta")
+        .join(broadcast(na.select(col("event_type").as("tb"),
+          col("n").as("n_b"))), "tb")
+        .select(col("ta"), col("tb"), col("n_ab"),
+          ((col("n_ab") * col("nu")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double")).as("lift"))
+        .orderBy("ta", "tb")
+    },
+
+    // Forward as-of: time from each purchase to the SAME user's next
+    // 'view' event (re-engagement latency), bucketed by purchase hour of
+    // day. The forward match is min-over-the-following-frame of the
+    // conditional epoch — the mirror of the backward as-of join, kept in
+    // one per-user window pass (no join at all). Latency sums are exact
+    // int64 µs; the mean is one IEEE division of exact operands.
+    //
+    // Scale shape: one shuffle on user_id for the window, then a 24-key
+    // combinable aggregate and the output sort.
+    Q("q_time_to_next",
+      """WITH seq AS (
+        |  SELECT user_id, event_type, ts, epoch_us(ts) AS us,
+        |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS next_view_us
+        |  FROM events)
+        |SELECT CAST(hour(ts) AS INTEGER) AS hh, COUNT(*) AS n_purchases,
+        |  COUNT(next_view_us) AS n_matched,
+        |  CAST(SUM(next_view_us - us) AS BIGINT) AS sum_latency_us,
+        |  CAST(SUM(next_view_us - us) AS DOUBLE) / COUNT(next_view_us)
+        |    AS mean_latency_us
+        |FROM seq WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY hh""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("event_type"), col("ts"),
+          expr("unix_micros(cast(ts as timestamp))").as("us"),
+          min(when(col("event_type") === "view",
+            expr("unix_micros(cast(ts as timestamp))"))).over(w)
+            .as("next_view_us"))
+        .where(col("event_type") === "purchase")
+        .groupBy(hour(col("ts")).as("hh"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("next_view_us")).as("n_matched"),
+          sum(col("next_view_us") - col("us")).cast("long")
+            .as("sum_latency_us"),
+          (sum(col("next_view_us") - col("us")).cast("double") /
+            count(col("next_view_us"))).as("mean_latency_us"))
+        .orderBy("hh")
+    },
+
+    // File-provenance scan (the lineage primitive): per-parquet-file row
+    // counts and sizes from the hidden _metadata struct — how a 100 TB
+    // table audit attributes bad rows back to their source files without
+    // a separate manifest store. Capability-only: DuckDB has no _metadata
+    // twin; InsightSpec gates it against the filesystem listing.
+    Q.cap("cap_scan_metadata") { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("_metadata.file_name").as("file_name"),
+          col("_metadata.file_size").as("file_size"))
+        .groupBy("file_name", "file_size")
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("file_name")
+    }
+  )
+}

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic gates for the insight family (InsightQueries) beyond the
+  * DuckDB hash-parity the driver checks: each query's result must satisfy
+  * the mathematical invariants of the operation it claims to implement,
+  * verified against independently-computed ground truth at sf0.001.
+  */
+class InsightSpec extends SparkSuite {
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, sf("0.001"))
+
+  test("interval coverage equals brute-force day-set union per supplier") {
+    // Ground truth by a method the query never uses: explode every
+    // interval into its covered days and count distinct days per
+    // supplier. Islands count: distinct days minus interior adjacencies.
+    val li = graft.core.Tables.lineitem(spark, sf("0.001"))
+      .select(col("l_suppkey"), to_date(col("l_shipdate")).as("s"),
+        date_add(to_date(col("l_shipdate")), col("l_quantity").cast("int")).as("e"))
+    // day d is covered iff some interval has s <= d < e  (span semantics:
+    // an island [min_s, max_e) contributes max_e - min_s days)
+    val truth = li
+      .select(col("l_suppkey"),
+        explode(sequence(col("s"), date_sub(col("e"), 1))).as("day"))
+      .distinct()
+      .groupBy("l_suppkey").agg(count(lit(1)).as("truth_days"))
+    val got = q("q_interval_coverage")
+    val joined = got.join(truth, "l_suppkey")
+      .where(col("covered_days") =!= col("truth_days"))
+    assert(joined.count() === 0,
+      s"coverage mismatch: ${joined.collect().mkString(", ")}")
+    // islands partition coverage: each island is ≥1 day, so
+    // n_islands <= covered_days, and both are positive
+    assert(got.where(col("n_islands") > col("covered_days") ||
+      col("n_islands") < 1).count() === 0)
+  }
+
+  test("transition matrix counts sum to |events| - |active users|") {
+    // Every user with k events contributes exactly k-1 transitions.
+    val ev = graft.core.Tables.events(spark, sf("0.001"))
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    val t = q("q_event_transitions")
+    val total = t.agg(sum("cnt")).head.getLong(0)
+    assert(total === nEvents - nUsers)
+    // per-source probabilities sum to 1 exactly-enough (each prob is an
+    // exact-ratio double; the sum re-associates, hence the tolerance)
+    val probs = t.groupBy("from_type").agg(sum("prob").as("p"))
+      .where(abs(col("p") - 1.0) > 1e-12)
+    assert(probs.count() === 0)
+  }
+
+  test("hash sample is reproducible and rate lands near 3.7%") {
+    val a = q("q_sample_hash").agg(sum("n_sampled")).head.getLong(0)
+    val b = q("q_sample_hash").agg(sum("n_sampled")).head.getLong(0)
+    assert(a === b, "deterministic sampling must be run-stable")
+    val n = graft.core.Tables.orders(spark, sf("0.001")).count()
+    val rate = a.toDouble / n
+    assert(rate > 0.015 && rate < 0.06, s"rate $rate implausible for 37/1000")
+  }
+
+  test("attribution partitions every purchase into exactly one channel") {
+    val att = q("q_event_attribution")
+    val purchases = graft.core.Tables.events(spark, sf("0.001"))
+      .where(col("event_type") === "purchase").count()
+    assert(att.agg(sum("n_purchases")).head.getLong(0) === purchases)
+    // channels are source event types (or none) — never 'purchase'
+    assert(att.where(col("channel") === "purchase").count() === 0)
+  }
+
+  test("top-5 share is in (0,1] and top5 <= total with equality iff n_cust <= 5") {
+    val r = q("q_agg_topn_share").collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val n = row.getAs[Long]("n_cust")
+      val top5 = row.getAs[Double]("top5_rev")
+      val total = row.getAs[Double]("total_rev")
+      val share = row.getAs[Double]("top5_share")
+      assert(share > 0.0 && share <= 1.0)
+      assert(top5 <= total)
+      if (n <= 5) assert(share === 1.0, s"n_cust=$n must mean full share")
+      else assert(top5 < total)
+    }
+  }
+
+  test("lift equals the distinct-self-join definition (no-self-join plan)") {
+    // Ground truth by the textbook self-join the production plan avoids.
+    val ut = graft.core.Tables.events(spark, sf("0.001"))
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type")).distinct()
+    val truth = ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.day") === col("b.day") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("truth_ab"))
+    val got = q("q_event_lift")
+    assert(got.count() > 0)
+    assert(got.join(truth, Seq("ta", "tb"), "full_outer")
+      .where(col("n_ab").isNull || col("truth_ab").isNull ||
+        col("n_ab") =!= col("truth_ab")).count() === 0)
+    // lift is a proper association measure: positive, and bounded by
+    // nu / max(n_a, n_b) — here just sanity-bound it
+    assert(q("q_event_lift").where(col("lift") <= 0).count() === 0)
+  }
+
+  test("time-to-next matches a brute-force forward scan per purchase") {
+    val ev = graft.core.Tables.events(spark, sf("0.001"))
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getString(3)))
+    val byUser = ev.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.sortBy(r => (r._2.toString, r._3))
+    }
+    var matched = 0L; var purchases = 0L
+    byUser.values.foreach { rows =>
+      rows.zipWithIndex.foreach { case (r, i) =>
+        if (r._4 == "purchase") {
+          purchases += 1
+          if (rows.drop(i + 1).exists(_._4 == "view")) matched += 1
+        }
+      }
+    }
+    val got = q("q_time_to_next")
+      .agg(sum("n_purchases"), sum("n_matched")).head
+    assert(got.getLong(0) === purchases)
+    assert(got.getLong(1) === matched)
+  }
+
+  test("scan metadata accounts for every row and every file on disk") {
+    val got = q("cap_scan_metadata").collect()
+    val total = graft.core.Tables.lineitem(spark, sf("0.001")).count()
+    assert(got.map(_.getAs[Long]("n_rows")).sum === total)
+    // the fixture is a single parquet file; _metadata must name it and
+    // report its exact on-disk byte size
+    val f = new java.io.File(sf("0.001") + "/lineitem.parquet")
+    assert(got.map(_.getAs[String]("file_name")).toSet === Set(f.getName))
+    assert(got.map(_.getAs[Long]("file_size")).toSet === Set(f.length()))
+  }
+
+  test("anomaly flags exactly the hours above 2x mean rate") {
+    val h = graft.core.Tables.events(spark, sf("0.001"))
+      .groupBy(expr("CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ)").as("b"))
+      .agg(count(lit(1)).as("c")).collect()
+    val total = h.map(_.getAs[Long]("c")).sum
+    val nh = h.length.toLong
+    val want = h.filter(r => r.getAs[Long]("c") * nh > 2 * total)
+      .map(_.getAs[java.time.LocalDateTime]("b")).toSet
+    val got = q("q_time_anomaly").collect()
+      .map(_.getAs[java.time.LocalDateTime]("bucket")).toSet
+    assert(got === want)
+  }
+}

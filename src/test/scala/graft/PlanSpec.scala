@@ -182,7 +182,26 @@ class PlanSpec extends SparkSuite {
       // each snapshot hash-shuffled on the key once, one full-outer SMJ,
       // the tiny status rollup and output sort after it.
       "q_stat_winsorize" -> "shuffle=2,broadcast=0",
-      "q_snapshot_diff" -> "shuffle=4,broadcast=0,SortMergeJoin=1")
+      "q_snapshot_diff" -> "shuffle=4,broadcast=0,SortMergeJoin=1",
+      // round 10 fourth session: the insight family. Coverage/sample are
+      // ONE data shuffle + the output sort (the (suppkey, island) rollup
+      // rides the window's hash(suppkey) layout — subset-key clustering);
+      // attribution adds only the ≤5-row channel rollup; transitions'
+      // extra exchanges are over the ≤25-row matrix; topn_share keeps
+      // customer broadcast and re-keys once from (nation, cust) to
+      // nation; anomaly's 4th exchange is the one-row stats agg
+      // (SizeProbe idiom), broadcast back via the nested-loop crossJoin.
+      "q_interval_coverage" -> "shuffle=2,broadcast=0",
+      "q_event_transitions" -> "shuffle=4,broadcast=0",
+      "q_sample_hash" -> "shuffle=2,broadcast=0",
+      "q_event_attribution" -> "shuffle=3,broadcast=0",
+      "q_agg_topn_share" -> "shuffle=3,broadcast=1,BroadcastHashJoin=1",
+      "q_time_anomaly" -> "shuffle=4,broadcast=1,BroadcastNestedLoopJoin=1",
+      // lift's two data shuffles (user-day sets, 16-key tagged tally) run
+      // once inside the eager checkpoint; the gated plan is the tiny
+      // matrix join + sort. time_to_next is one user-window pass.
+      "q_event_lift" -> "shuffle=1,broadcast=3,BroadcastHashJoin=2,BroadcastNestedLoopJoin=1",
+      "q_time_to_next" -> "shuffle=3,broadcast=0")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
