@@ -472,6 +472,42 @@ object StreamOps {
       .toDF("o_custkey", "n_streaks", "n_orders")
   }
 
+  /** Streaming last-touch attribution (s_stream_attribution): the
+    * O(1)-state streaming form of q_event_attribution. State per user is
+    * ONE value — the type of the most recent non-purchase event seen so
+    * far; each micro-batch folds its rows in (event-time, event_id)
+    * order on top of it and emits one (channel, value) row per purchase.
+    * Under the per-user event-time-ordered arrival contract (the
+    * [[asOfStream]] trade, documented there) the fold's running last
+    * IS the batch window's LAST_VALUE(... IGNORE NULLS) over the
+    * preceding frame, so the emitted rows aggregate to exactly the
+    * batch twin's channel totals — StreamingSpec gates that equality
+    * including the exact-decimal revenue sums. */
+  def attributionStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = ltz(events)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[String, (Long, Long, String, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[String]) =>
+          var last = state.getOption.getOrElse("none")
+          val out =
+            scala.collection.mutable.ArrayBuffer[(Long, Long, String, Double)]()
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            if (r._4 == "purchase") out += ((user, r._3, last, r._5))
+            else last = r._4
+          }
+          state.update(last)
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "channel", "value")
+  }
+
   /** Stream-stream event-time interval join (s_stream_join): each
     * purchase matched to the same user's views in the trailing 24 h —
     * the attribution-join shape. Both sides carry watermarks and the join

@@ -355,6 +355,39 @@ class StreamingSpec extends SparkSuite {
       s"streaming funnel $gotCounts diverged from batch $want")
   }
 
+  test("s_stream_attribution: per-user last-touch state == batch channel totals") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val ldtOrd: Ordering[java.time.LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    // event-time-ordered arrival split across two micro-batches: a user
+    // whose last touch lands in batch 1 and purchase in batch 2 must
+    // still attribute to that touch (state carries the channel over)
+    val ordered = fixture.sortBy(e => (e.ts, e.event_id))
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.attributionStream(mem.toDF()).writeStream
+      .format("memory").queryName("s_attr").outputMode("update").start()
+    mem.addData(ordered.take(ordered.length / 2))
+    q.processAllAvailable()
+    mem.addData(ordered.drop(ordered.length / 2))
+    q.processAllAvailable()
+    q.stop()
+    // each purchase is emitted exactly once; re-aggregate with the batch
+    // twin's own exact-decimal pipeline and compare row-for-row
+    val got = spark.table("s_attr")
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        graft.core.Dsl.d2d(graft.core.Dsl.dsum(col("value"))).as("revenue"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)))).toSet
+    val want = SparkEntry.queries("q_event_attribution")(spark, sf("0.001"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)))).toSet
+    assert(want.nonEmpty && want.size > 1, "fixture must hit several channels")
+    assert(got == want,
+      s"streaming attribution $got diverged from batch $want")
+  }
+
   test("s_stream_pattern: O(1)-state streak counter == batch lag-window top-100") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
