@@ -3,6 +3,7 @@ package graft.queries
 import graft.core.{Dsl, Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Higher-order analytics idioms a SECDB-style analyst runs daily over the
   * fact tables: interval-union coverage (gaps-and-islands), Markov
@@ -382,6 +383,90 @@ object InsightQueries {
         .orderBy("hh")
     },
 
+    // Rolling 7-day distinct purchasing users per day (the DAU/WAU
+    // retention-dashboard shape). Exact sliding COUNT DISTINCT is
+    // non-decomposable, so the scale plan is the bounded-expansion
+    // rewrite: each distinct (user, purchase-day) row is exploded to the
+    // ≤7 spine days it is visible in (a fixed ×7 blowup of an
+    // already-deduped frame — linear, shuffle on the spine day), then a
+    // plain two-level distinct count per day. The spine is the set of
+    // active days, so no dense calendar join is needed.
+    Q("q_time_rolling_distinct",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events WHERE event_type = 'purchase'),
+        |vis AS (
+        |  SELECT user_id, day + CAST(k AS INTEGER) AS vday
+        |  FROM ud, (SELECT unnest(range(0, 7)) AS k) ks),
+        |spine AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS vday
+        |          FROM events)
+        |SELECT CAST(s.vday AS TIMESTAMP) AS day,
+        |       COUNT(DISTINCT v.user_id) AS u7
+        |FROM spine s JOIN vis v ON v.vday = s.vday
+        |GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val ud = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val vis = ud.select(col("user_id"),
+        explode(expr("transform(sequence(0, 6), k -> date_add(day, k))"))
+          .as("vday"))
+      val spine = ev.select(to_date(col("ts")).as("vday")).distinct()
+      spine.join(vis, "vday")
+        .groupBy(col("vday").cast("timestamp_ntz").as("day"))
+        .agg(countDistinct(col("user_id")).as("u7"))
+        .orderBy("day")
+    },
+
+    // Gini coefficient of revenue concentration per nation — exact, via
+    // the positional identity G = Σ(2i−n−1)·x(i) / (n·Σx) over revenues
+    // sorted ascending (ties broken by custkey ⇒ the numerator is
+    // invariant under tie order only up to equal x values, which is
+    // exactly when it doesn't matter). Numerator and denominator stay
+    // DECIMAL end-to-end; one double division at the end.
+    //
+    // Scale shape: broadcast dim onto the fact, one (nation, cust)
+    // rollup shuffle, per-nation window over the aggregated frame, and a
+    // 25-row output.
+    Q("q_agg_gini",
+      """WITH rev AS (
+        |  SELECT c_nationkey, c_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS r
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |                       ORDER BY r, c_custkey) AS i,
+        |    COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+        |  FROM rev)
+        |SELECT c_nationkey, MAX(n) AS n_cust,
+        |  %NUM% / (MAX(n) * %DEN%) AS gini
+        |FROM rk GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+        .replace("%NUM%", Dsl.d2dSql(
+          "CAST(SUM(CAST(CAST(2*i - n - 1 AS DECIMAL(10,0)) * r AS DECIMAL(28,4))) AS DECIMAL(28,4))"))
+        .replace("%DEN%", Dsl.d2dSql("CAST(SUM(r) AS DECIMAL(18,4))"))) {
+      (s, d) =>
+        val rev = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)
+            .select("c_custkey", "c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey", "c_custkey")
+          .agg(dsum(col("o_totalprice")).as("r"))
+        val w = Window.partitionBy("c_nationkey")
+        val rk = rev
+          .withColumn("i", row_number().over(w.orderBy(col("r"), col("c_custkey"))))
+          .withColumn("n", count(lit(1)).over(w))
+        rk.groupBy("c_nationkey")
+          .agg(max(col("n")).as("n_cust"),
+            sum(((col("i") * 2 - col("n") - 1).cast(DecimalType(10, 0)) *
+              col("r")).cast(DecimalType(28, 4))).cast(DecimalType(28, 4))
+              .as("num"),
+            sum(col("r")).cast(D18).as("den"))
+          .select(col("c_nationkey"), col("n_cust"),
+            (d2d(col("num")) / (col("n_cust") * d2d(col("den")))).as("gini"))
+          .orderBy("c_nationkey")
+    },
+
     // File-provenance scan (the lineage primitive): per-parquet-file row
     // counts and sizes from the hidden _metadata struct — how a 100 TB
     // table audit attributes bad rows back to their source files without
@@ -394,6 +479,21 @@ object InsightQueries {
         .groupBy("file_name", "file_size")
         .agg(count(lit(1)).as("n_rows"))
         .orderBy("file_name")
+    },
+
+    // LTTB downsampling of each event-type value series to ≤32 visually
+    // representative points (fixed-anchor parallel variant — see
+    // operators/Lttb.scala for the algorithm and determinism contract).
+    // Capability-only: the triangle-area argmax has no tractable DuckDB
+    // twin; InsightSpec gates it against a driver-side reference
+    // implementation point-for-point.
+    Q.cap("cap_time_lttb") { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"),
+        col("value"), col("event_id"))
+      graft.operators.Lttb
+        .downsample(ev, "event_type", "us", "value", "event_id", 32)
+        .orderBy("event_type", "bucket")
     }
   )
 }

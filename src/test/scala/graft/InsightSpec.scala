@@ -140,6 +140,104 @@ class InsightSpec extends SparkSuite {
     assert(got.map(_.getAs[Long]("file_size")).toSet === Set(f.length()))
   }
 
+  test("rolling 7-day distinct equals per-day brute-force recount") {
+    val ev = graft.core.Tables.events(spark, sf("0.001"))
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getAs[java.sql.Date](1).toLocalDate,
+        r.getString(2)))
+    val spine = ev.map(_._2).distinct
+    val purch = ev.filter(_._3 == "purchase").map(r => (r._1, r._2)).distinct
+    val want = spine.map { d =>
+      d -> purch.filter { case (_, pd) =>
+        !pd.isAfter(d) && pd.plusDays(6).compareTo(d) >= 0
+      }.map(_._1).distinct.length.toLong
+    }.toMap
+    val got = q("q_time_rolling_distinct").collect()
+      .map(r => r.getAs[java.time.LocalDateTime]("day").toLocalDate ->
+        r.getAs[Long]("u7")).toMap
+    assert(got === want)
+  }
+
+  test("gini matches the O(n^2) mean-absolute-difference definition") {
+    // independent ground truth: G = sum |xi - xj| / (2 n^2 mu), exact in
+    // BigDecimal, compared within a few ulps of the engine's positional
+    // form (same value, different association order)
+    val rev = graft.core.Tables.orders(spark, sf("0.001"))
+      .join(graft.core.Tables.customer(spark, sf("0.001")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey", "c_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("r"))
+      .collect().map(r => (r.getInt(0), r.getDecimal(2)))
+    val byNation = rev.groupBy(_._1)
+    val want = byNation.map { case (nk, rows) =>
+      val xs = rows.map(_._2.doubleValue())
+      val n = xs.length
+      val sumAbs = (for (a <- xs; b <- xs) yield math.abs(a - b)).sum
+      nk -> sumAbs / (2.0 * n * xs.sum)
+    }
+    q("q_agg_gini").collect().foreach { r =>
+      val nk = r.getInt(0); val g = r.getAs[Double]("gini")
+      assert(math.abs(g - want(nk)) < 1e-9, s"nation $nk: $g vs ${want(nk)}")
+      assert(g >= 0.0 && g < 1.0)
+    }
+  }
+
+  test("LTTB picks exactly the fixed-anchor reference points") {
+    val B = 32
+    val ev = graft.core.Tables.events(spark, sf("0.001"))
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"),
+        col("value"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // driver-side reference: same bucket math, exact-sum anchors, same
+    // IEEE area expression, same tie-break
+    val want = ev.groupBy(_._1).flatMap { case (k, rowsU) =>
+      val rows = rowsU.sortBy(r => (r._2, r._4))
+      val n = rows.length
+      def bucket(rn: Int): Long =
+        if (rn == 1) 0L else if (rn == n) (B - 1).toLong
+        else 1L + (rn - 2).toLong * (B - 2) / math.max(n - 2, 1)
+      val byB = rows.zipWithIndex
+        .map { case (r, i) => (bucket(i + 1), r) }.groupBy(_._1)
+      val anchors = byB.map { case (b, rs) =>
+        val xs = rs.map(_._2._2)
+        val ys = rs.map(r => BigDecimal(r._2._3).setScale(4))
+        b -> (xs.map(BigDecimal(_)).sum.toDouble / xs.length,
+          ys.sum.toDouble / xs.length)
+      }
+      // neighbors are the ADJACENT NON-EMPTY buckets (lag/lead over the
+      // bucket-ordered anchor frame skips empties), mirroring the engine
+      val sortedB = byB.toSeq.sortBy(_._1)
+      sortedB.zipWithIndex.map { case ((b, rs), idx) =>
+        val prev = if (idx > 0) Some(anchors(sortedB(idx - 1)._1)) else None
+        val next = if (idx < sortedB.length - 1)
+          Some(anchors(sortedB(idx + 1)._1)) else None
+        val scored = rs.map(_._2).map { r =>
+          val a = (prev, next) match {
+            case (Some((px, py)), Some((nx, ny))) =>
+              math.abs((px - nx) * (r._3 - py) - (px - r._2.toDouble) * (ny - py))
+            case _ => 0.0
+          }
+          (a, r)
+        }
+        val best = scored.minBy { case (a, r) => (-a, r._2, r._4) }._2
+        (k, b, best._2, best._3)
+      }
+    }.toSet
+    val got = q("cap_time_lttb").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === want)
+    // invariants: endpoints survive; one point per non-empty bucket
+    ev.groupBy(_._1).foreach { case (k, rowsU) =>
+      val rows = rowsU.sortBy(r => (r._2, r._4))
+      val mine = got.filter(_._1 == k).toSeq.sortBy(_._2)
+      assert(mine.head._3 === rows.head._2, "first point must survive")
+      assert(mine.last._3 === rows.last._2, "last point must survive")
+      assert(mine.map(_._2).distinct.length === mine.length)
+    }
+  }
+
   test("anomaly flags exactly the hours above 2x mean rate") {
     val h = graft.core.Tables.events(spark, sf("0.001"))
       .groupBy(expr("CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ)").as("b"))

@@ -201,7 +201,12 @@ class PlanSpec extends SparkSuite {
       // once inside the eager checkpoint; the gated plan is the tiny
       // matrix join + sort. time_to_next is one user-window pass.
       "q_event_lift" -> "shuffle=1,broadcast=3,BroadcastHashJoin=2,BroadcastNestedLoopJoin=1",
-      "q_time_to_next" -> "shuffle=3,broadcast=0")
+      "q_time_to_next" -> "shuffle=3,broadcast=0",
+      // rolling-distinct: dedup shuffle, ×7 explode (row-local), spine
+      // dedup, day-distinct-count pair; the spine joins broadcast. Gini
+      // rides topn_share's layout: dim broadcast + one rollup + window.
+      "q_time_rolling_distinct" -> "shuffle=5,broadcast=1,BroadcastHashJoin=1",
+      "q_agg_gini" -> "shuffle=3,broadcast=1,BroadcastHashJoin=1")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
