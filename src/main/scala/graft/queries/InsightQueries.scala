@@ -467,6 +467,59 @@ object InsightQueries {
           .orderBy("c_nationkey")
     },
 
+    // Session path analysis: the 10 most common 3-step event paths
+    // within 12h-gap sessions (the "how do users actually move" query).
+    // Session ids come from the same lag/gap cumsum as q_sessionize;
+    // trigrams from two leads inside the (user, session) window. The
+    // trigram domain is ≤5³=125 keys ⇒ the count frame is metadata-sized
+    // and the top-10 fuses to TakeOrderedAndProject (no global sort).
+    //
+    // Scale shape: ONE data shuffle on user_id — the session window and
+    // the trigram window share the identical (user-prefixed)
+    // partitioning and sort order, so the second window adds no
+    // exchange; the only other exchange is the map-side-combined ≤125-key
+    // trigram count.
+    Q("q_event_paths",
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('microsecond', lag(ts) OVER w, ts) > 43200000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o),
+        |tri AS (
+        |  SELECT event_type AS t1,
+        |    LEAD(event_type, 1) OVER ws AS t2,
+        |    LEAD(event_type, 2) OVER ws AS t3
+        |  FROM s
+        |  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id)),
+        |cnt AS (
+        |  SELECT t1, t2, t3, COUNT(*) AS n FROM tri
+        |  WHERE t3 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT t1, t2, t3, n FROM cnt
+        |ORDER BY n DESC, t1, t2, t3 LIMIT 10""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.events(s, d)
+        .withColumn("is_new",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            expr("timestampdiff(MICROSECOND, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)") > 43200000000L, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("is_new")).over(wRun))
+      val ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+      sess.select(col("event_type").as("t1"),
+          lead(col("event_type"), 1).over(ws).as("t2"),
+          lead(col("event_type"), 2).over(ws).as("t3"))
+        .where(col("t3").isNotNull)
+        .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(10)
+    },
+
     // File-provenance scan (the lineage primitive): per-parquet-file row
     // counts and sizes from the hidden _metadata struct — how a 100 TB
     // table audit attributes bad rows back to their source files without

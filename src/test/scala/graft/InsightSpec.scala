@@ -238,6 +238,36 @@ class InsightSpec extends SparkSuite {
     }
   }
 
+  test("session paths match a driver-side sessionize-and-slide recount") {
+    val ev = graft.core.Tables.events(spark, sf("0.001"))
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getString(3)))
+    val gapUs = 43200000000L
+    def us(t: java.time.LocalDateTime) =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
+    val trigrams = ev.groupBy(_._1).toSeq.flatMap { case (_, rowsU) =>
+      val rows = rowsU.sortBy(r => (us(r._2), r._3))
+      // split into sessions at >12h gaps, then slide a 3-window
+      val sessions = rows.foldLeft(List.empty[List[(Long, java.time.LocalDateTime, Long, String)]]) {
+        case (acc, r) => acc match {
+          case cur :: rest if us(r._2) - us(cur.head._2) <= gapUs =>
+            (r :: cur) :: rest
+          case _ => List(r) :: acc
+        }
+      }.map(_.reverse)
+      sessions.flatMap(s => s.map(_._4).sliding(3).filter(_.length == 3))
+    }
+    val counts = trigrams.groupBy(identity).map { case (k, v) => k -> v.size }
+    val want = counts.toSeq
+      .sortBy { case (k, n) => (-n, k(0), k(1), k(2)) }.take(10)
+      .map { case (k, n) => (k(0), k(1), k(2), n.toLong) }.toSet
+    val got = q("q_event_paths").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got === want)
+  }
+
   test("anomaly flags exactly the hours above 2x mean rate") {
     val h = graft.core.Tables.events(spark, sf("0.001"))
       .groupBy(expr("CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ)").as("b"))

@@ -206,7 +206,10 @@ class PlanSpec extends SparkSuite {
       // dedup, day-distinct-count pair; the spine joins broadcast. Gini
       // rides topn_share's layout: dim broadcast + one rollup + window.
       "q_time_rolling_distinct" -> "shuffle=5,broadcast=1,BroadcastHashJoin=1",
-      "q_agg_gini" -> "shuffle=3,broadcast=1,BroadcastHashJoin=1")
+      "q_agg_gini" -> "shuffle=3,broadcast=1,BroadcastHashJoin=1",
+      // both windows (session, trigram) ride ONE user_id exchange; the
+      // second shuffle is the ≤125-key trigram count, top-10 fused
+      "q_event_paths" -> "shuffle=2,broadcast=0")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
