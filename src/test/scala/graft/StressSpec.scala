@@ -501,6 +501,89 @@ class StressSpec extends SparkSuite {
     }
   }
 
+  test("tagged-tally lift shuffles the tag domain, not the pair frame: " +
+    "50k user-days, exact matrix, a fraction of the self-join's records") {
+    // The scale claim behind q_event_lift's plan: after the (user, day)
+    // sets build, the ONLY shuffle carries the ≤16-key tagged tally
+    // (map-side-combined to tasks×16 records), while the textbook
+    // distinct-self-join twin re-shuffles the ut frame for the join and
+    // then ships the PAIR frame — up to C(5,2)=10 records per user-day.
+    // Both pipelines must agree exactly; the tally must shuffle a small
+    // fraction of the records at a dense 50k-user-day corpus.
+    val n = 50000L
+    // ~dense sets: user-day i gets 2 + (i mod 4) of the 5 types
+    // round-robin repartition so a user-day's rows SPAN partitions (as
+    // they would arriving from a real scan) — otherwise the checkpoint
+    // hands the aggregate an already-colocated layout and neither
+    // pipeline shuffles data at all
+    val ev = spark.range(n).selectExpr("id as ud",
+        "slice(array('click','error','purchase','signup','view'), " +
+          "1 + cast(id % 2 as int), 2 + cast(id % 4 as int)) as types")
+      .select(col("ud"), explode(col("types")).as("event_type"))
+      .repartition(8)
+      .localCheckpoint(eager = true)
+    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          shuffleRecords.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    def measure[A](body: => A): (A, Long) = {
+      shuffleRecords.set(0L)
+      val r = body
+      org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+      (r, shuffleRecords.get())
+    }
+    def tagged(): Array[(String, String, Long)] = {
+      val sets = ev.groupBy("ud")
+        .agg(sort_array(collect_set(col("event_type"))).as("tset"))
+      sets.select(explode(expr(
+          """concat(
+            |  flatten(transform(tset, (x, i) ->
+            |    transform(slice(tset, i + 2, size(tset)),
+            |              y -> struct(x AS ta, y AS tb)))),
+            |  transform(tset, x ->
+            |    struct(x AS ta, CAST(NULL AS STRING) AS tb)),
+            |  array(struct(CAST(NULL AS STRING) AS ta,
+            |               CAST(NULL AS STRING) AS tb)))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
+        .agg(count(lit(1)).as("c"))
+        .where(col("ta").isNotNull && col("tb").isNotNull)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    }
+    def selfJoin(): Array[(String, String, Long)] = {
+      // at 100 TB the ut frame is NOT broadcastable; pin that shape here
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val ut = ev.distinct()
+        ut.as("a").join(ut.as("b"),
+            col("a.ud") === col("b.ud") &&
+              col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+          .agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (mTag, rTag) = measure(tagged())
+      val (mJoin, rJoin) = measure(selfJoin())
+      assert(mTag.sorted.toSeq == mJoin.sorted.toSeq,
+        "tagged tally must reproduce the self-join matrix exactly")
+      assert(mTag.map(_._3).sum > n, "fixture must be pair-dense")
+      info(s"shuffle records: tagged tally $rTag vs self-join $rJoin")
+      // tally pays |sets| once + tasks×16; the join pays |ut| twice for
+      // the join exchange plus the pair frame on top
+      assert(rTag * 2 < rJoin,
+        s"tagged tally ($rTag) should shuffle well under half the " +
+          s"self-join's records ($rJoin)")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("HeavyHitters shuffles one summary per task, not the key domain: " +
     "400k rows / 100k keys, exact top-10 recovered") {
     // 10 hot keys at 20k rows each + a 100k-key tail at ~2 rows each. The
