@@ -520,6 +520,88 @@ object InsightQueries {
         .limit(10)
     },
 
+    // Pareto concentration: the smallest number of top customers covering
+    // ≥80% of each nation's revenue ("how few accounts are the business").
+    // The 80% test is the exact decimal cross-multiply 5·cum ≥ 4·total —
+    // no FP at the decision boundary, so k80 is exact in both engines.
+    //
+    // Scale shape: like q_stat_winsorize, ALL window passes (ordered
+    // cumsum, rank, unordered total/count) share one per-nation exchange
+    // over the already-aggregated per-customer frame; the final rollup
+    // reuses that layout. One data shuffle (the per-customer rollup).
+    Q("q_agg_pareto",
+      """WITH rev AS (
+        |  SELECT c_nationkey, c_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS r
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |                       ORDER BY r DESC, c_custkey) AS i,
+        |    CAST(SUM(r) OVER (PARTITION BY c_nationkey
+        |      ORDER BY r DESC, c_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DECIMAL(18,4)) AS cum,
+        |    CAST(SUM(r) OVER (PARTITION BY c_nationkey)
+        |      AS DECIMAL(18,4)) AS tot,
+        |    COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+        |  FROM rev)
+        |SELECT c_nationkey, MAX(n) AS n_cust,
+        |  MIN(CASE WHEN 5*cum >= 4*tot THEN i END) AS k80
+        |FROM rk GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) {
+      (s, d) =>
+        val rev = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)
+            .select("c_custkey", "c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey", "c_custkey")
+          .agg(dsum(col("o_totalprice")).as("r"))
+        val wN = Window.partitionBy("c_nationkey")
+        val wOrd = wN.orderBy(col("r").desc, col("c_custkey"))
+        rev
+          .withColumn("i", row_number().over(wOrd))
+          .withColumn("cum", sum(col("r"))
+            .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)).cast(D18))
+          .withColumn("tot", sum(col("r")).over(wN).cast(D18))
+          .withColumn("n", count(lit(1)).over(wN))
+          .groupBy("c_nationkey")
+          .agg(max(col("n")).as("n_cust"),
+            min(when(col("cum") * 5 >= col("tot") * 4, col("i")))
+              .cast("long").as("k80"))
+          .orderBy("c_nationkey")
+    },
+
+    // Rolling positional median of each user's trailing-7-event values —
+    // the robust smoothing pass (median filter) for noisy per-entity
+    // series. Median = the middle element of the SORTED trailing window
+    // at position (w+1) div 2 — values pass through untouched (no
+    // arithmetic), so parity is exact. The bounded 7-row frame keeps the
+    // collect O(1) per row.
+    //
+    // Scale shape: one shuffle on user_id; the sliding collect is
+    // row-local within the sorted per-user partition.
+    Q("q_window_median_sliding",
+      """SELECT user_id, event_id, value,
+        |  win[(length(win)+1)//2] AS med7
+        |FROM (
+        |  SELECT user_id, event_id, value,
+        |    list_sort(list(value) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+        |  FROM events)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          sort_array(collect_list(col("value")).over(w)).as("win"))
+        .select(col("user_id"), col("event_id"), col("value"),
+          element_at(col("win"), ((size(col("win")) + 1) / 2).cast("int"))
+            .as("med7"))
+        .orderBy("user_id", "event_id")
+    },
+
     // File-provenance scan (the lineage primitive): per-parquet-file row
     // counts and sizes from the hidden _metadata struct — how a 100 TB
     // table audit attributes bad rows back to their source files without

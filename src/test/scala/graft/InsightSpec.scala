@@ -268,6 +268,45 @@ class InsightSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("pareto k80 is the true minimal prefix and is consistent with gini") {
+    val rows = q("q_agg_pareto").collect()
+    val rev = graft.core.Tables.orders(spark, sf("0.001"))
+      .join(graft.core.Tables.customer(spark, sf("0.001")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey", "c_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("r"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDecimal(2)))
+      .groupBy(_._1)
+    rows.foreach { row =>
+      val nk = row.getInt(0); val k80 = row.getAs[Long]("k80")
+      val xs = rev(nk).sortBy(r => (r._3.negate(), r._2)).map(_._3)
+      val tot = xs.reduce(_.add(_))
+      def covered(k: Int) = xs.take(k).reduce(_.add(_))
+        .multiply(java.math.BigDecimal.valueOf(5))
+        .compareTo(tot.multiply(java.math.BigDecimal.valueOf(4))) >= 0
+      assert(covered(k80.toInt), s"nation $nk: k80=$k80 must cover 80%")
+      assert(k80 == 1 || !covered(k80.toInt - 1),
+        s"nation $nk: k80=$k80 must be minimal")
+    }
+  }
+
+  test("sliding median equals a driver-side trailing-window recount") {
+    val ev = graft.core.Tables.events(spark, sf("0.001"))
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getDouble(3)))
+    val want = ev.groupBy(_._1).flatMap { case (u, rowsU) =>
+      val rows = rowsU.sortBy(r => (r._2.toString, r._3))
+      rows.indices.map { i =>
+        val win = rows.slice(math.max(0, i - 6), i + 1).map(_._4).sorted
+        (u, rows(i)._3, win((win.length + 1) / 2 - 1))
+      }
+    }.toSet
+    val got = q("q_window_median_sliding").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("med7"))).toSet
+    assert(got === want)
+  }
+
   test("anomaly flags exactly the hours above 2x mean rate") {
     val h = graft.core.Tables.events(spark, sf("0.001"))
       .groupBy(expr("CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ)").as("b"))

@@ -209,7 +209,11 @@ class PlanSpec extends SparkSuite {
       "q_agg_gini" -> "shuffle=3,broadcast=1,BroadcastHashJoin=1",
       // both windows (session, trigram) ride ONE user_id exchange; the
       // second shuffle is the ≤125-key trigram count, top-10 fused
-      "q_event_paths" -> "shuffle=2,broadcast=0")
+      "q_event_paths" -> "shuffle=2,broadcast=0",
+      // pareto rides gini's exact layout; the sliding median is one
+      // user-window pass + the output sort
+      "q_agg_pareto" -> "shuffle=3,broadcast=1,BroadcastHashJoin=1",
+      "q_window_median_sliding" -> "shuffle=2,broadcast=0")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
