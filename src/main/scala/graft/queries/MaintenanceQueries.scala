@@ -104,6 +104,36 @@ object MaintenanceQueries {
           .orderBy("l_returnflag")
     },
 
+    // Corrupt-record-tolerant ingest: a JSONL drop where ~1/7 of the
+    // lines are malformed (truncated mid-object — the torn-write /
+    // bad-producer reality of any large ingest). PERMISSIVE mode must
+    // capture each bad line VERBATIM in the corrupt-record column while
+    // parsing every good line, so the pipeline can quarantine bad rows
+    // to a dead-letter table instead of failing the load or silently
+    // dropping data. Emits (n_good, n_bad, exact good-row sum);
+    // MaintenanceSpec pins both counts and the sum against the batch
+    // ground truth, and asserts DROPMALFORMED parses the same good set.
+    Q.cap("cap_source_corrupt") { (s, d) =>
+      val root = Scratch.dir("corrupt")
+      val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      o.select(when(col("o_orderkey") % 7 === 0,
+          // truncate mid-object: unparseable, deterministically derived
+          expr("substring(to_json(struct(o_orderkey, o_totalprice)), 1, 12)"))
+          .otherwise(to_json(struct(col("o_orderkey"), col("o_totalprice"))))
+          .as("value"))
+        .write.mode("overwrite").text(root)
+      val schema = "o_orderkey BIGINT, o_totalprice DOUBLE, _bad STRING"
+      val read = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(root)
+      read.agg(
+        count(when(col("_bad").isNull, 1)).as("n_good"),
+        count(col("_bad")).as("n_bad"),
+        graft.core.Dsl.d2d(graft.core.Dsl.dsum(
+          when(col("_bad").isNull, col("o_totalprice")))).as("sum_good"))
+    },
+
     // Schema-evolution read: a table whose later ingest batches carry an
     // extra column (the normal life of a 100 TB table). Two batches land
     // under ingest=1/ (o_orderkey, o_orderstatus) and ingest=2/ (+

@@ -104,4 +104,26 @@ class MaintenanceSpec extends SparkSuite {
     assert(nb == na && nb > 0)
     assert(sa == sb * 2, s"R sum must double exactly: $sb -> $sa")
   }
+
+  test("corrupt-record ingest quarantines exactly the malformed lines") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("cap_source_corrupt")(spark, sf("0.001")).head
+    val o = graft.core.Tables.orders(spark, sf("0.001"))
+    val wantBad = o.where(col("o_orderkey") % 7 === 0).count()
+    val wantGood = o.count() - wantBad
+    assert(r.getLong(0) === wantGood, "every good line must parse")
+    assert(r.getLong(1) === wantBad, "every torn line must be captured")
+    val wantSum = o.where(col("o_orderkey") % 7 =!= 0)
+      .agg(graft.core.Dsl.d2d(graft.core.Dsl.dsum(col("o_totalprice"))))
+      .head.getDouble(0)
+    assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ===
+      java.lang.Double.doubleToRawLongBits(wantSum),
+      "good-row sum must match the batch ground truth bitwise")
+    // DROPMALFORMED must agree on the good set (count only — the mode
+    // drops bad lines instead of capturing them)
+    val root = graft.core.Scratch.dir("corrupt") // same deterministic dir
+    val dropped = spark.read.schema("o_orderkey BIGINT, o_totalprice DOUBLE")
+      .option("mode", "DROPMALFORMED").json(root).count()
+    assert(dropped === wantGood)
+  }
 }
