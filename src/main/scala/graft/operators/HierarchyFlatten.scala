@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Flatten a parent-pointer hierarchy (org chart, BOM, category tree) to
+  * per-node (root, depth) — the iterative-query shape SQL engines express
+  * as `WITH RECURSIVE` (the oracle twin of q_hierarchy_flatten runs
+  * exactly that in DuckDB).
+  *
+  * Algorithm: pointer DOUBLING, not per-level descent. Each round joins
+  * the label frame to itself on the current ancestor pointer and jumps
+  * `anc(v) ← anc(anc(v))`, accumulating the hop distance, so pointer
+  * reach doubles per round: a depth-D hierarchy converges in
+  * ⌈log₂ D⌉ + 1 rounds (the +1 detects the fixpoint), vs D rounds for
+  * the naive level-at-a-time expansion a recursive CTE performs. At
+  * 100 TB that matters twice over: deep hierarchies (file trees, BOM
+  * chains) stop being round-count-bound, and each round is ONE
+  * self-equi-join on a hash-partitioned (v, anc, dist) frame — no
+  * driver-side frontier, no broadcast, state linear in |V|.
+  *
+  * Roots are encoded as `parent == v`; a root's row (v, v, 0) is its own
+  * join fixpoint, so resolved rows pass through unchanged and the moved
+  * count reaches zero exactly when every pointer names a root. Lineage
+  * is cut per round (lazy localCheckpoint materialized by the round's
+  * convergence count — one Spark job per round, the DedupGroups idiom).
+  */
+object HierarchyFlatten {
+
+  /** Diagnostic (StressSpec): rounds the last flatten() took, fixpoint
+    * detection round included. Test telemetry, not API. */
+  private[graft] val lastRounds = new java.util.concurrent.atomic.AtomicInteger
+
+  /** `nodes`: (v, parent) with roots encoded as parent == v; every
+    * non-root's parent must exist as a node (forest, no cycles).
+    * Returns (v, root, depth). */
+  def flatten(nodes: DataFrame, maxIters: Int = 40): DataFrame = {
+    var labels = nodes
+      .select(col("v"), col("parent").as("anc"),
+        when(col("parent") === col("v"), 0L).otherwise(1L).as("dist"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      iter += 1
+      val jumped = labels.as("l")
+        .join(labels.select(col("v").as("av"), col("anc").as("aanc"),
+          col("dist").as("adist")), col("l.anc") === col("av"))
+        .select(col("l.v").as("v"), col("aanc").as("anc"),
+          (col("l.dist") + col("adist")).as("dist"),
+          // a non-root ancestor never points at itself, so the pointer
+          // moves iff the previous ancestor was not yet a root
+          (col("aanc") =!= col("l.anc")).as("moved"))
+        .localCheckpoint(eager = false)
+      val moved = jumped
+        .agg(sum(when(col("moved"), 1L).otherwise(0L))).head().getLong(0)
+      labels = jumped.drop("moved")
+      converged = moved == 0L
+    }
+    lastRounds.set(iter)
+    labels.select(col("v"), col("anc").as("root"), col("dist").as("depth"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{Q, Tables}
-import graft.operators.PageRank
+import graft.operators.{HierarchyFlatten, PageRank}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -56,6 +56,42 @@ object GraphQueries {
           col("rank"))
         .orderBy(desc("rank"), col("kind"), col("key"))
         .limit(20)
+    },
+
+    // Hierarchy flatten — the recursive-query shape (org chart, BOM,
+    // category tree): per node, its root and depth in a parent-pointer
+    // forest. The forest derives deterministically from the supplier key
+    // space (contiguous 0..N−1 at every sf, FIXTURES.md): roots are
+    // keys < 3, everything else parents to k div 3 — so both engines
+    // build the identical forest and the oracle can state the semantics
+    // as the ANSI recursive CTE it is.
+    //
+    // The oracle's WITH RECURSIVE descends one LEVEL per iteration
+    // (O(depth) rounds); the Spark side routes through
+    // [[graft.operators.HierarchyFlatten]]'s pointer DOUBLING —
+    // ⌈log₂ depth⌉+1 self-join rounds, each a hash-partitioned
+    // equi-join with no driver-side frontier (StressSpec gates the
+    // round count on a 4095-deep chain). Same answer, exponentially
+    // fewer rounds — the formulation that survives deep hierarchies at
+    // 100 TB.
+    Q("q_hierarchy_flatten",
+      """WITH RECURSIVE h AS (
+        |  SELECT s_suppkey AS node, s_suppkey AS root, 0 AS depth
+        |  FROM supplier WHERE s_suppkey < 3
+        |  UNION ALL
+        |  SELECT s.s_suppkey, h.root, h.depth + 1
+        |  FROM supplier s JOIN h ON s.s_suppkey // 3 = h.node
+        |  WHERE s.s_suppkey >= 3)
+        |SELECT node, root, depth FROM h ORDER BY node""".stripMargin) {
+      (s, d) =>
+        val nodes = Tables.supplier(s, d).select(
+          col("s_suppkey").as("v"),
+          when(col("s_suppkey") < 3, col("s_suppkey"))
+            .otherwise(expr("s_suppkey div 3")).as("parent"))
+        HierarchyFlatten.flatten(nodes)
+          .select(col("v").as("node"), col("root"),
+            col("depth").cast("int").as("depth"))
+          .orderBy("node")
     }
   )
 }

@@ -139,6 +139,206 @@ object StatQueries {
         .orderBy("status")
     },
 
+    // Per-group OLS regression (slope + intercept of extendedprice on
+    // quantity per linenumber) computed as EXACT RATIONAL arithmetic —
+    // the FP-free cross-engine formulation: centi-scaled integer (x, y)
+    // via lossless DECIMAL(12,2) casts (l_extendedprice*100 is NOT
+    // FP-integral — 6.7k rows at sf0.01 fail a naive *100 — the decimal
+    // cast is what makes scaling exact), one map-side-combinable
+    // aggregate for (n, Σx, Σy, Σxy, Σx²), then slope = num/den and
+    // intercept = (Σy·den − num·Σx)/(n·den) emitted as truncated
+    // micro/centi integers. DuckDB runs the identical math in HUGEINT
+    // (int128); Spark in tightly-capped DECIMAL(38,0) — every
+    // intermediate is bounded < 1.2e34 so both are exact, and `div`/`//`
+    // both truncate toward zero (the CASE keeps the dividend positive so
+    // even a floor-division engine would agree). ONE shuffle: the 7-group
+    // aggregate; everything after is on 7 rows.
+    Q("q_stat_regression",
+      """WITH c AS (
+        |  SELECT l_linenumber,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_linenumber, COUNT(*) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(x*y) AS HUGEINT) AS sxy, CAST(SUM(x*x) AS HUGEINT) AS sxx
+        |  FROM c GROUP BY l_linenumber),
+        |f AS (
+        |  SELECT l_linenumber, n, sx, sy,
+        |    CAST(n AS HUGEINT)*sxy - sx*sy AS num,
+        |    CAST(n AS HUGEINT)*sxx - sx*sx AS den
+        |  FROM a)
+        |SELECT l_linenumber, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN num < 0 THEN -((-num * 1000000) // den)
+        |            ELSE (num * 1000000) // den END AS BIGINT) AS slope_e6,
+        |  CAST(CASE WHEN sy*den - num*sx < 0
+        |            THEN -((-(sy*den - num*sx) * 100) // (CAST(n AS HUGEINT)*den))
+        |            ELSE ((sy*den - num*sx) * 100) // (CAST(n AS HUGEINT)*den)
+        |       END AS BIGINT) AS intercept_e2
+        |FROM f ORDER BY l_linenumber""".stripMargin) { (s, d) =>
+      val c = Tables.lineitem(s, d).selectExpr(
+        "l_linenumber",
+        "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x",
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y")
+      val a = c.groupBy("l_linenumber").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx0"), sum(col("y")).as("sy0"),
+        sum(col("x") * col("y")).as("sxy0"),
+        sum(col("x") * col("x")).as("sxx0"))
+      // tight casts keep every product's true value inside DECIMAL(38,0)
+      a.selectExpr(
+        "l_linenumber", "n",
+        "CAST(sx0 AS DECIMAL(10,0)) AS sx", "CAST(sy0 AS DECIMAL(14,0)) AS sy",
+        "CAST(n AS DECIMAL(7,0)) * CAST(sxy0 AS DECIMAL(18,0))" +
+          " - CAST(sx0 AS DECIMAL(10,0)) * CAST(sy0 AS DECIMAL(14,0)) AS num",
+        "CAST(n AS DECIMAL(7,0)) * CAST(sxx0 AS DECIMAL(18,0))" +
+          " - CAST(sx0 AS DECIMAL(10,0)) * CAST(sx0 AS DECIMAL(10,0)) AS den")
+        .selectExpr(
+          "l_linenumber", "CAST(n AS BIGINT) AS n",
+          """CAST(CASE WHEN num < 0 THEN -((-num * 1000000) div den)
+            |          ELSE (num * 1000000) div den END AS BIGINT)
+            |  AS slope_e6""".stripMargin,
+          """CAST(CASE WHEN sy*den - num*sx < 0
+            |     THEN -((-(sy*den - num*sx) * 100) div (CAST(n AS DECIMAL(7,0))*den))
+            |     ELSE ((sy*den - num*sx) * 100) div (CAST(n AS DECIMAL(7,0))*den)
+            |     END AS BIGINT) AS intercept_e2""".stripMargin)
+        .orderBy("l_linenumber")
+    },
+
+    // Spearman rank correlation per group — monotonic-association
+    // strength, robust to the price outliers Pearson chases. Ranks are
+    // ROW_NUMBER over a TOTAL order (value, then the unique
+    // (orderkey, partkey, suppkey) triple as tiebreak — FIXTURES.md: the
+    // triple is unique within a linenumber group), so both engines
+    // assign the identical permutation and ρ = 1 − 6Σd²/(n(n²−1)) is an
+    // exact rational — emitted as the truncated ρ·10⁶ integer, HUGEINT
+    // in DuckDB / capped DECIMAL(38,0) in Spark, no FP anywhere.
+    // Shape: both rank windows ride ONE hash(l_linenumber) exchange
+    // (same partition key, two sort orders), then the 7-group aggregate
+    // reuses the layout — no join, no second fact scan.
+    Q("q_stat_spearman",
+      """WITH r AS (
+        |  SELECT l_linenumber,
+        |    ROW_NUMBER() OVER (PARTITION BY l_linenumber
+        |      ORDER BY l_quantity, l_orderkey, l_partkey, l_suppkey) AS rx,
+        |    ROW_NUMBER() OVER (PARTITION BY l_linenumber
+        |      ORDER BY l_extendedprice, l_orderkey, l_partkey, l_suppkey) AS ry
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_linenumber, COUNT(*) AS n,
+        |    CAST(SUM((rx - ry) * (rx - ry)) AS HUGEINT) AS sd2
+        |  FROM r GROUP BY l_linenumber),
+        |f AS (
+        |  SELECT l_linenumber, n,
+        |    (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - 1)
+        |      - 6 * sd2) * 1000000 AS num,
+        |    CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - 1)
+        |      AS den
+        |  FROM a)
+        |SELECT l_linenumber, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN num < 0 THEN -((-num) // den) ELSE num // den END
+        |       AS BIGINT) AS rho_e6
+        |FROM f ORDER BY l_linenumber""".stripMargin) { (s, d) =>
+      val g = Window.partitionBy("l_linenumber")
+      val rx = row_number().over(
+        g.orderBy("l_quantity", "l_orderkey", "l_partkey", "l_suppkey"))
+      val ry = row_number().over(
+        g.orderBy("l_extendedprice", "l_orderkey", "l_partkey", "l_suppkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_linenumber"),
+          // row_number is 32-bit in Spark; the squared difference is not
+          rx.cast("long").as("rx"), ry.cast("long").as("ry"))
+        .groupBy("l_linenumber")
+        .agg(count(lit(1)).as("n"),
+          sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("sd2"))
+        .selectExpr(
+          "l_linenumber", "n",
+          """(CAST(n AS DECIMAL(7,0)) * (CAST(n AS DECIMAL(7,0))
+            |   * CAST(n AS DECIMAL(7,0)) - 1)
+            | - 6 * CAST(sd2 AS DECIMAL(17,0))) * 1000000 AS num""".stripMargin,
+          """CAST(n AS DECIMAL(7,0)) * (CAST(n AS DECIMAL(7,0))
+            |  * CAST(n AS DECIMAL(7,0)) - 1) AS den""".stripMargin)
+        .selectExpr(
+          "l_linenumber", "CAST(n AS BIGINT) AS n",
+          """CAST(CASE WHEN num < 0 THEN -((-num) div den)
+            |          ELSE num div den END AS BIGINT) AS rho_e6""".stripMargin)
+        .orderBy("l_linenumber")
+    },
+
+    // CDC apply — the complement of q_snapshot_diff: materialize a base
+    // snapshot plus an ordered changelog (upserts / deletes / inserts,
+    // sequence-numbered) into the current view, latest-sequence-wins.
+    // The Delta/Iceberg MERGE shape expressed relationally: union the
+    // base (seq 0) with the log, ONE key-partitioned row_number window
+    // picks each key's latest version, deletes drop out, and the
+    // surviving view is fingerprinted per key-bucket (count, key_sum,
+    // exact decimal price sum). The changelog derives deterministically
+    // from orders (%7→update with exact key-dependent DECIMAL bump,
+    // %13→delete, %17→insert under a shifted key space) so both engines
+    // apply the identical log. Scale: both exchanges are on the key /
+    // its bucket — each 100 TB snapshot+log shuffled once, no broadcast,
+    // no driver state; all money math in DECIMAL(14,4).
+    Q("q_cdc_apply",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, 0 AS seq, 'U' AS op,
+        |    CAST(o_totalprice AS DECIMAL(14,4)) AS p
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 1, 'U',
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,4))
+        |      + CAST(o_orderkey % 500 AS DECIMAL(12,4))
+        |      + CAST(0.25 AS DECIMAL(12,4)) AS DECIMAL(14,4))
+        |  FROM orders WHERE o_orderkey % 7 = 3),
+        |del AS (
+        |  SELECT o_orderkey, 2, 'D', CAST(0 AS DECIMAL(14,4))
+        |  FROM orders WHERE o_orderkey % 13 = 4),
+        |ins AS (
+        |  SELECT o_orderkey + 10000000, 1, 'U',
+        |    CAST(CAST(o_orderkey % 1000 AS DECIMAL(12,4))
+        |      + CAST(1.5 AS DECIMAL(12,4)) AS DECIMAL(14,4))
+        |  FROM orders WHERE o_orderkey % 17 = 5),
+        |chg AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins),
+        |latest AS (
+        |  SELECT k, op, p,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |  FROM chg)
+        |SELECT CAST(k % 10 AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum, %PSUM% AS price_sum
+        |FROM latest WHERE rn = 1 AND op <> 'D'
+        |GROUP BY k % 10 ORDER BY bucket""".stripMargin
+        .replace("%PSUM%", Dsl.d2dSql(Dsl.dsumSql("p")))) { (s, d) =>
+      val P = org.apache.spark.sql.types.DataTypes.createDecimalType(14, 4)
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast(Dsl.DFac).as("tp"))
+      val base = o.select(col("k"), lit(0).as("seq"), lit("U").as("op"),
+        col("tp").cast(P).as("p"))
+      val upd = o.filter(col("k") % 7 === 3)
+        .select(col("k"), lit(1).as("seq"), lit("U").as("op"),
+          (col("tp") + (col("k") % 500).cast(Dsl.DFac)
+            + lit(0.25).cast(Dsl.DFac)).cast(P).as("p"))
+      val del = o.filter(col("k") % 13 === 4)
+        .select(col("k"), lit(2).as("seq"), lit("D").as("op"),
+          lit(0).cast(P).as("p"))
+      val ins = o.filter(col("k") % 17 === 5)
+        .select((col("k") + 10000000L).as("k"), lit(1).as("seq"),
+          lit("U").as("op"),
+          ((col("k") % 1000).cast(Dsl.DFac)
+            + lit(1.5).cast(Dsl.DFac)).cast(P).as("p"))
+      val w = Window.partitionBy("k").orderBy(col("seq").desc)
+      base.union(upd).union(del).union(ins)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("key_sum"),
+          Dsl.d2d(Dsl.dsum(col("p"))).as("price_sum"))
+        .orderBy("bucket")
+    },
+
     // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     // quality-weighted subsampling — the pretrain "sample the corpus
     // proportional to doc quality" op. Each row gets priority

@@ -213,7 +213,17 @@ class PlanSpec extends SparkSuite {
       // pareto rides gini's exact layout; the sliding median is one
       // user-window pass + the output sort
       "q_agg_pareto" -> "shuffle=3,broadcast=1,BroadcastHashJoin=1",
-      "q_window_median_sliding" -> "shuffle=2,broadcast=0")
+      "q_window_median_sliding" -> "shuffle=2,broadcast=0",
+      // round 10 fifth session: regression is one map-side-combinable
+      // aggregate + the 7-row tail; spearman's two rank windows and the
+      // group rollup all ride ONE hash(l_linenumber) exchange; cdc_apply
+      // is the designed key-window → bucket-rollup → sort chain; the
+      // hierarchy query's doubling rounds run inside the construction
+      // probe (checkpointed), so the gated plan is just the output sort.
+      "q_stat_regression" -> "shuffle=2,broadcast=0",
+      "q_stat_spearman" -> "shuffle=2,broadcast=0",
+      "q_cdc_apply" -> "shuffle=3,broadcast=0",
+      "q_hierarchy_flatten" -> "shuffle=1,broadcast=0")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }

@@ -641,4 +641,45 @@ class StressSpec extends SparkSuite {
       spark.sparkContext.removeSparkListener(listener)
     }
   }
+
+  test("HierarchyFlatten: pointer doubling converges in log rounds on a 4095-deep chain") {
+    // the shape a recursive CTE pays 4095 rounds for: a single chain
+    // 0 ← 1 ← 2 ← … ← 4095. Pointer doubling must resolve it in
+    // ⌈log₂ 4095⌉ = 12 jump rounds + 1 fixpoint-detection round.
+    val nodes = spark.range(4096).selectExpr(
+      "id AS v", "CASE WHEN id = 0 THEN id ELSE id - 1 END AS parent")
+    val (rows, secs) = timed(
+      graft.operators.HierarchyFlatten.flatten(nodes).collect())
+    val rounds = graft.operators.HierarchyFlatten.lastRounds.get()
+    assert(rounds <= 13, s"expected ≤13 doubling rounds, took $rounds")
+    assert(rows.length == 4096)
+    val byV = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byV(0L) == ((0L, 0L)))
+    assert(byV(1L) == ((0L, 1L)))
+    assert(byV(4095L) == ((0L, 4095L)), s"tail of the chain: ${byV(4095L)}")
+    assert(rows.forall(_.getLong(1) == 0L), "single root")
+    // every depth 0..4095 appears exactly once — the full chain resolved
+    assert(rows.map(_.getLong(2)).toSet == (0L to 4095L).toSet)
+    info(f"depth 4095 resolved in $rounds rounds, $secs%.1fs")
+  }
+
+  test("HierarchyFlatten: forest with branching matches brute-force ancestry") {
+    // supplier-fixture shape at 30× density: roots k<3, parent = k/3
+    val n = 30000
+    val nodes = spark.range(n).selectExpr(
+      "id AS v", "CASE WHEN id < 3 THEN id ELSE id DIV 3 END AS parent")
+    val got = graft.operators.HierarchyFlatten.flatten(nodes)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def walk(k: Long): (Long, Long) = {
+      var v = k; var d = 0L
+      while (v >= 3) { v /= 3; d += 1 }
+      (v, d)
+    }
+    (0L until n by 97L).foreach { k =>
+      assert(got(k) == walk(k), s"node $k: got ${got(k)}, want ${walk(k)}")
+    }
+    val rounds = graft.operators.HierarchyFlatten.lastRounds.get()
+    // depth ≤ log₃ 30000 ≈ 9 ⇒ ≤ ⌈log₂ 9⌉ + 1 = 5 rounds
+    assert(rounds <= 5, s"log₃-deep forest should need ≤5 rounds, took $rounds")
+  }
 }
