@@ -549,6 +549,39 @@ object StreamOps {
       .select(col("p_id"), col("user_id"), col("pts"), col("vts"))
   }
 
+  /** Streaming CDC apply (s_stream_cdc): the O(1)-per-key streaming form
+    * of q_cdc_apply's latest-wins materialization. State per key is ONE
+    * (seq, op, price) triple — the key's current version; each
+    * micro-batch folds its changelog rows in sequence order on top and
+    * emits the new current version, so the materialized view (latest
+    * emitted row per key, deletes filtered out) equals the batch
+    * query's pre-aggregation view under ANY batch slicing — a version
+    * chain split across micro-batches resolves identically because
+    * max-seq is associative. Money rides as the exact 10⁻⁴-unscaled
+    * long (`p_e4`): the state layer does no arithmetic, so no FP can
+    * enter; the consumer rescales to DECIMAL. At 100 TB the state store
+    * holds one triple per live key — the same footprint as the
+    * key-partitioned batch window, but incremental. */
+  def cdcStream(changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = changes.sparkSession
+    import spark.implicits._
+    val typed = changes.select(col("k"), col("seq"), col("op"), col("p_e4"))
+      .as[(Long, Int, String, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(Int, String, Long), (Long, Int, String, Long)](
+        GroupStateTimeout.NoTimeout) {
+        case (k, rows, state: GroupState[(Int, String, Long)]) =>
+          var cur = state.getOption.getOrElse((-1, "U", 0L))
+          rows.foreach { r =>
+            if (r._2 > cur._1) cur = (r._2, r._3, r._4)
+          }
+          state.update(cur)
+          (k, cur._1, cur._2, cur._3)
+      }
+      .toDF("k", "seq", "op", "p_e4")
+  }
+
   /** foreachBatch JDBC upsert: idempotent incremental load keyed on the
     * natural key (s_stream_foreachbatch; the daily-increment DB pattern).
     *

@@ -19,6 +19,10 @@ case class Doc(doc_id: Long, ts: java.time.LocalDateTime, lang: String,
 case class Ord(o_orderkey: Long, o_custkey: Long,
                o_orderdate: java.time.LocalDateTime, o_totalprice: Double)
 
+/** Changelog row for the streaming CDC op (price as exact e4-unscaled
+  * long — see StreamOps.cdcStream). */
+case class Chg(k: Long, seq: Int, op: String, p_e4: Long)
+
 /** SURVEY §2.10 s_* streaming capabilities (§5.2.4): each Structured
   * Streaming op is asserted equal to its batch twin on the same fixture,
   * fed through MemoryStream with explicit watermark advancement.
@@ -760,6 +764,59 @@ class StreamingSpec extends SparkSuite {
     val n = spark.read.format("jdbc").option("url", url)
       .option("dbtable", "stream_sink").load().count()
     assert(n == base.length)
+  }
+
+  test("s_stream_cdc: latest-wins upsert state == batch CDC apply under " +
+    "split version chains") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the changelog q_cdc_apply derives, as exact e4-unscaled longs
+    def e4(b: java.math.BigDecimal): Long =
+      b.setScale(4).unscaledValue().longValueExact()
+    val orders = Tables.orders(spark, sf("0.001"))
+      .select("o_orderkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val log = orders.flatMap { case (k, tp) =>
+      val base = Chg(k, 0, "U", e4(java.math.BigDecimal.valueOf(tp)))
+      val upd = if (k % 7 == 3) Seq(Chg(k, 1, "U",
+        e4(java.math.BigDecimal.valueOf(tp)
+          .add(new java.math.BigDecimal(k % 500))
+          .add(new java.math.BigDecimal("0.25"))))) else Nil
+      val del = if (k % 13 == 4) Seq(Chg(k, 2, "D", 0L)) else Nil
+      val ins = if (k % 17 == 5) Seq(Chg(k + 10000000L, 1, "U",
+        e4(new java.math.BigDecimal(k % 1000)
+          .add(new java.math.BigDecimal("1.5"))))) else Nil
+      base +: (upd ++ del ++ ins)
+    }.toSeq
+    // split version chains across micro-batches: parity of (k + seq)
+    // routinely separates a base row from its update/delete, so
+    // latest-wins must resolve ACROSS batches via state, not within one
+    val (b1, b2) = log.partition(c => (c.k + c.seq) % 2 == 0)
+    assert(log.map(_.k).distinct.lengthCompare(b1.map(_.k).distinct.length) > 0
+      || b2.nonEmpty, "fixture must split at least one chain")
+    val mem = MemoryStream[Chg]
+    val q = StreamOps.cdcStream(mem.toDF()).writeStream
+      .format("memory").queryName("s_cdc").outputMode("update").start()
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    q.stop()
+    // materialized view: latest emitted version per key, deletes dropped
+    val got = spark.table("s_cdc")
+      .groupBy("k")
+      .agg(max_by(struct(col("seq"), col("op"), col("p_e4")), col("seq"))
+        .as("v"))
+      .filter(col("v.op") =!= "D")
+      .groupBy((col("k") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("ks"),
+        sum(col("v.p_e4")).as("pe4"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.math.BigDecimal.valueOf(r.getLong(3), 4).doubleValue()))
+      .sortBy(_._1).toSeq
+    val want = SparkEntry.queries("q_cdc_apply")(spark, sf("0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == want,
+      s"streaming CDC view diverged:\ngot  $got\nwant $want")
   }
 
   test("s_stream_rocksdb: tumbling agg on the RocksDB state store == batch twin") {
