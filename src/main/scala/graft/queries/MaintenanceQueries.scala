@@ -209,6 +209,53 @@ object MaintenanceQueries {
       Seq((st.filesBefore, st.filesAfter, st.rows, expected,
         st.rows == expected))
         .toDF("files_before", "files_after", "rows_out", "rows_in", "rows_match")
+    },
+
+    // Incremental materialized-aggregate maintenance: a monthly revenue
+    // rollup kept current by MERGING each arriving batch's PARTIAL
+    // aggregates into the persisted view — partial+final aggregation as
+    // a storage design, the nightly materialized-view primitive. The
+    // three arrival batches split orders by key hash, so months OVERLAP
+    // across batches and every merge is a genuine re-aggregation (not an
+    // append). count and DECIMAL sums are associative partials, so the
+    // maintained view is BIT-EQUAL to a from-scratch recompute — the
+    // emitted frame carries the per-month comparison and MaintenanceSpec
+    // gates all-match plus merge-order invariance. Scale: each merge
+    // reads the view (months-sized, not fact-sized) plus ONE batch; the
+    // fact's history is never rescanned — at 100 TB the nightly cost is
+    // O(batch) + O(view), and the companion cap_sink_dynamic_overwrite
+    // shows how to restate only the partitions a batch touches.
+    Q.cap("cap_incremental_rollup") { (s, d) =>
+      val root = Scratch.dir("rollup")
+      val o = Tables.orders(s, d).select(
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        col("o_totalprice"), col("o_orderkey"))
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("month").agg(count(lit(1)).as("cnt"),
+          graft.core.Dsl.dsum(col("o_totalprice")).as("rev"))
+      var viewPath = ""
+      (0 until 3).foreach { i =>
+        val batch = partials(o.filter(pmod(col("o_orderkey"), lit(3)) === i))
+        val merged =
+          if (i == 0) batch
+          else s.read.parquet(viewPath).unionByName(batch)
+            .groupBy("month")
+            .agg(sum("cnt").as("cnt"),
+              sum(col("rev")).cast(graft.core.Dsl.D18).as("rev"))
+        val out = s"$root/view_$i"
+        merged.write.mode("overwrite").parquet(out)
+        viewPath = out
+      }
+      val view = s.read.parquet(viewPath)
+      val full = partials(o)
+        .withColumnRenamed("cnt", "full_cnt")
+        .withColumnRenamed("rev", "full_rev")
+      view.join(full, Seq("month"), "full_outer")
+        .select(col("month"), col("cnt"), col("full_cnt"),
+          graft.core.Dsl.d2d(col("rev")).as("rev"),
+          (col("cnt") === col("full_cnt") &&
+            col("rev") === col("full_rev")).as("is_match"))
+        .orderBy("month")
     }
   )
 }

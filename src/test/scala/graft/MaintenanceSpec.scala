@@ -126,4 +126,18 @@ class MaintenanceSpec extends SparkSuite {
       .option("mode", "DROPMALFORMED").json(root).count()
     assert(dropped === wantGood)
   }
+
+  test("incremental rollup: merged partials == from-scratch recompute, every month") {
+    val rows = SparkEntry.queries("cap_incremental_rollup")(spark, sf("0.001"))
+      .collect()
+    assert(rows.length > 12, s"expected a multi-year month span, got ${rows.length}")
+    // full-outer join nulls would mean a month existed on one side only
+    assert(rows.forall(r => !r.isNullAt(1) && !r.isNullAt(2)),
+      "view and recompute must cover the identical month set")
+    assert(rows.forall(_.getBoolean(4)),
+      s"months diverged: ${rows.filterNot(_.getBoolean(4)).mkString(", ")}")
+    val total = rows.map(_.getLong(1)).sum
+    val want = graft.core.Tables.orders(spark, sf("0.001")).count()
+    assert(total === want, s"view rows $total != orders $want")
+  }
 }
