@@ -229,6 +229,43 @@ object WindowQueries {
       Tables.supplier(s, d)
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
         .orderBy(col("s_nationkey").asc, col("s_acctbal").desc, col("s_suppkey").asc)
+    },
+
+    // Running DISTINCT count over an ordered window — per customer, how
+    // many distinct order priorities have appeared so far. Spark (and
+    // ANSI engines generally) reject COUNT(DISTINCT) OVER (ORDER BY …);
+    // the scalable formulation is the FIRST-OCCURRENCE FLAG: row_number
+    // over (customer, priority) marks each priority's debut, and the
+    // running distinct count is a plain running SUM of debut flags over
+    // the customer window. Two hash exchanges — (cust, priority) for the
+    // debut flag, cust for the running sum — both on high-cardinality
+    // keys; no per-row set state, no quadratic rescans. ORDER BY ties
+    // broken by the unique o_orderkey on both window and output so the
+    // running values are engine-identical.
+    Q("q_window_running_distinct",
+      """WITH f AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CASE WHEN ROW_NUMBER() OVER (
+        |        PARTITION BY o_custkey, o_orderpriority
+        |        ORDER BY o_orderdate, o_orderkey) = 1
+        |      THEN 1 ELSE 0 END AS debut
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(debut) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS n_distinct_prio
+        |FROM f ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin) {
+      (s, d) =>
+        val debutW = Window.partitionBy("o_custkey", "o_orderpriority")
+          .orderBy("o_orderdate", "o_orderkey")
+        val runW = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            when(row_number().over(debutW) === 1, 1L).otherwise(0L)
+              .as("debut"))
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            sum(col("debut")).over(runW).as("n_distinct_prio"))
+          .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     }
   )
 }
