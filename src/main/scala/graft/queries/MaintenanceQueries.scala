@@ -228,7 +228,9 @@ object MaintenanceQueries {
     Q.cap("cap_incremental_rollup") { (s, d) =>
       val root = Scratch.dir("rollup")
       val o = Tables.orders(s, d).select(
-        date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        // midnight timestamp, not DATE — the output contract
+        // (OutputContractSpec) bans DATE from emitted schemas
+        date_trunc("month", col("o_orderdate")).as("month"),
         col("o_totalprice"), col("o_orderkey"))
       def partials(df: org.apache.spark.sql.DataFrame) =
         df.groupBy("month").agg(count(lit(1)).as("cnt"),
