@@ -547,6 +547,42 @@ object AggQueries {
         .orderBy("p_type")
     },
 
+    // Interpolated (continuous) median — percentile_cont(0.5) as exact
+    // cross-engine arithmetic: the two straddling order statistics are
+    // selected POSITIONALLY (rn = (n+1) div 2 and (n+2) div 2, which
+    // coincide for odd n — pure integer math, both engines pick the
+    // identical sorted elements; the value at a sorted position is
+    // well-defined under ties), then averaged as exact-decimal-sum →
+    // d2d double → ÷ COUNT(*), the davg-pinned IEEE tree. Native
+    // percentile_cont/approx FP paths diverge across engines — this is
+    // the hash-stable form. ONE window exchange on the group key; the
+    // filter + rollup reuse its layout.
+    Q("q_agg_median_cont",
+      s"""WITH r AS (
+         |  SELECT l_returnflag, l_extendedprice,
+         |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+         |      ORDER BY l_extendedprice) AS rn,
+         |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM lineitem)
+         |SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+         |  ${d2dSql(dsumSql("l_extendedprice"))} / COUNT(*) AS median_cont
+         |FROM r WHERE rn = (n+1)//2 OR rn = (n+2)//2
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val byFlag = Window.partitionBy("l_returnflag")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("rn",
+          row_number().over(byFlag.orderBy("l_extendedprice")))
+        .withColumn("n", count(lit(1)).over(byFlag))
+        .filter(col("rn") === expr("(n+1) div 2") ||
+          col("rn") === expr("(n+2) div 2"))
+        .groupBy("l_returnflag")
+        .agg(max(col("n")).cast("long").as("n"),
+          (d2d(dsum(col("l_extendedprice"))) / count(lit(1)))
+            .as("median_cont"))
+        .orderBy("l_returnflag")
+    },
+
     // Scalar subquery: orders priced above 2× the global mean (exact
     // decimal mean → shared double tree) — exercises ScalarSubquery
     // planning (one broadcast scalar, no per-row recompute).

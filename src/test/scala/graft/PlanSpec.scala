@@ -226,7 +226,10 @@ class PlanSpec extends SparkSuite {
       "q_hierarchy_flatten" -> "shuffle=1,broadcast=0",
       // running-distinct: the (cust, priority) debut window, the cust
       // running-sum window, the output sort — no set state, no rescans
-      "q_window_running_distinct" -> "shuffle=3,broadcast=0")
+      "q_window_running_distinct" -> "shuffle=3,broadcast=0",
+      // interpolated median: rank + count in ONE returnflag window
+      // exchange; the straddler filter and rollup reuse its layout
+      "q_agg_median_cont" -> "shuffle=2,broadcast=0")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
