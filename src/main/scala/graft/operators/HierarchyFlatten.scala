@@ -60,4 +60,40 @@ object HierarchyFlatten {
     lastRounds.set(iter)
     labels.select(col("v"), col("anc").as("root"), col("dist").as("depth"))
   }
+
+  /** The PROPER-ANCESTOR relation — every (v, ancestor) pair — by path
+    * doubling on the pair set itself: P ← P ∪ (P ∘ P), so after r rounds
+    * P holds all ancestor paths of length ≤ 2^r: ⌈log₂ depth⌉ rounds,
+    * each one self-equi-join + distinct, no driver-side frontier. The
+    * materialized relation is Σdepth(v)-sized — n·O(log n) for the
+    * balanced hierarchies subtree rollups run on (org charts, BOMs,
+    * category trees); a degenerate chain makes it quadratic, and those
+    * shapes belong on [[flatten]]'s (root, depth) analytics instead —
+    * the same honesty note a recursive CTE owes you, since its
+    * intermediate is the identical relation built in O(depth) rounds. */
+  def ancestors(nodes: DataFrame, maxIters: Int = 40): DataFrame = {
+    var pairs = nodes.filter(col("parent") =!= col("v"))
+      .select(col("v"), col("parent").as("anc"))
+      .localCheckpoint(true)
+    var prevN = -1L
+    var iter = 0
+    while (iter < maxIters) {
+      iter += 1
+      val jumped = pairs.as("l")
+        .join(pairs.select(col("v").as("jv"), col("anc").as("janc")),
+          col("l.anc") === col("jv"))
+        .select(col("l.v").as("v"), col("janc").as("anc"))
+      // tree ancestry ⇒ (v, anc) pairs are unique; distinct only folds
+      // the multiple length-decompositions of one path
+      val next = pairs.union(jumped).distinct()
+        .localCheckpoint(eager = false)
+      val n = next.count()
+      val done = n == prevN
+      prevN = n
+      pairs = next
+      if (done) { lastRounds.set(iter); return pairs }
+    }
+    lastRounds.set(iter)
+    pairs
+  }
 }

@@ -92,6 +92,46 @@ object GraphQueries {
           .select(col("v").as("node"), col("root"),
             col("depth").cast("int").as("depth"))
           .orderBy("node")
+    },
+
+    // Subtree rollup — the BOM-explosion report: per node, how many
+    // descendants it has and their key sum, over the same deterministic
+    // supplier forest as q_hierarchy_flatten. The oracle materializes
+    // the proper-ancestor relation with WITH RECURSIVE and groups by
+    // ancestor; the engine builds the identical relation by PATH
+    // DOUBLING (P ← P ∪ P∘P — ⌈log₂ depth⌉ self-join rounds, see
+    // [[graft.operators.HierarchyFlatten.ancestors]] for the Σdepth
+    // size bound and when to prefer flatten()). Leaves surface with
+    // zero counts via the left join back to the node set.
+    Q("q_hierarchy_subtree",
+      """WITH RECURSIVE anc AS (
+        |  SELECT s_suppkey AS node, s_suppkey // 3 AS anc
+        |  FROM supplier WHERE s_suppkey >= 3
+        |  UNION ALL
+        |  SELECT a.node, s.s_suppkey // 3
+        |  FROM anc a JOIN supplier s ON a.anc = s.s_suppkey
+        |  WHERE s.s_suppkey >= 3),
+        |agg AS (
+        |  SELECT anc, COUNT(*) AS n, SUM(node) AS ks
+        |  FROM anc GROUP BY anc)
+        |SELECT s.s_suppkey AS node,
+        |  CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_desc,
+        |  CAST(COALESCE(agg.ks, 0) AS BIGINT) AS desc_key_sum
+        |FROM supplier s LEFT JOIN agg ON s.s_suppkey = agg.anc
+        |ORDER BY node""".stripMargin) { (s, d) =>
+      val nodes = Tables.supplier(s, d).select(
+        col("s_suppkey").as("v"),
+        when(col("s_suppkey") < 3, col("s_suppkey"))
+          .otherwise(expr("s_suppkey div 3")).as("parent"))
+      val agg = HierarchyFlatten.ancestors(nodes)
+        .groupBy("anc")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("ks"))
+      nodes.select(col("v").as("node"))
+        .join(agg, col("node") === col("anc"), "left")
+        .select(col("node"),
+          coalesce(col("n"), lit(0L)).cast("long").as("n_desc"),
+          coalesce(col("ks"), lit(0L)).cast("long").as("desc_key_sum"))
+        .orderBy("node")
     }
   )
 }

@@ -681,5 +681,12 @@ class StressSpec extends SparkSuite {
     val rounds = graft.operators.HierarchyFlatten.lastRounds.get()
     // depth ≤ log₃ 30000 ≈ 9 ⇒ ≤ ⌈log₂ 9⌉ + 1 = 5 rounds
     assert(rounds <= 5, s"log₃-deep forest should need ≤5 rounds, took $rounds")
+    // ancestor closure: pair count must equal Σdepth exactly (every
+    // node contributes one pair per proper ancestor), in log rounds
+    val nPairs = graft.operators.HierarchyFlatten.ancestors(nodes).count()
+    val wantPairs = (0L until n).map(walk(_)._2).sum
+    assert(nPairs == wantPairs, s"closure size $nPairs != Σdepth $wantPairs")
+    val cRounds = graft.operators.HierarchyFlatten.lastRounds.get()
+    assert(cRounds <= 6, s"closure should converge in ≤6 rounds, took $cRounds")
   }
 }
