@@ -57,6 +57,19 @@ object StreamOps {
         .option("maxFilesPerTrigger", "4")
         .parquet(dir))
 
+  /** Bounded-backlog file ingest for Trigger.AvailableNow catch-up runs
+    * (s_stream_availablenow — the nightly batch-over-streaming-checkpoint
+    * pattern): maxFilesPerTrigger=1 caps each micro-batch at one file, so
+    * a 100 TB backlog drains as bounded units (no single giant batch to
+    * spill or OOM), the query STOPS itself at backlog end, and the next
+    * scheduled run resumes from the checkpoint ingesting only files that
+    * arrived since — incremental, exactly-once, no always-on cluster. */
+  def fileIngest(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
   /** Exactly-once ingest: drop duplicate event_ids within the watermark
     * horizon (s_stream_dedup — the resubmitted-filing pattern). */
   def dedupStream(events: DataFrame): DataFrame =

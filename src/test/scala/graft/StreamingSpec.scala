@@ -714,6 +714,47 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("s_stream_availablenow: bounded catch-up drains the backlog, " +
+    "stops itself, and the next run ingests only new files") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_avnow").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft_avnow_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_avnow_ck").toString
+    val (h1, h2) = fixture.splitAt(fixture.length / 2)
+    // a 4-file backlog accumulated before any run
+    (0 until 4).foreach { i =>
+      h1.slice(i * h1.length / 4, (i + 1) * h1.length / 4).toDF()
+        .repartition(1).write.mode("append").parquet(dir)
+    }
+    def run(): (Int, Long) = {
+      val q = StreamOps.fileIngest(spark, dir, h1.toDF().schema).writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000),
+        "AvailableNow must terminate itself at backlog end")
+      (q.recentProgress.count(_.numInputRows > 0),
+        q.recentProgress.map(_.numInputRows).sum)
+    }
+    val (batches1, rows1) = run()
+    assert(batches1 >= 4,
+      s"maxFilesPerTrigger=1 over a 4-file backlog should drain in ≥4 " +
+        s"bounded micro-batches, got $batches1")
+    assert(rows1 === h1.length.toLong)
+    assert(spark.read.parquet(sink).count() === h1.length.toLong)
+    // two more files land between scheduled runs; the next run must
+    // ingest ONLY them (checkpoint-driven incremental, exactly-once)
+    h2.toDF().repartition(2).write.mode("append").parquet(dir)
+    val (_, rows2) = run()
+    assert(rows2 === h2.length.toLong,
+      "restart must ingest exactly the new files — no re-ingest, no loss")
+    val out = spark.read.parquet(sink)
+    assert(out.count() === fixture.length.toLong)
+    assert(out.select("event_id").distinct().count() === fixture.length.toLong)
+  }
+
   test("s_stream_recovery: checkpointed restart resumes exactly-once") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_rec_src").toString
