@@ -229,7 +229,13 @@ class PlanSpec extends SparkSuite {
       "q_window_running_distinct" -> "shuffle=3,broadcast=0",
       // interpolated median: rank + count in ONE returnflag window
       // exchange; the straddler filter and rollup reuse its layout
-      "q_agg_median_cont" -> "shuffle=2,broadcast=0")
+      "q_agg_median_cont" -> "shuffle=2,broadcast=0",
+      // subtree rollup: the closure rounds run inside the construction
+      // probe (checkpointed); the gated plan is the ancestor rollup, the
+      // node⨝rollup left join (SMJ on the node key — both sides are
+      // node-domain-sized, the correct shape for a billion-node
+      // hierarchy; broadcast would not survive scale), the output sort
+      "q_hierarchy_subtree" -> "shuffle=3,broadcast=0,SortMergeJoin=1")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
