@@ -27,6 +27,39 @@ object Bench {
     * query ⇒ the process was starved or serialized, not computing. */
   private def procCpuSec(): Double = osBean.getProcessCpuTime / 1e9
 
+  /** Cumulative stop-the-world GC seconds (all collectors). A query whose
+    * cpu≈wall inflation coincides with a gc delta spike is a heap-pressure
+    * event, not a plan problem. (Round-10 driver artifact: the 3
+    * beyond-envelope queries were CONSECUTIVE in run order — positions
+    * 149-151 of 162 — i.e. one localized late-run event; this channel
+    * exists to name it from the artifact alone.) */
+  private def gcSec(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+  }
+
+  /** Cumulative JIT compilation seconds. 162 queries' worth of generated
+    * whole-stage-codegen classes all pass through C1/C2; a late-run spike
+    * here (or a full code cache, below) de-optimizes exactly the tail of
+    * the run. */
+  private def jitSec(): Double = {
+    val b = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (b != null && b.isCompilationTimeMonitoringSupported)
+      b.getTotalCompilationTime / 1e3 else 0.0
+  }
+
+  /** used/max bytes of the JIT code heaps. When used→max the compiler is
+    * disabled and everything after runs interpreted — the classic
+    * many-generated-classes failure mode. */
+  private def codeCache(): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(_.getName.startsWith("CodeHeap"))
+    (pools.map(_.getUsage.getUsed).sum,
+      pools.map(p => math.max(0L, p.getUsage.getMax)).sum)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -49,6 +82,9 @@ object Bench {
     val cpu0 = procCpuSec()
     var cpuMark = cpu0
     val cpuPer = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var gcMark = gcSec(); var jitMark = jitSec()
+    val gcPer = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val jitPer = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // A query that THROWS must never masquerade as a fast timing: the
     // round-10 fixture regeneration broke 22 events queries at analysis
     // time and two full guard sessions recorded them as 0.07 s "wins".
@@ -67,6 +103,8 @@ object Bench {
       val c1 = procCpuSec()
       cpuPer(name) = c1 - cpuMark
       cpuMark = c1
+      val g1 = gcSec(); gcPer(name) = g1 - gcMark; gcMark = g1
+      val j1 = jitSec(); jitPer(name) = j1 - jitMark; jitMark = j1
       name -> (System.nanoTime() - t0) / 1e9
     }
     val spinAfter = spinProbe()
@@ -75,13 +113,18 @@ object Bench {
       .mkString("{", ",", "}")
     val qsCpu = cpuPer.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
+    val qsGc = gcPer.map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val qsJit = jitPer.map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val (ccUsed, ccMax) = codeCache()
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // queries_cpu / proc_cpu_sec / spin_sec: measurement-integrity channel
     // (extra keys; the driver's parse reads only metric/value/queries).
     // A query whose wall time spikes while its cpu share stays flat was
     // starved by the host, not slowed by its plan.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"proc_cpu_sec":${f"$cpuTotal%.1f"},"spin_sec":[${f"$spinBefore%.3f"},${f"$spinAfter%.3f"}],"queries_cpu":$qsCpu}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"proc_cpu_sec":${f"$cpuTotal%.1f"},"spin_sec":[${f"$spinBefore%.3f"},${f"$spinAfter%.3f"}],"queries_cpu":$qsCpu,"queries_gc":$qsGc,"queries_jit":$qsJit,"code_cache":[$ccUsed,$ccMax]}"""
     println(full)
     // Self-triage (round-10 verdict): reconcile THIS run against the
     // controlled median-of-3 file so every driver artifact carries its own
@@ -101,7 +144,9 @@ object Bench {
         .flatMap { case (name, sec) => med.get(name).collect {
           case m if sec > m * 3.2 + 0.3 =>
             val cpu = cpuPer.getOrElse(name, 0.0)
-            (sec / math.max(m, 1e-9), f"""{"query":"$name","sec":$sec%.2f,"guard_median":$m%.2f,"cpu_sec":$cpu%.2f}""")
+            val gc = gcPer.getOrElse(name, 0.0)
+            val jit = jitPer.getOrElse(name, 0.0)
+            (sec / math.max(m, 1e-9), f"""{"query":"$name","sec":$sec%.2f,"guard_median":$m%.2f,"cpu_sec":$cpu%.2f,"gc_sec":$gc%.2f,"jit_sec":$jit%.2f}""")
         } }
         .sortBy(-_._1).map(_._2)
       val compared = results.keysIterator.count(med.contains)

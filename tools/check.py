@@ -244,17 +244,68 @@ def bench_guard(only=()):
 
 
 def load_bench_artifact(path):
-    """Per-query seconds from either a complete Bench artifact
+    """Per-query WALL seconds from either a complete Bench artifact
     (BENCH_QUERIES.json — one JSON object with a "queries" map) or a
     driver BENCH_r*.json whose "tail" holds a front-truncated fragment
-    of that line (the historical "parsed": null shape)."""
+    of that line (the historical "parsed": null shape).
+
+    The tail fragment is treacherous: the Bench line carries BOTH a wall
+    "queries" dict and a "queries_cpu" dict, and front-truncation can
+    leave only the cpu dict's pairs. Round 10's artifact did exactly
+    that, and the old bare-pair regex silently compared CPU-seconds
+    against wall medians — 14 phantom offenders where the true count
+    was 3. So: only accept scraped pairs whose dict NAME survived
+    truncation and whose sum reconciles with the total; otherwise
+    recover the wall dict from a sibling BENCH_QUERIES.json with the
+    matching total, and failing that refuse loudly instead of
+    returning CPU numbers as wall numbers.
+
+    Returns (queries, total, source_note)."""
     import re
     d = json.load(open(path))
     if isinstance(d.get("queries"), dict):
-        return d["queries"], d.get("value")
-    qs = {m.group(1): float(m.group(2)) for m in
-          re.finditer(r'"((?:q|cap|s)_\w+)":([0-9.eE+]+)', d.get("tail", ""))}
-    return qs, d.get("value")
+        return d["queries"], d.get("value"), "artifact 'queries' dict"
+    tail = d.get("tail", "")
+    mt = re.search(r'"metric"\s*:\s*"total"\s*,\s*"value"\s*:\s*([0-9.eE+]+)',
+                   tail)
+    total = float(mt.group(1)) if mt else d.get("value")
+
+    def scrape(seg):
+        return {m.group(1): float(m.group(2)) for m in
+                re.finditer(r'"((?:q|cap|s)_\w+)":([0-9.eE+]+)', seg)}
+
+    qpos = tail.find('"queries":{')
+    cpos = tail.find('"queries_cpu":{')
+    if qpos >= 0:
+        end = cpos if cpos > qpos else len(tail)
+        qs = scrape(tail[qpos:end])
+        # a complete wall dict sums to ~the total (per-query walls are
+        # measured inside the same loop); a cpu dict would sum far higher
+        if qs and total and abs(sum(qs.values()) - total) <= max(
+                1.0, 0.05 * total):
+            return qs, total, "wall 'queries' dict scraped from tail"
+    sib = os.path.join(os.path.dirname(os.path.abspath(path)),
+                       "BENCH_QUERIES.json")
+    if os.path.exists(sib) and total is not None:
+        try:
+            s = json.load(open(sib))
+            if (isinstance(s.get("queries"), dict)
+                    and abs(float(s.get("value", -1)) - total) < 1e-6):
+                return (s["queries"], s["value"],
+                        f"recovered from {sib} (totals match; the "
+                        f"artifact tail lost the wall dict to truncation)")
+        except (OSError, json.JSONDecodeError, TypeError, ValueError):
+            pass
+    frag = scrape(tail)
+    if frag:
+        kind = ("only the 'queries_cpu' dict" if cpos >= 0 or qpos < 0
+                else "an ambiguous dict fragment")
+        sys.exit(f"bench_compare: {path!r} tail is truncated and {kind} is "
+                 f"recoverable — CPU-seconds must NOT be compared against "
+                 f"wall medians (round-10 phantom-offender bug). Re-run the "
+                 f"bench to produce BENCH_QUERIES.json next to it, or pass "
+                 f"that file directly.")
+    sys.exit(f"bench_compare: no per-query data recoverable from {path!r}")
 
 
 def bench_compare(path):
@@ -270,11 +321,25 @@ def bench_compare(path):
     median*3.2 + 0.3s is therefore indistinguishable from host load;
     beyond that envelope the delta needs a plan-level look."""
     try:
-        qs, total = load_bench_artifact(path)
+        qs, total, source = load_bench_artifact(path)
     except (OSError, json.JSONDecodeError) as e:
         sys.exit(f"bench_compare: cannot read bench artifact {path!r}: {e}\n"
                  f"Pass a BENCH_QUERIES.json / BENCH_r*.json path, or run "
                  f"`check.py --bench` first to produce one.")
+    print(f"wall times: {source}")
+    # cpu annotation for offenders: cpu≈wall*cores means compute inflation,
+    # cpu<<wall means the host starved the run — different diagnoses
+    cpu = {}
+    sib = os.path.join(os.path.dirname(os.path.abspath(path)),
+                       "BENCH_QUERIES.json")
+    for cand in (path, sib):
+        try:
+            c = json.load(open(cand)).get("queries_cpu")
+            if isinstance(c, dict):
+                cpu = c
+                break
+        except (OSError, json.JSONDecodeError):
+            pass
     med_path = os.path.join(os.path.dirname(__file__), "bench_medians.json")
     try:
         med = json.load(open(med_path))
@@ -297,8 +362,13 @@ def bench_compare(path):
             investigate += 1
             rows.append((sec / m, name, sec, m, env, "INVESTIGATE"))
     for ratio, name, sec, m, env, verdict in sorted(rows, reverse=True)[:15]:
+        note = ""
+        if verdict == "INVESTIGATE" and name in cpu:
+            note = (f"; cpu {cpu[name]:.2f}s — "
+                    + ("cpu≈wall: compute inflation, not starvation"
+                       if cpu[name] >= 0.7 * sec else "cpu<<wall: host load"))
         print(f"{verdict:13s} {name}: driver {sec:5.2f}s vs guard median "
-              f"{m:5.2f}s ({ratio:.1f}x; noise envelope {env:.2f}s)")
+              f"{m:5.2f}s ({ratio:.1f}x; noise envelope {env:.2f}s){note}")
     print(f"\ndriver total {total:.1f}s vs guard median-of-3 total "
           f"{gtotal:.1f}s" if total and gtotal else "")
     print(f"{len(rows)} compared: {investigate} beyond the measured noise "
