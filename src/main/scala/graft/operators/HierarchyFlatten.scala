@@ -57,6 +57,16 @@ object HierarchyFlatten {
       labels = jumped.drop("moved")
       converged = moved == 0L
     }
+    // Precondition violations fail LOUDLY (round-11 advice): a cycle —
+    // or depth > 2^maxIters — leaves pointers still moving at exit, and
+    // silently returning the partially-resolved frame would hand callers
+    // plausible-looking wrong (root, depth) labels.
+    if (!converged)
+      throw new IllegalStateException(
+        s"HierarchyFlatten.flatten did not converge in $maxIters rounds: " +
+          "ancestor pointers still moving — the input has a cycle (the " +
+          "documented forest precondition excludes them) or depth " +
+          s"exceeds 2^$maxIters; raise maxIters only in the latter case")
     lastRounds.set(iter)
     labels.select(col("v"), col("anc").as("root"), col("dist").as("depth"))
   }
@@ -91,9 +101,28 @@ object HierarchyFlatten {
       val done = n == prevN
       prevN = n
       pairs = next
-      if (done) { lastRounds.set(iter); return pairs }
+      if (done) {
+        // A cycle SATURATES the pair set (count stabilizes at ≤ n²), so
+        // convergence alone is not proof of validity — but a forest
+        // closure can never contain a self-pair (v, v), while every
+        // cycle's composition produces one. One cheap filter-count on
+        // the final frame turns the silent-wrong-closure case into a
+        // loud failure (round-11 advice).
+        if (pairs.filter(col("v") === col("anc")).limit(1).count() > 0)
+          throw new IllegalStateException(
+            "HierarchyFlatten.ancestors: input contains a cycle (self-" +
+              "reachable node) — violates the forest precondition; the " +
+              "saturated closure is not a valid ancestor relation")
+        lastRounds.set(iter); return pairs
+      }
     }
-    lastRounds.set(iter)
-    pairs
+    // Exhausting maxIters without a stable count: depth > 2^maxIters or
+    // a cycle still lengthening paths — either way the partial closure
+    // is wrong, not merely late.
+    throw new IllegalStateException(
+      s"HierarchyFlatten.ancestors did not converge in $maxIters rounds: " +
+        "pair count still growing — cyclic input (violates the forest " +
+        "precondition) or pathological depth; the partial closure is not " +
+        "a valid ancestor relation")
   }
 }

@@ -148,11 +148,12 @@ object StatQueries {
     // aggregate for (n, Σx, Σy, Σxy, Σx²), then slope = num/den and
     // intercept = (Σy·den − num·Σx)/(n·den) emitted as truncated
     // micro/centi integers. DuckDB runs the identical math in HUGEINT
-    // (int128); Spark in tightly-capped DECIMAL(38,0) — every
-    // intermediate is bounded < 1.2e34 so both are exact, and `div`/`//`
-    // both truncate toward zero (the CASE keeps the dividend positive so
-    // even a floor-division engine would agree). ONE shuffle: the 7-group
-    // aggregate; everything after is on 7 rows.
+    // (int128); Spark in capped DECIMAL(38,0) — exact for groups up to
+    // n ≈ 10¹⁰ rows (see the bound budget at the agg below), loud
+    // overflow beyond, and `div`/`//` both truncate toward zero (the
+    // CASE keeps the dividend positive so even a floor-division engine
+    // would agree). ONE shuffle: the 7-group aggregate; everything after
+    // is on 7 rows.
     Q("q_stat_regression",
       """WITH c AS (
         |  SELECT l_linenumber,
@@ -165,55 +166,75 @@ object StatQueries {
         |    CAST(SUM(x*y) AS HUGEINT) AS sxy, CAST(SUM(x*x) AS HUGEINT) AS sxx
         |  FROM c GROUP BY l_linenumber),
         |f AS (
-        |  SELECT l_linenumber, n, sx, sy,
+        |  SELECT l_linenumber, n,
         |    CAST(n AS HUGEINT)*sxy - sx*sy AS num,
-        |    CAST(n AS HUGEINT)*sxx - sx*sx AS den
+        |    CAST(n AS HUGEINT)*sxx - sx*sx AS den,
+        |    sy*sxx - sx*sxy AS inum
         |  FROM a)
         |SELECT l_linenumber, CAST(n AS BIGINT) AS n,
         |  CAST(CASE WHEN num < 0 THEN -((-num * 1000000) // den)
         |            ELSE (num * 1000000) // den END AS BIGINT) AS slope_e6,
-        |  CAST(CASE WHEN sy*den - num*sx < 0
-        |            THEN -((-(sy*den - num*sx) * 100) // (CAST(n AS HUGEINT)*den))
-        |            ELSE ((sy*den - num*sx) * 100) // (CAST(n AS HUGEINT)*den)
+        |  CAST(CASE WHEN inum < 0
+        |            THEN -((-inum * 100) // den)
+        |            ELSE (inum * 100) // den
         |       END AS BIGINT) AS intercept_e2
         |FROM f ORDER BY l_linenumber""".stripMargin) { (s, d) =>
       val c = Tables.lineitem(s, d).selectExpr(
         "l_linenumber",
         "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x",
         "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y")
+      // Sums aggregate in DECIMAL, not long (round-11 advice: a long
+      // SUM(x*y) silently caps groups at ~1.7×10⁸ rows). With x ≤ 5×10³,
+      // y ≤ 1.1×10⁷ and n ≤ 10¹⁰ rows/group, every true value below is
+      // < 10³⁸: sx ≤ 5e13, sy ≤ 1.1e17, sxy ≤ 5.5e20, sxx ≤ 2.5e17,
+      // num ≤ 1.1e31·10⁶ = 1.1e37, inum·100 ≤ 5.5e36. Past n = 10¹⁰
+      // both engines fail loudly (ANSI overflow / HUGEINT range).
       val a = c.groupBy("l_linenumber").agg(
         count(lit(1)).as("n"),
-        sum(col("x")).as("sx0"), sum(col("y")).as("sy0"),
-        sum(col("x") * col("y")).as("sxy0"),
-        sum(col("x") * col("x")).as("sxx0"))
-      // tight casts keep every product's true value inside DECIMAL(38,0)
+        sum(col("x").cast("decimal(8,0)")).as("sx0"),
+        sum(col("y").cast("decimal(8,0)")).as("sy0"),
+        sum((col("x") * col("y")).cast("decimal(11,0)")).as("sxy0"),
+        sum((col("x") * col("x")).cast("decimal(8,0)")).as("sxx0"))
+      // intercept via the n-cancelled identity sy·den − num·sx =
+      // n·(sy·sxx − sx·sxy): same truncated value (a//b = na//nb), but
+      // the worst intermediate drops from ~n³·2.5e14 to ~n²·2.75e14
       a.selectExpr(
         "l_linenumber", "n",
-        "CAST(sx0 AS DECIMAL(10,0)) AS sx", "CAST(sy0 AS DECIMAL(14,0)) AS sy",
-        "CAST(n AS DECIMAL(7,0)) * CAST(sxy0 AS DECIMAL(18,0))" +
-          " - CAST(sx0 AS DECIMAL(10,0)) * CAST(sy0 AS DECIMAL(14,0)) AS num",
-        "CAST(n AS DECIMAL(7,0)) * CAST(sxx0 AS DECIMAL(18,0))" +
-          " - CAST(sx0 AS DECIMAL(10,0)) * CAST(sx0 AS DECIMAL(10,0)) AS den")
+        "CAST(n AS DECIMAL(10,0)) * CAST(sxy0 AS DECIMAL(21,0))" +
+          " - CAST(sx0 AS DECIMAL(14,0)) * CAST(sy0 AS DECIMAL(18,0)) AS num",
+        "CAST(n AS DECIMAL(10,0)) * CAST(sxx0 AS DECIMAL(18,0))" +
+          " - CAST(sx0 AS DECIMAL(14,0)) * CAST(sx0 AS DECIMAL(14,0)) AS den",
+        "CAST(sy0 AS DECIMAL(18,0)) * CAST(sxx0 AS DECIMAL(18,0))" +
+          " - CAST(sx0 AS DECIMAL(14,0)) * CAST(sxy0 AS DECIMAL(21,0)) AS inum")
         .selectExpr(
           "l_linenumber", "CAST(n AS BIGINT) AS n",
           """CAST(CASE WHEN num < 0 THEN -((-num * 1000000) div den)
             |          ELSE (num * 1000000) div den END AS BIGINT)
             |  AS slope_e6""".stripMargin,
-          """CAST(CASE WHEN sy*den - num*sx < 0
-            |     THEN -((-(sy*den - num*sx) * 100) div (CAST(n AS DECIMAL(7,0))*den))
-            |     ELSE ((sy*den - num*sx) * 100) div (CAST(n AS DECIMAL(7,0))*den)
+          """CAST(CASE WHEN inum < 0
+            |     THEN -((-inum * 100) div den)
+            |     ELSE (inum * 100) div den
             |     END AS BIGINT) AS intercept_e2""".stripMargin)
         .orderBy("l_linenumber")
     },
 
     // Spearman rank correlation per group — monotonic-association
     // strength, robust to the price outliers Pearson chases. Ranks are
-    // ROW_NUMBER over a TOTAL order (value, then the unique
-    // (orderkey, partkey, suppkey) triple as tiebreak — FIXTURES.md: the
-    // triple is unique within a linenumber group), so both engines
-    // assign the identical permutation and ρ = 1 − 6Σd²/(n(n²−1)) is an
-    // exact rational — emitted as the truncated ρ·10⁶ integer, HUGEINT
-    // in DuckDB / capped DECIMAL(38,0) in Spark, no FP anywhere.
+    // ROW_NUMBER over a TOTAL order (value, then the
+    // (orderkey, partkey, suppkey) triple as tiebreak — per FIXTURES.md
+    // the triple is unique within a linenumber group at sf0.01/sf0.1,
+    // the gated scales; sf0.001 carries exactly one colliding 4-tuple,
+    // which would only matter if that pair also tied on the ordered
+    // value), so both engines assign the identical permutation and
+    // ρ = 1 − 6Σd²/(n(n²−1)) is an exact rational — emitted as the
+    // truncated ρ·10⁶ integer, HUGEINT in DuckDB / capped
+    // DECIMAL(38,0) in Spark, no FP anywhere. Overflow budget (round-11
+    // advice): Σd² is summed in DECIMAL(30,0), NOT long (a long sum
+    // silently caps groups at ~2×10⁶ rows since Σd² ≤ n³), and every
+    // downstream product's true value stays < 10³⁸ for groups up to
+    // n ≈ 10¹⁰ rows (≈ 10 TB of lineitem per group); past that both
+    // engines fail loudly (ANSI overflow / HUGEINT range), never
+    // silently.
     // Shape: both rank windows ride ONE hash(l_linenumber) exchange
     // (same partition key, two sort orders), then the 7-group aggregate
     // reuses the layout — no join, no second fact scan.
@@ -227,7 +248,7 @@ object StatQueries {
         |  FROM lineitem),
         |a AS (
         |  SELECT l_linenumber, COUNT(*) AS n,
-        |    CAST(SUM((rx - ry) * (rx - ry)) AS HUGEINT) AS sd2
+        |    CAST(SUM(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS HUGEINT) AS sd2
         |  FROM r GROUP BY l_linenumber),
         |f AS (
         |  SELECT l_linenumber, n,
@@ -251,14 +272,19 @@ object StatQueries {
           rx.cast("long").as("rx"), ry.cast("long").as("ry"))
         .groupBy("l_linenumber")
         .agg(count(lit(1)).as("n"),
-          sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("sd2"))
+          // (rx−ry)² fits long (ranks ≤ n ≤ 10¹⁰ ⇒ d² ≤ 10²⁰? no —
+          // d ≤ n so d² needs decimal too at the extreme; cast the
+          // DIFFERENCE first so the square is exact to n = 10¹⁰)
+          sum(((col("rx") - col("ry")).cast("decimal(11,0)")
+            * (col("rx") - col("ry")).cast("decimal(11,0)"))
+            .cast("decimal(20,0)")).as("sd2"))
         .selectExpr(
           "l_linenumber", "n",
-          """(CAST(n AS DECIMAL(7,0)) * (CAST(n AS DECIMAL(7,0))
-            |   * CAST(n AS DECIMAL(7,0)) - 1)
-            | - 6 * CAST(sd2 AS DECIMAL(17,0))) * 1000000 AS num""".stripMargin,
-          """CAST(n AS DECIMAL(7,0)) * (CAST(n AS DECIMAL(7,0))
-            |  * CAST(n AS DECIMAL(7,0)) - 1) AS den""".stripMargin)
+          """(CAST(n AS DECIMAL(11,0)) * (CAST(n AS DECIMAL(11,0))
+            |   * CAST(n AS DECIMAL(11,0)) - 1)
+            | - 6 * CAST(sd2 AS DECIMAL(30,0))) * 1000000 AS num""".stripMargin,
+          """CAST(n AS DECIMAL(11,0)) * (CAST(n AS DECIMAL(11,0))
+            |  * CAST(n AS DECIMAL(11,0)) - 1) AS den""".stripMargin)
         .selectExpr(
           "l_linenumber", "CAST(n AS BIGINT) AS n",
           """CAST(CASE WHEN num < 0 THEN -((-num) div den)
@@ -275,8 +301,9 @@ object StatQueries {
     // surviving view is fingerprinted per key-bucket (count, key_sum,
     // exact decimal price sum). The changelog derives deterministically
     // from orders (%7→update with exact key-dependent DECIMAL bump,
-    // %13→delete, %17→insert under a shifted key space) so both engines
-    // apply the identical log. Scale: both exchanges are on the key /
+    // %13→delete, %17→insert under the disjoint NEGATIVE key space
+    // -(k+1), collision-free at any scale) so both engines apply the
+    // identical log. Scale: both exchanges are on the key /
     // its bucket — each 100 TB snapshot+log shuffled once, no broadcast,
     // no driver state; all money math in DECIMAL(14,4).
     Q("q_cdc_apply",
@@ -294,7 +321,7 @@ object StatQueries {
         |  SELECT o_orderkey, 2, 'D', CAST(0 AS DECIMAL(14,4))
         |  FROM orders WHERE o_orderkey % 13 = 4),
         |ins AS (
-        |  SELECT o_orderkey + 10000000, 1, 'U',
+        |  SELECT -(o_orderkey + 1), 1, 'U',
         |    CAST(CAST(o_orderkey % 1000 AS DECIMAL(12,4))
         |      + CAST(1.5 AS DECIMAL(12,4)) AS DECIMAL(14,4))
         |  FROM orders WHERE o_orderkey % 17 = 5),
@@ -323,8 +350,13 @@ object StatQueries {
       val del = o.filter(col("k") % 13 === 4)
         .select(col("k"), lit(2).as("seq"), lit("D").as("op"),
           lit(0).cast(P).as("p"))
+      // inserts live in the NEGATIVE key space: -(k+1) is disjoint from
+      // every real orderkey at ANY scale (round-11 advice: the old fixed
+      // +10M shift collides once orderkeys exceed 10M, making the seq=1
+      // latest-wins tie nondeterministic). Negative keys hash/bucket like
+      // any other — no scale cost.
       val ins = o.filter(col("k") % 17 === 5)
-        .select((col("k") + 10000000L).as("k"), lit(1).as("seq"),
+        .select((-(col("k") + 1L)).as("k"), lit(1).as("seq"),
           lit("U").as("op"),
           ((col("k") % 1000).cast(Dsl.DFac)
             + lit(1.5).cast(Dsl.DFac)).cast(P).as("p"))

@@ -689,4 +689,18 @@ class StressSpec extends SparkSuite {
     val cRounds = graft.operators.HierarchyFlatten.lastRounds.get()
     assert(cRounds <= 6, s"closure should converge in ≤6 rounds, took $cRounds")
   }
+
+  test("HierarchyFlatten: cyclic input fails loudly, not with partial labels") {
+    // 0 → 1 → 2 → 0 violates the forest precondition; both entry points
+    // must throw instead of returning plausible-looking wrong output
+    val cycle = spark.range(3).selectExpr("id AS v", "(id + 1) % 3 AS parent")
+    val eF = intercept[IllegalStateException](
+      graft.operators.HierarchyFlatten.flatten(cycle, maxIters = 6).collect())
+    assert(eF.getMessage.contains("did not converge"), eF.getMessage)
+    // ancestors SATURATES on a small cycle (count stabilizes), so the
+    // detector is the self-pair check, not the round limit
+    val eA = intercept[IllegalStateException](
+      graft.operators.HierarchyFlatten.ancestors(cycle, maxIters = 6).count())
+    assert(eA.getMessage.contains("cycle"), eA.getMessage)
+  }
 }
