@@ -452,21 +452,26 @@ object AggQueries {
       import graft.operators.HistogramRank
       val li = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_quantity").as("v"))
-      // Routing probe: when the value domain is DISCRETE and small (the
-      // quantity fixture carries 50 distinct values), both order
-      // statistics collapse to count-histogram selection — ONE scan of
-      // the fact builds per-(group, value) counts, and median AND MAD are
-      // then metadata-sized cumulative-count lookups (the deviation
-      // histogram is a regroup of the SAME counts, no second scan). The
-      // continuous-domain fallback below is the prior HistogramRank
-      // two-level selection. (Discrete selection is exact — identical to
-      // the oracle's rank definition — not an approximation.)
-      val ndv = li.agg(approx_count_distinct(col("v"), 0.01).as("ndv"))
-        .head().getLong(0)
+      // Discrete-domain route (the common case for typed quantity-like
+      // columns; the fixture carries 50 distinct values): both order
+      // statistics collapse to count-histogram selection. Round-11: the
+      // per-(group, value) counts frame is built FIRST and ndv derived
+      // from it (counts.count() on the cached frame) — one scan of the
+      // fact total, where round 10 paid a separate approx_count_distinct
+      // probe scan before the counts scan (two scans + an extra
+      // serialized driver action, ~40% of the query's 4.7 s median).
+      // Trade-off, documented: when the domain turns out CONTINUOUS
+      // (ndv > 65536) this route has shuffled n (grp, v, c) rows where
+      // the old probe shuffled nothing — bounded by one scan's volume,
+      // unpersisted immediately, and the fallback's own multi-scan cost
+      // dominates it. (Discrete selection is exact — identical to the
+      // oracle's rank definition — not an approximation.)
+      val counts0 = li.groupBy("l_returnflag", "v")
+        .agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ndv = counts0.count()
       if (ndv <= 65536) {
-        val counts = li.groupBy("l_returnflag", "v")
-          .agg(count(lit(1)).as("c"))
-          .localCheckpoint(true) // ndv-sized; reused by both selections
+        val counts = counts0 // ndv-sized, cached; reused by both selections
         def valueAt(cnts: org.apache.spark.sql.DataFrame, valCol: String,
                     outCol: String) = {
           val run = Window.partitionBy("l_returnflag").orderBy(valCol)
@@ -486,6 +491,11 @@ object AggQueries {
           .select(col("l_returnflag"), col("med"), col("mad"))
           .orderBy("l_returnflag")
       } else {
+        counts0.unpersist(false)
+        // Level-1 stats CAN still come from counts0 (it holds every
+        // distinct value with its multiplicity) — but n-row re-shuffles
+        // of a huge counts frame lose to a straight fact re-scan with
+        // map-side partial min/max/count, so the fallback stays on li.
         val stats = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"),
             min(col("v").cast("double")).as("lo"),
             max(col("v").cast("double")).as("hi"))
