@@ -47,4 +47,12 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** For each oracle, SQL that PARSES through `spark.sql` and yields a
+    * frame identical to the DataFrame implementation: the oracle string
+    * itself where Spark's dialect accepts it, the
+    * [[graft.queries.SparkDialect]] twin where DuckDB-only syntax needs
+    * translation. SqlParitySpec's census gates all entries. */
+  def sparkSql: Map[String, String] =
+    oracleSql ++ graft.queries.SparkDialect.twins
 }

@@ -51,6 +51,10 @@ object SqlParityQueries {
       "lineitem", "documents", "embeddings")
       .foreach(t => Tables.table(s, dir, t).createOrReplaceTempView(t))
     Tables.events(s, dir).createOrReplaceTempView("events")
+    // The engine's SQL dialect includes its registered codegen functions
+    // (graft_normalize et al.) — exactly what a deployment gets from
+    // spark.sql.extensions=graft.GraftExtensions.
+    graft.functions.GraftFunctions.register(s)
   }
 
   /** Value equality matching the driver's hash compare: exact for
@@ -82,11 +86,13 @@ object SqlParityQueries {
       }
     }.toSeq: _*)
 
-  /** Run one contract query both ways; None = frames identical, Some =
-    * first divergence description. */
+  /** Run one contract query both ways — the DataFrame implementation vs
+    * the Spark-dialect SQL text ([[graft.SparkEntry.sparkSql]]: the oracle
+    * string where Spark parses it, the SparkDialect twin otherwise); None
+    * = frames identical, Some = first divergence description. */
   def diff(s: SparkSession, dir: String, name: String): Option[String] = {
     val df = normTs(graft.SparkEntry.queries(name)(s, dir))
-    val sql = normTs(s.sql(graft.SparkEntry.oracleSql(name)))
+    val sql = normTs(s.sql(graft.SparkEntry.sparkSql(name)))
     val (dc, sc) = (df.columns.sorted.toSeq, sql.columns.sorted.toSeq)
     if (dc != sc) return Some(s"columns df=$dc sql=$sc")
     val (a, b) = (df.select(dc.map(df.col): _*).collect(),

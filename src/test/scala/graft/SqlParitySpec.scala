@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.SqlParityQueries
+import graft.queries.{SparkDialect, SqlParityQueries}
 
 /** Gate for cap_sql_parity (round-10 verdict item 3): every member of the
   * parity set, executed as raw SQL text through spark.sql over temp views,
@@ -28,11 +28,12 @@ class SqlParitySpec extends SparkSuite {
   }
 
   test("full-surface SQL dialect census (every oracle through spark.sql)", Marquee) {
-    // Informational sweep over ALL oracle strings — the DuckDB-dialect
-    // ones (list_*, string_split, unnest, strftime…) legitimately fail to
-    // parse; everything that PARSES must also match frames, and the
-    // curated paritySet must stay a subset of the ok set. Opt-in
-    // (Marquee): runs the whole query surface twice.
+    // Round-11: the census is TOTAL. Every oracle runs through spark.sql —
+    // as its own ANSI text where Spark parses it, as its SparkDialect twin
+    // where DuckDB-only syntax needed translation — and every one must
+    // match the DataFrame implementation frame-for-frame: 162/162, no
+    // dialect-only bucket left. Opt-in (Marquee): runs the whole query
+    // surface twice.
     SqlParityQueries.registerViews(spark, sf("0.001"))
     val results = SparkEntry.oracleSql.keys.toSeq.sorted.map { name =>
       val status =
@@ -44,15 +45,22 @@ class SqlParitySpec extends SparkSuite {
       name -> status
     }
     val ok = results.collect { case (n, "ok") => n }
-    val mismatch = results.filter(_._2.startsWith("mismatch"))
-    info(s"census: ${ok.size} ok, ${mismatch.size} mismatch, " +
-      s"${results.size - ok.size - mismatch.size} DuckDB-dialect-only " +
-      s"of ${results.size} oracles")
-    mismatch.foreach { case (n, s) => info(s"  MISMATCH $n: $s") }
-    assert(SqlParityQueries.paritySet.forall(ok.contains),
-      "curated parity set must round-trip")
-    assert(mismatch.isEmpty,
-      "every Spark-parseable oracle must match frames: " +
-        mismatch.map(_._1).mkString(", "))
+    val bad = results.filterNot(_._2 == "ok")
+    info(s"census: ${ok.size} ok of ${results.size} oracles " +
+      s"(${SparkDialect.twins.size} via Spark-dialect twins)")
+    bad.foreach { case (n, s) => info(s"  BAD $n: $s") }
+    assert(bad.isEmpty, "every oracle must run as Spark SQL and match " +
+      "frames: " + bad.map(b => s"${b._1} -> ${b._2}").mkString("; "))
+  }
+
+  test("SparkDialect twins cover exactly the DuckDB-only oracles") {
+    // every twin key names a real oracle…
+    val orphan = SparkDialect.twins.keySet -- SparkEntry.oracleSql.keySet
+    assert(orphan.isEmpty, s"twins without an oracle: $orphan")
+    // …and a twin exists only where it differs from the oracle (a twin
+    // identical to the oracle would silently mask dialect drift)
+    val redundant = SparkDialect.twins.filter { case (n, s) =>
+      SparkEntry.oracleSql(n).trim == s.trim }
+    assert(redundant.isEmpty, s"redundant twins: ${redundant.keySet}")
   }
 }
