@@ -127,6 +127,28 @@ object Graft {
     /** Connected components over a (d1, d2) pair frame. */
     def components(pairs: DataFrame, maxIters: Int = 24): DataFrame =
       DedupGroups.components(pairs, maxIters)
+    /** Flatten a parent-pointer forest to per-node (root, depth) by
+      * pointer doubling (⌈log₂ depth⌉ rounds, no driver frontier);
+      * throws on cycles instead of returning partial labels. Input
+      * (v, parent) with roots encoded parent == v. */
+    def flatten(nodes: DataFrame, maxIters: Int = 40): DataFrame =
+      HierarchyFlatten.flatten(nodes, maxIters)
+    /** The proper-ancestor closure (v, anc) by path doubling; Σdepth-sized
+      * output — see the scaladoc for when [[flatten]] is the right tool.
+      * Throws on cyclic input (self-pair detection). */
+    def ancestors(nodes: DataFrame, maxIters: Int = 40): DataFrame =
+      HierarchyFlatten.ancestors(nodes, maxIters)
+  }
+
+  /** Time-series shaping. */
+  object time {
+    /** Largest-Triangle-Three-Buckets downsampling to ≤ `buckets` points
+      * per series — endpoints kept, interior picked by max triangle area,
+      * one pass over window frames (no per-series driver loop). `x` is an
+      * int64 ordinate (e.g. epoch micros), `tie` breaks equal x. */
+    def lttb(series: DataFrame, key: String, x: String, y: String,
+             tie: String, buckets: Int): DataFrame =
+      Lttb.downsample(series, key, x, y, tie, buckets)
   }
 
   /** Table maintenance: the operational layer of a partitioned store. */

@@ -73,6 +73,30 @@ class ApiSpec extends SparkSuite {
     assert(math.abs(ranks.sum - 1.0) < 1e-12)
   }
 
+  test("graph group: hierarchy flatten + ancestors through the facade") {
+    // supplier-fixture forest shape: roots k<3, parent = k div 3
+    val nodes = spark.range(27).selectExpr(
+      "id AS v", "CASE WHEN id < 3 THEN id ELSE id DIV 3 END AS parent")
+    val flat = Graft.graph.flatten(nodes).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(flat(26L) == ((2L, 2L))) // 26 -> 8 -> 2 (root), depth 2
+    assert(flat(1L) == ((1L, 0L)))
+    val anc = Graft.graph.ancestors(nodes)
+    // Σdepth over the 27-node forest: nodes 3..8 depth1, 9..26 depth2
+    assert(anc.count() == 6 * 1 + 18 * 2)
+  }
+
+  test("time group: LTTB keeps endpoints and honors the bucket budget") {
+    val series = spark.range(100).selectExpr(
+      "'s1' AS k", "id * 1000000 AS x",
+      "CAST(id % 17 AS DOUBLE) AS y", "id AS tie")
+    val out = Graft.time.lttb(series, "k", "x", "y", "tie", buckets = 10)
+      .collect()
+    assert(out.length <= 10 && out.length >= 3)
+    val xs = out.map(_.getLong(out.head.fieldIndex("x"))).sorted
+    assert(xs.head == 0L && xs.last == 99L * 1000000)
+  }
+
   test("maintain group: compact reduces the file count, keeps every row") {
     val in = graft.core.Scratch.dir("api_frag")
     val out = graft.core.Scratch.dir("api_compact")

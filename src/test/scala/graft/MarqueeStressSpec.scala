@@ -614,4 +614,148 @@ class MarqueeStressSpec extends AnyFunSuite {
       spark.sparkContext.removeSparkListener(listener)
     }
   }
+
+  test("q_graph_degree shape: 1M-line fact⨝fact degree profile, linear shuffle", Marquee) {
+    // The q_graph_degree plan (queries/GraphQueries.scala) at ~17x the
+    // sf0.1 fact volume, on synthetic frames: a fact⨝fact equi-join
+    // (neither side broadcastable at real scale — forced here by
+    // disabling auto-broadcast) into a two-level aggregate. Evidence:
+    // listener-measured shuffle-WRITE records stay linear — each fact
+    // row crosses the wire once for the join, and the distinct-pair
+    // partials are bounded by the true distinct (supp, cust) count.
+    val nOrders = 250000L
+    val linesPer = 4
+    val nLines = nOrders * linesPer
+    val orders = spark.range(nOrders).select(col("id").as("o_orderkey"),
+      pmod(xxhash64(col("id"), lit(7)), lit(20000L)).as("o_custkey"))
+    val lineitem = spark.range(nLines).select(
+      (col("id") / linesPer).cast("long").as("l_orderkey"),
+      pmod(xxhash64(col("id"), lit(11)), lit(5000L)).as("l_suppkey"))
+    // ground truth, OUTSIDE the measured window
+    val distinctPairs = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select("l_suppkey", "o_custkey").distinct().count()
+    val nSupp = lineitem.select("l_suppkey").distinct().count()
+
+    val recs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        recs.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+      recs.set(0)
+      val (rows, secs) = timed {
+        lineitem
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_suppkey")
+          .agg(countDistinct(col("o_custkey")).as("degree"))
+          .groupBy("degree")
+          .agg(count(lit(1)).as("n_suppliers"),
+            sum(col("l_suppkey")).cast("long").as("supp_sum"))
+          .orderBy("degree").collect()
+      }
+      org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+      val written = recs.get()
+      // result invariants against independently-computed ground truth
+      assert(rows.map(_.getLong(1)).sum == nSupp,
+        "every supplier appears in exactly one degree bucket")
+      assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum == distinctPairs,
+        "degree-weighted supplier count must equal the distinct pair count")
+      // work metric: join shuffles each side once (nLines + nOrders), the
+      // distinct partials are <= distinctPairs per the map-side combine,
+      // the histogram level is metadata-sized. 1.5x slack for AQE
+      // re-splits; a pair-materializing or re-scanning plan would blow
+      // far past this.
+      val bound = ((nLines + nOrders + distinctPairs) * 1.5).toLong
+      assert(written <= bound,
+        s"shuffle records $written exceed the linear bound $bound")
+      assert(written >= nLines,
+        s"measurement wired wrong? only $written records for $nLines lines")
+      info(f"degree profile over $nLines lines in $secs%.1f s: " +
+        s"$written shuffle records (linear bound $bound), " +
+        s"$distinctPairs distinct pairs, ${rows.length} degree buckets")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+  }
+
+  test("q_event_lift shape: 1M events, tagged tally keeps pairs off the wire", Marquee) {
+    // The q_event_lift plan (queries/InsightQueries.scala) at ~20x the
+    // sf0.1 events volume: ONE data-sized shuffle builds per-(user, day)
+    // type-sets; the pair/singleton/universe tally then rides a tagged
+    // row-local explode into a <=16-key aggregate. Evidence: of all
+    // shuffle stages in the run, exactly one is data-sized — every other
+    // stage's write is tally-sized. The oracle's distinct-self-join twin
+    // would put a second data-sized pair frame on the wire.
+    val nEvents = 1000000L
+    val types = array(lit("view"), lit("cart"), lit("purchase"),
+      lit("refund"), lit("support"))
+    val events = spark.range(nEvents).select(
+      pmod(xxhash64(col("id"), lit(3)), lit(50000L)).as("user_id"),
+      date_add(lit("2024-01-01").cast("date"),
+        pmod(xxhash64(col("id"), lit(5)), lit(30)).cast("int")).as("day"),
+      element_at(types,
+        (pmod(xxhash64(col("id"), lit(9)), lit(5)) + 1).cast("int"))
+        .as("event_type"))
+    val stageRecs =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stageRecs.add((s.stageInfo.stageId,
+          s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+      stageRecs.clear()
+      val (out, secs) = timed {
+        val sets = events
+          .groupBy(col("user_id"), col("day"))
+          .agg(sort_array(collect_set(col("event_type"))).as("tset"))
+        val tally = sets.select(explode(expr(
+            """concat(
+              |  flatten(transform(tset, (x, i) ->
+              |    transform(slice(tset, i + 2, size(tset)),
+              |              y -> struct(x AS ta, y AS tb)))),
+              |  transform(tset, x ->
+              |    struct(x AS ta, CAST(NULL AS STRING) AS tb)),
+              |  array(struct(CAST(NULL AS STRING) AS ta,
+              |               CAST(NULL AS STRING) AS tb)))""".stripMargin))
+            .as("p"))
+          .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
+          .agg(count(lit(1)).as("c"))
+        tally.collect()
+      }
+      org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+      val perStage = stageRecs.toArray(Array.empty[(Int, Long)])
+        .filter(_._2 > 0).sortBy(-_._2)
+      // tally: C(5,2)=10 pairs + 5 singletons + 1 universe = 16 keys
+      assert(out.length == 16, s"tagged tally must hold 16 keys: ${out.length}")
+      val userDays = out.filter(r => r.isNullAt(0) && r.isNullAt(1))
+        .head.getLong(2)
+      assert(out.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        .forall(_.getLong(2) <= userDays), "pair count bounded by universe")
+      // exactly ONE data-sized shuffle (the sets build, <= nEvents after
+      // map-side combine); every other stage is tally-sized — 16 keys x
+      // 32 partitions of partials, far under 4096
+      assert(perStage.nonEmpty && perStage.head._2 <= nEvents,
+        s"sets shuffle must be <= input rows: ${perStage.headOption}")
+      val rest = perStage.drop(1)
+      assert(rest.forall(_._2 <= 16L * 32),
+        "a second data-sized shuffle appeared — pairs went on the wire: " +
+          rest.take(5).mkString(", "))
+      info(f"1M-event lift in $secs%.1f s: sets shuffle " +
+        s"${perStage.head._2} records, post-sets stages " +
+        s"${rest.map(_._2).sum} records over $userDays user-days")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
 }
