@@ -143,6 +143,100 @@ object CleanseQueries {
         .limit(100)
     },
 
+    // URL canonicalization + duplicate grouping — the web-corpus dedup
+    // stage that runs BEFORE content dedup (the same page crawled as
+    // http://Site.COM:80/x?b=2&a=1#frag and http://site.com/x?a=1&b=2
+    // must collapse). Policy, applied as pure string/regex algebra both
+    // engines share: strip fragment; lowercase scheme and host; strip
+    // default ports :80/:443; strip trailing path slashes; sort query
+    // params. Messy URLs derive deterministically from doc_id: 4 variant
+    // shapes over a 13-host × 7-path space keyed by doc_id div 4 — so
+    // variant-0/1 crawls of one page collapse into one canonical group,
+    // and same-page groups also merge across the 91-key space; both
+    // engines build identical inputs. Output is
+    // the DUP groups only (keeper = min doc). Scale: row-local
+    // projection + one groupBy(canon) — the same shape as exact dedup;
+    // regexes stay in the Java/RE2 common subset (module scaladoc).
+    Q("q_url_normalize",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'HTTP://Site' || CAST((doc_id // 4) % 13 AS VARCHAR)
+        |        || '.COM:80/docs/' || CAST((doc_id // 4) % 7 AS VARCHAR)
+        |        || '?b=2&a=1#frag'
+        |      WHEN 1 THEN 'http://site' || CAST((doc_id // 4) % 13 AS VARCHAR)
+        |        || '.com/docs/' || CAST((doc_id // 4) % 7 AS VARCHAR) || '?a=1&b=2'
+        |      WHEN 2 THEN 'HTTPS://Site' || CAST((doc_id // 4) % 13 AS VARCHAR)
+        |        || '.COM:443/docs/' || CAST((doc_id // 4) % 7 AS VARCHAR)
+        |        || '/?a=1&b=2'
+        |      ELSE 'https://site' || CAST((doc_id // 4) % 13 AS VARCHAR)
+        |        || '.com/docs/' || CAST((doc_id // 4) % 7 AS VARCHAR) || '/'
+        |    END AS url
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(nf, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_replace(nf, '^[A-Za-z]+://', '') AS rest
+        |  FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM d)),
+        |r AS (
+        |  SELECT doc_id, scheme,
+        |    lower(regexp_replace(regexp_extract(rest, '^([^/?]+)', 1),
+        |                         ':(80|443)$', '')) AS host,
+        |    substring(rest,
+        |      length(regexp_extract(rest, '^([^/?]+)', 1)) + 1) AS pathq
+        |  FROM q),
+        |c AS (
+        |  SELECT doc_id, scheme, host,
+        |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+        |                   '/+$', '') AS path,
+        |    array_to_string(list_sort(string_split(
+        |      regexp_extract(pathq, '[?](.*)$', 1), '&')), '&') AS sq
+        |  FROM r),
+        |n AS (
+        |  SELECT doc_id, scheme || '://' || host || path ||
+        |    CASE WHEN sq <> '' THEN '?' || sq ELSE '' END AS canon
+        |  FROM c)
+        |SELECT canon, COUNT(*) AS n_docs,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keeper,
+        |  CAST(SUM(doc_id) AS BIGINT) AS doc_sum
+        |FROM n GROUP BY canon HAVING COUNT(*) > 1
+        |ORDER BY canon""".stripMargin) { (s, d) =>
+      val hostN = expr("doc_id div 4") % 13
+      val pathN = expr("doc_id div 4") % 7
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTP://Site"), hostN.cast("string"),
+            lit(".COM:80/docs/"), pathN.cast("string"), lit("?b=2&a=1#frag")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://site"), hostN.cast("string"),
+            lit(".com/docs/"), pathN.cast("string"), lit("?a=1&b=2")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("HTTPS://Site"), hostN.cast("string"),
+            lit(".COM:443/docs/"), pathN.cast("string"), lit("/?a=1&b=2")))
+        .otherwise(
+          concat(lit("https://site"), hostN.cast("string"),
+            lit(".com/docs/"), pathN.cast("string"), lit("/")))
+      val nf = regexp_replace(url, "#.*$", "")
+      val scheme = lower(regexp_extract(nf, "^([A-Za-z]+)://", 1))
+      val rest = regexp_replace(nf, "^[A-Za-z]+://", "")
+      val hostport = regexp_extract(rest, "^([^/?]+)", 1)
+      val host = lower(regexp_replace(hostport, ":(80|443)$", ""))
+      val pathq = rest.substr(length(hostport) + 1, lit(1 << 30))
+      val path = regexp_replace(
+        regexp_extract(pathq, "^([^?]*)", 1), "/+$", "")
+      val sq = array_join(array_sort(split(
+        regexp_extract(pathq, "[?](.*)$", 1), "&")), "&")
+      val canon = concat(scheme, lit("://"), host, path,
+        when(sq =!= "", concat(lit("?"), sq)).otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), canon.as("canon"))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).cast("long").as("keeper"),
+          sum(col("doc_id")).cast("long").as("doc_sum"))
+        .where(col("n_docs") > 1)
+        .orderBy("canon")
+    },
+
     // The composed corpus run ([[graft.operators.PretrainPipeline]]):
     // PII-injected fixture → cleanse (redact THEN normalize — the
     // idempotence-preserving order) → span-dup drop → quality floor,

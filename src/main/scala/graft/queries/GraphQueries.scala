@@ -132,6 +132,56 @@ object GraphQueries {
           coalesce(col("n"), lit(0L)).cast("long").as("n_desc"),
           coalesce(col("ks"), lit(0L)).cast("long").as("desc_key_sum"))
         .orderBy("node")
+    },
+
+    // Triangle counting on the supplier co-trade graph — the clustering
+    // primitive of graph analytics. Edges: supplier pairs that co-occur
+    // in ≥ 4 orders (the threshold keeps the graph sparse as sf grows —
+    // co-occurrence counts concentrate, raw pair existence saturates).
+    // Triangles are enumerated over the ORDERED edge list (s1 < s2
+    // everywhere), so each triangle appears exactly once as a < b < c:
+    // wedge join (e1.b = e2.a) + closing-edge check. Scale shape: the
+    // per-order self-join emits ≤ C(lines_per_order, 2) pairs per order
+    // (bounded fan-out, like token shingles); the edge frame is
+    // node²-bounded and checkpointed once for its three join uses; the
+    // wedge join is edge⨝edge on a key — Σ_a deg(a)² work, the standard
+    // distributed triangle bound. No driver state, no broadcast of
+    // anything data-sized.
+    Q("q_graph_triangles",
+      """WITH co AS (
+        |  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+        |t AS (
+        |  SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+        |  FROM co e1 JOIN co e2 ON e1.s2 = e2.s1
+        |  JOIN co e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2)
+        |SELECT a AS s_min, COUNT(*) AS n_tri,
+        |  CAST(SUM(b + c) AS BIGINT) AS peer_sum
+        |FROM t GROUP BY a ORDER BY s_min""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val co = li.as("a")
+        .join(li.select(col("l_orderkey").as("bo"),
+          col("l_suppkey").as("bs")), col("l_orderkey") === col("bo"))
+        .where(col("l_suppkey") < col("bs"))
+        .groupBy(col("l_suppkey").as("s1"), col("bs").as("s2"))
+        .agg(count(lit(1)).as("nco"))
+        .where(col("nco") >= 4)
+        .select("s1", "s2")
+        // node²-bounded; three joins below reuse it — one materialization
+        .localCheckpoint(true)
+      val wedges = co.as("e1")
+        .join(co.select(col("s1").as("ws"), col("s2").as("wc")),
+          col("s2") === col("ws"))
+        .select(col("s1").as("a"), col("s2").as("b"), col("wc").as("c"))
+      wedges
+        .join(co.select(col("s1").as("ca"), col("s2").as("cc")),
+          col("a") === col("ca") && col("c") === col("cc"))
+        .groupBy(col("a").as("s_min"))
+        .agg(count(lit(1)).as("n_tri"),
+          sum(col("b") + col("c")).cast(LongType).as("peer_sum"))
+        .orderBy("s_min")
     }
   )
 }

@@ -928,6 +928,31 @@ object JoinQueries {
         .agg(count(lit(1)).as("n"),
           Dsl.d2d(Dsl.dsum(col("o_totalprice"))).as("total"))
         .orderBy(col("grp").asc_nulls_first)
+    },
+
+    // Runtime bloom-prefilter join ([[graft.operators.BloomJoin]]): a
+    // selective fact⨝dim join where the fact side is filtered by a bloom
+    // built over the dim keys BEFORE its shuffle — the 100 TB pattern
+    // Spark's InjectRuntimeFilter applies only under narrow plan
+    // conditions, made explicit. BloomJoinSpec gates row-identity with
+    // the plain join (no false negatives) and the listener-measured
+    // shuffle reduction. Dim = urgent orders (~20% of keys), so ~80% of
+    // lineitem rows never reach the join exchange.
+    Q.cap("cap_join_bloom") { (s, d) =>
+      val fact = Tables.lineitem(s, d).select("l_orderkey", "l_quantity",
+        "l_returnflag")
+      val dim = Tables.orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      graft.operators.BloomJoin
+        .prefiltered(fact, dim, "l_orderkey", "o_orderkey",
+          expectedItems = 200000L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          Dsl.d2d(Dsl.dsum(col("l_quantity").cast(
+            org.apache.spark.sql.types.DataTypes.createDecimalType(12, 2))))
+            .as("qty"))
+        .orderBy("l_returnflag")
     }
   )
 }

@@ -459,6 +459,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Top principal direction of the embedding corpus by distributed
+    // power iteration ([[graft.operators.PowerIteration]]): per round ONE
+    // scan — row-local dot against the broadcast-literal v, posexplode →
+    // per-dimension partial sums (D·partitions shuffle records, never the
+    // data). AnnSpec gates against an in-JVM Gram-matrix reference;
+    // FP-summation order makes this tolerance-stable, hence cap not
+    // oracle. Scalar-only output: (pos, loading, lambda1) per dimension.
+    Q.cap("cap_embed_pca") { (s, d) =>
+      graft.operators.PowerIteration.topComponentFrame(
+        Tables.embeddings(s, d), iters = 6)
+    },
+
     // Deterministic train/test split: assignment is a pure function of the
     // row key (md5 prefix < 'cd' ⇒ 205/256 ≈ 80 % train), so the split is
     // reproducible across runs, engines, partitionings and incremental

@@ -972,6 +972,50 @@ object SparkDialect {
         |  FROM events, (SELECT explode(array(0, 1)) AS k) ks)
         |SELECT ws AS window_start, event_type, COUNT(*) AS cnt, ((CASE WHEN (CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))) < 0 THEN -1.0e0 ELSE 1.0e0 END) * (CAST(CAST(FLOOR(ABS(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)))) AS BIGINT) AS DOUBLE) + CAST(CAST(ABS(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))) - FLOOR(ABS(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)))) AS DECIMAL(5,4)) AS DOUBLE))) AS sum_value
         |FROM b
-        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_url_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'HTTP://Site' || CAST((doc_id div 4) % 13 AS STRING)
+        |        || '.COM:80/docs/' || CAST((doc_id div 4) % 7 AS STRING)
+        |        || '?b=2&a=1#frag'
+        |      WHEN 1 THEN 'http://site' || CAST((doc_id div 4) % 13 AS STRING)
+        |        || '.com/docs/' || CAST((doc_id div 4) % 7 AS STRING) || '?a=1&b=2'
+        |      WHEN 2 THEN 'HTTPS://Site' || CAST((doc_id div 4) % 13 AS STRING)
+        |        || '.COM:443/docs/' || CAST((doc_id div 4) % 7 AS STRING)
+        |        || '/?a=1&b=2'
+        |      ELSE 'https://site' || CAST((doc_id div 4) % 13 AS STRING)
+        |        || '.com/docs/' || CAST((doc_id div 4) % 7 AS STRING) || '/'
+        |    END AS url
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(nf, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_replace(nf, '^[A-Za-z]+://', '') AS rest
+        |  FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM d)),
+        |r AS (
+        |  SELECT doc_id, scheme,
+        |    lower(regexp_replace(regexp_extract(rest, '^([^/?]+)', 1),
+        |                         ':(80|443)$', '')) AS host,
+        |    substring(rest,
+        |      length(regexp_extract(rest, '^([^/?]+)', 1)) + 1) AS pathq
+        |  FROM q),
+        |c AS (
+        |  SELECT doc_id, scheme, host,
+        |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+        |                   '/+$', '') AS path,
+        |    array_join(array_sort(split(
+        |      regexp_extract(pathq, '[?](.*)$', 1), '&')), '&') AS sq
+        |  FROM r),
+        |n AS (
+        |  SELECT doc_id, scheme || '://' || host || path ||
+        |    CASE WHEN sq <> '' THEN '?' || sq ELSE '' END AS canon
+        |  FROM c)
+        |SELECT canon, COUNT(*) AS n_docs,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keeper,
+        |  CAST(SUM(doc_id) AS BIGINT) AS doc_sum
+        |FROM n GROUP BY canon HAVING COUNT(*) > 1
+        |ORDER BY canon""".stripMargin
   )
 }

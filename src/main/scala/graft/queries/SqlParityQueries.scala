@@ -40,7 +40,13 @@ object SqlParityQueries {
     "q_tpch_q3", "q_tpch_q6",
     // round-10 third session: IS NOT DISTINCT FROM parses in both
     // dialects (the <=> corner), as does the degree-profile double agg
-    "q_join_null_safe", "q_graph_degree")
+    "q_join_null_safe", "q_graph_degree",
+    // round-11: members whose Spark-side SQL is a SparkDialect TWIN (the
+    // oracle is DuckDB-only) — the driver-gated cap now exercises the
+    // translated dialect path too: array ops, 1-based indexing, the
+    // as-of rewrite, a sorted-struct FP fold, and a recursive CTE
+    "q_array_funcs", "q_join_asof", "q_time_ewma", "q_hierarchy_flatten",
+    "q_text_quality")
 
   /** Register every fixture parquet as a temp view so oracle SQL table
     * names resolve. Uses the same readers as the DataFrame path (events

@@ -536,4 +536,42 @@ class AnnSpec extends SparkSuite {
     assert(narrowRdd.getNumPartitions >= parts / 2,
       s"degenerate input not spread: ${narrowRdd.getNumPartitions}")
   }
+
+  test("PowerIteration: distributed top component matches the in-JVM Gram reference") {
+    import graft.operators.PowerIteration
+    val emb = Tables.embeddings(spark, sf("0.001"))
+    val tc = PowerIteration.topComponent(emb, iters = 8)
+    assert(math.abs(tc.vector.map(x => x * x).sum - 1.0) < 1e-9, "not unit")
+    // Rayleigh quotients are non-decreasing for power iteration on a PSD
+    // Gram matrix (tolerance for distributed FP summation order)
+    tc.rayleigh.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-6 * math.abs(a), s"rayleigh decreased: $a -> $b")
+    }
+    // in-JVM reference: identical seed and round count, sequential sums
+    val X = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val d = X.head.length
+    var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 1e-3)
+    val n0 = math.sqrt(v.map(x => x * x).sum); v = v.map(_ / n0)
+    var lam = 0.0
+    for (_ <- 1 to 8) {
+      val w = new Array[Double](d)
+      X.foreach { x =>
+        var dot = 0.0; var i = 0
+        while (i < d) { dot += x(i) * v(i); i += 1 }
+        i = 0
+        while (i < d) { w(i) += x(i) * dot; i += 1 }
+      }
+      lam = v.zip(w).map { case (a, b) => a * b }.sum
+      val n = math.sqrt(w.map(x => x * x).sum); v = w.map(_ / n)
+    }
+    val align = tc.vector.zip(v).map { case (a, b) => a * b }.sum
+    assert(math.abs(math.abs(align) - 1.0) < 1e-6,
+      s"direction diverged from reference: |cos| = ${math.abs(align)}")
+    assert(math.abs(tc.rayleigh.last - lam) / lam < 1e-6,
+      s"lambda1 ${tc.rayleigh.last} != reference $lam")
+    // registry cap: one scalar row per dimension
+    val cap = SparkEntry.queries("cap_embed_pca")(spark, sf("0.001")).collect()
+    assert(cap.length == d && cap.forall(!_.anyNull))
+  }
 }

@@ -824,7 +824,9 @@ class StreamingSpec extends SparkSuite {
           .add(new java.math.BigDecimal(k % 500))
           .add(new java.math.BigDecimal("0.25"))))) else Nil
       val del = if (k % 13 == 4) Seq(Chg(k, 2, "D", 0L)) else Nil
-      val ins = if (k % 17 == 5) Seq(Chg(k + 10000000L, 1, "U",
+      // disjoint NEGATIVE insert key space, matching q_cdc_apply's
+      // round-11 collision-free derivation
+      val ins = if (k % 17 == 5) Seq(Chg(-(k + 1L), 1, "U",
         e4(new java.math.BigDecimal(k % 1000)
           .add(new java.math.BigDecimal("1.5"))))) else Nil
       base +: (upd ++ del ++ ins)
