@@ -72,6 +72,11 @@ object Graft {
     def query(index: IvfPq.IvfPqIndex, queries: DataFrame, k: Int,
               anchorPred: Column, nprobe: Int = 4): DataFrame =
       IvfPq.query(index, queries, k, anchorPred, nprobe)
+    /** Top principal direction of the embedding corpus by distributed
+      * power iteration (one scan per round; D-vector driver state). */
+    def topComponent(embeddings: DataFrame, vecCol: String = "embedding",
+                     iters: Int = 8): PowerIteration.TopComponent =
+      PowerIteration.topComponent(embeddings, vecCol, iters)
   }
 
   /** Corpus cleansing and tokenizer training — the pretrain data path. */
@@ -105,6 +110,13 @@ object Graft {
     def salted(big: DataFrame, small: DataFrame,
                bigKey: String, smallKey: String, salt: Int = 8): DataFrame =
       SaltedJoin.join(big, small, bigKey, smallKey, salt)
+    /** Selective fact⨝dim join with the fact bloom-prefiltered by the dim
+      * keys before its shuffle — row-identical to the plain join, shuffle
+      * volume drops to matches + the fp tail. */
+    def bloomPrefiltered(fact: DataFrame, dim: DataFrame,
+                         factKey: String, dimKey: String,
+                         expectedItems: Long = 1000000L): DataFrame =
+      BloomJoin.prefiltered(fact, dim, factKey, dimKey, expectedItems)
   }
 
   /** Distribution statistics without global sorts. */

@@ -73,6 +73,24 @@ class ApiSpec extends SparkSuite {
     assert(math.abs(ranks.sum - 1.0) < 1e-12)
   }
 
+  test("joins group: bloom-prefiltered join equals the plain join") {
+    val fact = graft.core.Tables.lineitem(spark, sf("0.001"))
+      .select("l_orderkey", "l_quantity")
+    val dim = graft.core.Tables.orders(spark, sf("0.001"))
+      .where(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val pre = Graft.joins.bloomPrefiltered(fact, dim,
+      "l_orderkey", "o_orderkey", expectedItems = 10000L)
+    assert(pre.count() ==
+      fact.join(dim, col("l_orderkey") === col("o_orderkey")).count())
+  }
+
+  test("sim group: top component through the facade is unit-norm") {
+    val tc = Graft.sim.topComponent(
+      graft.core.Tables.embeddings(spark, sf("0.001")), iters = 4)
+    assert(math.abs(tc.vector.map(x => x * x).sum - 1.0) < 1e-9)
+    assert(tc.rayleigh.length == 4)
+  }
+
   test("graph group: hierarchy flatten + ancestors through the facade") {
     // supplier-fixture forest shape: roots k<3, parent = k div 3
     val nodes = spark.range(27).selectExpr(
