@@ -934,25 +934,59 @@ object JoinQueries {
     // selective fact⨝dim join where the fact side is filtered by a bloom
     // built over the dim keys BEFORE its shuffle — the 100 TB pattern
     // Spark's InjectRuntimeFilter applies only under narrow plan
-    // conditions, made explicit. BloomJoinSpec gates row-identity with
-    // the plain join (no false negatives) and the listener-measured
-    // shuffle reduction. Dim = urgent orders (~20% of keys), so ~80% of
-    // lineitem rows never reach the join exchange.
-    Q.cap("cap_join_bloom") { (s, d) =>
-      val fact = Tables.lineitem(s, d).select("l_orderkey", "l_quantity",
-        "l_returnflag")
-      val dim = Tables.orders(s, d)
-        .where(col("o_orderpriority") === "1-URGENT")
-        .select("o_orderkey")
-      graft.operators.BloomJoin
-        .prefiltered(fact, dim, "l_orderkey", "o_orderkey",
-          expectedItems = 200000L)
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          Dsl.d2d(Dsl.dsum(col("l_quantity").cast(
-            org.apache.spark.sql.types.DataTypes.createDecimalType(12, 2))))
-            .as("qty"))
-        .orderBy("l_returnflag")
+    // conditions, made explicit. The bloom is an IMPLEMENTATION of the
+    // plain selective join (no false negatives), so the oracle is that
+    // join's ANSI text — the hash gate proves the filter drops nothing.
+    // BloomJoinSpec additionally gates the fp tail and row-identity.
+    // Dim = urgent orders (~20% of keys), so ~80% of lineitem rows never
+    // reach the join exchange.
+    Q("q_join_bloom",
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${Dsl.d2dSql(Dsl.dsumSql("l_quantity"))} AS qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        val fact = Tables.lineitem(s, d).select("l_orderkey", "l_quantity",
+          "l_returnflag")
+        val dim = Tables.orders(s, d)
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey")
+        graft.operators.BloomJoin
+          .prefiltered(fact, dim, "l_orderkey", "o_orderkey",
+            expectedItems = 200000L)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            Dsl.d2d(Dsl.dsum(col("l_quantity"))).as("qty"))
+          .orderBy("l_returnflag")
+    },
+
+    // Unpivot / melt — the wide→long reshape (the inverse of q_pivot):
+    // per-priority status counts spread across three columns fold back
+    // to (priority, status, cnt) rows via Dataset.unpivot. The oracle
+    // states the same relation as a UNION ALL of per-column selects —
+    // pure ANSI, so it parses on both engines unchanged. Scale: the wide
+    // frame is |priorities|-rows (aggregate output); unpivot itself is a
+    // row-local expand — the pattern works the same on a billion-row
+    // wide frame (3× row expand, no shuffle).
+    Q("q_unpivot",
+      """WITH w AS (
+        |  SELECT o_orderpriority,
+        |    COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+        |    COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+        |    COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, 'F' AS status, f_cnt AS cnt FROM w
+        |UNION ALL SELECT o_orderpriority, 'O', o_cnt FROM w
+        |UNION ALL SELECT o_orderpriority, 'P', p_cnt FROM w
+        |ORDER BY o_orderpriority, status""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P")).count()
+        .na.fill(0L, Seq("F", "O", "P"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")), "status", "cnt")
+        .orderBy("o_orderpriority", "status")
     }
   )
 }

@@ -67,6 +67,31 @@ object ScanQueries {
         .orderBy("r_regionkey")
     },
 
+    // Line-delimited text source: the rawest ingest format a corpus
+    // arrives in (one document per line). Round-trip: documents render to
+    // '<lang>\t<text>' lines via the TEXT writer, read back with
+    // spark.read.text + a limit-2 split (text may itself contain tabs —
+    // the fixture doesn't, but the parse must not depend on that), then
+    // per-lang aggregate. The oracle computes the same profile straight
+    // off the parquet table, so the gate proves byte-exact line
+    // round-tripping, not just row counts.
+    Q("q_source_text",
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val src = Tables.documents(s, d)
+        .select(concat_ws("\t", col("lang"), col("text")).as("value"))
+      val tmp = graft.core.Scratch.dir("textsrc")
+      src.coalesce(1).write.mode("overwrite").text(tmp)
+      s.read.text(tmp)
+        .select(split(col("value"), "\t", 2).as("p"))
+        .select(col("p").getItem(0).as("lang"), col("p").getItem(1).as("text"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("n_chars"))
+        .orderBy("lang")
+    },
+
     // ORC round-trip (spark-avro connector is not shipped offline; ORC is
     // built in): columnar alternative source with schema + pushdown parity.
     Q("q_source_orc",

@@ -49,8 +49,8 @@ class BloomJoinSpec extends SparkSuite {
       s"($matching true matches, $fp false positives)")
   }
 
-  test("cap_join_bloom: registry entry aggregates the filtered join") {
-    val out = SparkEntry.queries("cap_join_bloom")(spark, sf("0.001"))
+  test("q_join_bloom: registry entry aggregates the filtered join") {
+    val out = SparkEntry.queries("q_join_bloom")(spark, sf("0.001"))
       .collect()
     assert(out.nonEmpty)
     // cross-check the aggregate against the plain-join computation
