@@ -235,13 +235,36 @@ class PlanSpec extends SparkSuite {
       // node⨝rollup left join (SMJ on the node key — both sides are
       // node-domain-sized, the correct shape for a billion-node
       // hierarchy; broadcast would not survive scale), the output sort
-      "q_hierarchy_subtree" -> "shuffle=3,broadcast=0,SortMergeJoin=1")
+      "q_hierarchy_subtree" -> "shuffle=3,broadcast=0,SortMergeJoin=1",
+      // round 11: triangles = ordered-edge wedge enumeration — two SMJs
+      // over the checkpointed edge frame, NO cartesian/nested-loop;
+      // url/unpivot/source_text are row-local projections (one agg
+      // exchange + the output sort); bloom join keeps the dim broadcast
+      // at fixture scale with the might_contain filter below the join
+      // (asserted separately)
+      "q_graph_triangles" -> "shuffle=6,broadcast=0,SortMergeJoin=2",
+      "q_url_normalize" -> "shuffle=2,broadcast=0",
+      "q_unpivot" -> "shuffle=2,broadcast=0",
+      "q_source_text" -> "shuffle=2,broadcast=0",
+      "q_join_bloom" -> "shuffle=2,broadcast=1,BroadcastHashJoin=1")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
     assert(diffs.isEmpty, diffs.map { case (q, s) =>
       s"\n  $q: got $s\n  ${" " * q.length}  pin ${pinned(q)}"
     }.mkString)
+  }
+
+  test("q_join_bloom: the might_contain filter sits below the join") {
+    // the whole point of the explicit bloom prefilter — fact rows are
+    // tested BEFORE any exchange/join machinery sees them
+    val p = plan("q_join_bloom")
+    val filterAt = p.indexOf("might_contain")
+    val joinAt = p.indexOf("Join")
+    assert(filterAt >= 0, s"bloom filter missing from the plan:\n$p")
+    assert(joinAt >= 0 && filterAt > joinAt,
+      "might_contain must appear BELOW the join in the plan tree " +
+        s"(filter@$filterAt, join@$joinAt)")
   }
 
   test("runtime bloom-filter pruning injects on the selective-dim fact join") {
