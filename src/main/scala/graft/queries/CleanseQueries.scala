@@ -201,34 +201,11 @@ object CleanseQueries {
         |  CAST(SUM(doc_id) AS BIGINT) AS doc_sum
         |FROM n GROUP BY canon HAVING COUNT(*) > 1
         |ORDER BY canon""".stripMargin) { (s, d) =>
-      val hostN = expr("doc_id div 4") % 13
-      val pathN = expr("doc_id div 4") % 7
-      val url = when(col("doc_id") % 4 === 0,
-          concat(lit("HTTP://Site"), hostN.cast("string"),
-            lit(".COM:80/docs/"), pathN.cast("string"), lit("?b=2&a=1#frag")))
-        .when(col("doc_id") % 4 === 1,
-          concat(lit("http://site"), hostN.cast("string"),
-            lit(".com/docs/"), pathN.cast("string"), lit("?a=1&b=2")))
-        .when(col("doc_id") % 4 === 2,
-          concat(lit("HTTPS://Site"), hostN.cast("string"),
-            lit(".COM:443/docs/"), pathN.cast("string"), lit("/?a=1&b=2")))
-        .otherwise(
-          concat(lit("https://site"), hostN.cast("string"),
-            lit(".com/docs/"), pathN.cast("string"), lit("/")))
-      val nf = regexp_replace(url, "#.*$", "")
-      val scheme = lower(regexp_extract(nf, "^([A-Za-z]+)://", 1))
-      val rest = regexp_replace(nf, "^[A-Za-z]+://", "")
-      val hostport = regexp_extract(rest, "^([^/?]+)", 1)
-      val host = lower(regexp_replace(hostport, ":(80|443)$", ""))
-      val pathq = rest.substr(length(hostport) + 1, lit(1 << 30))
-      val path = regexp_replace(
-        regexp_extract(pathq, "^([^?]*)", 1), "/+$", "")
-      val sq = array_join(array_sort(split(
-        regexp_extract(pathq, "[?](.*)$", 1), "&")), "&")
-      val canon = concat(scheme, lit("://"), host, path,
-        when(sq =!= "", concat(lit("?"), sq)).otherwise(lit("")))
+      import graft.operators.UrlCanon
       Tables.documents(s, d)
-        .select(col("doc_id"), canon.as("canon"))
+        .select(col("doc_id"),
+          UrlCanon.canonical(UrlCanon.messyFromDocId(col("doc_id")))
+            .as("canon"))
         .groupBy("canon")
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).cast("long").as("keeper"),

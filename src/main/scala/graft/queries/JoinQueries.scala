@@ -959,34 +959,6 @@ object JoinQueries {
           .agg(count(lit(1)).as("n"),
             Dsl.d2d(Dsl.dsum(col("l_quantity"))).as("qty"))
           .orderBy("l_returnflag")
-    },
-
-    // Unpivot / melt — the wide→long reshape (the inverse of q_pivot):
-    // per-priority status counts spread across three columns fold back
-    // to (priority, status, cnt) rows via Dataset.unpivot. The oracle
-    // states the same relation as a UNION ALL of per-column selects —
-    // pure ANSI, so it parses on both engines unchanged. Scale: the wide
-    // frame is |priorities|-rows (aggregate output); unpivot itself is a
-    // row-local expand — the pattern works the same on a billion-row
-    // wide frame (3× row expand, no shuffle).
-    Q("q_unpivot",
-      """WITH w AS (
-        |  SELECT o_orderpriority,
-        |    COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
-        |    COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
-        |    COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
-        |  FROM orders GROUP BY o_orderpriority)
-        |SELECT o_orderpriority, 'F' AS status, f_cnt AS cnt FROM w
-        |UNION ALL SELECT o_orderpriority, 'O', o_cnt FROM w
-        |UNION ALL SELECT o_orderpriority, 'P', p_cnt FROM w
-        |ORDER BY o_orderpriority, status""".stripMargin) { (s, d) =>
-      Tables.orders(s, d)
-        .groupBy("o_orderpriority")
-        .pivot("o_orderstatus", Seq("F", "O", "P")).count()
-        .na.fill(0L, Seq("F", "O", "P"))
-        .unpivot(Array(col("o_orderpriority")),
-          Array(col("F"), col("O"), col("P")), "status", "cnt")
-        .orderBy("o_orderpriority", "status")
     }
   )
 }

@@ -67,6 +67,23 @@ object ScanQueries {
         .orderBy("r_regionkey")
     },
 
+    // Pagination semantics: LIMIT + OFFSET over a total order — the
+    // cursor shape result APIs expose. Deterministic only because the
+    // ORDER BY is total (unique key); the offset is applied before the
+    // limit in both engines. Scale note: OFFSET is a driver-side skip of
+    // an ordered prefix — fine for page-sized offsets, and deliberately
+    // NOT the keyset-pagination shape (WHERE key > last) a 100 TB scan
+    // would use; the oracle pins the semantics, not the access path.
+    Q("q_limit_offset",
+      """SELECT o_orderkey, o_orderpriority
+        |FROM orders ORDER BY o_orderkey
+        |LIMIT 20 OFFSET 10""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")
+        .offset(10).limit(20)
+    },
+
     // Line-delimited text source: the rawest ingest format a corpus
     // arrives in (one document per line). Round-trip: documents render to
     // '<lang>\t<text>' lines via the TEXT writer, read back with

@@ -108,6 +108,22 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(Seq("__h"))
       .drop("__h")
 
+  /** Streaming URL canonicalization + dup-group tally (s_stream_url):
+    * [[graft.operators.UrlCanon.canonical]] is a pure projection
+    * (streaming-safe by construction), and the group tally is an
+    * incremental update-mode groupBy(canon) — state is ONE (count,
+    * min-doc) pair per distinct canonical URL, exactly the batch
+    * q_url_normalize aggregate maintained online. A crawl frontier
+    * dedupes URLs this way: the state table IS the visited set. */
+  def urlStream(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.operators.UrlCanon.canonical(col("url")).as("canon"))
+      .groupBy("canon")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).cast("long").as("keeper"),
+        sum(col("doc_id")).cast("long").as("doc_sum"))
+
   /** Streaming per-window token entropy (s_stream_entropy): CHAINED
     * stateful aggregations — Spark 3.4+ allows a second windowed
     * aggregation over `window_time` of the first, so the classic

@@ -38,4 +38,12 @@ class OutputContractSpec extends SparkSuite {
   test("driver smoke contract: entry() returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("registry names are unique (no silent shadowing through toMap)") {
+    // SparkEntry.queries is registry.toMap — a duplicate name would make
+    // the later registration silently WIN and the earlier one untested
+    // (round-11 nearly shipped exactly that with cap_scan_metadata)
+    val dups = SparkEntry.registry.groupBy(_.name).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate registry names: ${dups.mkString(", ")}")
+  }
 }

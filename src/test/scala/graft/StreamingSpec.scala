@@ -903,4 +903,37 @@ class StreamingSpec extends SparkSuite {
       }
     }
   }
+
+  test("s_stream_url: incremental URL canonicalization state == batch dup groups") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the same messy-URL derivation as q_url_normalize, fed incrementally
+    // across two micro-batches splitting each dup group
+    val docs = graft.core.Tables.documents(spark, sf("0.001"))
+      .select(col("doc_id"),
+        graft.operators.UrlCanon.messyFromDocId(col("doc_id")).as("url"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.urlStream(
+        mem.toDF().toDF("doc_id", "url")).writeStream
+      .format("memory").queryName("s_url").outputMode("update").start()
+    val (b1, b2) = docs.partition(_._1 % 2 == 0)
+    mem.addData(b1)
+    q.processAllAvailable()
+    mem.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    // update-mode sink holds every emitted version; latest per canon wins
+    val got = spark.table("s_url")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("canon")
+          .orderBy(col("n_docs").desc)))
+      .filter(col("rn") === 1 && col("n_docs") > 1)
+      .select("canon", "n_docs", "keeper", "doc_sum")
+      .collect().map(_.toString).sorted.toSeq
+    val want = SparkEntry.queries("q_url_normalize")(spark, sf("0.001"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want, s"streaming URL state diverged: got ${got.size}, " +
+      s"want ${want.size}")
+  }
 }
