@@ -244,6 +244,48 @@ object Multimodal {
     Some(Raster(w, h, 3, out))
   }
 
+  /** Attach a REAL PNG payload per document: the same text-derived 16×16
+    * RGB raster as [[attachBinary]]'s P6 rendering, but compressed by the
+    * JDK ImageIO PNG encoder ON THE EXECUTORS (per-partition, no driver
+    * bytes). Because the underlying pixels are identical, decode features
+    * of the PNG payload must equal the PPM path's features bit-for-bit —
+    * the AnnSpec gate that proves the compressed-codec branch end-to-end
+    * inside the distributed operator, not just in unit tests. */
+  def attachPng(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("n_bytes", LongType),
+        StructField("mime", StringType),
+        StructField("channels", IntegerType))))))
+    val rdd = spreadRows(documents.select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("tb"),
+        octet_length(col("text")).cast("long").as("nb")))
+      .mapPartitions { it =>
+        it.map { r =>
+          val txt = r.getAs[Array[Byte]]("tb")
+          val body = new Array[Byte](16 * 16 * 3)
+          System.arraycopy(txt, 0, body, 0, math.min(txt.length, body.length))
+          val img = new java.awt.image.BufferedImage(16, 16,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var p = 0
+          while (p < 256) {
+            img.setRGB(p % 16, p / 16,
+              ((body(3 * p) & 0xff) << 16) | ((body(3 * p + 1) & 0xff) << 8) |
+                (body(3 * p + 2) & 0xff))
+            p += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(r.getLong(0), bos.toByteArray,
+            Row(r.getLong(2), "image/png", 3))
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Pixel-statistic feature vector from a decoded raster, `dims` floats:
     * [w, h, channels, mean/255, std/255, chan0/255, chan1/255, chan2/255,
     * then a (dims−8)-bin normalized intensity histogram]; truncated or

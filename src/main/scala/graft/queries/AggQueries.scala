@@ -661,6 +661,45 @@ object AggQueries {
         .orderBy("l_returnflag", "measure")
     },
 
+    // Skyline (2-D Pareto frontier): per group, the (price, quantity)
+    // points not dominated by any other (≤ in both, < in one) — the
+    // multi-criteria "best offers" operator. The naive oracle is an
+    // O(n²) NOT-EXISTS self-join; for 2-D, sorting by (x, y) and keeping
+    // rows strictly below the running min of y over STRICTLY PRECEDING
+    // rows is the exact same set in ONE ordered window pass — linear
+    // after the sort, the shape that survives 100 TB (same cost class as
+    // any ranked window; no self-join ever materializes). Exactness:
+    // cents-integer domain, DISTINCT points, deterministic (x, y) order —
+    // both engines walk the identical sequence.
+    Q("q_agg_skyline",
+      """WITH p AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_c,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qty_c
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, price_c, qty_c,
+        |    MIN(qty_c) OVER (PARTITION BY l_returnflag ORDER BY price_c, qty_c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_min
+        |  FROM p)
+        |SELECT l_returnflag, price_c, qty_c
+        |FROM s WHERE prev_min IS NULL OR qty_c < prev_min
+        |ORDER BY l_returnflag, price_c, qty_c""".stripMargin) { (s, d) =>
+      val p = Tables.lineitem(s, d).select(col("l_returnflag"),
+          (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("price_c"),
+          (col("l_quantity").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("qty_c"))
+        .distinct()
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy("price_c", "qty_c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      p.withColumn("prev_min", min(col("qty_c")).over(w))
+        .filter(col("prev_min").isNull || col("qty_c") < col("prev_min"))
+        .select("l_returnflag", "price_c", "qty_c")
+        .orderBy("l_returnflag", "price_c", "qty_c")
+    },
+
     // HLL sketches are not bit-portable across engines → capability only;
     // ScalaTest bounds-checks vs exact (PropertySpec).
     Q.cap("cap_agg_approx") { (s, d) =>

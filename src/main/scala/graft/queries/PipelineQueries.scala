@@ -415,6 +415,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // The compressed-codec branch of the same decode: payloads are REAL
+    // PNGs (encoded per-partition by JDK ImageIO from the identical
+    // text-derived raster), decoded back through the ImageIO branch of
+    // Multimodal.decodeRaster. AnnSpec gates features bit-equal to
+    // cap_multimodal_decode's PPM path — same pixels in, same stats out,
+    // through a genuinely compressed container.
+    Q.cap("cap_multimodal_imageio") { (s, d) =>
+      graft.operators.Multimodal.decodeFeatures(
+        graft.operators.Multimodal.attachPng(Tables.documents(s, d)), dims = 8)
+        .select(col("doc_id"), col("n_bytes"),
+          array_join(transform(col("features"),
+            x => floor(x.cast("double") * 1000000).cast("long").cast("string")), ",")
+            .as("features_q"))
+        .orderBy("doc_id")
+    },
+
     // Decode + nearest-neighbor resize to a 4×4 thumbnail before feature
     // extraction — the image-normalization step; same batched partition
     // shape as the decoder.

@@ -475,6 +475,25 @@ class AnnSpec extends SparkSuite {
     }
   }
 
+  test("cap_multimodal_imageio: PNG payloads decode to the PPM path's exact features") {
+    // same text-derived pixels, two containers: the quantized feature
+    // strings must be IDENTICAL row-for-row (PNG is lossless)
+    val png = SparkEntry.queries("cap_multimodal_imageio")(spark, sf("0.001"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val ppm = SparkEntry.queries("cap_multimodal_decode")(spark, sf("0.001"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(png.nonEmpty && png.keySet == ppm.keySet)
+    png.foreach { case (id, f) =>
+      assert(f == ppm(id), s"doc $id: PNG features $f != PPM ${ppm(id)}")
+    }
+    // and the payloads really are PNGs, not recycled PPM bytes
+    val one = graft.operators.Multimodal.attachPng(
+      Tables.documents(spark, sf("0.001")).limit(1))
+      .select("payload").head().getAs[Array[Byte]](0)
+    assert(one(0) == 0x89.toByte && one(1) == 'P' && one(2) == 'N' &&
+      one(3) == 'G', "payload missing the PNG signature")
+  }
+
   test("decoder survives hostile headers and degenerate payloads") {
     import graft.operators.Multimodal
     // PNM header whose w*h*channels overflows Int — must parse to None,
