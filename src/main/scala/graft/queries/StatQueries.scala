@@ -371,6 +371,115 @@ object StatQueries {
         .orderBy("bucket")
     },
 
+    // SCD2 (slowly-changing-dimension type 2) build — the versioned-
+    // dimension ETL op: a sequence-numbered changelog becomes validity
+    // intervals [valid_from, valid_to) per key version via ONE
+    // lead-over-key window; the open version (valid_to NULL) is current.
+    // Changelog derives deterministically from orders (base seq 0,
+    // %7-update seq 1, %11-rewrite seq 2); output is the bucket-rolled
+    // fingerprint (version counts, current counts, closed-interval span,
+    // exact current-price sum). Scale: one hash(k) exchange for the
+    // window, then the ≤10-key rollup — the same shape at any corpus
+    // size; no self-join, no driver state.
+    Q("q_scd2_intervals",
+      """WITH chg AS (
+        |  SELECT o_orderkey AS k, 0 AS seq,
+        |    CAST(o_totalprice AS DECIMAL(14,4)) AS p
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 1,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,4))
+        |      + CAST(o_orderkey % 500 AS DECIMAL(12,4)) AS DECIMAL(14,4))
+        |  FROM orders WHERE o_orderkey % 7 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 2,
+        |    CAST(CAST(o_orderkey % 1000 AS DECIMAL(12,4)) AS DECIMAL(14,4))
+        |  FROM orders WHERE o_orderkey % 11 = 5),
+        |v AS (
+        |  SELECT k, seq AS valid_from,
+        |    LEAD(seq) OVER (PARTITION BY k ORDER BY seq) AS valid_to, p
+        |  FROM chg)
+        |SELECT CAST(k % 10 AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_versions,
+        |  CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_current,
+        |  CAST(SUM(COALESCE(valid_to - valid_from, 0)) AS BIGINT)
+        |    AS closed_span,
+        |  %CUR% AS cur_price_sum
+        |FROM v GROUP BY k % 10 ORDER BY bucket""".stripMargin
+        .replace("%CUR%", Dsl.d2dSql(Dsl.dsumSql(
+          "CASE WHEN valid_to IS NULL THEN p ELSE CAST(0 AS DECIMAL(14,4)) END")))) {
+      (s, d) =>
+        val P = org.apache.spark.sql.types.DataTypes.createDecimalType(14, 4)
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey").as("k"),
+            col("o_totalprice").cast(Dsl.DFac).as("tp"))
+        val base = o.select(col("k"), lit(0).as("seq"),
+          col("tp").cast(P).as("p"))
+        val upd = o.filter(col("k") % 7 === 3)
+          .select(col("k"), lit(1).as("seq"),
+            (col("tp") + (col("k") % 500).cast(Dsl.DFac)).cast(P).as("p"))
+        val rew = o.filter(col("k") % 11 === 5)
+          .select(col("k"), lit(2).as("seq"),
+            (col("k") % 1000).cast(Dsl.DFac).cast(P).as("p"))
+        val w = Window.partitionBy("k").orderBy("seq")
+        base.union(upd).union(rew)
+          .select(col("k"), col("seq").as("valid_from"),
+            lead(col("seq"), 1).over(w).as("valid_to"), col("p"))
+          .groupBy((col("k") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n_versions"),
+            sum(when(col("valid_to").isNull, 1).otherwise(0)).cast("long")
+              .as("n_current"),
+            sum(coalesce(col("valid_to") - col("valid_from"), lit(0)))
+              .cast("long").as("closed_span"),
+            Dsl.d2d(Dsl.dsum(when(col("valid_to").isNull, col("p"))
+              .otherwise(lit(0).cast(P)))).as("cur_price_sum"))
+          .orderBy("bucket")
+    },
+
+    // NOT IN with a nullable subquery — SQL's most-misread three-valued-
+    // logic trap, pinned cross-engine: against a null-FREE list NOT IN
+    // is the anti-join; one NULL in the list and NOT IN can never be
+    // TRUE (x <> NULL is UNKNOWN), so the poisoned count is exactly 0.
+    // The engine implements the semantics distributedly: anti-join for
+    // the clean branch, and a metadata-scale has-null probe gating the
+    // poisoned branch (the probe aggregates to one row — no driver
+    // collect of data). Both engines must agree on both branches.
+    Q("q_subquery_notin_nulls",
+      """SELECT
+        |  (SELECT COUNT(*) FROM customer
+        |   WHERE c_custkey NOT IN
+        |     (SELECT o_custkey FROM orders WHERE o_orderkey % 5 = 0))
+        |    AS n_clean,
+        |  (SELECT COUNT(*) FROM customer
+        |   WHERE c_custkey NOT IN
+        |     (SELECT NULLIF(o_custkey, (SELECT MIN(o_custkey) FROM orders))
+        |      FROM orders WHERE o_orderkey % 5 = 0))
+        |    AS n_poisoned""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d).select("c_custkey")
+      val list = Tables.orders(s, d).filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_custkey"))
+      val nClean = cust.join(list.distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_clean"))
+      val minKey = Tables.orders(s, d)
+        .agg(min(col("o_custkey")).as("mk"))
+      val poisonedList = list.crossJoin(broadcast(minKey))
+        .select(nullif(col("o_custkey"), col("mk")).as("pk"))
+      // three-valued logic: any NULL in the list ⇒ NOT IN never TRUE
+      val hasNull = poisonedList.agg(
+        max(when(col("pk").isNull, 1).otherwise(0)).as("has_null"))
+      val nPoisonedIfClean = cust.join(
+          poisonedList.filter(col("pk").isNotNull).distinct(),
+          col("c_custkey") === col("pk"), "left_anti")
+        .agg(count(lit(1)).as("anti_n"))
+      nClean.crossJoin(broadcast(hasNull))
+        .crossJoin(broadcast(nPoisonedIfClean))
+        .select(col("n_clean"),
+          when(col("has_null") === 1, lit(0L)).otherwise(col("anti_n"))
+            .as("n_poisoned"))
+    },
+
     // Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     // quality-weighted subsampling — the pretrain "sample the corpus
     // proportional to doc quality" op. Each row gets priority
