@@ -108,6 +108,25 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(Seq("__h"))
       .drop("__h")
 
+  /** The COMPOSED streaming pretrain pipeline (s_stream_pipeline):
+    * bounded file ingest → cleanse (pure projection: PII scrub +
+    * graft_normalize canonicalization) → content dedup within the
+    * watermark horizon (state: one md5 per distinct canonical text) →
+    * quality floor (stateless filter). The streaming twin of
+    * cap_pipeline_pretrain's batch funnel: each stage is individually
+    * gated elsewhere; this composition proves they chain inside ONE
+    * incremental query with a checkpoint — the continuous-corpus-
+    * ingestion shape (new crawl drops land as files; the pipeline
+    * resumes exactly-once and only ever processes the delta). */
+  def pretrainStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     schema: org.apache.spark.sql.types.StructType,
+                     minTokens: Int = 5): DataFrame =
+    graft.operators.PretrainPipeline.qualityFloor(
+      cleanseStream(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)),
+      minTokens = minTokens)
+
   /** Streaming URL canonicalization + dup-group tally (s_stream_url):
     * [[graft.operators.UrlCanon.canonical]] is a pure projection
     * (streaming-safe by construction), and the group tally is an

@@ -904,6 +904,67 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("s_stream_pipeline: composed ingest→cleanse→dedup→quality across " +
+    "two AvailableNow runs == batch pipeline on the union") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files.createTempDirectory("graft_pipe_src").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft_pipe_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pipe_ck").toString
+    // dirty corpus: PII-injected docs, where doc_id%5==1 is a RESUBMISSION
+    // of doc_id-1's content differing only by case (canonicalizes equal —
+    // the content dedup must drop one copy); all rows share one event
+    // time so the watermark horizon spans both runs
+    def dirty(docs: org.apache.spark.sql.DataFrame) = docs
+      .select(col("doc_id"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("ts"),
+        concat(
+          when(col("doc_id") % 5 === 1, upper(col("text"))) // resubmission
+            .otherwise(col("text")),
+          lit(" contact user"),
+          when(col("doc_id") % 5 === 1, col("doc_id") - 1)
+            .otherwise(col("doc_id")).cast("string"),
+          lit("@example.com")).as("text"))
+    val base = graft.core.Tables.documents(spark, sf("0.001"))
+      .withColumn("text",
+        // resubmitted rows carry the PREVIOUS doc's text, uppercased later
+        when(col("doc_id") % 5 === 1,
+          expr("lag(text, 1) over (order by doc_id)")).otherwise(col("text")))
+    val all = dirty(base)
+    val (b1, b2) = (all.filter(col("doc_id") % 3 =!= 0),
+      all.filter(col("doc_id") % 3 === 0))
+    def run(): Unit = {
+      val q = StreamOps.pretrainStream(spark, src, all.schema).writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(180000), "AvailableNow must stop itself")
+    }
+    b1.repartition(2).write.mode("append").parquet(src)
+    run()
+    val afterRun1 = spark.read.parquet(sink).count()
+    b2.repartition(1).write.mode("append").parquet(src)
+    run()
+    val out = spark.read.parquet(sink)
+    // exactly-once composition: run 2 only processed the delta
+    assert(out.count() > afterRun1, "second run must append the delta")
+    // no duplicate canonical content in the sink, across BOTH runs
+    val hashes = out.select(md5(col("clean_text"))).collect().map(_.getString(0))
+    assert(hashes.length == hashes.distinct.length,
+      "content dedup leaked a duplicate across the checkpoint")
+    // equality with the batch pipeline on the union: same surviving
+    // canonical-content SET (survivor identity differs — streaming keeps
+    // first arrival — so compare content, not doc ids)
+    val batch = graft.operators.PretrainPipeline.qualityFloor(
+      graft.operators.PretrainPipeline.cleanse(all))
+      .select(md5(col("clean_text"))).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(hashes.sorted.toSeq == batch,
+      s"streaming funnel diverged: ${hashes.length} vs ${batch.length}")
+    // and the cleanse actually fired (every surviving doc was scrubbed)
+    assert(out.filter(col("n_scrubbed") < 1).count() == 0)
+  }
+
   test("s_stream_url: incremental URL canonicalization state == batch dup groups") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
