@@ -95,6 +95,55 @@ object InsightQueries {
     // division — bit-identical across engines. Output is the 5×5 =
     // ≤25-row matrix (metadata-sized at any sf).
     //
+    // Hourly-volume anomaly detection with EXACT arithmetic: flag the
+    // (event_type, hour) buckets whose count sits > 3σ from that type's
+    // hourly mean. The z-test z² > 9 rewrites to pure integer algebra —
+    //   (m·n − S)² > 9·(m·Q − S²),  S = Σn, Q = Σn², m = #hours —
+    // so there is NO sqrt, NO division, NO float anywhere: both engines
+    // compare the same integers (HUGEINT / capped DECIMAL(38,0); exact
+    // for totals up to ~10¹⁸ buckets·count², loud overflow beyond).
+    // Scale: one (type, hour) count aggregate, a ≤|types| stats rollup
+    // broadcast back, a row-local predicate — no window over the fact,
+    // no second scan.
+    Q("q_event_anomaly",
+      """WITH b AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS m,
+        |    CAST(SUM(n) AS HUGEINT) AS s, CAST(SUM(n * n) AS HUGEINT) AS q
+        |  FROM b GROUP BY event_type)
+        |SELECT b.event_type, b.h AS hour, CAST(b.n AS BIGINT) AS n,
+        |  CAST((CAST(st.m AS HUGEINT) * b.n - st.s)
+        |       * (CAST(st.m AS HUGEINT) * b.n - st.s)
+        |       - 9 * (CAST(st.m AS HUGEINT) * st.q - st.s * st.s)
+        |       AS BIGINT) AS margin
+        |FROM b JOIN st ON b.event_type = st.event_type
+        |WHERE (CAST(st.m AS HUGEINT) * b.n - st.s)
+        |      * (CAST(st.m AS HUGEINT) * b.n - st.s)
+        |      > 9 * (CAST(st.m AS HUGEINT) * st.q - st.s * st.s)
+        |ORDER BY b.event_type, hour""".stripMargin) { (s, d) =>
+      val D = "decimal(19,0)"
+      val b = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val st = b.groupBy(col("event_type").as("et"))
+        .agg(count(lit(1)).as("m"),
+          sum(col("n").cast(D)).as("s"),
+          sum((col("n") * col("n")).cast(D)).as("q"))
+      val dev = col("m").cast(D) * col("n").cast(D) - col("s")
+      val bound = lit(9).cast(D) * (col("m").cast(D) * col("q")
+        - col("s") * col("s"))
+      b.join(broadcast(st), col("event_type") === col("et"))
+        .withColumn("margin", (dev * dev - bound).cast("long"))
+        .filter(dev * dev > bound)
+        .select(col("event_type"), col("h").as("hour"),
+          col("n").cast("long").as("n"), col("margin"))
+        .orderBy("event_type", "hour")
+    },
+
     // Scale shape: one shuffle on user_id for the lead() pass (per-user
     // groups are task-sized), one map-side-combinable count over ≤25
     // keys, and a window over the 25-row aggregate.

@@ -685,6 +685,141 @@ class MarqueeStressSpec extends AnyFunSuite {
     }
   }
 
+  test("BloomJoin: 2M-row fact, 5%-selective dim — shuffle volume collapses", Marquee) {
+    // The reason the operator exists, measured: with broadcast disabled
+    // (the 100 TB shape — neither side broadcastable), a plain SMJ
+    // shuffles every fact row; the bloom prefilter keeps non-matching
+    // fact rows off the wire entirely. Gate: the prefiltered run's
+    // shuffle-write records land under a quarter of the plain run's, and
+    // the results are row-count-identical (no false negatives).
+    val nFact = 2000000L
+    val keySpace = 1000000L
+    val fact = spark.range(nFact).select(
+      pmod(xxhash64(col("id"), lit(21)), lit(keySpace)).as("fk"),
+      (col("id") % 97).as("v"))
+    // ~5% of the key space, membership defined by DATA (hashed ids), not
+    // by a predicate. This matters: when the dim was `id % 20 === 7`,
+    // Catalyst propagated that constraint through the equi-join onto the
+    // fact scan (InferFiltersFromConstraints — even ACROSS a
+    // localCheckpoint, since LogicalRDD preserves constraints) and the
+    // "plain" join already shuffled only matches+dim. A dim whose key
+    // set is data-defined — the common real case: keys from another
+    // system, an aggregation, a sample — has no constraint to propagate
+    // and no runtime-filter eligibility; THAT plan shuffles every fact
+    // row, and the explicit bloom operator is what fixes it.
+    val dim = spark.range(50000L)
+      .select(pmod(xxhash64(col("id"), lit(77)), lit(keySpace)).as("pk"))
+      .distinct()
+    val recs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        recs.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // First finding of this test, kept for the record: with the filtered
+    // dim, Spark 4's own InjectRuntimeFilter fires on the PLAIN join and
+    // matches our operator's shuffle volume (~150k records both) — the
+    // explicit operator agrees with the optimizer where the optimizer is
+    // eligible. Its value is being UNCONDITIONAL, so the baseline below
+    // disables auto-injection: that is what every non-eligible plan
+    // (expression-wrapped keys, pre-aggregated dims, DSv2 limits) gets.
+    val prevRf = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def measure(f: => Long): (Long, Long) = {
+        org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+        recs.set(0)
+        val out = f
+        org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+        (out, recs.get())
+      }
+      val (plainN, plainRecs) = measure(
+        fact.join(dim, col("fk") === col("pk")).count())
+      val (preN, preRecs) = measure(graft.operators.BloomJoin
+        .prefiltered(fact, dim, "fk", "pk", expectedItems = 100000L)
+        .count())
+      assert(preN == plainN, s"bloom dropped matches: $preN != $plainN")
+      assert(preRecs * 4 < plainRecs,
+        s"prefiltered shuffle $preRecs not < 1/4 of plain $plainRecs")
+      info(s"plain join: $plainRecs shuffle records; bloom-prefiltered: " +
+        s"$preRecs (${plainRecs / math.max(preRecs, 1)}x reduction) for " +
+        s"$plainN matching rows of $nFact fact rows")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", prevRf)
+    }
+  }
+
+  test("q_agg_skyline shape: 4M points — one window pass, verified frontier", Marquee) {
+    // The O(n²) dominance definition at 2-D collapses to a linear ordered
+    // window pass; at 4M points the evidence is (a) shuffle volume stays
+    // ~2× the distinct points (distinct + window exchanges — no pair
+    // frame ever exists) and (b) the produced set IS the frontier:
+    // an antichain (checked exhaustively on the small frontier) that
+    // dominates a 1k-point sample of the input.
+    val n = 4000000L
+    val pts = spark.range(n).select(
+      (col("id") % 4).cast("string").as("g"),
+      pmod(xxhash64(col("id"), lit(31)), lit(100000L)).as("x"),
+      pmod(xxhash64(col("id"), lit(37)), lit(100000L)).as("y"))
+    val recs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        recs.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+      recs.set(0)
+      val distinctPts = pts.distinct()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+        .orderBy("x", "y")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val ((frontier, nDistinct), secs) = timed {
+        val f = distinctPts.withColumn("pm", min(col("y")).over(w))
+          .filter(col("pm").isNull || col("y") < col("pm"))
+          .select("g", "x", "y").collect()
+        (f, distinctPts.count())
+      }
+      org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+      val written = recs.get()
+      // work bound: distinct shuffle (≤n) + window shuffle (≤distinct) +
+      // the recount's re-shuffle of distinct — linear, never pairwise
+      assert(written <= 3 * n + 1000,
+        s"skyline shuffled $written records — not the linear plan")
+      // antichain: no frontier point dominates another (frontier is tiny)
+      val byG = frontier.groupBy(_.getString(0))
+      byG.foreach { case (g, pf) =>
+        val sorted = pf.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+        sorted.sliding(2).foreach {
+          case Array((x1, y1), (x2, y2)) =>
+            assert(x1 < x2 && y1 > y2, s"group $g not an antichain")
+          case _ =>
+        }
+      }
+      // dominance: every sampled input point is dominated by (or is) a
+      // frontier point of its group
+      val sample = pts.limit(1000).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      sample.foreach { case (g, x, y) =>
+        assert(byG(g).exists(f =>
+          f.getLong(1) <= x && f.getLong(2) <= y),
+          s"sampled point ($g,$x,$y) not covered by the frontier")
+      }
+      info(f"4M-point skyline in $secs%.1f s: ${frontier.length} frontier " +
+        s"points over $nDistinct distinct, $written shuffle records " +
+        s"(linear bound ${3 * n})")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("q_event_lift shape: 1M events, tagged tally keeps pairs off the wire", Marquee) {
     // The q_event_lift plan (queries/InsightQueries.scala) at ~20x the
     // sf0.1 events volume: ONE data-sized shuffle builds per-(user, day)
