@@ -973,6 +973,26 @@ object SparkDialect {
         |SELECT ws AS window_start, event_type, COUNT(*) AS cnt, ((CASE WHEN (CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))) < 0 THEN -1.0e0 ELSE 1.0e0 END) * (CAST(CAST(FLOOR(ABS(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)))) AS BIGINT) AS DOUBLE) + CAST(CAST(ABS(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))) - FLOOR(ABS(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)))) AS DECIMAL(5,4)) AS DOUBLE))) AS sum_value
         |FROM b
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_event_anomaly" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS m,
+        |    CAST(SUM(n) AS DECIMAL(38,0)) AS s,
+        |    CAST(SUM(n * n) AS DECIMAL(38,0)) AS q
+        |  FROM b GROUP BY event_type)
+        |SELECT b.event_type, b.h AS hour, CAST(b.n AS BIGINT) AS n,
+        |  CAST((CAST(st.m AS DECIMAL(38,0)) * b.n - st.s)
+        |       * (CAST(st.m AS DECIMAL(38,0)) * b.n - st.s)
+        |       - 9 * (CAST(st.m AS DECIMAL(38,0)) * st.q - st.s * st.s)
+        |       AS BIGINT) AS margin
+        |FROM b JOIN st ON b.event_type = st.event_type
+        |WHERE (CAST(st.m AS DECIMAL(38,0)) * b.n - st.s)
+        |      * (CAST(st.m AS DECIMAL(38,0)) * b.n - st.s)
+        |      > 9 * (CAST(st.m AS DECIMAL(38,0)) * st.q - st.s * st.s)
+        |ORDER BY b.event_type, hour""".stripMargin,
     "q_url_normalize" ->
       """WITH d AS (
         |  SELECT doc_id,
