@@ -993,6 +993,30 @@ object SparkDialect {
         |      * (CAST(st.m AS DECIMAL(38,0)) * b.n - st.s)
         |      > 9 * (CAST(st.m AS DECIMAL(38,0)) * st.q - st.s * st.s)
         |ORDER BY b.event_type, hour""".stripMargin,
+    "q_stat_mannwhitney" ->
+      """WITH s AS (
+        |  SELECT l_linestatus AS st,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS isa
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+        |h AS (
+        |  SELECT st, v, SUM(isa) AS ca, COUNT(*) AS c
+        |  FROM s GROUP BY st, v),
+        |r AS (
+        |  SELECT st, ca, c,
+        |    COALESCE(SUM(c) OVER (PARTITION BY st ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM h),
+        |agg AS (
+        |  SELECT st,
+        |    CAST(SUM(ca) AS BIGINT) AS n1,
+        |    CAST(SUM(c - ca) AS BIGINT) AS n2,
+        |    CAST(SUM(CAST(ca * (2 * cum + c + 1) AS DECIMAL(25,0)))
+        |      AS DECIMAL(38,0)) AS r1x2
+        |  FROM r GROUP BY st)
+        |SELECT st AS l_linestatus, n1, n2,
+        |  CAST(r1x2 - CAST(n1 AS DECIMAL(19,0)) * (n1 + 1) AS BIGINT) AS u1_x2
+        |FROM agg ORDER BY l_linestatus""".stripMargin,
     "q_url_normalize" ->
       """WITH d AS (
         |  SELECT doc_id,

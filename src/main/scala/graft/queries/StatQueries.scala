@@ -3,6 +3,7 @@ package graft.queries
 import graft.core.{Dsl, Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Robust-statistics and data-management shapes that operate on exact
   * sorted positions and key-partitioned diffs — the cleanup passes an
@@ -369,6 +370,64 @@ object StatQueries {
           sum(col("k")).cast("long").as("key_sum"),
           Dsl.d2d(Dsl.dsum(col("p"))).as("price_sum"))
         .orderBy("bucket")
+    },
+
+    // Mann–Whitney U (rank-sum) test statistic — the nonparametric
+    // two-sample location test (are 'R'-flag quantities distributed
+    // differently from 'A'-flag?), EXACT: ranks with tie-averaging are
+    // computed on the value HISTOGRAM (the q_agg_mad trick — quantity is
+    // ndv-bounded), so no rank window ever touches the fact: one
+    // (status, value) count aggregate, a cumulative window over ndv rows,
+    // and doubled-rank integer algebra (avg tie rank = cum + (c+1)/2, so
+    // 2·R₁ = Σ cₐ·(2·cum + c + 1) stays integral — no fractions, no FP).
+    // Summed in DECIMAL/HUGEINT (exact to ~10¹² rows/group; the BIGINT
+    // output caps U at n ≈ 3×10⁹ per status — loud cast failure beyond).
+    Q("q_stat_mannwhitney",
+      """WITH s AS (
+        |  SELECT l_linestatus AS st,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS isa
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+        |h AS (
+        |  SELECT st, v, SUM(isa) AS ca, COUNT(*) AS c
+        |  FROM s GROUP BY st, v),
+        |r AS (
+        |  SELECT st, ca, c,
+        |    COALESCE(SUM(c) OVER (PARTITION BY st ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM h),
+        |agg AS (
+        |  SELECT st,
+        |    CAST(SUM(ca) AS BIGINT) AS n1,
+        |    CAST(SUM(c - ca) AS BIGINT) AS n2,
+        |    CAST(SUM(ca * (2 * cum + c + 1)) AS HUGEINT) AS r1x2
+        |  FROM r GROUP BY st)
+        |SELECT st AS l_linestatus, n1, n2,
+        |  CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u1_x2
+        |FROM agg ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+      val src = Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("R", "A"))
+        .select(col("l_linestatus").as("st"),
+          (col("l_quantity").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("v"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("isa"))
+      val h = src.groupBy("st", "v")
+        .agg(sum(col("isa")).as("ca"), count(lit(1)).as("c"))
+      val w = Window.partitionBy("st").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r = h.withColumn("cum", coalesce(sum(col("c")).over(w), lit(0L)))
+      // doubled-rank products summed in DECIMAL (a long sum silently
+      // caps at ~2×10⁹ rows/status: each term ≤ 2n²)
+      r.groupBy("st")
+        .agg(sum(col("ca")).cast(LongType).as("n1"),
+          sum(col("c") - col("ca")).cast(LongType).as("n2"),
+          sum((col("ca") * (lit(2) * col("cum") + col("c") + 1))
+            .cast("decimal(25,0)")).as("r1x2"))
+        .select(col("st").as("l_linestatus"), col("n1"), col("n2"),
+          (col("r1x2") - col("n1").cast("decimal(19,0)")
+            * (col("n1") + 1).cast("decimal(19,0)"))
+            .cast(LongType).as("u1_x2"))
+        .orderBy("l_linestatus")
     },
 
     // SCD2 (slowly-changing-dimension type 2) build — the versioned-

@@ -820,6 +820,51 @@ class MarqueeStressSpec extends AnyFunSuite {
     }
   }
 
+  test("PowerIteration: 200k × R³² corpus — rounds shuffle D·partitions, never data", Marquee) {
+    // The PCA probe's scale claim, measured: each round's only exchange
+    // is the posexplode → per-dimension partial-sum aggregate, whose
+    // map-side combine collapses every partition to ≤D rows — so total
+    // shuffle records stay ≤ rounds · D · partitions while the 6.4M-float
+    // corpus never crosses the wire. Convergence gated by Rayleigh
+    // monotonicity and unit norm.
+    val n = 200000L
+    val dim = 32
+    val emb = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(xxhash64(col("id"), i), lit(1000)).cast("float")
+          / lit(1000.0f)).cast("float")).as("embedding"))
+      .localCheckpoint(true) // synth cost out of the measured window
+    val recs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        recs.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+      recs.set(0)
+      val iters = 4
+      val (tc, secs) = timed(
+        graft.operators.PowerIteration.topComponent(emb, iters = iters))
+      org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+      val written = recs.get()
+      assert(math.abs(tc.vector.map(x => x * x).sum - 1.0) < 1e-9)
+      tc.rayleigh.sliding(2).foreach { case Seq(a, b) =>
+        assert(b >= a - 1e-6 * math.abs(a), s"rayleigh decreased: $a -> $b")
+      }
+      val parts = spark.sparkContext.defaultParallelism * 8 // generous
+      val bound = iters.toLong * dim * parts + 1000
+      assert(written <= bound,
+        s"power iteration shuffled $written records (bound $bound) — " +
+          "the corpus went on the wire")
+      info(f"$iters rounds over $n×R$dim in $secs%.1f s: $written shuffle " +
+        s"records (bound $bound), lambda1 = ${tc.rayleigh.last}")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("q_event_lift shape: 1M events, tagged tally keeps pairs off the wire", Marquee) {
     // The q_event_lift plan (queries/InsightQueries.scala) at ~20x the
     // sf0.1 events volume: ONE data-sized shuffle builds per-(user, day)
