@@ -96,6 +96,10 @@ object Graft {
     /** Apply a learned merge table; adds bpe_tokens per row. */
     def bpeEncode(docs: DataFrame, merges: Seq[BpeTrain.Merge]): DataFrame =
       BpeTrain.encode(docs, merges)
+    /** Canonical form of a URL column (fragment stripped, scheme/host
+      * lowercased, default ports and trailing slashes removed, query
+      * params sorted) — the web-corpus dedup key. Pure column algebra. */
+    def canonicalUrl(url: Column): Column = UrlCanon.canonical(url)
   }
 
   /** Join shapes Spark lacks natively. */

@@ -23,6 +23,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.CharNGrams].getName, "graft_ngrams"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.CharNGrams(children(0), children(1))))
+    // Runtime bloom-prefilter primitives (operators/BloomJoin.scala):
+    // build with graft_bloom_agg(key, items, bits), probe with
+    // graft_bloom_contains(bloomBytes, key) — the same Spark-internal
+    // expressions the optimizer's InjectRuntimeFilter uses, exposed so
+    // SQL-first jobs can prefilter unconditionally.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(children(0))),
+          children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0),
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(children(1))))))
     // Whole-operator as-of join: plans AsOfJoinNode into the single-pass
     // partitioned-merge AsOfJoinExec (graft.plans).
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)

@@ -57,6 +57,21 @@ object ExtensionsDemo {
     val rewrote = !before.contains("__bin") && after.contains("__bin")
     println(s"EXTENSIONS_DEMO rangeRewrite fired=$rewrote " +
       s"pairs=$pairs ok=${rewrote && pairs == Set((1L, 10L), (2L, 11L))}")
+    // injected bloom primitives: build a filter over 0..99 (as a scalar
+    // subquery — might_contain requires a constant-foldable filter),
+    // probe 7 (in) and 12345 (out — fp-improbable at 8 bits/key)
+    val bloomOk = spark.sql(
+      """SELECT
+        |  graft_bloom_contains(
+        |    (SELECT graft_bloom_agg(CAST(id AS LONG), CAST(100 AS LONG),
+        |                            CAST(800 AS LONG)) FROM range(100)),
+        |    CAST(7 AS LONG)) AS hit,
+        |  graft_bloom_contains(
+        |    (SELECT graft_bloom_agg(CAST(id AS LONG), CAST(100 AS LONG),
+        |                            CAST(800 AS LONG)) FROM range(100)),
+        |    CAST(12345 AS LONG)) AS miss""".stripMargin).collect()(0)
+    println(s"EXTENSIONS_DEMO bloom hit=${bloomOk.getBoolean(0)} " +
+      s"miss=${bloomOk.getBoolean(1)} ok=${bloomOk.getBoolean(0) && !bloomOk.getBoolean(1)}")
     spark.stop()
   }
 }

@@ -73,6 +73,17 @@ class ApiSpec extends SparkSuite {
     assert(math.abs(ranks.sum - 1.0) < 1e-12)
   }
 
+  test("text group: canonicalUrl collapses crawl variants") {
+    import spark.implicits._
+    val urls = Seq(
+      "HTTP://Site.COM:80/a/b/?b=2&a=1#frag",
+      "http://site.com/a/b?a=1&b=2").toDF("u")
+      .select(Graft.text.canonicalUrl(col("u")).as("c"))
+      .collect().map(_.getString(0))
+    assert(urls.distinct.length == 1 &&
+      urls.head == "http://site.com/a/b?a=1&b=2", urls.mkString(" | "))
+  }
+
   test("joins group: bloom-prefiltered join equals the plain join") {
     val fact = graft.core.Tables.lineitem(spark, sf("0.001"))
       .select("l_orderkey", "l_quantity")
