@@ -661,6 +661,39 @@ object AggQueries {
         .orderBy("l_returnflag", "measure")
     },
 
+    // Herfindahl–Hirschman concentration index per group — how
+    // concentrated is supplier share of shipped quantity? HHI = Σ shareᵢ²
+    // computed as ONE exact integer division: (Σcᵢ²)·10⁶ // (Σcᵢ)² over
+    // cents-integer per-supplier totals — no per-supplier FP shares, no
+    // rounding drift. Exact to ~3×10¹⁵ total cents per group (≈ the
+    // 100 TB corpus), loud overflow beyond. Shape: two map-side-
+    // combinable aggregates (supplier totals, then the group moment) —
+    // the same two-level layout as q_graph_degree.
+    Q("q_agg_hhi",
+      """WITH c AS (
+        |  SELECT l_linestatus AS st, l_suppkey,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS HUGEINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |a AS (
+        |  SELECT st, COUNT(*) AS n_supp, SUM(q) AS s, SUM(q * q) AS q2
+        |  FROM c GROUP BY st)
+        |SELECT st AS l_linestatus, CAST(n_supp AS BIGINT) AS n_supp,
+        |  CAST((q2 * 1000000) // (s * s) AS BIGINT) AS hhi_e6
+        |FROM a ORDER BY st""".stripMargin) { (s, d) =>
+      val c = Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus").as("st"), col("l_suppkey"))
+        .agg(sum((col("l_quantity").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType)).cast("decimal(16,0)").as("q"))
+      c.groupBy("st")
+        .agg(count(lit(1)).as("n_supp"),
+          sum(col("q")).as("s"),
+          sum((col("q") * col("q")).cast("decimal(33,0)")).as("q2"))
+        .selectExpr("st AS l_linestatus", "CAST(n_supp AS BIGINT) AS n_supp",
+          "CAST((q2 * 1000000) div (s * s) AS BIGINT) AS hhi_e6")
+        .orderBy("l_linestatus")
+    },
+
     // Skyline (2-D Pareto frontier): per group, the (price, quantity)
     // points not dominated by any other (≤ in both, < in one) — the
     // multi-criteria "best offers" operator. The naive oracle is an

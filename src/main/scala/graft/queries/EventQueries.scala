@@ -266,6 +266,49 @@ object EventQueries {
         .orderBy("user_id", "bucket")
     },
 
+    // Streak detection (gaps-and-islands on VALUE direction): per user,
+    // maximal runs of strictly-increasing event values — the engagement
+    // "win streak" primitive. Break flag via lag, island id via running
+    // sum of breaks, then per-island lengths roll up to (longest streak,
+    // #streaks ≥ 3). Both windows and the island aggregate ride ONE
+    // hash(user_id) exchange; doubles compare bit-identically (raw
+    // fixture values, no arithmetic). Strict increase ⇒ ties break runs,
+    // so the answer is order-unambiguous even with duplicate values.
+    Q("q_window_streak_value",
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(value) OVER w IS NULL
+        |           OR value <= lag(value) OVER w THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM o),
+        |runs AS (
+        |  SELECT user_id, island, COUNT(*) AS len
+        |  FROM g GROUP BY user_id, island)
+        |SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak,
+        |  CAST(SUM(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("brk",
+          when(lag(col("value"), 1).over(w).isNull ||
+            col("value") <= lag(col("value"), 1).over(w), 1).otherwise(0))
+        .withColumn("island", sum(col("brk")).over(run))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max(col("len")).cast("long").as("max_streak"),
+          sum(when(col("len") >= 3, 1).otherwise(0)).cast("long")
+            .as("n_long"))
+        .orderBy("user_id")
+    },
+
     // Gap-based sessionization (12h inactivity, FIXTURES-calibrated):
     // new-session flag via lag, session id via running sum — the classic
     // batch-SQL formulation, identical in both engines.

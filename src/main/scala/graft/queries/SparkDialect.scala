@@ -993,6 +993,19 @@ object SparkDialect {
         |      * (CAST(st.m AS DECIMAL(38,0)) * b.n - st.s)
         |      > 9 * (CAST(st.m AS DECIMAL(38,0)) * st.q - st.s * st.s)
         |ORDER BY b.event_type, hour""".stripMargin,
+    "q_agg_hhi" ->
+      """WITH c AS (
+        |  SELECT l_linestatus AS st, l_suppkey,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS DECIMAL(16,0)) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |a AS (
+        |  SELECT st, COUNT(*) AS n_supp, SUM(q) AS s,
+        |    SUM(CAST(q * q AS DECIMAL(33,0))) AS q2
+        |  FROM c GROUP BY st)
+        |SELECT st AS l_linestatus, CAST(n_supp AS BIGINT) AS n_supp,
+        |  CAST((q2 * 1000000) div (s * s) AS BIGINT) AS hhi_e6
+        |FROM a ORDER BY st""".stripMargin,
     "q_stat_mannwhitney" ->
       """WITH s AS (
         |  SELECT l_linestatus AS st,
