@@ -678,6 +678,48 @@ object InsightQueries {
       graft.operators.Lttb
         .downsample(ev, "event_type", "us", "value", "event_id", 32)
         .orderBy("event_type", "bucket")
+    },
+
+    // Market-basket pair mining: the top-20 brand pairs most often
+    // bought together in one order — the frequent-itemset primitive
+    // (k = 2) behind co-purchase recommendations. Exact counts, total
+    // tie-break (count DESC, then both brands) so the LIMIT cut is
+    // deterministic.
+    //
+    // Scale shape: the per-order distinct-brand frame is the only
+    // row-scale shuffle (hash on l_orderkey); the pair generator is a
+    // SELF-join on that same key, so it reuses the co-partitioned layout
+    // with BOUNDED fan-out — ≤C(25,2) = 300 pairs/order because the
+    // brand domain is 25 (real orders carry ≤7 items), i.e. linear in
+    // orders at any sf, never quadratic in rows. The part lookup shuffles
+    // on p_partkey (a dimension 1/30 the fact size; too big to broadcast
+    // at 100 TB, AQE may still elect it at small sf). The pair rollup is
+    // ≤300 keys → map-side combine → TakeOrdered(20) on metadata.
+    Q("q_basket_pairs",
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS k, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT a.brand AS brand_a, b2.brand AS brand_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM b a JOIN b b2 ON a.k = b2.k AND a.brand < b2.brand
+        |GROUP BY a.brand, b2.brand
+        |ORDER BY n_orders DESC, brand_a, brand_b
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val b = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("k"), col("p_brand").as("brand"))
+        .distinct()
+        // ≤25 brands/order; materialized ONCE — without this both self-
+        // join sides rebuild the lineitem⨝part⨝distinct pipeline (the
+        // fact would be scanned twice)
+        .localCheckpoint(true)
+      b.as("a")
+        .join(b.as("b2"),
+          col("a.k") === col("b2.k") && col("a.brand") < col("b2.brand"))
+        .groupBy(col("a.brand").as("brand_a"), col("b2.brand").as("brand_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(desc("n_orders"), col("brand_a"), col("brand_b"))
+        .limit(20)
     }
   )
 }

