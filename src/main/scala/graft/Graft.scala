@@ -121,6 +121,11 @@ object Graft {
                          factKey: String, dimKey: String,
                          expectedItems: Long = 1000000L): DataFrame =
       BloomJoin.prefiltered(fact, dim, factKey, dimKey, expectedItems)
+    /** Record linkage: equi-blocked fuzzy self-pairs (key_a < key_b,
+      * levenshtein ≤ maxDist) — a join, never a cartesian cross-score. */
+    def fuzzyPairs(df: DataFrame, block: String, key: String, str: String,
+                   maxDist: Int): DataFrame =
+      FuzzyBlockJoin.selfPairs(df, block, key, str, maxDist)
   }
 
   /** Distribution statistics without global sorts. */
@@ -132,6 +137,29 @@ object Graft {
       HistogramRank.withGlobalRank(df, valueCol, tieCols, rankCol)
     /** SpaceSaving heavy-hitters aggregate column (top-m sketch). */
     def heavyHitters(m: Int): Column => Column = HeavyHitters.heavyHitters(m)
+    /** Exact two-sample Kolmogorov–Smirnov numerator per group:
+      * D = ks_num/(n1·n2), all-integer (quantize float values first). */
+    def ksNumerator(df: DataFrame, group: String, value: String,
+                    isFirst: String): DataFrame =
+      ExactStats.ksNumerator(df, group, value, isFirst)
+    /** Exact ROC-AUC as the fraction (auc_num_x2, auc_den) — midrank-tied
+      * Mann–Whitney U, no floats. */
+    def aucExact(df: DataFrame, score: String, pos: String): DataFrame =
+      ExactStats.aucExact(df, score, pos)
+    /** Top-k co-occurring item pairs across baskets (k = 2 frequent
+      * itemsets, deterministic tie-break). */
+    def basketPairs(df: DataFrame, basket: String, item: String,
+                    k: Int): DataFrame =
+      BasketPairs.topPairs(df, basket, item, k)
+  }
+
+  /** Data-quality gates a snapshot publish runs first. */
+  object quality {
+    /** One-pass rule audit: (name, violation predicate) pairs in, one
+      * (rule, n_checked, n_violations) row out per rule — zero-violation
+      * rules included. */
+    def audit(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
+      QualityAudit.audit(df, rules)
   }
 
   /** Iterative graph analytics as DataFrame iterations. */

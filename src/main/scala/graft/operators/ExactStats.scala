@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Exact nonparametric statistics over integer-quantized values — no
+  * floats, no division: each statistic is emitted as an integer numerator
+  * against a closed-form denominator, so results are bitwise-reproducible
+  * across engines, partitionings and scales (SURVEY Appendix A).
+  *
+  * Both ops share one scale shape: the only row-scale work is a map-side-
+  * combinable histogram over (group, value); every window/rollup after it
+  * runs on the quantized support, which is metadata-sized whenever the
+  * value domain is bounded (prices in cents, quantities, scores).
+  */
+object ExactStats {
+
+  /** Two-sample Kolmogorov–Smirnov numerator per group.
+    *
+    * Input columns: `group`; `value` (integral — quantize floats to cents
+    * first); `isFirst` (1 = sample 1, 0 = sample 2). Output per group:
+    * (group, n1, n2, ks_num) with D = ks_num / (n1·n2) — the caller keeps
+    * the exact rational. LONG products hold to ~3·10⁹ rows per sample;
+    * beyond that widen cum/n to DECIMAL(38,0).
+    */
+  def ksNumerator(df: DataFrame, group: String, value: String,
+      isFirst: String): DataFrame = {
+    val h = df.groupBy(col(group).as("__g"), col(value).as("__v"))
+      .agg(sum(col(isFirst)).as("c1"),
+        (count(lit(1)) - sum(col(isFirst))).as("c2"))
+    // __v is unique within __g after the groupBy, so ROWS ≡ RANGE
+    val wCum = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("__g")
+    h.select(col("__g"),
+        sum(col("c1")).over(wCum).as("cum1"),
+        sum(col("c2")).over(wCum).as("cum2"),
+        sum(col("c1")).over(wAll).as("n1"),
+        sum(col("c2")).over(wAll).as("n2"))
+      .groupBy("__g")
+      .agg(max(col("n1")).cast(LongType).as("n1"),
+        max(col("n2")).cast(LongType).as("n2"),
+        max(abs(col("n2") * col("cum1") - col("n1") * col("cum2")))
+          .cast(LongType).as("ks_num"))
+      .select(col("__g").as(group), col("n1"), col("n2"), col("ks_num"))
+  }
+
+  /** Exact ROC-AUC of an integral score against a 0/1 label, as the
+    * fraction (auc_num_x2, auc_den) — AUC = U/(n⁺n⁻) with midrank ties,
+    * doubled to stay integral. One row out: (n_pos, n_neg, auc_num_x2,
+    * auc_den). The global ORDER BY window runs over the quantized score
+    * support (bounded domain ⇒ metadata-sized at any corpus size); rank
+    * products accumulate in DECIMAL(25,0) (a LONG caps near 2·10⁹ rows).
+    */
+  def aucExact(df: DataFrame, score: String, pos: String): DataFrame = {
+    val h = df.groupBy(col(score).as("__v"))
+      .agg(sum(col(pos)).as("cp"), count(lit(1)).as("c"))
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("cum", coalesce(sum(col("c")).over(w), lit(0L)))
+      .agg(sum(col("cp")).as("np"),
+        sum(col("c") - col("cp")).as("nn"),
+        sum((col("cp") * (lit(2) * col("cum") + col("c") + 1))
+          .cast("decimal(25,0)")).as("r1x2"))
+      .select(col("np").cast(LongType).as("n_pos"),
+        col("nn").cast(LongType).as("n_neg"),
+        (col("r1x2") - col("np").cast("decimal(19,0)")
+          * (col("np") + 1).cast("decimal(19,0)"))
+          .cast(LongType).as("auc_num_x2"),
+        (col("np") * col("nn") * 2).cast(LongType).as("auc_den"))
+  }
+}

@@ -705,21 +705,12 @@ object InsightQueries {
         |GROUP BY a.brand, b2.brand
         |ORDER BY n_orders DESC, brand_a, brand_b
         |LIMIT 20""".stripMargin) { (s, d) =>
-      val b = Tables.lineitem(s, d)
+      val baskets = Tables.lineitem(s, d)
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("k"), col("p_brand").as("brand"))
-        .distinct()
-        // ≤25 brands/order; materialized ONCE — without this both self-
-        // join sides rebuild the lineitem⨝part⨝distinct pipeline (the
-        // fact would be scanned twice)
-        .localCheckpoint(true)
-      b.as("a")
-        .join(b.as("b2"),
-          col("a.k") === col("b2.k") && col("a.brand") < col("b2.brand"))
-        .groupBy(col("a.brand").as("brand_a"), col("b2.brand").as("brand_b"))
-        .agg(count(lit(1)).as("n_orders"))
-        .orderBy(desc("n_orders"), col("brand_a"), col("brand_b"))
-        .limit(20)
+      graft.operators.BasketPairs.topPairs(baskets, "k", "brand", 20)
+        .select(col("item_a").as("brand_a"), col("item_b").as("brand_b"),
+          col("n_baskets").as("n_orders"))
     }
   )
 }

@@ -988,14 +988,10 @@ object JoinQueries {
         |FROM s a JOIN s b ON a.nk = b.nk AND a.k < b.k
         |WHERE levenshtein(a.nm, b.nm) <= 2
         |GROUP BY a.nk ORDER BY nationkey""".stripMargin) { (s, d) =>
-      val sup = Tables.supplier(s, d).select(col("s_suppkey").as("k"),
-        col("s_nationkey").as("nk"), col("s_name").as("nm"))
-      sup.as("a")
-        .join(sup.as("b"),
-          col("a.nk") === col("b.nk") && col("a.k") < col("b.k"))
-        .withColumn("dist", levenshtein(col("a.nm"), col("b.nm")))
-        .filter(col("dist") <= 2)
-        .groupBy(col("a.nk").as("nationkey"))
+      graft.operators.FuzzyBlockJoin
+        .selfPairs(Tables.supplier(s, d), "s_nationkey", "s_suppkey",
+          "s_name", maxDist = 2)
+        .groupBy(col("block").as("nationkey"))
         .agg(count(lit(1)).as("n_pairs"),
           min(col("dist")).cast("long").as("min_dist"),
           sum(col("dist")).cast("long").as("sum_dist"))

@@ -602,24 +602,7 @@ object StatQueries {
           (col("l_quantity").cast(DecimalType(12, 2)) * 100)
             .cast(LongType).as("v"),
           when(col("l_returnflag") === "R", 1L).otherwise(0L).as("isa"))
-      val h = src.groupBy("st", "v")
-        .agg(sum(col("isa")).as("c1"),
-          (count(lit(1)) - sum(col("isa"))).as("c2"))
-      // v is unique within st after the groupBy, so ROWS ≡ the oracle's
-      // default RANGE frame
-      val wCum = Window.partitionBy("st").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val wAll = Window.partitionBy("st")
-      val c = h.select(col("st"),
-        sum(col("c1")).over(wCum).as("cum1"),
-        sum(col("c2")).over(wCum).as("cum2"),
-        sum(col("c1")).over(wAll).as("n1"),
-        sum(col("c2")).over(wAll).as("n2"))
-      c.groupBy("st")
-        .agg(max(col("n1")).cast(LongType).as("n1"),
-          max(col("n2")).cast(LongType).as("n2"),
-          max(abs(col("n2") * col("cum1") - col("n1") * col("cum2")))
-            .cast(LongType).as("ks_num"))
+      graft.operators.ExactStats.ksNumerator(src, "st", "v", "isa")
         .select(col("st").as("l_linestatus"),
           col("n1"), col("n2"), col("ks_num"))
         .orderBy("l_linestatus")
@@ -661,21 +644,7 @@ object StatQueries {
         .select((col("value").cast(DecimalType(12, 2)) * 100)
             .cast(LongType).as("v"),
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
-      val h = src.groupBy("v")
-        .agg(sum(col("pos")).as("cp"), count(lit(1)).as("c"))
-      val w = Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val r = h.withColumn("cum", coalesce(sum(col("c")).over(w), lit(0L)))
-      r.agg(sum(col("cp")).as("np"),
-          sum(col("c") - col("cp")).as("nn"),
-          sum((col("cp") * (lit(2) * col("cum") + col("c") + 1))
-            .cast("decimal(25,0)")).as("r1x2"))
-        .select(col("np").cast(LongType).as("n_pos"),
-          col("nn").cast(LongType).as("n_neg"),
-          (col("r1x2") - col("np").cast("decimal(19,0)")
-            * (col("np") + 1).cast("decimal(19,0)"))
-            .cast(LongType).as("auc_num_x2"),
-          (col("np") * col("nn") * 2).cast(LongType).as("auc_den"))
+      graft.operators.ExactStats.aucExact(src, "v", "pos")
     }
   )
 }

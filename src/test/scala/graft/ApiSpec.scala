@@ -126,6 +126,47 @@ class ApiSpec extends SparkSuite {
     assert(xs.head == 0L && xs.last == 99L * 1000000)
   }
 
+  test("stats group: exact KS and AUC numerators on hand-checked samples") {
+    // A={1,2} vs B={3,4}: F1−F2 peaks at v=2 (2/2 − 0/2) → num = 2·2 = 4
+    val ks = Graft.stats.ksNumerator(
+      Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 0L), ("g", 4L, 0L))
+        .toDF("grp", "v", "isa"), "grp", "v", "isa").head()
+    assert(ks.getLong(1) == 2L && ks.getLong(2) == 2L && ks.getLong(3) == 4L)
+    // pos {2,3} vs neg {1,2}: wins 2>1, 3>1, 3>2 plus the 2=2 half-tie
+    // → U = 3½, x2 = 7, den = 2·2·2 = 8 (AUC 7/8)
+    val auc = Graft.stats.aucExact(
+      Seq((2L, 1L), (3L, 1L), (1L, 0L), (2L, 0L)).toDF("v", "pos"),
+      "v", "pos").head()
+    assert(auc.getLong(2) == 7L && auc.getLong(3) == 8L)
+  }
+
+  test("stats group: basket pairs counts co-occurrence with ordered ties") {
+    val baskets = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "b"),
+      (2L, "a")).toDF("bk", "it")
+    val top = Graft.stats.basketPairs(baskets, "bk", "it", 10).collect()
+    assert(top.head.getString(0) == "a" && top.head.getString(1) == "b" &&
+      top.head.getLong(2) == 2L)
+    assert(top.length == 3) // (a,b)=2, then (a,c)=1 < (b,c)=1
+  }
+
+  test("quality group: one-pass audit reports zero and nonzero rules") {
+    val df = Seq((1L, 5.0), (2L, -1.0), (3L, 2.0)).toDF("k", "v")
+    val got = Graft.quality.audit(df, Seq(
+        "k_null" -> col("k").isNull, "v_negative" -> (col("v") < 0)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("k_null") == (3L, 0L) && got("v_negative") == (3L, 1L))
+  }
+
+  test("joins group: fuzzy block pairs stay inside the block") {
+    val df = Seq((1, 10L, "abc"), (1, 11L, "abd"), (1, 12L, "zzz"),
+      (2, 20L, "abc")).toDF("blk", "k", "s")
+    val pairs = Graft.joins.fuzzyPairs(df, "blk", "k", "s", maxDist = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    // only (10,11) qualifies: same block, dist 1; "abc"⨯"abc" across
+    // blocks 1/2 must NOT pair
+    assert(pairs.toSeq == Seq((10L, 11L, 1)))
+  }
+
   test("maintain group: compact reduces the file count, keeps every row") {
     val in = graft.core.Scratch.dir("api_frag")
     val out = graft.core.Scratch.dir("api_compact")
