@@ -791,6 +791,41 @@ object AggQueries {
         .select(col("e._1").as("term"), col("e._2").as("est_count"),
           col("e._3").as("max_err"))
         .orderBy(desc("est_count"), col("term"))
+    },
+
+    // Gini–Simpson diversity index per group with EXACT integer
+    // arithmetic: 1 − Σp² over the brand mix of each linestatus, emitted
+    // as the fraction (n² − Σc²)/n² — the diversity/concentration
+    // counterpart to q_agg_hhi's market-share form, and (unlike Shannon
+    // entropy) expressible with no logarithm, so it is bitwise-checkable
+    // across engines.
+    //
+    // Scale shape: one (status, brand) count aggregate (map-side
+    // combinable, ≤2×25 cells at any sf — the support is the categorical
+    // domain), then a metadata-sized rollup. LONG squares hold to ~3·10⁹
+    // rows per status; DECIMAL(38,0) beyond.
+    Q("q_agg_simpson",
+      """WITH c AS (
+        |  SELECT l_linestatus AS st, p_brand AS b, COUNT(*) AS c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY st, b)
+        |SELECT st AS l_linestatus,
+        |  CAST(SUM(c) AS BIGINT) AS n,
+        |  CAST(SUM(c) * SUM(c) - SUM(c * c) AS BIGINT) AS simpson_num,
+        |  CAST(SUM(c) * SUM(c) AS BIGINT) AS simpson_den
+        |FROM c GROUP BY st ORDER BY st""".stripMargin) { (s, d) =>
+      val c = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_linestatus").as("st"), col("p_brand").as("b"))
+        .agg(count(lit(1)).as("c"))
+      c.groupBy("st")
+        .agg(sum(col("c")).cast("long").as("n"),
+          (sum(col("c")) * sum(col("c")) - sum(col("c") * col("c")))
+            .cast("long").as("simpson_num"),
+          (sum(col("c")) * sum(col("c"))).cast("long").as("simpson_den"))
+        .select(col("st").as("l_linestatus"), col("n"),
+          col("simpson_num"), col("simpson_den"))
+        .orderBy("l_linestatus")
     }
   )
 }

@@ -496,6 +496,52 @@ object EventQueries {
         .orderBy("o_custkey", "valid_from", "version_key")
         .select("o_custkey", "o_orderpriority", "valid_from", "valid_to",
           "version_key")
+    },
+
+    // Lag-1 autocorrelation of the daily event-volume series, with the
+    // Pearson pieces emitted as EXACT integers (q_stat_regression's
+    // design): r = cov_num / √(varx_num·vary_num) is one caller-side
+    // sqrt over bitwise-checkable BIGINTs — the seasonality probe every
+    // ingest monitor runs on its arrival counts.
+    //
+    // Scale shape: the only row-scale work is the map-side-combinable
+    // per-day count; the LEAD window and the final sums run over the DAY
+    // spine (30 rows at the fixtures; calendar-bounded at any corpus
+    // size). The day bucket never leaves the query, so no timestamp
+    // rebasing is involved. LONG products hold to ~10⁹ events/day over a
+    // 30-year spine; DECIMAL(38,0) beyond.
+    Q("q_time_autocorr",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    COUNT(*) AS x
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT x, LEAD(x) OVER (ORDER BY day) AS y FROM d)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
+        |    AS cov_num,
+        |  CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT)
+        |    AS varx_num,
+        |  CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS BIGINT)
+        |    AS vary_num
+        |FROM p WHERE y IS NOT NULL""".stripMargin) { (s, d) =>
+      val days = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val p = days
+        .select(col("x"), lead(col("x"), 1).over(Window.orderBy("day")).as("y"))
+        .where(col("y").isNotNull)
+      p.agg(count(lit(1)).as("cnt"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("cnt").cast("long").as("n"),
+          (col("cnt") * col("sxy") - col("sx") * col("sy"))
+            .cast("long").as("cov_num"),
+          (col("cnt") * col("sxx") - col("sx") * col("sx"))
+            .cast("long").as("varx_num"),
+          (col("cnt") * col("syy") - col("sy") * col("sy"))
+            .cast("long").as("vary_num"))
     }
   )
 }

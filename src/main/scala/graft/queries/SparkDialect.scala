@@ -973,6 +973,15 @@ object SparkDialect {
         |SELECT ws AS window_start, event_type, COUNT(*) AS cnt, ((CASE WHEN (CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))) < 0 THEN -1.0e0 ELSE 1.0e0 END) * (CAST(CAST(FLOOR(ABS(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)))) AS BIGINT) AS DOUBLE) + CAST(CAST(ABS(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))) - FLOOR(ABS(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)))) AS DECIMAL(5,4)) AS DOUBLE))) AS sum_value
         |FROM b
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_stat_benford" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |    AS cents
+        |  FROM orders)
+        |SELECT CAST(SUBSTRING(CAST(cents AS STRING), 1, 1) AS BIGINT)
+        |    AS digit,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM v GROUP BY 1 ORDER BY digit""".stripMargin,
     "q_event_anomaly" ->
       """WITH b AS (
         |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,

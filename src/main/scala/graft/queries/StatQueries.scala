@@ -645,6 +645,35 @@ object StatQueries {
             .cast(LongType).as("v"),
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
       graft.operators.ExactStats.aucExact(src, "v", "pos")
+    },
+
+    // Benford leading-digit profile of order totals — the fraud/anomaly
+    // screen auditors run on monetary columns. The digit is taken from
+    // the EXACT cents integer via a string head (an arithmetic
+    // floor(v/10^floor(log10 v)) would route through libm and can
+    // misround at decade boundaries cross-engine; the string head
+    // cannot). Counts only — the Benford expectation needs a log, so the
+    // test statistic stays caller-side.
+    //
+    // Scale shape: row-local digit extraction folded into ONE map-side-
+    // combinable ≤9-key count — nothing else moves. Oracle uses DuckDB's
+    // CAST AS VARCHAR; the Spark twin says STRING (SparkDialect).
+    Q("q_stat_benford",
+      """WITH v AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |    AS cents
+        |  FROM orders)
+        |SELECT CAST(SUBSTRING(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+        |    AS digit,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM v GROUP BY 1 ORDER BY digit""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select((col("o_totalprice").cast(DecimalType(14, 2)) * 100)
+          .cast(LongType).as("cents"))
+        .groupBy(substring(col("cents").cast("string"), 1, 1)
+          .cast(LongType).as("digit"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("digit")
     }
   )
 }

@@ -256,7 +256,13 @@ class PlanSpec extends SparkSuite {
       "q_stat_ks" -> "shuffle=3,broadcast=0",
       "q_stat_auc" -> "shuffle=2,broadcast=0",
       "q_basket_pairs" -> "shuffle=3,broadcast=0,SortMergeJoin=1",
-      "q_join_fuzzy" -> "shuffle=2,broadcast=1,BroadcastHashJoin=1")
+      "q_join_fuzzy" -> "shuffle=2,broadcast=1,BroadcastHashJoin=1",
+      // simpson: brand-count histogram (≤50 cells) + rollup; autocorr/
+      // benford: one map-side-combinable count over the day/digit
+      // support + metadata windows/sort
+      "q_agg_simpson" -> "shuffle=3,broadcast=1,BroadcastHashJoin=1",
+      "q_time_autocorr" -> "shuffle=2,broadcast=0",
+      "q_stat_benford" -> "shuffle=2,broadcast=0")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
