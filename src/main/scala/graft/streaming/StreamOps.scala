@@ -630,6 +630,18 @@ object StreamOps {
       .toDF("k", "seq", "op", "p_e4")
   }
 
+  /** Streaming data-quality audit (s_stream_quality): per-rule RUNNING
+    * (n_checked, n_violations) totals over everything ingested so far —
+    * the publish gate of q_quality_rules turned into a live ingest
+    * monitor. Delegates to the SAME one-pass operator as the batch form
+    * ([[graft.operators.QualityAudit]]): a global conditional-sum
+    * aggregate is streaming-legal as-is, so state is ONE row of R+1
+    * counters regardless of corpus size (complete output mode; the
+    * explode to rule rows is a stateless projection of that row). */
+  def qualityAuditStream(events: DataFrame,
+      rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    graft.operators.QualityAudit.audit(events, rules)
+
   /** foreachBatch JDBC upsert: idempotent incremental load keyed on the
     * natural key (s_stream_foreachbatch; the daily-increment DB pattern).
     *

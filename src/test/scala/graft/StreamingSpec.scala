@@ -997,4 +997,38 @@ class StreamingSpec extends SparkSuite {
     assert(got == want, s"streaming URL state diverged: got ${got.size}, " +
       s"want ${want.size}")
   }
+
+  test("s_stream_quality: running audit totals == the batch audit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val day0 = java.time.LocalDateTime.of(2024, 1, 1, 8, 0)
+    val rules = Seq(
+      "value_negative" -> (col("value") < 0),
+      "type_unknown" -> !col("event_type").isin("click", "view", "purchase"),
+      "user_null" -> col("user_id").isNull)
+    val batch1 = Seq(Ev(1L, day0, 1L, "click", 5.0),
+      Ev(2L, day0.plusMinutes(1), 1L, "view", -2.0),
+      Ev(3L, day0.plusMinutes(2), 2L, "bogus", 1.0))
+    val batch2 = Seq(Ev(4L, day0.plusMinutes(3), 3L, "purchase", 9.0),
+      Ev(5L, day0.plusMinutes(4), 3L, "bogus", -1.0))
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.qualityAuditStream(mem.toDF(), rules).writeStream
+      .format("memory").queryName("s_quality").outputMode("complete").start()
+    mem.addData(batch1)
+    q.processAllAvailable()
+    // mid-stream checkpoint: totals must already cover batch 1
+    val mid = spark.table("s_quality").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(mid("value_negative") == 1L && mid("type_unknown") == 1L)
+    mem.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("s_quality").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val want = graft.operators.QualityAudit
+      .audit((batch1 ++ batch2).toDF(), rules).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == want, s"streaming audit diverged: $got vs $want")
+    assert(got.map(_._2).forall(_ == 5L), "every rule checked all 5 rows")
+  }
 }
