@@ -23,6 +23,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.CharNGrams].getName, "graft_ngrams"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.CharNGrams(children(0), children(1))))
+    // graft_normalize backs the SQL-twin census (SparkDialect) — the
+    // deployment path must carry every function the per-session
+    // registrar (GraftFunctions.register) does, or SQL text that runs
+    // in-repo fails on a --conf-configured cluster.
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[graft.functions.NormalizeText].getName,
+        "graft_normalize"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.NormalizeText(children(0))))
     // Runtime bloom-prefilter primitives (operators/BloomJoin.scala):
     // build with graft_bloom_agg(key, items, bits), probe with
     // graft_bloom_contains(bloomBytes, key) — the same Spark-internal

@@ -15,6 +15,9 @@ object ExtensionsDemo {
       "SELECT graft_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
         "array(cast(3.0 as float), cast(4.0 as float))) AS d").collect()(0).getDouble(0)
     println(s"EXTENSIONS_DEMO graft_dot=(1,2)x(3,4)=$r expected=11.0 ok=${r == 11.0}")
+    val norm = spark.sql("SELECT graft_normalize('  Héllo\\tWORLD  ') AS n")
+      .collect()(0).getString(0)
+    println(s"EXTENSIONS_DEMO graft_normalize='$norm' ok=${norm == "hello world"}")
     // as-of node planned by the INJECTED strategy (no addStrategy call):
     // build the logical node directly and check the physical operator.
     import org.apache.spark.sql.functions._
