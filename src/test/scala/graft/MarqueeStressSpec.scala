@@ -938,4 +938,60 @@ class MarqueeStressSpec extends AnyFunSuite {
       spark.sparkContext.removeSparkListener(listener)
     }
   }
+
+  test("ExactStats: 16M rows — KS shuffle bounded by the value support, " +
+      "driver-fold oracle", Marquee) {
+    // The design claim of q_stat_ks/q_stat_auc, measured: the fact is
+    // reduced to a (group, value) histogram by map-side combine, so
+    // shuffle volume scales with the QUANTIZED SUPPORT × map partitions,
+    // never with rows. 16M rows over a 50k-value domain must put far
+    // fewer than rows/4 records on the wire; at a fixed price/quantity
+    // domain the same holds at 100 TB. Exactness gate: the distributed
+    // numerator equals a driver-side fold of the collected histogram
+    // (independent arithmetic path over the same counts).
+    val n = 16000000L
+    val support = 50000L
+    val rows = spark.range(n).select(
+      pmod(xxhash64(col("id"), lit(5)), lit(support)).as("v"),
+      (col("id") % 2).as("isa"))
+      .withColumn("grp", lit("g"))
+    val recs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        recs.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+      recs.set(0)
+      val (ks, secs) = timed(graft.operators.ExactStats
+        .ksNumerator(rows, "grp", "v", "isa").collect().head)
+      org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+      val wire = recs.get()
+      assert(ks.getLong(1) + ks.getLong(2) == n, "histogram lost rows")
+      assert(wire * 4 < n,
+        s"KS shuffled $wire records for $n rows — support bound broken")
+      // driver-side fold over the same histogram: independent max-scan
+      val h = rows.groupBy("v")
+        .agg(sum(col("isa")).as("c1"),
+          (count(lit(1)) - sum(col("isa"))).as("c2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val n1 = h.map(_._2).sum
+      val n2 = h.map(_._3).sum
+      var cum1 = 0L; var cum2 = 0L; var best = 0L
+      h.foreach { case (_, c1, c2) =>
+        cum1 += c1; cum2 += c2
+        best = math.max(best, math.abs(n2 * cum1 - n1 * cum2))
+      }
+      assert(ks.getLong(3) == best,
+        s"distributed ks_num ${ks.getLong(3)} != driver fold $best")
+      info(f"16M-row KS in $secs%.1f s: $wire shuffle records " +
+        f"(${n / math.max(wire, 1)}%d× under row count), " +
+        s"ks_num=$best over n1=$n1, n2=$n2")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
 }
