@@ -255,7 +255,10 @@ class PlanSpec extends SparkSuite {
       // distance predicate is post-join row-local)
       "q_stat_ks" -> "shuffle=3,broadcast=0",
       "q_stat_auc" -> "shuffle=2,broadcast=0",
-      "q_basket_pairs" -> "shuffle=3,broadcast=0,SortMergeJoin=1",
+      // basket: per-basket set build is the ONLY row-scale exchange; pair
+      // expansion is row-local (higher-order transform), the rollup is
+      // ≤300 keys; the part lookup broadcasts at fixture scale
+      "q_basket_pairs" -> "shuffle=2,broadcast=1,BroadcastHashJoin=1",
       "q_join_fuzzy" -> "shuffle=2,broadcast=1,BroadcastHashJoin=1",
       // simpson: brand-count histogram (≤50 cells) + rollup; autocorr/
       // benford: one map-side-combinable count over the day/digit
