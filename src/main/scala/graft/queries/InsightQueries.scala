@@ -711,6 +711,57 @@ object InsightQueries {
       graft.operators.BasketPairs.topPairs(baskets, "k", "brand", 20)
         .select(col("item_a").as("brand_a"), col("item_b").as("brand_b"),
           col("n_baskets").as("n_orders"))
+    },
+
+    // Customer-lifecycle churn matrix: per month, how many customers were
+    // active, and of those how many were retained (active last month),
+    // new (first month ever) or resurrected (a gap) — the subscription-
+    // analytics staple. The month is an INTEGER index (year·12 + month),
+    // so the lag comparison is pure integer arithmetic on both engines —
+    // no interval math, no timestamp in the output.
+    //
+    // Scale shape: the distinct (month, customer) frame is the only
+    // row-scale shuffle; the LAG window re-keys on customer (groups are
+    // months-per-customer — task-sized at any sf) and the rollup is
+    // calendar-bounded (≤80 month keys). Churned-out counts are the
+    // complement (active(m) − retained(m+1)) — derivable from this
+    // output, not a second pass.
+    Q("q_agg_churn",
+      """WITH mc AS (
+        |  SELECT DISTINCT
+        |    CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+        |      + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+        |    o_custkey AS c
+        |  FROM orders),
+        |l AS (
+        |  SELECT m, c, LAG(m) OVER (PARTITION BY c ORDER BY m) AS pm
+        |  FROM mc)
+        |SELECT m AS month_idx,
+        |  CAST(COUNT(*) AS BIGINT) AS n_active,
+        |  CAST(SUM(CASE WHEN pm = m - 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_retained,
+        |  CAST(SUM(CASE WHEN pm IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(SUM(CASE WHEN pm IS NOT NULL AND pm < m - 1 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_resurrected
+        |FROM l GROUP BY m ORDER BY month_idx""".stripMargin) { (s, d) =>
+      val mc = Tables.orders(s, d)
+        .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("m"),
+          col("o_custkey").as("c"))
+        .distinct()
+      val l = mc.withColumn("pm",
+        lag(col("m"), 1).over(Window.partitionBy("c").orderBy("m")))
+      l.groupBy("m")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("pm") === col("m") - 1, 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("pm").isNull, 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("pm").isNotNull && col("pm") < col("m") - 1, 1L)
+            .otherwise(0L)).as("n_resurrected"))
+        .select(col("m").as("month_idx"), col("n_active"),
+          col("n_retained"), col("n_new"), col("n_resurrected"))
+        .orderBy("month_idx")
     }
   )
 }

@@ -674,6 +674,64 @@ object StatQueries {
           .cast(LongType).as("digit"))
         .agg(count(lit(1)).as("n_orders"))
         .orderBy("digit")
+    },
+
+    // Wald–Wolfowitz runs test on the daily event-volume series: is the
+    // sequence of above/below-median days random, or does volume trend?
+    // Emitted as the exact integers (n_runs, n_above, n_below) — the z
+    // approximation is one caller-side formula over them. The median is
+    // POSITIONAL (lower median via rn·2 ≤ n+1 — no integer division
+    // operator, which is dialect-divergent); median ties count as
+    // "below", making the split deterministic under any tie order.
+    //
+    // Scale shape: after the map-side-combinable per-day count, every
+    // window (rank, lag) runs over the calendar-bounded day spine — the
+    // single-partition windows are over ≤31 rows here and can never
+    // exceed the calendar at any corpus size.
+    Q("q_stat_runs",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    COUNT(*) AS x
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT x, ROW_NUMBER() OVER (ORDER BY x, day) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM d),
+        |med AS (SELECT MAX(x) AS mv FROM r WHERE rn * 2 <= n + 1),
+        |sg AS (
+        |  SELECT day, CASE WHEN x > mv THEN 1 ELSE 0 END AS sgn
+        |  FROM d CROSS JOIN med),
+        |runs AS (
+        |  SELECT sgn, LAG(sgn) OVER (ORDER BY day) AS prev FROM sg)
+        |SELECT
+        |  CAST(SUM(CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_runs,
+        |  CAST(SUM(sgn) AS BIGINT) AS n_above,
+        |  CAST(SUM(1 - sgn) AS BIGINT) AS n_below
+        |FROM runs""".stripMargin) { (s, d) =>
+      val days = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+        .agg(count(lit(1)).as("x"))
+      // the median is an unordered global-window agg over the SAME
+      // aggregated spine (no join — keeps the whole chain inside the
+      // strict-lint aggregate-bounded exemption, and every global window
+      // here runs on ≤31 rows)
+      val sg = days
+        .select(col("day"), col("x"),
+          row_number().over(Window.orderBy("x", "day")).as("rn"),
+          count(lit(1)).over(Window.partitionBy()).as("n"))
+        .withColumn("mv",
+          max(when(col("rn") * 2 <= col("n") + 1, col("x")))
+            .over(Window.partitionBy()))
+        .select(col("day"),
+          when(col("x") > col("mv"), 1L).otherwise(0L).as("sgn"))
+      val runs = sg.select(col("sgn"),
+        lag(col("sgn"), 1).over(Window.orderBy("day")).as("prev"))
+      runs.agg(
+        sum(when(col("prev").isNull || col("prev") =!= col("sgn"), 1L)
+          .otherwise(0L)).as("n_runs"),
+        sum(col("sgn")).as("n_above"),
+        sum(lit(1L) - col("sgn")).as("n_below"))
     }
   )
 }

@@ -265,7 +265,13 @@ class PlanSpec extends SparkSuite {
       // support + metadata windows/sort
       "q_agg_simpson" -> "shuffle=3,broadcast=1,BroadcastHashJoin=1",
       "q_time_autocorr" -> "shuffle=2,broadcast=0",
-      "q_stat_benford" -> "shuffle=2,broadcast=0")
+      "q_stat_benford" -> "shuffle=2,broadcast=0",
+      // churn: distinct (month,cust), LAG re-keyed on cust, ≤80-key
+      // rollup, output sort
+      "q_agg_churn" -> "shuffle=4,broadcast=0",
+      // runs test: one day-count exchange; rank, median, sign and lag
+      // all ride the ≤31-row spine as window passes (no join at all)
+      "q_stat_runs" -> "shuffle=2,broadcast=0")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }

@@ -147,4 +147,43 @@ class PropertySpec extends SparkSuite {
       assert(math.abs(a90 - e90) / e90 < 0.01, s"$k p90: $a90 vs $e90")
     }
   }
+
+  test("KS numerator is symmetric in the samples (4 random groups × 400 rows)") {
+    // |n2·F1 − n1·F2| is invariant under swapping which sample is
+    // "first" — a wrong cumulative pairing breaks this immediately.
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(400)((rnd.nextInt(4).toString,
+      rnd.nextInt(30).toLong, rnd.nextInt(2).toLong))
+    val df = rows.toDF("g", "v", "isa")
+    val fwd = graft.operators.ExactStats.ksNumerator(df, "g", "v", "isa")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val swapped = df.withColumn("isa", lit(1L) - col("isa"))
+    val bwd = graft.operators.ExactStats.ksNumerator(swapped, "g", "v", "isa")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(fwd.keySet == bwd.keySet)
+    fwd.foreach { case (g, (n1, n2, num)) =>
+      val (bn1, bn2, bnum) = bwd(g)
+      assert(bn1 == n2 && bn2 == n1 && bnum == num,
+        s"group $g: ($n1,$n2,$num) vs swapped ($bn1,$bn2,$bnum)")
+    }
+  }
+
+  test("AUC complement law: negating the score flips AUC to 1 − AUC") {
+    // With midrank ties, U(score) + U(−score) = n⁺n⁻ exactly — the
+    // doubled numerators must sum to the doubled denominator half.
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val rows = Seq.fill(500)((rnd.nextInt(40).toLong, rnd.nextInt(2).toLong))
+    val df = rows.toDF("v", "pos")
+    val a = graft.operators.ExactStats.aucExact(df, "v", "pos").head()
+    val b = graft.operators.ExactStats
+      .aucExact(df.withColumn("v", -col("v")), "v", "pos").head()
+    assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1))
+    assert(a.getLong(3) == b.getLong(3), "denominator must not move")
+    assert(a.getLong(2) + b.getLong(2) == a.getLong(3),
+      s"num(v) ${a.getLong(2)} + num(−v) ${b.getLong(2)} != den ${a.getLong(3)}")
+  }
 }
