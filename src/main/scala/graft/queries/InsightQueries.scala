@@ -762,6 +762,47 @@ object InsightQueries {
         .select(col("m").as("month_idx"), col("n_active"),
           col("n_retained"), col("n_new"), col("n_resurrected"))
         .orderBy("month_idx")
+    },
+
+    // Cohort-LTV triangle: customers grouped by FIRST-order month, each
+    // cohort's order count, active-customer count and exact revenue per
+    // month of age — the lifetime-value report subscription analytics is
+    // built on. Month arithmetic stays on the integer index; revenue is
+    // the exact DECIMAL sum emitted through d2d (Dsl contract).
+    //
+    // Scale shape: the cohort label is an UNORDERED window min over
+    // hash(custkey) — ONE row-scale shuffle (no first-order groupBy +
+    // self-join back, which would shuffle orders twice); the (cohort,
+    // age) rollup is calendar²-bounded (≤80² cells) and the distinct-
+    // customer count inside it re-uses the rollup exchange.
+    Q("q_agg_cohort_ltv",
+      s"""WITH x AS (
+        |  SELECT
+        |    MIN(CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+        |      + EXTRACT(MONTH FROM o_orderdate) AS BIGINT))
+        |      OVER (PARTITION BY o_custkey) AS cohort,
+        |    CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+        |      + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+        |    o_custkey AS c, o_totalprice AS p
+        |  FROM orders)
+        |SELECT cohort, m - cohort AS age,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(COUNT(DISTINCT c) AS BIGINT) AS n_customers,
+        |  ${Dsl.d2dSql(Dsl.dsumSql("p"))} AS revenue
+        |FROM x GROUP BY cohort, m ORDER BY cohort, age""".stripMargin) {
+      (s, d) =>
+        val mIdx = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long")
+        val x = Tables.orders(s, d).select(
+          min(mIdx).over(Window.partitionBy("o_custkey")).as("cohort"),
+          mIdx.as("m"), col("o_custkey").as("c"), col("o_totalprice").as("p"))
+        x.groupBy("cohort", "m")
+          .agg(count(lit(1)).as("n_orders"),
+            countDistinct(col("c")).as("n_customers"),
+            Dsl.d2d(Dsl.dsum(col("p"))).as("revenue"))
+          .select(col("cohort"), (col("m") - col("cohort")).as("age"),
+            col("n_orders"), col("n_customers"), col("revenue"))
+          .orderBy("cohort", "age")
     }
   )
 }

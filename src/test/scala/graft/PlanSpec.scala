@@ -271,7 +271,11 @@ class PlanSpec extends SparkSuite {
       "q_agg_churn" -> "shuffle=4,broadcast=0",
       // runs test: one day-count exchange; rank, median, sign and lag
       // all ride the ≤31-row spine as window passes (no join at all)
-      "q_stat_runs" -> "shuffle=2,broadcast=0")
+      "q_stat_runs" -> "shuffle=2,broadcast=0",
+      // cohort LTV: the custkey window exchange is the only orders-sized
+      // one; the COUNT(DISTINCT) two-phase expand + final + sort run on
+      // the (cohort, month, cust) activity frame (≤ distinct pairs)
+      "q_agg_cohort_ltv" -> "shuffle=4,broadcast=0")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
