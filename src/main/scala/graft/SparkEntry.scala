@@ -32,7 +32,8 @@ object SparkEntry {
       GraphQueries.all ++
       SqlParityQueries.all ++
       EntropyQueries.all ++
-      InsightQueries.all
+      InsightQueries.all ++
+      GovernanceQueries.all
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

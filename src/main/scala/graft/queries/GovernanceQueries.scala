@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Data-governance audits (SURVEY §2 extension, round 11): the
+  * re-identification-risk reports a privacy office runs before a table —
+  * or a training corpus — leaves the building. Both queries are pure
+  * relational aggregation (no UDFs, no sampling), so they run as one
+  * map-combinable pass over the fact table at any scale.
+  *
+  * Scale story: the only row-scale exchange is the quasi-identifier
+  * groupBy (partial+final HashAggregate — the QI domain, nations ×
+  * segments × balance bands, is orders of magnitude smaller than the
+  * rows, so the map side collapses almost everything); the k/l histogram
+  * rollup that follows runs on the QI-group frame, which is
+  * domain-bounded, not row-bounded. No window touches raw rows.
+  */
+object GovernanceQueries {
+
+  /** Balance band = $1000-wide truncating bucket of the exact cents value.
+    * Integer-only: cents = CAST(DECIMAL(12,2)·100 AS BIGINT) (exact — the
+    * fixture money columns carry ≤2 true decimals), then trunc-division
+    * expressed as (b − b % 100000)/100000 so both engines truncate toward
+    * zero identically (`%` follows the dividend sign in both; the `/` is
+    * IEEE double on an exactly-divisible pair, so the quotient is exact).
+    */
+  private def centsCol = (col("c_acctbal").cast("decimal(12,2)") * 100)
+    .cast("long")
+  private def bandCol = ((col("b") - col("b") % 100000L) / 100000L)
+    .cast("long")
+
+  val all: Seq[Q] = Seq(
+    // k-anonymity census: bucket every customer by the quasi-identifier
+    // triple (nation, market segment, $1000 balance band) and report how
+    // much of the table sits in groups of size k=1 (unique ⇒ directly
+    // re-identifiable), 2–4, 5–9, and ≥10 — the k-anonymity report in
+    // its standard presentation (Sweeney 2002, public literature).
+    //
+    // Scale shape: one QI-keyed partial+final aggregate over customer
+    // (the sole row-scale exchange), then a ≤4-row band rollup over the
+    // QI-group frame. Counts are LONGs — exact to 9·10¹⁸ rows.
+    Q("q_privacy_kanon",
+      """WITH q AS (
+        |  SELECT c_nationkey AS nk, c_mktsegment AS seg,
+        |    CAST((b - b % 100000) / 100000 AS BIGINT) AS band
+        |  FROM (SELECT c_nationkey, c_mktsegment,
+        |          CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS b
+        |        FROM customer) t),
+        |g AS (
+        |  SELECT nk, seg, band, COUNT(*) AS k
+        |  FROM q GROUP BY nk, seg, band)
+        |SELECT
+        |  CASE WHEN k = 1 THEN 'k=1_unique'
+        |       WHEN k < 5 THEN 'k=2_4'
+        |       WHEN k < 10 THEN 'k=5_9'
+        |       ELSE 'k_ge_10' END AS k_band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(k) AS BIGINT) AS n_rows,
+        |  CAST(MIN(k) AS BIGINT) AS min_k,
+        |  CAST(MAX(k) AS BIGINT) AS max_k
+        |FROM g GROUP BY 1 ORDER BY k_band""".stripMargin) { (s, d) =>
+      val q = Tables.customer(s, d)
+        .select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+          centsCol.as("b"))
+        .select(col("nk"), col("seg"), bandCol.as("band"))
+      val g = q.groupBy("nk", "seg", "band").agg(count(lit(1)).as("k"))
+      g.groupBy(
+          when(col("k") === 1, "k=1_unique")
+            .when(col("k") < 5, "k=2_4")
+            .when(col("k") < 10, "k=5_9")
+            .otherwise("k_ge_10").as("k_band"))
+        .agg(count(lit(1)).cast("long").as("n_groups"),
+          sum(col("k")).cast("long").as("n_rows"),
+          min(col("k")).cast("long").as("min_k"),
+          max(col("k")).cast("long").as("max_k"))
+        .orderBy("k_band")
+    },
+
+    // l-diversity audit: with the SENSITIVE attribute (market segment)
+    // dropped from the quasi-identifier, how many distinct sensitive
+    // values does each (nation, balance band) group carry? Groups with
+    // l=1 are homogeneous — k-anonymity alone does not stop attribute
+    // disclosure there (Machanavajjhala 2007, public literature). Output
+    // is the l histogram: for each diversity level, the group count, row
+    // count, and the k range of those groups.
+    //
+    // Scale shape: the COUNT(DISTINCT seg) rides Spark's two-phase
+    // expand on the same QI exchange (sensitive domain is 5 values, so
+    // the expanded frame is ≤5× the group frame, still domain-bounded);
+    // the histogram rollup is ≤5 rows.
+    Q("q_privacy_ldiversity",
+      """WITH q AS (
+        |  SELECT c_nationkey AS nk,
+        |    CAST((b - b % 100000) / 100000 AS BIGINT) AS band,
+        |    c_mktsegment AS seg
+        |  FROM (SELECT c_nationkey, c_mktsegment,
+        |          CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS b
+        |        FROM customer) t),
+        |g AS (
+        |  SELECT nk, band, COUNT(*) AS k, COUNT(DISTINCT seg) AS l
+        |  FROM q GROUP BY nk, band)
+        |SELECT CAST(l AS BIGINT) AS l_div,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(k) AS BIGINT) AS n_rows,
+        |  CAST(MIN(k) AS BIGINT) AS min_k,
+        |  CAST(MAX(k) AS BIGINT) AS max_k
+        |FROM g GROUP BY l ORDER BY l_div""".stripMargin) { (s, d) =>
+      val q = Tables.customer(s, d)
+        .select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+          centsCol.as("b"))
+        .select(col("nk"), bandCol.as("band"), col("seg"))
+      val g = q.groupBy("nk", "band")
+        .agg(count(lit(1)).as("k"), countDistinct(col("seg")).as("l"))
+      g.groupBy(col("l").cast("long").as("l_div"))
+        .agg(count(lit(1)).cast("long").as("n_groups"),
+          sum(col("k")).cast("long").as("n_rows"),
+          min(col("k")).cast("long").as("min_k"),
+          max(col("k")).cast("long").as("max_k"))
+        .orderBy("l_div")
+    }
+  )
+}
