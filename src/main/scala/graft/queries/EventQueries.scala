@@ -542,6 +542,94 @@ object EventQueries {
             .cast("long").as("varx_num"),
           (col("cnt") * col("syy") - col("sy") * col("sy"))
             .cast("long").as("vary_num"))
+    },
+
+    // Month-of-year seasonality profile of order volume and revenue —
+    // the calendar fingerprint behind staffing/capacity planning. The
+    // share column is the cross-engine-safe double ratio: both operands
+    // are d2d-emitted exact decimals, so the single IEEE divide is
+    // bit-identical in both engines.
+    //
+    // Scale shape: one map-combinable month aggregate (12 cells at any
+    // sf) — the only row-scale pass; the global-share window runs on the
+    // 12-row month spine (aggregate-bounded exemption).
+    Q("q_time_seasonality",
+      s"""WITH m AS (
+        |  SELECT CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+        |    COUNT(*) AS n,
+        |    ${Dsl.dsumSql("o_totalprice")} AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT mo AS month_of_year, CAST(n AS BIGINT) AS n_orders,
+        |  ${Dsl.d2dSql("rev")} AS revenue,
+        |  ${Dsl.d2dSql("rev")} /
+        |    ${Dsl.d2dSql("CAST(SUM(rev) OVER () AS DECIMAL(18,4))")}
+        |    AS rev_share
+        |FROM m ORDER BY month_of_year""".stripMargin) { (s, d) =>
+      val m = Tables.orders(s, d)
+        .groupBy(month(col("o_orderdate")).cast("long").as("mo"))
+        .agg(count(lit(1)).as("n"), Dsl.dsum(col("o_totalprice")).as("rev"))
+      m.select(col("mo").as("month_of_year"),
+          col("n").cast("long").as("n_orders"),
+          Dsl.d2d(col("rev")).as("revenue"),
+          (Dsl.d2d(col("rev")) /
+            Dsl.d2d(sum(col("rev")).over(Window.partitionBy()).cast(Dsl.D18)))
+            .as("rev_share"))
+        .orderBy("month_of_year")
+    },
+
+    // CUSUM changepoint scan over the daily event-volume series: the
+    // cumulative deviation from the series mean, kept EXACT by scaling
+    // through the day count (CUSUM_k = Σ_{d≤k}(n·x_d − T) = n·cum_k −
+    // T·k — all integers, no mean division), with the max-|CUSUM| day
+    // flagged as the level-shift candidate (Page 1954's statistic in its
+    // offline form, public literature). The monitoring counterpart to
+    // q_time_anomaly's pointwise z-scores: CUSUM accumulates small
+    // persistent shifts that per-point tests miss.
+    //
+    // Scale shape: the row-scale work is the map-combinable per-day
+    // count; every window (running sum, row index, global max) runs on
+    // the day spine — calendar-bounded (≤31 rows at the fixtures, ~4k
+    // rows for a decade of 100 TB ingest). n·cum stays exact in LONG to
+    // ~10¹⁴ events over a 10⁴-day spine; loud ANSI overflow beyond.
+    Q("q_time_changepoint",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    COUNT(*) AS x
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT day, x,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+        |    CAST(SUM(x) OVER () AS BIGINT) AS t,
+        |    CAST(SUM(x) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+        |  FROM d),
+        |s AS (SELECT day, x, n * cum - t * i AS cusum FROM c)
+        |SELECT day, CAST(x AS BIGINT) AS n_events,
+        |  CAST(cusum AS BIGINT) AS cusum_scaled,
+        |  CAST(CASE WHEN ABS(cusum) = MAX(ABS(cusum)) OVER () THEN 1
+        |            ELSE 0 END AS BIGINT) AS is_changepoint
+        |FROM s ORDER BY day""".stripMargin) { (s, d) =>
+      val dayFrame = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val spine = Window.orderBy("day")
+      val glob = Window.partitionBy()
+      val c = dayFrame.select(col("day"), col("x"),
+        count(lit(1)).over(glob).cast("long").as("n"),
+        sum(col("x")).over(glob).cast("long").as("t"),
+        sum(col("x")).over(
+          spine.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long").as("cum"),
+        row_number().over(spine).cast("long").as("i"))
+      c.select(col("day"), col("x"),
+          (col("n") * col("cum") - col("t") * col("i")).as("cusum"))
+        .select(col("day"), col("x").cast("long").as("n_events"),
+          col("cusum").cast("long").as("cusum_scaled"),
+          when(abs(col("cusum")) === max(abs(col("cusum"))).over(glob), 1L)
+            .otherwise(0L).as("is_changepoint"))
+        .orderBy("day")
     }
   )
 }

@@ -803,6 +803,78 @@ object InsightQueries {
           .select(col("cohort"), (col("m") - col("cohort")).as("age"),
             col("n_orders"), col("n_customers"), col("revenue"))
           .orderBy("cohort", "age")
+    },
+
+    // RFM segmentation — the classic customer-value matrix: every
+    // customer scored on Recency (months since last order vs the dataset
+    // horizon), Frequency (order count) and Monetary (exact decimal
+    // revenue), then bucketed into fixed semantic bands and rolled up per
+    // (R,F,M) cell. Fixed VALUE thresholds, not quantiles, on purpose:
+    // quantile banding needs a global rank pass (scale-hostile and
+    // re-shuffles the whole frame); value bands are map-combinable and —
+    // as in production RFM — stable across refreshes. Month arithmetic
+    // stays on the integer year*12+month index (the cross-engine-safe
+    // date math idiom).
+    //
+    // Scale shape: ONE orders-sized exchange (the custkey aggregate,
+    // partial+final); the dataset horizon is a 1-row broadcast; the
+    // (R,F,M) rollup is ≤27 cells. LONG counts, DECIMAL(18,4) money,
+    // d2d on emit.
+    Q("q_rfm_segment",
+      s"""WITH c AS (
+        |  SELECT o_custkey,
+        |    MAX(CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+        |      + EXTRACT(MONTH FROM o_orderdate) AS BIGINT)) AS last_m,
+        |    COUNT(*) AS f,
+        |    ${Dsl.dsumSql("o_totalprice")} AS m_sum
+        |  FROM orders GROUP BY o_custkey),
+        |h AS (
+        |  SELECT MAX(CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+        |    + EXTRACT(MONTH FROM o_orderdate) AS BIGINT)) AS now_m
+        |  FROM orders),
+        |r AS (
+        |  SELECT
+        |    CASE WHEN now_m - last_m <= 6 THEN 'r1_active'
+        |         WHEN now_m - last_m <= 24 THEN 'r2_warm'
+        |         ELSE 'r3_cold' END AS r_band,
+        |    CASE WHEN f >= 15 THEN 'f1_frequent'
+        |         WHEN f >= 8 THEN 'f2_regular'
+        |         ELSE 'f3_rare' END AS f_band,
+        |    CASE WHEN m_sum >= 2000000 THEN 'm1_heavy'
+        |         WHEN m_sum >= 1000000 THEN 'm2_mid'
+        |         ELSE 'm3_light' END AS m_band,
+        |    f, m_sum
+        |  FROM c CROSS JOIN h)
+        |SELECT r_band, f_band, m_band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(f) AS BIGINT) AS n_orders,
+        |  ${Dsl.d2dSql("CAST(SUM(m_sum) AS DECIMAL(18,4))")} AS revenue
+        |FROM r GROUP BY r_band, f_band, m_band
+        |ORDER BY r_band, f_band, m_band""".stripMargin) { (s, d) =>
+      val mIdx = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long")
+      val o = Tables.orders(s, d)
+      val c = o.groupBy("o_custkey")
+        .agg(max(mIdx).as("last_m"), count(lit(1)).as("f"),
+          Dsl.dsum(col("o_totalprice")).as("m_sum"))
+      val h = o.agg(max(mIdx).as("now_m"))
+      c.crossJoin(broadcast(h))
+        .select(
+          when(col("now_m") - col("last_m") <= 6, "r1_active")
+            .when(col("now_m") - col("last_m") <= 24, "r2_warm")
+            .otherwise("r3_cold").as("r_band"),
+          when(col("f") >= 15, "f1_frequent")
+            .when(col("f") >= 8, "f2_regular")
+            .otherwise("f3_rare").as("f_band"),
+          when(col("m_sum") >= 2000000, "m1_heavy")
+            .when(col("m_sum") >= 1000000, "m2_mid")
+            .otherwise("m3_light").as("m_band"),
+          col("f"), col("m_sum"))
+        .groupBy("r_band", "f_band", "m_band")
+        .agg(count(lit(1)).cast("long").as("n_customers"),
+          sum(col("f")).cast("long").as("n_orders"),
+          Dsl.d2d(sum(col("m_sum")).cast(D18)).as("revenue"))
+        .orderBy("r_band", "f_band", "m_band")
     }
   )
 }
