@@ -973,6 +973,27 @@ object SparkDialect {
         |SELECT ws AS window_start, event_type, COUNT(*) AS cnt, ((CASE WHEN (CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))) < 0 THEN -1.0e0 ELSE 1.0e0 END) * (CAST(CAST(FLOOR(ABS(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)))) AS BIGINT) AS DOUBLE) + CAST(CAST(ABS(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))) - FLOOR(ABS(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)))) AS DECIMAL(5,4)) AS DOUBLE))) AS sum_value
         |FROM b
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // chi-square: HUGEINT -> tightly-capped DECIMAL(38,0), // -> div
+    // (scale-0 decimals never round — they only overflow loudly, so the
+    // truncated rationals stay exact)
+    "q_stat_chi2" ->
+      """WITH ob AS (
+        |  SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS o
+        |  FROM lineitem GROUP BY rf, ls),
+        |m AS (
+        |  SELECT rf, ls, o,
+        |    CAST(SUM(o) OVER (PARTITION BY rf) AS DECIMAL(38,0)) AS r,
+        |    CAST(SUM(o) OVER (PARTITION BY ls) AS DECIMAL(38,0)) AS c,
+        |    CAST(SUM(o) OVER () AS DECIMAL(38,0)) AS n
+        |  FROM ob),
+        |t AS (
+        |  SELECT rf, ls, o, r, c, n, n * o - r * c AS dev FROM m)
+        |SELECT rf AS l_returnflag, ls AS l_linestatus,
+        |  CAST(o AS BIGINT) AS n_obs,
+        |  CAST((r * c) div n AS BIGINT) AS expected_trunc,
+        |  CAST((dev * dev * 1000000) div (n * r * c) AS BIGINT)
+        |    AS chi2_term_e6
+        |FROM t ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_stat_benford" ->
       """WITH v AS (
         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)

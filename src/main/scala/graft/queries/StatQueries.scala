@@ -732,6 +732,120 @@ object StatQueries {
           .otherwise(0L)).as("n_runs"),
         sum(col("sgn")).as("n_above"),
         sum(lit(1L) - col("sgn")).as("n_below"))
+    },
+
+    // Chi-square test of independence over the returnflag × linestatus
+    // contingency table, EXACT: each cell's statistic term is the
+    // integer-truncated scaled rational (n·o − r·c)²·10⁶ / (n·r·c) —
+    // the q_stat_spearman design (HUGEINT // in DuckDB, tightly-capped
+    // DECIMAL(38,0) div in Spark, both truncating toward zero; the
+    // numerator is non-negative so no sign split is needed). The
+    // truncated expected count r·c/n is emitted alongside the observed
+    // so the margins are reconstructible.
+    //
+    // Scale shape: ONE map-side-combinable (flag, status) count — the
+    // contingency frame is the categorical domain (6 cells at any sf);
+    // margins are windows over those 6 rows (aggregate-bounded). The e6
+    // scaling keeps dev²·10⁶ under 10³⁸ for n ≤ 10⁸ rows; past that
+    // both engines overflow LOUDLY (ANSI / HUGEINT range) — drop the
+    // scale factor or emit (o, r, c, n) raw to go further.
+    Q("q_stat_chi2",
+      """WITH ob AS (
+        |  SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS o
+        |  FROM lineitem GROUP BY rf, ls),
+        |m AS (
+        |  SELECT rf, ls, o,
+        |    CAST(SUM(o) OVER (PARTITION BY rf) AS HUGEINT) AS r,
+        |    CAST(SUM(o) OVER (PARTITION BY ls) AS HUGEINT) AS c,
+        |    CAST(SUM(o) OVER () AS HUGEINT) AS n
+        |  FROM ob),
+        |t AS (
+        |  SELECT rf, ls, o, r, c, n, n * o - r * c AS dev FROM m)
+        |SELECT rf AS l_returnflag, ls AS l_linestatus,
+        |  CAST(o AS BIGINT) AS n_obs,
+        |  CAST((r * c) // n AS BIGINT) AS expected_trunc,
+        |  CAST((dev * dev * 1000000) // (n * r * c) AS BIGINT)
+        |    AS chi2_term_e6
+        |FROM t ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val ob = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+        .agg(count(lit(1)).as("o"))
+      ob.select(col("rf"), col("ls"), col("o"),
+          sum("o").over(Window.partitionBy("rf")).as("r"),
+          sum("o").over(Window.partitionBy("ls")).as("c"),
+          sum("o").over(Window.partitionBy()).as("n"))
+        .selectExpr("rf", "ls", "o", "r", "c", "n",
+          "CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c AS dev")
+        .selectExpr(
+          "rf AS l_returnflag", "ls AS l_linestatus",
+          "CAST(o AS BIGINT) AS n_obs",
+          "CAST((CAST(r AS DECIMAL(38,0)) * c) div n AS BIGINT)" +
+            " AS expected_trunc",
+          "CAST((dev * dev * 1000000) div (CAST(n AS DECIMAL(38,0)) * r * c)" +
+            " AS BIGINT) AS chi2_term_e6")
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Welch's unequal-variance t² per linenumber group (R vs A flag on
+    // quantity) — the two-sample location test in its variance-robust
+    // form. The sums and sums-of-squares are EXACT decimals emitted
+    // through d2d; everything after is a FIXED double expression tree
+    // (the Dsl ratio discipline: identical IEEE ops on bit-identical
+    // operands are bit-identical in both engines). t² is emitted instead
+    // of t so no sqrt enters the oracle.
+    //
+    // Scale shape: one conditional-sum aggregate over the fact (7
+    // groups, map-side combinable) — no window, no join, nothing else
+    // moves. The d2d pieces stay exact to |Σq²| < 2⁵³·10⁻⁴ ≈ 9·10¹¹,
+    // i.e. ~3·10⁸ rows per group at quantity ≤ 50; beyond that route
+    // the sums through wider split emission before trusting low bits.
+    Q("q_stat_ttest",
+      s"""WITH s AS (
+        |  SELECT l_linenumber AS g,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS isr,
+        |    CAST(l_quantity AS DECIMAL(12,2)) AS q
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+        |a AS (
+        |  SELECT g,
+        |    CAST(SUM(isr) AS BIGINT) AS n1,
+        |    CAST(COUNT(*) - SUM(isr) AS BIGINT) AS n2,
+        |    ${Dsl.d2dSql("CAST(SUM(CASE WHEN isr = 1 THEN q END) AS DECIMAL(18,4))")} AS s1,
+        |    ${Dsl.d2dSql("CAST(SUM(CASE WHEN isr = 0 THEN q END) AS DECIMAL(18,4))")} AS s2,
+        |    ${Dsl.d2dSql("CAST(SUM(CASE WHEN isr = 1 THEN q * q END) AS DECIMAL(28,4))")} AS q1,
+        |    ${Dsl.d2dSql("CAST(SUM(CASE WHEN isr = 0 THEN q * q END) AS DECIMAL(28,4))")} AS q2
+        |  FROM s GROUP BY g),
+        |v AS (
+        |  SELECT g, n1, n2,
+        |    s1 / CAST(n1 AS DOUBLE) - s2 / CAST(n2 AS DOUBLE) AS mean_diff,
+        |    (q1 - s1 * s1 / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE) AS v1,
+        |    (q2 - s2 * s2 / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE) AS v2
+        |  FROM a)
+        |SELECT g AS l_linenumber, n1, n2, mean_diff,
+        |  mean_diff * mean_diff /
+        |    (v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)) AS t2_welch
+        |FROM v ORDER BY l_linenumber""".stripMargin) { (s, d) =>
+      val src = Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("R", "A"))
+        .select(col("l_linenumber").as("g"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("isr"),
+          col("l_quantity").cast(DecimalType(12, 2)).as("q"))
+      val a = src.groupBy("g")
+        .agg(sum(col("isr")).cast("long").as("n1"),
+          (count(lit(1)) - sum(col("isr"))).cast("long").as("n2"),
+          Dsl.d2d(sum(when(col("isr") === 1, col("q"))).cast(Dsl.D18)).as("s1"),
+          Dsl.d2d(sum(when(col("isr") === 0, col("q"))).cast(Dsl.D18)).as("s2"),
+          Dsl.d2d(sum(when(col("isr") === 1, col("q") * col("q")))
+            .cast(DecimalType(28, 4))).as("q1"),
+          Dsl.d2d(sum(when(col("isr") === 0, col("q") * col("q")))
+            .cast(DecimalType(28, 4))).as("q2"))
+      a.selectExpr("g", "n1", "n2",
+          "s1 / CAST(n1 AS DOUBLE) - s2 / CAST(n2 AS DOUBLE) AS mean_diff",
+          "(q1 - s1 * s1 / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE) AS v1",
+          "(q2 - s2 * s2 / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE) AS v2")
+        .selectExpr("g AS l_linenumber", "n1", "n2", "mean_diff",
+          "mean_diff * mean_diff /" +
+            " (v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)) AS t2_welch")
+        .orderBy("l_linenumber")
     }
   )
 }
