@@ -1175,6 +1175,58 @@ object PipelineQueries {
           sum(when(col("e_id").isNull && col("n_id").isNull, 1).otherwise(0))
             .cast("long").as("n_new"))
         .orderBy("lang")
+    },
+
+    // Corpus novelty scoring — per document, the share of its DISTINCT
+    // bigrams whose global FIRST occurrence (min doc_id over the whole
+    // corpus) is this document. The curation signal behind "keep the
+    // document that adds new n-grams, downweight the one that only
+    // repeats the corpus" (the incremental-information counterpart to
+    // q_text_contamination's overlap test). The share is the
+    // cross-engine-safe single IEEE divide over two exact BIGINTs.
+    //
+    // Scale shape: tokenize → row-local bigram expand → per-doc distinct
+    // (one (doc, bigram) exchange), then the first-occurrence MIN rides
+    // ONE bigram-partitioned window — no self-join of the posting list
+    // against itself; the per-doc rollup is the third and last exchange.
+    // All three shuffles carry ≤ the distinct (doc, bigram) pairs —
+    // linear in corpus tokens at any sf.
+    Q("q_text_novelty",
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) > 1),
+        |bg AS (
+        |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1))
+        |    AS i) g),
+        |f AS (
+        |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY bg) AS first_doc
+        |  FROM bg)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS novelty_share
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) > 1)
+      val bg = tk
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .as("bg"))
+        .distinct()
+      bg.withColumn("first_doc", min("doc_id").over(Window.partitionBy("bg")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .cast("long").as("n_novel"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_bigrams").cast("double"))
+            .as("novelty_share"))
+        .orderBy("doc_id")
     }
   )
 }

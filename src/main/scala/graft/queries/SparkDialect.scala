@@ -973,6 +973,27 @@ object SparkDialect {
         |SELECT ws AS window_start, event_type, COUNT(*) AS cnt, ((CASE WHEN (CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))) < 0 THEN -1.0e0 ELSE 1.0e0 END) * (CAST(CAST(FLOOR(ABS(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)))) AS BIGINT) AS DOUBLE) + CAST(CAST(ABS(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))) - FLOOR(ABS(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)))) AS DECIMAL(5,4)) AS DOUBLE))) AS sum_value
         |FROM b
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // novelty: string_split -> split, toks[i] -> element_at, the
+    // LATERAL generate_series row expansion -> LATERAL VIEW
+    // explode(sequence) (both 1-based, both end-inclusive)
+    "q_text_novelty" ->
+      """WITH tk AS (
+        |  SELECT doc_id, split(text, ' ') AS toks
+        |  FROM documents WHERE size(split(text, ' ')) > 1),
+        |bg AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat(element_at(toks, i), ' ', element_at(toks, i + 1)) AS bg
+        |  FROM tk LATERAL VIEW explode(sequence(1, size(toks) - 1)) g AS i),
+        |f AS (
+        |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY bg) AS first_doc
+        |  FROM bg)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS novelty_share
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // chi-square: HUGEINT -> tightly-capped DECIMAL(38,0), // -> div
     // (scale-0 decimals never round — they only overflow loudly, so the
     // truncated rationals stay exact)
