@@ -100,6 +100,10 @@ object Graft {
       * lowercased, default ports and trailing slashes removed, query
       * params sorted) — the web-corpus dedup key. Pure column algebra. */
     def canonicalUrl(url: Column): Column = UrlCanon.canonical(url)
+    /** Corpus novelty per owner over a distinct (owner, item) frame —
+      * share of items first seen at that owner (min-owner wins). */
+    def noveltyShare(pairs: DataFrame, owner: String, item: String): DataFrame =
+      ExactStats.firstOccurrenceShare(pairs, owner, item)
   }
 
   /** Join shapes Spark lacks natively. */
@@ -153,6 +157,18 @@ object Graft {
       BasketPairs.topPairs(df, basket, item, k)
   }
 
+  /** Re-identification-risk audits over quasi-identifier groupings. */
+  object privacy {
+    /** Per-QI-group size k: (qiCols..., k). Band caller-side. */
+    def groupSizes(df: DataFrame, qiCols: Seq[String]): DataFrame =
+      PrivacyAudit.groupSizes(df, qiCols)
+    /** Per-QI-group size and sensitive-attribute diversity:
+      * (qiCols..., k, l); l == 1 groups leak the attribute. */
+    def groupDiversity(df: DataFrame, qiCols: Seq[String],
+                       sensitive: String): DataFrame =
+      PrivacyAudit.groupDiversity(df, qiCols, sensitive)
+  }
+
   /** Data-quality gates a snapshot publish runs first. */
   object quality {
     /** One-pass rule audit: (name, violation predicate) pairs in, one
@@ -193,6 +209,10 @@ object Graft {
     def lttb(series: DataFrame, key: String, x: String, y: String,
              tie: String, buckets: Int): DataFrame =
       Lttb.downsample(series, key, x, y, tie, buckets)
+    /** Exact scaled CUSUM changepoint scan over a PRE-AGGREGATED series
+      * (bucket the raw rows first — the windows run on that spine). */
+    def cusum(series: DataFrame, order: String, value: String): DataFrame =
+      ExactStats.cusumScaled(series, order, value)
   }
 
   /** Table maintenance: the operational layer of a partitioned store. */

@@ -71,4 +71,53 @@ object ExactStats {
           .cast(LongType).as("auc_num_x2"),
         (col("np") * col("nn") * 2).cast(LongType).as("auc_den"))
   }
+
+  /** Offline CUSUM changepoint scan over a PRE-AGGREGATED series (one
+    * row per `order` bucket — day counts, hourly sums): the cumulative
+    * deviation from the series mean kept EXACT by scaling through the
+    * series length, CUSUM_k = Σ_{i≤k}(n·x_i − T) = n·cum_k − T·k, with
+    * the max-|CUSUM| row flagged. Output: (order, value, cusum, is_peak).
+    *
+    * The input must already be bucket-aggregated (calendar-bounded): the
+    * global windows here run single-partition BY DESIGN over that spine,
+    * never over raw rows (the q_time_changepoint shape). n·cum stays
+    * exact in LONG to ~10¹⁴ total value over a 10⁴-row spine; ANSI
+    * overflow is loud beyond. */
+  def cusumScaled(series: DataFrame, order: String,
+      value: String): DataFrame = {
+    val spine = Window.orderBy(order)
+    val glob = Window.partitionBy()
+    series.select(col(order), col(value),
+        count(lit(1)).over(glob).cast(LongType).as("__n"),
+        sum(col(value)).over(glob).cast(LongType).as("__t"),
+        sum(col(value)).over(
+          spine.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(LongType).as("__cum"),
+        row_number().over(spine).cast(LongType).as("__i"))
+      .select(col(order), col(value),
+        (col("__n") * col("__cum") - col("__t") * col("__i")).as("cusum"))
+      .select(col(order), col(value), col("cusum"),
+        when(abs(col("cusum")) === max(abs(col("cusum")))
+          .over(Window.partitionBy()), 1L).otherwise(0L).as("is_peak"))
+  }
+
+  /** First-occurrence novelty share over an (owner, item) pair frame
+    * (pairs must be distinct per owner): for each owner, the fraction of
+    * its items whose global first owner (MIN over the item partition) is
+    * itself. Output: (owner, n_items, n_novel, novelty_share). The
+    * q_text_novelty shape: one item-partitioned window + one owner
+    * rollup — both exchanges carry ≤ the distinct pair count, linear in
+    * the input at any scale. */
+  def firstOccurrenceShare(pairs: DataFrame, owner: String,
+      item: String): DataFrame =
+    pairs
+      .withColumn("__first",
+        min(col(owner)).over(Window.partitionBy(item)))
+      .groupBy(owner)
+      .agg(count(lit(1)).cast(LongType).as("n_items"),
+        sum(when(col("__first") === col(owner), 1L).otherwise(0L))
+          .cast(LongType).as("n_novel"))
+      .select(col(owner), col("n_items"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_items").cast("double"))
+          .as("novelty_share"))
 }

@@ -614,21 +614,10 @@ object EventQueries {
       val dayFrame = Tables.events(s, d)
         .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
         .agg(count(lit(1)).as("x"))
-      val spine = Window.orderBy("day")
-      val glob = Window.partitionBy()
-      val c = dayFrame.select(col("day"), col("x"),
-        count(lit(1)).over(glob).cast("long").as("n"),
-        sum(col("x")).over(glob).cast("long").as("t"),
-        sum(col("x")).over(
-          spine.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("long").as("cum"),
-        row_number().over(spine).cast("long").as("i"))
-      c.select(col("day"), col("x"),
-          (col("n") * col("cum") - col("t") * col("i")).as("cusum"))
+      graft.operators.ExactStats.cusumScaled(dayFrame, "day", "x")
         .select(col("day"), col("x").cast("long").as("n_events"),
           col("cusum").cast("long").as("cusum_scaled"),
-          when(abs(col("cusum")) === max(abs(col("cusum"))).over(glob), 1L)
-            .otherwise(0L).as("is_changepoint"))
+          col("is_peak").as("is_changepoint"))
         .orderBy("day")
     }
   )

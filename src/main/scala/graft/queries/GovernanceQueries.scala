@@ -64,7 +64,8 @@ object GovernanceQueries {
         .select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
           centsCol.as("b"))
         .select(col("nk"), col("seg"), bandCol.as("band"))
-      val g = q.groupBy("nk", "seg", "band").agg(count(lit(1)).as("k"))
+      val g = graft.operators.PrivacyAudit
+        .groupSizes(q, Seq("nk", "seg", "band"))
       g.groupBy(
           when(col("k") === 1, "k=1_unique")
             .when(col("k") < 5, "k=2_4")
@@ -110,8 +111,8 @@ object GovernanceQueries {
         .select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
           centsCol.as("b"))
         .select(col("nk"), bandCol.as("band"), col("seg"))
-      val g = q.groupBy("nk", "band")
-        .agg(count(lit(1)).as("k"), countDistinct(col("seg")).as("l"))
+      val g = graft.operators.PrivacyAudit
+        .groupDiversity(q, Seq("nk", "band"), "seg")
       g.groupBy(col("l").cast("long").as("l_div"))
         .agg(count(lit(1)).cast("long").as("n_groups"),
           sum(col("k")).cast("long").as("n_rows"),

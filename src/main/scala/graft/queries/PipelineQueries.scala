@@ -1218,14 +1218,9 @@ object PipelineQueries {
             " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
           .as("bg"))
         .distinct()
-      bg.withColumn("first_doc", min("doc_id").over(Window.partitionBy("bg")))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast("long").as("n_bigrams"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-            .cast("long").as("n_novel"))
-        .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
-          (col("n_novel").cast("double") / col("n_bigrams").cast("double"))
-            .as("novelty_share"))
+      graft.operators.ExactStats.firstOccurrenceShare(bg, "doc_id", "bg")
+        .select(col("doc_id"), col("n_items").as("n_bigrams"),
+          col("n_novel"), col("novelty_share"))
         .orderBy("doc_id")
     }
   )

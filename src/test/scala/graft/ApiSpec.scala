@@ -167,6 +167,43 @@ class ApiSpec extends SparkSuite {
     assert(pairs.toSeq == Seq((10L, 11L, 1)))
   }
 
+  test("privacy group: group sizes and diversity on a hand-checked table") {
+    // QI (nat): A×3 rows {seg x,x,y}, B×1 row {seg z}
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "y"), ("B", "z"))
+      .toDF("nat", "seg")
+    val k = Graft.privacy.groupSizes(df, Seq("nat"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(k == Map("A" -> 3L, "B" -> 1L))
+    val l = Graft.privacy.groupDiversity(df, Seq("nat"), "seg")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // B is k=1 AND l=1: unique and attribute-disclosing
+    assert(l == Map("A" -> (3L, 2L), "B" -> (1L, 1L)))
+  }
+
+  test("time group: CUSUM peaks at the level shift, exact integers") {
+    // series 1,1,1,5,5,5: n=6, T=18, cum=1,2,3,8,13,18; cusum =
+    // 6·cum − 18·i = −12,−24,−36,−24,−12,0 → the single peak |−36| is
+    // i=3, the last pre-shift row
+    val s = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 5L), (5L, 5L), (6L, 5L))
+      .toDF("t", "x")
+    val got = Graft.time.cusum(s, "t", "x")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    assert(got.map(_._2) == Seq(-12L, -24L, -36L, -24L, -12L, 0L))
+    assert(got.filter(_._3 == 1L).map(_._1) == Seq(3L))
+  }
+
+  test("text group: novelty share credits the first owner only") {
+    // doc1 {a,b}, doc2 {b,c}: doc1 novel 2/2, doc2 novel 1/2 (c only)
+    val pairs = Seq((1L, "a"), (1L, "b"), (2L, "b"), (2L, "c"))
+      .toDF("doc", "it")
+    val got = Graft.text.noveltyShare(pairs, "doc", "it")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map(1L -> (2L, 2L), 2L -> (2L, 1L)))
+  }
+
   test("maintain group: compact reduces the file count, keeps every row") {
     val in = graft.core.Scratch.dir("api_frag")
     val out = graft.core.Scratch.dir("api_compact")
