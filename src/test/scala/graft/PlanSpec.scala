@@ -275,7 +275,27 @@ class PlanSpec extends SparkSuite {
       // cohort LTV: the custkey window exchange is the only orders-sized
       // one; the COUNT(DISTINCT) two-phase expand + final + sort run on
       // the (cohort, month, cust) activity frame (≤ distinct pairs)
-      "q_agg_cohort_ltv" -> "shuffle=4,broadcast=0")
+      "q_agg_cohort_ltv" -> "shuffle=4,broadcast=0",
+      // round-11 second pass. privacy: the QI aggregate is the only
+      // row-scale exchange; band/l rollup + output sort ride the
+      // domain-bounded group frame (ldiversity adds the COUNT(DISTINCT)
+      // expand's second exchange)
+      "q_privacy_kanon" -> "shuffle=3,broadcast=0",
+      "q_privacy_ldiversity" -> "shuffle=4,broadcast=0",
+      // rfm: custkey aggregate is the one orders-sized exchange; the
+      // 1-row horizon aggregate broadcasts into the trivial cross join;
+      // ≤27-cell rollup + sort are metadata
+      "q_rfm_segment" -> "shuffle=4,broadcast=1,BroadcastNestedLoopJoin=1",
+      // chi2/ttest/changepoint/seasonality: ONE support-bounded
+      // histogram exchange (6 cells / 7 groups / day spine / 12 months)
+      // + the metadata sort; every window runs on that spine
+      "q_stat_chi2" -> "shuffle=2,broadcast=0",
+      "q_stat_ttest" -> "shuffle=2,broadcast=0",
+      "q_time_changepoint" -> "shuffle=2,broadcast=0",
+      "q_time_seasonality" -> "shuffle=2,broadcast=0",
+      // novelty: (doc,bigram) distinct, bigram-partitioned window, doc
+      // rollup, output sort — all carry ≤ the distinct pair count
+      "q_text_novelty" -> "shuffle=4,broadcast=0")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
