@@ -733,4 +733,35 @@ class StressSpec extends SparkSuite {
       .topPairs(baskets(20000L), "bk", "it", 5).collect()
     assert(top.length == 5 && top.forall(_.getLong(2) >= 1))
   }
+
+  test("firstOccurrenceShare: novelty credit conserves — every item novel " +
+    "exactly once, work linear in the pair frame") {
+    // The operator's work bound is the distinct (owner, item) frame: no
+    // self-join, no all-pairs. Two exact invariants prove both the
+    // semantics and the scaling: (1) Σ n_novel over owners == |item
+    // domain touched| (each item's first owner gets exactly one credit);
+    // (2) doubling owners doubles Σ n_items (the shuffled volume) while
+    // Σ n_novel stays pinned at the bounded item domain.
+    def pairs(n: Long) = spark.range(n * 8)
+      .select((col("id") % n).as("doc"),
+        pmod(xxhash64(col("id"), lit(7)), lit(5000L)).as("it"))
+      .distinct()
+    def totals(n: Long): (Long, Long, Long) = {
+      val p = pairs(n)
+      val t = graft.operators.ExactStats.firstOccurrenceShare(p, "doc", "it")
+        .agg(sum("n_items"), sum("n_novel")).head()
+      (t.getLong(0), t.getLong(1), p.select("it").distinct().count())
+    }
+    val (items1, novel1, domain1) = totals(2000L)
+    assert(novel1 == domain1,
+      s"novelty credit must conserve: $novel1 novel vs $domain1 items")
+    val (items2, novel2, domain2) = totals(4000L)
+    assert(novel2 == domain2)
+    val ratio = items2.toDouble / items1
+    assert(ratio > 1.8 && ratio < 2.2,
+      s"pair volume must scale ~linearly in owners: $items1 -> $items2")
+    // the item domain is bounded (≤5000) — the novelty totals must NOT
+    // grow with the corpus once the domain saturates
+    assert(novel2 <= 5000L && novel1 <= 5000L)
+  }
 }
