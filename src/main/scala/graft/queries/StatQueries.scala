@@ -846,6 +846,130 @@ object StatQueries {
           "mean_diff * mean_diff /" +
             " (v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)) AS t2_welch")
         .orderBy("l_linenumber")
+    },
+
+    // Cohen's kappa between two deterministic document "raters" (the
+    // char-length rule vs the whitespace token-count rule — the
+    // inter-annotator-agreement check every labeling pipeline runs,
+    // here over machine labelers). Exact: kappa = (p_o − p_e)/(1 − p_e)
+    // reduces to the integer rational
+    //   (n·(n11+n00) − (r1·c1 + r0·c0)) / (n² − (r1·c1 + r0·c0)),
+    // emitted as (kappa_num, kappa_den) beside the full 2×2 table. The
+    // token count is the REPLACE-based space count — dual-dialect, no
+    // tokenizer needed.
+    //
+    // Scale shape: ONE global conditional-sum aggregate over documents —
+    // row-local rating, map-side combine to a single row; no window, no
+    // join. LONG products hold to n ≈ 3·10⁹ docs; loud overflow beyond.
+    Q("q_stat_kappa",
+      """WITH r AS (
+        |  SELECT
+        |    CASE WHEN n_chars >= 900 THEN 1 ELSE 0 END AS ra,
+        |    CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+        |      >= 150 THEN 1 ELSE 0 END AS rb
+        |  FROM documents),
+        |c AS (
+        |  SELECT
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(ra * rb) AS BIGINT) AS n11,
+        |    CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS n00,
+        |    CAST(SUM(ra) AS BIGINT) AS r1,
+        |    CAST(SUM(rb) AS BIGINT) AS c1
+        |  FROM r)
+        |SELECT n, n11, n00, r1, c1,
+        |  CAST(n * (n11 + n00) - (r1 * c1 + (n - r1) * (n - c1)) AS BIGINT)
+        |    AS kappa_num,
+        |  CAST(n * n - (r1 * c1 + (n - r1) * (n - c1)) AS BIGINT)
+        |    AS kappa_den
+        |FROM c""".stripMargin) { (s, d) =>
+      val r = Tables.documents(s, d)
+        .select(
+          when(col("n_chars") >= 900, 1L).otherwise(0L).as("ra"),
+          when(length(col("text"))
+            - length(regexp_replace(col("text"), " ", "")) + 1 >= 150, 1L)
+            .otherwise(0L).as("rb"))
+      r.agg(count(lit(1)).cast("long").as("n"),
+          sum(col("ra") * col("rb")).cast("long").as("n11"),
+          sum((lit(1) - col("ra")) * (lit(1) - col("rb")))
+            .cast("long").as("n00"),
+          sum(col("ra")).cast("long").as("r1"),
+          sum(col("rb")).cast("long").as("c1"))
+        .selectExpr("n", "n11", "n00", "r1", "c1",
+          "CAST(n * (n11 + n00) - (r1 * c1 + (n - r1) * (n - c1)) AS BIGINT)" +
+            " AS kappa_num",
+          "CAST(n * n - (r1 * c1 + (n - r1) * (n - c1)) AS BIGINT)" +
+            " AS kappa_den")
+    },
+
+    // Mood's median test: split every lineitem at the POOLED median of
+    // quantity (positional selection over the value histogram — the
+    // q_stat_runs idiom, no dialect-divergent division) and count each
+    // linenumber group's above/at-or-below split. The per-group
+    // association term n·a_g − A·n_g is emitted exactly (its chi²
+    // normalization is caller-side, like q_time_autocorr's pieces).
+    //
+    // Scale shape: ONE (group, value) count exchange — the frame is
+    // groups × quantized support (7 × ≤5 001 cells at any sf); the
+    // pooled-median selection and the A/n margins are windows over that
+    // support; the 1-row median broadcasts back. The fact is scanned
+    // once. LONG dev products hold to ~3·10⁹ rows; loud beyond.
+    Q("q_stat_mediantest",
+      """WITH s AS (
+        |  SELECT l_linenumber AS g,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+        |    COUNT(*) AS c
+        |  FROM lineitem GROUP BY g, v),
+        |h AS (SELECT v, SUM(c) AS c FROM s GROUP BY v),
+        |z AS (
+        |  SELECT v,
+        |    SUM(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER () AS n
+        |  FROM h),
+        |m AS (SELECT MIN(v) AS med FROM z WHERE cum * 2 >= n + 1),
+        |t AS (
+        |  SELECT g,
+        |    SUM(CASE WHEN v > med THEN c ELSE 0 END) AS a,
+        |    SUM(CASE WHEN v <= med THEN c ELSE 0 END) AS le
+        |  FROM s CROSS JOIN m GROUP BY g),
+        |w AS (
+        |  SELECT g, a, le,
+        |    SUM(a) OVER () AS ba, SUM(a + le) OVER () AS n
+        |  FROM t)
+        |SELECT g AS l_linenumber,
+        |  CAST(a AS BIGINT) AS n_above,
+        |  CAST(le AS BIGINT) AS n_le_median,
+        |  CAST(n * a - ba * (a + le) AS BIGINT) AS dev_num,
+        |  CAST(ba AS BIGINT) AS total_above,
+        |  CAST(n AS BIGINT) AS total_n
+        |FROM w ORDER BY l_linenumber""".stripMargin) { (s, d) =>
+      val sFrame = Tables.lineitem(s, d)
+        .groupBy(col("l_linenumber").as("g"),
+          (col("l_quantity").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val h = sFrame.groupBy("v").agg(sum(col("c")).as("c"))
+      val z = h.select(col("v"),
+        sum(col("c")).over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum"),
+        sum(col("c")).over(Window.partitionBy()).as("n"))
+      val m = z.filter(col("cum") * 2 >= col("n") + 1)
+        .agg(min(col("v")).as("med"))
+      val t = sFrame.crossJoin(broadcast(m))
+        .groupBy("g")
+        .agg(sum(when(col("v") > col("med"), col("c")).otherwise(0L)).as("a"),
+          sum(when(col("v") <= col("med"), col("c")).otherwise(0L)).as("le"))
+      t.select(col("g"), col("a"), col("le"),
+          sum(col("a")).over(Window.partitionBy()).as("ba"),
+          sum(col("a") + col("le")).over(Window.partitionBy()).as("n"))
+        .selectExpr("g AS l_linenumber",
+          "CAST(a AS BIGINT) AS n_above",
+          "CAST(le AS BIGINT) AS n_le_median",
+          "CAST(n * a - ba * (a + le) AS BIGINT) AS dev_num",
+          "CAST(ba AS BIGINT) AS total_above",
+          "CAST(n AS BIGINT) AS total_n")
+        .orderBy("l_linenumber")
     }
   )
 }
