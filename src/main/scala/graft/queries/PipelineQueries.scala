@@ -1222,6 +1222,123 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_items").as("n_bigrams"),
           col("n_novel"), col("novelty_share"))
         .orderBy("doc_id")
+    },
+
+    // Zipf rank-frequency profile of the corpus vocabulary: the top-30
+    // terms with their rank, count, rank·count product (Zipf's law says
+    // ≈ constant) and cumulative token share — the vocabulary-health
+    // fingerprint tokenizer training starts from. cum_share is the
+    // fixed-tree double ratio over exact BIGINTs.
+    //
+    // Scale shape: tokenize → ONE map-side-combinable term count; every
+    // window (rank, cumulative, total) runs on the VOCABULARY frame —
+    // vocab-bounded, not corpus-bounded (the BpeTrain argument: natural-
+    // language vocabularies grow ~√corpus, and the single-partition
+    // window is over that aggregate, never raw tokens).
+    Q("q_text_zipf",
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (
+        |  SELECT term, COUNT(*) AS cnt FROM t WHERE term <> ''
+        |  GROUP BY term),
+        |r AS (
+        |  SELECT term, cnt,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rnk,
+        |    SUM(cnt) OVER () AS total,
+        |    SUM(cnt) OVER (ORDER BY cnt DESC, term
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM c)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, term, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(rnk * cnt AS BIGINT) AS zipf_product,
+        |  CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+        |FROM r WHERE rnk <= 30 ORDER BY rnk""".stripMargin) { (s, d) =>
+      val c = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val byFreq = Window.orderBy(col("cnt").desc, col("term"))
+      c.select(col("term"), col("cnt"),
+          row_number().over(byFreq).as("rnk"),
+          sum(col("cnt")).over(Window.partitionBy()).as("total"),
+          sum(col("cnt")).over(byFreq
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("cum"))
+        .filter(col("rnk") <= 30)
+        .select(col("rnk").cast("long").as("rnk"), col("term"),
+          col("cnt").cast("long").as("cnt"),
+          (col("rnk") * col("cnt")).cast("long").as("zipf_product"),
+          (col("cum").cast("double") / col("total").cast("double"))
+            .as("cum_share"))
+        .orderBy("rnk")
+    },
+
+    // Bigram collocation mining by LIFT — P(ab) / (P(a)·P(b)), the
+    // association score that separates real collocations from chance
+    // co-occurrence of two frequent words (the log-free cousin of PMI,
+    // so it stays in the oracle). The lift is a FIXED double expression
+    // tree over exact counts: identical IEEE ops ⇒ bit-identical in
+    // both engines at any magnitude (precision degrades past 2⁵³,
+    // determinism does not).
+    //
+    // Scale shape: two map-side-combinable counts (unigrams: vocab-
+    // bounded; bigrams: vocab²-bounded but corpus-sparse), two equi-
+    // joins ON THE VOCAB KEY (broadcast at any realistic vocabulary),
+    // two 1-row totals broadcast, and the top-20 TakeOrdered. The
+    // corpus is scanned twice (unigram + bigram pass) — fusing them
+    // would trade a vocab-sized frame for a doc-sized intermediate.
+    Q("q_text_collocation",
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) > 1),
+        |u AS (
+        |  SELECT w, COUNT(*) AS c FROM (
+        |    SELECT unnest(toks) AS w FROM tk) t
+        |  WHERE w <> '' GROUP BY w),
+        |b AS (
+        |  SELECT w1, w2, COUNT(*) AS cab FROM (
+        |    SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |    FROM tk, LATERAL (SELECT
+        |      unnest(generate_series(1, len(toks) - 1)) AS i) g) p
+        |  WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2),
+        |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM u),
+        |nb AS (SELECT CAST(SUM(cab) AS BIGINT) AS nbi FROM b),
+        |j AS (
+        |  SELECT b.w1, b.w2, b.cab, u1.c AS ca, u2.c AS cb, nt.nu, nb.nbi
+        |  FROM b JOIN u u1 ON b.w1 = u1.w JOIN u u2 ON b.w2 = u2.w
+        |  CROSS JOIN nt CROSS JOIN nb)
+        |SELECT w1, w2, CAST(cab AS BIGINT) AS n_ab,
+        |  CAST(ca AS BIGINT) AS n_a, CAST(cb AS BIGINT) AS n_b,
+        |  (CAST(cab AS DOUBLE) / CAST(nbi AS DOUBLE)) /
+        |    ((CAST(ca AS DOUBLE) / CAST(nu AS DOUBLE)) *
+        |     (CAST(cb AS DOUBLE) / CAST(nu AS DOUBLE))) AS lift
+        |FROM j ORDER BY n_ab DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) > 1)
+      val u = tk.select(explode(col("toks")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val b = tk.select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> struct(" +
+            "element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+      val nt = u.agg(sum(col("c")).cast("long").as("nu"))
+      val nb = b.agg(sum(col("cab")).cast("long").as("nbi"))
+      b.join(u.select(col("w").as("uw1"), col("c").as("ca")),
+          col("w1") === col("uw1"))
+        .join(u.select(col("w").as("uw2"), col("c").as("cb")),
+          col("w2") === col("uw2"))
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
+        .selectExpr("w1", "w2", "CAST(cab AS BIGINT) AS n_ab",
+          "CAST(ca AS BIGINT) AS n_a", "CAST(cb AS BIGINT) AS n_b",
+          "(CAST(cab AS DOUBLE) / CAST(nbi AS DOUBLE)) /" +
+            " ((CAST(ca AS DOUBLE) / CAST(nu AS DOUBLE)) *" +
+            " (CAST(cb AS DOUBLE) / CAST(nu AS DOUBLE))) AS lift")
+        .orderBy(col("n_ab").desc, col("w1"), col("w2"))
+        .limit(20)
     }
   )
 }

@@ -994,6 +994,52 @@ object SparkDialect {
         |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS novelty_share
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // zipf: string_split -> split, unnest -> explode (same window text)
+    "q_text_zipf" ->
+      """WITH t AS (
+        |  SELECT explode(split(text, ' ')) AS term FROM documents),
+        |c AS (
+        |  SELECT term, COUNT(*) AS cnt FROM t WHERE term <> ''
+        |  GROUP BY term),
+        |r AS (
+        |  SELECT term, cnt,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rnk,
+        |    SUM(cnt) OVER () AS total,
+        |    SUM(cnt) OVER (ORDER BY cnt DESC, term
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM c)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, term, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(rnk * cnt AS BIGINT) AS zipf_product,
+        |  CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+        |FROM r WHERE rnk <= 30 ORDER BY rnk""".stripMargin,
+    // collocation: string_split -> split, toks[i] -> element_at, the
+    // LATERAL generate_series expansion -> LATERAL VIEW explode(sequence)
+    "q_text_collocation" ->
+      """WITH tk AS (
+        |  SELECT doc_id, split(text, ' ') AS toks FROM documents
+        |  WHERE size(split(text, ' ')) > 1),
+        |u AS (
+        |  SELECT w, COUNT(*) AS c FROM (
+        |    SELECT explode(toks) AS w FROM tk) t
+        |  WHERE w <> '' GROUP BY w),
+        |b AS (
+        |  SELECT w1, w2, COUNT(*) AS cab FROM (
+        |    SELECT element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2
+        |    FROM tk LATERAL VIEW explode(sequence(1, size(toks) - 1)) g AS i
+        |  ) p
+        |  WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2),
+        |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM u),
+        |nb AS (SELECT CAST(SUM(cab) AS BIGINT) AS nbi FROM b),
+        |j AS (
+        |  SELECT b.w1, b.w2, b.cab, u1.c AS ca, u2.c AS cb, nt.nu, nb.nbi
+        |  FROM b JOIN u u1 ON b.w1 = u1.w JOIN u u2 ON b.w2 = u2.w
+        |  CROSS JOIN nt CROSS JOIN nb)
+        |SELECT w1, w2, CAST(cab AS BIGINT) AS n_ab,
+        |  CAST(ca AS BIGINT) AS n_a, CAST(cb AS BIGINT) AS n_b,
+        |  (CAST(cab AS DOUBLE) / CAST(nbi AS DOUBLE)) /
+        |    ((CAST(ca AS DOUBLE) / CAST(nu AS DOUBLE)) *
+        |     (CAST(cb AS DOUBLE) / CAST(nu AS DOUBLE))) AS lift
+        |FROM j ORDER BY n_ab DESC, w1, w2 LIMIT 20""".stripMargin,
     // chi-square: HUGEINT -> tightly-capped DECIMAL(38,0), // -> div
     // (scale-0 decimals never round — they only overflow loudly, so the
     // truncated rationals stay exact)
