@@ -691,4 +691,20 @@ object StreamOps {
         }
       }
   }
+
+  /** Streaming corpus-novelty monitor (s_stream_novelty): per owner, the
+    * RUNNING count of items whose corpus-wide FIRST occurrence was that
+    * owner — q_text_novelty's n_novel as a live ingest signal ("is this
+    * feed still adding new n-grams?"). Stateful pieces are exactly the
+    * batch operator's two frames: dropDuplicates state is one row per
+    * DISTINCT item (the item-partitioned window's input in the batch
+    * shape) and the aggregate state is one counter per owner. First
+    * occurrence is ARRIVAL-ordered here vs min-owner in the batch
+    * operator — identical whenever ingest is owner-ordered (the
+    * append-only corpus case the test drives). Complete output mode. */
+  def noveltyStream(pairs: DataFrame, owner: String,
+      item: String): DataFrame =
+    pairs.dropDuplicates(item)
+      .groupBy(col(owner))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_novel"))
 }

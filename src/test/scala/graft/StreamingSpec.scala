@@ -1031,4 +1031,38 @@ class StreamingSpec extends SparkSuite {
     assert(got == want, s"streaming audit diverged: $got vs $want")
     assert(got.map(_._2).forall(_ == 5L), "every rule checked all 5 rows")
   }
+
+  test("s_stream_novelty: running novel counts == the batch " +
+    "first-occurrence credit under ordered ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // distinct (doc, bigram) pairs arriving in doc order: doc1 coins a,b;
+    // doc2 repeats b, coins c; doc3 repeats a, coins d
+    val pairs = Seq((1L, "a"), (1L, "b"), (2L, "b"), (2L, "c"),
+      (3L, "a"), (3L, "d"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps
+      .noveltyStream(mem.toDF().toDF("doc", "it"), "doc", "it")
+      .writeStream.format("memory").queryName("s_novelty")
+      .outputMode("complete").start()
+    mem.addData(pairs.take(4))
+    q.processAllAvailable()
+    // mid-stream: batch-1 credit must already be final (state, not replay)
+    val mid = spark.table("s_novelty").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mid == Map(1L -> 2L, 2L -> 1L), s"mid-stream credit: $mid")
+    mem.addData(pairs.drop(4))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("s_novelty").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the batch operator credits min-owner — identical under doc-ordered
+    // arrival; owners whose every item was already seen have no streaming
+    // row (their batch n_novel is 0), so compare the n_novel > 0 support
+    val want = graft.operators.ExactStats
+      .firstOccurrenceShare(pairs.toDF("doc", "it"), "doc", "it")
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+      .filter(_._2 > 0L).toMap
+    assert(got == want, s"streaming novelty diverged: $got vs $want")
+  }
 }
