@@ -295,7 +295,20 @@ class PlanSpec extends SparkSuite {
       "q_time_seasonality" -> "shuffle=2,broadcast=0",
       // novelty: (doc,bigram) distinct, bigram-partitioned window, doc
       // rollup, output sort — all carry ≤ the distinct pair count
-      "q_text_novelty" -> "shuffle=4,broadcast=0")
+      "q_text_novelty" -> "shuffle=4,broadcast=0",
+      // kappa: ONE global conditional-sum exchange, nothing else
+      "q_stat_kappa" -> "shuffle=1,broadcast=0",
+      // median test: the (g, v) exchange is the only row-scale one; the
+      // histogram re-agg, spine windows, 1-row median (broadcast back),
+      // 7-group rollup and sort all ride the quantized support
+      "q_stat_mediantest" -> "shuffle=6,broadcast=1,BroadcastNestedLoopJoin=1",
+      // zipf: one term-count exchange + vocab-frame windows/sort
+      "q_text_zipf" -> "shuffle=2,broadcast=0",
+      // collocation: unigram + bigram count exchanges are corpus-scale;
+      // both vocab joins and both 1-row totals broadcast; top-20 sort is
+      // TakeOrdered on the vocab² frame
+      "q_text_collocation" ->
+        "shuffle=7,broadcast=4,BroadcastHashJoin=2,BroadcastNestedLoopJoin=2")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
