@@ -619,6 +619,90 @@ object EventQueries {
           col("cusum").cast("long").as("cusum_scaled"),
           col("is_peak").as("is_changepoint"))
         .orderBy("day")
+    },
+
+    // High-water-mark drawdown of the daily revenue series: for each
+    // day, how far below the best-day-so-far it sits (exact cents), with
+    // the worst drawdown flagged — the "is volume decaying" monitor in
+    // its finance formulation (running max + distance, no FP).
+    //
+    // Scale shape: one map-side-combinable day aggregate; the running
+    // max, global max and flag are windows over the calendar-bounded day
+    // spine (~2.4k rows for the 1995–2001 fixture horizon; a decade of
+    // any corpus stays ≤4k).
+    Q("q_time_drawdown",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT day, cents,
+        |    MAX(cents) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM d)
+        |SELECT day, cents AS day_cents, CAST(peak AS BIGINT) AS peak_cents,
+        |  CAST(peak - cents AS BIGINT) AS drawdown_cents,
+        |  CAST(CASE WHEN peak - cents = MAX(peak - cents) OVER () THEN 1
+        |            ELSE 0 END AS BIGINT) AS is_max_drawdown
+        |FROM r ORDER BY day""".stripMargin) { (s, d) =>
+      val dayFrame = Tables.orders(s, d)
+        .groupBy(date_trunc("day", col("o_orderdate")).cast("timestamp_ntz")
+          .as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))
+      val spine = Window.orderBy("day")
+      val r = dayFrame.select(col("day"), col("cents"),
+        max(col("cents")).over(
+          spine.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("peak"))
+      r.select(col("day"), col("cents").as("day_cents"),
+          col("peak").cast("long").as("peak_cents"),
+          (col("peak") - col("cents")).cast("long").as("drawdown_cents"),
+          when(col("peak") - col("cents") ===
+            max(col("peak") - col("cents")).over(Window.partitionBy()), 1L)
+            .otherwise(0L).as("is_max_drawdown"))
+        .orderBy("day")
+    },
+
+    // Month-over-month growth of order volume and revenue — the board
+    // chart: monthly totals on the integer year·12+month index, the
+    // previous month by LAG over the month spine, and growth as the
+    // bit-identical double ratio of exact cent integers (first month's
+    // growth is NULL in both engines).
+    //
+    // Scale shape: one ≤80-cell month aggregate; LAG rides the month
+    // spine. Cents stay exact in LONG to ~9·10¹⁶ dollars/month.
+    Q("q_time_mom_growth",
+      """WITH m AS (
+        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+        |      + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT m, n, cents,
+        |    LAG(cents) OVER (ORDER BY m) AS prev
+        |  FROM m)
+        |SELECT m AS month_idx, CAST(n AS BIGINT) AS n_orders,
+        |  cents AS rev_cents, CAST(prev AS BIGINT) AS prev_cents,
+        |  CAST(cents - prev AS DOUBLE) / CAST(prev AS DOUBLE) AS mom_growth
+        |FROM p ORDER BY month_idx""".stripMargin) { (s, d) =>
+      val mIdx = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long")
+      val m = Tables.orders(s, d)
+        .groupBy(mIdx.as("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long").as("cents"))
+      m.select(col("m"), col("n"), col("cents"),
+          lag(col("cents"), 1).over(Window.orderBy("m")).as("prev"))
+        .select(col("m").as("month_idx"), col("n").cast("long").as("n_orders"),
+          col("cents").as("rev_cents"), col("prev").cast("long").as("prev_cents"),
+          ((col("cents") - col("prev")).cast("double")
+            / col("prev").cast("double")).as("mom_growth"))
+        .orderBy("month_idx")
     }
   )
 }
