@@ -1339,6 +1339,43 @@ object PipelineQueries {
             " (CAST(cb AS DOUBLE) / CAST(nu AS DOUBLE))) AS lift")
         .orderBy(col("n_ab").desc, col("w1"), col("w2"))
         .limit(20)
+    },
+
+    // Hapax-legomena profile per source: vocabulary size, tokens, and
+    // the share of terms appearing EXACTLY once — the vocabulary-
+    // richness / OCR-noise screen (a healthy natural corpus runs ~40-60%
+    // hapax; near-0% means template spam, near-100% means tokenizer
+    // garbage). Share is the fixed-tree double ratio over exact BIGINTs.
+    //
+    // Scale shape: tokenize → ONE (source, term) count exchange (vocab ×
+    // sources cells — vocab-bounded), then a ≤|sources| rollup. Nothing
+    // else moves.
+    Q("q_text_hapax",
+      """WITH t AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, w, COUNT(*) AS c FROM t WHERE w <> ''
+        |  GROUP BY source, w)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  CAST(SUM(c) AS BIGINT) AS tokens,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS hapax_share
+        |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val c = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      c.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("vocab"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("hapax"),
+          sum(col("c")).cast("long").as("tokens"))
+        .select(col("source"), col("vocab"), col("hapax"), col("tokens"),
+          (col("hapax").cast("double") / col("vocab").cast("double"))
+            .as("hapax_share"))
+        .orderBy("source")
     }
   )
 }

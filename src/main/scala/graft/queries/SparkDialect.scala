@@ -1040,6 +1040,21 @@ object SparkDialect {
         |    ((CAST(ca AS DOUBLE) / CAST(nu AS DOUBLE)) *
         |     (CAST(cb AS DOUBLE) / CAST(nu AS DOUBLE))) AS lift
         |FROM j ORDER BY n_ab DESC, w1, w2 LIMIT 20""".stripMargin,
+    // hapax: string_split -> split, unnest -> explode
+    "q_text_hapax" ->
+      """WITH t AS (
+        |  SELECT source, explode(split(text, ' ')) AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, w, COUNT(*) AS c FROM t WHERE w <> ''
+        |  GROUP BY source, w)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  CAST(SUM(c) AS BIGINT) AS tokens,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS hapax_share
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     // chi-square: HUGEINT -> tightly-capped DECIMAL(38,0), // -> div
     // (scale-0 decimals never round — they only overflow loudly, so the
     // truncated rationals stay exact)
