@@ -50,6 +50,12 @@ object Graft {
     /** Span-level (substring) duplicate coverage per doc. */
     def spanCoverage(docs: DataFrame, hashed: Boolean = true): DataFrame =
       SpanDedup.coverage(docs, hashed = hashed)
+    /** 64-bit aHash perceptual fingerprints over a (doc_id, payload)
+      * binary-image frame — output column is `simhash`, so it feeds
+      * [[simhashPairs]]/[[components]] unchanged (image near-dup runs on
+      * the text dedup machinery). */
+    def perceptualHashes(withBinary: DataFrame): DataFrame =
+      Multimodal.perceptualHashes(withBinary)
   }
 
   /** Similarity search over embedding columns: exact pruned top-k and the

@@ -407,6 +407,64 @@ object Multimodal {
     spark.createDataFrame(rdd, schema).orderBy("doc_id")
   }
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint: grayscale 8×8
+    * thumbnail (nearest-neighbor [[resize]]), bit i set iff pixel i is
+    * strictly brighter than the thumbnail's mean — all-INTEGER
+    * arithmetic (channel average and mean via truncating division), so
+    * the hash is bit-identical wherever the raster decodes identically
+    * (AnnSpec gates the PNG/PPM round-trip invariant). Small content
+    * perturbations flip few bits ⇒ near-dup images sit at small Hamming
+    * distance, and [[SimHashBanding.pairs]] mines them with the SAME
+    * banded machinery as text fingerprints. */
+  def aHash64(r: Raster): Long = {
+    val t = resize(r, 8, 8)
+    val gray = new Array[Int](64)
+    var sum = 0
+    var i = 0
+    while (i < 64) {
+      var s = 0; var c = 0
+      while (c < t.channels) { s += t.samples(i * t.channels + c); c += 1 }
+      gray(i) = s / t.channels
+      sum += gray(i)
+      i += 1
+    }
+    val mean = sum / 64
+    var h = 0L
+    i = 0
+    while (i < 64) { if (gray(i) > mean) h |= (1L << i); i += 1 }
+    h
+  }
+
+  /** Per-partition batched perceptual hashing over the binary column:
+    * (doc_id, simhash) — the column is NAMED simhash so the frame drops
+    * straight into [[SimHashBanding.pairs]]/[[DedupGroups]] (image
+    * near-dup = decode → aHash → the text dedup machinery, unchanged).
+    * Non-raster payloads hash a deterministic byte fold of the payload
+    * so the column stays total (they only ever pair with byte-identical
+    * payloads). Same no-re-exchange decode shape as [[decodeFeatures]]. */
+  def perceptualHashes(withBinary: DataFrame): DataFrame = {
+    val spark = withBinary.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("simhash", LongType)))
+    val rdd = spreadRows(withBinary.select(col("doc_id"), col("payload")))
+      .mapPartitions { it =>
+        it.map { r =>
+          val p = r.getAs[Array[Byte]]("payload")
+          val h = decodeRaster(p) match {
+            case Some(img) => aHash64(img)
+            case None =>
+              var acc = 1125899906842597L // deterministic FNV-ish fold
+              var i = 0
+              while (i < p.length) { acc = acc * 31 + (p(i) & 0xff); i += 1 }
+              acc
+          }
+          Row(r.getLong(0), h)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Attach a multi-frame "video" payload: `nFrames` concatenated 8×8 P6
     * frames rendered from successive slices of the document text
     * (deterministic; each frame is a REAL raster the decoder parses). */

@@ -460,6 +460,24 @@ object PipelineQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // Image near-dup mining end-to-end: REAL PNG payloads → per-partition
+    // decode → 64-bit average-hash perceptual fingerprint → the SAME
+    // Hamming-banded pair machinery the text path uses (the column is
+    // named simhash on purpose). One summary row: corpus size, distinct
+    // perceptual hashes, near-dup pair count at Hamming ≤ 4 — exact-dup
+    // documents render identical PNGs, so the pair count is bounded
+    // below by the known duplicate groups (AnnSpec gates the hash
+    // invariants; DedupSpec the banding).
+    Q.cap("cap_multimodal_ahash") { (s, d) =>
+      val fp = graft.operators.Multimodal.perceptualHashes(
+        graft.operators.Multimodal.attachPng(Tables.documents(s, d)))
+      val pairs = graft.operators.SimHashBanding.pairs(fp, maxHamming = 4)
+      fp.agg(count(lit(1)).as("n_images"),
+          countDistinct(col("simhash")).as("n_hashes"))
+        .crossJoin(broadcast(
+          pairs.agg(count(lit(1)).as("n_neardup_pairs"))))
+    },
+
     // Audio modality: REAL RIFF/WAVE PCM payloads (8-bit mono clips
     // rendered from the text bytes) decoded by true chunk-walking on the
     // scan's own partitions; clip features = duration/rms/zcr/mean/peak +

@@ -494,6 +494,59 @@ class AnnSpec extends SparkSuite {
       one(3) == 'G', "payload missing the PNG signature")
   }
 
+  test("aHash64: container-invariant, perturbation-local, and the banded " +
+    "pair route finds the planted image near-dups") {
+    import graft.operators.Multimodal
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def encode(fmt: String, im: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(im, fmt, bos)); bos.toByteArray
+    }
+    def img(seed: Int): BufferedImage = {
+      val b = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16)
+        b.setRGB(x, y, ((x * 31 + seed) << 16) | ((y * 43) << 8)
+          | ((x * y * 7 + seed) & 0xff))
+      b
+    }
+    // 1. container invariance: the SAME pixels through PNG and through a
+    //    hand-built PPM hash identically (aHash sits above the decoder)
+    val base = img(0)
+    val ppm = ("P6\n16 16\n255\n".getBytes("US-ASCII")) ++
+      (for (y <- 0 until 16; x <- 0 until 16; c <- 0 until 3) yield {
+        val p = base.getRGB(x, y); ((p >>> (16 - 8 * c)) & 0xff).toByte
+      }).toArray
+    val hPng = Multimodal.aHash64(Multimodal.decodeRaster(encode("png", base)).get)
+    val hPpm = Multimodal.aHash64(Multimodal.decodeRaster(ppm).get)
+    assert(hPng == hPpm, "aHash must be container-invariant for lossless codecs")
+    // 2. locality: brightening ONE pixel slightly moves few bits; a
+    //    different image moves many
+    val tweak = img(0)
+    tweak.setRGB(3, 3, tweak.getRGB(3, 3) | 0x060606)
+    val hTweak = Multimodal.aHash64(Multimodal.decodeRaster(encode("png", tweak)).get)
+    val hOther = Multimodal.aHash64(Multimodal.decodeRaster(encode("png", img(97))).get)
+    assert(java.lang.Long.bitCount(hPng ^ hTweak) <= 4,
+      s"1-pixel tweak flipped ${java.lang.Long.bitCount(hPng ^ hTweak)} bits")
+    assert(java.lang.Long.bitCount(hPng ^ hOther) > 4,
+      "a different image should not sit within the near-dup radius")
+    // 3. end-to-end: the banded pair route over executor-decoded PNGs
+    //    finds every identical-text pair (identical text → identical PNG
+    //    → Hamming 0) — compare against the exact-dup ground truth
+    val docs = Tables.documents(spark, sf("0.001"))
+    val fp = Multimodal.perceptualHashes(Multimodal.attachPng(docs))
+    val found = graft.operators.SimHashBanding.pairs(fp, maxHamming = 4)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = docs.select(col("doc_id"), col("text")).as("a")
+      .join(docs.select(col("doc_id").as("doc2"), col("text").as("t2")).as("b"),
+        col("text") === col("t2") && col("doc_id") < col("doc2"))
+      .select("doc_id", "doc2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(found),
+      s"banded image route missed ${(truth -- found).size} exact-text pairs")
+  }
+
   test("decoder survives hostile headers and degenerate payloads") {
     import graft.operators.Multimodal
     // PNM header whose w*h*channels overflows Int — must parse to None,
