@@ -308,7 +308,12 @@ class PlanSpec extends SparkSuite {
       // both vocab joins and both 1-row totals broadcast; top-20 sort is
       // TakeOrdered on the vocab² frame
       "q_text_collocation" ->
-        "shuffle=7,broadcast=4,BroadcastHashJoin=2,BroadcastNestedLoopJoin=2")
+        "shuffle=7,broadcast=4,BroadcastHashJoin=2,BroadcastNestedLoopJoin=2",
+      // drawdown/MoM: one calendar-bounded aggregate + spine windows;
+      // hapax: one (source, term) exchange + ≤|sources| rollup
+      "q_time_drawdown" -> "shuffle=2,broadcast=0",
+      "q_time_mom_growth" -> "shuffle=2,broadcast=0",
+      "q_text_hapax" -> "shuffle=3,broadcast=0")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
