@@ -161,6 +161,17 @@ object Graft {
     def basketPairs(df: DataFrame, basket: String, item: String,
                     k: Int): DataFrame =
       BasketPairs.topPairs(df, basket, item, k)
+    /** Two-proportion z² A/B readout over unit-level (variant, success)
+      * 0/1 flags: exact integer rational (z2_num, z2_den) plus the
+      * one-divide double; NULL z² on degenerate experiments. */
+    def twoProportion(df: DataFrame, variant: String,
+                      success: String): DataFrame =
+      ExactStats.twoProportion(df, variant, success)
+    /** Theil–Sen robust slope of a pre-aggregated integral series: the
+      * positional median of all pairwise slopes as the exact rational
+      * (slope_num, slope_den) plus the one-divide double. */
+    def theilSen(series: DataFrame, x: String, y: String): DataFrame =
+      ExactStats.theilSen(series, x, y)
   }
 
   /** Re-identification-risk audits over quasi-identifier groupings. */

@@ -120,4 +120,78 @@ object ExactStats {
       .select(col(owner), col("n_items"), col("n_novel"),
         (col("n_novel").cast("double") / col("n_items").cast("double"))
           .as("novelty_share"))
+
+  /** Two-proportion z² A/B test over unit-level (variant, success) 0/1
+    * flags — the experiment-dashboard primitive. With d = x1·n2 − x2·n1,
+    * pooled X = x1+x2 and N = n1+n2, the squared z statistic is the
+    * exact integer rational
+    *   z² = d²·N / (n1·n2·X·(N−X))
+    * (algebraically the 2×2 chi-square), emitted as (z2_num, z2_den)
+    * BIGINTs plus the one-divide double — identical IEEE ops on exactly-
+    * converted (<2⁵³) integers are bit-identical cross-engine. Products
+    * run in DECIMAL(38,0); the BIGINT casts overflow LOUDLY under ANSI
+    * past ~10⁶ conversions per arm (d²·N ≤ 9·10¹⁸) — emit the pieces
+    * unsquared to go further. One conditional-sum aggregate: map-side
+    * combinable, no window, no join — one row of counters at any corpus
+    * size (and streaming-legal as-is: see StreamOps.abTestStream). */
+  def twoProportion(df: DataFrame, variant: String,
+      success: String): DataFrame =
+    df.agg(
+        sum(col(variant)).cast(LongType).as("n1"),
+        sum(col(variant) * col(success)).cast(LongType).as("x1"),
+        (count(lit(1)) - sum(col(variant))).cast(LongType).as("n2"),
+        (sum(col(success)) - sum(col(variant) * col(success)))
+          .cast(LongType).as("x2"))
+      .selectExpr("n1", "x1", "n2", "x2",
+        "CAST(x1 AS DECIMAL(38,0)) * n2 - CAST(x2 AS DECIMAL(38,0)) * n1 AS d")
+      .selectExpr("n1", "x1", "n2", "x2",
+        "CAST(d * d * (n1 + n2) AS BIGINT) AS z2_num",
+        "CAST(CAST(n1 AS DECIMAL(38,0)) * n2 * (x1 + x2) " +
+          "* (n1 + n2 - x1 - x2) AS BIGINT) AS z2_den")
+      .selectExpr("n1", "x1", "n2", "x2", "z2_num", "z2_den",
+        // degenerate experiments (one arm empty, 0% or 100% pooled
+        // conversion) have no z² — NULL, identically in both engines
+        // (DuckDB would emit inf, Spark ANSI would throw)
+        "CASE WHEN z2_den = 0 THEN NULL " +
+          "ELSE CAST(z2_num AS DOUBLE) / CAST(z2_den AS DOUBLE) END AS z2")
+
+  /** Theil–Sen robust trend over a PRE-AGGREGATED series (one row per
+    * integral `x` bucket, integral `y`): the median of all pairwise
+    * slopes (yⱼ−yᵢ)/(xⱼ−xᵢ), selected POSITIONALLY under the
+    * deterministic total order (slope, dy, dx) — distinct rationals that
+    * collide in double space still order identically in both engines, so
+    * the selected pair is reproducible. Output one row:
+    * (n_pairs, slope_num, slope_den, slope) with slope = dy/dx as the
+    * one-divide double on exact (<2⁵³) integer operands.
+    *
+    * Scale shape: the pair fan-out is C(|spine|,2) — a function of the
+    * SPINE length (calendar months, days), not the row count, so at
+    * 100 TB the pair frame is the same few thousand rows it is here. The
+    * cumulative-position window rides the (slope, dy, dx) histogram (an
+    * Aggregate → strict-lint exempt). Callers should localCheckpoint a
+    * series derived from an expensive scan: the self-join consumes it
+    * twice. */
+  def theilSen(series: DataFrame, x: String, y: String): DataFrame = {
+    val m = series.select(col(x).cast(LongType).as("__x"),
+      col(y).cast(LongType).as("__y"))
+    val pairs = m.toDF("xa", "ya")
+      .join(m.toDF("xb", "yb"), col("xa") < col("xb"))
+      .select((col("yb") - col("ya")).as("dy"),
+        (col("xb") - col("xa")).as("dx"))
+      .select(col("dy"), col("dx"),
+        (col("dy").cast("double") / col("dx").cast("double")).as("slope"))
+    val h = pairs.groupBy("slope", "dy", "dx").agg(count(lit(1)).as("c"))
+    val w = h.select(col("slope"), col("dy"), col("dx"), col("c"),
+      sum(col("c")).over(Window.orderBy("slope", "dy", "dx")
+        .rowsBetween(Window.unboundedPreceding, 0)).as("cum"),
+      sum(col("c")).over(Window.partitionBy()).as("n"))
+    // lower-median position k = ⌊(n+1)/2⌋ via the exactly-divisible `/`
+    // (IEEE-exact in both engines — no dialect integer-division operator)
+    val k = (col("n") + 1 - (col("n") + 1) % 2) / 2
+    w.filter(col("cum") - col("c") < k && k <= col("cum"))
+      .select(col("n").cast(LongType).as("n_pairs"),
+        col("dy").cast(LongType).as("slope_num"),
+        col("dx").cast(LongType).as("slope_den"),
+        col("slope"))
+  }
 }

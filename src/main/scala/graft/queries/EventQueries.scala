@@ -703,6 +703,39 @@ object EventQueries {
           ((col("cents") - col("prev")).cast("double")
             / col("prev").cast("double")).as("mom_growth"))
         .orderBy("month_idx")
+    },
+
+    // Day-of-month × hour-of-day activity heatmap — the ops-dashboard
+    // staple: event count, exact value sum (2-decimal fixture values
+    // through DECIMAL → d2d) and the bit-identical double share of total
+    // per cell. EXTRACT(DAY/HOUR) parses in BOTH dialects (DOW does not:
+    // the numbering disagrees cross-engine — Spark 1=Sunday, DuckDB
+    // 0=Sunday — so the profile is keyed on calendar day instead).
+    //
+    // Scale shape: ONE map-side-combinable aggregate down to ≤744 cells;
+    // the share window rides those cells (strict-lint exempt).
+    Q("q_time_heatmap",
+      s"""WITH c AS (
+        |  SELECT CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS dom,
+        |    CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hod,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT dom, hod, CAST(n AS BIGINT) AS n_events,
+        |  ${Dsl.d2dSql("v")} AS value_sum,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share
+        |FROM c ORDER BY dom, hod""".stripMargin) { (s, d) =>
+      val c = Tables.events(s, d)
+        .groupBy(dayofmonth(col("ts")).cast("long").as("dom"),
+          hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(Dsl.D18)).cast(Dsl.D18).as("v"))
+      c.select(col("dom"), col("hod"), col("n").cast("long").as("n_events"),
+          Dsl.d2d(col("v")).as("value_sum"),
+          (col("n").cast("double")
+            / sum(col("n")).over(Window.partitionBy()).cast("double"))
+            .as("share"))
+        .orderBy("dom", "hod")
     }
   )
 }

@@ -1394,6 +1394,55 @@ object PipelineQueries {
           (col("hapax").cast("double") / col("vocab").cast("double"))
             .as("hapax_share"))
         .orderBy("source")
+    },
+
+    // Corpus readability profile per source — Flesch reading-ease pieces
+    // from three deterministic regex counters (words = non-space runs,
+    // sentences = [.!?] runs, syllable proxy = vowel groups), aggregated
+    // exactly as BIGINTs; the score itself is the classic fixed double
+    // tree 206.835 − 1.015·(w/s) − 84.6·(v/w) over those exact integers
+    // (identical IEEE ops on <2⁵³ counts ⇒ bit-identical cross-engine;
+    // GREATEST guards punctuation-free sources). The regexes are RE2-
+    // and java.util.regex-identical (plain character classes).
+    //
+    // Scale shape: stateless per-doc counters folded by ONE map-side-
+    // combinable aggregate to the source domain — the cheapest possible
+    // corpus-health pass; no explode, no per-token rows.
+    Q("q_text_readability",
+      """WITH d AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(text, '[^ ]+')) AS w,
+        |    len(regexp_extract_all(text, '[.!?]+')) AS st,
+        |    len(regexp_extract_all(lower(text), '[aeiou]+')) AS vg
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(w) AS BIGINT) AS words,
+        |  CAST(SUM(st) AS BIGINT) AS sentences,
+        |  CAST(SUM(vg) AS BIGINT) AS vowel_groups,
+        |  CAST(206.835 AS DOUBLE)
+        |    - CAST(1.015 AS DOUBLE) * (CAST(SUM(w) AS DOUBLE)
+        |        / CAST(GREATEST(SUM(st), 1) AS DOUBLE))
+        |    - CAST(84.6 AS DOUBLE) * (CAST(SUM(vg) AS DOUBLE)
+        |        / CAST(GREATEST(SUM(w), 1) AS DOUBLE)) AS flesch
+        |FROM d GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("source"),
+        size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("w"),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .as("st"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiou]+"),
+          lit(0))).as("vg"))
+      docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("w").cast("long").as("words"),
+          sum("st").cast("long").as("sentences"),
+          sum("vg").cast("long").as("vowel_groups"))
+        .withColumn("flesch",
+          lit(206.835d)
+            - lit(1.015d) * (col("words").cast("double")
+                / greatest(col("sentences"), lit(1L)).cast("double"))
+            - lit(84.6d) * (col("vowel_groups").cast("double")
+                / greatest(col("words"), lit(1L)).cast("double")))
+        .orderBy("source")
     }
   )
 }

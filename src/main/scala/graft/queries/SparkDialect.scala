@@ -1185,6 +1185,25 @@ object SparkDialect {
         |  CAST(MIN(doc_id) AS BIGINT) AS keeper,
         |  CAST(SUM(doc_id) AS BIGINT) AS doc_sum
         |FROM n GROUP BY canon HAVING COUNT(*) > 1
-        |ORDER BY canon""".stripMargin
+        |ORDER BY canon""".stripMargin,
+    // readability: len -> size, 2-arg regexp_extract_all -> 3-arg with
+    // explicit group 0 (Spark's default group index is 1)
+    "q_text_readability" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    size(regexp_extract_all(text, '[^ ]+', 0)) AS w,
+        |    size(regexp_extract_all(text, '[.!?]+', 0)) AS st,
+        |    size(regexp_extract_all(lower(text), '[aeiou]+', 0)) AS vg
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(w) AS BIGINT) AS words,
+        |  CAST(SUM(st) AS BIGINT) AS sentences,
+        |  CAST(SUM(vg) AS BIGINT) AS vowel_groups,
+        |  CAST(206.835 AS DOUBLE)
+        |    - CAST(1.015 AS DOUBLE) * (CAST(SUM(w) AS DOUBLE)
+        |        / CAST(GREATEST(SUM(st), 1) AS DOUBLE))
+        |    - CAST(84.6 AS DOUBLE) * (CAST(SUM(vg) AS DOUBLE)
+        |        / CAST(GREATEST(SUM(w), 1) AS DOUBLE)) AS flesch
+        |FROM d GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -970,6 +970,95 @@ object StatQueries {
           "CAST(ba AS BIGINT) AS total_above",
           "CAST(n AS BIGINT) AS total_n")
         .orderBy("l_linenumber")
+    },
+
+    // Two-proportion A/B test on the event stream: variant = user_id
+    // parity (the deterministic assignment), success = "did the user
+    // ever purchase". z² is the exact integer rational
+    // d²N/(n1·n2·X·(N−X)) (see ExactStats.twoProportion) — the
+    // experiment readout with no FP accumulation anywhere; the one
+    // divide runs on exactly-converted BIGINTs.
+    //
+    // Scale shape: one per-user aggregate (map-side combinable on the
+    // user-hash exchange) feeding a one-row conditional-sum — nothing
+    // else moves. BIGINT pieces overflow loudly past ~10⁶ conversions
+    // per arm (documented in the operator).
+    Q("q_stat_proportion",
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT user_id % 2 AS variant, conv FROM u),
+        |c AS (
+        |  SELECT CAST(SUM(variant) AS BIGINT) AS n1,
+        |    CAST(SUM(variant * conv) AS BIGINT) AS x1,
+        |    CAST(COUNT(*) - SUM(variant) AS BIGINT) AS n2,
+        |    CAST(SUM(conv) - SUM(variant * conv) AS BIGINT) AS x2
+        |  FROM v),
+        |z AS (
+        |  SELECT n1, x1, n2, x2,
+        |    CAST(x1 AS DECIMAL(38,0)) * n2 - CAST(x2 AS DECIMAL(38,0)) * n1
+        |      AS d
+        |  FROM c),
+        |p AS (
+        |  SELECT n1, x1, n2, x2,
+        |    CAST(d * d * (n1 + n2) AS BIGINT) AS z2_num,
+        |    CAST(CAST(n1 AS DECIMAL(38,0)) * n2 * (x1 + x2)
+        |      * (n1 + n2 - x1 - x2) AS BIGINT) AS z2_den
+        |  FROM z)
+        |SELECT n1, x1, n2, x2, z2_num, z2_den,
+        |  CASE WHEN z2_den = 0 THEN NULL
+        |    ELSE CAST(z2_num AS DOUBLE) / CAST(z2_den AS DOUBLE) END AS z2
+        |FROM p""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("conv"))
+        .select((col("user_id") % 2).as("variant"), col("conv"))
+      graft.operators.ExactStats.twoProportion(u, "variant", "conv")
+    },
+
+    // Theil–Sen robust slope of monthly revenue (cents per month index):
+    // the median of all C(months,2) pairwise slopes — the trend estimate
+    // outliers can't drag. Median selection is positional over the
+    // (slope, dy, dx) histogram, so the chosen pair is deterministic
+    // cross-engine even where distinct rationals collide as doubles.
+    //
+    // Scale shape: one orders-sized month aggregate (checkpointed — the
+    // pair self-join consumes it twice, never rescanning the fact), then
+    // C(80,2) ≈ 3.2k pairs — CALENDAR-bounded, the same count at 100 TB;
+    // the position window rides the pair histogram (strict-lint exempt).
+    Q("q_stat_theilsen",
+      """WITH m AS (
+        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+        |      + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+        |      AS y
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT b.y - a.y AS dy, b.x - a.x AS dx,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+        |  FROM m a JOIN m b ON a.x < b.x),
+        |h AS (SELECT slope, dy, dx, COUNT(*) AS c FROM p GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT slope, dy, dx, c,
+        |    SUM(c) OVER (ORDER BY slope, dy, dx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER () AS n
+        |  FROM h)
+        |SELECT CAST(n AS BIGINT) AS n_pairs,
+        |  CAST(dy AS BIGINT) AS slope_num,
+        |  CAST(dx AS BIGINT) AS slope_den, slope
+        |FROM w
+        |WHERE cum - c < (n + 1 - (n + 1) % 2) / 2
+        |  AND (n + 1 - (n + 1) % 2) / 2 <= cum""".stripMargin) { (s, d) =>
+      val m = Tables.orders(s, d)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast(LongType).as("x"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("y"))
+        .localCheckpoint()
+      graft.operators.ExactStats.theilSen(m, "x", "y")
     }
   )
 }

@@ -642,6 +642,24 @@ object StreamOps {
       rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
     graft.operators.QualityAudit.audit(events, rules)
 
+  /** Streaming A/B monitor (s_stream_abtest): running two-proportion z²
+    * over event-level (variant = user parity, success = purchase) flags —
+    * the live experiment readout. Delegates to the SAME arithmetic as the
+    * batch operator ([[graft.operators.ExactStats.twoProportion]]): a
+    * global conditional-sum aggregate is streaming-legal as-is, so state
+    * is ONE row of four counters at any corpus size (complete mode; the
+    * z² pieces are stateless projections of that row). The batch gate
+    * (q_stat_proportion) tests per-USER conversion, which needs a second
+    * aggregation level — streaming-illegal — so the live form monitors
+    * event-level conversion and StreamingSpec gates it against the same
+    * projection run as a batch. */
+  def abTestStream(events: DataFrame): DataFrame =
+    graft.operators.ExactStats.twoProportion(
+      events.select((col("user_id") % 2).as("variant"),
+        when(col("event_type") === "purchase", 1).otherwise(0)
+          .as("success")),
+      "variant", "success")
+
   /** foreachBatch JDBC upsert: idempotent incremental load keyed on the
     * natural key (s_stream_foreachbatch; the daily-increment DB pattern).
     *

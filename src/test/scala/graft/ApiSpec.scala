@@ -212,4 +212,27 @@ class ApiSpec extends SparkSuite {
     val st = Graft.maintain.compact(spark, in, out, targetFiles = Some(2))
     assert(st.filesAfter == 2 && st.rows == o.count())
   }
+
+  test("stats group: two-proportion z² pieces on a hand-checked sample") {
+    // arm 1: 4 units / 3 converted; arm 0: 6 units / 2 converted.
+    // d = 3·6 − 2·4 = 10, N = 10, X = 5 →
+    // z²_num = 100·10 = 1000, z²_den = 4·6·5·5 = 600
+    val units = (Seq.fill(3)((1, 1)) ++ Seq((1, 0)) ++
+      Seq.fill(2)((0, 1)) ++ Seq.fill(4)((0, 0))).toDF("variant", "conv")
+    val r = Graft.stats.twoProportion(units, "variant", "conv").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 3L, 6L, 2L)))
+    assert((r.getLong(4), r.getLong(5)) == ((1000L, 600L)))
+    assert(r.getDouble(6) == 1000.0 / 600.0)
+  }
+
+  test("stats group: Theil-Sen selects the positional median slope") {
+    // slopes of the 6 pairs: 2, 1/2, 1, -1, 1/2, 2 → sorted rationals
+    // -1, 1/2, 1/2, 1, 2, 2; lower median (k=3) = 1/2
+    val series = Seq((1L, 1L), (2L, 3L), (3L, 2L), (4L, 4L)).toDF("x", "y")
+    val r = Graft.stats.theilSen(series, "x", "y").head()
+    assert(r.getLong(0) == 6L, "n_pairs")
+    assert((r.getLong(1), r.getLong(2)) == ((1L, 2L)), "median slope 1/2")
+    assert(r.getDouble(3) == 0.5)
+  }
 }

@@ -313,7 +313,17 @@ class PlanSpec extends SparkSuite {
       // hapax: one (source, term) exchange + ≤|sources| rollup
       "q_time_drawdown" -> "shuffle=2,broadcast=0",
       "q_time_mom_growth" -> "shuffle=2,broadcast=0",
-      "q_text_hapax" -> "shuffle=3,broadcast=0")
+      "q_text_hapax" -> "shuffle=3,broadcast=0",
+      // proportion: per-user agg exchange + 1-row conditional-sum;
+      // heatmap/readability: ONE domain-bounded aggregate (+ the cell
+      // window / output sort); Theil–Sen: the pair self-join is a BNL of
+      // two CHECKPOINTED month spines (the orders scan runs once, before
+      // the checkpoint), and both shuffles ride the pair histogram
+      "q_stat_proportion" -> "shuffle=2,broadcast=0",
+      "q_time_heatmap" -> "shuffle=2,broadcast=0",
+      "q_text_readability" -> "shuffle=2,broadcast=0",
+      "q_stat_theilsen" ->
+        "shuffle=2,broadcast=1,BroadcastNestedLoopJoin=1")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }

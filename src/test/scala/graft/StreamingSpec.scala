@@ -1065,4 +1065,44 @@ class StreamingSpec extends SparkSuite {
       .filter(_._2 > 0L).toMap
     assert(got == want, s"streaming novelty diverged: $got vs $want")
   }
+
+  test("s_stream_abtest: running two-proportion pieces == the batch " +
+    "operator on everything ingested") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val day0 = java.time.LocalDateTime.of(2024, 1, 1, 8, 0)
+    // users 1,3 (variant 1) and 2,4 (variant 0); purchases on both arms
+    val batch1 = Seq(Ev(1L, day0, 1L, "purchase", 5.0),
+      Ev(2L, day0.plusMinutes(1), 2L, "click", 1.0),
+      Ev(3L, day0.plusMinutes(2), 3L, "view", 2.0))
+    val batch2 = Seq(Ev(4L, day0.plusMinutes(3), 4L, "purchase", 9.0),
+      Ev(5L, day0.plusMinutes(4), 1L, "click", 1.0),
+      Ev(6L, day0.plusMinutes(5), 2L, "purchase", 3.0))
+    def pieces(rows: Seq[Ev]) = StreamOps.abTestStream(rows.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.abTestStream(mem.toDF()).writeStream
+      .format("memory").queryName("s_abtest").outputMode("complete").start()
+    mem.addData(batch1)
+    q.processAllAvailable()
+    // mid-stream checkpoint: counters must already cover batch 1 exactly
+    val mid = spark.table("s_abtest").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(mid == pieces(batch1), s"mid-stream pieces diverged: $mid")
+    mem.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("s_abtest").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val want = pieces(batch1 ++ batch2)
+    assert(got == want, s"streaming A/B pieces diverged: $got vs $want")
+    // hand check on the final state: 6 events, 3 on each arm (users 1,3
+    // odd; 2,4 even), arm-1 successes 1 (the user-1 purchase), arm-0
+    // successes 2 → d = 1·3 − 2·3 = −3, z²_num = 9·6 = 54,
+    // z²_den = 3·3·3·3 = 81
+    assert(got == Seq((3L, 1L, 3L, 2L, 54L, 81L)), s"hand check: $got")
+  }
 }

@@ -764,4 +764,51 @@ class StressSpec extends SparkSuite {
     // grow with the corpus once the domain saturates
     assert(novel2 <= 5000L && novel1 <= 5000L)
   }
+
+  test("TwoProportion: arm relabeling flips the counters, not the z² " +
+    "rational") {
+    // z² = d²N/(n1·n2·X·(N−X)) with d = x1·n2 − x2·n1: swapping arm
+    // labels negates d and swaps (n1,x1)<->(n2,x2) — both pieces are
+    // exactly invariant. A deterministic pseudo-random table, no fixture.
+    val units = spark.range(5000)
+      .select(pmod(xxhash64(col("id")), lit(2)).as("v"),
+        pmod(xxhash64(col("id"), lit(3)), lit(5)).as("r"))
+      .select(col("v"), when(col("r") < 2, 1).otherwise(0).as("s"))
+    val flipped = units.select((lit(1) - col("v")).as("v"), col("s"))
+    def pieces(df: org.apache.spark.sql.DataFrame) = {
+      val r = graft.operators.ExactStats.twoProportion(df, "v", "s").head()
+      ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)),
+        (r.getLong(4), r.getLong(5)))
+    }
+    val ((n1, x1, n2, x2), z) = pieces(units)
+    val ((fn1, fx1, fn2, fx2), fz) = pieces(flipped)
+    assert((fn1, fx1, fn2, fx2) == ((n2, x2, n1, x1)), "counter swap")
+    assert(fz == z, s"z² rational must be label-invariant: $z vs $fz")
+    assert(z._1 > 0L && z._2 > 0L, "non-degenerate sample")
+  }
+
+  test("TheilSen: adding a linear trend shifts the median slope by " +
+    "exactly that rational") {
+    // y' = y + c·x shifts EVERY pairwise slope rational by exactly c and
+    // preserves their order, so the selected median satisfies
+    // num'/den' = num/den + c — cross-multiplied, no FP tolerance. Also
+    // pins the scale law: the pair count is C(|spine|,2), a function of
+    // the spine length only.
+    val c = 7L
+    val series = spark.range(200)
+      .select(col("id").as("x"),
+        (pmod(xxhash64(col("id"), lit(5)), lit(1000L)) - 500L).as("y"))
+    val shifted = series.select(col("x"), (col("y") + lit(c) * col("x")).as("y"))
+    def slope(df: org.apache.spark.sql.DataFrame) = {
+      val r = graft.operators.ExactStats.theilSen(df, "x", "y").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (n, num, den) = slope(series)
+    val (n2_, num2, den2) = slope(shifted)
+    assert(n == 200L * 199L / 2L, s"pair fan-out must be C(spine,2): $n")
+    assert(n2_ == n)
+    // num2/den2 == num/den + c  ⇔  num2·den == (num + c·den)·den2
+    assert(num2 * den == (num + c * den) * den2,
+      s"shear law broke: $num/$den + $c != $num2/$den2")
+  }
 }
