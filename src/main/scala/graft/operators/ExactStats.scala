@@ -155,6 +155,129 @@ object ExactStats {
         "CASE WHEN z2_den = 0 THEN NULL " +
           "ELSE CAST(z2_num AS DOUBLE) / CAST(z2_den AS DOUBLE) END AS z2")
 
+  /** Per-arm CUPED pieces over unit-level (arm, x, y) rows with INTEGRAL
+    * x (pre-period covariate) and y (experiment metric), both quantized
+    * to cents upstream: one conditional-sum aggregate emitting
+    * (arm, n_a, sx_a, sy_a, sxx_a, sxy_a) — counts and sums exact LONGs,
+    * cross-moments exact DECIMAL(38,0) (x² overflows a LONG after ONE
+    * row at cent scale). A single groupBy is streaming-legal as-is
+    * (StreamOps.cupedStream reuses this verbatim; state = one counter
+    * row per arm at any corpus size). */
+  def cupedArms(df: DataFrame, arm: String, x: String,
+      y: String): DataFrame =
+    df.groupBy(col(arm).as("__arm"))
+      .agg(count(lit(1)).cast(LongType).as("n_a"),
+        sum(col(x)).cast(LongType).as("sx_a"),
+        sum(col(y)).cast(LongType).as("sy_a"),
+        sum(col(x).cast("decimal(38,0)") * col(x)).as("sxx_a"),
+        sum(col(x).cast("decimal(38,0)") * col(y)).as("sxy_a"))
+      .withColumnRenamed("__arm", arm)
+
+  /** CUPED variance-reduced A/B readout (Deng et al. 2013, public
+    * literature): per arm the raw mean and the adjusted mean
+    * ȳ_a − θ·(x̄_a − x̄) with θ = Cov(x,y)/Var(x) POOLED across arms.
+    * θ is exact-truncated to micros via DECIMAL(38,0) `div` (the
+    * spearman/chi2 integer-division design — scale-0 decimals never
+    * round, only overflow loudly; exact while n·Σxy < 10³² i.e. ~10¹²
+    * unit-cents²-rows); the adjusted mean is then a FIXED IEEE double
+    * tree on exact < 2⁵³ operands — bit-identical cross-engine.
+    *
+    * Scale shape: ONE conditional-sum aggregate over units (map-side
+    * combinable, no join, no row-scale window — the pooled pieces are
+    * window sums over the ≤|arms|-row arm frame). Output per arm:
+    * (arm, n_units, x_cents, y_cents, theta_micro, y_mean, y_adj). */
+  def cuped(df: DataFrame, arm: String, x: String, y: String): DataFrame = {
+    val a = cupedArms(df, arm, x, y)
+    val w = Window.partitionBy()
+    a.select(col(arm), col("n_a"), col("sx_a"), col("sy_a"),
+        sum(col("n_a")).over(w).as("n"),
+        sum(col("sx_a")).over(w).as("sx"),
+        sum(col("sy_a")).over(w).as("sy"),
+        sum(col("sxx_a")).over(w).as("sxx"),
+        sum(col("sxy_a")).over(w).as("sxy"))
+      .selectExpr(arm, "n_a", "sx_a", "sy_a", "n", "sx",
+        "(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)" +
+          " * 1000000 AS th_num",
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx" +
+          " AS th_den")
+      .selectExpr(arm, "n_a", "sx_a", "sy_a", "n", "sx",
+        // degenerate covariate (constant x) has no θ — NULL, identically
+        // in both engines (ANSI would throw on the zero divide). The
+        // sign split pins truncation-toward-zero on a possibly-negative
+        // numerator (the q_stat_spearman rho_e6 discipline).
+        "CASE WHEN th_den = 0 THEN NULL" +
+          " WHEN th_num < 0 THEN CAST(-((-th_num) div th_den) AS BIGINT)" +
+          " ELSE CAST(th_num div th_den AS BIGINT) END AS theta_micro")
+      .selectExpr(s"$arm", "CAST(n_a AS BIGINT) AS n_units",
+        "CAST(sx_a AS BIGINT) AS x_cents", "CAST(sy_a AS BIGINT) AS y_cents",
+        "theta_micro",
+        "CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS y_mean",
+        "CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)" +
+          " - CAST(theta_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)" +
+          " * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)" +
+          "    - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS y_adj")
+  }
+
+  /** Kendall tau-b rank concordance per group over integer-quantized
+    * (x, y) pairs, EXACT and scalable: every pairwise comparison count is
+    * a product of joint-histogram cell counts, so the O(n²) pair space
+    * collapses to support² CELL pairs — the only row-scale work is the
+    * one map-side-combinable (group, x, y) histogram; the concordance
+    * join, both marginal rollups and the final join all ride that
+    * value-domain-bounded frame (≤ |X|·|Y| cells per group at ANY corpus
+    * size). The histogram is localCheckpointed because four consumers
+    * (both join sides + two marginals) would otherwise rescan the fact.
+    *
+    * Output per group: (group, n, n_conc, n_disc, tau_num, den_x_x2,
+    * den_y_x2) with tau_num = C − D and the tie-corrected denominators
+    * DOUBLED to stay integral (n(n−1) − Σt(t−1) = 2(n0 − n1)), so
+    * tau_b = 2·tau_num / √(den_x_x2 · den_y_x2) — the caller keeps the
+    * exact rational; no division or sqrt enters this frame. Products
+    * accumulate in DECIMAL(38,0); the BIGINT output casts overflow
+    * LOUDLY under ANSI past ~4·10⁹ rows per group (C ≤ n²/2) — keep the
+    * decimals beyond that. */
+  def kendallTau(df: DataFrame, group: String, x: String,
+      y: String): DataFrame = {
+    val D38 = "decimal(38,0)"
+    val h = df.groupBy(col(group).as("__g"), col(x).as("__x"),
+        col(y).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val a = h.select(col("__g"), col("__x").as("xa"), col("__y").as("ya"),
+      col("__c").as("ca"))
+    val b = h.select(col("__g").as("__gb"), col("__x").as("xb"),
+      col("__y").as("yb"), col("__c").as("cb"))
+    // cell pairs with strictly increasing x — each unordered row pair
+    // with differing x is counted exactly once via the cell-count
+    // product; the support frame broadcasts (domain-bounded by contract)
+    val cd = a.join(broadcast(b),
+        col("__g") === col("__gb") && col("xa") < col("xb"))
+      .groupBy("__g")
+      .agg(
+        sum(when(col("ya") < col("yb"),
+          (col("ca") * col("cb")).cast(D38))).as("conc"),
+        sum(when(col("ya") > col("yb"),
+          (col("ca") * col("cb")).cast(D38))).as("disc"))
+    val mx = h.groupBy(col("__g"), col("__x")).agg(sum("__c").as("t"))
+      .groupBy("__g")
+      .agg(sum(col("t")).as("n"),
+        sum((col("t") * (col("t") - 1)).cast(D38)).as("tx2"))
+    val my = h.groupBy(col("__g"), col("__y")).agg(sum("__c").as("t"))
+      .groupBy("__g")
+      .agg(sum((col("t") * (col("t") - 1)).cast(D38)).as("ty2"))
+    // mx is the base (always one row per group); a group whose x is
+    // constant has no increasing-x cell pairs → coalesce to 0
+    mx.join(my, "__g").join(cd, Seq("__g"), "left")
+      .selectExpr("__g",
+        "CAST(n AS BIGINT) AS n",
+        s"CAST(COALESCE(conc, CAST(0 AS $D38)) AS BIGINT) AS n_conc",
+        s"CAST(COALESCE(disc, CAST(0 AS $D38)) AS BIGINT) AS n_disc",
+        s"CAST(COALESCE(conc, CAST(0 AS $D38)) - COALESCE(disc, CAST(0 AS $D38)) AS BIGINT) AS tau_num",
+        s"CAST(CAST(n * (n - 1) AS $D38) - tx2 AS BIGINT) AS den_x_x2",
+        s"CAST(CAST(n * (n - 1) AS $D38) - ty2 AS BIGINT) AS den_y_x2")
+      .withColumnRenamed("__g", group)
+  }
+
   /** Theil–Sen robust trend over a PRE-AGGREGATED series (one row per
     * integral `x` bucket, integral `y`): the median of all pairwise
     * slopes (yⱼ−yᵢ)/(xⱼ−xᵢ), selected POSITIONALLY under the

@@ -456,6 +456,50 @@ object SparkDialect {
         |            ELSE ((sy*den - num*sx) * 100)  div  (CAST(n AS DECIMAL(38,0))*den)
         |       END AS BIGINT) AS intercept_e2
         |FROM f ORDER BY l_linenumber""".stripMargin,
+    "q_stat_cuped" ->
+      """WITH m AS (
+        |  SELECT o_custkey AS k,
+        |    SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |      ELSE 0 END) AS x,
+        |    SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |      ELSE 0 END) AS y
+        |  FROM orders GROUP BY o_custkey),
+        |a AS (
+        |  SELECT k % 2 AS arm, COUNT(*) AS n_a, SUM(x) AS sx_a,
+        |    SUM(y) AS sy_a,
+        |    SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx_a,
+        |    SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy_a
+        |  FROM m GROUP BY k % 2),
+        |g AS (
+        |  SELECT arm, n_a, sx_a, sy_a,
+        |    SUM(n_a) OVER () AS n, SUM(sx_a) OVER () AS sx,
+        |    SUM(sy_a) OVER () AS sy, SUM(sxx_a) OVER () AS sxx,
+        |    SUM(sxy_a) OVER () AS sxy
+        |  FROM a),
+        |d AS (
+        |  SELECT arm, n_a, sx_a, sy_a, n, sx,
+        |    (CAST(n AS DECIMAL(38,0)) * sxy
+        |      - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000 AS th_num,
+        |    CAST(n AS DECIMAL(38,0)) * sxx
+        |      - CAST(sx AS DECIMAL(38,0)) * sx AS th_den
+        |  FROM g),
+        |t AS (
+        |  SELECT arm, n_a, sx_a, sy_a, n, sx,
+        |    CASE WHEN th_den = 0 THEN NULL
+        |      WHEN th_num < 0 THEN CAST(-((-th_num) div th_den) AS BIGINT)
+        |      ELSE CAST(th_num div th_den AS BIGINT) END AS theta_micro
+        |  FROM d)
+        |SELECT arm, CAST(n_a AS BIGINT) AS n_units,
+        |  CAST(sx_a AS BIGINT) AS x_cents, CAST(sy_a AS BIGINT) AS y_cents,
+        |  theta_micro,
+        |  CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS y_mean,
+        |  CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(theta_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)
+        |      * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS y_adj
+        |FROM t ORDER BY arm""".stripMargin,
     "q_stat_spearman" ->
       """WITH r AS (
         |  SELECT l_linenumber,

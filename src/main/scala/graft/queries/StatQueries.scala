@@ -1059,6 +1059,221 @@ object StatQueries {
           .cast(LongType).as("y"))
         .localCheckpoint()
       graft.operators.ExactStats.theilSen(m, "x", "y")
+    },
+
+    // Kendall tau-b rank concordance per linestatus (does a bigger
+    // quantity come with a bigger discount?) — the rank-correlation
+    // robust to non-linear monotone relations, EXACT via the joint
+    // value histogram: concordant/discordant pair counts are products
+    // of cell counts, emitted beside the DOUBLED tie-corrected
+    // denominators so tau_b = 2·tau_num/√(den_x_x2·den_y_x2) stays a
+    // caller-side rational (no sqrt, no division in the oracle — the
+    // q_stat_ks discipline applied to pairs).
+    //
+    // Scale shape: the O(n²) pair space never materializes — the ONE
+    // row-scale exchange is the (st, qty, disc) histogram (≤ 50·11
+    // cells per status at ANY corpus size); the strict-x self-join,
+    // both marginal rollups and the final assembly all ride that
+    // support² frame (operators/ExactStats.kendallTau). BIGINT output
+    // holds to ~4·10⁹ rows per group (C ≤ n²/2); loud ANSI overflow
+    // beyond. Dual-dialect ANSI: DuckDB sums in HUGEINT, Spark in
+    // DECIMAL(38,0) — both exact, no twin needed.
+    Q("q_stat_kendall",
+      """WITH s AS (
+        |  SELECT l_linestatus AS st,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) AS x,
+        |    CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |h AS (SELECT st, x, y, COUNT(*) AS c FROM s GROUP BY st, x, y),
+        |cd AS (
+        |  SELECT a.st AS st,
+        |    SUM(CASE WHEN a.y < b.y
+        |      THEN CAST(a.c * b.c AS DECIMAL(38,0)) END) AS conc,
+        |    SUM(CASE WHEN a.y > b.y
+        |      THEN CAST(a.c * b.c AS DECIMAL(38,0)) END) AS disc
+        |  FROM h a JOIN h b ON a.st = b.st AND a.x < b.x
+        |  GROUP BY a.st),
+        |mx AS (
+        |  SELECT st, SUM(t) AS n,
+        |    SUM(CAST(t * (t - 1) AS DECIMAL(38,0))) AS tx2
+        |  FROM (SELECT st, x, SUM(c) AS t FROM h GROUP BY st, x) tt
+        |  GROUP BY st),
+        |my AS (
+        |  SELECT st, SUM(CAST(t * (t - 1) AS DECIMAL(38,0))) AS ty2
+        |  FROM (SELECT st, y, SUM(c) AS t FROM h GROUP BY st, y) tt
+        |  GROUP BY st)
+        |SELECT mx.st AS l_linestatus,
+        |  CAST(mx.n AS BIGINT) AS n,
+        |  CAST(COALESCE(cd.conc, CAST(0 AS DECIMAL(38,0))) AS BIGINT)
+        |    AS n_conc,
+        |  CAST(COALESCE(cd.disc, CAST(0 AS DECIMAL(38,0))) AS BIGINT)
+        |    AS n_disc,
+        |  CAST(COALESCE(cd.conc, CAST(0 AS DECIMAL(38,0)))
+        |    - COALESCE(cd.disc, CAST(0 AS DECIMAL(38,0))) AS BIGINT)
+        |    AS tau_num,
+        |  CAST(CAST(mx.n * (mx.n - 1) AS DECIMAL(38,0)) - mx.tx2
+        |    AS BIGINT) AS den_x_x2,
+        |  CAST(CAST(mx.n * (mx.n - 1) AS DECIMAL(38,0)) - my.ty2
+        |    AS BIGINT) AS den_y_x2
+        |FROM mx JOIN my ON mx.st = my.st
+        |  LEFT JOIN cd ON mx.st = cd.st
+        |ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+      val src = Tables.lineitem(s, d)
+        .select(col("l_linestatus").as("st"),
+          col("l_quantity").cast(DecimalType(12, 2))
+            .cast(LongType).as("x"),
+          (col("l_discount").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("y"))
+      graft.operators.ExactStats.kendallTau(src, "st", "x", "y")
+        .withColumnRenamed("st", "l_linestatus")
+        .orderBy("l_linestatus")
+    },
+
+    // CUPED variance-reduced A/B readout (Deng et al. 2013): customers
+    // split by key parity into two arms; the experiment metric y is
+    // each customer's 1998+ revenue, the pre-period covariate x their
+    // pre-1998 revenue, both exact cents. Per arm: raw mean and the
+    // adjusted mean ȳ_a − θ·(x̄_a − x̄) with θ = Cov(x,y)/Var(x) pooled —
+    // the industry-standard sensitivity boost for experiment metrics.
+    // θ is exact-truncated to micros (DECIMAL(38,0) div — the spearman
+    // design); the adjusted mean is a FIXED IEEE double tree on exact
+    // < 2⁵³ operands, so both engines emit bit-identical doubles.
+    //
+    // Scale shape: the per-customer rollup is the ONE row-scale
+    // exchange (map-side combinable conditional sums); the arm
+    // aggregate and its pooled windows ride the 2-row arm frame
+    // (operators/ExactStats.cuped). Oracle runs in DuckDB HUGEINT with
+    // `//`; the Spark twin (SparkDialect) says DECIMAL(38,0) + div.
+    Q("q_stat_cuped",
+      """WITH m AS (
+        |  SELECT o_custkey AS k,
+        |    SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |      ELSE 0 END) AS x,
+        |    SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |      ELSE 0 END) AS y
+        |  FROM orders GROUP BY o_custkey),
+        |a AS (
+        |  SELECT k % 2 AS arm, COUNT(*) AS n_a, SUM(x) AS sx_a,
+        |    SUM(y) AS sy_a, SUM(x * x) AS sxx_a, SUM(x * y) AS sxy_a
+        |  FROM m GROUP BY k % 2),
+        |g AS (
+        |  SELECT arm, n_a, sx_a, sy_a,
+        |    SUM(n_a) OVER () AS n, SUM(sx_a) OVER () AS sx,
+        |    SUM(sy_a) OVER () AS sy, SUM(sxx_a) OVER () AS sxx,
+        |    SUM(sxy_a) OVER () AS sxy
+        |  FROM a),
+        |t AS (
+        |  SELECT arm, n_a, sx_a, sy_a, n, sx,
+        |    CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |      WHEN n * sxy - sx * sy < 0
+        |      THEN CAST(-((-((n * sxy - sx * sy) * 1000000))
+        |        // (n * sxx - sx * sx)) AS BIGINT)
+        |      ELSE CAST(((n * sxy - sx * sy) * 1000000)
+        |        // (n * sxx - sx * sx) AS BIGINT) END AS theta_micro
+        |  FROM g)
+        |SELECT arm, CAST(n_a AS BIGINT) AS n_units,
+        |  CAST(sx_a AS BIGINT) AS x_cents, CAST(sy_a AS BIGINT) AS y_cents,
+        |  theta_micro,
+        |  CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS y_mean,
+        |  CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(theta_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)
+        |      * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS y_adj
+        |FROM t ORDER BY arm""".stripMargin) { (s, d) =>
+      val cut = lit("1998-01-01").cast("timestamp")
+      val cents = (col("o_totalprice").cast(DecimalType(14, 2)) * 100)
+        .cast(LongType)
+      val m = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(sum(when(col("o_orderdate") < cut, cents).otherwise(0L))
+            .cast(LongType).as("x"),
+          sum(when(col("o_orderdate") >= cut, cents).otherwise(0L))
+            .cast(LongType).as("y"))
+        .select((col("k") % 2).as("arm"), col("x"), col("y"))
+      graft.operators.ExactStats.cuped(m, "arm", "x", "y")
+        .orderBy("arm")
+    },
+
+    // Decile gains/lift table — the model-evaluation report every
+    // scoring pipeline runs: rank units by a score (here account
+    // balance, richest first), cut into 10 equal deciles, and report
+    // per-decile response rate, cumulative gain and lift against the
+    // base rate (response = the customer has a finalized order). Rates
+    // are single IEEE divides on exact < 2⁵³ integers (products
+    // n_resp·N bound the claim to ~10⁸ units — loud past that);
+    // the decile cut is NTILE(10) under the total order
+    // (balance DESC, custkey).
+    //
+    // Scale shape: NO global sort — the global rank routes through
+    // HistogramRank (the q_window_ntile path: value-histogram buckets +
+    // within-bucket ranks), the response flag is a co-partitioned
+    // custkey join, and the decile rollup is 10 cells; every window
+    // after it rides those 10 rows. The oracle's NTILE window is the
+    // DuckDB-side form of the same cut.
+    Q("q_stat_gains",
+      """WITH f AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |r AS (
+        |  SELECT c.c_custkey, c.c_acctbal,
+        |    CASE WHEN f.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+        |  FROM customer c LEFT JOIN f ON c.c_custkey = f.o_custkey),
+        |d AS (
+        |  SELECT y, NTILE(10) OVER (ORDER BY c_acctbal DESC, c_custkey)
+        |    AS decile
+        |  FROM r),
+        |g AS (
+        |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS n_resp
+        |  FROM d GROUP BY decile),
+        |w AS (
+        |  SELECT decile, n, n_resp,
+        |    SUM(n_resp) OVER (ORDER BY decile) AS cum_resp,
+        |    SUM(n) OVER () AS nn, SUM(n_resp) OVER () AS rr
+        |  FROM g)
+        |SELECT decile, n, n_resp,
+        |  CAST(cum_resp AS BIGINT) AS cum_resp,
+        |  CAST(n_resp AS DOUBLE) / CAST(n AS DOUBLE) AS resp_rate,
+        |  CAST(cum_resp AS DOUBLE) / CAST(rr AS DOUBLE) AS cum_gain,
+        |  CAST(n_resp * nn AS DOUBLE) / CAST(n * rr AS DOUBLE) AS lift
+        |FROM w ORDER BY decile""".stripMargin) { (s, d) =>
+      val f = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("fk")).distinct()
+      val r = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .join(f, col("c_custkey") === col("fk"), "left")
+        .select(col("c_custkey"),
+          // ascending rank of the NEGATED balance = balance DESC; the
+          // custkey tiebreak keeps the total order identical to the
+          // oracle's NTILE ordering
+          negate(col("c_acctbal")).as("negbal"),
+          when(col("fk").isNotNull, 1L).otherwise(0L).as("y"))
+      val ranked = graft.operators.HistogramRank.withGlobalRank(
+        r, "negbal", Seq("c_custkey"), rankCol = "grk")
+      val total = r.agg(count(lit(1)).as("n"))
+      // ntile(10) boundary i = i·(n div 10) + min(i, n mod 10)
+      def bnd(i: Int) =
+        expr("n div 10") * i + least(lit(i.toLong), col("n") % 10)
+      val g = ranked.crossJoin(broadcast(total))
+        .select(col("y"),
+          (lit(1L) + (1 to 9).map(i => (col("grk") > bnd(i)).cast("long"))
+            .reduce(_ + _)).as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum("y").cast(LongType).as("n_resp"))
+      val wCum = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy()
+      g.select(col("decile"), col("n"), col("n_resp"),
+          sum("n_resp").over(wCum).cast(LongType).as("cum_resp"),
+          sum("n").over(wAll).as("nn"), sum("n_resp").over(wAll).as("rr"))
+        .selectExpr("decile", "n", "n_resp", "cum_resp",
+          "CAST(n_resp AS DOUBLE) / CAST(n AS DOUBLE) AS resp_rate",
+          "CAST(cum_resp AS DOUBLE) / CAST(rr AS DOUBLE) AS cum_gain",
+          "CAST(n_resp * nn AS DOUBLE) / CAST(n * rr AS DOUBLE) AS lift")
+        .orderBy("decile")
     }
   )
 }
