@@ -33,4 +33,54 @@ object BasketPairs {
       .orderBy(desc("n_baskets"), col("item_a"), col("item_b"))
       .limit(k)
   }
+
+  /** Association rules (a → b) from the same basket frame: per directed
+    * pair the co-occurrence count, antecedent support, confidence
+    * = P(b|a) and lift = P(ab)/(P(a)P(b)), top-k by confidence under a
+    * total tie-break. Both ratios are single IEEE divides on exact
+    * < 2⁵³ integers (n_both·n_baskets bounds the claim to ~10⁸ baskets
+    * per count; loud past that).
+    *
+    * Scale shape: ONE row-scale shuffle (the per-basket distinct set,
+    * localCheckpointed because three consumers — pair expansion, item
+    * supports, basket count — would otherwise re-scan and re-shuffle
+    * the fact). Pair expansion is row-local as in [[topPairs]]; the
+    * support/total frames are item-domain-bounded and BROADCAST into
+    * the rule assembly; the top-k fuses to TakeOrderedAndProject. */
+  def rules(df: DataFrame, basket: String, item: String,
+      k: Int): DataFrame = {
+    val sets = df.groupBy(col(basket).as("__k"))
+      .agg(array_sort(collect_set(col(item))).as("__is"))
+      .localCheckpoint()
+    val pairs = sets
+      .select(explode(flatten(expr(
+        """transform(__is, (x, i) ->
+          |  transform(slice(__is, i + 2, size(__is) - i - 1),
+          |    y -> struct(x AS item_a, y AS item_b)))""".stripMargin)))
+        .as("p"))
+      .groupBy(col("p.item_a").as("ia"), col("p.item_b").as("ib"))
+      .agg(count(lit(1)).as("n_both"))
+    val supp = sets.select(explode(col("__is")).as("it"))
+      .groupBy("it").agg(count(lit(1)).as("supp"))
+    val nb = sets.agg(count(lit(1)).as("nb"))
+    val dir = pairs
+      .select(col("ia").as("antecedent"), col("ib").as("consequent"),
+        col("n_both"))
+      .unionAll(pairs.select(col("ib").as("antecedent"),
+        col("ia").as("consequent"), col("n_both")))
+    dir
+      .join(broadcast(supp.toDF("ita", "supp_a")),
+        col("antecedent") === col("ita"))
+      .join(broadcast(supp.toDF("itc", "supp_c")),
+        col("consequent") === col("itc"))
+      .crossJoin(broadcast(nb))
+      .selectExpr("antecedent", "consequent",
+        "CAST(n_both AS BIGINT) AS n_both",
+        "CAST(supp_a AS BIGINT) AS n_ante",
+        "CAST(n_both AS DOUBLE) / CAST(supp_a AS DOUBLE) AS confidence",
+        "CAST(n_both * nb AS DOUBLE) / CAST(supp_a * supp_c AS DOUBLE)" +
+          " AS lift")
+      .orderBy(desc("confidence"), col("antecedent"), col("consequent"))
+      .limit(k)
+  }
 }

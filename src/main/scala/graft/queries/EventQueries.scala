@@ -736,6 +736,58 @@ object EventQueries {
             / sum(col("n")).over(Window.partitionBy()).cast("double"))
             .as("share"))
         .orderBy("dom", "hod")
+    },
+
+    // Forecast-baseline evaluation (MASE, Hyndman & Koehler 2006): how
+    // much better is the weekly-seasonal naive forecast x̂_t = x_{t−7}
+    // than the plain naive x̂_t = x_{t−1} on the daily event-volume
+    // series? Both absolute-error sums are exact integers over the SAME
+    // term domain (days where both lags exist), and MASE is their one
+    // IEEE divide — the forecastability screen run before any model
+    // spend. mase < 1 ⇒ the series has exploitable weekly structure.
+    //
+    // Scale shape: the row-scale work is the map-combinable per-day
+    // count; the lag windows ride the calendar-bounded day spine
+    // (single-partition BY DESIGN — the cusumScaled contract: the spine
+    // is ~30 rows here, ≤4k for a decade). Row-offset LAG equals
+    // calendar-offset lag because the fixture spine is gapless
+    // (FIXTURES.md: events cover every day); a gappy corpus must
+    // gap-fill first (q_time_gapfill) — documented contract, and the
+    // errors stay exact either way.
+    Q("q_time_forecast_eval",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |l AS (
+        |  SELECT x,
+        |    LAG(x, 1) OVER (ORDER BY day) AS x1,
+        |    LAG(x, 7) OVER (ORDER BY day) AS x7
+        |  FROM d)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  CAST(SUM(ABS(x - x1)) AS BIGINT) AS sae_naive,
+        |  CAST(SUM(ABS(x - x7)) AS BIGINT) AS sae_seasonal,
+        |  CASE WHEN SUM(ABS(x - x1)) = 0 THEN NULL
+        |    ELSE CAST(SUM(ABS(x - x7)) AS DOUBLE)
+        |      / CAST(SUM(ABS(x - x1)) AS DOUBLE) END AS mase
+        |FROM l WHERE x1 IS NOT NULL AND x7 IS NOT NULL""".stripMargin) {
+      (s, d) =>
+      val days = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz")
+          .as("day"))
+        .agg(count(lit(1)).cast("long").as("x"))
+      val w = Window.orderBy("day")
+      days
+        .select(col("x"), lag(col("x"), 1).over(w).as("x1"),
+          lag(col("x"), 7).over(w).as("x7"))
+        .where(col("x1").isNotNull && col("x7").isNotNull)
+        .agg(count(lit(1)).cast("long").as("n_terms"),
+          sum(abs(col("x") - col("x1"))).cast("long").as("sae_naive"),
+          sum(abs(col("x") - col("x7"))).cast("long").as("sae_seasonal"))
+        .selectExpr("n_terms", "sae_naive", "sae_seasonal",
+          "CASE WHEN sae_naive = 0 THEN NULL" +
+            " ELSE CAST(sae_seasonal AS DOUBLE)" +
+            " / CAST(sae_naive AS DOUBLE) END AS mase")
     }
   )
 }

@@ -875,6 +875,116 @@ object InsightQueries {
           sum(col("f")).cast("long").as("n_orders"),
           Dsl.d2d(sum(col("m_sum")).cast(D18)).as("revenue"))
         .orderBy("r_band", "f_band", "m_band")
+    },
+
+    // Customer-survival life table (Kaplan–Meier components): tenure =
+    // months between a customer's first and last order; customers whose
+    // last order is ≥3 months before the corpus horizon count as
+    // CHURNED at that tenure, the rest as right-CENSORED. Per tenure
+    // month: the at-risk count (reverse-cumulative — everyone whose
+    // tenure reaches it), churn events, censorings, and the KM survival
+    // factor (n−d)/n as ONE IEEE divide on exact integers. The running
+    // KM product stays caller-side (a product of doubles has no
+    // cross-engine-exact form; every factor here is exact).
+    //
+    // Scale shape: the per-customer (first, last) rollup is the ONE
+    // row-scale exchange (map-side combinable min/max on the integer
+    // month index); the 1-row horizon broadcasts back, and the tenure
+    // histogram + reverse-cumulative window ride the calendar-bounded
+    // tenure spine (≤80 rows at the fixture horizon, ≤ corpus months
+    // anywhere).
+    Q("q_time_lifetable",
+      """WITH c AS (
+        |  SELECT o_custkey AS k,
+        |    CAST(MIN(EXTRACT(YEAR FROM o_orderdate) * 12
+        |      + EXTRACT(MONTH FROM o_orderdate)) AS BIGINT) AS m0,
+        |    CAST(MAX(EXTRACT(YEAR FROM o_orderdate) * 12
+        |      + EXTRACT(MONTH FROM o_orderdate)) AS BIGINT) AS m1
+        |  FROM orders GROUP BY o_custkey),
+        |h AS (SELECT CAST(MAX(m1) AS BIGINT) AS hor FROM c),
+        |t AS (
+        |  SELECT m1 - m0 AS tenure,
+        |    CASE WHEN m1 < hor - 2 THEN 1 ELSE 0 END AS churned
+        |  FROM c CROSS JOIN h),
+        |b AS (
+        |  SELECT tenure, CAST(SUM(churned) AS BIGINT) AS n_churned,
+        |    CAST(COUNT(*) - SUM(churned) AS BIGINT) AS n_censored
+        |  FROM t GROUP BY tenure),
+        |r AS (
+        |  SELECT tenure, n_churned, n_censored,
+        |    SUM(n_churned + n_censored) OVER (ORDER BY tenure DESC)
+        |      AS n_at_risk
+        |  FROM b)
+        |SELECT tenure, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+        |  n_churned, n_censored,
+        |  CAST(n_at_risk - n_churned AS DOUBLE)
+        |    / CAST(n_at_risk AS DOUBLE) AS km_factor
+        |FROM r ORDER BY tenure""".stripMargin) { (s, d) =>
+      val mm = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long")
+      val c = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(min(mm).as("m0"), max(mm).as("m1"))
+      val h = c.agg(max(col("m1")).as("hor"))
+      val b = c.crossJoin(broadcast(h))
+        .select((col("m1") - col("m0")).as("tenure"),
+          when(col("m1") < col("hor") - 2, 1L).otherwise(0L).as("churned"))
+        .groupBy("tenure")
+        .agg(sum("churned").cast("long").as("n_churned"),
+          (count(lit(1)) - sum("churned")).cast("long").as("n_censored"))
+      val wRev = Window.orderBy(desc("tenure"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      b.select(col("tenure"), col("n_churned"), col("n_censored"),
+          sum(col("n_churned") + col("n_censored")).over(wRev)
+            .cast("long").as("n_at_risk"))
+        .selectExpr("tenure", "n_at_risk", "n_churned", "n_censored",
+          "CAST(n_at_risk - n_churned AS DOUBLE)" +
+            " / CAST(n_at_risk AS DOUBLE) AS km_factor")
+        .orderBy("tenure")
+    },
+
+    // Association rules over order baskets: the top-20 directed brand
+    // rules a → b by confidence P(b|a), with lift P(ab)/(P(a)P(b)) —
+    // the recommendation primitive one level above q_basket_pairs'
+    // undirected counts. Confidence and lift are single IEEE divides
+    // on exact < 2⁵³ integers; the LIMIT cut is total-ordered
+    // (confidence DESC, then both brands).
+    //
+    // Scale shape: ONE row-scale shuffle — the per-basket distinct set
+    // (operators/BasketPairs.rules; pair expansion row-local, ≤C(25,2)
+    // pairs/order at the 25-brand domain). Supports and the basket
+    // total are item-domain-bounded broadcasts; top-k fuses to
+    // TakeOrdered. The oracle's self-join form is the same math on the
+    // DuckDB side.
+    Q("q_basket_rules",
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS k, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |nb AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n FROM b),
+        |s AS (
+        |  SELECT brand, CAST(COUNT(*) AS BIGINT) AS supp
+        |  FROM b GROUP BY brand),
+        |p AS (
+        |  SELECT a.brand AS ba, b2.brand AS bb,
+        |    CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM b a JOIN b b2 ON a.k = b2.k AND a.brand < b2.brand
+        |  GROUP BY a.brand, b2.brand),
+        |r AS (
+        |  SELECT ba AS antecedent, bb AS consequent, n_both FROM p
+        |  UNION ALL
+        |  SELECT bb AS antecedent, ba AS consequent, n_both FROM p)
+        |SELECT antecedent, consequent, n_both, sa.supp AS n_ante,
+        |  CAST(n_both AS DOUBLE) / CAST(sa.supp AS DOUBLE) AS confidence,
+        |  CAST(n_both * nb.n AS DOUBLE)
+        |    / CAST(sa.supp * sc.supp AS DOUBLE) AS lift
+        |FROM r JOIN s sa ON r.antecedent = sa.brand
+        |  JOIN s sc ON r.consequent = sc.brand CROSS JOIN nb
+        |ORDER BY confidence DESC, antecedent, consequent
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val baskets = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("k"), col("p_brand").as("brand"))
+      graft.operators.BasketPairs.rules(baskets, "k", "brand", 20)
     }
   )
 }
