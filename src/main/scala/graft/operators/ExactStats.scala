@@ -266,8 +266,9 @@ object ExactStats {
       .groupBy("__g")
       .agg(sum((col("t") * (col("t") - 1)).cast(D38)).as("ty2"))
     // mx is the base (always one row per group); a group whose x is
-    // constant has no increasing-x cell pairs → coalesce to 0
-    mx.join(my, "__g").join(cd, Seq("__g"), "left")
+    // constant has no increasing-x cell pairs → coalesce to 0. All three
+    // frames are |groups|-bounded — broadcast the assembly
+    mx.join(broadcast(my), "__g").join(broadcast(cd), Seq("__g"), "left")
       .selectExpr("__g",
         "CAST(n AS BIGINT) AS n",
         s"CAST(COALESCE(conc, CAST(0 AS $D38)) AS BIGINT) AS n_conc",

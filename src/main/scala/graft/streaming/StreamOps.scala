@@ -725,4 +725,21 @@ object StreamOps {
     pairs.dropDuplicates(item)
       .groupBy(col(owner))
       .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_novel"))
+
+  /** Streaming CUPED accumulator (s_stream_cuped): the per-arm exact
+    * pieces (n, Σx, Σy, Σx², Σxy) over a live stream of unit-level
+    * (arm, x, y) rows — [[graft.operators.ExactStats.cupedArms]] reused
+    * VERBATIM: one groupBy is streaming-legal as-is, so state is ONE
+    * counter row per arm at any corpus size (complete mode). θ and the
+    * adjusted means are stateless arithmetic over the ≤|arms|-row
+    * result — the dashboard computes them from this table exactly as
+    * [[graft.operators.ExactStats.cuped]] does (the batch gate;
+    * StreamingSpec checks both pieces and the derived θ). The batch
+    * q_stat_cuped's per-CUSTOMER pre-aggregation is a second,
+    * streaming-illegal level — the live form therefore monitors
+    * whatever unit grain the stream carries, the same caveat as
+    * s_stream_abtest. */
+  def cupedStream(units: DataFrame, arm: String = "arm",
+      x: String = "x", y: String = "y"): DataFrame =
+    graft.operators.ExactStats.cupedArms(units, arm, x, y)
 }

@@ -323,7 +323,36 @@ class PlanSpec extends SparkSuite {
       "q_time_heatmap" -> "shuffle=2,broadcast=0",
       "q_text_readability" -> "shuffle=2,broadcast=0",
       "q_stat_theilsen" ->
-        "shuffle=2,broadcast=1,BroadcastNestedLoopJoin=1")
+        "shuffle=2,broadcast=1,BroadcastNestedLoopJoin=1",
+      // round-11 fifth pass. kendall: the (st,qty,disc) histogram is the
+      // ONE row-scale exchange; the strict-x cell join and the final
+      // assembly all ride broadcast support frames (the 5 post-histogram
+      // exchanges carry ≤550 cells/group)
+      "q_stat_kendall" -> "shuffle=6,broadcast=3,BroadcastHashJoin=3",
+      // cuped: per-customer rollup (row-scale) + 2-row arm aggregate +
+      // output sort; pooled pieces are windows on the arm frame
+      "q_stat_cuped" -> "shuffle=3,broadcast=0",
+      // gains: at pin scale the probe routes the global rank to the
+      // deliberate single-task sort (checkpointed scan — histogram
+      // machinery engages above directMax); Catalyst ELIMINATES the
+      // response left join under count(*) (distinct keys), and the 1-row
+      // total broadcasts into the trivial cross join
+      "q_stat_gains" -> "shuffle=2,broadcast=1,BroadcastNestedLoopJoin=1",
+      // forecast eval: day-count aggregate + 1-row summary; lag windows
+      // ride the calendar spine
+      "q_time_forecast_eval" -> "shuffle=2,broadcast=0",
+      // lifetable: per-customer rollup feeds BOTH the 1-row horizon (its
+      // own partial+final exchange pair, broadcast back) and the tenure
+      // histogram — the orders scan runs twice (the rfm horizon idiom);
+      // tenure windows ride the ≤80-row spine
+      "q_time_lifetable" ->
+        "shuffle=5,broadcast=1,BroadcastNestedLoopJoin=1",
+      // rules: per-basket set aggregate is the one row-scale exchange
+      // (checkpointed — supports/total/pairs reuse it); supports and the
+      // basket total broadcast into the rule assembly; top-k fuses to
+      // TakeOrdered over the item²-bounded rule frame
+      "q_basket_rules" ->
+        "shuffle=5,broadcast=3,BroadcastHashJoin=2,BroadcastNestedLoopJoin=1")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }

@@ -23,6 +23,8 @@ case class Ord(o_orderkey: Long, o_custkey: Long,
   * long — see StreamOps.cdcStream). */
 case class Chg(k: Long, seq: Int, op: String, p_e4: Long)
 
+case class Unit2(arm: Long, x: Long, y: Long)
+
 /** SURVEY §2.10 s_* streaming capabilities (§5.2.4): each Structured
   * Streaming op is asserted equal to its batch twin on the same fixture,
   * fed through MemoryStream with explicit watermark advancement.
@@ -1104,5 +1106,49 @@ class StreamingSpec extends SparkSuite {
     // successes 2 → d = 1·3 − 2·3 = −3, z²_num = 9·6 = 54,
     // z²_den = 3·3·3·3 = 81
     assert(got == Seq((3L, 1L, 3L, 2L, 54L, 81L)), s"hand check: $got")
+  }
+
+  test("s_stream_cuped: running per-arm CUPED pieces == the batch " +
+    "operator; theta derived from the state table matches batch cuped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // y ≈ 3x with small residuals so theta is non-trivial (≈3·10⁶)
+    val batch1 = Seq(Unit2(0L, 10L, 30L), Unit2(1L, 20L, 62L),
+      Unit2(0L, 30L, 91L))
+    val batch2 = Seq(Unit2(1L, 40L, 120L), Unit2(0L, 50L, 151L),
+      Unit2(1L, 60L, 179L))
+    def shape(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDecimal(4).toBigInteger.longValueExact,
+        r.getDecimal(5).toBigInteger.longValueExact)).toSeq
+    def pieces(rows: Seq[Unit2]) =
+      shape(StreamOps.cupedStream(rows.toDF()).orderBy("arm").collect())
+    val mem = MemoryStream[Unit2]
+    val q = StreamOps.cupedStream(mem.toDF()).writeStream
+      .format("memory").queryName("s_cuped").outputMode("complete").start()
+    mem.addData(batch1)
+    q.processAllAvailable()
+    val mid = shape(spark.table("s_cuped").orderBy("arm").collect())
+    assert(mid == pieces(batch1), s"mid-stream pieces diverged: $mid")
+    mem.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+    val got = shape(spark.table("s_cuped").orderBy("arm").collect())
+    assert(got == pieces(batch1 ++ batch2),
+      s"streaming CUPED pieces diverged: $got")
+    // theta derived from the state table (the dashboard arithmetic) must
+    // equal the batch operator's exact-truncated theta_micro
+    val n = got.map(_._2).sum; val sx = got.map(_._3).sum
+    val sy = got.map(_._4).sum
+    val sxx = got.map(t => BigInt(t._5)).sum
+    val sxy = got.map(t => BigInt(t._6)).sum
+    val num = (BigInt(n) * sxy - BigInt(sx) * sy) * 1000000
+    val den = BigInt(n) * sxx - BigInt(sx) * BigInt(sx)
+    val derived = (num / den).toLong // BigInt / truncates toward zero
+    val batchTheta = graft.operators.ExactStats
+      .cuped((batch1 ++ batch2).toDF(), "arm", "x", "y")
+      .select("theta_micro").distinct().collect().map(_.getLong(0)).toSeq
+    assert(batchTheta == Seq(derived),
+      s"derived theta $derived vs batch ${batchTheta.mkString(",")}")
   }
 }

@@ -811,4 +811,88 @@ class StressSpec extends SparkSuite {
     assert(num2 * den == (num + c * den) * den2,
       s"shear law broke: $num/$den + $c != $num2/$den2")
   }
+
+  test("KendallTau: hand-checked cells, monotone-relabel invariance, and " +
+    "cell-product scaling under row replication") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    // hand check: (1,1),(2,2),(3,1) → C=1 ((1,1)-(2,2)), D=1
+    // ((2,2)-(3,1)), tie-on-y-only ((1,1)-(3,1)); tx2=0, ty2=2
+    val tiny = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 1L))
+      .toDF("g", "x", "y")
+    val t = graft.operators.ExactStats.kendallTau(tiny, "g", "x", "y").head()
+    assert((t.getLong(1), t.getLong(2), t.getLong(3), t.getLong(4),
+      t.getLong(5), t.getLong(6)) == ((3L, 1L, 1L, 0L, 6L, 4L)),
+      s"hand check: $t")
+    // deterministic pseudo-random frame over a bounded support
+    def base(rep: Long): DataFrame = spark.range(4000 * rep)
+      .select(lit(0L).as("g"),
+        pmod(xxhash64(col("id") % 4000, lit(11)), lit(50L)).as("x"),
+        pmod(xxhash64(col("id") % 4000, lit(13)), lit(10L)).as("y"))
+    def row(df: DataFrame) = {
+      val r = graft.operators.ExactStats.kendallTau(df, "g", "x", "y").head()
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))
+    }
+    val one = row(base(1))
+    // tau depends only on the ORDER of x: squaring a non-negative x is
+    // monotone, so every output field is bit-identical
+    val sq = row(base(1).select(col("g"), (col("x") * col("x")).as("x"),
+      col("y")))
+    assert(sq == one, s"monotone relabel must be invariant: $sq vs $one")
+    // replicating every row 3× multiplies each cell count by 3, so the
+    // pairwise products scale by exactly 9 while n scales by 3 — the
+    // support² (not n²) work shape in one exact law
+    val three = row(base(3))
+    assert(three._1 == 3 * one._1, s"n must scale 3x: $three")
+    assert(three._2 == 9 * one._2 && three._3 == 9 * one._3,
+      s"C/D must scale 9x (cell products): $three vs $one")
+  }
+
+  test("BasketPairs.rules: hand-checked confidence/lift on a nested " +
+    "design, direction asymmetry preserved") {
+    // basket i: always A; B iff i%2=0; C iff i%4=0 ⇒ supp A=n, B=n/2,
+    // C=n/4, AB=n/2, AC=n/4, BC=n/4. Then conf(B→A)=1 with lift 1,
+    // conf(C→B)=1 with lift 2, conf(B→C)=1/2, conf(A→B)=1/2 with lift 1.
+    val n = 400L
+    val b = spark.range(n).select(col("id").as("k"), lit("A").as("it"))
+      .unionAll(spark.range(n).filter(col("id") % 2 === 0)
+        .select(col("id").as("k"), lit("B").as("it")))
+      .unionAll(spark.range(n).filter(col("id") % 4 === 0)
+        .select(col("id").as("k"), lit("C").as("it")))
+    val got = graft.operators.BasketPairs.rules(b, "k", "it", 100)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got(("B", "A")) == ((n / 2, n / 2, 1.0, 1.0)), s"B→A: $got")
+    assert(got(("C", "B")) == ((n / 4, n / 4, 1.0, 2.0)), s"C→B: $got")
+    assert(got(("B", "C")) == ((n / 4, n / 2, 0.5, 2.0)), s"B→C: $got")
+    assert(got(("A", "B")) == ((n / 2, n, 0.5, 1.0)), s"A→B: $got")
+    // every confidence is a probability; lift symmetric per pair
+    got.values.foreach { case (_, _, c, _) => assert(c > 0 && c <= 1.0) }
+    assert(got(("C", "B"))._4 == got(("B", "C"))._4)
+  }
+
+  test("life table + forecast eval: conservation laws over the gated " +
+    "fixture queries") {
+    val d = sf("0.001")
+    val lt = SparkEntry.queries("q_time_lifetable")(spark, d).collect()
+    val nCust = graft.core.Tables.orders(spark, d)
+      .select("o_custkey").distinct().count()
+    // every customer exits exactly once (churned or censored), the
+    // at-risk column starts at N and never increases as tenure grows
+    assert(lt.map(r => r.getLong(2) + r.getLong(3)).sum == nCust)
+    assert(lt.map(_.getLong(1)).max == nCust)
+    val atRisk = lt.sortBy(_.getLong(0)).map(_.getLong(1))
+    assert(atRisk.zip(atRisk.tail).forall { case (a, b) => a >= b },
+      "at-risk must be non-increasing in tenure")
+    val fe = SparkEntry.queries("q_time_forecast_eval")(spark, d).head()
+    val nDays = graft.core.Tables.events(spark, d)
+      .select(date_trunc("day", col("ts"))).distinct().count()
+    assert(fe.getLong(0) == nDays - 7,
+      s"term domain must be the gapless spine minus the longest lag: $fe")
+    assert(fe.getDouble(3) ==
+      fe.getLong(2).toDouble / fe.getLong(1).toDouble)
+  }
 }
