@@ -172,6 +172,22 @@ object Graft {
       * (slope_num, slope_den) plus the one-divide double. */
     def theilSen(series: DataFrame, x: String, y: String): DataFrame =
       ExactStats.theilSen(series, x, y)
+    /** Kendall tau-b per group over integer-quantized (x, y): exact
+      * concordance counts off the joint value histogram (support², not
+      * n², cell pairs); tau_b = 2·tau_num/√(den_x_x2·den_y_x2). */
+    def kendallTau(df: DataFrame, group: String, x: String,
+                   y: String): DataFrame =
+      ExactStats.kendallTau(df, group, x, y)
+    /** CUPED variance-reduced A/B readout over unit-level (arm, x, y)
+      * with integral covariate/metric: per arm the raw and adjusted
+      * means, θ exact-truncated to micros. */
+    def cuped(df: DataFrame, arm: String, x: String, y: String): DataFrame =
+      ExactStats.cuped(df, arm, x, y)
+    /** Association rules a → b over baskets: top-k by confidence with
+      * exact supports and single-divide lift. */
+    def basketRules(df: DataFrame, basket: String, item: String,
+                    k: Int): DataFrame =
+      BasketPairs.rules(df, basket, item, k)
   }
 
   /** Re-identification-risk audits over quasi-identifier groupings. */

@@ -235,4 +235,36 @@ class ApiSpec extends SparkSuite {
     assert((r.getLong(1), r.getLong(2)) == ((1L, 2L)), "median slope 1/2")
     assert(r.getDouble(3) == 0.5)
   }
+
+  test("stats group: Kendall tau-b on a hand-checked frame") {
+    // (1,1),(2,2),(3,1): C=1, D=1, one tie-on-y pair → tau_num 0,
+    // den_x_x2 = 6 (x all distinct), den_y_x2 = 6 − 2 = 4
+    val df = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 1L))
+      .toDF("g", "x", "y")
+    val r = Graft.stats.kendallTau(df, "g", "x", "y").head()
+    assert((r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((3L, 0L, 6L, 4L)))
+  }
+
+  test("stats group: CUPED theta and adjustment on an exact-linear " +
+    "sample") {
+    // y = 3x exactly ⇒ θ = 3.000000 and BOTH adjusted means collapse to
+    // 3·x̄ (the whole arm difference was covariate imbalance)
+    val units = Seq((0L, 10L, 30L), (0L, 30L, 90L), (1L, 20L, 60L),
+      (1L, 60L, 180L)).toDF("arm", "x", "y")
+    val rows = Graft.stats.cuped(units, "arm", "x", "y")
+      .orderBy("arm").collect()
+    assert(rows.map(_.getLong(4)).toSeq == Seq(3000000L, 3000000L))
+    val xbar = (10 + 30 + 20 + 60) / 4.0
+    rows.foreach(r => assert(r.getDouble(6) == 3.0 * xbar,
+      s"adjusted mean must be 3·x̄: $r"))
+  }
+
+  test("stats group: association rules direction asymmetry") {
+    // A in both baskets, B in one → conf(B→A) = 1, conf(A→B) = 1/2
+    val b = Seq((1L, "A"), (1L, "B"), (2L, "A")).toDF("k", "it")
+    val got = Graft.stats.basketRules(b, "k", "it", 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(got == Map(("B", "A") -> 1.0, ("A", "B") -> 0.5))
+  }
 }
