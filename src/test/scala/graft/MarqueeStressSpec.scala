@@ -994,4 +994,53 @@ class MarqueeStressSpec extends AnyFunSuite {
       spark.sparkContext.removeSparkListener(listener)
     }
   }
+
+  test("16M-row Kendall: shuffle rides the joint support, and the " +
+    "distributed concordance equals a driver-side fold", Marquee) {
+    // q_stat_kendall's design claim, measured: the fact collapses to a
+    // (x, y) joint histogram by map-side combine (support 50·20 = 1000
+    // cells here — bounded by the VALUE DOMAIN, exactly as quantities/
+    // discount bands are at 100 TB), so shuffle volume is support ×
+    // map partitions, never rows, and the support² cell-pair join runs
+    // on metadata. Exactness gate: C and D recomputed by a driver-side
+    // O(support²) fold over the same collected histogram.
+    val n = 16000000L
+    val rows = spark.range(n).select(lit(0L).as("g"),
+      pmod(xxhash64(col("id"), lit(3)), lit(50L)).as("x"),
+      pmod(xxhash64(col("id"), lit(7)), lit(20L)).as("y"))
+    val recs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        recs.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+      recs.set(0)
+      val (r, secs) = timed(graft.operators.ExactStats
+        .kendallTau(rows, "g", "x", "y").collect().head)
+      org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+      val wire = recs.get()
+      assert(r.getLong(1) == n, "histogram lost rows")
+      assert(wire * 4 < n,
+        s"Kendall shuffled $wire records for $n rows — support bound broken")
+      // independent driver-side O(support²) fold over the histogram
+      val h = rows.groupBy("x", "y").count()
+        .collect().map(q => (q.getLong(0), q.getLong(1), q.getLong(2)))
+      var conc = BigInt(0); var disc = BigInt(0)
+      for (a <- h; b <- h if a._1 < b._1) {
+        if (a._2 < b._2) conc += BigInt(a._3) * b._3
+        else if (a._2 > b._2) disc += BigInt(a._3) * b._3
+      }
+      assert(BigInt(r.getLong(2)) == conc && BigInt(r.getLong(3)) == disc,
+        s"distributed C/D (${r.getLong(2)}, ${r.getLong(3)}) != " +
+          s"driver fold ($conc, $disc)")
+      info(f"16M-row Kendall in $secs%.1f s: $wire shuffle records " +
+        f"(${n / math.max(wire, 1)}%d× under row count), " +
+        s"C=$conc D=$disc over ${h.length} cells")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
 }
