@@ -788,6 +788,87 @@ object EventQueries {
           "CASE WHEN sae_naive = 0 THEN NULL" +
             " ELSE CAST(sae_seasonal AS DOUBLE)" +
             " / CAST(sae_naive AS DOUBLE) END AS mase")
+    },
+
+    // Burstiness screen: the index of dispersion (variance-to-mean
+    // ratio) of each event type's daily volume — ≈1 for a Poisson
+    // (memoryless) arrival process, ≫1 for bursty traffic; the
+    // monitoring statistic behind rate-limit and capacity alarms. The
+    // ratio is the exact integer rational (d·Σx² − T²)/((d−1)·T)
+    // (sample variance over mean with the d/(d−1) factors cancelled
+    // through), emitted as BIGINT pieces plus the one-divide double.
+    //
+    // Scale shape: the (type, day) count is the only row-scale exchange
+    // (map-side combinable); the per-type rollup is 5 × calendar cells.
+    // LONG arithmetic holds to ~3·10⁹ events/day·type; loud beyond.
+    Q("q_time_dispersion",
+      """WITH d AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      AS day,
+        |    COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(x) AS BIGINT) AS n_events,
+        |  CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT)
+        |    AS disp_num,
+        |  CAST((COUNT(*) - 1) * SUM(x) AS BIGINT) AS disp_den,
+        |  CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+        |    / CAST((COUNT(*) - 1) * SUM(x) AS DOUBLE) AS dispersion
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("x").as("t"),
+          sum(col("x") * col("x")).as("sxx"))
+        .selectExpr("event_type", "CAST(cnt AS BIGINT) AS n_days",
+          "CAST(t AS BIGINT) AS n_events",
+          "CAST(cnt * sxx - t * t AS BIGINT) AS disp_num",
+          "CAST((cnt - 1) * t AS BIGINT) AS disp_den",
+          "CAST(cnt * sxx - t * t AS DOUBLE)" +
+            " / CAST((cnt - 1) * t AS DOUBLE) AS dispersion")
+        .orderBy("event_type")
+    },
+
+    // Product-analytics stickiness (the DAU/MAU idiom, per event type):
+    // average daily active users over the horizon divided by the
+    // horizon's total active users — how much of the audience returns
+    // daily. stickiness = user_days/(n_days·mau), one IEEE divide on
+    // exact counts.
+    //
+    // Scale shape: the distinct (type, day, user) frame is the one
+    // row-scale exchange; the per-type rollup runs its two COUNT
+    // (DISTINCT)s as a bounded expand over that deduped frame (pairs-
+    // bounded, 2× — the grouping-sets idiom), never over raw events.
+    Q("q_event_stickiness",
+      """WITH du AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS user_days,
+        |  CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau,
+        |  CAST(COUNT(*) AS DOUBLE)
+        |    / CAST(COUNT(DISTINCT day) * COUNT(DISTINCT user_id) AS DOUBLE)
+        |    AS stickiness
+        |FROM du GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+          col("user_id"))
+        .distinct()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("ud"),
+          countDistinct(col("day")).as("nd"),
+          countDistinct(col("user_id")).as("mau"))
+        .selectExpr("event_type", "CAST(ud AS BIGINT) AS user_days",
+          "CAST(nd AS BIGINT) AS n_days", "CAST(mau AS BIGINT) AS mau",
+          "CAST(ud AS DOUBLE) / CAST(nd * mau AS DOUBLE) AS stickiness")
+        .orderBy("event_type")
     }
   )
 }

@@ -1274,6 +1274,131 @@ object StatQueries {
           "CAST(cum_resp AS DOUBLE) / CAST(rr AS DOUBLE) AS cum_gain",
           "CAST(n_resp * nn AS DOUBLE) / CAST(n * rr AS DOUBLE) AS lift")
         .orderBy("decile")
+    },
+
+    // Score-calibration table: bucket a score (event value, fixed $50
+    // bands — fixed bands, not quantiles, so refreshes don't drift) and
+    // report the observed positive rate per band against the band's
+    // average score — the reliability-diagram data behind "is this
+    // model's 0.8 really an 80%?". Rates and averages are single IEEE
+    // divides on exact integers. The band index is trunc-division
+    // written (c − c%5000)/5000 — the exactly-divisible `/` is
+    // IEEE-exact in both engines (the q_privacy_kanon discipline).
+    //
+    // Scale shape: ONE map-side-combinable band aggregate (≤10 cells at
+    // the fixture domain, value-domain-bounded anywhere); nothing else
+    // moves.
+    Q("q_stat_calibration",
+      """WITH s AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |b AS (
+        |  SELECT CAST((cents - cents % 5000) / 5000 AS BIGINT) AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |  FROM s GROUP BY 1)
+        |SELECT band, n, n_pos,
+        |  CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) AS avg_cents,
+        |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate
+        |FROM b ORDER BY band""".stripMargin) { (s, d) =>
+      val src = Tables.events(s, d)
+        .select((col("value").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("cents"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("pos"))
+      src
+        .groupBy(((col("cents") - col("cents") % 5000) / 5000)
+          .cast(LongType).as("band"))
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum("pos").cast(LongType).as("n_pos"),
+          sum("cents").cast(LongType).as("sum_cents"))
+        .selectExpr("band", "n", "n_pos",
+          "CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) AS avg_cents",
+          "CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate")
+        .orderBy("band")
+    },
+
+    // Decision-stump split evaluation: for every candidate threshold
+    // over the $1000 balance bands, the Gini impurity gain of splitting
+    // customers into (≤t, >t) against the has-finalized-order label —
+    // the tree-learner inner loop (and the feature-usefulness screen)
+    // as ONE aggregation + spine windows. Counts are exact; each
+    // impurity is the fixed tree 2·pos·neg/n (single divide per side),
+    // exact to ~10⁸ rows per side (2·pos·neg < 2⁵³ — loud FP
+    // discrepancy never occurs below that because both engines run the
+    // identical IEEE ops).
+    //
+    // Scale shape: the label join is co-partitioned on custkey, the
+    // band histogram is the one domain-bounded aggregate (≤11 cells),
+    // and the threshold sweep is cumulative windows over that spine —
+    // no per-threshold rescan (the naive form scans once per candidate).
+    Q("q_stat_split_gain",
+      """WITH f AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |r AS (
+        |  SELECT CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CASE WHEN f.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+        |  FROM customer c LEFT JOIN f ON c.c_custkey = f.o_custkey),
+        |h AS (
+        |  SELECT CAST((cents - cents % 100000) / 100000 AS BIGINT) AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS n_b,
+        |    CAST(SUM(y) AS BIGINT) AS pos_b
+        |  FROM r GROUP BY 1),
+        |c AS (
+        |  SELECT band,
+        |    SUM(n_b) OVER (ORDER BY band) AS n_l,
+        |    SUM(pos_b) OVER (ORDER BY band) AS pos_l,
+        |    SUM(n_b) OVER () AS n, SUM(pos_b) OVER () AS pos
+        |  FROM h)
+        |SELECT band AS threshold_band,
+        |  CAST(n_l AS BIGINT) AS n_left, CAST(pos_l AS BIGINT) AS pos_left,
+        |  CAST(n - n_l AS BIGINT) AS n_right,
+        |  CAST(pos - pos_l AS BIGINT) AS pos_right,
+        |  CAST(2 * pos * (n - pos) AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - (CAST(2 * pos_l * (n_l - pos_l) AS DOUBLE)
+        |        / CAST(n_l AS DOUBLE)
+        |       + CAST(2 * (pos - pos_l) * ((n - n_l) - (pos - pos_l))
+        |           AS DOUBLE) / CAST(n - n_l AS DOUBLE)) AS gini_gain_x_n
+        |FROM c WHERE n_l < n ORDER BY threshold_band""".stripMargin) {
+      (s, d) =>
+      val f = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("fk")).distinct()
+      val r = Tables.customer(s, d)
+        .join(f, col("c_custkey") === col("fk"), "left")
+        .select((col("c_acctbal").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("cents"),
+          when(col("fk").isNotNull, 1L).otherwise(0L).as("y"))
+      val h = r
+        .groupBy(((col("cents") - col("cents") % 100000) / 100000)
+          .cast(LongType).as("band"))
+        .agg(count(lit(1)).cast(LongType).as("n_b"),
+          sum("y").cast(LongType).as("pos_b"))
+      val wCum = Window.orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy()
+      h.select(col("band"),
+          sum("n_b").over(wCum).as("n_l"),
+          sum("pos_b").over(wCum).as("pos_l"),
+          sum("n_b").over(wAll).as("n"),
+          sum("pos_b").over(wAll).as("pos"))
+        .where(col("n_l") < col("n"))
+        .selectExpr("band AS threshold_band",
+          "CAST(n_l AS BIGINT) AS n_left",
+          "CAST(pos_l AS BIGINT) AS pos_left",
+          "CAST(n - n_l AS BIGINT) AS n_right",
+          "CAST(pos - pos_l AS BIGINT) AS pos_right",
+          "CAST(2 * pos * (n - pos) AS DOUBLE) / CAST(n AS DOUBLE)" +
+            " - (CAST(2 * pos_l * (n_l - pos_l) AS DOUBLE)" +
+            "     / CAST(n_l AS DOUBLE)" +
+            "    + CAST(2 * (pos - pos_l) * ((n - n_l) - (pos - pos_l))" +
+            "        AS DOUBLE) / CAST(n - n_l AS DOUBLE))" +
+            " AS gini_gain_x_n")
+        .orderBy("threshold_band")
     }
   )
 }
