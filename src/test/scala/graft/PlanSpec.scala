@@ -352,7 +352,18 @@ class PlanSpec extends SparkSuite {
       // basket total broadcast into the rule assembly; top-k fuses to
       // TakeOrdered over the item²-bounded rule frame
       "q_basket_rules" ->
-        "shuffle=5,broadcast=3,BroadcastHashJoin=2,BroadcastNestedLoopJoin=1")
+        "shuffle=5,broadcast=3,BroadcastHashJoin=2,BroadcastNestedLoopJoin=1",
+      // calibration/dispersion/stickiness: ONE row-scale exchange each
+      // (band histogram / (type,day) count / distinct (type,day,user));
+      // rollups and sorts ride domain-bounded frames (stickiness adds
+      // the two-distinct expand's second pass over the deduped frame)
+      "q_stat_calibration" -> "shuffle=2,broadcast=0",
+      "q_time_dispersion" -> "shuffle=3,broadcast=0",
+      "q_event_stickiness" -> "shuffle=4,broadcast=0",
+      // split gain: the label join broadcasts at fixture scale (AQE
+      // election — co-partitioned SMJ at 100 TB); the band histogram is
+      // domain-bounded and the threshold sweep rides its spine
+      "q_stat_split_gain" -> "shuffle=3,broadcast=1,BroadcastHashJoin=1")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
