@@ -188,6 +188,12 @@ object Graft {
     def basketRules(df: DataFrame, basket: String, item: String,
                     k: Int): DataFrame =
       BasketPairs.rules(df, basket, item, k)
+    /** Fixed-band score-calibration table over unit-level (score, pos)
+      * with an integral score: per band count, positives, average score
+      * and observed rate. Streaming-legal as-is. */
+    def calibration(df: DataFrame, score: String, pos: String,
+                    bandWidth: Long): DataFrame =
+      ExactStats.calibration(df, score, pos, bandWidth)
   }
 
   /** Re-identification-risk audits over quasi-identifier groupings. */

@@ -155,6 +155,25 @@ object ExactStats {
         "CASE WHEN z2_den = 0 THEN NULL " +
           "ELSE CAST(z2_num AS DOUBLE) / CAST(z2_den AS DOUBLE) END AS z2")
 
+  /** Score-calibration bands over unit-level (score, pos) rows with an
+    * INTEGRAL score (quantize to cents upstream): fixed-width bands
+    * (trunc-division via the exactly-divisible `/` — IEEE-exact both
+    * engines), per band the count, positives, average score and observed
+    * positive rate (single IEEE divides on exact sums). ONE map-side-
+    * combinable aggregate over a value-domain-bounded band spine — and
+    * streaming-legal as-is (StreamOps.calibrationStream reuses this
+    * verbatim; state = one counter row per band). */
+  def calibration(df: DataFrame, score: String, pos: String,
+      bandWidth: Long): DataFrame =
+    df.groupBy(((col(score) - col(score) % bandWidth) / bandWidth)
+        .cast(LongType).as("band"))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(col(pos)).cast(LongType).as("n_pos"),
+        sum(col(score)).cast(LongType).as("sum_score"))
+      .selectExpr("band", "n", "n_pos",
+        "CAST(sum_score AS DOUBLE) / CAST(n AS DOUBLE) AS avg_score",
+        "CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate")
+
   /** Per-arm CUPED pieces over unit-level (arm, x, y) rows with INTEGRAL
     * x (pre-period covariate) and y (experiment metric), both quantized
     * to cents upstream: one conditional-sum aggregate emitting

@@ -456,6 +456,17 @@ object SparkDialect {
         |            ELSE ((sy*den - num*sx) * 100)  div  (CAST(n AS DECIMAL(38,0))*den)
         |       END AS BIGINT) AS intercept_e2
         |FROM f ORDER BY l_linenumber""".stripMargin,
+    "q_dedup_overlap" ->
+      """WITH f AS (
+        |  SELECT DISTINCT source,
+        |    md5(array_join(array_sort(array_distinct(
+        |      split(text, ' '))), ' ')) AS fp
+        |  FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY a.source, b.source
+        |ORDER BY src_a, src_b""".stripMargin,
     "q_stat_cuped" ->
       """WITH m AS (
         |  SELECT o_custkey AS k,

@@ -1309,15 +1309,8 @@ object StatQueries {
             .cast(LongType).as("cents"),
           when(col("event_type") === "purchase", 1L).otherwise(0L)
             .as("pos"))
-      src
-        .groupBy(((col("cents") - col("cents") % 5000) / 5000)
-          .cast(LongType).as("band"))
-        .agg(count(lit(1)).cast(LongType).as("n"),
-          sum("pos").cast(LongType).as("n_pos"),
-          sum("cents").cast(LongType).as("sum_cents"))
-        .selectExpr("band", "n", "n_pos",
-          "CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) AS avg_cents",
-          "CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate")
+      graft.operators.ExactStats.calibration(src, "cents", "pos", 5000L)
+        .withColumnRenamed("avg_score", "avg_cents")
         .orderBy("band")
     },
 

@@ -251,6 +251,73 @@ object TextQueries {
             (acc, x) => acc + floor(x.cast("double") * 1000000).cast("long"))
             .as("checksum"))
         .orderBy("doc_id")
+    },
+
+    // Duplicate-cluster size profile: the dedup-rate report every corpus
+    // curation pass publishes — how many exact-content clusters exist at
+    // each multiplicity (md5 keying, the q_dedup_exact discipline).
+    // Correct in both regimes the fixture plants (FIXTURES.md: 0 dups at
+    // sf0.01 → one all-singleton row; 8 at sf0.1 → a real size tail).
+    //
+    // Scale shape: the md5 rollup is the one row-scale exchange
+    // (128-bit keys, no text moves); the size histogram is multiplicity-
+    // bounded. Both aggregates combine map-side.
+    Q("q_dedup_profile",
+      """WITH g AS (
+        |  SELECT md5(text) AS fp, COUNT(*) AS sz
+        |  FROM documents GROUP BY md5(text))
+        |SELECT CAST(sz AS BIGINT) AS cluster_size,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+        |FROM g GROUP BY sz ORDER BY cluster_size""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").cast("long").as("cluster_size"))
+        .agg(count(lit(1)).cast("long").as("n_clusters"))
+        .selectExpr("cluster_size", "n_clusters",
+          "CAST(cluster_size * n_clusters AS BIGINT) AS n_docs")
+        .orderBy("cluster_size")
+    },
+
+    // Cross-source content-overlap matrix: for every source pair, how
+    // many CONTENT fingerprints (md5 of the sorted distinct word set —
+    // order- and repetition-insensitive, so rewordings of the same
+    // vocabulary collide) appear in BOTH — the "are these two feeds
+    // copying each other" contamination screen, one level above
+    // per-document dedup.
+    //
+    // Scale shape: the distinct (fingerprint, source) frame is the one
+    // row-scale exchange; pair expansion is ROW-LOCAL over each
+    // fingerprint's ≤|sources| set (the BasketPairs discipline —
+    // never a fingerprint self-join), and the matrix rollup is
+    // |sources|²-bounded. Oracle says list_*/string_split (DuckDB);
+    // the Spark twin says array_*/split.
+    Q("q_dedup_overlap",
+      """WITH f AS (
+        |  SELECT DISTINCT source,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split(text, ' '))), ' ')) AS fp
+        |  FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY a.source, b.source
+        |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+      val f = Tables.documents(s, d)
+        .select(col("source"),
+          md5(array_join(array_sort(array_distinct(
+            split(col("text"), " "))), " ")).as("fp"))
+        .distinct()
+      f.groupBy("fp")
+        .agg(array_sort(collect_set(col("source"))).as("ss"))
+        .select(explode(flatten(expr(
+          """transform(ss, (x, i) ->
+            |  transform(slice(ss, i + 2, size(ss) - i - 1),
+            |    y -> struct(x AS sa, y AS sb)))""".stripMargin))).as("p"))
+        .groupBy(col("p.sa").as("src_a"), col("p.sb").as("src_b"))
+        .agg(count(lit(1)).cast("long").as("n_shared"))
+        .orderBy("src_a", "src_b")
     }
   )
 }

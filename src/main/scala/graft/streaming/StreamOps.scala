@@ -742,4 +742,20 @@ object StreamOps {
   def cupedStream(units: DataFrame, arm: String = "arm",
       x: String = "x", y: String = "y"): DataFrame =
     graft.operators.ExactStats.cupedArms(units, arm, x, y)
+
+  /** Streaming calibration monitor (s_stream_calibration): the live
+    * reliability table — per fixed score band the running count,
+    * positives and observed rate over ingest, the drift alarm for a
+    * deployed model's scores. [[graft.operators.ExactStats.calibration]]
+    * reused VERBATIM: one banded conditional-sum aggregate is
+    * streaming-legal as-is, so state is one counter row per band
+    * (value-domain-bounded) at any corpus size; the rate columns are
+    * stateless projections. Complete mode; gated against the batch
+    * operator on everything ingested (StreamingSpec). */
+  def calibrationStream(events: DataFrame): DataFrame =
+    graft.operators.ExactStats.calibration(
+      events.select(
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos")),
+      "cents", "pos", 5000L)
 }

@@ -363,7 +363,13 @@ class PlanSpec extends SparkSuite {
       // split gain: the label join broadcasts at fixture scale (AQE
       // election — co-partitioned SMJ at 100 TB); the band histogram is
       // domain-bounded and the threshold sweep rides its spine
-      "q_stat_split_gain" -> "shuffle=3,broadcast=1,BroadcastHashJoin=1")
+      "q_stat_split_gain" -> "shuffle=3,broadcast=1,BroadcastHashJoin=1",
+      // dedup profile/overlap: the md5 rollup / distinct (fp, source)
+      // frame is the one row-scale exchange; the size histogram and the
+      // |sources|²-bounded matrix (row-local pair expansion) add only
+      // domain-bounded exchanges
+      "q_dedup_profile" -> "shuffle=3,broadcast=0",
+      "q_dedup_overlap" -> "shuffle=3,broadcast=0")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }

@@ -1151,4 +1151,41 @@ class StreamingSpec extends SparkSuite {
     assert(batchTheta == Seq(derived),
       s"derived theta $derived vs batch ${batchTheta.mkString(",")}")
   }
+
+  test("s_stream_calibration: running band table == the batch operator " +
+    "on everything ingested") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val day0 = java.time.LocalDateTime.of(2024, 1, 1, 8, 0)
+    // values straddle the $50 band edges; purchases in two bands
+    val batch1 = Seq(Ev(1L, day0, 1L, "purchase", 12.0),
+      Ev(2L, day0.plusMinutes(1), 2L, "click", 61.5),
+      Ev(3L, day0.plusMinutes(2), 3L, "view", 49.99))
+    val batch2 = Seq(Ev(4L, day0.plusMinutes(3), 4L, "purchase", 75.25),
+      Ev(5L, day0.plusMinutes(4), 1L, "click", 12.0))
+    def shape(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    def table(rows: Seq[Ev]) =
+      shape(StreamOps.calibrationStream(rows.toDF())
+        .orderBy("band").collect())
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.calibrationStream(mem.toDF()).writeStream
+      .format("memory").queryName("s_calib").outputMode("complete").start()
+    mem.addData(batch1)
+    q.processAllAvailable()
+    val mid = shape(spark.table("s_calib").orderBy("band").collect())
+    assert(mid == table(batch1), s"mid-stream table diverged: $mid")
+    mem.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+    val got = shape(spark.table("s_calib").orderBy("band").collect())
+    assert(got == table(batch1 ++ batch2),
+      s"streaming calibration diverged: $got")
+    // hand check: band 0 holds 12.00×2 and 49.99 (one purchase of 3),
+    // band 1 holds 61.50 and 75.25 (one purchase of 2)
+    assert(got == Seq(
+      (0L, 3L, 1L, (1200.0 + 1200.0 + 4999.0) / 3.0, 1.0 / 3.0),
+      (1L, 2L, 1L, (6150.0 + 7525.0) / 2.0, 0.5)), s"hand check: $got")
+  }
 }
