@@ -869,6 +869,61 @@ object EventQueries {
           "CAST(nd AS BIGINT) AS n_days", "CAST(mau AS BIGINT) AS mau",
           "CAST(ud AS DOUBLE) / CAST(nd * mau AS DOUBLE) AS stickiness")
         .orderBy("event_type")
+    },
+
+    // Autocorrelation-function profile of the daily volume series, lags
+    // 1–14: per lag the EXACT Pearson pieces (n·Σxy − ΣxΣy numerator
+    // and both variance numerators over the lag's pair domain) — the
+    // q_time_autocorr design swept across a lag spine in ONE query;
+    // acf_k = cov/√(va·vb) stays caller-side (no sqrt in oracles). The
+    // weekly cycle shows as a lag-7/14 peak; the series' memory length
+    // falls out of where the profile dies.
+    //
+    // Scale shape: the day count is the one row-scale exchange; the
+    // lag pairs come from a band self-join of the ~30-row day spine
+    // (≤14·|spine| pairs — calendar-bounded metadata at any corpus
+    // size), and the per-lag rollup is a ≤14-key aggregate.
+    Q("q_time_acf",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |i AS (SELECT x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM d),
+        |p AS (
+        |  SELECT b.rn - a.rn AS lag, a.x AS xa, b.x AS xb
+        |  FROM i a JOIN i b ON b.rn > a.rn AND b.rn - a.rn <= 14)
+        |SELECT lag AS lag_days, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(COUNT(*) * SUM(xa * xb) - SUM(xa) * SUM(xb) AS BIGINT)
+        |    AS cov_num,
+        |  CAST(COUNT(*) * SUM(xa * xa) - SUM(xa) * SUM(xa) AS BIGINT)
+        |    AS var_a_num,
+        |  CAST(COUNT(*) * SUM(xb * xb) - SUM(xb) * SUM(xb) AS BIGINT)
+        |    AS var_b_num
+        |FROM p GROUP BY lag ORDER BY lag_days""".stripMargin) { (s, d) =>
+      val days = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz")
+          .as("day"))
+        .agg(count(lit(1)).cast("long").as("x"))
+      val i = days.select(col("x"),
+        row_number().over(Window.orderBy("day")).cast("long").as("rn"))
+        // the spine feeds both self-join sides — checkpoint so the
+        // events scan runs once (the theilSen caller contract)
+        .localCheckpoint()
+      val a = i.toDF("xa", "rna")
+      val b = i.toDF("xb", "rnb")
+      a.join(broadcast(b),
+          col("rnb") > col("rna") && col("rnb") - col("rna") <= 14)
+        .select((col("rnb") - col("rna")).as("lag"), col("xa"), col("xb"))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("cnt"), sum("xa").as("sa"),
+          sum("xb").as("sb"), sum(col("xa") * col("xb")).as("sab"),
+          sum(col("xa") * col("xa")).as("saa"),
+          sum(col("xb") * col("xb")).as("sbb"))
+        .selectExpr("lag AS lag_days", "CAST(cnt AS BIGINT) AS n_pairs",
+          "CAST(cnt * sab - sa * sb AS BIGINT) AS cov_num",
+          "CAST(cnt * saa - sa * sa AS BIGINT) AS var_a_num",
+          "CAST(cnt * sbb - sb * sb AS BIGINT) AS var_b_num")
+        .orderBy("lag_days")
     }
   )
 }

@@ -368,6 +368,93 @@ object MaintenanceQueries {
           col("r.n_checked").as("n_checked"),
           col("r.n_violations").as("n_violations"))
         .orderBy("rule")
+    },
+
+    // Snapshot-profile drift: the per-metric comparison a pipeline runs
+    // between the current and previous slice before publishing —
+    // row/entity counts, exact-cents min/max/sum of the measure — here
+    // pre-1998 vs 1998+ orders. Both sides come from ONE conditional
+    // aggregate (never two scans), and every value is an exact integer
+    // < 2⁵³ emitted as DOUBLE, so the frame is bit-stable cross-engine.
+    //
+    // Scale shape: one map-side-combinable aggregate over the fact (the
+    // two COUNT(DISTINCT)s expand the single pass ×2 — bounded); the
+    // metric unpivot is row-local over the 1-row stats frame (stack on
+    // the engine side, the UNION ALL spelling in the dual-ANSI oracle —
+    // DuckDB materializes the CTE; Spark's census run inlines it, which
+    // is correct just redundant, and the gated DataFrame path is the
+    // one-pass plan).
+    Q("q_profile_drift",
+      """WITH s AS (
+        |  SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |      THEN 1 ELSE 0 END AS pre,
+        |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    o_custkey AS k
+        |  FROM orders),
+        |g AS (
+        |  SELECT CAST(SUM(pre) AS DOUBLE) AS n_pre,
+        |    CAST(COUNT(*) - SUM(pre) AS DOUBLE) AS n_post,
+        |    CAST(COUNT(DISTINCT CASE WHEN pre = 1 THEN k END) AS DOUBLE)
+        |      AS c_pre,
+        |    CAST(COUNT(DISTINCT CASE WHEN pre = 0 THEN k END) AS DOUBLE)
+        |      AS c_post,
+        |    CAST(MIN(CASE WHEN pre = 1 THEN cents END) AS DOUBLE)
+        |      AS min_pre,
+        |    CAST(MIN(CASE WHEN pre = 0 THEN cents END) AS DOUBLE)
+        |      AS min_post,
+        |    CAST(MAX(CASE WHEN pre = 1 THEN cents END) AS DOUBLE)
+        |      AS max_pre,
+        |    CAST(MAX(CASE WHEN pre = 0 THEN cents END) AS DOUBLE)
+        |      AS max_post,
+        |    CAST(SUM(CASE WHEN pre = 1 THEN cents ELSE 0 END) AS DOUBLE)
+        |      AS sum_pre,
+        |    CAST(SUM(CASE WHEN pre = 0 THEN cents ELSE 0 END) AS DOUBLE)
+        |      AS sum_post
+        |  FROM s)
+        |SELECT 'cents_max' AS metric, max_pre AS v_pre, max_post AS v_post
+        |  FROM g
+        |UNION ALL SELECT 'cents_min', min_pre, min_post FROM g
+        |UNION ALL SELECT 'cents_sum', sum_pre, sum_post FROM g
+        |UNION ALL SELECT 'n_customers', c_pre, c_post FROM g
+        |UNION ALL SELECT 'n_rows', n_pre, n_post FROM g
+        |ORDER BY metric""".stripMargin) { (s, d) =>
+      val src = Tables.orders(s, d)
+        .select(when(col("o_orderdate") <
+            lit("1998-01-01").cast("timestamp"), 1L).otherwise(0L)
+            .as("pre"),
+          (col("o_totalprice").cast("decimal(14,2)") * 100)
+            .cast("long").as("cents"),
+          col("o_custkey").as("k"))
+      src
+        .agg(
+          sum("pre").cast("double").as("n_pre"),
+          (count(lit(1)) - sum("pre")).cast("double").as("n_post"),
+          countDistinct(when(col("pre") === 1, col("k")))
+            .cast("double").as("c_pre"),
+          countDistinct(when(col("pre") === 0, col("k")))
+            .cast("double").as("c_post"),
+          min(when(col("pre") === 1, col("cents"))).cast("double")
+            .as("min_pre"),
+          min(when(col("pre") === 0, col("cents"))).cast("double")
+            .as("min_post"),
+          max(when(col("pre") === 1, col("cents"))).cast("double")
+            .as("max_pre"),
+          max(when(col("pre") === 0, col("cents"))).cast("double")
+            .as("max_post"),
+          sum(when(col("pre") === 1, col("cents")).otherwise(0L))
+            .cast("double").as("sum_pre"),
+          sum(when(col("pre") === 0, col("cents")).otherwise(0L))
+            .cast("double").as("sum_post"))
+        .selectExpr(
+          """stack(5,
+            |  'cents_max', max_pre, max_post,
+            |  'cents_min', min_pre, min_post,
+            |  'cents_sum', sum_pre, sum_post,
+            |  'n_customers', c_pre, c_post,
+            |  'n_rows', n_pre, n_post) AS (metric, v_pre, v_post)
+            |""".stripMargin)
+        .orderBy("metric")
     }
   )
 }

@@ -369,7 +369,14 @@ class PlanSpec extends SparkSuite {
       // |sources|²-bounded matrix (row-local pair expansion) add only
       // domain-bounded exchanges
       "q_dedup_profile" -> "shuffle=3,broadcast=0",
-      "q_dedup_overlap" -> "shuffle=3,broadcast=0")
+      "q_dedup_overlap" -> "shuffle=3,broadcast=0",
+      // acf: the day count is the one row-scale exchange; the lag pairs
+      // are a BNL band-join of the CHECKPOINTED ~30-row spine (events
+      // scanned once) and the per-lag rollup is ≤14 keys.
+      // profile drift: ONE conditional aggregate (the two distincts
+      // expand the same pass); the metric unpivot is a row-local stack
+      "q_time_acf" -> "shuffle=2,broadcast=1,BroadcastNestedLoopJoin=1",
+      "q_profile_drift" -> "shuffle=2,broadcast=0")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
