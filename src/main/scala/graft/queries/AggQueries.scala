@@ -826,6 +826,132 @@ object AggQueries {
         .select(col("st").as("l_linestatus"), col("n"),
           col("simpson_num"), col("simpson_den"))
         .orderBy("l_linestatus")
+    },
+
+    // Four-quantile summary (p25/p50/p75/p90) of line price per
+    // linenumber in ONE pass — the summary-stats table that heads every
+    // profiling report, with POSITIONAL (disc) quantiles: value at
+    // sorted position ⌈q·n/100⌉, the position computed by the
+    // exactly-divisible-`/` trunc trick ((x − x%100)/100, IEEE-exact in
+    // both engines — no dialect div, no interpolation, no FP position).
+    // Ties make the positional value well-defined regardless of tie
+    // order (the q_stat_winsorize argument).
+    //
+    // Scale shape: ONE (group, cents) histogram exchange (map-side
+    // combinable, support ≤ the cent domain); the cumulative window and
+    // the 4-position probes ride that histogram; the rollup is
+    // |groups|-bounded. No per-quantile rescans — all four come off the
+    // same cum column.
+    Q("q_agg_quartiles",
+      """WITH h AS (
+        |  SELECT l_linenumber AS g,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS v,
+        |    COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (
+        |  SELECT g, v, c,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    SUM(c) OVER (PARTITION BY g) AS n
+        |  FROM h)
+        |SELECT g AS l_linenumber, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MAX(CASE WHEN cum - c < (25 * n + 99 - (25 * n + 99) % 100) / 100
+        |    AND (25 * n + 99 - (25 * n + 99) % 100) / 100 <= cum
+        |    THEN v END) AS BIGINT) AS p25_cents,
+        |  CAST(MAX(CASE WHEN cum - c < (50 * n + 99 - (50 * n + 99) % 100) / 100
+        |    AND (50 * n + 99 - (50 * n + 99) % 100) / 100 <= cum
+        |    THEN v END) AS BIGINT) AS p50_cents,
+        |  CAST(MAX(CASE WHEN cum - c < (75 * n + 99 - (75 * n + 99) % 100) / 100
+        |    AND (75 * n + 99 - (75 * n + 99) % 100) / 100 <= cum
+        |    THEN v END) AS BIGINT) AS p75_cents,
+        |  CAST(MAX(CASE WHEN cum - c < (90 * n + 99 - (90 * n + 99) % 100) / 100
+        |    AND (90 * n + 99 - (90 * n + 99) % 100) / 100 <= cum
+        |    THEN v END) AS BIGINT) AS p90_cents
+        |FROM w GROUP BY g ORDER BY l_linenumber""".stripMargin) { (s, d) =>
+      val h = Tables.lineitem(s, d)
+        .groupBy(col("l_linenumber").as("g"),
+          (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val w = h.select(col("g"), col("v"), col("c"),
+        sum("c").over(Window.partitionBy("g").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)).as("cum"),
+        sum("c").over(Window.partitionBy("g")).as("n"))
+      def pos(q: Int) =
+        s"($q * n + 99 - ($q * n + 99) % 100) / 100"
+      def at(q: Int, name: String) =
+        expr(s"CAST(MAX(CASE WHEN cum - c < ${pos(q)} AND ${pos(q)} <= cum" +
+          s" THEN v END) AS BIGINT) AS $name")
+      w.groupBy("g")
+        .agg(max("n").cast(LongType).as("n"), at(25, "p25_cents"),
+          at(50, "p50_cents"), at(75, "p75_cents"), at(90, "p90_cents"))
+        .select(col("g").as("l_linenumber"), col("n"), col("p25_cents"),
+          col("p50_cents"), col("p75_cents"), col("p90_cents"))
+        .orderBy("l_linenumber")
+    },
+
+    // 10%-trimmed mean of line price per linenumber — the outlier-robust
+    // location estimate (between the mean and the median), computed
+    // EXACTLY on the value histogram: each cell contributes
+    // min(cum, k_hi) − max(cum − c, k_lo) clipped at 0 rows to the
+    // trimmed sum (pure integer clipping — no row ever re-sorts), with
+    // k_lo = ⌊n/10⌋ via the exactly-divisible-`/` trunc trick. The mean
+    // is the single IEEE divide of exact cents over the trimmed count.
+    //
+    // Scale shape: identical to q_agg_quartiles — ONE histogram
+    // exchange, cumulative window on the support, |groups|-bounded
+    // rollup. The naive form (rank window over raw rows + filter)
+    // shuffles and sorts the fact; this never does.
+    Q("q_agg_trimmed",
+      """WITH h AS (
+        |  SELECT l_linenumber AS g,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS v,
+        |    COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (
+        |  SELECT g, v, c,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    SUM(c) OVER (PARTITION BY g) AS n
+        |  FROM h),
+        |k AS (
+        |  SELECT g, v, c, cum, n,
+        |    CAST((10 * n - (10 * n) % 100) / 100 AS BIGINT) AS k_lo
+        |  FROM w)
+        |SELECT g AS l_linenumber, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MAX(n) - 2 * MAX(k_lo) AS BIGINT) AS n_trimmed,
+        |  CAST(SUM(v * GREATEST(CAST(0 AS BIGINT),
+        |    LEAST(cum, n - k_lo) - GREATEST(cum - c, k_lo))) AS BIGINT)
+        |    AS trimmed_cents,
+        |  CAST(SUM(v * GREATEST(CAST(0 AS BIGINT),
+        |    LEAST(cum, n - k_lo) - GREATEST(cum - c, k_lo))) AS DOUBLE)
+        |    / CAST(MAX(n) - 2 * MAX(k_lo) AS DOUBLE) AS trimmed_mean_cents
+        |FROM k GROUP BY g ORDER BY l_linenumber""".stripMargin) { (s, d) =>
+      val h = Tables.lineitem(s, d)
+        .groupBy(col("l_linenumber").as("g"),
+          (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val w = h.select(col("g"), col("v"), col("c"),
+        sum("c").over(Window.partitionBy("g").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)).as("cum"),
+        sum("c").over(Window.partitionBy("g")).as("n"))
+      w.selectExpr("g", "v", "c", "cum", "n",
+          "CAST((10 * n - (10 * n) % 100) / 100 AS BIGINT) AS k_lo")
+        .groupBy("g")
+        .agg(
+          expr("CAST(MAX(n) AS BIGINT) AS n"),
+          expr("CAST(MAX(n) - 2 * MAX(k_lo) AS BIGINT) AS n_trimmed"),
+          expr("CAST(SUM(v * GREATEST(CAST(0 AS BIGINT)," +
+            " LEAST(cum, n - k_lo) - GREATEST(cum - c, k_lo)))" +
+            " AS BIGINT) AS trimmed_cents"),
+          expr("CAST(SUM(v * GREATEST(CAST(0 AS BIGINT)," +
+            " LEAST(cum, n - k_lo) - GREATEST(cum - c, k_lo)))" +
+            " AS DOUBLE) / CAST(MAX(n) - 2 * MAX(k_lo) AS DOUBLE)" +
+            " AS trimmed_mean_cents"))
+        .select(col("g").as("l_linenumber"), col("n"), col("n_trimmed"),
+          col("trimmed_cents"), col("trimmed_mean_cents"))
+        .orderBy("l_linenumber")
     }
   )
 }

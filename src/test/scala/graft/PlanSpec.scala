@@ -376,7 +376,12 @@ class PlanSpec extends SparkSuite {
       // profile drift: ONE conditional aggregate (the two distincts
       // expand the same pass); the metric unpivot is a row-local stack
       "q_time_acf" -> "shuffle=2,broadcast=1,BroadcastNestedLoopJoin=1",
-      "q_profile_drift" -> "shuffle=2,broadcast=0")
+      "q_profile_drift" -> "shuffle=2,broadcast=0",
+      // quartiles/trimmed: ONE (group, cents) histogram exchange; the
+      // cumulative window and position probes ride the support frame,
+      // the rollup re-keys on g (+ output sort)
+      "q_agg_quartiles" -> "shuffle=3,broadcast=0",
+      "q_agg_trimmed" -> "shuffle=3,broadcast=0")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
