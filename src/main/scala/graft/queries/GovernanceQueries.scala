@@ -119,6 +119,98 @@ object GovernanceQueries {
           min(col("k")).cast("long").as("min_k"),
           max(col("k")).cast("long").as("max_k"))
         .orderBy("l_div")
+    },
+
+    // t-closeness audit (Li et al. 2007) — the third leg of the privacy
+    // family: per (nation, segment) QI group, how far the group's
+    // balance-band distribution sits from the global one, by the
+    // ordered-attribute Earth-Mover's Distance. EMD over an ordered
+    // support is the sum of |cumulative differences|; scaled through
+    // n·k_g it is the EXACT integer t_num = Σ_band |n·cumg − k_g·cum|
+    // against t_den = n·k_g·(B−1), with t = the one-divide double.
+    // Groups are completed against the full band spine (missing bands
+    // still carry cumulative mass — dropping them undercounts EMD).
+    //
+    // Scale shape: the (QI, band) cell aggregate is the one row-scale
+    // exchange; the global band histogram, the QI×band grid completion
+    // and every window ride domain-bounded frames (≤125·11 cells).
+    // Products n·cumg stay < 2⁵³ to ~10⁸ rows; loud beyond.
+    Q("q_privacy_tcloseness",
+      """WITH q AS (
+        |  SELECT c_nationkey AS nk, c_mktsegment AS seg,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM customer),
+        |cell AS (
+        |  SELECT nk, seg,
+        |    CAST((cents - cents % 100000) / 100000 AS BIGINT) AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS cb
+        |  FROM q GROUP BY 1, 2, 3),
+        |gb AS (
+        |  SELECT band, SUM(cb) AS nb FROM cell GROUP BY band),
+        |g2 AS (
+        |  SELECT band, SUM(nb) OVER (ORDER BY band) AS cum,
+        |    SUM(nb) OVER () AS n, COUNT(*) OVER () AS nbands
+        |  FROM gb),
+        |grid AS (
+        |  SELECT gs.nk, gs.seg, g2.band, g2.cum, g2.n, g2.nbands,
+        |    COALESCE(cell.cb, 0) AS cb
+        |  FROM (SELECT DISTINCT nk, seg FROM cell) gs
+        |  CROSS JOIN g2
+        |  LEFT JOIN cell ON cell.nk = gs.nk AND cell.seg = gs.seg
+        |    AND cell.band = g2.band),
+        |w AS (
+        |  SELECT nk, seg, cum, n, nbands, cb,
+        |    SUM(cb) OVER (PARTITION BY nk, seg ORDER BY band) AS cumg,
+        |    SUM(cb) OVER (PARTITION BY nk, seg) AS kg
+        |  FROM grid)
+        |SELECT nk AS c_nationkey, seg AS c_mktsegment,
+        |  CAST(MAX(kg) AS BIGINT) AS k,
+        |  CAST(SUM(ABS(n * cumg - kg * cum)) AS BIGINT) AS t_num,
+        |  CAST(MAX(n * kg * (nbands - 1)) AS BIGINT) AS t_den,
+        |  CAST(SUM(ABS(n * cumg - kg * cum)) AS DOUBLE)
+        |    / CAST(MAX(n * kg * (nbands - 1)) AS DOUBLE) AS t_closeness
+        |FROM w GROUP BY nk, seg
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val cell = Tables.customer(s, d)
+        .select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+          (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")
+            .as("cents"))
+        .groupBy(col("nk"), col("seg"),
+          ((col("cents") - col("cents") % 100000) / 100000).cast("long")
+            .as("band"))
+        .agg(count(lit(1)).cast("long").as("cb"))
+        // the global histogram, the grid spine and the grid join all
+        // consume this frame — one scan
+        .localCheckpoint()
+      val g2 = cell.groupBy("band").agg(sum("cb").as("nb"))
+        .select(col("band"),
+          sum("nb").over(Window.orderBy("band")
+            .rowsBetween(Window.unboundedPreceding, 0)).as("cum"),
+          sum("nb").over(Window.partitionBy()).as("n"),
+          count(lit(1)).over(Window.partitionBy()).as("nbands"))
+      val grid = cell.select("nk", "seg").distinct()
+        .crossJoin(g2)
+        .join(cell, Seq("nk", "seg", "band"), "left")
+        .select(col("nk"), col("seg"), col("band"), col("cum"), col("n"),
+          col("nbands"), coalesce(col("cb"), lit(0L)).as("cb"))
+      val wg = Window.partitionBy("nk", "seg")
+      grid.select(col("nk"), col("seg"), col("cum"), col("n"),
+          col("nbands"), col("cb"),
+          sum("cb").over(wg.orderBy("band")
+            .rowsBetween(Window.unboundedPreceding, 0)).as("cumg"),
+          sum("cb").over(wg).as("kg"))
+        .groupBy("nk", "seg")
+        .agg(expr("CAST(MAX(kg) AS BIGINT) AS k"),
+          expr("CAST(SUM(ABS(n * cumg - kg * cum)) AS BIGINT) AS t_num"),
+          expr("CAST(MAX(n * kg * (nbands - 1)) AS BIGINT) AS t_den"),
+          expr("CAST(SUM(ABS(n * cumg - kg * cum)) AS DOUBLE)" +
+            " / CAST(MAX(n * kg * (nbands - 1)) AS DOUBLE)" +
+            " AS t_closeness"))
+        .select(col("nk").as("c_nationkey"), col("seg").as("c_mktsegment"),
+          col("k"), col("t_num"), col("t_den"), col("t_closeness"))
+        .orderBy("c_nationkey", "c_mktsegment")
     }
   )
 }

@@ -182,6 +182,140 @@ object GraphQueries {
         .agg(count(lit(1)).as("n_tri"),
           sum(col("b") + col("c")).cast(LongType).as("peer_sum"))
         .orderBy("s_min")
+    },
+
+    // Degree assortativity of the supplier co-occurrence graph (the
+    // q_graph_triangles edge rule: ≥4 shared orders, s1 < s2): do
+    // well-connected suppliers co-ship with other well-connected ones?
+    // Over the DIRECTED edge list the endpoint-degree correlation is
+    // symmetric (Σx = Σy, varx = vary), so Pearson r collapses to the
+    // single exact rational cov_num/var_num with cov_num = 4e·Σxy − Sx²
+    // and var_num = 2e·Σxx2 − Sx² (Sx = Σ(x+y), Σxx2 = Σ(x²+y²)) —
+    // one IEEE divide, no sqrt.
+    //
+    // Scale shape: the per-order self-join is the one row-scale pass
+    // (bounded fan-out per order); the edge frame is node²-bounded and
+    // checkpointed; degrees and both 1-row aggregates ride it.
+    Q("q_graph_assortativity",
+      """WITH co AS (
+        |  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+        |nodes AS (SELECT s1 AS v FROM co UNION ALL SELECT s2 FROM co),
+        |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS dg
+        |        FROM nodes GROUP BY v),
+        |j AS (
+        |  SELECT d1.dg AS x, d2.dg AS y
+        |  FROM co JOIN deg d1 ON co.s1 = d1.v
+        |    JOIN deg d2 ON co.s2 = d2.v),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS e,
+        |    CAST(SUM(x + y) AS BIGINT) AS sx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x + y * y) AS BIGINT) AS sxx2
+        |  FROM j),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+        |SELECT n_nodes, e AS n_edges,
+        |  CAST(4 * e * sxy - sx * sx AS BIGINT) AS cov_num,
+        |  CAST(2 * e * sxx2 - sx * sx AS BIGINT) AS var_num,
+        |  CASE WHEN 2 * e * sxx2 - sx * sx = 0 THEN NULL
+        |    ELSE CAST(4 * e * sxy - sx * sx AS DOUBLE)
+        |      / CAST(2 * e * sxx2 - sx * sx AS DOUBLE) END
+        |    AS assortativity
+        |FROM a CROSS JOIN nn""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val co = li.as("a")
+        .join(li.select(col("l_orderkey").as("bo"),
+          col("l_suppkey").as("bs")), col("l_orderkey") === col("bo"))
+        .where(col("l_suppkey") < col("bs"))
+        .groupBy(col("l_suppkey").as("s1"), col("bs").as("s2"))
+        .agg(count(lit(1)).as("nco"))
+        .where(col("nco") >= 4)
+        .select("s1", "s2")
+        .localCheckpoint(true)
+      val deg = co.select(col("s1").as("v"))
+        .unionAll(co.select(col("s2").as("v")))
+        .groupBy("v").agg(count(lit(1)).cast(LongType).as("dg"))
+      val j = co
+        .join(deg.toDF("v1", "x"), col("s1") === col("v1"))
+        .join(deg.toDF("v2", "y"), col("s2") === col("v2"))
+        .select("x", "y")
+      val a = j.agg(count(lit(1)).cast(LongType).as("e"),
+        sum(col("x") + col("y")).cast(LongType).as("sx"),
+        sum(col("x") * col("y")).cast(LongType).as("sxy"),
+        sum(col("x") * col("x") + col("y") * col("y"))
+          .cast(LongType).as("sxx2"))
+      val nn = deg.agg(count(lit(1)).cast(LongType).as("n_nodes"))
+      a.crossJoin(broadcast(nn))
+        .selectExpr("n_nodes", "e AS n_edges",
+          "CAST(4 * e * sxy - sx * sx AS BIGINT) AS cov_num",
+          "CAST(2 * e * sxx2 - sx * sx AS BIGINT) AS var_num",
+          "CASE WHEN 2 * e * sxx2 - sx * sx = 0 THEN NULL" +
+            " ELSE CAST(4 * e * sxy - sx * sx AS DOUBLE)" +
+            " / CAST(2 * e * sxx2 - sx * sx AS DOUBLE) END" +
+            " AS assortativity")
+    },
+
+    // Global clustering coefficient of the same co-occurrence graph:
+    // 3·triangles / wedges, with wedges Σ C(deg,2) computed from the
+    // degree frame (dg·(dg−1) is even per term, so the /2 is
+    // exactly-divisible and IEEE-exact) and triangles enumerated once
+    // over the ordered edge list (the q_graph_triangles wedge-close
+    // join). How clique-ish is the supply network — one exact rational
+    // plus its one-divide double.
+    //
+    // Scale shape: identical to q_graph_triangles (Σ deg² wedge join on
+    // the checkpointed node²-bounded edge frame); the degree rollup and
+    // both 1-row aggregates are metadata.
+    Q("q_graph_clustering",
+      """WITH co AS (
+        |  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+        |nodes AS (SELECT s1 AS v FROM co UNION ALL SELECT s2 FROM co),
+        |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS dg
+        |        FROM nodes GROUP BY v),
+        |tri AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM co e1 JOIN co e2 ON e1.s2 = e2.s1
+        |    JOIN co e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+        |wg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    CAST(SUM(dg * (dg - 1)) / 2 AS BIGINT) AS wedges
+        |  FROM deg)
+        |SELECT n_nodes, t AS n_triangles, wedges,
+        |  CASE WHEN wedges = 0 THEN NULL
+        |    ELSE CAST(3 * t AS DOUBLE) / CAST(wedges AS DOUBLE) END
+        |    AS clustering
+        |FROM wg CROSS JOIN tri""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val co = li.as("a")
+        .join(li.select(col("l_orderkey").as("bo"),
+          col("l_suppkey").as("bs")), col("l_orderkey") === col("bo"))
+        .where(col("l_suppkey") < col("bs"))
+        .groupBy(col("l_suppkey").as("s1"), col("bs").as("s2"))
+        .agg(count(lit(1)).as("nco"))
+        .where(col("nco") >= 4)
+        .select("s1", "s2")
+        .localCheckpoint(true)
+      val deg = co.select(col("s1").as("v"))
+        .unionAll(co.select(col("s2").as("v")))
+        .groupBy("v").agg(count(lit(1)).cast(LongType).as("dg"))
+      val tri = co.as("e1")
+        .join(co.toDF("ws", "wc"), col("s2") === col("ws"))
+        .select(col("s1").as("ta"), col("wc").as("tc"))
+        .join(co.toDF("ca", "cc"),
+          col("ta") === col("ca") && col("tc") === col("cc"))
+        .agg(count(lit(1)).cast(LongType).as("t"))
+      val wg = deg.agg(count(lit(1)).cast(LongType).as("n_nodes"),
+        (sum(col("dg") * (col("dg") - 1)) / 2).cast(LongType).as("wedges"))
+      wg.crossJoin(broadcast(tri))
+        .selectExpr("n_nodes", "t AS n_triangles", "wedges",
+          "CASE WHEN wedges = 0 THEN NULL" +
+            " ELSE CAST(3 * t AS DOUBLE) / CAST(wedges AS DOUBLE) END" +
+            " AS clustering")
     }
   )
 }

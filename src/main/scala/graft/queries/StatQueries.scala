@@ -1392,6 +1392,64 @@ object StatQueries {
             "        AS DOUBLE) / CAST(n - n_l AS DOUBLE))" +
             " AS gini_gain_x_n")
         .orderBy("threshold_band")
+    },
+
+    // Friedman rank test pieces (nonparametric repeated measures): does
+    // order priority have a consistent volume ORDERING across months?
+    // Within each month block the five priorities are midranked by
+    // order count (midranks DOUBLED to stay integral under ties:
+    // mr_x2 = 2·minrank + ties − 1), and the per-priority rank sums are
+    // emitted exactly — χ²_F and its tie correction are caller-side
+    // arithmetic over these five integers (the Kendall emission
+    // discipline). Zero months are materialized through a complete
+    // month×priority grid so blocks stay balanced.
+    //
+    // Scale shape: the (month, priority) count is the one row-scale
+    // exchange; the grid completion, rank windows and the 5-row rollup
+    // all ride the calendar×domain-bounded frame (≤80·5 cells at any
+    // corpus size).
+    Q("q_stat_friedman",
+      """WITH mo AS (
+        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+        |      + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+        |    o_orderpriority AS p, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT mm.m, pp.p, COALESCE(mo.cnt, 0) AS cnt
+        |  FROM (SELECT DISTINCT m FROM mo) mm
+        |  CROSS JOIN (SELECT DISTINCT p FROM mo) pp
+        |  LEFT JOIN mo ON mo.m = mm.m AND mo.p = pp.p),
+        |r AS (
+        |  SELECT p,
+        |    2 * RANK() OVER (PARTITION BY m ORDER BY cnt)
+        |      + COUNT(*) OVER (PARTITION BY m, cnt) - 1 AS mr_x2
+        |  FROM grid)
+        |SELECT p AS o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS b_months,
+        |  CAST(SUM(mr_x2) AS BIGINT) AS rank_sum_x2
+        |FROM r GROUP BY p ORDER BY o_orderpriority""".stripMargin) {
+      (s, d) =>
+      val mo = Tables.orders(s, d)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast(LongType).as("m"),
+          col("o_orderpriority").as("p"))
+        .agg(count(lit(1)).cast(LongType).as("cnt"))
+        // grid completion + both join sides ride this frame — one scan
+        .localCheckpoint()
+      val grid = mo.select("m").distinct()
+        .crossJoin(mo.select("p").distinct())
+        .join(mo, Seq("m", "p"), "left")
+        .select(col("m"), col("p"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val r = grid.select(col("p"),
+        (lit(2) * rank().over(Window.partitionBy("m").orderBy("cnt"))
+          + count(lit(1)).over(Window.partitionBy("m", "cnt")) - 1)
+          .as("mr_x2"))
+      r.groupBy("p")
+        .agg(count(lit(1)).cast(LongType).as("b_months"),
+          sum("mr_x2").cast(LongType).as("rank_sum_x2"))
+        .select(col("p").as("o_orderpriority"), col("b_months"),
+          col("rank_sum_x2"))
+        .orderBy("o_orderpriority")
     }
   )
 }

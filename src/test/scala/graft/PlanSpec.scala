@@ -381,7 +381,23 @@ class PlanSpec extends SparkSuite {
       // cumulative window and position probes ride the support frame,
       // the rollup re-keys on g (+ output sort)
       "q_agg_quartiles" -> "shuffle=3,broadcast=0",
-      "q_agg_trimmed" -> "shuffle=3,broadcast=0")
+      "q_agg_trimmed" -> "shuffle=3,broadcast=0",
+      // friedman/t-closeness: ONE row-scale aggregate each; the grid
+      // completions, rank/cum windows and rollups ride calendar- or
+      // domain-bounded frames (the 1-row spines broadcast)
+      "q_stat_friedman" ->
+        "shuffle=5,broadcast=2,BroadcastHashJoin=1,BroadcastNestedLoopJoin=1",
+      "q_privacy_tcloseness" ->
+        "shuffle=3,broadcast=2,BroadcastHashJoin=1,BroadcastNestedLoopJoin=1",
+      // graph metrics: the per-order self-join is the row-scale pass;
+      // degree/wedge joins run SMJ on the CHECKPOINTED node²-bounded
+      // edge frame (the q_graph_triangles Σdeg² shape — co-partition,
+      // not broadcast, because a big graph's edge frame outgrows the
+      // driver); the 1-row aggregates broadcast
+      "q_graph_assortativity" ->
+        "shuffle=7,broadcast=1,SortMergeJoin=2,BroadcastNestedLoopJoin=1",
+      "q_graph_clustering" ->
+        "shuffle=7,broadcast=1,SortMergeJoin=2,BroadcastNestedLoopJoin=1")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
