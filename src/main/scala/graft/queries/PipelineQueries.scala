@@ -1443,6 +1443,78 @@ object PipelineQueries {
             - lit(84.6d) * (col("vowel_groups").cast("double")
                 / greatest(col("words"), lit(1L)).cast("double")))
         .orderBy("source")
+    },
+
+    // MinHash-LSH banding profile, ORACLE-gated (the cap_dedup_minhash
+    // capability promoted to the cross-engine hash gate): 8 min-hashes
+    // per document from affine re-hashes of the deterministic
+    // polynomial token hash, banded 2×4, and the BUCKET-SIZE histogram
+    // per band emitted with the exact candidate-pair volume
+    // Σ n_buckets·C(sz,2) — the LSH diagnostic that tells you whether
+    // the banding is selective BEFORE any pair materializes (bucket
+    // sizes and candidate counts are precisely what StressSpec's
+    // banding-honesty laws measure). No FP anywhere: affine mod
+    // arithmetic on 31-bit hashes.
+    //
+    // Scale shape: the distinct (doc, token) explode feeds ONE doc-keyed
+    // min-aggregate (map-side combinable, 8 mins in one pass); the band
+    // unpivot is a row-local stack (the oracle's UNION ALL spelling is
+    // the same math — DuckDB materializes the CTE); signature and size
+    // rollups ride bucket-bounded frames. Oracle needs the list_reduce
+    // token hash → SparkDialect twin (aggregate + lambda).
+    Q("q_dedup_minhash",
+      s"""WITH w AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |th AS (SELECT doc_id, ${tokHashSql("tok")} AS h FROM w),
+         |mh AS (
+         |  SELECT doc_id,
+         |    MIN((h * 31 + 7) % 1000000007) AS m1,
+         |    MIN((h * 37 + 11) % 1000000007) AS m2,
+         |    MIN((h * 41 + 13) % 1000000007) AS m3,
+         |    MIN((h * 43 + 17) % 1000000007) AS m4,
+         |    MIN((h * 47 + 19) % 1000000007) AS m5,
+         |    MIN((h * 53 + 23) % 1000000007) AS m6,
+         |    MIN((h * 59 + 29) % 1000000007) AS m7,
+         |    MIN((h * 61 + 31) % 1000000007) AS m8
+         |  FROM th GROUP BY doc_id),
+         |b AS (
+         |  SELECT 1 AS band, m1 AS s1, m2 AS s2, m3 AS s3, m4 AS s4
+         |  FROM mh
+         |  UNION ALL
+         |  SELECT 2, m5, m6, m7, m8 FROM mh),
+         |g AS (
+         |  SELECT band, s1, s2, s3, s4, COUNT(*) AS sz
+         |  FROM b GROUP BY 1, 2, 3, 4, 5)
+         |SELECT CAST(band AS BIGINT) AS band,
+         |  CAST(sz AS BIGINT) AS bucket_size,
+         |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(COUNT(*) * sz * (sz - 1) / 2 AS BIGINT)
+         |    AS n_candidate_pairs
+         |FROM g GROUP BY band, sz
+         |ORDER BY band, bucket_size""".stripMargin) { (s, d) =>
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val th = w.select(col("doc_id"), tokHash(col("tok")).as("h"))
+      def mhash(a: Int, c: Int) =
+        min((col("h") * a + c) % 1000000007L)
+      val mh = th.groupBy("doc_id")
+        .agg(mhash(31, 7).as("m1"), mhash(37, 11).as("m2"),
+          mhash(41, 13).as("m3"), mhash(43, 17).as("m4"),
+          mhash(47, 19).as("m5"), mhash(53, 23).as("m6"),
+          mhash(59, 29).as("m7"), mhash(61, 31).as("m8"))
+      mh.selectExpr(
+          """stack(2, 1L, m1, m2, m3, m4, 2L, m5, m6, m7, m8)
+            |AS (band, s1, s2, s3, s4)""".stripMargin)
+        .groupBy("band", "s1", "s2", "s3", "s4")
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("band"), col("sz").cast("long").as("bucket_size"))
+        .agg(count(lit(1)).cast("long").as("n_buckets"))
+        .selectExpr("band", "bucket_size", "n_buckets",
+          "CAST(n_buckets * bucket_size * (bucket_size - 1) / 2" +
+            " AS BIGINT) AS n_candidate_pairs")
+        .orderBy("band", "bucket_size")
     }
   )
 }

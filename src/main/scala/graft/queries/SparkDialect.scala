@@ -456,6 +456,42 @@ object SparkDialect {
         |            ELSE ((sy*den - num*sx) * 100)  div  (CAST(n AS DECIMAL(38,0))*den)
         |       END AS BIGINT) AS intercept_e2
         |FROM f ORDER BY l_linenumber""".stripMargin,
+    "q_dedup_minhash" ->
+      """WITH w AS (
+        |  SELECT DISTINCT doc_id, explode(split(text, ' ')) AS tok
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    aggregate(filter(split(tok, ''), c -> c != ''),
+        |      CAST(7 AS BIGINT),
+        |      (a, c) -> (a * 31 + ascii(c)) % 2147483647) AS h
+        |  FROM w),
+        |mh AS (
+        |  SELECT doc_id,
+        |    MIN((h * 31 + 7) % 1000000007) AS m1,
+        |    MIN((h * 37 + 11) % 1000000007) AS m2,
+        |    MIN((h * 41 + 13) % 1000000007) AS m3,
+        |    MIN((h * 43 + 17) % 1000000007) AS m4,
+        |    MIN((h * 47 + 19) % 1000000007) AS m5,
+        |    MIN((h * 53 + 23) % 1000000007) AS m6,
+        |    MIN((h * 59 + 29) % 1000000007) AS m7,
+        |    MIN((h * 61 + 31) % 1000000007) AS m8
+        |  FROM th GROUP BY doc_id),
+        |b AS (
+        |  SELECT 1 AS band, m1 AS s1, m2 AS s2, m3 AS s3, m4 AS s4
+        |  FROM mh
+        |  UNION ALL
+        |  SELECT 2, m5, m6, m7, m8 FROM mh),
+        |g AS (
+        |  SELECT band, s1, s2, s3, s4, COUNT(*) AS sz
+        |  FROM b GROUP BY 1, 2, 3, 4, 5)
+        |SELECT CAST(band AS BIGINT) AS band,
+        |  CAST(sz AS BIGINT) AS bucket_size,
+        |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  CAST(COUNT(*) * sz * (sz - 1) / 2 AS BIGINT)
+        |    AS n_candidate_pairs
+        |FROM g GROUP BY band, sz
+        |ORDER BY band, bucket_size""".stripMargin,
     "q_dedup_overlap" ->
       """WITH f AS (
         |  SELECT DISTINCT source,

@@ -1450,6 +1450,57 @@ object StatQueries {
         .select(col("p").as("o_orderpriority"), col("b_months"),
           col("rank_sum_x2"))
         .orderBy("o_orderpriority")
+    },
+
+    // Wilson score interval for per-arm conversion (the CI every
+    // experiment dashboard draws beside q_stat_proportion's test): at
+    // z = 2 (~95.4%), z² = 4 makes EVERY Wilson piece an exact integer
+    // rational — center = (x + 2)/(n + 4) and
+    // radius² = 4·(x·(n−x) + n)/(n·(n+4)²) — so the interval is
+    // [center − √radius², center + √radius²] with the sqrt caller-side
+    // (no sqrt in oracles) and the emitted doubles are single divides.
+    // Exact while n·(n+4)² < 2⁶³ (~2·10⁶ users/arm as LONG pieces;
+    // the divides stay bit-identical beyond because int64→double
+    // conversion is correctly rounded in both engines).
+    //
+    // Scale shape: per-user conversion rollup (the one row-scale
+    // exchange, map-side combinable) + a 2-row arm aggregate.
+    Q("q_stat_wilson",
+      """WITH u AS (
+        |  SELECT user_id % 2 AS arm,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(conv) AS BIGINT) AS x
+        |  FROM u GROUP BY arm)
+        |SELECT arm, n, x,
+        |  CAST(x + 2 AS BIGINT) AS center_num,
+        |  CAST(n + 4 AS BIGINT) AS center_den,
+        |  CAST(4 * (x * (n - x) + n) AS BIGINT) AS rad2_num,
+        |  CAST(n * (n + 4) * (n + 4) AS BIGINT) AS rad2_den,
+        |  CAST(x + 2 AS DOUBLE) / CAST(n + 4 AS DOUBLE) AS center,
+        |  CAST(4 * (x * (n - x) + n) AS DOUBLE)
+        |    / CAST(n * (n + 4) * (n + 4) AS DOUBLE) AS radius2
+        |FROM a ORDER BY arm""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .select((col("user_id") % 2).as("arm"), col("conv"))
+      u.groupBy("arm")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum("conv").cast(LongType).as("x"))
+        .selectExpr("arm", "n", "x",
+          "CAST(x + 2 AS BIGINT) AS center_num",
+          "CAST(n + 4 AS BIGINT) AS center_den",
+          "CAST(4 * (x * (n - x) + n) AS BIGINT) AS rad2_num",
+          "CAST(n * (n + 4) * (n + 4) AS BIGINT) AS rad2_den",
+          "CAST(x + 2 AS DOUBLE) / CAST(n + 4 AS DOUBLE) AS center",
+          "CAST(4 * (x * (n - x) + n) AS DOUBLE)" +
+            " / CAST(n * (n + 4) * (n + 4) AS DOUBLE) AS radius2")
+        .orderBy("arm")
     }
   )
 }

@@ -397,7 +397,13 @@ class PlanSpec extends SparkSuite {
       "q_graph_assortativity" ->
         "shuffle=7,broadcast=1,SortMergeJoin=2,BroadcastNestedLoopJoin=1",
       "q_graph_clustering" ->
-        "shuffle=7,broadcast=1,SortMergeJoin=2,BroadcastNestedLoopJoin=1")
+        "shuffle=7,broadcast=1,SortMergeJoin=2,BroadcastNestedLoopJoin=1",
+      // minhash banding profile: the distinct (doc, tok) explode feeds
+      // ONE doc-keyed 8-min aggregate; the band unpivot is a row-local
+      // stack, signature/size rollups ride bucket-bounded frames.
+      // wilson: per-user rollup + 2-row arm aggregate + sort
+      "q_dedup_minhash" -> "shuffle=4,broadcast=0",
+      "q_stat_wilson" -> "shuffle=3,broadcast=0")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
