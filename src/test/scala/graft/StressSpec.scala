@@ -895,4 +895,40 @@ class StressSpec extends SparkSuite {
     assert(fe.getDouble(3) ==
       fe.getLong(2).toDouble / fe.getLong(1).toDouble)
   }
+
+  test("friedman / t-closeness / minhash banding: conservation laws " +
+    "over the gated fixture queries") {
+    val d = sf("0.001")
+    // Friedman: within every block the doubled midranks sum to k(k+1),
+    // so Σ_p rank_sum_x2 == b·k·(k+1) — rank mass conserves under any
+    // tie structure (k = 5 priorities)
+    val fr = SparkEntry.queries("q_stat_friedman")(spark, d).collect()
+    assert(fr.length == 5)
+    val b = fr.map(_.getLong(1)).distinct
+    assert(b.length == 1, "balanced blocks: same month count per arm")
+    assert(fr.map(_.getLong(2)).sum == b.head * 5 * 6,
+      s"rank mass must conserve: $fr")
+    // t-closeness: a scaled EMD is a probability-like distance — every
+    // group lands in [0, 1] and the pieces agree with the divide
+    val tc = SparkEntry.queries("q_privacy_tcloseness")(spark, d).collect()
+    assert(tc.nonEmpty)
+    tc.foreach { r =>
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= r.getLong(4),
+        s"t_num within [0, t_den]: $r")
+      assert(r.getDouble(5) == r.getLong(3).toDouble / r.getLong(4),
+        s"t must be the exact divide: $r")
+    }
+    // minhash banding: every document lands in exactly one bucket per
+    // band — Σ bucket_size·n_buckets == 2·|docs| across the two bands
+    val mh = SparkEntry.queries("q_dedup_minhash")(spark, d).collect()
+    val nDocs = graft.core.Tables.documents(spark, d).count()
+    assert(mh.map(r => r.getLong(1) * r.getLong(2)).sum == 2 * nDocs,
+      "banding must partition the corpus per band")
+    // candidate volume is the pair count the banded join would scan —
+    // each row's pairs are exactly n_buckets·C(sz,2)
+    mh.foreach { r =>
+      assert(r.getLong(3) ==
+        r.getLong(2) * r.getLong(1) * (r.getLong(1) - 1) / 2, s"$r")
+    }
+  }
 }
