@@ -1515,6 +1515,69 @@ object PipelineQueries {
           "CAST(n_buckets * bucket_size * (bucket_size - 1) / 2" +
             " AS BIGINT) AS n_candidate_pairs")
         .orderBy("band", "bucket_size")
+    },
+
+    // Vocabulary drift per source by TOTAL-VARIATION distance — the
+    // log-free divergence (½Σ|p − q| — the exact cousin of the KL drift
+    // monitors, which need ln and are banned from oracles): how far
+    // each feed's token distribution sits from the corpus mix. Scaled
+    // through N·k_s everything is exact integers:
+    // tv_num = Σ_t |N·c_st − k_s·n_t| against tv_den = 2·N·k_s, with
+    // the one-divide double. Sources are completed against the full
+    // term spine (a term a source never emits still contributes its
+    // corpus mass — dropping it undercounts TV).
+    //
+    // Scale shape: the (source, term) token count is the one row-scale
+    // exchange; the term totals, the |sources|×|vocab| grid completion
+    // and the rollup are vocabulary-bounded. Products N·c stay < 2⁵³
+    // to ~10⁸ tokens; loud beyond.
+    Q("q_text_tvd",
+      """WITH t AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |st AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2),
+        |tt AS (
+        |  SELECT tok, SUM(c) AS nt FROM st GROUP BY tok),
+        |g2 AS (
+        |  SELECT tok, nt, SUM(nt) OVER () AS n FROM tt),
+        |ks AS (
+        |  SELECT source, SUM(c) AS k FROM st GROUP BY source),
+        |grid AS (
+        |  SELECT ks.source, ks.k, g2.tok, g2.nt, g2.n,
+        |    COALESCE(st.c, 0) AS c
+        |  FROM ks CROSS JOIN g2
+        |  LEFT JOIN st ON st.source = ks.source AND st.tok = g2.tok)
+        |SELECT source, CAST(MAX(k) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(ABS(n * c - k * nt)) AS BIGINT) AS tv_num,
+        |  CAST(MAX(2 * n * k) AS BIGINT) AS tv_den,
+        |  CAST(SUM(ABS(n * c - k * nt)) AS DOUBLE)
+        |    / CAST(MAX(2 * n * k) AS DOUBLE) AS tv_distance
+        |FROM grid GROUP BY source ORDER BY source""".stripMargin) {
+      (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val st = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok")
+        .agg(count(lit(1)).cast("long").as("c"))
+        // term totals, source totals and the grid join all ride this
+        // vocabulary-bounded frame — one scan of the corpus
+        .localCheckpoint()
+      val g2 = st.groupBy("tok").agg(sum("c").as("nt"))
+        .withColumn("n", sum("nt").over(Window.partitionBy()))
+      val ks = st.groupBy("source").agg(sum("c").as("k"))
+      val grid = ks.crossJoin(g2)
+        .join(st, Seq("source", "tok"), "left")
+        .select(col("source"), col("k"), col("nt"), col("n"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      grid.groupBy("source")
+        .agg(expr("CAST(MAX(k) AS BIGINT) AS n_tokens"),
+          expr("CAST(SUM(ABS(n * c - k * nt)) AS BIGINT) AS tv_num"),
+          expr("CAST(MAX(2 * n * k) AS BIGINT) AS tv_den"),
+          expr("CAST(SUM(ABS(n * c - k * nt)) AS DOUBLE)" +
+            " / CAST(MAX(2 * n * k) AS DOUBLE) AS tv_distance"))
+        .orderBy("source")
     }
   )
 }

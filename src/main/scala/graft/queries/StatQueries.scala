@@ -1501,6 +1501,45 @@ object StatQueries {
           "CAST(4 * (x * (n - x) + n) AS DOUBLE)" +
             " / CAST(n * (n + 4) * (n + 4) AS DOUBLE) AS radius2")
         .orderBy("arm")
+    },
+
+    // Chi-square GOODNESS-OF-FIT against the uniform design (the
+    // complement of q_stat_chi2's independence test, and — at k = 2 —
+    // exactly the experimenter's sample-ratio-mismatch check): is event
+    // traffic really spread evenly over the five types? Each term
+    // (o − n/k)²/(n/k) collapses to the exact integer rational
+    // (k·o − n)²/(k·n) — BIGINT pieces plus the one-divide double;
+    // χ² is their caller-side sum (k−1 df).
+    //
+    // Scale shape: ONE map-side-combinable type count (≤5 cells at any
+    // corpus size); the margins are windows over those cells. Squared
+    // deviations hold in LONG to ~10⁹ events per cell; loud beyond.
+    Q("q_stat_gof",
+      """WITH c AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT event_type, o, SUM(o) OVER () AS n,
+        |    COUNT(*) OVER () AS k
+        |  FROM c)
+        |SELECT event_type, o AS n_obs,
+        |  CAST((k * o - n) * (k * o - n) AS BIGINT) AS term_num,
+        |  CAST(k * n AS BIGINT) AS term_den,
+        |  CAST((k * o - n) * (k * o - n) AS DOUBLE)
+        |    / CAST(k * n AS DOUBLE) AS chi2_term
+        |FROM g ORDER BY event_type""".stripMargin) { (s, d) =>
+      val c = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast(LongType).as("o"))
+      val wAll = Window.partitionBy()
+      c.select(col("event_type"), col("o"),
+          sum("o").over(wAll).as("n"), count(lit(1)).over(wAll).as("k"))
+        .selectExpr("event_type", "o AS n_obs",
+          "CAST((k * o - n) * (k * o - n) AS BIGINT) AS term_num",
+          "CAST(k * n AS BIGINT) AS term_den",
+          "CAST((k * o - n) * (k * o - n) AS DOUBLE)" +
+            " / CAST(k * n AS DOUBLE) AS chi2_term")
+        .orderBy("event_type")
     }
   )
 }

@@ -403,7 +403,14 @@ class PlanSpec extends SparkSuite {
       // stack, signature/size rollups ride bucket-bounded frames.
       // wilson: per-user rollup + 2-row arm aggregate + sort
       "q_dedup_minhash" -> "shuffle=4,broadcast=0",
-      "q_stat_wilson" -> "shuffle=3,broadcast=0")
+      "q_stat_wilson" -> "shuffle=3,broadcast=0",
+      // tvd: the (source, term) count is the one row-scale exchange
+      // (checkpointed — term totals, source totals and the grid join
+      // reuse it); the vocab grid completion broadcasts. gof: one ≤5-
+      // cell count + margin windows
+      "q_text_tvd" ->
+        "shuffle=3,broadcast=2,BroadcastHashJoin=1,BroadcastNestedLoopJoin=1",
+      "q_stat_gof" -> "shuffle=2,broadcast=0")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
