@@ -503,6 +503,30 @@ object SparkDialect {
         |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
         |GROUP BY a.source, b.source
         |ORDER BY src_a, src_b""".stripMargin,
+    "q_text_tvd" ->
+      """WITH t AS (
+        |  SELECT source, explode(split(text, ' ')) AS tok
+        |  FROM documents),
+        |st AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2),
+        |tt AS (
+        |  SELECT tok, SUM(c) AS nt FROM st GROUP BY tok),
+        |g2 AS (
+        |  SELECT tok, nt, SUM(nt) OVER () AS n FROM tt),
+        |ks AS (
+        |  SELECT source, SUM(c) AS k FROM st GROUP BY source),
+        |grid AS (
+        |  SELECT ks.source, ks.k, g2.tok, g2.nt, g2.n,
+        |    COALESCE(st.c, 0) AS c
+        |  FROM ks CROSS JOIN g2
+        |  LEFT JOIN st ON st.source = ks.source AND st.tok = g2.tok)
+        |SELECT source, CAST(MAX(k) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(ABS(n * c - k * nt)) AS BIGINT) AS tv_num,
+        |  CAST(MAX(2 * n * k) AS BIGINT) AS tv_den,
+        |  CAST(SUM(ABS(n * c - k * nt)) AS DOUBLE)
+        |    / CAST(MAX(2 * n * k) AS DOUBLE) AS tv_distance
+        |FROM grid GROUP BY source ORDER BY source""".stripMargin,
     "q_stat_cuped" ->
       """WITH m AS (
         |  SELECT o_custkey AS k,
