@@ -924,6 +924,116 @@ object EventQueries {
           "CAST(cnt * saa - sa * sa AS BIGINT) AS var_a_num",
           "CAST(cnt * sbb - sb * sb AS BIGINT) AS var_b_num")
         .orderBy("lag_days")
+    },
+
+    // Audience-overlap matrix: for every event-type pair, how many
+    // users do both, with the exact Jaccard |A∩B|/|A∪B| — the
+    // feature-audience overlap report product analytics runs before
+    // bundling features. Intersections are exact user counts; the
+    // union denominator is inclusion–exclusion; one IEEE divide.
+    //
+    // Scale shape: the distinct (user, type) frame is the one
+    // row-scale exchange; pair expansion is ROW-LOCAL over each user's
+    // ≤5-type set (the BasketPairs discipline — never a user-frame
+    // self-join), totals are a ≤5-key rollup and the rule assembly
+    // joins broadcast. The oracle's self-join form is the same math.
+    Q("q_event_overlap",
+      """WITH du AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |tt AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nu
+        |  FROM du GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |    CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM du a JOIN du b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ta AS type_a, tb AS type_b, n_both,
+        |  t1.nu AS n_a, t2.nu AS n_b,
+        |  CAST(n_both AS DOUBLE)
+        |    / CAST(t1.nu + t2.nu - n_both AS DOUBLE) AS jaccard
+        |FROM p JOIN tt t1 ON ta = t1.event_type
+        |  JOIN tt t2 ON tb = t2.event_type
+        |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+      val sets = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_set(col("event_type"))).as("ts"))
+        // pair expansion and the type totals both ride this frame
+        .localCheckpoint()
+      val p = sets
+        .select(explode(flatten(expr(
+          """transform(ts, (x, i) ->
+            |  transform(slice(ts, i + 2, size(ts) - i - 1),
+            |    y -> struct(x AS ta, y AS tb)))""".stripMargin))).as("q"))
+        .groupBy(col("q.ta").as("ta"), col("q.tb").as("tb"))
+        .agg(count(lit(1)).cast("long").as("n_both"))
+      val tt = sets.select(explode(col("ts")).as("t"))
+        .groupBy("t").agg(count(lit(1)).cast("long").as("nu"))
+      p.join(broadcast(tt.toDF("t1", "n_a")), col("ta") === col("t1"))
+        .join(broadcast(tt.toDF("t2", "n_b")), col("tb") === col("t2"))
+        .selectExpr("ta AS type_a", "tb AS type_b", "n_both", "n_a",
+          "n_b",
+          "CAST(n_both AS DOUBLE)" +
+            " / CAST(n_a + n_b - n_both AS DOUBLE) AS jaccard")
+        .orderBy("type_a", "type_b")
+    },
+
+    // Rolling 28-day OLS revenue trend: per day, the exact regression
+    // slope pieces over the trailing four weeks of daily revenue (the
+    // "is growth bending" monitor, a window-frame sweep instead of one
+    // global fit). All sums ride ONE named window frame; the slope is
+    // the exact rational (n·Σxy − ΣxΣy)/(n·Σxx − Σx²) on the integer
+    // day index and exact cents, plus the one-divide double. Partial
+    // leading windows are dropped (n = 28 only) so every row is a
+    // full-support estimate.
+    //
+    // Scale shape: the day rollup is the one row-scale exchange; the
+    // frame windows ride the calendar-bounded spine (~2.4k rows at the
+    // fixture horizon). LONG products hold to ~10¹⁴ daily cents.
+    Q("q_time_rolling_trend",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) * 100) AS BIGINT)
+        |      AS y
+        |  FROM orders GROUP BY 1),
+        |i AS (
+        |  SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS x FROM d),
+        |w AS (
+        |  SELECT day,
+        |    COUNT(*) OVER win AS n,
+        |    SUM(x) OVER win AS sx, SUM(y) OVER win AS sy,
+        |    SUM(x * y) OVER win AS sxy, SUM(x * x) OVER win AS sxx
+        |  FROM i
+        |  WINDOW win AS (ORDER BY x ROWS BETWEEN 27 PRECEDING
+        |    AND CURRENT ROW))
+        |SELECT day,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day
+        |FROM w WHERE n = 28 ORDER BY day""".stripMargin) { (s, d) =>
+      val days = Tables.orders(s, d)
+        .groupBy(date_trunc("day", col("o_orderdate"))
+          .cast("timestamp_ntz").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(14,2)") * 100)
+          .cast("long").as("y"))
+      val i = days.select(col("day"), col("y"),
+        row_number().over(Window.orderBy("day")).cast("long").as("x"))
+      val win = Window.orderBy("x").rowsBetween(-27, 0)
+      i.select(col("day"),
+          count(lit(1)).over(win).as("n"),
+          sum("x").over(win).as("sx"), sum("y").over(win).as("sy"),
+          sum(col("x") * col("y")).over(win).as("sxy"),
+          sum(col("x") * col("x")).over(win).as("sxx"))
+        .where(col("n") === 28)
+        .selectExpr("day",
+          "CAST(n * sxy - sx * sy AS BIGINT) AS slope_num",
+          "CAST(n * sxx - sx * sx AS BIGINT) AS slope_den",
+          "CAST(n * sxy - sx * sy AS DOUBLE)" +
+            " / CAST(n * sxx - sx * sx AS DOUBLE)" +
+            " AS slope_cents_per_day")
+        .orderBy("day")
     }
   )
 }

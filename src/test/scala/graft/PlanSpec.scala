@@ -410,7 +410,12 @@ class PlanSpec extends SparkSuite {
       // cell count + margin windows
       "q_text_tvd" ->
         "shuffle=3,broadcast=2,BroadcastHashJoin=1,BroadcastNestedLoopJoin=1",
-      "q_stat_gof" -> "shuffle=2,broadcast=0")
+      "q_stat_gof" -> "shuffle=2,broadcast=0",
+      // overlap: per-user set aggregate (checkpointed) is the one
+      // row-scale exchange; expansion row-local, type totals broadcast.
+      // rolling trend: day rollup + spine frame windows + output sort
+      "q_event_overlap" -> "shuffle=4,broadcast=2,BroadcastHashJoin=2",
+      "q_time_rolling_trend" -> "shuffle=2,broadcast=0")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
