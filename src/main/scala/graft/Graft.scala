@@ -194,6 +194,11 @@ object Graft {
     def calibration(df: DataFrame, score: String, pos: String,
                     bandWidth: Long): DataFrame =
       ExactStats.calibration(df, score, pos, bandWidth)
+    /** Binary-classifier confusion report over (pred, actual) 0/1
+      * flags: exact 2×2 counts, precision/recall/F1 single divides,
+      * MCC pieces. Streaming-legal as-is. */
+    def confusion(df: DataFrame, pred: String, actual: String): DataFrame =
+      ExactStats.confusion(df, pred, actual)
   }
 
   /** Re-identification-risk audits over quasi-identifier groupings. */

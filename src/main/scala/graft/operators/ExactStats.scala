@@ -155,6 +155,35 @@ object ExactStats {
         "CASE WHEN z2_den = 0 THEN NULL " +
           "ELSE CAST(z2_num AS DOUBLE) / CAST(z2_den AS DOUBLE) END AS z2")
 
+  /** Binary-classifier confusion report over unit-level (pred, actual)
+    * 0/1 flags: the 2×2 matrix as exact LONG counts plus
+    * precision/recall/F1 (single divides; F1 = 2TP/(2TP+FP+FN) — one
+    * divide, not a mean of means) and the Matthews-correlation pieces
+    * (mcc_num = TP·TN − FP·FN against the four-margin product
+    * denominator, squared to avoid the sqrt; caller keeps the exact
+    * rational). Products hold in LONG to ~3·10⁹ units per cell pair,
+    * loud beyond. ONE conditional-sum aggregate: map-side combinable —
+    * and streaming-legal as-is (StreamOps.confusionStream reuses it
+    * verbatim; state is one row of four counters at any corpus size). */
+  def confusion(df: DataFrame, pred: String, actual: String): DataFrame =
+    df.agg(
+        sum(col(pred) * col(actual)).cast(LongType).as("tp"),
+        sum(col(pred) * (lit(1) - col(actual))).cast(LongType).as("fp"),
+        sum((lit(1) - col(pred)) * col(actual)).cast(LongType).as("fn"),
+        sum((lit(1) - col(pred)) * (lit(1) - col(actual)))
+          .cast(LongType).as("tn"))
+      .selectExpr("tp", "fp", "fn", "tn",
+        "CASE WHEN tp + fp = 0 THEN NULL ELSE CAST(tp AS DOUBLE)" +
+          " / CAST(tp + fp AS DOUBLE) END AS precision_",
+        "CASE WHEN tp + fn = 0 THEN NULL ELSE CAST(tp AS DOUBLE)" +
+          " / CAST(tp + fn AS DOUBLE) END AS recall_",
+        "CASE WHEN 2 * tp + fp + fn = 0 THEN NULL" +
+          " ELSE CAST(2 * tp AS DOUBLE)" +
+          " / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1",
+        "CAST(tp * tn - fp * fn AS BIGINT) AS mcc_num",
+        "CAST((tp + fp) * (tp + fn) AS BIGINT) AS mcc_den_a",
+        "CAST((tn + fp) * (tn + fn) AS BIGINT) AS mcc_den_b")
+
   /** Score-calibration bands over unit-level (score, pos) rows with an
     * INTEGRAL score (quantize to cents upstream): fixed-width bands
     * (trunc-division via the exactly-divisible `/` — IEEE-exact both

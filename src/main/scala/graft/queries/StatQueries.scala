@@ -1540,6 +1540,52 @@ object StatQueries {
           "CAST((k * o - n) * (k * o - n) AS DOUBLE)" +
             " / CAST(k * n AS DOUBLE) AS chi2_term")
         .orderBy("event_type")
+    },
+
+    // Binary-classifier confusion report — the ML-eval staple beside
+    // q_stat_auc/q_stat_gains/q_stat_calibration: treat "event value ≥
+    // $100" as the predictor and "is a purchase" as the truth, and emit
+    // the exact 2×2 matrix with precision/recall/F1 (single divides;
+    // F1 as 2TP/(2TP+FP+FN) — one divide, not a mean of means) and the
+    // Matthews-correlation pieces (denominator squared so no sqrt
+    // enters the oracle). The threshold is exact-cents integer
+    // arithmetic — no FP compare.
+    //
+    // Scale shape: ONE conditional-sum aggregate (map-side combinable,
+    // one counter row at any corpus size — and streaming-legal
+    // verbatim: s_stream_confusion). operators/ExactStats.confusion.
+    Q("q_stat_confusion",
+      """WITH u AS (
+        |  SELECT CASE WHEN CAST(CAST(value AS DECIMAL(12,2)) * 100
+        |      AS BIGINT) >= 10000 THEN 1 ELSE 0 END AS pred,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |      AS actual
+        |  FROM events),
+        |c AS (
+        |  SELECT CAST(SUM(pred * actual) AS BIGINT) AS tp,
+        |    CAST(SUM(pred * (1 - actual)) AS BIGINT) AS fp,
+        |    CAST(SUM((1 - pred) * actual) AS BIGINT) AS fn,
+        |    CAST(SUM((1 - pred) * (1 - actual)) AS BIGINT) AS tn
+        |  FROM u)
+        |SELECT tp, fp, fn, tn,
+        |  CASE WHEN tp + fp = 0 THEN NULL ELSE CAST(tp AS DOUBLE)
+        |    / CAST(tp + fp AS DOUBLE) END AS precision_,
+        |  CASE WHEN tp + fn = 0 THEN NULL ELSE CAST(tp AS DOUBLE)
+        |    / CAST(tp + fn AS DOUBLE) END AS recall_,
+        |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+        |    ELSE CAST(2 * tp AS DOUBLE)
+        |    / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1,
+        |  CAST(tp * tn - fp * fn AS BIGINT) AS mcc_num,
+        |  CAST((tp + fp) * (tp + fn) AS BIGINT) AS mcc_den_a,
+        |  CAST((tn + fp) * (tn + fn) AS BIGINT) AS mcc_den_b
+        |FROM c""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .select(
+          when((col("value").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType) >= 10000L, 1L).otherwise(0L).as("pred"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("actual"))
+      graft.operators.ExactStats.confusion(u, "pred", "actual")
     }
   )
 }

@@ -758,4 +758,21 @@ object StreamOps {
         (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos")),
       "cents", "pos", 5000L)
+
+  /** Streaming classifier monitor (s_stream_confusion): the live 2×2
+    * confusion report — running TP/FP/FN/TN with precision/recall/F1
+    * and the MCC pieces over ingest, the deployed-model health check.
+    * [[graft.operators.ExactStats.confusion]] reused VERBATIM: one
+    * global conditional-sum aggregate is streaming-legal as-is, so
+    * state is ONE row of four counters at any corpus size (the derived
+    * ratios are stateless projections). Complete mode; gated against
+    * the batch operator on everything ingested (StreamingSpec). */
+  def confusionStream(events: DataFrame): DataFrame =
+    graft.operators.ExactStats.confusion(
+      events.select(
+        when((col("value").cast("decimal(12,2)") * 100).cast("long")
+          >= 10000L, 1L).otherwise(0L).as("pred"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("actual")),
+      "pred", "actual")
 }

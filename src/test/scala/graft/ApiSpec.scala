@@ -260,6 +260,18 @@ class ApiSpec extends SparkSuite {
       s"adjusted mean must be 3·x̄: $r"))
   }
 
+  test("stats group: confusion report on a hand-checked sample") {
+    // 3 TP, 1 FP, 2 FN, 4 TN → precision 3/4, recall 3/5,
+    // F1 = 6/(6+1+2) = 2/3, mcc_num = 3·4 − 1·2 = 10
+    val df = (Seq.fill(3)((1L, 1L)) ++ Seq((1L, 0L)) ++
+      Seq.fill(2)((0L, 1L)) ++ Seq.fill(4)((0L, 0L))).toDF("p", "a")
+    val r = Graft.stats.confusion(df, "p", "a").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 1L, 2L, 4L)))
+    assert(r.getDouble(4) == 0.75 && r.getDouble(5) == 0.6 &&
+      r.getDouble(6) == 6.0 / 9.0 && r.getLong(7) == 10L)
+  }
+
   test("stats group: association rules direction asymmetry") {
     // A in both baskets, B in one → conf(B→A) = 1, conf(A→B) = 1/2
     val b = Seq((1L, "A"), (1L, "B"), (2L, "A")).toDF("k", "it")

@@ -415,7 +415,9 @@ class PlanSpec extends SparkSuite {
       // row-scale exchange; expansion row-local, type totals broadcast.
       // rolling trend: day rollup + spine frame windows + output sort
       "q_event_overlap" -> "shuffle=4,broadcast=2,BroadcastHashJoin=2",
-      "q_time_rolling_trend" -> "shuffle=2,broadcast=0")
+      "q_time_rolling_trend" -> "shuffle=2,broadcast=0",
+      // confusion: ONE global conditional-sum exchange, nothing else
+      "q_stat_confusion" -> "shuffle=1,broadcast=0")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }

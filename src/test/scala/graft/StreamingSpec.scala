@@ -1188,4 +1188,40 @@ class StreamingSpec extends SparkSuite {
       (0L, 3L, 1L, (1200.0 + 1200.0 + 4999.0) / 3.0, 1.0 / 3.0),
       (1L, 2L, 1L, (6150.0 + 7525.0) / 2.0, 0.5)), s"hand check: $got")
   }
+
+  test("s_stream_confusion: running 2x2 report == the batch operator " +
+    "on everything ingested") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val day0 = java.time.LocalDateTime.of(2024, 1, 1, 8, 0)
+    // pred = value >= 100: TP (purchase, 150), FP (click, 120),
+    // FN (purchase, 20), TN (view, 5) across two batches
+    val batch1 = Seq(Ev(1L, day0, 1L, "purchase", 150.0),
+      Ev(2L, day0.plusMinutes(1), 2L, "click", 120.0))
+    val batch2 = Seq(Ev(3L, day0.plusMinutes(2), 3L, "purchase", 20.0),
+      Ev(4L, day0.plusMinutes(3), 4L, "view", 5.0))
+    def shape(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(7), r.getLong(8), r.getLong(9))).toSeq
+    def table(rows: Seq[Ev]) =
+      shape(StreamOps.confusionStream(rows.toDF()).collect())
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.confusionStream(mem.toDF()).writeStream
+      .format("memory").queryName("s_conf").outputMode("complete").start()
+    mem.addData(batch1)
+    q.processAllAvailable()
+    assert(shape(spark.table("s_conf").collect()) == table(batch1))
+    mem.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("s_conf").collect()
+    assert(shape(got) == table(batch1 ++ batch2))
+    // hand check: TP=1 FP=1 FN=1 TN=1 → precision 1/2, recall 1/2,
+    // F1 = 2/(2+1+1) = 1/2, mcc_num = 1·1 − 1·1 = 0
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((1L, 1L, 1L, 1L)), s"matrix: $r")
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 0.5 &&
+      r.getDouble(6) == 0.5 && r.getLong(7) == 0L, s"derived: $r")
+  }
 }
