@@ -28,6 +28,7 @@ object SparkEntry {
       TypedQueries.all ++
       MaintenanceQueries.all ++
       StatQueries.all ++
+      NonparamQueries.all ++
       TokenizerQueries.all ++
       GraphQueries.all ++
       SqlParityQueries.all ++

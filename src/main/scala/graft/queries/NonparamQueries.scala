@@ -1,0 +1,452 @@
+package graft.queries
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Nonparametric and categorical test statistics — the experiment-
+  * analysis layer beyond q_stat_ttest/q_stat_mannwhitney: k-group rank
+  * tests (Kruskal–Wallis), ordered-alternative trend (Jonckheere–
+  * Terpstra), paired binary (McNemar), repeated-measures binary
+  * (Cochran's Q), 2×2 association (odds ratio / relative risk), and the
+  * parametric one-way ANOVA decomposition beside them.
+  *
+  * Discipline (the q_stat_kendall emission contract): every statistic is
+  * emitted as EXACT integer pieces (doubled midranks under ties, scaled
+  * deviations) plus at most a fixed-shape double tree of single divides —
+  * no sqrt, no log, no FP accumulation order dependence, so both engines
+  * hash-match bit-for-bit. Ranks NEVER touch the fact: they are computed
+  * on the (group, value) count HISTOGRAM (quantity is ndv-bounded — the
+  * q_agg_mad/q_stat_mannwhitney route), so the one row-scale exchange in
+  * every query here is a map-side-combinable count aggregate and
+  * everything after rides domain-bounded frames.
+  */
+object NonparamQueries {
+
+  val all: Seq[Q] = Seq(
+    // Kruskal–Wallis rank pieces — the k-group generalization of
+    // q_stat_mannwhitney (does quantity's distribution differ across
+    // the three return flags?). Midranks with tie-averaging come from
+    // the global value histogram: a value cell with tc ties starting
+    // after cum prior observations has doubled midrank 2·cum + tc + 1,
+    // so each group's doubled rank sum Σ c_gv·(2·cum_v + tc_v + 1)
+    // stays integral. H and its tie correction are caller-side algebra:
+    // H = [12/(N(N+1))·Σ_g (R_g)²/n_g − 3(N+1)] / (1 − tie_sum/(N³−N))
+    // with R_g = rank_sum_x2/2.
+    //
+    // Scale shape: ONE map-side-combinable (flag, value) count; the
+    // histogram cum window and the tie rollup ride the ndv-bounded
+    // value frame (≤50 cells), the join back is broadcast. Doubled
+    // products are summed in DECIMAL(25,0) (exact to ~10¹² rows);
+    // tc³ holds in BIGINT to ~2·10⁶ rows per value cell — loud
+    // (ANSI / HUGEINT range) beyond, never silent.
+    Q("q_stat_kruskal",
+      """WITH s AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem),
+        |h AS (
+        |  SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY g, v),
+        |vt AS (
+        |  SELECT v, CAST(SUM(c) AS BIGINT) AS tc FROM h GROUP BY v),
+        |vc AS (
+        |  SELECT v, tc,
+        |    CAST(COALESCE(SUM(tc) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum
+        |  FROM vt),
+        |gr AS (
+        |  SELECT g, CAST(SUM(c) AS BIGINT) AS n_g,
+        |    CAST(SUM(CAST(c AS DECIMAL(25,0)) * (2 * cum + tc + 1))
+        |      AS BIGINT) AS rank_sum_x2
+        |  FROM h JOIN vc ON h.v = vc.v GROUP BY g),
+        |gw AS (
+        |  SELECT g, n_g, rank_sum_x2,
+        |    CAST(SUM(n_g) OVER () AS BIGINT) AS n_total
+        |  FROM gr),
+        |t AS (
+        |  SELECT CAST(SUM(tc * tc * tc - tc) AS BIGINT) AS tie_sum
+        |  FROM vt)
+        |SELECT g AS l_returnflag, n_g, rank_sum_x2, n_total, tie_sum
+        |FROM gw CROSS JOIN t ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+      val h = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"),
+          (col("l_quantity").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("v"))
+        .groupBy("g", "v")
+        .agg(count(lit(1)).cast(LongType).as("c"))
+        // the value histogram, the tie rollup and the rank join all
+        // ride this ndv-bounded frame — one scan of the fact
+        .localCheckpoint()
+      val vt = h.groupBy("v").agg(sum("c").cast(LongType).as("tc"))
+      val vc = vt.withColumn("cum",
+        coalesce(sum("tc").over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .cast(LongType))
+      val gr = h.join(broadcast(vc), Seq("v"))
+        .groupBy("g")
+        .agg(sum("c").cast(LongType).as("n_g"),
+          sum(col("c").cast(DecimalType(25, 0))
+            * (lit(2) * col("cum") + col("tc") + 1))
+            .cast(LongType).as("rank_sum_x2"))
+      val gw = gr.withColumn("n_total",
+        sum("n_g").over(Window.partitionBy()).cast(LongType))
+      val t = vt.agg(
+        sum(col("tc") * col("tc") * col("tc") - col("tc"))
+          .cast(LongType).as("tie_sum"))
+      gw.crossJoin(broadcast(t))
+        .select(col("g").as("l_returnflag"), col("n_g"),
+          col("rank_sum_x2"), col("n_total"), col("tie_sum"))
+        .orderBy("l_returnflag")
+    },
+
+    // Jonckheere–Terpstra trend pieces — the ordered-alternative rank
+    // test (does quantity trend with line number 1→7?): JT is the sum
+    // over ordered group pairs i<j of Mann–Whitney counts
+    // #{x_i < x_j} + ½·#{x_i = x_j}. On the COMPLETED group×value grid
+    // each cell contributes c·(2·gt + eq) to the doubled statistic,
+    // where gt = observations in LATER groups with HIGHER values (a
+    // suffix-of-suffix window) and eq = later groups, same value. The
+    // null moments are caller-side from the emitted group sizes:
+    // E[2·JT] = (N² − Σn_g²)/2.
+    //
+    // Scale shape: one (group, value) count exchange; the grid is
+    // |groups|×|values| ≤ 350 cells at any corpus size, and both
+    // dominance windows ride it. Cell products hold in DECIMAL(25,0)
+    // to ~10¹² rows.
+    Q("q_stat_jonckheere",
+      """WITH s AS (
+        |  SELECT l_linenumber AS g,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem),
+        |h AS (
+        |  SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY g, v),
+        |grid AS (
+        |  SELECT gg.g, vv.v, COALESCE(h.c, 0) AS c
+        |  FROM (SELECT DISTINCT g FROM h) gg
+        |  CROSS JOIN (SELECT DISTINCT v FROM h) vv
+        |  LEFT JOIN h ON h.g = gg.g AND h.v = vv.v),
+        |sx AS (
+        |  SELECT g, v, c,
+        |    CAST(COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS sv
+        |  FROM grid),
+        |dom AS (
+        |  SELECT g, c,
+        |    CAST(COALESCE(SUM(sv) OVER (PARTITION BY v ORDER BY g
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+        |      AS BIGINT) AS gt,
+        |    CAST(COALESCE(SUM(c) OVER (PARTITION BY v ORDER BY g
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+        |      AS BIGINT) AS eq
+        |  FROM sx)
+        |SELECT g AS l_linenumber, CAST(SUM(c) AS BIGINT) AS n_g,
+        |  CAST(SUM(CAST(c AS DECIMAL(25,0)) * (2 * gt + eq)) AS BIGINT)
+        |    AS jt_term_x2
+        |FROM dom GROUP BY g ORDER BY l_linenumber""".stripMargin) {
+      (s, d) =>
+      val h = Tables.lineitem(s, d)
+        .select(col("l_linenumber").as("g"),
+          (col("l_quantity").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("v"))
+        .groupBy("g", "v")
+        .agg(count(lit(1)).cast(LongType).as("c"))
+        // grid spine + completion join all ride this ≤350-cell frame
+        .localCheckpoint()
+      val grid = h.select("g").distinct()
+        .crossJoin(h.select("v").distinct())
+        .join(h, Seq("g", "v"), "left")
+        .select(col("g"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+      val sx = grid.withColumn("sv",
+        coalesce(sum("c").over(Window.partitionBy("g").orderBy(col("v").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .cast(LongType))
+      val later = Window.partitionBy("v").orderBy("g")
+        .rowsBetween(1, Window.unboundedFollowing)
+      val dom = sx.select(col("g"), col("c"),
+        coalesce(sum("sv").over(later), lit(0L)).cast(LongType).as("gt"),
+        coalesce(sum("c").over(later), lit(0L)).cast(LongType).as("eq"))
+      dom.groupBy("g")
+        .agg(sum("c").cast(LongType).as("n_g"),
+          sum(col("c").cast(DecimalType(25, 0))
+            * (lit(2) * col("gt") + col("eq")))
+            .cast(LongType).as("jt_term_x2"))
+        .select(col("g").as("l_linenumber"), col("n_g"), col("jt_term_x2"))
+        .orderBy("l_linenumber")
+    },
+
+    // McNemar's paired-proportion test — week-over-week user activity
+    // as the matched-pairs 2×2 (the before/after retention check): did
+    // the active-user set CHANGE between week 1 and week 2, judged only
+    // by the discordant cells? χ² = (b−c)²/(b+c) plus the
+    // continuity-corrected (max(|b−c|−1,0))²/(b+c) — every piece an
+    // exact integer, one IEEE divide each (NULL when b+c = 0, the
+    // degenerate no-switch corpus, identically in both engines).
+    //
+    // Scale shape: ONE per-user conditional-flag rollup (map-side
+    // combinable) then a single counter row — streaming-legal shape.
+    // Weeks are fixture-anchored ([2024-01-01, 2024-01-15) halves).
+    Q("q_stat_mcnemar",
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00'
+        |      THEN 1 ELSE 0 END) AS w1,
+        |    MAX(CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |      AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN 1 ELSE 0 END) AS w2
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(w1 * w2) AS BIGINT) AS both_weeks,
+        |    CAST(SUM(w1 * (1 - w2)) AS BIGINT) AS only_w1,
+        |    CAST(SUM((1 - w1) * w2) AS BIGINT) AS only_w2,
+        |    CAST(SUM((1 - w1) * (1 - w2)) AS BIGINT) AS neither
+        |  FROM u)
+        |SELECT n_users, both_weeks, only_w1, only_w2, neither,
+        |  CAST((only_w1 - only_w2) * (only_w1 - only_w2) AS BIGINT)
+        |    AS chi2_num,
+        |  CAST(only_w1 + only_w2 AS BIGINT) AS chi2_den,
+        |  CAST((only_w1 - only_w2) * (only_w1 - only_w2) AS DOUBLE)
+        |    / CAST(NULLIF(only_w1 + only_w2, 0) AS DOUBLE) AS mcnemar_chi2,
+        |  CAST(GREATEST(ABS(only_w1 - only_w2) - 1, 0)
+        |    * GREATEST(ABS(only_w1 - only_w2) - 1, 0) AS BIGINT) AS cc_num,
+        |  CAST(GREATEST(ABS(only_w1 - only_w2) - 1, 0)
+        |    * GREATEST(ABS(only_w1 - only_w2) - 1, 0) AS DOUBLE)
+        |    / CAST(NULLIF(only_w1 + only_w2, 0) AS DOUBLE) AS mcnemar_cc
+        |FROM m""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          max(when(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"),
+            1L).otherwise(0L)).as("w1"),
+          max(when(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp")
+            && col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"),
+            1L).otherwise(0L)).as("w2"))
+      u.agg(count(lit(1)).cast(LongType).as("n_users"),
+          sum(col("w1") * col("w2")).cast(LongType).as("both_weeks"),
+          sum(col("w1") * (lit(1L) - col("w2"))).cast(LongType).as("only_w1"),
+          sum((lit(1L) - col("w1")) * col("w2")).cast(LongType).as("only_w2"),
+          sum((lit(1L) - col("w1")) * (lit(1L) - col("w2")))
+            .cast(LongType).as("neither"))
+        .selectExpr("n_users", "both_weeks", "only_w1", "only_w2", "neither",
+          "CAST((only_w1 - only_w2) * (only_w1 - only_w2) AS BIGINT)" +
+            " AS chi2_num",
+          "CAST(only_w1 + only_w2 AS BIGINT) AS chi2_den",
+          "CAST((only_w1 - only_w2) * (only_w1 - only_w2) AS DOUBLE)" +
+            " / CAST(NULLIF(only_w1 + only_w2, 0) AS DOUBLE)" +
+            " AS mcnemar_chi2",
+          "CAST(GREATEST(ABS(only_w1 - only_w2) - 1, 0)" +
+            " * GREATEST(ABS(only_w1 - only_w2) - 1, 0) AS BIGINT)" +
+            " AS cc_num",
+          "CAST(GREATEST(ABS(only_w1 - only_w2) - 1, 0)" +
+            " * GREATEST(ABS(only_w1 - only_w2) - 1, 0) AS DOUBLE)" +
+            " / CAST(NULLIF(only_w1 + only_w2, 0) AS DOUBLE)" +
+            " AS mcnemar_cc")
+    },
+
+    // Cochran's Q pieces — the k-treatment generalization of McNemar
+    // (the binary Friedman): is weekly activity consistent across the
+    // four fixture weeks? Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²)
+    // with C_j the per-week active counts and R_i the per-user
+    // weeks-active totals — every piece an exact integer. All-zero
+    // blocks provably cancel from BOTH numerator and denominator, so
+    // the user universe needs no completion. Weeks come from the
+    // day-of-month via the exactly-divisible (d − d%7)/7 trick (no
+    // dialect div operator needed).
+    //
+    // Scale shape: one distinct (user, week) exchange; C_j is a ≤4-row
+    // rollup with its windows, ΣR_i² a per-user rollup folded to one
+    // broadcast row. ΣC_j² ≤ N² holds in BIGINT to ~3·10⁹ active
+    // user-weeks; loud beyond.
+    Q("q_stat_cochranq",
+      """WITH e AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST((EXTRACT(DAY FROM ts) - 1
+        |      - ((EXTRACT(DAY FROM ts) - 1) % 7)) / 7 AS BIGINT) AS wk
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-29 00:00:00'),
+        |c AS (
+        |  SELECT wk, CAST(COUNT(*) AS BIGINT) AS c_j FROM e GROUP BY wk),
+        |cw AS (
+        |  SELECT wk, c_j,
+        |    CAST(SUM(c_j * c_j) OVER () AS BIGINT) AS sum_c2,
+        |    CAST(SUM(c_j) OVER () AS BIGINT) AS n_active
+        |  FROM c),
+        |r AS (
+        |  SELECT CAST(SUM(ri * ri) AS BIGINT) AS sum_r2
+        |  FROM (SELECT user_id, COUNT(*) AS ri FROM e GROUP BY user_id) t)
+        |SELECT wk AS week, c_j, n_active,
+        |  CAST(3 * (4 * sum_c2 - n_active * n_active) AS BIGINT) AS q_num,
+        |  CAST(4 * n_active - sum_r2 AS BIGINT) AS q_den,
+        |  CAST(3 * (4 * sum_c2 - n_active * n_active) AS DOUBLE)
+        |    / CAST(NULLIF(4 * n_active - sum_r2, 0) AS DOUBLE) AS cochran_q
+        |FROM cw CROSS JOIN r ORDER BY week""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .filter(col("ts") < lit("2024-01-29 00:00:00").cast("timestamp"))
+        .select(col("user_id"),
+          expr("CAST((EXTRACT(DAY FROM ts) - 1" +
+            " - ((EXTRACT(DAY FROM ts) - 1) % 7)) / 7 AS BIGINT)").as("wk"))
+        .distinct()
+        // both the week rollup and the per-user rollup ride this frame
+        .localCheckpoint()
+      val cw = e.groupBy("wk")
+        .agg(count(lit(1)).cast(LongType).as("c_j"))
+        .withColumn("sum_c2",
+          sum(col("c_j") * col("c_j")).over(Window.partitionBy())
+            .cast(LongType))
+        .withColumn("n_active",
+          sum("c_j").over(Window.partitionBy()).cast(LongType))
+      val r = e.groupBy("user_id").agg(count(lit(1)).as("ri"))
+        .agg(sum(col("ri") * col("ri")).cast(LongType).as("sum_r2"))
+      cw.crossJoin(broadcast(r))
+        .selectExpr("wk AS week", "c_j", "n_active",
+          "CAST(3 * (4 * sum_c2 - n_active * n_active) AS BIGINT) AS q_num",
+          "CAST(4 * n_active - sum_r2 AS BIGINT) AS q_den",
+          "CAST(3 * (4 * sum_c2 - n_active * n_active) AS DOUBLE)" +
+            " / CAST(NULLIF(4 * n_active - sum_r2, 0) AS DOUBLE)" +
+            " AS cochran_q")
+        .orderBy("week")
+    },
+
+    // Odds ratio and relative risk over the user-level 2×2 (exposure =
+    // ever clicked, outcome = ever purchased) — the effect-size report
+    // beside q_stat_proportion's significance test. Plain OR = ad/bc
+    // and RR = a(c+d)/(c(a+b)) as exact integer num/den pieces with one
+    // IEEE divide each; the Haldane–Anscombe +½-corrected OR is emitted
+    // exactly too, as (2a+1)(2d+1)/((2b+1)(2c+1)) — doubling the table
+    // turns the ½ correction into integers.
+    //
+    // Scale shape: one per-user conditional-flag rollup then a single
+    // counter row — the q_stat_confusion shape, streaming-legal.
+    // Products hold in BIGINT to ~3·10⁹ users per cell; loud beyond.
+    Q("q_stat_oddsratio",
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ex,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS oc
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT CAST(SUM(ex * oc) AS BIGINT) AS n_exp_out,
+        |    CAST(SUM(ex * (1 - oc)) AS BIGINT) AS n_exp_noout,
+        |    CAST(SUM((1 - ex) * oc) AS BIGINT) AS n_noexp_out,
+        |    CAST(SUM((1 - ex) * (1 - oc)) AS BIGINT) AS n_noexp_noout
+        |  FROM u)
+        |SELECT n_exp_out, n_exp_noout, n_noexp_out, n_noexp_noout,
+        |  CAST(n_exp_out * n_noexp_noout AS BIGINT) AS or_num,
+        |  CAST(n_exp_noout * n_noexp_out AS BIGINT) AS or_den,
+        |  CAST(n_exp_out * n_noexp_noout AS DOUBLE)
+        |    / CAST(NULLIF(n_exp_noout * n_noexp_out, 0) AS DOUBLE)
+        |    AS odds_ratio,
+        |  CAST((2 * n_exp_out + 1) * (2 * n_noexp_noout + 1) AS BIGINT)
+        |    AS or_ha_num,
+        |  CAST((2 * n_exp_noout + 1) * (2 * n_noexp_out + 1) AS BIGINT)
+        |    AS or_ha_den,
+        |  CAST(n_exp_out * (n_noexp_out + n_noexp_noout) AS BIGINT)
+        |    AS rr_num,
+        |  CAST(n_noexp_out * (n_exp_out + n_exp_noout) AS BIGINT)
+        |    AS rr_den,
+        |  CAST(n_exp_out * (n_noexp_out + n_noexp_noout) AS DOUBLE)
+        |    / CAST(NULLIF(n_noexp_out * (n_exp_out + n_exp_noout), 0)
+        |      AS DOUBLE) AS risk_ratio
+        |FROM m""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("ex"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("oc"))
+      u.agg(sum(col("ex") * col("oc")).cast(LongType).as("n_exp_out"),
+          sum(col("ex") * (lit(1L) - col("oc"))).cast(LongType)
+            .as("n_exp_noout"),
+          sum((lit(1L) - col("ex")) * col("oc")).cast(LongType)
+            .as("n_noexp_out"),
+          sum((lit(1L) - col("ex")) * (lit(1L) - col("oc"))).cast(LongType)
+            .as("n_noexp_noout"))
+        .selectExpr("n_exp_out", "n_exp_noout", "n_noexp_out",
+          "n_noexp_noout",
+          "CAST(n_exp_out * n_noexp_noout AS BIGINT) AS or_num",
+          "CAST(n_exp_noout * n_noexp_out AS BIGINT) AS or_den",
+          "CAST(n_exp_out * n_noexp_noout AS DOUBLE)" +
+            " / CAST(NULLIF(n_exp_noout * n_noexp_out, 0) AS DOUBLE)" +
+            " AS odds_ratio",
+          "CAST((2 * n_exp_out + 1) * (2 * n_noexp_noout + 1) AS BIGINT)" +
+            " AS or_ha_num",
+          "CAST((2 * n_exp_noout + 1) * (2 * n_noexp_out + 1) AS BIGINT)" +
+            " AS or_ha_den",
+          "CAST(n_exp_out * (n_noexp_out + n_noexp_noout) AS BIGINT)" +
+            " AS rr_num",
+          "CAST(n_noexp_out * (n_exp_out + n_exp_noout) AS BIGINT)" +
+            " AS rr_den",
+          "CAST(n_exp_out * (n_noexp_out + n_noexp_noout) AS DOUBLE)" +
+            " / CAST(NULLIF(n_noexp_out * (n_exp_out + n_exp_noout), 0)" +
+            " AS DOUBLE) AS risk_ratio")
+    },
+
+    // One-way ANOVA decomposition — the parametric complement of
+    // q_stat_kruskal on the same design (quantity by line number):
+    // per-group between/within sum-of-squares terms with the scaled
+    // deviation dev_g = N·s_g − n_g·S emitted as the EXACT integer
+    // piece, and the double terms as fixed single-divide trees over
+    // exactly-emitted integers (ssb_term = dev_g²/(n_g·N²),
+    // ssw_term = q_g − s_g²/n_g). F assembles caller-side:
+    // F = (Σssb/(k−1)) / (Σssw/(N−k)) — kept out of the oracle so no
+    // cross-group double accumulation order exists.
+    //
+    // Scale shape: ONE map-side-combinable conditional-sum aggregate
+    // (7 groups); margins are windows over those rows. Exact while
+    // N·s_g < 2⁶³ — ~10⁶ rows/group at quantity cents; the pieces
+    // overflow LOUDLY (ANSI) beyond, never silently.
+    Q("q_stat_anova",
+      """WITH s AS (
+        |  SELECT l_linenumber AS g,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(x) AS BIGINT) AS s_g,
+        |    CAST(SUM(x * x) AS BIGINT) AS q_g
+        |  FROM s GROUP BY g),
+        |w AS (
+        |  SELECT g, n_g, s_g, q_g,
+        |    CAST(SUM(n_g) OVER () AS BIGINT) AS n,
+        |    CAST(SUM(s_g) OVER () AS BIGINT) AS st,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS k
+        |  FROM a)
+        |SELECT g AS l_linenumber, n_g, s_g, q_g, n AS n_total,
+        |  k AS k_groups,
+        |  CAST(n * s_g - n_g * st AS BIGINT) AS dev_num,
+        |  CAST(n * s_g - n_g * st AS DOUBLE)
+        |    * CAST(n * s_g - n_g * st AS DOUBLE)
+        |    / (CAST(n_g AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |    AS ssb_term,
+        |  CAST(q_g AS DOUBLE) - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+        |    / CAST(n_g AS DOUBLE) AS ssw_term
+        |FROM w ORDER BY l_linenumber""".stripMargin) { (s, d) =>
+      val a = Tables.lineitem(s, d)
+        .select(col("l_linenumber").as("g"),
+          (col("l_quantity").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("x"))
+        .groupBy("g")
+        .agg(count(lit(1)).cast(LongType).as("n_g"),
+          sum("x").cast(LongType).as("s_g"),
+          sum(col("x") * col("x")).cast(LongType).as("q_g"))
+      val wAll = Window.partitionBy()
+      a.select(col("g"), col("n_g"), col("s_g"), col("q_g"),
+          sum("n_g").over(wAll).cast(LongType).as("n"),
+          sum("s_g").over(wAll).cast(LongType).as("st"),
+          count(lit(1)).over(wAll).cast(LongType).as("k"))
+        .selectExpr("g AS l_linenumber", "n_g", "s_g", "q_g",
+          "n AS n_total", "k AS k_groups",
+          "CAST(n * s_g - n_g * st AS BIGINT) AS dev_num",
+          "CAST(n * s_g - n_g * st AS DOUBLE)" +
+            " * CAST(n * s_g - n_g * st AS DOUBLE)" +
+            " / (CAST(n_g AS DOUBLE) * CAST(n AS DOUBLE)" +
+            " * CAST(n AS DOUBLE)) AS ssb_term",
+          "CAST(q_g AS DOUBLE) - CAST(s_g AS DOUBLE)" +
+            " * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS ssw_term")
+        .orderBy("l_linenumber")
+    }
+  )
+}
