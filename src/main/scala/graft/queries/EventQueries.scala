@@ -1034,6 +1034,140 @@ object EventQueries {
             " / CAST(n * sxx - sx * sx AS DOUBLE)" +
             " AS slope_cents_per_day")
         .orderBy("day")
+    },
+
+    // RSI-14 (relative strength index) over daily order revenue — the
+    // momentum oscillator every market-data stack ships (Cutler's
+    // simple-average form, which is window arithmetic; Wilder's EWMA
+    // form is q_time_ewma's recursion). Day-over-day revenue diffs
+    // split into up/down moves in EXACT cents; the 14-day rolling sums
+    // are integers and RSI = 100·up/(up+dn) is one IEEE divide (NULL
+    // on a 14-day flat stretch, identically in both engines). Emitted
+    // only where the window holds 14 real diffs.
+    //
+    // Scale shape: one map-side-combinable day rollup, then every
+    // window (lag + two rolling sums + the count guard) rides the
+    // calendar-bounded day spine in ONE ordered pass — the strict-lint
+    // aggregate-bounded exemption. Cents sums hold in BIGINT to ~10¹⁴
+    // revenue-cents/day; loud beyond.
+    Q("q_time_rsi",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |i AS (
+        |  SELECT day, rev - LAG(rev) OVER (ORDER BY day) AS diff FROM d),
+        |w AS (
+        |  SELECT day,
+        |    CAST(SUM(GREATEST(diff, 0)) OVER (ORDER BY day
+        |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS up_sum,
+        |    CAST(SUM(GREATEST(-diff, 0)) OVER (ORDER BY day
+        |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS dn_sum,
+        |    CAST(COUNT(diff) OVER (ORDER BY day
+        |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_diffs
+        |  FROM i)
+        |SELECT day, up_sum, dn_sum,
+        |  CAST(100 * up_sum AS DOUBLE)
+        |    / CAST(NULLIF(up_sum + dn_sum, 0) AS DOUBLE) AS rsi
+        |FROM w WHERE n_diffs = 14 ORDER BY day""".stripMargin) { (s, d) =>
+      val days = Tables.orders(s, d)
+        .groupBy(date_trunc("day", col("o_orderdate")).cast("timestamp_ntz")
+          .as("day"))
+        .agg(sum((col("o_totalprice").cast("decimal(14,2)") * 100)
+          .cast("long")).cast("long").as("rev"))
+      val i = days.select(col("day"),
+        (col("rev") - lag("rev", 1).over(Window.orderBy("day"))).as("diff"))
+      val win = Window.orderBy("day").rowsBetween(-13, 0)
+      i.select(col("day"),
+          sum(greatest(col("diff"), lit(0L))).over(win).cast("long")
+            .as("up_sum"),
+          sum(greatest(-col("diff"), lit(0L))).over(win).cast("long")
+            .as("dn_sum"),
+          count(col("diff")).over(win).cast("long").as("n_diffs"))
+        .where(col("n_diffs") === 14)
+        .selectExpr("day", "up_sum", "dn_sum",
+          "CAST(100 * up_sum AS DOUBLE)" +
+            " / CAST(NULLIF(up_sum + dn_sum, 0) AS DOUBLE) AS rsi")
+        .orderBy("day")
+    },
+
+    // Lagged CROSS-correlation between two regions' monthly order
+    // volumes (does AMERICA lead ASIA?) — q_time_acf's machinery
+    // pointed across two series instead of one. Both series come out
+    // of ONE pivoted month rollup (no series join), and per lag
+    // ℓ ∈ [0, 6] the exact Pearson pieces n·Σxy − Σx·Σy over the
+    // (x_t, y_t+ℓ) pairs are integers; ρ_ℓ = cov/√(vx·vy) stays
+    // caller-side (no sqrt in oracles). Lag 0 is the contemporaneous
+    // correlation.
+    //
+    // Scale shape: the fact joins two BROADCAST dims (customer is the
+    // larger; at warehouse scale bucket it instead), then one
+    // map-side-combinable month rollup; the ≤80-row month spine
+    // self-joins broadcast. Count products hold in BIGINT to ~10⁹
+    // orders/month; loud beyond.
+    Q("q_time_ccf",
+      """WITH b AS (
+        |  SELECT o.o_orderdate, n.n_regionkey AS r
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey IN (1, 2)),
+        |m AS (
+        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+        |      + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+        |    CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS xa,
+        |    CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS yb
+        |  FROM b GROUP BY 1),
+        |i AS (
+        |  SELECT xa, yb, ROW_NUMBER() OVER (ORDER BY mo) AS rn FROM m),
+        |p AS (
+        |  SELECT b2.rn - a.rn AS lag, a.xa AS x, b2.yb AS y
+        |  FROM i a JOIN i b2 ON b2.rn >= a.rn AND b2.rn - a.rn <= 6)
+        |SELECT lag AS lag_months, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
+        |    AS cov_num,
+        |  CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT)
+        |    AS var_x_num,
+        |  CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS BIGINT)
+        |    AS var_y_num
+        |FROM p GROUP BY lag ORDER BY lag_months""".stripMargin) { (s, d) =>
+      val base = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_regionkey").isin(1, 2))
+      val m = base
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mo"))
+        .agg(sum(when(col("n_regionkey") === 1, 1L).otherwise(0L))
+            .cast("long").as("xa"),
+          sum(when(col("n_regionkey") === 2, 1L).otherwise(0L))
+            .cast("long").as("yb"))
+      val i = m.select(col("xa"), col("yb"),
+        row_number().over(Window.orderBy("mo")).cast("long").as("rn"))
+        // the month spine feeds both self-join sides — checkpoint so
+        // the orders scan runs once (the q_time_acf caller contract)
+        .localCheckpoint()
+      val a = i.toDF("x", "yba", "rna")
+      val b2 = i.toDF("xab", "y", "rnb")
+      a.join(broadcast(b2),
+          col("rnb") >= col("rna") && col("rnb") - col("rna") <= 6)
+        .select((col("rnb") - col("rna")).as("lag"), col("x"), col("y"))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("cnt"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .selectExpr("lag AS lag_months", "CAST(cnt AS BIGINT) AS n_pairs",
+          "CAST(cnt * sxy - sx * sy AS BIGINT) AS cov_num",
+          "CAST(cnt * sxx - sx * sx AS BIGINT) AS var_x_num",
+          "CAST(cnt * syy - sy * sy AS BIGINT) AS var_y_num")
+        .orderBy("lag_months")
     }
   )
 }

@@ -1578,6 +1578,90 @@ object PipelineQueries {
           expr("CAST(SUM(ABS(n * c - k * nt)) AS DOUBLE)" +
             " / CAST(MAX(2 * n * k) AS DOUBLE) AS tv_distance"))
         .orderBy("source")
+    },
+
+    // Keyness — the corpus-linguistics "distinctive vocabulary" report
+    // (q_text_tvd names HOW FAR a source drifts; this names WHICH terms
+    // drive it): for every source, the top-5 OVERUSED terms by the 2×2
+    // chi-square of (term t in source s) vs (t in the rest of the
+    // corpus). The deviation dev = N·c − k·nt is the exact integer
+    // piece (χ² > 0 both for over- and under-use, so the dev > 0
+    // filter keeps exactly the overused side); χ² itself is the fixed
+    // single-divide tree N·dev²/(k·(N−k)·nt·(N−nt)) over exactly-
+    // emitted integers, and the per-source top-5 is tie-broken by term
+    // so the rank is total even under equal scores. The log-likelihood
+    // G² variant needs ln and stays caller-side (log is banned from
+    // oracles).
+    //
+    // Scale shape: the (source, term) token count is the one row-scale
+    // exchange (map-side combinable); term totals and source totals
+    // ride the vocabulary-bounded frame and join back BROADCAST; the
+    // top-5 window partitions by source. dev holds in BIGINT to ~3·10⁹
+    // tokens; loud beyond.
+    Q("q_text_keyness",
+      """WITH t AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |st AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2),
+        |tt AS (
+        |  SELECT tok, CAST(SUM(c) AS BIGINT) AS nt FROM st GROUP BY tok),
+        |g2 AS (
+        |  SELECT tok, nt, CAST(SUM(nt) OVER () AS BIGINT) AS n FROM tt),
+        |ks AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS k FROM st
+        |  GROUP BY source),
+        |cell AS (
+        |  SELECT st.source, st.tok, st.c, g2.nt, g2.n, ks.k,
+        |    CAST(g2.n * st.c - ks.k * g2.nt AS BIGINT) AS dev
+        |  FROM st JOIN g2 ON st.tok = g2.tok
+        |  JOIN ks ON st.source = ks.source),
+        |sc AS (
+        |  SELECT source, tok, c, nt, dev,
+        |    CAST(n AS DOUBLE) * CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE)
+        |      / (CAST(k AS DOUBLE) * CAST(n - k AS DOUBLE)
+        |        * CAST(nt AS DOUBLE) * CAST(n - nt AS DOUBLE))
+        |      AS chi2_keyness
+        |  FROM cell WHERE dev > 0),
+        |r AS (
+        |  SELECT source, tok, c, nt, dev, chi2_keyness,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY chi2_keyness DESC, tok) AS BIGINT) AS rnk
+        |  FROM sc)
+        |SELECT source, rnk, tok, c AS n_in_source, nt AS n_in_corpus,
+        |  dev AS dev_num, chi2_keyness
+        |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin) {
+      (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val st = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok")
+        .agg(count(lit(1)).cast("long").as("c"))
+        // term totals, source totals and the cell join ride this
+        // vocabulary-bounded frame — one scan of the corpus
+        .localCheckpoint()
+      val g2 = st.groupBy("tok").agg(sum("c").cast("long").as("nt"))
+        .withColumn("n", sum("nt").over(Window.partitionBy()).cast("long"))
+      val ks = st.groupBy("source").agg(sum("c").cast("long").as("k"))
+      val cell = st.join(broadcast(g2), Seq("tok"))
+        .join(broadcast(ks), Seq("source"))
+        .selectExpr("source", "tok", "c", "nt", "n", "k",
+          "CAST(n * c - k * nt AS BIGINT) AS dev")
+      val sc = cell.where(col("dev") > 0)
+        .selectExpr("source", "tok", "c", "nt", "dev",
+          "CAST(n AS DOUBLE) * CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE)" +
+            " / (CAST(k AS DOUBLE) * CAST(n - k AS DOUBLE)" +
+            " * CAST(nt AS DOUBLE) * CAST(n - nt AS DOUBLE))" +
+            " AS chi2_keyness")
+      sc.withColumn("rnk",
+          row_number().over(Window.partitionBy("source")
+            .orderBy(col("chi2_keyness").desc, col("tok"))).cast("long"))
+        .where(col("rnk") <= 5)
+        .select(col("source"), col("rnk"), col("tok"),
+          col("c").as("n_in_source"), col("nt").as("n_in_corpus"),
+          col("dev").as("dev_num"), col("chi2_keyness"))
+        .orderBy("source", "rnk")
     }
   )
 }

@@ -527,6 +527,40 @@ object SparkDialect {
         |  CAST(SUM(ABS(n * c - k * nt)) AS DOUBLE)
         |    / CAST(MAX(2 * n * k) AS DOUBLE) AS tv_distance
         |FROM grid GROUP BY source ORDER BY source""".stripMargin,
+    "q_text_keyness" ->
+      """WITH t AS (
+        |  SELECT source, explode(split(text, ' ')) AS tok
+        |  FROM documents),
+        |st AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2),
+        |tt AS (
+        |  SELECT tok, CAST(SUM(c) AS BIGINT) AS nt FROM st GROUP BY tok),
+        |g2 AS (
+        |  SELECT tok, nt, CAST(SUM(nt) OVER () AS BIGINT) AS n FROM tt),
+        |ks AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS k FROM st
+        |  GROUP BY source),
+        |cell AS (
+        |  SELECT st.source, st.tok, st.c, g2.nt, g2.n, ks.k,
+        |    CAST(g2.n * st.c - ks.k * g2.nt AS BIGINT) AS dev
+        |  FROM st JOIN g2 ON st.tok = g2.tok
+        |  JOIN ks ON st.source = ks.source),
+        |sc AS (
+        |  SELECT source, tok, c, nt, dev,
+        |    CAST(n AS DOUBLE) * CAST(dev AS DOUBLE) * CAST(dev AS DOUBLE)
+        |      / (CAST(k AS DOUBLE) * CAST(n - k AS DOUBLE)
+        |        * CAST(nt AS DOUBLE) * CAST(n - nt AS DOUBLE))
+        |      AS chi2_keyness
+        |  FROM cell WHERE dev > 0),
+        |r AS (
+        |  SELECT source, tok, c, nt, dev, chi2_keyness,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY chi2_keyness DESC, tok) AS BIGINT) AS rnk
+        |  FROM sc)
+        |SELECT source, rnk, tok, c AS n_in_source, nt AS n_in_corpus,
+        |  dev AS dev_num, chi2_keyness
+        |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
     "q_stat_cuped" ->
       """WITH m AS (
         |  SELECT o_custkey AS k,
