@@ -417,7 +417,21 @@ class PlanSpec extends SparkSuite {
       "q_event_overlap" -> "shuffle=4,broadcast=2,BroadcastHashJoin=2",
       "q_time_rolling_trend" -> "shuffle=2,broadcast=0",
       // confusion: ONE global conditional-sum exchange, nothing else
-      "q_stat_confusion" -> "shuffle=1,broadcast=0")
+      "q_stat_confusion" -> "shuffle=1,broadcast=0",
+      // round 11 session 7: the nonparametric battery — rank machinery
+      // rides ndv-bounded histograms (the extra exchanges are ≤350-row
+      // frames), 2×2 rollups are single-aggregate chains
+      "q_stat_kruskal" ->
+        "shuffle=6,broadcast=2,BroadcastHashJoin=1,BroadcastNestedLoopJoin=1",
+      "q_stat_jonckheere" ->
+        "shuffle=6,broadcast=2,BroadcastHashJoin=1,BroadcastNestedLoopJoin=1",
+      "q_stat_mcnemar" -> "shuffle=2,broadcast=0",
+      "q_stat_cochranq" -> "shuffle=4,broadcast=1,BroadcastNestedLoopJoin=1",
+      "q_stat_oddsratio" -> "shuffle=2,broadcast=0",
+      "q_stat_anova" -> "shuffle=2,broadcast=0",
+      "q_time_rsi" -> "shuffle=2,broadcast=0",
+      "q_time_ccf" -> "shuffle=2,broadcast=1,BroadcastNestedLoopJoin=1",
+      "q_text_keyness" -> "shuffle=5,broadcast=2,BroadcastHashJoin=2")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }

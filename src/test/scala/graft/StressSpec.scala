@@ -931,4 +931,102 @@ class StressSpec extends SparkSuite {
         r.getLong(2) * r.getLong(1) * (r.getLong(1) - 1) / 2, s"$r")
     }
   }
+
+  test("nonparametric battery: conservation laws over the gated fixture " +
+    "queries (kruskal / jonckheere / mcnemar / cochran / odds / anova)") {
+    val d = sf("0.001")
+    // Kruskal–Wallis: doubled midranks over the pooled sample sum to
+    // N(N+1) regardless of tie structure — rank mass conserves across
+    // the k groups; n_total and tie_sum are constant columns
+    val kw = SparkEntry.queries("q_stat_kruskal")(spark, d).collect()
+    assert(kw.length == 3, "three return flags")
+    val nTot = kw.map(_.getLong(3)).distinct
+    assert(nTot.length == 1)
+    assert(kw.map(_.getLong(1)).sum == nTot.head, "group sizes sum to N")
+    assert(kw.map(_.getLong(2)).sum == nTot.head * (nTot.head + 1),
+      s"doubled rank mass must be N(N+1): ${kw.mkString(";")}")
+    // Jonckheere–Terpstra: 2·JT counts each cross-group pair at most
+    // twice, so 0 ≤ Σ jt_term_x2 ≤ N² − Σ n_g² (= 2·Σ_{i<j} n_i·n_j)
+    val jt = SparkEntry.queries("q_stat_jonckheere")(spark, d).collect()
+    val nJt = jt.map(_.getLong(1)).sum
+    val pairBound = nJt * nJt - jt.map(r => r.getLong(1) * r.getLong(1)).sum
+    val jtX2 = jt.map(_.getLong(2)).sum
+    assert(jtX2 >= 0 && jtX2 <= pairBound,
+      s"2·JT=$jtX2 outside [0, $pairBound]")
+    // McNemar: the 2×2 partitions the user universe, and the statistic
+    // agrees with its pieces
+    val mc = SparkEntry.queries("q_stat_mcnemar")(spark, d).collect().head
+    assert(mc.getLong(1) + mc.getLong(2) + mc.getLong(3) + mc.getLong(4)
+      == mc.getLong(0), s"2x2 must partition users: $mc")
+    if (mc.getLong(6) > 0)
+      assert(mc.getDouble(7) == mc.getLong(5).toDouble / mc.getLong(6),
+        s"mcnemar_chi2 must be the exact divide: $mc")
+    // Cochran's Q: N = ΣC_j (constant column agrees with the rollup)
+    // and the numerator is non-negative by Cauchy–Schwarz (k·ΣC² ≥ N²)
+    val cq = SparkEntry.queries("q_stat_cochranq")(spark, d).collect()
+    assert(cq.length == 4, "four fixture weeks")
+    assert(cq.map(_.getLong(1)).sum == cq.head.getLong(2),
+      "n_active must be the week-count rollup")
+    cq.foreach(r => assert(r.getLong(3) >= 0,
+      s"Q numerator ≥ 0 by Cauchy–Schwarz: $r"))
+    // Odds ratio: pieces agree with their products
+    val or = SparkEntry.queries("q_stat_oddsratio")(spark, d).collect().head
+    assert(or.getLong(4) == or.getLong(0) * or.getLong(3), s"or_num: $or")
+    assert(or.getLong(5) == or.getLong(1) * or.getLong(2), s"or_den: $or")
+    assert(or.getLong(7) == (2 * or.getLong(0) + 1) * (2 * or.getLong(3) + 1),
+      s"haldane num: $or")
+    // ANOVA: the scaled between-group deviations Σ_g (N·s_g − n_g·S)
+    // telescope to zero exactly, and every within-group term is a
+    // non-negative variance piece
+    val av = SparkEntry.queries("q_stat_anova")(spark, d).collect()
+    assert(av.length == 7, "seven line numbers")
+    assert(av.map(_.getLong(6)).sum == 0L,
+      s"scaled deviations must telescope to 0: ${av.mkString(";")}")
+    av.foreach { r =>
+      assert(r.getDouble(7) >= 0, s"ssb_term ≥ 0: $r")
+      assert(r.getDouble(8) >= 0, s"ssw_term ≥ 0: $r")
+    }
+  }
+
+  test("rsi / ccf / keyness: piece identities over the gated fixture " +
+    "queries") {
+    val d = sf("0.001")
+    // RSI: up/down sums are non-negative and the oscillator is the
+    // exact single divide, bounded in [0, 100]
+    val rsi = SparkEntry.queries("q_time_rsi")(spark, d).collect()
+    assert(rsi.nonEmpty)
+    rsi.foreach { r =>
+      val (up, dn) = (r.getLong(1), r.getLong(2))
+      assert(up >= 0 && dn >= 0, s"$r")
+      if (up + dn > 0) {
+        val v = r.getDouble(3)
+        assert(v == 100.0 * up / (up + dn) && v >= 0 && v <= 100, s"$r")
+      }
+    }
+    // CCF: every lag's Pearson pieces obey Cauchy–Schwarz
+    // (cov² ≤ var_x·var_y) — the exact-integer bound that makes
+    // |ρ| ≤ 1 caller-side; variances are non-negative
+    val ccf = SparkEntry.queries("q_time_ccf")(spark, d).collect()
+    assert(ccf.length == 7, "lags 0..6")
+    ccf.foreach { r =>
+      val (n, cov, vx, vy) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n > 0 && vx >= 0 && vy >= 0, s"$r")
+      assert(BigInt(cov) * BigInt(cov) <= BigInt(vx) * BigInt(vy),
+        s"Cauchy–Schwarz must hold exactly: $r")
+    }
+    // Keyness: ranks are 1..≤5 per source, strictly overused terms
+    // only, and the score agrees with its pieces ratio being positive
+    val ky = SparkEntry.queries("q_text_keyness")(spark, d).collect()
+    assert(ky.nonEmpty)
+    ky.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getLong(1)).sorted.toSeq
+      assert(ranks.length <= 5 && ranks == (1L to ranks.length),
+        s"ranks: ${rows.mkString(";")}")
+    }
+    ky.foreach { r =>
+      assert(r.getLong(5) > 0, s"only overused terms: $r")
+      assert(r.getDouble(6) > 0, s"keyness positive: $r")
+    }
+  }
 }
