@@ -1168,6 +1168,144 @@ object EventQueries {
           "CAST(cnt * sxx - sx * sx AS BIGINT) AS var_x_num",
           "CAST(cnt * syy - sy * sy AS BIGINT) AS var_y_num")
         .orderBy("lag_months")
+    },
+
+    // Anchored VWAP — the execution-quality benchmark (month-to-date
+    // volume-weighted average price in cents per quantity-hundredth):
+    // daily (pv, vol) pieces in exact cents/hundredths, cumulated with
+    // a month-partitioned running window; vwap_c is the single exact
+    // divide. Month anchoring keeps every window frame calendar-bounded
+    // AND gives the shuffle a partition key (months parallelize, unlike
+    // one global running window).
+    //
+    // Scale shape: one map-side-combinable day rollup (the row-scale
+    // exchange); the running window rides the ≤31-row month frame.
+    // Cents sums hold in BIGINT to ~10¹⁴ rows/day; loud beyond.
+    Q("q_time_vwap",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
+        |    CAST(EXTRACT(YEAR FROM l_shipdate) * 12
+        |      + EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS m,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS pv,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS vol
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT day, pv, vol,
+        |  CAST(SUM(pv) OVER w AS BIGINT) AS cum_pv,
+        |  CAST(SUM(vol) OVER w AS BIGINT) AS cum_vol,
+        |  CAST(SUM(pv) OVER w AS DOUBLE)
+        |    / CAST(SUM(vol) OVER w AS DOUBLE) AS vwap_c
+        |FROM d
+        |WINDOW w AS (PARTITION BY m ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      val days = Tables.lineitem(s, d)
+        .groupBy(date_trunc("day", col("l_shipdate")).cast("timestamp_ntz")
+            .as("day"),
+          (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+            .cast("long").as("m"))
+        .agg(sum((col("l_extendedprice").cast("decimal(14,2)") * 100)
+            .cast("long")).cast("long").as("pv"),
+          sum((col("l_quantity").cast("decimal(12,2)") * 100)
+            .cast("long")).cast("long").as("vol"))
+      val w = Window.partitionBy("m").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      days.select(col("day"), col("pv"), col("vol"),
+          sum("pv").over(w).cast("long").as("cum_pv"),
+          sum("vol").over(w).cast("long").as("cum_vol"))
+        .selectExpr("day", "pv", "vol", "cum_pv", "cum_vol",
+          "CAST(cum_pv AS DOUBLE) / CAST(cum_vol AS DOUBLE) AS vwap_c")
+        .orderBy("day")
+    },
+
+    // Bollinger pieces — the rolling mean±k·σ band under the no-sqrt
+    // oracle discipline: 7-day rolling count sum and sum-of-squares on
+    // the daily order-volume series, with the variance NUMERATOR
+    // emitted exactly (var_num_x49 = 7·Σx² − (Σx)² = 49·σ²_pop, ≥ 0 by
+    // Cauchy–Schwarz — StressSpec pins it) and the band center as the
+    // single divide. band = mean ± k·√(var_num)/7 is caller-side.
+    // Volume (not revenue) keeps x² in BIGINT to ~10⁹ orders/day.
+    //
+    // Scale shape: one map-side-combinable day rollup; the rolling
+    // window rides the calendar-bounded day frame (global ORDER BY day
+    // over ≤2.5k rows at ANY corpus size — the q_time_rsi contract).
+    Q("q_time_bollinger",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT day, cnt,
+        |    CAST(COUNT(*) OVER w7 AS BIGINT) AS n_win,
+        |    CAST(SUM(cnt) OVER w7 AS BIGINT) AS roll_sum,
+        |    CAST(SUM(cnt * cnt) OVER w7 AS BIGINT) AS roll_sumsq
+        |  FROM d
+        |  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+        |    AND CURRENT ROW))
+        |SELECT day, cnt, roll_sum,
+        |  CAST(7 * roll_sumsq - roll_sum * roll_sum AS BIGINT)
+        |    AS var_num_x49,
+        |  CAST(roll_sum AS DOUBLE) / 7.0e0 AS mean7
+        |FROM w WHERE n_win = 7 ORDER BY day""".stripMargin) { (s, d) =>
+      val days = Tables.orders(s, d)
+        .groupBy(date_trunc("day", col("o_orderdate")).cast("timestamp_ntz")
+          .as("day"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val w7 = Window.orderBy("day").rowsBetween(-6, 0)
+      days.select(col("day"), col("cnt"),
+          count(lit(1)).over(w7).cast("long").as("n_win"),
+          sum("cnt").over(w7).cast("long").as("roll_sum"),
+          sum(col("cnt") * col("cnt")).over(w7).cast("long")
+            .as("roll_sumsq"))
+        .where(col("n_win") === 7)
+        .selectExpr("day", "cnt", "roll_sum",
+          "CAST(7 * roll_sumsq - roll_sum * roll_sum AS BIGINT)" +
+            " AS var_num_x49",
+          "CAST(roll_sum AS DOUBLE) / 7.0e0 AS mean7")
+        .orderBy("day")
+    },
+
+    // Stochastic oscillator %K — where does today sit in the 14-day
+    // revenue range? (lo ≤ rev ≤ hi by construction; 0 ≤ %K ≤ 100, NULL
+    // on a degenerate flat window — both laws StressSpec pins.) The
+    // rolling MIN/MAX pieces are exact cents; %K is the single exact
+    // divide over them. %D (the 3-day SMA of %K) is caller-side.
+    //
+    // Scale shape: the q_time_rsi contract — one map-side-combinable
+    // day rollup, then windows on the calendar-bounded day frame.
+    Q("q_time_stochastic",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT day, rev,
+        |    CAST(MIN(rev) OVER w14 AS BIGINT) AS lo,
+        |    CAST(MAX(rev) OVER w14 AS BIGINT) AS hi,
+        |    CAST(COUNT(*) OVER w14 AS BIGINT) AS n_win
+        |  FROM d
+        |  WINDOW w14 AS (ORDER BY day ROWS BETWEEN 13 PRECEDING
+        |    AND CURRENT ROW))
+        |SELECT day, rev, lo, hi,
+        |  CAST(100 * (rev - lo) AS DOUBLE)
+        |    / CAST(NULLIF(hi - lo, 0) AS DOUBLE) AS k_pct
+        |FROM w WHERE n_win = 14 ORDER BY day""".stripMargin) { (s, d) =>
+      val days = Tables.orders(s, d)
+        .groupBy(date_trunc("day", col("o_orderdate")).cast("timestamp_ntz")
+          .as("day"))
+        .agg(sum((col("o_totalprice").cast("decimal(14,2)") * 100)
+          .cast("long")).cast("long").as("rev"))
+      val w14 = Window.orderBy("day").rowsBetween(-13, 0)
+      days.select(col("day"), col("rev"),
+          min("rev").over(w14).cast("long").as("lo"),
+          max("rev").over(w14).cast("long").as("hi"),
+          count(lit(1)).over(w14).cast("long").as("n_win"))
+        .where(col("n_win") === 14)
+        .selectExpr("day", "rev", "lo", "hi",
+          "CAST(100 * (rev - lo) AS DOUBLE)" +
+            " / CAST(NULLIF(hi - lo, 0) AS DOUBLE) AS k_pct")
+        .orderBy("day")
     }
   )
 }

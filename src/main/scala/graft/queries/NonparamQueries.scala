@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.core.{Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
@@ -447,6 +448,222 @@ object NonparamQueries {
           "CAST(q_g AS DOUBLE) - CAST(s_g AS DOUBLE)" +
             " * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS ssw_term")
         .orderBy("l_linenumber")
+    },
+
+    // Wilcoxon signed-rank pieces — THE paired two-sample test
+    // (q_stat_mannwhitney's sibling for matched pairs): does a line-1
+    // item's quantity systematically exceed its line-2 sibling within
+    // the same order? Pairs are orders carrying exactly one line 1 and
+    // one line 2 (l_linenumber is NOT unique per order in the fixture —
+    // the exactly-one guard keeps the pairing deterministic). Zero
+    // differences are dropped (the classic Wilcoxon reduction), |d|
+    // midranks come DOUBLED from the |d| histogram (cell after cum
+    // priors with ctot ties ⇒ doubled midrank 2·cum + ctot + 1), and
+    // W⁺/W⁻ stay exact integers: W⁺ₓ₂ + W⁻ₓ₂ = m(m+1) with
+    // m = n_pos + n_neg (the conservation law StressSpec pins). The
+    // normal approximation z = (W⁺ − m(m+1)/4)/√(var) is caller-side
+    // algebra over the emitted pieces incl. tie_sum = Σ(t³ − t).
+    //
+    // Scale shape: ONE row-scale exchange (the per-order pair rollup,
+    // map-side combinable); the |d| histogram (≤ 100 cells — quantity
+    // is 1..50 in hundredths), its cum window and the 1-row rollup all
+    // ride domain-bounded frames. Pair products hold in BIGINT to
+    // ~10⁹ pairs per tie cell; loud beyond.
+    Q("q_stat_wilcoxon",
+      """WITH p AS (
+        |  SELECT l_orderkey,
+        |    MAX(CASE WHEN l_linenumber = 1 THEN
+        |      CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      END) AS q1,
+        |    MAX(CASE WHEN l_linenumber = 2 THEN
+        |      CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      END) AS q2
+        |  FROM lineitem WHERE l_linenumber <= 2 GROUP BY l_orderkey
+        |  HAVING SUM(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END) = 1
+        |     AND SUM(CASE WHEN l_linenumber = 2 THEN 1 ELSE 0 END) = 1),
+        |h AS (
+        |  SELECT ABS(q1 - q2) AS v,
+        |    CAST(SUM(CASE WHEN q1 > q2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cpos,
+        |    CAST(SUM(CASE WHEN q1 < q2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cneg,
+        |    CAST(COUNT(*) AS BIGINT) AS ctot
+        |  FROM p GROUP BY ABS(q1 - q2)),
+        |nz AS (
+        |  SELECT CAST(SUM(ctot) AS BIGINT) AS n_pairs,
+        |    CAST(COALESCE(SUM(CASE WHEN v = 0 THEN ctot END), 0)
+        |      AS BIGINT) AS n_zero
+        |  FROM h),
+        |vc AS (
+        |  SELECT v, cpos, cneg, ctot,
+        |    CAST(COALESCE(SUM(ctot) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum
+        |  FROM h WHERE v <> 0)
+        |SELECT n_pairs, n_zero,
+        |  CAST(SUM(cpos) AS BIGINT) AS n_pos,
+        |  CAST(SUM(cneg) AS BIGINT) AS n_neg,
+        |  CAST(SUM(cpos * (2 * cum + ctot + 1)) AS BIGINT) AS w_plus_x2,
+        |  CAST(SUM(cneg * (2 * cum + ctot + 1)) AS BIGINT) AS w_minus_x2,
+        |  CAST(SUM(ctot * ctot * ctot - ctot) AS BIGINT) AS tie_sum
+        |FROM vc CROSS JOIN nz GROUP BY n_pairs, n_zero""".stripMargin) {
+      (s, d) =>
+      val p = Tables.lineitem(s, d).where(col("l_linenumber") <= 2)
+        .groupBy("l_orderkey")
+        .agg(
+          max(when(col("l_linenumber") === 1,
+            (col("l_quantity").cast(DecimalType(12, 2)) * 100)
+              .cast(LongType))).as("q1"),
+          max(when(col("l_linenumber") === 2,
+            (col("l_quantity").cast(DecimalType(12, 2)) * 100)
+              .cast(LongType))).as("q2"),
+          sum(when(col("l_linenumber") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("l_linenumber") === 2, 1L).otherwise(0L)).as("c2"))
+        .where(col("c1") === 1 && col("c2") === 1)
+      // the |d| histogram (zero cell included) is the ONLY frame the
+      // rollup, the zero-count and the rank window touch — one scan,
+      // ONE frame: the zero cell contributes nothing to the windowed
+      // rank mass (the when() inside the sum skips it), so the same
+      // ordered pass serves the zero diagnostics and the nonzero
+      // ranks with no checkpoint and no cross join — and the global
+      // window sits directly on the histogram Aggregate, which is
+      // exactly the shape the strict window lint exempts
+      val h = p.groupBy(abs(col("q1") - col("q2")).as("v"))
+        .agg(sum(when(col("q1") > col("q2"), 1L).otherwise(0L))
+            .cast(LongType).as("cpos"),
+          sum(when(col("q1") < col("q2"), 1L).otherwise(0L))
+            .cast(LongType).as("cneg"),
+          count(lit(1)).cast(LongType).as("ctot"))
+      val nzCum = sum(when(col("v") =!= 0, col("ctot")))
+        .over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1))
+      val vc = h.withColumn("cum",
+        coalesce(nzCum, lit(0L)).cast(LongType))
+      def nz(c: Column): Column = when(col("v") =!= 0, c)
+      vc.agg(
+        sum("ctot").cast(LongType).as("n_pairs"),
+        coalesce(sum(when(col("v") === 0, col("ctot"))), lit(0L))
+          .cast(LongType).as("n_zero"),
+        sum(nz(col("cpos"))).cast(LongType).as("n_pos"),
+        sum(nz(col("cneg"))).cast(LongType).as("n_neg"),
+        sum(nz(col("cpos") * (lit(2) * col("cum") + col("ctot") + 1)))
+          .cast(LongType).as("w_plus_x2"),
+        sum(nz(col("cneg") * (lit(2) * col("cum") + col("ctot") + 1)))
+          .cast(LongType).as("w_minus_x2"),
+        sum(nz(col("ctot") * col("ctot") * col("ctot") - col("ctot")))
+          .cast(LongType).as("tie_sum"))
+    },
+
+    // Page's L trend pieces — the ORDERED-alternative Friedman (is
+    // volume monotone in priority urgency across month blocks?):
+    // q_stat_friedman's exact midrank machinery with the treatment
+    // weight j = the priority's leading digit (1-URGENT … 5-LOW), so
+    // L = Σⱼ j·Rⱼ is emitted doubled and exact. Under H₀,
+    // E[Lₓ₂] = b·k·(k+1)²/2 — caller-side algebra over the emitted
+    // b_months/j_weight/rank_sum_x2 (the Kendall emission discipline);
+    // the Friedman conservation Σ rank_sum_x2 = b·k·(k+1) still holds
+    // (StressSpec pins both).
+    //
+    // Scale shape: identical to q_stat_friedman — one (month, priority)
+    // count exchange; grid completion, rank windows and the 5-row
+    // rollup ride the ≤80·5-cell calendar×domain frame.
+    Q("q_stat_page",
+      """WITH mo AS (
+        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+        |      + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+        |    o_orderpriority AS p, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT mm.m, pp.p, COALESCE(mo.cnt, 0) AS cnt
+        |  FROM (SELECT DISTINCT m FROM mo) mm
+        |  CROSS JOIN (SELECT DISTINCT p FROM mo) pp
+        |  LEFT JOIN mo ON mo.m = mm.m AND mo.p = pp.p),
+        |r AS (
+        |  SELECT p,
+        |    2 * RANK() OVER (PARTITION BY m ORDER BY cnt)
+        |      + COUNT(*) OVER (PARTITION BY m, cnt) - 1 AS mr_x2
+        |  FROM grid)
+        |SELECT p AS o_orderpriority,
+        |  CAST(SUBSTR(p, 1, 1) AS BIGINT) AS j_weight,
+        |  CAST(COUNT(*) AS BIGINT) AS b_months,
+        |  CAST(SUM(mr_x2) AS BIGINT) AS rank_sum_x2,
+        |  CAST(SUBSTR(p, 1, 1) AS BIGINT) * CAST(SUM(mr_x2) AS BIGINT)
+        |    AS l_term_x2
+        |FROM r GROUP BY p ORDER BY o_orderpriority""".stripMargin) {
+      (s, d) =>
+      val mo = Tables.orders(s, d)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast(LongType).as("m"),
+          col("o_orderpriority").as("p"))
+        .agg(count(lit(1)).cast(LongType).as("cnt"))
+        .localCheckpoint()
+      val grid = mo.select("m").distinct()
+        .crossJoin(mo.select("p").distinct())
+        .join(mo, Seq("m", "p"), "left")
+        .select(col("m"), col("p"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val r = grid.select(col("p"),
+        (lit(2) * rank().over(Window.partitionBy("m").orderBy("cnt"))
+          + count(lit(1)).over(Window.partitionBy("m", "cnt")) - 1)
+          .as("mr_x2"))
+      r.groupBy("p")
+        .agg(count(lit(1)).cast(LongType).as("b_months"),
+          sum("mr_x2").cast(LongType).as("rank_sum_x2"))
+        .select(col("p").as("o_orderpriority"),
+          substring(col("p"), 1, 1).cast(LongType).as("j_weight"),
+          col("b_months"), col("rank_sum_x2"),
+          (substring(col("p"), 1, 1).cast(LongType) * col("rank_sum_x2"))
+            .as("l_term_x2"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Cramér's V pieces — the r×c contingency association (does order
+    // status depend on priority?), generalizing q_stat_chi2's 2×2: per
+    // cell the exact deviation dev = N·o − r·c (every marginal from
+    // window sums over the k·l-cell frame — deviations telescope to 0
+    // along EVERY row and column, the law StressSpec pins) and the χ²
+    // term as the fixed two-divide double tree dev/N · dev/r / c, so
+    // both engines evaluate the identical IEEE expression.
+    // V² = χ²/(N·min(r−1, c−1)) is caller-side algebra.
+    //
+    // Scale shape: one map-side-combinable (priority, status) count —
+    // NO join (both axes live on the fact); marginal windows ride the
+    // 15-cell frame. N·o holds in BIGINT to ~3·10⁹ orders; loud beyond.
+    Q("q_stat_cramersv",
+      """WITH c AS (
+        |  SELECT o_orderpriority AS p, o_orderstatus AS st,
+        |    CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (
+        |  SELECT p, st, o,
+        |    CAST(SUM(o) OVER (PARTITION BY p) AS BIGINT) AS r_tot,
+        |    CAST(SUM(o) OVER (PARTITION BY st) AS BIGINT) AS c_tot,
+        |    CAST(SUM(o) OVER () AS BIGINT) AS n
+        |  FROM c)
+        |SELECT p AS o_orderpriority, st AS o_orderstatus, o AS observed,
+        |  r_tot, c_tot, n,
+        |  CAST(n * o - r_tot * c_tot AS BIGINT) AS dev,
+        |  ((CAST(n * o - r_tot * c_tot AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(n * o - r_tot * c_tot AS DOUBLE)
+        |       / CAST(r_tot AS DOUBLE)))
+        |    / CAST(c_tot AS DOUBLE) AS chi2_term
+        |FROM w ORDER BY o_orderpriority, o_orderstatus""".stripMargin) {
+      (s, d) =>
+      val c = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("p"),
+          col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).cast(LongType).as("o"))
+      val w = c.select(col("p"), col("st"), col("o"),
+        sum("o").over(Window.partitionBy("p")).cast(LongType).as("r_tot"),
+        sum("o").over(Window.partitionBy("st")).cast(LongType).as("c_tot"),
+        sum("o").over(Window.partitionBy()).cast(LongType).as("n"))
+      w.selectExpr("p AS o_orderpriority", "st AS o_orderstatus",
+          "o AS observed", "r_tot", "c_tot", "n",
+          "CAST(n * o - r_tot * c_tot AS BIGINT) AS dev",
+          "((CAST(n * o - r_tot * c_tot AS DOUBLE) / CAST(n AS DOUBLE))" +
+            " * (CAST(n * o - r_tot * c_tot AS DOUBLE)" +
+            " / CAST(r_tot AS DOUBLE)))" +
+            " / CAST(c_tot AS DOUBLE) AS chi2_term")
+        .orderBy("o_orderpriority", "o_orderstatus")
     }
   )
 }

@@ -1662,6 +1662,200 @@ object PipelineQueries {
           col("c").as("n_in_source"), col("nt").as("n_in_corpus"),
           col("dev").as("dev_num"), col("chi2_keyness"))
         .orderBy("source", "rnk")
+    },
+
+    // Count–min sketch — the fixed-size frequency summary (depth 4 ×
+    // width 256, the mergeable heavy-hitter primitive): each key's
+    // count lands in one counter per row via independent md5-derived
+    // hashes, and a key's estimate is the MIN over its 4 counters —
+    // NEVER below the true count (the one-sided CMS guarantee
+    // StressSpec pins: overcount ≥ 0). Emitted: the top-10 keys'
+    // true vs estimated counts — the estimator-quality diagnostic. At
+    // 256 buckets the expected overcount is Σc/256 per row; at corpus
+    // scale you size width ≈ e/ε for ±ε·N error, the sketch stays
+    // 4·w counters regardless of key cardinality.
+    //
+    // Scale shape: ONE row-scale exchange (the per-key count,
+    // map-side combinable); the ×4 row expansion and the 1024-cell
+    // counter rollup ride the distinct-key frame; top-10 is a
+    // TakeOrdered (no global sort), the probe joins broadcast.
+    Q("q_sketch_cms",
+      """WITH k AS (
+        |  SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |b AS (
+        |  SELECT rr.r, pk, c,
+        |    CAST('0x' || substr(md5(rr.r || ':' || pk), 1, 8) AS BIGINT)
+        |      % 256 AS bkt
+        |  FROM k CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS r) rr),
+        |cnt AS (
+        |  SELECT r, bkt, CAST(SUM(c) AS BIGINT) AS counter
+        |  FROM b GROUP BY r, bkt),
+        |top AS (
+        |  SELECT pk, c FROM k ORDER BY c DESC, pk LIMIT 10),
+        |est AS (
+        |  SELECT t.pk, t.c AS true_cnt,
+        |    CAST(MIN(cnt.counter) AS BIGINT) AS est_cnt
+        |  FROM top t
+        |  JOIN b ON b.pk = t.pk
+        |  JOIN cnt ON cnt.r = b.r AND cnt.bkt = b.bkt
+        |  GROUP BY t.pk, t.c)
+        |SELECT pk AS l_partkey, true_cnt, est_cnt,
+        |  CAST(est_cnt - true_cnt AS BIGINT) AS overcount
+        |FROM est ORDER BY true_cnt DESC, l_partkey""".stripMargin) {
+      (s, d) =>
+      val k = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).cast("long").as("c"))
+        // the keys frame feeds the sketch build, the top-k AND the
+        // probe — one scan of the fact
+        .localCheckpoint()
+      val rows4 = s.range(0, 4).select(col("id").as("r"))
+      val b = k.crossJoin(broadcast(rows4))
+        .select(col("r"), col("pk"), col("c"),
+          (conv(substring(md5(concat(col("r").cast("string"), lit(":"),
+            col("pk").cast("string"))), 1, 8), 16, 10).cast("long")
+            % 256).as("bkt"))
+      val cnt = b.groupBy("r", "bkt")
+        .agg(sum("c").cast("long").as("counter"))
+      val top = k.orderBy(col("c").desc, col("pk")).limit(10)
+        .select(col("pk"), col("c").as("true_cnt"))
+      b.join(broadcast(top), Seq("pk"))
+        .join(broadcast(cnt), Seq("r", "bkt"))
+        .groupBy("pk", "true_cnt")
+        .agg(min("counter").cast("long").as("est_cnt"))
+        .select(col("pk").as("l_partkey"), col("true_cnt"), col("est_cnt"),
+          (col("est_cnt") - col("true_cnt")).cast("long").as("overcount"))
+        .orderBy(col("true_cnt").desc, col("l_partkey"))
+    },
+
+    // Term burstiness (Fano factor) — quality signal the flat tf/df
+    // pair misses: a term appearing 3× in few docs (bursty, topical)
+    // vs 1× everywhere (dispersed, functional). Over ALL N docs
+    // (zeros included — closed form, no grid completion needed):
+    // var_num = N·Σc² − (Σc)² ≥ 0 by Cauchy–Schwarz, and
+    // fano = var_num/(N·tf) is the single exact divide (= 1 under
+    // Poisson dispersion, > 1 bursty). Top-20 by collection frequency,
+    // term-asc tiebreak.
+    //
+    // Scale shape: the (doc, term) count is the row-scale exchange,
+    // the per-term rollup rides the vocabulary frame, top-20 is a
+    // TakeOrdered; the N-docs scalar joins broadcast. tf² holds in
+    // BIGINT to ~3·10⁹ term occurrences; loud beyond.
+    Q("q_text_burstiness",
+      """WITH tk AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tw AS (
+        |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tk WHERE w <> '' GROUP BY 1, 2),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |top AS (
+        |  SELECT w, CAST(SUM(c) AS BIGINT) AS tf,
+        |    CAST(SUM(c * c) AS BIGINT) AS tf2,
+        |    CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM tw GROUP BY w
+        |  ORDER BY SUM(c) DESC, w LIMIT 20)
+        |SELECT w AS term, df, tf, tf2, n_docs,
+        |  CAST(n_docs * tf2 - tf * tf AS BIGINT) AS var_num,
+        |  CAST(n_docs * tf2 - tf * tf AS DOUBLE)
+        |    / CAST(n_docs * tf AS DOUBLE) AS fano
+        |FROM top CROSS JOIN nd ORDER BY tf DESC, term""".stripMargin) {
+      (s, d) =>
+      val tw = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("doc_id", "w")
+        .agg(count(lit(1)).cast("long").as("c"))
+      val nd = Tables.documents(s, d)
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+      val top = tw.groupBy("w")
+        .agg(sum("c").cast("long").as("tf"),
+          sum(col("c") * col("c")).cast("long").as("tf2"),
+          count(lit(1)).cast("long").as("df"))
+        .orderBy(col("tf").desc, col("w")).limit(20)
+      top.crossJoin(broadcast(nd))
+        .selectExpr("w AS term", "df", "tf", "tf2", "n_docs",
+          "CAST(n_docs * tf2 - tf * tf AS BIGINT) AS var_num",
+          "CAST(n_docs * tf2 - tf * tf AS DOUBLE)" +
+            " / CAST(n_docs * tf AS DOUBLE) AS fano")
+        .orderBy(col("tf").desc, col("term"))
+    },
+
+    // Product-quantization assignment — the ANN-index building block
+    // beyond q_embed_quantize's scalar int8: the 64-dim vector splits
+    // into 4×16-dim subvectors, each assigned to its nearest of 4
+    // FIXED codebook centroids (±L constant and ±L alternating
+    // patterns, L = 0.05 in the µ-quantized integer space — codebook
+    // TRAINING is out of scope, assignment + residual diagnostics are
+    // the scale path). Coordinates µ-quantize to integers first
+    // (⌊x·10⁶⌋, the q_array_funcs contract), so every distance is an
+    // EXACT integer and the argmin needs only (Σq, Σ±q): for these
+    // centroids d² = Σq² − 2L·s + 16L² with s ∈ {±ssum, ±asum}, so
+    // code = argmax of 4 integers, first-wins tiebreak. Emitted per
+    // (sub, code): assignment census + exact residual energy
+    // (err_sum ≥ 0 and Σ n_vecs = 4·|vectors| — StressSpec pins both).
+    //
+    // Scale shape: ZERO row-scale shuffle beyond the 16-cell census —
+    // slices, quantization, fold-sums and the argmin are all row-local
+    // higher-order functions (whole-stage codegen); residual sums
+    // aggregate in DECIMAL(25,0) (exact to ~5·10⁵ B vectors), emitted
+    // BIGINT — loud beyond.
+    Q("q_embed_pq",
+      """WITH e AS (
+        |  SELECT vec_id, g.i AS i,
+        |    CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS q
+        |  FROM embeddings,
+        |    LATERAL (SELECT UNNEST(generate_series(1, 64)) AS i) g),
+        |sv AS (
+        |  SELECT vec_id, (i - 1) // 16 AS sub,
+        |    CAST(SUM(q) AS BIGINT) AS ssum,
+        |    CAST(SUM(CASE WHEN (i - 1) % 2 = 0 THEN q ELSE -q END)
+        |      AS BIGINT) AS asum,
+        |    CAST(SUM(q * q) AS BIGINT) AS sqsum
+        |  FROM e GROUP BY 1, 2),
+        |a AS (
+        |  SELECT vec_id, sub, sqsum,
+        |    GREATEST(ssum, -ssum, asum, -asum) AS best,
+        |    CAST(CASE WHEN ssum = GREATEST(ssum, -ssum, asum, -asum)
+        |           THEN 0
+        |         WHEN -ssum = GREATEST(ssum, -ssum, asum, -asum) THEN 1
+        |         WHEN asum = GREATEST(ssum, -ssum, asum, -asum) THEN 2
+        |         ELSE 3 END AS BIGINT) AS code
+        |  FROM sv)
+        |SELECT sub, code, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(sqsum - 2 * 50000 * best
+        |    + 16 * CAST(50000 AS BIGINT) * 50000) AS BIGINT) AS err_sum
+        |FROM a GROUP BY sub, code ORDER BY sub, code""".stripMargin) {
+      (s, d) =>
+      val l = 50000L
+      val sv = Tables.embeddings(s, d).select(
+        explode(transform(sequence(lit(0), lit(3)), sb => {
+          val q = transform(slice(col("embedding"), sb * 16 + 1, lit(16)),
+            x => floor(x.cast("double") * 1000000).cast("long"))
+          val qa = transform(q, (x, i) =>
+            when(i % 2 === 0, x).otherwise(-x))
+          struct(sb.cast("long").as("sub"),
+            aggregate(q, lit(0L), (acc, x) => acc + x).as("ssum"),
+            aggregate(qa, lit(0L), (acc, x) => acc + x).as("asum"),
+            aggregate(q, lit(0L), (acc, x) => acc + x * x).as("sqsum"))
+        })).as("sv"))
+        .select(col("sv.sub").as("sub"), col("sv.ssum").as("ssum"),
+          col("sv.asum").as("asum"), col("sv.sqsum").as("sqsum"))
+      val a = sv.withColumn("best",
+          greatest(col("ssum"), -col("ssum"), col("asum"), -col("asum")))
+        .withColumn("code",
+          when(col("ssum") === col("best"), 0L)
+            .when(-col("ssum") === col("best"), 1L)
+            .when(col("asum") === col("best"), 2L)
+            .otherwise(3L))
+      a.groupBy("sub", "code")
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+          sum((col("sqsum") - lit(2L * l) * col("best")
+            + lit(16L * l * l)).cast("decimal(25,0)"))
+            .cast("long").as("err_sum"))
+        .orderBy("sub", "code")
     }
   )
 }

@@ -1353,6 +1353,76 @@ object SparkDialect {
         |        / CAST(GREATEST(SUM(st), 1) AS DOUBLE))
         |    - CAST(84.6 AS DOUBLE) * (CAST(SUM(vg) AS DOUBLE)
         |        / CAST(GREATEST(SUM(w), 1) AS DOUBLE)) AS flesch
-        |FROM d GROUP BY source ORDER BY source""".stripMargin
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q_sketch_cms" ->
+      """WITH k AS (
+        |  SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |b AS (
+        |  SELECT rr.r, pk, c,
+        |    CAST(conv(substr(md5(CAST(rr.r AS STRING) || ':'
+        |      || CAST(pk AS STRING)), 1, 8), 16, 10) AS BIGINT)
+        |      % 256 AS bkt
+        |  FROM k CROSS JOIN (SELECT explode(array(0, 1, 2, 3)) AS r) rr),
+        |cnt AS (
+        |  SELECT r, bkt, CAST(SUM(c) AS BIGINT) AS counter
+        |  FROM b GROUP BY r, bkt),
+        |top AS (
+        |  SELECT pk, c FROM k ORDER BY c DESC, pk LIMIT 10),
+        |est AS (
+        |  SELECT t.pk, t.c AS true_cnt,
+        |    CAST(MIN(cnt.counter) AS BIGINT) AS est_cnt
+        |  FROM top t
+        |  JOIN b ON b.pk = t.pk
+        |  JOIN cnt ON cnt.r = b.r AND cnt.bkt = b.bkt
+        |  GROUP BY t.pk, t.c)
+        |SELECT pk AS l_partkey, true_cnt, est_cnt,
+        |  CAST(est_cnt - true_cnt AS BIGINT) AS overcount
+        |FROM est ORDER BY true_cnt DESC, l_partkey""".stripMargin,
+    "q_text_burstiness" ->
+      """WITH tk AS (
+        |  SELECT doc_id, w
+        |  FROM documents LATERAL VIEW explode(split(text, ' ')) t AS w),
+        |tw AS (
+        |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tk WHERE w <> '' GROUP BY 1, 2),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |top AS (
+        |  SELECT w, CAST(SUM(c) AS BIGINT) AS tf,
+        |    CAST(SUM(c * c) AS BIGINT) AS tf2,
+        |    CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM tw GROUP BY w
+        |  ORDER BY SUM(c) DESC, w LIMIT 20)
+        |SELECT w AS term, df, tf, tf2, n_docs,
+        |  CAST(n_docs * tf2 - tf * tf AS BIGINT) AS var_num,
+        |  CAST(n_docs * tf2 - tf * tf AS DOUBLE)
+        |    / CAST(n_docs * tf AS DOUBLE) AS fano
+        |FROM top CROSS JOIN nd ORDER BY tf DESC, term""".stripMargin,
+    "q_embed_pq" ->
+      """WITH e AS (
+        |  SELECT vec_id, pos + 1 AS i,
+        |    CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, x),
+        |sv AS (
+        |  SELECT vec_id, CAST((i - 1) div 16 AS BIGINT) AS sub,
+        |    CAST(SUM(q) AS BIGINT) AS ssum,
+        |    CAST(SUM(CASE WHEN (i - 1) % 2 = 0 THEN q ELSE -q END)
+        |      AS BIGINT) AS asum,
+        |    CAST(SUM(q * q) AS BIGINT) AS sqsum
+        |  FROM e GROUP BY 1, 2),
+        |a AS (
+        |  SELECT vec_id, sub, sqsum,
+        |    GREATEST(ssum, -ssum, asum, -asum) AS best,
+        |    CAST(CASE WHEN ssum = GREATEST(ssum, -ssum, asum, -asum)
+        |           THEN 0
+        |         WHEN -ssum = GREATEST(ssum, -ssum, asum, -asum) THEN 1
+        |         WHEN asum = GREATEST(ssum, -ssum, asum, -asum) THEN 2
+        |         ELSE 3 END AS BIGINT) AS code
+        |  FROM sv)
+        |SELECT sub, code, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CAST(sqsum - 2 * 50000 * best
+        |    + 16 * CAST(50000 AS BIGINT) * 50000 AS DECIMAL(25,0)))
+        |    AS BIGINT) AS err_sum
+        |FROM a GROUP BY sub, code ORDER BY sub, code""".stripMargin
   )
 }

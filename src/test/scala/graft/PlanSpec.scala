@@ -431,7 +431,21 @@ class PlanSpec extends SparkSuite {
       "q_stat_anova" -> "shuffle=2,broadcast=0",
       "q_time_rsi" -> "shuffle=2,broadcast=0",
       "q_time_ccf" -> "shuffle=2,broadcast=1,BroadcastNestedLoopJoin=1",
-      "q_text_keyness" -> "shuffle=5,broadcast=2,BroadcastHashJoin=2")
+      "q_text_keyness" -> "shuffle=5,broadcast=2,BroadcastHashJoin=2",
+      // round 11 session 7: paired/contingency stats ride histograms,
+      // market-style series ride the calendar day frame, the CMS build
+      // and PQ census are one row-scale exchange + bounded frames
+      "q_stat_wilcoxon" -> "shuffle=3,broadcast=0",
+      "q_stat_page" ->
+        "shuffle=5,broadcast=2,BroadcastHashJoin=1,BroadcastNestedLoopJoin=1",
+      "q_stat_cramersv" -> "shuffle=2,broadcast=0",
+      "q_time_vwap" -> "shuffle=3,broadcast=0",
+      "q_time_bollinger" -> "shuffle=2,broadcast=0",
+      "q_time_stochastic" -> "shuffle=2,broadcast=0",
+      "q_sketch_cms" ->
+        "shuffle=3,broadcast=4,BroadcastHashJoin=2,BroadcastNestedLoopJoin=2",
+      "q_text_burstiness" -> "shuffle=3,broadcast=1,BroadcastNestedLoopJoin=1",
+      "q_embed_pq" -> "shuffle=2,broadcast=0")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }

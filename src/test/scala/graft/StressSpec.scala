@@ -1029,4 +1029,125 @@ class StressSpec extends SparkSuite {
       assert(r.getDouble(6) > 0, s"keyness positive: $r")
     }
   }
+
+  test("wilcoxon / page / cramersv: exact-piece laws over the gated " +
+    "fixture queries") {
+    val d = sf("0.001")
+    // Wilcoxon signed-rank: the zero/pos/neg counts partition the
+    // pairs, and doubled rank mass over nonzero diffs conserves:
+    // W+x2 + W-x2 = m(m+1)
+    val wx = SparkEntry.queries("q_stat_wilcoxon")(spark, d).collect()
+    assert(wx.length == 1)
+    val w = wx.head
+    val (nPairs, nZero, nPos, nNeg) =
+      (w.getLong(0), w.getLong(1), w.getLong(2), w.getLong(3))
+    assert(nPos + nNeg + nZero == nPairs, s"partition: $w")
+    val m = nPos + nNeg
+    assert(w.getLong(4) + w.getLong(5) == m * (m + 1),
+      s"doubled rank mass must be m(m+1): $w")
+    assert(w.getLong(6) >= 0, s"tie_sum: $w")
+    // Page's L: j ascends 1..5 with the priority label, the Friedman
+    // conservation holds, and every l_term is the exact product
+    val pg = SparkEntry.queries("q_stat_page")(spark, d).collect()
+    assert(pg.length == 5)
+    assert(pg.map(_.getLong(1)).toSeq == (1L to 5L), s"j: ${pg.mkString(";")}")
+    val b = pg.map(_.getLong(2)).distinct
+    assert(b.length == 1)
+    val k = 5L
+    assert(pg.map(_.getLong(3)).sum == b.head * k * (k + 1),
+      s"friedman conservation: ${pg.mkString(";")}")
+    pg.foreach(r => assert(r.getLong(4) == r.getLong(1) * r.getLong(3), s"$r"))
+    // Cramer's V pieces: deviations telescope to zero along EVERY row
+    // and column of the contingency grid, and the chi2 term is the
+    // pinned two-divide tree
+    val cv = SparkEntry.queries("q_stat_cramersv")(spark, d).collect()
+    assert(cv.length == 15, "5x3 grid")
+    cv.groupBy(_.getString(0)).foreach { case (p, rows) =>
+      assert(rows.map(_.getLong(6)).sum == 0L, s"row $p must telescope")
+    }
+    cv.groupBy(_.getString(1)).foreach { case (st, rows) =>
+      assert(rows.map(_.getLong(6)).sum == 0L, s"col $st must telescope")
+    }
+    cv.foreach { r =>
+      val (dev, rt, ct, n) =
+        (r.getLong(6), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(r.getDouble(7) ==
+        dev.toDouble / n.toDouble * (dev.toDouble / rt.toDouble) / ct.toDouble,
+        s"chi2 tree: $r")
+    }
+  }
+
+  test("vwap / bollinger / stochastic: window-piece laws over the gated " +
+    "fixture queries") {
+    val d = sf("0.001")
+    // anchored VWAP: cumulative pieces dominate the day pieces and the
+    // quote is the exact single divide
+    val vw = SparkEntry.queries("q_time_vwap")(spark, d).collect()
+    assert(vw.nonEmpty)
+    vw.foreach { r =>
+      assert(r.getLong(2) > 0 && r.getLong(4) >= r.getLong(2), s"$r")
+      assert(r.getLong(3) >= r.getLong(1), s"cum_pv >= pv: $r")
+      assert(r.getDouble(5) == r.getLong(3).toDouble / r.getLong(4).toDouble,
+        s"vwap divide: $r")
+    }
+    // Bollinger pieces: the variance numerator is non-negative by
+    // Cauchy-Schwarz and the center is the exact divide
+    val bo = SparkEntry.queries("q_time_bollinger")(spark, d).collect()
+    assert(bo.nonEmpty)
+    bo.foreach { r =>
+      assert(r.getLong(3) >= 0, s"var_num_x49 >= 0: $r")
+      assert(r.getLong(2) >= r.getLong(1), s"roll_sum >= cnt: $r")
+      assert(r.getDouble(4) == r.getLong(2).toDouble / 7.0, s"mean7: $r")
+    }
+    // stochastic %K: the range brackets the quote; %K in [0,100] or
+    // NULL exactly on a flat window
+    val st = SparkEntry.queries("q_time_stochastic")(spark, d).collect()
+    assert(st.nonEmpty)
+    st.foreach { r =>
+      val (rev, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(lo <= rev && rev <= hi, s"$r")
+      if (hi == lo) assert(r.isNullAt(4), s"flat window must be NULL: $r")
+      else {
+        val kp = r.getDouble(4)
+        assert(kp == 100.0 * (rev - lo) / (hi - lo) && kp >= 0 && kp <= 100,
+          s"$r")
+      }
+    }
+  }
+
+  test("cms / burstiness / pq: sketch and census laws over the gated " +
+    "fixture queries") {
+    val d = sf("0.001")
+    // count-min: the estimate NEVER undercounts (the one-sided CMS
+    // guarantee), and the emitted overcount is the exact difference
+    val cm = SparkEntry.queries("q_sketch_cms")(spark, d).collect()
+    assert(cm.length == 10)
+    cm.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"est >= true: $r")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1), s"$r")
+    }
+    assert(cm.map(_.getLong(1)).toSeq.reverse == cm.map(_.getLong(1)).toSeq.sorted,
+      "true_cnt descending")
+    // burstiness: df bounded by docs, tf by df, var_num >= 0 by
+    // Cauchy-Schwarz, fano the exact divide
+    val bu = SparkEntry.queries("q_text_burstiness")(spark, d).collect()
+    assert(bu.length == 20)
+    bu.foreach { r =>
+      val (df, tf, tf2, nd, vn) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(df <= nd && tf >= df, s"$r")
+      assert(vn == nd * tf2 - tf * tf && vn >= 0, s"$r")
+      assert(r.getDouble(6) == vn.toDouble / (nd * tf).toDouble, s"$r")
+    }
+    // PQ census: every vector assigns exactly once per subvector and
+    // residual energy is non-negative
+    val pq = SparkEntry.queries("q_embed_pq")(spark, d).collect()
+    val nVecs = graft.core.Tables.embeddings(spark, d).count()
+    assert(pq.map(_.getLong(2)).sum == 4 * nVecs, "4 assignments per vector")
+    pq.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 3, s"$r")
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 3, s"$r")
+      assert(r.getLong(3) >= 0, s"err_sum >= 0: $r")
+    }
+  }
 }
