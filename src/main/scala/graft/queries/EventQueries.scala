@@ -1306,6 +1306,124 @@ object EventQueries {
           "CAST(100 * (rev - lo) AS DOUBLE)" +
             " / CAST(NULLIF(hi - lo, 0) AS DOUBLE) AS k_pct")
         .orderBy("day")
+    },
+
+    // On-balance volume — the cumulative flow indicator: each day's
+    // order count (the "volume", an exact integer) is added when daily
+    // revenue rose day-over-day, subtracted when it fell, skipped when
+    // flat or on the first day. Every piece is an exact BIGINT: the
+    // cents-scaled revenue drives only the three-way sign, so OBV is
+    // bit-stable with no FP anywhere (signed_vol partitions into
+    // {-vol, 0, +vol} and |obv| ≤ total volume — both laws StressSpec
+    // pins).
+    //
+    // Scale shape: the q_time_rsi contract — one map-side-combinable
+    // day rollup is the only row-scale exchange; lag and the running
+    // sum ride the calendar-bounded day frame.
+    Q("q_time_obv",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev,
+        |    CAST(COUNT(*) AS BIGINT) AS vol
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT day, rev, vol, LAG(rev) OVER (ORDER BY day) AS prev
+        |  FROM d),
+        |sv AS (
+        |  SELECT day, rev, vol,
+        |    CAST(CASE WHEN prev IS NULL THEN 0
+        |         WHEN rev > prev THEN vol
+        |         WHEN rev < prev THEN -vol ELSE 0 END AS BIGINT)
+        |      AS signed_vol
+        |  FROM w)
+        |SELECT day, rev, vol, signed_vol,
+        |  CAST(SUM(signed_vol) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+        |FROM sv ORDER BY day""".stripMargin) { (s, d) =>
+      val days = Tables.orders(s, d)
+        .groupBy(date_trunc("day", col("o_orderdate")).cast("timestamp_ntz")
+          .as("day"))
+        .agg(sum((col("o_totalprice").cast("decimal(14,2)") * 100)
+            .cast("long")).cast("long").as("rev"),
+          count(lit(1)).cast("long").as("vol"))
+      val w = Window.orderBy("day")
+      val sv = days
+        .withColumn("prev", lag("rev", 1).over(w))
+        .withColumn("signed_vol",
+          when(col("prev").isNull, 0L)
+            .when(col("rev") > col("prev"), col("vol"))
+            .when(col("rev") < col("prev"), -col("vol"))
+            .otherwise(0L).cast("long"))
+      sv.select(col("day"), col("rev"), col("vol"), col("signed_vol"),
+          sum("signed_vol").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long").as("obv"))
+        .orderBy("day")
+    },
+
+    // Aroon oscillator pieces — days since the 14-day revenue high/low:
+    // the rolling ARGMAX under the encoded-integer discipline (no
+    // max_by, whose tie rule is engine-specific): rev*100000 + idx is
+    // a single exact BIGINT whose MAX recovers the highest revenue
+    // with LATEST-index tiebreak and whose MIN recovers the lowest
+    // revenue with EARLIEST-index tiebreak — both deterministic in
+    // both engines. days_since ∈ [0, 13] and aroon ∈ [0, 100] with
+    // {up, down} covering {high today, low today} (StressSpec pins
+    // all three). idx < 100000 (a ~274-year daily calendar) and
+    // rev < 9.2e13 cents/day are the loud encode bounds.
+    //
+    // Scale shape: the q_time_rsi contract — one map-side-combinable
+    // day rollup; row_number and the 14-day extrema windows ride the
+    // calendar-bounded day frame.
+    Q("q_time_aroon",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |i AS (
+        |  SELECT day, rev,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS idx
+        |  FROM d),
+        |w AS (
+        |  SELECT day, rev, idx,
+        |    CAST(COUNT(*) OVER w14 AS BIGINT) AS n_win,
+        |    CAST(MAX(rev * 100000 + idx) OVER w14 AS BIGINT) AS hi_enc,
+        |    CAST(MIN(rev * 100000 + idx) OVER w14 AS BIGINT) AS lo_enc
+        |  FROM i
+        |  WINDOW w14 AS (ORDER BY idx ROWS BETWEEN 13 PRECEDING
+        |    AND CURRENT ROW))
+        |SELECT day, rev,
+        |  CAST(idx - (hi_enc % 100000) AS BIGINT) AS days_since_high,
+        |  CAST(idx - (lo_enc % 100000) AS BIGINT) AS days_since_low,
+        |  CAST(100 * (14 - (idx - (hi_enc % 100000))) AS DOUBLE) / 14.0e0
+        |    AS aroon_up,
+        |  CAST(100 * (14 - (idx - (lo_enc % 100000))) AS DOUBLE) / 14.0e0
+        |    AS aroon_down
+        |FROM w WHERE n_win = 14 ORDER BY day""".stripMargin) { (s, d) =>
+      val days = Tables.orders(s, d)
+        .groupBy(date_trunc("day", col("o_orderdate")).cast("timestamp_ntz")
+          .as("day"))
+        .agg(sum((col("o_totalprice").cast("decimal(14,2)") * 100)
+          .cast("long")).cast("long").as("rev"))
+      val i = days.withColumn("idx",
+        row_number().over(Window.orderBy("day")).cast("long"))
+      val w14 = Window.orderBy("idx").rowsBetween(-13, 0)
+      i.select(col("day"), col("rev"), col("idx"),
+          count(lit(1)).over(w14).cast("long").as("n_win"),
+          max(col("rev") * 100000 + col("idx")).over(w14).cast("long")
+            .as("hi_enc"),
+          min(col("rev") * 100000 + col("idx")).over(w14).cast("long")
+            .as("lo_enc"))
+        .where(col("n_win") === 14)
+        .selectExpr("day", "rev",
+          "CAST(idx - (hi_enc % 100000) AS BIGINT) AS days_since_high",
+          "CAST(idx - (lo_enc % 100000) AS BIGINT) AS days_since_low",
+          "CAST(100 * (14 - (idx - (hi_enc % 100000))) AS DOUBLE) / 14.0e0" +
+            " AS aroon_up",
+          "CAST(100 * (14 - (idx - (lo_enc % 100000))) AS DOUBLE) / 14.0e0" +
+            " AS aroon_down")
+        .orderBy("day")
     }
   )
 }

@@ -664,6 +664,177 @@ object NonparamQueries {
             " / CAST(r_tot AS DOUBLE)))" +
             " / CAST(c_tot AS DOUBLE) AS chi2_term")
         .orderBy("o_orderpriority", "o_orderstatus")
+    },
+
+    // Brown-Forsythe (median-centered Levene) pieces — THE variance-
+    // homogeneity gate in front of ANOVA (q_stat_anova assumes equal
+    // group variances; this measures that assumption): per linenumber
+    // group, absolute deviations z = |x - median_g| and their spread.
+    // The group median comes exactly from the (group, value) count
+    // histogram (doubled: med_x2 = lower + upper median, selected by
+    // the 2*cum >= n / 2*cum > n positional conditions — no dialect-
+    // divergent division), deviations are the exact integers
+    // |2v - med_x2|, and the per-group variance numerator
+    // n_g * SUM(z^2) - SUM(z)^2 >= 0 by Cauchy-Schwarz (StressSpec
+    // pins it, plus the doubled-median bracket). The W statistic's
+    // between/within ratio is caller-side algebra over (n_g, abs_sum,
+    // abs_sumsq) — the Kruskal-Wallis emission discipline.
+    //
+    // Scale shape: ONE (group, value) count exchange — the frame is
+    // groups x quantized support (7 x <= 5 001 cells at any sf); the
+    // median selection windows, the 7-row median join (broadcast) and
+    // the z rollup all ride that frame. The fact is scanned once.
+    // n_g * abs_sumsq holds in BIGINT to ~10^5-row groups per unit
+    // value range — loud beyond (Spark ANSI throws, DuckDB HUGEINT
+    // disagrees loudly at the cast).
+    Q("q_stat_levene",
+      """WITH s AS (
+        |  SELECT l_linenumber AS g,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |z AS (
+        |  SELECT g, v, c,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY g) AS n
+        |  FROM s),
+        |m AS (
+        |  SELECT g,
+        |    CAST(MIN(CASE WHEN 2 * cum >= n THEN v END)
+        |      + MIN(CASE WHEN 2 * cum > n THEN v END) AS BIGINT) AS med_x2
+        |  FROM z GROUP BY g),
+        |t AS (
+        |  SELECT s.g AS g, m.med_x2 AS med_x2,
+        |    CAST(SUM(s.c) AS BIGINT) AS n_g,
+        |    CAST(SUM(s.c * ABS(2 * s.v - m.med_x2)) AS BIGINT) AS abs_sum,
+        |    CAST(SUM(s.c * (2 * s.v - m.med_x2) * (2 * s.v - m.med_x2))
+        |      AS BIGINT) AS abs_sumsq
+        |  FROM s JOIN m ON s.g = m.g GROUP BY s.g, m.med_x2)
+        |SELECT g AS l_linenumber, n_g, med_x2, abs_sum, abs_sumsq,
+        |  CAST(n_g * abs_sumsq - abs_sum * abs_sum AS BIGINT) AS var_num
+        |FROM t ORDER BY l_linenumber""".stripMargin) { (s, d) =>
+      val sF = Tables.lineitem(s, d)
+        .groupBy(col("l_linenumber").as("g"),
+          (col("l_quantity").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("v"))
+        .agg(count(lit(1)).cast(LongType).as("c"))
+        // the histogram feeds the median selection AND the z rollup —
+        // one scan of the fact
+        .localCheckpoint()
+      val z = sF.select(col("g"), col("v"), col("c"),
+        sum("c").over(Window.partitionBy("g").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum"),
+        sum("c").over(Window.partitionBy("g")).as("n"))
+      val m = z.groupBy("g").agg(
+        (min(when(lit(2) * col("cum") >= col("n"), col("v")))
+          + min(when(lit(2) * col("cum") > col("n"), col("v"))))
+          .cast(LongType).as("med_x2"))
+      sF.join(broadcast(m), Seq("g"))
+        .groupBy("g", "med_x2")
+        .agg(sum("c").cast(LongType).as("n_g"),
+          sum(col("c") * abs(lit(2) * col("v") - col("med_x2")))
+            .cast(LongType).as("abs_sum"),
+          sum(col("c") * (lit(2) * col("v") - col("med_x2"))
+            * (lit(2) * col("v") - col("med_x2")))
+            .cast(LongType).as("abs_sumsq"))
+        .selectExpr("g AS l_linenumber", "n_g", "med_x2", "abs_sum",
+          "abs_sumsq",
+          "CAST(n_g * abs_sumsq - abs_sum * abs_sum AS BIGINT) AS var_num")
+        .orderBy("l_linenumber")
+    },
+
+
+    // Cronbach's alpha pieces — internal-consistency reliability over
+    // a 4-item instrument (the quantities of lines 1..4 within orders
+    // carrying exactly one of each — the Wilcoxon pairing guard
+    // widened to a 4-tuple; l_linenumber is NOT unique per order in
+    // the fixture, so the exactly-one HAVING keeps the case base
+    // deterministic). Emitted long-form via UNION ALL: per item (and
+    // for the row total) the complete-case n, sum, sum of squares and
+    // the exact variance numerator n*SS - S^2 >= 0 (Cauchy-Schwarz,
+    // StressSpec-pinned; the total row's S equals the item S's sum —
+    // the additivity law). alpha = k/(k-1) * (1 - SUM var_i/var_t) is
+    // caller-side algebra: all five numerators share the same n, so
+    // the denominators cancel.
+    //
+    // Scale shape: one per-order pivot rollup (map-side combinable on
+    // the orderkey exchange) feeding a 1-row aggregate; the UNION ALL
+    // long format rides five 1-row frames. Sums of squares hold in
+    // BIGINT to ~2*10^10 complete cases; loud beyond.
+    Q("q_stat_cronbach",
+      """WITH p AS (
+        |  SELECT l_orderkey,
+        |    MAX(CASE WHEN l_linenumber = 1 THEN
+        |      CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      END) AS q1,
+        |    MAX(CASE WHEN l_linenumber = 2 THEN
+        |      CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      END) AS q2,
+        |    MAX(CASE WHEN l_linenumber = 3 THEN
+        |      CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      END) AS q3,
+        |    MAX(CASE WHEN l_linenumber = 4 THEN
+        |      CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      END) AS q4
+        |  FROM lineitem WHERE l_linenumber <= 4 GROUP BY l_orderkey
+        |  HAVING SUM(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END) = 1
+        |     AND SUM(CASE WHEN l_linenumber = 2 THEN 1 ELSE 0 END) = 1
+        |     AND SUM(CASE WHEN l_linenumber = 3 THEN 1 ELSE 0 END) = 1
+        |     AND SUM(CASE WHEN l_linenumber = 4 THEN 1 ELSE 0 END) = 1),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(q1) AS BIGINT) AS s1,
+        |    CAST(SUM(q1 * q1) AS BIGINT) AS ss1,
+        |    CAST(SUM(q2) AS BIGINT) AS s2,
+        |    CAST(SUM(q2 * q2) AS BIGINT) AS ss2,
+        |    CAST(SUM(q3) AS BIGINT) AS s3,
+        |    CAST(SUM(q3 * q3) AS BIGINT) AS ss3,
+        |    CAST(SUM(q4) AS BIGINT) AS s4,
+        |    CAST(SUM(q4 * q4) AS BIGINT) AS ss4,
+        |    CAST(SUM(q1 + q2 + q3 + q4) AS BIGINT) AS st,
+        |    CAST(SUM((q1 + q2 + q3 + q4) * (q1 + q2 + q3 + q4)) AS BIGINT)
+        |      AS sst
+        |  FROM p),
+        |u AS (
+        |  SELECT 'q1' AS item, n, s1 AS s, ss1 AS ss FROM a
+        |  UNION ALL SELECT 'q2', n, s2, ss2 FROM a
+        |  UNION ALL SELECT 'q3', n, s3, ss3 FROM a
+        |  UNION ALL SELECT 'q4', n, s4, ss4 FROM a
+        |  UNION ALL SELECT 'total', n, st, sst FROM a)
+        |SELECT item, n, s, ss, CAST(n * ss - s * s AS BIGINT) AS var_num
+        |FROM u ORDER BY item""".stripMargin) { (s, d) =>
+      def qi(i: Int) = max(when(col("l_linenumber") === i,
+        (col("l_quantity").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType))).as(s"q$i")
+      def ci(i: Int) =
+        sum(when(col("l_linenumber") === i, 1L).otherwise(0L)).as(s"c$i")
+      val p = Tables.lineitem(s, d).where(col("l_linenumber") <= 4)
+        .groupBy("l_orderkey")
+        .agg(qi(1), qi(2), qi(3), qi(4), ci(1), ci(2), ci(3), ci(4))
+        .where(col("c1") === 1 && col("c2") === 1
+          && col("c3") === 1 && col("c4") === 1)
+      val a = p.agg(count(lit(1)).cast(LongType).as("n"),
+        sum("q1").cast(LongType).as("s1"),
+        sum(col("q1") * col("q1")).cast(LongType).as("ss1"),
+        sum("q2").cast(LongType).as("s2"),
+        sum(col("q2") * col("q2")).cast(LongType).as("ss2"),
+        sum("q3").cast(LongType).as("s3"),
+        sum(col("q3") * col("q3")).cast(LongType).as("ss3"),
+        sum("q4").cast(LongType).as("s4"),
+        sum(col("q4") * col("q4")).cast(LongType).as("ss4"),
+        sum(col("q1") + col("q2") + col("q3") + col("q4"))
+          .cast(LongType).as("st"),
+        sum((col("q1") + col("q2") + col("q3") + col("q4"))
+          * (col("q1") + col("q2") + col("q3") + col("q4")))
+          .cast(LongType).as("sst"))
+      a.selectExpr("n",
+          "stack(5, 'q1', s1, ss1, 'q2', s2, ss2, 'q3', s3, ss3," +
+            " 'q4', s4, ss4, 'total', st, sst) AS (item, s, ss)")
+        .selectExpr("item", "n", "s", "ss",
+          "CAST(n * ss - s * s AS BIGINT) AS var_num")
+        .orderBy("item")
     }
   )
 }

@@ -1856,6 +1856,139 @@ object PipelineQueries {
             + lit(16L * l * l)).cast("decimal(25,0)"))
             .cast("long").as("err_sum"))
         .orderBy("sub", "code")
+    },
+
+    // HyperLogLog registers — the mergeable cardinality sketch (CMS's
+    // sibling for COUNT DISTINCT): each key hashes to 60 md5-derived
+    // bits; the low 6 pick one of 64 registers and the register keeps
+    // the MAX of rho = the position of the least-significant set bit
+    // of the remaining 54 (computed exactly as length(bin(w & -w)) —
+    // w & -w isolates the lowest set bit, a power of two whose binary
+    // length IS its position; both engines' bin() drop leading zeros).
+    // Emitted per register: its value and the exact scaled harmonic
+    // term 2^(60−register) (a BIGINT — the caller's estimate is
+    // α₆₄·64²·2⁶⁰ / Σ inv_term, no FP in the sketch itself).
+    // StressSpec pins rho-in-range, the power-of-two law and the
+    // estimate bracket vs true NDV.
+    //
+    // Scale shape: the DISTINCT is the one row-scale exchange (at a
+    // real deployment the register array folds map-side instead — 64
+    // counters regardless of key cardinality, mergeable across any
+    // partitioning; the DISTINCT here makes the oracle exact); hashes,
+    // rho and the 64-cell register rollup ride the distinct-key frame.
+    Q("q_sketch_hll",
+      """WITH k AS (SELECT DISTINCT l_partkey AS pk FROM lineitem),
+        |h AS (
+        |  SELECT CAST('0x' || substr(md5(CAST(pk AS VARCHAR)), 1, 15)
+        |    AS BIGINT) AS hv
+        |  FROM k),
+        |r AS (SELECT hv % 64 AS bucket, hv // 64 AS w FROM h),
+        |g AS (
+        |  SELECT bucket,
+        |    CASE WHEN w = 0 THEN CAST(55 AS BIGINT)
+        |         ELSE CAST(length(bin(w & -w)) AS BIGINT) END AS rho
+        |  FROM r),
+        |m AS (
+        |  SELECT bucket, CAST(MAX(rho) AS BIGINT) AS register
+        |  FROM g GROUP BY bucket)
+        |SELECT bucket, register,
+        |  CAST(CAST(1 AS BIGINT) << CAST(60 - register AS INTEGER)
+        |    AS BIGINT) AS inv_term
+        |FROM m ORDER BY bucket""".stripMargin) { (s, d) =>
+      val k = Tables.lineitem(s, d).select(col("l_partkey").as("pk"))
+        .distinct()
+      val h = k.select(conv(substring(md5(col("pk").cast("string")), 1, 15),
+        16, 10).cast("long").as("hv"))
+      val r = h.select((col("hv") % 64).as("bucket"),
+        expr("hv div 64").as("w"))
+      val g = r.select(col("bucket"),
+        when(col("w") === 0, 55L)
+          .otherwise(length(bin(expr("w & -w"))).cast("long")).as("rho"))
+      g.groupBy("bucket").agg(max("rho").cast("long").as("register"))
+        .selectExpr("bucket", "register",
+          "CAST(shiftleft(CAST(1 AS BIGINT), CAST(60 - register AS INT))" +
+            " AS BIGINT) AS inv_term")
+        .orderBy("bucket")
+    },
+
+    // Random-hyperplane LSH census — SimHash for EMBEDDINGS (the text
+    // signature's dense sibling, the third near-dup route next to
+    // MinHash and PQ banding): 16 deterministic Walsh hyperplanes
+    // (sign_j(i) = parity of bit_count(i & (j+1)) — orthogonal ±1
+    // patterns, no stored random matrix), each vector's bit_j =
+    // [⟨v, h_j⟩ ≥ 0] over µ-quantized integer coordinates (every dot
+    // is an EXACT BIGINT — ties at 0 break positive identically in
+    // both engines), bits packed 4-per-band into 4 16-bucket bands.
+    // Emitted per band: bucket count, vector mass, max bucket and the
+    // exact banded candidate volume Σ c·(c−1) — the LSH join's cost,
+    // measured without materializing a single pair (the MinHash-
+    // banding emission discipline). Cosine-similar vectors collide in
+    // some band with probability 1−(1−(1−θ/π)⁴)⁴.
+    //
+    // Scale shape: on the Spark side signatures are ROW-LOCAL
+    // higher-order functions (one codegen'd pass per vector — the
+    // 1024-way hyperplane×coordinate expansion never leaves the row);
+    // the only exchanges are the (band, sig) census (map-side
+    // combinable to ≤64 cells per partition) and the 4-row rollup.
+    // The DuckDB oracle unnests — correct, not the scale path.
+    Q("q_sim_lsh",
+      """WITH e AS (
+        |  SELECT vec_id, g.i - 1 AS i,
+        |    CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS q
+        |  FROM embeddings,
+        |    LATERAL (SELECT UNNEST(generate_series(1, 64)) AS i) g),
+        |d AS (
+        |  SELECT vec_id, jj.j AS j,
+        |    CAST(SUM(CASE WHEN bit_count(CAST(i AS BIGINT) & (jj.j + 1))
+        |      % 2 = 0 THEN q ELSE -q END) AS BIGINT) AS dot
+        |  FROM e CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS j) jj
+        |  GROUP BY vec_id, jj.j),
+        |sg AS (
+        |  SELECT vec_id, j // 4 AS band,
+        |    CAST(SUM(CASE WHEN dot >= 0 THEN
+        |      CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+        |        ELSE 8 END
+        |      ELSE 0 END) AS BIGINT) AS sig
+        |  FROM d GROUP BY vec_id, j // 4),
+        |c AS (
+        |  SELECT band, sig, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM sg GROUP BY band, sig)
+        |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_vecs,
+        |  CAST(MAX(cnt) AS BIGINT) AS max_bucket,
+        |  CAST(SUM(cnt * (cnt - 1)) AS BIGINT) AS cand_pairs_x2
+        |FROM c GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+      // row-local signature: per band b, sig = Σ_t 2^t·[dot_{4b+t} ≥ 0]
+      // with dot_j folded over the indexed-transform of the embedding —
+      // the whole pipeline below the census is one codegen'd projection
+      val sg = Tables.embeddings(s, d).select(col("vec_id"),
+        explode(expr(
+          """transform(sequence(0, 3), b -> named_struct(
+            |  'band', CAST(b AS BIGINT),
+            |  'sig', aggregate(sequence(0, 3), 0L, (acc, t) ->
+            |    acc + IF(aggregate(
+            |        transform(embedding, (x, i) ->
+            |          IF(bit_count(CAST(i AS BIGINT) & (b * 4 + t + 1))
+            |               % 2 = 0,
+            |             CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
+            |               AS BIGINT),
+            |             -CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
+            |               AS BIGINT))),
+            |        0L, (a, v) -> a + v) >= 0,
+            |      CAST(shiftleft(1, CAST(t AS INT)) AS BIGINT), 0L))))"""
+            .stripMargin)).as("bs"))
+        .select(col("vec_id"), col("bs.band").as("band"),
+          col("bs.sig").as("sig"))
+      val c = sg.groupBy("band", "sig")
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      c.groupBy("band")
+        .agg(count(lit(1)).cast("long").as("n_buckets"),
+          sum("cnt").cast("long").as("n_vecs"),
+          max("cnt").cast("long").as("max_bucket"),
+          sum(col("cnt") * (col("cnt") - 1)).cast("long")
+            .as("cand_pairs_x2"))
+        .orderBy("band")
     }
   )
 }

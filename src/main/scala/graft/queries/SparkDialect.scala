@@ -1423,6 +1423,51 @@ object SparkDialect {
         |  CAST(SUM(CAST(sqsum - 2 * 50000 * best
         |    + 16 * CAST(50000 AS BIGINT) * 50000 AS DECIMAL(25,0)))
         |    AS BIGINT) AS err_sum
-        |FROM a GROUP BY sub, code ORDER BY sub, code""".stripMargin
+        |FROM a GROUP BY sub, code ORDER BY sub, code""".stripMargin,
+    "q_sketch_hll" ->
+      """WITH k AS (SELECT DISTINCT l_partkey AS pk FROM lineitem),
+        |h AS (
+        |  SELECT CAST(conv(substr(md5(CAST(pk AS STRING)), 1, 15), 16, 10)
+        |    AS BIGINT) AS hv
+        |  FROM k),
+        |r AS (SELECT hv % 64 AS bucket, hv div 64 AS w FROM h),
+        |g AS (
+        |  SELECT bucket,
+        |    CASE WHEN w = 0 THEN CAST(55 AS BIGINT)
+        |         ELSE CAST(length(bin(w & -w)) AS BIGINT) END AS rho
+        |  FROM r),
+        |m AS (
+        |  SELECT bucket, CAST(MAX(rho) AS BIGINT) AS register
+        |  FROM g GROUP BY bucket)
+        |SELECT bucket, register,
+        |  CAST(shiftleft(CAST(1 AS BIGINT), CAST(60 - register AS INT))
+        |    AS BIGINT) AS inv_term
+        |FROM m ORDER BY bucket""".stripMargin,
+    "q_sim_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(pos AS BIGINT) AS i,
+        |    CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, x),
+        |d AS (
+        |  SELECT vec_id, j,
+        |    CAST(SUM(CASE WHEN bit_count(i & CAST(j + 1 AS BIGINT)) % 2 = 0
+        |      THEN q ELSE -q END) AS BIGINT) AS dot
+        |  FROM e LATERAL VIEW explode(sequence(0, 15)) jj AS j
+        |  GROUP BY vec_id, j),
+        |sg AS (
+        |  SELECT vec_id, CAST(j div 4 AS BIGINT) AS band,
+        |    CAST(SUM(CASE WHEN dot >= 0 THEN
+        |      CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+        |        ELSE 8 END
+        |      ELSE 0 END) AS BIGINT) AS sig
+        |  FROM d GROUP BY vec_id, j div 4),
+        |c AS (
+        |  SELECT band, sig, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM sg GROUP BY band, sig)
+        |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_vecs,
+        |  CAST(MAX(cnt) AS BIGINT) AS max_bucket,
+        |  CAST(SUM(cnt * (cnt - 1)) AS BIGINT) AS cand_pairs_x2
+        |FROM c GROUP BY band ORDER BY band""".stripMargin
   )
 }

@@ -445,7 +445,16 @@ class PlanSpec extends SparkSuite {
       "q_sketch_cms" ->
         "shuffle=3,broadcast=4,BroadcastHashJoin=2,BroadcastNestedLoopJoin=2",
       "q_text_burstiness" -> "shuffle=3,broadcast=1,BroadcastNestedLoopJoin=1",
-      "q_embed_pq" -> "shuffle=2,broadcast=0")
+      "q_embed_pq" -> "shuffle=2,broadcast=0",
+      // round 11 session 7b: market indicators ride the day frame; the
+      // HLL build and LSH census are one row-scale exchange + bounded
+      // frames; Levene joins its 7-row medians back broadcast
+      "q_time_obv" -> "shuffle=2,broadcast=0",
+      "q_time_aroon" -> "shuffle=2,broadcast=0",
+      "q_sketch_hll" -> "shuffle=3,broadcast=0",
+      "q_sim_lsh" -> "shuffle=3,broadcast=0",
+      "q_stat_levene" -> "shuffle=3,broadcast=1,BroadcastHashJoin=1",
+      "q_stat_cronbach" -> "shuffle=2,broadcast=0")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }

@@ -1150,4 +1150,116 @@ class StressSpec extends SparkSuite {
       assert(r.getLong(3) >= 0, s"err_sum >= 0: $r")
     }
   }
+
+  test("obv / aroon: market-series laws over the gated fixture queries") {
+    val d = sf("0.001")
+    // OBV: signed_vol partitions into {-vol, 0, +vol}, the running sum
+    // telescopes exactly, and |obv| is bounded by total volume
+    val ob = SparkEntry.queries("q_time_obv")(spark, d).collect()
+    assert(ob.nonEmpty)
+    var run = 0L
+    var totalVol = 0L
+    ob.foreach { r =>
+      val (vol, sv, obv) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(sv == vol || sv == -vol || sv == 0L, s"$r")
+      run += sv; totalVol += vol
+      assert(obv == run, s"obv must telescope: $r")
+      assert(math.abs(obv) <= totalVol, s"$r")
+    }
+    // Aroon: days_since in [0, 13]; the encoded argmax brackets the
+    // window (at least one of up/down is from a real extremum: the
+    // current day is always IN the window, so days_since_high = 0 when
+    // today is the 14-day high); aroon is the exact affine map of
+    // days_since
+    val ar = SparkEntry.queries("q_time_aroon")(spark, d).collect()
+    assert(ar.nonEmpty)
+    ar.foreach { r =>
+      val (dsh, dsl) = (r.getLong(2), r.getLong(3))
+      assert(dsh >= 0 && dsh <= 13 && dsl >= 0 && dsl <= 13, s"$r")
+      assert(r.getDouble(4) == 100.0 * (14 - dsh) / 14.0, s"$r")
+      assert(r.getDouble(5) == 100.0 * (14 - dsl) / 14.0, s"$r")
+    }
+    // rolling extrema: consecutive windows share 13 days, so
+    // days_since can rise by at most 1 between consecutive emitted days
+    ar.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(2) <= a.getLong(2) + 1, s"$a -> $b")
+        assert(b.getLong(3) <= a.getLong(3) + 1, s"$a -> $b")
+      case _ => ()
+    }
+  }
+
+  test("hll / lsh: sketch laws over the gated fixture queries") {
+    val d = sf("0.001")
+    // HLL: registers in [1, 55], inv_term is the exact power of two,
+    // and the raw harmonic estimate brackets the true NDV (64
+    // registers => +-~13% asymptotically; the fixture's n/m ~ 3 sits
+    // in the noisy small-range regime, so the gate is a loose 2x)
+    val hl = SparkEntry.queries("q_sketch_hll")(spark, d).collect()
+    assert(hl.length <= 64 && hl.length >= 32, s"${hl.length} registers")
+    hl.foreach { r =>
+      val (b, reg, inv) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(b >= 0 && b < 64, s"$r")
+      assert(reg >= 1 && reg <= 55, s"$r")
+      assert(inv == (1L << (60 - reg).toInt), s"$r")
+    }
+    val truth = graft.core.Tables.lineitem(spark, d)
+      .select("l_partkey").distinct().count()
+    // raw HLL harmonic estimate over the emitted integer pieces (empty
+    // registers contribute 2^60 = rho 0)
+    // sum in Double — 63 registers x up to 2^59 overflows a Long; each
+    // term is an exact power of two so the FP sum is near-exact and
+    // far inside the 2x gate's tolerance
+    val sumInv = hl.map(_.getLong(2).toDouble).sum +
+      (64 - hl.length).toDouble * math.pow(2, 60)
+    val est = 0.709 * 64 * 64 * math.pow(2, 60) / sumInv
+    assert(est > truth * 0.5 && est < truth * 2.0,
+      s"estimate $est vs true $truth")
+    // LSH: per band the bucket histogram carries every vector exactly
+    // once, max_bucket is feasible, and the candidate volume is the
+    // exact pair mass of the histogram (all far below the all-pairs
+    // n*(n-1) it replaces)
+    val nVec = graft.core.Tables.embeddings(spark, d).count()
+    val ls = SparkEntry.queries("q_sim_lsh")(spark, d).collect()
+    assert(ls.length == 4)
+    ls.foreach { r =>
+      val (nb, nv, mx, cp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nb >= 1 && nb <= 16, s"$r")
+      assert(nv == nVec, s"every vector lands in one bucket per band: $r")
+      assert(mx <= nv && mx * nb >= nv, s"$r")
+      assert(cp >= mx * (mx - 1) && cp < nVec * (nVec - 1), s"$r")
+    }
+  }
+
+  test("levene / cronbach: exact-piece laws over the gated fixture " +
+    "queries") {
+    val d = sf("0.001")
+    // Brown-Forsythe: the doubled median sits inside the doubled value
+    // range, and every group's variance numerator obeys Cauchy-Schwarz
+    val lv = SparkEntry.queries("q_stat_levene")(spark, d).collect()
+    assert(lv.length == 7)
+    lv.foreach { r =>
+      val (ng, med, as_, ss, vn) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(med >= 2 * 100 && med <= 2 * 5000, s"$r")
+      assert(as_ >= 0 && ss >= 0, s"$r")
+      assert(vn == ng * ss - as_ * as_ && vn >= 0, s"Cauchy-Schwarz: $r")
+    }
+    // Cronbach: five rows share one n; every variance numerator is
+    // non-negative; the total row's sum equals the item sums' sum
+    // (additivity of the pivot)
+    val cr = SparkEntry.queries("q_stat_cronbach")(spark, d).collect()
+    assert(cr.length == 5)
+    assert(cr.map(_.getLong(1)).distinct.length == 1)
+    cr.foreach { r =>
+      assert(r.getLong(4) == r.getLong(1) * r.getLong(3)
+        - r.getLong(2) * r.getLong(2), s"$r")
+      assert(r.getLong(4) >= 0, s"$r")
+    }
+    val items = cr.filter(_.getString(0).startsWith("q"))
+    val total = cr.find(_.getString(0) == "total").get
+    assert(items.map(_.getLong(2)).sum == total.getLong(2),
+      "item sums must add to the total row's sum")
+  }
 }
