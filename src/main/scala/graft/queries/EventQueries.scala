@@ -1424,6 +1424,86 @@ object EventQueries {
           "CAST(100 * (14 - (idx - (lo_enc % 100000))) AS DOUBLE) / 14.0e0" +
             " AS aroon_down")
         .orderBy("day")
+    },
+
+    // Rescaled-range pieces — the Hurst-exponent measurement at three
+    // block widths (8/16/32 days): within each full block, the
+    // w-scaled cumulative deviation cd_j = w·prefix_j − pos_j·S is an
+    // EXACT integer (= w·(prefix_j − j·mean)), its range r_xw = max −
+    // min is the scaled R, and the block variance numerator
+    // w·Σx² − S² = w²·σ²_pop is exact by Cauchy–Schwarz. R/S per
+    // block = r_xw / √var_num — caller-side; H is the slope of mean
+    // log(R/S) on log w. Block ids use the exactly-divisible division
+    // trick (idx−1−(idx−1)%w)/w — the quotient is integral, so the
+    // double divide is exact in both engines. var_num = 0 ⇒ r_xw = 0
+    // (constant block) — StressSpec pins it with the non-negativity
+    // and block-size laws.
+    //
+    // Scale shape: one map-side-combinable day rollup; the ×3 width
+    // expansion and all block windows ride the calendar-bounded day
+    // frame, partitioned by (w, blk) — parallel across blocks.
+    Q("q_time_hurst",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |i AS (
+        |  SELECT day, x,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS idx
+        |  FROM d),
+        |b AS (
+        |  SELECT ww.w AS w,
+        |    CAST((idx - 1 - (idx - 1) % ww.w) / ww.w AS BIGINT) AS blk,
+        |    idx, x
+        |  FROM i CROSS JOIN (VALUES (8), (16), (32)) AS ww(w)),
+        |p AS (
+        |  SELECT w, blk, x,
+        |    CAST(SUM(x) OVER (PARTITION BY w, blk ORDER BY idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS pre,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY w, blk ORDER BY idx)
+        |      AS BIGINT) AS pos,
+        |    CAST(SUM(x) OVER (PARTITION BY w, blk) AS BIGINT) AS s,
+        |    CAST(SUM(x * x) OVER (PARTITION BY w, blk) AS BIGINT) AS ssq,
+        |    CAST(COUNT(*) OVER (PARTITION BY w, blk) AS BIGINT) AS n
+        |  FROM b),
+        |r AS (
+        |  SELECT w, blk, s, ssq,
+        |    CAST(MAX(w * pre - pos * s) - MIN(w * pre - pos * s)
+        |      AS BIGINT) AS r_xw
+        |  FROM p WHERE n = w GROUP BY w, blk, s, ssq)
+        |SELECT CAST(w AS BIGINT) AS w, blk, s, r_xw,
+        |  CAST(w * ssq - s * s AS BIGINT) AS var_num_xw2
+        |FROM r ORDER BY w, blk""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val days = Tables.orders(s, d)
+        .groupBy(date_trunc("day", col("o_orderdate")).cast("timestamp_ntz")
+          .as("day"))
+        .agg(count(lit(1)).cast("long").as("x"))
+      val i = days.withColumn("idx",
+        row_number().over(Window.orderBy("day")).cast("long"))
+      val widths = Seq(8L, 16L, 32L).toDF("w")
+      val b = i.crossJoin(broadcast(widths))
+        .selectExpr("w",
+          "CAST((idx - 1 - (idx - 1) % w) / w AS BIGINT) AS blk",
+          "idx", "x")
+      val wb = Window.partitionBy("w", "blk")
+      val p = b.select(col("w"), col("blk"), col("x"),
+        sum("x").over(wb.orderBy("idx")
+          .rowsBetween(Window.unboundedPreceding, 0)).cast("long")
+          .as("pre"),
+        row_number().over(wb.orderBy("idx")).cast("long").as("pos"),
+        sum("x").over(wb).cast("long").as("s"),
+        sum(col("x") * col("x")).over(wb).cast("long").as("ssq"),
+        count(lit(1)).over(wb).cast("long").as("n"))
+      p.where(col("n") === col("w"))
+        .groupBy("w", "blk", "s", "ssq")
+        .agg((max(col("w") * col("pre") - col("pos") * col("s"))
+          - min(col("w") * col("pre") - col("pos") * col("s")))
+          .cast("long").as("r_xw"))
+        .selectExpr("CAST(w AS BIGINT) AS w", "blk", "s", "r_xw",
+          "CAST(w * ssq - s * s AS BIGINT) AS var_num_xw2")
+        .orderBy("w", "blk")
     }
   )
 }

@@ -835,6 +835,88 @@ object NonparamQueries {
         .selectExpr("item", "n", "s", "ss",
           "CAST(n * ss - s * s AS BIGINT) AS var_num")
         .orderBy("item")
+    },
+
+    // Goodman–Kruskal gamma / Somers' D pieces — ordinal×ordinal
+    // association on the priority-class × order-status grid (both axes
+    // carry a deterministic total order: the priority's leading digit,
+    // the status's ASCII order). On the COMPLETED grid each cell's
+    // concordant mass (orders strictly higher on BOTH axes) and
+    // discordant mass (higher priority class, lower status) come from
+    // the Jonckheere dominance machinery: a suffix window within the
+    // row, then a suffix-of-that across rows at fixed column. C = Σ
+    // o·conc and D = Σ o·disc count each pair exactly once at its
+    // lower cell, so gamma = (C−D)/(C+D) and Somers' D variants are
+    // caller-side algebra over the emitted exact terms (2·(C+D) ≤
+    // N·(N−1) — the pair bound StressSpec pins, plus conc/disc ≥ 0).
+    //
+    // Scale shape: one map-side-combinable (class, status) count — NO
+    // join to the fact; completion and all four dominance windows ride
+    // the 15-cell grid. o·mass holds in BIGINT to ~3·10⁹ orders.
+    Q("q_stat_gamma",
+      """WITH c AS (
+        |  SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS g1,
+        |    o_orderstatus AS g2, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM orders GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT aa.g1, bb.g2, COALESCE(c.o, 0) AS o
+        |  FROM (SELECT DISTINCT g1 FROM c) aa
+        |  CROSS JOIN (SELECT DISTINCT g2 FROM c) bb
+        |  LEFT JOIN c ON c.g1 = aa.g1 AND c.g2 = bb.g2),
+        |sx AS (
+        |  SELECT g1, g2, o,
+        |    CAST(COALESCE(SUM(o) OVER (PARTITION BY g1 ORDER BY g2
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+        |      AS BIGINT) AS suf,
+        |    CAST(COALESCE(SUM(o) OVER (PARTITION BY g1 ORDER BY g2
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS pre
+        |  FROM grid),
+        |dom AS (
+        |  SELECT g1, g2, o,
+        |    CAST(COALESCE(SUM(suf) OVER (PARTITION BY g2 ORDER BY g1
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+        |      AS BIGINT) AS conc_mass,
+        |    CAST(COALESCE(SUM(pre) OVER (PARTITION BY g2 ORDER BY g1
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+        |      AS BIGINT) AS disc_mass
+        |  FROM sx)
+        |SELECT g1 AS priority_class, g2 AS o_orderstatus, o AS observed,
+        |  conc_mass, disc_mass,
+        |  CAST(o * conc_mass AS BIGINT) AS c_term,
+        |  CAST(o * disc_mass AS BIGINT) AS d_term
+        |FROM dom ORDER BY priority_class, o_orderstatus""".stripMargin) {
+      (s, d) =>
+      val c = Tables.orders(s, d)
+        .groupBy(substring(col("o_orderpriority"), 1, 1).cast(LongType)
+            .as("g1"),
+          col("o_orderstatus").as("g2"))
+        .agg(count(lit(1)).cast(LongType).as("o"))
+        .localCheckpoint()
+      val grid = c.select("g1").distinct()
+        .crossJoin(c.select("g2").distinct())
+        .join(c, Seq("g1", "g2"), "left")
+        .select(col("g1"), col("g2"), coalesce(col("o"), lit(0L)).as("o"))
+      val wRow = Window.partitionBy("g1").orderBy("g2")
+      val sx = grid.select(col("g1"), col("g2"), col("o"),
+        coalesce(sum("o").over(wRow
+          .rowsBetween(1, Window.unboundedFollowing)), lit(0L))
+          .cast(LongType).as("suf"),
+        coalesce(sum("o").over(wRow
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .cast(LongType).as("pre"))
+      val wCol = Window.partitionBy("g2").orderBy("g1")
+        .rowsBetween(1, Window.unboundedFollowing)
+      sx.select(col("g1"), col("g2"), col("o"),
+          coalesce(sum("suf").over(wCol), lit(0L)).cast(LongType)
+            .as("conc_mass"),
+          coalesce(sum("pre").over(wCol), lit(0L)).cast(LongType)
+            .as("disc_mass"))
+        .selectExpr("g1 AS priority_class", "g2 AS o_orderstatus",
+          "o AS observed", "conc_mass", "disc_mass",
+          "CAST(o * conc_mass AS BIGINT) AS c_term",
+          "CAST(o * disc_mass AS BIGINT) AS d_term")
+        .orderBy("priority_class", "o_orderstatus")
     }
   )
 }

@@ -1989,6 +1989,90 @@ object PipelineQueries {
           sum(col("cnt") * (col("cnt") - 1)).cast("long")
             .as("cand_pairs_x2"))
         .orderBy("band")
+    },
+
+    // Heaps'-law curve pieces — vocabulary growth for tokenizer and
+    // dedup sizing (how fast does the BIGRAM vocabulary grow with the
+    // corpus?): each bigram's FIRST document (min doc_id — doc_id is
+    // the corpus order), per-doc bigram counts, and ten evenly-spaced
+    // doc-id checkpoints (the exactly-divisible (m·j − (m·j)%10)/10
+    // division). V(ckpt) = #bigrams first seen at-or-before, token and
+    // doc masses likewise — all exact conditional counts, no windows
+    // over row-scale frames. vocab/tokens/docs nondecreasing in j and
+    // vocab ≤ tokens (StressSpec pins both; log V on log T slopes the
+    // Heaps beta caller-side).
+    //
+    // Scale shape: the (doc, bigram) explode is row-local; the
+    // per-doc and per-bigram rollups are the two row-scale exchanges
+    // (map-side combinable); the ×10 checkpoint fan-out rides the
+    // vocabulary and doc-count frames with a broadcast 10-row spine.
+    Q("q_text_heaps",
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS w
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1,
+        |    len(toks) - 1)) AS i) g),
+        |td AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS toks
+        |  FROM bg GROUP BY doc_id),
+        |ft AS (
+        |  SELECT w, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        |  FROM bg GROUP BY w),
+        |mx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS m FROM documents),
+        |ck AS (
+        |  SELECT CAST(jj.j AS BIGINT) AS j,
+        |    CAST((m * jj.j - (m * jj.j) % 10) / 10 AS BIGINT) AS ckpt
+        |  FROM mx CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8),
+        |    (9),(10)) AS jj(j)),
+        |v AS (
+        |  SELECT ck.j, ck.ckpt,
+        |    CAST(SUM(CASE WHEN ft.first_doc <= ck.ckpt THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS vocab
+        |  FROM ft CROSS JOIN ck GROUP BY ck.j, ck.ckpt),
+        |tkc AS (
+        |  SELECT ck.j,
+        |    CAST(SUM(CASE WHEN td.doc_id <= ck.ckpt THEN td.toks
+        |      ELSE 0 END) AS BIGINT) AS tokens,
+        |    CAST(SUM(CASE WHEN td.doc_id <= ck.ckpt THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS docs_n
+        |  FROM td CROSS JOIN ck GROUP BY ck.j)
+        |SELECT v.j, v.ckpt, tkc.docs_n, tkc.tokens, v.vocab
+        |FROM v JOIN tkc ON v.j = tkc.j ORDER BY v.j""".stripMargin) {
+      (s, d) =>
+      import s.implicits._
+      // adjacent-pair bigrams, guarded for 1-token docs (Spark's
+      // sequence(1, 0) would run DESCENDING, unlike generate_series)
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(toks) >= 2 THEN
+            |  transform(sequence(1, size(toks) - 1),
+            |    i -> concat(toks[i - 1], ' ', toks[i]))
+            |ELSE array() END""".stripMargin)).as("w"))
+      val td = bg.groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("toks"))
+      val ft = bg.groupBy("w")
+        .agg(min("doc_id").cast("long").as("first_doc"))
+      val mx = Tables.documents(s, d)
+        .agg(max("doc_id").cast("long").as("m"))
+      val ck = mx.crossJoin(broadcast((1L to 10L).toDF("j")))
+        .selectExpr("CAST(j AS BIGINT) AS j",
+          "CAST((m * j - (m * j) % 10) / 10 AS BIGINT) AS ckpt")
+      val v = ft.crossJoin(broadcast(ck))
+        .groupBy("j", "ckpt")
+        .agg(sum(when(col("first_doc") <= col("ckpt"), 1L).otherwise(0L))
+          .cast("long").as("vocab"))
+      val tkc = td.crossJoin(broadcast(ck))
+        .groupBy("j")
+        .agg(sum(when(col("doc_id") <= col("ckpt"), col("toks"))
+            .otherwise(0L)).cast("long").as("tokens"),
+          sum(when(col("doc_id") <= col("ckpt"), 1L).otherwise(0L))
+            .cast("long").as("docs_n"))
+      v.join(broadcast(tkc), Seq("j"))
+        .select(col("j"), col("ckpt"), col("docs_n"), col("tokens"),
+          col("vocab"))
+        .orderBy("j")
     }
   )
 }

@@ -1468,6 +1468,42 @@ object SparkDialect {
         |  CAST(SUM(cnt) AS BIGINT) AS n_vecs,
         |  CAST(MAX(cnt) AS BIGINT) AS max_bucket,
         |  CAST(SUM(cnt * (cnt - 1)) AS BIGINT) AS cand_pairs_x2
-        |FROM c GROUP BY band ORDER BY band""".stripMargin
+        |FROM c GROUP BY band ORDER BY band""".stripMargin,
+    "q_text_heaps" ->
+      """WITH tk AS (
+        |  SELECT doc_id, split(text, ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w
+        |  FROM tk LATERAL VIEW explode(
+        |    CASE WHEN size(toks) >= 2 THEN
+        |      transform(sequence(1, size(toks) - 1),
+        |        i -> concat(toks[i - 1], ' ', toks[i]))
+        |    ELSE array() END) t AS w),
+        |td AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS toks
+        |  FROM bg GROUP BY doc_id),
+        |ft AS (
+        |  SELECT w, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        |  FROM bg GROUP BY w),
+        |mx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS m FROM documents),
+        |ck AS (
+        |  SELECT CAST(jj.j AS BIGINT) AS j,
+        |    CAST((m * jj.j - (m * jj.j) % 10) / 10 AS BIGINT) AS ckpt
+        |  FROM mx CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8),
+        |    (9),(10)) AS jj(j)),
+        |v AS (
+        |  SELECT ck.j, ck.ckpt,
+        |    CAST(SUM(CASE WHEN ft.first_doc <= ck.ckpt THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS vocab
+        |  FROM ft CROSS JOIN ck GROUP BY ck.j, ck.ckpt),
+        |tkc AS (
+        |  SELECT ck.j,
+        |    CAST(SUM(CASE WHEN td.doc_id <= ck.ckpt THEN td.toks
+        |      ELSE 0 END) AS BIGINT) AS tokens,
+        |    CAST(SUM(CASE WHEN td.doc_id <= ck.ckpt THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS docs_n
+        |  FROM td CROSS JOIN ck GROUP BY ck.j)
+        |SELECT v.j, v.ckpt, tkc.docs_n, tkc.tokens, v.vocab
+        |FROM v JOIN tkc ON v.j = tkc.j ORDER BY v.j""".stripMargin
   )
 }

@@ -454,7 +454,16 @@ class PlanSpec extends SparkSuite {
       "q_sketch_hll" -> "shuffle=3,broadcast=0",
       "q_sim_lsh" -> "shuffle=3,broadcast=0",
       "q_stat_levene" -> "shuffle=3,broadcast=1,BroadcastHashJoin=1",
-      "q_stat_cronbach" -> "shuffle=2,broadcast=0")
+      "q_stat_cronbach" -> "shuffle=2,broadcast=0",
+      // round 11 session 7c: gamma rides the completed 15-cell grid
+      // (the Page/Jonckheere shape), hurst fans the day frame across
+      // three broadcast block widths, heaps joins two checkpoint
+      // rollups with a broadcast 10-row spine
+      "q_stat_gamma" ->
+        "shuffle=5,broadcast=2,BroadcastHashJoin=1,BroadcastNestedLoopJoin=1",
+      "q_time_hurst" -> "shuffle=2,broadcast=1,BroadcastNestedLoopJoin=1",
+      "q_text_heaps" ->
+        "shuffle=7,broadcast=5,BroadcastHashJoin=1,BroadcastNestedLoopJoin=4")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }

@@ -1262,4 +1262,69 @@ class StressSpec extends SparkSuite {
     assert(items.map(_.getLong(2)).sum == total.getLong(2),
       "item sums must add to the total row's sum")
   }
+
+  test("gamma / hurst / heaps: exact-piece laws over the gated fixture " +
+    "queries") {
+    val d = sf("0.001")
+    // Goodman-Kruskal: the pair masses are non-negative, each term is
+    // the exact product, and every concordant/discordant pair is
+    // counted at most once: 2*(C + D) <= N*(N - 1)
+    val gm = SparkEntry.queries("q_stat_gamma")(spark, d).collect()
+    assert(gm.length == 15, "5x3 completed grid")
+    val n = gm.map(_.getLong(2)).sum
+    val bigC = gm.map(_.getLong(5)).sum
+    val bigD = gm.map(_.getLong(6)).sum
+    assert(bigC > 0 && bigD > 0, s"C=$bigC D=$bigD")
+    assert(2 * (bigC + bigD) <= n * (n - 1), "pair bound")
+    gm.foreach { r =>
+      assert(r.getLong(5) == r.getLong(2) * r.getLong(3), s"$r")
+      assert(r.getLong(6) == r.getLong(2) * r.getLong(4), s"$r")
+    }
+    // top-right corner cells dominate nothing: the highest class's
+    // rows have zero conc/disc mass (suffix over later classes)
+    gm.filter(_.getLong(0) == 5L).foreach { r =>
+      assert(r.getLong(3) == 0 && r.getLong(4) == 0, s"$r")
+    }
+    // Hurst pieces: block ranges and variance numerators are
+    // non-negative, a zero-variance (constant) block has zero range,
+    // and R (scaled by w) is bounded by the block mass: the cumdev
+    // walk lives in [-w*s, w*s]
+    val hu = SparkEntry.queries("q_time_hurst")(spark, d).collect()
+    assert(hu.nonEmpty)
+    assert(hu.map(_.getLong(0)).distinct.sorted.toSeq == Seq(8L, 16L, 32L))
+    hu.foreach { r =>
+      val (w, s_, rxw, vn) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(rxw >= 0 && vn >= 0, s"$r")
+      if (vn == 0) assert(rxw == 0, s"constant block must have R=0: $r")
+      assert(rxw <= 2 * w * s_, s"cumdev range bound: $r")
+    }
+    // wider blocks must have at least the R/S mass of narrower ones on
+    // average (H > 0): compare mean R/S across widths
+    val meanRs = Seq(8L, 16L, 32L).map { w =>
+      val rs = hu.filter(r => r.getLong(0) == w && r.getLong(4) > 0)
+        .map(r => r.getLong(3) / math.sqrt(r.getLong(4).toDouble))
+      w -> rs.sum / rs.length
+    }.toMap
+    assert(meanRs(8L) < meanRs(16L) && meanRs(16L) < meanRs(32L),
+      s"R/S must grow with block width: $meanRs")
+    // Heaps: ten checkpoints, all masses nondecreasing, vocabulary
+    // bounded by token mass, and the last checkpoint covers the corpus
+    val he = SparkEntry.queries("q_text_heaps")(spark, d).collect()
+    assert(he.length == 10)
+    he.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(1) >= a.getLong(1), s"ckpt: $a -> $b")
+        assert(b.getLong(2) >= a.getLong(2), s"docs: $a -> $b")
+        assert(b.getLong(3) >= a.getLong(3), s"tokens: $a -> $b")
+        assert(b.getLong(4) >= a.getLong(4), s"vocab: $a -> $b")
+      case _ => ()
+    }
+    he.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3), s"vocab <= tokens: $r")
+      assert(r.getLong(2) <= r.getLong(1) + 1, s"docs_n <= ckpt+1: $r")
+    }
+    val nDocs = graft.core.Tables.documents(spark, d).count()
+    assert(he.last.getLong(2) == nDocs, "last checkpoint covers all docs")
+  }
 }
