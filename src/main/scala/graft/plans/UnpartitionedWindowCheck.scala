@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, LogicalPlan, Window}
 
 /** Analysis check rule encoding the 100 TB window discipline: a window
   * with an ORDER BY but no PARTITION BY moves the entire input into ONE
@@ -29,6 +29,9 @@ class UnpartitionedWindowCheck(session: SparkSession)
   @scala.annotation.tailrec
   private def aggBounded(p: LogicalPlan): Boolean = p match {
     case _: Aggregate => true
+    // .distinct() analyzes as Deduplicate (the optimizer rewrites it to
+    // Aggregate later) — identical group-count cardinality bound
+    case _: Deduplicate => true
     case u: org.apache.spark.sql.catalyst.plans.logical.UnaryNode => aggBounded(u.child)
     case _ => false
   }

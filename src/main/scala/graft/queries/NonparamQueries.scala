@@ -917,6 +917,78 @@ object NonparamQueries {
           "CAST(o * conc_mass AS BIGINT) AS c_term",
           "CAST(o * disc_mass AS BIGINT) AS d_term")
         .orderBy("priority_class", "o_orderstatus")
+    },
+
+    // Weighted Cohen's kappa pieces — ordinal inter-rater agreement
+    // with quadratic distance penalties (the instrument-validation
+    // statistic q_stat_kappa's binary form can't express): two
+    // document "raters" classify every doc into 3 ordinal classes
+    // (char-length cuts 250/400, token-count cuts 45/75 — fixed
+    // thresholds, non-degenerate at every gated sf), the 3×3 grid is
+    // COMPLETED (an absent cell still contributes w·r·c to the
+    // expected-disagreement mass), and per cell the exact pieces are
+    // w = (a−b)², wo_term = w·o and wrc_term = w·r_tot·c_tot. The
+    // statistic is one exact integer ratio caller-side:
+    // κ_w = 1 − N·Σwo / Σwrc. Diagonal weights are zero and the o
+    // margins telescope (StressSpec pins both).
+    //
+    // Scale shape: one map-side-combinable (a, b) count — NO join to
+    // the fact; completion and margin windows ride the 9-cell grid.
+    // w·r·c holds in BIGINT to ~10⁹ docs; loud beyond.
+    Q("q_stat_kappaw",
+      """WITH cls AS (
+        |  SELECT CASE WHEN n_chars < 250 THEN 1
+        |           WHEN n_chars < 400 THEN 2 ELSE 3 END AS a,
+        |    CASE WHEN len(string_split(text, ' ')) < 45 THEN 1
+        |         WHEN len(string_split(text, ' ')) < 75 THEN 2
+        |         ELSE 3 END AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM cls GROUP BY a, b),
+        |grid AS (
+        |  SELECT aa.a, bb.b, COALESCE(c.o, 0) AS o
+        |  FROM (VALUES (1),(2),(3)) AS aa(a)
+        |  CROSS JOIN (VALUES (1),(2),(3)) AS bb(b)
+        |  LEFT JOIN c ON c.a = aa.a AND c.b = bb.b),
+        |w AS (
+        |  SELECT a, b, o,
+        |    CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS r_tot,
+        |    CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS c_tot,
+        |    CAST(SUM(o) OVER () AS BIGINT) AS n
+        |  FROM grid)
+        |SELECT CAST(a AS BIGINT) AS class_chars,
+        |  CAST(b AS BIGINT) AS class_tokens,
+        |  o AS observed, r_tot, c_tot, n,
+        |  CAST((a - b) * (a - b) AS BIGINT) AS wgt,
+        |  CAST((a - b) * (a - b) * o AS BIGINT) AS wo_term,
+        |  CAST((a - b) * (a - b) * r_tot * c_tot AS BIGINT) AS wrc_term
+        |FROM w ORDER BY class_chars, class_tokens""".stripMargin) {
+      (s, d) =>
+      import s.implicits._
+      val cls = Tables.documents(s, d).select(
+        when(col("n_chars") < 250, 1L).when(col("n_chars") < 400, 2L)
+          .otherwise(3L).as("a"),
+        when(size(split(col("text"), " ")) < 45, 1L)
+          .when(size(split(col("text"), " ")) < 75, 2L)
+          .otherwise(3L).as("b"))
+      val c = cls.groupBy("a", "b")
+        .agg(count(lit(1)).cast(LongType).as("o"))
+      val grid = broadcast(Seq(1L, 2L, 3L).toDF("a"))
+        .crossJoin(broadcast(Seq(1L, 2L, 3L).toDF("b")))
+        .join(c, Seq("a", "b"), "left")
+        .select(col("a"), col("b"), coalesce(col("o"), lit(0L)).as("o"))
+      val w = grid.select(col("a"), col("b"), col("o"),
+        sum("o").over(Window.partitionBy("a")).cast(LongType).as("r_tot"),
+        sum("o").over(Window.partitionBy("b")).cast(LongType).as("c_tot"),
+        sum("o").over(Window.partitionBy()).cast(LongType).as("n"))
+      w.selectExpr("CAST(a AS BIGINT) AS class_chars",
+          "CAST(b AS BIGINT) AS class_tokens",
+          "o AS observed", "r_tot", "c_tot", "n",
+          "CAST((a - b) * (a - b) AS BIGINT) AS wgt",
+          "CAST((a - b) * (a - b) * o AS BIGINT) AS wo_term",
+          "CAST((a - b) * (a - b) * r_tot * c_tot AS BIGINT) AS wrc_term")
+        .orderBy("class_chars", "class_tokens")
     }
   )
 }

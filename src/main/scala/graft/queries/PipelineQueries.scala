@@ -2073,6 +2073,110 @@ object PipelineQueries {
         .select(col("j"), col("ckpt"), col("docs_n"), col("tokens"),
           col("vocab"))
         .orderBy("j")
+    },
+
+    // KMV (k-minimum-values) sketch — the third cardinality sketch
+    // next to HLL and approx_count_distinct, and the one that also
+    // supports set EXPRESSIONS (union = merge-and-keep-k, intersect
+    // via the inclusion ratio): keep the k = 64 smallest 60-bit md5
+    // hashes of the key set; the unbiased estimate (k−1)·2⁶⁰/h₍ₖ₎ is
+    // caller-side over the emitted exact hashes (rse 1/√(k−2) ≈ 13%
+    // — StressSpec brackets it at [0.6, 1.6]× vs true NDV, plus the
+    // strictly-ascending law: 60-bit collisions over ≤10⁶ keys have
+    // probability < 10⁻⁶, and the gated fixtures are collision-free).
+    //
+    // Scale shape: the DISTINCT is the one row-scale exchange; the
+    // k-smallest selection is a TakeOrdered (per-partition top-k then
+    // a 64-row merge — no global sort), and the rank window rides the
+    // 64-row frame (Limit→Sort→Aggregate chain, lint-exempt).
+    Q("q_sketch_kmv",
+      """WITH k AS (SELECT DISTINCT l_partkey AS pk FROM lineitem),
+        |h AS (
+        |  SELECT CAST('0x' || substr(md5(CAST(pk AS VARCHAR)), 1, 15)
+        |    AS BIGINT) AS hv
+        |  FROM k),
+        |t AS (SELECT hv FROM h ORDER BY hv LIMIT 64)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY hv) AS BIGINT) AS r, hv
+        |FROM t ORDER BY r""".stripMargin) { (s, d) =>
+      val k = Tables.lineitem(s, d).select(col("l_partkey").as("pk"))
+        .distinct()
+      val h = k.select(conv(substring(md5(col("pk").cast("string")), 1, 15),
+        16, 10).cast("long").as("hv"))
+      h.orderBy("hv").limit(64)
+        .select(row_number().over(Window.orderBy("hv")).cast("long")
+          .as("r"), col("hv"))
+        .orderBy("r")
+    },
+
+    // Bloom-filter membership census — the fourth sketch family (the
+    // shuffle-pruning primitive behind q_join_bloom, here measured
+    // end-to-end): a 65 536-bit / 2-hash filter built over the
+    // supplier keys, probed with every customer key. Emitted: member,
+    // set-bit, probe, claimed, true-member and false-positive counts
+    // — with the one-sided guarantee n_claimed ≥ n_true_members (a
+    // Bloom filter NEVER false-negatives; StressSpec pins it plus
+    // fp ≥ 0 and the bits ≤ 2·members bound). The expected FP rate
+    // (1−e^(−2n/m))² is caller-side calibration against the exact fp.
+    //
+    // Scale shape: member and probe key sets are the two row-scale
+    // exchanges (both map-side-combinable DISTINCTs); the ≤65 536-cell
+    // bit set broadcasts to the probe side (exactly how a production
+    // bloom-pruned join ships the filter), the true-membership check
+    // is a broadcast semi join, and the final row is a cross of 1-row
+    // aggregates.
+    Q("q_sketch_bloom",
+      """WITH mem AS (SELECT DISTINCT s_suppkey AS k FROM supplier),
+        |mb AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(rr.r || ':' || k), 1, 8)
+        |    AS BIGINT) % 65536 AS bit
+        |  FROM mem CROSS JOIN (SELECT UNNEST([0, 1]) AS r) rr),
+        |pr AS (SELECT DISTINCT c_custkey AS k FROM customer),
+        |pb AS (
+        |  SELECT k, rr.r AS r,
+        |    CAST('0x' || substr(md5(rr.r || ':' || k), 1, 8) AS BIGINT)
+        |      % 65536 AS bit
+        |  FROM pr CROSS JOIN (SELECT UNNEST([0, 1]) AS r) rr),
+        |hit AS (
+        |  SELECT pb.k, CAST(COUNT(*) AS BIGINT) AS nhit
+        |  FROM pb JOIN mb ON pb.bit = mb.bit GROUP BY pb.k),
+        |claimed AS (SELECT k FROM hit WHERE nhit = 2),
+        |tm AS (SELECT pr.k FROM pr JOIN mem ON pr.k = mem.k)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM mem) AS BIGINT) AS n_members,
+        |  CAST((SELECT COUNT(*) FROM mb) AS BIGINT) AS n_bits_set,
+        |  CAST((SELECT COUNT(*) FROM pr) AS BIGINT) AS n_probes,
+        |  CAST((SELECT COUNT(*) FROM claimed) AS BIGINT) AS n_claimed,
+        |  CAST((SELECT COUNT(*) FROM tm) AS BIGINT) AS n_true_members,
+        |  CAST((SELECT COUNT(*) FROM claimed)
+        |    - (SELECT COUNT(*) FROM tm) AS BIGINT)
+        |    AS n_false_positives""".stripMargin) { (s, d) =>
+      val rr = s.range(0, 2).select(col("id").as("r"))
+      def hashBits(df: org.apache.spark.sql.DataFrame) =
+        df.crossJoin(broadcast(rr)).select(col("k"), col("r"),
+          (conv(substring(md5(concat(col("r").cast("string"), lit(":"),
+            col("k").cast("string"))), 1, 8), 16, 10).cast("long")
+            % 65536).as("bit"))
+      val mem = Tables.supplier(s, d).select(col("s_suppkey").as("k"))
+        .distinct()
+      val mb = hashBits(mem).select("bit").distinct()
+      val pr = Tables.customer(s, d).select(col("c_custkey").as("k"))
+        .distinct()
+      val pb = hashBits(pr)
+      val claimed = pb.join(broadcast(mb), Seq("bit"))
+        .groupBy("k").agg(count(lit(1)).as("nhit"))
+        .where(col("nhit") === 2)
+      val tm = pr.join(broadcast(mem), Seq("k"), "left_semi")
+      val one = (df: org.apache.spark.sql.DataFrame, nm: String) =>
+        broadcast(df.agg(count(lit(1)).cast("long").as(nm)))
+      one(mem, "n_members")
+        .crossJoin(one(mb, "n_bits_set"))
+        .crossJoin(one(pr, "n_probes"))
+        .crossJoin(one(claimed, "n_claimed"))
+        .crossJoin(one(tm, "n_true_members"))
+        .selectExpr("n_members", "n_bits_set", "n_probes", "n_claimed",
+          "n_true_members",
+          "CAST(n_claimed - n_true_members AS BIGINT)" +
+            " AS n_false_positives")
     }
   )
 }

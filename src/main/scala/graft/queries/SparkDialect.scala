@@ -1504,6 +1504,72 @@ object SparkDialect {
         |      AS BIGINT) AS docs_n
         |  FROM td CROSS JOIN ck GROUP BY ck.j)
         |SELECT v.j, v.ckpt, tkc.docs_n, tkc.tokens, v.vocab
-        |FROM v JOIN tkc ON v.j = tkc.j ORDER BY v.j""".stripMargin
+        |FROM v JOIN tkc ON v.j = tkc.j ORDER BY v.j""".stripMargin,
+    "q_sketch_kmv" ->
+      """WITH k AS (SELECT DISTINCT l_partkey AS pk FROM lineitem),
+        |h AS (
+        |  SELECT CAST(conv(substr(md5(CAST(pk AS STRING)), 1, 15), 16, 10)
+        |    AS BIGINT) AS hv
+        |  FROM k),
+        |t AS (SELECT hv FROM h ORDER BY hv LIMIT 64)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY hv) AS BIGINT) AS r, hv
+        |FROM t ORDER BY r""".stripMargin,
+    "q_sketch_bloom" ->
+      """WITH mem AS (SELECT DISTINCT s_suppkey AS k FROM supplier),
+        |mb AS (
+        |  SELECT DISTINCT CAST(conv(substr(md5(CAST(rr.r AS STRING) || ':'
+        |    || CAST(k AS STRING)), 1, 8), 16, 10) AS BIGINT)
+        |    % 65536 AS bit
+        |  FROM mem CROSS JOIN (SELECT explode(array(0, 1)) AS r) rr),
+        |pr AS (SELECT DISTINCT c_custkey AS k FROM customer),
+        |pb AS (
+        |  SELECT k, rr.r AS r,
+        |    CAST(conv(substr(md5(CAST(rr.r AS STRING) || ':'
+        |      || CAST(k AS STRING)), 1, 8), 16, 10) AS BIGINT)
+        |      % 65536 AS bit
+        |  FROM pr CROSS JOIN (SELECT explode(array(0, 1)) AS r) rr),
+        |hit AS (
+        |  SELECT pb.k, CAST(COUNT(*) AS BIGINT) AS nhit
+        |  FROM pb JOIN mb ON pb.bit = mb.bit GROUP BY pb.k),
+        |claimed AS (SELECT k FROM hit WHERE nhit = 2),
+        |tm AS (SELECT pr.k FROM pr JOIN mem ON pr.k = mem.k)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM mem) AS BIGINT) AS n_members,
+        |  CAST((SELECT COUNT(*) FROM mb) AS BIGINT) AS n_bits_set,
+        |  CAST((SELECT COUNT(*) FROM pr) AS BIGINT) AS n_probes,
+        |  CAST((SELECT COUNT(*) FROM claimed) AS BIGINT) AS n_claimed,
+        |  CAST((SELECT COUNT(*) FROM tm) AS BIGINT) AS n_true_members,
+        |  CAST((SELECT COUNT(*) FROM claimed)
+        |    - (SELECT COUNT(*) FROM tm) AS BIGINT)
+        |    AS n_false_positives""".stripMargin,
+    "q_stat_kappaw" ->
+      """WITH cls AS (
+        |  SELECT CASE WHEN n_chars < 250 THEN 1
+        |           WHEN n_chars < 400 THEN 2 ELSE 3 END AS a,
+        |    CASE WHEN size(split(text, ' ')) < 45 THEN 1
+        |         WHEN size(split(text, ' ')) < 75 THEN 2
+        |         ELSE 3 END AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM cls GROUP BY a, b),
+        |grid AS (
+        |  SELECT aa.a, bb.b, COALESCE(c.o, 0) AS o
+        |  FROM (VALUES (1),(2),(3)) AS aa(a)
+        |  CROSS JOIN (VALUES (1),(2),(3)) AS bb(b)
+        |  LEFT JOIN c ON c.a = aa.a AND c.b = bb.b),
+        |w AS (
+        |  SELECT a, b, o,
+        |    CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS r_tot,
+        |    CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS c_tot,
+        |    CAST(SUM(o) OVER () AS BIGINT) AS n
+        |  FROM grid)
+        |SELECT CAST(a AS BIGINT) AS class_chars,
+        |  CAST(b AS BIGINT) AS class_tokens,
+        |  o AS observed, r_tot, c_tot, n,
+        |  CAST((a - b) * (a - b) AS BIGINT) AS wgt,
+        |  CAST((a - b) * (a - b) * o AS BIGINT) AS wo_term,
+        |  CAST((a - b) * (a - b) * r_tot * c_tot AS BIGINT) AS wrc_term
+        |FROM w ORDER BY class_chars, class_tokens""".stripMargin
   )
 }

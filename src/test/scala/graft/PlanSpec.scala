@@ -463,7 +463,17 @@ class PlanSpec extends SparkSuite {
         "shuffle=5,broadcast=2,BroadcastHashJoin=1,BroadcastNestedLoopJoin=1",
       "q_time_hurst" -> "shuffle=2,broadcast=1,BroadcastNestedLoopJoin=1",
       "q_text_heaps" ->
-        "shuffle=7,broadcast=5,BroadcastHashJoin=1,BroadcastNestedLoopJoin=4")
+        "shuffle=7,broadcast=5,BroadcastHashJoin=1,BroadcastNestedLoopJoin=4",
+      // round 11 session 7d: KMV is one distinct + TakeOrdered (no
+      // global sort); the bloom census's data-scale exchanges are the
+      // two key DISTINCTs and the probe-hit rollup — the other
+      // exchanges are 1-row diagnostic aggregates crossed at the end;
+      // weighted kappa rides the completed 9-cell grid
+      "q_sketch_kmv" -> "shuffle=1,broadcast=0",
+      "q_sketch_bloom" ->
+        "shuffle=14,broadcast=9,BroadcastHashJoin=2,BroadcastNestedLoopJoin=7",
+      "q_stat_kappaw" ->
+        "shuffle=2,broadcast=2,BroadcastHashJoin=1,BroadcastNestedLoopJoin=1")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }

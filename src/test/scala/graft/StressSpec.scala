@@ -1327,4 +1327,59 @@ class StressSpec extends SparkSuite {
     val nDocs = graft.core.Tables.documents(spark, d).count()
     assert(he.last.getLong(2) == nDocs, "last checkpoint covers all docs")
   }
+
+  test("kmv / bloom / kappaw: sketch and agreement laws over the gated " +
+    "fixture queries") {
+    val d = sf("0.001")
+    // KMV: ranks are 1..64, hashes strictly ascend (60-bit md5 over
+    // distinct keys — collision-free at every gated sf), and the
+    // (k-1)*2^60/h_k estimator lands inside the 3-sigma bracket
+    val km = SparkEntry.queries("q_sketch_kmv")(spark, d).collect()
+    assert(km.length == 64)
+    assert(km.map(_.getLong(0)).toSeq == (1L to 64L))
+    km.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(1) < b.getLong(1), s"$a !< $b")
+      case _ => ()
+    }
+    val truth = graft.core.Tables.lineitem(spark, d)
+      .select("l_partkey").distinct().count()
+    val est = 63.0 * math.pow(2, 60) / km.last.getLong(1).toDouble
+    assert(est > truth * 0.6 && est < truth * 1.6,
+      s"KMV estimate $est vs true $truth")
+    // Bloom: NEVER a false negative (the one-sided guarantee), fp is
+    // the exact difference, and the bit census is bounded by 2 hashes
+    // per member
+    val bl = SparkEntry.queries("q_sketch_bloom")(spark, d).collect()
+    assert(bl.length == 1)
+    val b = bl.head
+    val (nm, nb, np, nc, nt, fp) = (b.getLong(0), b.getLong(1),
+      b.getLong(2), b.getLong(3), b.getLong(4), b.getLong(5))
+    assert(nc >= nt, "a bloom filter never false-negatives")
+    assert(fp == nc - nt && fp >= 0, s"$b")
+    assert(nb >= 1 && nb <= 2 * nm, s"$b")
+    assert(nc <= np && nt <= np, s"$b")
+    // weighted kappa: completed 3x3 grid, zero diagonal weights, both
+    // margins telescope to n, and each term is the exact product
+    val kw = SparkEntry.queries("q_stat_kappaw")(spark, d).collect()
+    assert(kw.length == 9)
+    val n = kw.head.getLong(5)
+    assert(kw.map(_.getLong(2)).sum == n, "observed mass = n")
+    kw.foreach { r =>
+      val (a, bb, o, rt, ct) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      val w = (a - bb) * (a - bb)
+      assert(r.getLong(6) == w, s"$r")
+      assert(r.getLong(7) == w * o, s"$r")
+      assert(r.getLong(8) == w * rt * ct, s"$r")
+      if (a == bb) assert(r.getLong(6) == 0, s"$r")
+    }
+    Seq(0, 1).foreach { axis =>
+      kw.groupBy(_.getLong(axis)).foreach { case (_, rows) =>
+        val margin = if (axis == 0) rows.head.getLong(3)
+        else rows.head.getLong(4)
+        assert(rows.map(_.getLong(2)).sum == margin,
+          s"axis $axis margin must telescope")
+      }
+    }
+  }
 }
