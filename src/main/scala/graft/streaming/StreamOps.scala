@@ -775,4 +775,43 @@ object StreamOps {
         when(col("event_type") === "purchase", 1L).otherwise(0L)
           .as("actual")),
       "pred", "actual")
+
+  /** Streaming HyperLogLog register table (s_stream_hll): the live
+    * distinct-user counter — q_sketch_hll's register build running as a
+    * streaming aggregation. State is AT MOST 64 rows (bucket → max rho)
+    * at ANY ingest volume: this is the mergeable-sketch story made
+    * literal — max() is the HLL merge, so the state store IS the
+    * sketch, registers grow monotonically across micro-batches
+    * (StreamingSpec pins monotonicity and batch equality), and the
+    * caller reads a cardinality estimate off the table at any instant.
+    * Complete mode, no watermark needed (the state is the 64-row
+    * sketch itself, never reclaimed). */
+  def hllStream(events: DataFrame): DataFrame = {
+    val h = events.select(
+      conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("hv"))
+    h.select((col("hv") % 64).as("bucket"), expr("hv div 64").as("w"))
+      .select(col("bucket"),
+        when(col("w") === 0, 55L)
+          .otherwise(length(bin(expr("w & -w"))).cast("long")).as("rho"))
+      .groupBy("bucket").agg(max("rho").cast("long").as("register"))
+  }
+
+  /** Streaming count–min counter table (s_stream_cms): q_sketch_cms's
+    * 4×256 counter grid as a streaming aggregation over per-event user
+    * keys. State is AT MOST 1024 rows at any ingest volume; counters
+    * are monotone non-decreasing across micro-batches (sum-merge — the
+    * CMS merge law, StreamingSpec-pinned) and MIN over a key's four
+    * counters never undercounts its true event count (the one-sided
+    * guarantee, preserved under streaming because addition commutes
+    * with micro-batching). Complete mode, no watermark. */
+  def cmsStream(events: DataFrame): DataFrame =
+    events.select(col("user_id"),
+        explode(expr("sequence(0L, 3L)")).as("r"))
+      .select(col("r"),
+        (conv(substring(md5(concat(col("r").cast("string"), lit(":"),
+          col("user_id").cast("string"))), 1, 8), 16, 10).cast("long")
+          % 256).as("bkt"))
+      .groupBy("r", "bkt")
+      .agg(count(lit(1)).cast("long").as("counter"))
 }

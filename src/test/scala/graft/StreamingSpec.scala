@@ -1224,4 +1224,84 @@ class StreamingSpec extends SparkSuite {
     assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 0.5 &&
       r.getDouble(6) == 0.5 && r.getLong(7) == 0L, s"derived: $r")
   }
+
+  test("s_stream_hll: 64-row register state == the batch sketch, and " +
+    "registers grow monotonically across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val day0 = java.time.LocalDateTime.of(2024, 1, 1, 8, 0)
+    val batch1 = (1L to 40L).map(u =>
+      Ev(u, day0.plusMinutes(u.toInt), u, "view", 1.0))
+    val batch2 = (30L to 90L).map(u =>
+      Ev(100L + u, day0.plusMinutes(60 + u.toInt), u, "click", 1.0))
+    def table(rows: Seq[Ev]) =
+      StreamOps.hllStream(rows.toDF()).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.hllStream(mem.toDF()).writeStream
+      .format("memory").queryName("s_hll").outputMode("complete").start()
+    mem.addData(batch1)
+    q.processAllAvailable()
+    val mid = spark.table("s_hll").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mid == table(batch1), "mid-stream registers diverged")
+    mem.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("s_hll").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin == table(batch1 ++ batch2), "final registers diverged")
+    // the HLL merge law: max() only grows — every mid-stream register
+    // survives (>=) into the final table
+    mid.foreach { case (b, reg) =>
+      assert(fin.getOrElse(b, 0L) >= reg, s"register $b shrank")
+    }
+    assert(fin.size <= 64 && fin.values.forall(r => r >= 1 && r <= 55))
+  }
+
+  test("s_stream_cms: 1024-counter state == the batch sketch, counters " +
+    "monotone, and the min-estimate never undercounts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val day0 = java.time.LocalDateTime.of(2024, 1, 1, 8, 0)
+    // user 7 is the heavy hitter: 12 events across both batches
+    val batch1 = (1L to 20L).map(u =>
+      Ev(u, day0.plusMinutes(u.toInt), u, "view", 1.0)) ++
+      (1L to 5L).map(i =>
+        Ev(200L + i, day0.plusMinutes(30 + i.toInt), 7L, "click", 1.0))
+    val batch2 = (1L to 7L).map(i =>
+      Ev(300L + i, day0.plusMinutes(90 + i.toInt), 7L, "view", 1.0))
+    def table(rows: Seq[Ev]) =
+      StreamOps.cmsStream(rows.toDF()).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.cmsStream(mem.toDF()).writeStream
+      .format("memory").queryName("s_cms").outputMode("complete").start()
+    mem.addData(batch1)
+    q.processAllAvailable()
+    val mid = spark.table("s_cms").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(mid == table(batch1), "mid-stream counters diverged")
+    mem.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("s_cms").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(fin == table(batch1 ++ batch2), "final counters diverged")
+    assert(fin.size <= 1024)
+    // sum-merge law: no counter shrinks across micro-batches
+    mid.foreach { case (k, c) =>
+      assert(fin.getOrElse(k, 0L) >= c, s"counter $k shrank")
+    }
+    // one-sided estimate for the heavy hitter: min over its 4 counters
+    // >= its true count (13 events for user 7: 5 + 1 + 7)
+    val est = (0L to 3L).map { r =>
+      val bkt = BigInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$r:7".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString, 16).toLong % 256
+      fin((r, bkt))
+    }.min
+    val trueCnt = (batch1 ++ batch2).count(_.user_id == 7L).toLong
+    assert(est >= trueCnt, s"CMS undercounted: $est < $trueCnt")
+  }
 }
