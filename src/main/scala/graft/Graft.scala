@@ -259,6 +259,42 @@ object Graft {
       ExactStats.cusumScaled(series, order, value)
   }
 
+  /** Mergeable data sketches — fixed-size profiling summaries that
+    * merge with plain SQL (max / sum / keep-k / union) across
+    * partitions, days and sources, and run unchanged as streaming
+    * aggregations (the merge is the state update). */
+  object sketch {
+    /** HyperLogLog register table over a key column (m buckets). */
+    def hllRegisters(df: DataFrame, key: String, m: Int = 64): DataFrame =
+      Sketches.hllRegisters(df, key, m)
+    /** Raw harmonic cardinality estimate from a register table. */
+    def hllEstimate(registers: DataFrame, m: Int = 64): Double =
+      Sketches.hllEstimate(registers, m)
+    /** Count–min counter grid; `weight` adds exactly (default 1/row). */
+    def cmsCounters(df: DataFrame, key: String, depth: Int = 4,
+                    width: Int = 256, weight: Option[String] = None): DataFrame =
+      Sketches.cmsCounters(df, key, depth, width, weight)
+    /** Never-undercounting point estimates for probe keys. */
+    def cmsLookup(counters: DataFrame, probes: DataFrame, key: String,
+                  depth: Int = 4, width: Int = 256): DataFrame =
+      Sketches.cmsLookup(counters, probes, key, depth, width)
+    /** The k smallest 60-bit key hashes, ranked — KMV supports set
+      * algebra (union = merge-and-keep-k). */
+    def kmv(df: DataFrame, key: String, k: Int = 64): DataFrame =
+      Sketches.kmv(df, key, k)
+    /** Unbiased KMV estimate; exact when NDV < k. */
+    def kmvEstimate(sketch: DataFrame, k: Int = 64): Double =
+      Sketches.kmvEstimate(sketch, k)
+    /** Bloom bit set for a key column (union-mergeable). */
+    def bloomBits(df: DataFrame, key: String, bits: Int = 65536,
+                  hashes: Int = 2): DataFrame =
+      Sketches.bloomBits(df, key, bits, hashes)
+    /** Claimed-member keys — never false-negative. */
+    def bloomProbe(bitsDf: DataFrame, probes: DataFrame, key: String,
+                   bits: Int = 65536, hashes: Int = 2): DataFrame =
+      Sketches.bloomProbe(bitsDf, probes, key, bits, hashes)
+  }
+
   /** Table maintenance: the operational layer of a partitioned store. */
   object maintain {
     /** Compact a splintered directory to evenly-sized files. */

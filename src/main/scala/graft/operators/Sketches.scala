@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable data sketches as DataFrame builders — the fixed-size
+  * summaries a 100 TB profiling pass ships instead of raw keys:
+  * HyperLogLog (cardinality), count–min (frequency), KMV (cardinality
+  * with set algebra), Bloom bits (membership). Each builder returns the
+  * sketch AS A FRAME in exact integer pieces, so sketches from different
+  * partitions / days / sources merge with plain SQL (max for HLL, sum
+  * for CMS, merge-and-keep-k for KMV, union for Bloom) and hash-match
+  * across engines — no opaque binary blobs, no FP in the build.
+  *
+  * All hashes derive from md5 (identical in Spark and DuckDB), so the
+  * q_sketch_* oracle queries pin these builders bit-for-bit against an
+  * independent engine, and the s_stream_hll / s_stream_cms streaming
+  * twins run the SAME builders as streaming aggregations (the merge IS
+  * the state update).
+  *
+  * Scale shape: every builder is one map-side-combinable exchange over
+  * the input (the per-key count, the distinct, or nothing at all) with
+  * the sketch-sized rollup riding bounded frames. Estimator helpers that
+  * fold a sketch run driver-side over ≤ sketch-size rows — documented
+  * metadata-scale collects.
+  */
+object Sketches {
+
+  /** 60-bit md5 key hash — positive, uniform, engine-portable. */
+  def hv60(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  private def log2(m: Int): Int = {
+    require(m > 1 && (m & (m - 1)) == 0, s"m must be a power of two: $m")
+    java.lang.Integer.numberOfTrailingZeros(m)
+  }
+
+  /** HyperLogLog register table (bucket, register) over the VALUES of
+    * `key` — duplicates are harmless (max absorbs them), so the input
+    * needs no pre-distinct. rho is exact: the position of the lowest
+    * set bit of the (60 − log₂ m)-bit suffix via length(bin(w & -w)),
+    * with the all-zero suffix pinned one past the max position. */
+  def hllRegisters(df: DataFrame, key: String, m: Int = 64): DataFrame = {
+    val bBits = log2(m)
+    val wBits = 60 - bBits
+    df.select(hv60(col(key)).as("hv"))
+      .select((col("hv") % m).as("bucket"), expr(s"hv div $m").as("w"))
+      .select(col("bucket"),
+        when(col("w") === 0, (wBits + 1).toLong)
+          .otherwise(length(bin(expr("w & -w"))).cast("long")).as("rho"))
+      .groupBy("bucket").agg(max("rho").cast("long").as("register"))
+  }
+
+  /** Raw HLL harmonic estimate from a register frame (≤ m rows — a
+    * documented metadata-scale collect). Empty buckets count at rho 0. */
+  def hllEstimate(registers: DataFrame, m: Int = 64): Double = {
+    val regs = registers.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1 + 1.079 / m)
+    }
+    val sumInv = (0 until m).map(b =>
+      math.pow(2, -regs.getOrElse(b.toLong, 0L).toDouble)).sum
+    alpha * m * m / sumInv
+  }
+
+  /** Count–min counter grid (r, bkt, counter) with `depth` independent
+    * md5-derived rows of `width` buckets; `weight` (default: one per
+    * input row) adds exactly. Mergeable by (r, bkt) sum. */
+  def cmsCounters(df: DataFrame, key: String, depth: Int = 4,
+                  width: Int = 256, weight: Option[String] = None): DataFrame = {
+    val w = weight.map(col).getOrElse(lit(1L)).cast("long")
+    df.select(col(key).as("k"), w.as("wt"),
+        explode(expr(s"sequence(0L, ${depth - 1}L)")).as("r"))
+      .select(col("r"), cmsBucket(col("r"), col("k"), width), col("wt"))
+      .groupBy("r", "bkt")
+      .agg(sum("wt").cast("long").as("counter"))
+  }
+
+  private def cmsBucket(r: Column, key: Column, width: Int): Column =
+    (conv(substring(md5(concat(r.cast("string"), lit(":"),
+      key.cast("string"))), 1, 8), 16, 10).cast("long") % width).as("bkt")
+
+  /** Point-lookup estimates for `probes`: each key's MIN over its
+    * `depth` counters — never below the true total (the one-sided CMS
+    * guarantee). The counter grid broadcasts (≤ depth·width rows). */
+  def cmsLookup(counters: DataFrame, probes: DataFrame, key: String,
+                depth: Int = 4, width: Int = 256): DataFrame =
+    probes.select(col(key).as("k"),
+        explode(expr(s"sequence(0L, ${depth - 1}L)")).as("r"))
+      .select(col("k"), col("r"), cmsBucket(col("r"), col("k"), width))
+      .join(broadcast(counters), Seq("r", "bkt"))
+      .groupBy("k")
+      .agg(min("counter").cast("long").as("est_cnt"))
+
+  /** KMV sketch: the k smallest 60-bit hashes of the distinct key set,
+    * ranked 1..k (one distinct exchange + TakeOrdered — no global
+    * sort). Merge = union-and-keep-k-smallest. */
+  def kmv(df: DataFrame, key: String, k: Int = 64): DataFrame =
+    df.select(col(key).as("k")).distinct()
+      .select(hv60(col("k")).as("hv"))
+      .orderBy("hv").limit(k)
+      .select(row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("hv"))
+        .cast("long").as("r"), col("hv"))
+
+  /** Unbiased KMV estimate (k−1)·2⁶⁰/h₍ₖ₎ from a sketch frame (≤ k
+    * rows — a documented metadata-scale collect). Returns the exact
+    * distinct count when the key set is smaller than k. */
+  def kmvEstimate(sketch: DataFrame, k: Int = 64): Double = {
+    val rows = sketch.orderBy("r").collect()
+    if (rows.length < k) rows.length.toDouble
+    else (k - 1).toDouble * math.pow(2, 60) / rows.last.getLong(1).toDouble
+  }
+
+  /** Bloom bit set (bit) for the distinct `key` values: `hashes`
+    * md5-derived positions in [0, bits). Merge = union/distinct. */
+  def bloomBits(df: DataFrame, key: String, bits: Int = 65536,
+                hashes: Int = 2): DataFrame =
+    df.select(col(key).as("k")).distinct()
+      .select(col("k"), explode(expr(s"sequence(0L, ${hashes - 1}L)")).as("r"))
+      .select((conv(substring(md5(concat(col("r").cast("string"), lit(":"),
+        col("k").cast("string"))), 1, 8), 16, 10).cast("long")
+        % bits).as("bit"))
+      .distinct()
+
+  /** Probe a bit set: claimed ⇔ ALL `hashes` positions present. NEVER
+    * false-negative; false positives at the usual (1−e^(−hn/m))^h rate.
+    * The bit frame broadcasts (≤ bits rows — the production shape of a
+    * bloom-pruned join). */
+  def bloomProbe(bitsDf: DataFrame, probes: DataFrame, key: String,
+                 bits: Int = 65536, hashes: Int = 2): DataFrame =
+    probes.select(col(key).as("k")).distinct()
+      .select(col("k"), explode(expr(s"sequence(0L, ${hashes - 1}L)")).as("r"))
+      .select(col("k"),
+        (conv(substring(md5(concat(col("r").cast("string"), lit(":"),
+          col("k").cast("string"))), 1, 8), 16, 10).cast("long")
+          % bits).as("bit"))
+      .join(broadcast(bitsDf), Seq("bit"))
+      .groupBy("k").agg(count(lit(1)).as("nhit"))
+      .where(col("nhit") === hashes)
+      .select(col("k"))
+}

@@ -1710,21 +1710,14 @@ object PipelineQueries {
         // the keys frame feeds the sketch build, the top-k AND the
         // probe — one scan of the fact
         .localCheckpoint()
-      val rows4 = s.range(0, 4).select(col("id").as("r"))
-      val b = k.crossJoin(broadcast(rows4))
-        .select(col("r"), col("pk"), col("c"),
-          (conv(substring(md5(concat(col("r").cast("string"), lit(":"),
-            col("pk").cast("string"))), 1, 8), 16, 10).cast("long")
-            % 256).as("bkt"))
-      val cnt = b.groupBy("r", "bkt")
-        .agg(sum("c").cast("long").as("counter"))
+      val counters = graft.operators.Sketches.cmsCounters(
+        k, "pk", depth = 4, width = 256, weight = Some("c"))
       val top = k.orderBy(col("c").desc, col("pk")).limit(10)
         .select(col("pk"), col("c").as("true_cnt"))
-      b.join(broadcast(top), Seq("pk"))
-        .join(broadcast(cnt), Seq("r", "bkt"))
-        .groupBy("pk", "true_cnt")
-        .agg(min("counter").cast("long").as("est_cnt"))
-        .select(col("pk").as("l_partkey"), col("true_cnt"), col("est_cnt"),
+      graft.operators.Sketches.cmsLookup(counters, top, "pk",
+          depth = 4, width = 256)
+        .join(broadcast(top.withColumnRenamed("pk", "k")), Seq("k"))
+        .select(col("k").as("l_partkey"), col("true_cnt"), col("est_cnt"),
           (col("est_cnt") - col("true_cnt")).cast("long").as("overcount"))
         .orderBy(col("true_cnt").desc, col("l_partkey"))
     },
@@ -1895,16 +1888,12 @@ object PipelineQueries {
         |  CAST(CAST(1 AS BIGINT) << CAST(60 - register AS INTEGER)
         |    AS BIGINT) AS inv_term
         |FROM m ORDER BY bucket""".stripMargin) { (s, d) =>
-      val k = Tables.lineitem(s, d).select(col("l_partkey").as("pk"))
-        .distinct()
-      val h = k.select(conv(substring(md5(col("pk").cast("string")), 1, 15),
-        16, 10).cast("long").as("hv"))
-      val r = h.select((col("hv") % 64).as("bucket"),
-        expr("hv div 64").as("w"))
-      val g = r.select(col("bucket"),
-        when(col("w") === 0, 55L)
-          .otherwise(length(bin(expr("w & -w"))).cast("long")).as("rho"))
-      g.groupBy("bucket").agg(max("rho").cast("long").as("register"))
+      // Sketches.hllRegisters skips the oracle's DISTINCT: max()
+      // absorbs duplicate hashes, the result is identical, and the
+      // row-scale exchange disappears entirely — the rollup combines
+      // map-side to ≤64 cells per partition (the better 100 TB shape)
+      graft.operators.Sketches.hllRegisters(
+          Tables.lineitem(s, d), "l_partkey", m = 64)
         .selectExpr("bucket", "register",
           "CAST(shiftleft(CAST(1 AS BIGINT), CAST(60 - register AS INT))" +
             " AS BIGINT) AS inv_term")
@@ -2098,13 +2087,8 @@ object PipelineQueries {
         |t AS (SELECT hv FROM h ORDER BY hv LIMIT 64)
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY hv) AS BIGINT) AS r, hv
         |FROM t ORDER BY r""".stripMargin) { (s, d) =>
-      val k = Tables.lineitem(s, d).select(col("l_partkey").as("pk"))
-        .distinct()
-      val h = k.select(conv(substring(md5(col("pk").cast("string")), 1, 15),
-        16, 10).cast("long").as("hv"))
-      h.orderBy("hv").limit(64)
-        .select(row_number().over(Window.orderBy("hv")).cast("long")
-          .as("r"), col("hv"))
+      graft.operators.Sketches.kmv(Tables.lineitem(s, d), "l_partkey",
+          k = 64)
         .orderBy("r")
     },
 
@@ -2150,21 +2134,14 @@ object PipelineQueries {
         |  CAST((SELECT COUNT(*) FROM claimed)
         |    - (SELECT COUNT(*) FROM tm) AS BIGINT)
         |    AS n_false_positives""".stripMargin) { (s, d) =>
-      val rr = s.range(0, 2).select(col("id").as("r"))
-      def hashBits(df: org.apache.spark.sql.DataFrame) =
-        df.crossJoin(broadcast(rr)).select(col("k"), col("r"),
-          (conv(substring(md5(concat(col("r").cast("string"), lit(":"),
-            col("k").cast("string"))), 1, 8), 16, 10).cast("long")
-            % 65536).as("bit"))
       val mem = Tables.supplier(s, d).select(col("s_suppkey").as("k"))
         .distinct()
-      val mb = hashBits(mem).select("bit").distinct()
+      val mb = graft.operators.Sketches.bloomBits(mem, "k",
+        bits = 65536, hashes = 2)
       val pr = Tables.customer(s, d).select(col("c_custkey").as("k"))
         .distinct()
-      val pb = hashBits(pr)
-      val claimed = pb.join(broadcast(mb), Seq("bit"))
-        .groupBy("k").agg(count(lit(1)).as("nhit"))
-        .where(col("nhit") === 2)
+      val claimed = graft.operators.Sketches.bloomProbe(mb, pr, "k",
+        bits = 65536, hashes = 2)
       val tm = pr.join(broadcast(mem), Seq("k"), "left_semi")
       val one = (df: org.apache.spark.sql.DataFrame, nm: String) =>
         broadcast(df.agg(count(lit(1)).cast("long").as(nm)))

@@ -786,16 +786,8 @@ object StreamOps {
     * caller reads a cardinality estimate off the table at any instant.
     * Complete mode, no watermark needed (the state is the 64-row
     * sketch itself, never reclaimed). */
-  def hllStream(events: DataFrame): DataFrame = {
-    val h = events.select(
-      conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("long").as("hv"))
-    h.select((col("hv") % 64).as("bucket"), expr("hv div 64").as("w"))
-      .select(col("bucket"),
-        when(col("w") === 0, 55L)
-          .otherwise(length(bin(expr("w & -w"))).cast("long")).as("rho"))
-      .groupBy("bucket").agg(max("rho").cast("long").as("register"))
-  }
+  def hllStream(events: DataFrame): DataFrame =
+    graft.operators.Sketches.hllRegisters(events, "user_id", m = 64)
 
   /** Streaming count–min counter table (s_stream_cms): q_sketch_cms's
     * 4×256 counter grid as a streaming aggregation over per-event user
@@ -806,12 +798,6 @@ object StreamOps {
     * guarantee, preserved under streaming because addition commutes
     * with micro-batching). Complete mode, no watermark. */
   def cmsStream(events: DataFrame): DataFrame =
-    events.select(col("user_id"),
-        explode(expr("sequence(0L, 3L)")).as("r"))
-      .select(col("r"),
-        (conv(substring(md5(concat(col("r").cast("string"), lit(":"),
-          col("user_id").cast("string"))), 1, 8), 16, 10).cast("long")
-          % 256).as("bkt"))
-      .groupBy("r", "bkt")
-      .agg(count(lit(1)).cast("long").as("counter"))
+    graft.operators.Sketches.cmsCounters(events, "user_id",
+      depth = 4, width = 256)
 }

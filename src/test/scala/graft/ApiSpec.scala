@@ -279,4 +279,32 @@ class ApiSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
     assert(got == Map(("B", "A") -> 1.0, ("A", "B") -> 0.5))
   }
+
+  test("sketch group: hll, cms, kmv and bloom through the facade") {
+    val keys = (1L to 500L).map(k => (k, 1L)).toDF("k", "one")
+    // HLL: ≤64 registers, estimate within the small-m noise envelope
+    val regs = Graft.sketch.hllRegisters(keys, "k")
+    assert(regs.count() <= 64)
+    val est = Graft.sketch.hllEstimate(regs)
+    assert(est > 250 && est < 1000, s"hll estimate $est for 500 keys")
+    // duplicates change nothing: max absorbs repeated hashes
+    val dup = keys.union(keys)
+    assert(Graft.sketch.hllRegisters(dup, "k").collect().toSet ==
+      regs.collect().toSet)
+    // CMS: lookup of a 30× heavy hitter never undercounts
+    val rows = ((1L to 200L) ++ Seq.fill(30)(7L)).map(k => Tuple1(k))
+      .toDF("k")
+    val counters = Graft.sketch.cmsCounters(rows, "k")
+    val got = Graft.sketch.cmsLookup(counters,
+      Seq(Tuple1(7L)).toDF("k"), "k").head()
+    assert(got.getLong(1) >= 31L, s"cms estimate ${got.getLong(1)}")
+    // KMV: below k the estimate is EXACT
+    val small = (1L to 40L).map(Tuple1(_)).toDF("k")
+    assert(Graft.sketch.kmvEstimate(Graft.sketch.kmv(small, "k")) == 40.0)
+    // Bloom: every member is claimed (never false-negative)
+    val bits = Graft.sketch.bloomBits(small, "k")
+    val claimed = Graft.sketch.bloomProbe(bits, keys, "k").collect()
+      .map(_.getLong(0)).toSet
+    assert((1L to 40L).forall(claimed.contains), "bloom false negative")
+  }
 }

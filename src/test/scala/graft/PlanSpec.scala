@@ -442,8 +442,7 @@ class PlanSpec extends SparkSuite {
       "q_time_vwap" -> "shuffle=3,broadcast=0",
       "q_time_bollinger" -> "shuffle=2,broadcast=0",
       "q_time_stochastic" -> "shuffle=2,broadcast=0",
-      "q_sketch_cms" ->
-        "shuffle=3,broadcast=4,BroadcastHashJoin=2,BroadcastNestedLoopJoin=2",
+      "q_sketch_cms" -> "shuffle=1,broadcast=2,BroadcastHashJoin=2",
       "q_text_burstiness" -> "shuffle=3,broadcast=1,BroadcastNestedLoopJoin=1",
       "q_embed_pq" -> "shuffle=2,broadcast=0",
       // round 11 session 7b: market indicators ride the day frame; the
@@ -451,7 +450,7 @@ class PlanSpec extends SparkSuite {
       // frames; Levene joins its 7-row medians back broadcast
       "q_time_obv" -> "shuffle=2,broadcast=0",
       "q_time_aroon" -> "shuffle=2,broadcast=0",
-      "q_sketch_hll" -> "shuffle=3,broadcast=0",
+      "q_sketch_hll" -> "shuffle=2,broadcast=0",
       "q_sim_lsh" -> "shuffle=3,broadcast=0",
       "q_stat_levene" -> "shuffle=3,broadcast=1,BroadcastHashJoin=1",
       "q_stat_cronbach" -> "shuffle=2,broadcast=0",
@@ -471,7 +470,7 @@ class PlanSpec extends SparkSuite {
       // weighted kappa rides the completed 9-cell grid
       "q_sketch_kmv" -> "shuffle=1,broadcast=0",
       "q_sketch_bloom" ->
-        "shuffle=14,broadcast=9,BroadcastHashJoin=2,BroadcastNestedLoopJoin=7",
+        "shuffle=14,broadcast=6,BroadcastHashJoin=2,BroadcastNestedLoopJoin=4",
       "q_stat_kappaw" ->
         "shuffle=2,broadcast=2,BroadcastHashJoin=1,BroadcastNestedLoopJoin=1")
     val got = pinned.keys.toSeq.sorted
