@@ -116,6 +116,52 @@ object Sketches {
     else (k - 1).toDouble * math.pow(2, 60) / rows.last.getLong(1).toDouble
   }
 
+  /** Walsh-hyperplane LSH signatures (vec_id, band, sig): bands ×
+    * bitsPerBand deterministic ±1 hyperplanes (sign_j(i) = parity of
+    * bit_count(i & (j+1)) — no stored random matrix), each bit the
+    * sign of an EXACT µ-quantized integer dot product, packed
+    * bitsPerBand to a band. Entirely ROW-LOCAL (one codegen'd
+    * projection — the hyperplane×coordinate expansion never leaves
+    * the row); cosine-similar vectors collide in some band with
+    * probability 1−(1−(1−θ/π)^b)^bands. */
+  def walshSignatures(df: DataFrame, vecCol: String, idCol: String,
+                      bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
+    require(bands * bitsPerBand <= 16,
+      "mask j+1 must stay inside the fixture's 6 index bits sensibly")
+    df.select(col(idCol).as("vec_id"), explode(expr(
+      s"""transform(sequence(0, ${bands - 1}), b -> named_struct(
+         |  'band', CAST(b AS BIGINT),
+         |  'sig', aggregate(sequence(0, ${bitsPerBand - 1}), 0L,
+         |    (acc, t) ->
+         |    acc + IF(aggregate(
+         |        transform($vecCol, (x, i) ->
+         |          IF(bit_count(CAST(i AS BIGINT)
+         |               & (b * $bitsPerBand + t + 1)) % 2 = 0,
+         |             CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT),
+         |             -CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
+         |               AS BIGINT))),
+         |        0L, (a, v) -> a + v) >= 0,
+         |      CAST(shiftleft(1, CAST(t AS INT)) AS BIGINT), 0L))))"""
+        .stripMargin)).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"),
+        col("bs.sig").as("sig"))
+  }
+
+  /** Per-band bucket census over LSH signatures: bucket count, vector
+    * mass, max bucket, and the exact banded candidate volume
+    * Σ c·(c−1) — the LSH join's cost measured without materializing a
+    * single pair. Both rollups combine map-side to ≤ 2^bitsPerBand
+    * cells per partition. */
+  def lshBandCensus(signatures: DataFrame): DataFrame =
+    signatures.groupBy("band", "sig")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .groupBy("band")
+      .agg(count(lit(1)).cast("long").as("n_buckets"),
+        sum("cnt").cast("long").as("n_vecs"),
+        max("cnt").cast("long").as("max_bucket"),
+        sum(col("cnt") * (col("cnt") - 1)).cast("long")
+          .as("cand_pairs_x2"))
+
   /** Bloom bit set (bit) for the distinct `key` values: `hashes`
     * md5-derived positions in [0, bits). Merge = union/distinct. */
   def bloomBits(df: DataFrame, key: String, bits: Int = 65536,

@@ -1951,32 +1951,12 @@ object PipelineQueries {
       // row-local signature: per band b, sig = Σ_t 2^t·[dot_{4b+t} ≥ 0]
       // with dot_j folded over the indexed-transform of the embedding —
       // the whole pipeline below the census is one codegen'd projection
-      val sg = Tables.embeddings(s, d).select(col("vec_id"),
-        explode(expr(
-          """transform(sequence(0, 3), b -> named_struct(
-            |  'band', CAST(b AS BIGINT),
-            |  'sig', aggregate(sequence(0, 3), 0L, (acc, t) ->
-            |    acc + IF(aggregate(
-            |        transform(embedding, (x, i) ->
-            |          IF(bit_count(CAST(i AS BIGINT) & (b * 4 + t + 1))
-            |               % 2 = 0,
-            |             CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
-            |               AS BIGINT),
-            |             -CAST(FLOOR(CAST(x AS DOUBLE) * 1000000)
-            |               AS BIGINT))),
-            |        0L, (a, v) -> a + v) >= 0,
-            |      CAST(shiftleft(1, CAST(t AS INT)) AS BIGINT), 0L))))"""
-            .stripMargin)).as("bs"))
-        .select(col("vec_id"), col("bs.band").as("band"),
-          col("bs.sig").as("sig"))
-      val c = sg.groupBy("band", "sig")
-        .agg(count(lit(1)).cast("long").as("cnt"))
-      c.groupBy("band")
-        .agg(count(lit(1)).cast("long").as("n_buckets"),
-          sum("cnt").cast("long").as("n_vecs"),
-          max("cnt").cast("long").as("max_bucket"),
-          sum(col("cnt") * (col("cnt") - 1)).cast("long")
-            .as("cand_pairs_x2"))
+      // (Sketches.walshSignatures; MarqueeStressSpec measures the route
+      // at 100k vectors shuffling O(sketch), not O(rows))
+      graft.operators.Sketches.lshBandCensus(
+          graft.operators.Sketches.walshSignatures(
+            Tables.embeddings(s, d), "embedding", "vec_id",
+            bands = 4, bitsPerBand = 4))
         .orderBy("band")
     },
 

@@ -1043,4 +1043,82 @@ class MarqueeStressSpec extends AnyFunSuite {
       spark.sparkContext.removeSparkListener(listener)
     }
   }
+
+  test("Sketches: 1M-key HLL and 100k-vector LSH census shuffle " +
+    "O(sketch), not O(rows)", Marquee) {
+    // The sketch promise made measurable: a cardinality profile over
+    // 1M keys and a near-dup census over 100k vectors must move only
+    // SKETCH-sized data through the shuffle — the map side folds every
+    // partition down to <= 64 register cells / <= 16 sig cells before
+    // anything crosses the wire. A route that shuffled keys or
+    // signatures row-wise would exceed these bounds by four orders of
+    // magnitude.
+    val nKeys = 1000000L
+    val keys = spark.range(nKeys).select(col("id").as("k"))
+    val recs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        recs.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    val inParts = keys.rdd.getNumPartitions.toLong
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+      recs.set(0)
+      val (regs, hllSecs) = timed {
+        graft.operators.Sketches.hllRegisters(keys, "k").collect()
+      }
+      org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+      val hllWritten = recs.get()
+      assert(regs.length <= 64)
+      val est = graft.operators.Sketches.hllEstimate(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(regs.toIndexedSeq),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("bucket",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("register",
+              org.apache.spark.sql.types.LongType)))))
+      assert(est > nKeys * 0.7 && est < nKeys * 1.4,
+        s"HLL estimate $est for $nKeys keys")
+      // map-side combine bound: <= 64 partials per input partition
+      val hllBound = 64L * (inParts + 1)
+      assert(hllWritten <= hllBound,
+        s"HLL shuffled $hllWritten records — not map-side combined " +
+          s"(bound $hllBound for $nKeys keys)")
+      info(f"HLL over $nKeys keys in $hllSecs%.1f s: est $est%.0f, " +
+        s"$hllWritten shuffle records (bound $hllBound)")
+
+      // LSH census at 100k clustered vectors
+      val vecs = clusteredEmbeddings(100000L).localCheckpoint()
+      val vParts = vecs.rdd.getNumPartitions.toLong
+      org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+      recs.set(0)
+      val (census, lshSecs) = timed {
+        graft.operators.Sketches.lshBandCensus(
+          graft.operators.Sketches.walshSignatures(
+            vecs, "embedding", "vec_id")).orderBy("band").collect()
+      }
+      org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 30000)
+      val lshWritten = recs.get()
+      assert(census.length == 4)
+      assert(census.map(_.getLong(2)).sum == 4L * 100000L,
+        "every vector lands once per band")
+      // the planted 8-vector clusters collide: candidate volume far
+      // above the uniform floor proves the signatures see structure,
+      // while the per-partition combine keeps the wire sketch-sized
+      census.foreach(r => assert(r.getLong(4) > 0, s"$r"))
+      val lshBound = (16L * 4 + 4) * (vParts + 1) * 2
+      assert(lshWritten <= lshBound,
+        s"LSH census shuffled $lshWritten records — not map-side " +
+          s"combined (bound $lshBound for 100k vectors)")
+      info(f"LSH census over 100k vectors in $lshSecs%.1f s: " +
+        s"$lshWritten shuffle records (bound $lshBound), " +
+        s"cand_pairs_x2 per band: " +
+        census.map(_.getLong(4)).mkString(","))
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
 }
