@@ -211,6 +211,42 @@ object GovernanceQueries {
         .select(col("nk").as("c_nationkey"), col("seg").as("c_mktsegment"),
           col("k"), col("t_num"), col("t_den"), col("t_closeness"))
         .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    // Differential-privacy sensitivity census -- the clipping-budget
+    // prep every DP release needs BEFORE noise is chosen: per event
+    // type, the exact L-infinity user contribution (the count query's
+    // sensitivity under user-level adjacency) and the mass a clip at
+    // 8 events/user would discard. A release mechanism is caller
+    // policy; the emitted pieces are exact integers so both engines
+    // agree bit-for-bit (max_user_contrib <= n_events and clip loss
+    // bounded by the unclipped excess -- StressSpec pins both).
+    //
+    // Scale shape: the (type, user) rollup is the one row-scale
+    // exchange (map-side combinable); the per-type census rides the
+    // bounded type frame.
+    Q("q_privacy_sensitivity",
+      """WITH ub AS (
+        |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CAST(SUM(c) AS BIGINT) AS n_events,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(MAX(c) AS BIGINT) AS max_user_contrib,
+        |  CAST(SUM(CASE WHEN c > 8 THEN c - 8 ELSE 0 END) AS BIGINT)
+        |    AS clip_loss_at_8
+        |FROM ub GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+      val ub = Tables.events(s, d)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).cast("long").as("c"))
+      ub.groupBy("event_type")
+        .agg(sum("c").cast("long").as("n_events"),
+          count(lit(1)).cast("long").as("n_users"),
+          max("c").cast("long").as("max_user_contrib"),
+          sum(when(col("c") > 8, col("c") - 8).otherwise(0L))
+            .cast("long").as("clip_loss_at_8"))
+        .orderBy("event_type")
     }
   )
 }

@@ -989,6 +989,65 @@ object NonparamQueries {
           "CAST((a - b) * (a - b) * o AS BIGINT) AS wo_term",
           "CAST((a - b) * (a - b) * r_tot * c_tot AS BIGINT) AS wrc_term")
         .orderBy("class_chars", "class_tokens")
+    },
+
+    // Cramer-von Mises profile pieces -- the whole-distribution
+    // two-sample comparison q_stat_ks's max-deviation collapses: per
+    // support cell the exact scaled ECDF gap dev_num = n2*cum1 -
+    // n1*cum2 (positive where returned items run ahead in quantity
+    // mass), weighted by the pooled cell count. T = Sum c*dev^2 /
+    // (n1*n2*(n1+n2)) is caller-side algebra over the emitted profile
+    // -- dev^2 would overflow BIGINT at sf>=0.1, the pieces never do.
+    // The gap telescopes to EXACTLY zero at the top cell (both ECDFs
+    // reach 1 -- StressSpec pins it, plus pooled-mass conservation).
+    //
+    // Scale shape: the q_stat_ks contract -- ONE map-side-combinable
+    // value-histogram exchange; the cum windows and the 50-cell
+    // profile ride the ndv-bounded support. dev_num holds in BIGINT
+    // to ~3*10^9 rows per side; loud beyond.
+    Q("q_stat_cvm",
+      """WITH s AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS grp,
+        |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem),
+        |h AS (
+        |  SELECT v,
+        |    CAST(SUM(grp) AS BIGINT) AS c1,
+        |    CAST(SUM(1 - grp) AS BIGINT) AS c2,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM s GROUP BY v),
+        |z AS (
+        |  SELECT v, c,
+        |    CAST(SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum1,
+        |    CAST(SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum2,
+        |    CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+        |    CAST(SUM(c2) OVER () AS BIGINT) AS n2
+        |  FROM h)
+        |SELECT v, c, cum1, cum2, n1, n2,
+        |  CAST(n2 * cum1 - n1 * cum2 AS BIGINT) AS dev_num
+        |FROM z ORDER BY v""".stripMargin) { (s, d) =>
+      val h = Tables.lineitem(s, d)
+        .select(when(col("l_returnflag") === "R", 1L).otherwise(0L)
+            .as("grp"),
+          (col("l_quantity").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("v"))
+        .groupBy("v")
+        .agg(sum("grp").cast(LongType).as("c1"),
+          sum(lit(1L) - col("grp")).cast(LongType).as("c2"),
+          count(lit(1)).cast(LongType).as("c"))
+      val wCum = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      h.select(col("v"), col("c"),
+          sum("c1").over(wCum).cast(LongType).as("cum1"),
+          sum("c2").over(wCum).cast(LongType).as("cum2"),
+          sum("c1").over(wAll).cast(LongType).as("n1"),
+          sum("c2").over(wAll).cast(LongType).as("n2"))
+        .selectExpr("v", "c", "cum1", "cum2", "n1", "n2",
+          "CAST(n2 * cum1 - n1 * cum2 AS BIGINT) AS dev_num")
+        .orderBy("v")
     }
   )
 }

@@ -472,7 +472,11 @@ class PlanSpec extends SparkSuite {
       "q_sketch_bloom" ->
         "shuffle=14,broadcast=6,BroadcastHashJoin=2,BroadcastNestedLoopJoin=4",
       "q_stat_kappaw" ->
-        "shuffle=2,broadcast=2,BroadcastHashJoin=1,BroadcastNestedLoopJoin=1")
+        "shuffle=2,broadcast=2,BroadcastHashJoin=1,BroadcastNestedLoopJoin=1",
+      // round 11 session 7e: CvM rides the pooled value histogram,
+      // the sensitivity census is a two-level user rollup
+      "q_stat_cvm" -> "shuffle=2,broadcast=0",
+      "q_privacy_sensitivity" -> "shuffle=3,broadcast=0")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }

@@ -1382,4 +1382,37 @@ class StressSpec extends SparkSuite {
       }
     }
   }
+
+  test("cvm / sensitivity: profile and census laws over the gated " +
+    "fixture queries") {
+    val d = sf("0.001")
+    // CvM: pooled mass conserves, the cum pieces are consistent, and
+    // the scaled ECDF gap telescopes to EXACTLY zero at the top cell
+    val cv = SparkEntry.queries("q_stat_cvm")(spark, d).collect()
+    assert(cv.nonEmpty)
+    val (n1, n2) = (cv.head.getLong(4), cv.head.getLong(5))
+    assert(cv.map(_.getLong(1)).sum == n1 + n2, "pooled mass")
+    cv.foreach { r =>
+      assert(r.getLong(6) == n2 * r.getLong(2) - n1 * r.getLong(3), s"$r")
+      assert(r.getLong(2) <= n1 && r.getLong(3) <= n2, s"$r")
+    }
+    assert(cv.last.getLong(2) == n1 && cv.last.getLong(3) == n2)
+    assert(cv.last.getLong(6) == 0L, "ECDF gap must telescope to zero")
+    // DP sensitivity: the census partitions the event mass, max
+    // contribution bounds every user's share, and clip loss is
+    // bounded by the unclipped excess n_events - n_users (when every
+    // user keeps at least one event under the clip)
+    val sv = SparkEntry.queries("q_privacy_sensitivity")(spark, d)
+      .collect()
+    assert(sv.nonEmpty)
+    val nEv = graft.core.Tables.events(spark, d).count()
+    assert(sv.map(_.getLong(1)).sum == nEv, "event mass partitions")
+    sv.foreach { r =>
+      val (ne, nu, mx, cl) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      assert(mx >= 1 && mx <= ne, s"$r")
+      assert(nu >= 1 && nu * mx >= ne, s"max bounds the shares: $r")
+      assert(cl >= 0 && cl <= math.max(0L, ne - nu), s"$r")
+    }
+  }
 }
