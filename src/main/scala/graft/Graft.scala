@@ -211,6 +211,16 @@ object Graft {
     def groupDiversity(df: DataFrame, qiCols: Seq[String],
                        sensitive: String): DataFrame =
       PrivacyAudit.groupDiversity(df, qiCols, sensitive)
+    /** Per-group counts with each unit's contribution capped —
+      * sensitivity exactly `cap`, with raw totals and discarded mass. */
+    def clippedCounts(df: DataFrame, group: String, unit: String,
+                      cap: Long = 8L): DataFrame =
+      DpRelease.clippedCounts(df, group, unit, cap)
+    /** ε-DP count release: clipped count + seed-deterministic
+      * Laplace(cap/ε) noise (reproducible, auditable draws). */
+    def release(clipped: DataFrame, group: String, epsilon: Double,
+                seed: String, cap: Long = 8L): DataFrame =
+      DpRelease.release(clipped, group, epsilon, seed, cap)
   }
 
   /** Data-quality gates a snapshot publish runs first. */
@@ -293,6 +303,53 @@ object Graft {
     def bloomProbe(bitsDf: DataFrame, probes: DataFrame, key: String,
                    bits: Int = 65536, hashes: Int = 2): DataFrame =
       Sketches.bloomProbe(bitsDf, probes, key, bits, hashes)
+    /** Bucketed KMV — min hash per of k hash ranges: the
+      * streaming-mergeable form (merge = per-bucket MIN). */
+    def kmvBuckets(df: DataFrame, key: String, k: Int = 64): DataFrame =
+      Sketches.kmvBuckets(df, key, k)
+    /** Constant-factor MinCount estimate off a bucketed-KMV frame. */
+    def kmvBucketsEstimate(sketch: DataFrame, k: Int = 64): Double =
+      Sketches.kmvBucketsEstimate(sketch, k)
+    /** Bloom bit histogram — the bit set as ONE aggregation (runs as a
+      * streaming state update; a bit is present ⇔ n_hits ≥ 1). */
+    def bloomHits(df: DataFrame, key: String, bits: Int = 65536,
+                  hashes: Int = 2): DataFrame =
+      Sketches.bloomHits(df, key, bits, hashes)
+  }
+
+  /** ACID tables: the minimal manifest-based transactional format
+    * (atomic rename commit, snapshot log, time travel, key-pruned
+    * MERGE) — see [[graft.table.ManifestTable]] for the protocol. */
+  object table {
+    import graft.table.ManifestTable
+    /** Create at version 0 (fails if a log exists). `statsKey` turns on
+      * per-file min/max stats for MERGE pruning. */
+    def create(spark: SparkSession, dir: String, df: DataFrame,
+               statsKey: Option[String] = None): ManifestTable.Snapshot =
+      ManifestTable.create(spark, dir, df, statsKey)
+    /** Append-only commit (auto-retries version races). */
+    def append(spark: SparkSession, dir: String, df: DataFrame): ManifestTable.Snapshot =
+      ManifestTable.append(spark, dir, df)
+    /** Atomic replace of the table contents. */
+    def overwrite(spark: SparkSession, dir: String, df: DataFrame): ManifestTable.Snapshot =
+      ManifestTable.overwrite(spark, dir, df)
+    /** Latest-wins MERGE on `key` ('D' in `opCol` deletes); rewrites
+      * only files whose key range overlaps the source. */
+    def merge(spark: SparkSession, dir: String, source: DataFrame,
+              key: String, opCol: Option[String] = None): ManifestTable.Snapshot =
+      ManifestTable.merge(spark, dir, source, key, opCol)
+    /** The current snapshot. */
+    def read(spark: SparkSession, dir: String): DataFrame =
+      ManifestTable.read(spark, dir)
+    /** Time travel: the table as of `version`. */
+    def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame =
+      ManifestTable.readVersion(spark, dir, version)
+    /** The snapshot log, oldest first. */
+    def history(spark: SparkSession, dir: String): Seq[ManifestTable.Snapshot] =
+      ManifestTable.history(spark, dir)
+    /** Drop data outside the newest `keepLast` snapshots. */
+    def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): Long =
+      ManifestTable.vacuum(spark, dir, keepLast)
   }
 
   /** Table maintenance: the operational layer of a partitioned store. */

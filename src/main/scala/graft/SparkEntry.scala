@@ -34,7 +34,8 @@ object SparkEntry {
       SqlParityQueries.all ++
       EntropyQueries.all ++
       InsightQueries.all ++
-      GovernanceQueries.all
+      GovernanceQueries.all ++
+      TableQueries.all
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -79,19 +79,32 @@ object Multimodal {
       (b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||            // TIFF LE
       (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)               // TIFF BE
 
-  // The executor-side ImageIO disk cache (tmp-file spool for large
-  // streams) is pure overhead for in-memory byte payloads — and a
-  // scale hazard: 32 concurrent decode tasks × tmp files on a shared
-  // /tmp is an IO bottleneck a 1000-executor cluster does not need.
-  javax.imageio.ImageIO.setUseCache(false)
-
   /** JPEG/PNG/GIF/TIFF via the JDK-builtin readers. Grayscale images come
     * back channels=1 (true luma samples); everything else is normalized to
     * interleaved RGB via one bulk getRGB (no per-pixel Java-land color
     * conversion). Decode failures and oversized rasters return None —
-    * identical contract to the pure-JVM branches. */
+    * identical contract to the pure-JVM branches.
+    *
+    * The stream is wrapped in a [[javax.imageio.stream.
+    * MemoryCacheImageInputStream]] EXPLICITLY (round-11 advice): the
+    * previous `ImageIO.setUseCache(false)` in a static initializer
+    * silently flipped a process-global flag for any co-resident ImageIO
+    * user; scoping the no-disk-spool choice per decode keeps the
+    * property — 32 concurrent decode tasks must not fan tmp-file IO
+    * onto a shared /tmp — without mutating JVM-global state. */
   private def decodeImageIo(b: Array[Byte]): Option[Raster] = try {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    val img =
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          try { reader.setInput(iis, true, true); reader.read(0) }
+          finally reader.dispose()
+        }
+      } finally iis.close()
     if (img == null) return None
     val w = img.getWidth; val h = img.getHeight
     if (w <= 0 || h <= 0 || w.toLong * h > Int.MaxValue / 3) return None

@@ -116,6 +116,48 @@ object Sketches {
     else (k - 1).toDouble * math.pow(2, 60) / rows.last.getLong(1).toDouble
   }
 
+  /** Bucketed ("stochastic averaging") KMV: the hash space split into k
+    * equal ranges by the TOP hash bits, minimum hash kept per range — a
+    * ≤ k-row sketch whose merge is per-bucket MIN. Unlike the global
+    * bottom-k ([[kmv]], which needs a total order and a single-reducer
+    * TakeOrdered step), this form is a plain hash aggregation: map-side
+    * combine collapses every partition to ≤ k cells, and the SAME
+    * builder runs as a Structured Streaming state update
+    * (s_stream_kmv — the state IS the sketch). Duplicates are harmless
+    * (min absorbs them), so the input needs no pre-distinct. */
+  def kmvBuckets(df: DataFrame, key: String, k: Int = 64): DataFrame = {
+    require(k > 1 && (k & (k - 1)) == 0, s"k must be a power of two: $k")
+    val r = (1L << 60) / k
+    df.select(hv60(col(key)).as("hv"))
+      .groupBy(expr(s"hv div $r").as("bucket"))
+      .agg(min("hv").cast("long").as("min_hv"))
+  }
+
+  /** MinCount estimate from a bucketed-KMV frame (≤ k rows — a
+    * documented metadata-scale collect). Dense regime (every bucket
+    * occupied): each normalized minimum m/r is ≈ Exp(n_i)-distributed,
+    * their sum ≈ Gamma(k, k/n), so k(k−1)/Σ inverts it with variance
+    * ~ n²/(k−2) — bounded tails, unlike summing per-bucket inverses
+    * (one lucky tiny minimum would dominate). Sparse regime (empty
+    * buckets remain): bucket occupancy is a balls-in-bins census, and
+    * the linear-counting inversion k·ln(k/empty) is the tighter read.
+    * Constant-factor accuracy either way (the specs gate bands); the
+    * tight estimator remains bottom-k [[kmvEstimate]] — this form's
+    * value is the streaming-mergeable shape. */
+  def kmvBucketsEstimate(sketch: DataFrame, k: Int = 64): Double = {
+    val r = (1L << 60) / k
+    val rows = sketch.collect()
+    if (rows.length < k) {
+      k.toDouble * math.log(k.toDouble / (k - rows.length).toDouble)
+    } else {
+      val sumU = rows.iterator.map { row =>
+        val m = row.getLong(1) - row.getLong(0) * r
+        (m + 1).toDouble / r.toDouble
+      }.sum
+      k.toDouble * (k - 1).toDouble / sumU
+    }
+  }
+
   /** Walsh-hyperplane LSH signatures (vec_id, band, sig): bands ×
     * bitsPerBand deterministic ±1 hyperplanes (sign_j(i) = parity of
     * bit_count(i & (j+1)) — no stored random matrix), each bit the
@@ -123,11 +165,21 @@ object Sketches {
     * bitsPerBand to a band. Entirely ROW-LOCAL (one codegen'd
     * projection — the hyperplane×coordinate expansion never leaves
     * the row); cosine-similar vectors collide in some band with
-    * probability 1−(1−(1−θ/π)^b)^bands. */
+    * probability 1−(1−(1−θ/π)^b)^bands.
+    *
+    * PRECONDITION: the vector dimension must exceed the largest mask
+    * bands·bitsPerBand. Hyperplane j's sign pattern is the parity of
+    * `i & (j+1)` over coordinate index i — with dimension ≤ the mask,
+    * the high hyperplanes see a constant sign across all coordinates
+    * and degenerate to constant bits, silently weakening LSH
+    * discrimination. The dimension is data-carried (per-row arrays),
+    * so the bound is documented here and the static require below caps
+    * the mask range rather than probing the data. */
   def walshSignatures(df: DataFrame, vecCol: String, idCol: String,
                       bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
     require(bands * bitsPerBand <= 16,
-      "mask j+1 must stay inside the fixture's 6 index bits sensibly")
+      s"bands*bitsPerBand = ${bands * bitsPerBand} exceeds 16: masks j+1 " +
+        "past 16 degenerate unless vectors carry dim > mask (see scaladoc)")
     df.select(col(idCol).as("vec_id"), explode(expr(
       s"""transform(sequence(0, ${bands - 1}), b -> named_struct(
          |  'band', CAST(b AS BIGINT),
@@ -172,6 +224,22 @@ object Sketches {
         col("k").cast("string"))), 1, 8), 16, 10).cast("long")
         % bits).as("bit"))
       .distinct()
+
+  /** Streaming-safe Bloom bit histogram (bit, n_hits): the same bit SET
+    * as [[bloomBits]] (a bit is present ⇔ n_hits ≥ 1) built as ONE
+    * aggregation — no pre-distinct stage — so it runs unchanged as a
+    * streaming state update (s_stream_bloom) where two chained stateful
+    * distincts would not. n_hits counts raw (key, hash) arrivals;
+    * merge = SUM, monotone across micro-batches. */
+  def bloomHits(df: DataFrame, key: String, bits: Int = 65536,
+                hashes: Int = 2): DataFrame =
+    df.select(col(key).as("k"),
+        explode(expr(s"sequence(0L, ${hashes - 1}L)")).as("r"))
+      .select((conv(substring(md5(concat(col("r").cast("string"), lit(":"),
+        col("k").cast("string"))), 1, 8), 16, 10).cast("long")
+        % bits).as("bit"))
+      .groupBy("bit")
+      .agg(count(lit(1)).cast("long").as("n_hits"))
 
   /** Probe a bit set: claimed ⇔ ALL `hashes` positions present. NEVER
     * false-negative; false positives at the usual (1−e^(−hn/m))^h rate.

@@ -487,9 +487,18 @@ object AggQueries {
         val devCounts = counts.join(broadcast(med), "l_returnflag")
           .groupBy(col("l_returnflag"), abs(col("v") - col("med")).as("dv"))
           .agg(sum(col("c")).as("c"))
-        med.join(valueAt(devCounts, "dv", "mad"), "l_returnflag")
+        // Materialize the group-sized result NOW (eager localCheckpoint)
+        // so the ndv-sized cache can be dropped before returning:
+        // round-11 advice — the persist used to outlive the query
+        // (ContextCleaner-GC lifetime), leaking a ≤65536-row block per
+        // invocation across a 263-query bench session. The final
+        // orderBy re-sorts the ≤|groups| checkpointed rows, so row
+        // order stays deterministic regardless of RDD scan order.
+        val res = med.join(valueAt(devCounts, "dv", "mad"), "l_returnflag")
           .select(col("l_returnflag"), col("med"), col("mad"))
-          .orderBy("l_returnflag")
+          .localCheckpoint(true)
+        counts0.unpersist(false)
+        res.orderBy("l_returnflag")
       } else {
         counts0.unpersist(false)
         // Level-1 stats CAN still come from counts0 (it holds every

@@ -247,6 +247,46 @@ object GovernanceQueries {
           sum(when(col("c") > 8, col("c") - 8).otherwise(0L))
             .cast("long").as("clip_loss_at_8"))
         .orderBy("event_type")
+    },
+
+    // Clipped aggregation -- the EXACT half of the DP release mechanism
+    // q_privacy_sensitivity prepared for: each user's contribution to a
+    // per-type count capped at 8 (so the count query's L1 sensitivity
+    // is exactly 8), with the raw total, unit census, and discarded
+    // mass alongside. The seeded-noise half is cap_privacy_release
+    // (ScalaTest-gated -- ln() is not cross-engine bit-stable; the clip
+    // is, so it carries the oracle). Scale shape: the (type, user)
+    // rollup is the one row-scale map-side-combinable exchange; the
+    // per-type census rides the bounded type frame.
+    Q("q_privacy_clipped",
+      """WITH ub AS (
+        |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CAST(SUM(LEAST(c, 8)) AS BIGINT) AS clipped_count,
+        |  CAST(SUM(c) AS BIGINT) AS raw_count,
+        |  CAST(COUNT(*) AS BIGINT) AS n_units,
+        |  CAST(SUM(c) - SUM(LEAST(c, 8)) AS BIGINT) AS clip_loss
+        |FROM ub GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+      graft.operators.DpRelease.clippedCounts(
+          Tables.events(s, d), "event_type", "user_id", cap = 8L)
+        .orderBy("event_type")
+    },
+
+    // The ε-DP count release on top of the clip: Laplace(8/ε) noise
+    // drawn from a DETERMINISTIC md5-seeded uniform per group -- the
+    // release is reproducible and auditable (same seed ⇒ same noise,
+    // exact 1/ε scaling; DpSpec pins determinism, scaling, sign
+    // balance and the E|noise| ≈ b distribution band). Capability-only
+    // because ln() is libm-dependent across engines; the mechanism's
+    // exact stage is q_privacy_clipped above.
+    Q.cap("cap_privacy_release") { (s, d) =>
+      val clipped = graft.operators.DpRelease.clippedCounts(
+        Tables.events(s, d), "event_type", "user_id", cap = 8L)
+      graft.operators.DpRelease.release(
+          clipped, "event_type", epsilon = 1.0, seed = "graft-r12", cap = 8L)
+        .orderBy("event_type")
     }
   )
 }

@@ -140,11 +140,11 @@ object GraphQueries {
     // co-occurrence counts concentrate, raw pair existence saturates).
     // Triangles are enumerated over the ORDERED edge list (s1 < s2
     // everywhere), so each triangle appears exactly once as a < b < c:
-    // wedge join (e1.b = e2.a) + closing-edge check. Scale shape: the
-    // per-order self-join emits ≤ C(lines_per_order, 2) pairs per order
-    // (bounded fan-out, like token shingles); the edge frame is
-    // node²-bounded and checkpointed once for its three join uses; the
-    // wedge join is edge⨝edge on a key — Σ_a deg(a)² work, the standard
+    // wedge join (e1.b = e2.a) + closing-edge check. Scale shape: see
+    // [[graft.operators.CoTradeGraph]] — the edge build the oracle
+    // states as a fact self-join runs as ONE fact exchange + row-local
+    // roster pair expansion (bounded by lines-per-order); the wedge
+    // join is edge⨝edge on a key — Σ_a deg(a)² work, the standard
     // distributed triangle bound. No driver state, no broadcast of
     // anything data-sized.
     Q("q_graph_triangles",
@@ -160,24 +160,9 @@ object GraphQueries {
         |SELECT a AS s_min, COUNT(*) AS n_tri,
         |  CAST(SUM(b + c) AS BIGINT) AS peer_sum
         |FROM t GROUP BY a ORDER BY s_min""".stripMargin) { (s, d) =>
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-      val co = li.as("a")
-        .join(li.select(col("l_orderkey").as("bo"),
-          col("l_suppkey").as("bs")), col("l_orderkey") === col("bo"))
-        .where(col("l_suppkey") < col("bs"))
-        .groupBy(col("l_suppkey").as("s1"), col("bs").as("s2"))
-        .agg(count(lit(1)).as("nco"))
-        .where(col("nco") >= 4)
-        .select("s1", "s2")
-        // node²-bounded; three joins below reuse it — one materialization
-        .localCheckpoint(true)
-      val wedges = co.as("e1")
-        .join(co.select(col("s1").as("ws"), col("s2").as("wc")),
-          col("s2") === col("ws"))
-        .select(col("s1").as("a"), col("s2").as("b"), col("wc").as("c"))
-      wedges
-        .join(co.select(col("s1").as("ca"), col("s2").as("cc")),
-          col("a") === col("ca") && col("c") === col("cc"))
+      val co = graft.operators.CoTradeGraph.edges(
+        Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"))
+      graft.operators.CoTradeGraph.triangles(co)
         .groupBy(col("a").as("s_min"))
         .agg(count(lit(1)).as("n_tri"),
           sum(col("b") + col("c")).cast(LongType).as("peer_sum"))
@@ -224,19 +209,9 @@ object GraphQueries {
         |      / CAST(2 * e * sxx2 - sx * sx AS DOUBLE) END
         |    AS assortativity
         |FROM a CROSS JOIN nn""".stripMargin) { (s, d) =>
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-      val co = li.as("a")
-        .join(li.select(col("l_orderkey").as("bo"),
-          col("l_suppkey").as("bs")), col("l_orderkey") === col("bo"))
-        .where(col("l_suppkey") < col("bs"))
-        .groupBy(col("l_suppkey").as("s1"), col("bs").as("s2"))
-        .agg(count(lit(1)).as("nco"))
-        .where(col("nco") >= 4)
-        .select("s1", "s2")
-        .localCheckpoint(true)
-      val deg = co.select(col("s1").as("v"))
-        .unionAll(co.select(col("s2").as("v")))
-        .groupBy("v").agg(count(lit(1)).cast(LongType).as("dg"))
+      val co = graft.operators.CoTradeGraph.edges(
+        Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"))
+      val deg = graft.operators.CoTradeGraph.degrees(co)
       val j = co
         .join(deg.toDF("v1", "x"), col("s1") === col("v1"))
         .join(deg.toDF("v2", "y"), col("s2") === col("v2"))
@@ -260,10 +235,11 @@ object GraphQueries {
     // Global clustering coefficient of the same co-occurrence graph:
     // 3·triangles / wedges, with wedges Σ C(deg,2) computed from the
     // degree frame (dg·(dg−1) is even per term, so the /2 is
-    // exactly-divisible and IEEE-exact) and triangles enumerated once
-    // over the ordered edge list (the q_graph_triangles wedge-close
-    // join). How clique-ish is the supply network — one exact rational
-    // plus its one-divide double.
+    // exactly-divisible and IEEE-exact) and triangles counted from the
+    // SAME CoTradeGraph.triangles wedge pass q_graph_triangles rolls up
+    // — one shared enumeration shape, not a re-derivation. How
+    // clique-ish is the supply network — one exact rational plus its
+    // one-divide double.
     //
     // Scale shape: identical to q_graph_triangles (Σ deg² wedge join on
     // the checkpointed node²-bounded edge frame); the degree rollup and
@@ -290,24 +266,10 @@ object GraphQueries {
         |    ELSE CAST(3 * t AS DOUBLE) / CAST(wedges AS DOUBLE) END
         |    AS clustering
         |FROM wg CROSS JOIN tri""".stripMargin) { (s, d) =>
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-      val co = li.as("a")
-        .join(li.select(col("l_orderkey").as("bo"),
-          col("l_suppkey").as("bs")), col("l_orderkey") === col("bo"))
-        .where(col("l_suppkey") < col("bs"))
-        .groupBy(col("l_suppkey").as("s1"), col("bs").as("s2"))
-        .agg(count(lit(1)).as("nco"))
-        .where(col("nco") >= 4)
-        .select("s1", "s2")
-        .localCheckpoint(true)
-      val deg = co.select(col("s1").as("v"))
-        .unionAll(co.select(col("s2").as("v")))
-        .groupBy("v").agg(count(lit(1)).cast(LongType).as("dg"))
-      val tri = co.as("e1")
-        .join(co.toDF("ws", "wc"), col("s2") === col("ws"))
-        .select(col("s1").as("ta"), col("wc").as("tc"))
-        .join(co.toDF("ca", "cc"),
-          col("ta") === col("ca") && col("tc") === col("cc"))
+      val co = graft.operators.CoTradeGraph.edges(
+        Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"))
+      val deg = graft.operators.CoTradeGraph.degrees(co)
+      val tri = graft.operators.CoTradeGraph.triangles(co)
         .agg(count(lit(1)).cast(LongType).as("t"))
       val wg = deg.agg(count(lit(1)).cast(LongType).as("n_nodes"),
         (sum(col("dg") * (col("dg") - 1)) / 2).cast(LongType).as("wedges"))

@@ -1,0 +1,183 @@
+package graft.queries
+
+import graft.core.{Dsl, Q, Scratch, Tables}
+import graft.table.ManifestTable
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ACID-table queries over [[graft.table.ManifestTable]] — the
+  * transactional seam (atomic commit, snapshot isolation, time travel,
+  * MERGE) exercised end-to-end and ORACLE-GATED: each query runs a real
+  * multi-commit table lifecycle in a scratch warehouse, reads the
+  * committed snapshots back, and emits a deterministic fingerprint that
+  * DuckDB reproduces relationally from the same parquet inputs. The
+  * oracle knows nothing about manifests — it states what the table MUST
+  * contain after each commit, so the whole commit/read path is pinned by
+  * the same hash gate as any other operator.
+  *
+  * Scale shape: every commit is one distributed parquet write + a
+  * footer-metadata sweep + one JSON rename; MERGE rewrites only the
+  * files whose manifest key-range overlaps the changelog (verified by
+  * ManifestTableSpec; at 100 TB the rewrite is proportional to touched
+  * data, not table size). The fingerprint aggregates are the usual
+  * map-side-combinable rollups.
+  */
+object TableQueries {
+
+  private val P = org.apache.spark.sql.types.DataTypes.createDecimalType(14, 4)
+
+  val all: Seq[Q] = Seq(
+
+    // MERGE into a manifest table — q_cdc_apply's latest-wins changelog
+    // applied TRANSACTIONALLY: base snapshot committed at v0 (4
+    // range-partitioned files so key-range pruning is real), the
+    // changelog resolved per key (latest sequence wins, the CDC
+    // pre-compaction every MERGE consumer does) and merged in one
+    // atomic commit, then the COMMITTED table is read back and
+    // fingerprinted per key-bucket. The oracle is the pure relational
+    // statement of the same latest-wins semantics.
+    Q("q_table_merge",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, 0 AS seq, 'U' AS op,
+        |    CAST(o_totalprice AS DECIMAL(14,4)) AS p
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 1, 'U',
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,4))
+        |      + CAST(o_orderkey % 300 AS DECIMAL(12,4))
+        |      + CAST(0.75 AS DECIMAL(12,4)) AS DECIMAL(14,4))
+        |  FROM orders WHERE o_orderkey % 5 = 2),
+        |del AS (
+        |  SELECT o_orderkey, 2, 'D', CAST(0 AS DECIMAL(14,4))
+        |  FROM orders WHERE o_orderkey % 11 = 3),
+        |ins AS (
+        |  SELECT -(o_orderkey + 1), 1, 'U',
+        |    CAST(CAST(o_orderkey % 700 AS DECIMAL(12,4))
+        |      + CAST(2.5 AS DECIMAL(12,4)) AS DECIMAL(14,4))
+        |  FROM orders WHERE o_orderkey % 19 = 7),
+        |chg AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins),
+        |latest AS (
+        |  SELECT k, op, p,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |  FROM chg)
+        |SELECT CAST(k % 10 AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum, %PSUM% AS price_sum
+        |FROM latest WHERE rn = 1 AND op <> 'D'
+        |GROUP BY k % 10 ORDER BY bucket""".stripMargin
+        .replace("%PSUM%", Dsl.d2dSql(Dsl.dsumSql("p")))) { (s, d) =>
+      val dir = Scratch.wiped("mtable_merge")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast(Dsl.DFac).as("tp"))
+      val base = o.select(col("k"), col("tp").cast(P).as("p"))
+      // v0: 4 range-partitioned files ⇒ honest per-file key stats
+      ManifestTable.create(s, dir,
+        base.repartitionByRange(4, col("k")), statsKey = Some("k"))
+      val upd = o.filter(col("k") % 5 === 2)
+        .select(col("k"), lit(1).as("seq"), lit("U").as("_op"),
+          (col("tp") + (col("k") % 300).cast(Dsl.DFac)
+            + lit(0.75).cast(Dsl.DFac)).cast(P).as("p"))
+      val del = o.filter(col("k") % 11 === 3)
+        .select(col("k"), lit(2).as("seq"), lit("D").as("_op"),
+          lit(0).cast(P).as("p"))
+      // inserts in the disjoint NEGATIVE key space (collision-free at
+      // any scale — see q_cdc_apply)
+      val ins = o.filter(col("k") % 19 === 7)
+        .select((-(col("k") + 1L)).as("k"), lit(1).as("seq"),
+          lit("U").as("_op"),
+          ((col("k") % 700).cast(Dsl.DFac)
+            + lit(2.5).cast(Dsl.DFac)).cast(P).as("p"))
+      // CDC pre-compaction: one row per key, latest sequence wins
+      // (update+delete collisions resolve to the delete, seq 2)
+      val w = Window.partitionBy("k").orderBy(col("seq").desc)
+      val changelog = upd.union(del).union(ins)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("k", "p", "_op")
+      ManifestTable.merge(s, dir, changelog, "k", opCol = Some("_op"))
+      ManifestTable.read(s, dir)
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("key_sum"),
+          Dsl.d2d(Dsl.dsum(col("p"))).as("price_sum"))
+        .orderBy("bucket")
+    },
+
+    // Time travel: three commits (create / append / overwrite), then
+    // every snapshot read back AS OF its version and fingerprinted.
+    // The oracle states each version's required contents directly from
+    // orders; matching all three rows proves old snapshots stay intact
+    // and readable after later commits (snapshot isolation) and that
+    // overwrite atomically replaced — not merged — the file set.
+    Q("q_table_timetravel",
+      """WITH b AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(14,4)) AS p
+        |  FROM orders)
+        |SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_rows,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum, %PSUM% AS price_sum
+        |FROM b WHERE k % 4 = 0
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), COUNT(*), CAST(SUM(k) AS BIGINT), %PSUM%
+        |FROM b WHERE k % 4 = 0 OR k % 4 = 1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), COUNT(*), CAST(SUM(k) AS BIGINT), %PSUM%
+        |FROM b WHERE k % 4 = 2
+        |ORDER BY version""".stripMargin
+        .replace("%PSUM%", Dsl.d2dSql(Dsl.dsumSql("p")))) { (s, d) =>
+      val dir = Scratch.wiped("mtable_tt")
+      val b = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast(Dsl.DFac).cast(P).as("p"))
+      ManifestTable.create(s, dir, b.filter(col("k") % 4 === 0),
+        statsKey = Some("k"))
+      ManifestTable.append(s, dir, b.filter(col("k") % 4 === 1))
+      ManifestTable.overwrite(s, dir, b.filter(col("k") % 4 === 2))
+      val reads = (0L to 2L).map { v =>
+        ManifestTable.readVersion(s, dir, v)
+          .groupBy(lit(v).as("version"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("k")).cast("long").as("key_sum"),
+            Dsl.d2d(Dsl.dsum(col("p"))).as("price_sum"))
+      }
+      reads.reduce(_.unionAll(_)).orderBy("version")
+    },
+
+    // Commit-protocol capability: crash safety + maintenance in one
+    // lifecycle. A torn writer (sealed data directory + dot-tmp
+    // manifest, no rename — the exact state a crash mid-commit leaves)
+    // must stay INVISIBLE; vacuum then drops the orphaned commit plus
+    // out-of-retention versions while the live read stays intact. The
+    // emitted frame is the snapshot log joined with live-file counts —
+    // rows-only gate here, with the hard laws (conflict loser raises,
+    // replay idempotence, pruning) asserted in ManifestTableSpec.
+    Q.cap("cap_table_commit") { (s, d) =>
+      val dir = Scratch.wiped("mtable_commit")
+      val b = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("k"), col("s_name").as("name"))
+      ManifestTable.create(s, dir, b.filter(col("k") % 2 === 0),
+        statsKey = Some("k"))
+      ManifestTable.append(s, dir, b.filter(col("k") % 2 === 1))
+      // torn commit: stage a data dir and a dot-tmp manifest by hand,
+      // "crash" before the rename — readers must not see it
+      val torn = new org.apache.hadoop.fs.Path(dir, "data/torn-commit")
+      b.limit(5).write.mode("overwrite").parquet(torn.toString)
+      val fs = torn.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(
+        dir, "_graft_log/.tmp-v00000000000000000002.json-crashed")
+      val out = fs.create(tmp, true)
+      out.write("{\"version\":2,\"torn\":".getBytes("UTF-8")); out.close()
+      val liveRows = ManifestTable.read(s, dir).count()
+      val liveVersion = ManifestTable.latestVersion(s, dir).getOrElse(-1L)
+      ManifestTable.vacuum(s, dir, keepLast = 1)
+      val afterRows = ManifestTable.read(s, dir).count()
+      val hist = ManifestTable.history(s, dir)
+      import s.implicits._
+      hist.map(sn => (sn.version, sn.operation, sn.files.size.toLong,
+          sn.totalRows, liveVersion, liveRows, afterRows))
+        .toDF("version", "operation", "n_files", "n_rows",
+          "live_version", "rows_before_vacuum", "rows_after_vacuum")
+        .orderBy("version")
+    }
+  )
+}

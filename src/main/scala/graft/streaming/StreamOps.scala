@@ -800,4 +800,27 @@ object StreamOps {
   def cmsStream(events: DataFrame): DataFrame =
     graft.operators.Sketches.cmsCounters(events, "user_id",
       depth = 4, width = 256)
+
+  /** Streaming bucketed KMV (s_stream_kmv): the live distinct-user
+    * sketch as a ≤ 64-row (bucket, min_hv) state table. The bucketed
+    * form exists exactly for this seam: the batch bottom-k needs a
+    * total order (not a streaming aggregation), while per-bucket MIN
+    * is a plain state update — the merge IS the update, minima only
+    * ever decrease (monotone law StreamingSpec-pinned), and state size
+    * is the sketch size at any ingest volume. Complete mode, no
+    * watermark. */
+  def kmvStream(events: DataFrame): DataFrame =
+    graft.operators.Sketches.kmvBuckets(events, "user_id", k = 64)
+
+  /** Streaming Bloom membership bits (s_stream_bloom): the live user
+    * filter as a ≤ 4096-row (bit, n_hits) state table; sum-merge means
+    * the bit set only grows, and membership never false-negatives —
+    * every ingested user's hash bits are all present (both laws
+    * StreamingSpec-pinned). 4096 bits / 2 hashes keeps the spec's
+    * membership checks meaningful at fixture scale; production sizes
+    * bits to the expected key volume exactly as in [[graft.operators.
+    * Sketches.bloomBits]]. Complete mode, no watermark. */
+  def bloomStream(events: DataFrame): DataFrame =
+    graft.operators.Sketches.bloomHits(events, "user_id",
+      bits = 4096, hashes = 2)
 }

@@ -307,4 +307,52 @@ class ApiSpec extends SparkSuite {
       .map(_.getLong(0)).toSet
     assert((1L to 40L).forall(claimed.contains), "bloom false negative")
   }
+
+  test("sketch group: streaming-mergeable forms (bucketed KMV, bloom " +
+    "hits) through the facade") {
+    val keys = (1L to 500L).map(Tuple1(_)).toDF("k")
+    val kb = Graft.sketch.kmvBuckets(keys, "k")
+    assert(kb.count() <= 64)
+    val est = Graft.sketch.kmvBucketsEstimate(kb)
+    assert(est > 125 && est < 2000, s"bucketed-KMV estimate $est for 500")
+    // duplicates change nothing: min absorbs repeated hashes
+    assert(Graft.sketch.kmvBuckets(keys.union(keys), "k").collect().toSet ==
+      kb.collect().toSet)
+    // bloomHits carries the SAME bit set as bloomBits
+    val hits = Graft.sketch.bloomHits(keys, "k")
+    assert(hits.select("bit").collect().map(_.getLong(0)).toSet ==
+      Graft.sketch.bloomBits(keys, "k").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("privacy group: clipped counts + seeded release through the facade") {
+    val df = ((1L to 20L).map(u => ("a", u)) ++ Seq.fill(15)(("a", 99L)) ++
+      (1L to 3L).map(u => ("b", u))).toDF("g", "u")
+    val clipped = Graft.privacy.clippedCounts(df, "g", "u", cap = 8L)
+    val got = clipped.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("a") == ((28L, 35L, 21L, 7L))) // 20×1 + min(15,8); loss 7
+    assert(got("b") == ((3L, 3L, 3L, 0L)))
+    val r1 = Graft.privacy.release(clipped, "g", 1.0, "s").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val r2 = Graft.privacy.release(clipped, "g", 1.0, "s").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(r1 == r2, "seeded release must be deterministic")
+  }
+
+  test("table group: manifest-table lifecycle through the facade") {
+    val dir = java.nio.file.Files.createTempDirectory("api_mtable").toString
+    val a = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Graft.table.create(spark, dir, a, statsKey = Some("k"))
+    Graft.table.append(spark, dir, Seq((3L, "c")).toDF("k", "v"))
+    Graft.table.merge(spark, dir,
+      Seq((2L, "B", "U"), (1L, "", "D")).toDF("k", "v", "_op"),
+      "k", opCol = Some("_op"))
+    assert(Graft.table.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set(2L -> "B", 3L -> "c"))
+    assert(Graft.table.readVersion(spark, dir, 0L).count() == 2L)
+    assert(Graft.table.history(spark, dir).map(_.operation) ==
+      Seq("create", "append", "merge"))
+    assert(Graft.table.vacuum(spark, dir, keepLast = 1) > 0L)
+  }
 }

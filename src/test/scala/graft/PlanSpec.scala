@@ -236,13 +236,18 @@ class PlanSpec extends SparkSuite {
       // node-domain-sized, the correct shape for a billion-node
       // hierarchy; broadcast would not survive scale), the output sort
       "q_hierarchy_subtree" -> "shuffle=3,broadcast=0,SortMergeJoin=1",
-      // round 11: triangles = ordered-edge wedge enumeration — two SMJs
-      // over the checkpointed edge frame, NO cartesian/nested-loop;
-      // url/unpivot/source_text are row-local projections (one agg
-      // exchange + the output sort); bloom join keeps the dim broadcast
-      // at fixture scale with the might_contain filter below the join
-      // (asserted separately)
-      "q_graph_triangles" -> "shuffle=6,broadcast=0,SortMergeJoin=2",
+      // round 12: the CoTradeGraph edge build replaced the fact
+      // self-join (2 fact exchanges + SMJ) with ONE roster aggregation
+      // + row-local pair expansion — triangles drops 6→2 shuffles, and
+      // the wedge/close joins hash-join against the checkpointed edge
+      // frame whose HONEST materialized size stats let Spark broadcast
+      // at fixture scale (at 100 TB the same stats exceed the
+      // threshold and AQE falls back to SMJ — size-adaptive, not
+      // hard-coded); url/unpivot/source_text are row-local projections
+      // (one agg exchange + the output sort); bloom join keeps the dim
+      // broadcast at fixture scale with the might_contain filter below
+      // the join (asserted separately)
+      "q_graph_triangles" -> "shuffle=2,broadcast=2,BroadcastHashJoin=2",
       "q_url_normalize" -> "shuffle=2,broadcast=0",
       "q_unpivot" -> "shuffle=2,broadcast=0",
       "q_source_text" -> "shuffle=2,broadcast=0",
@@ -389,15 +394,16 @@ class PlanSpec extends SparkSuite {
         "shuffle=5,broadcast=2,BroadcastHashJoin=1,BroadcastNestedLoopJoin=1",
       "q_privacy_tcloseness" ->
         "shuffle=3,broadcast=2,BroadcastHashJoin=1,BroadcastNestedLoopJoin=1",
-      // graph metrics: the per-order self-join is the row-scale pass;
-      // degree/wedge joins run SMJ on the CHECKPOINTED node²-bounded
-      // edge frame (the q_graph_triangles Σdeg² shape — co-partition,
-      // not broadcast, because a big graph's edge frame outgrows the
-      // driver); the 1-row aggregates broadcast
+      // graph metrics (round 12, CoTradeGraph): the one row-scale pass
+      // is the roster aggregation inside the edge build; degree/wedge
+      // joins hash against the CHECKPOINTED node²-bounded edge frame,
+      // broadcast at fixture scale off its honest materialized stats
+      // (falls back to SMJ when a big graph's edge frame outgrows the
+      // threshold); the 1-row aggregates broadcast
       "q_graph_assortativity" ->
-        "shuffle=7,broadcast=1,SortMergeJoin=2,BroadcastNestedLoopJoin=1",
+        "shuffle=5,broadcast=3,BroadcastHashJoin=2,BroadcastNestedLoopJoin=1",
       "q_graph_clustering" ->
-        "shuffle=7,broadcast=1,SortMergeJoin=2,BroadcastNestedLoopJoin=1",
+        "shuffle=3,broadcast=3,BroadcastHashJoin=2,BroadcastNestedLoopJoin=1",
       // minhash banding profile: the distinct (doc, tok) explode feeds
       // ONE doc-keyed 8-min aggregate; the band unpivot is a row-local
       // stack, signature/size rollups ride bucket-bounded frames.

@@ -1304,4 +1304,85 @@ class StreamingSpec extends SparkSuite {
     val trueCnt = (batch1 ++ batch2).count(_.user_id == 7L).toLong
     assert(est >= trueCnt, s"CMS undercounted: $est < $trueCnt")
   }
+
+  test("s_stream_kmv: ≤64-row bucketed-KMV state == the batch sketch, " +
+    "and bucket minima only decrease across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val day0 = java.time.LocalDateTime.of(2024, 1, 1, 8, 0)
+    val batch1 = (1L to 50L).map(u =>
+      Ev(u, day0.plusMinutes(u.toInt), u, "view", 1.0))
+    val batch2 = (40L to 120L).map(u =>
+      Ev(200L + u, day0.plusMinutes(90 + u.toInt), u, "click", 1.0))
+    def table(rows: Seq[Ev]) =
+      StreamOps.kmvStream(rows.toDF()).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.kmvStream(mem.toDF()).writeStream
+      .format("memory").queryName("s_kmv").outputMode("complete").start()
+    mem.addData(batch1)
+    q.processAllAvailable()
+    val mid = spark.table("s_kmv").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mid == table(batch1), "mid-stream sketch diverged")
+    mem.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("s_kmv").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin == table(batch1 ++ batch2), "final sketch diverged")
+    // min-merge law: a bucket's minimum never increases
+    mid.foreach { case (b, mn) =>
+      assert(fin.getOrElse(b, Long.MaxValue) <= mn, s"bucket $b min grew")
+    }
+    assert(fin.size <= 64)
+    // estimator sanity on the sketch frame (loose constant-factor band)
+    val est = graft.operators.Sketches.kmvBucketsEstimate(
+      StreamOps.kmvStream((batch1 ++ batch2).toDF()), k = 64)
+    val truth = (batch1 ++ batch2).map(_.user_id).distinct.size
+    assert(est > truth / 4.0 && est < truth * 4.0,
+      s"bucketed-KMV estimate $est vs true $truth")
+  }
+
+  test("s_stream_bloom: bit-histogram state == the batch sketch, bits " +
+    "only accumulate, and membership never false-negatives") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val day0 = java.time.LocalDateTime.of(2024, 1, 1, 8, 0)
+    val batch1 = (1L to 30L).map(u =>
+      Ev(u, day0.plusMinutes(u.toInt), u, "view", 1.0))
+    val batch2 = (25L to 70L).map(u =>
+      Ev(100L + u, day0.plusMinutes(60 + u.toInt), u, "click", 1.0))
+    def table(rows: Seq[Ev]) =
+      StreamOps.bloomStream(rows.toDF()).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.bloomStream(mem.toDF()).writeStream
+      .format("memory").queryName("s_bloom").outputMode("complete").start()
+    mem.addData(batch1)
+    q.processAllAvailable()
+    val mid = spark.table("s_bloom").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mid == table(batch1), "mid-stream bits diverged")
+    mem.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("s_bloom").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin == table(batch1 ++ batch2), "final bits diverged")
+    // sum-merge law: hits never shrink, so the bit SET only grows
+    mid.foreach { case (bit, hits) =>
+      assert(fin.getOrElse(bit, 0L) >= hits, s"bit $bit lost hits")
+    }
+    // never-false-negative: every ingested user's 2 bit positions are set
+    val bitSet = fin.keySet
+    (batch1 ++ batch2).map(_.user_id).distinct.foreach { u =>
+      (0L to 1L).foreach { r =>
+        val bit = BigInt(java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$r:$u".getBytes("UTF-8")).take(4)
+          .map("%02x".format(_)).mkString, 16).toLong % 4096
+        assert(bitSet.contains(bit), s"user $u hash $r bit $bit missing")
+      }
+    }
+  }
 }
