@@ -38,4 +38,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 3 beyond-envelope queries were consecutive at positions 149-151).
   // Bench's queries_jit/code_cache channels measure this per run.
   "-XX:ReservedCodeCacheSize=512m",
-)
+) ++
+  // A/B seam for JIT-tax experiments (round-11 verdict item 2): extra
+  // JVM flags for the forked bench/test JVM, e.g.
+  //   GRAFT_JVM_EXTRA="-XX:TieredStopAtLevel=1" sbt "runMain graft.Bench"
+  // Unset ⇒ exactly the flag set above (the committed configuration).
+  sys.env.get("GRAFT_JVM_EXTRA").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))
