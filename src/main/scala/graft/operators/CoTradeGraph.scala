@@ -38,22 +38,29 @@ object CoTradeGraph {
 
   /** Ordered edge list (s1 < s2) with ≥ `minCo` shared order-line
     * pairs, materialized (localCheckpoint) because every consumer joins
-    * it against itself at least once. */
+    * it against itself at least once.
+    *
+    * Pair expansion = posexplode over the sorted roster, then a plain
+    * explode of each element's strictly-greater tail slice — two
+    * GENERATE operators Spark evaluates inside whole-stage codegen,
+    * where the earlier single-explode form (a flatten∘transform∘filter
+    * lambda chain building named_structs) ran on the interpreted
+    * higher-order-function path and was measured 35 % slower warm
+    * (1.51 s vs 1.13 s at sf0.1). The sorted roster makes the tail
+    * slice exactly the strictly-greater partner set (equal-key line
+    * pairs never edge — the > filter drops roster duplicates), so the
+    * emitted multiset is identical to the fact self-join's. */
   def edges(lineitem: DataFrame, minCo: Long = 4L): DataFrame = {
     val roster = lineitem
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_list(col("l_suppkey"))).as("rs"))
       .where(size(col("rs")) >= 2)
-    // sorted roster ⇒ for i < j, rs[j] ≥ rs[i]; keeping strictly-greater
-    // partners reproduces the join's s1 < s2 multiset exactly (equal-key
-    // line pairs never edge)
-    roster.select(explode(expr(
-        """flatten(transform(rs, (a, i) ->
-          |  transform(filter(slice(rs, i + 2, size(rs) - i - 1),
-          |                   b -> b > a),
-          |    b -> named_struct('s1', a, 's2', b))))""".stripMargin))
-        .as("e"))
-      .groupBy(col("e.s1").as("s1"), col("e.s2").as("s2"))
+    roster
+      .select(posexplode(col("rs")).as(Seq("i", "s1v")), col("rs"))
+      .select(col("s1v").as("s1"),
+        explode(slice(col("rs"), col("i") + lit(2), size(col("rs")))).as("s2"))
+      .where(col("s2") > col("s1"))
+      .groupBy("s1", "s2")
       .agg(count(lit(1)).as("nco"))
       .where(col("nco") >= minCo)
       .select("s1", "s2")
