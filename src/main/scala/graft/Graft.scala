@@ -350,6 +350,22 @@ object Graft {
     /** Drop data outside the newest `keepLast` snapshots. */
     def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): Long =
       ManifestTable.vacuum(spark, dir, keepLast)
+    /** Bin-pack small files into ~`targetBytes` outputs (pure layout
+      * commit; no-op below two small files). */
+    def compact(spark: SparkSession, dir: String,
+                smallBytes: Long = 32L << 20,
+                targetBytes: Long = 128L << 20): ManifestTable.Snapshot =
+      ManifestTable.compact(spark, dir, smallBytes, targetBytes)
+    /** Row-level changelog between two snapshots (multiset diff;
+      * `_change` I/D). */
+    def changes(spark: SparkSession, dir: String, from: Long, to: Long): DataFrame =
+      ManifestTable.changes(spark, dir, from, to)
+    /** Exactly-once streaming MERGE: replaying a committed `batchId`
+      * is a structural no-op (see StreamOps.tableMergeBatch). */
+    def mergeBatch(spark: SparkSession, dir: String, source: DataFrame,
+                   key: String, batchId: Long,
+                   opCol: Option[String] = None): ManifestTable.Snapshot =
+      ManifestTable.mergeBatch(spark, dir, source, key, batchId, opCol)
   }
 
   /** Table maintenance: the operational layer of a partitioned store. */

@@ -178,6 +178,36 @@ object TableQueries {
         .toDF("version", "operation", "n_files", "n_rows",
           "live_version", "rows_before_vacuum", "rows_after_vacuum")
         .orderBy("version")
+    },
+
+    // Layout maintenance: many small append commits accumulate small
+    // files (the streaming-ingest pathology); compact() bin-packs them
+    // into one layout commit with contents untouched, and changes()
+    // proves it relationally — the v(last)→v(compacted) changelog is
+    // EMPTY. Emits the file-count trajectory + row totals per version
+    // so the packed shape is pinned, with the hard laws (value
+    // equality, stats survival, no-op threshold) in ManifestTableSpec.
+    Q.cap("cap_table_compact") { (s, d) =>
+      val dir = Scratch.wiped("mtable_compact")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast(Dsl.DFac).cast(P).as("p"))
+      ManifestTable.create(s, dir, o.filter(col("k") % 4 === 0),
+        statsKey = Some("k"))
+      (1L to 3L).foreach { r =>
+        ManifestTable.append(s, dir, o.filter(col("k") % 4 === r))
+      }
+      val before = ManifestTable.history(s, dir).last
+      val packed = ManifestTable.compact(s, dir)
+      val diff = ManifestTable.changes(s, dir, before.version, packed.version)
+        .count()
+      import s.implicits._
+      ManifestTable.history(s, dir)
+        .map(sn => (sn.version, sn.operation, sn.files.size.toLong,
+          sn.totalRows, diff))
+        .toDF("version", "operation", "n_files", "n_rows",
+          "compact_changelog_rows")
+        .orderBy("version")
     }
   )
 }

@@ -823,4 +823,26 @@ object StreamOps {
   def bloomStream(events: DataFrame): DataFrame =
     graft.operators.Sketches.bloomHits(events, "user_id",
       bits = 4096, hashes = 2)
+
+  /** foreachBatch upsert into a [[graft.table.ManifestTable]]
+    * (s_stream_table_sink): the streaming half of the lakehouse seam —
+    * each micro-batch MERGEs latest-wins on `key` through
+    * [[graft.table.ManifestTable.mergeBatch]], which records the batch
+    * id in the snapshot log and makes a replayed batch a structural
+    * no-op (exactly-once across foreachBatch retries, the same
+    * txn-dedupe contract every transactional Spark sink documents).
+    * A micro-batch may carry one key twice; mergeBatch's latest-wins
+    * window resolves it deterministically only if a sequence column
+    * orders them — callers needing intra-batch order pass pre-compacted
+    * frames (StreamingSpec pins the replay and multi-batch laws). */
+  def tableMergeBatch(dir: String, key: String, opCol: Option[String] = None)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (graft.table.ManifestTable.latestVersion(spark, dir).isEmpty) {
+      graft.table.ManifestTable.create(spark, dir,
+        batch.limit(0).drop(opCol.toSeq: _*), statsKey = None)
+    }
+    graft.table.ManifestTable.mergeBatch(spark, dir, batch, key, batchId, opCol)
+    ()
+  }
 }

@@ -334,7 +334,27 @@ object ManifestTable {
     * value-identical table. Conflicts are NOT auto-retried (a racing
     * commit may have changed the very rows being merged). */
   def merge(spark: SparkSession, dir: String, source: DataFrame, key: String,
-      opCol: Option[String] = None): Snapshot = {
+      opCol: Option[String] = None): Snapshot =
+    mergeImpl(spark, dir, source, key, opCol, "merge")
+
+  /** Exactly-once MERGE for streaming writers: the micro-batch id is
+    * recorded in the snapshot's operation (`merge@batch=<id>`), and a
+    * replay of an already-committed id returns the existing snapshot
+    * WITHOUT committing — the foreachBatch retry contract (Spark may
+    * re-run a batch after a failure between sink write and offset
+    * commit). Idempotence is thus structural (version-log dedupe), not
+    * merely content-level. */
+  def mergeBatch(spark: SparkSession, dir: String, source: DataFrame,
+      key: String, batchId: Long, opCol: Option[String] = None): Snapshot = {
+    val tag = s"merge@batch=$batchId"
+    history(spark, dir).find(_.operation == tag) match {
+      case Some(done) => done
+      case None => mergeImpl(spark, dir, source, key, opCol, tag)
+    }
+  }
+
+  private def mergeImpl(spark: SparkSession, dir: String, source: DataFrame,
+      key: String, opCol: Option[String], operation: String): Snapshot = {
     val head = current(spark, dir)
     val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
     val cols = schema.fieldNames.toSeq
@@ -368,8 +388,62 @@ object ManifestTable {
     val staged =
       if (touched.isEmpty && source.isEmpty) Vector.empty
       else stage(spark, dir, rewritten, head.statsKey)
-    val snap = Snapshot(head.version + 1, head.version, "merge",
+    val snap = Snapshot(head.version + 1, head.version, operation,
       head.statsKey, head.schemaJson, untouched ++ staged)
+    publish(spark, dir, snap)
+    snap
+  }
+
+  /** Rows that differ between two snapshots, as a changelog frame:
+    * `_change` ∈ ('I', 'D') — a row present in `to` but not `from` is an
+    * insert, the reverse a delete (an update appears as its D+I pair).
+    * Multiset semantics via a count-compare (EXCEPT ALL shape): two
+    * group-by-all-columns aggregates joined full-outer — one exchange
+    * per side, no row-scale driver state. */
+  def changes(spark: SparkSession, dir: String, from: Long, to: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = readVersion(spark, dir, from)
+    val b = readVersion(spark, dir, to)
+    val cols = a.schema.fieldNames.toSeq
+    val ca = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__na"))
+    val cb = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__nb"))
+    ca.join(cb, cols, "full_outer")
+      .select(cols.map(col) :+
+        (coalesce(col("__nb"), lit(0L)) - coalesce(col("__na"), lit(0L)))
+          .as("__d"): _*)
+      .where(col("__d") =!= 0L)
+      .select(cols.map(col) :+ explode(transform(
+        sequence(lit(1L), abs(col("__d"))),
+        _ => when(col("__d") > 0, lit("I")).otherwise(lit("D"))))
+        .as("_change"): _*)
+  }
+
+  // ------------------------------------------------------ compact
+
+  /** Bin-pack small data files into larger ones: every file under
+    * `smallBytes` is rewritten (one coalesced staged commit sized at
+    * ~`targetBytes` per output file), files already at weight carry
+    * over by reference. Contents are untouched — a pure layout commit,
+    * the OPTIMIZE half of table maintenance (vacuum is the other).
+    * No-op (returns the current snapshot, no new version) when fewer
+    * than two small files exist. */
+  def compact(spark: SparkSession, dir: String, smallBytes: Long = 32L << 20,
+      targetBytes: Long = 128L << 20): Snapshot = {
+    val head = current(spark, dir)
+    val (small, big) = head.files.partition(_.bytes < smallBytes)
+    if (small.size < 2) return head
+    val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    val df =
+      if (small.forall(_.rows == 0L))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(small.map(f => new Path(dir, f.path).toString): _*)
+    val outFiles = math.max(1L,
+      (small.iterator.map(_.bytes).sum + targetBytes - 1) / targetBytes).toInt
+    val staged = stage(spark, dir, df.coalesce(outFiles), head.statsKey)
+    val snap = Snapshot(head.version + 1, head.version, "compact",
+      head.statsKey, head.schemaJson, big ++ staged)
     publish(spark, dir, snap)
     snap
   }

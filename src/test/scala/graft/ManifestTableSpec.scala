@@ -165,6 +165,66 @@ class ManifestTableSpec extends SparkSuite {
     assert(df.schema.fieldNames.toSeq == Seq("k", "v"))
   }
 
+  test("compact bin-packs small files into one layout commit with " +
+    "identical contents; under two small files it is a no-op") {
+    val dir = freshDir("compact")
+    ManifestTable.create(spark, dir,
+      kv((1L to 50L).map(i => i -> s"v$i")).repartition(5),
+      statsKey = Some("k"))
+    val before = ManifestTable.history(spark, dir).last
+    assert(before.files.size == 5)
+    val snap = ManifestTable.compact(spark, dir)
+    assert(snap.version == 1L && snap.operation == "compact")
+    assert(snap.files.size == 1, s"expected 1 packed file, got ${snap.files.size}")
+    assert(snap.totalRows == 50L)
+    assert(content(dir) == (1L to 50L).map(i => (i, s"v$i")).toSet)
+    // footer key stats survive the rewrite (MERGE pruning stays sound)
+    assert(snap.files.forall(f => f.minKey.contains(1L) && f.maxKey.contains(50L)))
+    // second compact: one small file left ⇒ structural no-op, no commit
+    val again = ManifestTable.compact(spark, dir)
+    assert(again.version == 1L)
+    assert(ManifestTable.latestVersion(spark, dir).contains(1L))
+  }
+
+  test("changes() emits the multiset I/D changelog between two versions") {
+    import spark.implicits._
+    val dir = freshDir("changes")
+    ManifestTable.create(spark, dir, kv(Seq(1L -> "a", 2L -> "b", 3L -> "c")))
+    val src = Seq((2L, "B", "U"), (3L, "", "D"), (4L, "d", "U"))
+      .toDF("k", "v", "_op")
+    ManifestTable.merge(spark, dir, src, "k", opCol = Some("_op"))
+    val got = ManifestTable.changes(spark, dir, 0L, 1L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // update 2 = D+I pair; delete 3 = D; insert 4 = I; 1 untouched
+    assert(got == Set((2L, "b", "D"), (2L, "B", "I"), (3L, "c", "D"),
+      (4L, "d", "I")))
+    // self-diff is empty; reverse diff flips I and D
+    assert(ManifestTable.changes(spark, dir, 1L, 1L).count() == 0L)
+    val rev = ManifestTable.changes(spark, dir, 1L, 0L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rev == got.map { case (k, v, c) =>
+      (k, v, if (c == "I") "D" else "I") })
+  }
+
+  test("mergeBatch: a replayed batch id is a structural no-op (no new " +
+    "version), distinct ids commit normally") {
+    import spark.implicits._
+    val dir = freshDir("mbatch")
+    ManifestTable.create(spark, dir, kv(Seq(1L -> "a")))
+    val b0 = Seq((2L, "b")).toDF("k", "v")
+    val s1 = ManifestTable.mergeBatch(spark, dir, b0, "k", batchId = 0L)
+    assert(s1.version == 1L && s1.operation == "merge@batch=0")
+    // foreachBatch retry: same id replayed ⇒ the EXISTING snapshot back
+    val s1b = ManifestTable.mergeBatch(spark, dir, b0, "k", batchId = 0L)
+    assert(s1b.version == 1L)
+    assert(ManifestTable.latestVersion(spark, dir).contains(1L))
+    // next id commits
+    val s2 = ManifestTable.mergeBatch(spark, dir,
+      Seq((1L, "A")).toDF("k", "v"), "k", batchId = 1L)
+    assert(s2.version == 2L)
+    assert(content(dir) == Set(1L -> "A", 2L -> "b"))
+  }
+
   test("vacuum drops orphaned and out-of-retention commits but never " +
     "the live snapshot") {
     val dir = freshDir("vacuum")

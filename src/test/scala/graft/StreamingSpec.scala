@@ -1385,4 +1385,43 @@ class StreamingSpec extends SparkSuite {
       }
     }
   }
+
+  test("s_stream_table_sink: foreachBatch MERGE into a manifest table " +
+    "is exactly-once across batch replays") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mtable_sink").toString
+    val mem = MemoryStream[Chg]
+    val q = mem.toDF()
+      .select(col("k"), col("p_e4").as("v"), col("op").as("_op"))
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamOps.tableMergeBatch(dir, "k", opCol = Some("_op"))(b, id))
+      .start()
+    mem.addData(Chg(1L, 0, "U", 10L), Chg(2L, 0, "U", 20L))
+    q.processAllAvailable()
+    mem.addData(Chg(2L, 1, "U", 25L), Chg(3L, 0, "U", 30L),
+      Chg(1L, 1, "D", 0L))
+    q.processAllAvailable()
+    q.stop()
+    import graft.table.ManifestTable
+    def state = ManifestTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(state == Set(2L -> 25L, 3L -> 30L))
+    // the snapshot log records each micro-batch id exactly once
+    val ops = ManifestTable.history(spark, dir).map(_.operation)
+    assert(ops == Seq("create", "merge@batch=0", "merge@batch=1"), ops)
+    // simulated foreachBatch RETRY of batch 1 (Spark re-runs a batch if
+    // it crashed between sink write and offset commit): structural no-op
+    val replay = Seq((2L, 25L, "U"), (3L, 30L, "U"), (1L, 0L, "D"))
+      .toDF("k", "v", "_op")
+    StreamOps.tableMergeBatch(dir, "k", opCol = Some("_op"))(replay, 1L)
+    assert(ManifestTable.latestVersion(spark, dir).contains(2L),
+      "replayed batch must not create a version")
+    assert(state == Set(2L -> 25L, 3L -> 30L))
+    // a genuinely new batch still commits
+    StreamOps.tableMergeBatch(dir, "k", opCol = Some("_op"))(
+      Seq((4L, 40L, "U")).toDF("k", "v", "_op"), 2L)
+    assert(state == Set(2L -> 25L, 3L -> 30L, 4L -> 40L))
+  }
 }
