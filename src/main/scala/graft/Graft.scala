@@ -379,4 +379,17 @@ object Graft {
                       files: Int = 8): Unit =
       ZOrderLayout.writeZOrdered(df, dir, colA, colB, files)
   }
+
+  /** Sources beyond the Spark builtins. */
+  object sources {
+    import graft.sources.AvroSource
+    /** Avro container files, block-splittable read (sync-marker
+      * ranges) — see [[graft.sources.AvroSource]]. */
+    def readAvro(spark: SparkSession, dir: String,
+                 splitBytes: Long = 32L << 20): DataFrame =
+      AvroSource.read(spark, dir, splitBytes)
+    /** One deflate-compressed container file per partition. */
+    def writeAvro(df: DataFrame, dir: String): Long =
+      AvroSource.write(df, dir)
+  }
 }

@@ -67,6 +67,29 @@ object ScanQueries {
         .orderBy("r_regionkey")
     },
 
+    // Avro round-trip through graft.sources.AvroSource (the spark-avro
+    // connector jar doesn't ship in this offline image, so the
+    // container-file protocol is implemented directly on the avro core
+    // jars — see AvroSource's scaladoc for the block-splittable read).
+    // Engine-internal like the CSV/JSON twins: the oracle answers from
+    // parquet, so the write+split-read path must reproduce the data
+    // bit-exactly (the 4 KB splitBytes forces multi-split reads of each
+    // container file — the 100 TB fan-out shape, exercised at sf0.01).
+    Q("q_source_avro",
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey""".stripMargin) {
+      (s, d) =>
+      val src = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("double").as("price"))
+      val tmp = graft.core.Scratch.wiped("avro_rt")
+      graft.sources.AvroSource.write(src.repartition(3), tmp)
+      graft.sources.AvroSource.read(s, tmp, splitBytes = 4L << 10)
+        .orderBy("o_orderkey")
+    },
+
     // Pagination semantics: LIMIT + OFFSET over a total order — the
     // cursor shape result APIs expose. Deterministic only because the
     // ORDER BY is total (unique key); the offset is applied before the
