@@ -52,9 +52,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     its manifest's file list no matter how many commits land after.
   *
   * MERGE is the latest-wins CDC shape (the q_cdc_apply relational
-  * form) scoped to the TOUCHED files only: source key bounds prune the
-  * file list via manifest stats, untouched files carry over to the new
-  * snapshot by reference, and only the overlapping files are rewritten
+  * form) scoped to the TOUCHED files only: a file is rewritten iff the
+  * source contains at least one key inside its manifest [min, max]
+  * (probed by one range join against the broadcast file-interval
+  * table), untouched files carry over to the new snapshot by reference
   * — at 100 TB the rewrite cost is proportional to the touched data,
   * not the table. Re-applying the same source is content-idempotent
   * (latest-wins makes the second apply a no-op on the data).
@@ -327,9 +328,9 @@ object ManifestTable {
   // --------------------------------------------------------- merge
 
   /** MERGE `source` into the table on `key`: latest-wins upsert, with
-    * rows whose `opCol` (if any) equals 'D' deleted. Only files whose
-    * manifest [minKey, maxKey] overlaps the source's key bounds are
-    * rewritten; the rest carry over by reference. Content-idempotent:
+    * rows whose `opCol` (if any) equals 'D' deleted. Only files holding
+    * at least one source key (by manifest [minKey, maxKey] containment)
+    * are rewritten; the rest carry over by reference. Content-idempotent:
     * replaying the same source yields a byte-different but
     * value-identical table. Conflicts are NOT auto-retried (a racing
     * commit may have changed the very rows being merged). */
@@ -360,18 +361,32 @@ object ManifestTable {
     val cols = schema.fieldNames.toSeq
     require(cols.contains(key), s"merge key $key not in table schema")
 
-    // 1-row bounds probe (metadata-scale collect) drives file pruning.
-    val b = source.agg(min(col(key)).cast("long").as("lo"),
-      max(col(key)).cast("long").as("hi")).collect()(0)
-    val (lo, hi) =
-      if (b.isNullAt(0)) (Long.MaxValue, Long.MinValue)
-      else (b.getLong(0), b.getLong(1))
-    val (touched, untouched) = head.files.partition { f =>
-      (f.minKey, f.maxKey) match {
-        case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
-        case _ => true // no stats ⇒ must assume overlap
-      }
+    // Per-file pruning probe: a file is touched iff at least one source
+    // key falls inside its [minKey, maxKey] (files without stats are
+    // always touched). The probe is one range join of the source keys
+    // against the BROADCAST file-interval table (metadata-sized: one row
+    // per data file) aggregated down to ≤ |files| ints at the driver —
+    // strictly tighter than a single [lo, hi] interval, which a
+    // changelog with one far-away key (the append-plus-update batch
+    // shape) would blow up to the whole table.
+    val statFiles = head.files.zipWithIndex.collect {
+      case (f, i) if f.minKey.isDefined && f.maxKey.isDefined =>
+        (i, f.minKey.get, f.maxKey.get)
     }
+    val touchedIdx: Set[Int] =
+      if (statFiles.isEmpty) Set.empty
+      else {
+        import spark.implicits._
+        val ivals = statFiles.toDF("__fi", "__mn", "__mx")
+        source.select(col(key).cast("long").as("__k"))
+          .where(col("__k").isNotNull)
+          .join(broadcast(ivals),
+            col("__k") >= col("__mn") && col("__k") <= col("__mx"))
+          .select("__fi").distinct().collect().map(_.getInt(0)).toSet
+      }
+    val (touched, untouched) = head.files.zipWithIndex.partition {
+      case (f, i) => f.minKey.isEmpty || f.maxKey.isEmpty || touchedIdx(i)
+    } match { case (t, u) => (t.map(_._1), u.map(_._1)) }
 
     val srcOp = opCol.map(col).getOrElse(lit("U"))
     val src = source.select(

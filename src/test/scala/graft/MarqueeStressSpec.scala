@@ -1121,4 +1121,56 @@ class MarqueeStressSpec extends AnyFunSuite {
       spark.sparkContext.removeSparkListener(listener)
     }
   }
+
+  test("ManifestTable MERGE: 1M-row table, narrow changelog — rewrite " +
+    "volume rides the TOUCHED files, never the table", Marquee) {
+    // The 100 TB claim of the manifest format: a MERGE's write cost is
+    // proportional to the files whose key range overlaps the source,
+    // not to table size. 1M rows in 16 range-partitioned files; a
+    // 2k-key changelog must rewrite ~1/16 of the table (the one or two
+    // overlapping files), carry the rest by reference, and leave every
+    // older snapshot byte-identical (time travel reads v0 unchanged).
+    import graft.table.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("mq_mtable").toString
+    val n = 1000000L
+    val base = spark.range(n).select(col("id").as("k"),
+      (xxhash64(col("id")) % 1000L).as("v"))
+      .repartitionByRange(16, col("k"))
+    val (v0, createSecs) = timed(
+      ManifestTable.create(spark, dir, base, statsKey = Some("k")))
+    assert(v0.files.size == 16 && v0.totalRows == n)
+
+    // pre-compacted changelog (one row per key, the merge contract):
+    // 1.9k updates in [500100, 502000), 100 deletes, 10 inserts past n
+    val src = spark.range(500100L, 502000L)
+      .select(col("id").as("k"), lit(-123456L).as("v"), lit("U").as("_op"))
+      .unionAll(spark.range(500000L, 500100L)
+        .select(col("id").as("k"), lit(0L).as("v"), lit("D").as("_op")))
+      .unionAll(spark.range(10L)
+        .select((col("id") + n).as("k"), lit(7L).as("v"), lit("U").as("_op")))
+    val (v1, mergeSecs) = timed(
+      ManifestTable.merge(spark, dir, src, "k", opCol = Some("_op")))
+
+    // work metric: carried-by-reference vs rewritten
+    val carried = v1.files.map(_.path).toSet
+      .intersect(v0.files.map(_.path).toSet)
+    val staged = v1.files.filterNot(f => carried(f.path))
+    assert(carried.size >= 14,
+      s"expected >=14 of 16 files carried, got ${carried.size}")
+    val rewrittenRows = staged.map(_.rows).sum
+    assert(rewrittenRows <= 2L * (n / 16) + 2110,
+      s"rewrote $rewrittenRows rows for a 2k-key changelog — " +
+        "pruning is not touching-files-only")
+
+    // semantics spot checks + time travel intact
+    val live = ManifestTable.read(spark, dir)
+    assert(live.count() == n - 100 + 10)
+    assert(live.filter(col("k") >= 500100L && col("k") < 502000L &&
+      col("v") === -123456L).count() == 1900L)
+    assert(live.filter(col("k") < 500000L && col("v") === -123456L).count() == 0L)
+    assert(ManifestTable.readVersion(spark, dir, 0L).count() == n)
+    info(f"1M-row create $createSecs%.1f s; 2k-key merge $mergeSecs%.1f s, " +
+      s"rewrote ${staged.size} files / $rewrittenRows rows, " +
+      s"carried ${carried.size} by reference")
+  }
 }
