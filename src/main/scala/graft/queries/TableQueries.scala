@@ -104,6 +104,74 @@ object TableQueries {
         .orderBy("bucket")
     },
 
+    // Version-diff changelog: the SAME merge lifecycle as q_table_merge,
+    // then ManifestTable.changes(v0, v1) — the multiset I/D row diff
+    // between two committed snapshots — aggregated per change type. The
+    // oracle states the diff relationally (EXCEPT ALL both ways over the
+    // latest-wins result), so the manifest read path, the merge, AND the
+    // changelog derivation are all pinned by one hash. Scale shape:
+    // changes() is two group-by-all-columns aggregates full-outer-joined
+    // — one exchange per side, no row-scale driver state.
+    Q("q_table_changelog",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(14,4)) AS p
+        |  FROM orders),
+        |upd AS (
+        |  SELECT k, CAST(CAST(p AS DECIMAL(12,4))
+        |      + CAST(k % 300 AS DECIMAL(12,4))
+        |      + CAST(0.75 AS DECIMAL(12,4)) AS DECIMAL(14,4)) AS p
+        |  FROM base WHERE k % 5 = 2),
+        |ins AS (
+        |  SELECT -(k + 1) AS k,
+        |    CAST(CAST(k % 700 AS DECIMAL(12,4))
+        |      + CAST(2.5 AS DECIMAL(12,4)) AS DECIMAL(14,4)) AS p
+        |  FROM base WHERE k % 19 = 7),
+        |v1 AS (
+        |  SELECT k, p FROM base WHERE k % 11 <> 3 AND k % 5 <> 2
+        |  UNION ALL SELECT k, p FROM upd WHERE k % 11 <> 3
+        |  UNION ALL SELECT k, p FROM ins),
+        |chg AS (
+        |  SELECT 'I' AS _change, k, p FROM
+        |    ((SELECT k, p FROM v1) EXCEPT ALL (SELECT k, p FROM base))
+        |  UNION ALL
+        |  SELECT 'D' AS _change, k, p FROM
+        |    ((SELECT k, p FROM base) EXCEPT ALL (SELECT k, p FROM v1)))
+        |SELECT _change, COUNT(*) AS n_rows,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum, %PSUM% AS price_sum
+        |FROM chg GROUP BY _change ORDER BY _change""".stripMargin
+        .replace("%PSUM%", Dsl.d2dSql(Dsl.dsumSql("p")))) { (s, d) =>
+      val dir = Scratch.wiped("mtable_chg")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast(Dsl.DFac).as("tp"))
+      val base = o.select(col("k"), col("tp").cast(P).as("p"))
+      ManifestTable.create(s, dir,
+        base.repartitionByRange(4, col("k")), statsKey = Some("k"))
+      val upd = o.filter(col("k") % 5 === 2)
+        .select(col("k"), lit(1).as("seq"), lit("U").as("_op"),
+          (col("tp") + (col("k") % 300).cast(Dsl.DFac)
+            + lit(0.75).cast(Dsl.DFac)).cast(P).as("p"))
+      val del = o.filter(col("k") % 11 === 3)
+        .select(col("k"), lit(2).as("seq"), lit("D").as("_op"),
+          lit(0).cast(P).as("p"))
+      val ins = o.filter(col("k") % 19 === 7)
+        .select((-(col("k") + 1L)).as("k"), lit(1).as("seq"),
+          lit("U").as("_op"),
+          ((col("k") % 700).cast(Dsl.DFac)
+            + lit(2.5).cast(Dsl.DFac)).cast(P).as("p"))
+      val w = Window.partitionBy("k").orderBy(col("seq").desc)
+      val changelog = upd.union(del).union(ins)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("k", "p", "_op")
+      ManifestTable.merge(s, dir, changelog, "k", opCol = Some("_op"))
+      ManifestTable.changes(s, dir, 0L, 1L)
+        .groupBy("_change")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("key_sum"),
+          Dsl.d2d(Dsl.dsum(col("p"))).as("price_sum"))
+        .orderBy("_change")
+    },
+
     // Time travel: three commits (create / append / overwrite), then
     // every snapshot read back AS OF its version and fingerprinted.
     // The oracle states each version's required contents directly from
