@@ -172,6 +172,44 @@ object TableQueries {
         .orderBy("_change")
     },
 
+    // Additive schema evolution: v0 committed as (k, p), a later append
+    // carries an extra column — files written BEFORE the widening read
+    // back with NULLs in it (parquet resolves the explicit read schema
+    // by name), and the fingerprint splits on that presence. The oracle
+    // states the same widened union relationally. Old snapshots keep
+    // their committed schema (ManifestTableSpec pins that half).
+    Q("q_table_evolve",
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(14,4)) AS p,
+        |    CAST(NULL AS BIGINT) AS urgency
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(14,4)),
+        |    CAST(LENGTH(o_orderpriority) AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 3 = 1)
+        |SELECT urgency IS NULL AS pre_evolution, COUNT(*) AS n_rows,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum,
+        |  CAST(COALESCE(SUM(urgency), 0) AS BIGINT) AS urgency_sum,
+        |  %PSUM% AS price_sum
+        |FROM v1 GROUP BY urgency IS NULL ORDER BY pre_evolution""".stripMargin
+        .replace("%PSUM%", Dsl.d2dSql(Dsl.dsumSql("p")))) { (s, d) =>
+      val dir = Scratch.wiped("mtable_evolve")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast(Dsl.DFac).cast(P).as("p"),
+          length(col("o_orderpriority")).cast("long").as("urgency"))
+      ManifestTable.create(s, dir,
+        o.filter(col("k") % 3 === 0).select("k", "p"), statsKey = Some("k"))
+      ManifestTable.append(s, dir, o.filter(col("k") % 3 === 1))
+      ManifestTable.read(s, dir)
+        .groupBy(col("urgency").isNull.as("pre_evolution"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("key_sum"),
+          coalesce(sum(col("urgency")), lit(0L)).cast("long").as("urgency_sum"),
+          Dsl.d2d(Dsl.dsum(col("p"))).as("price_sum"))
+        .orderBy("pre_evolution")
+    },
+
     // Time travel: three commits (create / append / overwrite), then
     // every snapshot read back AS OF its version and fingerprinted.
     // The oracle states each version's required contents directly from

@@ -269,16 +269,27 @@ object ManifestTable {
   }
 
   /** Append-only commit; auto-retries the version race (an append is
-    * insensitive to what the concurrent commit did to OTHER files). */
+    * insensitive to what the concurrent commit did to OTHER files).
+    *
+    * Schema EVOLUTION, additive only: `df` may carry columns the table
+    * doesn't have yet — the snapshot schema widens to (table columns in
+    * their original order) ++ (new columns), and files written before
+    * the widening read back with NULLs in the new columns (parquet
+    * resolves the explicit read schema by name, so old files simply
+    * lack them). Older snapshots keep their own schemaJson — time
+    * travel returns each version with the schema it was committed
+    * under. Missing table columns or a changed dataType throw before
+    * any data is staged. */
   def append(spark: SparkSession, dir: String, df: DataFrame,
       maxRetries: Int = 5): Snapshot = {
     val base = current(spark, dir)
+    evolveSchema(base, df) // fail fast, before any data is staged
     val files = stage(spark, dir, df, base.statsKey)
     var attempt = 0
     while (true) {
       val head = current(spark, dir)
       val snap = Snapshot(head.version + 1, head.version, "append",
-        head.statsKey, head.schemaJson, head.files ++ files)
+        head.statsKey, evolveSchema(head, df), head.files ++ files)
       try { publish(spark, dir, snap); return snap }
       catch {
         case e: ConcurrentCommitException =>
@@ -286,6 +297,31 @@ object ManifestTable {
       }
     }
     sys.error("unreachable")
+  }
+
+  /** The widened schema json for appending `df` onto `head` (additive
+    * evolution; loud on anything else). */
+  private def evolveSchema(head: Snapshot, df: DataFrame): String = {
+    val table = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    val incoming = df.schema
+    val byName = incoming.fields.map(f => f.name -> f).toMap
+    table.fields.foreach { tf =>
+      byName.get(tf.name) match {
+        case None => throw new IllegalArgumentException(
+          s"append: table column ${tf.name} missing from the frame " +
+            "(evolution is additive only)")
+        case Some(inf) if inf.dataType != tf.dataType =>
+          throw new IllegalArgumentException(
+            s"append: column ${tf.name} type ${inf.dataType} != table " +
+              s"type ${tf.dataType}")
+        case _ => ()
+      }
+    }
+    val existing = table.fieldNames.toSet
+    val added = incoming.fields.filterNot(f => existing(f.name))
+      .map(_.copy(nullable = true))
+    if (added.isEmpty) head.schemaJson
+    else StructType(table.fields ++ added).json
   }
 
   /** Replace the table contents atomically (readers flip old→new with

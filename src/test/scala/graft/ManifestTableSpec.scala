@@ -165,6 +165,35 @@ class ManifestTableSpec extends SparkSuite {
     assert(df.schema.fieldNames.toSeq == Seq("k", "v"))
   }
 
+  test("append evolves the schema additively: old files read with NULLs " +
+    "in new columns, old snapshots keep their own schema, bad shapes throw") {
+    import spark.implicits._
+    val dir = freshDir("evolve")
+    ManifestTable.create(spark, dir, kv(Seq(1L -> "a", 2L -> "b")))
+    val snap = ManifestTable.append(spark, dir,
+      Seq((3L, "c", 7.5)).toDF("k", "v", "w"))
+    assert(snap.operation == "append")
+    val live = ManifestTable.read(spark, dir)
+    assert(live.schema.fieldNames.toSeq == Seq("k", "v", "w"))
+    val got = live.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got == Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(7.5))))
+    // time travel: v0 still reads with the schema it committed under
+    assert(ManifestTable.readVersion(spark, dir, 0L).schema.fieldNames.toSeq
+      == Seq("k", "v"))
+    // non-additive shapes fail before staging any data
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, dir, Seq(9L).toDF("k")) // missing v
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, dir,
+        Seq((9L, 1, 0.0)).toDF("k", "v", "w")) // v: int != string
+    }
+    assert(ManifestTable.latestVersion(spark, dir).contains(1L),
+      "failed appends must not commit")
+  }
+
   test("compact bin-packs small files into one layout commit with " +
     "identical contents; under two small files it is a no-op") {
     val dir = freshDir("compact")
