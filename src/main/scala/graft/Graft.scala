@@ -360,6 +360,10 @@ object Graft {
       * `_change` I/D). */
     def changes(spark: SparkSession, dir: String, from: Long, to: Long): DataFrame =
       ManifestTable.changes(spark, dir, from, to)
+    /** Incremental delta after `sinceVersion`, tagged `_as_of_version`
+      * for poll-checkpoint-repeat consumption. */
+    def changesSince(spark: SparkSession, dir: String, sinceVersion: Long): DataFrame =
+      ManifestTable.changesSince(spark, dir, sinceVersion)
     /** Exactly-once streaming MERGE: replaying a committed `batchId`
       * is a structural no-op (see StreamOps.tableMergeBatch). */
     def mergeBatch(spark: SparkSession, dir: String, source: DataFrame,

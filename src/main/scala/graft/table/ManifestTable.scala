@@ -469,6 +469,19 @@ object ManifestTable {
         .as("_change"): _*)
   }
 
+  /** Incremental consumption feed: everything that changed after
+    * `sinceVersion`, up to the current head (= changes(since, head)),
+    * tagged with the head version so the consumer can checkpoint it and
+    * ask again later — the batch-incremental CDC pattern (poll, process
+    * the delta, persist `_as_of_version`, repeat) that needs no
+    * streaming machinery. */
+  def changesSince(spark: SparkSession, dir: String, sinceVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val head = current(spark, dir).version
+    changes(spark, dir, sinceVersion, head)
+      .withColumn("_as_of_version", lit(head))
+  }
+
   // ------------------------------------------------------ compact
 
   /** Bin-pack small data files into larger ones: every file under

@@ -165,6 +165,50 @@ class ManifestTableSpec extends SparkSuite {
     assert(df.schema.fieldNames.toSeq == Seq("k", "v"))
   }
 
+  test("8 writers racing appends all land: the retry loop serializes " +
+    "them into 8 distinct versions with no lost rows") {
+    import java.util.concurrent.{Executors, TimeUnit}
+    val dir = freshDir("race8")
+    ManifestTable.create(spark, dir, kv(Seq(0L -> "base")))
+    val pool = Executors.newFixedThreadPool(8)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    (1 to 8).foreach { i =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try ManifestTable.append(spark, dir, kv(Seq(i.toLong -> s"w$i")),
+            maxRetries = 32)
+          catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "race timed out")
+    assert(errs.isEmpty, s"writers failed: ${errs.toArray.mkString(", ")}")
+    assert(ManifestTable.latestVersion(spark, dir).contains(8L))
+    assert(content(dir) == (0L to 8L).map(i =>
+      i -> (if (i == 0) "base" else s"w$i")).toSet)
+    val hist = ManifestTable.history(spark, dir)
+    assert(hist.map(_.version) == (0L to 8L) &&
+      hist.map(_.parent) == (-1L to 7L))
+  }
+
+  test("changesSince tags the delta with the head version (the poll-" +
+    "checkpoint-repeat consumption contract)") {
+    import spark.implicits._
+    val dir = freshDir("since")
+    ManifestTable.create(spark, dir, kv(Seq(1L -> "a")))
+    ManifestTable.append(spark, dir, kv(Seq(2L -> "b")))
+    ManifestTable.merge(spark, dir,
+      Seq((1L, "A", "U")).toDF("k", "v", "_op"), "k", opCol = Some("_op"))
+    val d = ManifestTable.changesSince(spark, dir, 0L)
+    assert(d.columns.toSeq == Seq("k", "v", "_change", "_as_of_version"))
+    val got = d.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((1L, "a", "D", 2L), (1L, "A", "I", 2L),
+      (2L, "b", "I", 2L)))
+    assert(ManifestTable.changesSince(spark, dir, 2L).count() == 0L)
+  }
+
   test("append evolves the schema additively: old files read with NULLs " +
     "in new columns, old snapshots keep their own schema, bad shapes throw") {
     import spark.implicits._
