@@ -322,11 +322,14 @@ object Graft {
     * MERGE) — see [[graft.table.ManifestTable]] for the protocol. */
   object table {
     import graft.table.ManifestTable
-    /** Create at version 0 (fails if a log exists). `statsKey` turns on
-      * per-file min/max stats for MERGE pruning. */
+    /** Create at version 0 (fails if a log exists). `statsCols` turns
+      * on per-file min/max footer stats (pruning + MERGE metadata);
+      * `partitionCols` makes the table partitioned (values recorded
+      * per file, columns stay in the data files). */
     def create(spark: SparkSession, dir: String, df: DataFrame,
-               statsKey: Option[String] = None): ManifestTable.Snapshot =
-      ManifestTable.create(spark, dir, df, statsKey)
+               statsCols: Seq[String] = Nil,
+               partitionCols: Seq[String] = Nil): ManifestTable.Snapshot =
+      ManifestTable.create(spark, dir, df, statsCols, partitionCols)
     /** Append-only commit (auto-retries version races). */
     def append(spark: SparkSession, dir: String, df: DataFrame): ManifestTable.Snapshot =
       ManifestTable.append(spark, dir, df)
@@ -334,13 +337,22 @@ object Graft {
     def overwrite(spark: SparkSession, dir: String, df: DataFrame): ManifestTable.Snapshot =
       ManifestTable.overwrite(spark, dir, df)
     /** Latest-wins MERGE on `key` ('D' in `opCol` deletes); rewrites
-      * only files whose key range overlaps the source. */
+      * only files whose key range overlaps the source. Source must
+      * hold one row per key — pass `seqCol` for deterministic
+      * intra-source resolution (highest sequence wins), otherwise a
+      * duplicate-key source fails loudly before committing. */
     def merge(spark: SparkSession, dir: String, source: DataFrame,
-              key: String, opCol: Option[String] = None): ManifestTable.Snapshot =
-      ManifestTable.merge(spark, dir, source, key, opCol)
+              key: String, opCol: Option[String] = None,
+              seqCol: Option[String] = None): ManifestTable.Snapshot =
+      ManifestTable.merge(spark, dir, source, key, opCol, seqCol)
     /** The current snapshot. */
     def read(spark: SparkSession, dir: String): DataFrame =
       ManifestTable.read(spark, dir)
+    /** The current snapshot with manifest-level file pruning: files
+      * whose stats/partition bounds exclude `filter` are never
+      * scanned; always equals `read(dir).where(filter)`. */
+    def read(spark: SparkSession, dir: String, filter: Column): DataFrame =
+      ManifestTable.read(spark, dir, filter)
     /** Time travel: the table as of `version`. */
     def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame =
       ManifestTable.readVersion(spark, dir, version)
@@ -351,11 +363,15 @@ object Graft {
     def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): Long =
       ManifestTable.vacuum(spark, dir, keepLast)
     /** Bin-pack small files into ~`targetBytes` outputs (pure layout
-      * commit; no-op below two small files). */
+      * commit; no-op below two small files). `zorderBy` = the
+      * `OPTIMIZE ... ZORDER BY` pairing: packed files get tight,
+      * prunable bounds on the named column(s) — two columns use the
+      * Morton interleave. */
     def compact(spark: SparkSession, dir: String,
                 smallBytes: Long = 32L << 20,
-                targetBytes: Long = 128L << 20): ManifestTable.Snapshot =
-      ManifestTable.compact(spark, dir, smallBytes, targetBytes)
+                targetBytes: Long = 128L << 20,
+                zorderBy: Seq[String] = Nil): ManifestTable.Snapshot =
+      ManifestTable.compact(spark, dir, smallBytes, targetBytes, zorderBy)
     /** Row-level changelog between two snapshots (multiset diff;
       * `_change` I/D). */
     def changes(spark: SparkSession, dir: String, from: Long, to: Long): DataFrame =

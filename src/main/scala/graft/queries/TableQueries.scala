@@ -74,7 +74,7 @@ object TableQueries {
       val base = o.select(col("k"), col("tp").cast(P).as("p"))
       // v0: 4 range-partitioned files ⇒ honest per-file key stats
       ManifestTable.create(s, dir,
-        base.repartitionByRange(4, col("k")), statsKey = Some("k"))
+        base.repartitionByRange(4, col("k")), statsCols = Seq("k"))
       val upd = o.filter(col("k") % 5 === 2)
         .select(col("k"), lit(1).as("seq"), lit("U").as("_op"),
           (col("tp") + (col("k") % 300).cast(Dsl.DFac)
@@ -146,7 +146,7 @@ object TableQueries {
           col("o_totalprice").cast(Dsl.DFac).as("tp"))
       val base = o.select(col("k"), col("tp").cast(P).as("p"))
       ManifestTable.create(s, dir,
-        base.repartitionByRange(4, col("k")), statsKey = Some("k"))
+        base.repartitionByRange(4, col("k")), statsCols = Seq("k"))
       val upd = o.filter(col("k") % 5 === 2)
         .select(col("k"), lit(1).as("seq"), lit("U").as("_op"),
           (col("tp") + (col("k") % 300).cast(Dsl.DFac)
@@ -199,7 +199,7 @@ object TableQueries {
           col("o_totalprice").cast(Dsl.DFac).cast(P).as("p"),
           length(col("o_orderpriority")).cast("long").as("urgency"))
       ManifestTable.create(s, dir,
-        o.filter(col("k") % 3 === 0).select("k", "p"), statsKey = Some("k"))
+        o.filter(col("k") % 3 === 0).select("k", "p"), statsCols = Seq("k"))
       ManifestTable.append(s, dir, o.filter(col("k") % 3 === 1))
       ManifestTable.read(s, dir)
         .groupBy(col("urgency").isNull.as("pre_evolution"))
@@ -236,7 +236,7 @@ object TableQueries {
         .select(col("o_orderkey").as("k"),
           col("o_totalprice").cast(Dsl.DFac).cast(P).as("p"))
       ManifestTable.create(s, dir, b.filter(col("k") % 4 === 0),
-        statsKey = Some("k"))
+        statsCols = Seq("k"))
       ManifestTable.append(s, dir, b.filter(col("k") % 4 === 1))
       ManifestTable.overwrite(s, dir, b.filter(col("k") % 4 === 2))
       val reads = (0L to 2L).map { v =>
@@ -247,6 +247,49 @@ object TableQueries {
             Dsl.d2d(Dsl.dsum(col("p"))).as("price_sum"))
       }
       reads.reduce(_.unionAll(_)).orderBy("version")
+    },
+
+    // Partitioned table + manifest-level file pruning: the table is
+    // created PARTITIONED on a derived bucket column (partition values
+    // recorded per file, Iceberg-style — the column stays in the data
+    // files), then the SAME filtered aggregate is computed twice: once
+    // through the PRUNED read path (read(dir, filter) — partition
+    // values + footer key stats drop non-matching files before the
+    // scan is planned) and once through the full scan + where. The
+    // oracle states one relational truth for both rows, so the hash
+    // gate pins pruned ≡ full — pruning can only ever skip IO. The
+    // strict file-count laws (kept < total, kept files all match the
+    // predicate) live in ManifestTableSpec; the 100 TB story is that
+    // the skip decision is manifest-metadata-only, one driver pass
+    // over |files| entries, no data IO for excluded partitions.
+    Q("q_table_partition",
+      """WITH b AS (
+        |  SELECT o_orderkey AS k, o_orderkey % 8 AS bucket,
+        |    CAST(o_totalprice AS DECIMAL(14,4)) AS p
+        |  FROM orders),
+        |f AS (SELECT * FROM b WHERE bucket = 3 AND k <= 300000)
+        |SELECT 'full' AS src, COUNT(*) AS n_rows,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum, %PSUM% AS price_sum FROM f
+        |UNION ALL
+        |SELECT 'pruned', COUNT(*), CAST(SUM(k) AS BIGINT), %PSUM% FROM f
+        |ORDER BY src""".stripMargin
+        .replace("%PSUM%", Dsl.d2dSql(Dsl.dsumSql("p")))) { (s, d) =>
+      val dir = Scratch.wiped("mtable_part")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          (col("o_orderkey") % 8).as("bucket"),
+          col("o_totalprice").cast(Dsl.DFac).cast(P).as("p"))
+      ManifestTable.create(s, dir, o.repartition(8, col("bucket")),
+        statsCols = Seq("k"), partitionCols = Seq("bucket"))
+      val pred = col("bucket") === 3 && col("k") <= 300000L
+      def fingerprint(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy(lit(tag).as("src"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("k")).cast("long").as("key_sum"),
+            Dsl.d2d(Dsl.dsum(col("p"))).as("price_sum"))
+      fingerprint(ManifestTable.read(s, dir).where(pred), "full")
+        .unionAll(fingerprint(ManifestTable.read(s, dir, pred), "pruned"))
+        .orderBy("src")
     },
 
     // Commit-protocol capability: crash safety + maintenance in one
@@ -262,7 +305,7 @@ object TableQueries {
       val b = Tables.supplier(s, d)
         .select(col("s_suppkey").as("k"), col("s_name").as("name"))
       ManifestTable.create(s, dir, b.filter(col("k") % 2 === 0),
-        statsKey = Some("k"))
+        statsCols = Seq("k"))
       ManifestTable.append(s, dir, b.filter(col("k") % 2 === 1))
       // torn commit: stage a data dir and a dot-tmp manifest by hand,
       // "crash" before the rename — readers must not see it
@@ -299,7 +342,7 @@ object TableQueries {
         .select(col("o_orderkey").as("k"),
           col("o_totalprice").cast(Dsl.DFac).cast(P).as("p"))
       ManifestTable.create(s, dir, o.filter(col("k") % 4 === 0),
-        statsKey = Some("k"))
+        statsCols = Seq("k"))
       (1L to 3L).foreach { r =>
         ManifestTable.append(s, dir, o.filter(col("k") % 4 === r))
       }

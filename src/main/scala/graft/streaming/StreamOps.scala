@@ -840,7 +840,7 @@ object StreamOps {
     val spark = batch.sparkSession
     if (graft.table.ManifestTable.latestVersion(spark, dir).isEmpty) {
       graft.table.ManifestTable.create(spark, dir,
-        batch.limit(0).drop(opCol.toSeq: _*), statsKey = None)
+        batch.limit(0).drop(opCol.toSeq: _*))
     }
     graft.table.ManifestTable.mergeBatch(spark, dir, batch, key, batchId, opCol)
     ()

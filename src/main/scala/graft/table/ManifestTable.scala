@@ -8,23 +8,25 @@ import scala.util.control.NonFatal
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{CreateFlag, FileContext, Path}
 import org.apache.hadoop.fs.Options.CreateOpts
-import org.apache.parquet.column.statistics.LongStatistics
+import org.apache.parquet.column.statistics.{BinaryStatistics, DoubleStatistics, FloatStatistics, IntStatistics, LongStatistics}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or => COr}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types._
 
 /** Minimal manifest-based ACID table format — the transactional seam a
   * 100 TB warehouse needs (atomic commit, snapshot isolation, time
-  * travel, MERGE) built from nothing but parquet data files + JSON
-  * manifests, because no Delta/Iceberg connector jar ships in this
-  * offline image. The protocol is the public log-structured design all
-  * of them share:
+  * travel, MERGE, partition/stats file pruning) built from nothing but
+  * parquet data files + JSON manifests, because no Delta/Iceberg
+  * connector jar ships in this offline image. The protocol is the
+  * public log-structured design all of them share:
   *
   *   - Data files land under `data/<commitUuid>/` via a normal Spark
   *     parquet write. A data file is INVISIBLE until some manifest
@@ -32,10 +34,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     leaves readers on the old snapshot (no torn state to clean —
   *     just orphaned bytes for vacuum()).
   *   - A snapshot manifest `_graft_log/v%020d.json` lists every live
-  *     file (table-root-relative) with row counts and optional
-  *     min/max stats of one INT64 column, harvested from the parquet
-  *     FOOTERS (no data read-back). The manifest carries the schema,
-  *     so an empty table still reads with its schema.
+  *     file (table-root-relative) with row counts, per-column min/max
+  *     stats harvested from the parquet FOOTERS (no data read-back),
+  *     and — for partitioned tables — the file's partition values.
+  *     The manifest carries the schema, so an empty table still reads
+  *     with its schema.
   *   - Publish = write the manifest to a dot-tmp name, then a
   *     NO-OVERWRITE rename onto the versioned name via
   *     [[FileContext]] (Options.Rename defaults to NONE). On HDFS
@@ -51,20 +54,42 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     written. Snapshot isolation falls out: a long scan keeps using
   *     its manifest's file list no matter how many commits land after.
   *
+  * '''Partitioning''' is the Iceberg shape, not the Hive one: the
+  * partition columns stay IN the data files (each file is
+  * self-contained) and the per-file partition VALUES are recorded in
+  * the manifest — the directory layout (`__p_<col>=<value>/`) is just
+  * how the writer splits, never something the read path parses. A
+  * partitioned file's bounds on its partition column are exact
+  * (min = max = value), so partition pruning and stats pruning are the
+  * same mechanism.
+  *
+  * '''Pruning''' ([[read(spark:org\.apache\.spark\.sql\.SparkSession,dir:String,filter:org\.apache\.spark\.sql\.Column)* read(dir, filter)]])
+  * walks the filter's Catalyst expression tree and keeps a file iff
+  * the predicate MAY hold somewhere in [min, max] — conjunction
+  * narrows, disjunction widens, anything unrecognized (or any column
+  * without bounds) conservatively keeps the file, and the filter is
+  * re-applied on the scan so pruning can only ever skip IO, never
+  * change results. At 100 TB this is the difference between touching
+  * one partition and touching every file: the decision runs on
+  * manifest metadata only, one driver-side pass over |files| entries.
+  *
   * MERGE is the latest-wins CDC shape (the q_cdc_apply relational
   * form) scoped to the TOUCHED files only: a file is rewritten iff the
-  * source contains at least one key inside its manifest [min, max]
-  * (probed by one range join against the broadcast file-interval
-  * table), untouched files carry over to the new snapshot by reference
-  * — at 100 TB the rewrite cost is proportional to the touched data,
-  * not the table. Re-applying the same source is content-idempotent
+  * source contains at least one key inside its [min, max] bounds for
+  * the merge key (probed by one range join against the broadcast
+  * file-interval table), untouched files carry over to the new
+  * snapshot by reference — at 100 TB the rewrite cost is proportional
+  * to the touched data, not the table. The rewrite itself is a
+  * broadcast ANTI join (touched rows whose key appears in the source
+  * are dropped, source winners appended) — the table side is never
+  * shuffled. Re-applying the same source is content-idempotent
   * (latest-wins makes the second apply a no-op on the data).
   *
   * Scale shape: every commit is one distributed parquet write + a
   * metadata-sized footer sweep + one tiny JSON rename; MERGE adds one
-  * key-partitioned window over (touched ∪ source) only. Nothing
-  * row-scale ever reaches the driver (the one collect is the 1-row
-  * source key-bounds probe).
+  * broadcast probe + one broadcast anti join over touched files only.
+  * Nothing row-scale ever reaches the driver (the one collect is the
+  * ≤ |files| touched-index probe).
   */
 object ManifestTable {
 
@@ -73,21 +98,42 @@ object ManifestTable {
   final class ConcurrentCommitException(msg: String, cause: Throwable)
     extends RuntimeException(msg, cause)
 
-  /** One live data file: root-relative path, exact row count, byte
-    * size, optional min/max of the stats column (both present or both
-    * absent; absent ⇒ the file always survives MERGE pruning). */
-  final case class FileEntry(path: String, rows: Long, bytes: Long,
-      minKey: Option[Long], maxKey: Option[Long])
+  /** Footer min/max of one column in one file. `min`/`max` are the
+    * column's pruning primitive: Long (integral, date-days,
+    * timestamp-micros), Double (float/double) or String. Parquet may
+    * truncate BINARY stats, but only outward (min rounds down, max
+    * rounds up), so string bounds stay sound for pruning. */
+  final case class ColStats(min: Any, max: Any)
 
-  /** One committed snapshot (the unit of time travel). */
+  /** One live data file: root-relative path, exact row count, byte
+    * size, per-column footer stats (a column absent from the map ⇒ the
+    * file always survives pruning on it), and — for partitioned
+    * tables — the file's partition values as written (None value ⇒ the
+    * null partition). */
+  final case class FileEntry(path: String, rows: Long, bytes: Long,
+      stats: Map[String, ColStats] = Map.empty,
+      partitions: Map[String, Option[String]] = Map.empty) {
+    /** Convenience: this file's [min, max] on an INT64-statted column. */
+    def longBounds(c: String): Option[(Long, Long)] = stats.get(c).collect {
+      case ColStats(mn: Long, mx: Long) => (mn, mx)
+    }
+  }
+
+  /** One committed snapshot (the unit of time travel). `lastBatch` is
+    * the high-water mark of streaming batch ids merged via
+    * [[mergeBatch]] (−1 = none) — carried forward by every commit so
+    * the replay check is one manifest read and survives vacuum. */
   final case class Snapshot(version: Long, parent: Long, operation: String,
-      statsKey: Option[String], schemaJson: String, files: Vector[FileEntry]) {
+      statsCols: Seq[String], partitionCols: Seq[String], lastBatch: Long,
+      schemaJson: String, files: Vector[FileEntry]) {
     def totalRows: Long = files.iterator.map(_.rows).sum
     def totalBytes: Long = files.iterator.map(_.bytes).sum
+    def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
   private val LogDir = "_graft_log"
   private val DataDir = "data"
+  private val PartPrefix = "__p_"
 
   private def logPath(dir: String) = new Path(dir, LogDir)
   private def manifestName(v: Long) = f"v$v%020d.json"
@@ -131,22 +177,52 @@ object ManifestTable {
   // Hand-built JObject in, path-extraction out: no runtime reflection,
   // so the wire format is exactly what this file says it is.
 
+  private def primToJson(v: Any): JValue = v match {
+    case l: Long => JLong(l)
+    case d: Double => JDouble(d)
+    case s: String => JString(s)
+    case other => sys.error(s"manifest: unencodable stat $other")
+  }
+
+  private def jsonToPrim(j: JValue): Any = j match {
+    case JLong(x) => x
+    case JInt(x) => x.toLong
+    case JDouble(x) => x
+    case JDecimal(x) => x.toDouble
+    case JString(x) => x
+    case other => sys.error(s"manifest: undecodable stat $other")
+  }
+
   private def renderManifest(s: Snapshot): String = {
     val files = JArray(s.files.toList.map { f =>
-      JObject(List(
-        "path" -> JString(f.path),
-        "rows" -> JLong(f.rows),
-        "bytes" -> JLong(f.bytes)) ++
-        f.minKey.map(v => "minKey" -> (JLong(v): JValue)).toList ++
-        f.maxKey.map(v => "maxKey" -> (JLong(v): JValue)).toList)
+      val base = List(
+        "path" -> (JString(f.path): JValue),
+        "rows" -> (JLong(f.rows): JValue),
+        "bytes" -> (JLong(f.bytes): JValue))
+      val st =
+        if (f.stats.isEmpty) Nil
+        else List("stats" -> (JObject(f.stats.toList.sortBy(_._1).map {
+          case (c, cs) => c -> (JArray(List(primToJson(cs.min),
+            primToJson(cs.max))): JValue)
+        }): JValue))
+      val pt =
+        if (f.partitions.isEmpty) Nil
+        else List("part" -> (JObject(f.partitions.toList.sortBy(_._1).map {
+          case (c, v) => c -> (v.map(JString(_): JValue).getOrElse(JNull))
+        }): JValue))
+      JObject(base ++ st ++ pt)
     })
     val obj = JObject(List(
       "version" -> JLong(s.version),
       "parent" -> JLong(s.parent),
       "operation" -> JString(s.operation),
-      "schema" -> JString(s.schemaJson),
-      "files" -> files) ++
-      s.statsKey.map(k => "statsKey" -> (JString(k): JValue)).toList)
+      "lastBatch" -> JLong(s.lastBatch),
+      "schema" -> JString(s.schemaJson)) ++
+      (if (s.statsCols.isEmpty) Nil
+       else List("statsCols" -> (JArray(s.statsCols.toList.map(JString(_))): JValue))) ++
+      (if (s.partitionCols.isEmpty) Nil
+       else List("partitionCols" -> (JArray(s.partitionCols.toList.map(JString(_))): JValue))) ++
+      List("files" -> (files: JValue)))
     JsonMethods.compact(JsonMethods.render(obj))
   }
 
@@ -156,16 +232,40 @@ object ManifestTable {
     case other => sys.error(s"manifest: expected integer, got $other")
   }
 
+  private def jStrings(v: JValue): Seq[String] = v match {
+    case JArray(xs) => xs.map(_.values.toString)
+    case JNothing => Nil
+    case other => sys.error(s"manifest: expected string array, got $other")
+  }
+
   private def parseManifest(text: String): Snapshot = {
     val j = JsonMethods.parse(text)
     val files = (j \ "files") match {
       case JArray(fs) => fs.toVector.map { f =>
+        val stats = (f \ "stats") match {
+          case JObject(kv) => kv.map { case (c, v) =>
+            v match {
+              case JArray(List(mn, mx)) =>
+                c -> ColStats(jsonToPrim(mn), jsonToPrim(mx))
+              case other => sys.error(s"manifest: stats for $c is $other")
+            }
+          }.toMap
+          case _ => Map.empty[String, ColStats]
+        }
+        val parts = (f \ "part") match {
+          case JObject(kv) => kv.map { case (c, v) =>
+            c -> (v match {
+              case JNull | JNothing => None
+              case other => Some(other.values.toString)
+            })
+          }.toMap
+          case _ => Map.empty[String, Option[String]]
+        }
         FileEntry(
           (f \ "path").values.toString,
           jLong(f \ "rows"),
           jLong(f \ "bytes"),
-          (f \ "minKey").toOption.map(jLong),
-          (f \ "maxKey").toOption.map(jLong))
+          stats, parts)
       }
       case other => sys.error(s"manifest: files is $other")
     }
@@ -173,70 +273,140 @@ object ManifestTable {
       jLong(j \ "version"),
       jLong(j \ "parent"),
       (j \ "operation").values.toString,
-      (j \ "statsKey").toOption.map(_.values.toString),
+      jStrings(j \ "statsCols"),
+      jStrings(j \ "partitionCols"),
+      (j \ "lastBatch").toOption.map(jLong).getOrElse(-1L),
       (j \ "schema").values.toString,
       files)
   }
 
   // ---------------------------------------------------- footer stats
 
-  /** Exact (rows, bytes, min/max of `statsKey`) for one sealed parquet
-    * file, from the FOOTER only — the same numbers the writer already
-    * serialized; no data pages are read. Stats come back only when the
-    * column is INT64 with non-null values in every row group (a partial
-    * answer would make MERGE pruning unsound). */
-  private def footerStats(c: Configuration, p: Path, statsKey: Option[String])
-      : (Long, Option[(Long, Long)]) = {
+  /** Exact (rows, per-column min/max) for one sealed parquet file, from
+    * the FOOTER only — the same numbers the writer already serialized;
+    * no data pages are read. A column reports stats only when every
+    * row group carries non-null bounds of a supported physical type
+    * (INT32/INT64/FLOAT/DOUBLE/BINARY-UTF8); a partial answer would
+    * make pruning unsound, so it becomes "no stats" instead. */
+  private def footerStats(c: Configuration, p: Path, statsCols: Seq[String])
+      : (Long, Map[String, ColStats]) = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, c))
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.iterator.map(_.getRowCount).sum
-      val mm = statsKey.flatMap { k =>
+      val stats = statsCols.flatMap { k =>
         val per = blocks.flatMap { b =>
           b.getColumns.asScala.find(_.getPath.toDotString == k).flatMap { cc =>
             cc.getStatistics match {
               case ls: LongStatistics if ls.hasNonNullValue =>
-                Some((ls.getMin, ls.getMax))
+                Some((ls.getMin: Any, ls.getMax: Any))
+              case is: IntStatistics if is.hasNonNullValue =>
+                Some((is.getMin.toLong: Any, is.getMax.toLong: Any))
+              case ds: DoubleStatistics if ds.hasNonNullValue =>
+                Some((ds.getMin: Any, ds.getMax: Any))
+              case fs: FloatStatistics if fs.hasNonNullValue =>
+                Some((fs.getMin.toDouble: Any, fs.getMax.toDouble: Any))
+              case bs: BinaryStatistics if bs.hasNonNullValue &&
+                  cc.getPrimitiveType.getLogicalTypeAnnotation
+                    .isInstanceOf[org.apache.parquet.schema
+                      .LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                Some((bs.genericGetMin.toStringUsingUTF8: Any,
+                  bs.genericGetMax.toStringUsingUTF8: Any))
               case _ => None
             }
           }
         }
         if (per.size != blocks.size || per.isEmpty) None
-        else Some((per.iterator.map(_._1).min, per.iterator.map(_._2).max))
-      }
-      (rows, mm)
+        else {
+          val mn = per.map(_._1).reduce((a, b) => if (primLt(a, b)) a else b)
+          val mx = per.map(_._2).reduce((a, b) => if (primLt(a, b)) b else a)
+          Some(k -> ColStats(mn, mx))
+        }
+      }.toMap
+      (rows, stats)
     } finally reader.close()
+  }
+
+  private def primLt(a: Any, b: Any): Boolean = primCompare(a, b).exists(_ < 0)
+
+  /** Total order across matching primitive families; None = not
+    * comparable (pruning then keeps the file). */
+  private def primCompare(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+    case (x: Long, y: Double) => Some(java.lang.Double.compare(x.toDouble, y))
+    case (x: Double, y: Long) => Some(java.lang.Double.compare(x, y.toDouble))
+    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case _ => None
   }
 
   // -------------------------------------------------------- staging
 
   /** Write `df` as a sealed commit directory and return its manifest
     * entries. The Spark job's own output commit seals the directory;
-    * nothing references it until OUR manifest rename succeeds. */
+    * nothing references it until OUR manifest rename succeeds.
+    *
+    * Partitioned staging keeps the partition columns IN the data files
+    * (the Iceberg shape): the writer splits on shadow `__p_<col>`
+    * copies, the shadow directory components are parsed back into the
+    * manifest's per-file partition values, and the read path never
+    * looks at a path again. */
   private def stage(spark: SparkSession, dir: String, df: DataFrame,
-      statsKey: Option[String]): Vector[FileEntry] = {
+      statsCols: Seq[String], partitionCols: Seq[String]): Vector[FileEntry] = {
     val commitId = UUID.randomUUID().toString
     val rel = s"$DataDir/$commitId"
     val abs = new Path(dir, rel)
-    df.write.parquet(abs.toString)
+    if (partitionCols.isEmpty) df.write.parquet(abs.toString)
+    else {
+      val shadowed = partitionCols.foldLeft(df) { (d, c) =>
+        d.withColumn(s"$PartPrefix$c", col(c))
+      }
+      shadowed.write.partitionBy(partitionCols.map(PartPrefix + _): _*)
+        .parquet(abs.toString)
+    }
     val c = conf(spark)
     val fs = abs.getFileSystem(c)
-    fs.listStatus(abs).toVector
-      .filter { st =>
-        val n = st.getPath.getName
-        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-      }
-      .sortBy(_.getPath.getName)
-      .map { st =>
-        val (rows, mm) = footerStats(c, st.getPath, statsKey)
-        FileEntry(s"$rel/${st.getPath.getName}", rows, st.getLen,
-          mm.map(_._1), mm.map(_._2))
-      }
+    val absQ = fs.makeQualified(abs).toString
+    val it = fs.listFiles(abs, true)
+    val found = Vector.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        found += st
+    }
+    found.result().sortBy(_.getPath.toString).map { st =>
+      val sub = st.getPath.toString.stripPrefix(absQ).stripPrefix("/")
+      val parts = sub.split('/').init.flatMap { comp =>
+        val eq = comp.indexOf('=')
+        if (eq < 0) None
+        else {
+          val name = comp.substring(0, eq).stripPrefix(PartPrefix)
+          val raw = ExternalCatalogUtils.unescapePathName(comp.substring(eq + 1))
+          Some(name -> (if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+            None else Some(raw)))
+        }
+      }.toMap
+      val (rows, stats) = footerStats(c, st.getPath, statsCols)
+      FileEntry(s"$rel/$sub", rows, st.getLen, stats, parts)
+    }
   }
 
-  /** Atomic publish: dot-tmp write + no-overwrite rename. Exactly one
-    * committer of version `s.version` wins ([table]-visible so the spec
-    * can pin the race law deterministically). */
+  /** Atomic publish: dot-tmp write + putIfAbsent onto the versioned
+    * name. Exactly one committer of version `s.version` wins
+    * ([table]-visible so the spec can pin the race law
+    * deterministically).
+    *
+    * The putIfAbsent primitive is per-scheme, exactly like the log
+    * stores every open table format ships: on HDFS,
+    * `FileContext.rename` with Options.Rename.NONE is an atomic
+    * no-overwrite rename (one NameNode op). On the LOCAL scheme that
+    * rename is check-then-act (LocalFs probes the destination, then
+    * POSIX rename — which overwrites), so two racing committers could
+    * both "succeed" and silently drop a manifest; the true local
+    * putIfAbsent is a HARD LINK, which the kernel fails atomically
+    * with EEXIST. (Object stores without either need a commit service
+    * in front — same as Delta.) */
   private[table] def publish(spark: SparkSession, dir: String, s: Snapshot): Unit = {
     val lp = logPath(dir)
     val fc = FileContext.getFileContext(lp.toUri, conf(spark))
@@ -246,24 +416,50 @@ object ManifestTable {
       java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
       CreateOpts.createParent())
     try out.write(renderManifest(s).getBytes("UTF-8")) finally out.close()
-    try fc.rename(tmp, dst) // Options.Rename.NONE: fails if dst exists
-    catch {
-      case NonFatal(e) =>
-        try fc.delete(tmp, false) catch { case NonFatal(_) => () }
-        throw new ConcurrentCommitException(
-          s"snapshot v${s.version} already committed at $dst", e)
+    // LocalFs is a ChecksumFs: drop the .crc sidecar so the commit
+    // rides on exactly ONE filesystem op (a loser's separately-moved
+    // sidecar could otherwise shadow the winner's data and fail
+    // readers with ChecksumException; HDFS checksums are block-level,
+    // no sidecar — the delete is a no-op there).
+    try fc.delete(new Path(lp, s".${tmp.getName}.crc"), false)
+    catch { case NonFatal(_) => () }
+    val fs = lp.getFileSystem(conf(spark))
+    val isLocal = Option(fs.getUri.getScheme).forall(_ == "file")
+    def lose(e: Throwable): Nothing = {
+      try fc.delete(tmp, false) catch { case NonFatal(_) => () }
+      throw new ConcurrentCommitException(
+        s"snapshot v${s.version} already committed at $dst", e)
+    }
+    if (isLocal) {
+      val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+      val d = java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(d, t) // kernel-atomic putIfAbsent
+        java.nio.file.Files.deleteIfExists(t)
+      } catch { case e: java.nio.file.FileAlreadyExistsException => lose(e) }
+    } else {
+      try fc.rename(tmp, dst) // Options.Rename.NONE: atomic on HDFS
+      catch { case NonFatal(e) => lose(e) }
     }
   }
 
   // ------------------------------------------------------- commits
 
-  /** Create the table at version 0 (fails if a log already exists). */
+  /** Create the table at version 0 (fails if a log already exists).
+    * `statsCols` selects the columns whose footer min/max every commit
+    * harvests (pruning + MERGE metadata); `partitionCols` makes the
+    * table partitioned — partition values are recorded per file and
+    * the columns stay in the data files. */
   def create(spark: SparkSession, dir: String, df: DataFrame,
-      statsKey: Option[String] = None): Snapshot = {
+      statsCols: Seq[String] = Nil, partitionCols: Seq[String] = Nil): Snapshot = {
     require(latestVersion(spark, dir).isEmpty,
       s"table already exists at $dir — use append/overwrite/merge")
-    val files = stage(spark, dir, df, statsKey)
-    val snap = Snapshot(0L, -1L, "create", statsKey, df.schema.json, files)
+    (statsCols ++ partitionCols).foreach { c =>
+      require(df.schema.fieldNames.contains(c), s"column $c not in schema")
+    }
+    val files = stage(spark, dir, df, statsCols, partitionCols)
+    val snap = Snapshot(0L, -1L, "create", statsCols, partitionCols, -1L,
+      df.schema.json, files)
     publish(spark, dir, snap)
     snap
   }
@@ -284,12 +480,13 @@ object ManifestTable {
       maxRetries: Int = 5): Snapshot = {
     val base = current(spark, dir)
     evolveSchema(base, df) // fail fast, before any data is staged
-    val files = stage(spark, dir, df, base.statsKey)
+    val files = stage(spark, dir, df, base.statsCols, base.partitionCols)
     var attempt = 0
     while (true) {
       val head = current(spark, dir)
       val snap = Snapshot(head.version + 1, head.version, "append",
-        head.statsKey, evolveSchema(head, df), head.files ++ files)
+        head.statsCols, head.partitionCols, head.lastBatch,
+        evolveSchema(head, df), head.files ++ files)
       try { publish(spark, dir, snap); return snap }
       catch {
         case e: ConcurrentCommitException =>
@@ -302,7 +499,7 @@ object ManifestTable {
   /** The widened schema json for appending `df` onto `head` (additive
     * evolution; loud on anything else). */
   private def evolveSchema(head: Snapshot, df: DataFrame): String = {
-    val table = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    val table = head.schema
     val incoming = df.schema
     val byName = incoming.fields.map(f => f.name -> f).toMap
     table.fields.foreach { tf =>
@@ -328,9 +525,10 @@ object ManifestTable {
     * no intermediate state). */
   def overwrite(spark: SparkSession, dir: String, df: DataFrame): Snapshot = {
     val head = current(spark, dir)
-    val files = stage(spark, dir, df, head.statsKey)
+    val files = stage(spark, dir, df, head.statsCols, head.partitionCols)
     val snap = Snapshot(head.version + 1, head.version, "overwrite",
-      head.statsKey, df.schema.json, files)
+      head.statsCols, head.partitionCols, head.lastBatch,
+      df.schema.json, files)
     publish(spark, dir, snap) // conflict ⇒ caller must re-read & re-run
     snap
   }
@@ -343,119 +541,354 @@ object ManifestTable {
 
   // --------------------------------------------------------- reads
 
-  private def scan(spark: SparkSession, dir: String, snap: Snapshot): DataFrame = {
-    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-    if (snap.files.isEmpty) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  private def scanWith(spark: SparkSession, dir: String, files: Seq[FileEntry],
+      schema: StructType): DataFrame = {
+    if (files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     } else {
+      // explicit leaf files ⇒ each file's parent is its own base path,
+      // so Spark never re-infers partition columns from the __p_ dirs
       spark.read.schema(schema)
-        .parquet(snap.files.map(f => new Path(dir, f.path).toString): _*)
+        .parquet(files.map(f => new Path(dir, f.path).toString): _*)
     }
   }
 
-  /** Latest snapshot. */
+  private def scan(spark: SparkSession, dir: String, snap: Snapshot): DataFrame =
+    scanWith(spark, dir, snap.files, snap.schema)
+
+  /** Latest snapshot, full scan. */
   def read(spark: SparkSession, dir: String): DataFrame =
     scan(spark, dir, current(spark, dir))
+
+  /** Latest snapshot with MANIFEST-LEVEL FILE PRUNING: files whose
+    * [min, max] bounds (footer stats and exact partition values) prove
+    * `filter` cannot match are skipped before the scan is even
+    * planned; the filter is re-applied on the survivors, so the result
+    * always equals `read(dir).where(filter)` — pruning can only skip
+    * IO. Supports =, <=>, <, <=, >, >=, IN, AND, OR over
+    * column-vs-foldable comparisons; anything else keeps the file. */
+  def read(spark: SparkSession, dir: String, filter: Column): DataFrame = {
+    val snap = current(spark, dir)
+    scanWith(spark, dir, pruneFiles(snap, filter), snap.schema).where(filter)
+  }
 
   /** Time travel: the table exactly as of snapshot `version`. */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame =
     scan(spark, dir, readManifest(spark, dir, version))
 
+  // ------------------------------------------------------- pruning
+
+  /** The subset of `snap.files` that MAY contain rows matching
+    * `filter` (exposed so specs and maintenance tools can assert the
+    * pruned file list directly). */
+  def pruneFiles(snap: Snapshot, filter: Column): Vector[FileEntry] = {
+    val schema = snap.schema
+    snap.files.filter(f => mayMatch(f, schema,
+      org.apache.spark.sql.GraftSqlBridge.expr(filter)))
+  }
+
+  /** This file's [min, max] bounds for `name`: the exact partition
+    * value when the table is partitioned on it (min = max = value),
+    * else footer stats. None ⇒ unbounded (never pruned) — EXCEPT the
+    * all-null partition, which [[mayMatch]] handles via
+    * [[isNullPartition]] (every row is null there, so no value
+    * comparison can match). */
+  private def fileBounds(f: FileEntry, schema: StructType, name: String)
+      : Option[(Any, Any)] =
+    f.partitions.get(name) match {
+      case Some(Some(raw)) =>
+        partitionPrim(raw, schema(name).dataType).map(v => (v, v))
+      case Some(None) => None // all-null partition: handled in mayMatch
+      case None => f.stats.get(name).map(cs => (cs.min, cs.max))
+    }
+
+  private def isNullPartition(f: FileEntry, name: String): Boolean =
+    f.partitions.get(name).contains(None)
+
+  /** Partition value string → pruning primitive, by column type. */
+  private def partitionPrim(raw: String, dt: DataType): Option[Any] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      scala.util.Try(raw.toLong).toOption
+    case FloatType | DoubleType => scala.util.Try(raw.toDouble).toOption
+    case StringType => Some(raw)
+    case DateType =>
+      scala.util.Try(java.time.LocalDate.parse(raw).toEpochDay).toOption
+    case _ => None
+  }
+
+  /** Catalyst literal (internal representation) → pruning primitive. */
+  private def litPrim(v: Any, dt: DataType): Option[Any] = (v, dt) match {
+    case (null, _) => None
+    case (x: Byte, _) => Some(x.toLong)
+    case (x: Short, _) => Some(x.toLong)
+    case (x: Int, _) => Some(x.toLong) // covers IntegerType and DateType days
+    case (x: Long, _) => Some(x) // covers LongType and TimestampType micros
+    case (x: Float, _) => Some(x.toDouble)
+    case (x: Double, _) => Some(x)
+    case (x: org.apache.spark.unsafe.types.UTF8String, _) => Some(x.toString)
+    case (x: String, _) => Some(x)
+    case _ => None
+  }
+
+  /** Conservative may-match of `e` against one file's bounds: false
+    * only when the bounds PROVE no row can satisfy the predicate. */
+  private def mayMatch(f: FileEntry, schema: StructType, e: Expression): Boolean = {
+    def attrName(a: Expression): Option[String] = a match {
+      case att: Attribute => Some(att.name)
+      case _ => None
+    }
+    def foldablePrim(x: Expression): Option[Any] =
+      if (x.foldable)
+        scala.util.Try(litPrim(x.eval(null), x.dataType)).toOption.flatten
+      else None
+
+    /** May some value x in this file's bounds on `name` satisfy
+      * test(sign(x compare v))? The achievable sign set over [mn, mx]
+      * is every sign between sign(mn cmp v) and sign(mx cmp v) —
+      * claiming an interior sign achievable when the file's actual
+      * values skip it merely keeps the file (conservative). */
+    def boundsAdmit(name: String, v: Any, test: Int => Boolean): Boolean = {
+      if (isNullPartition(f, name)) return false // all-null column: no value matches
+      fileBounds(f, schema, name) match {
+        case None => true
+        case Some((mn, mx)) =>
+          (primCompare(mn, v), primCompare(mx, v)) match {
+            case (Some(cl), Some(ch)) =>
+              (Integer.signum(cl) to Integer.signum(ch)).exists(test)
+            case _ => true
+          }
+      }
+    }
+
+    /** (col op lit) → testDirect on sign(colValue cmp lit); (lit op
+      * col) → testFlipped; anything else keeps the file. */
+    def binary(l: Expression, r: Expression, testDirect: Int => Boolean,
+        testFlipped: Int => Boolean): Boolean =
+      (attrName(l), foldablePrim(r), attrName(r), foldablePrim(l)) match {
+        case (Some(n), Some(p), _, _) => boundsAdmit(n, p, testDirect)
+        case (_, _, Some(n), Some(p)) => boundsAdmit(n, p, testFlipped)
+        case _ => true
+      }
+
+    def inList(a: Expression, vs: Seq[Expression]): Boolean =
+      attrName(a) match {
+        case Some(n) if vs.forall(_.foldable) =>
+          val prims = vs.flatMap(foldablePrim)
+          if (prims.size != vs.size) true
+          else prims.exists(p => boundsAdmit(n, p, _ == 0))
+        case _ => true
+      }
+
+    e match {
+      case CAnd(l, r) => mayMatch(f, schema, l) && mayMatch(f, schema, r)
+      case COr(l, r) => mayMatch(f, schema, l) || mayMatch(f, schema, r)
+      case EqualTo(l, r) => binary(l, r, _ == 0, _ == 0)
+      case EqualNullSafe(l, r) => binary(l, r, _ == 0, _ == 0)
+      case GreaterThan(l, r) => binary(l, r, _ > 0, _ < 0)
+      case GreaterThanOrEqual(l, r) => binary(l, r, _ >= 0, _ <= 0)
+      case LessThan(l, r) => binary(l, r, _ < 0, _ > 0)
+      case LessThanOrEqual(l, r) => binary(l, r, _ <= 0, _ >= 0)
+      case In(a, vs) => inList(a, vs)
+      // A Column built through the public DataFrame API arrives
+      // UNANALYZED: comparisons are function calls by name. Same
+      // dispatch, same conservatism (unknown names keep the file).
+      case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        (uf.nameParts.last.toLowerCase(java.util.Locale.ROOT),
+          uf.arguments.toList) match {
+          case ("and", l :: r :: Nil) =>
+            mayMatch(f, schema, l) && mayMatch(f, schema, r)
+          case ("or", l :: r :: Nil) =>
+            mayMatch(f, schema, l) || mayMatch(f, schema, r)
+          case ("=" | "==" | "<=>", l :: r :: Nil) => binary(l, r, _ == 0, _ == 0)
+          case (">", l :: r :: Nil) => binary(l, r, _ > 0, _ < 0)
+          case (">=", l :: r :: Nil) => binary(l, r, _ >= 0, _ <= 0)
+          case ("<", l :: r :: Nil) => binary(l, r, _ < 0, _ > 0)
+          case ("<=", l :: r :: Nil) => binary(l, r, _ <= 0, _ >= 0)
+          case ("in", a :: vs) if vs.nonEmpty => inList(a, vs)
+          case _ => true
+        }
+      case _ => true
+    }
+  }
+
   // --------------------------------------------------------- merge
 
   /** MERGE `source` into the table on `key`: latest-wins upsert, with
     * rows whose `opCol` (if any) equals 'D' deleted. Only files holding
-    * at least one source key (by manifest [minKey, maxKey] containment)
-    * are rewritten; the rest carry over by reference. Content-idempotent:
+    * at least one source key (by manifest [min, max] bounds on `key` —
+    * footer stats or partition values) are rewritten; the rest carry
+    * over by reference. The rewrite is a broadcast ANTI join: touched
+    * base rows whose key appears in the source are replaced, all other
+    * base rows pass through UNCHANGED (pre-existing duplicate or
+    * null-key base rows are preserved verbatim — only keys present in
+    * the source are resolved).
+    *
+    * '''Source key contract''': at most one row per key. Without
+    * `seqCol` a duplicate-key source FAILS LOUDLY (raise_error inside
+    * the merge job — no partial commit). With `seqCol` the highest
+    * sequence wins deterministically (ties broken by a stable hash of
+    * the row). Null-key source rows are dropped. Content-idempotent:
     * replaying the same source yields a byte-different but
     * value-identical table. Conflicts are NOT auto-retried (a racing
     * commit may have changed the very rows being merged). */
   def merge(spark: SparkSession, dir: String, source: DataFrame, key: String,
-      opCol: Option[String] = None): Snapshot =
-    mergeImpl(spark, dir, source, key, opCol, "merge")
+      opCol: Option[String] = None, seqCol: Option[String] = None): Snapshot =
+    mergeImpl(spark, dir, source, key, opCol, seqCol, "merge", None)
 
   /** Exactly-once MERGE for streaming writers: the micro-batch id is
-    * recorded in the snapshot's operation (`merge@batch=<id>`), and a
-    * replay of an already-committed id returns the existing snapshot
-    * WITHOUT committing — the foreachBatch retry contract (Spark may
-    * re-run a batch after a failure between sink write and offset
-    * commit). Idempotence is thus structural (version-log dedupe), not
-    * merely content-level. */
+    * recorded BOTH in the snapshot's operation (`merge@batch=<id>`)
+    * and as the table's `lastBatch` high-water mark, which every
+    * subsequent commit carries forward. A replay of an
+    * already-committed id (batchId ≤ lastBatch) returns the CURRENT
+    * snapshot without committing — the foreachBatch retry contract
+    * (Spark may re-run a batch after a failure between sink write and
+    * offset commit; replayed ids are never ahead of the mark because
+    * micro-batch ids are strictly increasing). The check is O(1) — one
+    * manifest read, no history scan — and survives vacuum() because
+    * the mark lives in the LATEST manifest, not the historical one. */
   def mergeBatch(spark: SparkSession, dir: String, source: DataFrame,
-      key: String, batchId: Long, opCol: Option[String] = None): Snapshot = {
-    val tag = s"merge@batch=$batchId"
-    history(spark, dir).find(_.operation == tag) match {
-      case Some(done) => done
-      case None => mergeImpl(spark, dir, source, key, opCol, tag)
-    }
+      key: String, batchId: Long, opCol: Option[String] = None,
+      seqCol: Option[String] = None): Snapshot = {
+    val head = current(spark, dir)
+    if (batchId <= head.lastBatch) head
+    else mergeImpl(spark, dir, source, key, opCol, seqCol,
+      s"merge@batch=$batchId", Some(batchId))
   }
 
   private def mergeImpl(spark: SparkSession, dir: String, source: DataFrame,
-      key: String, opCol: Option[String], operation: String): Snapshot = {
+      key: String, opCol: Option[String], seqCol: Option[String],
+      operation: String, batchId: Option[Long]): Snapshot = {
     val head = current(spark, dir)
-    val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    val schema = head.schema
     val cols = schema.fieldNames.toSeq
     require(cols.contains(key), s"merge key $key not in table schema")
 
-    // Per-file pruning probe: a file is touched iff at least one source
-    // key falls inside its [minKey, maxKey] (files without stats are
-    // always touched). The probe is one range join of the source keys
-    // against the BROADCAST file-interval table (metadata-sized: one row
-    // per data file) aggregated down to ≤ |files| ints at the driver —
-    // strictly tighter than a single [lo, hi] interval, which a
-    // changelog with one far-away key (the append-plus-update batch
-    // shape) would blow up to the whole table.
-    val statFiles = head.files.zipWithIndex.collect {
-      case (f, i) if f.minKey.isDefined && f.maxKey.isDefined =>
-        (i, f.minKey.get, f.maxKey.get)
-    }
-    val touchedIdx: Set[Int] =
-      if (statFiles.isEmpty) Set.empty
-      else {
-        import spark.implicits._
-        val ivals = statFiles.toDF("__fi", "__mn", "__mx")
-        source.select(col(key).cast("long").as("__k"))
-          .where(col("__k").isNotNull)
-          .join(broadcast(ivals),
-            col("__k") >= col("__mn") && col("__k") <= col("__mx"))
-          .select("__fi").distinct().collect().map(_.getInt(0)).toSet
+    val src0 = source.where(col(key).isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Per-file pruning probe: a file is touched iff at least one
+      // source key falls inside its [min, max] bounds on the merge key
+      // (footer stats, or the exact partition value when the table is
+      // partitioned on the key; files without bounds are always
+      // touched). The probe is one range join of the source keys
+      // against the BROADCAST file-interval table (metadata-sized: one
+      // row per data file) aggregated down to ≤ |files| ints at the
+      // driver — strictly tighter than a single [lo, hi] interval,
+      // which a changelog with one far-away key (the
+      // append-plus-update batch shape) would blow up to the whole
+      // table.
+      val keyType = schema(key).dataType
+      val statFiles = head.files.zipWithIndex.flatMap { case (fe, i) =>
+        fileBounds(fe, schema, key).flatMap { case (mn, mx) =>
+          keyProbe(keyType).map { case (t, _) => (i, mn, mx, t) }
+        }
       }
-    val (touched, untouched) = head.files.zipWithIndex.partition {
-      case (f, i) => f.minKey.isEmpty || f.maxKey.isEmpty || touchedIdx(i)
-    } match { case (t, u) => (t.map(_._1), u.map(_._1)) }
+      val touchedIdx: Set[Int] =
+        if (statFiles.isEmpty) Set.empty
+        else {
+          val t = statFiles.head._4
+          val ivalSchema = StructType(Seq(
+            StructField("__fi", IntegerType), StructField("__mn", t),
+            StructField("__mx", t)))
+          val rows = statFiles.map { case (i, mn, mx, _) =>
+            Row(i, primExternal(mn, t), primExternal(mx, t))
+          }
+          val ivals = spark.createDataFrame(rows.asJava, ivalSchema)
+          val kexpr = keyProbe(keyType).get._2(col(key))
+          src0.select(kexpr.as("__k"))
+            .join(broadcast(ivals),
+              col("__k") >= col("__mn") && col("__k") <= col("__mx"))
+            .select("__fi").distinct().collect().map(_.getInt(0)).toSet
+        }
+      val boundedIdx = statFiles.map(_._1).toSet
+      val (touched, untouched) = head.files.zipWithIndex.partition {
+        case (_, i) => !boundedIdx(i) || touchedIdx(i)
+      } match { case (t, u) => (t.map(_._1), u.map(_._1)) }
 
-    val srcOp = opCol.map(col).getOrElse(lit("U"))
-    val src = source.select(
-      cols.map(col) :+ lit(1).as("_seq") :+ srcOp.as("_op"): _*)
-    val base = scan(spark, dir,
-        head.copy(files = touched))
-      .select(cols.map(col) :+ lit(0).as("_seq") :+ lit("U").as("_op"): _*)
-    val w = Window.partitionBy(key).orderBy(col("_seq").desc)
-    val rewritten = base.unionAll(src)
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1 && col("_op") =!= "D")
-      .select(cols.map(col): _*)
+      // Source winners: one row per key. Deterministic via seqCol
+      // (desc, stable-hash tiebreak); without seqCol a duplicate key
+      // raises inside the job — the merge never half-applies.
+      val srcOp = opCol.map(col).getOrElse(lit("U"))
+      val winners = seqCol match {
+        case Some(sc) =>
+          val w = Window.partitionBy(key)
+            .orderBy(col(sc).desc, xxhash64(cols.map(col): _*).asc)
+          src0.withColumn("__rn", row_number().over(w))
+            .where(col("__rn") === 1 && srcOp =!= "D")
+            .select(cols.map(col): _*)
+        case None =>
+          val w = Window.partitionBy(key)
+          src0.withColumn("__cnt", count(lit(1)).over(w))
+            .where(when(col("__cnt") > 1, raise_error(concat(
+              lit(s"merge: duplicate source rows for $key="),
+              col(key).cast("string"),
+              lit(" — pre-compact or pass seqCol")))).otherwise(lit(true)))
+            .where(srcOp =!= "D")
+            .select(cols.map(col): _*)
+      }
+      val srcKeys = src0.select(col(key)).distinct()
+      val base = scanWith(spark, dir, touched, schema)
+      val rewritten = base
+        .join(broadcast(srcKeys), Seq(key), "left_anti")
+        .unionByName(winners)
 
-    val staged =
-      if (touched.isEmpty && source.isEmpty) Vector.empty
-      else stage(spark, dir, rewritten, head.statsKey)
-    val snap = Snapshot(head.version + 1, head.version, operation,
-      head.statsKey, head.schemaJson, untouched ++ staged)
-    publish(spark, dir, snap)
-    snap
+      val staged =
+        if (touched.isEmpty && src0.isEmpty) Vector.empty
+        else stage(spark, dir, rewritten, head.statsCols, head.partitionCols)
+      val snap = Snapshot(head.version + 1, head.version, operation,
+        head.statsCols, head.partitionCols,
+        batchId.map(math.max(_, head.lastBatch)).getOrElse(head.lastBatch),
+        head.schemaJson, untouched ++ staged)
+      publish(spark, dir, snap)
+      snap
+    } finally {
+      src0.unpersist()
+    }
   }
+
+  /** Probe-side type plan for the merge key: the Spark column type the
+    * interval frame uses, and how to normalize the source key onto it.
+    * None ⇒ the key type can't be probed (every stat-bearing file is
+    * treated as touched — correct, just unpruned). */
+  private def keyProbe(dt: DataType): Option[(DataType, Column => Column)] =
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some((LongType, _.cast("long")))
+      case FloatType | DoubleType => Some((DoubleType, _.cast("double")))
+      case StringType => Some((StringType, identity[Column] _))
+      case DateType => Some((LongType, c => unix_date(c).cast("long")))
+      case TimestampType => Some((LongType, c => unix_micros(c)))
+      case _ => None
+    }
+
+  /** Pruning primitive → external row value for the interval frame. */
+  private def primExternal(v: Any, t: DataType): Any = (v, t) match {
+    case (x: Long, LongType) => x
+    case (x: Double, DoubleType) => x
+    case (x: String, StringType) => x
+    case _ => sys.error(s"merge probe: $v is not a $t")
+  }
+
+  // ------------------------------------------------------- changes
 
   /** Rows that differ between two snapshots, as a changelog frame:
     * `_change` ∈ ('I', 'D') — a row present in `to` but not `from` is an
     * insert, the reverse a delete (an update appears as its D+I pair).
     * Multiset semantics via a count-compare (EXCEPT ALL shape): two
     * group-by-all-columns aggregates joined full-outer — one exchange
-    * per side, no row-scale driver state. */
+    * per side, no row-scale driver state.
+    *
+    * The diff runs under the WIDER of the two snapshot schemas (the
+    * higher version's — evolution is additive), so after a schema
+    * evolution the old side reads with NULLs in the new columns and
+    * rows differing only there surface correctly. */
   def changes(spark: SparkSession, dir: String, from: Long, to: Long): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val a = readVersion(spark, dir, from)
-    val b = readVersion(spark, dir, to)
-    val cols = a.schema.fieldNames.toSeq
+    val sa = readManifest(spark, dir, from)
+    val sb = readManifest(spark, dir, to)
+    val wide = (if (to >= from) sb else sa).schema
+    val a = scanWith(spark, dir, sa.files, wide)
+    val b = scanWith(spark, dir, sb.files, wide)
+    val cols = wide.fieldNames.toSeq
     val ca = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__na"))
     val cb = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__nb"))
     ca.join(cb, cols, "full_outer")
@@ -474,9 +907,9 @@ object ManifestTable {
     * tagged with the head version so the consumer can checkpoint it and
     * ask again later — the batch-incremental CDC pattern (poll, process
     * the delta, persist `_as_of_version`, repeat) that needs no
-    * streaming machinery. */
+    * streaming machinery. [[graft.streaming.StreamOps.tableChangesFeed]]
+    * wraps exactly this loop with a durable checkpoint. */
   def changesSince(spark: SparkSession, dir: String, sinceVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions._
     val head = current(spark, dir).version
     changes(spark, dir, sinceVersion, head)
       .withColumn("_as_of_version", lit(head))
@@ -490,24 +923,38 @@ object ManifestTable {
     * over by reference. Contents are untouched — a pure layout commit,
     * the OPTIMIZE half of table maintenance (vacuum is the other).
     * No-op (returns the current snapshot, no new version) when fewer
-    * than two small files exist. */
+    * than two small files exist.
+    *
+    * `zorderBy` is the `OPTIMIZE ... ZORDER BY` pairing: one column ⇒
+    * range-partition + sort (tight per-file bounds on it), two columns
+    * ⇒ Morton-interleave via [[graft.operators.ZOrderLayout]] so EVERY
+    * packed file gets tight bounds on BOTH dimensions — the manifest
+    * stats then prune reads filtered on either column. */
   def compact(spark: SparkSession, dir: String, smallBytes: Long = 32L << 20,
-      targetBytes: Long = 128L << 20): Snapshot = {
+      targetBytes: Long = 128L << 20, zorderBy: Seq[String] = Nil): Snapshot = {
     val head = current(spark, dir)
+    val schema = head.schema
+    require(zorderBy.size <= 2 && zorderBy.forall(schema.fieldNames.contains),
+      s"zorderBy must name at most two table columns, got $zorderBy")
     val (small, big) = head.files.partition(_.bytes < smallBytes)
     if (small.size < 2) return head
-    val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
-    val df =
-      if (small.forall(_.rows == 0L))
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(small.map(f => new Path(dir, f.path).toString): _*)
+    val df = scanWith(spark, dir, small, schema)
     val outFiles = math.max(1L,
       (small.iterator.map(_.bytes).sum + targetBytes - 1) / targetBytes).toInt
-    val staged = stage(spark, dir, df.coalesce(outFiles), head.statsKey)
+    val packed = zorderBy match {
+      case Seq(a, b) =>
+        graft.operators.ZOrderLayout.withZ(df, a, b)
+          .repartitionByRange(outFiles, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+      case Seq(a) =>
+        df.repartitionByRange(outFiles, col(a)).sortWithinPartitions(a)
+      case _ => df.coalesce(outFiles)
+    }
+    val staged = stage(spark, dir, packed, head.statsCols, head.partitionCols)
     val snap = Snapshot(head.version + 1, head.version, "compact",
-      head.statsKey, head.schemaJson, big ++ staged)
+      head.statsCols, head.partitionCols, head.lastBatch,
+      head.schemaJson, big ++ staged)
     publish(spark, dir, snap)
     snap
   }
@@ -518,8 +965,10 @@ object ManifestTable {
     * `keepLast` snapshots (older snapshots become unreadable — the
     * usual retention trade). Safe against in-flight commits only if
     * `keepLast ≥ 1` and no writer is staging right now; production
-    * would add an age threshold like every table format does. Returns
-    * the number of data files deleted. */
+    * would add an age threshold like every table format does.
+    * [[mergeBatch]]'s replay check survives vacuum by design: the
+    * batch high-water mark rides the LATEST manifest, which vacuum
+    * always keeps. Returns the number of data files deleted. */
   def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): Long = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val versions = listVersions(spark, dir)
@@ -534,7 +983,11 @@ object ManifestTable {
     var deleted = 0L
     fs.listStatus(dataRoot).foreach { st =>
       if (st.isDirectory && !live.contains(st.getPath.getName)) {
-        val files = fs.listStatus(st.getPath).count(_.getPath.getName.endsWith(".parquet"))
+        val it = fs.listFiles(st.getPath, true)
+        var files = 0L
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) files += 1
+        }
         fs.delete(st.getPath, true)
         deleted += files
       }

@@ -15,6 +15,15 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** The Catalyst expression behind a Column (Spark 4 moved `.expr`
+    * behind the sql-api ColumnNode seam; this runs the classic-side
+    * eager converter, so Column-built comparisons surface as catalyst
+    * `UnresolvedFunction("<=", ...)` nodes rather than an opaque lazy
+    * wrapper) — used by ManifestTable's manifest-level pruning to walk
+    * a filter's predicate tree. */
+  def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Idempotently append a planner strategy to the session. */
   def addStrategy(spark: SparkSession, strategy: SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental

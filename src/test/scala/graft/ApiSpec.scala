@@ -342,7 +342,7 @@ class ApiSpec extends SparkSuite {
   test("table group: manifest-table lifecycle through the facade") {
     val dir = java.nio.file.Files.createTempDirectory("api_mtable").toString
     val a = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
-    Graft.table.create(spark, dir, a, statsKey = Some("k"))
+    Graft.table.create(spark, dir, a, statsCols = Seq("k"))
     Graft.table.append(spark, dir, Seq((3L, "c")).toDF("k", "v"))
     Graft.table.merge(spark, dir,
       Seq((2L, "B", "U"), (1L, "", "D")).toDF("k", "v", "_op"),

@@ -32,14 +32,14 @@ class ManifestTableSpec extends SparkSuite {
     val dir = freshDir("create")
     val df = kv((1L to 100L).map(i => i -> s"row$i"))
     val snap = ManifestTable.create(spark, dir, df.repartition(3),
-      statsKey = Some("k"))
+      statsCols = Seq("k"))
     assert(snap.version == 0L && snap.operation == "create")
     assert(snap.totalRows == 100L)
     assert(snap.files.nonEmpty && snap.files.forall(f => f.rows > 0))
     // footer stats present and jointly covering exactly [1, 100]
-    assert(snap.files.forall(f => f.minKey.isDefined && f.maxKey.isDefined))
-    assert(snap.files.map(_.minKey.get).min == 1L)
-    assert(snap.files.map(_.maxKey.get).max == 100L)
+    assert(snap.files.forall(f => f.longBounds("k").isDefined))
+    assert(snap.files.map(f => f.longBounds("k").get._1).min == 1L)
+    assert(snap.files.map(f => f.longBounds("k").get._2).max == 100L)
     assert(content(dir) == (1L to 100L).map(i => (i, s"row$i")).toSet)
   }
 
@@ -117,7 +117,7 @@ class ManifestTableSpec extends SparkSuite {
     // 4 range-partitioned files over k = 1..400 ⇒ disjoint key ranges
     val base = kv((1L to 400L).map(i => i -> s"v$i"))
       .repartitionByRange(4, col("k"))
-    ManifestTable.create(spark, dir, base, statsKey = Some("k"))
+    ManifestTable.create(spark, dir, base, statsCols = Seq("k"))
     val v0 = ManifestTable.history(spark, dir).last
     assert(v0.files.size == 4)
     // upserts 10..20, deletes 50..60, one insert at 450: the [10, 450]
@@ -142,7 +142,7 @@ class ManifestTableSpec extends SparkSuite {
     val dir = freshDir("prune")
     val base = kv((1L to 400L).map(i => i -> s"v$i"))
       .repartitionByRange(4, col("k"))
-    ManifestTable.create(spark, dir, base, statsKey = Some("k"))
+    ManifestTable.create(spark, dir, base, statsCols = Seq("k"))
     val v0 = ManifestTable.history(spark, dir).last
     // a tight changelog: keys 5..8 only ⇒ exactly ONE file overlaps
     val src = (5L to 8L).map(i => (i, s"N$i", "U")).toDF("k", "v", "_op")
@@ -243,7 +243,7 @@ class ManifestTableSpec extends SparkSuite {
     val dir = freshDir("compact")
     ManifestTable.create(spark, dir,
       kv((1L to 50L).map(i => i -> s"v$i")).repartition(5),
-      statsKey = Some("k"))
+      statsCols = Seq("k"))
     val before = ManifestTable.history(spark, dir).last
     assert(before.files.size == 5)
     val snap = ManifestTable.compact(spark, dir)
@@ -252,7 +252,7 @@ class ManifestTableSpec extends SparkSuite {
     assert(snap.totalRows == 50L)
     assert(content(dir) == (1L to 50L).map(i => (i, s"v$i")).toSet)
     // footer key stats survive the rewrite (MERGE pruning stays sound)
-    assert(snap.files.forall(f => f.minKey.contains(1L) && f.maxKey.contains(50L)))
+    assert(snap.files.forall(_.longBounds("k").contains((1L, 50L))))
     // second compact: one small file left ⇒ structural no-op, no commit
     val again = ManifestTable.compact(spark, dir)
     assert(again.version == 1L)
@@ -311,5 +311,250 @@ class ManifestTableSpec extends SparkSuite {
     assert(ManifestTable.history(spark, dir).map(_.version) == Seq(1L))
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new Path(dir, "data/orphan-commit")))
+  }
+
+  // ---------------------------------------------------------------
+  // round-13 laws: partitioning, typed stats pruning, merge contract,
+  // vacuum-proof replay, widened-schema changes, zorder compact
+  // ---------------------------------------------------------------
+
+  test("partitioned create records per-file partition values; read(filter) " +
+    "prunes to the matching partitions and equals full-scan+filter") {
+    import spark.implicits._
+    val dir = freshDir("part")
+    val df = (1L to 90L).map(i => (i, i % 3, s"r$i")).toDF("k", "b", "v")
+      .union(Seq((91L, -1L, "n1"), (92L, -1L, "n2")).toDF("k", "b", "v")
+        .select(col("k"), lit(null).cast("long").as("b"), col("v")))
+    ManifestTable.create(spark, dir, df.repartition(4, col("b")),
+      statsCols = Seq("k"), partitionCols = Seq("b"))
+    val snap = ManifestTable.history(spark, dir).last
+    assert(snap.partitionCols == Seq("b"))
+    // every file carries a partition entry; values cover 0,1,2 and null
+    assert(snap.files.forall(_.partitions.contains("b")))
+    assert(snap.files.flatMap(_.partitions("b")).toSet == Set("0", "1", "2"))
+    assert(snap.files.exists(_.partitions("b").isEmpty), "null partition file")
+    // partition columns stay IN the data files: full read sees them
+    assert(ManifestTable.read(spark, dir).schema.fieldNames.toSeq
+      == Seq("k", "b", "v"))
+    // pruning on the partition column keeps only matching files
+    val pred = col("b") === 1L
+    val kept = ManifestTable.pruneFiles(snap, pred)
+    assert(kept.nonEmpty && kept.size < snap.files.size,
+      s"kept ${kept.size} of ${snap.files.size}")
+    assert(kept.forall(_.partitions("b").contains("1")))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(rows(ManifestTable.read(spark, dir, pred)) ==
+      rows(ManifestTable.read(spark, dir).where(pred)))
+    // the all-null partition is excluded by any value predicate but
+    // kept (conservatively) for IsNull — equality holds either way
+    val nullPred = col("b").isNull
+    assert(rows(ManifestTable.read(spark, dir, nullPred)) ==
+      Set(91L -> "n1", 92L -> "n2"))
+  }
+
+  test("stats pruning on a range predicate: files outside [min,max] are " +
+    "skipped, unsupported predicates keep everything, results never change") {
+    import spark.implicits._
+    val dir = freshDir("statprune")
+    val base = kv((1L to 400L).map(i => i -> s"v$i"))
+      .repartitionByRange(4, col("k"))
+    ManifestTable.create(spark, dir, base, statsCols = Seq("k"))
+    val snap = ManifestTable.history(spark, dir).last
+    assert(snap.files.size == 4)
+    val kept = ManifestTable.pruneFiles(snap, col("k") <= 100L)
+    assert(kept.size < 4 && kept.nonEmpty, s"kept ${kept.size}")
+    assert(ManifestTable.read(spark, dir, col("k") <= 100L).count() == 100L)
+    // IN-list lands in exactly the covering files
+    val keptIn = ManifestTable.pruneFiles(snap, col("k").isin(5L, 7L))
+    assert(keptIn.size == 1)
+    // disjunction widens, conjunction narrows
+    val keptOr = ManifestTable.pruneFiles(snap,
+      col("k") === 5L || col("k") === 395L)
+    assert(keptOr.size == 2)
+    val keptAnd = ManifestTable.pruneFiles(snap,
+      col("k") > 10L && col("k") < 20L)
+    assert(keptAnd.size == 1)
+    // a predicate the pruner can't bound keeps every file — and the
+    // re-applied filter still makes the result exact
+    val opaque = length(col("v")) > lit(3)
+    assert(ManifestTable.pruneFiles(snap, opaque).size == 4)
+    assert(ManifestTable.read(spark, dir, opaque).count() ==
+      ManifestTable.read(spark, dir).where(opaque).count())
+  }
+
+  test("string and date stats: footer min/max harvested for non-INT64 " +
+    "columns; MERGE prunes on a string key and a date key") {
+    import spark.implicits._
+    val dir = freshDir("strkey")
+    val base = (1 to 400).map(i => (f"key$i%04d", s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+    ManifestTable.create(spark, dir, base, statsCols = Seq("k", "v"))
+    val v0 = ManifestTable.history(spark, dir).last
+    assert(v0.files.size == 4)
+    // string bounds present for BOTH statted columns on every file
+    assert(v0.files.forall(f => f.stats.contains("k") && f.stats.contains("v")))
+    assert(v0.files.map(_.stats("k").min.asInstanceOf[String]).min == "key0001")
+    // a tight changelog on keys key0005..key0008 touches exactly 1 file
+    val src = (5 to 8).map(i => (f"key$i%04d", s"N$i", "U")).toDF("k", "v", "_op")
+    val v1 = ManifestTable.merge(spark, dir, src, "k", opCol = Some("_op"))
+    val carried = v1.files.map(_.path).toSet.intersect(v0.files.map(_.path).toSet)
+    assert(carried.size == 3, s"expected 3 of 4 carried, got ${carried.size}")
+    // and read-side pruning works on the string key too
+    assert(ManifestTable.pruneFiles(v1, col("k") < "key0050").size <
+      v1.files.size)
+
+    val ddir = freshDir("datekey")
+    val d0 = java.time.LocalDate.of(2024, 1, 1)
+    val dbase = (1 to 120).map { i =>
+      (java.sql.Date.valueOf(d0.plusDays(i.toLong)), i.toLong)
+    }.toDF("d", "n").repartitionByRange(4, col("d"))
+    ManifestTable.create(spark, ddir, dbase, statsCols = Seq("d"))
+    val dv0 = ManifestTable.history(spark, ddir).last
+    assert(dv0.files.forall(_.stats.contains("d")), "date stats harvested")
+    val dsrc = (5 to 8).map { i =>
+      (java.sql.Date.valueOf(d0.plusDays(i.toLong)), -i.toLong, "U")
+    }.toDF("d", "n", "_op")
+    val dv1 = ManifestTable.merge(spark, ddir, dsrc, "d", opCol = Some("_op"))
+    val dcarried = dv1.files.map(_.path).toSet
+      .intersect(dv0.files.map(_.path).toSet)
+    assert(dcarried.size == 3, s"date merge carried ${dcarried.size}")
+    // date-literal pruning on the read path
+    val cutoff = java.sql.Date.valueOf(d0.plusDays(15))
+    assert(ManifestTable.pruneFiles(dv1, col("d") <= lit(cutoff)).size <
+      dv1.files.size)
+    assert(ManifestTable.read(spark, ddir, col("d") <= lit(cutoff)).count()
+      == 15L)
+  }
+
+  test("merge: a duplicate-key source without seqCol fails loudly and " +
+    "commits nothing; with seqCol the highest sequence wins " +
+    "deterministically") {
+    import spark.implicits._
+    val dir = freshDir("dupsrc")
+    ManifestTable.create(spark, dir, kv(Seq(1L -> "a")))
+    val dup = Seq((2L, "x"), (2L, "y")).toDF("k", "v")
+    val e = intercept[Exception] {
+      ManifestTable.merge(spark, dir, dup, "k")
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("duplicate source rows"), rootMsg(e))
+    assert(ManifestTable.latestVersion(spark, dir).contains(0L),
+      "failed merge must not commit")
+    // seqCol: latest sequence wins, and the outcome is deterministic
+    val seqd = Seq((2L, "x", 1L), (2L, "y", 2L), (3L, "z", 1L))
+      .toDF("k", "v", "s")
+    ManifestTable.merge(spark, dir, seqd, "k", seqCol = Some("s"))
+    assert(content(dir) == Set(1L -> "a", 2L -> "y", 3L -> "z"))
+    // same-source replay on a fresh table resolves identically
+    val dir2 = freshDir("dupsrc2")
+    ManifestTable.create(spark, dir2, kv(Seq(1L -> "a")))
+    ManifestTable.merge(spark, dir2, seqd, "k", seqCol = Some("s"))
+    assert(content(dir2) == content(dir))
+  }
+
+  test("merge touches only keys present in the source: pre-existing " +
+    "duplicate-key and null-key base rows pass through unchanged") {
+    import spark.implicits._
+    val dir = freshDir("dupbase")
+    val base = Seq((1L, "old"), (5L, "d1"), (5L, "d2")).toDF("k", "v")
+      .unionAll(Seq("nk").toDF("v")
+        .select(lit(null).cast("long").as("k"), col("v")))
+    ManifestTable.create(spark, dir, base.coalesce(1))
+    val src = Seq((1L, "new", "U")).toDF("k", "v", "_op")
+    ManifestTable.merge(spark, dir, src, "k", opCol = Some("_op"))
+    val got = ManifestTable.read(spark, dir).collect()
+      .map(r => (if (r.isNullAt(0)) -999L else r.getLong(0), r.getString(1)))
+      .toSeq.sortBy(x => (x._1, x._2))
+    assert(got == Seq((-999L, "nk"), (1L, "new"), (5L, "d1"), (5L, "d2")),
+      got.toString)
+  }
+
+  test("mergeBatch replay is O(1) and survives vacuum: the batch " +
+    "high-water mark rides the latest manifest") {
+    import spark.implicits._
+    val dir = freshDir("hwm")
+    ManifestTable.create(spark, dir, kv(Seq(1L -> "a")))
+    ManifestTable.mergeBatch(spark, dir, Seq((2L, "b")).toDF("k", "v"),
+      "k", batchId = 0L)
+    ManifestTable.mergeBatch(spark, dir, Seq((3L, "c")).toDF("k", "v"),
+      "k", batchId = 1L)
+    assert(ManifestTable.latestVersion(spark, dir).contains(2L))
+    // vacuum away the manifests that recorded batches 0 and 1
+    ManifestTable.vacuum(spark, dir, keepLast = 1)
+    assert(ManifestTable.history(spark, dir).map(_.version) == Seq(2L))
+    // replay of either id after vacuum: still a structural no-op
+    val r0 = ManifestTable.mergeBatch(spark, dir,
+      Seq((2L, "b")).toDF("k", "v"), "k", batchId = 0L)
+    assert(r0.version == 2L)
+    val r1 = ManifestTable.mergeBatch(spark, dir,
+      Seq((3L, "c")).toDF("k", "v"), "k", batchId = 1L)
+    assert(r1.version == 2L)
+    assert(ManifestTable.latestVersion(spark, dir).contains(2L))
+    // a genuinely new id still commits, and advances the mark
+    val s3 = ManifestTable.mergeBatch(spark, dir,
+      Seq((4L, "d")).toDF("k", "v"), "k", batchId = 2L)
+    assert(s3.version == 3L && s3.lastBatch == 2L)
+    assert(content(dir) == Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+  }
+
+  test("changes() diffs under the widened (later) schema: rows differing " +
+    "only in evolved columns surface, new columns appear with NULLs") {
+    import spark.implicits._
+    val dir = freshDir("chgevolve")
+    ManifestTable.create(spark, dir, kv(Seq(1L -> "a")))
+    // overwrite with the SAME (k, v) but a new column carrying data:
+    // under the old-schema diff this was invisibly "no change"
+    ManifestTable.overwrite(spark, dir, Seq((1L, "a", 7.5)).toDF("k", "v", "w"))
+    val got = ManifestTable.changes(spark, dir, 0L, 1L).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getString(3)))
+      .toSet
+    assert(got == Set((1L, "a", None, "D"), (1L, "a", Some(7.5), "I")), got)
+  }
+
+  test("compact(zorderBy) packs files with tight bounds on BOTH " +
+    "dimensions; a second-dimension filter then prunes") {
+    import spark.implicits._
+    val dir = freshDir("zorder")
+    // 32×32 grid written linear-in-x: every file spans the full y domain
+    val grid = (for (x <- 0L until 32L; y <- 0L until 32L)
+      yield (x, y, x * 32 + y)).toDF("x", "y", "payload")
+    ManifestTable.create(spark, dir, grid.repartitionByRange(4, col("x")),
+      statsCols = Seq("x", "y"))
+    val before = ManifestTable.history(spark, dir).last
+    def spans(s: ManifestTable.Snapshot, c: String): Seq[Long] =
+      s.files.flatMap(_.longBounds(c)).map { case (mn, mx) => mx - mn }
+    assert(spans(before, "y").forall(_ == 31L), "linear layout spans full y")
+    // ... so nothing is prunable on y before the layout commit
+    assert(ManifestTable.pruneFiles(before, col("y") < 8L).size ==
+      before.files.size)
+    // pack into ~4 z-ordered files
+    val target = math.max(1L, before.totalBytes / 4)
+    val packed = ManifestTable.compact(spark, dir, smallBytes = 32L << 20,
+      targetBytes = target, zorderBy = Seq("x", "y"))
+    assert(packed.operation == "compact" && packed.files.size >= 2)
+    assert(packed.totalRows == 1024L)
+    // Morton ranges: most packed files sit inside one y half-plane and
+    // the y spans strictly shrink overall (range boundaries may
+    // straddle a quadrant, so per-file tightness is majority, not all;
+    // x gives up SOME of its former sorted tightness — that is the
+    // z-order trade)
+    assert(spans(packed, "y").count(_ <= 16L) * 2 >= packed.files.size,
+      spans(packed, "y").toString)
+    assert(spans(packed, "y").sum < spans(before, "y").sum,
+      s"${spans(packed, "y")} !< ${spans(before, "y")}")
+    // the user-visible property: BOTH dimensions now prune at the
+    // manifest (before, y pruned nothing)
+    assert(ManifestTable.pruneFiles(packed, col("x") < 8L).size <
+      packed.files.size)
+    val kept = ManifestTable.pruneFiles(packed, col("y") < 8L)
+    assert(kept.size < packed.files.size, s"kept ${kept.size}")
+    assert(ManifestTable.read(spark, dir, col("y") < 8L).count() == 32L * 8L)
+    // contents untouched — the v(before)→v(packed) changelog is empty
+    assert(ManifestTable.changes(spark, dir, before.version,
+      packed.version).count() == 0L)
   }
 }

@@ -1137,7 +1137,7 @@ class MarqueeStressSpec extends AnyFunSuite {
       (xxhash64(col("id")) % 1000L).as("v"))
       .repartitionByRange(16, col("k"))
     val (v0, createSecs) = timed(
-      ManifestTable.create(spark, dir, base, statsKey = Some("k")))
+      ManifestTable.create(spark, dir, base, statsCols = Seq("k")))
     assert(v0.files.size == 16 && v0.totalRows == n)
 
     // pre-compacted changelog (one row per key, the merge contract):
