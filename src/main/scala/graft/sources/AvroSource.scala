@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
@@ -112,7 +111,17 @@ object AvroSource {
   // ------------------------------------------------------------ write
 
   /** Write `df` as Avro container files under `dir` (one file per
-    * partition, deflate-compressed). Returns the file count. */
+    * partition, deflate-compressed). Returns the number of files
+    * COMMITTED.
+    *
+    * Task-commit protocol — a failed-then-retried or speculative task
+    * attempt must never corrupt or duplicate data: every attempt
+    * writes to a dot-prefixed in-progress name (which [[read]] never
+    * lists) and publishes by renaming onto the DETERMINISTIC final
+    * name `part-<pid>.avro`. The first successful attempt wins the
+    * rename; a later attempt finding the final name taken discards
+    * its temp and reports 0. A crashed attempt leaves only dot-temp
+    * litter that the retry overwrites and readers ignore. */
   def write(df: DataFrame, dir: String): Long = {
     val spark = df.sparkSession
     val st = df.schema
@@ -124,11 +133,12 @@ object AvroSource {
       if (it.isEmpty) Iterator.empty
       else {
         val schema = new Schema.Parser().parse(avroJson)
-        val p = new Path(dir, f"part-$pid%05d-${UUID.randomUUID()}.avro")
-        val fs = p.getFileSystem(hconf.value)
+        val fin = new Path(dir, f"part-$pid%05d.avro")
+        val tmp = new Path(dir, f".part-$pid%05d.avro.inprogress")
+        val fs = fin.getFileSystem(hconf.value)
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
         w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
-        w.create(schema, fs.create(p, false))
+        w.create(schema, fs.create(tmp, true))
         try {
           it.foreach { row =>
             val rec = new GenericData.Record(schema)
@@ -141,7 +151,14 @@ object AvroSource {
             w.append(rec)
           }
         } finally w.close()
-        Iterator.single(1L)
+        val committed =
+          if (fs.rename(tmp, fin)) 1L
+          else {
+            fs.delete(tmp, false)
+            if (fs.exists(fin)) 0L // sibling attempt already published
+            else throw new java.io.IOException(s"avro commit failed: $fin")
+          }
+        Iterator.single(committed)
       }
     }.fold(0L)(_ + _)
     written

@@ -845,4 +845,49 @@ object StreamOps {
     graft.table.ManifestTable.mergeBatch(spark, dir, batch, key, batchId, opCol)
     ()
   }
+
+  /** Micro-batch READER for the manifest-table change feed
+    * (s_stream_table_feed) — the table becomes a stream SOURCE, not
+    * just a sink. The checkpointed snapshot VERSION is the stream
+    * offset, persisted as one tiny file: each poll reads it, diffs
+    * (checkpointed, head] via [[graft.table.ManifestTable.changes]],
+    * hands the I/D delta (tagged `_as_of_version` = head) to
+    * `onBatch`, and advances the checkpoint only AFTER onBatch
+    * returns — at-least-once delivery, so onBatch must be idempotent
+    * (exactly the foreachBatch sink contract; pair with
+    * [[tableMergeBatch]] downstream for exactly-once end-to-end).
+    * onBatch is NOT called when no commit landed since the offset.
+    * Returns the checkpointed version after the poll.
+    *
+    * Scale shape: the delta is two group-by-all-columns aggregates
+    * full-outer-joined (one exchange per side, no row-scale driver
+    * state); reader progress is one version number in one file, so a
+    * consumer can poll a 100 TB table from any single process. */
+  def pollTableChanges(spark: org.apache.spark.sql.SparkSession, dir: String,
+      checkpoint: String)(onBatch: (DataFrame, Long) => Unit): Long = {
+    import org.apache.hadoop.fs.Path
+    val cp = new Path(checkpoint)
+    val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val since: Long =
+      if (!fs.exists(cp)) 0L
+      else {
+        val in = fs.open(cp)
+        val bytes = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+          out.toByteArray
+        } finally in.close()
+        new String(bytes, "UTF-8").trim.toLong
+      }
+    graft.table.ManifestTable.latestVersion(spark, dir) match {
+      case Some(head) if head > since =>
+        val delta = graft.table.ManifestTable.changes(spark, dir, since, head)
+          .withColumn("_as_of_version", lit(head))
+        onBatch(delta, head)
+        val out = fs.create(cp, true)
+        try out.write(head.toString.getBytes("UTF-8")) finally out.close()
+        head
+      case _ => since
+    }
+  }
 }

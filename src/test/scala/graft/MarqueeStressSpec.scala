@@ -1173,4 +1173,45 @@ class MarqueeStressSpec extends AnyFunSuite {
       s"rewrote ${staged.size} files / $rewrittenRows rows, " +
       s"carried ${carried.size} by reference")
   }
+
+  test("ManifestTable pruned read: 1M rows, 32 day-partitions — files " +
+    "scanned ride the predicate's selectivity, never the table", Marquee) {
+    // The read-path half of the lakehouse 100 TB claim: the skip
+    // decision is manifest-metadata-only, so a one-partition predicate
+    // over a 32-partition table must plan a scan over ~1/32nd of the
+    // file set, and kept-file volume must grow linearly with predicate
+    // selectivity. (The WHERE-day=X-prunes expectation every lakehouse
+    // user starts from — round-13 verdict item 1.)
+    import graft.table.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("mq_mtpart").toString
+    val n = 1000000L
+    val base = spark.range(n).select(col("id").as("k"),
+      (col("id") % 32L).as("day"),
+      xxhash64(col("id")).as("v"))
+      .repartition(32, col("day"))
+    val (v0, createSecs) = timed(ManifestTable.create(spark, dir, base,
+      statsCols = Seq("k"), partitionCols = Seq("day")))
+    assert(v0.totalRows == n)
+    // one-partition predicate: kept files ≈ 1/32nd (each day is written
+    // by exactly one task ⇒ one file per day at this layout)
+    val one = ManifestTable.pruneFiles(v0, col("day") === 7L)
+    assert(one.nonEmpty && one.forall(_.partitions("day").contains("7")))
+    assert(one.size.toDouble / v0.files.size <= 2.0 / 32,
+      s"kept ${one.size} of ${v0.files.size} files for a 1/32 predicate")
+    // selectivity sweep: kept-file volume grows with selected days
+    val sweep = Seq(1, 4, 16).map(d =>
+      ManifestTable.pruneFiles(v0, col("day") < d.toLong).size)
+    assert(sweep(0) < sweep(1) && sweep(1) < sweep(2), sweep.toString)
+    assert(sweep(2) <= v0.files.size * 16 / 32 + 1, sweep.toString)
+    // the pruned scan is exact, and a stats-column predicate composes
+    val (cnt, scanSecs) = timed(
+      ManifestTable.read(spark, dir, col("day") === 7L).count())
+    assert(cnt == n / 32)
+    assert(ManifestTable.read(spark, dir,
+      col("day") === 7L && col("k") < 1000L).count() ==
+      (0L until 1000L).count(_ % 32 == 7))
+    info(f"1M-row partitioned create $createSecs%.1f s; pruned scan " +
+      f"$scanSecs%.1f s over ${one.size}/${v0.files.size} files; " +
+      s"selectivity sweep 1/4/16 days -> ${sweep.mkString("/")} files")
+  }
 }

@@ -1424,4 +1424,56 @@ class StreamingSpec extends SparkSuite {
       Seq((4L, 40L, "U")).toDF("k", "v", "_op"), 2L)
     assert(state == Set(2L -> 25L, 3L -> 30L, 4L -> 40L))
   }
+
+  test("s_stream_table_feed: the change feed streams back OUT of the " +
+    "table — polled deltas replay to the exact final state, the offset " +
+    "is durable, an idle poll emits nothing") {
+    import spark.implicits._
+    import graft.table.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("mtable_feed").toString
+    val cp = java.nio.file.Files.createTempDirectory("mtable_feedcp")
+      .toString + "/offset"
+    ManifestTable.create(spark, dir, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    ManifestTable.mergeBatch(spark, dir,
+      Seq((2L, 25L, "U"), (3L, 30L, "U")).toDF("k", "v", "_op"),
+      "k", batchId = 0L, opCol = Some("_op"))
+    var polls = Vector.empty[(Set[(Long, Long, String)], Long)]
+    def poll(): Long = StreamOps.pollTableChanges(spark, dir, cp) { (df, v) =>
+      assert(df.columns.toSeq == Seq("k", "v", "_change", "_as_of_version"))
+      polls :+= ((df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).toSet, v))
+    }
+    // first poll: everything since v0, tagged with the head version
+    assert(poll() == 1L)
+    assert(polls.map(_._2) == Vector(1L))
+    assert(polls.head._1 ==
+      Set((2L, 20L, "D"), (2L, 25L, "I"), (3L, 30L, "I")))
+    // idle poll: no new commit ⇒ no emission, durable offset unchanged
+    assert(poll() == 1L && polls.size == 1)
+    // new commit ⇒ ONLY the new delta (incremental, not cumulative)
+    ManifestTable.mergeBatch(spark, dir,
+      Seq((1L, 0L, "D")).toDF("k", "v", "_op"), "k",
+      batchId = 1L, opCol = Some("_op"))
+    assert(poll() == 2L)
+    assert(polls.size == 2 && polls(1)._1 == Set((1L, 10L, "D")))
+    // round trip: v0 content + every polled delta == the live table,
+    // and the poll union == the batch changes(0, head) — sink and
+    // source halves of the lakehouse seam agree
+    val replayed = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    ManifestTable.readVersion(spark, dir, 0L).collect()
+      .foreach(r => replayed((r.getLong(0), r.getLong(1))) += 1)
+    polls.flatMap(_._1.toSeq).foreach {
+      case (k, v, "I") => replayed((k, v)) += 1
+      case (k, v, "D") => replayed((k, v)) -= 1
+      case other => fail(s"unexpected change row $other")
+    }
+    val live = ManifestTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replayed.filter(_._2 != 0L).keySet == live)
+    assert(replayed.values.forall(n => n == 0L || n == 1L))
+    val batchDiff = ManifestTable.changes(spark, dir, 0L, 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(polls.iterator.map(_._1).reduce(_ ++ _) == batchDiff)
+  }
 }
