@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.core.{Dsl, Q, Scratch, Tables}
 import graft.table.ManifestTable
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** ACID-table queries over [[graft.table.ManifestTable]] — the
@@ -89,13 +88,14 @@ object TableQueries {
           lit("U").as("_op"),
           ((col("k") % 700).cast(Dsl.DFac)
             + lit(2.5).cast(Dsl.DFac)).cast(P).as("p"))
-      // CDC pre-compaction: one row per key, latest sequence wins
-      // (update+delete collisions resolve to the delete, seq 2)
-      val w = Window.partitionBy("k").orderBy(col("seq").desc)
+      // CDC resolution (one row per key, latest sequence wins —
+      // update+delete collisions resolve to the delete, seq 2) is
+      // MERGE's own seqCol contract: one window pass inside the
+      // operator instead of a pre-compaction shuffle plus a second
+      // uniqueness window
       val changelog = upd.union(del).union(ins)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select("k", "p", "_op")
-      ManifestTable.merge(s, dir, changelog, "k", opCol = Some("_op"))
+      ManifestTable.merge(s, dir, changelog, "k", opCol = Some("_op"),
+        seqCol = Some("seq"))
       ManifestTable.read(s, dir)
         .groupBy((col("k") % 10).as("bucket"))
         .agg(count(lit(1)).as("n_rows"),
@@ -159,11 +159,9 @@ object TableQueries {
           lit("U").as("_op"),
           ((col("k") % 700).cast(Dsl.DFac)
             + lit(2.5).cast(Dsl.DFac)).cast(P).as("p"))
-      val w = Window.partitionBy("k").orderBy(col("seq").desc)
       val changelog = upd.union(del).union(ins)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select("k", "p", "_op")
-      ManifestTable.merge(s, dir, changelog, "k", opCol = Some("_op"))
+      ManifestTable.merge(s, dir, changelog, "k", opCol = Some("_op"),
+        seqCol = Some("seq"))
       ManifestTable.changes(s, dir, 0L, 1L)
         .groupBy("_change")
         .agg(count(lit(1)).as("n_rows"),

@@ -375,21 +375,34 @@ object ManifestTable {
       if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
         found += st
     }
-    found.result().sortBy(_.getPath.toString).map { st =>
-      val sub = st.getPath.toString.stripPrefix(absQ).stripPrefix("/")
-      val parts = sub.split('/').init.flatMap { comp =>
-        val eq = comp.indexOf('=')
-        if (eq < 0) None
-        else {
-          val name = comp.substring(0, eq).stripPrefix(PartPrefix)
-          val raw = ExternalCatalogUtils.unescapePathName(comp.substring(eq + 1))
-          Some(name -> (if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
-            None else Some(raw)))
-        }
-      }.toMap
-      val (rows, stats) = footerStats(c, st.getPath, statsCols)
-      FileEntry(s"$rel/$sub", rows, st.getLen, stats, parts)
-    }
+    val sealed0 = found.result().sortBy(_.getPath.toString)
+    // footer sweep: metadata-sized but LATENCY-bound (one footer open
+    // per file) — run it on a small driver pool so a many-file commit
+    // pays max(latency), not sum(latency)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, sealed0.size)))
+    val entries = try {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val fut = Future.traverse(sealed0.toVector) { st => Future {
+        val sub = st.getPath.toString.stripPrefix(absQ).stripPrefix("/")
+        val parts = sub.split('/').init.flatMap { comp =>
+          val eq = comp.indexOf('=')
+          if (eq < 0) None
+          else {
+            val name = comp.substring(0, eq).stripPrefix(PartPrefix)
+            val raw = ExternalCatalogUtils.unescapePathName(comp.substring(eq + 1))
+            Some(name -> (if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+              None else Some(raw)))
+          }
+        }.toMap
+        val (rows, stats) = footerStats(c, st.getPath, statsCols)
+        FileEntry(s"$rel/$sub", rows, st.getLen, stats, parts)
+      }}
+      Await.result(fut, Duration.Inf)
+    } finally pool.shutdown()
+    entries
   }
 
   /** Atomic publish: dot-tmp write + putIfAbsent onto the versioned
@@ -763,7 +776,26 @@ object ManifestTable {
     val cols = schema.fieldNames.toSeq
     require(cols.contains(key), s"merge key $key not in table schema")
 
+    // Resolve the source ONCE — a single key-partitioned window pass
+    // (the only shuffle the source ever takes), cached; the pruning
+    // probe, the anti-join key set and the winner rows are all derived
+    // from this cache. One row per key with its resolved _op.
+    val srcOp = opCol.map(col).getOrElse(lit("U"))
     val src0 = source.where(col(key).isNotNull)
+    val resolved = (seqCol match {
+      case Some(sc) =>
+        val w = Window.partitionBy(key)
+          .orderBy(col(sc).desc, xxhash64(cols.map(col): _*).asc)
+        src0.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1)
+      case None =>
+        val w = Window.partitionBy(key)
+        src0.withColumn("__cnt", count(lit(1)).over(w))
+          .where(when(col("__cnt") > 1, raise_error(concat(
+            lit(s"merge: duplicate source rows for $key="),
+            col(key).cast("string"),
+            lit(" — pre-compact or pass seqCol")))).otherwise(lit(true)))
+    }).select(cols.map(col) :+ srcOp.as("__op"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // Per-file pruning probe: a file is touched iff at least one
@@ -795,7 +827,7 @@ object ManifestTable {
           }
           val ivals = spark.createDataFrame(rows.asJava, ivalSchema)
           val kexpr = keyProbe(keyType).get._2(col(key))
-          src0.select(kexpr.as("__k"))
+          resolved.select(kexpr.as("__k"))
             .join(broadcast(ivals),
               col("__k") >= col("__mn") && col("__k") <= col("__mx"))
             .select("__fi").distinct().collect().map(_.getInt(0)).toSet
@@ -805,35 +837,22 @@ object ManifestTable {
         case (_, i) => !boundedIdx(i) || touchedIdx(i)
       } match { case (t, u) => (t.map(_._1), u.map(_._1)) }
 
-      // Source winners: one row per key. Deterministic via seqCol
-      // (desc, stable-hash tiebreak); without seqCol a duplicate key
-      // raises inside the job — the merge never half-applies.
-      val srcOp = opCol.map(col).getOrElse(lit("U"))
-      val winners = seqCol match {
-        case Some(sc) =>
-          val w = Window.partitionBy(key)
-            .orderBy(col(sc).desc, xxhash64(cols.map(col): _*).asc)
-          src0.withColumn("__rn", row_number().over(w))
-            .where(col("__rn") === 1 && srcOp =!= "D")
-            .select(cols.map(col): _*)
-        case None =>
-          val w = Window.partitionBy(key)
-          src0.withColumn("__cnt", count(lit(1)).over(w))
-            .where(when(col("__cnt") > 1, raise_error(concat(
-              lit(s"merge: duplicate source rows for $key="),
-              col(key).cast("string"),
-              lit(" — pre-compact or pass seqCol")))).otherwise(lit(true)))
-            .where(srcOp =!= "D")
-            .select(cols.map(col): _*)
-      }
-      val srcKeys = src0.select(col(key)).distinct()
+      // Rewrite = broadcast ANTI join (touched rows whose key appears
+      // in the source are dropped) ∪ non-delete winners. The table
+      // side is never shuffled, and the output is coalesced back to
+      // touched-file granularity so a merge PRESERVES the table's file
+      // layout instead of splintering it (and the footer sweep stays
+      // proportional to touched files).
+      val winners = resolved.where(col("__op") =!= "D").select(cols.map(col): _*)
+      val srcKeys = resolved.select(col(key))
       val base = scanWith(spark, dir, touched, schema)
       val rewritten = base
         .join(broadcast(srcKeys), Seq(key), "left_anti")
         .unionByName(winners)
+        .coalesce(math.max(touched.size, 1))
 
       val staged =
-        if (touched.isEmpty && src0.isEmpty) Vector.empty
+        if (touched.isEmpty && resolved.isEmpty) Vector.empty
         else stage(spark, dir, rewritten, head.statsCols, head.partitionCols)
       val snap = Snapshot(head.version + 1, head.version, operation,
         head.statsCols, head.partitionCols,
@@ -842,7 +861,7 @@ object ManifestTable {
       publish(spark, dir, snap)
       snap
     } finally {
-      src0.unpersist()
+      resolved.unpersist()
     }
   }
 
