@@ -149,7 +149,7 @@ object IvfPq {
     * (a_id, b_id, sim, rnk), the [[IvfCosine.query]] shape. */
   def query(index: IvfPqIndex, embeddings: DataFrame, k: Int,
             anchorPred: Column, nprobe: Int = 4,
-            shortlist: Int = 64): DataFrame = {
+            shortlist: Int = 256): DataFrame = {
     val spark = index.codes.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions.dot
@@ -231,10 +231,19 @@ object IvfPq {
       .count()
   }
 
-  /** One-shot build + query (cap_sim_ivfpq). */
+  /** One-shot build + query (cap_sim_ivfpq).
+    *
+    * Default `shortlist` = 256 (round 13): the measured recall ceiling
+    * is SHORTLIST-bound, not probe- or code-bound — at full probe,
+    * widening the exact re-rank 64→256 moves recall@5 0.814→0.996,
+    * while at the default half-corpus probe it moves 0.678→0.748
+    * (tools/bench_evidence/r13_ann_recall.md). The re-rank is
+    * `shortlist` exact dot products per anchor — noise at any scale —
+    * so the wider shortlist is the cheapest recall lever, ahead of
+    * nprobe (linear candidate cost) and m (ADC precision). */
   def topK(embeddings: DataFrame, k: Int, anchorPred: Column,
            cells: Int = 8, m: Int = 8, ksub: Int = 16, nprobe: Int = 4,
-           shortlist: Int = 64): DataFrame =
+           shortlist: Int = 256): DataFrame =
     query(buildIndex(embeddings, cells, m, ksub), embeddings, k,
       anchorPred, nprobe, shortlist)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
 
 /** Recall gate for the ANN scale path + multimodal plumbing checks.
-  * Gates are measured-headroom values (round 12): first-run recalls
+  * Gates are measured-headroom values (round 13, shortlist=256): first-run recalls
   * 0.886 (LSH) / 0.786 (IVF) / 0.714 (IVF-PQ) / 0.680 (append) minus a
   * ~0.05 tie-order noise margin — the full trade-off curve lives in
   * RecallSpec + tools/bench_evidence/r12_ann_recall.md. */
@@ -47,7 +47,7 @@ class AnnSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & pq).size.toDouble / exact.size
     info(f"IVF-PQ recall vs exact top-5: $recall%.3f")
-    assert(recall >= 0.66, f"recall $recall%.3f below 0.66")
+    assert(recall >= 0.72, f"recall $recall%.3f below 0.72")
   }
 
   test("IVF-PQ index survives a parquet save/load round-trip (query-equal)") {
@@ -107,7 +107,7 @@ class AnnSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & got).size.toDouble / exact.size
     info(f"appended-anchor recall vs exact top-5: $recall%.3f")
-    assert(recall >= 0.63, f"recall $recall%.3f below 0.63 after append")
+    assert(recall >= 0.70, f"recall $recall%.3f below 0.70 after append")
     // persistent path: appendToDir grows codes only; load sees the union
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
     graft.operators.IvfPq.save(built, dir)

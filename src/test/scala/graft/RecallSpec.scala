@@ -50,8 +50,12 @@ class RecallSpec extends SparkSuite {
     val grid = ms.map { m =>
       val idx = graft.operators.IvfPq.buildIndex(emb, cells = 8, m = m)
       m -> nprobes.map { np =>
+        // shortlist pinned to the r12 measurement width (64): this grid
+        // characterizes the PROBE-bound regime; the shortlist-bound
+        // regime is the next test's subject (and the 256 default)
         val got = graft.operators.IvfPq
-          .query(idx, emb, k = 5, anchorPred = anchorPred, nprobe = np)
+          .query(idx, emb, k = 5, anchorPred = anchorPred, nprobe = np,
+            shortlist = 64)
           .select("a_id", "b_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         val recall = (exact & got).size.toDouble / exact.size
@@ -80,5 +84,50 @@ class RecallSpec extends SparkSuite {
       assert(grid(m)(4) >= grid(m)(2) - 0.02,
         f"m=$m: recall fell 2->4 probes: ${grid(m)(2)}%.3f -> ${grid(m)(4)}%.3f")
     }
+  }
+
+  test("cells axis + shortlist decomposition: recall rides the PROBED " +
+    "FRACTION, and the full-probe ceiling is shortlist-bound") {
+    // Round-13 verdict item 8. Measured law (r13_ann_recall.md): at
+    // equal probed fraction nprobe/cells, recall is the same within
+    // noise whether the corpus is cut into 8 or 16 cells — the coarse
+    // quantizer's granularity is a COST knob (finer cells = cheaper
+    // probes at the same fraction), not a recall knob. And the
+    // full-probe ceiling (~0.81 at shortlist 64) is the exact re-rank
+    // WIDTH, not PQ distortion: shortlist 256 at full probe reaches
+    // ~0.99, which is why 256 is the production default.
+    val d = sf("0.01")
+    val emb = Tables.embeddings(spark, d)
+    val anchorPred = col("vec_id") < 100
+    val exact = SparkEntry.queries("q_sim_cosine_topk")(spark, d)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(cells: Int, np: Int, sl: Int): Double = {
+      val idx = graft.operators.IvfPq.buildIndex(emb, cells = cells, m = 8)
+      val got = graft.operators.IvfPq
+        .query(idx, emb, k = 5, anchorPred = anchorPred, nprobe = np,
+          shortlist = sl)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    // probed-fraction equivalence at 50% and 100% (0.08 pairing noise:
+    // different cell boundaries shuffle which neighbors fall in-probe)
+    val half8 = recallOf(8, 4, 64); val half16 = recallOf(16, 8, 64)
+    val full8 = recallOf(8, 8, 64); val full16 = recallOf(16, 16, 64)
+    info(f"50%% probed: cells=8 $half8%.3f vs cells=16 $half16%.3f")
+    info(f"100%% probed: cells=8 $full8%.3f vs cells=16 $full16%.3f")
+    assert(math.abs(half8 - half16) <= 0.08, f"$half8%.3f vs $half16%.3f")
+    assert(math.abs(full8 - full16) <= 0.04, f"$full8%.3f vs $full16%.3f")
+    // the ceiling is shortlist-bound: widening the exact re-rank at
+    // full probe must recover nearly all of the exact top-5
+    val fullWide = recallOf(8, 8, 256)
+    info(f"full probe, shortlist 256: $fullWide%.3f")
+    assert(fullWide >= 0.95, f"shortlist-bound ceiling law: $fullWide%.3f")
+    assert(fullWide >= full8 + 0.1, "widening the shortlist must beat " +
+      f"the sl=64 ceiling: $fullWide%.3f vs $full8%.3f")
+    // floors from the committed r13 first run, minus 0.05
+    assert(half16 >= 0.68, f"cells=16 np=8: $half16%.3f")
+    assert(full8 >= 0.76, f"cells=8 np=8: $full8%.3f")
   }
 }
