@@ -35,7 +35,8 @@ object SparkEntry {
       EntropyQueries.all ++
       InsightQueries.all ++
       GovernanceQueries.all ++
-      TableQueries.all
+      TableQueries.all ++
+      ResampleQueries.all
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

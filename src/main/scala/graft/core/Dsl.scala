@@ -32,6 +32,23 @@ object Dsl {
 
   def dec(c: Column): Column = c.cast(DFac)
 
+  /** Dual-parsable hex→int over the first 6 hex digits of a lowercase
+    * hex STRING column named `h` (e.g. a prior CTE's md5): positional
+    * ascii arithmetic, because the engines' native converters don't
+    * cross-parse (Spark `conv` / DuckDB `'0x'||` casts). 0 ≤ v < 16⁶ —
+    * the seeded-uniform primitive for resampling oracles. The Spark
+    * DataFrame side uses [[hex6]] (conv-based, same value). */
+  def hex6Sql(h: String): String =
+    (1 to 6).map { i =>
+      s"(ascii(substr($h, $i, 1)) - CASE WHEN substr($h, $i, 1) >= 'a' " +
+        s"THEN 87 ELSE 48 END) * ${1L << (4 * (6 - i))}"
+    }.mkString("(", " + ", ")")
+
+  /** DataFrame twin of [[hex6Sql]]. */
+  def hex6(h: Column): Column =
+    org.apache.spark.sql.functions.conv(
+      org.apache.spark.sql.functions.substring(h, 1, 6), 16, 10).cast("long")
+
   /** Exact order-independent sum of a ≤2-decimal DOUBLE column, pinned to
     * DECIMAL(18,4) so the Spark and DuckDB output schemas agree. */
   def dsum(c: Column): Column = sum(c.cast(D18)).cast(D18)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative score propagation (PageRank) as pure DataFrame iterations —
@@ -76,6 +76,59 @@ object PageRank {
       .distinct()
     pairs.select(col("s").as("src"), col("c").as("dst"))
       .union(pairs.select(col("c").as("src"), col("s").as("dst")))
+  }
+
+  /** Integer-unit ("fixed-point") PageRank: ranks in units of
+    * 1/`unit`, every operation exact integer arithmetic — so the
+    * result is deterministic TO THE BIT across engines, partitionings
+    * and summation orders (integer addition commutes), and the
+    * iterative-graph shape gets a real DuckDB ORACLE
+    * (q_graph_pagerank) instead of the float cap's tolerance gate.
+    *
+    * Semantics per iteration (the standard damped walk, truncating):
+    *   dr(u)   = (r(u)·85) div 100                  — damped mass
+    *   share   = dr(u) div outdeg(u) per out-edge   — contribution
+    *   dang    = Σ dr(u) over nodes with no out-edge
+    *   r'(v)   = (unit·15/100) div n + dang div n + Σ in-shares
+    * Every div is the exactly-divisible (x − x%d)/d form — it
+    * TRUNCATES identically everywhere instead of rounding; the mass
+    * lost under the floor (≤ |edges| + 2·|nodes| units per iteration,
+    * ~1e-10 of total at the default unit) is part of the defined
+    * semantics, not error.
+    *
+    * Shape: identical to [[run]] — edges materialized once and joined
+    * per iteration, one groupBy(dst) sum, dangling mass and node count
+    * as broadcast one-row frames (no driver action inside the loop). */
+  def fixedPoint(edges: DataFrame, iters: Int,
+                 unit: Long = 1000000000000L): DataFrame = {
+    require(unit % 100 == 0, s"unit must be a multiple of 100: $unit")
+    def tdiv(x: Column, d: Column): Column = ((x - x % d) / d).cast("long")
+    val e = edges.select("src", "dst").distinct().localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val withDeg = e.join(deg, "src")
+      .repartition(col("src")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct().localCheckpoint(true)
+    val srcs = e.select(col("src").as("v")).distinct()
+    val nF = broadcast(nodes.agg(count(lit(1)).as("n")))
+    var r = nodes.crossJoin(nF)
+      .select(col("v"), tdiv(lit(unit), col("n")).as("r"))
+    for (_ <- 1 to iters) {
+      val damped = r.select(col("v"), tdiv(col("r") * 85, lit(100)).as("dr"))
+      val contrib = withDeg
+        .join(damped.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), tdiv(col("dr"), col("d")).as("share"))
+        .groupBy("v").agg(sum("share").as("c"))
+      val dang = broadcast(damped.join(srcs, Seq("v"), "left_anti")
+        .agg(coalesce(sum("dr"), lit(0L)).as("dm")))
+      r = nodes.crossJoin(nF).crossJoin(dang)
+        .join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          (tdiv(lit(unit / 100 * 15), col("n")) +
+            tdiv(col("dm"), col("n")) +
+            coalesce(col("c"), lit(0L))).as("r"))
+    }
+    r
   }
 
   /** Reference in-JVM PageRank over a collected edge list — the spec's

@@ -58,6 +58,110 @@ object GraphQueries {
         .limit(20)
     },
 
+    // Fixed-point PageRank — the iterative-graph shape made ORACLE-
+    // EXACT. cap_graph_pagerank above runs the float formulation
+    // (tolerance-gated: FP summation order); this twin runs the SAME
+    // per-iteration shape (edges⨝ranks, groupBy(dst), broadcast
+    // dangling/teleport terms) in integer units of 1e-12 with
+    // truncating division, so integer-sum commutativity makes the
+    // result bit-identical across engines and partitionings, and the
+    // DuckDB hash gate pins all three iterations. The graph is the
+    // deterministic 97-residue hash graph over orders (dense, with
+    // dangling nodes so the redistribution term is exercised). The
+    // oracle is the same recurrence unrolled as three CTE blocks.
+    Q("q_graph_pagerank", {
+      def it(i: Int): String = s"""
+        |damp$i AS (
+        |  SELECT v, CAST((r*85 - (r*85) % 100) / 100 AS BIGINT) AS dr
+        |  FROM r${i - 1}),
+        |contrib$i AS (
+        |  SELECT e.dst AS v,
+        |    CAST(SUM(CAST((dm.dr - dm.dr % dg.d) / dg.d AS BIGINT)) AS BIGINT) AS c
+        |  FROM edges e
+        |  JOIN damp$i dm ON dm.v = e.src
+        |  JOIN deg dg ON dg.src = e.src
+        |  GROUP BY e.dst),
+        |dang$i AS (
+        |  SELECT CAST(COALESCE(SUM(dr), 0) AS BIGINT) AS dm FROM damp$i
+        |  WHERE v NOT IN (SELECT src FROM edges)),
+        |r$i AS (
+        |  SELECT n.v,
+        |    CAST((150000000000 - 150000000000 % nn.n) / nn.n AS BIGINT)
+        |    + CAST((da.dm - da.dm % nn.n) / nn.n AS BIGINT)
+        |    + COALESCE(c.c, 0) AS r
+        |  FROM nodes n CROSS JOIN nn CROSS JOIN dang$i da
+        |  LEFT JOIN contrib$i c ON c.v = n.v),""".stripMargin
+      s"""WITH edges AS (
+        |  SELECT DISTINCT o_custkey % 97 AS src, o_orderkey % 97 AS dst
+        |  FROM orders WHERE o_custkey % 97 <> o_orderkey % 97),
+        |nodes AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        |r0 AS (
+        |  SELECT v, CAST((1000000000000 - 1000000000000 % nn.n) / nn.n
+        |    AS BIGINT) AS r
+        |  FROM nodes CROSS JOIN nn),${it(1)}${it(2)}
+        |${it(3).stripSuffix(",")}
+        |SELECT v, r AS rank_units FROM r3 ORDER BY v""".stripMargin
+    }) { (s, d) =>
+      val edges = Tables.orders(s, d)
+        .select((col("o_custkey") % 97).as("src"),
+          (col("o_orderkey") % 97).as("dst"))
+        .where(col("src") =!= col("dst"))
+      PageRank.fixedPoint(edges, iters = 3)
+        .select(col("v"), col("r").as("rank_units"))
+        .orderBy("v")
+    },
+
+    // Bounded-round label propagation — the connected-components
+    // primitive as an ORACLE query: three min-label rounds over a
+    // SPARSE deterministic graph (2 % of orders drawn into a 10007-
+    // residue space ⇒ thousands of small components, most of which do
+    // NOT converge in 3 rounds — the oracle pins the exact 3-round
+    // state, which is well-defined because integer MIN is idempotent
+    // and order-free). One equi-join + one groupBy(min) per round, no
+    // driver-side frontier; the production pointer-jumping variant
+    // (O(log diameter), operators/DedupGroups) is suite-gated — this
+    // pins the plain-propagation semantics both share.
+    Q("q_graph_labelprop", {
+      def round(i: Int): String = s"""
+        |l$i AS (
+        |  SELECT l.v, LEAST(l.lbl, COALESCE(m.nm, l.lbl)) AS lbl
+        |  FROM l${i - 1} l LEFT JOIN (
+        |    SELECT ue.a AS v, MIN(lp.lbl) AS nm
+        |    FROM ue JOIN l${i - 1} lp ON lp.v = ue.b
+        |    GROUP BY ue.a) m ON m.v = l.v),""".stripMargin
+      s"""WITH e0 AS (
+        |  SELECT DISTINCT o_custkey % 10007 AS a, o_orderkey % 10007 AS b
+        |  FROM orders
+        |  WHERE o_orderkey % 50 = 0 AND o_custkey % 10007 <> o_orderkey % 10007),
+        |ue AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+        |l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM ue),${round(1)}${round(2)}
+        |${round(3).stripSuffix(",")}
+        |SELECT lbl, COUNT(*) AS n_nodes, CAST(SUM(v) AS BIGINT) AS v_sum
+        |FROM l3 GROUP BY lbl ORDER BY lbl""".stripMargin
+    }) { (s, d) =>
+      val e0 = Tables.orders(s, d)
+        .where(col("o_orderkey") % 50 === 0)
+        .select((col("o_custkey") % 10007).as("a"),
+          (col("o_orderkey") % 10007).as("b"))
+        .where(col("a") =!= col("b")).distinct()
+      val ue = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+        .distinct()
+      var l = ue.select(col("a").as("v")).distinct()
+        .withColumn("lbl", col("v"))
+      for (_ <- 1 to 3) {
+        val nm = ue.join(l.select(col("v").as("b"), col("lbl")), "b")
+          .groupBy(col("a").as("v")).agg(min("lbl").as("nm"))
+        l = l.join(nm, Seq("v"), "left")
+          .select(col("v"),
+            least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
+      }
+      l.groupBy("lbl")
+        .agg(count(lit(1)).as("n_nodes"), sum("v").cast("long").as("v_sum"))
+        .orderBy("lbl")
+    },
+
     // Hierarchy flatten — the recursive-query shape (org chart, BOM,
     // category tree): per node, its root and depth in a parent-pointer
     // forest. The forest derives deterministically from the supplier key

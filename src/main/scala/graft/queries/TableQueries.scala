@@ -290,6 +290,53 @@ object TableQueries {
         .orderBy("src")
     },
 
+    // OPTIMIZE ... ZORDER as an oracle lifecycle: the table starts as 8
+    // hash-scattered files (every file spans both dimensions — nothing
+    // prunable), compact(zorderBy = (x, y)) rewrites them into ~4
+    // Morton-ordered files, and the SAME two-dimensional filtered
+    // aggregate is computed through the pruned read path and the full
+    // scan. One oracle hash pins: the layout commit changed NO data,
+    // and pruning on the post-compact manifest stats is exact. The
+    // file-count/span laws live in ManifestTableSpec; at 100 TB this is
+    // the maintenance pairing that turns a second-dimension filter from
+    // a full scan into a quadrant read.
+    Q("q_table_zorder",
+      """WITH b AS (
+        |  SELECT o_orderkey AS k, o_orderkey % 997 AS x,
+        |    CAST((o_orderkey - o_orderkey % 997) / 997 AS BIGINT) AS y,
+        |    CAST(o_totalprice AS DECIMAL(14,4)) AS p
+        |  FROM orders),
+        |f AS (SELECT * FROM b WHERE x < 300 AND y < 120)
+        |SELECT 'full' AS src, COUNT(*) AS n_rows,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum, %PSUM% AS price_sum FROM f
+        |UNION ALL
+        |SELECT 'pruned', COUNT(*), CAST(SUM(k) AS BIGINT), %PSUM% FROM f
+        |ORDER BY src""".stripMargin
+        .replace("%PSUM%", Dsl.d2dSql(Dsl.dsumSql("p")))) { (s, d) =>
+      val dir = Scratch.wiped("mtable_zorder")
+      val b = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          (col("o_orderkey") % 997).as("x"),
+          ((col("o_orderkey") - col("o_orderkey") % 997) / 997)
+            .cast("long").as("y"),
+          col("o_totalprice").cast(Dsl.DFac).cast(P).as("p"))
+      ManifestTable.create(s, dir, b.repartition(8),
+        statsCols = Seq("x", "y"))
+      val v0 = ManifestTable.history(s, dir).last
+      ManifestTable.compact(s, dir, smallBytes = 32L << 20,
+        targetBytes = math.max(1L, v0.totalBytes / 4),
+        zorderBy = Seq("x", "y"))
+      val pred = col("x") < 300L && col("y") < 120L
+      def fingerprint(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy(lit(tag).as("src"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("k")).cast("long").as("key_sum"),
+            Dsl.d2d(Dsl.dsum(col("p"))).as("price_sum"))
+      fingerprint(ManifestTable.read(s, dir).where(pred), "full")
+        .unionAll(fingerprint(ManifestTable.read(s, dir, pred), "pruned"))
+        .orderBy("src")
+    },
+
     // Commit-protocol capability: crash safety + maintenance in one
     // lifecycle. A torn writer (sealed data directory + dot-tmp
     // manifest, no rename — the exact state a crash mid-commit leaves)
