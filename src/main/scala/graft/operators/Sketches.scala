@@ -257,4 +257,78 @@ object Sketches {
       .groupBy("k").agg(count(lit(1)).as("nhit"))
       .where(col("nhit") === hashes)
       .select(col("k"))
+
+  // ------------------------------------------------------ quantiles
+
+  /** HDR-histogram-style log₂ bucket index of an integer column — the
+    * MERGEABLE QUANTILE sketch that completes the family (CMS =
+    * frequency, HLL/KMV = cardinality, Bloom = membership, this =
+    * rank). Buckets: values 0..15 exact; above, 8 sub-buckets per
+    * octave — index 16 + (bitlen−5)·8 + (3 bits below the MSB) — so a
+    * bucket's width is ≤ 1/8 of its lower bound and a midpoint read is
+    * within 6.25 % relative error. Negatives mirror to −1−bucket(−v),
+    * keeping bucket order = value order. ALL-INTEGER and row-local, so
+    * the sketch is deterministic to the bit across engines and
+    * partitionings — q_sketch_quantile is ORACLE-hashed, where
+    * DDSketch/t-digest (FP logs, merge-order-dependent centroids)
+    * could only ever be tolerance-gated. State: ≤ 16 + 8·59 buckets
+    * per sign at ANY input volume; merge = count addition. */
+  def hdrBucket(v: Column): Column = {
+    def pos(av: Column): Column = {
+      val o = length(bin(av)) // bitlen
+      // 2^(o-4) via pow: exact in double well past any 63-bit value's
+      // octave, and a plain arithmetic shift stays codegen'd without
+      // needing a column-shift builtin
+      val p = pow(lit(2.0), (o - 4).cast("double")).cast("long")
+      when(av < 16, av.cast("long"))
+        .otherwise(lit(16L) + (o - 5).cast("long") * 8L +
+          ((av - av % p) / p).cast("long") % 8L)
+    }
+    when(v >= 0, pos(v)).otherwise(lit(-1L) - pos(-v))
+  }
+
+  /** Inclusive [lo, hi] value bounds of an [[hdrBucket]] index. */
+  def hdrBounds(b: Column): (Column, Column) = {
+    def oct(pb: Column): Column = ((pb - 16L) - (pb - 16L) % 8L) / 8L + 5L
+    def p(pb: Column): Column =
+      pow(lit(2.0), (oct(pb) - 4).cast("double")).cast("long")
+    def posLo(pb: Column): Column =
+      when(pb < 16, pb.cast("long"))
+        .otherwise((((pb - 16L) % 8L) + 8L).cast("long") * p(pb))
+    def posHi(pb: Column): Column =
+      when(pb < 16, pb.cast("long"))
+        .otherwise(posLo(pb) + p(pb) - 1L)
+    val lo = when(b >= 0, posLo(b)).otherwise(-posHi(lit(-1L) - b))
+    val hi = when(b >= 0, posHi(b)).otherwise(-posLo(lit(-1L) - b))
+    (lo, hi)
+  }
+
+  /** The sketch: (bucket, n) counters over `valueCol` (integer-typed).
+    * One map-side-combinable aggregation — and the SAME builder is the
+    * streaming state update (s_stream_quantile: counts only grow,
+    * merge IS addition). */
+  def hdrCounters(df: DataFrame, valueCol: String): DataFrame =
+    df.select(hdrBucket(col(valueCol).cast("long")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+
+  /** Quantile read: for each q (percent), the first bucket whose
+    * cumulative count reaches ceil(q·n/100), with its exact value
+    * bounds — the true rank-q element is INSIDE [lo, hi] by
+    * construction (the one-sided guarantee the spec pins). Runs as a
+    * window over the ≤ few-hundred-row sketch. */
+  def hdrQuantiles(counters: DataFrame, qs: Seq[Int]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket").rowsBetween(Long.MinValue, 0)
+    val tot = broadcast(counters.agg(sum("n").as("total")))
+    val cum = counters.withColumn("c", sum("n").over(w)).crossJoin(tot)
+    val spine = counters.sparkSession.range(1)
+      .select(explode(lit(qs.toArray)).as("q"))
+    val (lo, hi) = hdrBounds(col("bucket"))
+    cum.join(broadcast(spine),
+        col("c") * 100 >= col("q") * col("total"))
+      .groupBy("q").agg(min("bucket").as("bucket"))
+      .select(col("q").cast("long").as("q_pct"), col("bucket"),
+        lo.as("est_lo"), hi.as("est_hi"))
+      .orderBy("q_pct")
+  }
 }

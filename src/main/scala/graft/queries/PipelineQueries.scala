@@ -1900,6 +1900,81 @@ object PipelineQueries {
         .orderBy("bucket")
     },
 
+    // Mergeable QUANTILE sketch (HDR-style log₂ histogram, 8 sub-
+    // buckets per octave ⇒ bucket width ≤ 1/8 of its lower bound) —
+    // the rank member of the sketch family (CMS = frequency, HLL/KMV =
+    // cardinality, Bloom = membership). ALL-INTEGER and row-local
+    // (bitlen + truncating power-of-two division), so unlike
+    // DDSketch/t-digest (FP logs, merge-order-dependent centroids) the
+    // sketch is bit-deterministic across engines AND partitionings —
+    // which is why a Monte-Carlo-free ORACLE can pin it: both engines
+    // build the identical histogram over account-balance cents
+    // (negatives mirror to −1−bucket, preserving value order), walk
+    // the cumulative counts to the ceil(q·n/100) rank, and emit the
+    // picked bucket with its exact [lo, hi] value bounds. The true
+    // rank-q element lies INSIDE the emitted bounds by construction.
+    //
+    // Scale shape: one map-side-combinable groupBy over ≤ ~500 live
+    // buckets at any input volume; the quantile walk is a window over
+    // the sketch, not the data. Merge = count addition (s_stream_
+    // quantile runs the same builder as monotone streaming state).
+    Q("q_sketch_quantile",
+      """WITH v AS (
+        |  SELECT CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS cents
+        |  FROM customer),
+        |s AS (
+        |  SELECT CASE WHEN cents >= 0 THEN cents ELSE -cents END AS av,
+        |         CASE WHEN cents >= 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM v),
+        |o AS (SELECT av, sgn, CAST(length(bin(av)) AS BIGINT) AS ol FROM s),
+        |pb AS (
+        |  SELECT sgn, CASE WHEN av < 16 THEN av
+        |    ELSE 16 + (ol - 5) * 8 +
+        |      CAST((av - av % CAST(POWER(2, ol - 4) AS BIGINT)) /
+        |           CAST(POWER(2, ol - 4) AS BIGINT) AS BIGINT) % 8 END AS bp
+        |  FROM o),
+        |bk AS (SELECT CASE WHEN sgn >= 0 THEN bp ELSE -1 - bp END AS bucket
+        |  FROM pb),
+        |hist AS (SELECT bucket, COUNT(*) AS n FROM bk GROUP BY bucket),
+        |cum AS (SELECT bucket, SUM(n) OVER (ORDER BY bucket) AS c FROM hist),
+        |tot AS (SELECT COUNT(*) AS total FROM v),
+        |qs AS (SELECT q FROM (VALUES (50),(90),(99)) AS t(q)),
+        |pick AS (
+        |  SELECT qs.q, MIN(cum.bucket) AS bucket
+        |  FROM cum CROSS JOIN tot CROSS JOIN qs
+        |  WHERE cum.c * 100 >= qs.q * tot.total
+        |  GROUP BY qs.q),
+        |dec AS (
+        |  SELECT q, bucket,
+        |    CASE WHEN bucket >= 0 THEN bucket ELSE -1 - bucket END AS pb2
+        |  FROM pick),
+        |bounds AS (
+        |  SELECT q, bucket, pb2,
+        |    CASE WHEN pb2 < 16 THEN pb2
+        |      ELSE ((pb2 - 16) % 8 + 8) * CAST(POWER(2,
+        |        ((pb2 - 16) - (pb2 - 16) % 8) / 8 + 1) AS BIGINT) END AS plo,
+        |    CASE WHEN pb2 < 16 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(POWER(2,
+        |        ((pb2 - 16) - (pb2 - 16) % 8) / 8 + 1) AS BIGINT) END AS pw
+        |  FROM dec)
+        |SELECT CAST(q AS BIGINT) AS q_pct, bucket,
+        |  CASE WHEN bucket >= 0 THEN plo
+        |       ELSE -(CASE WHEN pb2 < 16 THEN pb2 ELSE plo + pw - 1 END)
+        |  END AS est_lo,
+        |  CASE WHEN bucket >= 0
+        |       THEN (CASE WHEN pb2 < 16 THEN pb2 ELSE plo + pw - 1 END)
+        |       ELSE -plo
+        |  END AS est_hi
+        |FROM bounds ORDER BY q_pct""".stripMargin) { (s, d) =>
+      val cents = Tables.customer(s, d).select(
+        (col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+          * 100).cast("long").as("cents"))
+      graft.operators.Sketches.hdrQuantiles(
+        graft.operators.Sketches.hdrCounters(cents, "cents"),
+        Seq(50, 90, 99))
+    },
+
     // Random-hyperplane LSH census — SimHash for EMBEDDINGS (the text
     // signature's dense sibling, the third near-dup route next to
     // MinHash and PQ banding): 16 deterministic Walsh hyperplanes

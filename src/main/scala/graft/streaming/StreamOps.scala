@@ -824,6 +824,23 @@ object StreamOps {
     graft.operators.Sketches.bloomHits(events, "user_id",
       bits = 4096, hashes = 2)
 
+  /** Streaming HDR quantile-sketch state (s_stream_quantile): the
+    * (bucket, n) log₂-histogram of event-value CENTS as a streaming
+    * aggregation — the rank member of the streaming sketch family
+    * (hll/cms/kmv/bloom cover cardinality/frequency/membership). The
+    * state IS the sketch (≤ ~500 rows at any ingest volume), merge IS
+    * count addition so no bucket ever shrinks (monotone law
+    * StreamingSpec-pinned) and the final state equals the batch
+    * sketch bit-for-bit — bucket assignment is all-integer row-local
+    * math ([[graft.operators.Sketches.hdrBucket]]). Quantile reads
+    * run over the state table via
+    * [[graft.operators.Sketches.hdrQuantiles]], never the stream.
+    * Complete mode, no watermark. */
+  def quantileStream(events: DataFrame): DataFrame =
+    graft.operators.Sketches.hdrCounters(
+      events.select((col("value").cast(DecimalType(12, 2)) * 100)
+        .cast("long").as("cents")), "cents")
+
   /** foreachBatch upsert into a [[graft.table.ManifestTable]]
     * (s_stream_table_sink): the streaming half of the lakehouse seam —
     * each micro-batch MERGEs latest-wins on `key` through

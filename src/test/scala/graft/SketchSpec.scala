@@ -60,4 +60,38 @@ class SketchSpec extends SparkSuite {
       }
     }
   }
+
+  test("HDR quantile sketch: every value sits inside its own bucket's " +
+    "bounds, widths honor the 1/8 law, merge is exact count addition") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // bounds law over a dense ± range plus far octaves
+    val vals = ((-3000L to 3000L) ++
+      Seq(1L << 40, -(1L << 40), 123456789L, Long.MaxValue / 4)).toSeq
+    val vdf = vals.toDF("v")
+    val (lo, hi) = Sketches.hdrBounds(Sketches.hdrBucket(col("v")))
+    val rows = vdf.select(col("v"), lo.as("lo"), hi.as("hi")).collect()
+    rows.foreach { r =>
+      val (v, l, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(l <= v && v <= h, s"$v outside its bucket [$l, $h]")
+      val m = math.max(math.abs(l), math.abs(h))
+      if (math.min(math.abs(l), math.abs(h)) >= 16)
+        assert(h - l + 1 <= m / 8 + 1, s"bucket [$l, $h] too wide")
+      else assert(h == l || h - l + 1 <= 16, s"small bucket [$l, $h]")
+    }
+    // bucket order = value order (quantile walks depend on it)
+    val ordered = vdf.select(Sketches.hdrBucket(col("v")).as("b"), col("v"))
+      .orderBy("v").collect().map(_.getLong(0))
+    assert(ordered.sameElements(ordered.sorted), "bucket order broke")
+    // merge additivity under any split: counters(A ∪ B) = A-counters
+    // sum-merged with B-counters, regardless of partitioning
+    val a = (1L to 500L).map(i => i * 7 - 800)
+    val b = (1L to 300L).map(i => (i * i) % 5000 - 250)
+    def counters(xs: Seq[Long], parts: Int): Map[Long, Long] =
+      Sketches.hdrCounters(xs.toDF("v").repartition(parts), "v")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = (counters(a, 3).toSeq ++ counters(b, 5).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(counters(a ++ b, 7) == merged, "merge law broke")
+  }
 }

@@ -1386,6 +1386,61 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("s_stream_quantile: bucket-histogram state == the batch sketch, " +
+    "counts only grow, and the rank read off the state brackets the " +
+    "true quantile") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val day0 = java.time.LocalDateTime.of(2024, 1, 1, 8, 0)
+    // values spanning octaves, including negatives (mirror buckets)
+    val batch1 = (1L to 60L).map(i =>
+      Ev(i, day0.plusMinutes(i.toInt), i % 7, "view", (i * i).toDouble / 4))
+    val batch2 = (1L to 40L).map(i =>
+      Ev(100L + i, day0.plusMinutes(120 + i.toInt), i % 5, "click",
+        if (i % 4 == 0) -(i * 3).toDouble else (i * 25).toDouble))
+    def table(rows: Seq[Ev]) =
+      StreamOps.quantileStream(rows.toDF()).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.quantileStream(mem.toDF()).writeStream
+      .format("memory").queryName("s_qtile").outputMode("complete").start()
+    mem.addData(batch1)
+    q.processAllAvailable()
+    val mid = spark.table("s_qtile").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mid == table(batch1), "mid-stream sketch diverged")
+    mem.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("s_qtile").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin == table(batch1 ++ batch2), "final sketch diverged")
+    // sum-merge law: no bucket count ever shrinks
+    mid.foreach { case (b, n) =>
+      assert(fin.getOrElse(b, 0L) >= n, s"bucket $b shrank")
+    }
+    // bounded state regardless of ingest volume
+    assert(fin.size <= 500, s"state blew up: ${fin.size} buckets")
+    // rank read: the emitted [lo, hi] brackets the true rank-q element
+    val counters = StreamOps.quantileStream((batch1 ++ batch2).toDF())
+    val reads = graft.operators.Sketches.hdrQuantiles(counters, Seq(50, 99))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    val cents = (batch1 ++ batch2)
+      .map(e => BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .*(100).toLongExact).sorted
+    reads.foreach { case (qp, lo, hi) =>
+      val rank = math.ceil(qp * cents.size / 100.0).toInt
+      val truth = cents(rank - 1)
+      assert(lo <= truth && truth <= hi,
+        s"q$qp: true $truth outside [$lo, $hi]")
+      // relative-error guarantee: bucket width <= 1/8 of |lo| (above
+      // the exact-bucket range)
+      if (math.min(math.abs(lo), math.abs(hi)) >= 16)
+        assert(hi - lo <= math.max(math.abs(lo), math.abs(hi)) / 8 + 1,
+          s"q$qp bucket too wide: [$lo, $hi]")
+    }
+  }
+
   test("s_stream_table_sink: foreachBatch MERGE into a manifest table " +
     "is exactly-once across batch replays") {
     implicit val sqlCtx = spark.sqlContext
