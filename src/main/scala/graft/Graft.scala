@@ -353,6 +353,15 @@ object Graft {
       * scanned; always equals `read(dir).where(filter)`. */
     def read(spark: SparkSession, dir: String, filter: Column): DataFrame =
       ManifestTable.read(spark, dir, filter)
+    /** DELETE FROM … WHERE: rewrites only manifest-pruned files; NULL
+      * predicates keep their rows (SQL semantics). */
+    def delete(spark: SparkSession, dir: String, filter: Column): ManifestTable.Snapshot =
+      ManifestTable.delete(spark, dir, filter)
+    /** UPDATE … SET … WHERE: touched-files-only rewrite; stats
+      * re-harvested so pruning follows the new values. */
+    def update(spark: SparkSession, dir: String, filter: Column,
+               set: Map[String, Column]): ManifestTable.Snapshot =
+      ManifestTable.update(spark, dir, filter, set)
     /** Time travel: the table as of `version`. */
     def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame =
       ManifestTable.readVersion(spark, dir, version)

@@ -196,6 +196,61 @@ object InsightQueries {
           .orderBy("o_orderpriority")
     },
 
+    // Systematic PPS (probability-proportional-to-size) sampling — the
+    // WEIGHTED sampling primitive a training-data pipeline needs when
+    // documents carry quality weights (here: balance cents shifted
+    // positive): walk the cumulative weight in a
+    // deterministic key order and take every crossing of a fixed
+    // weight grid (step = ⌊W/500⌋), so a row's inclusion count is
+    // EXACTLY proportional to its weight (heavy rows can be drawn more
+    // than once — true PPS multiplicity). All-integer: cumulative
+    // sums, the grid, and the crossing count are exact, so the whole
+    // sample is oracle-hashed — no RNG, no transcendentals (the
+    // u^(1/w) exponential-race form can't cross-engine-hash; this one
+    // can, and it's the form survey sampling actually ships).
+    //
+    // Scale shape: the fixture uses one ordered window for the running
+    // weight (fine at any single-partition-sortable size); the 100 TB
+    // form is the standard two-pass prefix sum (per-partition totals →
+    // broadcast offsets), same math, same selections.
+    Q("q_sample_weighted",
+      """WITH c AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100001 AS w
+        |  FROM customer),
+        |cum AS (SELECT k, seg, w, SUM(w) OVER (ORDER BY k) AS cw FROM c),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM c),
+        |st AS (SELECT CAST((tw - tw % 500) / 500 AS BIGINT) AS step FROM tot),
+        |sel AS (
+        |  SELECT k, seg, w,
+        |    CAST((cw - cw % step) / step AS BIGINT)
+        |      - CAST(((cw - w) - (cw - w) % step) / step AS BIGINT) AS m
+        |  FROM cum CROSS JOIN st)
+        |SELECT seg, CAST(SUM(m) AS BIGINT) AS n_sampled,
+        |  CAST(SUM(m * w) AS BIGINT) AS w_sampled,
+        |  CAST(SUM(m * k) AS BIGINT) AS key_sum
+        |FROM sel WHERE m > 0 GROUP BY seg ORDER BY seg""".stripMargin) {
+      (s, d) =>
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+            ((col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+              * 100).cast("long") + 100001).as("w"))
+        val cum = c.withColumn("cw",
+          sum("w").over(Window.orderBy("k")))
+        val st = broadcast(c.agg(
+          ((sum("w") - sum("w") % 500) / 500).cast("long").as("step")))
+        def grid(x: org.apache.spark.sql.Column) =
+          ((x - x % col("step")) / col("step")).cast("long")
+        cum.crossJoin(st)
+          .withColumn("m", grid(col("cw")) - grid(col("cw") - col("w")))
+          .where(col("m") > 0)
+          .groupBy("seg")
+          .agg(sum("m").cast("long").as("n_sampled"),
+            sum(col("m") * col("w")).cast("long").as("w_sampled"),
+            sum(col("m") * col("k")).cast("long").as("key_sum"))
+          .orderBy("seg")
+    },
+
     // Last-touch attribution: each purchase is attributed to the most
     // recent PRECEDING non-purchase event of the same user (the
     // marketing-channel question). last(... IGNORE NULLS) over the

@@ -290,6 +290,81 @@ object TableQueries {
         .orderBy("src")
     },
 
+    // DELETE FROM … WHERE as a transactional lifecycle: partitioned
+    // table, a partition-scoped + key-bounded predicate, one atomic
+    // delete commit — the read-back fingerprint must equal the pure
+    // relational complement. SQL null/row semantics and the
+    // touched-files-only law (only the bucket-5 partition files
+    // rewrite; ManifestTableSpec pins the carried set) ride the same
+    // pruning metadata as read(filter). At 100 TB: a GDPR-style
+    // partition delete rewrites one partition, never the table.
+    Q("q_table_delete",
+      """WITH b AS (
+        |  SELECT o_orderkey AS k, o_orderkey % 8 AS bucket,
+        |    CAST(o_totalprice AS DECIMAL(14,4)) AS p
+        |  FROM orders),
+        |kept AS (SELECT * FROM b WHERE NOT (bucket = 5 AND k <= 300000))
+        |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum, %PSUM% AS price_sum
+        |FROM kept GROUP BY bucket ORDER BY bucket""".stripMargin
+        .replace("%PSUM%", Dsl.d2dSql(Dsl.dsumSql("p")))) { (s, d) =>
+      val dir = Scratch.wiped("mtable_del")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          (col("o_orderkey") % 8).as("bucket"),
+          col("o_totalprice").cast(Dsl.DFac).cast(P).as("p"))
+      ManifestTable.create(s, dir, o.repartition(8, col("bucket")),
+        statsCols = Seq("k"), partitionCols = Seq("bucket"))
+      ManifestTable.delete(s, dir,
+        col("bucket") === 5L && col("k") <= 300000L)
+      ManifestTable.read(s, dir)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("key_sum"),
+          Dsl.d2d(Dsl.dsum(col("p"))).as("price_sum"))
+        .orderBy("bucket")
+    },
+
+    // UPDATE … SET … WHERE, same lifecycle: a partition-scoped update
+    // bumps matching prices by an exact decimal delta; non-matching
+    // rows AND non-matching partitions must come back byte-identical,
+    // and the staged files' re-harvested stats keep later merges/reads
+    // prunable. The oracle is the relational CASE.
+    Q("q_table_update",
+      """WITH b AS (
+        |  SELECT o_orderkey AS k, o_orderkey % 8 AS bucket,
+        |    CAST(o_totalprice AS DECIMAL(14,4)) AS p
+        |  FROM orders),
+        |u AS (
+        |  SELECT k, bucket,
+        |    CASE WHEN bucket = 3 AND k <= 300000
+        |      THEN CAST(CAST(p AS DECIMAL(12,4))
+        |        + CAST(1.25 AS DECIMAL(12,4)) AS DECIMAL(14,4))
+        |      ELSE p END AS p
+        |  FROM b)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum, %PSUM% AS price_sum
+        |FROM u GROUP BY bucket ORDER BY bucket""".stripMargin
+        .replace("%PSUM%", Dsl.d2dSql(Dsl.dsumSql("p")))) { (s, d) =>
+      val dir = Scratch.wiped("mtable_upd")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          (col("o_orderkey") % 8).as("bucket"),
+          col("o_totalprice").cast(Dsl.DFac).cast(P).as("p"))
+      ManifestTable.create(s, dir, o.repartition(8, col("bucket")),
+        statsCols = Seq("k"), partitionCols = Seq("bucket"))
+      ManifestTable.update(s, dir,
+        col("bucket") === 3L && col("k") <= 300000L,
+        Map("p" -> (col("p").cast(Dsl.DFac)
+          + lit(1.25).cast(Dsl.DFac)).cast(P)))
+      ManifestTable.read(s, dir)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("key_sum"),
+          Dsl.d2d(Dsl.dsum(col("p"))).as("price_sum"))
+        .orderBy("bucket")
+    },
+
     // OPTIMIZE ... ZORDER as an oracle lifecycle: the table starts as 8
     // hash-scattered files (every file spans both dimensions — nothing
     // prunable), compact(zorderBy = (x, y)) rewrites them into ~4

@@ -888,6 +888,67 @@ object ManifestTable {
     case _ => sys.error(s"merge probe: $v is not a $t")
   }
 
+  // ----------------------------------------------------------- dml
+
+  /** DELETE FROM … WHERE `filter`: rewrite ONLY the files whose
+    * manifest bounds admit the predicate (the same [[pruneFiles]]
+    * decision the read path uses — partition values + footer stats),
+    * dropping rows where `filter` is TRUE; every other file carries
+    * over by reference. SQL semantics: rows where the predicate is
+    * NULL survive. Structural no-op (current snapshot back, no new
+    * version) when no file can match. At 100 TB a partition-scoped
+    * delete rewrites one partition, never the table. */
+  def delete(spark: SparkSession, dir: String, filter: Column): Snapshot = {
+    val head = current(spark, dir)
+    val touched = pruneFiles(head, filter)
+    if (touched.isEmpty) return head
+    val touchedSet = touched.map(_.path).toSet
+    val untouched = head.files.filterNot(f => touchedSet(f.path))
+    val rewritten = scanWith(spark, dir, touched, head.schema)
+      .where(!coalesce(filter, lit(false)))
+    val staged = stage(spark, dir, rewritten, head.statsCols, head.partitionCols)
+    val snap = Snapshot(head.version + 1, head.version, "delete",
+      head.statsCols, head.partitionCols, head.lastBatch,
+      head.schemaJson, untouched ++ staged)
+    publish(spark, dir, snap)
+    snap
+  }
+
+  /** UPDATE … SET `set` WHERE `filter`: same touched-files-only
+    * rewrite as [[delete]]; matching rows get each `set` column
+    * replaced (expressions may reference any table column), all other
+    * rows and files pass through unchanged. Footer stats are
+    * re-harvested on the staged files, so pruning metadata follows the
+    * new values automatically. Assignments to columns outside the
+    * schema throw before any data is staged. */
+  def update(spark: SparkSession, dir: String, filter: Column,
+      set: Map[String, Column]): Snapshot = {
+    val head = current(spark, dir)
+    val schema = head.schema
+    set.keys.foreach { c =>
+      require(schema.fieldNames.contains(c), s"update: column $c not in schema")
+    }
+    val touched = pruneFiles(head, filter)
+    if (touched.isEmpty) return head
+    val touchedSet = touched.map(_.path).toSet
+    val untouched = head.files.filterNot(f => touchedSet(f.path))
+    val hit = coalesce(filter, lit(false))
+    val rewritten = scanWith(spark, dir, touched, schema)
+      .select(schema.fieldNames.toSeq.map { c =>
+        set.get(c) match {
+          case Some(e) => when(hit, e.cast(schema(c).dataType))
+            .otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    val staged = stage(spark, dir, rewritten, head.statsCols, head.partitionCols)
+    val snap = Snapshot(head.version + 1, head.version, "update",
+      head.statsCols, head.partitionCols, head.lastBatch,
+      head.schemaJson, untouched ++ staged)
+    publish(spark, dir, snap)
+    snap
+  }
+
   // ------------------------------------------------------- changes
 
   /** Rows that differ between two snapshots, as a changelog frame:

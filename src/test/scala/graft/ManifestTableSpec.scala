@@ -472,6 +472,55 @@ class ManifestTableSpec extends SparkSuite {
       got.toString)
   }
 
+  test("delete/update rewrite only manifest-pruned files, no-op " +
+    "predicates commit nothing, NULL predicates keep their rows") {
+    import spark.implicits._
+    val dir = freshDir("dml")
+    val base = kv((1L to 400L).map(i => i -> s"v$i"))
+      .repartitionByRange(4, col("k"))
+    ManifestTable.create(spark, dir, base, statsCols = Seq("k"))
+    val v0 = ManifestTable.history(spark, dir).last
+    // delete a key range covered by ONE file: 3 of 4 carry by reference
+    val v1 = ManifestTable.delete(spark, dir,
+      col("k") >= 50L && col("k") <= 60L)
+    assert(v1.operation == "delete")
+    val carried1 = v1.files.map(_.path).toSet
+      .intersect(v0.files.map(_.path).toSet)
+    assert(carried1.size == 3, s"delete carried ${carried1.size}")
+    assert(content(dir) == (1L to 400L).filterNot(i => i >= 50 && i <= 60)
+      .map(i => (i, s"v$i")).toSet)
+    // a predicate no file can match is a structural no-op
+    val v2 = ManifestTable.delete(spark, dir, col("k") > 10000L)
+    assert(v2.version == v1.version, "no-op delete must not commit")
+    // update: only the touched file rewrites; values change exactly
+    // where the predicate holds
+    val v3 = ManifestTable.update(spark, dir, col("k") === 399L,
+      Map("v" -> concat(col("v"), lit("!"))))
+    val carried3 = v3.files.map(_.path).toSet
+      .intersect(v1.files.map(_.path).toSet)
+    assert(carried3.size == 3, s"update carried ${carried3.size}")
+    val got = ManifestTable.read(spark, dir)
+      .where(col("k") >= 398L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(398L -> "v398", 399L -> "v399!", 400L -> "v400"))
+    // SQL NULL semantics: a NULL predicate row survives the delete
+    val dir2 = freshDir("dmlnull")
+    val withNull = Seq((1L, "a"), (2L, "bb")).toDF("k", "v")
+      .unionAll(Seq(3L).toDF("k")
+        .select(col("k"), lit(null).cast("string").as("v")))
+    ManifestTable.create(spark, dir2, withNull)
+    ManifestTable.delete(spark, dir2, length(col("v")) === 1)
+    val left = ManifestTable.read(spark, dir2).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) "NULL" else r.getString(1))).toSet
+    assert(left == Set(2L -> "bb", 3L -> "NULL"),
+      s"NULL-predicate row must survive: $left")
+    // update keeps footer stats sound: a later bounded read still prunes
+    val kept = ManifestTable.pruneFiles(
+      ManifestTable.history(spark, dir).last, col("k") <= 100L)
+    assert(kept.size < v3.files.size)
+  }
+
   test("mergeBatch replay is O(1) and survives vacuum: the batch " +
     "high-water mark rides the latest manifest") {
     import spark.implicits._
