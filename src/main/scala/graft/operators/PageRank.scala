@@ -127,6 +127,10 @@ object PageRank {
           (tdiv(lit(unit / 100 * 15), col("n")) +
             tdiv(col("dm"), col("n")) +
             coalesce(col("c"), lit(0L))).as("r"))
+        // lineage cut per round (lazy — materializes with the next
+        // action): without it iteration k's plan nests k copies of the
+        // join tree, exactly the bloat [[run]]'s checkpointEvery guards
+        .localCheckpoint(false)
     }
     r
   }

@@ -156,6 +156,7 @@ object GraphQueries {
         l = l.join(nm, Seq("v"), "left")
           .select(col("v"),
             least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
+          .localCheckpoint(false) // per-round lineage cut (DedupGroups shape)
       }
       l.groupBy("lbl")
         .agg(count(lit(1)).as("n_nodes"), sum("v").cast("long").as("v_sum"))

@@ -209,10 +209,13 @@ object InsightQueries {
     // u^(1/w) exponential-race form can't cross-engine-hash; this one
     // can, and it's the form survey sampling actually ships).
     //
-    // Scale shape: the fixture uses one ordered window for the running
-    // weight (fine at any single-partition-sortable size); the 100 TB
-    // form is the standard two-pass prefix sum (per-partition totals →
-    // broadcast offsets), same math, same selections.
+    // Scale shape: the running weight is the standard TWO-PASS
+    // distributed prefix sum — key space bucketed, one partitioned
+    // running sum per bucket, bucket offsets via a window over the
+    // aggregate-bounded bucket totals, broadcast back. No global
+    // single-task window anywhere (strict-mode lint-clean); prefix
+    // sums are associative, so the result is bit-identical to the
+    // oracle's one global window.
     Q("q_sample_weighted",
       """WITH c AS (
         |  SELECT c_custkey AS k, c_mktsegment AS seg,
@@ -235,8 +238,17 @@ object InsightQueries {
           .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
             ((col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(12, 2))
               * 100).cast("long") + 100001).as("w"))
-        val cum = c.withColumn("cw",
-          sum("w").over(Window.orderBy("k")))
+        val local = c
+          .withColumn("bkt", ((col("k") - col("k") % 1024) / 1024).cast("long"))
+          .withColumn("lcw",
+            sum("w").over(Window.partitionBy("bkt").orderBy("k")))
+        val offs = local.groupBy("bkt").agg(sum("w").as("bw"))
+          .withColumn("off", coalesce(sum("bw").over(
+            Window.orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("bkt", "off")
+        val cum = local.join(broadcast(offs), "bkt")
+          .withColumn("cw", col("lcw") + col("off"))
         val st = broadcast(c.agg(
           ((sum("w") - sum("w") % 500) / 500).cast("long").as("step")))
         def grid(x: org.apache.spark.sql.Column) =

@@ -67,9 +67,14 @@ object ResampleQueries {
         |UNION ALL
         |SELECT CAST(0 AS BIGINT), ${d2dSql(dsumSql("a"))} FROM c
         |ORDER BY tag""".stripMargin) { (s, d) =>
-      val c = Tables.customer(s, d)
-        .select(col("c_acctbal").cast(DecimalType(12, 2)).as("a"),
-          row_number().over(Window.orderBy("c_custkey")).as("rn"))
+      // the 1..n draw index is a GLOBAL rank — routed through
+      // HistogramRank (size-routed: plain bounded sort here, histogram
+      // decomposition at scale) instead of a single-task global window
+      val c = graft.operators.HistogramRank.withGlobalRank(
+          Tables.customer(s, d).select(col("c_custkey"),
+            col("c_acctbal").cast(DecimalType(12, 2)).as("a")),
+          "c_custkey", Seq("c_custkey"), "rn")
+        .select(col("a"), col("rn"))
       val nF = broadcast(c.agg(count(lit(1)).as("n")))
       val reps = s.range(1, B + 1).select(col("id").as("r"))
       val hs = reps.crossJoin(c.select("rn"))

@@ -482,7 +482,26 @@ class PlanSpec extends SparkSuite {
       // round 11 session 7e: CvM rides the pooled value histogram,
       // the sensitivity census is a two-level user rollup
       "q_stat_cvm" -> "shuffle=2,broadcast=0",
-      "q_privacy_sensitivity" -> "shuffle=3,broadcast=0")
+      "q_privacy_sensitivity" -> "shuffle=3,broadcast=0",
+      // round 13: the iterative graph queries cut lineage per round
+      // (lazy localCheckpoint — each iteration compiles as its own
+      // physical plan), so the FINAL plan is one LogicalRDD scan plus
+      // the last rollup: without the cut these pinned at shuffle=44
+      // and 54 with the whole join tree nested per iteration. The
+      // sketch/resample quartet rides bounded frames crossed with
+      // one-row stats (the SizeProbe idiom).
+      "q_graph_pagerank" -> "shuffle=1,broadcast=0",
+      "q_graph_labelprop" -> "shuffle=2,broadcast=0",
+      "q_sketch_quantile" -> "shuffle=4,broadcast=2,BroadcastNestedLoopJoin=2",
+      // (q_sample_weighted's six exchanges are the two-pass prefix sum:
+      // bucket window + its reuse branch, bucket-total rollup, the
+      // broadcast offset/step frames, the 5-row segment rollup + sort —
+      // every one bucket- or aggregate-sized, no single-task stage)
+      "q_sample_weighted" ->
+        "shuffle=6,broadcast=2,BroadcastHashJoin=1,BroadcastNestedLoopJoin=1",
+      "q_stat_bootstrap" ->
+        "shuffle=4,broadcast=3,BroadcastHashJoin=1,BroadcastNestedLoopJoin=2",
+      "q_stat_permutation" -> "shuffle=3,broadcast=2,BroadcastNestedLoopJoin=2")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
