@@ -395,6 +395,33 @@ object Graft {
                    key: String, batchId: Long,
                    opCol: Option[String] = None): ManifestTable.Snapshot =
       ManifestTable.mergeBatch(spark, dir, source, key, batchId, opCol)
+    /** RESTORE … TO VERSION: metadata-only rollback commit (the old
+      * file set re-published as the new head; history preserved). */
+    def restore(spark: SparkSession, dir: String, version: Long): ManifestTable.Snapshot =
+      ManifestTable.restore(spark, dir, version)
+    /** One snapshot's manifest (head when None): row/byte totals and
+      * per-file stats at the cost of one JSON read, zero data IO. */
+    def snapshot(spark: SparkSession, dir: String,
+                 version: Option[Long] = None): ManifestTable.Snapshot =
+      ManifestTable.snapshot(spark, dir, version)
+    /** Changelog from the manifests alone — reads only files that
+      * changed hands (adds canceling I/D pairs for rewritten-but-
+      * unchanged rows); cost ∝ touched files, not table size. */
+    def changesStructural(spark: SparkSession, dir: String, from: Long,
+                          to: Long): DataFrame =
+      ManifestTable.changesStructural(spark, dir, from, to)
+    /** Incrementally-maintained aggregate view (count + long sums per
+      * key) stored AS a manifest table: init = one fact scan, every
+      * refresh = changelog-priced, exactly-once under the fact
+      * version. See [[graft.table.IncrementalView]]. */
+    def viewInit(spark: SparkSession, factDir: String, mvDir: String,
+                 key: String, sums: Seq[String],
+                 numFiles: Int = 8): ManifestTable.Snapshot =
+      graft.table.IncrementalView.init(spark, factDir, mvDir, key, sums, numFiles)
+    /** Bring the view up to the fact head (no-op when fresh). */
+    def viewRefresh(spark: SparkSession, factDir: String, mvDir: String,
+                    key: String, sums: Seq[String]): ManifestTable.Snapshot =
+      graft.table.IncrementalView.refresh(spark, factDir, mvDir, key, sums)
   }
 
   /** Table maintenance: the operational layer of a partitioned store. */

@@ -412,6 +412,185 @@ object TableQueries {
         .orderBy("src")
     },
 
+    // RESTORE … TO VERSION as an oracle lifecycle: create, append, then
+    // an overwrite plays the "bad commit"; restore(1) re-publishes v1's
+    // exact file set as the new head in one METADATA commit (no data
+    // IO — the spec law pins that no data directory is written). The
+    // fingerprint reads BOTH the restored head and the overwritten v2
+    // (still time-travelable: rollback preserves history, the audit
+    // trail keeps every step), so one hash pins that restore neither
+    // loses the rollback target nor resurrects the wrong snapshot. At
+    // 100 TB: undoing a bad commit costs one JSON rename, not a table
+    // rewrite.
+    Q("q_table_restore",
+      """WITH b AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(14,4)) AS p
+        |  FROM orders)
+        |SELECT 'head_restored_v1' AS src, COUNT(*) AS n_rows,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum, %PSUM% AS price_sum
+        |FROM b WHERE k % 4 = 0 OR k % 4 = 1
+        |UNION ALL
+        |SELECT 'overwritten_v2', COUNT(*), CAST(SUM(k) AS BIGINT), %PSUM%
+        |FROM b WHERE k % 4 = 2
+        |ORDER BY src""".stripMargin
+        .replace("%PSUM%", Dsl.d2dSql(Dsl.dsumSql("p")))) { (s, d) =>
+      val dir = Scratch.wiped("mtable_restore")
+      val b = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast(Dsl.DFac).cast(P).as("p"))
+      ManifestTable.create(s, dir, b.filter(col("k") % 4 === 0),
+        statsCols = Seq("k"))
+      ManifestTable.append(s, dir, b.filter(col("k") % 4 === 1))
+      ManifestTable.overwrite(s, dir, b.filter(col("k") % 4 === 2))
+      ManifestTable.restore(s, dir, 1L)
+      def fingerprint(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy(lit(tag).as("src"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("k")).cast("long").as("key_sum"),
+            Dsl.d2d(Dsl.dsum(col("p"))).as("price_sum"))
+      fingerprint(ManifestTable.read(s, dir), "head_restored_v1")
+        .unionAll(fingerprint(
+          ManifestTable.readVersion(s, dir, 2L), "overwritten_v2"))
+        .orderBy("src")
+    },
+
+    // Metadata-only aggregation: COUNT/MIN/MAX answered from the
+    // MANIFEST alone — the snapshot's exact row totals and per-file
+    // footer [min,max] reduced driver-side, ZERO data IO (the emitted
+    // frame is a one-row LocalRelation; the spec law answers the same
+    // numbers after the data files are deleted outright). The oracle
+    // recomputes from the raw rows, so the hash pins that footer
+    // stats harvested across THREE separate commits stay exact — the
+    // property every stats-based planner decision (pruning, MERGE
+    // touch sets) rests on. At 100 TB this is `SELECT count(*)` in
+    // milliseconds instead of a cluster scan.
+    Q("q_table_meta_agg",
+      """WITH b AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        |  FROM orders)
+        |SELECT COUNT(*) AS n_rows,
+        |  CAST(MIN(k) AS BIGINT) AS k_min, CAST(MAX(k) AS BIGINT) AS k_max,
+        |  CAST(MIN(c) AS BIGINT) AS c_min, CAST(MAX(c) AS BIGINT) AS c_max
+        |FROM b""".stripMargin) { (s, d) =>
+      val dir = Scratch.wiped("mtable_meta")
+      val b = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice").cast(org.apache.spark.sql.types
+            .DecimalType(12, 2)) * 100).cast("long").as("c"))
+      ManifestTable.create(s, dir,
+        b.filter(col("k") % 3 === 0).repartitionByRange(4, col("k")),
+        statsCols = Seq("k", "c"))
+      ManifestTable.append(s, dir, b.filter(col("k") % 3 === 1))
+      ManifestTable.append(s, dir, b.filter(col("k") % 3 === 2))
+      val snap = ManifestTable.snapshot(s, dir)
+      def bounds(c: String) = {
+        val bs = snap.files.map(_.longBounds(c))
+        require(bs.forall(_.isDefined),
+          s"meta_agg: a file lacks footer stats for $c — exactness lost")
+        (bs.flatten.map(_._1).min, bs.flatten.map(_._2).max)
+      }
+      val (kMin, kMax) = bounds("k")
+      val (cMin, cMax) = bounds("c")
+      import s.implicits._
+      Seq((snap.totalRows, kMin, kMax, cMin, cMax))
+        .toDF("n_rows", "k_min", "k_max", "c_min", "c_max")
+    },
+
+    // Incrementally-maintained aggregate view: the MV (bucket → count +
+    // two long sums) is computed from the fact table ONCE, then kept
+    // fresh through three fact commits — a latest-wins MERGE, a whole-
+    // group DELETE, and an APPEND that re-inserts the deleted group —
+    // by two refreshes (the first catches up across TWO commits in
+    // one changelog read; the group reaching n = 0 exercises the
+    // view's MERGE-delete path, the re-insert the new-group path).
+    // Every refresh is changelog-priced: the
+    // delta comes from changesStructural (only files that changed
+    // hands are read — the fact table never re-enters the plan), the
+    // view is probed with a broadcast semi join, and the maintenance
+    // merge commits exactly-once under the fact version (a replay is
+    // a structural no-op). The oracle recomputes the final aggregate
+    // from scratch, so one hash pins incremental ≡ recompute across
+    // group creation, update, deletion, and re-insertion.
+    Q("q_table_ivm",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderkey % 10 AS b,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |upd AS (
+        |  SELECT k, b, c + (k % 300) * 100 + 75 AS c, 1 AS seq, 'U' AS op
+        |  FROM base WHERE k % 5 = 2),
+        |del AS (
+        |  SELECT k, 0 AS b, 0 AS c, 2 AS seq, 'D' AS op
+        |  FROM base WHERE k % 11 = 3),
+        |ins AS (
+        |  SELECT -(k + 1) AS k, k % 10 AS b, (k % 700) * 100 + 250 AS c,
+        |    1 AS seq, 'U' AS op
+        |  FROM base WHERE k % 19 = 7),
+        |chg AS (
+        |  SELECT k, b, c, 0 AS seq, 'U' AS op FROM base
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM del
+        |  UNION ALL SELECT * FROM ins),
+        |latest AS (
+        |  SELECT k, b, c, op,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |  FROM chg),
+        |v1 AS (SELECT k, b, c FROM latest WHERE rn = 1 AND op <> 'D'),
+        |v2 AS (SELECT k, b, c FROM v1 WHERE b <> 7),
+        |app AS (
+        |  SELECT k + 10000000 AS k, b,
+        |    (k % 500) * 100 + 125 AS c
+        |  FROM base WHERE k % 13 = 5),
+        |v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM app)
+        |SELECT CAST(b AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+        |  CAST(SUM(c) AS BIGINT) AS c_sum, CAST(SUM(k) AS BIGINT) AS k_sum
+        |FROM v3 GROUP BY b ORDER BY bucket""".stripMargin) { (s, d) =>
+      val factDir = Scratch.wiped("mtable_ivm_fact")
+      val mvDir = Scratch.wiped("mtable_ivm_view")
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          (col("o_orderkey") % 10).as("b"),
+          (col("o_totalprice").cast(org.apache.spark.sql.types
+            .DecimalType(12, 2)) * 100).cast("long").as("c"))
+      ManifestTable.create(s, factDir,
+        base.repartitionByRange(4, col("k")), statsCols = Seq("k", "b"))
+      graft.table.IncrementalView.init(s, factDir, mvDir, "b",
+        sums = Seq("c", "k"), numFiles = 4)
+      // fact v1: latest-wins CDC merge (update + delete + insert)
+      val upd = base.filter(col("k") % 5 === 2)
+        .select(col("k"), col("b"),
+          (col("c") + (col("k") % 300) * 100 + 75).as("c"),
+          lit(1).as("seq"), lit("U").as("_op"))
+      val del = base.filter(col("k") % 11 === 3)
+        .select(col("k"), lit(0L).as("b"), lit(0L).as("c"),
+          lit(2).as("seq"), lit("D").as("_op"))
+      val ins = base.filter(col("k") % 19 === 7)
+        .select((-(col("k") + 1L)).as("k"), (col("k") % 10).as("b"),
+          ((col("k") % 700) * 100 + 250).as("c"),
+          lit(1).as("seq"), lit("U").as("_op"))
+      ManifestTable.merge(s, factDir, upd.union(del).union(ins), "k",
+        opCol = Some("_op"), seqCol = Some("seq"))
+      // fact v2: drop a whole group — refresh #1 catches up across
+      // BOTH commits in one changelog read, and group 7 reaching
+      // n = 0 exercises the view's MERGE-delete path
+      ManifestTable.delete(s, factDir, col("b") === 7L)
+      graft.table.IncrementalView.refresh(s, factDir, mvDir, "b",
+        sums = Seq("c", "k"))
+      // fact v3: append re-inserts into the deleted group — refresh #2
+      // re-creates it from empty state (the insert-new-group path)
+      ManifestTable.append(s, factDir, base.filter(col("k") % 13 === 5)
+        .select((col("k") + 10000000L).as("k"), col("b"),
+          ((col("k") % 500) * 100 + 125).as("c")))
+      graft.table.IncrementalView.refresh(s, factDir, mvDir, "b",
+        sums = Seq("c", "k"))
+      ManifestTable.read(s, mvDir)
+        .select(col("b").cast("long").as("bucket"),
+          col("n").as("n_rows"), col("sum_c").as("c_sum"),
+          col("sum_k").as("k_sum"))
+        .orderBy("bucket")
+    },
+
     // Commit-protocol capability: crash safety + maintenance in one
     // lifecycle. A torn writer (sealed data directory + dot-tmp
     // manifest, no rename — the exact state a crash mid-commit leaves)

@@ -161,6 +161,13 @@ object ManifestTable {
   def history(spark: SparkSession, dir: String): Seq[Snapshot] =
     listVersions(spark, dir).map(v => readManifest(spark, dir, v))
 
+  /** One snapshot's manifest (the head when `version` is None) — the
+    * metadata a catalog query needs (row/byte totals, per-file stats)
+    * at the cost of ONE small JSON read, no data IO. */
+  def snapshot(spark: SparkSession, dir: String,
+      version: Option[Long] = None): Snapshot =
+    version.map(readManifest(spark, dir, _)).getOrElse(current(spark, dir))
+
   private def readManifest(spark: SparkSession, dir: String, v: Long): Snapshot = {
     val p = new Path(logPath(dir), manifestName(v))
     val fs = p.getFileSystem(conf(spark))
@@ -543,6 +550,30 @@ object ManifestTable {
       head.statsCols, head.partitionCols, head.lastBatch,
       df.schema.json, files)
     publish(spark, dir, snap) // conflict ⇒ caller must re-read & re-run
+    snap
+  }
+
+  /** RESTORE TABLE … TO VERSION `version`: re-publish that snapshot's
+    * exact file set (and its schema/stats/partition spec) as the NEW
+    * head — a pure METADATA commit, zero data IO, because the old data
+    * files are still on disk until vacuum() drops them (restore past
+    * the vacuum retention fails at read time, same as time travel).
+    * History is preserved — the rollback is itself a commit, so a
+    * restore can be restored away again and the audit trail keeps
+    * every step. The streaming batch high-water mark carries forward
+    * from the CURRENT head, never from the restore target: a restore
+    * must not re-open the door to replaying already-committed batch
+    * ids (exactly-once survives rollback). At 100 TB this is the
+    * incident-response primitive: undoing a bad commit costs one JSON
+    * rename, not a table rewrite. */
+  def restore(spark: SparkSession, dir: String, version: Long): Snapshot = {
+    val head = current(spark, dir)
+    if (version == head.version) return head // already there: no-op
+    val target = readManifest(spark, dir, version)
+    val snap = Snapshot(head.version + 1, head.version,
+      s"restore@v$version", target.statsCols, target.partitionCols,
+      head.lastBatch, target.schemaJson, target.files)
+    publish(spark, dir, snap)
     snap
   }
 
@@ -980,6 +1011,37 @@ object ManifestTable {
         sequence(lit(1L), abs(col("__d"))),
         _ => when(col("__d") > 0, lit("I")).otherwise(lit("D"))))
         .as("_change"): _*)
+  }
+
+  /** The changelog between two snapshots computed STRUCTURALLY from the
+    * manifests — no diff join, no scan of carried-over data: files are
+    * immutable, so a file present in both manifests contributes nothing,
+    * every row in an ADDED file is an 'I' and every row in a REMOVED
+    * file a 'D'. Cost ∝ touched files, not table size — the changelog
+    * read that makes incremental consumers (see [[IncrementalView]])
+    * changelog-priced on a 100 TB table.
+    *
+    * Semantics vs [[changes]]: the same multiset I/D difference PLUS
+    * canceling pairs — a rewritten file's unchanged rows appear as both
+    * one 'D' (old file) and one 'I' (new file). Any signed consumer
+    * (Σ over +I/−D, the incremental-maintenance contract) gets
+    * identical results; consumers needing the minimal changelog use
+    * [[changes]] and pay the value diff. Reads run under the wider (to)
+    * schema so post-evolution rows surface with their new columns. */
+  def changesStructural(spark: SparkSession, dir: String, from: Long,
+      to: Long): DataFrame = {
+    val sa = readManifest(spark, dir, from)
+    val sb = readManifest(spark, dir, to)
+    val wide = (if (to >= from) sb else sa).schema
+    val pa = sa.files.map(_.path).toSet
+    val pb = sb.files.map(_.path).toSet
+    val removed = sa.files.filterNot(f => pb(f.path))
+    val added = sb.files.filterNot(f => pa(f.path))
+    val cols = wide.fieldNames.toSeq.map(col)
+    scanWith(spark, dir, removed, wide)
+      .select(cols :+ lit("D").as("_change"): _*)
+      .unionAll(scanWith(spark, dir, added, wide)
+        .select(cols :+ lit("I").as("_change"): _*))
   }
 
   /** Incremental consumption feed: everything that changed after

@@ -606,4 +606,102 @@ class ManifestTableSpec extends SparkSuite {
     assert(ManifestTable.changes(spark, dir, before.version,
       packed.version).count() == 0L)
   }
+
+  // ---------------------------------------------------------------
+  // round-13 session 2: restore, structural changelog, metadata
+  // aggregates
+  // ---------------------------------------------------------------
+
+  test("restore is a metadata-only rollback: no data written, history " +
+    "preserved, batch high-water mark carried forward") {
+    val dir = freshDir("restore")
+    ManifestTable.create(spark, dir, kv(Seq(1L -> "a", 2L -> "b")))
+    ManifestTable.append(spark, dir, kv(Seq(3L -> "c")))
+    // streaming mark advances to 7, then a bad overwrite lands
+    ManifestTable.mergeBatch(spark, dir, kv(Seq(4L -> "d")), "k", batchId = 7L)
+    ManifestTable.overwrite(spark, dir, kv(Seq(99L -> "bad")))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def commitDirs(): Set[String] =
+      fs.listStatus(new Path(dir, "data")).map(_.getPath.getName).toSet
+    val before = commitDirs()
+    val restored = ManifestTable.restore(spark, dir, 1L)
+    // metadata-only: not one new data directory
+    assert(commitDirs() == before)
+    assert(restored.version == 4L && restored.operation == "restore@v1")
+    assert(content(dir) == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    // history keeps every step — the bad commit stays auditable
+    assert(ManifestTable.history(spark, dir).map(_.version) ==
+      (0L to 4L).toSeq)
+    assert(ManifestTable.readVersion(spark, dir, 3L).count() == 1L)
+    // exactly-once survives rollback: the mark rides the HEAD, not the
+    // restore target — replaying batch 7 is still a structural no-op
+    assert(restored.lastBatch == 7L)
+    val replay = ManifestTable.mergeBatch(spark, dir, kv(Seq(5L -> "e")),
+      "k", batchId = 7L)
+    assert(replay.version == 4L, "replayed batch id must not commit")
+    // restoring the restore away works too (back to the bad overwrite)
+    assert(ManifestTable.restore(spark, dir, 3L).version == 5L)
+    assert(content(dir) == Set(99L -> "bad"))
+  }
+
+  test("changesStructural reads only files that changed hands: appends " +
+    "emit no deletes, compact cancels to a zero signed delta, and the " +
+    "signed per-key totals match changes() exactly") {
+    import spark.implicits._
+    val dir = freshDir("structural")
+    ManifestTable.create(spark, dir,
+      kv((1L to 40L).map(i => i -> s"v$i")).repartitionByRange(4, col("k")),
+      statsCols = Seq("k"))
+    // v1: pure append — structurally there IS no D side
+    ManifestTable.append(spark, dir, kv((41L to 50L).map(i => i -> s"v$i")))
+    val app = ManifestTable.changesStructural(spark, dir, 0L, 1L)
+    assert(app.where(col("_change") === "D").count() == 0L)
+    assert(app.where(col("_change") === "I").count() == 10L)
+    // v2: a merge touching ONE file's key range; the untouched files
+    // must not appear in the structural changelog at all
+    val v1 = ManifestTable.history(spark, dir).last
+    ManifestTable.merge(spark, dir, Seq((2L, "V2")).toDF("k", "v"), "k")
+    val st = ManifestTable.changesStructural(spark, dir, v1.version,
+      v1.version + 1)
+    val untouchedRows = v1.files.filter(_.longBounds("k")
+      .exists { case (mn, mx) => 2L < mn || 2L > mx }).map(_.rows).sum
+    assert(untouchedRows > 0L, "fixture expects the merge to prune files")
+    // exactly the touched files' rows, D'd and I'd — carried-over
+    // files contribute NOTHING (k=2 replaces in place, so old and new
+    // touched row counts are equal)
+    assert(st.count() == 2L * (v1.totalRows - untouchedRows))
+    // signed per-(key, value) totals agree with the exact value diff
+    def signed(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k", "v").agg(sum(when(col("_change") === "I", 1L)
+        .otherwise(-1L)).as("d"))
+        .where(col("d") =!= 0L)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = ManifestTable.changes(spark, dir, 0L, 2L)
+    val struct = ManifestTable.changesStructural(spark, dir, 0L, 2L)
+    assert(signed(struct) == signed(exact))
+    // v3: compact — every movement cancels
+    ManifestTable.append(spark, dir, kv(Seq(51L -> "x")))
+    val preC = ManifestTable.history(spark, dir).last
+    val postC = ManifestTable.compact(spark, dir)
+    assert(postC.version > preC.version, "fixture expects a real compact")
+    assert(signed(ManifestTable.changesStructural(spark, dir,
+      preC.version, postC.version)).isEmpty)
+  }
+
+  test("snapshot() answers count and footer bounds with zero data IO — " +
+    "even after the data files are gone") {
+    val dir = freshDir("meta")
+    ManifestTable.create(spark, dir,
+      kv((1L to 70L).map(i => i -> s"v$i")).repartition(3),
+      statsCols = Seq("k"))
+    ManifestTable.append(spark, dir, kv((71L to 100L).map(i => i -> s"v$i")))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(dir, "data"), true) // scorched earth: manifests only
+    val snap = ManifestTable.snapshot(spark, dir)
+    assert(snap.totalRows == 100L)
+    assert(snap.files.flatMap(_.longBounds("k")).map(_._1).min == 1L)
+    assert(snap.files.flatMap(_.longBounds("k")).map(_._2).max == 100L)
+    // time travel on metadata too
+    assert(ManifestTable.snapshot(spark, dir, Some(0L)).totalRows == 70L)
+  }
 }
