@@ -1214,4 +1214,69 @@ class MarqueeStressSpec extends AnyFunSuite {
       f"$scanSecs%.1f s over ${one.size}/${v0.files.size} files; " +
       s"selectivity sweep 1/4/16 days -> ${sweep.mkString("/")} files")
   }
+
+  test("IncrementalView: 1M-row fact, 2k-key changelog — refresh reads " +
+    "the touched files, never the fact table", Marquee) {
+    // The maintenance half of the lakehouse claim: once the view is
+    // initialized, keeping it fresh costs changelog + view work. The
+    // refresh's changelog comes from changesStructural (files that
+    // changed hands), so the fact-side read volume is the MERGE's
+    // touched files (~2/16 of the table here), not 2× the fact; the
+    // view itself is group-sized (1000 rows). Verified by comparing
+    // the refresh's scan row-volume bound against the carried set and
+    // the view against a full recompute.
+    import graft.table.{IncrementalView, ManifestTable}
+    val factDir = java.nio.file.Files.createTempDirectory("mq_ivmf").toString
+    val mvDir = java.nio.file.Files.createTempDirectory("mq_ivmv").toString
+    val n = 1000000L
+    val base = spark.range(n).select(col("id").as("k"),
+      (col("id") % 1000L).as("g"),
+      (xxhash64(col("id")) % 100000L).as("c"))
+      .repartitionByRange(16, col("k"))
+    val v0 = ManifestTable.create(spark, factDir, base, statsCols = Seq("k"))
+    val (mv0, initSecs) = timed(
+      IncrementalView.init(spark, factDir, mvDir, "g", Seq("c"), numFiles = 4))
+    assert(ManifestTable.read(spark, mvDir).count() == 1000L)
+    // narrow changelog: 1.9k updates + 100 deletes + 10 inserts
+    val src = spark.range(500100L, 502000L)
+      .select(col("id").as("k"), (col("id") % 1000L).as("g"),
+        lit(-5L).as("c"), lit("U").as("_op"))
+      .unionAll(spark.range(500000L, 500100L)
+        .select(col("id").as("k"), (col("id") % 1000L).as("g"),
+          lit(0L).as("c"), lit("D").as("_op")))
+      .unionAll(spark.range(10L)
+        .select((col("id") + n).as("k"), lit(1001L).as("g"),
+          lit(7L).as("c"), lit("U").as("_op")))
+    val v1 = ManifestTable.merge(spark, factDir, src, "k", opCol = Some("_op"))
+    val factTouched = v1.files.map(_.path).toSet
+      .diff(v0.files.map(_.path).toSet)
+    val touchedRows = v1.files.filter(f => factTouched(f.path)).map(_.rows).sum
+    val removedRows = v0.files
+      .filterNot(f => v1.files.map(_.path).toSet(f.path)).map(_.rows).sum
+    val (mv1, refreshSecs) = timed(
+      IncrementalView.refresh(spark, factDir, mvDir, "g", Seq("c")))
+    // work metric: the structural changelog read is bounded by the
+    // files that changed hands — ≲2/16 of the fact, never 2×fact
+    assert(touchedRows + removedRows <= 2L * 2L * (n / 16) + 4300,
+      s"changelog volume $touchedRows+$removedRows rows — merge touched " +
+        "more than the overlapping files")
+    // the view merge rewrote at most the touched view files, and the
+    // new-group insert means at least one file changed
+    val mvCarried = mv1.files.map(_.path).toSet
+      .intersect(mv0.files.map(_.path).toSet)
+    assert(mvCarried.size < mv1.files.size, "view merge staged nothing?")
+    assert(mv1.lastBatch == v1.version)
+    // incremental ≡ recompute at 1M scale
+    val full = ManifestTable.read(spark, factDir)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("c").cast("long").as("sum_c"))
+    val diff = ManifestTable.read(spark, mvDir)
+      .select("g", "n", "sum_c").exceptAll(full).count() +
+      full.exceptAll(ManifestTable.read(spark, mvDir)
+        .select("g", "n", "sum_c")).count()
+    assert(diff == 0L, s"view drifted from recompute by $diff rows")
+    info(f"1M-row init $initSecs%.1f s; 2k-key refresh $refreshSecs%.1f s " +
+      s"reading $touchedRows+$removedRows fact rows " +
+      s"(${factTouched.size} touched files), view carried " +
+      s"${mvCarried.size}/${mv1.files.size} files by reference")
+  }
 }

@@ -1531,4 +1531,55 @@ class StreamingSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(polls.iterator.map(_._1).reduce(_ ++ _) == batchDiff)
   }
+
+  test("s_stream_table_ivm: per-micro-batch MERGE into the fact table " +
+    "plus an incremental view refresh keeps the view ≡ recompute, " +
+    "exactly-once end to end") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.table.{IncrementalView, ManifestTable}
+    val factDir = java.nio.file.Files.createTempDirectory("ivm_sfact").toString
+    val mvDir = java.nio.file.Files.createTempDirectory("ivm_smv").toString
+    // fact exists with stats + view initialized BEFORE the stream starts
+    ManifestTable.create(spark, factDir,
+      Seq((1L, 1L, 10L), (2L, 0L, 20L)).toDF("k", "g", "c"),
+      statsCols = Seq("k"))
+    IncrementalView.init(spark, factDir, mvDir, "g", Seq("c"))
+    val mem = MemoryStream[Chg]
+    val q = mem.toDF()
+      // CDC rows: key, group = key % 2, value, op
+      .select(col("k"), (col("k") % 2).as("g"), col("p_e4").as("c"),
+        col("op").as("_op"))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamOps.tableMergeBatch(factDir, "k", opCol = Some("_op"))(b, id)
+        IncrementalView.refresh(b.sparkSession, factDir, mvDir, "g", Seq("c"))
+        ()
+      }
+      .start()
+    mem.addData(Chg(3L, 0, "U", 30L), Chg(4L, 0, "U", 40L))
+    q.processAllAvailable()
+    mem.addData(Chg(2L, 1, "U", 25L), Chg(1L, 1, "D", 0L),
+      Chg(5L, 0, "U", 50L))
+    q.processAllAvailable()
+    q.stop()
+    def view = ManifestTable.read(spark, mvDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def full = ManifestTable.read(spark, factDir)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("c").cast("long").as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(view == full)
+    // final fact: (2,g0,25) (4,g0,40) | (3,g1,30) (5,g1,50)
+    assert(view == Map(0L -> ((2L, 65L)), 1L -> ((2L, 80L))))
+    // retry of the LAST batch: neither the fact nor the view re-applies
+    val factV = ManifestTable.latestVersion(spark, factDir).get
+    val mvV = ManifestTable.latestVersion(spark, mvDir).get
+    val replay = Seq((2L, 1L, 25L, "U"), (1L, 1L, 0L, "D"), (5L, 1L, 50L, "U"))
+      .toDF("k", "g", "c", "_op")
+    StreamOps.tableMergeBatch(factDir, "k", opCol = Some("_op"))(replay, 1L)
+    IncrementalView.refresh(spark, factDir, mvDir, "g", Seq("c"))
+    assert(ManifestTable.latestVersion(spark, factDir).contains(factV))
+    assert(ManifestTable.latestVersion(spark, mvDir).contains(mvV))
+    assert(view == full)
+  }
 }
