@@ -102,6 +102,14 @@ object Graft {
     /** Apply a learned merge table; adds bpe_tokens per row. */
     def bpeEncode(docs: DataFrame, merges: Seq[BpeTrain.Merge]): DataFrame =
       BpeTrain.encode(docs, merges)
+    /** Whitespace token count (cross-engine-exact separator form). */
+    def tokenCount(text: Column): Column = SequencePack.tokenCount(text)
+    /** Pack rows into `capacity`-token training sequences ("concat then
+      * chunk"): adds `chunk` = the sequence this row starts in, via the
+      * two-pass distributed prefix sum (no single-task window). */
+    def packChunks(df: DataFrame, orderCol: String, tokCol: String,
+                   capacity: Long): DataFrame =
+      SequencePack.assignChunks(df, orderCol, tokCol, capacity)
     /** Canonical form of a URL column (fragment stripped, scheme/host
       * lowercased, default ports and trailing slashes removed, query
       * params sorted) — the web-corpus dedup key. Pure column algebra. */

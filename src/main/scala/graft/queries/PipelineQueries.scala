@@ -2163,6 +2163,99 @@ object PipelineQueries {
     // bloom-pruned join ships the filter), the true-membership check
     // is a broadcast semi join, and the final row is a cross of 1-row
     // aggregates.
+    // Training-sequence packing — the document-concatenation step of a
+    // pretraining pipeline: documents laid out in doc_id order, token
+    // counts accumulate, every 256-token boundary starts a new training
+    // sequence; a document belongs to the chunk where it STARTS (the
+    // "concat then chunk" recipe). All-integer, so the packing is
+    // oracle-hashed exactly. The running count is the engine's two-pass
+    // distributed prefix sum (operators/SequencePack — bucketed local
+    // sums + aggregate-bounded offsets, no global single-task window);
+    // the oracle states the same packing with one SQL window. The
+    // fingerprint rolls chunks up mod 8 so the whole assignment — chunk
+    // count, doc spread, token mass — is pinned at any scale.
+    Q("q_pack_chunks",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+        |      AS BIGINT) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tok, SUM(tok) OVER (ORDER BY doc_id) AS cum FROM t),
+        |a AS (
+        |  SELECT doc_id, tok,
+        |    CAST(((cum - tok) - (cum - tok) % 256) / 256 AS BIGINT) AS chunk
+        |  FROM c)
+        |SELECT CAST(chunk % 8 AS BIGINT) AS bucket,
+        |  COUNT(DISTINCT chunk) AS n_chunks, COUNT(*) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS token_sum
+        |FROM a GROUP BY chunk % 8 ORDER BY bucket""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.operators.SequencePack.tokenCount(col("text")).as("tok"))
+      graft.operators.SequencePack.assignChunks(t, "doc_id", "tok", 256L)
+        .groupBy((col("chunk") % 8).as("bucket"))
+        .agg(countDistinct("chunk").as("n_chunks"),
+          count(lit(1)).as("n_docs"),
+          sum("tok").cast("long").as("token_sum"))
+        .orderBy("bucket")
+    },
+
+    // Domain-mixture allocation — the data-mixing step of a pretraining
+    // pipeline: a fixed sample budget (9973, prime so remainders are
+    // non-trivial) apportioned across sources proportional to their
+    // token mass by the LARGEST-REMAINDER method (Hamilton): floor the
+    // proportional share, then hand the leftover units to the largest
+    // remainders (ties by source name). All-integer — floor and
+    // remainder are exact in both engines — and conservation
+    // (Σ alloc = budget) holds by construction, pinned by the hash.
+    // Scale shape: one combinable per-source token rollup; everything
+    // after runs on the ≤|sources| aggregate (the rank window is
+    // bounded by construction — constant partition key, the
+    // HistogramRank small-branch idiom).
+    Q("q_mix_allocate",
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+        |      AS BIGINT) AS tok
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(tok) AS BIGINT) AS t FROM s),
+        |q AS (
+        |  SELECT source, tok,
+        |    CAST((tok * 9973 - (tok * 9973) % t) / t AS BIGINT) AS fl,
+        |    (tok * 9973) % t AS rem
+        |  FROM s CROSS JOIN tot),
+        |l AS (SELECT CAST(9973 - SUM(fl) AS BIGINT) AS lo FROM q),
+        |r AS (
+        |  SELECT source, tok, fl, rem,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM q)
+        |SELECT source, tok AS tokens,
+        |  CAST(fl + CASE WHEN rk <= lo THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r CROSS JOIN l
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val tok = graft.operators.SequencePack.tokenCount(col("text"))
+      val bySrc = Tables.documents(s, d)
+        .groupBy("source").agg(sum(tok).cast("long").as("tok"))
+      val tot = broadcast(bySrc.agg(sum("tok").cast("long").as("t")))
+      val q = bySrc.crossJoin(tot)
+        .withColumn("fl", ((col("tok") * 9973 - (col("tok") * 9973) % col("t"))
+          / col("t")).cast("long"))
+        .withColumn("rem", (col("tok") * 9973) % col("t"))
+      val lo = broadcast(q.agg((lit(9973L) - sum("fl")).cast("long").as("lo")))
+      // rank over the ≤|sources| frame: bounded by construction, so the
+      // constant partition key (HistogramRank's small-branch idiom)
+      // deliberately marks the single-task sort as intended
+      val r = q.withColumn("__all", lit(0))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("__all").orderBy(col("rem").desc, col("source"))))
+      r.crossJoin(lo)
+        .select(col("source"), col("tok").as("tokens"),
+          (col("fl") + when(col("rk") <= col("lo"), 1L).otherwise(0L))
+            .cast("long").as("alloc"))
+        .orderBy("source")
+    },
+
     Q("q_sketch_bloom",
       """WITH mem AS (SELECT DISTINCT s_suppkey AS k FROM supplier),
         |mb AS (
