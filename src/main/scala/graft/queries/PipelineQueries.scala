@@ -2256,6 +2256,80 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // Mixture sampling — the draw that realizes q_mix_allocate's
+    // budget: within each source, documents are ranked by a seeded
+    // md5 order (deterministic, uniform, identical bytes in both
+    // engines; doc_id tiebreak) and the top alloc_s make the mix. The
+    // emitted per-source sample fingerprint (count, token mass, key
+    // sum) pins the ENTIRE pipeline — token rollup, largest-remainder
+    // apportionment, per-source draw — under one hash. Scale shape:
+    // the rank window is partitioned by source (parallel, no global
+    // sort); the ≤|sources| allocation frame broadcasts onto it; at
+    // 100 TB the draw is one shuffle of the doc key frame.
+    Q("q_mix_sample",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+        |      AS BIGINT) AS tok
+        |  FROM documents),
+        |s AS (SELECT source, CAST(SUM(tok) AS BIGINT) AS tok FROM t
+        |      GROUP BY source),
+        |tot AS (SELECT CAST(SUM(tok) AS BIGINT) AS t FROM s),
+        |q AS (
+        |  SELECT source, tok,
+        |    CAST((tok * 9973 - (tok * 9973) % t) / t AS BIGINT) AS fl,
+        |    (tok * 9973) % t AS rem
+        |  FROM s CROSS JOIN tot),
+        |l AS (SELECT CAST(9973 - SUM(fl) AS BIGINT) AS lo FROM q),
+        |r AS (
+        |  SELECT source, fl, rem,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM q),
+        |a AS (
+        |  SELECT source,
+        |    CAST(fl + CASE WHEN rk <= lo THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |  FROM r CROSS JOIN l),
+        |d AS (
+        |  SELECT t.doc_id, t.source, t.tok,
+        |    ROW_NUMBER() OVER (PARTITION BY t.source
+        |      ORDER BY md5(CONCAT('mix:', t.doc_id)), t.doc_id) AS drk
+        |  FROM t)
+        |SELECT d.source, COUNT(*) AS n_sampled,
+        |  CAST(SUM(d.tok) AS BIGINT) AS token_sum,
+        |  CAST(SUM(d.doc_id) AS BIGINT) AS key_sum
+        |FROM d JOIN a ON d.source = a.source
+        |WHERE d.drk <= a.alloc
+        |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, d) =>
+      val tok = graft.operators.SequencePack.tokenCount(col("text"))
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), tok.as("tok"))
+      val bySrc = t.groupBy("source").agg(sum("tok").cast("long").as("tok"))
+      val tot = broadcast(bySrc.agg(sum("tok").cast("long").as("t")))
+      val q = bySrc.crossJoin(tot)
+        .withColumn("fl", ((col("tok") * 9973 - (col("tok") * 9973) % col("t"))
+          / col("t")).cast("long"))
+        .withColumn("rem", (col("tok") * 9973) % col("t"))
+      val lo = broadcast(q.agg((lit(9973L) - sum("fl")).cast("long").as("lo")))
+      val alloc = q.withColumn("__all", lit(0))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("__all").orderBy(col("rem").desc, col("source"))))
+        .crossJoin(lo)
+        .select(col("source"),
+          (col("fl") + when(col("rk") <= col("lo"), 1L).otherwise(0L))
+            .cast("long").as("alloc"))
+      val ranked = t.withColumn("drk", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
+            col("doc_id"))))
+      ranked.join(broadcast(alloc), "source")
+        .where(col("drk") <= col("alloc"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum("tok").cast("long").as("token_sum"),
+          sum("doc_id").cast("long").as("key_sum"))
+        .orderBy("source")
+    },
+
     Q("q_sketch_bloom",
       """WITH mem AS (SELECT DISTINCT s_suppkey AS k FROM supplier),
         |mb AS (

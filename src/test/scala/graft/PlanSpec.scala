@@ -501,7 +501,17 @@ class PlanSpec extends SparkSuite {
         "shuffle=6,broadcast=2,BroadcastHashJoin=1,BroadcastNestedLoopJoin=1",
       "q_stat_bootstrap" ->
         "shuffle=4,broadcast=3,BroadcastHashJoin=1,BroadcastNestedLoopJoin=2",
-      "q_stat_permutation" -> "shuffle=3,broadcast=2,BroadcastNestedLoopJoin=2")
+      "q_stat_permutation" -> "shuffle=3,broadcast=2,BroadcastNestedLoopJoin=2",
+      // round 13 session 2: packing rides the two-pass prefix sum (the
+      // row-scale exchanges are the bucket window + its reuse; offsets
+      // broadcast); the mixture pair's only row-scale exchanges are the
+      // per-source token rollup and (sample) the source-partitioned
+      // rank window — everything after runs on the ≤|sources| frame
+      // crossed with one-row aggregates
+      "q_pack_chunks" -> "shuffle=6,broadcast=1,BroadcastHashJoin=1",
+      "q_mix_allocate" -> "shuffle=8,broadcast=3,BroadcastNestedLoopJoin=3",
+      "q_mix_sample" ->
+        "shuffle=10,broadcast=4,BroadcastHashJoin=1,BroadcastNestedLoopJoin=3")
     val got = pinned.keys.toSeq.sorted
       .map(q => q -> graft.tools.PlanShape.of(plan(q)))
     val diffs = got.filter { case (q, s) => s != pinned(q) }
