@@ -333,11 +333,13 @@ object Graft {
     /** Create at version 0 (fails if a log exists). `statsCols` turns
       * on per-file min/max footer stats (pruning + MERGE metadata);
       * `partitionCols` makes the table partitioned (values recorded
-      * per file, columns stay in the data files). */
+      * per file, columns stay in the data files); `constraints` are
+      * CHECK predicates (name → SQL) enforced on every write. */
     def create(spark: SparkSession, dir: String, df: DataFrame,
                statsCols: Seq[String] = Nil,
-               partitionCols: Seq[String] = Nil): ManifestTable.Snapshot =
-      ManifestTable.create(spark, dir, df, statsCols, partitionCols)
+               partitionCols: Seq[String] = Nil,
+               constraints: Map[String, String] = Map.empty): ManifestTable.Snapshot =
+      ManifestTable.create(spark, dir, df, statsCols, partitionCols, constraints)
     /** Append-only commit (auto-retries version races). */
     def append(spark: SparkSession, dir: String, df: DataFrame): ManifestTable.Snapshot =
       ManifestTable.append(spark, dir, df)
@@ -430,6 +432,21 @@ object Graft {
     def viewRefresh(spark: SparkSession, factDir: String, mvDir: String,
                     key: String, sums: Seq[String]): ManifestTable.Snapshot =
       graft.table.IncrementalView.refresh(spark, factDir, mvDir, key, sums)
+    /** ALTER TABLE ADD/DROP CONSTRAINT (adds validate existing data;
+      * one metadata commit). */
+    def alterConstraints(spark: SparkSession, dir: String,
+                         add: Map[String, String] = Map.empty,
+                         drop: Set[String] = Set.empty): ManifestTable.Snapshot =
+      ManifestTable.alterConstraints(spark, dir, add, drop)
+    /** The change feed as a real streaming SOURCE (version offsets,
+      * per-commit I/D rows tagged `_commit_version`; manifest-priced
+      * reads). See [[graft.sources.ChangeFeedSource]]. */
+    def readChangeFeed(spark: SparkSession, dir: String,
+                       startingVersion: Long = 0L): DataFrame =
+      spark.readStream.format("graft-changefeed")
+        .option("path", dir)
+        .option("startingVersion", startingVersion.toString)
+        .load()
   }
 
   /** Table maintenance: the operational layer of a partitioned store. */

@@ -591,6 +591,43 @@ object TableQueries {
         .orderBy("bucket")
     },
 
+    // CHECK-constraint capability: the write-time quality gate. A
+    // table created WITH constraints rejects a violating append
+    // atomically (caught here — the history must show no trace),
+    // accepts a conforming one, evolves its constraint set through
+    // ALTER (add validates existing data), and records everything in
+    // the snapshot log. Emitted: the per-version operation trail with
+    // constraint counts — rows-only gate; the hard laws (all five
+    // write paths gated, NULL semantics, restore carrying) live in
+    // ManifestTableSpec.
+    Q.cap("cap_table_constraints") { (s, d) =>
+      val dir = Scratch.wiped("mtable_check")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast(Dsl.DFac).cast(P).as("p"))
+      ManifestTable.create(s, dir, o.filter(col("k") % 2 === 0),
+        statsCols = Seq("k"),
+        constraints = Map("k_nonneg" -> "k >= 0", "p_present" -> "p IS NOT NULL"))
+      val rejected =
+        try {
+          ManifestTable.append(s, dir,
+            o.filter(col("k") % 2 === 1).withColumn("k", -col("k")))
+          0L
+        } catch {
+          case _: ManifestTable.ConstraintViolationException => 1L
+        }
+      ManifestTable.append(s, dir, o.filter(col("k") % 2 === 1))
+      ManifestTable.alterConstraints(s, dir,
+        add = Map("p_positive" -> "p > 0"))
+      import s.implicits._
+      ManifestTable.history(s, dir)
+        .map(sn => (sn.version, sn.operation,
+          sn.constraints.size.toLong, sn.totalRows, rejected))
+        .toDF("version", "operation", "n_constraints", "n_rows",
+          "n_rejected_commits")
+        .orderBy("version")
+    },
+
     // Commit-protocol capability: crash safety + maintenance in one
     // lifecycle. A torn writer (sealed data directory + dot-tmp
     // manifest, no rename — the exact state a crash mid-commit leaves)

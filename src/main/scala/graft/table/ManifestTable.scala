@@ -98,6 +98,32 @@ object ManifestTable {
   final class ConcurrentCommitException(msg: String, cause: Throwable)
     extends RuntimeException(msg, cause)
 
+  /** A write carried rows violating a table CHECK constraint; nothing
+    * was committed (enforcement runs before any data is staged). */
+  final class ConstraintViolationException(msg: String)
+    extends RuntimeException(msg)
+
+  /** CHECK enforcement: one combinable aggregate over the rows about
+    * to be written, counting rows where each predicate is FALSE (NULL
+    * passes — SQL CHECK semantics); any violation fails the whole
+    * commit before a byte is staged. Cost: one validation pass over
+    * the written rows only — never the table. */
+  private def enforce(df: DataFrame, constraints: Map[String, String],
+      operation: String): Unit = {
+    if (constraints.isEmpty) return
+    val checks = constraints.toSeq.sortBy(_._1)
+    val counters = checks.map { case (n, sql) =>
+      sum(when(coalesce(expr(sql), lit(true)), 0L).otherwise(1L)).as(n)
+    }
+    val row = df.agg(counters.head, counters.tail: _*).head()
+    val bad = checks.zipWithIndex.collect {
+      case ((n, sql), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+        s"$n (CHECK $sql): ${row.getLong(i)} rows"
+    }
+    if (bad.nonEmpty) throw new ConstraintViolationException(
+      s"$operation rejected by table constraints — ${bad.mkString("; ")}")
+  }
+
   /** Footer min/max of one column in one file. `min`/`max` are the
     * column's pruning primitive: Long (integral, date-days,
     * timestamp-micros), Double (float/double) or String. Parquet may
@@ -122,10 +148,14 @@ object ManifestTable {
   /** One committed snapshot (the unit of time travel). `lastBatch` is
     * the high-water mark of streaming batch ids merged via
     * [[mergeBatch]] (−1 = none) — carried forward by every commit so
-    * the replay check is one manifest read and survives vacuum. */
+    * the replay check is one manifest read and survives vacuum.
+    * `constraints` are the table's CHECK invariants (name → SQL
+    * predicate text), enforced on every write and carried forward like
+    * the stats/partition spec. */
   final case class Snapshot(version: Long, parent: Long, operation: String,
       statsCols: Seq[String], partitionCols: Seq[String], lastBatch: Long,
-      schemaJson: String, files: Vector[FileEntry]) {
+      schemaJson: String, files: Vector[FileEntry],
+      constraints: Map[String, String] = Map.empty) {
     def totalRows: Long = files.iterator.map(_.rows).sum
     def totalBytes: Long = files.iterator.map(_.bytes).sum
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -229,6 +259,9 @@ object ManifestTable {
        else List("statsCols" -> (JArray(s.statsCols.toList.map(JString(_))): JValue))) ++
       (if (s.partitionCols.isEmpty) Nil
        else List("partitionCols" -> (JArray(s.partitionCols.toList.map(JString(_))): JValue))) ++
+      (if (s.constraints.isEmpty) Nil
+       else List("constraints" -> (JObject(s.constraints.toList.sortBy(_._1)
+         .map { case (n, sql) => n -> (JString(sql): JValue) }): JValue))) ++
       List("files" -> (files: JValue)))
     JsonMethods.compact(JsonMethods.render(obj))
   }
@@ -276,6 +309,10 @@ object ManifestTable {
       }
       case other => sys.error(s"manifest: files is $other")
     }
+    val constraints = (j \ "constraints") match {
+      case JObject(kv) => kv.map { case (n, v) => n -> v.values.toString }.toMap
+      case _ => Map.empty[String, String]
+    }
     Snapshot(
       jLong(j \ "version"),
       jLong(j \ "parent"),
@@ -284,7 +321,7 @@ object ManifestTable {
       jStrings(j \ "partitionCols"),
       (j \ "lastBatch").toOption.map(jLong).getOrElse(-1L),
       (j \ "schema").values.toString,
-      files)
+      files, constraints)
   }
 
   // ---------------------------------------------------- footer stats
@@ -471,15 +508,17 @@ object ManifestTable {
     * table partitioned — partition values are recorded per file and
     * the columns stay in the data files. */
   def create(spark: SparkSession, dir: String, df: DataFrame,
-      statsCols: Seq[String] = Nil, partitionCols: Seq[String] = Nil): Snapshot = {
+      statsCols: Seq[String] = Nil, partitionCols: Seq[String] = Nil,
+      constraints: Map[String, String] = Map.empty): Snapshot = {
     require(latestVersion(spark, dir).isEmpty,
       s"table already exists at $dir — use append/overwrite/merge")
     (statsCols ++ partitionCols).foreach { c =>
       require(df.schema.fieldNames.contains(c), s"column $c not in schema")
     }
+    enforce(df, constraints, "create")
     val files = stage(spark, dir, df, statsCols, partitionCols)
     val snap = Snapshot(0L, -1L, "create", statsCols, partitionCols, -1L,
-      df.schema.json, files)
+      df.schema.json, files, constraints)
     publish(spark, dir, snap)
     snap
   }
@@ -500,13 +539,14 @@ object ManifestTable {
       maxRetries: Int = 5): Snapshot = {
     val base = current(spark, dir)
     evolveSchema(base, df) // fail fast, before any data is staged
+    enforce(df, base.constraints, "append")
     val files = stage(spark, dir, df, base.statsCols, base.partitionCols)
     var attempt = 0
     while (true) {
       val head = current(spark, dir)
       val snap = Snapshot(head.version + 1, head.version, "append",
         head.statsCols, head.partitionCols, head.lastBatch,
-        evolveSchema(head, df), head.files ++ files)
+        evolveSchema(head, df), head.files ++ files, head.constraints)
       try { publish(spark, dir, snap); return snap }
       catch {
         case e: ConcurrentCommitException =>
@@ -545,10 +585,11 @@ object ManifestTable {
     * no intermediate state). */
   def overwrite(spark: SparkSession, dir: String, df: DataFrame): Snapshot = {
     val head = current(spark, dir)
+    enforce(df, head.constraints, "overwrite")
     val files = stage(spark, dir, df, head.statsCols, head.partitionCols)
     val snap = Snapshot(head.version + 1, head.version, "overwrite",
       head.statsCols, head.partitionCols, head.lastBatch,
-      df.schema.json, files)
+      df.schema.json, files, head.constraints)
     publish(spark, dir, snap) // conflict ⇒ caller must re-read & re-run
     snap
   }
@@ -572,7 +613,28 @@ object ManifestTable {
     val target = readManifest(spark, dir, version)
     val snap = Snapshot(head.version + 1, head.version,
       s"restore@v$version", target.statsCols, target.partitionCols,
-      head.lastBatch, target.schemaJson, target.files)
+      head.lastBatch, target.schemaJson, target.files, target.constraints)
+    publish(spark, dir, snap)
+    snap
+  }
+
+  /** ALTER TABLE {ADD|DROP} CONSTRAINT as one metadata commit: added
+    * CHECKs validate the EXISTING data first (one scan of the live
+    * files — a constraint that does not hold cannot be added, same as
+    * every SQL engine), drops are free. The resulting constraint set
+    * rides every later commit. */
+  def alterConstraints(spark: SparkSession, dir: String,
+      add: Map[String, String] = Map.empty,
+      drop: Set[String] = Set.empty): Snapshot = {
+    val head = current(spark, dir)
+    drop.foreach { n =>
+      require(head.constraints.contains(n), s"no constraint named $n")
+    }
+    if (add.nonEmpty) enforce(scan(spark, dir, head), add, "add constraint")
+    val next = head.constraints -- drop ++ add
+    val snap = Snapshot(head.version + 1, head.version, "alter",
+      head.statsCols, head.partitionCols, head.lastBatch,
+      head.schemaJson, head.files, next)
     publish(spark, dir, snap)
     snap
   }
@@ -875,6 +937,9 @@ object ManifestTable {
       // layout instead of splintering it (and the footer sweep stays
       // proportional to touched files).
       val winners = resolved.where(col("__op") =!= "D").select(cols.map(col): _*)
+      // only the NEW rows need checking — touched base rows conformed
+      // at their own commit and pass through byte-identical
+      enforce(winners, head.constraints, operation)
       val srcKeys = resolved.select(col(key))
       val base = scanWith(spark, dir, touched, schema)
       val rewritten = base
@@ -888,7 +953,7 @@ object ManifestTable {
       val snap = Snapshot(head.version + 1, head.version, operation,
         head.statsCols, head.partitionCols,
         batchId.map(math.max(_, head.lastBatch)).getOrElse(head.lastBatch),
-        head.schemaJson, untouched ++ staged)
+        head.schemaJson, untouched ++ staged, head.constraints)
       publish(spark, dir, snap)
       snap
     } finally {
@@ -940,7 +1005,7 @@ object ManifestTable {
     val staged = stage(spark, dir, rewritten, head.statsCols, head.partitionCols)
     val snap = Snapshot(head.version + 1, head.version, "delete",
       head.statsCols, head.partitionCols, head.lastBatch,
-      head.schemaJson, untouched ++ staged)
+      head.schemaJson, untouched ++ staged, head.constraints)
     publish(spark, dir, snap)
     snap
   }
@@ -972,10 +1037,15 @@ object ManifestTable {
           case None => col(c)
         }
       }: _*)
+    // only the rows the SET actually modified need re-checking
+    enforce(scanWith(spark, dir, touched, schema).where(hit)
+      .select(schema.fieldNames.toSeq.map { c =>
+        set.get(c).map(_.cast(schema(c).dataType).as(c)).getOrElse(col(c))
+      }: _*), head.constraints, "update")
     val staged = stage(spark, dir, rewritten, head.statsCols, head.partitionCols)
     val snap = Snapshot(head.version + 1, head.version, "update",
       head.statsCols, head.partitionCols, head.lastBatch,
-      head.schemaJson, untouched ++ staged)
+      head.schemaJson, untouched ++ staged, head.constraints)
     publish(spark, dir, snap)
     snap
   }
@@ -1096,7 +1166,7 @@ object ManifestTable {
     val staged = stage(spark, dir, packed, head.statsCols, head.partitionCols)
     val snap = Snapshot(head.version + 1, head.version, "compact",
       head.statsCols, head.partitionCols, head.lastBatch,
-      head.schemaJson, big ++ staged)
+      head.schemaJson, big ++ staged, head.constraints)
     publish(spark, dir, snap)
     snap
   }

@@ -24,6 +24,17 @@ object GraftSqlBridge {
   def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Re-plan a batch frame as a STREAMING one (isStreaming = true) —
+    * what a V1 `Source.getBatch` must hand the engine, and exactly how
+    * the built-in file stream source wraps its batch reads: the batch
+    * plan compiles to an InternalRow RDD (lazy) and re-enters the
+    * streaming query as a leaf. */
+  def streamingFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = true)
+  }
+
   /** Idempotently append a planner strategy to the session. */
   def addStrategy(spark: SparkSession, strategy: SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental

@@ -688,6 +688,59 @@ class ManifestTableSpec extends SparkSuite {
       preC.version, postC.version)).isEmpty)
   }
 
+  test("CHECK constraints gate every write path before a byte is staged; " +
+    "NULL passes (SQL semantics); ALTER validates existing data") {
+    import spark.implicits._
+    val dir = freshDir("constraints")
+    val checks = Map("k_positive" -> "k > 0", "v_present" -> "length(v) > 1")
+    // violating create: loudly rejected, nothing on disk
+    intercept[ManifestTable.ConstraintViolationException] {
+      ManifestTable.create(spark, dir, kv(Seq(1L -> "ok", -2L -> "xx")),
+        constraints = checks)
+    }
+    assert(ManifestTable.latestVersion(spark, dir).isEmpty)
+    ManifestTable.create(spark, dir, kv(Seq(1L -> "aa", 2L -> "bb")),
+      constraints = checks)
+    // append: violation rejected atomically, table untouched
+    intercept[ManifestTable.ConstraintViolationException] {
+      ManifestTable.append(spark, dir, kv(Seq(3L -> "cc", 4L -> "x")))
+    }
+    assert(ManifestTable.history(spark, dir).size == 1)
+    // NULL-evaluating rows PASS (the CHECK contract)
+    ManifestTable.append(spark, dir,
+      Seq((5L, null: String)).toDF("k", "v"))
+    assert(content(dir).contains(5L -> null))
+    // merge: only the new rows are checked; a bad winner kills the commit
+    intercept[ManifestTable.ConstraintViolationException] {
+      ManifestTable.merge(spark, dir, Seq((-9L, "zz")).toDF("k", "v"), "k")
+    }
+    ManifestTable.merge(spark, dir, Seq((6L, "ff")).toDF("k", "v"), "k")
+    // update: the modified values are re-checked
+    intercept[ManifestTable.ConstraintViolationException] {
+      ManifestTable.update(spark, dir, col("k") === 6L,
+        Map("v" -> lit("q")))
+    }
+    // constraints persist in the manifest and survive restore
+    val head = ManifestTable.snapshot(spark, dir)
+    assert(head.constraints == checks)
+    assert(ManifestTable.restore(spark, dir, 1L).constraints == checks)
+    // ALTER: adding a constraint the data violates is refused...
+    intercept[ManifestTable.ConstraintViolationException] {
+      ManifestTable.alterConstraints(spark, dir,
+        add = Map("k_small" -> "k < 3"))
+    }
+    // ...a holding one lands as a metadata commit, drop works, and the
+    // new set gates the next write
+    val altered = ManifestTable.alterConstraints(spark, dir,
+      add = Map("k_cap" -> "k < 100"), drop = Set("v_present"))
+    assert(altered.operation == "alter" &&
+      altered.constraints.keySet == Set("k_positive", "k_cap"))
+    ManifestTable.append(spark, dir, kv(Seq(7L -> "g"))) // v_present gone
+    intercept[ManifestTable.ConstraintViolationException] {
+      ManifestTable.append(spark, dir, kv(Seq(200L -> "hh")))
+    }
+  }
+
   test("snapshot() answers count and footer bounds with zero data IO — " +
     "even after the data files are gone") {
     val dir = freshDir("meta")

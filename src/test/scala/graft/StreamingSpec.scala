@@ -1532,6 +1532,68 @@ class StreamingSpec extends SparkSuite {
     assert(polls.iterator.map(_._1).reduce(_ ++ _) == batchDiff)
   }
 
+  test("s_stream_table_change_source: readStream.format(graft-changefeed) " +
+    "is a real streaming source — per-commit deltas, version offsets, " +
+    "exactly-once across a checkpoint restart") {
+    import graft.table.ManifestTable
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cfeed_tbl").toString
+    val sink = java.nio.file.Files.createTempDirectory("cfeed_sink").toString
+    val cp = java.nio.file.Files.createTempDirectory("cfeed_cp").toString
+    ManifestTable.create(spark, dir, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
+      statsCols = Seq("k"))
+    // v1 + v2 land BEFORE the stream starts: one catch-up batch must
+    // carry both, each row tagged with ITS commit version
+    ManifestTable.mergeBatch(spark, dir,
+      Seq((2L, 25L, "U"), (3L, 30L, "U")).toDF("k", "v", "_op"),
+      "k", batchId = 0L, opCol = Some("_op"))
+    ManifestTable.mergeBatch(spark, dir,
+      Seq((1L, 0L, "D")).toDF("k", "v", "_op"),
+      "k", batchId = 1L, opCol = Some("_op"))
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-changefeed")
+        .option("path", dir).load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", cp)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    def sunk: Set[(Long, Long, String, Long)] =
+      spark.read.schema(graft.sources.ChangeFeedSource.feedSchema(
+          ManifestTable.snapshot(spark, dir, Some(0L)).schema))
+        .parquet(sink)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    // structural deltas: v1 rewrote the (2,20) file → canceling pairs
+    // are allowed, but the SIGNED content must equal the value diff,
+    // and every row's _commit_version must match its step
+    val expected = (1L to 2L).flatMap { v =>
+      ManifestTable.changes(spark, dir, v - 1, v).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), v))
+    }.toSet
+    def signed(rows: Set[(Long, Long, String, Long)]) =
+      rows.groupBy(t => (t._1, t._2, t._4)).view.mapValues(_.map(_._3))
+        .toMap.collect { case (kv, ops)
+          if ops.count(_ == "I") != ops.count(_ == "D") =>
+          kv -> (if (ops.contains("I")) "I" else "D") }
+    assert(signed(sunk) == signed(expected.map(identity)),
+      s"sunk=$sunk\nexpected=$expected")
+    assert(sunk.forall(t => t._4 == 1L || t._4 == 2L))
+    // restart: two more commits, the SAME checkpoint resumes at v2 and
+    // delivers exactly v3 and v4 — nothing replayed, nothing skipped
+    val before = sunk.size
+    ManifestTable.append(spark, dir, Seq((4L, 40L)).toDF("k", "v"))
+    ManifestTable.delete(spark, dir, col("k") === 3L)
+    run()
+    val extra = sunk.filter(t => t._4 >= 3L)
+    assert(sunk.size == before + extra.size, "restart replayed old versions")
+    assert(extra.collect { case (4L, 40L, "I", 3L) => 1 }.sum == 1,
+      s"missing the v3 append: $extra")
+    assert(extra.exists(t => t._1 == 3L && t._3 == "D" && t._4 == 4L),
+      s"missing the v4 delete: $extra")
+  }
+
   test("s_stream_table_ivm: per-micro-batch MERGE into the fact table " +
     "plus an incremental view refresh keeps the view ≡ recompute, " +
     "exactly-once end to end") {
