@@ -208,6 +208,59 @@ object TableQueries {
         .orderBy("pre_evolution")
     },
 
+    // DROP COLUMN as a metadata-only commit: two commits carry a
+    // 3-column schema, the drop narrows it WITHOUT touching a data
+    // file (the physical column stays in the old parquet, invisible to
+    // the explicit read schema), and a later append writes the
+    // narrowed shape. The head fingerprint proves dropped values never
+    // leak into reads; the pre-drop version fingerprint proves time
+    // travel still sees them. Tombstone semantics (re-add refused,
+    // restore/overwrite behavior) are pinned in ManifestTableSpec. At
+    // 100 TB this is the schema-change primitive that costs one JSON
+    // rename instead of a table rewrite.
+    Q("q_table_drop",
+      """WITH b AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(14,4)) AS p,
+        |    CAST(LENGTH(o_orderpriority) AS BIGINT) AS urgency
+        |  FROM orders)
+        |SELECT 'head' AS phase, COUNT(*) AS n_rows,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum, %PSUM% AS price_sum,
+        |  CAST(0 AS BIGINT) AS urgency_sum
+        |FROM b
+        |UNION ALL
+        |SELECT 'pre_drop' AS phase, COUNT(*) AS n_rows,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum, %PSUM% AS price_sum,
+        |  CAST(SUM(urgency) AS BIGINT) AS urgency_sum
+        |FROM b WHERE k % 3 IN (0, 1)
+        |ORDER BY phase""".stripMargin
+        .replace("%PSUM%", Dsl.d2dSql(Dsl.dsumSql("p")))) { (s, d) =>
+      val dir = Scratch.wiped("mtable_drop")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast(Dsl.DFac).cast(P).as("p"),
+          length(col("o_orderpriority")).cast("long").as("urgency"))
+      ManifestTable.create(s, dir, o.filter(col("k") % 3 === 0),
+        statsCols = Seq("k"))
+      ManifestTable.append(s, dir, o.filter(col("k") % 3 === 1))
+      ManifestTable.dropColumn(s, dir, "urgency")
+      ManifestTable.append(s, dir,
+        o.filter(col("k") % 3 === 2).select("k", "p"))
+      val head = ManifestTable.read(s, dir)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("key_sum"),
+          Dsl.d2d(Dsl.dsum(col("p"))).as("price_sum"))
+        .select(lit("head").as("phase"), col("n_rows"), col("key_sum"),
+          col("price_sum"), lit(0L).as("urgency_sum"))
+      val preDrop = ManifestTable.readVersion(s, dir, 1L)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("key_sum"),
+          Dsl.d2d(Dsl.dsum(col("p"))).as("price_sum"),
+          sum(col("urgency")).cast("long").as("urgency_sum"))
+        .select(lit("pre_drop").as("phase"), col("n_rows"), col("key_sum"),
+          col("price_sum"), col("urgency_sum"))
+      head.unionByName(preDrop).orderBy("phase")
+    },
+
     // Time travel: three commits (create / append / overwrite), then
     // every snapshot read back AS OF its version and fingerprinted.
     // The oracle states each version's required contents directly from
@@ -692,6 +745,72 @@ object TableQueries {
           sn.totalRows, diff))
         .toDF("version", "operation", "n_files", "n_rows",
           "compact_changelog_rows")
+        .orderBy("version")
+    },
+
+    // Optimistic concurrency, driven for real: 4 threads MERGE into
+    // disjoint key ranges of one table at once — every writer that
+    // loses the version race rebases (its staged files are reused, one
+    // manifest read + one rename, zero data IO) because the concurrent
+    // commits provably commute (each kept the others' rewritten files
+    // and their key ranges are bounds-disjoint). A 5th, stale merge
+    // whose touched file WAS rewritten must throw
+    // ConcurrentCommitException instead of silently losing an update.
+    // Emits the serialized history plus the race verdicts; the conflict
+    // taxonomy laws (write-write, read-write, metadata drift,
+    // base-awareness) are pinned in ManifestTableSpec.
+    Q.cap("cap_table_concurrent") { (s, d) =>
+      val dir = Scratch.wiped("mtable_concurrent")
+      val b = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("k"), col("s_name").as("v"))
+      // four bounds-disjoint files: quartile slices of the dense key
+      // space (fixture-size independent — s_suppkey is 1..N)
+      val n = b.count()
+      val q = math.max(1L, n / 4L)
+      def lo(i: Int): Long = i * q + 1L
+      ManifestTable.create(s, dir,
+        b.filter(col("k") < lo(1)).coalesce(1), statsCols = Seq("k"))
+      (1 to 3).foreach { i =>
+        val hiBound = if (i == 3) n + 1L else lo(i + 1)
+        ManifestTable.append(s, dir,
+          b.filter(col("k") >= lo(i) && col("k") < hiBound).coalesce(1))
+      }
+      val h0 = ManifestTable.snapshot(s, dir)
+      import s.implicits._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      (0 to 3).foreach { i =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try ManifestTable.merge(s, dir,
+              Seq((lo(i), s"writer$i")).toDF("k", "v"), "k")
+            catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      pool.shutdown()
+      pool.awaitTermination(180, java.util.concurrent.TimeUnit.SECONDS)
+      // stale writer: prepared against h0, but every file it would
+      // rewrite has since been replaced — must fail loudly
+      val conflictCaught =
+        try {
+          ManifestTable.mergeAt(s, dir, h0.version,
+            Seq((2L, "stale")).toDF("k", "v"), "k")
+          false
+        } catch {
+          case _: ManifestTable.ConcurrentCommitException => true
+        }
+      require(errs.isEmpty, s"racing merges failed: ${errs.toArray.toSeq}")
+      require(conflictCaught, "stale merge was NOT rejected")
+      val got = ManifestTable.read(s, dir)
+      val winners = got.filter(col("v").startsWith("writer")).count()
+      val dups = got.groupBy("k").count().filter(col("count") > 1).count()
+      ManifestTable.history(s, dir)
+        .map(sn => (sn.version, sn.operation, sn.parent))
+        .toDF("version", "operation", "parent")
+        .withColumn("racers_failed", lit(errs.size))
+        .withColumn("winners_landed", lit(winners))
+        .withColumn("duplicate_keys", lit(dups))
+        .withColumn("stale_conflict_caught", lit(conflictCaught))
         .orderBy("version")
     }
   )

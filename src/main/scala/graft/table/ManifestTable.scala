@@ -151,11 +151,16 @@ object ManifestTable {
     * the replay check is one manifest read and survives vacuum.
     * `constraints` are the table's CHECK invariants (name → SQL
     * predicate text), enforced on every write and carried forward like
-    * the stats/partition spec. */
+    * the stats/partition spec. `dropped` is the tombstone list of
+    * column names removed by [[dropColumn]]: the physical data is still
+    * in the old files (the explicit read schema just never asks for
+    * it), so re-ADDING such a name through additive evolution is
+    * refused — it would silently resurrect the old values. */
   final case class Snapshot(version: Long, parent: Long, operation: String,
       statsCols: Seq[String], partitionCols: Seq[String], lastBatch: Long,
       schemaJson: String, files: Vector[FileEntry],
-      constraints: Map[String, String] = Map.empty) {
+      constraints: Map[String, String] = Map.empty,
+      dropped: Seq[String] = Nil) {
     def totalRows: Long = files.iterator.map(_.rows).sum
     def totalBytes: Long = files.iterator.map(_.bytes).sum
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -262,6 +267,8 @@ object ManifestTable {
       (if (s.constraints.isEmpty) Nil
        else List("constraints" -> (JObject(s.constraints.toList.sortBy(_._1)
          .map { case (n, sql) => n -> (JString(sql): JValue) }): JValue))) ++
+      (if (s.dropped.isEmpty) Nil
+       else List("dropped" -> (JArray(s.dropped.toList.map(JString(_))): JValue))) ++
       List("files" -> (files: JValue)))
     JsonMethods.compact(JsonMethods.render(obj))
   }
@@ -321,7 +328,8 @@ object ManifestTable {
       jStrings(j \ "partitionCols"),
       (j \ "lastBatch").toOption.map(jLong).getOrElse(-1L),
       (j \ "schema").values.toString,
-      files, constraints)
+      files, constraints,
+      jStrings(j \ "dropped"))
   }
 
   // ---------------------------------------------------- footer stats
@@ -500,6 +508,94 @@ object ManifestTable {
     }
   }
 
+  // --------------------------------------- optimistic concurrency
+
+  /** Why a stale file-rewriting commit (prepared against `parent`,
+    * currently rebased up to `base`) can NOT be rebased onto `head`;
+    * None ⇒ the rebase is safe. The rules are the standard
+    * optimistic-concurrency conflict taxonomy every log-structured
+    * table format applies at commit time:
+    *
+    *  - any METADATA change (schema, constraints, stats/partition
+    *    spec) conflicts — the staged files were written under the old
+    *    spec;
+    *  - a file this commit REWROTE that is no longer live is a
+    *    write-write conflict (rebasing would resurrect rows the
+    *    concurrent commit changed, or double-apply ours);
+    *  - a file the concurrent commit ADDED that `conflictsWith` says
+    *    may hold rows this operation would have needed to touch (its
+    *    DELETE/UPDATE predicate, its MERGE key range) is a read-write
+    *    conflict — serializing the two commits in either order could
+    *    not produce the rebased state.
+    *
+    * Only files added AFTER `base` are probed, so a retry loop checks
+    * each concurrent commit exactly once. Conservative by
+    * construction: a false "conflict" costs a loud retry-at-caller,
+    * never a lost update. */
+  private[table] def rebaseConflict(parent: Snapshot, base: Snapshot,
+      head: Snapshot, removed: Set[String],
+      conflictsWith: FileEntry => Boolean): Option[String] = {
+    val live = head.files.map(_.path).toSet
+    if (head.schemaJson != parent.schemaJson)
+      Some("table schema changed concurrently")
+    else if (head.constraints != parent.constraints)
+      Some("table constraints changed concurrently")
+    else if (head.statsCols != parent.statsCols ||
+        head.partitionCols != parent.partitionCols)
+      Some("table stats/partition spec changed concurrently")
+    else removed.find(p => !live(p)).map(p =>
+      s"write-write conflict: $p was rewritten by a concurrent commit")
+      .orElse {
+        val seen = base.files.map(_.path).toSet
+        head.files.find(f => !seen(f.path) && conflictsWith(f)).map(f =>
+          s"read-write conflict: concurrently added ${f.path} may hold " +
+            "rows this operation had to touch")
+      }
+  }
+
+  /** Publish a file-REWRITING commit (merge / delete / update /
+    * compact) with optimistic rebase: on losing the version race,
+    * re-read the head, prove the concurrent commit commutes with this
+    * one via [[rebaseConflict]], and re-publish on top of it — the
+    * staged data files are reused as-is, so a rebase costs one
+    * manifest read + one rename, no data IO. A provable conflict
+    * throws [[ConcurrentCommitException]] with the reason (the caller
+    * must re-read and re-run — its rewrite was computed against rows
+    * that changed under it). `batchId` carries the streaming
+    * high-water mark; if a concurrent commit already advanced the
+    * mark past it, the batch landed elsewhere and the CURRENT head is
+    * returned uncommitted (the replay contract under races). */
+  private def commitRewrite(spark: SparkSession, dir: String,
+      parent: Snapshot, operation: String, removed: Set[String],
+      staged: Vector[FileEntry], conflictsWith: FileEntry => Boolean,
+      batchId: Option[Long], maxRetries: Int = 5): Snapshot = {
+    var base = parent
+    var attempt = 0
+    while (true) {
+      val snap = Snapshot(base.version + 1, base.version, operation,
+        parent.statsCols, parent.partitionCols,
+        batchId.map(math.max(_, base.lastBatch)).getOrElse(base.lastBatch),
+        parent.schemaJson,
+        base.files.filterNot(f => removed(f.path)) ++ staged,
+        parent.constraints, parent.dropped)
+      try { publish(spark, dir, snap); return snap }
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          val head = current(spark, dir)
+          if (batchId.exists(_ <= head.lastBatch)) return head
+          rebaseConflict(parent, base, head, removed, conflictsWith)
+            .foreach { why =>
+              throw new ConcurrentCommitException(
+                s"$operation cannot rebase onto v${head.version}: $why", e)
+            }
+          base = head
+      }
+    }
+    sys.error("unreachable")
+  }
+
   // ------------------------------------------------------- commits
 
   /** Create the table at version 0 (fails if a log already exists).
@@ -546,7 +642,8 @@ object ManifestTable {
       val head = current(spark, dir)
       val snap = Snapshot(head.version + 1, head.version, "append",
         head.statsCols, head.partitionCols, head.lastBatch,
-        evolveSchema(head, df), head.files ++ files, head.constraints)
+        evolveSchema(head, df), head.files ++ files, head.constraints,
+        head.dropped)
       try { publish(spark, dir, snap); return snap }
       catch {
         case e: ConcurrentCommitException =>
@@ -577,19 +674,66 @@ object ManifestTable {
     val existing = table.fieldNames.toSet
     val added = incoming.fields.filterNot(f => existing(f.name))
       .map(_.copy(nullable = true))
+    added.find(f => head.dropped.contains(f.name)).foreach { f =>
+      throw new IllegalArgumentException(
+        s"append: column ${f.name} was dropped — the old files still " +
+          "hold its physical data, so re-adding it would resurrect " +
+          "stale values; overwrite() the table to reuse the name")
+    }
     if (added.isEmpty) head.schemaJson
     else StructType(table.fields ++ added).json
   }
 
+  /** ALTER TABLE DROP COLUMN as one METADATA commit — zero data IO at
+    * any table size: the logical schema shrinks and the column's
+    * per-file stats are dropped from the manifest; the physical data
+    * stays in the old files, invisible because every read resolves the
+    * EXPLICIT logical schema by name. The name is tombstoned in the
+    * snapshot so additive evolution refuses to re-add it (old values
+    * must not resurrect — see [[Snapshot.dropped]]); [[overwrite]]
+    * rewrites everything and clears the tombstones. Columns load-
+    * bearing for the table spec (stats, partition, or referenced by a
+    * CHECK constraint) cannot be dropped. Old snapshots time-travel
+    * with the column intact, and [[restore]] to a pre-drop version
+    * brings it back — the drop is a commit like any other. */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Snapshot = {
+    val head = current(spark, dir)
+    val schema = head.schema
+    require(schema.fieldNames.contains(name),
+      s"dropColumn: no column $name in the table schema")
+    require(schema.fields.length > 1,
+      "dropColumn: cannot drop the only column")
+    require(!head.statsCols.contains(name) && !head.partitionCols.contains(name),
+      s"dropColumn: $name is part of the table's stats/partition spec")
+    head.constraints.foreach { case (cn, sql) =>
+      val refs = org.apache.spark.sql.GraftSqlBridge
+        .expr(org.apache.spark.sql.functions.expr(sql)).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name
+        }
+      require(!refs.contains(name),
+        s"dropColumn: $name is referenced by CHECK constraint $cn")
+    }
+    val snap = Snapshot(head.version + 1, head.version, s"drop@$name",
+      head.statsCols, head.partitionCols, head.lastBatch,
+      StructType(schema.fields.filterNot(_.name == name)).json,
+      head.files.map(f => f.copy(stats = f.stats - name)),
+      head.constraints, head.dropped :+ name)
+    publish(spark, dir, snap)
+    snap
+  }
+
   /** Replace the table contents atomically (readers flip old→new with
-    * no intermediate state). */
+    * no intermediate state). The full rewrite clears [[dropColumn]]
+    * tombstones: no old file is in the new set, so a previously
+    * dropped name may return with fresh values. */
   def overwrite(spark: SparkSession, dir: String, df: DataFrame): Snapshot = {
     val head = current(spark, dir)
     enforce(df, head.constraints, "overwrite")
     val files = stage(spark, dir, df, head.statsCols, head.partitionCols)
     val snap = Snapshot(head.version + 1, head.version, "overwrite",
       head.statsCols, head.partitionCols, head.lastBatch,
-      df.schema.json, files, head.constraints)
+      df.schema.json, files, head.constraints, dropped = Nil)
     publish(spark, dir, snap) // conflict ⇒ caller must re-read & re-run
     snap
   }
@@ -613,7 +757,8 @@ object ManifestTable {
     val target = readManifest(spark, dir, version)
     val snap = Snapshot(head.version + 1, head.version,
       s"restore@v$version", target.statsCols, target.partitionCols,
-      head.lastBatch, target.schemaJson, target.files, target.constraints)
+      head.lastBatch, target.schemaJson, target.files, target.constraints,
+      target.dropped)
     publish(spark, dir, snap)
     snap
   }
@@ -634,7 +779,7 @@ object ManifestTable {
     val next = head.constraints -- drop ++ add
     val snap = Snapshot(head.version + 1, head.version, "alter",
       head.statsCols, head.partitionCols, head.lastBatch,
-      head.schemaJson, head.files, next)
+      head.schemaJson, head.files, next, head.dropped)
     publish(spark, dir, snap)
     snap
   }
@@ -835,11 +980,30 @@ object ManifestTable {
     * sequence wins deterministically (ties broken by a stable hash of
     * the row). Null-key source rows are dropped. Content-idempotent:
     * replaying the same source yields a byte-different but
-    * value-identical table. Conflicts are NOT auto-retried (a racing
-    * commit may have changed the very rows being merged). */
+    * value-identical table.
+    *
+    * Concurrency: losing the version race auto-rebases when the
+    * concurrent commit provably commutes — it kept every file this
+    * merge rewrote AND no file it added overlaps the source key range
+    * (two merges landing rows for the same key must serialize through
+    * a retry, never interleave into duplicate keys). A provable
+    * conflict throws [[ConcurrentCommitException]]; the caller
+    * re-reads and re-runs. */
   def merge(spark: SparkSession, dir: String, source: DataFrame, key: String,
       opCol: Option[String] = None, seqCol: Option[String] = None): Snapshot =
-    mergeImpl(spark, dir, source, key, opCol, seqCol, "merge", None)
+    mergeImpl(spark, dir, current(spark, dir), source, key, opCol, seqCol,
+      "merge", None)
+
+  /** MERGE prepared against an explicit snapshot `version` — the manual
+    * optimistic-transaction form of [[merge]]: the rewrite is computed
+    * against that frozen snapshot, then committed under the same
+    * rebase/conflict rules, so work batched against an old view either
+    * lands serializably on the current head or fails loudly. */
+  def mergeAt(spark: SparkSession, dir: String, version: Long,
+      source: DataFrame, key: String, opCol: Option[String] = None,
+      seqCol: Option[String] = None): Snapshot =
+    mergeImpl(spark, dir, readManifest(spark, dir, version), source, key,
+      opCol, seqCol, "merge", None)
 
   /** Exactly-once MERGE for streaming writers: the micro-batch id is
     * recorded BOTH in the snapshot's operation (`merge@batch=<id>`)
@@ -857,14 +1021,14 @@ object ManifestTable {
       seqCol: Option[String] = None): Snapshot = {
     val head = current(spark, dir)
     if (batchId <= head.lastBatch) head
-    else mergeImpl(spark, dir, source, key, opCol, seqCol,
+    else mergeImpl(spark, dir, head, source, key, opCol, seqCol,
       s"merge@batch=$batchId", Some(batchId))
   }
 
-  private def mergeImpl(spark: SparkSession, dir: String, source: DataFrame,
-      key: String, opCol: Option[String], seqCol: Option[String],
-      operation: String, batchId: Option[Long]): Snapshot = {
-    val head = current(spark, dir)
+  private[table] def mergeImpl(spark: SparkSession, dir: String,
+      head: Snapshot, source: DataFrame, key: String, opCol: Option[String],
+      seqCol: Option[String], operation: String,
+      batchId: Option[Long]): Snapshot = {
     val schema = head.schema
     val cols = schema.fieldNames.toSeq
     require(cols.contains(key), s"merge key $key not in table schema")
@@ -926,9 +1090,9 @@ object ManifestTable {
             .select("__fi").distinct().collect().map(_.getInt(0)).toSet
         }
       val boundedIdx = statFiles.map(_._1).toSet
-      val (touched, untouched) = head.files.zipWithIndex.partition {
-        case (_, i) => !boundedIdx(i) || touchedIdx(i)
-      } match { case (t, u) => (t.map(_._1), u.map(_._1)) }
+      val touched = head.files.zipWithIndex.collect {
+        case (f, i) if !boundedIdx(i) || touchedIdx(i) => f
+      }
 
       // Rewrite = broadcast ANTI join (touched rows whose key appears
       // in the source are dropped) ∪ non-delete winners. The table
@@ -950,12 +1114,30 @@ object ManifestTable {
       val staged =
         if (touched.isEmpty && resolved.isEmpty) Vector.empty
         else stage(spark, dir, rewritten, head.statsCols, head.partitionCols)
-      val snap = Snapshot(head.version + 1, head.version, operation,
-        head.statsCols, head.partitionCols,
-        batchId.map(math.max(_, head.lastBatch)).getOrElse(head.lastBatch),
-        head.schemaJson, untouched ++ staged, head.constraints)
-      publish(spark, dir, snap)
-      snap
+      // Rebase conflict test for concurrently ADDED files: overlap with
+      // the source key range ⇒ the other commit may have landed rows
+      // for keys this merge also resolved — interleaving them would
+      // leave duplicate keys, so fail loudly. Lazily priced: the
+      // happy path (no race) never runs the one-row range aggregate.
+      // Outer None = key type unboundable (every added file conflicts);
+      // inner None = empty source (nothing can conflict).
+      lazy val srcRange: Option[Option[(Any, Any)]] =
+        keyProbe(keyType).map { case (_, norm) =>
+          val r = resolved.agg(min(norm(col(key))).as("lo"),
+            max(norm(col(key))).as("hi")).head()
+          if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
+        }
+      val conflicts: FileEntry => Boolean = f => srcRange match {
+        case None => true // unboundable key type: conservative
+        case Some(None) => false // empty source: no keys to collide with
+        case Some(Some((lo, hi))) => fileBounds(f, schema, key) match {
+          case None => true // unbounded file: conservative
+          case Some((mn, mx)) =>
+            !primLt(mx, lo) && !primLt(hi, mn) // ranges intersect
+        }
+      }
+      commitRewrite(spark, dir, head, operation,
+        touched.map(_.path).toSet, staged, conflicts, batchId)
     } finally {
       resolved.unpersist()
     }
@@ -993,21 +1175,27 @@ object ManifestTable {
     * over by reference. SQL semantics: rows where the predicate is
     * NULL survive. Structural no-op (current snapshot back, no new
     * version) when no file can match. At 100 TB a partition-scoped
-    * delete rewrites one partition, never the table. */
-  def delete(spark: SparkSession, dir: String, filter: Column): Snapshot = {
-    val head = current(spark, dir)
+    * delete rewrites one partition, never the table.
+    *
+    * Concurrency: losing the version race auto-rebases when the
+    * concurrent commit provably commutes (it kept every file this
+    * delete rewrote, and no file it added may hold rows matching
+    * `filter` — the same [[pruneFiles]] bounds test); otherwise
+    * throws [[ConcurrentCommitException]] with the conflict. */
+  def delete(spark: SparkSession, dir: String, filter: Column): Snapshot =
+    deleteFrom(spark, dir, current(spark, dir), filter)
+
+  private[table] def deleteFrom(spark: SparkSession, dir: String,
+      head: Snapshot, filter: Column): Snapshot = {
     val touched = pruneFiles(head, filter)
     if (touched.isEmpty) return head
-    val touchedSet = touched.map(_.path).toSet
-    val untouched = head.files.filterNot(f => touchedSet(f.path))
     val rewritten = scanWith(spark, dir, touched, head.schema)
       .where(!coalesce(filter, lit(false)))
     val staged = stage(spark, dir, rewritten, head.statsCols, head.partitionCols)
-    val snap = Snapshot(head.version + 1, head.version, "delete",
-      head.statsCols, head.partitionCols, head.lastBatch,
-      head.schemaJson, untouched ++ staged, head.constraints)
-    publish(spark, dir, snap)
-    snap
+    val expr = org.apache.spark.sql.GraftSqlBridge.expr(filter)
+    commitRewrite(spark, dir, head, "delete",
+      touched.map(_.path).toSet, staged,
+      f => mayMatch(f, head.schema, expr), None)
   }
 
   /** UPDATE … SET `set` WHERE `filter`: same touched-files-only
@@ -1018,16 +1206,17 @@ object ManifestTable {
     * new values automatically. Assignments to columns outside the
     * schema throw before any data is staged. */
   def update(spark: SparkSession, dir: String, filter: Column,
-      set: Map[String, Column]): Snapshot = {
-    val head = current(spark, dir)
+      set: Map[String, Column]): Snapshot =
+    updateFrom(spark, dir, current(spark, dir), filter, set)
+
+  private[table] def updateFrom(spark: SparkSession, dir: String,
+      head: Snapshot, filter: Column, set: Map[String, Column]): Snapshot = {
     val schema = head.schema
     set.keys.foreach { c =>
       require(schema.fieldNames.contains(c), s"update: column $c not in schema")
     }
     val touched = pruneFiles(head, filter)
     if (touched.isEmpty) return head
-    val touchedSet = touched.map(_.path).toSet
-    val untouched = head.files.filterNot(f => touchedSet(f.path))
     val hit = coalesce(filter, lit(false))
     val rewritten = scanWith(spark, dir, touched, schema)
       .select(schema.fieldNames.toSeq.map { c =>
@@ -1043,11 +1232,10 @@ object ManifestTable {
         set.get(c).map(_.cast(schema(c).dataType).as(c)).getOrElse(col(c))
       }: _*), head.constraints, "update")
     val staged = stage(spark, dir, rewritten, head.statsCols, head.partitionCols)
-    val snap = Snapshot(head.version + 1, head.version, "update",
-      head.statsCols, head.partitionCols, head.lastBatch,
-      head.schemaJson, untouched ++ staged, head.constraints)
-    publish(spark, dir, snap)
-    snap
+    val expr = org.apache.spark.sql.GraftSqlBridge.expr(filter)
+    commitRewrite(spark, dir, head, "update",
+      touched.map(_.path).toSet, staged,
+      f => mayMatch(f, schema, expr), None)
   }
 
   // ------------------------------------------------------- changes
@@ -1164,11 +1352,10 @@ object ManifestTable {
       case _ => df.coalesce(outFiles)
     }
     val staged = stage(spark, dir, packed, head.statsCols, head.partitionCols)
-    val snap = Snapshot(head.version + 1, head.version, "compact",
-      head.statsCols, head.partitionCols, head.lastBatch,
-      head.schemaJson, big ++ staged, head.constraints)
-    publish(spark, dir, snap)
-    snap
+    // a pure layout commit commutes with ANY concurrent row change that
+    // kept the packed files alive — no read-write conflict possible
+    commitRewrite(spark, dir, head, "compact",
+      small.map(_.path).toSet, staged, _ => false, None)
   }
 
   // -------------------------------------------------------- vacuum

@@ -757,4 +757,204 @@ class ManifestTableSpec extends SparkSuite {
     // time travel on metadata too
     assert(ManifestTable.snapshot(spark, dir, Some(0L)).totalRows == 70L)
   }
+
+  test("dropColumn is metadata-only: no data IO, reads exclude it, old " +
+    "versions keep it, re-add is refused, restore and overwrite govern " +
+    "the tombstone") {
+    import spark.implicits._
+    val dir = freshDir("drop")
+    val df3 = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "extra")
+    ManifestTable.create(spark, dir, df3, statsCols = Seq("k"))
+    val dataDirs = {
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      () => fs.listStatus(new Path(dir, "data")).length
+    }
+    val before = dataDirs()
+    val snap = ManifestTable.dropColumn(spark, dir, "extra")
+    assert(dataDirs() == before, "drop must write no data")
+    assert(snap.operation == "drop@extra" && snap.dropped == Seq("extra"))
+    assert(snap.files.forall(!_.stats.contains("extra")))
+    // reads exclude the column; time travel keeps it
+    assert(ManifestTable.read(spark, dir).schema.fieldNames.toSeq ==
+      Seq("k", "v"))
+    assert(content(dir) == Set(1L -> "a", 2L -> "b"))
+    assert(ManifestTable.readVersion(spark, dir, 0)
+      .select("k", "extra").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet == Set(1L -> 10L, 2L -> 20L))
+    // appends under the narrowed schema work; re-adding the name throws
+    ManifestTable.append(spark, dir, kv(Seq(3L -> "c")))
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, dir,
+        Seq((4L, "d", 40L)).toDF("k", "v", "extra"))
+    }
+    assert(e.getMessage.contains("resurrect"))
+    // the tombstone rides every later commit (merge goes through the
+    // rewrite path)
+    ManifestTable.merge(spark, dir, Seq((1L, "A")).toDF("k", "v"), "k")
+    assert(ManifestTable.snapshot(spark, dir).dropped == Seq("extra"))
+    // spec-load-bearing columns refuse to drop
+    intercept[IllegalArgumentException] {
+      ManifestTable.dropColumn(spark, dir, "k")
+    }
+    ManifestTable.alterConstraints(spark, dir,
+      add = Map("v_nonempty" -> "length(v) > 0"))
+    intercept[IllegalArgumentException] {
+      ManifestTable.dropColumn(spark, dir, "v")
+    }
+    // restore to a pre-drop version resurrects column AND values
+    val restored = ManifestTable.restore(spark, dir, 0L)
+    assert(restored.dropped.isEmpty)
+    assert(ManifestTable.read(spark, dir).schema.fieldNames.toSeq ==
+      Seq("k", "v", "extra"))
+    // overwrite clears tombstones: the name may return with fresh data
+    ManifestTable.restore(spark, dir,
+      ManifestTable.history(spark, dir).map(_.version).apply(4)) // post-merge
+    ManifestTable.overwrite(spark, dir, Seq((9L, "z")).toDF("k", "v"))
+    ManifestTable.append(spark, dir,
+      Seq((10L, "y", 99L)).toDF("k", "v", "extra"))
+    assert(ManifestTable.read(spark, dir).where(col("extra") === 99L)
+      .count() == 1L)
+  }
+
+  // ------------------------------------------- optimistic concurrency
+
+  test("rebaseConflict taxonomy: metadata drift, write-write, read-write, " +
+    "the safe commute, and base-awareness (each concurrent commit is " +
+    "probed exactly once)") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    import ManifestTable.{ColStats, FileEntry, Snapshot}
+    val schema = new StructType().add("k", LongType).add("v", StringType)
+    def fe(p: String, lo: Long, hi: Long) =
+      FileEntry(p, 10, 100, Map("k" -> ColStats(lo, hi)))
+    val fA = fe("data/c1/a.parquet", 1, 10)
+    val fB = fe("data/c1/b.parquet", 11, 20)
+    val parent = Snapshot(0, -1, "create", Seq("k"), Nil, -1L,
+      schema.json, Vector(fA, fB))
+    // this op rewrote fA after reading keys [1, 10]
+    val removed = Set(fA.path)
+    def conflicts(f: FileEntry): Boolean = f.longBounds("k") match {
+      case Some((mn, mx)) => mn <= 10L && mx >= 1L
+      case None => true
+    }
+    def check(head: Snapshot, base: Snapshot = parent) =
+      ManifestTable.rebaseConflict(parent, base, head, removed, conflicts)
+    // safe: concurrent append of a disjoint-range file, fA still live
+    val fC = fe("data/c2/c.parquet", 100, 110)
+    val headOk = parent.copy(version = 1, parent = 0, operation = "append",
+      files = Vector(fA, fB, fC))
+    assert(check(headOk).isEmpty)
+    // write-write: the concurrent commit rewrote fA
+    val headWW = parent.copy(version = 1, files = Vector(fB, fC))
+    assert(check(headWW).exists(_.contains("write-write")))
+    // read-write: the concurrent commit added rows in this op's range
+    val fX = fe("data/c3/x.parquet", 5, 5)
+    val headRW = parent.copy(version = 1, files = Vector(fA, fB, fX))
+    assert(check(headRW).exists(_.contains("read-write")))
+    // a concurrently added file with NO bounds is conservatively a conflict
+    val fU = FileEntry("data/c4/u.parquet", 10, 100)
+    assert(check(parent.copy(version = 1, files = Vector(fA, fB, fU)))
+      .exists(_.contains("read-write")))
+    // metadata drift always conflicts
+    assert(check(headOk.copy(schemaJson = new StructType()
+      .add("k", LongType).json)).exists(_.contains("schema")))
+    assert(check(headOk.copy(constraints = Map("c" -> "k > 0")))
+      .exists(_.contains("constraints")))
+    assert(check(headOk.copy(statsCols = Nil)).exists(_.contains("spec")))
+    // base-awareness: once rebased past fX (base includes it), a further
+    // head that adds nothing new is safe — fX is not re-probed
+    assert(check(headRW, base = headRW).isEmpty)
+  }
+
+  test("delete auto-rebases over an interleaved commuting append: both " +
+    "effects land, one rename apart") {
+    val dir = freshDir("rebase_del")
+    ManifestTable.create(spark, dir,
+      kv((1L to 100L).map(i => i -> s"v$i")).coalesce(1),
+      statsCols = Seq("k"))
+    val h0 = ManifestTable.snapshot(spark, dir)
+    // interleaved writer lands v1 while the delete is in flight
+    ManifestTable.append(spark, dir, kv(Seq(500L -> "new")).coalesce(1))
+    val snap = ManifestTable.deleteFrom(spark, dir, h0, col("k") <= 10)
+    assert(snap.version == 2L && snap.parent == 1L &&
+      snap.operation == "delete")
+    assert(content(dir) ==
+      ((11L to 100L).map(i => i -> s"v$i").toSet + (500L -> "new")))
+  }
+
+  test("delete CONFLICTS loudly with an interleaved append of rows its " +
+    "predicate matches (serializable, no silent survivors)") {
+    val dir = freshDir("conflict_del")
+    ManifestTable.create(spark, dir,
+      kv((1L to 100L).map(i => i -> s"v$i")).coalesce(1),
+      statsCols = Seq("k"))
+    val h0 = ManifestTable.snapshot(spark, dir)
+    ManifestTable.append(spark, dir, kv(Seq(5L -> "dup")).coalesce(1))
+    val e = intercept[ManifestTable.ConcurrentCommitException] {
+      ManifestTable.deleteFrom(spark, dir, h0, col("k") <= 10)
+    }
+    assert(e.getMessage.contains("read-write"))
+    // nothing was committed by the loser
+    assert(ManifestTable.latestVersion(spark, dir).contains(1L))
+  }
+
+  test("merge auto-rebases over a concurrent merge on a DISJOINT key " +
+    "range; an overlapping one conflicts") {
+    import spark.implicits._
+    val dir = freshDir("rebase_merge")
+    ManifestTable.create(spark, dir,
+      kv((1L to 10L).map(i => i -> "low")).coalesce(1), statsCols = Seq("k"))
+    ManifestTable.append(spark, dir,
+      kv((100L to 110L).map(i => i -> "high")).coalesce(1))
+    val h0 = ManifestTable.snapshot(spark, dir)
+    // concurrent merge rewrites the HIGH file
+    ManifestTable.merge(spark, dir,
+      Seq((100L, "HIGH")).toDF("k", "v"), "k")
+    // stale merge on the LOW range: removed file still live, the
+    // concurrent merge's staged file is bounds-disjoint ⇒ rebase
+    val snap = ManifestTable.mergeImpl(spark, dir, h0,
+      Seq((1L, "LOW")).toDF("k", "v"), "k", None, None, "merge", None)
+    assert(snap.parent == h0.version + 1)
+    val got = content(dir)
+    assert(got((1L, "LOW")) && got((100L, "HIGH")) && got((2L, "low")))
+    // overlapping ranges: a stale merge whose touched file was rewritten
+    // by the concurrent one is a write-write conflict
+    val h1 = ManifestTable.snapshot(spark, dir)
+    ManifestTable.merge(spark, dir, Seq((2L, "TWO")).toDF("k", "v"), "k")
+    val e = intercept[ManifestTable.ConcurrentCommitException] {
+      ManifestTable.mergeImpl(spark, dir, h1,
+        Seq((3L, "THREE")).toDF("k", "v"), "k", None, None, "merge", None)
+    }
+    assert(e.getMessage.contains("conflict"))
+  }
+
+  test("6 writers racing merges on disjoint key ranges all land via " +
+    "rebase: no lost updates, no duplicate keys") {
+    import java.util.concurrent.{Executors, TimeUnit}
+    import spark.implicits._
+    val dir = freshDir("race_merge")
+    ManifestTable.create(spark, dir,
+      kv((0L to 9L).map(i => i -> "r0")).coalesce(1), statsCols = Seq("k"))
+    (1 to 5).foreach { i =>
+      ManifestTable.append(spark, dir,
+        kv((i * 100L to i * 100L + 9L).map(k => k -> "r0")).coalesce(1))
+    }
+    val pool = Executors.newFixedThreadPool(6)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    (0 to 5).foreach { i =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try ManifestTable.merge(spark, dir,
+            Seq((i * 100L, s"w$i")).toDF("k", "v"), "k")
+          catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(180, TimeUnit.SECONDS), "race timed out")
+    assert(errs.isEmpty, s"writers failed: ${errs.toArray.mkString(", ")}")
+    val got = ManifestTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length == got.map(_._1).distinct.length, "duplicate keys")
+    (0 to 5).foreach { i => assert(got.contains((i * 100L, s"w$i"))) }
+    assert(got.length == 60)
+  }
 }
