@@ -996,6 +996,37 @@ object JoinQueries {
           min(col("dist")).cast("long").as("min_dist"),
           sum(col("dist")).cast("long").as("sum_dist"))
         .orderBy("nationkey")
+    },
+
+    // Bucketed co-located join — the 100 TB repeated-join answer: both
+    // fact tables are written ONCE with bucketBy(8, key) + sortBy, so
+    // every later equi-join on that key is a SortMergeJoin with ZERO
+    // exchanges and ZERO sorts (the scan itself satisfies the join's
+    // distribution and ordering). A nightly pipeline joining the same
+    // keys N times amortizes its one clustering shuffle across all N
+    // runs — this is Spark's answer to co-located storage in the
+    // reference-class engines. The merge hint keeps the demonstration
+    // honest at test SF (a broadcast would trivially avoid the shuffle
+    // without proving co-location); the shuffle-free plan is pinned in
+    // PlanSpec.
+    Q.cap("cap_join_bucketed") { (s, d) =>
+      val root = graft.core.Scratch.wiped("bucketed_join")
+      s.sql("DROP TABLE IF EXISTS graft_buck_orders")
+      s.sql("DROP TABLE IF EXISTS graft_buck_lineitem")
+      Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$root/orders").mode("overwrite")
+        .saveAsTable("graft_buck_orders")
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$root/lineitem").mode("overwrite")
+        .saveAsTable("graft_buck_lineitem")
+      s.table("graft_buck_lineitem").hint("merge")
+        .join(s.table("graft_buck_orders").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey")).limit(10)
     }
   )
 }

@@ -28,6 +28,17 @@ class PlanSpec extends SparkSuite {
     assert(plan("q_topk_global").contains("TakeOrderedAndProject"))
   }
 
+  test("bucketed tables co-locate: join AND aggregation on the bucket key " +
+    "run with ZERO exchanges (the one clustering shuffle was paid at " +
+    "write time, amortized across every later join)") {
+    val p = plan("cap_join_bucketed")
+    assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+    assert("Bucketed: true".r.findAllIn(p).size == 2,
+      s"both scans must be bucketed reads:\n$p")
+    assert(!p.contains("Exchange"),
+      s"bucketed join/agg must be exchange-free:\n$p")
+  }
+
   test("flagship aggregates run partial+final (map-side combine)") {
     val p = plan("q_agg_pricing_summary")
     assert(p.contains("HashAggregate"))
