@@ -812,6 +812,49 @@ object TableQueries {
         .withColumn("duplicate_keys", lit(dups))
         .withColumn("stale_conflict_caught", lit(conflictCaught))
         .orderBy("version")
+    },
+
+    // Shallow clone + row provenance + AS OF timestamp, one lifecycle:
+    // the clone is a single JSON write referencing the source's files
+    // by URI (zero bytes copied — asserted), a merge into the clone
+    // rewrites copy-on-write under the clone while the source stays
+    // byte-identical, readWithMeta attributes every row to the commit
+    // that wrote its current copy, and the pre-merge state resolves
+    // back by WALL CLOCK via readAsOf. Emits per-commit row
+    // attribution plus the isolation verdicts; the hard laws live in
+    // ManifestTableSpec.
+    Q.cap("cap_table_clone") { (s, d) =>
+      val srcDir = Scratch.wiped("mtable_clone_src")
+      val dstDir = Scratch.wiped("mtable_clone_dst") + "/t"
+      val b = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("k"), col("s_name").as("v"))
+      // two RANGE-disjoint files so the later single-key merge provably
+      // rewrites one of them (bounds pruning) and provenance shows it
+      val half = b.count() / 2
+      ManifestTable.create(s, srcDir, b.filter(col("k") < half)
+        .coalesce(1), statsCols = Seq("k"))
+      ManifestTable.append(s, srcDir,
+        b.filter(col("k") >= half).coalesce(1))
+      val srcRows = ManifestTable.read(s, srcDir).count()
+      ManifestTable.cloneTable(s, srcDir, dstDir)
+      val fs = new org.apache.hadoop.fs.Path(dstDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val zeroCopy =
+        !fs.exists(new org.apache.hadoop.fs.Path(dstDir, "data"))
+      val cloneTs = ManifestTable.snapshot(s, dstDir).ts
+      import s.implicits._
+      ManifestTable.merge(s, dstDir,
+        Seq((1L, "CLONED")).toDF("k", "v"), "k")
+      val srcIntact = ManifestTable.read(s, srcDir).count() == srcRows &&
+        ManifestTable.read(s, srcDir).where(col("v") === "CLONED").count() == 0
+      val preMergeRows = ManifestTable.readAsOf(s, dstDir, cloneTs).count()
+      ManifestTable.readWithMeta(s, dstDir)
+        .groupBy(col("_commit_version")).agg(count(lit(1)).as("n_rows"))
+        .withColumn("src_rows", lit(srcRows))
+        .withColumn("as_of_clone_rows", lit(preMergeRows))
+        .withColumn("zero_copy", lit(zeroCopy))
+        .withColumn("src_intact", lit(srcIntact))
+        .orderBy("_commit_version")
     }
   )
 }

@@ -160,7 +160,12 @@ object ManifestTable {
       statsCols: Seq[String], partitionCols: Seq[String], lastBatch: Long,
       schemaJson: String, files: Vector[FileEntry],
       constraints: Map[String, String] = Map.empty,
-      dropped: Seq[String] = Nil) {
+      dropped: Seq[String] = Nil,
+      /** Commit wall-clock (epoch millis), stamped inside [[publish]]
+        * and forced strictly increasing across versions so
+        * `AS OF <timestamp>` resolution is total even if the clock
+        * steps backwards. −1 on a not-yet-published snapshot. */
+      ts: Long = -1L) {
     def totalRows: Long = files.iterator.map(_.rows).sum
     def totalBytes: Long = files.iterator.map(_.bytes).sum
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -259,6 +264,7 @@ object ManifestTable {
       "parent" -> JLong(s.parent),
       "operation" -> JString(s.operation),
       "lastBatch" -> JLong(s.lastBatch),
+      "ts" -> JLong(s.ts),
       "schema" -> JString(s.schemaJson)) ++
       (if (s.statsCols.isEmpty) Nil
        else List("statsCols" -> (JArray(s.statsCols.toList.map(JString(_))): JValue))) ++
@@ -329,7 +335,8 @@ object ManifestTable {
       (j \ "lastBatch").toOption.map(jLong).getOrElse(-1L),
       (j \ "schema").values.toString,
       files, constraints,
-      jStrings(j \ "dropped"))
+      jStrings(j \ "dropped"),
+      (j \ "ts").toOption.map(jLong).getOrElse(-1L))
   }
 
   // ---------------------------------------------------- footer stats
@@ -472,7 +479,16 @@ object ManifestTable {
     * putIfAbsent is a HARD LINK, which the kernel fails atomically
     * with EEXIST. (Object stores without either need a commit service
     * in front — same as Delta.) */
-  private[table] def publish(spark: SparkSession, dir: String, s: Snapshot): Unit = {
+  private[table] def publish(spark: SparkSession, dir: String,
+      s0: Snapshot): Snapshot = {
+    // stamp the commit wall-clock, forced past the parent's so AS OF
+    // <timestamp> resolution stays total under clock steps; the parent
+    // manifest may be vacuumed away (then now() stands alone)
+    val parentTs =
+      if (s0.parent < 0) -1L
+      else scala.util.Try(readManifest(spark, dir, s0.parent).ts)
+        .getOrElse(-1L)
+    val s = s0.copy(ts = math.max(System.currentTimeMillis(), parentTs + 1))
     val lp = logPath(dir)
     val fc = FileContext.getFileContext(lp.toUri, conf(spark))
     val tmp = new Path(lp, s".tmp-${manifestName(s.version)}-${UUID.randomUUID()}")
@@ -506,6 +522,7 @@ object ManifestTable {
       try fc.rename(tmp, dst) // Options.Rename.NONE: atomic on HDFS
       catch { case NonFatal(e) => lose(e) }
     }
+    s
   }
 
   // --------------------------------------- optimistic concurrency
@@ -578,7 +595,7 @@ object ManifestTable {
         parent.schemaJson,
         base.files.filterNot(f => removed(f.path)) ++ staged,
         parent.constraints, parent.dropped)
-      try { publish(spark, dir, snap); return snap }
+      try return publish(spark, dir, snap)
       catch {
         case e: ConcurrentCommitException =>
           attempt += 1
@@ -616,7 +633,6 @@ object ManifestTable {
     val snap = Snapshot(0L, -1L, "create", statsCols, partitionCols, -1L,
       df.schema.json, files, constraints)
     publish(spark, dir, snap)
-    snap
   }
 
   /** Append-only commit; auto-retries the version race (an append is
@@ -644,7 +660,7 @@ object ManifestTable {
         head.statsCols, head.partitionCols, head.lastBatch,
         evolveSchema(head, df), head.files ++ files, head.constraints,
         head.dropped)
-      try { publish(spark, dir, snap); return snap }
+      try return publish(spark, dir, snap)
       catch {
         case e: ConcurrentCommitException =>
           attempt += 1; if (attempt > maxRetries) throw e
@@ -720,7 +736,6 @@ object ManifestTable {
       head.files.map(f => f.copy(stats = f.stats - name)),
       head.constraints, head.dropped :+ name)
     publish(spark, dir, snap)
-    snap
   }
 
   /** Replace the table contents atomically (readers flip old→new with
@@ -735,7 +750,6 @@ object ManifestTable {
       head.statsCols, head.partitionCols, head.lastBatch,
       df.schema.json, files, head.constraints, dropped = Nil)
     publish(spark, dir, snap) // conflict ⇒ caller must re-read & re-run
-    snap
   }
 
   /** RESTORE TABLE … TO VERSION `version`: re-publish that snapshot's
@@ -760,7 +774,6 @@ object ManifestTable {
       head.lastBatch, target.schemaJson, target.files, target.constraints,
       target.dropped)
     publish(spark, dir, snap)
-    snap
   }
 
   /** ALTER TABLE {ADD|DROP} CONSTRAINT as one metadata commit: added
@@ -781,7 +794,34 @@ object ManifestTable {
       head.statsCols, head.partitionCols, head.lastBatch,
       head.schemaJson, head.files, next, head.dropped)
     publish(spark, dir, snap)
-    snap
+  }
+
+  /** Shallow CLONE: publish `dstDir` as a NEW table whose v0 references
+    * the source's live data files by fully-qualified URI — zero bytes
+    * copied at any table size, one JSON write. The clone then lives its
+    * own life: appends/merges/deletes stage THEIR files under the clone
+    * and rewrite source-referenced files copy-on-write (the source is
+    * never touched), which is the test-on-production-data primitive.
+    * Schema, stats/partition spec, constraints and drop tombstones all
+    * carry; the streaming batch mark resets (a clone is a new sink).
+    * Hazard, same as every shallow clone: vacuum() on the SOURCE may
+    * delete files the clone still references — clones are working
+    * copies, not backups. */
+  def cloneTable(spark: SparkSession, srcDir: String, dstDir: String,
+      version: Option[Long] = None): Snapshot = {
+    require(latestVersion(spark, dstDir).isEmpty,
+      s"table already exists at $dstDir")
+    val src = snapshot(spark, srcDir, version)
+    val fs = new Path(srcDir).getFileSystem(conf(spark))
+    val srcQ = fs.makeQualified(new Path(srcDir))
+    val files = src.files.map { f =>
+      // a clone of a clone may already carry qualified URIs — keep them
+      if (f.path.contains(":/") || f.path.startsWith("/")) f
+      else f.copy(path = new Path(srcQ, f.path).toString)
+    }
+    publish(spark, dstDir, Snapshot(0L, -1L,
+      s"clone@v${src.version}", src.statsCols, src.partitionCols, -1L,
+      src.schemaJson, files, src.constraints, src.dropped))
   }
 
   private def current(spark: SparkSession, dir: String): Snapshot =
@@ -826,6 +866,52 @@ object ManifestTable {
   /** Time travel: the table exactly as of snapshot `version`. */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame =
     scan(spark, dir, readManifest(spark, dir, version))
+
+  /** Latest snapshot with per-row provenance columns: `_file` (the data
+    * file the row came from) and `_commit_version` (the snapshot that
+    * first listed that file — files are immutable, so this is the
+    * commit that WROTE the row's current copy). The attribution is a
+    * broadcast join of a metadata-sized (basename → version) frame
+    * against `input_file_name()`; basenames are writer-unique, so the
+    * join is exact. Costs one manifest read per retained version on
+    * the driver, zero extra data IO. */
+  def readWithMeta(spark: SparkSession, dir: String): DataFrame = {
+    val hist = history(spark, dir)
+    val head = hist.last
+    val firstSeen = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    hist.foreach { s =>
+      s.files.foreach { f =>
+        val base = f.path.substring(f.path.lastIndexOf('/') + 1)
+        if (!firstSeen.contains(base)) firstSeen(base) = s.version
+      }
+    }
+    import spark.implicits._
+    val meta = head.files.map { f =>
+      val base = f.path.substring(f.path.lastIndexOf('/') + 1)
+      (base, firstSeen(base))
+    }.toSeq.toDF("__base", "_commit_version")
+    scan(spark, dir, head)
+      .withColumn("_file", input_file_name())
+      .withColumn("__base", element_at(split(col("_file"), "/"), -1))
+      .join(broadcast(meta), Seq("__base"), "left")
+      .drop("__base")
+  }
+
+  /** `AS OF <timestamp>` resolution: the highest version committed at
+    * or before `tsMillis` (epoch millis). Commit stamps are forced
+    * strictly increasing at publish, so the answer is unique; asking
+    * before the first retained commit throws (same as asking for a
+    * vacuumed version). */
+  def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Long = {
+    val hits = history(spark, dir).filter(s => s.ts >= 0 && s.ts <= tsMillis)
+    require(hits.nonEmpty,
+      s"no snapshot of $dir committed at or before epoch-millis $tsMillis")
+    hits.last.version
+  }
+
+  /** Time travel by wall clock: the table as of `tsMillis`. */
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    readVersion(spark, dir, versionAsOf(spark, dir, tsMillis))
 
   // ------------------------------------------------------- pruning
 
@@ -1368,10 +1454,21 @@ object ManifestTable {
     * [[mergeBatch]]'s replay check survives vacuum by design: the
     * batch high-water mark rides the LATEST manifest, which vacuum
     * always keeps. Returns the number of data files deleted. */
-  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): Long = {
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1,
+      retainMillis: Long = 0L): Long = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val versions = listVersions(spark, dir)
-    val keep = versions.takeRight(keepLast).toSet
+    // age-based retention on top of the count-based floor: every
+    // snapshot younger than `retainMillis` stays time-travelable (the
+    // production contract — "keep 7 days" — independent of commit rate)
+    val cutoff =
+      if (retainMillis <= 0L) Long.MaxValue
+      else System.currentTimeMillis() - retainMillis
+    val young =
+      if (retainMillis <= 0L) Set.empty[Long]
+      else versions.filter(v =>
+        readManifest(spark, dir, v).ts >= cutoff).toSet
+    val keep = versions.takeRight(keepLast).toSet ++ young
     val live = versions.filter(keep)
       .flatMap(v => readManifest(spark, dir, v).files.map(_.path))
       .map(p => p.split("/")(1)) // commit uuid component

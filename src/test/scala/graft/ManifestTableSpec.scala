@@ -816,6 +816,78 @@ class ManifestTableSpec extends SparkSuite {
       .count() == 1L)
   }
 
+  test("commit timestamps are strictly increasing; AS OF timestamp " +
+    "resolves every version; age-based vacuum retains young snapshots") {
+    val dir = freshDir("ts")
+    ManifestTable.create(spark, dir, kv(Seq(1L -> "a")))
+    ManifestTable.append(spark, dir, kv(Seq(2L -> "b")))
+    ManifestTable.append(spark, dir, kv(Seq(3L -> "c")))
+    val hist = ManifestTable.history(spark, dir)
+    assert(hist.forall(_.ts > 0))
+    assert(hist.map(_.ts) == hist.map(_.ts).sorted &&
+      hist.map(_.ts).distinct.size == 3, "timestamps strictly increasing")
+    // AS OF exact stamps and in-between instants
+    assert(ManifestTable.versionAsOf(spark, dir, hist(0).ts) == 0L)
+    assert(ManifestTable.versionAsOf(spark, dir, hist(1).ts) == 1L)
+    assert(ManifestTable.versionAsOf(spark, dir, hist(2).ts + 60000L) == 2L)
+    assert(ManifestTable.readAsOf(spark, dir, hist(1).ts).count() == 2L)
+    intercept[IllegalArgumentException] {
+      ManifestTable.versionAsOf(spark, dir, hist(0).ts - 1L)
+    }
+    // age-based retention: everything is younger than an hour, so a
+    // keepLast=1 vacuum deletes nothing
+    assert(ManifestTable.vacuum(spark, dir, keepLast = 1,
+      retainMillis = 3600000L) == 0L)
+    assert(ManifestTable.history(spark, dir).size == 3)
+    // without the age floor the same vacuum drops to keepLast
+    ManifestTable.vacuum(spark, dir, keepLast = 1)
+    assert(ManifestTable.history(spark, dir).size == 1)
+  }
+
+  test("shallow clone copies zero bytes, reads identically, and is " +
+    "copy-on-write isolated from the source") {
+    import spark.implicits._
+    val src = freshDir("clone_src")
+    val dst = freshDir("clone_dst") + "/t"
+    ManifestTable.create(spark, src, kv(Seq(1L -> "a", 2L -> "b")),
+      statsCols = Seq("k"))
+    ManifestTable.append(spark, src, kv(Seq(3L -> "c")))
+    ManifestTable.cloneTable(spark, src, dst)
+    val fs = new Path(src).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(dst, "data")), "clone must copy no data")
+    assert(ManifestTable.read(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    // copy-on-write: a merge into the clone rewrites under the CLONE
+    ManifestTable.merge(spark, dst, Seq((2L, "CLONE")).toDF("k", "v"), "k")
+    assert(ManifestTable.read(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set(1L -> "a", 2L -> "CLONE", 3L -> "c"))
+    assert(content(src) == Set(1L -> "a", 2L -> "b", 3L -> "c"),
+      "source must be untouched")
+    assert(fs.exists(new Path(dst, "data")), "clone stages its own files")
+    val ops = ManifestTable.history(spark, dst).map(_.operation)
+    assert(ops == Seq("clone@v1", "merge"))
+  }
+
+  test("readWithMeta attributes every row to the commit that wrote its " +
+    "current copy") {
+    import spark.implicits._
+    val dir = freshDir("meta_cols")
+    ManifestTable.create(spark, dir,
+      kv(Seq(1L -> "a", 2L -> "b")).coalesce(1), statsCols = Seq("k"))
+    ManifestTable.append(spark, dir, kv(Seq(3L -> "c")))
+    ManifestTable.merge(spark, dir, Seq((2L, "B")).toDF("k", "v"), "k")
+    val got = ManifestTable.readWithMeta(spark, dir).collect()
+    assert(got.forall(r => r.getAs[String]("_file") != null &&
+      r.getAs[String]("_file").nonEmpty))
+    val byKey = got.map(r =>
+      r.getAs[Long]("k") -> r.getAs[Long]("_commit_version")).toMap
+    // the merge rewrote the v0 file (keys 1 and 2); the appended row
+    // still carries its original commit
+    assert(byKey == Map(1L -> 2L, 2L -> 2L, 3L -> 1L))
+  }
+
   // ------------------------------------------- optimistic concurrency
 
   test("rebaseConflict taxonomy: metadata drift, write-write, read-write, " +
