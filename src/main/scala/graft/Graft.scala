@@ -375,12 +375,39 @@ object Graft {
     /** Time travel: the table as of `version`. */
     def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame =
       ManifestTable.readVersion(spark, dir, version)
+    /** Time travel by wall clock: the table AS OF `tsMillis` (epoch
+      * millis; commit stamps are strictly increasing, so unique). */
+    def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+      ManifestTable.readAsOf(spark, dir, tsMillis)
+    /** The latest snapshot with `_file` + `_commit_version` row
+      * provenance (metadata-sized broadcast attribution). */
+    def readWithMeta(spark: SparkSession, dir: String): DataFrame =
+      ManifestTable.readWithMeta(spark, dir)
+    /** ALTER TABLE DROP COLUMN: one metadata commit, tombstoned so
+      * additive evolution cannot resurrect stale values. */
+    def dropColumn(spark: SparkSession, dir: String, name: String): ManifestTable.Snapshot =
+      ManifestTable.dropColumn(spark, dir, name)
+    /** Shallow CLONE: zero-copy working table referencing the source's
+      * files; copy-on-write isolated. Source vacuum invalidates clones. */
+    def cloneTable(spark: SparkSession, srcDir: String, dstDir: String,
+                   version: Option[Long] = None): ManifestTable.Snapshot =
+      ManifestTable.cloneTable(spark, srcDir, dstDir, version)
+    /** MERGE prepared against a frozen snapshot `version`, committed
+      * under the optimistic rebase/conflict rules. */
+    def mergeAt(spark: SparkSession, dir: String, version: Long,
+                source: DataFrame, key: String,
+                opCol: Option[String] = None,
+                seqCol: Option[String] = None): ManifestTable.Snapshot =
+      ManifestTable.mergeAt(spark, dir, version, source, key, opCol, seqCol)
     /** The snapshot log, oldest first. */
     def history(spark: SparkSession, dir: String): Seq[ManifestTable.Snapshot] =
       ManifestTable.history(spark, dir)
-    /** Drop data outside the newest `keepLast` snapshots. */
-    def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): Long =
-      ManifestTable.vacuum(spark, dir, keepLast)
+    /** Drop data outside the newest `keepLast` snapshots;
+      * `retainMillis` additionally keeps every snapshot younger than
+      * that age (the "retain 7 days" production contract). */
+    def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1,
+               retainMillis: Long = 0L): Long =
+      ManifestTable.vacuum(spark, dir, keepLast, retainMillis)
     /** Bin-pack small files into ~`targetBytes` outputs (pure layout
       * commit; no-op below two small files). `zorderBy` = the
       * `OPTIMIZE ... ZORDER BY` pairing: packed files get tight,
@@ -403,8 +430,9 @@ object Graft {
       * is a structural no-op (see StreamOps.tableMergeBatch). */
     def mergeBatch(spark: SparkSession, dir: String, source: DataFrame,
                    key: String, batchId: Long,
-                   opCol: Option[String] = None): ManifestTable.Snapshot =
-      ManifestTable.mergeBatch(spark, dir, source, key, batchId, opCol)
+                   opCol: Option[String] = None,
+                   seqCol: Option[String] = None): ManifestTable.Snapshot =
+      ManifestTable.mergeBatch(spark, dir, source, key, batchId, opCol, seqCol)
     /** RESTORE … TO VERSION: metadata-only rollback commit (the old
       * file set re-published as the new head; history preserved). */
     def restore(spark: SparkSession, dir: String, version: Long): ManifestTable.Snapshot =
@@ -432,6 +460,14 @@ object Graft {
     def viewRefresh(spark: SparkSession, factDir: String, mvDir: String,
                     key: String, sums: Seq[String]): ManifestTable.Snapshot =
       graft.table.IncrementalView.refresh(spark, factDir, mvDir, key, sums)
+    /** Partition/stats spec evolution: future commits use the new
+      * layout, existing files keep pruning by their own recorded
+      * values — one metadata commit, no rewrite (compact() migrates
+      * incrementally). */
+    def alterLayout(spark: SparkSession, dir: String,
+                    statsCols: Option[Seq[String]] = None,
+                    partitionCols: Option[Seq[String]] = None): ManifestTable.Snapshot =
+      ManifestTable.alterLayout(spark, dir, statsCols, partitionCols)
     /** ALTER TABLE ADD/DROP CONSTRAINT (adds validate existing data;
       * one metadata commit). */
     def alterConstraints(spark: SparkSession, dir: String,

@@ -855,6 +855,40 @@ object TableQueries {
         .withColumn("zero_copy", lit(zeroCopy))
         .withColumn("src_intact", lit(srcIntact))
         .orderBy("_commit_version")
+    },
+
+    // Partition-spec evolution without a rewrite: generation 1 is
+    // unpartitioned (stats on the key only), one metadata commit flips
+    // the spec, generation 2 appends day-partitioned files — and a
+    // day-filtered read prunes gen-2 by partition value while
+    // conservatively keeping gen-1, exact either way (per-FILE pruning
+    // makes mixed layouts sound; ManifestTableSpec pins the kept-file
+    // sets). Emits per-generation file counts, the pruned read's file
+    // count, and the filtered row count under both read paths — the
+    // 100 TB answer to "the query pattern changed" that costs one JSON
+    // rename instead of a table rewrite.
+    Q.cap("cap_table_layout") { (s, d) =>
+      val dir = Scratch.wiped("mtable_layout")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          substring(col("o_orderpriority"), 1, 1).as("pri"),
+          col("o_custkey").as("c"))
+      ManifestTable.create(s, dir, o.filter(col("k") % 2 === 0)
+        .coalesce(2), statsCols = Seq("k"))
+      ManifestTable.alterLayout(s, dir, partitionCols = Some(Seq("pri")))
+      ManifestTable.append(s, dir, o.filter(col("k") % 2 === 1))
+      val head = ManifestTable.snapshot(s, dir)
+      val (g2, g1) = head.files.partition(_.partitions.contains("pri"))
+      val f = col("pri") === "1"
+      val kept = ManifestTable.pruneFiles(head, f)
+      val pruned = ManifestTable.read(s, dir, f).count()
+      val full = ManifestTable.read(s, dir).where(f).count()
+      require(pruned == full, "pruned read must equal full scan + filter")
+      import s.implicits._
+      Seq((g1.size.toLong, g2.size.toLong, kept.size.toLong,
+          head.files.size.toLong, pruned, full))
+        .toDF("gen1_files", "gen2_files", "kept_files", "total_files",
+          "rows_pruned_read", "rows_full_read")
     }
   )
 }

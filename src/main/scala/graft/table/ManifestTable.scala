@@ -796,6 +796,35 @@ object ManifestTable {
     publish(spark, dir, snap)
   }
 
+  /** Partition/stats SPEC EVOLUTION as one metadata commit: change the
+    * columns FUTURE commits partition new files by and/or harvest
+    * footer stats for — no rewrite, any table size. Sound because
+    * pruning is per FILE, never per table: every file is judged by its
+    * own recorded partition values and stats, so a table carrying
+    * several layout generations still answers `read(dir, filter)`
+    * exactly (old-generation files without the new partition value
+    * fall back to their footer stats, or are conservatively kept).
+    * `compact()` is the incremental migrator — rewritten files pick up
+    * the new spec. A rewrite prepared under the old spec that races
+    * this commit fails its rebase loudly (spec drift is a conflict).
+    * This is the operation that saves the 100 TB re-partition when a
+    * table's query pattern changes. */
+  def alterLayout(spark: SparkSession, dir: String,
+      statsCols: Option[Seq[String]] = None,
+      partitionCols: Option[Seq[String]] = None): Snapshot = {
+    val head = current(spark, dir)
+    val st = statsCols.getOrElse(head.statsCols)
+    val pc = partitionCols.getOrElse(head.partitionCols)
+    (st ++ pc).foreach { c =>
+      require(head.schema.fieldNames.contains(c),
+        s"alterLayout: column $c not in schema")
+    }
+    if (st == head.statsCols && pc == head.partitionCols) return head
+    publish(spark, dir, Snapshot(head.version + 1, head.version,
+      "alter-layout", st, pc, head.lastBatch, head.schemaJson,
+      head.files, head.constraints, head.dropped))
+  }
+
   /** Shallow CLONE: publish `dstDir` as a NEW table whose v0 references
     * the source's live data files by fully-qualified URI — zero bytes
     * copied at any table size, one JSON write. The clone then lives its

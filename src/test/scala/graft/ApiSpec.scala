@@ -353,6 +353,20 @@ class ApiSpec extends SparkSuite {
     assert(Graft.table.readVersion(spark, dir, 0L).count() == 2L)
     assert(Graft.table.history(spark, dir).map(_.operation) ==
       Seq("create", "append", "merge"))
+    // session additions: AS OF wall clock, provenance, clone, drop,
+    // layout evolution — each through the facade
+    val h = Graft.table.history(spark, dir)
+    assert(Graft.table.readAsOf(spark, dir, h(1).ts).count() == 3L)
+    assert(Graft.table.readWithMeta(spark, dir)
+      .schema.fieldNames.contains("_commit_version"))
+    val cl = java.nio.file.Files.createTempDirectory("api_mclone").toString + "/t"
+    Graft.table.cloneTable(spark, dir, cl)
+    assert(Graft.table.read(spark, cl).count() ==
+      Graft.table.read(spark, dir).count())
+    Graft.table.dropColumn(spark, cl, "v")
+    assert(Graft.table.read(spark, cl).schema.fieldNames.toSeq == Seq("k"))
+    assert(Graft.table.alterLayout(spark, cl,
+      statsCols = Some(Seq("k"))).version >= 0L)
     assert(Graft.table.vacuum(spark, dir, keepLast = 1) > 0L)
   }
 }

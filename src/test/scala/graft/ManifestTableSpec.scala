@@ -888,6 +888,41 @@ class ManifestTableSpec extends SparkSuite {
     assert(byKey == Map(1L -> 2L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("partition spec evolution is one metadata commit; mixed-" +
+    "generation files each prune by their own recorded layout") {
+    import spark.implicits._
+    val dir = freshDir("layout")
+    val gen1 = Seq((1L, "d1", "a"), (2L, "d1", "b"), (3L, "d2", "c"))
+      .toDF("k", "day", "v")
+    // generation 1: unpartitioned, stats on k only
+    ManifestTable.create(spark, dir, gen1.coalesce(1), statsCols = Seq("k"))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDirsBefore = fs.listStatus(new Path(dir, "data")).length
+    val snap = ManifestTable.alterLayout(spark, dir,
+      partitionCols = Some(Seq("day")))
+    assert(snap.operation == "alter-layout" &&
+      snap.partitionCols == Seq("day"))
+    assert(fs.listStatus(new Path(dir, "data")).length == dataDirsBefore,
+      "spec change must write no data")
+    // generation 2: appends now partition by day
+    ManifestTable.append(spark, dir,
+      Seq((4L, "d1", "x"), (5L, "d2", "y")).toDF("k", "day", "v"))
+    val head = ManifestTable.snapshot(spark, dir)
+    val (g2, g1) = head.files.partition(_.partitions.contains("day"))
+    assert(g1.size == 1 && g2.size == 2, "one old file, two day-partitions")
+    // a day filter prunes generation-2 files by partition value and
+    // conservatively keeps the unpartitioned generation-1 file
+    val kept = ManifestTable.pruneFiles(head, col("day") === "d2")
+    assert(kept.map(_.path).toSet ==
+      (g1 ++ g2.filter(_.partitions("day").contains("d2"))).map(_.path).toSet)
+    // and the pruned read stays exact across the generation boundary
+    assert(ManifestTable.read(spark, dir, col("day") === "d2")
+      .select("k").collect().map(_.getLong(0)).toSet == Set(3L, 5L))
+    // alterLayout with no effective change is a no-op (no new version)
+    assert(ManifestTable.alterLayout(spark, dir,
+      partitionCols = Some(Seq("day"))).version == head.version)
+  }
+
   // ------------------------------------------- optimistic concurrency
 
   test("rebaseConflict taxonomy: metadata drift, write-write, read-write, " +
