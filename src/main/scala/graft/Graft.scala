@@ -367,6 +367,11 @@ object Graft {
       * predicates keep their rows (SQL semantics). */
     def delete(spark: SparkSession, dir: String, filter: Column): ManifestTable.Snapshot =
       ManifestTable.delete(spark, dir, filter)
+    /** DELETE as a merge-on-read commit: deletion vectors instead of
+      * file rewrites — cost ∝ deleted rows; reads subtract via a
+      * broadcast anti-join; the next rewrite materializes. */
+    def deleteVector(spark: SparkSession, dir: String, filter: Column): ManifestTable.Snapshot =
+      ManifestTable.deleteVector(spark, dir, filter)
     /** UPDATE … SET … WHERE: touched-files-only rewrite; stats
       * re-harvested so pruning follows the new values. */
     def update(spark: SparkSession, dir: String, filter: Column,

@@ -261,6 +261,47 @@ object TableQueries {
       head.unionByName(preDrop).orderBy("phase")
     },
 
+    // DELETE as deletion vectors (merge-on-read): two stacked DV
+    // commits hide rows WITHOUT rewriting a data file — the manifest
+    // attaches (file, row-position) vectors and every read subtracts
+    // them through a broadcast anti-join priced by deleted rows, the
+    // 100 TB needle-delete answer (copy-on-write delete stays the bulk
+    // path). The head fingerprint proves subtraction is exact, the v0
+    // fingerprint proves time travel still sees everything;
+    // materialization-on-rewrite, changelog pricing, IVM flow and DV
+    // vacuum are pinned in ManifestTableSpec.
+    Q("q_table_dv",
+      """WITH b AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(14,4)) AS p
+        |  FROM orders)
+        |SELECT 'head' AS phase, COUNT(*) AS n_rows,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum, %PSUM% AS price_sum
+        |FROM b WHERE k % 10 <> 0 AND k % 7 <> 0
+        |UNION ALL
+        |SELECT 'v0' AS phase, COUNT(*) AS n_rows,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum, %PSUM% AS price_sum
+        |FROM b
+        |ORDER BY phase""".stripMargin
+        .replace("%PSUM%", Dsl.d2dSql(Dsl.dsumSql("p")))) { (s, d) =>
+      val dir = Scratch.wiped("mtable_dv")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast(Dsl.DFac).cast(P).as("p"))
+      ManifestTable.create(s, dir, o.repartitionByRange(2, col("k")),
+        statsCols = Seq("k"))
+      ManifestTable.deleteVector(s, dir, col("k") % 10 === 0)
+      ManifestTable.deleteVector(s, dir, col("k") % 7 === 0)
+      def fp(df: org.apache.spark.sql.DataFrame, phase: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("key_sum"),
+          Dsl.d2d(Dsl.dsum(col("p"))).as("price_sum"))
+          .select(lit(phase).as("phase"), col("n_rows"), col("key_sum"),
+            col("price_sum"))
+      fp(ManifestTable.read(s, dir), "head")
+        .unionByName(fp(ManifestTable.readVersion(s, dir, 0L), "v0"))
+        .orderBy("phase")
+    },
+
     // Time travel: three commits (create / append / overwrite), then
     // every snapshot read back AS OF its version and fingerprinted.
     // The oracle states each version's required contents directly from

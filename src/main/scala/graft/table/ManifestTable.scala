@@ -165,7 +165,15 @@ object ManifestTable {
         * and forced strictly increasing across versions so
         * `AS OF <timestamp>` resolution is total even if the clock
         * steps backwards. −1 on a not-yet-published snapshot. */
-      ts: Long = -1L) {
+      ts: Long = -1L,
+      /** Deletion vectors (merge-on-read DELETE): file path → the DV
+        * parquet dirs whose (base, idx) rows are subtracted from that
+        * file at read time. Empty for most tables — every read path
+        * short-circuits to a plain scan then. A file's effective
+        * content is (path, dvs(path)); rewrites materialize and drop
+        * the entry. [[Snapshot.totalRows]] counts PHYSICAL rows (before
+        * DV subtraction). */
+      dvs: Map[String, Vector[String]] = Map.empty) {
     def totalRows: Long = files.iterator.map(_.rows).sum
     def totalBytes: Long = files.iterator.map(_.bytes).sum
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -173,6 +181,7 @@ object ManifestTable {
 
   private val LogDir = "_graft_log"
   private val DataDir = "data"
+  private val DvDir = "dv"
   private val PartPrefix = "__p_"
 
   private def logPath(dir: String) = new Path(dir, LogDir)
@@ -275,6 +284,10 @@ object ManifestTable {
          .map { case (n, sql) => n -> (JString(sql): JValue) }): JValue))) ++
       (if (s.dropped.isEmpty) Nil
        else List("dropped" -> (JArray(s.dropped.toList.map(JString(_))): JValue))) ++
+      (if (s.dvs.isEmpty) Nil
+       else List("dvs" -> (JObject(s.dvs.toList.sortBy(_._1).map {
+         case (p, vs) => p -> (JArray(vs.toList.map(JString(_))): JValue)
+       }): JValue))) ++
       List("files" -> (files: JValue)))
     JsonMethods.compact(JsonMethods.render(obj))
   }
@@ -336,7 +349,13 @@ object ManifestTable {
       (j \ "schema").values.toString,
       files, constraints,
       jStrings(j \ "dropped"),
-      (j \ "ts").toOption.map(jLong).getOrElse(-1L))
+      (j \ "ts").toOption.map(jLong).getOrElse(-1L),
+      (j \ "dvs") match {
+        case JObject(kv) => kv.map { case (p, v) =>
+          p -> jStrings(v).toVector
+        }.toMap
+        case _ => Map.empty[String, Vector[String]]
+      })
   }
 
   // ---------------------------------------------------- footer stats
@@ -563,6 +582,14 @@ object ManifestTable {
     else removed.find(p => !live(p)).map(p =>
       s"write-write conflict: $p was rewritten by a concurrent commit")
       .orElse {
+        // a concurrent DV delete on a file this commit rewrote would be
+        // LOST (the rewrite materialized the parent's view of the file)
+        removed.find(p => head.dvs.getOrElse(p, Vector.empty) !=
+          parent.dvs.getOrElse(p, Vector.empty)).map(p =>
+          s"write-write conflict: deletion vector added to $p by a " +
+            "concurrent commit")
+      }
+      .orElse {
         val seen = base.files.map(_.path).toSet
         head.files.find(f => !seen(f.path) && conflictsWith(f)).map(f =>
           s"read-write conflict: concurrently added ${f.path} may hold " +
@@ -594,7 +621,8 @@ object ManifestTable {
         batchId.map(math.max(_, base.lastBatch)).getOrElse(base.lastBatch),
         parent.schemaJson,
         base.files.filterNot(f => removed(f.path)) ++ staged,
-        parent.constraints, parent.dropped)
+        parent.constraints, parent.dropped,
+        dvs = base.dvs -- removed)
       try return publish(spark, dir, snap)
       catch {
         case e: ConcurrentCommitException =>
@@ -659,7 +687,7 @@ object ManifestTable {
       val snap = Snapshot(head.version + 1, head.version, "append",
         head.statsCols, head.partitionCols, head.lastBatch,
         evolveSchema(head, df), head.files ++ files, head.constraints,
-        head.dropped)
+        head.dropped, dvs = head.dvs)
       try return publish(spark, dir, snap)
       catch {
         case e: ConcurrentCommitException =>
@@ -734,7 +762,7 @@ object ManifestTable {
       head.statsCols, head.partitionCols, head.lastBatch,
       StructType(schema.fields.filterNot(_.name == name)).json,
       head.files.map(f => f.copy(stats = f.stats - name)),
-      head.constraints, head.dropped :+ name)
+      head.constraints, head.dropped :+ name, dvs = head.dvs)
     publish(spark, dir, snap)
   }
 
@@ -772,7 +800,7 @@ object ManifestTable {
     val snap = Snapshot(head.version + 1, head.version,
       s"restore@v$version", target.statsCols, target.partitionCols,
       head.lastBatch, target.schemaJson, target.files, target.constraints,
-      target.dropped)
+      target.dropped, dvs = target.dvs)
     publish(spark, dir, snap)
   }
 
@@ -792,7 +820,7 @@ object ManifestTable {
     val next = head.constraints -- drop ++ add
     val snap = Snapshot(head.version + 1, head.version, "alter",
       head.statsCols, head.partitionCols, head.lastBatch,
-      head.schemaJson, head.files, next, head.dropped)
+      head.schemaJson, head.files, next, head.dropped, dvs = head.dvs)
     publish(spark, dir, snap)
   }
 
@@ -822,7 +850,7 @@ object ManifestTable {
     if (st == head.statsCols && pc == head.partitionCols) return head
     publish(spark, dir, Snapshot(head.version + 1, head.version,
       "alter-layout", st, pc, head.lastBatch, head.schemaJson,
-      head.files, head.constraints, head.dropped))
+      head.files, head.constraints, head.dropped, dvs = head.dvs))
   }
 
   /** Shallow CLONE: publish `dstDir` as a NEW table whose v0 references
@@ -843,14 +871,15 @@ object ManifestTable {
     val src = snapshot(spark, srcDir, version)
     val fs = new Path(srcDir).getFileSystem(conf(spark))
     val srcQ = fs.makeQualified(new Path(srcDir))
-    val files = src.files.map { f =>
+    def qualify(p: String): String =
       // a clone of a clone may already carry qualified URIs — keep them
-      if (f.path.contains(":/") || f.path.startsWith("/")) f
-      else f.copy(path = new Path(srcQ, f.path).toString)
-    }
+      if (p.contains(":/") || p.startsWith("/")) p
+      else new Path(srcQ, p).toString
+    val files = src.files.map(f => f.copy(path = qualify(f.path)))
+    val dvs = src.dvs.map { case (p, vs) => qualify(p) -> vs.map(qualify) }
     publish(spark, dstDir, Snapshot(0L, -1L,
       s"clone@v${src.version}", src.statsCols, src.partitionCols, -1L,
-      src.schemaJson, files, src.constraints, src.dropped))
+      src.schemaJson, files, src.constraints, src.dropped, dvs = dvs))
   }
 
   private def current(spark: SparkSession, dir: String): Snapshot =
@@ -862,19 +891,47 @@ object ManifestTable {
   // --------------------------------------------------------- reads
 
   private def scanWith(spark: SparkSession, dir: String, files: Seq[FileEntry],
-      schema: StructType): DataFrame = {
-    if (files.isEmpty) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    } else {
+      schema: StructType,
+      dvs: Map[String, Vector[String]] = Map.empty): DataFrame = {
+    def plain(fs: Seq[FileEntry]): DataFrame =
       // explicit leaf files ⇒ each file's parent is its own base path,
       // so Spark never re-infers partition columns from the __p_ dirs
       spark.read.schema(schema)
-        .parquet(files.map(f => new Path(dir, f.path).toString): _*)
+        .parquet(fs.map(f => new Path(dir, f.path).toString): _*)
+    if (files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    } else {
+      val (dvFiles, plainFiles) =
+        files.partition(f => dvs.get(f.path).exists(_.nonEmpty))
+      if (dvFiles.isEmpty) plain(files)
+      else {
+        // merge-on-read: subtract each file's deletion vector — a
+        // BROADCAST anti-join on (file basename, parquet row position),
+        // so the data side never shuffles and the cost rides the DV
+        // size (∝ deleted rows), not the table. Production readers push
+        // the bitmap into the scan itself; the join is the declarative
+        // equivalent at the same asymptotics.
+        val cols = schema.fieldNames.toSeq.map(col)
+        val dvDirs = dvFiles.flatMap(f => dvs(f.path)).distinct
+        val dvFrame = spark.read
+          .parquet(dvDirs.map(p => new Path(dir, p).toString): _*)
+          .select(col("base").as("__dv_base"), col("idx").as("__dv_idx"))
+        val subtracted = plain(dvFiles)
+          .withColumn("__base",
+            element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("__idx", col("_metadata.row_index"))
+          .join(broadcast(dvFrame),
+            col("__base") === col("__dv_base") &&
+              col("__idx") === col("__dv_idx"), "left_anti")
+          .select(cols: _*)
+        if (plainFiles.isEmpty) subtracted
+        else plain(plainFiles).unionByName(subtracted)
+      }
     }
   }
 
   private def scan(spark: SparkSession, dir: String, snap: Snapshot): DataFrame =
-    scanWith(spark, dir, snap.files, snap.schema)
+    scanWith(spark, dir, snap.files, snap.schema, snap.dvs)
 
   /** Latest snapshot, full scan. */
   def read(spark: SparkSession, dir: String): DataFrame =
@@ -889,7 +946,8 @@ object ManifestTable {
     * column-vs-foldable comparisons; anything else keeps the file. */
   def read(spark: SparkSession, dir: String, filter: Column): DataFrame = {
     val snap = current(spark, dir)
-    scanWith(spark, dir, pruneFiles(snap, filter), snap.schema).where(filter)
+    scanWith(spark, dir, pruneFiles(snap, filter), snap.schema, snap.dvs)
+      .where(filter)
   }
 
   /** Time travel: the table exactly as of snapshot `version`. */
@@ -1220,7 +1278,7 @@ object ManifestTable {
       // at their own commit and pass through byte-identical
       enforce(winners, head.constraints, operation)
       val srcKeys = resolved.select(col(key))
-      val base = scanWith(spark, dir, touched, schema)
+      val base = scanWith(spark, dir, touched, schema, head.dvs)
       val rewritten = base
         .join(broadcast(srcKeys), Seq(key), "left_anti")
         .unionByName(winners)
@@ -1304,13 +1362,60 @@ object ManifestTable {
       head: Snapshot, filter: Column): Snapshot = {
     val touched = pruneFiles(head, filter)
     if (touched.isEmpty) return head
-    val rewritten = scanWith(spark, dir, touched, head.schema)
+    val rewritten = scanWith(spark, dir, touched, head.schema, head.dvs)
       .where(!coalesce(filter, lit(false)))
     val staged = stage(spark, dir, rewritten, head.statsCols, head.partitionCols)
     val expr = org.apache.spark.sql.GraftSqlBridge.expr(filter)
     commitRewrite(spark, dir, head, "delete",
       touched.map(_.path).toSet, staged,
       f => mayMatch(f, head.schema, expr), None)
+  }
+
+  /** DELETE FROM … WHERE as a MERGE-ON-READ commit (deletion vectors):
+    * instead of rewriting every touched file, the matching rows'
+    * (file basename, parquet row position) pairs are written to ONE
+    * small DV parquet attached to the touched files in the manifest;
+    * every read subtracts them via a broadcast anti-join. Cost ∝
+    * deleted rows — at 100 TB a needle delete costs a needle, not a
+    * file rewrite; [[delete]] (copy-on-write) remains the right call
+    * for bulk predicates. Same SQL semantics (NULL keeps the row);
+    * the result always equals `delete()`'s. The next rewrite of a
+    * DV-carrying file (merge/update/compact/delete) MATERIALIZES the
+    * vector and drops it, and the structural changelog treats a DV
+    * change as the file changing hands, so incremental consumers stay
+    * exact. Structural no-op when nothing matches. Version races are
+    * not auto-rebased — re-run; the op is deleted-rows-priced. */
+  def deleteVector(spark: SparkSession, dir: String,
+      filter: Column): Snapshot = {
+    val head = current(spark, dir)
+    val touched = pruneFiles(head, filter)
+    if (touched.isEmpty) return head
+    val rel = s"$DvDir/${UUID.randomUUID()}"
+    val abs = new Path(dir, rel)
+    spark.read.schema(head.schema)
+      .parquet(touched.map(f => new Path(dir, f.path).toString): _*)
+      .withColumn("__dv_b",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__dv_i", col("_metadata.row_index"))
+      .where(coalesce(filter, lit(false)))
+      .select(col("__dv_b").as("base"), col("__dv_i").as("idx"))
+      .write.parquet(abs.toString)
+    // which touched files actually hold hits: metadata-sized collect
+    val hitBases = spark.read.parquet(abs.toString)
+      .select("base").distinct().collect().map(_.getString(0)).toSet
+    if (hitBases.isEmpty) {
+      abs.getFileSystem(conf(spark)).delete(abs, true)
+      return head // structural no-op: nothing matched
+    }
+    val hitFiles = touched.filter { f =>
+      hitBases(f.path.substring(f.path.lastIndexOf('/') + 1))
+    }
+    val dvs = head.dvs ++ hitFiles.map(f =>
+      f.path -> (head.dvs.getOrElse(f.path, Vector.empty) :+ rel)).toMap
+    publish(spark, dir, Snapshot(head.version + 1, head.version,
+      "delete-dv", head.statsCols, head.partitionCols, head.lastBatch,
+      head.schemaJson, head.files, head.constraints, head.dropped,
+      dvs = dvs))
   }
 
   /** UPDATE … SET `set` WHERE `filter`: same touched-files-only
@@ -1333,7 +1438,7 @@ object ManifestTable {
     val touched = pruneFiles(head, filter)
     if (touched.isEmpty) return head
     val hit = coalesce(filter, lit(false))
-    val rewritten = scanWith(spark, dir, touched, schema)
+    val rewritten = scanWith(spark, dir, touched, schema, head.dvs)
       .select(schema.fieldNames.toSeq.map { c =>
         set.get(c) match {
           case Some(e) => when(hit, e.cast(schema(c).dataType))
@@ -1342,7 +1447,7 @@ object ManifestTable {
         }
       }: _*)
     // only the rows the SET actually modified need re-checking
-    enforce(scanWith(spark, dir, touched, schema).where(hit)
+    enforce(scanWith(spark, dir, touched, schema, head.dvs).where(hit)
       .select(schema.fieldNames.toSeq.map { c =>
         set.get(c).map(_.cast(schema(c).dataType).as(c)).getOrElse(col(c))
       }: _*), head.constraints, "update")
@@ -1370,8 +1475,8 @@ object ManifestTable {
     val sa = readManifest(spark, dir, from)
     val sb = readManifest(spark, dir, to)
     val wide = (if (to >= from) sb else sa).schema
-    val a = scanWith(spark, dir, sa.files, wide)
-    val b = scanWith(spark, dir, sb.files, wide)
+    val a = scanWith(spark, dir, sa.files, wide, sa.dvs)
+    val b = scanWith(spark, dir, sb.files, wide, sb.dvs)
     val cols = wide.fieldNames.toSeq
     val ca = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__na"))
     val cb = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__nb"))
@@ -1406,14 +1511,21 @@ object ManifestTable {
     val sa = readManifest(spark, dir, from)
     val sb = readManifest(spark, dir, to)
     val wide = (if (to >= from) sb else sa).schema
-    val pa = sa.files.map(_.path).toSet
-    val pb = sb.files.map(_.path).toSet
-    val removed = sa.files.filterNot(f => pb(f.path))
-    val added = sb.files.filterNot(f => pa(f.path))
+    // a file's EFFECTIVE content is (path, deletion vectors): a DV-only
+    // delete leaves the file in place but changes what it contributes,
+    // so it must change hands in the structural diff — old effective
+    // rows out as 'D', new effective rows in as 'I' (net: the deleted
+    // rows, for any signed consumer)
+    def eff(s: Snapshot): Map[String, Vector[String]] =
+      s.files.map(f => f.path -> s.dvs.getOrElse(f.path, Vector.empty)).toMap
+    val ea = eff(sa)
+    val eb = eff(sb)
+    val removed = sa.files.filterNot(f => eb.get(f.path).contains(ea(f.path)))
+    val added = sb.files.filterNot(f => ea.get(f.path).contains(eb(f.path)))
     val cols = wide.fieldNames.toSeq.map(col)
-    scanWith(spark, dir, removed, wide)
+    scanWith(spark, dir, removed, wide, sa.dvs)
       .select(cols :+ lit("D").as("_change"): _*)
-      .unionAll(scanWith(spark, dir, added, wide)
+      .unionAll(scanWith(spark, dir, added, wide, sb.dvs)
         .select(cols :+ lit("I").as("_change"): _*))
   }
 
@@ -1453,7 +1565,7 @@ object ManifestTable {
       s"zorderBy must name at most two table columns, got $zorderBy")
     val (small, big) = head.files.partition(_.bytes < smallBytes)
     if (small.size < 2) return head
-    val df = scanWith(spark, dir, small, schema)
+    val df = scanWith(spark, dir, small, schema, head.dvs)
     val outFiles = math.max(1L,
       (small.iterator.map(_.bytes).sum + targetBytes - 1) / targetBytes).toInt
     val packed = zorderBy match {
@@ -1515,6 +1627,19 @@ object ManifestTable {
         }
         fs.delete(st.getPath, true)
         deleted += files
+      }
+    }
+    // deletion-vector sweep: same liveness rule over the dv/ root
+    val dvRoot = new Path(dir, DvDir)
+    if (fs.exists(dvRoot)) {
+      val liveDv = versions.filter(keep)
+        .flatMap(v => readManifest(spark, dir, v).dvs.values.flatten)
+        .map(p => p.split("/").last).toSet
+      fs.listStatus(dvRoot).foreach { st =>
+        if (st.isDirectory && !liveDv.contains(st.getPath.getName)) {
+          fs.delete(st.getPath, true)
+          deleted += 1
+        }
       }
     }
     // drop manifests for vacuumed-away versions so history() stays honest

@@ -923,6 +923,89 @@ class ManifestTableSpec extends SparkSuite {
       partitionCols = Some(Seq("day"))).version == head.version)
   }
 
+  // ------------------------------------------------ deletion vectors
+
+  test("deleteVector hides rows without touching a data file; vectors " +
+    "stack; reads, pruned reads and time travel stay exact") {
+    val dir = freshDir("dv")
+    ManifestTable.create(spark, dir,
+      kv((1L to 100L).map(i => i -> s"v$i")).coalesce(1),
+      statsCols = Seq("k"))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDirs = () => fs.listStatus(new Path(dir, "data")).length
+    val before = dataDirs()
+    val s1 = ManifestTable.deleteVector(spark, dir, col("k") <= 10)
+    assert(dataDirs() == before, "DV delete must not write data files")
+    assert(s1.operation == "delete-dv" && s1.files == // file set unchanged
+      ManifestTable.snapshot(spark, dir, Some(0L)).files)
+    assert(ManifestTable.read(spark, dir).count() == 90L)
+    // stacking: a second vector composes
+    ManifestTable.deleteVector(spark, dir, col("k") > 95)
+    assert(content(dir) == (11L to 95L).map(i => (i, s"v$i")).toSet)
+    // NULL predicate keeps rows (SQL semantics)
+    ManifestTable.deleteVector(spark, dir,
+      when(col("k") === 50L, lit(null).cast("boolean")).otherwise(col("k") === 51L))
+    assert(ManifestTable.read(spark, dir).where(col("k").isin(50L, 51L))
+      .collect().map(_.getLong(0)).toSet == Set(50L))
+    // pruned read and filter agree through the DV subtraction
+    assert(ManifestTable.read(spark, dir, col("k") <= 20).count() == 10L)
+    // time travel: pre-DV versions still show everything
+    assert(ManifestTable.readVersion(spark, dir, 0L).count() == 100L)
+    // structural no-op when nothing matches
+    val h = ManifestTable.snapshot(spark, dir)
+    assert(ManifestTable.deleteVector(spark, dir, col("k") > 1000L)
+      .version == h.version)
+  }
+
+  test("a rewrite of a DV-carrying file materializes the vector: " +
+    "deleted rows stay deleted, the DV entry is dropped, and the " +
+    "changelog prices a DV delete at its net rows") {
+    import spark.implicits._
+    val dir = freshDir("dv_mat")
+    ManifestTable.create(spark, dir,
+      kv((1L to 50L).map(i => i -> "base")).coalesce(1), statsCols = Seq("k"))
+    val v1 = ManifestTable.deleteVector(spark, dir, col("k") <= 5)
+    assert(v1.dvs.nonEmpty)
+    // structural changelog of the DV commit: net = the 5 deleted rows
+    val net = ManifestTable.changesStructural(spark, dir, 0L, 1L)
+      .groupBy("_change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(net("D") - net.getOrElse("I", 0L) == 5L)
+    // a merge touching the file materializes: dv entry gone, deleted
+    // rows do NOT resurrect, merged value lands
+    val v2 = ManifestTable.merge(spark, dir,
+      Seq((10L, "MERGED")).toDF("k", "v"), "k")
+    assert(v2.dvs.isEmpty, "rewrite must drop the materialized vector")
+    val got = content(dir)
+    assert(!got.exists(_._1 <= 5), "materialization must keep deletions")
+    assert(got(10L -> "MERGED") && got.size == 45)
+    // vacuum sweeps the now-orphaned DV dir once history rolls off
+    ManifestTable.vacuum(spark, dir, keepLast = 1)
+    val dvRoot = new Path(dir, "dv")
+    val fs = dvRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(dvRoot) || fs.listStatus(dvRoot).isEmpty,
+      "orphaned DV dirs must be vacuumed")
+  }
+
+  test("deletion vectors ride the IVM path: a DV delete refreshes the " +
+    "view by its net rows only") {
+    val dir = freshDir("dv_ivm")
+    val mv = freshDir("dv_ivm_mv")
+    import spark.implicits._
+    val fact = (1L to 40L).map(i => (i, i % 4, i * 10)).toDF("k", "g", "x")
+    ManifestTable.create(spark, dir, fact.coalesce(1), statsCols = Seq("k"))
+    IncrementalView.init(spark, dir, mv, "g", Seq("x"), numFiles = 2)
+    ManifestTable.deleteVector(spark, dir, col("k") <= 8)
+    IncrementalView.refresh(spark, dir, mv, "g", Seq("x"))
+    val expect = (9L to 40L).map(i => (i % 4, i * 10))
+      .groupBy(_._1).map { case (g, xs) =>
+        (g, xs.size.toLong, xs.map(_._2).sum) }.toSet
+    val got = ManifestTable.read(spark, mv)
+      .select("g", "n", "sum_x").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
+
   // ------------------------------------------- optimistic concurrency
 
   test("rebaseConflict taxonomy: metadata drift, write-write, read-write, " +
