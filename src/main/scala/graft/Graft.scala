@@ -372,6 +372,16 @@ object Graft {
       * broadcast anti-join; the next rewrite materializes. */
     def deleteVector(spark: SparkSession, dir: String, filter: Column): ManifestTable.Snapshot =
       ManifestTable.deleteVector(spark, dir, filter)
+    /** REORG … PURGE: materialize all deletion vectors (rewrites only
+      * DV-carrying files; vacuum then reclaims the vector files). */
+    def purgeVectors(spark: SparkSession, dir: String): ManifestTable.Snapshot =
+      ManifestTable.purgeVectors(spark, dir)
+    /** UPDATE as merge-on-read: vector-hide the old copies + append
+      * the updated ones; cost ∝ matched rows (non-atomic pair — the
+      * copy-on-write update stays the transactional default). */
+    def updateVector(spark: SparkSession, dir: String, filter: Column,
+                     set: Map[String, Column]): ManifestTable.Snapshot =
+      ManifestTable.updateVector(spark, dir, filter, set)
     /** UPDATE … SET … WHERE: touched-files-only rewrite; stats
       * re-harvested so pruning follows the new values. */
     def update(spark: SparkSession, dir: String, filter: Column,

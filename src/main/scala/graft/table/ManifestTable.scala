@@ -1371,6 +1371,56 @@ object ManifestTable {
       f => mayMatch(f, head.schema, expr), None)
   }
 
+  /** Materialize every deletion vector (REORG … PURGE): rewrite ONLY
+    * the DV-carrying files to their effective content and drop the
+    * vectors — the maintenance op that converts accumulated
+    * merge-on-read debt back to plain scans (vacuum then reclaims the
+    * vector files). Cost ∝ DV-carrying files, never the table. No-op
+    * when the table has no vectors. Commutes with any concurrent
+    * commit that kept the purged files (pure materialization), so it
+    * rebases like compact. */
+  def purgeVectors(spark: SparkSession, dir: String): Snapshot = {
+    val head = current(spark, dir)
+    val touched = head.files.filter(f => head.dvs.get(f.path).exists(_.nonEmpty))
+    if (touched.isEmpty) return head
+    val rewritten = scanWith(spark, dir, touched, head.schema, head.dvs)
+      .coalesce(math.max(touched.size, 1))
+    val staged = stage(spark, dir, rewritten, head.statsCols, head.partitionCols)
+    commitRewrite(spark, dir, head, "purge",
+      touched.map(_.path).toSet, staged, _ => false, None)
+  }
+
+  /** UPDATE … SET … WHERE as a MERGE-ON-READ commit: the matched rows'
+    * old copies are hidden by a deletion vector and their updated
+    * copies appended — two data-light commits (vector + new rows)
+    * instead of rewriting every touched file. Cost ∝ matched rows.
+    * Non-atomic across the pair by construction (a reader between the
+    * two commits sees the delete only), so the copy-on-write
+    * [[update]] remains the transactional default; this is the bulk-
+    * pipeline form where the updated slice is tiny and files are
+    * huge. Returns the appending snapshot. */
+  def updateVector(spark: SparkSession, dir: String, filter: Column,
+      set: Map[String, Column]): Snapshot = {
+    val head = current(spark, dir)
+    val schema = head.schema
+    set.keys.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"updateVector: column $c not in schema")
+    }
+    val hit = coalesce(filter, lit(false))
+    val updated = scanWith(spark, dir, pruneFiles(head, filter), schema,
+      head.dvs).where(hit)
+      .select(schema.fieldNames.toSeq.map { c =>
+        set.get(c).map(_.cast(schema(c).dataType).as(c)).getOrElse(col(c))
+      }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (updated.isEmpty) return head
+      deleteVector(spark, dir, filter)
+      append(spark, dir, updated)
+    } finally updated.unpersist()
+  }
+
   /** DELETE FROM … WHERE as a MERGE-ON-READ commit (deletion vectors):
     * instead of rewriting every touched file, the matching rows'
     * (file basename, parquet row position) pairs are written to ONE

@@ -987,6 +987,39 @@ class ManifestTableSpec extends SparkSuite {
       "orphaned DV dirs must be vacuumed")
   }
 
+  test("updateVector hides the old copies and appends the new; " +
+    "purgeVectors materializes ONLY DV-carrying files and drops every " +
+    "vector") {
+    val dir = freshDir("dv_up")
+    ManifestTable.create(spark, dir,
+      kv((1L to 20L).map(i => i -> s"v$i")).coalesce(1),
+      statsCols = Seq("k"))
+    ManifestTable.append(spark, dir,
+      kv((21L to 40L).map(i => i -> s"v$i")).coalesce(1))
+    // merge-on-read UPDATE: one matched row
+    ManifestTable.updateVector(spark, dir, col("k") === 30L,
+      Map("v" -> lit("UP")))
+    val afterUp = ManifestTable.snapshot(spark, dir)
+    assert(afterUp.dvs.size == 1, "only the matched file carries a vector")
+    assert(content(dir) == ((1L to 40L).map(i =>
+      i -> (if (i == 30) "UP" else s"v$i")).toSet))
+    // a no-match update commits nothing
+    assert(ManifestTable.updateVector(spark, dir, col("k") === 999L,
+      Map("v" -> lit("X"))).version == afterUp.version)
+    // PURGE: rewrites only the DV-carrying file, drops all vectors,
+    // content identical
+    val unTouched = afterUp.files.filterNot(f => afterUp.dvs.contains(f.path))
+      .map(_.path).toSet
+    val purged = ManifestTable.purgeVectors(spark, dir)
+    assert(purged.dvs.isEmpty && purged.operation == "purge")
+    assert(unTouched.subsetOf(purged.files.map(_.path).toSet),
+      "files without vectors must carry over by reference")
+    assert(content(dir) == ((1L to 40L).map(i =>
+      i -> (if (i == 30) "UP" else s"v$i")).toSet))
+    // purge on a vector-free table is a no-op
+    assert(ManifestTable.purgeVectors(spark, dir).version == purged.version)
+  }
+
   test("deletion vectors ride the IVM path: a DV delete refreshes the " +
     "view by its net rows only") {
     val dir = freshDir("dv_ivm")
