@@ -1279,4 +1279,51 @@ class MarqueeStressSpec extends AnyFunSuite {
       s"(${factTouched.size} touched files), view carried " +
       s"${mvCarried.size}/${mv1.files.size} files by reference")
   }
+
+  test("ManifestTable deletion vectors: 1M-row table — a needle DELETE " +
+    "writes the vector, never the table", Marquee) {
+    // The merge-on-read 100 TB claim: deleteVector's write volume is
+    // the deleted rows' (file, position) pairs, with ZERO data files
+    // rewritten; reads subtract exactly. A range-narrow delete attaches
+    // its vector to ONE file (pruning reach), a scattered modulo delete
+    // to many; purge then converts the debt back to plain files.
+    import graft.table.ManifestTable
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("mq_dv").toString
+    val base = spark.range(1000000L)
+      .select(col("id").as("k"), (col("id") % 97).as("v"))
+      .repartitionByRange(16, col("k"))
+    ManifestTable.create(spark, dir, base, statsCols = Seq("k"))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDirs = () => fs.listStatus(new Path(dir, "data")).length
+    val before = dataDirs()
+    // narrow: 1000 contiguous keys — bounds pruning reaches ONE file
+    val (s1, t1) = timed(ManifestTable.deleteVector(spark, dir, col("k") < 1000))
+    assert(dataDirs() == before, "DV delete must write no data files")
+    assert(s1.dvs.size == 1, s"narrow delete must vector ONE file, got ${s1.dvs.size}")
+    // scattered: 8 keys, one per 125k stride — vectors attach per touched file
+    val (s2, t2) = timed(ManifestTable.deleteVector(spark, dir, col("k") % 125000 === 3))
+    assert(dataDirs() == before)
+    val dvRows = spark.read.parquet(
+      s2.dvs.values.flatten.toSeq.distinct.map(p => s"$dir/$p"): _*).count()
+    // key 3 matches BOTH predicates: it is listed in two vectors (1008
+    // vector rows) but subtracted once — 1007 distinct deleted keys
+    assert(dvRows == 1008L, s"vector rows must equal listed rows, got $dvRows")
+    assert(ManifestTable.read(spark, dir).count() == 1000000L - 1007L)
+    val dvBytes = {
+      val it = fs.listFiles(new Path(dir, "dv"), true)
+      var b = 0L
+      while (it.hasNext) b += it.next().getLen
+      b
+    }
+    assert(dvBytes * 50 < s2.totalBytes,
+      s"vector bytes ($dvBytes) must be a sliver of the table (${s2.totalBytes})")
+    val (s3, t3) = timed(ManifestTable.purgeVectors(spark, dir))
+    assert(s3.dvs.isEmpty)
+    assert(ManifestTable.read(spark, dir).count() == 1000000L - 1007L)
+    info(f"1M rows: narrow 1000-row DV delete $t1%.1f s (1 file vectored), " +
+      f"scattered 8-row delete $t2%.1f s (${s2.dvs.size} files vectored), " +
+      f"$dvBytes bytes of vectors vs ${s2.totalBytes} table bytes; " +
+      f"purge $t3%.1f s")
+  }
 }
