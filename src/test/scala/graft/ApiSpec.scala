@@ -363,6 +363,17 @@ class ApiSpec extends SparkSuite {
     Graft.table.cloneTable(spark, dir, cl)
     assert(Graft.table.read(spark, cl).count() ==
       Graft.table.read(spark, dir).count())
+    // merge-on-read family through the facade: vector delete, vector
+    // update, purge — content checked after each
+    Graft.table.deleteVector(spark, cl, col("k") === 3L)
+    assert(Graft.table.read(spark, cl).count() == 1L)
+    Graft.table.updateVector(spark, cl, col("k") === 2L,
+      Map("v" -> lit("UPD")))
+    assert(Graft.table.read(spark, cl).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set(2L -> "UPD"))
+    assert(Graft.table.purgeVectors(spark, cl).dvs.isEmpty)
+    assert(Graft.table.read(spark, cl).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set(2L -> "UPD"))
     Graft.table.dropColumn(spark, cl, "v")
     assert(Graft.table.read(spark, cl).schema.fieldNames.toSeq == Seq("k"))
     assert(Graft.table.alterLayout(spark, cl,
