@@ -104,6 +104,58 @@ object TableQueries {
         .orderBy("bucket")
     },
 
+    // The format("graft") SQL surface end-to-end: the table is CREATED
+    // and APPENDED through the registered DataSourceV2 connector (no
+    // facade write call), then read back BOTH ways — spark.read
+    // .format("graft") and ManifestTable.read — and fingerprinted per
+    // key bucket under a 'sql' / 'facade' tag. One oracle hash pins the
+    // two paths equal to each other AND to the relational statement of
+    // the lifecycle: a plain-SQL user and a Scala-facade user see the
+    // byte-same table.
+    Q("q_table_sql",
+      """WITH t AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(14,4)) AS p
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT -o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,4))
+        |      + CAST(1.25 AS DECIMAL(12,4)) AS DECIMAL(14,4))
+        |  FROM orders WHERE o_orderkey % 13 = 5),
+        |fp AS (
+        |  SELECT CAST(k % 10 AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+        |    CAST(SUM(k) AS BIGINT) AS key_sum, %PSUM% AS price_sum
+        |  FROM t GROUP BY k % 10)
+        |SELECT 'facade' AS api, bucket, n_rows, key_sum, price_sum FROM fp
+        |UNION ALL
+        |SELECT 'sql', bucket, n_rows, key_sum, price_sum FROM fp
+        |ORDER BY api, bucket""".stripMargin
+        .replace("%PSUM%", Dsl.d2dSql(Dsl.dsumSql("p")))) { (s, d) =>
+      val dir = Scratch.wiped("mtable_sql")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast(Dsl.DFac).as("tp"))
+      // CREATE through the connector (default save mode on a missing
+      // table), layout spec via writer options
+      o.select(col("k"), col("tp").cast(P).as("p"))
+        .write.format("graft").option("statsCols", "k").save(dir)
+      // APPEND through the connector — an atomic commit like any other
+      o.filter(col("k") % 13 === 5)
+        .select((-col("k")).as("k"),
+          (col("tp") + lit(1.25).cast(Dsl.DFac)).cast(P).as("p"))
+        .write.format("graft").mode("append").save(dir)
+      def fp(df: org.apache.spark.sql.DataFrame, tag: String) = df
+        .groupBy((col("k") % 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("key_sum"),
+          Dsl.d2d(Dsl.dsum(col("p"))).as("price_sum"))
+        .select(lit(tag).as("api"), col("bucket"), col("n_rows"),
+          col("key_sum"), col("price_sum"))
+      fp(s.read.format("graft").load(dir), "sql")
+        .unionByName(fp(graft.table.ManifestTable.read(s, dir), "facade"))
+        .orderBy("api", "bucket")
+    },
+
     // Version-diff changelog: the SAME merge lifecycle as q_table_merge,
     // then ManifestTable.changes(v0, v1) — the multiset I/D row diff
     // between two committed snapshots — aggregated per change type. The

@@ -1,0 +1,249 @@
+package graft.sources
+
+import java.util.{Map => JMap, Set => JSet}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.ManifestTable
+
+/** The manifest table as a registered Spark SQL data source —
+  * `spark.read.format("graft").load(dir)`,
+  * `df.write.format("graft").mode(...).save(dir)`,
+  * `CREATE TABLE t USING graft OPTIONS (path '...')` + `SELECT`/
+  * `INSERT INTO` — so plain-SQL users get the SAME manifest-level file
+  * pruning, deletion-vector subtraction and ACID commit protocol as
+  * the Scala facade, with zero facade imports.
+  *
+  * Architecture: a DataSourceV2 [[TableProvider]] whose scan implements
+  * [[SupportsPushDownFilters]] + [[SupportsPushDownRequiredColumns]] and
+  * falls back to a V1 relation for EXECUTION ([[V1Scan]] — the pattern
+  * Spark's own JDBC connector uses): Catalyst hands the scan its
+  * filters and required columns, the scan prunes the manifest file list
+  * with them (the same [[ManifestTable.pruneFiles]] decision as
+  * `read(dir, filter)`), and execution delegates to a pruned parquet
+  * read — vectorized scan, parquet row-group pushdown and whole-stage
+  * codegen all intact, because the inner plan IS a parquet scan.
+  * Filters are reported as residual, so Spark re-applies them above the
+  * scan: pushdown can only skip IO, never change results.
+  *
+  * Writes go through [[V1Write]] → the commit protocol: `mode("append")`
+  * = [[ManifestTable.append]] (additive schema evolution included),
+  * `mode("overwrite")` = [[ManifestTable.overwrite]], both atomic.
+  * `mode("errorifexists")` (the default) CREATES the table — options
+  * `statsCols`/`partitionCols` (comma-separated) set the layout spec.
+  *
+  * Time travel: `option("versionAsOf", v)` or
+  * `option("timestampAsOf", epochMillis)` pin the snapshot.
+  */
+class GraftTableProvider extends TableProvider with DataSourceRegister
+    with CreatableRelationProvider {
+
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val dir = Option(options.get("path")).getOrElse(sys.error(
+      "graft: option(\"path\", <table dir>) is required"))
+    // a MISSING table infers an empty schema instead of throwing: the
+    // default-mode write path (`save` without mode) probes getTable
+    // before falling back to the V1 create, so the probe must survive
+    // a not-yet-created table — reads still fail loudly at scan build
+    if (ManifestTable.latestVersion(spark, dir).isEmpty) new StructType()
+    else GraftTableProvider.resolve(spark, options)._2.schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GraftTable(schema, new CaseInsensitiveStringMap(properties))
+
+  /** V1 save path: `df.write.format("graft").save(dir)` with
+    * ErrorIfExists/Ignore (Append/Overwrite ride the V2 path above). */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode._
+    val spark = sqlContext.sparkSession
+    val dir = parameters.getOrElse("path",
+      sys.error("graft: option(\"path\", <table dir>) is required"))
+    def csv(k: String): Seq[String] = parameters.get(k)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val exists = ManifestTable.latestVersion(spark, dir).isDefined
+    mode match {
+      case _ if !exists => ManifestTable.create(spark, dir, data,
+        statsCols = csv("statsCols"), partitionCols = csv("partitionCols"))
+      case Append => ManifestTable.append(spark, dir, data)
+      case Overwrite => ManifestTable.overwrite(spark, dir, data)
+      case Ignore => ()
+      case ErrorIfExists => sys.error(s"graft: table already exists at $dir")
+    }
+    val committed = ManifestTable.snapshot(spark, dir).schema
+    new BaseRelation {
+      override def sqlContext: SQLContext = spark.sqlContext
+      override def schema: StructType = committed
+    }
+  }
+}
+
+object GraftTableProvider {
+  /** (dir, snapshot) for the given reader options — head by default,
+    * `versionAsOf` / `timestampAsOf` for time travel. */
+  private[sources] def resolve(spark: SparkSession,
+      options: CaseInsensitiveStringMap)
+      : (String, ManifestTable.Snapshot) = {
+    val dir = Option(options.get("path")).getOrElse(sys.error(
+      "graft: option(\"path\", <table dir>) is required"))
+    val version = Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(Option(options.get("timestampAsOf")).map(ts =>
+        ManifestTable.versionAsOf(spark, dir, ts.toLong)))
+    (dir, ManifestTable.snapshot(spark, dir, version))
+  }
+
+  /** The largest subset of a pushed filter convertible to a pruning
+    * [[Column]]. Conjunctions keep their convertible legs (sound: a
+    * weaker predicate prunes less); a disjunction converts only when
+    * BOTH legs do (a weaker leg would widen, an absent one would make
+    * pruning unsound). Anything unconvertible prunes nothing — the
+    * engine re-applies every filter above the scan regardless. */
+  private[sources] def toColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) if vs.nonEmpty => Some(col(a).isin(vs.toSeq: _*))
+    case sources.And(l, r) =>
+      (toColumn(l), toColumn(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (one, other) => one.orElse(other)
+      }
+    case sources.Or(l, r) =>
+      for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+    case _ => None
+  }
+}
+
+private[sources] class GraftTable(tableSchema: StructType,
+    options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
+
+  private val dir = Option(options.get("path")).getOrElse(sys.error(
+    "graft: option(\"path\", <table dir>) is required"))
+
+  override def name(): String = s"graft.`$dir`"
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap)
+      : ScanBuilder = {
+    // reader options (time travel) merge over table properties
+    val merged = new CaseInsensitiveStringMap(
+      (options.asCaseSensitiveMap().asScala ++
+        caseInsensitiveOptions.asCaseSensitiveMap().asScala).asJava)
+    new GraftScanBuilder(merged, tableSchema)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(dir)
+}
+
+private[sources] class GraftScanBuilder(options: CaseInsensitiveStringMap,
+    tableSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // ALL filters stay residual: pruning only skips IO
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftScan(options, pushed, required)
+}
+
+/** One resolved scan: snapshot pinned at build time, manifest pruning
+  * decided from the pushed filters. `prunedFilePaths` is the
+  * spec-visible contract that SQL pushdown prunes the SAME file set as
+  * the Scala facade's `read(dir, filter)`. */
+class GraftScan(options: CaseInsensitiveStringMap,
+    pushed: Array[Filter], required: StructType) extends V1Scan {
+
+  private val spark = SparkSession.active
+  private val (dir, snap) = GraftTableProvider.resolve(spark, options)
+  private val pruneCol: Option[Column] = {
+    val legs = pushed.flatMap(GraftTableProvider.toColumn)
+    legs.reduceOption(_ && _)
+  }
+
+  /** The file set this scan will read (root-relative). */
+  def prunedFilePaths: Seq[String] =
+    pruneCol.map(c => ManifestTable.pruneFiles(snap, c))
+      .getOrElse(snap.files).map(_.path)
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val frame = ManifestTable.readSnapshot(spark, dir, snap, pruneCol)
+      .select(required.fieldNames.toSeq.map(col): _*)
+    new GraftV1Relation(context, required, frame).asInstanceOf[T]
+  }
+}
+
+/** Execution-side V1 relation: the plan UNDER this scan is a normal
+  * pruned parquet read (vectorized, codegen'd, row-group pushdown), so
+  * the V1 seam costs one InternalRow pass-through, no conversion. */
+private[sources] class GraftV1Relation(ctx: SQLContext,
+    relSchema: StructType, frame: DataFrame)
+    extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = relSchema
+  override def needConversion: Boolean = false
+  override def buildScan(): RDD[Row] =
+    frame.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+}
+
+private[sources] class GraftWriteBuilder(dir: String)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: Dataset[Row], overwriteFlag: Boolean)
+            : Unit = {
+          val spark = data.sparkSession
+          if (overwrite || overwriteFlag)
+            ManifestTable.overwrite(spark, dir, data)
+          else ManifestTable.append(spark, dir, data)
+        }
+      }
+  }
+}

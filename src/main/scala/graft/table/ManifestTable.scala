@@ -499,12 +499,16 @@ object ManifestTable {
     * with EEXIST. (Object stores without either need a commit service
     * in front — same as Delta.) */
   private[table] def publish(spark: SparkSession, dir: String,
-      s0: Snapshot): Snapshot = {
+      s0: Snapshot, knownParentTs: Long = Long.MinValue): Snapshot = {
     // stamp the commit wall-clock, forced past the parent's so AS OF
-    // <timestamp> resolution stays total under clock steps; the parent
-    // manifest may be vacuumed away (then now() stands alone)
+    // <timestamp> resolution stays total under clock steps; callers
+    // holding the parent Snapshot pass its ts so the common path costs
+    // zero extra manifest reads — the fallback re-read is only for the
+    // rare caller without one (and the parent manifest may be vacuumed
+    // away, then now() stands alone)
     val parentTs =
       if (s0.parent < 0) -1L
+      else if (knownParentTs != Long.MinValue) knownParentTs
       else scala.util.Try(readManifest(spark, dir, s0.parent).ts)
         .getOrElse(-1L)
     val s = s0.copy(ts = math.max(System.currentTimeMillis(), parentTs + 1))
@@ -623,7 +627,7 @@ object ManifestTable {
         base.files.filterNot(f => removed(f.path)) ++ staged,
         parent.constraints, parent.dropped,
         dvs = base.dvs -- removed)
-      try return publish(spark, dir, snap)
+      try return publish(spark, dir, snap, base.ts)
       catch {
         case e: ConcurrentCommitException =>
           attempt += 1
@@ -688,7 +692,7 @@ object ManifestTable {
         head.statsCols, head.partitionCols, head.lastBatch,
         evolveSchema(head, df), head.files ++ files, head.constraints,
         head.dropped, dvs = head.dvs)
-      try return publish(spark, dir, snap)
+      try return publish(spark, dir, snap, head.ts)
       catch {
         case e: ConcurrentCommitException =>
           attempt += 1; if (attempt > maxRetries) throw e
@@ -763,7 +767,7 @@ object ManifestTable {
       StructType(schema.fields.filterNot(_.name == name)).json,
       head.files.map(f => f.copy(stats = f.stats - name)),
       head.constraints, head.dropped :+ name, dvs = head.dvs)
-    publish(spark, dir, snap)
+    publish(spark, dir, snap, head.ts)
   }
 
   /** Replace the table contents atomically (readers flip old→new with
@@ -777,7 +781,7 @@ object ManifestTable {
     val snap = Snapshot(head.version + 1, head.version, "overwrite",
       head.statsCols, head.partitionCols, head.lastBatch,
       df.schema.json, files, head.constraints, dropped = Nil)
-    publish(spark, dir, snap) // conflict ⇒ caller must re-read & re-run
+    publish(spark, dir, snap, head.ts) // conflict ⇒ caller must re-read & re-run
   }
 
   /** RESTORE TABLE … TO VERSION `version`: re-publish that snapshot's
@@ -801,7 +805,7 @@ object ManifestTable {
       s"restore@v$version", target.statsCols, target.partitionCols,
       head.lastBatch, target.schemaJson, target.files, target.constraints,
       target.dropped, dvs = target.dvs)
-    publish(spark, dir, snap)
+    publish(spark, dir, snap, head.ts)
   }
 
   /** ALTER TABLE {ADD|DROP} CONSTRAINT as one metadata commit: added
@@ -821,7 +825,7 @@ object ManifestTable {
     val snap = Snapshot(head.version + 1, head.version, "alter",
       head.statsCols, head.partitionCols, head.lastBatch,
       head.schemaJson, head.files, next, head.dropped, dvs = head.dvs)
-    publish(spark, dir, snap)
+    publish(spark, dir, snap, head.ts)
   }
 
   /** Partition/stats SPEC EVOLUTION as one metadata commit: change the
@@ -850,7 +854,7 @@ object ManifestTable {
     if (st == head.statsCols && pc == head.partitionCols) return head
     publish(spark, dir, Snapshot(head.version + 1, head.version,
       "alter-layout", st, pc, head.lastBatch, head.schemaJson,
-      head.files, head.constraints, head.dropped, dvs = head.dvs))
+      head.files, head.constraints, head.dropped, dvs = head.dvs), head.ts)
   }
 
   /** Shallow CLONE: publish `dstDir` as a NEW table whose v0 references
@@ -913,8 +917,18 @@ object ManifestTable {
         // equivalent at the same asymptotics.
         val cols = schema.fieldNames.toSeq.map(col)
         val dvDirs = dvFiles.flatMap(f => dvs(f.path)).distinct
-        val dvFrame = spark.read
+        // one DV dir may be shared by several files (one delete commit
+        // touching many files writes ONE dir) — keep only the pairs for
+        // files actually in THIS scan so the broadcast never carries
+        // rows for pruned-out files; pairs for other files could never
+        // match the anti-join anyway, so the filter is pure IO savings
+        val scannedBases = dvFiles
+          .map(f => f.path.substring(f.path.lastIndexOf('/') + 1))
+        val dvFrame0 = spark.read
           .parquet(dvDirs.map(p => new Path(dir, p).toString): _*)
+        val dvFrame = (if (scannedBases.size <= 1000)
+            dvFrame0.where(col("base").isin(scannedBases: _*))
+          else dvFrame0)
           .select(col("base").as("__dv_base"), col("idx").as("__dv_idx"))
         val subtracted = plain(dvFiles)
           .withColumn("__base",
@@ -954,6 +968,18 @@ object ManifestTable {
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame =
     scan(spark, dir, readManifest(spark, dir, version))
 
+  /** Scan an explicit snapshot with optional manifest pruning — the
+    * shared read path behind the `format("graft")` DataSourceV2
+    * connector ([[graft.sources.GraftTableProvider]]): same file
+    * pruning and DV subtraction as `read(dir, filter)`, against a
+    * caller-resolved snapshot (head or time travel). */
+  private[graft] def readSnapshot(spark: SparkSession, dir: String,
+      snap: Snapshot, filter: Option[Column]): DataFrame = filter match {
+    case Some(c) =>
+      scanWith(spark, dir, pruneFiles(snap, c), snap.schema, snap.dvs).where(c)
+    case None => scan(spark, dir, snap)
+  }
+
   /** Latest snapshot with per-row provenance columns: `_file` (the data
     * file the row came from) and `_commit_version` (the snapshot that
     * first listed that file — files are immutable, so this is the
@@ -961,7 +987,15 @@ object ManifestTable {
     * broadcast join of a metadata-sized (basename → version) frame
     * against `input_file_name()`; basenames are writer-unique, so the
     * join is exact. Costs one manifest read per retained version on
-    * the driver, zero extra data IO. */
+    * the driver, zero extra data IO.
+    *
+    * Attribution is relative to RETAINED history: `_commit_version` is
+    * the earliest retained manifest listing the file, so after
+    * [[vacuum]] removes old manifests a file written by a vacuumed-away
+    * commit is attributed to the earliest SURVIVING version that lists
+    * it (the same "history starts at the retention horizon" contract as
+    * time travel — vacuum trades provenance depth for space, it never
+    * fabricates a version that postdates the row). */
   def readWithMeta(spark: SparkSession, dir: String): DataFrame = {
     val hist = history(spark, dir)
     val head = hist.last
@@ -990,10 +1024,17 @@ object ManifestTable {
     * before the first retained commit throws (same as asking for a
     * vacuumed version). */
   def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Long = {
-    val hits = history(spark, dir).filter(s => s.ts >= 0 && s.ts <= tsMillis)
-    require(hits.nonEmpty,
+    // commit stamps are strictly increasing, so walking the retained
+    // versions DESCENDING and stopping at the first commit at or before
+    // tsMillis is exact and costs O(commits newer than tsMillis) manifest
+    // reads, not O(history) — the common "as of five minutes ago" query
+    // on a long-lived table reads a handful of manifests
+    val hit = listVersions(spark, dir).reverseIterator
+      .map(v => readManifest(spark, dir, v))
+      .find(s => s.ts >= 0 && s.ts <= tsMillis)
+    require(hit.nonEmpty,
       s"no snapshot of $dir committed at or before epoch-millis $tsMillis")
-    hits.last.version
+    hit.get.version
   }
 
   /** Time travel by wall clock: the table as of `tsMillis`. */
@@ -1390,15 +1431,19 @@ object ManifestTable {
       touched.map(_.path).toSet, staged, _ => false, None)
   }
 
-  /** UPDATE … SET … WHERE as a MERGE-ON-READ commit: the matched rows'
-    * old copies are hidden by a deletion vector and their updated
-    * copies appended — two data-light commits (vector + new rows)
-    * instead of rewriting every touched file. Cost ∝ matched rows.
-    * Non-atomic across the pair by construction (a reader between the
-    * two commits sees the delete only), so the copy-on-write
-    * [[update]] remains the transactional default; this is the bulk-
-    * pipeline form where the updated slice is tiny and files are
-    * huge. Returns the appending snapshot. */
+  /** UPDATE … SET … WHERE as ONE MERGE-ON-READ commit: the matched
+    * rows' old copies are hidden by a deletion vector and their updated
+    * copies appended, both in the SAME snapshot — data IO ∝ matched
+    * rows instead of rewriting every touched file, with the same
+    * atomicity as every other commit (a reader sees either the old
+    * table or delete+insert together, never the gap). Constraints are
+    * enforced and all files staged BEFORE the publish, so any failure
+    * leaves the table untouched; a concurrent commit landing between
+    * the scan and the publish fails this one loudly with
+    * [[ConcurrentCommitException]] (the rewrite was computed against a
+    * stale snapshot — re-run), never a silent lost update. This is the
+    * bulk-pipeline form where the updated slice is tiny and files are
+    * huge; copy-on-write [[update]] remains right for bulk predicates. */
   def updateVector(spark: SparkSession, dir: String, filter: Column,
       set: Map[String, Column]): Snapshot = {
     val head = current(spark, dir)
@@ -1408,17 +1453,35 @@ object ManifestTable {
         s"updateVector: column $c not in schema")
     }
     val hit = coalesce(filter, lit(false))
-    val updated = scanWith(spark, dir, pruneFiles(head, filter), schema,
-      head.dvs).where(hit)
+    val touched = pruneFiles(head, filter)
+    if (touched.isEmpty) return head
+    val updated = scanWith(spark, dir, touched, schema, head.dvs).where(hit)
       .select(schema.fieldNames.toSeq.map { c =>
         set.get(c).map(_.cast(schema(c).dataType).as(c)).getOrElse(col(c))
       }: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      if (updated.isEmpty) return head
-      deleteVector(spark, dir, filter)
-      append(spark, dir, updated)
-    } finally updated.unpersist()
+    // enforce BEFORE anything commits: a constraint-violating SET (or a
+    // staging failure) must leave the table untouched, exactly like the
+    // copy-on-write update()
+    enforce(updated, head.constraints, "updateVector")
+    stageVector(spark, dir, head, touched, filter) match {
+      case None => head // nothing matched: no commit
+      case Some((rel, hitFiles)) =>
+        val staged = stage(spark, dir, updated, head.statsCols,
+          head.partitionCols)
+        val dvs = head.dvs ++ hitFiles.map(f =>
+          f.path -> (head.dvs.getOrElse(f.path, Vector.empty) :+ rel)).toMap
+        // ONE commit carries both the hiding vector and the new copies,
+        // pinned to the snapshot the rewrite was computed against: a
+        // concurrent commit landing in between fails THIS publish with
+        // ConcurrentCommitException and nothing is visible (the staged
+        // data and vector are vacuum-able orphans) — no reader ever
+        // sees the delete without the update, and no stale-snapshot
+        // overwrite can lose a concurrent writer's rows
+        publish(spark, dir, Snapshot(head.version + 1, head.version,
+          "update-dv", head.statsCols, head.partitionCols, head.lastBatch,
+          head.schemaJson, head.files ++ staged, head.constraints,
+          head.dropped, dvs = dvs), head.ts)
+    }
   }
 
   /** DELETE FROM … WHERE as a MERGE-ON-READ commit (deletion vectors):
@@ -1440,32 +1503,57 @@ object ManifestTable {
     val head = current(spark, dir)
     val touched = pruneFiles(head, filter)
     if (touched.isEmpty) return head
+    stageVector(spark, dir, head, touched, filter) match {
+      case None => head // structural no-op: nothing matched
+      case Some((rel, hitFiles)) =>
+        val dvs = head.dvs ++ hitFiles.map(f =>
+          f.path -> (head.dvs.getOrElse(f.path, Vector.empty) :+ rel)).toMap
+        publish(spark, dir, Snapshot(head.version + 1, head.version,
+          "delete-dv", head.statsCols, head.partitionCols, head.lastBatch,
+          head.schemaJson, head.files, head.constraints, head.dropped,
+          dvs = dvs), head.ts)
+    }
+  }
+
+  /** Write the (base, idx) deletion-vector parquet for the rows of
+    * `touched` matching `filter` under the frozen `head`, SUBTRACTING
+    * rows already hidden by the files' existing vectors — stacked
+    * deletes over overlapping predicates never re-record a pair, so
+    * the read-side broadcast grows with NET deleted rows, not with the
+    * number of delete commits. Returns the vector's relative dir and
+    * the files that actually hold hits; None (dir cleaned up) when
+    * nothing matched. Nothing is committed here. */
+  private def stageVector(spark: SparkSession, dir: String, head: Snapshot,
+      touched: Vector[FileEntry], filter: Column)
+      : Option[(String, Vector[FileEntry])] = {
     val rel = s"$DvDir/${UUID.randomUUID()}"
     val abs = new Path(dir, rel)
-    spark.read.schema(head.schema)
+    val matches = spark.read.schema(head.schema)
       .parquet(touched.map(f => new Path(dir, f.path).toString): _*)
       .withColumn("__dv_b",
         element_at(split(col("_metadata.file_path"), "/"), -1))
       .withColumn("__dv_i", col("_metadata.row_index"))
       .where(coalesce(filter, lit(false)))
       .select(col("__dv_b").as("base"), col("__dv_i").as("idx"))
-      .write.parquet(abs.toString)
+    val prior = touched.flatMap(f => head.dvs.getOrElse(f.path, Vector.empty))
+      .distinct
+    val fresh =
+      if (prior.isEmpty) matches
+      else matches.join(
+        broadcast(spark.read
+          .parquet(prior.map(p => new Path(dir, p).toString): _*)
+          .select(col("base"), col("idx"))),
+        Seq("base", "idx"), "left_anti")
+    fresh.write.parquet(abs.toString)
     // which touched files actually hold hits: metadata-sized collect
     val hitBases = spark.read.parquet(abs.toString)
       .select("base").distinct().collect().map(_.getString(0)).toSet
     if (hitBases.isEmpty) {
       abs.getFileSystem(conf(spark)).delete(abs, true)
-      return head // structural no-op: nothing matched
-    }
-    val hitFiles = touched.filter { f =>
+      None
+    } else Some((rel, touched.filter { f =>
       hitBases(f.path.substring(f.path.lastIndexOf('/') + 1))
-    }
-    val dvs = head.dvs ++ hitFiles.map(f =>
-      f.path -> (head.dvs.getOrElse(f.path, Vector.empty) :+ rel)).toMap
-    publish(spark, dir, Snapshot(head.version + 1, head.version,
-      "delete-dv", head.statsCols, head.partitionCols, head.lastBatch,
-      head.schemaJson, head.files, head.constraints, head.dropped,
-      dvs = dvs))
+    }))
   }
 
   /** UPDATE … SET `set` WHERE `filter`: same touched-files-only

@@ -1020,6 +1020,47 @@ class ManifestTableSpec extends SparkSuite {
     assert(ManifestTable.purgeVectors(spark, dir).version == purged.version)
   }
 
+  test("updateVector is ONE atomic commit: a single version carries " +
+    "vector + new copies, a violating SET leaves the table untouched, " +
+    "and stacked overlapping deletes record only NET-new pairs") {
+    val dir = freshDir("dv_atomic")
+    ManifestTable.create(spark, dir,
+      kv((1L to 50L).map(i => i -> s"v$i")).coalesce(1),
+      statsCols = Seq("k"),
+      constraints = Map("v_nonempty" -> "length(v) > 0"))
+    val v0 = ManifestTable.snapshot(spark, dir).version
+    // single-commit law: exactly ONE new version, op update-dv, and the
+    // snapshot carries BOTH the hiding vector and the appended copies
+    val s1 = ManifestTable.updateVector(spark, dir, col("k") === 7L,
+      Map("v" -> lit("UP")))
+    assert(s1.version == v0 + 1 && s1.operation == "update-dv")
+    assert(s1.dvs.nonEmpty && s1.files.size >
+      ManifestTable.snapshot(spark, dir, Some(v0)).files.size)
+    assert(content(dir) == (1L to 50L).map(i =>
+      i -> (if (i == 7) "UP" else s"v$i")).toSet)
+    // failure-path law: a SET violating a CHECK throws BEFORE any
+    // commit — version AND content unchanged (no half-applied delete)
+    intercept[ManifestTable.ConstraintViolationException] {
+      ManifestTable.updateVector(spark, dir, col("k") === 9L,
+        Map("v" -> lit("")))
+    }
+    assert(ManifestTable.snapshot(spark, dir).version == s1.version)
+    assert(content(dir)(9L -> "v9"), "matched rows must survive a failed SET")
+    // net-new law: delete k<=10 (hides 7's old copy? no — 7's old copy
+    // is already hidden), then k<=20; the second vector must not
+    // re-record the first's pairs
+    ManifestTable.deleteVector(spark, dir, col("k") <= 10L)
+    val h2 = ManifestTable.snapshot(spark, dir)
+    val s3 = ManifestTable.deleteVector(spark, dir, col("k") <= 20L)
+    val newDirs = s3.dvs.values.flatten.toSet -- h2.dvs.values.flatten.toSet
+    assert(newDirs.size == 1)
+    val pairRows = spark.read.parquet(
+      new Path(dir, newDirs.head).toString).count()
+    assert(pairRows == 10L,
+      s"second vector must hold ONLY rows 11..20, got $pairRows pairs")
+    assert(content(dir) == (21L to 50L).map(i => i -> s"v$i").toSet)
+  }
+
   test("deletion vectors ride the IVM path: a DV delete refreshes the " +
     "view by its net rows only") {
     val dir = freshDir("dv_ivm")
