@@ -376,9 +376,8 @@ object Graft {
       * DV-carrying files; vacuum then reclaims the vector files). */
     def purgeVectors(spark: SparkSession, dir: String): ManifestTable.Snapshot =
       ManifestTable.purgeVectors(spark, dir)
-    /** UPDATE as merge-on-read: vector-hide the old copies + append
-      * the updated ones; cost ∝ matched rows (non-atomic pair — the
-      * copy-on-write update stays the transactional default). */
+    /** UPDATE as merge-on-read: ONE atomic commit carrying the hiding
+      * vector and the updated copies; cost ∝ matched rows. */
     def updateVector(spark: SparkSession, dir: String, filter: Column,
                      set: Map[String, Column]): ManifestTable.Snapshot =
       ManifestTable.updateVector(spark, dir, filter, set)
@@ -407,6 +406,16 @@ object Graft {
     def cloneTable(spark: SparkSession, srcDir: String, dstDir: String,
                    version: Option[Long] = None): ManifestTable.Snapshot =
       ManifestTable.cloneTable(spark, srcDir, dstDir, version)
+    /** Standard SQL MERGE INTO: composite keys, ordered `WHEN MATCHED
+      * [AND cond] THEN UPDATE/DELETE` + `WHEN NOT MATCHED [AND cond]
+      * THEN INSERT` clauses; per-column interval pruning, touched-only
+      * rewrite — see [[graft.table.MergeInto]]. */
+    def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
+                  keys: Seq[String],
+                  matched: Seq[graft.table.MergeInto.WhenMatched] = Nil,
+                  notMatched: Seq[graft.table.MergeInto.WhenNotMatched] = Nil)
+        : ManifestTable.Snapshot =
+      graft.table.MergeInto(spark, dir, source, keys, matched, notMatched)
     /** MERGE prepared against a frozen snapshot `version`, committed
       * under the optimistic rebase/conflict rules. */
     def mergeAt(spark: SparkSession, dir: String, version: Long,

@@ -156,6 +156,88 @@ object TableQueries {
         .orderBy("api", "bucket")
     },
 
+    // Standard MERGE INTO with a COMPOSITE key and the WHEN-clause
+    // matrix: lineitem's natural (l_orderkey, l_linenumber) key, a
+    // conditional UPDATE (src.action = 'U'), a fallthrough DELETE and a
+    // NOT MATCHED INSERT — all in one atomic commit through
+    // [[graft.table.MergeInto]] (per-column interval pruning, touched
+    // files only). The oracle is the relational statement of ANSI MERGE:
+    // left join for the matched matrix, NOT EXISTS for the inserts.
+    Q("q_table_merge_multi",
+      """WITH base AS (
+        |  SELECT l_orderkey AS k1, CAST(l_linenumber AS BIGINT) AS k2,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)))
+        |      AS DECIMAL(12,4)) AS tq
+        |  FROM lineitem GROUP BY 1, 2),
+        |src AS (
+        |  SELECT k1, k2,
+        |    CAST(tq + CAST(5 AS DECIMAL(12,4)) AS DECIMAL(14,4)) AS q,
+        |    'U' AS action
+        |  FROM base WHERE k1 % 7 = 1
+        |  UNION ALL
+        |  SELECT k1, k2, CAST(0 AS DECIMAL(14,4)), 'D'
+        |  FROM base WHERE k1 % 11 = 4 AND k1 % 7 <> 1
+        |  UNION ALL
+        |  SELECT -k1, k2,
+        |    CAST(tq + CAST(100 AS DECIMAL(12,4)) AS DECIMAL(14,4)), 'U'
+        |  FROM base WHERE k1 % 19 = 7),
+        |merged AS (
+        |  SELECT b.k1 AS k1, b.k2 AS k2,
+        |    CASE WHEN s.action = 'U' THEN s.q
+        |      ELSE CAST(b.tq AS DECIMAL(14,4)) END AS q,
+        |    s.action AS action
+        |  FROM base b LEFT JOIN src s ON b.k1 = s.k1 AND b.k2 = s.k2
+        |  UNION ALL
+        |  SELECT s.k1, s.k2, s.q, NULL FROM src s
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM base b WHERE b.k1 = s.k1 AND b.k2 = s.k2))
+        |SELECT CAST(k1 % 10 AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+        |  CAST(SUM(k1) AS BIGINT) AS key_sum,
+        |  CAST(SUM(k2) AS BIGINT) AS k2_sum, %PSUM% AS price_sum
+        |FROM merged WHERE action IS NULL OR action <> 'D'
+        |GROUP BY k1 % 10 ORDER BY bucket""".stripMargin
+        .replace("%PSUM%", Dsl.d2dSql(Dsl.dsumSql("q")))) { (s, d) =>
+      import graft.table.MergeInto
+      import MergeInto.{Delete, Insert, Update, WhenMatched, WhenNotMatched}
+      val dir = Scratch.wiped("mtable_mmulti")
+      // the synthetic fixture does NOT enforce TPC-H's unique
+      // (orderkey, linenumber) — aggregate to a composite key that is
+      // unique BY CONSTRUCTION (and relationally restatable)
+      val li = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("k1"),
+          col("l_linenumber").cast("long").as("k2"))
+        .agg(sum(col("l_quantity").cast(Dsl.DFac)).cast(Dsl.DFac).as("tq"))
+      ManifestTable.create(s, dir,
+        li.select(col("k1"), col("k2"), col("tq").cast(P).as("q"))
+          .repartitionByRange(4, col("k1")),
+        statsCols = Seq("k1", "k2"))
+      val upd = li.filter(col("k1") % 7 === 1)
+        .select(col("k1"), col("k2"),
+          (col("tq") + lit(5).cast(Dsl.DFac)).cast(P).as("q"),
+          lit("U").as("action"))
+      val del = li.filter(col("k1") % 11 === 4 && col("k1") % 7 =!= 1)
+        .select(col("k1"), col("k2"), lit(0).cast(P).as("q"),
+          lit("D").as("action"))
+      val ins = li.filter(col("k1") % 19 === 7)
+        .select((-col("k1")).as("k1"), col("k2"),
+          (col("tq") + lit(100).cast(Dsl.DFac)).cast(P).as("q"),
+          lit("U").as("action"))
+      MergeInto(s, dir, upd.union(del).union(ins), Seq("k1", "k2"),
+        matched = Seq(
+          WhenMatched(Update(Map("q" -> MergeInto.src("q"))),
+            condition = Some(MergeInto.src("action") === "U")),
+          WhenMatched(Delete)),
+        notMatched = Seq(WhenNotMatched(Insert(Map(
+          "k1" -> col("k1"), "k2" -> col("k2"), "q" -> col("q"))))))
+      ManifestTable.read(s, dir)
+        .groupBy((col("k1") % 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k1")).cast("long").as("key_sum"),
+          sum(col("k2")).cast("long").as("k2_sum"),
+          Dsl.d2d(Dsl.dsum(col("q"))).as("price_sum"))
+        .orderBy("bucket")
+    },
+
     // Version-diff changelog: the SAME merge lifecycle as q_table_merge,
     // then ManifestTable.changes(v0, v1) — the multiset I/D row diff
     // between two committed snapshots — aggregated per change type. The

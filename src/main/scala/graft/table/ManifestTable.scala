@@ -108,7 +108,7 @@ object ManifestTable {
     * passes — SQL CHECK semantics); any violation fails the whole
     * commit before a byte is staged. Cost: one validation pass over
     * the written rows only — never the table. */
-  private def enforce(df: DataFrame, constraints: Map[String, String],
+  private[table] def enforce(df: DataFrame, constraints: Map[String, String],
       operation: String): Unit = {
     if (constraints.isEmpty) return
     val checks = constraints.toSeq.sortBy(_._1)
@@ -405,7 +405,7 @@ object ManifestTable {
     } finally reader.close()
   }
 
-  private def primLt(a: Any, b: Any): Boolean = primCompare(a, b).exists(_ < 0)
+  private[table] def primLt(a: Any, b: Any): Boolean = primCompare(a, b).exists(_ < 0)
 
   /** Total order across matching primitive families; None = not
     * comparable (pruning then keeps the file). */
@@ -429,7 +429,7 @@ object ManifestTable {
     * copies, the shadow directory components are parsed back into the
     * manifest's per-file partition values, and the read path never
     * looks at a path again. */
-  private def stage(spark: SparkSession, dir: String, df: DataFrame,
+  private[table] def stage(spark: SparkSession, dir: String, df: DataFrame,
       statsCols: Seq[String], partitionCols: Seq[String]): Vector[FileEntry] = {
     val commitId = UUID.randomUUID().toString
     val rel = s"$DataDir/$commitId"
@@ -480,7 +480,11 @@ object ManifestTable {
       }}
       Await.result(fut, Duration.Inf)
     } finally pool.shutdown()
-    entries
+    // zero-row part files (an empty shuffle partition the writer still
+    // materialized) carry no data AND no stats — listing them would
+    // make every later stats-pruned operation treat them as unbounded
+    // "always touched" files; drop them here, vacuum sweeps the bytes
+    entries.filter(_.rows > 0)
   }
 
   /** Atomic publish: dot-tmp write + putIfAbsent onto the versioned
@@ -613,7 +617,7 @@ object ManifestTable {
     * high-water mark; if a concurrent commit already advanced the
     * mark past it, the batch landed elsewhere and the CURRENT head is
     * returned uncommitted (the replay contract under races). */
-  private def commitRewrite(spark: SparkSession, dir: String,
+  private[table] def commitRewrite(spark: SparkSession, dir: String,
       parent: Snapshot, operation: String, removed: Set[String],
       staged: Vector[FileEntry], conflictsWith: FileEntry => Boolean,
       batchId: Option[Long], maxRetries: Int = 5): Snapshot = {
@@ -886,7 +890,7 @@ object ManifestTable {
       src.schemaJson, files, src.constraints, src.dropped, dvs = dvs))
   }
 
-  private def current(spark: SparkSession, dir: String): Snapshot =
+  private[table] def current(spark: SparkSession, dir: String): Snapshot =
     latestVersion(spark, dir) match {
       case Some(v) => readManifest(spark, dir, v)
       case None => sys.error(s"no manifest table at $dir")
@@ -894,7 +898,7 @@ object ManifestTable {
 
   // --------------------------------------------------------- reads
 
-  private def scanWith(spark: SparkSession, dir: String, files: Seq[FileEntry],
+  private[table] def scanWith(spark: SparkSession, dir: String, files: Seq[FileEntry],
       schema: StructType,
       dvs: Map[String, Vector[String]] = Map.empty): DataFrame = {
     def plain(fs: Seq[FileEntry]): DataFrame =
@@ -1058,7 +1062,7 @@ object ManifestTable {
     * all-null partition, which [[mayMatch]] handles via
     * [[isNullPartition]] (every row is null there, so no value
     * comparison can match). */
-  private def fileBounds(f: FileEntry, schema: StructType, name: String)
+  private[table] def fileBounds(f: FileEntry, schema: StructType, name: String)
       : Option[(Any, Any)] =
     f.partitions.get(name) match {
       case Some(Some(raw)) =>
@@ -1361,7 +1365,7 @@ object ManifestTable {
     * interval frame uses, and how to normalize the source key onto it.
     * None ⇒ the key type can't be probed (every stat-bearing file is
     * treated as touched — correct, just unpruned). */
-  private def keyProbe(dt: DataType): Option[(DataType, Column => Column)] =
+  private[table] def keyProbe(dt: DataType): Option[(DataType, Column => Column)] =
     dt match {
       case ByteType | ShortType | IntegerType | LongType =>
         Some((LongType, _.cast("long")))
@@ -1373,7 +1377,7 @@ object ManifestTable {
     }
 
   /** Pruning primitive → external row value for the interval frame. */
-  private def primExternal(v: Any, t: DataType): Any = (v, t) match {
+  private[table] def primExternal(v: Any, t: DataType): Any = (v, t) match {
     case (x: Long, LongType) => x
     case (x: Double, DoubleType) => x
     case (x: String, StringType) => x

@@ -1,0 +1,283 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+import ManifestTable.{FileEntry, Snapshot}
+
+/** Standard SQL MERGE INTO over a [[ManifestTable]]: composite join
+  * keys, an ordered `WHEN MATCHED [AND <cond>] THEN UPDATE/DELETE`
+  * clause list and `WHEN NOT MATCHED [AND <cond>] THEN INSERT` — the
+  * full MERGE matrix a user migrating from any lakehouse engine
+  * expects, on top of the same touched-files-only commit protocol as
+  * the CDC-shaped [[ManifestTable.merge]].
+  *
+  * Semantics (ANSI MERGE):
+  *   - a target row with a matching source row takes the FIRST matched
+  *     clause whose condition holds (no clause ⇒ the row passes through
+  *     unchanged); matched conditions and UPDATE SET expressions see
+  *     target columns by name and source columns via [[MergeInto.src]];
+  *   - a source row matching no target row takes the first not-matched
+  *     clause whose condition holds (conditions/values see source
+  *     columns by name); NULL join keys never match, like every SQL
+  *     equality;
+  *   - TWO source rows matching the SAME target row fail loudly
+  *     (`raise_error`, the Delta/standard cardinality rule) — duplicate
+  *     source keys that match nothing insert independently, exactly as
+  *     running the INSERT branch per row would.
+  *
+  * Scale shape, same discipline as the single-key merge: files are
+  * pruned by a PER-COLUMN interval-intersection probe (a file is
+  * touched iff some source row falls inside its [min,max] bounds on
+  * EVERY probed key column — one broadcast range join against the
+  * metadata-sized file-interval table), the touched side is rewritten
+  * with one broadcast left join (the table side never shuffles), and
+  * untouched files carry over by reference. INSERT-only merges rewrite
+  * nothing at all — they stage just the new rows. Version races rebase
+  * through [[ManifestTable.commitRewrite]] with per-column range
+  * intersection as the conflict test.
+  */
+object MergeInto {
+
+  /** WHEN MATCHED action. */
+  sealed trait MatchedAction
+  /** `UPDATE SET *` — every table column takes the source row's value
+    * (the source must carry all table columns). */
+  case object UpdateAll extends MatchedAction
+  /** `UPDATE SET c = expr, …` — unnamed columns keep their values;
+    * expressions see target columns by name, source via [[src]]. */
+  final case class Update(set: Map[String, Column]) extends MatchedAction
+  /** `DELETE`. */
+  case object Delete extends MatchedAction
+
+  /** WHEN NOT MATCHED action. */
+  sealed trait NotMatchedAction
+  /** `INSERT *` — the source row lands as-is (all table columns). */
+  case object InsertAll extends NotMatchedAction
+  /** `INSERT (…) VALUES (…)` — unnamed table columns become NULL;
+    * expressions see source columns by name. */
+  final case class Insert(values: Map[String, Column]) extends NotMatchedAction
+
+  final case class WhenMatched(action: MatchedAction,
+      condition: Option[Column] = None)
+  final case class WhenNotMatched(action: NotMatchedAction,
+      condition: Option[Column] = None)
+
+  private val SrcStruct = "__src"
+
+  /** The source row's column `name` inside a WHEN MATCHED condition or
+    * UPDATE SET expression (target columns are referenced plainly). */
+  def src(name: String): Column = col(s"$SrcStruct.$name")
+
+  def apply(spark: SparkSession, dir: String, source: DataFrame,
+      keys: Seq[String], matched: Seq[WhenMatched] = Nil,
+      notMatched: Seq[WhenNotMatched] = Nil): Snapshot = {
+    val head = ManifestTable.current(spark, dir)
+    val schema = head.schema
+    val cols = schema.fieldNames.toSeq
+    require(keys.nonEmpty, "mergeInto: at least one join key")
+    keys.foreach { k =>
+      require(cols.contains(k), s"mergeInto: key $k not in table schema")
+      require(source.columns.contains(k),
+        s"mergeInto: key $k not in the source frame")
+    }
+    require(matched.nonEmpty || notMatched.nonEmpty,
+      "mergeInto: at least one WHEN clause")
+    val srcCols = source.columns.toSeq
+    val needsAll = matched.exists(_.action == UpdateAll) ||
+      notMatched.exists(_.action == InsertAll)
+    if (needsAll) cols.foreach { c =>
+      require(srcCols.contains(c),
+        s"mergeInto: UPDATE/INSERT * needs source column $c")
+    }
+    matched.foreach {
+      case WhenMatched(Update(set), _) => set.keys.foreach { c =>
+        require(cols.contains(c), s"mergeInto: SET column $c not in schema") }
+      case _ => ()
+    }
+    notMatched.foreach {
+      case WhenNotMatched(Insert(values), _) => values.keys.foreach { c =>
+        require(cols.contains(c),
+          s"mergeInto: INSERT column $c not in schema") }
+      case _ => ()
+    }
+
+    // one source-side window pass: the per-composite-key match count
+    // feeds the cardinality guard (the only shuffle the source takes)
+    val dupW = Window.partitionBy(keys.map(col): _*)
+    val resolved = source.withColumn("__dup", count(lit(1)).over(dupW))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ---- per-column interval-intersection pruning probe ----
+      val probed = keys.flatMap { k =>
+        ManifestTable.keyProbe(schema(k).dataType)
+          .map { case (t, norm) => (k, t, norm) }
+      }
+      val fileBoundsFor = (f: FileEntry) =>
+        probed.map { case (k, _, _) => ManifestTable.fileBounds(f, schema, k) }
+      val statFiles = head.files.zipWithIndex.flatMap { case (f, i) =>
+        val bs = fileBoundsFor(f)
+        if (probed.isEmpty || bs.forall(_.isEmpty)) None else Some((i, bs))
+      }
+      val touchedIdx: Set[Int] =
+        if (statFiles.isEmpty) Set.empty
+        else {
+          val fields = StructField("__fi", IntegerType) +:
+            probed.zipWithIndex.flatMap { case ((_, t, _), j) =>
+              Seq(StructField(s"__mn$j", t), StructField(s"__mx$j", t)) }
+          val rows = statFiles.map { case (i, bs) =>
+            Row.fromSeq(i +: bs.zip(probed).flatMap { case (b, (_, t, _)) =>
+              b match {
+                case Some((mn, mx)) => Seq(ManifestTable.primExternal(mn, t),
+                  ManifestTable.primExternal(mx, t))
+                case None => Seq(null, null)
+              }
+            })
+          }
+          import scala.jdk.CollectionConverters._
+          val ivals = spark.createDataFrame(rows.asJava,
+            StructType(fields.toArray))
+          // a file is touched iff the source key sits inside its bounds
+          // on EVERY bounded column (missing bounds ⇒ unconstrained leg)
+          val cond = probed.zipWithIndex.map { case ((k, _, norm), j) =>
+            col(s"__mn$j").isNull ||
+              (norm(col(s"__k$j")) >= col(s"__mn$j") &&
+                norm(col(s"__k$j")) <= col(s"__mx$j"))
+          }.reduce(_ && _)
+          resolved.select(probed.zipWithIndex.map { case ((k, _, _), j) =>
+            col(k).as(s"__k$j") }: _*)
+            .join(broadcast(ivals), cond)
+            .select("__fi").distinct().collect().map(_.getInt(0)).toSet
+        }
+      val boundedIdx = statFiles.map(_._1).toSet
+      val touched = head.files.zipWithIndex.collect {
+        case (f, i) if !boundedIdx(i) || touchedIdx(i) => f
+      }
+
+      val base = ManifestTable.scanWith(spark, dir, touched, schema, head.dvs)
+      val srcKeyed = resolved.select(keys.map(col) ++ Seq(
+        struct(srcCols.map(col): _*).as(SrcStruct), col("__dup")): _*)
+      val isMatched = col(SrcStruct).isNotNull
+      val clauseIdx = matched.zipWithIndex.foldRight(lit(-1)) {
+        case ((cl, i), els) =>
+          when(cl.condition.map(c => coalesce(c, lit(false)))
+            .getOrElse(lit(true)), lit(i)).otherwise(els)
+      }
+      val deleteIdx = matched.zipWithIndex.collect {
+        case (WhenMatched(Delete, _), i) => i }
+      val updateIdx = matched.zipWithIndex.collect {
+        case (WhenMatched(UpdateAll | Update(_), _), i) => i }
+      def valueOf(c: String): Column =
+        matched.zipWithIndex.foldRight(col(c)) { case ((cl, i), els) =>
+          cl.action match {
+            case UpdateAll =>
+              when(col("__m") === i,
+                src(c).cast(schema(c).dataType)).otherwise(els)
+            case Update(set) if set.contains(c) =>
+              when(col("__m") === i,
+                set(c).cast(schema(c).dataType)).otherwise(els)
+            case _ => els
+          }
+        }
+      // cardinality guard rides the join: evaluated on every matched
+      // row, throws only when a duplicate source key actually matched
+      val guard = when(isMatched && col("__dup") > 1,
+        raise_error(concat(
+          lit("mergeInto: multiple source rows match target key ("),
+          concat_ws(",", keys.map(c => col(c).cast("string")): _*),
+          lit(") — deduplicate the source")))).otherwise(lit(true))
+      val joined = base.join(broadcast(srcKeyed), keys, "left")
+        .withColumn("__m", when(isMatched, clauseIdx).otherwise(lit(-1)))
+        .where(guard)
+      val rewritten0 = (if (deleteIdx.isEmpty) joined
+        else joined.where(!col("__m").isin(deleteIdx.map(Int.box): _*)))
+        .select(cols.map(c => valueOf(c).as(c)): _*)
+
+      // inserts: source rows matching NO touched base row (pruning
+      // proves untouched files hold no matching key, so touched-only
+      // is exact), first applicable not-matched clause
+      val insertClauseIdx = notMatched.zipWithIndex.foldRight(lit(-1)) {
+        case ((cl, i), els) =>
+          when(cl.condition.map(c => coalesce(c, lit(false)))
+            .getOrElse(lit(true)), lit(i)).otherwise(els)
+      }
+      def insertValueOf(c: String): Column =
+        notMatched.zipWithIndex.foldRight(
+          lit(null).cast(schema(c).dataType)) { case ((cl, i), els) =>
+          cl.action match {
+            case InsertAll =>
+              when(col("__n") === i,
+                col(c).cast(schema(c).dataType)).otherwise(els)
+            case Insert(values) =>
+              when(col("__n") === i, values.getOrElse(c, lit(null))
+                .cast(schema(c).dataType)).otherwise(els)
+          }
+        }
+      val inserts =
+        if (notMatched.isEmpty) None
+        else Some(resolved
+          .join(base.select(keys.map(col): _*), keys, "left_anti")
+          .withColumn("__n", insertClauseIdx)
+          .where(col("__n") =!= -1)
+          .select(cols.map(c => insertValueOf(c).as(c)): _*))
+
+      // constraints check the CHANGED rows only (updates + inserts);
+      // pass-through rows conformed at their own commit
+      if (head.constraints.nonEmpty) {
+        val updatedSlice =
+          if (updateIdx.isEmpty) None
+          else Some(joined.where(col("__m").isin(updateIdx.map(Int.box): _*))
+            .select(cols.map(c => valueOf(c).as(c)): _*))
+        (updatedSlice ++ inserts).reduceOption(_ unionByName _).foreach(
+          ManifestTable.enforce(_, head.constraints, "mergeInto"))
+      }
+
+      // INSERT-only merges (no matched clause, or nothing touched)
+      // stage just the new rows — no file rewrite; a merge with
+      // nothing to rewrite AND nothing to insert is a structural no-op
+      val rewriteNeeded = matched.nonEmpty && touched.nonEmpty
+      val outOpt: Option[DataFrame] =
+        if (rewriteNeeded)
+          Some(inserts.fold(rewritten0)(rewritten0.unionByName(_))
+            .coalesce(math.max(touched.size, 1)))
+        else inserts
+      val removed = if (rewriteNeeded) touched.map(_.path).toSet
+        else Set.empty[String]
+      if (outOpt.isEmpty || (!rewriteNeeded && outOpt.get.isEmpty)) head
+      else {
+        val out = outOpt.get
+        val staged = ManifestTable.stage(spark, dir, out, head.statsCols,
+          head.partitionCols)
+        // rebase conflict: a concurrently ADDED file conflicts unless
+        // PROVABLY disjoint from the source key range on some column
+        lazy val srcRanges: Seq[Option[(Any, Any)]] =
+          if (probed.isEmpty) Nil
+          else {
+            val aggs = probed.zipWithIndex.flatMap { case ((k, _, norm), j) =>
+              Seq(min(norm(col(k))).as(s"lo$j"), max(norm(col(k))).as(s"hi$j"))
+            }
+            val r = resolved.agg(aggs.head, aggs.tail: _*).head()
+            probed.indices.map { j =>
+              if (r.isNullAt(2 * j)) None
+              else Some((r.get(2 * j), r.get(2 * j + 1)))
+            }
+          }
+        val conflicts: FileEntry => Boolean = f => {
+          if (probed.isEmpty) true
+          else if (srcRanges.forall(_.isEmpty)) false // empty source
+          else !probed.zipWithIndex.exists { case ((k, _, _), j) =>
+            (ManifestTable.fileBounds(f, schema, k), srcRanges(j)) match {
+              case (Some((mn, mx)), Some((lo, hi))) =>
+                ManifestTable.primLt(mx, lo) || ManifestTable.primLt(hi, mn)
+              case _ => false // unknown on this column: can't prove disjoint
+            }
+          }
+        }
+        ManifestTable.commitRewrite(spark, dir, head, "merge-into",
+          removed, staged, conflicts, None)
+      }
+    } finally resolved.unpersist()
+  }
+}
