@@ -133,6 +133,10 @@ object Bench {
         medians.get(name).exists(m => sec > m * 3.2 + 0.3) }
       .sortBy { case (name, sec) => -(sec / math.max(medians(name), 1e-9)) }
       .take(60) // bound the healing pass; worst offenders first
+    // a spin reading right before the retries: the artifact then shows
+    // whether the healing pass itself ran on a quiet or a loaded host
+    val spinMid =
+      if (retryCandidates.isEmpty) -1.0 else spinProbe()
     retryCandidates.foreach { case (name, _) =>
       SparkEntry.queries.get(name).foreach { fn =>
         val t0 = System.nanoTime()
@@ -174,7 +178,7 @@ object Bench {
     // A query whose wall time spikes while its cpu share stays flat was
     // starved by the host, not slowed by its plan.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val hostHealth = s"""{"verdict":"$hostVerdict","spin_sec":[${f"$spinBefore%.3f"},${f"$spinAfter%.3f"}],"loadavg":$loadavg,"code_cache":[$ccUsed,$ccMax],"retried":${retried.size}}"""
+    val hostHealth = s"""{"verdict":"$hostVerdict","spin_sec":[${f"$spinBefore%.3f"},${f"$spinMid%.3f"},${f"$spinAfter%.3f"}],"loadavg":$loadavg,"code_cache":[$ccUsed,$ccMax],"retried":${retried.size}}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"proc_cpu_sec":${f"$cpuTotal%.1f"},"spin_sec":[${f"$spinBefore%.3f"},${f"$spinAfter%.3f"}],"queries_cpu":$qsCpu,"queries_gc":$qsGc,"queries_jit":$qsJit,"code_cache":[$ccUsed,$ccMax],"queries_first_pass":$qsFirst,"host_health":$hostHealth}"""
     println(full)
     // Self-triage (round-10 verdict): reconcile THIS run against the
