@@ -156,6 +156,53 @@ object TableQueries {
         .orderBy("api", "bucket")
     },
 
+    // Row-group-granularity pruning end-to-end: one single-file table
+    // with many small row groups (sorted by key, so each group owns a
+    // tight key range), read back through read(dir, filter) — which
+    // skips non-matching row groups BEFORE the scan is planned — and
+    // through the full scan + filter. Both fingerprints must equal the
+    // oracle's relational statement: row-group pruning can only skip
+    // IO, never rows. (Kept-bytes ∝ selectivity is pinned by
+    // ManifestTableSpec's row-group laws and the r14 marquee.)
+    Q("q_table_rowgroup",
+      """WITH t AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(14,4)) AS p
+        |  FROM orders WHERE o_orderkey <= 6000),
+        |fp AS (
+        |  SELECT CAST(k % 10 AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+        |    CAST(SUM(k) AS BIGINT) AS key_sum, %PSUM% AS price_sum
+        |  FROM t GROUP BY k % 10)
+        |SELECT 'full' AS api, bucket, n_rows, key_sum, price_sum FROM fp
+        |UNION ALL
+        |SELECT 'pruned', bucket, n_rows, key_sum, price_sum FROM fp
+        |ORDER BY api, bucket""".stripMargin
+        .replace("%PSUM%", Dsl.d2dSql(Dsl.dsumSql("p")))) { (s, d) =>
+      val dir = Scratch.wiped("mtable_rg")
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast(P).as("p"))
+      val hc = s.sparkContext.hadoopConfiguration
+      val oldBlock = hc.get("parquet.block.size")
+      try {
+        hc.setInt("parquet.block.size", 64 * 1024)
+        ManifestTable.create(s, dir, o.orderBy("k").coalesce(1),
+          statsCols = Seq("k"))
+      } finally {
+        if (oldBlock == null) hc.unset("parquet.block.size")
+        else hc.set("parquet.block.size", oldBlock)
+      }
+      def fp(df: org.apache.spark.sql.DataFrame, tag: String) = df
+        .groupBy((col("k") % 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("key_sum"),
+          Dsl.d2d(Dsl.dsum(col("p"))).as("price_sum"))
+        .select(lit(tag).as("api"), col("bucket"), col("n_rows"),
+          col("key_sum"), col("price_sum"))
+      fp(ManifestTable.read(s, dir, col("k") <= 6000L), "pruned")
+        .unionByName(fp(ManifestTable.read(s, dir)
+          .where(col("k") <= 6000L), "full"))
+        .orderBy("api", "bucket")
+    },
+
     // Standard MERGE INTO with a COMPOSITE key and the WHEN-clause
     // matrix: lineitem's natural (l_orderkey, l_linenumber) key, a
     // conditional UPDATE (src.action = 'U'), a fallthrough DELETE and a

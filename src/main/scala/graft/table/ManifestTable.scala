@@ -131,14 +131,27 @@ object ManifestTable {
     * rounds up), so string bounds stay sound for pruning. */
   final case class ColStats(min: Any, max: Any)
 
+  /** One parquet ROW GROUP inside a data file: its starting byte
+    * offset and compressed size (the midpoint `offset + bytes/2` is
+    * what a read split must cover — the parquet range-filter rule),
+    * row count and per-column footer bounds. Recorded only for files
+    * with more than one row group; pruning then skips row groups the
+    * filter cannot match WITHOUT opening the file at all — at 100 TB
+    * with 1 GB files and 128 MB row groups that is up to an ~8× finer
+    * skip than file-level bounds. */
+  final case class RowGroup(offset: Long, bytes: Long, rows: Long,
+      stats: Map[String, ColStats] = Map.empty)
+
   /** One live data file: root-relative path, exact row count, byte
     * size, per-column footer stats (a column absent from the map ⇒ the
-    * file always survives pruning on it), and — for partitioned
+    * file always survives pruning on it), — for partitioned
     * tables — the file's partition values as written (None value ⇒ the
-    * null partition). */
+    * null partition), and per-row-group bounds when the file has more
+    * than one row group (see [[RowGroup]]). */
   final case class FileEntry(path: String, rows: Long, bytes: Long,
       stats: Map[String, ColStats] = Map.empty,
-      partitions: Map[String, Option[String]] = Map.empty) {
+      partitions: Map[String, Option[String]] = Map.empty,
+      rgs: Vector[RowGroup] = Vector.empty) {
     /** Convenience: this file's [min, max] on an INT64-statted column. */
     def longBounds(c: String): Option[(Long, Long)] = stats.get(c).collect {
       case ColStats(mn: Long, mx: Long) => (mn, mx)
@@ -266,7 +279,20 @@ object ManifestTable {
         else List("part" -> (JObject(f.partitions.toList.sortBy(_._1).map {
           case (c, v) => c -> (v.map(JString(_): JValue).getOrElse(JNull))
         }): JValue))
-      JObject(base ++ st ++ pt)
+      val rg =
+        if (f.rgs.isEmpty) Nil
+        else List("rgs" -> (JArray(f.rgs.toList.map { g =>
+          JObject(List(
+            "o" -> (JLong(g.offset): JValue),
+            "b" -> (JLong(g.bytes): JValue),
+            "r" -> (JLong(g.rows): JValue)) ++
+            (if (g.stats.isEmpty) Nil
+             else List("stats" -> (JObject(g.stats.toList.sortBy(_._1).map {
+               case (c, cs) => c -> (JArray(List(primToJson(cs.min),
+                 primToJson(cs.max))): JValue)
+             }): JValue))))
+        }): JValue))
+      JObject(base ++ st ++ pt ++ rg)
     })
     val obj = JObject(List(
       "version" -> JLong(s.version),
@@ -327,11 +353,26 @@ object ManifestTable {
           }.toMap
           case _ => Map.empty[String, Option[String]]
         }
+        def rgStats(g: JValue): Map[String, ColStats] = (g \ "stats") match {
+          case JObject(kv) => kv.map {
+            case (c, JArray(List(mn, mx))) =>
+              c -> ColStats(jsonToPrim(mn), jsonToPrim(mx))
+            case (c, other) => sys.error(s"manifest: rg stats for $c is $other")
+          }.toMap
+          case _ => Map.empty
+        }
+        val rgs = (f \ "rgs") match {
+          case JArray(gs) => gs.toVector.map { g =>
+            RowGroup(jLong(g \ "o"), jLong(g \ "b"), jLong(g \ "r"),
+              rgStats(g))
+          }
+          case _ => Vector.empty[RowGroup]
+        }
         FileEntry(
           (f \ "path").values.toString,
           jLong(f \ "rows"),
           jLong(f \ "bytes"),
-          stats, parts)
+          stats, parts, rgs)
       }
       case other => sys.error(s"manifest: files is $other")
     }
@@ -367,33 +408,34 @@ object ManifestTable {
     * (INT32/INT64/FLOAT/DOUBLE/BINARY-UTF8); a partial answer would
     * make pruning unsound, so it becomes "no stats" instead. */
   private def footerStats(c: Configuration, p: Path, statsCols: Seq[String])
-      : (Long, Map[String, ColStats]) = {
+      : (Long, Map[String, ColStats], Vector[RowGroup]) = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, c))
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.iterator.map(_.getRowCount).sum
-      val stats = statsCols.flatMap { k =>
-        val per = blocks.flatMap { b =>
-          b.getColumns.asScala.find(_.getPath.toDotString == k).flatMap { cc =>
-            cc.getStatistics match {
-              case ls: LongStatistics if ls.hasNonNullValue =>
-                Some((ls.getMin: Any, ls.getMax: Any))
-              case is: IntStatistics if is.hasNonNullValue =>
-                Some((is.getMin.toLong: Any, is.getMax.toLong: Any))
-              case ds: DoubleStatistics if ds.hasNonNullValue =>
-                Some((ds.getMin: Any, ds.getMax: Any))
-              case fs: FloatStatistics if fs.hasNonNullValue =>
-                Some((fs.getMin.toDouble: Any, fs.getMax.toDouble: Any))
-              case bs: BinaryStatistics if bs.hasNonNullValue &&
-                  cc.getPrimitiveType.getLogicalTypeAnnotation
-                    .isInstanceOf[org.apache.parquet.schema
-                      .LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
-                Some((bs.genericGetMin.toStringUsingUTF8: Any,
-                  bs.genericGetMax.toStringUsingUTF8: Any))
-              case _ => None
-            }
+      def blockBounds(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+          k: String): Option[(Any, Any)] =
+        b.getColumns.asScala.find(_.getPath.toDotString == k).flatMap { cc =>
+          cc.getStatistics match {
+            case ls: LongStatistics if ls.hasNonNullValue =>
+              Some((ls.getMin: Any, ls.getMax: Any))
+            case is: IntStatistics if is.hasNonNullValue =>
+              Some((is.getMin.toLong: Any, is.getMax.toLong: Any))
+            case ds: DoubleStatistics if ds.hasNonNullValue =>
+              Some((ds.getMin: Any, ds.getMax: Any))
+            case fs: FloatStatistics if fs.hasNonNullValue =>
+              Some((fs.getMin.toDouble: Any, fs.getMax.toDouble: Any))
+            case bs: BinaryStatistics if bs.hasNonNullValue &&
+                cc.getPrimitiveType.getLogicalTypeAnnotation
+                  .isInstanceOf[org.apache.parquet.schema
+                    .LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+              Some((bs.genericGetMin.toStringUsingUTF8: Any,
+                bs.genericGetMax.toStringUsingUTF8: Any))
+            case _ => None
           }
         }
+      val stats = statsCols.flatMap { k =>
+        val per = blocks.flatMap(blockBounds(_, k))
         if (per.size != blocks.size || per.isEmpty) None
         else {
           val mn = per.map(_._1).reduce((a, b) => if (primLt(a, b)) a else b)
@@ -401,7 +443,18 @@ object ManifestTable {
           Some(k -> ColStats(mn, mx))
         }
       }.toMap
-      (rows, stats)
+      // per-row-group bounds: only meaningful when the file has several
+      // row groups (a single group's bounds ARE the file's); each block
+      // reports a column independently — a block without bounds on a
+      // column simply never prunes on it
+      val rgs =
+        if (blocks.size <= 1) Vector.empty[RowGroup]
+        else blocks.iterator.map { b =>
+          RowGroup(b.getStartingPos, b.getCompressedSize, b.getRowCount,
+            statsCols.flatMap(k => blockBounds(b, k)
+              .map { case (mn, mx) => k -> ColStats(mn, mx) }).toMap)
+        }.toVector
+      (rows, stats, rgs)
     } finally reader.close()
   }
 
@@ -475,8 +528,8 @@ object ManifestTable {
               None else Some(raw)))
           }
         }.toMap
-        val (rows, stats) = footerStats(c, st.getPath, statsCols)
-        FileEntry(s"$rel/$sub", rows, st.getLen, stats, parts)
+        val (rows, stats, rgs) = footerStats(c, st.getPath, statsCols)
+        FileEntry(s"$rel/$sub", rows, st.getLen, stats, parts, rgs)
       }}
       Await.result(fut, Duration.Inf)
     } finally pool.shutdown()
@@ -955,33 +1008,100 @@ object ManifestTable {
   def read(spark: SparkSession, dir: String): DataFrame =
     scan(spark, dir, current(spark, dir))
 
-  /** Latest snapshot with MANIFEST-LEVEL FILE PRUNING: files whose
-    * [min, max] bounds (footer stats and exact partition values) prove
-    * `filter` cannot match are skipped before the scan is even
-    * planned; the filter is re-applied on the survivors, so the result
-    * always equals `read(dir).where(filter)` — pruning can only skip
-    * IO. Supports =, <=>, <, <=, >, >=, IN, AND, OR over
-    * column-vs-foldable comparisons; anything else keeps the file. */
-  def read(spark: SparkSession, dir: String, filter: Column): DataFrame = {
-    val snap = current(spark, dir)
-    scanWith(spark, dir, pruneFiles(snap, filter), snap.schema, snap.dvs)
-      .where(filter)
-  }
+  /** Latest snapshot with MANIFEST-LEVEL PRUNING at two granularities:
+    * files whose [min, max] bounds (footer stats and exact partition
+    * values) prove `filter` cannot match are skipped before the scan
+    * is planned, and inside surviving multi-row-group files the same
+    * test runs per ROW GROUP — only the byte ranges of matching groups
+    * are handed to the scan, so a needle query on a 1 GB file reads
+    * one row group, not the file. The filter is re-applied on the
+    * survivors, so the result always equals `read(dir).where(filter)` —
+    * pruning can only skip IO. Supports =, <=>, <, <=, >, >=, IN, AND,
+    * OR over column-vs-foldable comparisons; anything else keeps the
+    * file/group. */
+  def read(spark: SparkSession, dir: String, filter: Column): DataFrame =
+    readSnapshot(spark, dir, current(spark, dir), Some(filter))
 
   /** Time travel: the table exactly as of snapshot `version`. */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame =
     scan(spark, dir, readManifest(spark, dir, version))
 
   /** Scan an explicit snapshot with optional manifest pruning — the
-    * shared read path behind the `format("graft")` DataSourceV2
-    * connector ([[graft.sources.GraftTableProvider]]): same file
-    * pruning and DV subtraction as `read(dir, filter)`, against a
-    * caller-resolved snapshot (head or time travel). */
+    * shared read path behind `read(dir, filter)` AND the
+    * `format("graft")` DataSourceV2 connector: file-level pruning,
+    * then ROW-GROUP-level pruning inside surviving multi-group files
+    * (matching byte ranges only, planned via
+    * [[org.apache.spark.sql.GraftSqlBridge.parquetRangeFrame]] — the
+    * pruned groups are never opened), then DV subtraction. The filter
+    * is re-applied on everything scanned, so pruning only skips IO. */
   private[graft] def readSnapshot(spark: SparkSession, dir: String,
       snap: Snapshot, filter: Option[Column]): DataFrame = filter match {
     case Some(c) =>
-      scanWith(spark, dir, pruneFiles(snap, c), snap.schema, snap.dvs).where(c)
+      val expr = org.apache.spark.sql.GraftSqlBridge.expr(c)
+      val survivors = pruneFiles(snap, c)
+      // row-group pruning applies to multi-group files WITHOUT deletion
+      // vectors (a DV read needs _metadata row positions over the whole
+      // file); everything else scans the normal way
+      val (rgCandidates, whole) = survivors.partition(f =>
+        f.rgs.size > 1 && !snap.dvs.get(f.path).exists(_.nonEmpty))
+      val judged = rgCandidates.map(f => f -> keptGroups(f, snap.schema, expr))
+      val (allKept, partial) = judged.partition { case (f, kept) =>
+        kept.size == f.rgs.size }
+      val fullFiles = whole ++ allKept.map(_._1)
+      val ranges = partial.flatMap { case (f, kept) =>
+        rangeRuns(f, kept).map { case (start, len) =>
+          (new Path(dir, f.path).toString, start, len, f.bytes) }
+      }
+      val base = scanWith(spark, dir, fullFiles, snap.schema, snap.dvs)
+      val withRanges =
+        if (ranges.isEmpty) base
+        else base.unionByName(org.apache.spark.sql.GraftSqlBridge
+          .parquetRangeFrame(spark, snap.schema, ranges))
+      withRanges.where(c)
     case None => scan(spark, dir, snap)
+  }
+
+  /** Indexes of `f`'s row groups the filter may match (a group judges
+    * by its own bounds plus the file's exact partition values). */
+  private def keptGroups(f: FileEntry, schema: StructType,
+      e: Expression): Seq[Int] =
+    f.rgs.zipWithIndex.collect {
+      case (g, i) if mayMatch(
+        FileEntry(f.path, g.rows, g.bytes, g.stats, f.partitions), schema, e)
+        => i
+    }
+
+  /** Maximal runs of consecutive kept row groups as (start, length)
+    * byte ranges. A range covers exactly its groups' midpoints
+    * (`offset + bytes/2` — parquet's split-assignment rule): it starts
+    * at the first kept group's offset and ends where the last kept
+    * group's bytes end, and since blocks are laid out sequentially no
+    * excluded group's midpoint can fall inside. */
+  private def rangeRuns(f: FileEntry, kept: Seq[Int]): Seq[(Long, Long)] = {
+    if (kept.isEmpty) return Nil
+    val runs = kept.foldLeft(Vector.empty[Vector[Int]]) { (acc, i) =>
+      if (acc.nonEmpty && acc.last.last == i - 1)
+        acc.init :+ (acc.last :+ i)
+      else acc :+ Vector(i)
+    }
+    runs.map { run =>
+      val first = f.rgs(run.head)
+      val last = f.rgs(run.last)
+      (first.offset, last.offset + last.bytes - first.offset)
+    }
+  }
+
+  /** The row-group pruning decision for `filter` on the current
+    * snapshot, per multi-group file: (kept groups, total groups, kept
+    * bytes, total bytes) — the spec/marquee observability hook. */
+  def rowGroupPlan(snap: Snapshot, filter: Column)
+      : Map[String, (Int, Int, Long, Long)] = {
+    val e = org.apache.spark.sql.GraftSqlBridge.expr(filter)
+    pruneFiles(snap, filter).filter(_.rgs.size > 1).map { f =>
+      val kept = keptGroups(f, snap.schema, e)
+      f.path -> (kept.size, f.rgs.size,
+        kept.map(f.rgs(_).bytes).sum, f.rgs.map(_.bytes).sum)
+    }.toMap
   }
 
   /** Latest snapshot with per-row provenance columns: `_file` (the data
@@ -1501,7 +1621,21 @@ object ManifestTable {
     * vector and drops it, and the structural changelog treats a DV
     * change as the file changing hands, so incremental consumers stay
     * exact. Structural no-op when nothing matches. Version races are
-    * not auto-rebased — re-run; the op is deleted-rows-priced. */
+    * not auto-rebased — re-run; the op is deleted-rows-priced.
+    *
+    * Stacking: each commit records only NET-new (base, idx) pairs
+    * (already-hidden rows are subtracted), so vector DATA grows with
+    * net deleted rows — but every commit adds one vector DIR, and the
+    * read side lists + opens each dir it touches. Measured curve
+    * (r14_dv_stacking.md, 262k rows, one file accumulating all
+    * vectors): reads hold the plain-scan floor through ~50 stacked
+    * dirs (~0.6 s) and drift to ~2-3× floor at 250 (dir-open latency,
+    * not data). Recommendation pinned from that curve: run
+    * [[purgeVectors]] once a file accumulates ~64 vector dirs — purge
+    * cost is one touched-file rewrite (~1-2 s there) and reads return
+    * to the floor. Scans pruned to vector-free files never pay for
+    * other files' vectors (the subtraction is planned per scanned
+    * file set — see ManifestTableSpec's vector-priced law). */
   def deleteVector(spark: SparkSession, dir: String,
       filter: Column): Snapshot = {
     val head = current(spark, dir)

@@ -35,6 +35,48 @@ object GraftSqlBridge {
       ds.queryExecution.toRdd, ds.schema, isStreaming = true)
   }
 
+  /** Plan a parquet read over EXPLICIT byte-range splits — the hook
+    * behind manifest-level ROW-GROUP pruning: a split covers a row
+    * group iff it contains the group's byte midpoint (the parquet
+    * range-filter rule Spark's own scan planning relies on), so
+    * handing the scan only the ranges whose row groups may match a
+    * filter skips the rest without ever opening the file. Execution is
+    * Spark's own vectorized parquet reader via
+    * [[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    * .buildReaderWithPartitionValues]] + [[org.apache.spark.sql
+    * .execution.datasources.FileScanRDD]] — the same machinery a
+    * normal scan plans, minus the pruned ranges. Ranges are bin-packed
+    * into partitions under the session's maxPartitionBytes.
+    *
+    * `ranges`: (absolute path, start, length, total file size). */
+  def parquetRangeFrame(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      ranges: Seq[(String, Long, Long, Long)]): DataFrame = {
+    import org.apache.spark.paths.SparkPath
+    import org.apache.spark.sql.catalyst.{FileSourceOptions, InternalRow}
+    import org.apache.spark.sql.catalyst.util.CaseInsensitiveMap
+    import org.apache.spark.sql.execution.datasources.{FileFormat, FilePartition, FileScanRDD, PartitionedFile}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    import org.apache.spark.sql.types.StructType
+    val session = spark.asInstanceOf[classic.SparkSession]
+    // OPTION_RETURNING_BATCH=false: rows come back as InternalRows
+    // (vectorized decode inside the reader, row handoff outside) — the
+    // safe shape for re-entering a logical plan
+    val reader = new ParquetFileFormat().buildReaderWithPartitionValues(
+      session, schema, new StructType(), schema, Nil,
+      Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      session.sessionState.newHadoopConfWithOptions(Map.empty))
+    val pfiles = ranges.map { case (p, start, len, size) =>
+      PartitionedFile(InternalRow.empty, SparkPath.fromPathString(p),
+        start, len, Array.empty, 0L, size, Map.empty)
+    }
+    val parts = FilePartition.getFilePartitions(session, pfiles.toSeq,
+      session.sessionState.conf.filesMaxPartitionBytes)
+    val rdd = new FileScanRDD(session, reader, parts, schema, Nil,
+      Map.empty, new FileSourceOptions(CaseInsensitiveMap(Map.empty)))
+    session.internalCreateDataFrame(rdd, schema)
+  }
+
   /** Idempotently append a planner strategy to the session. */
   def addStrategy(spark: SparkSession, strategy: SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental

@@ -1221,4 +1221,124 @@ class ManifestTableSpec extends SparkSuite {
     (0 to 5).foreach { i => assert(got.contains((i * 100L, s"w$i"))) }
     assert(got.length == 60)
   }
+
+  // ------------------------------------------- row-group pruning
+
+  test("row-group pruning: a needle filter on a single multi-group " +
+    "file reads kept-bytes proportional to selectivity, and the pruned " +
+    "read equals the full scan filtered") {
+    import spark.implicits._
+    val dir = freshDir("rg")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    try {
+      // tiny row groups so ONE file carries many of them
+      hc.setInt("parquet.block.size", 16 * 1024)
+      hc.setInt("parquet.page.size", 4 * 1024)
+      val df = (1L to 200000L).map(i => (i, s"payload_$i")).toDF("k", "v")
+      ManifestTable.create(spark, dir,
+        df.orderBy("k").coalesce(1), statsCols = Seq("k"))
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+      hc.unset("parquet.page.size")
+    }
+    val snap = ManifestTable.snapshot(spark, dir)
+    assert(snap.files.size == 1)
+    val f = snap.files.head
+    assert(f.rgs.size > 10,
+      s"fixture must have many row groups, got ${f.rgs.size}")
+    assert(f.rgs.forall(g => g.stats.contains("k")))
+    assert(f.rgs.map(_.rows).sum == f.rows)
+
+    // needle: one key → kept bytes ≈ one row group
+    val needle = col("k") === 123456L
+    val planN = ManifestTable.rowGroupPlan(snap, needle)(f.path)
+    assert(planN._1 == 1, s"needle must keep 1 group, kept ${planN._1}")
+    assert(planN._3.toDouble / planN._4 < 0.2,
+      "needle kept-bytes must be a small fraction of the file")
+    val gotN = ManifestTable.read(spark, dir, needle).collect()
+    assert(gotN.length == 1 && gotN.head.getLong(0) == 123456L)
+
+    // range selectivities: kept bytes scale with the selected fraction
+    def keptFrac(filter: org.apache.spark.sql.Column): Double = {
+      val (_, _, kb, tb) = ManifestTable.rowGroupPlan(snap, filter)(f.path)
+      kb.toDouble / tb
+    }
+    val frac10 = keptFrac(col("k") <= 20000L)
+    val frac50 = keptFrac(col("k") <= 100000L)
+    assert(frac10 < 0.2 && frac50 < 0.62 && frac10 < frac50,
+      s"kept-bytes must track selectivity, got $frac10 / $frac50")
+    // correctness at each selectivity: pruned read == full scan filtered
+    Seq(col("k") <= 20000L, col("k") <= 100000L,
+      col("k") > 150000L && col("k") <= 150100L).foreach { flt =>
+      val pruned = ManifestTable.read(spark, dir, flt)
+        .agg(count(lit(1)), sum(col("k"))).head()
+      val full = ManifestTable.read(spark, dir).where(flt)
+        .agg(count(lit(1)), sum(col("k"))).head()
+      assert(pruned == full, s"pruned != full for $flt")
+    }
+    // disjunctions widen per group; unknown columns keep every group
+    val orPlan = ManifestTable.rowGroupPlan(snap,
+      col("k") === 5L || col("k") === 199999L)(f.path)
+    assert(orPlan._1 == 2, s"OR must keep both needles' groups: $orPlan")
+    assert(ManifestTable.read(spark, dir,
+      col("k") === 5L || col("k") === 199999L).count() == 2L)
+    val vPlan = ManifestTable.rowGroupPlan(snap, col("v") === "payload_7")
+    assert(vPlan(f.path)._1 == vPlan(f.path)._2,
+      "a column without group stats must keep every group")
+  }
+
+  test("row-group pruning composes with file pruning and partitioned " +
+    "tables; a DV-carrying file falls back to the whole-file scan") {
+    import spark.implicits._
+    val dir = freshDir("rg_mix")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    try {
+      hc.setInt("parquet.block.size", 16 * 1024)
+      val df = (1L to 100000L).map(i => (i, i % 2, s"p$i"))
+        .toDF("k", "day", "v")
+      ManifestTable.create(spark, dir,
+        df.orderBy("k").repartitionByRange(2, col("day"), col("k")),
+        statsCols = Seq("k"), partitionCols = Seq("day"))
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+    }
+    val snap = ManifestTable.snapshot(spark, dir)
+    // partition + range filter: file pruning kills the other partition,
+    // row-group pruning narrows inside the survivor
+    val flt = col("day") === 0L && col("k") <= 5000L
+    val survivors = ManifestTable.pruneFiles(snap, flt)
+    assert(survivors.size < snap.files.size, "partition pruning first")
+    val got = ManifestTable.read(spark, dir, flt).count()
+    assert(got == (1L to 5000L).count(_ % 2 == 0))
+    // DV-carrying file: row-group path must NOT engage (row positions)
+    ManifestTable.deleteVector(spark, dir, col("k") === 2L)
+    val afterDv = ManifestTable.read(spark, dir,
+      col("day") === 0L && col("k") <= 5000L).count()
+    assert(afterDv == got - 1, "DV subtraction must stay exact")
+  }
+
+  test("vector-priced reads: a scan pruned to vector-free files plans " +
+    "NO DV subtraction — stacked vectors on other files cost nothing") {
+    val dir = freshDir("dv_priced")
+    ManifestTable.create(spark, dir,
+      kv((1L to 100L).map(i => i -> s"v$i")).repartitionByRange(4, col("k")),
+      statsCols = Seq("k"))
+    (1 to 5).foreach(i =>
+      ManifestTable.deleteVector(spark, dir, col("k") === i.toLong))
+    assert(ManifestTable.snapshot(spark, dir).dvs.values.map(_.size).sum == 5)
+    // far-key read prunes to files without vectors: the plan must be a
+    // plain parquet scan, no anti-join against the vector frame
+    val far = ManifestTable.read(spark, dir, col("k") >= 90L)
+    assert(!far.queryExecution.optimizedPlan.toString.contains("__dv_base"),
+      "a vector-free pruned read must not plan the DV subtraction")
+    assert(far.count() == 11L)
+    // a read touching the vectored file plans the subtraction exactly once
+    val near = ManifestTable.read(spark, dir, col("k") <= 30L)
+    assert(near.queryExecution.optimizedPlan.toString.contains("__dv_base"))
+    assert(near.count() == 25L)
+  }
 }

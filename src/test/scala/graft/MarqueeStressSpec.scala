@@ -1306,9 +1306,11 @@ class MarqueeStressSpec extends AnyFunSuite {
     assert(dataDirs() == before)
     val dvRows = spark.read.parquet(
       s2.dvs.values.flatten.toSeq.distinct.map(p => s"$dir/$p"): _*).count()
-    // key 3 matches BOTH predicates: it is listed in two vectors (1008
-    // vector rows) but subtracted once — 1007 distinct deleted keys
-    assert(dvRows == 1008L, s"vector rows must equal listed rows, got $dvRows")
+    // key 3 matches BOTH predicates but is ALREADY hidden by the first
+    // vector, so the second records only its 7 net-new keys: stacked
+    // vectors grow with NET deleted rows (1007), never with re-matches
+    assert(dvRows == 1007L,
+      s"vector rows must equal NET deleted rows, got $dvRows")
     assert(ManifestTable.read(spark, dir).count() == 1000000L - 1007L)
     val dvBytes = {
       val it = fs.listFiles(new Path(dir, "dv"), true)
@@ -1325,5 +1327,106 @@ class MarqueeStressSpec extends AnyFunSuite {
       f"scattered 8-row delete $t2%.1f s (${s2.dvs.size} files vectored), " +
       f"$dvBytes bytes of vectors vs ${s2.totalBytes} table bytes; " +
       f"purge $t3%.1f s")
+  }
+
+  test("DV stacking cost curve: read stays vector-priced as commits " +
+    "accumulate on one file; purge resets to the plain-scan floor", Marquee) {
+    import graft.table.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("mq_dvstack").toString
+    val base = spark.range(262144L)
+      .select(col("id").as("k"), (col("id") % 1009).as("v"))
+      .repartitionByRange(4, col("k"))
+    ManifestTable.create(spark, dir, base, statsCols = Seq("k"))
+    val (_, tPlain) = timed(ManifestTable.read(spark, dir).count())
+    def readWall(): Double = {
+      val (_, t) = timed(ManifestTable.read(spark, dir).count())
+      t
+    }
+    // stack needle deletes, all inside file 0's key range so ONE file
+    // accumulates every vector (the worst case for the read-side
+    // broadcast assembly: V separate DV dirs to list + read)
+    var stacked = 0
+    val checkpoints = Seq(10, 50, 250)
+    val walls = scala.collection.mutable.LinkedHashMap.empty[Int, Double]
+    checkpoints.foreach { target =>
+      while (stacked < target) {
+        ManifestTable.deleteVector(spark, dir, col("k") === stacked.toLong)
+        stacked += 1
+      }
+      val head = ManifestTable.snapshot(spark, dir)
+      assert(head.dvs.values.map(_.size).sum == stacked,
+        s"each commit must stack exactly one vector dir")
+      val n = ManifestTable.read(spark, dir).count()
+      assert(n == 262144L - stacked, s"count wrong at $stacked vectors")
+      walls(target) = readWall()
+    }
+    // the read must be VECTOR-priced: a plain needle filter that
+    // prunes to the OTHER files never pays for file 0's vectors
+    val (farCount, tFar) = timed(
+      ManifestTable.read(spark, dir, col("k") >= 200000L).count())
+    assert(farCount == 62144L)
+    // purge materializes once; reads return to the plain floor
+    val (_, tPurge) = timed(ManifestTable.purgeVectors(spark, dir))
+    assert(ManifestTable.snapshot(spark, dir).dvs.isEmpty)
+    assert(ManifestTable.read(spark, dir).count() == 262144L - stacked)
+    val tAfter = readWall()
+    info(f"plain read $tPlain%.2f s; stacked-vector reads: " +
+      walls.map { case (v, t) => f"$v -> $t%.2f s" }.mkString(", ") +
+      f"; far-key pruned read under 250 vectors $tFar%.2f s; " +
+      f"purge $tPurge%.2f s; post-purge read $tAfter%.2f s")
+  }
+
+  test("row-group pruning: 2M-row single-file table — kept bytes track " +
+    "selectivity and a needle read beats the full scan", Marquee) {
+    import graft.table.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("mq_rg").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    try {
+      hc.setInt("parquet.block.size", 256 * 1024)
+      ManifestTable.create(spark, dir,
+        spark.range(2097152L).select(col("id").as("k"),
+          md5(col("id").cast("string")).as("v"),
+          (col("id") % 8191).as("w"))
+          .orderBy("k").coalesce(1),
+        statsCols = Seq("k"))
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+    }
+    val snap = ManifestTable.snapshot(spark, dir)
+    val f = snap.files.head
+    assert(snap.files.size == 1 && f.rgs.size >= 16,
+      s"need a many-group single file, got ${f.rgs.size} groups")
+    // kept-bytes ∝ selectivity across three orders of magnitude
+    val fracs = Seq(
+      col("k") === 1048576L,
+      col("k") <= 20971L,        // ~1%
+      col("k") <= 209715L,       // ~10%
+      col("k") <= 1048576L       // ~50%
+    ).map { flt =>
+      val (kept, total, kb, tb) = ManifestTable.rowGroupPlan(snap, flt)(f.path)
+      (kept, total, kb.toDouble / tb)
+    }
+    assert(fracs.map(_._3).sliding(2).forall(w => w.head <= w.last),
+      s"kept-byte fraction must grow with selectivity: $fracs")
+    assert(fracs.head._1 == 1, "a needle keeps exactly one row group")
+    assert(fracs(1)._3 < 0.06 && fracs(2)._3 < 0.16 && fracs(3)._3 < 0.56,
+      s"kept fractions must track selectivity: ${fracs.map(_._3)}")
+    // correctness: pruned == full-filtered at every selectivity
+    Seq(col("k") === 1048576L, col("k") <= 209715L).foreach { flt =>
+      val a = ManifestTable.read(spark, dir, flt)
+        .agg(count(lit(1)), sum(col("k")), sum(col("w"))).head()
+      val b = ManifestTable.read(spark, dir).where(flt)
+        .agg(count(lit(1)), sum(col("k")), sum(col("w"))).head()
+      assert(a == b, s"pruned != full for $flt")
+    }
+    val (_, tNeedle) = timed(
+      ManifestTable.read(spark, dir, col("k") === 1048576L).count())
+    val (_, tFull) = timed(
+      ManifestTable.read(spark, dir).where(col("k") === 1048576L).count())
+    info(f"2M rows, ${f.rgs.size} row groups in one file: needle read " +
+      f"$tNeedle%.2f s vs full-scan filter $tFull%.2f s; kept-byte " +
+      f"fractions ${fracs.map(x => f"${x._3}%.3f").mkString(", ")}")
   }
 }
