@@ -143,6 +143,49 @@ object IvfPq {
     encode(load(spark, dir), embeddings)
       .write.mode("append").parquet(s"$dir/codes")
 
+  /** Mean best-centroid cosine of `embeddings` against the FROZEN
+    * coarse quantizer — the online DRIFT signal for the append path:
+    * vectors from the trained distribution score near the index's own
+    * build-time quality; a drifted batch (new domain, new embedding
+    * model, topic shift) scores measurably lower BEFORE recall decays
+    * at query time. One broadcast centroid pass over the batch, no
+    * index mutation.
+    *
+    * Maintenance policy, measured (r14_ann_drift.md, progressive-drift
+    * appends to 4× the indexed corpus):
+    *  - TRIGGER: flag a batch when |quality/baseline − 1| > 0.08,
+    *    where the baseline is a HELD-OUT in-distribution sample scored
+    *    at build time — the training corpus scores its own fit (the
+    *    generalization gap is ~0.2 on the fixture), so it would flag
+    *    healthy ingest
+    *    (the curve: ratio 1.08 at the first drifted batch, 1.16 when
+    *    appended-anchor recall breached the 0.6 gate) or when appended
+    *    rows since build exceed ~50 % of the indexed corpus.
+    *  - FIRST LEVER — widen `shortlist`, not rebuild: drifted batches
+    *    concentrate in few cells, and the binding constraint there is
+    *    the ADC shortlist separating near-identical candidates, not
+    *    the coarse quantizer. Measured: recall 0.559 → 0.800 by
+    *    raising shortlist 256 → 1024 on the FROZEN index — better
+    *    than every rebuild variant tried, at zero index mutation.
+    *  - REBUILD (re-run [[buildIndex]] with cells ∝ corpus, holding
+    *    per-cell list size) when QUERY COST drifts: stacked drifted
+    *    appends imbalance the frozen cells — the rebuild cut probed
+    *    candidates 3.4× at equal nprobe in the r14 run. Re-tune
+    *    (nprobe, shortlist) after — a same-params rebuild measured
+    *    WORSE recall than the frozen index (0.433 vs 0.559).
+    * Between rebuilds, appends stay one-batch-priced; the rebuild is
+    * the same one-shot distributed fit as the original build. */
+  def assignmentQuality(index: IvfPqIndex, embeddings: DataFrame): Double = {
+    val spark = index.codes.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.dot
+    val cents = index.centroids.select(col("pcell"), col("cvec"))
+    normalized(embeddings).select(col("vec_id"), col("nv"))
+      .crossJoin(broadcast(cents))
+      .groupBy("vec_id").agg(max(dot(col("nv"), col("cvec"))).as("best"))
+      .agg(avg("best")).head().getDouble(0)
+  }
+
   /** ADC-scored probe + exact shortlist re-rank. `embeddings` supplies
     * the anchor vectors and the full floats for the final re-rank —
     * candidates are scored from their `m`-byte codes alone. Returns

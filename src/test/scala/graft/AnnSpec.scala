@@ -650,4 +650,69 @@ class AnnSpec extends SparkSuite {
     val cap = SparkEntry.queries("cap_embed_pca")(spark, sf("0.001")).collect()
     assert(cap.length == d && cap.forall(!_.anyNull))
   }
+
+  test("assignmentQuality is the drift signal: an in-distribution batch " +
+    "scores near base, a drifted batch deviates past the 0.08 trigger; " +
+    "widening the shortlist recovers drifted-anchor recall (r14 policy)") {
+    import graft.operators.IvfPq
+    import graft.functions.GraftFunctions.dot
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf("0.001"))
+      .select("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") < 300)
+    val index = IvfPq.buildIndex(base, cells = 8)
+    // the BASELINE is a held-out in-distribution sample: the training
+    // corpus scores its own fit (generalization gap), so comparing
+    // future batches against it would flag healthy ingest
+    val baseQ = IvfPq.assignmentQuality(index,
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 400))
+    val qIn = IvfPq.assignmentQuality(index,
+      emb.filter(col("vec_id") >= 400))
+    assert(math.abs(qIn / baseQ - 1) < 0.08,
+      f"an in-distribution batch must score near the held-out baseline: ${qIn / baseQ}%.3f")
+    // drifted batch: pushed along a fixed direction and re-normalized
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
+    val u0 = Array.tabulate(dim)(i => math.sin(i * 2654435761.0 % 1e6).toFloat)
+    val un = math.sqrt(u0.map(x => x.toDouble * x).sum).toFloat
+    val uLit = typedLit(u0.map(x => x / un).toSeq)
+    val drifted = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      zip_with(col("embedding"), uLit,
+        (x, y) => (x + lit(1.4) * y).cast("float")).as("e0"))
+      .withColumn("nrm", sqrt(dot(col("e0"), col("e0"))))
+      .select(col("vec_id"), transform(col("e0"),
+        x => (x / col("nrm")).cast("float")).as("embedding"))
+    val qDrift = IvfPq.assignmentQuality(index, drifted)
+    assert(math.abs(qDrift / baseQ - 1) > 0.08,
+      f"a heavily drifted batch must trip the trigger: ${qDrift / baseQ}%.3f")
+    // shortlist is the recovery lever: recall on drifted anchors with
+    // shortlist 1024 must beat (or equal) the 256 default
+    val appended = IvfPq.append(index, drifted)
+    val corpus = base.unionByName(drifted)
+    val anchors = col("vec_id") >= 1000000L && col("vec_id") % 25 === 0
+    def recall(shortlist: Int): Double = {
+      val got = IvfPq.query(appended, corpus, k = 5, anchorPred = anchors,
+        shortlist = shortlist).select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val n = corpus.select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nrm"))
+      val a = n.filter(anchors).select(col("vec_id").as("a_id"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = n.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("a_id")
+        .orderBy(col("sim").desc, col("b_id"))
+      val exact = a.join(b, col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"), (dot(col("ea"), col("eb")) /
+          (sqrt(col("na")) * sqrt(col("nb")))).as("sim"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val r256 = recall(256)
+    val r1024 = recall(1024)
+    info(f"drifted-anchor recall: shortlist 256 -> $r256%.3f, 1024 -> $r1024%.3f")
+    assert(r1024 >= r256, "wider shortlist must not lose recall")
+    assert(r1024 >= 0.6, f"recovered recall $r1024%.3f below the 0.6 gate")
+  }
 }
