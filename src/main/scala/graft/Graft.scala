@@ -413,9 +413,12 @@ object Graft {
     def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
                   keys: Seq[String],
                   matched: Seq[graft.table.MergeInto.WhenMatched] = Nil,
-                  notMatched: Seq[graft.table.MergeInto.WhenNotMatched] = Nil)
+                  notMatched: Seq[graft.table.MergeInto.WhenNotMatched] = Nil,
+                  notMatchedBySource:
+                    Seq[graft.table.MergeInto.WhenNotMatchedBySource] = Nil)
         : ManifestTable.Snapshot =
-      graft.table.MergeInto(spark, dir, source, keys, matched, notMatched)
+      graft.table.MergeInto(spark, dir, source, keys, matched, notMatched,
+        notMatchedBySource)
     /** MERGE prepared against a frozen snapshot `version`, committed
       * under the optimistic rebase/conflict rules. */
     def mergeAt(spark: SparkSession, dir: String, version: Long,

@@ -105,9 +105,10 @@ object IvfPq {
     * fitted on the ORIGINAL corpus. ADC stays a valid approximate score
     * and the exact re-rank is unaffected, but if the new data drifts from
     * the training distribution, its quantization error — and with it the
-    * chance of missing the shortlist — grows. Rebuild policy: refit when
-    * the appended fraction is large (rule of thumb ~30%) or measured
-    * recall on held-out anchors degrades. */
+    * chance of missing the shortlist — grows. Maintenance: watch
+    * [[assignmentQuality]] per batch and apply ITS measured policy
+    * (shortlist first, cell-scaled rebuild for query cost —
+    * r14_ann_drift.md). */
   def encode(index: IvfPqIndex, embeddings: DataFrame): DataFrame = {
     val spark = index.codes.sparkSession
     graft.functions.GraftFunctions.register(spark)

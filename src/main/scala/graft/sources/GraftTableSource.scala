@@ -48,9 +48,29 @@ import graft.table.ManifestTable
   * `option("timestampAsOf", epochMillis)` pin the snapshot.
   */
 class GraftTableProvider extends TableProvider with DataSourceRegister
-    with CreatableRelationProvider {
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
+
+  /** `writeStream.format("graft")` — the table as a STREAMING SINK
+    * with exactly-once semantics riding the batch high-water mark:
+    * a replayed micro-batch id (Spark re-runs a batch after a failure
+    * between sink write and offset commit) is a structural no-op.
+    * Options: `path` (required); `mode` = `append` (default, one
+    * [[ManifestTable.appendBatch]] commit per micro-batch) or `merge`
+    * (latest-wins CDC via [[ManifestTable.mergeBatch]]; requires
+    * `key`, optional `opCol`/`seqCol`). A missing table is CREATED on
+    * the first batch (`statsCols`/`partitionCols` options set the
+    * layout spec). */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val dir = parameters.getOrElse("path",
+      sys.error("graft sink: option(\"path\", <table dir>) is required"))
+    new GraftTableSink(dir, parameters)
+  }
 
   override def supportsExternalMetadata(): Boolean = false
 
@@ -225,6 +245,38 @@ private[sources] class GraftV1Relation(ctx: SQLContext,
   override def needConversion: Boolean = false
   override def buildScan(): RDD[Row] =
     frame.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+}
+
+/** V1 streaming sink: each micro-batch re-enters batch-land
+  * ([[org.apache.spark.sql.GraftSqlBridge.batchFrame]]) and lands as
+  * ONE exactly-once table commit. */
+private[sources] class GraftTableSink(dir: String,
+    parameters: Map[String, String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  private def csv(k: String): Seq[String] = parameters.get(k)
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val batch = org.apache.spark.sql.GraftSqlBridge.batchFrame(data)
+    if (ManifestTable.latestVersion(spark, dir).isEmpty) {
+      // first batch creates the table; the batch id still needs to be
+      // recorded for the replay contract, so create empty then commit
+      ManifestTable.create(spark, dir, batch.limit(0),
+        statsCols = csv("statsCols"), partitionCols = csv("partitionCols"))
+    }
+    parameters.getOrElse("mode", "append") match {
+      case "append" => ManifestTable.appendBatch(spark, dir, batch, batchId)
+      case "merge" => ManifestTable.mergeBatch(spark, dir, batch,
+        parameters.getOrElse("key", sys.error(
+          "graft sink: merge mode requires option(\"key\", <column>)")),
+        batchId, parameters.get("opCol"), parameters.get("seqCol"))
+      case other => sys.error(s"graft sink: unknown mode $other")
+    }
+  }
+
+  override def toString: String = s"GraftTableSink[$dir]"
 }
 
 private[sources] class GraftWriteBuilder(dir: String)

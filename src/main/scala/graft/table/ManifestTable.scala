@@ -758,6 +758,35 @@ object ManifestTable {
     sys.error("unreachable")
   }
 
+  /** Exactly-once APPEND for streaming writers: the micro-batch id is
+    * recorded as the table's `lastBatch` high-water mark (same replay
+    * contract as [[mergeBatch]] — a replayed id returns the current
+    * snapshot without committing, O(1) and vacuum-proof). The sink
+    * behind `writeStream.format("graft")` in append mode. */
+  def appendBatch(spark: SparkSession, dir: String, df: DataFrame,
+      batchId: Long, maxRetries: Int = 5): Snapshot = {
+    val base = current(spark, dir)
+    if (batchId <= base.lastBatch) return base
+    evolveSchema(base, df)
+    enforce(df, base.constraints, s"append@batch=$batchId")
+    val files = stage(spark, dir, df, base.statsCols, base.partitionCols)
+    var attempt = 0
+    while (true) {
+      val head = current(spark, dir)
+      if (batchId <= head.lastBatch) return head // landed concurrently
+      val snap = Snapshot(head.version + 1, head.version,
+        s"append@batch=$batchId", head.statsCols, head.partitionCols,
+        math.max(batchId, head.lastBatch), evolveSchema(head, df),
+        head.files ++ files, head.constraints, head.dropped, dvs = head.dvs)
+      try return publish(spark, dir, snap, head.ts)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1; if (attempt > maxRetries) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** The widened schema json for appending `df` onto `head` (additive
     * evolution; loud on anything else). */
   private def evolveSchema(head: Snapshot, df: DataFrame): String = {
@@ -1221,7 +1250,7 @@ object ManifestTable {
 
   /** Conservative may-match of `e` against one file's bounds: false
     * only when the bounds PROVE no row can satisfy the predicate. */
-  private def mayMatch(f: FileEntry, schema: StructType, e: Expression): Boolean = {
+  private[table] def mayMatch(f: FileEntry, schema: StructType, e: Expression): Boolean = {
     def attrName(a: Expression): Option[String] = a match {
       case att: Attribute => Some(att.name)
       case _ => None

@@ -64,6 +64,16 @@ object MergeInto {
       condition: Option[Column] = None)
   final case class WhenNotMatched(action: NotMatchedAction,
       condition: Option[Column] = None)
+  /** `WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE/DELETE` —
+    * applies to TARGET rows with no matching source row (the sync-
+    * to-source half of the matrix). Conditions and UPDATE SET
+    * expressions see target columns only ([[UpdateAll]] is meaningless
+    * here and rejected). Cost warning: an unconditional by-source
+    * clause must rewrite EVERY file (any target row may be unmatched);
+    * a conditional one rewrites only the files its condition may match
+    * — scope it (e.g. a partition bound) on a big table. */
+  final case class WhenNotMatchedBySource(action: MatchedAction,
+      condition: Option[Column] = None)
 
   private val SrcStruct = "__src"
 
@@ -73,7 +83,8 @@ object MergeInto {
 
   def apply(spark: SparkSession, dir: String, source: DataFrame,
       keys: Seq[String], matched: Seq[WhenMatched] = Nil,
-      notMatched: Seq[WhenNotMatched] = Nil): Snapshot = {
+      notMatched: Seq[WhenNotMatched] = Nil,
+      notMatchedBySource: Seq[WhenNotMatchedBySource] = Nil): Snapshot = {
     val head = ManifestTable.current(spark, dir)
     val schema = head.schema
     val cols = schema.fieldNames.toSeq
@@ -83,8 +94,18 @@ object MergeInto {
       require(source.columns.contains(k),
         s"mergeInto: key $k not in the source frame")
     }
-    require(matched.nonEmpty || notMatched.nonEmpty,
-      "mergeInto: at least one WHEN clause")
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "mergeInto: at least one WHEN clause")
+    notMatchedBySource.foreach {
+      case WhenNotMatchedBySource(UpdateAll, _) =>
+        throw new IllegalArgumentException(
+          "mergeInto: UPDATE SET * has no source row in a NOT MATCHED " +
+            "BY SOURCE clause — name the columns")
+      case WhenNotMatchedBySource(Update(set), _) => set.keys.foreach { c =>
+        require(cols.contains(c),
+          s"mergeInto: BY SOURCE SET column $c not in schema") }
+      case _ => ()
+    }
     val srcCols = source.columns.toSeq
     val needsAll = matched.exists(_.action == UpdateAll) ||
       notMatched.exists(_.action == InsertAll)
@@ -152,8 +173,18 @@ object MergeInto {
             .select("__fi").distinct().collect().map(_.getInt(0)).toSet
         }
       val boundedIdx = statFiles.map(_._1).toSet
+      // BY SOURCE clauses touch every file their conditions may match
+      // (an unconditional clause touches all — any row may be unmatched)
+      lazy val bySourceOr = notMatchedBySource.flatMap(_.condition)
+        .reduceOption(_ || _)
+      val bySourcePaths: Set[String] =
+        if (notMatchedBySource.isEmpty) Set.empty
+        else if (notMatchedBySource.exists(_.condition.isEmpty))
+          head.files.map(_.path).toSet
+        else ManifestTable.pruneFiles(head, bySourceOr.get).map(_.path).toSet
       val touched = head.files.zipWithIndex.collect {
-        case (f, i) if !boundedIdx(i) || touchedIdx(i) => f
+        case (f, i) if !boundedIdx(i) || touchedIdx(i) ||
+          bySourcePaths(f.path) => f
       }
 
       val base = ManifestTable.scanWith(spark, dir, touched, schema, head.dvs)
@@ -169,8 +200,26 @@ object MergeInto {
         case (WhenMatched(Delete, _), i) => i }
       val updateIdx = matched.zipWithIndex.collect {
         case (WhenMatched(UpdateAll | Update(_), _), i) => i }
-      def valueOf(c: String): Column =
-        matched.zipWithIndex.foldRight(col(c)) { case ((cl, i), els) =>
+      val bsClauseIdx = notMatchedBySource.zipWithIndex.foldRight(lit(-1)) {
+        case ((cl, i), els) =>
+          when(cl.condition.map(c => coalesce(c, lit(false)))
+            .getOrElse(lit(true)), lit(i)).otherwise(els)
+      }
+      val bsDeleteIdx = notMatchedBySource.zipWithIndex.collect {
+        case (WhenNotMatchedBySource(Delete, _), i) => i }
+      val bsUpdateIdx = notMatchedBySource.zipWithIndex.collect {
+        case (WhenNotMatchedBySource(Update(_), _), i) => i }
+      def valueOf(c: String): Column = {
+        val afterBySource = notMatchedBySource.zipWithIndex
+          .foldRight(col(c)) { case ((cl, i), els) =>
+            cl.action match {
+              case Update(set) if set.contains(c) =>
+                when(col("__s") === i,
+                  set(c).cast(schema(c).dataType)).otherwise(els)
+              case _ => els
+            }
+          }
+        matched.zipWithIndex.foldRight(afterBySource) { case ((cl, i), els) =>
           cl.action match {
             case UpdateAll =>
               when(col("__m") === i,
@@ -181,6 +230,7 @@ object MergeInto {
             case _ => els
           }
         }
+      }
       // cardinality guard rides the join: evaluated on every matched
       // row, throws only when a duplicate source key actually matched
       val guard = when(isMatched && col("__dup") > 1,
@@ -190,9 +240,12 @@ object MergeInto {
           lit(") — deduplicate the source")))).otherwise(lit(true))
       val joined = base.join(broadcast(srcKeyed), keys, "left")
         .withColumn("__m", when(isMatched, clauseIdx).otherwise(lit(-1)))
+        .withColumn("__s", when(!isMatched, bsClauseIdx).otherwise(lit(-1)))
         .where(guard)
-      val rewritten0 = (if (deleteIdx.isEmpty) joined
-        else joined.where(!col("__m").isin(deleteIdx.map(Int.box): _*)))
+      val allDeletes = deleteIdx.map(i => col("__m") === i) ++
+        bsDeleteIdx.map(i => col("__s") === i)
+      val rewritten0 = allDeletes.reduceOption(_ || _)
+        .fold(joined)(d => joined.where(!d))
         .select(cols.map(c => valueOf(c).as(c)): _*)
 
       // inserts: source rows matching NO touched base row (pruning
@@ -226,18 +279,19 @@ object MergeInto {
       // constraints check the CHANGED rows only (updates + inserts);
       // pass-through rows conformed at their own commit
       if (head.constraints.nonEmpty) {
-        val updatedSlice =
-          if (updateIdx.isEmpty) None
-          else Some(joined.where(col("__m").isin(updateIdx.map(Int.box): _*))
-            .select(cols.map(c => valueOf(c).as(c)): _*))
+        val changedPred = (updateIdx.map(i => col("__m") === i) ++
+          bsUpdateIdx.map(i => col("__s") === i)).reduceOption(_ || _)
+        val updatedSlice = changedPred.map(p => joined.where(p)
+          .select(cols.map(c => valueOf(c).as(c)): _*))
         (updatedSlice ++ inserts).reduceOption(_ unionByName _).foreach(
           ManifestTable.enforce(_, head.constraints, "mergeInto"))
       }
 
-      // INSERT-only merges (no matched clause, or nothing touched)
-      // stage just the new rows — no file rewrite; a merge with
-      // nothing to rewrite AND nothing to insert is a structural no-op
-      val rewriteNeeded = matched.nonEmpty && touched.nonEmpty
+      // INSERT-only merges (no matched/by-source clause, or nothing
+      // touched) stage just the new rows — no file rewrite; a merge
+      // with nothing to rewrite AND nothing to insert is a no-op
+      val rewriteNeeded = (matched.nonEmpty ||
+        notMatchedBySource.nonEmpty) && touched.nonEmpty
       val outOpt: Option[DataFrame] =
         if (rewriteNeeded)
           Some(inserts.fold(rewritten0)(rewritten0.unionByName(_))
@@ -264,7 +318,16 @@ object MergeInto {
               else Some((r.get(2 * j), r.get(2 * j + 1)))
             }
           }
-        val conflicts: FileEntry => Boolean = f => {
+        // a concurrently added file also conflicts when a BY SOURCE
+        // clause may touch rows in it (unconditional ⇒ always)
+        val bySourceConflicts: FileEntry => Boolean =
+          if (notMatchedBySource.isEmpty) _ => false
+          else if (notMatchedBySource.exists(_.condition.isEmpty)) _ => true
+          else {
+            val e = org.apache.spark.sql.GraftSqlBridge.expr(bySourceOr.get)
+            f => ManifestTable.mayMatch(f, schema, e)
+          }
+        val conflicts: FileEntry => Boolean = f => bySourceConflicts(f) || {
           if (probed.isEmpty) true
           else if (srcRanges.forall(_.isEmpty)) false // empty source
           else !probed.zipWithIndex.exists { case ((k, _, _), j) =>

@@ -35,6 +35,17 @@ object GraftSqlBridge {
       ds.queryExecution.toRdd, ds.schema, isStreaming = true)
   }
 
+  /** Re-plan a STREAMING micro-batch frame as a plain batch one — what
+    * a V1 `Sink.addBatch` must do before handing the data to batch
+    * writers (the incoming frame is planned against the streaming
+    * query and cannot re-enter batch APIs directly); exactly the
+    * ForeachBatchSink/foreachBatch mechanism. */
+  def batchFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
+
   /** Plan a parquet read over EXPLICIT byte-range splits — the hook
     * behind manifest-level ROW-GROUP pruning: a split covers a row
     * group iff it contains the group's byte midpoint (the parquet

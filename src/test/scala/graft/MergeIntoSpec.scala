@@ -3,7 +3,7 @@ package graft.table
 import graft.SparkSuite
 import org.apache.spark.sql.functions._
 
-import MergeInto.{Delete, Insert, InsertAll, Update, UpdateAll, WhenMatched, WhenNotMatched, src}
+import MergeInto.{Delete, Insert, InsertAll, Update, UpdateAll, WhenMatched, WhenNotMatched, WhenNotMatchedBySource, src}
 
 /** Laws of the standard MERGE INTO surface: the WHEN-clause matrix
   * (conditional update/delete/insert, first-match-wins), composite-key
@@ -157,5 +157,40 @@ class MergeIntoSpec extends SparkSuite {
     }
     assert(ManifestTable.snapshot(spark, dir).version == before.version)
     assert(rows(dir)((2L, 0L, "v2")))
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE: conditional UPDATE and DELETE on " +
+    "unmatched target rows — the full sync-to-source matrix in one " +
+    "commit; conditional clauses prune their file scope") {
+    import spark.implicits._
+    val dir = freshDir("bysrc")
+    seed(dir) // keys (1..10) x (0,1)
+    val source = Seq((3L, 0L, "s3", 1L), (4L, 0L, "s4", 1L))
+      .toDF("k1", "k2", "v", "flag")
+    // sync-to-source: matched rows update, unmatched k1<=2 rows delete,
+    // unmatched k1>=9 rows get flagged, everything else passes through
+    MergeInto(spark, dir, source, Seq("k1", "k2"),
+      matched = Seq(WhenMatched(Update(Map("v" -> src("v"))))),
+      notMatchedBySource = Seq(
+        WhenNotMatchedBySource(Delete, condition = Some(col("k1") <= 2L)),
+        WhenNotMatchedBySource(Update(Map("v" -> concat(col("v"), lit("*")))),
+          condition = Some(col("k1") >= 9L))))
+    val got = rows(dir)
+    assert(got((3L, 0L, "s3")) && got((4L, 0L, "s4")), "matched UPDATE")
+    assert(!got.exists(_._1 <= 2L), "BY SOURCE conditional DELETE")
+    assert(got((9L, 0L, "a9*")) && got((10L, 1L, "b10*")),
+      "BY SOURCE conditional UPDATE")
+    assert(got((5L, 0L, "a5")) && got((3L, 1L, "b3")),
+      "rows matching no clause pass through")
+    assert(got.size == 20 - 4)
+    // unconditional BY SOURCE DELETE = sync exactly to source
+    val dir2 = freshDir("bysrc2")
+    seed(dir2)
+    MergeInto(spark, dir2,
+      Seq((1L, 0L, "one"), (2L, 1L, "two")).toDF("k1", "k2", "v"),
+      Seq("k1", "k2"),
+      matched = Seq(WhenMatched(UpdateAll)),
+      notMatchedBySource = Seq(WhenNotMatchedBySource(Delete)))
+    assert(rows(dir2) == Set((1L, 0L, "one"), (2L, 1L, "two")))
   }
 }
