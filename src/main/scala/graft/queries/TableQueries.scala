@@ -156,6 +156,63 @@ object TableQueries {
         .orderBy("api", "bucket")
     },
 
+    // The TABLE CATALOG surface end-to-end, plain SQL only: a
+    // GraftCatalog is registered on a scratch warehouse, the table is
+    // created by CTAS, grown by INSERT INTO, and read back at the
+    // current version AND via VERSION AS OF 1 (the CTAS data commit;
+    // v0 is the empty CREATE) — SQL time travel
+    // through the manifest log. The oracle restates both snapshots
+    // relationally; one hash pins the whole catalog lifecycle.
+    Q("q_table_catalog",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(14,4)) AS p
+        |  FROM orders),
+        |ins AS (
+        |  SELECT -o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,4))
+        |      + CAST(1.25 AS DECIMAL(12,4)) AS DECIMAL(14,4)) AS p
+        |  FROM orders WHERE o_orderkey % 13 = 5),
+        |fp0 AS (
+        |  SELECT 'v0' AS snap, CAST(k % 10 AS BIGINT) AS bucket,
+        |    COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS key_sum,
+        |    %PSUM% AS price_sum
+        |  FROM base GROUP BY k % 10),
+        |fp1 AS (
+        |  SELECT 'v1', CAST(k % 10 AS BIGINT), COUNT(*),
+        |    CAST(SUM(k) AS BIGINT), %PSUM%
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM ins)
+        |  GROUP BY k % 10)
+        |SELECT * FROM fp0 UNION ALL SELECT * FROM fp1
+        |ORDER BY snap, bucket""".stripMargin
+        .replace("%PSUM%", Dsl.d2dSql(Dsl.dsumSql("p")))) { (s, d) =>
+      val wh = Scratch.wiped("mtable_cat")
+      s.conf.set("spark.sql.catalog.gqcat",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gqcat.warehouse", wh)
+      Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast(Dsl.DFac).as("tp"))
+        .createOrReplaceTempView("gqcat_orders")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gqcat.m")
+      s.sql("""CREATE TABLE gqcat.m.o
+        TBLPROPERTIES ('option.statsCols' = 'k')
+        AS SELECT k, CAST(tp AS DECIMAL(14,4)) AS p FROM gqcat_orders""")
+      s.sql("""INSERT INTO gqcat.m.o
+        SELECT -k, CAST(tp + CAST(1.25 AS DECIMAL(12,4)) AS DECIMAL(14,4))
+        FROM gqcat_orders WHERE k % 13 = 5""")
+      def fp(df: org.apache.spark.sql.DataFrame, tag: String) = df
+        .groupBy((col("k") % 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("key_sum"),
+          Dsl.d2d(Dsl.dsum(col("p"))).as("price_sum"))
+        .select(lit(tag).as("snap"), col("bucket"), col("n_rows"),
+          col("key_sum"), col("price_sum"))
+      // catalog CTAS = CREATE (empty v0) + one append commit (v1)
+      fp(s.sql("SELECT * FROM gqcat.m.o VERSION AS OF 1"), "v0")
+        .unionByName(fp(s.sql("SELECT * FROM gqcat.m.o"), "v1"))
+        .orderBy("snap", "bucket")
+    },
+
     // Row-group-granularity pruning end-to-end: one single-file table
     // with many small row groups (sorted by key, so each group owns a
     // tight key range), read back through read(dir, filter) — which

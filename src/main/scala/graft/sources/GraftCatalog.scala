@@ -1,0 +1,219 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.ManifestTable
+
+/** A DataSourceV2 TABLE CATALOG over a graft warehouse directory —
+  * the full SQL-catalog surface on the manifest-table format:
+  *
+  * {{{
+  * spark.sql.catalog.lake = graft.sources.GraftCatalog
+  * spark.sql.catalog.lake.warehouse = /data/lake
+  *
+  * CREATE NAMESPACE lake.bronze;
+  * CREATE TABLE lake.bronze.events (k BIGINT, v STRING)
+  *   PARTITIONED BY (day) TBLPROPERTIES ('option.statsCols' = 'k');
+  * CREATE TABLE lake.bronze.t2 AS SELECT ...;          -- CTAS
+  * INSERT INTO lake.bronze.events VALUES ...;          -- atomic commit
+  * SELECT * FROM lake.bronze.events VERSION AS OF 3;   -- time travel
+  * SELECT * FROM lake.bronze.events TIMESTAMP AS OF '...';
+  * DROP TABLE lake.bronze.events;
+  * }}}
+  *
+  * Layout: `warehouse/<namespace dirs>/<table>` is the table root (one
+  * manifest log + data under it) — a table IS its directory, no side
+  * metastore, so every catalog operation is a filesystem listing or
+  * one manifest read, and the same directory keeps working through
+  * the Scala facade and `format("graft")` paths. Time travel maps to
+  * [[ManifestTable.readVersion]]/`versionAsOf` (the DSv2 contract
+  * hands timestamps in MICROseconds). Reads/writes resolve through
+  * [[GraftTable]], so SQL gets the same manifest + row-group pruning
+  * and the same commit protocol as everything else. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs = warehouse.getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = new Path(Option(options.get("warehouse")).getOrElse(
+      sys.error(s"graft catalog $name: set spark.sql.catalog.$name" +
+        ".warehouse to the warehouse directory")))
+  }
+
+  override def name(): String = catalogName
+
+  private def nsPath(namespace: Array[String]): Path =
+    namespace.foldLeft(warehouse)(new Path(_, _))
+
+  private def tablePath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace), ident.name)
+
+  private def isTable(p: Path): Boolean =
+    fs.exists(new Path(p, "_graft_log"))
+
+  // ------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(
+      (catalogName +: namespace))
+    fs.listStatus(p).filter(s => s.isDirectory && isTable(s.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(tablePath(ident))
+
+  private def graftTable(ident: Identifier,
+      extra: Map[String, String]): GraftTable = {
+    val dir = tablePath(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val opts = new CaseInsensitiveStringMap(
+      (Map("path" -> dir.toString) ++ extra).asJava)
+    new GraftTable(GraftTableProvider.resolve(spark, opts)._2.schema, opts)
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    graftTable(ident, Map.empty)
+
+  /** `VERSION AS OF <v>` */
+  override def loadTable(ident: Identifier, version: String): Table =
+    graftTable(ident, Map("versionAsOf" -> version))
+
+  /** `TIMESTAMP AS OF <ts>` — DSv2 hands epoch MICROseconds. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    graftTable(ident,
+      Map("timestampAsOf" -> (timestampMicros / 1000L).toString))
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String])
+      : Table = {
+    val dir = tablePath(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    val partitionCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => sys.error(
+        s"graft catalog: only identity partitioning is supported, got $other")
+    }
+    val props = properties.asScala
+    def csv(k: String): Seq[String] =
+      props.get(TableCatalog.OPTION_PREFIX + k).orElse(props.get(k))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    ManifestTable.create(spark, dir.toString, empty,
+      statsCols = csv("statsCols"), partitionCols = partitionCols)
+    graftTable(ident, Map.empty)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tablePath(ident).toString
+    changes.foreach {
+      case d: TableChange.DeleteColumn =>
+        ManifestTable.dropColumn(spark, dir,
+          d.fieldNames.mkString("."))
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER $other — additive schema " +
+          "evolution happens implicitly on write; use the Scala facade " +
+          "for constraints/layout DDL")
+    }
+    graftTable(ident, Map.empty)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tablePath(ident)
+    isTable(dir) && fs.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent0: Identifier)
+      : Unit = {
+    // Spark hands RENAME TO's target with the CATALOG name still in its
+    // namespace (the target side is parser-resolved, not catalog-
+    // resolved) — strip it, or the table silently moves into a
+    // warehouse subdir named after the catalog
+    val newIdent =
+      if (newIdent0.namespace.headOption.contains(catalogName))
+        Identifier.of(newIdent0.namespace.tail, newIdent0.name)
+      else newIdent0
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val dst = tablePath(newIdent)
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(tablePath(oldIdent), dst))
+      sys.error(s"graft catalog: rename $oldIdent -> $newIdent failed")
+  }
+
+  // --------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    if (!fs.exists(warehouse)) Array.empty
+    else fs.listStatus(warehouse)
+      .filter(s => s.isDirectory && !isTable(s.getPath))
+      .map(s => Array(s.getPath.getName))
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      val p = nsPath(namespace)
+      if (!fs.exists(p)) throw new NoSuchNamespaceException(
+        (catalogName +: namespace))
+      fs.listStatus(p).filter(s => s.isDirectory && !isTable(s.getPath))
+        .map(s => namespace :+ s.getPath.getName)
+    }
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (fs.exists(nsPath(namespace)) && !isTable(nsPath(namespace)))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : JMap[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
+      (catalogName +: namespace))
+    Map("location" -> nsPath(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit = {
+    if (namespaceExists(namespace) && namespace.nonEmpty)
+      throw new NamespaceAlreadyExistsException(
+        (catalogName +: namespace))
+    fs.mkdirs(nsPath(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean)
+      : Boolean = {
+    val p = nsPath(namespace)
+    if (!namespaceExists(namespace)) false
+    else if (!cascade && fs.listStatus(p).nonEmpty)
+      sys.error(s"graft catalog: namespace ${namespace.mkString(".")} " +
+        "is not empty — use CASCADE")
+    else fs.delete(p, true)
+  }
+}
