@@ -132,10 +132,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case d: TableChange.DeleteColumn =>
         ManifestTable.dropColumn(spark, dir,
           d.fieldNames.mkString("."))
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft catalog: only top-level ADD COLUMN is supported")
+        ManifestTable.addColumns(spark, dir, Seq(
+          org.apache.spark.sql.types.StructField(
+            a.fieldNames.head, a.dataType, nullable = true)))
       case other => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported ALTER $other — additive schema " +
-          "evolution happens implicitly on write; use the Scala facade " +
-          "for constraints/layout DDL")
+        s"graft catalog: unsupported ALTER $other — use the Scala " +
+          "facade for constraints/layout DDL")
     }
     graftTable(ident, Map.empty)
   }

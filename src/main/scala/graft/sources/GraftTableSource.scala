@@ -155,11 +155,38 @@ object GraftTableProvider {
       for { a <- toColumn(l); b <- toColumn(r) } yield a || b
     case _ => None
   }
+
+  /** EXACT filter → Column translation: every node must convert (used
+    * by DELETE, where a weakened predicate would be wrong — contrast
+    * [[toColumn]], whose And keeps the convertible subset because a
+    * weaker predicate only prunes less). */
+  private[sources] def toColumnExact(f: Filter): Option[Column] = f match {
+    case sources.And(l, r) =>
+      for { a <- toColumnExact(l); b <- toColumnExact(r) } yield a && b
+    case sources.Or(l, r) =>
+      for { a <- toColumnExact(l); b <- toColumnExact(r) } yield a || b
+    case sources.Not(c) => toColumnExact(c).map(!_)
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
+    case sources.In(a, vs) if vs.isEmpty => Some(lit(false))
+    case leaf => toColumn(leaf) match {
+      // only LEAF conversions are reusable (the pruning And weakens)
+      case some @ Some(_) if !leaf.isInstanceOf[sources.And] &&
+        !leaf.isInstanceOf[sources.Or] => some
+      case _ => None
+    }
+  }
 }
 
 private[sources] class GraftTable(tableSchema: StructType,
     options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private val dir = Option(options.get("path")).getOrElse(sys.error(
     "graft: option(\"path\", <table dir>) is required"))
@@ -171,6 +198,36 @@ private[sources] class GraftTable(tableSchema: StructType,
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
+
+  /** SQL `DELETE FROM t WHERE …`: a predicate that converts EXACTLY to
+    * a Column (strict — every node, unlike the pruning converter's
+    * sound-to-weaken subset, because a weakened DELETE predicate would
+    * delete too much) runs as a touched-files-only rewrite commit (the
+    * same [[ManifestTable.delete]] the facade exposes) — not just a
+    * metadata delete. An unconvertible predicate is refused loudly
+    * (canDeleteWhere false) rather than silently mis-deleting. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftTableProvider.toColumnExact(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.toSeq.map(f =>
+      GraftTableProvider.toColumnExact(f).getOrElse(sys.error(
+        s"graft: unconvertible DELETE predicate $f")))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    ManifestTable.delete(SparkSession.active, dir, cond)
+  }
+
+  /** SQL `TRUNCATE TABLE t`: one atomic overwrite-with-empty commit —
+    * history is preserved (time travel still sees pre-truncate
+    * versions until vacuum). */
+  override def truncateTable(): Boolean = {
+    val spark = SparkSession.active
+    val snap = ManifestTable.snapshot(spark, dir)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], snap.schema)
+    ManifestTable.overwrite(spark, dir, empty)
+    true
+  }
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap)
       : ScanBuilder = {

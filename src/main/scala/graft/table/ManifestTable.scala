@@ -856,6 +856,29 @@ object ManifestTable {
     publish(spark, dir, snap, head.ts)
   }
 
+  /** ALTER TABLE ADD COLUMN as one METADATA commit — the explicit form
+    * of write-time additive evolution: the logical schema widens (new
+    * columns forced nullable), existing files read back with NULLs in
+    * them, zero data IO at any table size. Tombstoned (dropped) names
+    * refuse to return, same as the write path. */
+  def addColumns(spark: SparkSession, dir: String,
+      newFields: Seq[StructField]): Snapshot = {
+    val head = current(spark, dir)
+    val schema = head.schema
+    newFields.foreach { f =>
+      require(!schema.fieldNames.contains(f.name),
+        s"addColumns: column ${f.name} already exists")
+      require(!head.dropped.contains(f.name),
+        s"addColumns: ${f.name} was dropped — old files still hold its " +
+          "physical data; overwrite() the table to reuse the name")
+    }
+    publish(spark, dir, Snapshot(head.version + 1, head.version,
+      s"add@${newFields.map(_.name).mkString(",")}", head.statsCols,
+      head.partitionCols, head.lastBatch,
+      StructType(schema.fields ++ newFields.map(_.copy(nullable = true))).json,
+      head.files, head.constraints, head.dropped, dvs = head.dvs), head.ts)
+  }
+
   /** Replace the table contents atomically (readers flip old→new with
     * no intermediate state). The full rewrite clears [[dropColumn]]
     * tombstones: no old file is in the new set, so a previously

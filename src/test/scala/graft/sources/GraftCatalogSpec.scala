@@ -95,4 +95,42 @@ class GraftCatalogSpec extends SparkSuite {
     assert(!spark.sql("SHOW TABLES IN lake.silver").collect()
       .map(_.getString(1)).contains("src2"))
   }
+
+  test("SQL DML on catalog tables: DELETE FROM (touched-files rewrite " +
+    "commit), TRUNCATE (atomic, history preserved), ALTER ADD COLUMN " +
+    "(metadata commit, old rows read NULL)") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.dml")
+    spark.sql("CREATE TABLE lake.dml.t TBLPROPERTIES " +
+      "('option.statsCols' = 'k') AS SELECT id AS k, id % 7 AS g " +
+      "FROM range(1000)")
+    val dir = s"$wh/dml/t"
+    val before = ManifestTable.snapshot(spark, dir)
+    // DELETE with a compound predicate (strict conversion required)
+    spark.sql("DELETE FROM lake.dml.t WHERE k < 100 AND g = 3")
+    val expect = (0L until 1000L).count(i => !(i < 100 && i % 7 == 3))
+    assert(spark.sql("SELECT count(*) FROM lake.dml.t").head().getLong(0)
+      == expect)
+    assert(ManifestTable.snapshot(spark, dir).operation == "delete")
+    // ALTER ADD COLUMN: metadata commit; existing rows read NULL
+    spark.sql("ALTER TABLE lake.dml.t ADD COLUMN note STRING")
+    val snap2 = ManifestTable.snapshot(spark, dir)
+    assert(snap2.operation.startsWith("add@") &&
+      snap2.files == ManifestTable.snapshot(spark, dir,
+        Some(snap2.version - 1)).files, "ADD COLUMN must move no data")
+    assert(spark.sql(
+      "SELECT count(*) FROM lake.dml.t WHERE note IS NULL")
+      .head().getLong(0) == expect)
+    spark.sql("INSERT INTO lake.dml.t VALUES (5000, 1, 'tagged')")
+    assert(spark.sql(
+      "SELECT note FROM lake.dml.t WHERE k = 5000").head().getString(0)
+      == "tagged")
+    // TRUNCATE: empty head, time travel intact
+    spark.sql("TRUNCATE TABLE lake.dml.t")
+    assert(spark.sql("SELECT count(*) FROM lake.dml.t").head().getLong(0)
+      == 0L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM lake.dml.t VERSION AS OF ${before.version}")
+      .head().getLong(0) == 1000L, "history must survive TRUNCATE")
+  }
 }
