@@ -49,9 +49,43 @@ import graft.table.ManifestTable
   */
 class GraftTableProvider extends TableProvider with DataSourceRegister
     with CreatableRelationProvider
-    with org.apache.spark.sql.sources.StreamSinkProvider {
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft"
+
+  /** `readStream.format("graft")` — the table as a STREAMING SOURCE of
+    * its appended rows (offsets are snapshot versions, each micro-batch
+    * is the added files of a commit range — manifest-priced, the table
+    * is never rescanned). A commit that REWRITES or vector-deletes
+    * (merge/delete/update/compact) is not representable in an
+    * append-only stream: the source fails loudly there unless
+    * `option("ignoreChanges", "true")`, in which case rewritten
+    * commits' added files are emitted (possibly re-delivering
+    * carried-over rows — the standard lakehouse contract).
+    * `startingVersion` = the first commit INCLUDED (0 = the table's
+    * full history, create commit and all; default: head + 1, i.e. new
+    * appends only). For the CDC feed with _change/_commit_version use
+    * `format("graft-changefeed")`. */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    ("graft", ManifestTable.snapshot(sqlContext.sparkSession,
+      parameters.getOrElse("path", sys.error(
+        "graft source: option(\"path\", <table dir>) is required"))).schema)
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val dir = parameters.getOrElse("path", sys.error(
+      "graft source: option(\"path\", <table dir>) is required"))
+    val starting = parameters.get("startingVersion").map(_.toLong)
+      .getOrElse(ManifestTable.latestVersion(sqlContext.sparkSession, dir)
+        .map(_ + 1).getOrElse(0L))
+    new GraftTableStreamSource(sqlContext, dir, starting,
+      parameters.get("ignoreChanges").exists(_.toBoolean))
+  }
 
   /** `writeStream.format("graft")` — the table as a STREAMING SINK
     * with exactly-once semantics riding the batch high-water mark:
@@ -302,6 +336,71 @@ private[sources] class GraftV1Relation(ctx: SQLContext,
   override def needConversion: Boolean = false
   override def buildScan(): RDD[Row] =
     frame.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+}
+
+/** The table as an append-only streaming source: offsets ARE snapshot
+  * versions, each batch is the union of the added files of the commits
+  * in range — manifest-priced (only the new files are ever scanned).
+  * Non-append commits (a file removed, or a deletion vector attached)
+  * fail loudly unless `ignoreChanges` — an append-only stream cannot
+  * express them; the CDC-complete alternative is `graft-changefeed`. */
+private[sources] class GraftTableStreamSource(sqlContext: SQLContext,
+    dir: String, startingVersion: Long, ignoreChanges: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Source {
+
+  import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
+  import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+
+  private val spark = sqlContext.sparkSession
+  override val schema: StructType =
+    ManifestTable.snapshot(spark, dir).schema
+
+  private def ver(o: V1Offset): Long = o match {
+    case LongOffset(v) => v
+    case so: SerializedOffset => LongOffset(so).offset
+    case other => sys.error(s"graft source: alien offset $other")
+  }
+
+  override def getOffset: Option[V1Offset] =
+    ManifestTable.latestVersion(spark, dir)
+      .filter(_ >= startingVersion).map(LongOffset.apply)
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset)
+      : DataFrame = {
+    // offsets are INCLUSIVE upper bounds; the first batch starts at
+    // startingVersion (inclusive — version 0's create content streams
+    // when startingVersion = 0)
+    val from = start.map(ver(_) + 1).getOrElse(startingVersion)
+    val to = ver(end)
+    val steps = (from to to).flatMap { v =>
+      val prev =
+        if (v == 0) None
+        else Some(ManifestTable.snapshot(spark, dir, Some(v - 1)))
+      val cur = ManifestTable.snapshot(spark, dir, Some(v))
+      val curPaths = cur.files.map(_.path).toSet
+      val nonAppend = prev.exists(p =>
+        p.files.exists(f => !curPaths(f.path)) ||
+          p.files.exists(f => cur.dvs.getOrElse(f.path, Vector.empty) !=
+            p.dvs.getOrElse(f.path, Vector.empty)))
+      if (nonAppend && !ignoreChanges) sys.error(
+        s"graft source: commit v$v of $dir (${cur.operation}) rewrote " +
+          "or vector-deleted data — not representable in an append-only " +
+          "stream. Use option(\"ignoreChanges\", \"true\") to stream " +
+          "only added files, or format(\"graft-changefeed\") for the " +
+          "full CDC feed.")
+      val prevPaths = prev.map(_.files.map(_.path).toSet)
+        .getOrElse(Set.empty[String])
+      val added = cur.files.filterNot(f => prevPaths(f.path))
+      if (added.isEmpty) None
+      else Some(ManifestTable.readFiles(spark, dir, added, schema))
+    }
+    val batch = steps.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], schema))
+    org.apache.spark.sql.GraftSqlBridge.streamingFrame(batch)
+  }
+
+  override def stop(): Unit = ()
 }
 
 /** V1 streaming sink: each micro-batch re-enters batch-land

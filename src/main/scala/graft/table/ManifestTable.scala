@@ -1078,6 +1078,13 @@ object ManifestTable {
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame =
     scan(spark, dir, readManifest(spark, dir, version))
 
+  /** Plain scan of an explicit file list under `schema` (no DV
+    * subtraction — the streaming source reads files at the version
+    * that ADDED them, before any vector can reference them). */
+  private[graft] def readFiles(spark: SparkSession, dir: String,
+      files: Seq[FileEntry], schema: StructType): DataFrame =
+    scanWith(spark, dir, files, schema)
+
   /** Scan an explicit snapshot with optional manifest pruning — the
     * shared read path behind `read(dir, filter)` AND the
     * `format("graft")` DataSourceV2 connector: file-level pruning,

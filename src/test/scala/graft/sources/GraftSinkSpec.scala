@@ -73,4 +73,57 @@ class GraftSinkSpec extends SparkSuite {
         s"merge-mode sink must apply latest-wins CDC, got $got")
     } finally q.stop()
   }
+
+  test("readStream.format(graft): a table streams its appends " +
+    "(manifest-priced); a rewrite commit fails the append-only " +
+    "contract unless ignoreChanges; table->stream->table round trip") {
+    import spark.implicits._
+    val src = freshDir("ssrc")
+    val dst = freshDir("sdst")
+    val ckpt = freshDir("sckpt")
+    ManifestTable.create(spark, src,
+      (1L to 5L).map(i => (i, s"v$i")).toDF("k", "v"),
+      statsCols = Seq("k"))
+    // stream the SOURCE TABLE's appends into a SECOND graft table:
+    // both ends of the pipeline are manifest tables
+    val q = spark.readStream.format("graft")
+      .option("path", src).option("startingVersion", "0").load()
+      .writeStream.format("graft")
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .option("statsCols", "k")
+      .start()
+    try {
+      q.processAllAvailable()
+      ManifestTable.append(spark, src,
+        (6L to 8L).map(i => (i, s"v$i")).toDF("k", "v"))
+      q.processAllAvailable()
+      val got = ManifestTable.read(spark, dst).select("k").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == (1L to 8L).toSet,
+        s"dst table must hold every appended row, got $got")
+    } finally q.stop()
+    // a rewrite commit breaks the append-only contract loudly
+    ManifestTable.delete(spark, src, col("k") === 2L)
+    val q2 = spark.readStream.format("graft")
+      .option("path", src).option("startingVersion", "0").load()
+      .writeStream.format("memory").queryName("gsrc_fail")
+      .option("checkpointLocation", freshDir("sckpt2")).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable(); q2.awaitTermination(10000)
+    }
+    q2.stop()
+    assert(err.getMessage.contains("append-only") ||
+      String.valueOf(err.getCause).contains("append-only"))
+    // ignoreChanges streams the rewritten commit's added files
+    val q3 = spark.readStream.format("graft")
+      .option("path", src).option("startingVersion", "0")
+      .option("ignoreChanges", "true").load()
+      .writeStream.format("memory").queryName("gsrc_ok")
+      .option("checkpointLocation", freshDir("sckpt3")).start()
+    try {
+      q3.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM gsrc_ok").head().getLong(0)
+      assert(n >= 7L, s"ignoreChanges must stream through, got $n rows")
+    } finally q3.stop()
+  }
 }
