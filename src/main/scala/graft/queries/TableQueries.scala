@@ -932,6 +932,31 @@ object TableQueries {
     // constraint counts — rows-only gate; the hard laws (all five
     // write paths gated, NULL semantics, restore carrying) live in
     // ManifestTableSpec.
+    // SQL DML capability: DELETE FROM / ALTER ADD COLUMN / TRUNCATE on
+    // a catalog table — every statement lands as one atomic manifest
+    // commit; emitted: the per-version operation trail (rows-only
+    // gate; the hard laws live in GraftCatalogSpec).
+    Q.cap("cap_table_sqldml") { (s, d) =>
+      val wh = Scratch.wiped("mtable_sqldml")
+      s.conf.set("spark.sql.catalog.gqdml", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gqdml.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gqdml.m")
+      Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        (col("o_orderkey") % 7).as("g"))
+        .createOrReplaceTempView("gqdml_orders")
+      s.sql("""CREATE TABLE gqdml.m.t
+        TBLPROPERTIES ('option.statsCols' = 'k')
+        AS SELECT k, g FROM gqdml_orders""")
+      s.sql("DELETE FROM gqdml.m.t WHERE g = 3 AND k > 100")
+      s.sql("ALTER TABLE gqdml.m.t ADD COLUMN note STRING")
+      s.sql("INSERT INTO gqdml.m.t VALUES (-1, 0, 'tagged')")
+      s.sql("TRUNCATE TABLE gqdml.m.t")
+      import s.implicits._
+      ManifestTable.history(s, s"$wh/m/t")
+        .map(sn => (sn.version, sn.operation, sn.totalRows))
+        .toDF("version", "operation", "rows")
+    },
+
     Q.cap("cap_table_constraints") { (s, d) =>
       val dir = Scratch.wiped("mtable_check")
       val o = Tables.orders(s, d)
