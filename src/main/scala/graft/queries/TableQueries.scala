@@ -315,14 +315,21 @@ object TableQueries {
         li.select(col("k1"), col("k2"), col("tq").cast(P).as("q"))
           .repartitionByRange(4, col("k1")),
         statsCols = Seq("k1", "k2"))
-      val upd = li.filter(col("k1") % 7 === 1)
+      // derive the changelog from the COMMITTED table, not from the
+      // aggregate: reading 4 sealed files back is one scan per branch,
+      // where re-deriving from lineitem would re-run the 460k-group
+      // dedupe shuffle three more times (q is tq exactly — the (14,4)
+      // cast of a (12,4) value round-trips)
+      val tbl = ManifestTable.read(s, dir)
+        .select(col("k1"), col("k2"), col("q").cast(Dsl.DFac).as("tq"))
+      val upd = tbl.filter(col("k1") % 7 === 1)
         .select(col("k1"), col("k2"),
           (col("tq") + lit(5).cast(Dsl.DFac)).cast(P).as("q"),
           lit("U").as("action"))
-      val del = li.filter(col("k1") % 11 === 4 && col("k1") % 7 =!= 1)
+      val del = tbl.filter(col("k1") % 11 === 4 && col("k1") % 7 =!= 1)
         .select(col("k1"), col("k2"), lit(0).cast(P).as("q"),
           lit("D").as("action"))
-      val ins = li.filter(col("k1") % 19 === 7)
+      val ins = tbl.filter(col("k1") % 19 === 7)
         .select((-col("k1")).as("k1"), col("k2"),
           (col("tq") + lit(100).cast(Dsl.DFac)).cast(P).as("q"),
           lit("U").as("action"))
