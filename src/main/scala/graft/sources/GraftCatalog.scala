@@ -155,11 +155,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // Spark hands RENAME TO's target with the CATALOG name still in its
     // namespace (the target side is parser-resolved, not catalog-
     // resolved) — strip it, or the table silently moves into a
-    // warehouse subdir named after the catalog
+    // warehouse subdir named after the catalog. Disambiguation for a
+    // warehouse with a GENUINE namespace named like the catalog
+    // (`lake.lake.t`): prefer the literal namespace when it actually
+    // exists AND the catalog-qualified reading does not (an existing
+    // `lake/lake` dir with no existing `lake/` target parent is
+    // unambiguous the other way); when both readings resolve, the
+    // catalog-qualified one wins because that is what Spark's parser
+    // produced for every unquoted RENAME TO.
+    val stripped = Identifier.of(newIdent0.namespace.tail, newIdent0.name)
     val newIdent =
-      if (newIdent0.namespace.headOption.contains(catalogName))
-        Identifier.of(newIdent0.namespace.tail, newIdent0.name)
-      else newIdent0
+      if (!newIdent0.namespace.headOption.contains(catalogName)) newIdent0
+      else if (namespaceExists(newIdent0.namespace) &&
+        !namespaceExists(stripped.namespace)) newIdent0
+      else stripped
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     val dst = tablePath(newIdent)

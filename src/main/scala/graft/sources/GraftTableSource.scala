@@ -377,6 +377,17 @@ private[sources] class GraftTableStreamSource(sqlContext: SQLContext,
         if (v == 0) None
         else Some(ManifestTable.snapshot(spark, dir, Some(v - 1)))
       val cur = ManifestTable.snapshot(spark, dir, Some(v))
+      // the stream's schema is pinned at start: a commit that CHANGES
+      // the table schema mid-stream would otherwise have its files read
+      // under the old schema, silently projecting new columns away —
+      // fail loudly instead (Delta's behavior), the stream restarts
+      // with the new schema
+      prev.filter(_.schemaJson != cur.schemaJson).foreach { p =>
+        sys.error(
+          s"graft source: commit v$v of $dir (${cur.operation}) changed " +
+            "the table schema mid-stream — restart the streaming query " +
+            "to pick up the new schema")
+      }
       val curPaths = cur.files.map(_.path).toSet
       val nonAppend = prev.exists(p =>
         p.files.exists(f => !curPaths(f.path)) ||
@@ -416,6 +427,16 @@ private[sources] class GraftTableSink(dir: String,
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
     val batch = org.apache.spark.sql.GraftSqlBridge.batchFrame(data)
+    // the replay mark is scoped PER WRITER (Delta's txnAppId pattern):
+    // a user-chosen option("txnAppId", …), else the streaming query id
+    // Spark publishes as a local property while the batch runs — so a
+    // second query, or one restarted with a fresh checkpoint (batch
+    // ids restart at 0), never has its batches silently dropped
+    // against another writer's high-water mark
+    val txnId = parameters.get("txnAppId").orElse(
+      Option(spark.sparkContext.getLocalProperty(
+        org.apache.spark.sql.execution.streaming.runtime
+          .StreamExecution.QUERY_ID_KEY)))
     if (ManifestTable.latestVersion(spark, dir).isEmpty) {
       // first batch creates the table; the batch id still needs to be
       // recorded for the replay contract, so create empty then commit
@@ -423,11 +444,12 @@ private[sources] class GraftTableSink(dir: String,
         statsCols = csv("statsCols"), partitionCols = csv("partitionCols"))
     }
     parameters.getOrElse("mode", "append") match {
-      case "append" => ManifestTable.appendBatch(spark, dir, batch, batchId)
+      case "append" =>
+        ManifestTable.appendBatch(spark, dir, batch, batchId, txnId)
       case "merge" => ManifestTable.mergeBatch(spark, dir, batch,
         parameters.getOrElse("key", sys.error(
           "graft sink: merge mode requires option(\"key\", <column>)")),
-        batchId, parameters.get("opCol"), parameters.get("seqCol"))
+        batchId, parameters.get("opCol"), parameters.get("seqCol"), txnId)
       case other => sys.error(s"graft sink: unknown mode $other")
     }
   }

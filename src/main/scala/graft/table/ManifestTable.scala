@@ -33,13 +33,21 @@ import org.apache.spark.sql.types._
   *     references it, so a writer crash at any point before publish
   *     leaves readers on the old snapshot (no torn state to clean —
   *     just orphaned bytes for vacuum()).
-  *   - A snapshot manifest `_graft_log/v%020d.json` lists every live
-  *     file (table-root-relative) with row counts, per-column min/max
-  *     stats harvested from the parquet FOOTERS (no data read-back),
-  *     and — for partitioned tables — the file's partition values.
-  *     The manifest carries the schema, so an empty table still reads
-  *     with its schema.
-  *   - Publish = write the manifest to a dot-tmp name, then a
+  *   - A commit record `_graft_log/v%020d.json` is a DELTA: the table
+  *     metadata (schema, specs, constraints — all tiny) plus ONLY the
+  *     file entries this commit added and the paths it removed, each
+  *     added entry carrying row counts, per-column min/max stats
+  *     harvested from the parquet FOOTERS (no data read-back), and —
+  *     for partitioned tables — the file's partition values. Commit
+  *     bytes are ∝ touched files: at 10⁶ live files a needle delete or
+  *     a streaming micro-batch still writes a KB-sized record, never
+  *     the live-file listing (the Delta-Lake actions-log shape).
+  *   - A CHECKPOINT `_graft_log/c%020d.json` (the full live-file
+  *     listing) is written every [[CheckpointInterval]] commits, at
+  *     the vacuum horizon, and on demand — amortized, off the commit
+  *     critical path (a crashed checkpoint writer only means the next
+  *     reader replays a longer suffix).
+  *   - Publish = write the delta to a dot-tmp name, then a
   *     NO-OVERWRITE rename onto the versioned name via
   *     [[FileContext]] (Options.Rename defaults to NONE). On HDFS
   *     that rename is the atomic putIfAbsent every open table format
@@ -47,12 +55,15 @@ import org.apache.spark.sql.types._
   *     committers for version v wins, the loser gets
   *     [[ConcurrentCommitException]]. (Object stores without atomic
   *     rename need a commit service in front — same as Delta.)
-  *   - Readers list `_graft_log`, take the highest version (or the
-  *     requested one — time travel), and scan exactly that file set.
-  *     A reader never sees a half-commit: the manifest appears
-  *     atomically and the files it names were sealed before it was
-  *     written. Snapshot isolation falls out: a long scan keeps using
-  *     its manifest's file list no matter how many commits land after.
+  *   - Readers list `_graft_log` once, take the highest version (or
+  *     the requested one — time travel), and reconstruct it from the
+  *     latest checkpoint at or below it plus the ≤ CheckpointInterval
+  *     delta suffix — O(interval) small JSON reads, independent of
+  *     history length. A reader never sees a half-commit: the record
+  *     appears atomically and the files it names were sealed before it
+  *     was written. Snapshot isolation falls out: a long scan keeps
+  *     using its snapshot's file list no matter how many commits land
+  *     after.
   *
   * '''Partitioning''' is the Iceberg shape, not the Hive one: the
   * partition columns stay IN the data files (each file is
@@ -186,7 +197,16 @@ object ManifestTable {
         * content is (path, dvs(path)); rewrites materialize and drop
         * the entry. [[Snapshot.totalRows]] counts PHYSICAL rows (before
         * DV subtraction). */
-      dvs: Map[String, Vector[String]] = Map.empty) {
+      dvs: Map[String, Vector[String]] = Map.empty,
+      /** PER-WRITER streaming replay marks (txn id → highest committed
+        * batch id) — the Delta txnAppId pattern. The table-global
+        * [[lastBatch]] mark silently drops a second streaming query's
+        * batches (its ids restart at 0 and sit below a foreign mark);
+        * scoping the mark to the writer's id (the streaming query id,
+        * or a user-chosen `txnAppId`) makes exactly-once hold per
+        * WRITER: each query replays only against its own history.
+        * Carried forward by every commit, like [[lastBatch]]. */
+      txns: Map[String, Long] = Map.empty) {
     def totalRows: Long = files.iterator.map(_.rows).sum
     def totalBytes: Long = files.iterator.map(_.bytes).sum
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -197,41 +217,136 @@ object ManifestTable {
   private val DvDir = "dv"
   private val PartPrefix = "__p_"
 
+  /** A full checkpoint (`c%020d.json`, the complete live-file listing)
+    * is written every this-many commits, at the vacuum horizon, and on
+    * demand via [[checkpoint]]. Every COMMIT writes only its DELTA
+    * (`v%020d.json`: added/removed files + metadata), so commit bytes
+    * are ∝ touched files at any table size; reconstructing a snapshot
+    * costs one checkpoint parse + at most this-many−1 tiny delta
+    * parses, independent of history length and live-file count. */
+  private[table] val CheckpointInterval = 16L
+
+  /** Merge sources at or under this row count are BROADCAST to the
+    * rewrite join (the table side then never shuffles — the CDC fast
+    * path); above it the join degrades to a plain shuffle join with
+    * identical semantics instead of OOMing the driver on a bulk
+    * source. ~4M keyed rows is comfortably inside Spark's default 8GB
+    * broadcast-table hard cap for typical row widths. */
+  private[table] val MaxBroadcastSourceRows = 4L * 1000 * 1000
+
   private def logPath(dir: String) = new Path(dir, LogDir)
-  private def manifestName(v: Long) = f"v$v%020d.json"
+  private def deltaName(v: Long) = f"v$v%020d.json"
+  private def checkpointName(v: Long) = f"c$v%020d.json"
 
   // ---------------------------------------------------------------- io
 
   private def conf(spark: SparkSession): Configuration =
     spark.sparkContext.hadoopConfiguration
 
-  private def listVersions(spark: SparkSession, dir: String): Seq[Long] = {
+  /** One log listing: (committed versions, checkpointed versions),
+    * both ascending — the only filesystem LISTING any read pays. */
+  private def listLog(spark: SparkSession, dir: String)
+      : (Seq[Long], Seq[Long]) = {
     val lp = logPath(dir)
     val fs = lp.getFileSystem(conf(spark))
-    if (!fs.exists(lp)) Seq.empty
-    else fs.listStatus(lp).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .flatMap(n => scala.util.Try(n.drop(1).dropRight(5).toLong).toOption)
-      .sorted
+    if (!fs.exists(lp)) (Nil, Nil)
+    else {
+      val names = fs.listStatus(lp).toSeq.map(_.getPath.getName)
+      def nums(prefix: Char): Seq[Long] = names
+        .filter(n => n.nonEmpty && n.charAt(0) == prefix && n.endsWith(".json"))
+        .flatMap(n => scala.util.Try(n.drop(1).dropRight(5).toLong).toOption)
+        .sorted
+      (nums('v'), nums('c'))
+    }
   }
+
+  private def listVersions(spark: SparkSession, dir: String): Seq[Long] =
+    listLog(spark, dir)._1
 
   /** Highest committed snapshot version, if the table exists. */
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
     listVersions(spark, dir).lastOption
 
-  /** The full snapshot log, oldest first. */
-  def history(spark: SparkSession, dir: String): Seq[Snapshot] =
-    listVersions(spark, dir).map(v => readManifest(spark, dir, v))
+  /** The full snapshot log, oldest first — ONE forward fold (the first
+    * retained version reconstructs through its checkpoint, every later
+    * one applies its own delta), so the whole history costs O(retained
+    * versions) small JSON reads, never O(versions × interval). */
+  def history(spark: SparkSession, dir: String): Seq[Snapshot] = {
+    val (versions, cks) = listLog(spark, dir)
+    if (versions.isEmpty) return Nil
+    var snap = snapshotAt(spark, dir, versions.head, cks)
+    val out = Vector.newBuilder[Snapshot]
+    out += snap
+    versions.tail.foreach { v =>
+      readLogEntry(spark, dir, v) match {
+        case Left(full) => snap = full
+        case Right(d) => snap = applyDelta(Some(snap), d)
+      }
+      out += snap
+    }
+    out.result()
+  }
 
-  /** One snapshot's manifest (the head when `version` is None) — the
-    * metadata a catalog query needs (row/byte totals, per-file stats)
-    * at the cost of ONE small JSON read, no data IO. */
+  /** One snapshot (the head when `version` is None) — the metadata a
+    * catalog query needs (row/byte totals, per-file stats) at the cost
+    * of one log listing + ≤ [[CheckpointInterval]] small JSON reads,
+    * no data IO. */
   def snapshot(spark: SparkSession, dir: String,
       version: Option[Long] = None): Snapshot =
     version.map(readManifest(spark, dir, _)).getOrElse(current(spark, dir))
 
-  private def readManifest(spark: SparkSession, dir: String, v: Long): Snapshot = {
-    val p = new Path(logPath(dir), manifestName(v))
+  private def readManifest(spark: SparkSession, dir: String, v: Long): Snapshot =
+    snapshotAt(spark, dir, v, listLog(spark, dir)._2)
+
+  /** Reconstruct snapshot `v`: the latest checkpoint at or below `v`,
+    * plus a replay of its delta suffix. */
+  private def snapshotAt(spark: SparkSession, dir: String, v: Long,
+      checkpoints: Seq[Long]): Snapshot = {
+    val ck = checkpoints.filter(_ <= v).lastOption
+    var snap: Option[Snapshot] = ck.map { c =>
+      parseManifest(JsonMethods.parse(
+        readText(spark, new Path(logPath(dir), checkpointName(c)))))
+    }
+    var w = snap.map(_.version + 1).getOrElse(0L)
+    try {
+      while (w <= v) {
+        readLogEntry(spark, dir, w) match {
+          case Left(full) => snap = Some(full)
+          case Right(d) => snap = Some(applyDelta(snap, d))
+        }
+        w += 1
+      }
+    } catch {
+      case e: java.io.FileNotFoundException => sys.error(
+        s"snapshot v$v of $dir is not reconstructible — log entry v$w " +
+          s"is gone (vacuumed?): $e")
+    }
+    snap.getOrElse(sys.error(s"no snapshot v$v at $dir"))
+  }
+
+  /** This version's commit wall-clock WITHOUT reconstructing the
+    * snapshot — one tiny JSON parse (every log entry carries `ts`). */
+  private def entryTs(spark: SparkSession, dir: String, v: Long): Long = {
+    val j = JsonMethods.parse(
+      readText(spark, new Path(logPath(dir), deltaName(v))))
+    (j \ "ts").toOption.map(jLong).getOrElse(-1L)
+  }
+
+  /** One log file, either kind: Left(full snapshot) for checkpoint-
+    * format content, Right(delta). A pre-delta-log table whose
+    * v-files are full manifests parses as Left — each acts as its own
+    * checkpoint, so old logs keep reading unchanged. */
+  private def readLogEntry(spark: SparkSession, dir: String, v: Long)
+      : Either[Snapshot, DeltaRec] = {
+    val j = JsonMethods.parse(
+      readText(spark, new Path(logPath(dir), deltaName(v))))
+    (j \ "kind") match {
+      case JString("delta") => Right(parseDelta(j))
+      case _ => Left(parseManifest(j))
+    }
+  }
+
+  private def readText(spark: SparkSession, p: Path): String = {
     val fs = p.getFileSystem(conf(spark))
     val in = fs.open(p)
     val bytes = try {
@@ -239,7 +354,56 @@ object ManifestTable {
       org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
       out.toByteArray
     } finally in.close()
-    parseManifest(new String(bytes, "UTF-8"))
+    new String(bytes, "UTF-8")
+  }
+
+  // ------------------------------------------------------ delta log
+
+  /** One commit's log record: the full (tiny) table metadata plus only
+    * the file-level CHANGES against the parent snapshot — added
+    * entries, removed paths, and the deletion-vector map diff. Commit
+    * bytes are ∝ touched files; the live-file listing is never
+    * serialized on the commit path (checkpoints amortize it). */
+  private[table] final case class DeltaRec(version: Long, parent: Long,
+      operation: String, statsCols: Seq[String], partitionCols: Seq[String],
+      lastBatch: Long, schemaJson: String,
+      constraints: Map[String, String], dropped: Seq[String],
+      txns: Map[String, Long], ts: Long,
+      add: Vector[FileEntry], remove: Vector[String],
+      dvSet: Map[String, Vector[String]], dvDel: Vector[String])
+
+  /** The delta that turns `parent` into `s` (None parent = the empty
+    * table). An entry whose stats/partition/row-group metadata changed
+    * under the same path surfaces as remove+add, so replay is exact. */
+  private[table] def diffDelta(parent: Option[Snapshot], s: Snapshot): DeltaRec = {
+    val pFiles = parent.map(_.files).getOrElse(Vector.empty)
+    val pByPath = pFiles.iterator.map(f => f.path -> f).toMap
+    val sByPath = s.files.iterator.map(f => f.path -> f).toMap
+    val remove = pFiles.collect {
+      case f if !sByPath.get(f.path).contains(f) => f.path
+    }
+    val add = s.files.filter(f => !pByPath.get(f.path).contains(f))
+    val pDvs = parent.map(_.dvs).getOrElse(Map.empty[String, Vector[String]])
+    val dvDel = pDvs.keysIterator.filterNot(s.dvs.contains).toVector.sorted
+    val dvSet = s.dvs.filter { case (p, vs) => !pDvs.get(p).contains(vs) }
+    DeltaRec(s.version, s.parent, s.operation, s.statsCols, s.partitionCols,
+      s.lastBatch, s.schemaJson, s.constraints, s.dropped, s.txns, s.ts,
+      add, remove, dvSet, dvDel)
+  }
+
+  /** Replay one delta onto its parent. The file ORDER this produces
+    * (carried-over entries in parent order, then adds) is canonical:
+    * [[publish]] returns exactly this form, so the in-memory snapshot
+    * a committer holds and any later reconstruction are identical. */
+  private[table] def applyDelta(parent: Option[Snapshot], d: DeltaRec): Snapshot = {
+    val pFiles = parent.map(_.files).getOrElse(Vector.empty)
+    val removed = d.remove.toSet
+    val files = pFiles.filterNot(f => removed(f.path)) ++ d.add
+    val dvs = parent.map(_.dvs).getOrElse(Map.empty[String, Vector[String]]) --
+      d.dvDel ++ d.dvSet
+    Snapshot(d.version, d.parent, d.operation, d.statsCols, d.partitionCols,
+      d.lastBatch, d.schemaJson, files, d.constraints, d.dropped, d.ts,
+      dvs, d.txns)
   }
 
   // ------------------------------------------------------ json codec
@@ -262,59 +426,93 @@ object ManifestTable {
     case other => sys.error(s"manifest: undecodable stat $other")
   }
 
-  private def renderManifest(s: Snapshot): String = {
-    val files = JArray(s.files.toList.map { f =>
-      val base = List(
-        "path" -> (JString(f.path): JValue),
-        "rows" -> (JLong(f.rows): JValue),
-        "bytes" -> (JLong(f.bytes): JValue))
-      val st =
-        if (f.stats.isEmpty) Nil
-        else List("stats" -> (JObject(f.stats.toList.sortBy(_._1).map {
-          case (c, cs) => c -> (JArray(List(primToJson(cs.min),
-            primToJson(cs.max))): JValue)
-        }): JValue))
-      val pt =
-        if (f.partitions.isEmpty) Nil
-        else List("part" -> (JObject(f.partitions.toList.sortBy(_._1).map {
-          case (c, v) => c -> (v.map(JString(_): JValue).getOrElse(JNull))
-        }): JValue))
-      val rg =
-        if (f.rgs.isEmpty) Nil
-        else List("rgs" -> (JArray(f.rgs.toList.map { g =>
-          JObject(List(
-            "o" -> (JLong(g.offset): JValue),
-            "b" -> (JLong(g.bytes): JValue),
-            "r" -> (JLong(g.rows): JValue)) ++
-            (if (g.stats.isEmpty) Nil
-             else List("stats" -> (JObject(g.stats.toList.sortBy(_._1).map {
-               case (c, cs) => c -> (JArray(List(primToJson(cs.min),
-                 primToJson(cs.max))): JValue)
-             }): JValue))))
-        }): JValue))
-      JObject(base ++ st ++ pt ++ rg)
+  private def renderStats(stats: Map[String, ColStats]): JValue =
+    JObject(stats.toList.sortBy(_._1).map { case (c, cs) =>
+      c -> (JArray(List(primToJson(cs.min), primToJson(cs.max))): JValue)
     })
-    val obj = JObject(List(
-      "version" -> JLong(s.version),
-      "parent" -> JLong(s.parent),
-      "operation" -> JString(s.operation),
-      "lastBatch" -> JLong(s.lastBatch),
-      "ts" -> JLong(s.ts),
-      "schema" -> JString(s.schemaJson)) ++
-      (if (s.statsCols.isEmpty) Nil
-       else List("statsCols" -> (JArray(s.statsCols.toList.map(JString(_))): JValue))) ++
-      (if (s.partitionCols.isEmpty) Nil
-       else List("partitionCols" -> (JArray(s.partitionCols.toList.map(JString(_))): JValue))) ++
-      (if (s.constraints.isEmpty) Nil
-       else List("constraints" -> (JObject(s.constraints.toList.sortBy(_._1)
+
+  private def renderFile(f: FileEntry): JValue = {
+    val base = List(
+      "path" -> (JString(f.path): JValue),
+      "rows" -> (JLong(f.rows): JValue),
+      "bytes" -> (JLong(f.bytes): JValue))
+    val st =
+      if (f.stats.isEmpty) Nil
+      else List("stats" -> renderStats(f.stats))
+    val pt =
+      if (f.partitions.isEmpty) Nil
+      else List("part" -> (JObject(f.partitions.toList.sortBy(_._1).map {
+        case (c, v) => c -> (v.map(JString(_): JValue).getOrElse(JNull))
+      }): JValue))
+    val rg =
+      if (f.rgs.isEmpty) Nil
+      else List("rgs" -> (JArray(f.rgs.toList.map { g =>
+        JObject(List(
+          "o" -> (JLong(g.offset): JValue),
+          "b" -> (JLong(g.bytes): JValue),
+          "r" -> (JLong(g.rows): JValue)) ++
+          (if (g.stats.isEmpty) Nil
+           else List("stats" -> renderStats(g.stats))))
+      }): JValue))
+    JObject(base ++ st ++ pt ++ rg)
+  }
+
+  /** The metadata fields every log record carries in full — all
+    * O(schema + constraints) small, never O(files). */
+  private def renderMeta(version: Long, parent: Long, operation: String,
+      lastBatch: Long, ts: Long, schemaJson: String, statsCols: Seq[String],
+      partitionCols: Seq[String], constraints: Map[String, String],
+      dropped: Seq[String], txns: Map[String, Long]): List[(String, JValue)] =
+    List(
+      "version" -> (JLong(version): JValue),
+      "parent" -> (JLong(parent): JValue),
+      "operation" -> (JString(operation): JValue),
+      "lastBatch" -> (JLong(lastBatch): JValue),
+      "ts" -> (JLong(ts): JValue),
+      "schema" -> (JString(schemaJson): JValue)) ++
+      (if (statsCols.isEmpty) Nil
+       else List("statsCols" -> (JArray(statsCols.toList.map(JString(_))): JValue))) ++
+      (if (partitionCols.isEmpty) Nil
+       else List("partitionCols" -> (JArray(partitionCols.toList.map(JString(_))): JValue))) ++
+      (if (constraints.isEmpty) Nil
+       else List("constraints" -> (JObject(constraints.toList.sortBy(_._1)
          .map { case (n, sql) => n -> (JString(sql): JValue) }): JValue))) ++
-      (if (s.dropped.isEmpty) Nil
-       else List("dropped" -> (JArray(s.dropped.toList.map(JString(_))): JValue))) ++
+      (if (dropped.isEmpty) Nil
+       else List("dropped" -> (JArray(dropped.toList.map(JString(_))): JValue))) ++
+      (if (txns.isEmpty) Nil
+       else List("txns" -> (JObject(txns.toList.sortBy(_._1)
+         .map { case (id, b) => id -> (JLong(b): JValue) }): JValue)))
+
+  private def renderDelta(d: DeltaRec): String = {
+    val obj = JObject(List("kind" -> (JString("delta"): JValue)) ++
+      renderMeta(d.version, d.parent, d.operation, d.lastBatch, d.ts,
+        d.schemaJson, d.statsCols, d.partitionCols, d.constraints,
+        d.dropped, d.txns) ++
+      (if (d.add.isEmpty) Nil
+       else List("add" -> (JArray(d.add.toList.map(renderFile)): JValue))) ++
+      (if (d.remove.isEmpty) Nil
+       else List("remove" -> (JArray(d.remove.toList.map(JString(_))): JValue))) ++
+      (if (d.dvSet.isEmpty) Nil
+       else List("dvset" -> (JObject(d.dvSet.toList.sortBy(_._1).map {
+         case (p, vs) => p -> (JArray(vs.toList.map(JString(_))): JValue)
+       }): JValue))) ++
+      (if (d.dvDel.isEmpty) Nil
+       else List("dvdel" -> (JArray(d.dvDel.toList.map(JString(_))): JValue))))
+    JsonMethods.compact(JsonMethods.render(obj))
+  }
+
+  /** Full-listing checkpoint (also the pre-delta-log full-manifest
+    * wire format, so old logs parse with the same reader). */
+  private def renderCheckpoint(s: Snapshot): String = {
+    val obj = JObject(List("kind" -> (JString("checkpoint"): JValue)) ++
+      renderMeta(s.version, s.parent, s.operation, s.lastBatch, s.ts,
+        s.schemaJson, s.statsCols, s.partitionCols, s.constraints,
+        s.dropped, s.txns) ++
       (if (s.dvs.isEmpty) Nil
        else List("dvs" -> (JObject(s.dvs.toList.sortBy(_._1).map {
          case (p, vs) => p -> (JArray(vs.toList.map(JString(_))): JValue)
        }): JValue))) ++
-      List("files" -> (files: JValue)))
+      List("files" -> (JArray(s.files.toList.map(renderFile)): JValue)))
     JsonMethods.compact(JsonMethods.render(obj))
   }
 
@@ -330,56 +528,65 @@ object ManifestTable {
     case other => sys.error(s"manifest: expected string array, got $other")
   }
 
-  private def parseManifest(text: String): Snapshot = {
-    val j = JsonMethods.parse(text)
-    val files = (j \ "files") match {
-      case JArray(fs) => fs.toVector.map { f =>
-        val stats = (f \ "stats") match {
-          case JObject(kv) => kv.map { case (c, v) =>
-            v match {
-              case JArray(List(mn, mx)) =>
-                c -> ColStats(jsonToPrim(mn), jsonToPrim(mx))
-              case other => sys.error(s"manifest: stats for $c is $other")
-            }
-          }.toMap
-          case _ => Map.empty[String, ColStats]
-        }
-        val parts = (f \ "part") match {
-          case JObject(kv) => kv.map { case (c, v) =>
-            c -> (v match {
-              case JNull | JNothing => None
-              case other => Some(other.values.toString)
-            })
-          }.toMap
-          case _ => Map.empty[String, Option[String]]
-        }
-        def rgStats(g: JValue): Map[String, ColStats] = (g \ "stats") match {
-          case JObject(kv) => kv.map {
-            case (c, JArray(List(mn, mx))) =>
-              c -> ColStats(jsonToPrim(mn), jsonToPrim(mx))
-            case (c, other) => sys.error(s"manifest: rg stats for $c is $other")
-          }.toMap
-          case _ => Map.empty
-        }
-        val rgs = (f \ "rgs") match {
-          case JArray(gs) => gs.toVector.map { g =>
-            RowGroup(jLong(g \ "o"), jLong(g \ "b"), jLong(g \ "r"),
-              rgStats(g))
-          }
-          case _ => Vector.empty[RowGroup]
-        }
-        FileEntry(
-          (f \ "path").values.toString,
-          jLong(f \ "rows"),
-          jLong(f \ "bytes"),
-          stats, parts, rgs)
-      }
-      case other => sys.error(s"manifest: files is $other")
+  private def parseStats(v: JValue, what: String): Map[String, ColStats] =
+    v match {
+      case JObject(kv) => kv.map {
+        case (c, JArray(List(mn, mx))) =>
+          c -> ColStats(jsonToPrim(mn), jsonToPrim(mx))
+        case (c, other) => sys.error(s"manifest: $what for $c is $other")
+      }.toMap
+      case _ => Map.empty[String, ColStats]
     }
-    val constraints = (j \ "constraints") match {
+
+  private def parseFile(f: JValue): FileEntry = {
+    val parts = (f \ "part") match {
+      case JObject(kv) => kv.map { case (c, v) =>
+        c -> (v match {
+          case JNull | JNothing => None
+          case other => Some(other.values.toString)
+        })
+      }.toMap
+      case _ => Map.empty[String, Option[String]]
+    }
+    val rgs = (f \ "rgs") match {
+      case JArray(gs) => gs.toVector.map { g =>
+        RowGroup(jLong(g \ "o"), jLong(g \ "b"), jLong(g \ "r"),
+          parseStats(g \ "stats", "rg stats"))
+      }
+      case _ => Vector.empty[RowGroup]
+    }
+    FileEntry(
+      (f \ "path").values.toString,
+      jLong(f \ "rows"),
+      jLong(f \ "bytes"),
+      parseStats(f \ "stats", "stats"), parts, rgs)
+  }
+
+  private def parseFiles(v: JValue, what: String): Vector[FileEntry] =
+    v match {
+      case JArray(fs) => fs.toVector.map(parseFile)
+      case JNothing => Vector.empty
+      case other => sys.error(s"manifest: $what is $other")
+    }
+
+  private def parseConstraints(j: JValue): Map[String, String] =
+    (j \ "constraints") match {
       case JObject(kv) => kv.map { case (n, v) => n -> v.values.toString }.toMap
       case _ => Map.empty[String, String]
     }
+
+  private def parseTxns(j: JValue): Map[String, Long] =
+    (j \ "txns") match {
+      case JObject(kv) => kv.map { case (id, v) => id -> jLong(v) }.toMap
+      case _ => Map.empty[String, Long]
+    }
+
+  private def parseDvMap(v: JValue): Map[String, Vector[String]] = v match {
+    case JObject(kv) => kv.map { case (p, vs) => p -> jStrings(vs).toVector }.toMap
+    case _ => Map.empty[String, Vector[String]]
+  }
+
+  private def parseManifest(j: JValue): Snapshot =
     Snapshot(
       jLong(j \ "version"),
       jLong(j \ "parent"),
@@ -388,16 +595,29 @@ object ManifestTable {
       jStrings(j \ "partitionCols"),
       (j \ "lastBatch").toOption.map(jLong).getOrElse(-1L),
       (j \ "schema").values.toString,
-      files, constraints,
+      parseFiles(j \ "files", "files"), parseConstraints(j),
       jStrings(j \ "dropped"),
       (j \ "ts").toOption.map(jLong).getOrElse(-1L),
-      (j \ "dvs") match {
-        case JObject(kv) => kv.map { case (p, v) =>
-          p -> jStrings(v).toVector
-        }.toMap
-        case _ => Map.empty[String, Vector[String]]
-      })
-  }
+      parseDvMap(j \ "dvs"),
+      parseTxns(j))
+
+  private def parseDelta(j: JValue): DeltaRec =
+    DeltaRec(
+      jLong(j \ "version"),
+      jLong(j \ "parent"),
+      (j \ "operation").values.toString,
+      jStrings(j \ "statsCols"),
+      jStrings(j \ "partitionCols"),
+      (j \ "lastBatch").toOption.map(jLong).getOrElse(-1L),
+      (j \ "schema").values.toString,
+      parseConstraints(j),
+      jStrings(j \ "dropped"),
+      parseTxns(j),
+      (j \ "ts").toOption.map(jLong).getOrElse(-1L),
+      parseFiles(j \ "add", "add"),
+      jStrings(j \ "remove").toVector,
+      parseDvMap(j \ "dvset"),
+      jStrings(j \ "dvdel").toVector)
 
   // ---------------------------------------------------- footer stats
 
@@ -556,27 +776,82 @@ object ManifestTable {
     * with EEXIST. (Object stores without either need a commit service
     * in front — same as Delta.) */
   private[table] def publish(spark: SparkSession, dir: String,
-      s0: Snapshot, knownParentTs: Long = Long.MinValue): Snapshot = {
+      s0: Snapshot, parent: Option[Snapshot] = None): Snapshot = {
+    // the DELTA against the parent is what hits the log — commit bytes
+    // are ∝ touched files at any table size. Callers on the hot path
+    // hand the parent snapshot they already hold; the fallback
+    // reconstruction is only for external callers without one.
+    val par = parent.orElse {
+      if (s0.parent < 0) None
+      else Some(readManifest(spark, dir, s0.parent))
+    }
+    require(par.forall(_.version == s0.parent),
+      s"publish: parent snapshot v${par.map(_.version).getOrElse(-2L)} " +
+        s"does not match s.parent=${s0.parent}")
     // stamp the commit wall-clock, forced past the parent's so AS OF
-    // <timestamp> resolution stays total under clock steps; callers
-    // holding the parent Snapshot pass its ts so the common path costs
-    // zero extra manifest reads — the fallback re-read is only for the
-    // rare caller without one (and the parent manifest may be vacuumed
-    // away, then now() stands alone)
-    val parentTs =
-      if (s0.parent < 0) -1L
-      else if (knownParentTs != Long.MinValue) knownParentTs
-      else scala.util.Try(readManifest(spark, dir, s0.parent).ts)
-        .getOrElse(-1L)
+    // <timestamp> resolution stays total under clock steps
+    val parentTs = par.map(_.ts).getOrElse(-1L)
     val s = s0.copy(ts = math.max(System.currentTimeMillis(), parentTs + 1))
-    val lp = logPath(dir)
+    val delta = diffDelta(par, s)
+    putIfAbsent(spark, logPath(dir), renderDelta(delta),
+      deltaName(s.version)).foreach { e =>
+      throw new ConcurrentCommitException(
+        s"snapshot v${s.version} already committed at " +
+          s"${new Path(logPath(dir), deltaName(s.version))}", e)
+    }
+    // canonical form: what any later replay reconstructs
+    val committed = applyDelta(par, delta)
+    // amortized full listing so reads never replay more than one
+    // interval of deltas; best-effort — a crash here just means the
+    // next reader replays a longer suffix
+    if (s.version > 0 && s.version % CheckpointInterval == 0)
+      try writeCheckpoint(spark, dir, committed)
+      catch { case NonFatal(_) => () }
+    committed
+  }
+
+  /** Force a full checkpoint of the CURRENT snapshot (maintenance
+    * hook; [[publish]] also writes one every [[CheckpointInterval]]
+    * commits and [[vacuum]] one at the retention horizon). */
+  def checkpoint(spark: SparkSession, dir: String): Snapshot = {
+    val head = current(spark, dir)
+    writeCheckpoint(spark, dir, head)
+    head
+  }
+
+  /** Idempotent: checkpoint content is a pure function of the log, so
+    * a racing writer losing the putIfAbsent is fine — identical bytes
+    * already sit there. */
+  private def writeCheckpoint(spark: SparkSession, dir: String,
+      s: Snapshot): Unit = {
+    putIfAbsent(spark, logPath(dir), renderCheckpoint(s),
+      checkpointName(s.version))
+    ()
+  }
+
+  /** Write `text` to `lp/dstName` via dot-tmp + atomic no-overwrite
+    * promotion. None = this writer created the file; Some(cause) = the
+    * name already existed (or the promotion failed).
+    *
+    * The putIfAbsent primitive is per-scheme, exactly like the log
+    * stores every open table format ships: on HDFS,
+    * `FileContext.rename` with Options.Rename.NONE is an atomic
+    * no-overwrite rename (one NameNode op). On the LOCAL scheme that
+    * rename is check-then-act (LocalFs probes the destination, then
+    * POSIX rename — which overwrites), so two racing committers could
+    * both "succeed" and silently drop a record; the true local
+    * putIfAbsent is a HARD LINK, which the kernel fails atomically
+    * with EEXIST. (Object stores without either need a commit service
+    * in front — same as Delta.) */
+  private def putIfAbsent(spark: SparkSession, lp: Path, text: String,
+      dstName: String): Option[Throwable] = {
     val fc = FileContext.getFileContext(lp.toUri, conf(spark))
-    val tmp = new Path(lp, s".tmp-${manifestName(s.version)}-${UUID.randomUUID()}")
-    val dst = new Path(lp, manifestName(s.version))
+    val tmp = new Path(lp, s".tmp-$dstName-${UUID.randomUUID()}")
+    val dst = new Path(lp, dstName)
     val out = fc.create(tmp,
       java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
       CreateOpts.createParent())
-    try out.write(renderManifest(s).getBytes("UTF-8")) finally out.close()
+    try out.write(text.getBytes("UTF-8")) finally out.close()
     // LocalFs is a ChecksumFs: drop the .crc sidecar so the commit
     // rides on exactly ONE filesystem op (a loser's separately-moved
     // sidecar could otherwise shadow the winner's data and fail
@@ -586,10 +861,9 @@ object ManifestTable {
     catch { case NonFatal(_) => () }
     val fs = lp.getFileSystem(conf(spark))
     val isLocal = Option(fs.getUri.getScheme).forall(_ == "file")
-    def lose(e: Throwable): Nothing = {
+    def lose(e: Throwable): Option[Throwable] = {
       try fc.delete(tmp, false) catch { case NonFatal(_) => () }
-      throw new ConcurrentCommitException(
-        s"snapshot v${s.version} already committed at $dst", e)
+      Some(e)
     }
     if (isLocal) {
       val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
@@ -597,12 +871,12 @@ object ManifestTable {
       try {
         java.nio.file.Files.createLink(d, t) // kernel-atomic putIfAbsent
         java.nio.file.Files.deleteIfExists(t)
+        None
       } catch { case e: java.nio.file.FileAlreadyExistsException => lose(e) }
     } else {
-      try fc.rename(tmp, dst) // Options.Rename.NONE: atomic on HDFS
+      try { fc.rename(tmp, dst); None } // Options.Rename.NONE: atomic on HDFS
       catch { case NonFatal(e) => lose(e) }
     }
-    s
   }
 
   // --------------------------------------- optimistic concurrency
@@ -673,24 +947,35 @@ object ManifestTable {
   private[table] def commitRewrite(spark: SparkSession, dir: String,
       parent: Snapshot, operation: String, removed: Set[String],
       staged: Vector[FileEntry], conflictsWith: FileEntry => Boolean,
-      batchId: Option[Long], maxRetries: Int = 5): Snapshot = {
+      batchId: Option[Long], txnId: Option[String] = None,
+      maxRetries: Int = 5): Snapshot = {
+    def mark(s: Snapshot): Long =
+      txnId.map(id => s.txns.getOrElse(id, -1L)).getOrElse(s.lastBatch)
     var base = parent
     var attempt = 0
     while (true) {
+      val newLast =
+        if (txnId.isEmpty)
+          batchId.map(math.max(_, base.lastBatch)).getOrElse(base.lastBatch)
+        else base.lastBatch
+      val newTxns = (batchId, txnId) match {
+        case (Some(b), Some(id)) =>
+          base.txns + (id -> math.max(b, base.txns.getOrElse(id, -1L)))
+        case _ => base.txns
+      }
       val snap = Snapshot(base.version + 1, base.version, operation,
-        parent.statsCols, parent.partitionCols,
-        batchId.map(math.max(_, base.lastBatch)).getOrElse(base.lastBatch),
+        parent.statsCols, parent.partitionCols, newLast,
         parent.schemaJson,
         base.files.filterNot(f => removed(f.path)) ++ staged,
         parent.constraints, parent.dropped,
-        dvs = base.dvs -- removed)
-      try return publish(spark, dir, snap, base.ts)
+        dvs = base.dvs -- removed, txns = newTxns)
+      try return publish(spark, dir, snap, Some(base))
       catch {
         case e: ConcurrentCommitException =>
           attempt += 1
           if (attempt > maxRetries) throw e
           val head = current(spark, dir)
-          if (batchId.exists(_ <= head.lastBatch)) return head
+          if (batchId.exists(_ <= mark(head))) return head
           rebaseConflict(parent, base, head, removed, conflictsWith)
             .foreach { why =>
               throw new ConcurrentCommitException(
@@ -748,8 +1033,8 @@ object ManifestTable {
       val snap = Snapshot(head.version + 1, head.version, "append",
         head.statsCols, head.partitionCols, head.lastBatch,
         evolveSchema(head, df), head.files ++ files, head.constraints,
-        head.dropped, dvs = head.dvs)
-      try return publish(spark, dir, snap, head.ts)
+        head.dropped, dvs = head.dvs, txns = head.txns)
+      try return publish(spark, dir, snap, Some(head))
       catch {
         case e: ConcurrentCommitException =>
           attempt += 1; if (attempt > maxRetries) throw e
@@ -759,26 +1044,39 @@ object ManifestTable {
   }
 
   /** Exactly-once APPEND for streaming writers: the micro-batch id is
-    * recorded as the table's `lastBatch` high-water mark (same replay
-    * contract as [[mergeBatch]] — a replayed id returns the current
-    * snapshot without committing, O(1) and vacuum-proof). The sink
-    * behind `writeStream.format("graft")` in append mode. */
+    * recorded as a high-water mark — PER WRITER when `txnId` names the
+    * writer (the streaming query id / a user txnAppId: Delta's
+    * txnAppId pattern, [[Snapshot.txns]]), else against the
+    * table-global legacy mark. A replayed id returns the current
+    * snapshot without committing; the check is O(1) (it rides the
+    * LATEST snapshot) and survives vacuum. The sink behind
+    * `writeStream.format("graft")` in append mode. */
   def appendBatch(spark: SparkSession, dir: String, df: DataFrame,
-      batchId: Long, maxRetries: Int = 5): Snapshot = {
+      batchId: Long, txnId: Option[String] = None,
+      maxRetries: Int = 5): Snapshot = {
+    def mark(s: Snapshot): Long =
+      txnId.map(id => s.txns.getOrElse(id, -1L)).getOrElse(s.lastBatch)
     val base = current(spark, dir)
-    if (batchId <= base.lastBatch) return base
+    if (batchId <= mark(base)) return base
     evolveSchema(base, df)
     enforce(df, base.constraints, s"append@batch=$batchId")
     val files = stage(spark, dir, df, base.statsCols, base.partitionCols)
     var attempt = 0
     while (true) {
       val head = current(spark, dir)
-      if (batchId <= head.lastBatch) return head // landed concurrently
+      if (batchId <= mark(head)) return head // landed concurrently
+      val newLast =
+        if (txnId.isEmpty) math.max(batchId, head.lastBatch)
+        else head.lastBatch
+      val newTxns = txnId.map(id =>
+        head.txns + (id -> math.max(batchId, head.txns.getOrElse(id, -1L))))
+        .getOrElse(head.txns)
       val snap = Snapshot(head.version + 1, head.version,
         s"append@batch=$batchId", head.statsCols, head.partitionCols,
-        math.max(batchId, head.lastBatch), evolveSchema(head, df),
-        head.files ++ files, head.constraints, head.dropped, dvs = head.dvs)
-      try return publish(spark, dir, snap, head.ts)
+        newLast, evolveSchema(head, df),
+        head.files ++ files, head.constraints, head.dropped,
+        dvs = head.dvs, txns = newTxns)
+      try return publish(spark, dir, snap, Some(head))
       catch {
         case e: ConcurrentCommitException =>
           attempt += 1; if (attempt > maxRetries) throw e
@@ -852,8 +1150,9 @@ object ManifestTable {
       head.statsCols, head.partitionCols, head.lastBatch,
       StructType(schema.fields.filterNot(_.name == name)).json,
       head.files.map(f => f.copy(stats = f.stats - name)),
-      head.constraints, head.dropped :+ name, dvs = head.dvs)
-    publish(spark, dir, snap, head.ts)
+      head.constraints, head.dropped :+ name, dvs = head.dvs,
+      txns = head.txns)
+    publish(spark, dir, snap, Some(head))
   }
 
   /** ALTER TABLE ADD COLUMN as one METADATA commit — the explicit form
@@ -876,7 +1175,8 @@ object ManifestTable {
       s"add@${newFields.map(_.name).mkString(",")}", head.statsCols,
       head.partitionCols, head.lastBatch,
       StructType(schema.fields ++ newFields.map(_.copy(nullable = true))).json,
-      head.files, head.constraints, head.dropped, dvs = head.dvs), head.ts)
+      head.files, head.constraints, head.dropped, dvs = head.dvs,
+      txns = head.txns), Some(head))
   }
 
   /** Replace the table contents atomically (readers flip old→new with
@@ -889,8 +1189,9 @@ object ManifestTable {
     val files = stage(spark, dir, df, head.statsCols, head.partitionCols)
     val snap = Snapshot(head.version + 1, head.version, "overwrite",
       head.statsCols, head.partitionCols, head.lastBatch,
-      df.schema.json, files, head.constraints, dropped = Nil)
-    publish(spark, dir, snap, head.ts) // conflict ⇒ caller must re-read & re-run
+      df.schema.json, files, head.constraints, dropped = Nil,
+      txns = head.txns)
+    publish(spark, dir, snap, Some(head)) // conflict ⇒ caller must re-read & re-run
   }
 
   /** RESTORE TABLE … TO VERSION `version`: re-publish that snapshot's
@@ -913,8 +1214,8 @@ object ManifestTable {
     val snap = Snapshot(head.version + 1, head.version,
       s"restore@v$version", target.statsCols, target.partitionCols,
       head.lastBatch, target.schemaJson, target.files, target.constraints,
-      target.dropped, dvs = target.dvs)
-    publish(spark, dir, snap, head.ts)
+      target.dropped, dvs = target.dvs, txns = head.txns)
+    publish(spark, dir, snap, Some(head))
   }
 
   /** ALTER TABLE {ADD|DROP} CONSTRAINT as one metadata commit: added
@@ -933,8 +1234,9 @@ object ManifestTable {
     val next = head.constraints -- drop ++ add
     val snap = Snapshot(head.version + 1, head.version, "alter",
       head.statsCols, head.partitionCols, head.lastBatch,
-      head.schemaJson, head.files, next, head.dropped, dvs = head.dvs)
-    publish(spark, dir, snap, head.ts)
+      head.schemaJson, head.files, next, head.dropped, dvs = head.dvs,
+      txns = head.txns)
+    publish(spark, dir, snap, Some(head))
   }
 
   /** Partition/stats SPEC EVOLUTION as one metadata commit: change the
@@ -963,7 +1265,8 @@ object ManifestTable {
     if (st == head.statsCols && pc == head.partitionCols) return head
     publish(spark, dir, Snapshot(head.version + 1, head.version,
       "alter-layout", st, pc, head.lastBatch, head.schemaJson,
-      head.files, head.constraints, head.dropped, dvs = head.dvs), head.ts)
+      head.files, head.constraints, head.dropped, dvs = head.dvs,
+      txns = head.txns), Some(head))
   }
 
   /** Shallow CLONE: publish `dstDir` as a NEW table whose v0 references
@@ -1209,15 +1512,14 @@ object ManifestTable {
   def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Long = {
     // commit stamps are strictly increasing, so walking the retained
     // versions DESCENDING and stopping at the first commit at or before
-    // tsMillis is exact and costs O(commits newer than tsMillis) manifest
-    // reads, not O(history) — the common "as of five minutes ago" query
-    // on a long-lived table reads a handful of manifests
+    // tsMillis is exact and costs O(commits newer than tsMillis) tiny
+    // ts-only parses (no snapshot reconstruction), not O(history)
     val hit = listVersions(spark, dir).reverseIterator
-      .map(v => readManifest(spark, dir, v))
-      .find(s => s.ts >= 0 && s.ts <= tsMillis)
+      .map(v => (v, entryTs(spark, dir, v)))
+      .find { case (_, ts) => ts >= 0 && ts <= tsMillis }
     require(hit.nonEmpty,
       s"no snapshot of $dir committed at or before epoch-millis $tsMillis")
-    hit.get.version
+    hit.get._1
   }
 
   /** Time travel by wall clock: the table as of `tsMillis`. */
@@ -1415,17 +1717,19 @@ object ManifestTable {
     * the mark lives in the LATEST manifest, not the historical one. */
   def mergeBatch(spark: SparkSession, dir: String, source: DataFrame,
       key: String, batchId: Long, opCol: Option[String] = None,
-      seqCol: Option[String] = None): Snapshot = {
+      seqCol: Option[String] = None, txnId: Option[String] = None): Snapshot = {
     val head = current(spark, dir)
-    if (batchId <= head.lastBatch) head
+    val mark = txnId.map(id => head.txns.getOrElse(id, -1L))
+      .getOrElse(head.lastBatch)
+    if (batchId <= mark) head
     else mergeImpl(spark, dir, head, source, key, opCol, seqCol,
-      s"merge@batch=$batchId", Some(batchId))
+      s"merge@batch=$batchId", Some(batchId), txnId)
   }
 
   private[table] def mergeImpl(spark: SparkSession, dir: String,
       head: Snapshot, source: DataFrame, key: String, opCol: Option[String],
       seqCol: Option[String], operation: String,
-      batchId: Option[Long]): Snapshot = {
+      batchId: Option[Long], txnId: Option[String] = None): Snapshot = {
     val schema = head.schema
     val cols = schema.fieldNames.toSeq
     require(cols.contains(key), s"merge key $key not in table schema")
@@ -1451,6 +1755,14 @@ object ManifestTable {
             lit(" — pre-compact or pass seqCol")))).otherwise(lit(true)))
     }).select(cols.map(col) :+ srcOp.as("__op"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // size gate on the broadcast: a CDC-sized source broadcasts (the
+    // table side then never shuffles); a bulk source above the gate
+    // falls back to a plain shuffle join — identical semantics, and no
+    // driver/executor OOM from materializing a huge source. The count
+    // is one pass over the already-persisted source.
+    val srcRows = resolved.count()
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (srcRows <= MaxBroadcastSourceRows) broadcast(df) else df
     try {
       // Per-file pruning probe: a file is touched iff at least one
       // source key falls inside its [min, max] bounds on the merge key
@@ -1504,12 +1816,12 @@ object ManifestTable {
       val srcKeys = resolved.select(col(key))
       val base = scanWith(spark, dir, touched, schema, head.dvs)
       val rewritten = base
-        .join(broadcast(srcKeys), Seq(key), "left_anti")
+        .join(maybeBroadcast(srcKeys), Seq(key), "left_anti")
         .unionByName(winners)
         .coalesce(math.max(touched.size, 1))
 
       val staged =
-        if (touched.isEmpty && resolved.isEmpty) Vector.empty
+        if (touched.isEmpty && srcRows == 0) Vector.empty
         else stage(spark, dir, rewritten, head.statsCols, head.partitionCols)
       // Rebase conflict test for concurrently ADDED files: overlap with
       // the source key range ⇒ the other commit may have landed rows
@@ -1534,7 +1846,7 @@ object ManifestTable {
         }
       }
       commitRewrite(spark, dir, head, operation,
-        touched.map(_.path).toSet, staged, conflicts, batchId)
+        touched.map(_.path).toSet, staged, conflicts, batchId, txnId)
     } finally {
       resolved.unpersist()
     }
@@ -1663,7 +1975,7 @@ object ManifestTable {
         publish(spark, dir, Snapshot(head.version + 1, head.version,
           "update-dv", head.statsCols, head.partitionCols, head.lastBatch,
           head.schemaJson, head.files ++ staged, head.constraints,
-          head.dropped, dvs = dvs), head.ts)
+          head.dropped, dvs = dvs, txns = head.txns), Some(head))
     }
   }
 
@@ -1708,7 +2020,7 @@ object ManifestTable {
         publish(spark, dir, Snapshot(head.version + 1, head.version,
           "delete-dv", head.statsCols, head.partitionCols, head.lastBatch,
           head.schemaJson, head.files, head.constraints, head.dropped,
-          dvs = dvs), head.ts)
+          dvs = dvs, txns = head.txns), Some(head))
     }
   }
 
@@ -1933,7 +2245,7 @@ object ManifestTable {
   def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1,
       retainMillis: Long = 0L): Long = {
     require(keepLast >= 1, "must keep at least the current snapshot")
-    val versions = listVersions(spark, dir)
+    val (versions, cks) = listLog(spark, dir)
     // age-based retention on top of the count-based floor: every
     // snapshot younger than `retainMillis` stays time-travelable (the
     // production contract — "keep 7 days" — independent of commit rate)
@@ -1942,15 +2254,38 @@ object ManifestTable {
       else System.currentTimeMillis() - retainMillis
     val young =
       if (retainMillis <= 0L) Set.empty[Long]
-      else versions.filter(v =>
-        readManifest(spark, dir, v).ts >= cutoff).toSet
+      else versions.filter(v => entryTs(spark, dir, v) >= cutoff).toSet
     val keep = versions.takeRight(keepLast).toSet ++ young
-    val live = versions.filter(keep)
-      .flatMap(v => readManifest(spark, dir, v).files.map(_.path))
+    // commit stamps are strictly increasing ⇒ the kept set is a SUFFIX
+    val kept = versions.filter(keep)
+    if (kept.isEmpty) return 0L
+    // reconstruct every kept snapshot in ONE forward fold
+    var snap = snapshotAt(spark, dir, kept.head, cks)
+    val keptSnaps = Vector.newBuilder[Snapshot]
+    keptSnaps += snap
+    kept.tail.foreach { v =>
+      readLogEntry(spark, dir, v) match {
+        case Left(full) => snap = full
+        case Right(d) => snap = applyDelta(Some(snap), d)
+      }
+      keptSnaps += snap
+    }
+    val snaps = keptSnaps.result()
+    val fs = logPath(dir).getFileSystem(conf(spark))
+    val dropping = versions.exists(v => !keep(v))
+    if (dropping) {
+      // the horizon snapshot must stay reconstructible after its delta
+      // chain is deleted: checkpoint it (idempotent), then VERIFY the
+      // file exists before any log entry is removed
+      writeCheckpoint(spark, dir, snaps.head)
+      require(fs.exists(new Path(logPath(dir), checkpointName(kept.head))),
+        s"vacuum: could not checkpoint horizon v${kept.head} — aborting " +
+          "before any deletion")
+    }
+    val live = snaps.flatMap(_.files.map(_.path))
       .map(p => p.split("/")(1)) // commit uuid component
       .toSet
     val dataRoot = new Path(dir, DataDir)
-    val fs = dataRoot.getFileSystem(conf(spark))
     if (!fs.exists(dataRoot)) return 0L
     var deleted = 0L
     fs.listStatus(dataRoot).foreach { st =>
@@ -1967,8 +2302,7 @@ object ManifestTable {
     // deletion-vector sweep: same liveness rule over the dv/ root
     val dvRoot = new Path(dir, DvDir)
     if (fs.exists(dvRoot)) {
-      val liveDv = versions.filter(keep)
-        .flatMap(v => readManifest(spark, dir, v).dvs.values.flatten)
+      val liveDv = snaps.flatMap(_.dvs.values.flatten)
         .map(p => p.split("/").last).toSet
       fs.listStatus(dvRoot).foreach { st =>
         if (st.isDirectory && !liveDv.contains(st.getPath.getName)) {
@@ -1977,9 +2311,13 @@ object ManifestTable {
         }
       }
     }
-    // drop manifests for vacuumed-away versions so history() stays honest
+    // drop log entries below the horizon so history() stays honest —
+    // deltas of vacuumed versions AND the checkpoints they fed
     versions.filterNot(keep).foreach { v =>
-      fs.delete(new Path(logPath(dir), manifestName(v)), false)
+      fs.delete(new Path(logPath(dir), deltaName(v)), false)
+    }
+    cks.filter(_ < kept.head).foreach { c =>
+      fs.delete(new Path(logPath(dir), checkpointName(c)), false)
     }
     deleted
   }

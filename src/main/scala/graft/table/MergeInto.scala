@@ -130,6 +130,13 @@ object MergeInto {
     val dupW = Window.partitionBy(keys.map(col): _*)
     val resolved = source.withColumn("__dup", count(lit(1)).over(dupW))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // size gate, same as ManifestTable.merge: a CDC-sized source
+    // broadcasts (table side never shuffles); a bulk source falls back
+    // to a shuffle join — identical semantics, no driver OOM
+    val srcRows = resolved.count()
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (srcRows <= ManifestTable.MaxBroadcastSourceRows) broadcast(df)
+      else df
     try {
       // ---- per-column interval-intersection pruning probe ----
       val probed = keys.flatMap { k =>
@@ -238,7 +245,7 @@ object MergeInto {
           lit("mergeInto: multiple source rows match target key ("),
           concat_ws(",", keys.map(c => col(c).cast("string")): _*),
           lit(") — deduplicate the source")))).otherwise(lit(true))
-      val joined = base.join(broadcast(srcKeyed), keys, "left")
+      val joined = base.join(maybeBroadcast(srcKeyed), keys, "left")
         .withColumn("__m", when(isMatched, clauseIdx).otherwise(lit(-1)))
         .withColumn("__s", when(!isMatched, bsClauseIdx).otherwise(lit(-1)))
         .where(guard)

@@ -37,14 +37,25 @@ class GraftSinkSpec extends SparkSuite {
       val snap = ManifestTable.snapshot(spark, dir)
       assert(snap.statsCols == Seq("k"), "layout option applied at create")
       assert(ManifestTable.read(spark, dir).count() == 3L)
-      assert(snap.lastBatch >= 1L, "high-water mark must track batch ids")
-      // replay contract: re-delivering an already-committed id commits
-      // nothing (the foreachBatch retry shape after a sink/offset crash)
+      // the mark is scoped PER WRITER (txnAppId pattern): the sink
+      // recorded the running query's id, not the table-global mark
+      assert(snap.txns.size == 1 && snap.txns.values.head >= 1L,
+        s"per-query high-water mark must track batch ids, got ${snap.txns}")
+      val queryTxn = snap.txns.keys.head
+      // replay contract: re-delivering an already-committed id UNDER
+      // THE SAME WRITER commits nothing (the foreachBatch retry shape
+      // after a sink/offset crash)
       val replayed = ManifestTable.appendBatch(spark, dir,
-        Seq((9L, "dup")).toDF("k", "v"), batchId = 0L)
+        Seq((9L, "dup")).toDF("k", "v"), batchId = 0L, Some(queryTxn))
       assert(replayed.version == snap.version,
         "replayed batch id must be a structural no-op")
       assert(ManifestTable.read(spark, dir).count() == 3L)
+      // and a DIFFERENT writer restarting at batch 0 lands — the
+      // pre-r15 global mark silently dropped it
+      ManifestTable.appendBatch(spark, dir,
+        Seq((10L, "other")).toDF("k", "v"), batchId = 0L, Some("other-q"))
+      assert(ManifestTable.read(spark, dir).count() == 4L,
+        "a second writer's batch 0 must not be dropped")
     } finally q.stop()
   }
 
