@@ -1376,6 +1376,70 @@ class MarqueeStressSpec extends AnyFunSuite {
       f"purge $tPurge%.2f s; post-purge read $tAfter%.2f s")
   }
 
+  test("delta-log commit cost: log bytes per commit stay FLAT as live " +
+    "files grow; the checkpoint (old per-commit cost) grows linearly", Marquee) {
+    import graft.table.ManifestTable
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("mq_dlog").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    def logSizes(): Map[String, Long] = {
+      val lp = new Path(dir, "_graft_log")
+      lp.getFileSystem(hc).listStatus(lp)
+        .map(s => s.getPath.getName -> s.getLen).toMap
+    }
+    ManifestTable.create(spark, dir,
+      spark.range(1000L).select(col("id").as("k"),
+        (col("id") % 7).as("v")).coalesce(1), statsCols = Seq("k"))
+    // grow the table one file per commit; at each measured point record
+    // the APPEND's own log-record bytes and wall — the round-15 law is
+    // that both are independent of the live-file count (pre-r15, every
+    // commit serialized the full listing: the checkpoint row below is
+    // exactly what that cost, per commit)
+    val points = Seq(16, 64, 160, 320)
+    var committed = 1
+    val deltaBytes = scala.collection.mutable.LinkedHashMap.empty[Int, Long]
+    val appendWall = scala.collection.mutable.LinkedHashMap.empty[Int, Double]
+    points.foreach { target =>
+      while (committed < target) {
+        val df = spark.range(committed * 1000L, committed * 1000L + 1000L)
+          .select(col("id").as("k"), (col("id") % 7).as("v")).coalesce(1)
+        val (snap, t) = timed(ManifestTable.append(spark, dir, df))
+        committed += 1
+        if (committed == target) {
+          deltaBytes(target) = logSizes()(f"v${snap.version}%020d.json")
+          appendWall(target) = t
+        }
+      }
+    }
+    val head = ManifestTable.snapshot(spark, dir)
+    assert(head.files.size == 320, s"expected 320 live files, got ${head.files.size}")
+    // the flat law: the 320-file append's record is no bigger than the
+    // 16-file one (both are one added entry + metadata)
+    assert(deltaBytes(320) <= deltaBytes(16) * 3 / 2,
+      s"append record grew with live files: $deltaBytes")
+    assert(deltaBytes(320) < 4096,
+      s"append record must be KB-sized at any file count: $deltaBytes")
+    // the counterfactual: the nearest checkpoint carries the full
+    // listing — linear in live files, ≫ the delta — and is paid once
+    // per CheckpointInterval, not per commit
+    val sizes = logSizes()
+    val ck64 = sizes("c00000000000000000064.json")
+    val ck304 = sizes("c00000000000000000304.json")
+    assert(ck304 > ck64 * 3, s"checkpoint must grow with live files: $ck64 -> $ck304")
+    assert(ck304 > deltaBytes(320) * 50,
+      s"delta must be far below the full listing: ${deltaBytes(320)} vs $ck304")
+    // reads reconstruct through checkpoint + suffix: snapshot() cost is
+    // bounded by the interval, not history length (320 commits deep)
+    val (_, tSnap) = timed(ManifestTable.snapshot(spark, dir))
+    assert(ManifestTable.read(spark, dir).count() == 320000L)
+    info(f"append log-record bytes at 16/64/160/320 files: " +
+      deltaBytes.map { case (n, b) => s"$n -> $b B" }.mkString(", ") +
+      f"; append walls: " +
+      appendWall.map { case (n, t) => f"$n -> $t%.2f s" }.mkString(", ") +
+      f"; checkpoint bytes 64 -> $ck64, 304 -> $ck304; " +
+      f"snapshot() after 320 commits $tSnap%.3f s")
+  }
+
   test("row-group pruning: 2M-row single-file table — kept bytes track " +
     "selectivity and a needle read beats the full scan", Marquee) {
     import graft.table.ManifestTable

@@ -59,6 +59,43 @@ class GraftSinkSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("micro-batch commit cost is BATCH-sized, not table-sized: a " +
+    "batch landing on a many-file table writes a KB-scale log record") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = freshDir("bcost")
+    val ckpt = freshDir("bcost_ckpt")
+    // pre-load the table with 40 live files — the streaming sink's
+    // per-batch commit must not re-serialize their listing
+    ManifestTable.create(spark, dir,
+      (1L to 4000L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(40, org.apache.spark.sql.functions.col("k")),
+      statsCols = Seq("k"))
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("k", "v")
+      .writeStream.format("graft")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .start()
+    try {
+      mem.addData((9001L, "b0"))
+      q.processAllAvailable()
+      mem.addData((9002L, "b1"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val lp = new org.apache.hadoop.fs.Path(dir, "_graft_log")
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizes = fs.listStatus(lp)
+      .map(s => s.getPath.getName -> s.getLen).toMap
+    val createBytes = sizes("v00000000000000000000.json")
+    Seq(1L, 2L).foreach { v =>
+      val b = sizes(f"v$v%020d.json")
+      assert(b < 4096, s"batch commit record is $b B — table-sized?")
+      assert(b * 5 < createBytes,
+        s"batch record $b B vs 40-file listing $createBytes B")
+    }
+    assert(ManifestTable.read(spark, dir).count() == 4002L)
+  }
+
   test("merge mode: latest-wins CDC per micro-batch with exactly-once " +
     "ids; 'D' op deletes") {
     import spark.implicits._
