@@ -65,5 +65,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Opt-in rewrite of pure BETWEEN theta joins to bin-keyed hash joins
     // (fires only when spark.graft.rangeJoin.binWidth is set).
     ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRewrite)
+    // SQL row-level DML on graft tables: UPDATE and MERGE INTO resolve
+    // into the engine's own commit operations (see GraftSqlDml).
+    ext.injectResolutionRule(s => new graft.sources.GraftSqlDmlRule(s))
   }
 }

@@ -213,6 +213,113 @@ object TableQueries {
         .orderBy("snap", "bucket")
     },
 
+    // SQL row-level DML end-to-end (round-15 verdict #2): the table is
+    // mutated by SQL TEXT — `UPDATE t SET … WHERE …` and a full-matrix
+    // `MERGE INTO` (conditional DELETE / UPDATE composing target+source
+    // / INSERT / NOT MATCHED BY SOURCE) through GraftSqlDmlRule — and a
+    // FACADE twin table applies the identical operations through
+    // ManifestTable.update + MergeInto. Both committed tables are
+    // fingerprinted under 'sql' / 'facade' tags; the oracle restates
+    // the final contents relationally, so ONE hash pins SQL ≡ facade ≡
+    // the relational semantics. Keys are de-duplicated by a GROUP BY
+    // base (fixture orderkeys are not guaranteed unique) so the MERGE
+    // cardinality rule cannot fire.
+    Q("q_table_sqldml",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+        |      AS DECIMAL(14,4)) AS p
+        |  FROM orders GROUP BY o_orderkey),
+        |after_upd AS (
+        |  SELECT k, CASE WHEN k % 7 = 3
+        |    THEN CAST(p + CAST(2.5 AS DECIMAL(12,4)) AS DECIMAL(14,4))
+        |    ELSE p END AS p
+        |  FROM base),
+        |final AS (
+        |  SELECT k, CASE
+        |      WHEN k % 11 = 2 THEN
+        |        CAST(p + CAST(k % 97 AS DECIMAL(12,4)) AS DECIMAL(14,4))
+        |      WHEN NOT (k % 11 = 2) AND k % 19 = 7 THEN
+        |        CAST(0 AS DECIMAL(14,4))
+        |      ELSE p END AS p
+        |  FROM after_upd WHERE NOT (k % 13 = 5)
+        |  UNION ALL
+        |  SELECT -k, CAST(CAST(k % 53 AS DECIMAL(12,4)) AS DECIMAL(14,4))
+        |  FROM base WHERE k % 17 = 1),
+        |fp AS (
+        |  SELECT CAST(k % 10 AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+        |    CAST(SUM(k) AS BIGINT) AS key_sum, %PSUM% AS price_sum
+        |  FROM final GROUP BY k % 10)
+        |SELECT 'facade' AS api, bucket, n_rows, key_sum, price_sum FROM fp
+        |UNION ALL
+        |SELECT 'sql', bucket, n_rows, key_sum, price_sum FROM fp
+        |ORDER BY api, bucket""".stripMargin
+        .replace("%PSUM%", Dsl.d2dSql(Dsl.dsumSql("p")))) { (s, d) =>
+      import graft.table.MergeInto
+      val wh = Scratch.wiped("mtable_sqldml")
+      val facDir = Scratch.wiped("mtable_sqldml_facade")
+      s.conf.set("spark.sql.catalog.gqdml", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gqdml.warehouse", wh)
+      val base = Tables.orders(s, d)
+        .groupBy(col("o_orderkey").as("k"))
+        .agg(sum(col("o_totalprice").cast(Dsl.DFac)).cast(P).as("p"))
+      base.createOrReplaceTempView("gqdml_base")
+      // the shared MERGE source: one row per key — matched keys carry
+      // an op ('D' wins where both predicates hold) and a delta, the
+      // negative keys are pure inserts
+      val src = base.where(col("k") % 13 === 5 || col("k") % 11 === 2)
+        .select(col("k"),
+          when(col("k") % 13 === 5, lit("D")).otherwise(lit("U")).as("op"),
+          (col("k") % 97).cast(Dsl.DFac).as("dp"))
+        .unionByName(base.where(col("k") % 17 === 1)
+          .select((-col("k")).as("k"), lit("U").as("op"),
+            (col("k") % 53).cast(Dsl.DFac).as("dp")))
+      src.createOrReplaceTempView("gqdml_src")
+      // --- SQL path: statements only ---
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gqdml.m")
+      s.sql("""CREATE TABLE gqdml.m.t
+        TBLPROPERTIES ('option.statsCols' = 'k')
+        AS SELECT k, p FROM gqdml_base""")
+      s.sql("""UPDATE gqdml.m.t
+        SET p = CAST(p + CAST(2.5 AS DECIMAL(12,4)) AS DECIMAL(14,4))
+        WHERE k % 7 = 3""")
+      s.sql("""MERGE INTO gqdml.m.t AS t USING gqdml_src AS s
+        ON t.k = s.k
+        WHEN MATCHED AND s.op = 'D' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET p = CAST(t.p + s.dp AS DECIMAL(14,4))
+        WHEN NOT MATCHED THEN INSERT (k, p) VALUES (s.k,
+          CAST(s.dp AS DECIMAL(14,4)))
+        WHEN NOT MATCHED BY SOURCE AND t.k % 19 = 7 THEN
+          UPDATE SET p = CAST(0 AS DECIMAL(14,4))""")
+      // --- facade twin: the same operations through the Scala API ---
+      ManifestTable.create(s, facDir, base, statsCols = Seq("k"))
+      ManifestTable.update(s, facDir, col("k") % 7 === 3,
+        Map("p" -> (col("p") + lit(2.5).cast(Dsl.DFac))))
+      MergeInto(s, facDir, src, keys = Seq("k"),
+        matched = Seq(
+          MergeInto.WhenMatched(MergeInto.Delete,
+            Some(MergeInto.src("op") === "D")),
+          MergeInto.WhenMatched(MergeInto.Update(Map(
+            "p" -> (col("p") + MergeInto.src("dp")))))),
+        notMatched = Seq(
+          MergeInto.WhenNotMatched(MergeInto.Insert(Map(
+            "k" -> col("k"), "p" -> col("dp"))))),
+        notMatchedBySource = Seq(
+          MergeInto.WhenNotMatchedBySource(
+            MergeInto.Update(Map("p" -> lit(0))),
+            Some(col("k") % 19 === 7))))
+      def fp(df: org.apache.spark.sql.DataFrame, tag: String) = df
+        .groupBy((col("k") % 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("key_sum"),
+          Dsl.d2d(Dsl.dsum(col("p"))).as("price_sum"))
+        .select(lit(tag).as("api"), col("bucket"), col("n_rows"),
+          col("key_sum"), col("price_sum"))
+      fp(s.sql("SELECT * FROM gqdml.m.t"), "sql")
+        .unionByName(fp(ManifestTable.read(s, facDir), "facade"))
+        .orderBy("api", "bucket")
+    },
+
     // Row-group-granularity pruning end-to-end: one single-file table
     // with many small row groups (sorted by key, so each group owns a
     // tight key range), read back through read(dir, filter) — which

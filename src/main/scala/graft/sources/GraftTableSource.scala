@@ -225,6 +225,9 @@ private[sources] class GraftTable(tableSchema: StructType,
   private val dir = Option(options.get("path")).getOrElse(sys.error(
     "graft: option(\"path\", <table dir>) is required"))
 
+  /** Table root — the handle the SQL DML rules hand to the facade. */
+  private[sources] def tableDir: String = dir
+
   override def name(): String = s"graft.`$dir`"
 
   override def schema(): StructType = tableSchema

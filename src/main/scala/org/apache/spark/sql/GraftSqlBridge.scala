@@ -24,6 +24,12 @@ object GraftSqlBridge {
   def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** The inverse seam: a catalyst Expression as a Column (Spark 4's
+    * classic-side wrapper) — used by the SQL DML rules to re-plan
+    * resolved statement fragments onto fresh engine frames. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   /** Re-plan a batch frame as a STREAMING one (isStreaming = true) —
     * what a V1 `Source.getBatch` must hand the engine, and exactly how
     * the built-in file stream source wraps its batch reads: the batch
