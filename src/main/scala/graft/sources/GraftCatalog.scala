@@ -6,10 +6,13 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.table.ManifestTable
@@ -40,7 +43,8 @@ import graft.table.ManifestTable
   * hands timestamps in MICROseconds). Reads/writes resolve through
   * [[GraftTable]], so SQL gets the same manifest + row-group pruning
   * and the same commit protocol as everything else. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -177,6 +181,117 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       sys.error(s"graft catalog: rename $oldIdent -> $newIdent failed")
   }
 
+  // -------------------------------------------------- procedures
+
+  /** SQL maintenance entry points (round-15 verdict #3) — at 100 TB,
+    * maintenance is run by schedulers speaking SQL, not Scala:
+    *
+    * {{{
+    * CALL lake.system.compact(table => 'ns.t', small_mb => 32,
+    *                          target_mb => 128);
+    * CALL lake.system.zorder(table => 'ns.t', columns => 'a,b');
+    * CALL lake.system.vacuum(table => 'ns.t', keep_last => 3,
+    *                         retain_hours => 168);
+    * CALL lake.system.purge_vectors(table => 'ns.t');
+    * CALL lake.system.restore(table => 'ns.t', version => 4);
+    * CALL lake.system.checkpoint(table => 'ns.t');
+    * }}}
+    *
+    * Each is a thin binding onto the facade operation of the same name
+    * (GraftCatalogSpec pins per-procedure that CALL ≡ facade on twin
+    * tables), so SQL schedulers and Scala jobs share one maintenance
+    * code path. The `table` argument is the catalog-relative
+    * `namespace.table` string. */
+  private def tableDirOf(table: String): String = {
+    val parts = table.split('.').toSeq
+    val ident = Identifier.of(parts.init.toArray, parts.last)
+    val dir = tablePath(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    dir.toString
+  }
+
+  private def proc(pname: String, doc: String,
+      params: Seq[ProcedureParameter])(
+      body: InternalRow => Unit): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = pname
+      override def description(): String = doc
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = pname
+          override def description(): String = doc
+          override def parameters(): Array[ProcedureParameter] =
+            params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[Scan] = {
+            body(input)
+            java.util.Collections.emptyIterator[Scan]()
+          }
+        }
+    }
+
+  private def p(n: String, t: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, t).build()
+  private def pd(n: String, t: DataType, d: String): ProcedureParameter =
+    ProcedureParameter.in(n, t).defaultValue(d).build()
+  private def str(r: InternalRow, i: Int): String =
+    r.getUTF8String(i).toString
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftCatalog.ProcedureNames
+      .map(n => Identifier.of(Array("system"), n)).toArray
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.isEmpty ||
+      ident.namespace.sameElements(Array("system")),
+      s"graft catalog: procedures live in the system namespace, got $ident")
+    ident.name match {
+      case "compact" => proc("compact",
+        "bin-pack small files: compact(table, small_mb, target_mb)",
+        Seq(p("table", StringType), pd("small_mb", LongType, "32"),
+          pd("target_mb", LongType, "128"))) { r =>
+        ManifestTable.compact(spark, tableDirOf(str(r, 0)),
+          smallBytes = r.getLong(1) << 20, targetBytes = r.getLong(2) << 20)
+      }
+      case "zorder" => proc("zorder",
+        "rewrite ALL files in Z-order: zorder(table, columns, target_mb)",
+        Seq(p("table", StringType), p("columns", StringType),
+          pd("target_mb", LongType, "128"))) { r =>
+        val cols = str(r, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        ManifestTable.compact(spark, tableDirOf(str(r, 0)),
+          smallBytes = Long.MaxValue, targetBytes = r.getLong(2) << 20,
+          zorderBy = cols)
+      }
+      case "vacuum" => proc("vacuum",
+        "drop unreferenced files: vacuum(table, keep_last, retain_hours)",
+        Seq(p("table", StringType), pd("keep_last", LongType, "1"),
+          pd("retain_hours", LongType, "0"))) { r =>
+        ManifestTable.vacuum(spark, tableDirOf(str(r, 0)),
+          keepLast = r.getLong(1).toInt,
+          retainMillis = r.getLong(2) * 3600L * 1000L)
+      }
+      case "purge_vectors" => proc("purge_vectors",
+        "materialize all deletion vectors: purge_vectors(table)",
+        Seq(p("table", StringType))) { r =>
+        ManifestTable.purgeVectors(spark, tableDirOf(str(r, 0)))
+      }
+      case "restore" => proc("restore",
+        "roll the table back to a version: restore(table, version)",
+        Seq(p("table", StringType), p("version", LongType))) { r =>
+        ManifestTable.restore(spark, tableDirOf(str(r, 0)), r.getLong(1))
+      }
+      case "checkpoint" => proc("checkpoint",
+        "force a full log checkpoint: checkpoint(table)",
+        Seq(p("table", StringType))) { r =>
+        ManifestTable.checkpoint(spark, tableDirOf(str(r, 0)))
+      }
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: no procedure $other — available: " +
+          GraftCatalog.ProcedureNames.mkString(", "))
+    }
+  }
+
   // --------------------------------------------------- namespaces
 
   override def listNamespaces(): Array[Array[String]] =
@@ -230,4 +345,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         "is not empty — use CASCADE")
     else fs.delete(p, true)
   }
+}
+
+object GraftCatalog {
+  /** The CALL surface, in `system` namespace. */
+  val ProcedureNames: Seq[String] = Seq(
+    "compact", "zorder", "vacuum", "purge_vectors", "restore", "checkpoint")
 }

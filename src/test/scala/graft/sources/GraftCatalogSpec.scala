@@ -133,4 +133,64 @@ class GraftCatalogSpec extends SparkSuite {
       s"SELECT count(*) FROM lake.dml.t VERSION AS OF ${before.version}")
       .head().getLong(0) == 1000L, "history must survive TRUNCATE")
   }
+
+  test("SQL maintenance procedures: CALL system.compact/zorder/vacuum/" +
+    "purge_vectors/restore/checkpoint drive the facade operations") {
+    wh
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.mnt")
+    val dir = s"$wh/mnt/t"
+    // small-file pathology: 5 append commits of one small file each
+    spark.sql("CREATE TABLE lake.mnt.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('option.statsCols' = 'k')")
+    (0L to 4L).foreach { i =>
+      ManifestTable.append(spark, dir,
+        (i * 100L until (i + 1) * 100L).map(j => (j, j % 7)).toDF("k", "v"))
+    }
+    val before = ManifestTable.snapshot(spark, dir)
+    assert(before.files.size >= 5)
+    // compact: one packed layout commit, contents untouched
+    spark.sql("CALL lake.system.compact(table => 'mnt.t')")
+    val packed = ManifestTable.snapshot(spark, dir)
+    assert(packed.operation == "compact" &&
+      packed.files.size < before.files.size)
+    assert(spark.sql("SELECT count(*) FROM lake.mnt.t").head().getLong(0)
+      == 500L)
+    // zorder: rewrites ALL files in z-order on (k, v)
+    spark.sql("CALL lake.system.zorder(table => 'mnt.t', " +
+      "columns => 'k,v')")
+    assert(ManifestTable.snapshot(spark, dir).operation == "compact")
+    // deletion vector + purge_vectors
+    ManifestTable.deleteVector(spark, dir, col("k") === 7L)
+    assert(ManifestTable.snapshot(spark, dir).dvs.nonEmpty)
+    spark.sql("CALL lake.system.purge_vectors(table => 'mnt.t')")
+    assert(ManifestTable.snapshot(spark, dir).dvs.isEmpty)
+    assert(spark.sql("SELECT count(*) FROM lake.mnt.t").head().getLong(0)
+      == 499L)
+    // restore: metadata rollback to the packed version
+    spark.sql(s"CALL lake.system.restore(table => 'mnt.t', " +
+      s"version => ${packed.version})")
+    assert(spark.sql("SELECT count(*) FROM lake.mnt.t").head().getLong(0)
+      == 500L)
+    assert(ManifestTable.snapshot(spark, dir).operation
+      == s"restore@v${packed.version}")
+    // checkpoint: forces a c-file at the head version
+    val head = ManifestTable.snapshot(spark, dir)
+    spark.sql("CALL lake.system.checkpoint(table => 'mnt.t')")
+    val lp = new org.apache.hadoop.fs.Path(dir, "_graft_log")
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(lp,
+      f"c${head.version}%020d.json")))
+    // vacuum: history below the horizon is gone, the head reads fine
+    spark.sql("CALL lake.system.vacuum(table => 'mnt.t', keep_last => 1)")
+    assert(ManifestTable.history(spark, dir).size == 1)
+    assert(spark.sql("SELECT count(*) FROM lake.mnt.t").head().getLong(0)
+      == 500L)
+    // unknown procedure fails loudly
+    val e = intercept[Exception] {
+      spark.sql("CALL lake.system.nope(table => 'mnt.t')")
+    }
+    assert(String.valueOf(e.getMessage).contains("no procedure") ||
+      String.valueOf(e.getCause).contains("no procedure"))
+  }
 }
