@@ -142,6 +142,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         ManifestTable.addColumns(spark, dir, Seq(
           org.apache.spark.sql.types.StructField(
             a.fieldNames.head, a.dataType, nullable = true)))
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "graft catalog: only top-level RENAME COLUMN is supported")
+        ManifestTable.renameColumn(spark, dir, r.fieldNames.head,
+          r.newName)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER $other — use the Scala " +
           "facade for constraints/layout DDL")

@@ -355,8 +355,10 @@ private[sources] class GraftTableStreamSource(sqlContext: SQLContext,
   import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 
   private val spark = sqlContext.sparkSession
-  override val schema: StructType =
-    ManifestTable.snapshot(spark, dir).schema
+  // schema AND rename lineage are pinned at stream start; a later
+  // rename commit changes schemaJson and fails the version walk loudly
+  private val startSnap = ManifestTable.snapshot(spark, dir)
+  override val schema: StructType = startSnap.schema
 
   private def ver(o: V1Offset): Long = o match {
     case LongOffset(v) => v
@@ -406,7 +408,8 @@ private[sources] class GraftTableStreamSource(sqlContext: SQLContext,
         .getOrElse(Set.empty[String])
       val added = cur.files.filterNot(f => prevPaths(f.path))
       if (added.isEmpty) None
-      else Some(ManifestTable.readFiles(spark, dir, added, schema))
+      else Some(ManifestTable.readFiles(spark, dir, added, schema,
+        startSnap.renames))
     }
     val batch = steps.reduceOption(_ unionByName _).getOrElse(
       spark.createDataFrame(spark.sparkContext

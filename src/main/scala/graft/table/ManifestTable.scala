@@ -206,7 +206,19 @@ object ManifestTable {
         * or a user-chosen `txnAppId`) makes exactly-once hold per
         * WRITER: each query replays only against its own history.
         * Carried forward by every commit, like [[lastBatch]]. */
-      txns: Map[String, Long] = Map.empty) {
+      txns: Map[String, Long] = Map.empty,
+      /** Column-rename lineage (ALTER TABLE RENAME COLUMN as a pure
+        * METADATA commit): logical name → the column's PRIOR physical
+        * names, newest first. Files written before a rename carry the
+        * old physical name; every read resolves a renamed column as
+        * `coalesce(newName, priorNames…)` over a widened physical read
+        * schema, so old files surface their values under the new name
+        * with zero data IO at any table size (the column-mapping idea,
+        * done by name instead of field ids). Prior names are reserved
+        * like [[dropped]] tombstones — re-adding one would let stale
+        * physical values resurrect. A full [[overwrite]] clears the
+        * lineage (no old file survives). */
+      renames: Map[String, Vector[String]] = Map.empty) {
     def totalRows: Long = files.iterator.map(_.rows).sum
     def totalBytes: Long = files.iterator.map(_.bytes).sum
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -368,7 +380,8 @@ object ManifestTable {
       operation: String, statsCols: Seq[String], partitionCols: Seq[String],
       lastBatch: Long, schemaJson: String,
       constraints: Map[String, String], dropped: Seq[String],
-      txns: Map[String, Long], ts: Long,
+      txns: Map[String, Long], renames: Map[String, Vector[String]],
+      ts: Long,
       add: Vector[FileEntry], remove: Vector[String],
       dvSet: Map[String, Vector[String]], dvDel: Vector[String])
 
@@ -387,8 +400,8 @@ object ManifestTable {
     val dvDel = pDvs.keysIterator.filterNot(s.dvs.contains).toVector.sorted
     val dvSet = s.dvs.filter { case (p, vs) => !pDvs.get(p).contains(vs) }
     DeltaRec(s.version, s.parent, s.operation, s.statsCols, s.partitionCols,
-      s.lastBatch, s.schemaJson, s.constraints, s.dropped, s.txns, s.ts,
-      add, remove, dvSet, dvDel)
+      s.lastBatch, s.schemaJson, s.constraints, s.dropped, s.txns,
+      s.renames, s.ts, add, remove, dvSet, dvDel)
   }
 
   /** Replay one delta onto its parent. The file ORDER this produces
@@ -403,7 +416,7 @@ object ManifestTable {
       d.dvDel ++ d.dvSet
     Snapshot(d.version, d.parent, d.operation, d.statsCols, d.partitionCols,
       d.lastBatch, d.schemaJson, files, d.constraints, d.dropped, d.ts,
-      dvs, d.txns)
+      dvs, d.txns, d.renames)
   }
 
   // ------------------------------------------------------ json codec
@@ -462,7 +475,8 @@ object ManifestTable {
   private def renderMeta(version: Long, parent: Long, operation: String,
       lastBatch: Long, ts: Long, schemaJson: String, statsCols: Seq[String],
       partitionCols: Seq[String], constraints: Map[String, String],
-      dropped: Seq[String], txns: Map[String, Long]): List[(String, JValue)] =
+      dropped: Seq[String], txns: Map[String, Long],
+      renames: Map[String, Vector[String]]): List[(String, JValue)] =
     List(
       "version" -> (JLong(version): JValue),
       "parent" -> (JLong(parent): JValue),
@@ -481,13 +495,17 @@ object ManifestTable {
        else List("dropped" -> (JArray(dropped.toList.map(JString(_))): JValue))) ++
       (if (txns.isEmpty) Nil
        else List("txns" -> (JObject(txns.toList.sortBy(_._1)
-         .map { case (id, b) => id -> (JLong(b): JValue) }): JValue)))
+         .map { case (id, b) => id -> (JLong(b): JValue) }): JValue))) ++
+      (if (renames.isEmpty) Nil
+       else List("renames" -> (JObject(renames.toList.sortBy(_._1).map {
+         case (n, chain) => n -> (JArray(chain.toList.map(JString(_))): JValue)
+       }): JValue)))
 
   private def renderDelta(d: DeltaRec): String = {
     val obj = JObject(List("kind" -> (JString("delta"): JValue)) ++
       renderMeta(d.version, d.parent, d.operation, d.lastBatch, d.ts,
         d.schemaJson, d.statsCols, d.partitionCols, d.constraints,
-        d.dropped, d.txns) ++
+        d.dropped, d.txns, d.renames) ++
       (if (d.add.isEmpty) Nil
        else List("add" -> (JArray(d.add.toList.map(renderFile)): JValue))) ++
       (if (d.remove.isEmpty) Nil
@@ -507,7 +525,7 @@ object ManifestTable {
     val obj = JObject(List("kind" -> (JString("checkpoint"): JValue)) ++
       renderMeta(s.version, s.parent, s.operation, s.lastBatch, s.ts,
         s.schemaJson, s.statsCols, s.partitionCols, s.constraints,
-        s.dropped, s.txns) ++
+        s.dropped, s.txns, s.renames) ++
       (if (s.dvs.isEmpty) Nil
        else List("dvs" -> (JObject(s.dvs.toList.sortBy(_._1).map {
          case (p, vs) => p -> (JArray(vs.toList.map(JString(_))): JValue)
@@ -581,6 +599,12 @@ object ManifestTable {
       case _ => Map.empty[String, Long]
     }
 
+  private def parseRenames(j: JValue): Map[String, Vector[String]] =
+    (j \ "renames") match {
+      case JObject(kv) => kv.map { case (n, v) => n -> jStrings(v).toVector }.toMap
+      case _ => Map.empty[String, Vector[String]]
+    }
+
   private def parseDvMap(v: JValue): Map[String, Vector[String]] = v match {
     case JObject(kv) => kv.map { case (p, vs) => p -> jStrings(vs).toVector }.toMap
     case _ => Map.empty[String, Vector[String]]
@@ -599,7 +623,8 @@ object ManifestTable {
       jStrings(j \ "dropped"),
       (j \ "ts").toOption.map(jLong).getOrElse(-1L),
       parseDvMap(j \ "dvs"),
-      parseTxns(j))
+      parseTxns(j),
+      parseRenames(j))
 
   private def parseDelta(j: JValue): DeltaRec =
     DeltaRec(
@@ -613,6 +638,7 @@ object ManifestTable {
       parseConstraints(j),
       jStrings(j \ "dropped"),
       parseTxns(j),
+      parseRenames(j),
       (j \ "ts").toOption.map(jLong).getOrElse(-1L),
       parseFiles(j \ "add", "add"),
       jStrings(j \ "remove").toVector,
@@ -968,7 +994,8 @@ object ManifestTable {
         parent.schemaJson,
         base.files.filterNot(f => removed(f.path)) ++ staged,
         parent.constraints, parent.dropped,
-        dvs = base.dvs -- removed, txns = newTxns)
+        dvs = base.dvs -- removed, txns = newTxns,
+        renames = parent.renames)
       try return publish(spark, dir, snap, Some(base))
       catch {
         case e: ConcurrentCommitException =>
@@ -1033,7 +1060,8 @@ object ManifestTable {
       val snap = Snapshot(head.version + 1, head.version, "append",
         head.statsCols, head.partitionCols, head.lastBatch,
         evolveSchema(head, df), head.files ++ files, head.constraints,
-        head.dropped, dvs = head.dvs, txns = head.txns)
+        head.dropped, dvs = head.dvs, txns = head.txns,
+        renames = head.renames)
       try return publish(spark, dir, snap, Some(head))
       catch {
         case e: ConcurrentCommitException =>
@@ -1075,7 +1103,7 @@ object ManifestTable {
         s"append@batch=$batchId", head.statsCols, head.partitionCols,
         newLast, evolveSchema(head, df),
         head.files ++ files, head.constraints, head.dropped,
-        dvs = head.dvs, txns = newTxns)
+        dvs = head.dvs, txns = newTxns, renames = head.renames)
       try return publish(spark, dir, snap, Some(head))
       catch {
         case e: ConcurrentCommitException =>
@@ -1106,11 +1134,13 @@ object ManifestTable {
     val existing = table.fieldNames.toSet
     val added = incoming.fields.filterNot(f => existing(f.name))
       .map(_.copy(nullable = true))
-    added.find(f => head.dropped.contains(f.name)).foreach { f =>
+    val reserved = head.dropped.toSet ++ head.renames.valuesIterator.flatten
+    added.find(f => reserved(f.name)).foreach { f =>
       throw new IllegalArgumentException(
-        s"append: column ${f.name} was dropped — the old files still " +
-          "hold its physical data, so re-adding it would resurrect " +
-          "stale values; overwrite() the table to reuse the name")
+        s"append: column ${f.name} was dropped or renamed away — the " +
+          "old files still hold its physical data, so re-adding it " +
+          "would resurrect stale values; overwrite() the table to " +
+          "reuse the name")
     }
     if (added.isEmpty) head.schemaJson
     else StructType(table.fields ++ added).json
@@ -1150,8 +1180,11 @@ object ManifestTable {
       head.statsCols, head.partitionCols, head.lastBatch,
       StructType(schema.fields.filterNot(_.name == name)).json,
       head.files.map(f => f.copy(stats = f.stats - name)),
-      head.constraints, head.dropped :+ name, dvs = head.dvs,
-      txns = head.txns)
+      head.constraints,
+      // the dropped column's rename lineage (if any) moves into the
+      // tombstones: its physical names must stay reserved
+      head.dropped ++ (name +: head.renames.getOrElse(name, Vector.empty)),
+      dvs = head.dvs, txns = head.txns, renames = head.renames - name)
     publish(spark, dir, snap, Some(head))
   }
 
@@ -1164,25 +1197,75 @@ object ManifestTable {
       newFields: Seq[StructField]): Snapshot = {
     val head = current(spark, dir)
     val schema = head.schema
+    val reserved = head.dropped.toSet ++ head.renames.valuesIterator.flatten
     newFields.foreach { f =>
       require(!schema.fieldNames.contains(f.name),
         s"addColumns: column ${f.name} already exists")
-      require(!head.dropped.contains(f.name),
-        s"addColumns: ${f.name} was dropped — old files still hold its " +
-          "physical data; overwrite() the table to reuse the name")
+      require(!reserved(f.name),
+        s"addColumns: ${f.name} was dropped or renamed away — old files " +
+          "still hold its physical data; overwrite() the table to " +
+          "reuse the name")
     }
     publish(spark, dir, Snapshot(head.version + 1, head.version,
       s"add@${newFields.map(_.name).mkString(",")}", head.statsCols,
       head.partitionCols, head.lastBatch,
       StructType(schema.fields ++ newFields.map(_.copy(nullable = true))).json,
       head.files, head.constraints, head.dropped, dvs = head.dvs,
-      txns = head.txns), Some(head))
+      txns = head.txns, renames = head.renames), Some(head))
+  }
+
+  /** ALTER TABLE RENAME COLUMN as one METADATA commit — zero data IO
+    * at any table size: the logical schema renames the field in place
+    * and the snapshot records the rename lineage ([[Snapshot.renames]]);
+    * files written before the commit keep the old PHYSICAL name and
+    * every read resolves the column as coalesce(new, old) over a
+    * widened physical schema, so old and new files answer under the
+    * new name exactly. The old name is reserved (like a [[dropColumn]]
+    * tombstone) — re-adding it would resurrect stale physical values;
+    * [[overwrite]] clears the lineage. Old snapshots time-travel with
+    * the old name intact. Columns load-bearing for the table spec
+    * (stats, partition, CHECK constraints) must be un-wired first —
+    * same rule as dropColumn. */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+      to: String): Snapshot = {
+    val head = current(spark, dir)
+    val schema = head.schema
+    require(schema.fieldNames.contains(from),
+      s"renameColumn: no column $from in the table schema")
+    require(!schema.fieldNames.contains(to),
+      s"renameColumn: column $to already exists")
+    val reserved = head.dropped ++ head.renames.valuesIterator.flatten
+    require(!reserved.contains(to),
+      s"renameColumn: $to was dropped or renamed away — old files still " +
+        "hold its physical data; overwrite() the table to reuse the name")
+    require(!head.statsCols.contains(from) &&
+      !head.partitionCols.contains(from),
+      s"renameColumn: $from is part of the table's stats/partition spec")
+    head.constraints.foreach { case (cn, sql) =>
+      val refs = org.apache.spark.sql.GraftSqlBridge
+        .expr(org.apache.spark.sql.functions.expr(sql)).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name
+        }
+      require(!refs.contains(from),
+        s"renameColumn: $from is referenced by CHECK constraint $cn")
+    }
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val chain = from +: head.renames.getOrElse(from, Vector.empty)
+    publish(spark, dir, Snapshot(head.version + 1, head.version,
+      s"rename@$from->$to", head.statsCols, head.partitionCols,
+      head.lastBatch, newSchema.json,
+      head.files.map(f => f.copy(stats = f.stats - from)),
+      head.constraints, head.dropped, dvs = head.dvs, txns = head.txns,
+      renames = (head.renames - from) + (to -> chain)), Some(head))
   }
 
   /** Replace the table contents atomically (readers flip old→new with
     * no intermediate state). The full rewrite clears [[dropColumn]]
-    * tombstones: no old file is in the new set, so a previously
-    * dropped name may return with fresh values. */
+    * tombstones AND rename lineage: no old file is in the new set, so
+    * a previously dropped or renamed-away name may return with fresh
+    * values. */
   def overwrite(spark: SparkSession, dir: String, df: DataFrame): Snapshot = {
     val head = current(spark, dir)
     enforce(df, head.constraints, "overwrite")
@@ -1214,7 +1297,8 @@ object ManifestTable {
     val snap = Snapshot(head.version + 1, head.version,
       s"restore@v$version", target.statsCols, target.partitionCols,
       head.lastBatch, target.schemaJson, target.files, target.constraints,
-      target.dropped, dvs = target.dvs, txns = head.txns)
+      target.dropped, dvs = target.dvs, txns = head.txns,
+      renames = target.renames)
     publish(spark, dir, snap, Some(head))
   }
 
@@ -1235,7 +1319,7 @@ object ManifestTable {
     val snap = Snapshot(head.version + 1, head.version, "alter",
       head.statsCols, head.partitionCols, head.lastBatch,
       head.schemaJson, head.files, next, head.dropped, dvs = head.dvs,
-      txns = head.txns)
+      txns = head.txns, renames = head.renames)
     publish(spark, dir, snap, Some(head))
   }
 
@@ -1266,7 +1350,7 @@ object ManifestTable {
     publish(spark, dir, Snapshot(head.version + 1, head.version,
       "alter-layout", st, pc, head.lastBatch, head.schemaJson,
       head.files, head.constraints, head.dropped, dvs = head.dvs,
-      txns = head.txns), Some(head))
+      txns = head.txns, renames = head.renames), Some(head))
   }
 
   /** Shallow CLONE: publish `dstDir` as a NEW table whose v0 references
@@ -1295,7 +1379,8 @@ object ManifestTable {
     val dvs = src.dvs.map { case (p, vs) => qualify(p) -> vs.map(qualify) }
     publish(spark, dstDir, Snapshot(0L, -1L,
       s"clone@v${src.version}", src.statsCols, src.partitionCols, -1L,
-      src.schemaJson, files, src.constraints, src.dropped, dvs = dvs))
+      src.schemaJson, files, src.constraints, src.dropped, dvs = dvs,
+      renames = src.renames))
   }
 
   private[table] def current(spark: SparkSession, dir: String): Snapshot =
@@ -1306,14 +1391,41 @@ object ManifestTable {
 
   // --------------------------------------------------------- reads
 
+  /** The physical read plan for a logical schema under a rename
+    * lineage: the widened read schema (each renamed column's prior
+    * physical names appended as nullable shadows — parquet resolves by
+    * name, so every file simply fills the names it has) and the
+    * projection back to logical columns (`coalesce(new, priors…)`,
+    * exact because a file carries at most ONE of the chain's names). */
+  private[table] def renamePlan(schema: StructType,
+      renames: Map[String, Vector[String]])
+      : (StructType, DataFrame => DataFrame) = {
+    val shadows = schema.fields.flatMap(f =>
+      renames.getOrElse(f.name, Vector.empty)
+        .map(n => StructField(n, f.dataType, nullable = true)))
+    val phys = StructType(schema.fields ++ shadows)
+    // the projection ALWAYS narrows to exactly the logical columns —
+    // callers rely on it to drop scan-side helper columns too
+    val project = (df: DataFrame) => df.select(schema.fields.toSeq.map { f =>
+      renames.get(f.name) match {
+        case Some(chain) =>
+          coalesce((f.name +: chain).map(col): _*).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+    (phys, project)
+  }
+
   private[table] def scanWith(spark: SparkSession, dir: String, files: Seq[FileEntry],
       schema: StructType,
-      dvs: Map[String, Vector[String]] = Map.empty): DataFrame = {
+      dvs: Map[String, Vector[String]] = Map.empty,
+      renames: Map[String, Vector[String]] = Map.empty): DataFrame = {
+    val (physSchema, project) = renamePlan(schema, renames)
     def plain(fs: Seq[FileEntry]): DataFrame =
       // explicit leaf files ⇒ each file's parent is its own base path,
       // so Spark never re-infers partition columns from the __p_ dirs
-      spark.read.schema(schema)
-        .parquet(fs.map(f => new Path(dir, f.path).toString): _*)
+      project(spark.read.schema(physSchema)
+        .parquet(fs.map(f => new Path(dir, f.path).toString): _*))
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     } else {
@@ -1326,8 +1438,10 @@ object ManifestTable {
         // so the data side never shuffles and the cost rides the DV
         // size (∝ deleted rows), not the table. Production readers push
         // the bitmap into the scan itself; the join is the declarative
-        // equivalent at the same asymptotics.
-        val cols = schema.fieldNames.toSeq.map(col)
+        // equivalent at the same asymptotics. The _metadata access
+        // rides the RAW physical read (before the rename projection).
+        val raw = spark.read.schema(physSchema)
+          .parquet(dvFiles.map(f => new Path(dir, f.path).toString): _*)
         val dvDirs = dvFiles.flatMap(f => dvs(f.path)).distinct
         // one DV dir may be shared by several files (one delete commit
         // touching many files writes ONE dir) — keep only the pairs for
@@ -1342,14 +1456,13 @@ object ManifestTable {
             dvFrame0.where(col("base").isin(scannedBases: _*))
           else dvFrame0)
           .select(col("base").as("__dv_base"), col("idx").as("__dv_idx"))
-        val subtracted = plain(dvFiles)
+        val subtracted = project(raw
           .withColumn("__base",
             element_at(split(col("_metadata.file_path"), "/"), -1))
           .withColumn("__idx", col("_metadata.row_index"))
           .join(broadcast(dvFrame),
             col("__base") === col("__dv_base") &&
-              col("__idx") === col("__dv_idx"), "left_anti")
-          .select(cols: _*)
+              col("__idx") === col("__dv_idx"), "left_anti"))
         if (plainFiles.isEmpty) subtracted
         else plain(plainFiles).unionByName(subtracted)
       }
@@ -1357,7 +1470,7 @@ object ManifestTable {
   }
 
   private def scan(spark: SparkSession, dir: String, snap: Snapshot): DataFrame =
-    scanWith(spark, dir, snap.files, snap.schema, snap.dvs)
+    scanWith(spark, dir, snap.files, snap.schema, snap.dvs, snap.renames)
 
   /** Latest snapshot, full scan. */
   def read(spark: SparkSession, dir: String): DataFrame =
@@ -1385,8 +1498,9 @@ object ManifestTable {
     * subtraction — the streaming source reads files at the version
     * that ADDED them, before any vector can reference them). */
   private[graft] def readFiles(spark: SparkSession, dir: String,
-      files: Seq[FileEntry], schema: StructType): DataFrame =
-    scanWith(spark, dir, files, schema)
+      files: Seq[FileEntry], schema: StructType,
+      renames: Map[String, Vector[String]] = Map.empty): DataFrame =
+    scanWith(spark, dir, files, schema, renames = renames)
 
   /** Scan an explicit snapshot with optional manifest pruning — the
     * shared read path behind `read(dir, filter)` AND the
@@ -1414,11 +1528,15 @@ object ManifestTable {
         rangeRuns(f, kept).map { case (start, len) =>
           (new Path(dir, f.path).toString, start, len, f.bytes) }
       }
-      val base = scanWith(spark, dir, fullFiles, snap.schema, snap.dvs)
+      val base = scanWith(spark, dir, fullFiles, snap.schema, snap.dvs,
+        snap.renames)
       val withRanges =
         if (ranges.isEmpty) base
-        else base.unionByName(org.apache.spark.sql.GraftSqlBridge
-          .parquetRangeFrame(spark, snap.schema, ranges))
+        else {
+          val (physSchema, project) = renamePlan(snap.schema, snap.renames)
+          base.unionByName(project(org.apache.spark.sql.GraftSqlBridge
+            .parquetRangeFrame(spark, physSchema, ranges)))
+        }
       withRanges.where(c)
     case None => scan(spark, dir, snap)
   }
@@ -1814,7 +1932,8 @@ object ManifestTable {
       // at their own commit and pass through byte-identical
       enforce(winners, head.constraints, operation)
       val srcKeys = resolved.select(col(key))
-      val base = scanWith(spark, dir, touched, schema, head.dvs)
+      val base = scanWith(spark, dir, touched, schema, head.dvs,
+        head.renames)
       val rewritten = base
         .join(maybeBroadcast(srcKeys), Seq(key), "left_anti")
         .unionByName(winners)
@@ -1898,7 +2017,8 @@ object ManifestTable {
       head: Snapshot, filter: Column): Snapshot = {
     val touched = pruneFiles(head, filter)
     if (touched.isEmpty) return head
-    val rewritten = scanWith(spark, dir, touched, head.schema, head.dvs)
+    val rewritten = scanWith(spark, dir, touched, head.schema, head.dvs,
+        head.renames)
       .where(!coalesce(filter, lit(false)))
     val staged = stage(spark, dir, rewritten, head.statsCols, head.partitionCols)
     val expr = org.apache.spark.sql.GraftSqlBridge.expr(filter)
@@ -1919,7 +2039,8 @@ object ManifestTable {
     val head = current(spark, dir)
     val touched = head.files.filter(f => head.dvs.get(f.path).exists(_.nonEmpty))
     if (touched.isEmpty) return head
-    val rewritten = scanWith(spark, dir, touched, head.schema, head.dvs)
+    val rewritten = scanWith(spark, dir, touched, head.schema, head.dvs,
+        head.renames)
       .coalesce(math.max(touched.size, 1))
     val staged = stage(spark, dir, rewritten, head.statsCols, head.partitionCols)
     commitRewrite(spark, dir, head, "purge",
@@ -1950,7 +2071,8 @@ object ManifestTable {
     val hit = coalesce(filter, lit(false))
     val touched = pruneFiles(head, filter)
     if (touched.isEmpty) return head
-    val updated = scanWith(spark, dir, touched, schema, head.dvs).where(hit)
+    val updated = scanWith(spark, dir, touched, schema, head.dvs,
+      head.renames).where(hit)
       .select(schema.fieldNames.toSeq.map { c =>
         set.get(c).map(_.cast(schema(c).dataType).as(c)).getOrElse(col(c))
       }: _*)
@@ -1975,7 +2097,8 @@ object ManifestTable {
         publish(spark, dir, Snapshot(head.version + 1, head.version,
           "update-dv", head.statsCols, head.partitionCols, head.lastBatch,
           head.schemaJson, head.files ++ staged, head.constraints,
-          head.dropped, dvs = dvs, txns = head.txns), Some(head))
+          head.dropped, dvs = dvs, txns = head.txns,
+          renames = head.renames), Some(head))
     }
   }
 
@@ -2020,7 +2143,7 @@ object ManifestTable {
         publish(spark, dir, Snapshot(head.version + 1, head.version,
           "delete-dv", head.statsCols, head.partitionCols, head.lastBatch,
           head.schemaJson, head.files, head.constraints, head.dropped,
-          dvs = dvs, txns = head.txns), Some(head))
+          dvs = dvs, txns = head.txns, renames = head.renames), Some(head))
     }
   }
 
@@ -2037,11 +2160,20 @@ object ManifestTable {
       : Option[(String, Vector[FileEntry])] = {
     val rel = s"$DvDir/${UUID.randomUUID()}"
     val abs = new Path(dir, rel)
-    val matches = spark.read.schema(head.schema)
+    val (physSchema, _) = renamePlan(head.schema, head.renames)
+    val raw = spark.read.schema(physSchema)
       .parquet(touched.map(f => new Path(dir, f.path).toString): _*)
       .withColumn("__dv_b",
         element_at(split(col("_metadata.file_path"), "/"), -1))
       .withColumn("__dv_i", col("_metadata.row_index"))
+    // logical view of each row (rename coalesce) with its position kept
+    val logical = raw.select(head.schema.fields.toSeq.map { f =>
+      head.renames.get(f.name) match {
+        case Some(chain) => coalesce((f.name +: chain).map(col): _*).as(f.name)
+        case None => col(f.name)
+      }
+    } ++ Seq(col("__dv_b"), col("__dv_i")): _*)
+    val matches = logical
       .where(coalesce(filter, lit(false)))
       .select(col("__dv_b").as("base"), col("__dv_i").as("idx"))
     val prior = touched.flatMap(f => head.dvs.getOrElse(f.path, Vector.empty))
@@ -2085,7 +2217,8 @@ object ManifestTable {
     val touched = pruneFiles(head, filter)
     if (touched.isEmpty) return head
     val hit = coalesce(filter, lit(false))
-    val rewritten = scanWith(spark, dir, touched, schema, head.dvs)
+    val rewritten = scanWith(spark, dir, touched, schema, head.dvs,
+        head.renames)
       .select(schema.fieldNames.toSeq.map { c =>
         set.get(c) match {
           case Some(e) => when(hit, e.cast(schema(c).dataType))
@@ -2094,7 +2227,8 @@ object ManifestTable {
         }
       }: _*)
     // only the rows the SET actually modified need re-checking
-    enforce(scanWith(spark, dir, touched, schema, head.dvs).where(hit)
+    enforce(scanWith(spark, dir, touched, schema, head.dvs,
+      head.renames).where(hit)
       .select(schema.fieldNames.toSeq.map { c =>
         set.get(c).map(_.cast(schema(c).dataType).as(c)).getOrElse(col(c))
       }: _*), head.constraints, "update")
@@ -2121,9 +2255,10 @@ object ManifestTable {
   def changes(spark: SparkSession, dir: String, from: Long, to: Long): DataFrame = {
     val sa = readManifest(spark, dir, from)
     val sb = readManifest(spark, dir, to)
-    val wide = (if (to >= from) sb else sa).schema
-    val a = scanWith(spark, dir, sa.files, wide, sa.dvs)
-    val b = scanWith(spark, dir, sb.files, wide, sb.dvs)
+    val wideSnap = if (to >= from) sb else sa
+    val wide = wideSnap.schema
+    val a = scanWith(spark, dir, sa.files, wide, sa.dvs, wideSnap.renames)
+    val b = scanWith(spark, dir, sb.files, wide, sb.dvs, wideSnap.renames)
     val cols = wide.fieldNames.toSeq
     val ca = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__na"))
     val cb = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__nb"))
@@ -2157,7 +2292,8 @@ object ManifestTable {
       to: Long): DataFrame = {
     val sa = readManifest(spark, dir, from)
     val sb = readManifest(spark, dir, to)
-    val wide = (if (to >= from) sb else sa).schema
+    val wideSnap0 = if (to >= from) sb else sa
+    val wide = wideSnap0.schema
     // a file's EFFECTIVE content is (path, deletion vectors): a DV-only
     // delete leaves the file in place but changes what it contributes,
     // so it must change hands in the structural diff — old effective
@@ -2170,9 +2306,9 @@ object ManifestTable {
     val removed = sa.files.filterNot(f => eb.get(f.path).contains(ea(f.path)))
     val added = sb.files.filterNot(f => ea.get(f.path).contains(eb(f.path)))
     val cols = wide.fieldNames.toSeq.map(col)
-    scanWith(spark, dir, removed, wide, sa.dvs)
+    scanWith(spark, dir, removed, wide, sa.dvs, wideSnap0.renames)
       .select(cols :+ lit("D").as("_change"): _*)
-      .unionAll(scanWith(spark, dir, added, wide, sb.dvs)
+      .unionAll(scanWith(spark, dir, added, wide, sb.dvs, wideSnap0.renames)
         .select(cols :+ lit("I").as("_change"): _*))
   }
 
@@ -2212,7 +2348,7 @@ object ManifestTable {
       s"zorderBy must name at most two table columns, got $zorderBy")
     val (small, big) = head.files.partition(_.bytes < smallBytes)
     if (small.size < 2) return head
-    val df = scanWith(spark, dir, small, schema, head.dvs)
+    val df = scanWith(spark, dir, small, schema, head.dvs, head.renames)
     val outFiles = math.max(1L,
       (small.iterator.map(_.bytes).sum + targetBytes - 1) / targetBytes).toInt
     val packed = zorderBy match {

@@ -188,6 +188,89 @@ class DeltaLogSpec extends SparkSuite {
     assert(head.txns.keySet == Set("query-1", "query-2"))
   }
 
+  test("renameColumn is a metadata-only commit: old files answer under " +
+    "the new name, appends write the new physical name, chains compose, " +
+    "time travel and restore keep each version's own names") {
+    import spark.implicits._
+    val dir = freshDir("rename")
+    ManifestTable.create(spark, dir,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(3, col("k")), statsCols = Seq("k"))
+    val v0 = ManifestTable.snapshot(spark, dir)
+    val snap = ManifestTable.renameColumn(spark, dir, "v", "label")
+    // metadata only: the file set is IDENTICAL (no data IO)
+    assert(snap.files == v0.files)
+    assert(snap.schema.fieldNames.toSeq == Seq("k", "label"))
+    assert(snap.renames == Map("label" -> Vector("v")))
+    // pre-rename files answer under the new name
+    val got = ManifestTable.read(spark, dir).select("k", "label").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == (1L to 100L).map(i => (i, s"v$i")).toSet)
+    // filters on the renamed column are exact (rename-aware scan)
+    assert(ManifestTable.read(spark, dir, col("label") === "v7")
+      .count() == 1L)
+    // appends write the NEW physical name; mixed-generation reads agree
+    ManifestTable.append(spark, dir,
+      Seq((101L, "fresh")).toDF("k", "label"))
+    assert(ManifestTable.read(spark, dir)
+      .where(col("label") === "fresh").count() == 1L)
+    assert(ManifestTable.read(spark, dir).count() == 101L)
+    // a second rename chains: label -> title covers both prior names
+    val snap2 = ManifestTable.renameColumn(spark, dir, "label", "title")
+    assert(snap2.renames == Map("title" -> Vector("label", "v")))
+    val all = ManifestTable.read(spark, dir).select("title").collect()
+      .map(_.getString(0)).toSet
+    assert(all == ((1L to 100L).map(i => s"v$i").toSet + "fresh"))
+    // the old names are reserved — additive evolution refuses them
+    intercept[Exception] { ManifestTable.append(spark, dir,
+      Seq((200L, "t", "ghost")).toDF("k", "title", "v")) }
+    intercept[Exception] { ManifestTable.addColumns(spark, dir,
+      Seq(org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.StringType))) }
+    // time travel: every version keeps ITS schema and answers
+    assert(ManifestTable.readVersion(spark, dir, 0L)
+      .select("v").count() == 100L)
+    assert(ManifestTable.readVersion(spark, dir, 1L)
+      .select("label").count() == 100L)
+    // restore to pre-rename brings the old name back
+    ManifestTable.restore(spark, dir, 0L)
+    assert(ManifestTable.snapshot(spark, dir).schema.fieldNames.toSeq
+      == Seq("k", "v"))
+    assert(ManifestTable.read(spark, dir).select("v").count() == 100L)
+  }
+
+  test("renames compose with deletion vectors, update, merge and " +
+    "changesStructural: the logical column is one column everywhere") {
+    import spark.implicits._
+    val dir = freshDir("rename_mix")
+    ManifestTable.create(spark, dir,
+      (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(2, col("k")), statsCols = Seq("k"))
+    ManifestTable.renameColumn(spark, dir, "v", "label")
+    // deleteVector with a filter on the RENAMED column must hit rows in
+    // pre-rename files (the stageVector physical-read path)
+    ManifestTable.deleteVector(spark, dir, col("label") === "v9")
+    assert(ManifestTable.read(spark, dir).count() == 49L)
+    assert(!ManifestTable.read(spark, dir).select("label").collect()
+      .map(_.getString(0)).contains("v9"))
+    // update on the renamed column (copy-on-write path)
+    ManifestTable.update(spark, dir, col("k") === 10L,
+      Map("label" -> lit("TEN")))
+    assert(ManifestTable.read(spark, dir)
+      .where(col("label") === "TEN").count() == 1L)
+    // merge latest-wins through the renamed schema
+    ManifestTable.merge(spark, dir,
+      Seq((11L, "ELEVEN", "U")).toDF("k", "label", "_op"),
+      "k", opCol = Some("_op"))
+    assert(ManifestTable.read(spark, dir)
+      .where(col("label") === "ELEVEN").count() == 1L)
+    // structural changelog across the rename boundary surfaces rows
+    // under the WIDE (renamed) schema
+    val chg = ManifestTable.changesStructural(spark, dir, 0L, 1L)
+    assert(chg.columns.toSeq == Seq("k", "label", "_change"))
+    assert(chg.count() == 0L, "a pure rename moves no rows")
+  }
+
   test("mergeBatch replay marks are per writer too") {
     import spark.implicits._
     val dir = freshDir("mtxn")

@@ -134,6 +134,37 @@ class GraftCatalogSpec extends SparkSuite {
       .head().getLong(0) == 1000L, "history must survive TRUNCATE")
   }
 
+  test("ALTER TABLE RENAME COLUMN via SQL: metadata-only, old files " +
+    "answer under the new name, time travel keeps each version's names") {
+    wh
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.rn")
+    val dir = s"$wh/rn/t"
+    spark.sql("CREATE TABLE lake.rn.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('option.statsCols' = 'k')")
+    spark.sql("INSERT INTO lake.rn.t VALUES (1, 'a'), (2, 'b')") // v1
+    val before = ManifestTable.snapshot(spark, dir)
+    spark.sql("ALTER TABLE lake.rn.t RENAME COLUMN v TO label") // v2
+    val after = ManifestTable.snapshot(spark, dir)
+    assert(after.files == before.files, "RENAME must move no data")
+    assert(after.renames == Map("label" -> Vector("v")))
+    // SQL reads resolve pre-rename files under the new name
+    assert(spark.sql("SELECT label FROM lake.rn.t WHERE k = 1")
+      .head().getString(0) == "a")
+    // post-rename INSERT writes the new physical name; mixed read agrees
+    spark.sql("INSERT INTO lake.rn.t VALUES (3, 'c')")
+    assert(spark.sql(
+      "SELECT count(*) FROM lake.rn.t WHERE label IS NOT NULL")
+      .head().getLong(0) == 3L)
+    // time travel across the rename: v1 still answers under 'v'
+    assert(spark.sql("SELECT v FROM lake.rn.t VERSION AS OF 1 WHERE k = 2")
+      .head().getString(0) == "b")
+    // and SQL UPDATE composes with the renamed column
+    spark.sql("UPDATE lake.rn.t SET label = 'A' WHERE k = 1")
+    assert(spark.sql("SELECT label FROM lake.rn.t WHERE k = 1")
+      .head().getString(0) == "A")
+  }
+
   test("SQL maintenance procedures: CALL system.compact/zorder/vacuum/" +
     "purge_vectors/restore/checkpoint drive the facade operations") {
     wh
