@@ -2035,9 +2035,17 @@ object ManifestTable {
     * when the table has no vectors. Commutes with any concurrent
     * commit that kept the purged files (pure materialization), so it
     * rebases like compact. */
-  def purgeVectors(spark: SparkSession, dir: String): Snapshot = {
+  def purgeVectors(spark: SparkSession, dir: String): Snapshot =
+    purgeVectors(spark, dir, (_: FileEntry) => true)
+
+  /** Scoped purge: materialize the vectors of just the DV-carrying
+    * files selected by `only` — the auto-purge policy's lever (one
+    * breaching file's rewrite, never every vectored file). */
+  def purgeVectors(spark: SparkSession, dir: String,
+      only: FileEntry => Boolean): Snapshot = {
     val head = current(spark, dir)
-    val touched = head.files.filter(f => head.dvs.get(f.path).exists(_.nonEmpty))
+    val touched = head.files.filter(f =>
+      head.dvs.get(f.path).exists(_.nonEmpty) && only(f))
     if (touched.isEmpty) return head
     val rewritten = scanWith(spark, dir, touched, head.schema, head.dvs,
         head.renames)
@@ -2127,11 +2135,20 @@ object ManifestTable {
     * not data). Recommendation pinned from that curve: run
     * [[purgeVectors]] once a file accumulates ~64 vector dirs — purge
     * cost is one touched-file rewrite (~1-2 s there) and reads return
-    * to the floor. Scans pruned to vector-free files never pay for
+    * to the floor; `autoPurgeAt = 64` ENFORCES exactly that policy
+    * inline — the breaching file alone is materialized the moment it
+    * crosses the knee. Scans pruned to vector-free files never pay for
     * other files' vectors (the subtraction is planned per scanned
     * file set — see ManifestTableSpec's vector-priced law). */
-  def deleteVector(spark: SparkSession, dir: String,
-      filter: Column): Snapshot = {
+  def deleteVector(spark: SparkSession, dir: String, filter: Column,
+      /** Opt-in AUTO-PURGE policy: when > 0, any file whose stacked
+        * vector-dir count reaches this threshold after the delete is
+        * immediately materialized by a SCOPED [[purgeVectors]] (one
+        * breaching-file rewrite — cost ∝ that file, reads return to
+        * the plain-scan floor). The default 64 knee is the measured
+        * dir-open-latency curve in r14_dv_stacking.md; pass 0 to
+        * manage purges manually. */
+      autoPurgeAt: Int = 0): Snapshot = {
     val head = current(spark, dir)
     val touched = pruneFiles(head, filter)
     if (touched.isEmpty) return head
@@ -2140,10 +2157,17 @@ object ManifestTable {
       case Some((rel, hitFiles)) =>
         val dvs = head.dvs ++ hitFiles.map(f =>
           f.path -> (head.dvs.getOrElse(f.path, Vector.empty) :+ rel)).toMap
-        publish(spark, dir, Snapshot(head.version + 1, head.version,
-          "delete-dv", head.statsCols, head.partitionCols, head.lastBatch,
-          head.schemaJson, head.files, head.constraints, head.dropped,
-          dvs = dvs, txns = head.txns, renames = head.renames), Some(head))
+        val committed = publish(spark, dir, Snapshot(head.version + 1,
+          head.version, "delete-dv", head.statsCols, head.partitionCols,
+          head.lastBatch, head.schemaJson, head.files, head.constraints,
+          head.dropped, dvs = dvs, txns = head.txns,
+          renames = head.renames), Some(head))
+        val breaching =
+          if (autoPurgeAt <= 0) Set.empty[String]
+          else committed.dvs.collect {
+            case (p, vs) if vs.size >= autoPurgeAt => p }.toSet
+        if (breaching.isEmpty) committed
+        else purgeVectors(spark, dir, f => breaching(f.path))
     }
   }
 

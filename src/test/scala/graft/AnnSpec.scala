@@ -715,4 +715,74 @@ class AnnSpec extends SparkSuite {
     assert(r1024 >= r256, "wider shortlist must not lose recall")
     assert(r1024 >= 0.6, f"recovered recall $r1024%.3f below the 0.6 gate")
   }
+
+  test("appendToDirManaged runs the maintenance policy in the ingest " +
+    "loop: in-distribution batches pass clean, the drifted batch fires " +
+    "the shortlist bump BEFORE recall breaches, volume flips the " +
+    "rebuild recommendation — and the ledger survives on disk") {
+    import graft.operators.IvfPq
+    import graft.functions.GraftFunctions.dot
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf("0.001"))
+      .select("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") < 300)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_mng").toString
+    IvfPq.save(IvfPq.buildIndex(base, cells = 8), dir)
+    // arm the policy with a HELD-OUT in-distribution baseline
+    val st0 = IvfPq.initMaintenance(spark, dir,
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 400))
+    assert(st0.shortlistFactor == 1 && !st0.rebuildRecommended)
+    // in-distribution ingest: no recommendation fires
+    val st1 = IvfPq.appendToDirManaged(spark, dir,
+      emb.filter(col("vec_id") >= 400 && col("vec_id") < 450))
+    assert(st1.shortlistFactor == 1 && !st1.rebuildRecommended,
+      f"healthy ingest must not trip the policy (ratio ${st1.lastRatio}%.3f)")
+    // drifted ingest (same construction as the drift-signal test)
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
+    val u0 = Array.tabulate(dim)(i => math.sin(i * 2654435761.0 % 1e6).toFloat)
+    val un = math.sqrt(u0.map(x => x.toDouble * x).sum).toFloat
+    val uLit = typedLit(u0.map(x => x / un).toSeq)
+    val drifted = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      zip_with(col("embedding"), uLit,
+        (x, y) => (x + lit(1.4) * y).cast("float")).as("e0"))
+      .withColumn("nrm", sqrt(dot(col("e0"), col("e0"))))
+      .select(col("vec_id"), transform(col("e0"),
+        x => (x / col("nrm")).cast("float")).as("embedding"))
+    val st2 = IvfPq.appendToDirManaged(spark, dir, drifted)
+    assert(st2.shortlistFactor == 4,
+      f"the drifted batch must fire the shortlist bump (ratio ${st2.lastRatio}%.3f)")
+    assert(st2.rebuildRecommended,
+      "300 appended rows on a 300-row index crosses the 50% volume lever")
+    // the ledger is durable and re-read from disk
+    assert(IvfPq.maintenanceState(spark, dir).contains(st2))
+    // acting on the recommendation keeps recall ABOVE the 0.6 gate on
+    // the drifted anchors (the policy fired before the breach)
+    val loaded = IvfPq.load(spark, dir)
+    val corpus = base.unionByName(drifted)
+      .unionByName(emb.filter(col("vec_id") >= 400 && col("vec_id") < 450))
+    val anchors = col("vec_id") >= 1000000L && col("vec_id") % 25 === 0
+    val got = IvfPq.query(loaded, corpus, k = 5, anchorPred = anchors,
+      shortlist = st2.recommendedShortlist(256))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = corpus.select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("nrm"))
+    val a = n.filter(anchors).select(col("vec_id").as("a_id"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("a_id")
+      .orderBy(col("sim").desc, col("b_id"))
+    val exact = a.join(b, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), (dot(col("ea"), col("eb")) /
+        (sqrt(col("na")) * sqrt(col("nb")))).as("sim"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"managed-append drifted-anchor recall at recommended " +
+      f"shortlist ${st2.recommendedShortlist(256)}: $recall%.3f")
+    assert(recall >= 0.6,
+      f"recall $recall%.3f below the 0.6 gate despite the fired policy")
+  }
 }

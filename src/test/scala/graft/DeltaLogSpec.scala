@@ -271,6 +271,46 @@ class DeltaLogSpec extends SparkSuite {
     assert(chg.count() == 0L, "a pure rename moves no rows")
   }
 
+  test("deleteVector auto-purge: the delete that breaches the threshold " +
+    "materializes ONLY the breaching file; other vectored files keep " +
+    "their stacks; content is exact throughout") {
+    import spark.implicits._
+    val dir = freshDir("autopurge")
+    // two range files: needles land in file A (keys 1..50); file B
+    // (keys 51..100) gets ONE vector that must survive A's purge
+    ManifestTable.create(spark, dir,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(2, col("k")), statsCols = Seq("k"))
+    ManifestTable.deleteVector(spark, dir, col("k") === 99L)
+    val threshold = 4
+    (1L to 3L).foreach { i =>
+      ManifestTable.deleteVector(spark, dir, col("k") === i,
+        autoPurgeAt = threshold)
+    }
+    val before = ManifestTable.snapshot(spark, dir)
+    val fileA = before.dvs.collect {
+      case (p, vs) if vs.size == 3 => p }.head
+    // the 4th needle on file A breaches: the policy purges file A only
+    val after = ManifestTable.deleteVector(spark, dir, col("k") === 4L,
+      autoPurgeAt = threshold)
+    assert(after.operation == "purge",
+      "the breaching delete must be followed by the scoped purge commit")
+    assert(!after.dvs.contains(fileA) &&
+      !after.files.exists(_.path == fileA),
+      "the breaching file is materialized (rewritten, vectors dropped)")
+    assert(after.dvs.values.map(_.size).toSeq == Seq(1),
+      s"file B keeps its single vector, got ${after.dvs}")
+    // content is exact: 100 - the 5 deleted keys
+    val got = ManifestTable.read(spark, dir).select("k").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == ((1L to 100L).toSet -- Seq(1L, 2L, 3L, 4L, 99L)))
+    // below-threshold deletes never purge
+    val s2 = ManifestTable.deleteVector(spark, dir, col("k") === 60L,
+      autoPurgeAt = threshold)
+    assert(s2.operation == "delete-dv" &&
+      s2.dvs.values.map(_.size).sum == 2)
+  }
+
   test("mergeBatch replay marks are per writer too") {
     import spark.implicits._
     val dir = freshDir("mtxn")

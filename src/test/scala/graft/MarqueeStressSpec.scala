@@ -1370,10 +1370,24 @@ class MarqueeStressSpec extends AnyFunSuite {
     assert(ManifestTable.snapshot(spark, dir).dvs.isEmpty)
     assert(ManifestTable.read(spark, dir).count() == 262144L - stacked)
     val tAfter = readWall()
+    // CAPPED curve (r15 verdict #5): with autoPurgeAt = 64 the stack
+    // never exceeds the knee — the 64th needle triggers the scoped
+    // purge and the count resets, so reads stay at the floor band
+    var maxStack = 0
+    (1000 until 1140).foreach { i =>
+      val s = ManifestTable.deleteVector(spark, dir,
+        col("k") === i.toLong, autoPurgeAt = 64)
+      maxStack = math.max(maxStack,
+        s.dvs.values.map(_.size).foldLeft(0)(math.max))
+    }
+    assert(maxStack < 64, s"auto-purge must cap the stack, saw $maxStack")
+    val tCapped = readWall()
     info(f"plain read $tPlain%.2f s; stacked-vector reads: " +
       walls.map { case (v, t) => f"$v -> $t%.2f s" }.mkString(", ") +
       f"; far-key pruned read under 250 vectors $tFar%.2f s; " +
-      f"purge $tPurge%.2f s; post-purge read $tAfter%.2f s")
+      f"purge $tPurge%.2f s; post-purge read $tAfter%.2f s; " +
+      f"capped-curve read after 140 auto-purged deletes $tCapped%.2f s " +
+      f"(max stack $maxStack)")
   }
 
   test("delta-log commit cost: log bytes per commit stay FLAT as live " +
