@@ -129,6 +129,12 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap - "_total"
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // per-retry cpu/gc/jit (r14 ADVICE): a healed wall from a fully
+    // warm JVM must carry ITS OWN counters, or triage pairs a retry
+    // wall with first-pass jit and muddies starved-vs-slow
+    val retryCpu = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val retryGc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val retryJit = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val retryCandidates = results.toSeq
       .filter { case (name, sec) => !failed.contains(name) &&
         medians.get(name).exists(m => sec > m * 3.2 + 0.3) }
@@ -140,9 +146,13 @@ object Bench {
       if (retryCandidates.isEmpty) -1.0 else spinProbe()
     retryCandidates.foreach { case (name, _) =>
       SparkEntry.queries.get(name).foreach { fn =>
+        val (c0, g0, j0) = (procCpuSec(), gcSec(), jitSec())
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count()
           retried(name) = (System.nanoTime() - t0) / 1e9
+          retryCpu(name) = procCpuSec() - c0
+          retryGc(name) = gcSec() - g0
+          retryJit(name) = jitSec() - j0
         } catch { case _: Throwable => () } // keep the first-pass wall
       }
     }
@@ -166,6 +176,9 @@ object Bench {
       .mkString("{", ",", "}")
     val qsFirst = retried.keysIterator
       .map(k => s"\"" + k + "\":" + results(k)).mkString("{", ",", "}")
+    val qsRetry = retried.keysIterator.map { k =>
+      f""""$k":{"sec":${retried(k)}%.3f,"cpu_sec":${retryCpu.getOrElse(k, 0.0)}%.3f,"gc_sec":${retryGc.getOrElse(k, 0.0)}%.3f,"jit_sec":${retryJit.getOrElse(k, 0.0)}%.3f}"""
+    }.mkString("{", ",", "}")
     val qsCpu = cpuPer.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val qsGc = gcPer.map { case (k, v) => f""""$k":$v%.3f""" }
@@ -180,7 +193,7 @@ object Bench {
     // starved by the host, not slowed by its plan.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val hostHealth = s"""{"verdict":"$hostVerdict","spin_sec":[${f"$spinBefore%.3f"},${f"$spinMid%.3f"},${f"$spinAfter%.3f"}],"loadavg":$loadavg,"code_cache":[$ccUsed,$ccMax],"retried":${retried.size}}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"proc_cpu_sec":${f"$cpuTotal%.1f"},"spin_sec":[${f"$spinBefore%.3f"},${f"$spinAfter%.3f"}],"queries_cpu":$qsCpu,"queries_gc":$qsGc,"queries_jit":$qsJit,"code_cache":[$ccUsed,$ccMax],"queries_first_pass":$qsFirst,"host_health":$hostHealth}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"proc_cpu_sec":${f"$cpuTotal%.1f"},"spin_sec":[${f"$spinBefore%.3f"},${f"$spinAfter%.3f"}],"queries_cpu":$qsCpu,"queries_gc":$qsGc,"queries_jit":$qsJit,"code_cache":[$ccUsed,$ccMax],"queries_first_pass":$qsFirst,"queries_retry":$qsRetry,"host_health":$hostHealth}"""
     println(full)
     // Self-triage (round-10 verdict): reconcile THIS run against the
     // controlled median-of-3 file so every driver artifact carries its own
@@ -197,10 +210,17 @@ object Bench {
       val offenders = healed.toSeq
         .flatMap { case (name, sec) => medians.get(name).collect {
           case m if sec > m * 3.2 + 0.3 =>
-            val cpu = cpuPer.getOrElse(name, 0.0)
-            val gc = gcPer.getOrElse(name, 0.0)
-            val jit = jitPer.getOrElse(name, 0.0)
-            (sec / math.max(m, 1e-9), f"""{"query":"$name","sec":$sec%.2f,"guard_median":$m%.2f,"cpu_sec":$cpu%.2f,"gc_sec":$gc%.2f,"jit_sec":$jit%.2f}""")
+            // a HEALED wall (retry < first pass) reports the RETRY's
+            // own counters and says so, so adjudication can tell a
+            // warm re-run from a first-pass measurement (r14 ADVICE)
+            val isHealed = retried.get(name).exists(_ < results(name))
+            val cpu = if (isHealed) retryCpu.getOrElse(name, 0.0)
+              else cpuPer.getOrElse(name, 0.0)
+            val gc = if (isHealed) retryGc.getOrElse(name, 0.0)
+              else gcPer.getOrElse(name, 0.0)
+            val jit = if (isHealed) retryJit.getOrElse(name, 0.0)
+              else jitPer.getOrElse(name, 0.0)
+            (sec / math.max(m, 1e-9), f"""{"query":"$name","sec":$sec%.2f,"guard_median":$m%.2f,"healed":$isHealed,"cpu_sec":$cpu%.2f,"gc_sec":$gc%.2f,"jit_sec":$jit%.2f}""")
         } }
         .sortBy(-_._1).map(_._2)
       val compared = healed.keysIterator.count(medians.contains)

@@ -320,6 +320,66 @@ object TableQueries {
         .orderBy("api", "bucket")
     },
 
+    // RENAME COLUMN end-to-end (round-15 verdict #4): the column is
+    // renamed by one METADATA commit between two data commits, so the
+    // final table mixes files carrying the OLD physical name (pre-
+    // rename) and the NEW one (post-rename append + update rewrite) —
+    // the read path's coalesce-over-lineage must surface ONE logical
+    // column across generations, and time travel must answer v1 under
+    // the old name. The oracle restates both snapshots relationally
+    // (it never sees a rename — only what the table must contain), so
+    // one hash pins the whole lineage mechanism.
+    Q("q_table_rename",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+        |      AS DECIMAL(14,4)) AS amt
+        |  FROM orders GROUP BY o_orderkey),
+        |ins AS (
+        |  SELECT -k, CAST(CAST(k % 31 AS DECIMAL(12,4)) AS DECIMAL(14,4))
+        |  FROM base WHERE k % 13 = 5),
+        |final AS (
+        |  SELECT k, CASE WHEN k % 7 = 3
+        |    THEN CAST(amt + CAST(5 AS DECIMAL(12,4)) AS DECIMAL(14,4))
+        |    ELSE amt END AS amt
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM ins)),
+        |fp0 AS (
+        |  SELECT 'v1_oldname' AS snap, CAST(k % 10 AS BIGINT) AS bucket,
+        |    COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS key_sum,
+        |    %PSUM% AS price_sum
+        |  FROM base GROUP BY k % 10),
+        |fp1 AS (
+        |  SELECT 'head_newname', CAST(k % 10 AS BIGINT), COUNT(*),
+        |    CAST(SUM(k) AS BIGINT), %PSUM%
+        |  FROM final GROUP BY k % 10)
+        |SELECT * FROM fp0 UNION ALL SELECT * FROM fp1
+        |ORDER BY snap, bucket""".stripMargin
+        .replace("%PSUM%", Dsl.d2dSql(Dsl.dsumSql("amt")))) { (s, d) =>
+      val dir = Scratch.wiped("mtable_rename")
+      val base = Tables.orders(s, d)
+        .groupBy(col("o_orderkey").as("k"))
+        .agg(sum(col("o_totalprice").cast(Dsl.DFac)).cast(P).as("p"))
+      ManifestTable.create(s, dir, base, statsCols = Seq("k"))    // v0
+      ManifestTable.renameColumn(s, dir, "p", "amt")              // v1
+      // post-rename data commits write the NEW physical name
+      ManifestTable.append(s, dir, base.where(col("k") % 13 === 5) // v2
+        .select((-col("k")).as("k"),
+          (col("k") % 31).cast(Dsl.DFac).cast(P).as("amt")))
+      ManifestTable.update(s, dir, col("k") % 7 === 3,            // v3
+        Map("amt" -> (col("amt") + lit(5).cast(Dsl.DFac))))
+      def fp(df: org.apache.spark.sql.DataFrame, vcol: String, tag: String) =
+        df.groupBy((col("k") % 10).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("k")).cast("long").as("key_sum"),
+            Dsl.d2d(Dsl.dsum(col(vcol))).as("price_sum"))
+          .select(lit(tag).as("snap"), col("bucket"), col("n_rows"),
+            col("key_sum"), col("price_sum"))
+      // time travel BEFORE the rename answers under the OLD name
+      fp(ManifestTable.readVersion(s, dir, 0L), "p", "v1_oldname")
+        .unionByName(fp(ManifestTable.read(s, dir), "amt", "head_newname"))
+        .orderBy("snap", "bucket")
+    },
+
     // Row-group-granularity pruning end-to-end: one single-file table
     // with many small row groups (sorted by key, so each group owns a
     // tight key range), read back through read(dir, filter) — which
@@ -1064,6 +1124,17 @@ object TableQueries {
       s.sql("DELETE FROM gqdml.m.t WHERE g = 3 AND k > 100")
       s.sql("ALTER TABLE gqdml.m.t ADD COLUMN note STRING")
       s.sql("INSERT INTO gqdml.m.t VALUES (-1, 0, 'tagged')")
+      // round-15: row-level statements land as engine commits too
+      s.sql("UPDATE gqdml.m.t SET note = 'even' WHERE g = 0")
+      s.sql("""MERGE INTO gqdml.m.t AS t
+        USING (SELECT -1 AS k, 99 AS g, 'merged' AS note
+               UNION ALL SELECT -2, 98, 'inserted') AS src
+        ON t.k = src.k
+        WHEN MATCHED THEN UPDATE SET g = src.g, note = src.note
+        WHEN NOT MATCHED THEN INSERT (k, g, note)
+          VALUES (src.k, src.g, src.note)""")
+      s.sql("ALTER TABLE gqdml.m.t RENAME COLUMN note TO label")
+      s.sql("CALL gqdml.system.checkpoint(table => 'm.t')")
       s.sql("TRUNCATE TABLE gqdml.m.t")
       import s.implicits._
       ManifestTable.history(s, s"$wh/m/t")

@@ -93,19 +93,35 @@ class GraftSqlDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       .collect { case a: AttributeReference => a }
     val sourceIds: Set[ExprId] = sourceAttrs.map(_.exprId).toSet
 
-    // ON clause → equi-key pairs (targetName, sourceName)
+    // ON clause → equi-key pairs (targetName, sourceName). The
+    // analyzer wraps implicit type coercions around the attributes
+    // (t.k = CAST(s.k AS BIGINT)); the engine's by-name equi-join
+    // re-applies the same coercion, so casts strip transparently.
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
-    val keyPairs = conjuncts(m.mergeCondition).map {
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if targetIds(a.exprId) && sourceIds(b.exprId) => (a.name, b.name)
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if sourceIds(a.exprId) && targetIds(b.exprId) => (b.name, a.name)
-      case other => sys.error(
+    def attrOf(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference => Some(a)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => attrOf(c.child)
+      case _ => None
+    }
+    val keyPairs = conjuncts(m.mergeCondition).map { c =>
+      val pair = c match {
+        case EqualTo(l, r) => (attrOf(l), attrOf(r)) match {
+          case (Some(a), Some(b))
+              if targetIds(a.exprId) && sourceIds(b.exprId) =>
+            Some((a.name, b.name))
+          case (Some(a), Some(b))
+              if sourceIds(a.exprId) && targetIds(b.exprId) =>
+            Some((b.name, a.name))
+          case _ => None
+        }
+        case _ => None
+      }
+      pair.getOrElse(sys.error(
         "graft MERGE: the ON clause must be a conjunction of " +
-          s"target-column = source-column equalities, got $other")
+          s"target-column = source-column equalities, got $c"))
     }
     // the engine joins on shared names: source key columns are renamed
     // to their target names, and source-attribute references inside

@@ -377,11 +377,11 @@ private[sources] class GraftTableStreamSource(sqlContext: SQLContext,
     // when startingVersion = 0)
     val from = start.map(ver(_) + 1).getOrElse(startingVersion)
     val to = ver(end)
-    val steps = (from to to).flatMap { v =>
-      val prev =
-        if (v == 0) None
-        else Some(ManifestTable.snapshot(spark, dir, Some(v - 1)))
-      val cur = ManifestTable.snapshot(spark, dir, Some(v))
+    // ONE forward replay over the whole commit range — the per-batch
+    // log cost is O(range) small JSON reads, not O(range × interval)
+    val steps = ManifestTable.snapshotPairs(spark, dir, from, to)
+      .flatMap { case (prev, cur) =>
+      val v = cur.version
       // the stream's schema is pinned at start: a commit that CHANGES
       // the table schema mid-stream would otherwise have its files read
       // under the old schema, silently projecting new columns away —

@@ -336,6 +336,26 @@ object ManifestTable {
     snap.getOrElse(sys.error(s"no snapshot v$v at $dir"))
   }
 
+  /** Consecutive (parent, child) snapshot pairs for versions
+    * [from, to] — ONE forward replay for the whole range (the
+    * streaming source's per-batch walk), instead of reconstructing
+    * every version independently through its checkpoint. */
+  private[graft] def snapshotPairs(spark: SparkSession, dir: String,
+      from: Long, to: Long): Seq[(Option[Snapshot], Snapshot)] = {
+    val (_, cks) = listLog(spark, dir)
+    var prev: Option[Snapshot] =
+      if (from <= 0) None else Some(snapshotAt(spark, dir, from - 1, cks))
+    (from to to).map { v =>
+      val cur = readLogEntry(spark, dir, v) match {
+        case Left(full) => full
+        case Right(d) => applyDelta(prev, d)
+      }
+      val pair = (prev, cur)
+      prev = Some(cur)
+      pair
+    }
+  }
+
   /** This version's commit wall-clock WITHOUT reconstructing the
     * snapshot — one tiny JSON parse (every log entry carries `ts`). */
   private def entryTs(spark: SparkSession, dir: String, v: Long): Long = {

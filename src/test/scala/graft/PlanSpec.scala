@@ -89,23 +89,32 @@ class PlanSpec extends SparkSuite {
     try {
       val check = new graft.plans.UnpartitionedWindowCheck(spark)
       // every registry query analyzes clean — no raw-data global window
-      // anywhere in the library (aggregated metadata-scale windows exempt)
+      // anywhere in the library (aggregated metadata-scale windows
+      // exempt). Since r15 the check rule is also INJECTED via
+      // GraftExtensions, so internal actions inside q.fn are linted
+      // too; name the offender on failure.
       SparkEntry.registry.foreach { q =>
-        check(q.fn(spark, sf("0.001")).queryExecution.analyzed)
+        try check(q.fn(spark, sf("0.001")).queryExecution.analyzed)
+        catch { case e: IllegalStateException =>
+          fail(s"strict window lint failed for ${q.name}: ${e.getMessage}")
+        }
       }
-      // …and a raw global window still fails
-      val bad = graft.core.Tables.orders(spark, sf("0.001"))
-        .select(row_number().over(Window.orderBy("o_orderkey")).as("rn"))
+      // …and a raw global window still fails — since r15 the rule is
+      // also INJECTED through GraftExtensions, so the failure fires at
+      // ANALYSIS TIME (frame construction), before any manual check:
+      // the extension path itself is what these intercepts now prove
       intercept[IllegalStateException] {
+        val bad = graft.core.Tables.orders(spark, sf("0.001"))
+          .select(row_number().over(Window.orderBy("o_orderkey")).as("rn"))
         check(bad.queryExecution.analyzed)
       }
       // an Aggregate in a JOINED BRANCH does not bound the window input —
       // fact-sized global sort must still be rejected
-      val orders = graft.core.Tables.orders(spark, sf("0.001"))
-      val sneaky = orders
-        .crossJoin(broadcast(orders.agg(max("o_orderkey").as("mx"))))
-        .select(row_number().over(Window.orderBy("o_orderkey")).as("rn"))
       intercept[IllegalStateException] {
+        val orders = graft.core.Tables.orders(spark, sf("0.001"))
+        val sneaky = orders
+          .crossJoin(broadcast(orders.agg(max("o_orderkey").as("mx"))))
+          .select(row_number().over(Window.orderBy("o_orderkey")).as("rn"))
         check(sneaky.queryExecution.analyzed)
       }
     } finally spark.conf.unset("spark.graft.failUnpartitionedWindow")
