@@ -260,9 +260,13 @@ object TableQueries {
       val facDir = Scratch.wiped("mtable_sqldml_facade")
       s.conf.set("spark.sql.catalog.gqdml", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.gqdml.warehouse", wh)
+      // the de-duplicated base feeds FOUR consumers (CTAS, the facade
+      // create, both src branches) — persist so its groupBy shuffle
+      // runs once, not per consumer
       val base = Tables.orders(s, d)
         .groupBy(col("o_orderkey").as("k"))
         .agg(sum(col("o_totalprice").cast(Dsl.DFac)).cast(P).as("p"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       base.createOrReplaceTempView("gqdml_base")
       // the shared MERGE source: one row per key — matched keys carry
       // an op ('D' wins where both predicates hold) and a delta, the
@@ -315,6 +319,7 @@ object TableQueries {
           Dsl.d2d(Dsl.dsum(col("p"))).as("price_sum"))
         .select(lit(tag).as("api"), col("bucket"), col("n_rows"),
           col("key_sum"), col("price_sum"))
+      base.unpersist()
       fp(s.sql("SELECT * FROM gqdml.m.t"), "sql")
         .unionByName(fp(ManifestTable.read(s, facDir), "facade"))
         .orderBy("api", "bucket")

@@ -291,6 +291,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Seq(p("table", StringType))) { r =>
         ManifestTable.checkpoint(spark, tableDirOf(str(r, 0)))
       }
+      case "history" => new UnboundProcedure {
+        // the one procedure that RETURNS rows (DESCRIBE HISTORY):
+        // the snapshot log as (version, operation, ts, files, rows,
+        // bytes) through a LocalScan — metadata-sized by construction
+        override def name(): String = "history"
+        override def description(): String =
+          "the table's snapshot log: history(table)"
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = "history"
+            override def description(): String =
+              "the table's snapshot log: history(table)"
+            override def parameters(): Array[ProcedureParameter] =
+              Array(p("table", StringType))
+            override def isDeterministic: Boolean = false
+            override def call(input: InternalRow)
+                : java.util.Iterator[Scan] = {
+              val snaps = ManifestTable.history(spark,
+                tableDirOf(str(input, 0)))
+              val schema = StructType(Seq(
+                org.apache.spark.sql.types.StructField("version", LongType),
+                org.apache.spark.sql.types.StructField("operation", StringType),
+                org.apache.spark.sql.types.StructField("ts_millis", LongType),
+                org.apache.spark.sql.types.StructField("n_files", LongType),
+                org.apache.spark.sql.types.StructField("n_rows", LongType),
+                org.apache.spark.sql.types.StructField("n_bytes", LongType)))
+              val histRows = snaps.map { s =>
+                InternalRow.fromSeq(Seq(s.version,
+                  org.apache.spark.unsafe.types.UTF8String
+                    .fromString(s.operation),
+                  s.ts, s.files.size.toLong, s.totalRows, s.totalBytes))
+              }.toArray
+              val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
+                override def rows(): Array[InternalRow] = histRows
+                override def readSchema(): StructType = schema
+              }
+              java.util.Collections.singletonList(scan).iterator()
+            }
+          }
+      }
       case other => throw new UnsupportedOperationException(
         s"graft catalog: no procedure $other — available: " +
           GraftCatalog.ProcedureNames.mkString(", "))
@@ -355,5 +395,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 object GraftCatalog {
   /** The CALL surface, in `system` namespace. */
   val ProcedureNames: Seq[String] = Seq(
-    "compact", "zorder", "vacuum", "purge_vectors", "restore", "checkpoint")
+    "compact", "zorder", "vacuum", "purge_vectors", "restore",
+    "checkpoint", "history")
 }

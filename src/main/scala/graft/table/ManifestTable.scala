@@ -1403,11 +1403,14 @@ object ManifestTable {
       renames = src.renames))
   }
 
-  private[table] def current(spark: SparkSession, dir: String): Snapshot =
-    latestVersion(spark, dir) match {
-      case Some(v) => readManifest(spark, dir, v)
+  private[table] def current(spark: SparkSession, dir: String): Snapshot = {
+    // one listing serves both the head lookup and the reconstruction
+    val (versions, cks) = listLog(spark, dir)
+    versions.lastOption match {
+      case Some(v) => snapshotAt(spark, dir, v, cks)
       case None => sys.error(s"no manifest table at $dir")
     }
+  }
 
   // --------------------------------------------------------- reads
 

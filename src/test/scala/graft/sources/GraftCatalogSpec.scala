@@ -217,6 +217,14 @@ class GraftCatalogSpec extends SparkSuite {
     assert(ManifestTable.history(spark, dir).size == 1)
     assert(spark.sql("SELECT count(*) FROM lake.mnt.t").head().getLong(0)
       == 500L)
+    // history RETURNS rows (DESCRIBE HISTORY through a LocalScan)
+    val hist = spark.sql("CALL lake.system.history(table => 'mnt.t')")
+    assert(hist.columns.toSeq == Seq("version", "operation", "ts_millis",
+      "n_files", "n_rows", "n_bytes"))
+    val hrows = hist.collect()
+    assert(hrows.length == 1, "post-vacuum history is the head only")
+    assert(hrows.head.getString(1).startsWith("restore@"))
+    assert(hrows.head.getLong(4) == 500L)
     // unknown procedure fails loudly
     val e = intercept[Exception] {
       spark.sql("CALL lake.system.nope(table => 'mnt.t')")
