@@ -65,7 +65,9 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
     * carried-over rows — the standard lakehouse contract).
     * `startingVersion` = the first commit INCLUDED (0 = the table's
     * full history, create commit and all; default: head + 1, i.e. new
-    * appends only). For the CDC feed with _change/_commit_version use
+    * appends only). `maxFilesPerTrigger` rate-limits a backlog drain
+    * to ~n added files per micro-batch (whole commits, admission
+    * control). For the CDC feed with _change/_commit_version use
     * `format("graft-changefeed")`. */
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
@@ -84,7 +86,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
       .getOrElse(ManifestTable.latestVersion(sqlContext.sparkSession, dir)
         .map(_ + 1).getOrElse(0L))
     new GraftTableStreamSource(sqlContext, dir, starting,
-      parameters.get("ignoreChanges").exists(_.toBoolean))
+      parameters.get("ignoreChanges").exists(_.toBoolean),
+      parameters.get("maxFilesPerTrigger").map(_.toInt))
   }
 
   /** `writeStream.format("graft")` — the table as a STREAMING SINK
@@ -96,7 +99,11 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
     * (latest-wins CDC via [[ManifestTable.mergeBatch]]; requires
     * `key`, optional `opCol`/`seqCol`). A missing table is CREATED on
     * the first batch (`statsCols`/`partitionCols` options set the
-    * layout spec). */
+    * layout spec). `autoCompactAt` = opt-in bin-packing once the live
+    * small-file count breaches the threshold (`autoCompactSmallMb` /
+    * `autoCompactTargetMb` tune it) — the streaming small-file
+    * pathology self-heals. Exactly-once is PER WRITER via the
+    * streaming query id / `txnAppId` ([[graft.table.ManifestTable.Snapshot.txns]]). */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode)
@@ -348,9 +355,12 @@ private[sources] class GraftV1Relation(ctx: SQLContext,
   * fail loudly unless `ignoreChanges` — an append-only stream cannot
   * express them; the CDC-complete alternative is `graft-changefeed`. */
 private[sources] class GraftTableStreamSource(sqlContext: SQLContext,
-    dir: String, startingVersion: Long, ignoreChanges: Boolean)
-    extends org.apache.spark.sql.execution.streaming.Source {
+    dir: String, startingVersion: Long, ignoreChanges: Boolean,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
+  import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit, ReadMaxFiles}
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 
@@ -369,6 +379,52 @@ private[sources] class GraftTableStreamSource(sqlContext: SQLContext,
   override def getOffset: Option[V1Offset] =
     ManifestTable.latestVersion(spark, dir)
       .filter(_ >= startingVersion).map(LongOffset.apply)
+
+  /** ADMISSION CONTROL (`option("maxFilesPerTrigger", n)`): a restart
+    * against a long backlog must not land the whole history in ONE
+    * micro-batch — the end offset advances only as far as ~n added
+    * files per trigger (whole commits; always ≥ 1 commit so the stream
+    * progresses). The count comes from the commit DELTAS — one forward
+    * replay over the candidate range, no data IO. The engine calls
+    * this instead of [[getOffset]] when a limit is in play (the same
+    * seam Spark's own file source rate-limits through). */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(startOffset: V2Offset, limit: ReadLimit)
+      : V2Offset = {
+    val head = ManifestTable.latestVersion(spark, dir)
+      .filter(_ >= startingVersion)
+    head match {
+      case None => null
+      case Some(h) =>
+        val from = Option(startOffset)
+          .map(o => ver(o.asInstanceOf[V1Offset]) + 1)
+          .getOrElse(startingVersion)
+        if (from > h) return Option(startOffset).orNull
+        val end = limit match {
+          case mf: ReadMaxFiles =>
+            var taken = 0
+            var endV = from // always include at least one commit
+            ManifestTable.snapshotPairs(spark, dir, from, h)
+              .iterator.takeWhile { case (prev, cur) =>
+                val prevPaths = prev.map(_.files.map(_.path).toSet)
+                  .getOrElse(Set.empty[String])
+                val added = cur.files.count(f => !prevPaths(f.path))
+                val first = cur.version == from
+                if (first || taken + added <= mf.maxFiles()) {
+                  taken += added
+                  endV = cur.version
+                  true
+                } else false
+              }.foreach(_ => ())
+            endV
+          case _ => h
+        }
+        LongOffset(end)
+    }
+  }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset)
       : DataFrame = {
@@ -449,7 +505,7 @@ private[sources] class GraftTableSink(dir: String,
       ManifestTable.create(spark, dir, batch.limit(0),
         statsCols = csv("statsCols"), partitionCols = csv("partitionCols"))
     }
-    parameters.getOrElse("mode", "append") match {
+    val committed = parameters.getOrElse("mode", "append") match {
       case "append" =>
         ManifestTable.appendBatch(spark, dir, batch, batchId, txnId)
       case "merge" => ManifestTable.mergeBatch(spark, dir, batch,
@@ -457,6 +513,22 @@ private[sources] class GraftTableSink(dir: String,
           "graft sink: merge mode requires option(\"key\", <column>)")),
         batchId, parameters.get("opCol"), parameters.get("seqCol"), txnId)
       case other => sys.error(s"graft sink: unknown mode $other")
+    }
+    // opt-in AUTO-COMPACTION (`option("autoCompactAt", n)`): streaming
+    // ingest is the small-file pathology — one file per micro-batch
+    // forever. When the live count of files under `autoCompactSmallMb`
+    // (default 32) reaches n, one bin-packing compact commit runs
+    // inline (contents untouched, a pure layout commit that rebases
+    // over concurrent appends). Cost ∝ the small files; between
+    // breaches every batch stays batch-priced.
+    parameters.get("autoCompactAt").map(_.toInt).foreach { n =>
+      val smallBytes = parameters.get("autoCompactSmallMb")
+        .map(_.toLong).getOrElse(32L) << 20
+      val small = committed.files.count(_.bytes < smallBytes)
+      if (small >= n) ManifestTable.compact(spark, dir,
+        smallBytes = smallBytes,
+        targetBytes = parameters.get("autoCompactTargetMb")
+          .map(_.toLong).getOrElse(128L) << 20)
     }
   }
 

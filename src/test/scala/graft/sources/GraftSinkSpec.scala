@@ -96,6 +96,66 @@ class GraftSinkSpec extends SparkSuite {
     assert(ManifestTable.read(spark, dir).count() == 4002L)
   }
 
+  test("maxFilesPerTrigger rate-limits the table source: a backlog " +
+    "drains over several micro-batches instead of one, nothing lost") {
+    import spark.implicits._
+    val src = freshDir("rl_src")
+    val dst = freshDir("rl_dst")
+    val ckpt = freshDir("rl_ckpt")
+    // backlog: 6 commits of one file each BEFORE the stream starts
+    ManifestTable.create(spark, src,
+      Seq((0L, "v0")).toDF("k", "v"), statsCols = Seq("k"))
+    (1L to 5L).foreach { i =>
+      ManifestTable.append(spark, src, Seq((i, s"v$i")).toDF("k", "v"))
+    }
+    val q = spark.readStream.format("graft")
+      .option("path", src).option("startingVersion", "0")
+      .option("maxFilesPerTrigger", "2").load()
+      .writeStream.format("graft")
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // every row arrived…
+    val got = ManifestTable.read(spark, dst).select("k").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == (0L to 5L).toSet)
+    // …across SEVERAL sink commits (each micro-batch is one commit;
+    // 6 backlogged files at ≤2 per trigger ⇒ at least 3 batches)
+    val appendCommits = ManifestTable.history(spark, dst)
+      .count(_.operation.startsWith("append@batch="))
+    assert(appendCommits >= 3,
+      s"expected the backlog to drain over >=3 batches, got $appendCommits")
+  }
+
+  test("autoCompactAt keeps streaming ingest's file count bounded: the " +
+    "breaching batch triggers one bin-packing commit, contents exact") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = freshDir("ac")
+    val ckpt = freshDir("ac_ckpt")
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("k", "v")
+      .writeStream.format("graft")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .option("autoCompactAt", "4")
+      .start()
+    try {
+      (0L until 10L).foreach { i =>
+        mem.addData((i, s"b$i"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val head = ManifestTable.snapshot(spark, dir)
+    assert(head.files.size < 10,
+      s"auto-compaction must bound the file count, got ${head.files.size}")
+    assert(ManifestTable.history(spark, dir)
+      .exists(_.operation == "compact"),
+      "a compact commit must appear in the history")
+    assert(ManifestTable.read(spark, dir).count() == 10L)
+    assert(ManifestTable.read(spark, dir).select("k").collect()
+      .map(_.getLong(0)).toSet == (0L until 10L).toSet)
+  }
+
   test("merge mode: latest-wins CDC per micro-batch with exactly-once " +
     "ids; 'D' op deletes") {
     import spark.implicits._
