@@ -46,6 +46,15 @@ import graft.table.ManifestTable
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with ProcedureCatalog {
 
+  /** CHECK constraints are first-class on graft tables (enforced on
+    * every write by [[ManifestTable]]), so the catalog advertises the
+    * constraint-DDL capability: `ALTER TABLE t ADD CONSTRAINT n CHECK
+    * (…)` / `DROP CONSTRAINT n` plan through [[alterTable]]. */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private var catalogName: String = _
   private var warehouse: Path = _
 
@@ -147,6 +156,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "graft catalog: only top-level RENAME COLUMN is supported")
         ManifestTable.renameColumn(spark, dir, r.fieldNames.head,
           r.newName)
+      case ac: TableChange.AddConstraint => ac.constraint match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          // one metadata commit; the engine validates EXISTING data
+          // first and then enforces the predicate on every write
+          ManifestTable.alterConstraints(spark, dir,
+            add = Map(c.name -> c.predicateSql))
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog: only CHECK constraints are enforced, got " +
+            other.toDDL)
+      }
+      case dc: TableChange.DropConstraint =>
+        val have = ManifestTable.snapshot(spark, dir).constraints
+        if (!have.contains(dc.name) && dc.ifExists) ()
+        else ManifestTable.alterConstraints(spark, dir,
+          drop = Set(dc.name))
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER $other — use the Scala " +
           "facade for constraints/layout DDL")
@@ -291,6 +315,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Seq(p("table", StringType))) { r =>
         ManifestTable.checkpoint(spark, tableDirOf(str(r, 0)))
       }
+      case "clone" => proc("clone",
+        "zero-copy shallow clone: clone(table, target, version)",
+        Seq(p("table", StringType), p("target", StringType),
+          pd("version", LongType, "-1"))) { r =>
+        val srcDir = tableDirOf(str(r, 0))
+        val parts = str(r, 1).split('.').toSeq
+        val dst = tablePath(Identifier.of(parts.init.toArray, parts.last))
+        fs.mkdirs(dst.getParent)
+        val v = r.getLong(2)
+        ManifestTable.cloneTable(spark, srcDir, dst.toString,
+          if (v < 0) None else Some(v))
+      }
       case "history" => new UnboundProcedure {
         // the one procedure that RETURNS rows (DESCRIBE HISTORY):
         // the snapshot log as (version, operation, ts, files, rows,
@@ -396,5 +432,5 @@ object GraftCatalog {
   /** The CALL surface, in `system` namespace. */
   val ProcedureNames: Seq[String] = Seq(
     "compact", "zorder", "vacuum", "purge_vectors", "restore",
-    "checkpoint", "history")
+    "checkpoint", "history", "clone")
 }

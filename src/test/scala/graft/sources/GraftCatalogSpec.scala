@@ -165,6 +165,54 @@ class GraftCatalogSpec extends SparkSuite {
       .head().getString(0) == "A")
   }
 
+  test("SQL constraint DDL: ADD CONSTRAINT CHECK validates existing " +
+    "data and gates every later write; DROP CONSTRAINT frees it; " +
+    "CALL system.clone is the zero-copy test-on-prod primitive") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.cst")
+    val dir = s"$wh/cst/t"
+    spark.sql("CREATE TABLE lake.cst.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('option.statsCols' = 'k')")
+    spark.sql("INSERT INTO lake.cst.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE lake.cst.t ADD CONSTRAINT k_pos CHECK (k > 0)")
+    assert(ManifestTable.snapshot(spark, dir).constraints
+      .get("k_pos").exists(_.contains("k")))
+    // the constraint gates SQL writes (engine-enforced, not advisory)
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO lake.cst.t VALUES (-5, 'bad')")
+    }
+    assert(String.valueOf(e.getMessage).contains("k_pos") ||
+      String.valueOf(e.getCause).contains("k_pos"))
+    assert(spark.sql("SELECT count(*) FROM lake.cst.t").head().getLong(0)
+      == 2L, "a rejected INSERT must commit nothing")
+    // adding a constraint the existing data violates is refused —
+    // Spark's own ALTER path pre-validates (NEW_CHECK_CONSTRAINT_
+    // VIOLATION) before the catalog commit; either gate must fire
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE lake.cst.t ADD CONSTRAINT k_big CHECK (k > 10)")
+    }
+    val msg2 = String.valueOf(e2.getMessage) + String.valueOf(e2.getCause)
+    assert(msg2.contains("k_big") ||
+      msg2.contains("CHECK_CONSTRAINT_VIOLATION"))
+    assert(!ManifestTable.snapshot(spark, dir).constraints.contains("k_big"),
+      "a refused constraint must not land in the table spec")
+    // DROP CONSTRAINT frees the gate
+    spark.sql("ALTER TABLE lake.cst.t DROP CONSTRAINT k_pos")
+    spark.sql("INSERT INTO lake.cst.t VALUES (-5, 'now ok')")
+    assert(spark.sql("SELECT count(*) FROM lake.cst.t").head().getLong(0)
+      == 3L)
+    // zero-copy clone through SQL: same content, independent life
+    spark.sql("CALL lake.system.clone(table => 'cst.t', " +
+      "target => 'cst.t2')")
+    assert(spark.sql("SELECT count(*) FROM lake.cst.t2").head().getLong(0)
+      == 3L)
+    spark.sql("INSERT INTO lake.cst.t2 VALUES (99, 'clone only')")
+    assert(spark.sql("SELECT count(*) FROM lake.cst.t").head().getLong(0)
+      == 3L, "the source must never see the clone's writes")
+    assert(spark.sql("SELECT count(*) FROM lake.cst.t2").head().getLong(0)
+      == 4L)
+  }
+
   test("SQL maintenance procedures: CALL system.compact/zorder/vacuum/" +
     "purge_vectors/restore/checkpoint drive the facade operations") {
     wh
