@@ -163,9 +163,22 @@ object IvfPq {
 
   private def writeMaintenance(spark: SparkSession, dir: String,
       st: MaintenanceState): Unit = {
+    // a NaN/Inf baseline or ratio (e.g. an empty held-out sample)
+    // would serialize as bare NaN — invalid JSON that permanently
+    // wedges every later parse; refuse it before any byte lands
+    require(java.lang.Double.isFinite(st.baseline) &&
+      java.lang.Double.isFinite(st.lastRatio),
+      s"maintenance ledger: non-finite baseline/ratio (baseline=" +
+        s"${st.baseline}, lastRatio=${st.lastRatio}) — score a " +
+        "non-empty held-out sample")
     val p = maintPath(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    // dot-tmp + rename-over: a crash mid-write must never leave a
+    // truncated ledger in place (that would wedge appendToDirManaged)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s"._maintenance.json.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try out.write(
       s"""{"baseline":${st.baseline},"indexedRows":${st.indexedRows},
          |"appendedRows":${st.appendedRows},
@@ -174,6 +187,15 @@ object IvfPq {
          |"lastRatio":${st.lastRatio}}""".stripMargin
         .replace("\n", "").getBytes("UTF-8"))
     finally out.close()
+    // LocalFs is a ChecksumFs: the raw FileContext rename below moves
+    // only the data file, so drop both .crc sidecars or a stale dst
+    // sidecar fails every later open with ChecksumException
+    fs.delete(new org.apache.hadoop.fs.Path(dir,
+      s".${tmp.getName}.crc"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(dir,
+      s".${p.getName}.crc"), false)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** The managed dir's current ledger, if [[initMaintenance]] ran. */

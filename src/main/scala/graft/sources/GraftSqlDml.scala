@@ -240,9 +240,15 @@ private[sources] case class GraftMergeCommand(dir: String,
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val src0 = org.apache.spark.sql.GraftSqlBridge.ofRows(session, source)
-    val src = renames.foldLeft(src0) { case (d, (from, to)) =>
-      d.withColumnRenamed(from, to)
-    }
+    // SIMULTANEOUS rename in one projection: a crossed ON clause
+    // (t.a = s.b AND t.b = s.a) renames b→a and a→b at once — a
+    // sequential withColumnRenamed chain would have the second rename
+    // clobber the column the first one just produced
+    val src =
+      if (renames.isEmpty) src0
+      else src0.select(src0.columns.toSeq.map(c =>
+        org.apache.spark.sql.functions.col(c)
+          .as(renames.getOrElse(c, c))): _*)
     MergeInto(session, dir, src, keyPairs.map(_._1),
       matched, notMatched, bySource)
     Seq.empty

@@ -229,14 +229,57 @@ object ManifestTable {
   private val DvDir = "dv"
   private val PartPrefix = "__p_"
 
-  /** A full checkpoint (`c%020d.json`, the complete live-file listing)
-    * is written every this-many commits, at the vacuum horizon, and on
-    * demand via [[checkpoint]]. Every COMMIT writes only its DELTA
-    * (`v%020d.json`: added/removed files + metadata), so commit bytes
-    * are ∝ touched files at any table size; reconstructing a snapshot
-    * costs one checkpoint parse + at most this-many−1 tiny delta
-    * parses, independent of history length and live-file count. */
+  /** A full checkpoint (the complete live-file listing: a PARQUET file
+    * `c%020d.files.parquet` — one row per [[FileEntry]], columnar —
+    * sealed by a tiny JSON meta record `c%020d.json`) is written every
+    * this-many commits, at the vacuum horizon, and on demand via
+    * [[checkpoint]]. Every COMMIT writes only its DELTA (`v%020d.json`:
+    * added/removed files + metadata), so commit bytes are ∝ touched
+    * files at any table size; reconstructing a snapshot costs one
+    * checkpoint load + at most this-many−1 tiny delta parses,
+    * independent of history length — and with the [[snapshotCache]] a
+    * session pays that load at most once per (table, version). */
   private[table] val CheckpointInterval = 16L
+
+  /** Driver-side SNAPSHOT CACHE keyed by (table dir, version). A
+    * committed version's content is IMMUTABLE by the commit protocol
+    * ([[publish]] is putIfAbsent — exactly one record can ever exist
+    * under a version name), so entries never need invalidation; the
+    * cache is a bounded LRU so a long session over many tables stays
+    * memory-bounded. Every read still pays the ONE log listing (to
+    * learn the head version — that is how external commits become
+    * visible); what it stops paying is the O(live-files) checkpoint
+    * load + delta replay: the second plan against an unchanged table is
+    * a pure cache hit (ZERO checkpoint/delta parses — the spec law,
+    * instrumented by [[checkpointLoads]]/[[deltaParses]]), and a plan
+    * right after a commit is one tiny delta parse on top of the cached
+    * parent. [[publish]] seeds the cache with the snapshot it just
+    * committed, so write-then-read never reconstructs at all. This is
+    * the read-side twin of the delta-priced commit log: at 10⁵–10⁶
+    * live files the driver holds ~one FileEntry vector per hot table
+    * instead of re-parsing it per query plan. */
+  private val SnapshotCacheSize = 64
+  // key: (table dir, version, v-file fingerprint — see listLog)
+  private val snapshotCache: java.util.Map[(String, Long, Long), Snapshot] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Long), Snapshot](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), Snapshot]): Boolean =
+          size() > SnapshotCacheSize
+      })
+
+  /** Observability counters for the metadata read path (spec hooks):
+    * full-listing checkpoint loads, delta/log-entry parses, and
+    * best-effort checkpoint WRITE failures (a persistently failing
+    * checkpoint writer degrades every later cold read — it must be
+    * visible, see `CALL system.detail`). */
+  private[graft] val checkpointLoads = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val deltaParses = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val checkpointWriteFailures = new java.util.concurrent.atomic.AtomicLong
+
+  private[graft] def clearSnapshotCache(): Unit = snapshotCache.clear()
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Merge sources at or under this row count are BROADCAST to the
     * rewrite join (the table side then never shuffles — the CDC fast
@@ -249,28 +292,40 @@ object ManifestTable {
   private def logPath(dir: String) = new Path(dir, LogDir)
   private def deltaName(v: Long) = f"v$v%020d.json"
   private def checkpointName(v: Long) = f"c$v%020d.json"
+  private def ckptFilesName(v: Long) = f"c$v%020d.files.parquet"
 
   // ---------------------------------------------------------------- io
 
   private def conf(spark: SparkSession): Configuration =
     spark.sparkContext.hadoopConfiguration
 
-  /** One log listing: (committed versions, checkpointed versions),
-    * both ascending — the only filesystem LISTING any read pays. */
+  /** One log listing: (committed versions, checkpointed versions, a
+    * per-version file FINGERPRINT — length ⊕ mtime of the v-file),
+    * versions ascending — the only filesystem LISTING any read pays.
+    * The fingerprint guards the [[snapshotCache]] against a table
+    * DROPPED and RECREATED at the same path: the new table's v-files
+    * carry new fingerprints, so the old entries can never answer for
+    * it (commit immutability holds per log FILE, not per path). */
   private def listLog(spark: SparkSession, dir: String)
-      : (Seq[Long], Seq[Long]) = {
+      : (Seq[Long], Seq[Long], Map[Long, Long]) = {
     val lp = logPath(dir)
     val fs = lp.getFileSystem(conf(spark))
-    if (!fs.exists(lp)) (Nil, Nil)
+    if (!fs.exists(lp)) (Nil, Nil, Map.empty)
     else {
-      val names = fs.listStatus(lp).toSeq.map(_.getPath.getName)
-      def nums(prefix: Char): Seq[Long] = names
-        .filter(n => n.nonEmpty && n.charAt(0) == prefix && n.endsWith(".json"))
-        .flatMap(n => scala.util.Try(n.drop(1).dropRight(5).toLong).toOption)
-        .sorted
-      (nums('v'), nums('c'))
+      val sts = fs.listStatus(lp).toSeq
+      def num(prefix: Char, n: String): Option[Long] =
+        if (n.nonEmpty && n.charAt(0) == prefix && n.endsWith(".json"))
+          scala.util.Try(n.drop(1).dropRight(5).toLong).toOption
+        else None
+      val vs = sts.flatMap(st => num('v', st.getPath.getName)
+        .map(v => (v, fileToken(st.getLen, st.getModificationTime))))
+        .sortBy(_._1)
+      val cs = sts.flatMap(st => num('c', st.getPath.getName)).sorted
+      (vs.map(_._1), cs, vs.toMap)
     }
   }
+
+  private def fileToken(len: Long, mtime: Long): Long = len * 1000003L + mtime
 
   private def listVersions(spark: SparkSession, dir: String): Seq[Long] =
     listLog(spark, dir)._1
@@ -284,9 +339,9 @@ object ManifestTable {
     * one applies its own delta), so the whole history costs O(retained
     * versions) small JSON reads, never O(versions × interval). */
   def history(spark: SparkSession, dir: String): Seq[Snapshot] = {
-    val (versions, cks) = listLog(spark, dir)
+    val (versions, cks, tokens) = listLog(spark, dir)
     if (versions.isEmpty) return Nil
-    var snap = snapshotAt(spark, dir, versions.head, cks)
+    var snap = snapshotAt(spark, dir, versions.head, versions, cks, tokens)
     val out = Vector.newBuilder[Snapshot]
     out += snap
     versions.tail.foreach { v =>
@@ -307,24 +362,56 @@ object ManifestTable {
       version: Option[Long] = None): Snapshot =
     version.map(readManifest(spark, dir, _)).getOrElse(current(spark, dir))
 
-  private def readManifest(spark: SparkSession, dir: String, v: Long): Snapshot =
-    snapshotAt(spark, dir, v, listLog(spark, dir)._2)
+  private def readManifest(spark: SparkSession, dir: String, v: Long): Snapshot = {
+    val (versions, cks, tokens) = listLog(spark, dir)
+    snapshotAt(spark, dir, v, versions, cks, tokens)
+  }
 
-  /** Reconstruct snapshot `v`: the latest checkpoint at or below `v`,
-    * plus a replay of its delta suffix. */
+  /** Reconstruct snapshot `v`: a [[snapshotCache]] hit when this
+    * session has seen the version (or any version close below it — the
+    * replay warm-starts from the highest cached ancestor), else the
+    * latest checkpoint at or below `v` plus a replay of its delta
+    * suffix. When NO checkpoint at or below `v` survives, the replay
+    * starts at the lowest RETAINED log version instead of 0 — a
+    * pre-delta-log table vacuumed under the old code keeps no c-files,
+    * but each of its retained v-files is a full manifest and acts as
+    * its own checkpoint; if that first retained entry turns out to be
+    * a DELTA the snapshot is genuinely unreconstructible and the error
+    * says so loudly (never a silently short file list). */
   private def snapshotAt(spark: SparkSession, dir: String, v: Long,
-      checkpoints: Seq[Long]): Snapshot = {
+      versions: Seq[Long], checkpoints: Seq[Long],
+      tokens: Map[Long, Long]): Snapshot = {
+    def key(w: Long) = (dir, w, tokens.getOrElse(w, -1L))
+    val hit = snapshotCache.get(key(v))
+    if (hit != null) return hit
     val ck = checkpoints.filter(_ <= v).lastOption
-    var snap: Option[Snapshot] = ck.map { c =>
-      parseManifest(JsonMethods.parse(
-        readText(spark, new Path(logPath(dir), checkpointName(c)))))
+    val floor = ck.getOrElse(versions.filter(_ <= v).headOption.getOrElse(0L))
+    // warm-start from the highest cached version below v (bounded probe:
+    // anything further back than a few intervals is cheaper via the
+    // checkpoint than via a long cache-miss scan)
+    var snap: Option[Snapshot] = None
+    var w = floor
+    var probe = v - 1
+    val probeFloor = math.max(floor, v - 4 * CheckpointInterval)
+    while (probe >= probeFloor && snap.isEmpty) {
+      val c = snapshotCache.get(key(probe))
+      if (c != null) { snap = Some(c); w = probe + 1 }
+      probe -= 1
     }
-    var w = snap.map(_.version + 1).getOrElse(0L)
+    if (snap.isEmpty) {
+      snap = ck.map(readCheckpoint(spark, dir, _))
+      w = snap.map(_.version + 1).getOrElse(floor)
+    }
     try {
       while (w <= v) {
         readLogEntry(spark, dir, w) match {
           case Left(full) => snap = Some(full)
-          case Right(d) => snap = Some(applyDelta(snap, d))
+          case Right(d) =>
+            if (snap.isEmpty && d.version > 0) sys.error(
+              s"snapshot v$v of $dir is not reconstructible — the oldest " +
+                s"retained log entry v$w is a delta and no checkpoint at " +
+                "or below it survives (vacuumed under a pre-delta build?)")
+            snap = Some(applyDelta(snap, d))
         }
         w += 1
       }
@@ -333,19 +420,26 @@ object ManifestTable {
         s"snapshot v$v of $dir is not reconstructible — log entry v$w " +
           s"is gone (vacuumed?): $e")
     }
-    snap.getOrElse(sys.error(s"no snapshot v$v at $dir"))
+    val out = snap.getOrElse(sys.error(s"no snapshot v$v at $dir"))
+    snapshotCache.put(key(v), out)
+    out
   }
 
   /** Consecutive (parent, child) snapshot pairs for versions
     * [from, to] — ONE forward replay for the whole range (the
     * streaming source's per-batch walk), instead of reconstructing
-    * every version independently through its checkpoint. */
+    * every version independently through its checkpoint. LAZY: the
+    * walk reads log entries only as the iterator is consumed, so an
+    * admission-controlled consumer that stops at its file budget
+    * (`maxFilesPerTrigger`) prices each trigger at the commits it
+    * ADMITS, not the whole remaining backlog. */
   private[graft] def snapshotPairs(spark: SparkSession, dir: String,
-      from: Long, to: Long): Seq[(Option[Snapshot], Snapshot)] = {
-    val (_, cks) = listLog(spark, dir)
+      from: Long, to: Long): Iterator[(Option[Snapshot], Snapshot)] = {
+    val (versions, cks, tokens) = listLog(spark, dir)
     var prev: Option[Snapshot] =
-      if (from <= 0) None else Some(snapshotAt(spark, dir, from - 1, cks))
-    (from to to).map { v =>
+      if (from <= 0) None
+      else Some(snapshotAt(spark, dir, from - 1, versions, cks, tokens))
+    (from to to).iterator.map { v =>
       val cur = readLogEntry(spark, dir, v) match {
         case Left(full) => full
         case Right(d) => applyDelta(prev, d)
@@ -370,11 +464,32 @@ object ManifestTable {
     * checkpoint, so old logs keep reading unchanged. */
   private def readLogEntry(spark: SparkSession, dir: String, v: Long)
       : Either[Snapshot, DeltaRec] = {
+    deltaParses.incrementAndGet()
     val j = JsonMethods.parse(
       readText(spark, new Path(logPath(dir), deltaName(v))))
     (j \ "kind") match {
       case JString("delta") => Right(parseDelta(j))
       case _ => Left(parseManifest(j))
+    }
+  }
+
+  /** Load checkpoint `c`: the current two-part format (tiny JSON meta
+    * seal + columnar `c%020d.files.parquet` holding one row per
+    * [[FileEntry]] — loaded through Spark's vectorized parquet reader,
+    * so at 10⁵–10⁶ live files reconstruction is a columnar scan, not a
+    * giant single-threaded JSON parse) or the legacy single-JSON
+    * full-listing format, which keeps parsing unchanged. */
+  private def readCheckpoint(spark: SparkSession, dir: String, c: Long)
+      : Snapshot = {
+    checkpointLoads.incrementAndGet()
+    val j = JsonMethods.parse(
+      readText(spark, new Path(logPath(dir), checkpointName(c))))
+    (j \ "kind") match {
+      case JString("checkpoint-pq") =>
+        val meta = parseManifest(j)
+        meta.copy(files = readCkptFiles(spark,
+          new Path(logPath(dir), ckptFilesName(c))))
+      case _ => parseManifest(j)
     }
   }
 
@@ -539,9 +654,28 @@ object ManifestTable {
     JsonMethods.compact(JsonMethods.render(obj))
   }
 
-  /** Full-listing checkpoint (also the pre-delta-log full-manifest
-    * wire format, so old logs parse with the same reader). */
-  private def renderCheckpoint(s: Snapshot): String = {
+  /** The tiny JSON SEAL of a columnar checkpoint: all snapshot metadata
+    * (plus the dv map — O(vectored files), small), kind "checkpoint-pq",
+    * with the live-file listing living in the sibling
+    * `c%020d.files.parquet`. Readers never see the checkpoint until the
+    * seal lands (putIfAbsent), so the two-part write is atomic. */
+  private def renderCheckpointSeal(s: Snapshot): String = {
+    val obj = JObject(List("kind" -> (JString("checkpoint-pq"): JValue)) ++
+      renderMeta(s.version, s.parent, s.operation, s.lastBatch, s.ts,
+        s.schemaJson, s.statsCols, s.partitionCols, s.constraints,
+        s.dropped, s.txns, s.renames) ++
+      (if (s.dvs.isEmpty) Nil
+       else List("dvs" -> (JObject(s.dvs.toList.sortBy(_._1).map {
+         case (p, vs) => p -> (JArray(vs.toList.map(JString(_))): JValue)
+       }): JValue))))
+    JsonMethods.compact(JsonMethods.render(obj))
+  }
+
+  /** LEGACY full-listing single-JSON checkpoint (also the pre-delta-log
+    * full-manifest wire format, so old logs parse with the same
+    * reader). Kept [table]-visible so specs can pin that old
+    * checkpoints still read. */
+  private[table] def renderCheckpoint(s: Snapshot): String = {
     val obj = JObject(List("kind" -> (JString("checkpoint"): JValue)) ++
       renderMeta(s.version, s.parent, s.operation, s.lastBatch, s.ts,
         s.schemaJson, s.statsCols, s.partitionCols, s.constraints,
@@ -552,6 +686,85 @@ object ManifestTable {
        }): JValue))) ++
       List("files" -> (JArray(s.files.toList.map(renderFile)): JValue)))
     JsonMethods.compact(JsonMethods.render(obj))
+  }
+
+  // --------------------------------------- columnar checkpoint codec
+  // One parquet row per FileEntry. min/max stay JSON-encoded primitives
+  // (one short string each) inside typed map/struct columns: the bulk
+  // of a checkpoint — paths, row/byte counts, the map layout — decodes
+  // through Spark's vectorized parquet reader, and the listing is a
+  // REAL parquet table (see filesFrame) that distributed metadata ops
+  // can scan/filter without ever materializing it on the driver.
+
+  private val ckptStatsType = MapType(StringType, StructType(Seq(
+    StructField("mn", StringType), StructField("mx", StringType))),
+    valueContainsNull = false)
+
+  private[table] val ckptFilesSchema = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("stats", ckptStatsType),
+    StructField("part", MapType(StringType, StringType,
+      valueContainsNull = true)),
+    StructField("rgs", ArrayType(StructType(Seq(
+      StructField("o", LongType, nullable = false),
+      StructField("b", LongType, nullable = false),
+      StructField("r", LongType, nullable = false),
+      StructField("stats", ckptStatsType)))))))
+
+  private def encPrim(v: Any): String =
+    JsonMethods.compact(JsonMethods.render(primToJson(v)))
+  private def decPrim(s: String): Any = jsonToPrim(JsonMethods.parse(s))
+
+  private def statsMapRow(m: Map[String, ColStats]): Map[String, Row] =
+    m.map { case (c, cs) => c -> Row(encPrim(cs.min), encPrim(cs.max)) }
+
+  private def fileRow(f: FileEntry): Row = Row(
+    f.path, f.rows, f.bytes, statsMapRow(f.stats),
+    f.partitions.map { case (c, v) => c -> v.orNull },
+    f.rgs.map(g => Row(g.offset, g.bytes, g.rows, statsMapRow(g.stats))))
+
+  private def readCkptFiles(spark: SparkSession, pq: Path): Vector[FileEntry] = {
+    def stats(m: scala.collection.Map[String, Row]): Map[String, ColStats] =
+      if (m == null) Map.empty
+      else m.iterator.map { case (c, r) =>
+        c -> ColStats(decPrim(r.getString(0)), decPrim(r.getString(1)))
+      }.toMap
+    spark.read.schema(ckptFilesSchema).parquet(pq.toString)
+      .collect().iterator.map { r =>
+        FileEntry(r.getString(0), r.getLong(1), r.getLong(2),
+          stats(r.getAs[scala.collection.Map[String, Row]](3)),
+          Option(r.getAs[scala.collection.Map[String, String]](4))
+            .map(_.iterator.map { case (c, v) => c -> Option(v) }.toMap)
+            .getOrElse(Map.empty),
+          Option(r.getAs[scala.collection.Seq[Row]](5))
+            .map(_.iterator.map(g => RowGroup(g.getLong(0), g.getLong(1),
+              g.getLong(2),
+              stats(g.getAs[scala.collection.Map[String, Row]](3)))).toVector)
+            .getOrElse(Vector.empty))
+      }.toVector
+  }
+
+  /** The HEAD snapshot's live-file listing as a DataFrame under
+    * [[ckptFilesSchema]] — the DISTRIBUTED metadata surface: when the
+    * head is exactly a sealed columnar checkpoint the frame IS a
+    * parquet scan of that checkpoint (at 10⁵–10⁶ files, file-skipping
+    * decisions can run as a DataFrame filter over it instead of a
+    * driver loop — the Iceberg distributed-manifest-pruning shape);
+    * otherwise it is a local relation over the reconstructed snapshot,
+    * so the surface is always available. */
+  def filesFrame(spark: SparkSession, dir: String): DataFrame = {
+    val (versions, cks, tokens) = listLog(spark, dir)
+    val head = versions.lastOption.getOrElse(
+      sys.error(s"no manifest table at $dir"))
+    val pq = new Path(logPath(dir), ckptFilesName(head))
+    if (cks.contains(head) && pq.getFileSystem(conf(spark)).exists(pq))
+      spark.read.schema(ckptFilesSchema).parquet(pq.toString)
+    else {
+      val snap = snapshotAt(spark, dir, head, versions, cks, tokens)
+      spark.createDataFrame(snap.files.map(fileRow).asJava, ckptFilesSchema)
+    }
   }
 
   private def jLong(v: JValue): Long = v match {
@@ -847,14 +1060,47 @@ object ManifestTable {
     }
     // canonical form: what any later replay reconstructs
     val committed = applyDelta(par, delta)
+    // seed the snapshot cache: the common write-then-plan sequence then
+    // never reconstructs at all (the key needs the just-written file's
+    // fingerprint — one cheap stat on a path this commit just created)
+    try {
+      val lp = logPath(dir)
+      val st = lp.getFileSystem(conf(spark))
+        .getFileStatus(new Path(lp, deltaName(s.version)))
+      snapshotCache.put(
+        (dir, s.version, fileToken(st.getLen, st.getModificationTime)),
+        committed)
+    } catch { case NonFatal(_) => () }
     // amortized full listing so reads never replay more than one
     // interval of deltas; best-effort — a crash here just means the
-    // next reader replays a longer suffix
+    // next reader replays a longer suffix. Best-effort must NOT mean
+    // invisible: a persistently failing checkpoint writer (permissions,
+    // quota) degrades every later cold read, so the failure is logged
+    // and counted (surfaced by `CALL system.detail`).
     if (s.version > 0 && s.version % CheckpointInterval == 0)
       try writeCheckpoint(spark, dir, committed)
-      catch { case NonFatal(_) => () }
+      catch { case NonFatal(e) =>
+        checkpointWriteFailures.incrementAndGet()
+        log.warn(s"checkpoint write failed at $dir v${s.version} — " +
+          "readers replay a longer delta suffix until one succeeds " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage})")
+      }
     committed
   }
+
+  /** FAULT-INJECTION seam (spec-only): when set, the next
+    * [[writeCheckpoint]] throws once — how the observability law
+    * (failure logged + counted, table still reads) is pinned without
+    * depending on filesystem permissions the test user may bypass. */
+  @volatile private[table] var failNextCheckpoint: Boolean = false
+
+  /** The newest checkpointed version, if any. Together with the head
+    * version this prices the replay suffix every COLD read pays — the
+    * checkpoint-health observability `CALL system.detail` surfaces (a
+    * persistently failing checkpoint writer shows up as a growing
+    * suffix here, not as silent degradation). */
+  def lastCheckpoint(spark: SparkSession, dir: String): Option[Long] =
+    listLog(spark, dir)._2.lastOption
 
   /** Force a full checkpoint of the CURRENT snapshot (maintenance
     * hook; [[publish]] also writes one every [[CheckpointInterval]]
@@ -865,14 +1111,63 @@ object ManifestTable {
     head
   }
 
-  /** Idempotent: checkpoint content is a pure function of the log, so
-    * a racing writer losing the putIfAbsent is fine — identical bytes
-    * already sit there. */
+  /** Two-part columnar checkpoint write: (1) the live-file listing as
+    * ONE parquet file (`c%020d.files.parquet`) written by Spark and
+    * promoted onto its versioned name, then (2) the tiny JSON meta SEAL
+    * (`c%020d.json`, putIfAbsent) — readers never consider a checkpoint
+    * until the seal exists, so a crash between the parts just leaves an
+    * orphan parquet for vacuum. Idempotent: checkpoint content is a
+    * pure function of the log, so a racing writer losing either
+    * promotion is fine — identical bytes already sit there. Throws when
+    * the seal could not be placed AND is absent (a genuinely failed
+    * write — publish counts and logs it). */
   private def writeCheckpoint(spark: SparkSession, dir: String,
       s: Snapshot): Unit = {
-    putIfAbsent(spark, logPath(dir), renderCheckpoint(s),
-      checkpointName(s.version))
-    ()
+    if (failNextCheckpoint) {
+      failNextCheckpoint = false
+      sys.error("injected checkpoint-write failure (test seam)")
+    }
+    val lp = logPath(dir)
+    val fs = lp.getFileSystem(conf(spark))
+    val sealDst = new Path(lp, checkpointName(s.version))
+    if (fs.exists(sealDst)) return // already checkpointed (idempotent)
+    val tmpDir = new Path(lp, s".tmpck-${s.version}-${UUID.randomUUID()}")
+    try {
+      spark.createDataFrame(s.files.map(fileRow).asJava, ckptFilesSchema)
+        .coalesce(1).write.parquet(tmpDir.toString)
+      val part = fs.listStatus(tmpDir).map(_.getPath)
+        .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("."))
+        .getOrElse(sys.error(s"checkpoint: no parquet part under $tmpDir"))
+      promoteFile(spark, lp, part, ckptFilesName(s.version))
+    } finally {
+      try fs.delete(tmpDir, true) catch { case NonFatal(_) => () }
+    }
+    putIfAbsent(spark, lp, renderCheckpointSeal(s),
+      checkpointName(s.version)).foreach { e =>
+      if (!fs.exists(sealDst)) throw new java.io.IOException(
+        s"checkpoint seal write failed at $sealDst", e)
+    }
+  }
+
+  /** Promote an existing (sealed) file onto `lp/dstName` with the same
+    * per-scheme putIfAbsent primitive as [[putIfAbsent]]; losing to an
+    * existing destination is accepted (checkpoint content under one
+    * name is unique, so the incumbent is byte-identical). */
+  private def promoteFile(spark: SparkSession, lp: Path, src: Path,
+      dstName: String): Unit = {
+    val fs = lp.getFileSystem(conf(spark))
+    val dst = new Path(lp, dstName)
+    val isLocal = Option(fs.getUri.getScheme).forall(_ == "file")
+    if (isLocal) {
+      val sp = java.nio.file.Paths.get(fs.makeQualified(src).toUri.getPath)
+      val dp = java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath)
+      try { java.nio.file.Files.createLink(dp, sp); () }
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    } else {
+      val fc = FileContext.getFileContext(lp.toUri, conf(spark))
+      try { fc.rename(src, dst); () }
+      catch { case NonFatal(e) => if (!fs.exists(dst)) throw e }
+    }
   }
 
   /** Write `text` to `lp/dstName` via dot-tmp + atomic no-overwrite
@@ -1102,8 +1397,7 @@ object ManifestTable {
   def appendBatch(spark: SparkSession, dir: String, df: DataFrame,
       batchId: Long, txnId: Option[String] = None,
       maxRetries: Int = 5): Snapshot = {
-    def mark(s: Snapshot): Long =
-      txnId.map(id => s.txns.getOrElse(id, -1L)).getOrElse(s.lastBatch)
+    def mark(s: Snapshot): Long = replayMark(s, txnId, batchId, "append")
     val base = current(spark, dir)
     if (batchId <= mark(base)) return base
     evolveSchema(base, df)
@@ -1131,6 +1425,28 @@ object ManifestTable {
       }
     }
     sys.error("unreachable")
+  }
+
+  /** The replay high-water mark `batchId` must exceed for a streaming
+    * commit to be NEW: the writer's own txn mark when `txnId` names it,
+    * else the table-global legacy mark. UPGRADE seam: a txn-scoped
+    * writer with no mark yet, on a table whose marks all predate
+    * per-writer txns (`s.txns` empty, only the global mark advanced),
+    * is a pre-upgrade streaming query RESTARTING — Spark only ever
+    * replays the LAST committed batch, so when the head commit is
+    * literally this operation at this batch id the batch already
+    * landed and must not double-commit. One new batch later the writer
+    * carries its own mark and the seam can never fire again. */
+  private def replayMark(s: Snapshot, txnId: Option[String],
+      batchId: Long, opPrefix: String): Long = txnId match {
+    case None => s.lastBatch
+    case Some(id) => s.txns.get(id) match {
+      case Some(m) => m
+      case None =>
+        if (s.txns.isEmpty && batchId <= s.lastBatch &&
+          s.operation == s"$opPrefix@batch=$batchId") batchId
+        else -1L
+    }
   }
 
   /** The widened schema json for appending `df` onto `head` (additive
@@ -1405,9 +1721,9 @@ object ManifestTable {
 
   private[table] def current(spark: SparkSession, dir: String): Snapshot = {
     // one listing serves both the head lookup and the reconstruction
-    val (versions, cks) = listLog(spark, dir)
+    val (versions, cks, tokens) = listLog(spark, dir)
     versions.lastOption match {
-      case Some(v) => snapshotAt(spark, dir, v, cks)
+      case Some(v) => snapshotAt(spark, dir, v, versions, cks, tokens)
       case None => sys.error(s"no manifest table at $dir")
     }
   }
@@ -1860,8 +2176,7 @@ object ManifestTable {
       key: String, batchId: Long, opCol: Option[String] = None,
       seqCol: Option[String] = None, txnId: Option[String] = None): Snapshot = {
     val head = current(spark, dir)
-    val mark = txnId.map(id => head.txns.getOrElse(id, -1L))
-      .getOrElse(head.lastBatch)
+    val mark = replayMark(head, txnId, batchId, "merge")
     if (batchId <= mark) head
     else mergeImpl(spark, dir, head, source, key, opCol, seqCol,
       s"merge@batch=$batchId", Some(batchId), txnId)
@@ -2428,7 +2743,7 @@ object ManifestTable {
   def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1,
       retainMillis: Long = 0L): Long = {
     require(keepLast >= 1, "must keep at least the current snapshot")
-    val (versions, cks) = listLog(spark, dir)
+    val (versions, cks, tokens) = listLog(spark, dir)
     // age-based retention on top of the count-based floor: every
     // snapshot younger than `retainMillis` stays time-travelable (the
     // production contract — "keep 7 days" — independent of commit rate)
@@ -2443,7 +2758,7 @@ object ManifestTable {
     val kept = versions.filter(keep)
     if (kept.isEmpty) return 0L
     // reconstruct every kept snapshot in ONE forward fold
-    var snap = snapshotAt(spark, dir, kept.head, cks)
+    var snap = snapshotAt(spark, dir, kept.head, versions, cks, tokens)
     val keptSnaps = Vector.newBuilder[Snapshot]
     keptSnaps += snap
     kept.tail.foreach { v =>
@@ -2501,6 +2816,7 @@ object ManifestTable {
     }
     cks.filter(_ < kept.head).foreach { c =>
       fs.delete(new Path(logPath(dir), checkpointName(c)), false)
+      fs.delete(new Path(logPath(dir), ckptFilesName(c)), false)
     }
     deleted
   }
