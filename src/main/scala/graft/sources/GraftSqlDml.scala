@@ -75,12 +75,23 @@ class GraftSqlDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     case m: MergeIntoTable if m.sourceTable.resolved &&
         m.mergeCondition.resolved &&
         (m.matchedActions ++ m.notMatchedActions ++
-          m.notMatchedBySourceActions).forall(_.resolved) =>
+          m.notMatchedBySourceActions).forall(_.resolved) &&
+        // WITH SCHEMA EVOLUTION: wait for Spark's own
+        // ResolveMergeIntoSchemaEvolution to widen the target (it
+        // applies the additive AddColumns through GraftCatalog.
+        // alterTable — the engine's metadata commit); once applied,
+        // needSchemaEvolution flips false and this rule translates the
+        // statement against the widened relation
+        !m.needSchemaEvolution =>
       m.targetTable match {
         case Relation(table, targetOut) =>
-          if (m.withSchemaEvolution) sys.error(
-            "graft MERGE: WITH SCHEMA EVOLUTION is not supported — " +
-              "ALTER TABLE ADD COLUMNS first")
+          // WITH SCHEMA EVOLUTION needs no translation here: the graft
+          // table advertises AUTOMATIC_SCHEMA_EVOLUTION, so Spark's own
+          // ResolveMergeIntoSchemaEvolution has ALREADY applied the
+          // additive AddColumn changes through GraftCatalog.alterTable
+          // (the engine's metadata-only commit, tombstone guards and
+          // all) and re-resolved this statement against the widened
+          // target by the time the actions resolve.
           translateMerge(m, table, targetOut)
         case _ => m
       }

@@ -239,9 +239,17 @@ private[sources] class GraftTable(tableSchema: StructType,
 
   override def schema(): StructType = tableSchema
 
+  /** AUTOMATIC_SCHEMA_EVOLUTION: `MERGE INTO … WITH SCHEMA EVOLUTION`
+    * on a CATALOG-resolved graft table routes through Spark's own
+    * ResolveMergeIntoSchemaEvolution, which applies the additive
+    * AddColumn changes via [[GraftCatalog.alterTable]] — the engine's
+    * metadata-only commit with its tombstone/rename guards — then
+    * re-resolves the merge against the widened schema. Non-additive
+    * changes are refused loudly by the same alterTable. */
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   /** SQL `DELETE FROM t WHERE …`: a predicate that converts EXACTLY to
     * a Column (strict — every node, unlike the pruning converter's

@@ -1289,7 +1289,13 @@ object ManifestTable {
       parent: Snapshot, operation: String, removed: Set[String],
       staged: Vector[FileEntry], conflictsWith: FileEntry => Boolean,
       batchId: Option[Long], txnId: Option[String] = None,
-      maxRetries: Int = 5): Snapshot = {
+      maxRetries: Int = 5,
+      /** Overrides the committed schema (MERGE schema evolution: the
+        * widened schema rides the SAME commit as the merged data). The
+        * rebase conflict test still compares the PARENT's schema
+        * against the head's, so a concurrent metadata change fails
+        * loudly exactly as before. */
+      schemaJson: Option[String] = None): Snapshot = {
     def mark(s: Snapshot): Long =
       txnId.map(id => s.txns.getOrElse(id, -1L)).getOrElse(s.lastBatch)
     var base = parent
@@ -1306,7 +1312,7 @@ object ManifestTable {
       }
       val snap = Snapshot(base.version + 1, base.version, operation,
         parent.statsCols, parent.partitionCols, newLast,
-        parent.schemaJson,
+        schemaJson.getOrElse(parent.schemaJson),
         base.files.filterNot(f => removed(f.path)) ++ staged,
         parent.constraints, parent.dropped,
         dvs = base.dvs -- removed, txns = newTxns,
@@ -2194,9 +2200,10 @@ object ManifestTable {
     // (the only shuffle the source ever takes), cached; the pruning
     // probe, the anti-join key set and the winner rows are all derived
     // from this cache. One row per key with its resolved _op.
+    val obs = org.apache.spark.sql.Observation()
     val srcOp = opCol.map(col).getOrElse(lit("U"))
     val src0 = source.where(col(key).isNotNull)
-    val resolved = (seqCol match {
+    val cached = (seqCol match {
       case Some(sc) =>
         val w = Window.partitionBy(key)
           .orderBy(col(sc).desc, xxhash64(cols.map(col): _*).asc)
@@ -2215,8 +2222,12 @@ object ManifestTable {
     // table side then never shuffles); a bulk source above the gate
     // falls back to a plain shuffle join — identical semantics, and no
     // driver/executor OOM from materializing a huge source. The count
-    // is one pass over the already-persisted source.
-    val srcRows = resolved.count()
+    // RIDES the pruning probe via an observe node ABOVE the cache point
+    // (metrics inside a cached subplan never report) — no separate
+    // count() job; only a probe-less merge pays an explicit pass.
+    val resolved = cached.observe(obs, count(lit(1)).as("rows"))
+    var observed = false
+    lazy val srcRows: Long = observedRows(observed, obs, cached)
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (srcRows <= MaxBroadcastSourceRows) broadcast(df) else df
     try {
@@ -2249,10 +2260,12 @@ object ManifestTable {
           }
           val ivals = spark.createDataFrame(rows.asJava, ivalSchema)
           val kexpr = keyProbe(keyType).get._2(col(key))
-          resolved.select(kexpr.as("__k"))
+          val idx = resolved.select(kexpr.as("__k"))
             .join(broadcast(ivals),
               col("__k") >= col("__mn") && col("__k") <= col("__mx"))
             .select("__fi").distinct().collect().map(_.getInt(0)).toSet
+          observed = true // the probe's full pass set the observe metric
+          idx
         }
       val boundedIdx = statFiles.map(_._1).toSet
       val touched = head.files.zipWithIndex.collect {
@@ -2305,9 +2318,26 @@ object ManifestTable {
       commitRewrite(spark, dir, head, operation,
         touched.map(_.path).toSet, staged, conflicts, batchId, txnId)
     } finally {
-      resolved.unpersist()
+      cached.unpersist()
     }
   }
+
+  /** The merge source's row count, preferring the observe metric the
+    * pruning probe already paid for (one pass fills the cache AND
+    * answers the broadcast gate) over a separate count() job. The
+    * fallback is load-bearing, not defensive: when the probe's result
+    * is EMPTY, AQE replans the finished stage into an empty local
+    * relation, the CollectMetricsExec vanishes from the final adaptive
+    * plan, and the ObservationManager completes the observation with
+    * Row.empty — so an absent metric falls back to one count() over
+    * the ALREADY-CACHED source (the pre-observe cost, never worse). */
+  private[table] def observedRows(observed: Boolean,
+      obs: org.apache.spark.sql.Observation, cached: DataFrame): Long =
+    if (!observed) cached.count()
+    else obs.get.get("rows") match { // blocks until the probe's listener fired
+      case Some(n: Long) => n
+      case _ => cached.count()
+    }
 
   /** Probe-side type plan for the merge key: the Spark column type the
     * interval frame uses, and how to normalize the source key onto it.

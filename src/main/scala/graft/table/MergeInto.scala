@@ -84,9 +84,45 @@ object MergeInto {
   def apply(spark: SparkSession, dir: String, source: DataFrame,
       keys: Seq[String], matched: Seq[WhenMatched] = Nil,
       notMatched: Seq[WhenNotMatched] = Nil,
-      notMatchedBySource: Seq[WhenNotMatchedBySource] = Nil): Snapshot = {
+      notMatchedBySource: Seq[WhenNotMatchedBySource] = Nil,
+      /** ADDITIVE schema evolution (`MERGE INTO … WITH SCHEMA
+        * EVOLUTION`): source-only columns widen the table schema and
+        * the widened schema rides the SAME commit as the merged data —
+        * pre-merge rows answer NULL under the new columns (parquet
+        * resolves the read schema by name, zero data IO). Additive
+        * ONLY: a type conflict on an existing column, or a source
+        * column whose name is tombstoned (dropped / renamed away),
+        * fails loudly before anything stages. */
+      schemaEvolution: Boolean = false): Snapshot = {
     val head = ManifestTable.current(spark, dir)
-    val schema = head.schema
+    val tableSchema = head.schema
+    val newFields: Seq[StructField] =
+      if (!schemaEvolution) Nil
+      else {
+        val existing = tableSchema.fieldNames.toSet
+        tableSchema.fields.foreach { tf =>
+          source.schema.fields.find(_.name == tf.name).foreach { inf =>
+            if (inf.dataType != tf.dataType) throw new IllegalArgumentException(
+              s"mergeInto: column ${tf.name} type ${inf.dataType} != " +
+                s"table type ${tf.dataType} — WITH SCHEMA EVOLUTION is " +
+                "additive only")
+          }
+        }
+        val reserved = head.dropped.toSet ++ head.renames.valuesIterator.flatten
+        val added = source.schema.fields.toSeq
+          .filterNot(f => existing(f.name)).map(_.copy(nullable = true))
+        added.find(f => reserved(f.name)).foreach { f =>
+          throw new IllegalArgumentException(
+            s"mergeInto: column ${f.name} was dropped or renamed away — " +
+              "old files still hold its physical data, so re-adding it " +
+              "would resurrect stale values; overwrite() the table to " +
+              "reuse the name")
+        }
+        added
+      }
+    val schema =
+      if (newFields.isEmpty) tableSchema
+      else StructType(tableSchema.fields ++ newFields)
     val cols = schema.fieldNames.toSeq
     require(keys.nonEmpty, "mergeInto: at least one join key")
     keys.foreach { k =>
@@ -128,12 +164,22 @@ object MergeInto {
     // one source-side window pass: the per-composite-key match count
     // feeds the cardinality guard (the only shuffle the source takes)
     val dupW = Window.partitionBy(keys.map(col): _*)
-    val resolved = source.withColumn("__dup", count(lit(1)).over(dupW))
+    val obs = org.apache.spark.sql.Observation()
+    val cached = source.withColumn("__dup", count(lit(1)).over(dupW))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // size gate, same as ManifestTable.merge: a CDC-sized source
     // broadcasts (table side never shuffles); a bulk source falls back
-    // to a shuffle join — identical semantics, no driver OOM
-    val srcRows = resolved.count()
+    // to a shuffle join — identical semantics, no driver OOM. The row
+    // count rides the pruning probe through an observe node ABOVE the
+    // cache point (metrics inside a cached subplan never report) — no
+    // separate count() job; only a probe-less merge pays an explicit
+    // pass.
+    val resolved = cached.observe(obs, count(lit(1)).as("rows"))
+    var observed = false
+    // fallback is load-bearing: an EMPTY probe result makes AQE replan
+    // the stage into an empty relation, dropping the CollectMetricsExec
+    // — see ManifestTable.observedRows
+    lazy val srcRows: Long = ManifestTable.observedRows(observed, obs, cached)
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (srcRows <= ManifestTable.MaxBroadcastSourceRows) broadcast(df)
       else df
@@ -174,10 +220,12 @@ object MergeInto {
               (norm(col(s"__k$j")) >= col(s"__mn$j") &&
                 norm(col(s"__k$j")) <= col(s"__mx$j"))
           }.reduce(_ && _)
-          resolved.select(probed.zipWithIndex.map { case ((k, _, _), j) =>
-            col(k).as(s"__k$j") }: _*)
+          val idx = resolved.select(probed.zipWithIndex.map {
+            case ((k, _, _), j) => col(k).as(s"__k$j") }: _*)
             .join(broadcast(ivals), cond)
             .select("__fi").distinct().collect().map(_.getInt(0)).toSet
+          observed = true // the probe's full pass set the observe metric
+          idx
         }
       val boundedIdx = statFiles.map(_._1).toSet
       // BY SOURCE clauses touch every file their conditions may match
@@ -347,8 +395,9 @@ object MergeInto {
           }
         }
         ManifestTable.commitRewrite(spark, dir, head, "merge-into",
-          removed, staged, conflicts, None)
+          removed, staged, conflicts, None,
+          schemaJson = if (newFields.isEmpty) None else Some(schema.json))
       }
-    } finally resolved.unpersist()
+    } finally cached.unpersist()
   }
 }

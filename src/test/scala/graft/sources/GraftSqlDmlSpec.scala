@@ -153,4 +153,96 @@ class GraftSqlDmlSpec extends SparkSuite {
     val v = ManifestTable.latestVersion(spark, s"$wh/e/t")
     assert(v.contains(1L), "no commit may land for a rejected statement")
   }
+
+  test("MERGE INTO … WITH SCHEMA EVOLUTION: an additive source column " +
+    "lands through the catalog's metadata commit, pre-merge rows answer " +
+    "NULL under it, and the facade twin is content-identical") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dml.se")
+    val sqlDir = s"$wh/se/t"
+    val facDir = freshDir("se_facade")
+    import spark.implicits._
+    val base = (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v")
+    base.createOrReplaceTempView("dml_se_base")
+    spark.sql("CREATE TABLE dml.se.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('option.statsCols' = 'k')")
+    spark.sql("INSERT INTO dml.se.t SELECT * FROM dml_se_base")
+    ManifestTable.create(spark, facDir, base, statsCols = Seq("k"))
+    // the source carries a NEW column `extra`
+    val src = Seq((2L, "two", 20L), (11L, "new11", 110L))
+      .toDF("k", "v", "extra")
+    src.createOrReplaceTempView("dml_se_src")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO dml.se.t AS t
+      USING dml_se_src AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    MergeInto(spark, facDir, src, keys = Seq("k"),
+      matched = Seq(MergeInto.WhenMatched(MergeInto.UpdateAll)),
+      notMatched = Seq(MergeInto.WhenNotMatched(MergeInto.InsertAll)),
+      schemaEvolution = true)
+    def all(dir: String): Set[(Long, String, Option[Long])] =
+      ManifestTable.read(spark, dir).select("k", "v", "extra").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val got = all(sqlDir)
+    assert(got == all(facDir),
+      "SQL WITH SCHEMA EVOLUTION and facade schemaEvolution diverged")
+    assert(got.contains((2L, "two", Some(20L))), "matched row updated")
+    assert(got.contains((11L, "new11", Some(110L))), "insert landed")
+    assert(got.contains((1L, "v1", None)),
+      "pre-merge rows must answer NULL under the evolved column")
+    assert(ManifestTable.snapshot(spark, sqlDir).schema.fieldNames
+      .contains("extra"))
+    // facade: the widened schema rides ONE commit (create + merge = v1)
+    assert(ManifestTable.latestVersion(spark, facDir).contains(1L),
+      "facade evolution must ride the merge commit itself")
+  }
+
+  test("schema evolution guards stay loud: a tombstoned (dropped) name " +
+    "cannot return through MERGE evolution, and a type conflict on an " +
+    "existing column refuses before anything commits") {
+    val dir = freshDir("se_guards")
+    import spark.implicits._
+    ManifestTable.create(spark, dir,
+      (1L to 5L).map(i => (i, s"v$i", i * 1.0)).toDF("k", "v", "gone"))
+    ManifestTable.dropColumn(spark, dir, "gone")
+    val v0 = ManifestTable.latestVersion(spark, dir).get
+    val resurrect = Seq((1L, "x", 9.9)).toDF("k", "v", "gone")
+    val e1 = intercept[IllegalArgumentException] {
+      MergeInto(spark, dir, resurrect, keys = Seq("k"),
+        matched = Seq(MergeInto.WhenMatched(MergeInto.UpdateAll)),
+        schemaEvolution = true)
+    }
+    assert(e1.getMessage.contains("dropped or renamed away"))
+    val conflict = Seq((1L, 42L)).toDF("k", "v") // v: long vs table string
+    val e2 = intercept[IllegalArgumentException] {
+      MergeInto(spark, dir, conflict, keys = Seq("k"),
+        matched = Seq(MergeInto.WhenMatched(MergeInto.Update(
+          Map("v" -> lit("z"))))),
+        schemaEvolution = true)
+    }
+    assert(e2.getMessage.contains("additive only"))
+    assert(ManifestTable.latestVersion(spark, dir).contains(v0),
+      "rejected evolution must not commit")
+  }
+
+  test("crossed ON clause (t.a = s.b AND t.b = s.a) renames " +
+    "simultaneously — no clobbered key column") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dml.x")
+    spark.sql("CREATE TABLE dml.x.t (a BIGINT, b BIGINT, v STRING)")
+    spark.sql("INSERT INTO dml.x.t VALUES (1, 2, 'old'), (5, 6, 'keep')")
+    import spark.implicits._
+    // source columns CROSSED: s.b matches t.a, s.a matches t.b
+    Seq((2L, 1L, "hit")).toDF("a", "b", "nv")
+      .createOrReplaceTempView("dml_x_src")
+    spark.sql("""MERGE INTO dml.x.t AS t USING dml_x_src AS s
+      ON t.a = s.b AND t.b = s.a
+      WHEN MATCHED THEN UPDATE SET v = s.nv""")
+    val got = spark.sql("SELECT * FROM dml.x.t ORDER BY a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 2L, "hit"), (5L, 6L, "keep")),
+      s"crossed ON clause mis-joined: $got")
+  }
 }
