@@ -1480,6 +1480,36 @@ object TableQueries {
           head.files.size.toLong, pruned, full))
         .toDF("gen1_files", "gen2_files", "kept_files", "total_files",
           "rows_pruned_read", "rows_full_read")
+    },
+
+    // Parquet-native BLOOM file skipping (round-16 verdict #3) on an
+    // UNSORTED layout: orders hashed into files so every file's
+    // o_orderkey [min,max] spans the domain — interval pruning keeps
+    // everything, the opt-in bloom keeps ~1 file for a needle point
+    // probe, and the pruned read equals full-scan + filter exactly
+    // (BloomSkipSpec pins the DV/update legs and mixed generations).
+    Q.cap("cap_table_bloom") { (s, d) =>
+      val dir = Scratch.wiped("mtable_bloom")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      ManifestTable.create(s, dir,
+        o.repartitionByRange(16, col("k") % 16),
+        statsCols = Seq("k"), bloomCols = Seq("k"))
+      val head = ManifestTable.snapshot(s, dir)
+      val needle = o.select(max("k")).head().getLong(0) - 7
+      val f = col("k") === needle
+      val interval = ManifestTable.pruneFiles(head, f)
+      val bloomed = ManifestTable.pruneFilesBloom(s, dir, head, f)
+      val pruned = ManifestTable.read(s, dir, f).count()
+      val full = ManifestTable.read(s, dir).where(f).count()
+      require(pruned == full, "bloom pruning must never change results")
+      require(bloomed.size < interval.size,
+        "the bloom must skip interval-admitted files on this layout")
+      import s.implicits._
+      Seq((head.files.size.toLong, interval.size.toLong,
+          bloomed.size.toLong, pruned, full))
+        .toDF("total_files", "interval_kept", "bloom_kept",
+          "rows_pruned_read", "rows_full_read")
     }
   )
 }

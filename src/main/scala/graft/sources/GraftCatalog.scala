@@ -134,7 +134,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     ManifestTable.create(spark, dir.toString, empty,
-      statsCols = csv("statsCols"), partitionCols = partitionCols)
+      statsCols = csv("statsCols"), partitionCols = partitionCols,
+      bloomCols = csv("bloomCols"))
     graftTable(ident, Map.empty)
   }
 

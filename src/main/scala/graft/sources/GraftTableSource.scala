@@ -145,7 +145,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
     val exists = ManifestTable.latestVersion(spark, dir).isDefined
     mode match {
       case _ if !exists => ManifestTable.create(spark, dir, data,
-        statsCols = csv("statsCols"), partitionCols = csv("partitionCols"))
+        statsCols = csv("statsCols"), partitionCols = csv("partitionCols"),
+        bloomCols = csv("bloomCols"))
       case Append => ManifestTable.append(spark, dir, data)
       case Overwrite => ManifestTable.overwrite(spark, dir, data)
       case Ignore => ()
@@ -330,7 +331,7 @@ class GraftScan(options: CaseInsensitiveStringMap,
 
   /** The file set this scan will read (root-relative). */
   def prunedFilePaths: Seq[String] =
-    pruneCol.map(c => ManifestTable.pruneFiles(snap, c))
+    pruneCol.map(c => ManifestTable.pruneFilesBloom(spark, dir, snap, c))
       .getOrElse(snap.files).map(_.path)
 
   override def readSchema(): StructType = required
@@ -511,7 +512,8 @@ private[sources] class GraftTableSink(dir: String,
       // first batch creates the table; the batch id still needs to be
       // recorded for the replay contract, so create empty then commit
       ManifestTable.create(spark, dir, batch.limit(0),
-        statsCols = csv("statsCols"), partitionCols = csv("partitionCols"))
+        statsCols = csv("statsCols"), partitionCols = csv("partitionCols"),
+        bloomCols = csv("bloomCols"))
     }
     val committed = parameters.getOrElse("mode", "append") match {
       case "append" =>

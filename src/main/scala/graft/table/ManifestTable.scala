@@ -218,7 +218,19 @@ object ManifestTable {
         * like [[dropped]] tombstones — re-adding one would let stale
         * physical values resurrect. A full [[overwrite]] clears the
         * lineage (no old file survives). */
-      renames: Map[String, Vector[String]] = Map.empty) {
+      renames: Map[String, Vector[String]] = Map.empty,
+      /** Columns (opt-in, see [[create]]/[[alterLayout]]) whose data
+        * files carry PARQUET-NATIVE BLOOM FILTERS, written by the
+        * parquet writer itself at stage time (no extra data pass) and
+        * consulted at PLAN time for point predicates (= / IN) by
+        * [[pruneFilesBloom]]: on a table NOT sorted by the probe key,
+        * min/max intervals all overlap and a needle operation would
+        * touch every file — the bloom keeps it touched-files-priced
+        * (one footer open per interval-admitted file, no data IO, at
+        * any table size). The filters live in the parquet FOOTERS, not
+        * the manifest, so manifest size stays O(files), never O(files
+        * × bloom bytes). */
+      bloomCols: Seq[String] = Nil) {
     def totalRows: Long = files.iterator.map(_.rows).sum
     def totalBytes: Long = files.iterator.map(_.bytes).sum
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -518,7 +530,8 @@ object ManifestTable {
       txns: Map[String, Long], renames: Map[String, Vector[String]],
       ts: Long,
       add: Vector[FileEntry], remove: Vector[String],
-      dvSet: Map[String, Vector[String]], dvDel: Vector[String])
+      dvSet: Map[String, Vector[String]], dvDel: Vector[String],
+      bloomCols: Seq[String] = Nil)
 
   /** The delta that turns `parent` into `s` (None parent = the empty
     * table). An entry whose stats/partition/row-group metadata changed
@@ -536,7 +549,7 @@ object ManifestTable {
     val dvSet = s.dvs.filter { case (p, vs) => !pDvs.get(p).contains(vs) }
     DeltaRec(s.version, s.parent, s.operation, s.statsCols, s.partitionCols,
       s.lastBatch, s.schemaJson, s.constraints, s.dropped, s.txns,
-      s.renames, s.ts, add, remove, dvSet, dvDel)
+      s.renames, s.ts, add, remove, dvSet, dvDel, s.bloomCols)
   }
 
   /** Replay one delta onto its parent. The file ORDER this produces
@@ -551,7 +564,7 @@ object ManifestTable {
       d.dvDel ++ d.dvSet
     Snapshot(d.version, d.parent, d.operation, d.statsCols, d.partitionCols,
       d.lastBatch, d.schemaJson, files, d.constraints, d.dropped, d.ts,
-      dvs, d.txns, d.renames)
+      dvs, d.txns, d.renames, d.bloomCols)
   }
 
   // ------------------------------------------------------ json codec
@@ -611,7 +624,8 @@ object ManifestTable {
       lastBatch: Long, ts: Long, schemaJson: String, statsCols: Seq[String],
       partitionCols: Seq[String], constraints: Map[String, String],
       dropped: Seq[String], txns: Map[String, Long],
-      renames: Map[String, Vector[String]]): List[(String, JValue)] =
+      renames: Map[String, Vector[String]],
+      bloomCols: Seq[String] = Nil): List[(String, JValue)] =
     List(
       "version" -> (JLong(version): JValue),
       "parent" -> (JLong(parent): JValue),
@@ -634,13 +648,15 @@ object ManifestTable {
       (if (renames.isEmpty) Nil
        else List("renames" -> (JObject(renames.toList.sortBy(_._1).map {
          case (n, chain) => n -> (JArray(chain.toList.map(JString(_))): JValue)
-       }): JValue)))
+       }): JValue))) ++
+      (if (bloomCols.isEmpty) Nil
+       else List("bloomCols" -> (JArray(bloomCols.toList.map(JString(_))): JValue)))
 
   private def renderDelta(d: DeltaRec): String = {
     val obj = JObject(List("kind" -> (JString("delta"): JValue)) ++
       renderMeta(d.version, d.parent, d.operation, d.lastBatch, d.ts,
         d.schemaJson, d.statsCols, d.partitionCols, d.constraints,
-        d.dropped, d.txns, d.renames) ++
+        d.dropped, d.txns, d.renames, d.bloomCols) ++
       (if (d.add.isEmpty) Nil
        else List("add" -> (JArray(d.add.toList.map(renderFile)): JValue))) ++
       (if (d.remove.isEmpty) Nil
@@ -663,7 +679,7 @@ object ManifestTable {
     val obj = JObject(List("kind" -> (JString("checkpoint-pq"): JValue)) ++
       renderMeta(s.version, s.parent, s.operation, s.lastBatch, s.ts,
         s.schemaJson, s.statsCols, s.partitionCols, s.constraints,
-        s.dropped, s.txns, s.renames) ++
+        s.dropped, s.txns, s.renames, s.bloomCols) ++
       (if (s.dvs.isEmpty) Nil
        else List("dvs" -> (JObject(s.dvs.toList.sortBy(_._1).map {
          case (p, vs) => p -> (JArray(vs.toList.map(JString(_))): JValue)
@@ -679,7 +695,7 @@ object ManifestTable {
     val obj = JObject(List("kind" -> (JString("checkpoint"): JValue)) ++
       renderMeta(s.version, s.parent, s.operation, s.lastBatch, s.ts,
         s.schemaJson, s.statsCols, s.partitionCols, s.constraints,
-        s.dropped, s.txns, s.renames) ++
+        s.dropped, s.txns, s.renames, s.bloomCols) ++
       (if (s.dvs.isEmpty) Nil
        else List("dvs" -> (JObject(s.dvs.toList.sortBy(_._1).map {
          case (p, vs) => p -> (JArray(vs.toList.map(JString(_))): JValue)
@@ -857,7 +873,8 @@ object ManifestTable {
       (j \ "ts").toOption.map(jLong).getOrElse(-1L),
       parseDvMap(j \ "dvs"),
       parseTxns(j),
-      parseRenames(j))
+      parseRenames(j),
+      jStrings(j \ "bloomCols"))
 
   private def parseDelta(j: JValue): DeltaRec =
     DeltaRec(
@@ -876,7 +893,8 @@ object ManifestTable {
       parseFiles(j \ "add", "add"),
       jStrings(j \ "remove").toVector,
       parseDvMap(j \ "dvset"),
-      jStrings(j \ "dvdel").toVector)
+      jStrings(j \ "dvdel").toVector,
+      jStrings(j \ "bloomCols"))
 
   // ---------------------------------------------------- footer stats
 
@@ -962,16 +980,25 @@ object ManifestTable {
     * manifest's per-file partition values, and the read path never
     * looks at a path again. */
   private[table] def stage(spark: SparkSession, dir: String, df: DataFrame,
-      statsCols: Seq[String], partitionCols: Seq[String]): Vector[FileEntry] = {
+      statsCols: Seq[String], partitionCols: Seq[String],
+      bloomCols: Seq[String] = Nil): Vector[FileEntry] = {
     val commitId = UUID.randomUUID().toString
     val rel = s"$DataDir/$commitId"
     val abs = new Path(dir, rel)
-    if (partitionCols.isEmpty) df.write.parquet(abs.toString)
+    // parquet-NATIVE bloom filters: the writer builds them while it
+    // writes (no extra data pass); they live in the footer and are
+    // consulted at plan time by pruneFilesBloom. Columns absent from
+    // the frame (possible mid-evolution) are simply not configured.
+    val bloomOpts = bloomCols.filter(df.schema.fieldNames.contains)
+      .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+    if (partitionCols.isEmpty)
+      df.write.options(bloomOpts).parquet(abs.toString)
     else {
       val shadowed = partitionCols.foldLeft(df) { (d, c) =>
         d.withColumn(s"$PartPrefix$c", col(c))
       }
-      shadowed.write.partitionBy(partitionCols.map(PartPrefix + _): _*)
+      shadowed.write.options(bloomOpts)
+        .partitionBy(partitionCols.map(PartPrefix + _): _*)
         .parquet(abs.toString)
     }
     val c = conf(spark)
@@ -1253,8 +1280,9 @@ object ManifestTable {
     else if (head.constraints != parent.constraints)
       Some("table constraints changed concurrently")
     else if (head.statsCols != parent.statsCols ||
-        head.partitionCols != parent.partitionCols)
-      Some("table stats/partition spec changed concurrently")
+        head.partitionCols != parent.partitionCols ||
+        head.bloomCols != parent.bloomCols)
+      Some("table stats/partition/bloom spec changed concurrently")
     else removed.find(p => !live(p)).map(p =>
       s"write-write conflict: $p was rewritten by a concurrent commit")
       .orElse {
@@ -1316,7 +1344,7 @@ object ManifestTable {
         base.files.filterNot(f => removed(f.path)) ++ staged,
         parent.constraints, parent.dropped,
         dvs = base.dvs -- removed, txns = newTxns,
-        renames = parent.renames)
+        renames = parent.renames, bloomCols = parent.bloomCols)
       try return publish(spark, dir, snap, Some(base))
       catch {
         case e: ConcurrentCommitException =>
@@ -1344,16 +1372,19 @@ object ManifestTable {
     * the columns stay in the data files. */
   def create(spark: SparkSession, dir: String, df: DataFrame,
       statsCols: Seq[String] = Nil, partitionCols: Seq[String] = Nil,
-      constraints: Map[String, String] = Map.empty): Snapshot = {
+      constraints: Map[String, String] = Map.empty,
+      /** Opt-in parquet-native bloom filters for point-predicate file
+        * skipping on UNSORTED layouts — see [[Snapshot.bloomCols]]. */
+      bloomCols: Seq[String] = Nil): Snapshot = {
     require(latestVersion(spark, dir).isEmpty,
       s"table already exists at $dir — use append/overwrite/merge")
-    (statsCols ++ partitionCols).foreach { c =>
+    (statsCols ++ partitionCols ++ bloomCols).foreach { c =>
       require(df.schema.fieldNames.contains(c), s"column $c not in schema")
     }
     enforce(df, constraints, "create")
-    val files = stage(spark, dir, df, statsCols, partitionCols)
+    val files = stage(spark, dir, df, statsCols, partitionCols, bloomCols)
     val snap = Snapshot(0L, -1L, "create", statsCols, partitionCols, -1L,
-      df.schema.json, files, constraints)
+      df.schema.json, files, constraints, bloomCols = bloomCols)
     publish(spark, dir, snap)
   }
 
@@ -1374,7 +1405,8 @@ object ManifestTable {
     val base = current(spark, dir)
     evolveSchema(base, df) // fail fast, before any data is staged
     enforce(df, base.constraints, "append")
-    val files = stage(spark, dir, df, base.statsCols, base.partitionCols)
+    val files = stage(spark, dir, df, base.statsCols, base.partitionCols,
+      base.bloomCols)
     var attempt = 0
     while (true) {
       val head = current(spark, dir)
@@ -1382,7 +1414,7 @@ object ManifestTable {
         head.statsCols, head.partitionCols, head.lastBatch,
         evolveSchema(head, df), head.files ++ files, head.constraints,
         head.dropped, dvs = head.dvs, txns = head.txns,
-        renames = head.renames)
+        renames = head.renames, bloomCols = head.bloomCols)
       try return publish(spark, dir, snap, Some(head))
       catch {
         case e: ConcurrentCommitException =>
@@ -1408,7 +1440,8 @@ object ManifestTable {
     if (batchId <= mark(base)) return base
     evolveSchema(base, df)
     enforce(df, base.constraints, s"append@batch=$batchId")
-    val files = stage(spark, dir, df, base.statsCols, base.partitionCols)
+    val files = stage(spark, dir, df, base.statsCols, base.partitionCols,
+      base.bloomCols)
     var attempt = 0
     while (true) {
       val head = current(spark, dir)
@@ -1423,7 +1456,8 @@ object ManifestTable {
         s"append@batch=$batchId", head.statsCols, head.partitionCols,
         newLast, evolveSchema(head, df),
         head.files ++ files, head.constraints, head.dropped,
-        dvs = head.dvs, txns = newTxns, renames = head.renames)
+        dvs = head.dvs, txns = newTxns, renames = head.renames,
+        bloomCols = head.bloomCols)
       try return publish(spark, dir, snap, Some(head))
       catch {
         case e: ConcurrentCommitException =>
@@ -1526,7 +1560,8 @@ object ManifestTable {
       // the dropped column's rename lineage (if any) moves into the
       // tombstones: its physical names must stay reserved
       head.dropped ++ (name +: head.renames.getOrElse(name, Vector.empty)),
-      dvs = head.dvs, txns = head.txns, renames = head.renames - name)
+      dvs = head.dvs, txns = head.txns, renames = head.renames - name,
+      bloomCols = head.bloomCols.filterNot(_ == name))
     publish(spark, dir, snap, Some(head))
   }
 
@@ -1553,7 +1588,8 @@ object ManifestTable {
       head.partitionCols, head.lastBatch,
       StructType(schema.fields ++ newFields.map(_.copy(nullable = true))).json,
       head.files, head.constraints, head.dropped, dvs = head.dvs,
-      txns = head.txns, renames = head.renames), Some(head))
+      txns = head.txns, renames = head.renames,
+      bloomCols = head.bloomCols), Some(head))
   }
 
   /** ALTER TABLE RENAME COLUMN as one METADATA commit — zero data IO
@@ -1581,8 +1617,9 @@ object ManifestTable {
       s"renameColumn: $to was dropped or renamed away — old files still " +
         "hold its physical data; overwrite() the table to reuse the name")
     require(!head.statsCols.contains(from) &&
-      !head.partitionCols.contains(from),
-      s"renameColumn: $from is part of the table's stats/partition spec")
+      !head.partitionCols.contains(from) && !head.bloomCols.contains(from),
+      s"renameColumn: $from is part of the table's stats/partition/" +
+        "bloom spec")
     head.constraints.foreach { case (cn, sql) =>
       val refs = org.apache.spark.sql.GraftSqlBridge
         .expr(org.apache.spark.sql.functions.expr(sql)).collect {
@@ -1600,7 +1637,8 @@ object ManifestTable {
       head.lastBatch, newSchema.json,
       head.files.map(f => f.copy(stats = f.stats - from)),
       head.constraints, head.dropped, dvs = head.dvs, txns = head.txns,
-      renames = (head.renames - from) + (to -> chain)), Some(head))
+      renames = (head.renames - from) + (to -> chain),
+      bloomCols = head.bloomCols), Some(head))
   }
 
   /** Replace the table contents atomically (readers flip old→new with
@@ -1611,11 +1649,12 @@ object ManifestTable {
   def overwrite(spark: SparkSession, dir: String, df: DataFrame): Snapshot = {
     val head = current(spark, dir)
     enforce(df, head.constraints, "overwrite")
-    val files = stage(spark, dir, df, head.statsCols, head.partitionCols)
+    val files = stage(spark, dir, df, head.statsCols, head.partitionCols,
+      head.bloomCols)
     val snap = Snapshot(head.version + 1, head.version, "overwrite",
       head.statsCols, head.partitionCols, head.lastBatch,
       df.schema.json, files, head.constraints, dropped = Nil,
-      txns = head.txns)
+      txns = head.txns, bloomCols = head.bloomCols)
     publish(spark, dir, snap, Some(head)) // conflict ⇒ caller must re-read & re-run
   }
 
@@ -1640,7 +1679,7 @@ object ManifestTable {
       s"restore@v$version", target.statsCols, target.partitionCols,
       head.lastBatch, target.schemaJson, target.files, target.constraints,
       target.dropped, dvs = target.dvs, txns = head.txns,
-      renames = target.renames)
+      renames = target.renames, bloomCols = target.bloomCols)
     publish(spark, dir, snap, Some(head))
   }
 
@@ -1661,7 +1700,8 @@ object ManifestTable {
     val snap = Snapshot(head.version + 1, head.version, "alter",
       head.statsCols, head.partitionCols, head.lastBatch,
       head.schemaJson, head.files, next, head.dropped, dvs = head.dvs,
-      txns = head.txns, renames = head.renames)
+      txns = head.txns, renames = head.renames,
+      bloomCols = head.bloomCols)
     publish(spark, dir, snap, Some(head))
   }
 
@@ -1680,19 +1720,27 @@ object ManifestTable {
     * table's query pattern changes. */
   def alterLayout(spark: SparkSession, dir: String,
       statsCols: Option[Seq[String]] = None,
-      partitionCols: Option[Seq[String]] = None): Snapshot = {
+      partitionCols: Option[Seq[String]] = None,
+      /** Changing the bloom spec only affects files written AFTER this
+        * commit — old files without a bloom are conservatively kept by
+        * the probe (never skipped), so mixed generations stay exact;
+        * compact() migrates them, same as every layout change. */
+      bloomCols: Option[Seq[String]] = None): Snapshot = {
     val head = current(spark, dir)
     val st = statsCols.getOrElse(head.statsCols)
     val pc = partitionCols.getOrElse(head.partitionCols)
-    (st ++ pc).foreach { c =>
+    val bc = bloomCols.getOrElse(head.bloomCols)
+    (st ++ pc ++ bc).foreach { c =>
       require(head.schema.fieldNames.contains(c),
         s"alterLayout: column $c not in schema")
     }
-    if (st == head.statsCols && pc == head.partitionCols) return head
+    if (st == head.statsCols && pc == head.partitionCols &&
+      bc == head.bloomCols) return head
     publish(spark, dir, Snapshot(head.version + 1, head.version,
       "alter-layout", st, pc, head.lastBatch, head.schemaJson,
       head.files, head.constraints, head.dropped, dvs = head.dvs,
-      txns = head.txns, renames = head.renames), Some(head))
+      txns = head.txns, renames = head.renames,
+      bloomCols = bc), Some(head))
   }
 
   /** Shallow CLONE: publish `dstDir` as a NEW table whose v0 references
@@ -1722,7 +1770,7 @@ object ManifestTable {
     publish(spark, dstDir, Snapshot(0L, -1L,
       s"clone@v${src.version}", src.statsCols, src.partitionCols, -1L,
       src.schemaJson, files, src.constraints, src.dropped, dvs = dvs,
-      renames = src.renames))
+      renames = src.renames, bloomCols = src.bloomCols))
   }
 
   private[table] def current(spark: SparkSession, dir: String): Snapshot = {
@@ -1859,7 +1907,7 @@ object ManifestTable {
       snap: Snapshot, filter: Option[Column]): DataFrame = filter match {
     case Some(c) =>
       val expr = org.apache.spark.sql.GraftSqlBridge.expr(c)
-      val survivors = pruneFiles(snap, c)
+      val survivors = pruneFilesBloom(spark, dir, snap, c)
       // row-group pruning applies to multi-group files WITHOUT deletion
       // vectors (a DV read needs _metadata row positions over the whole
       // file); everything else scans the normal way
@@ -2124,6 +2172,142 @@ object ManifestTable {
     }
   }
 
+  // ------------------------------------------------ bloom skipping
+
+  /** Top-level conjuncts of a (possibly unanalyzed) filter tree. */
+  private def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case CAnd(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+    case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if uf.nameParts.last.equalsIgnoreCase("and") &&
+          uf.arguments.size == 2 =>
+      conjunctsOf(uf.arguments.head) ++ conjunctsOf(uf.arguments(1))
+    case x => Seq(x)
+  }
+
+  private def attrNameOf(a: Expression): Option[String] = a match {
+    case att: Attribute => Some(att.name)
+    case _ => None
+  }
+
+  private def foldPrim(x: Expression): Option[Any] =
+    if (x.foldable)
+      scala.util.Try(litPrim(x.eval(null), x.dataType)).toOption.flatten
+    else None
+
+  /** The REQUIRED point-lookup values per bloom column: a top-level
+    * conjunct `col = lit` / `col IN (lits)` pins the column to a finite
+    * value set the whole filter cannot match outside of — exactly the
+    * predicates a bloom filter can answer. Disjunctions and range
+    * predicates contribute nothing (conservative). */
+  private[table] def pointLookups(filter: Column,
+      bloomCols: Seq[String]): Map[String, Seq[Any]] = {
+    val want = bloomCols.toSet
+    def ofConjunct(c: Expression): Option[(String, Seq[Any])] = c match {
+      case EqualTo(l, r) => eq(l, r)
+      case EqualNullSafe(l, r) => eq(l, r)
+      case In(a, vs) => in(a, vs)
+      case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        (uf.nameParts.last.toLowerCase(java.util.Locale.ROOT),
+          uf.arguments.toList) match {
+          case ("=" | "==" | "<=>", l :: r :: Nil) => eq(l, r)
+          case ("in", a :: vs) if vs.nonEmpty => in(a, vs)
+          case _ => None
+        }
+      case _ => None
+    }
+    def eq(l: Expression, r: Expression): Option[(String, Seq[Any])] =
+      (attrNameOf(l), foldPrim(r), attrNameOf(r), foldPrim(l)) match {
+        case (Some(n), Some(p), _, _) if want(n) => Some(n -> Seq(p))
+        case (_, _, Some(n), Some(p)) if want(n) => Some(n -> Seq(p))
+        case _ => None
+      }
+    def in(a: Expression, vs: Seq[Expression]): Option[(String, Seq[Any])] =
+      attrNameOf(a).filter(want) flatMap { n =>
+        val prims = vs.flatMap(foldPrim)
+        if (prims.size == vs.size) Some(n -> prims) else None
+      }
+    conjunctsOf(org.apache.spark.sql.GraftSqlBridge.expr(filter))
+      .flatMap(ofConjunct).toMap
+  }
+
+  /** Hash `v` (a pruning primitive) for this column chunk's bloom
+    * filter, matching the column's PHYSICAL type (an INT32 column
+    * hashed with a long would never match). None ⇒ untestable value /
+    * type pair — the caller keeps the file. */
+  private def bloomHash(
+      bf: org.apache.parquet.column.values.bloomfilter.BloomFilter,
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      v: Any): Option[Long] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val isString = cc.getPrimitiveType.getLogicalTypeAnnotation
+      .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation
+        .StringLogicalTypeAnnotation]
+    (cc.getPrimitiveType.getPrimitiveTypeName, v) match {
+      case (INT64, x: Long) => Some(bf.hash(x))
+      case (INT32, x: Long) if x >= Int.MinValue && x <= Int.MaxValue =>
+        Some(bf.hash(x.toInt))
+      case (DOUBLE, x: Double) => Some(bf.hash(x))
+      case (FLOAT, x: Double) => Some(bf.hash(x.toFloat))
+      case (BINARY, x: String) if isString =>
+        Some(bf.hash(org.apache.parquet.io.api.Binary.fromString(x)))
+      case _ => None
+    }
+  }
+
+  /** May this file contain ANY of `values` in `column`, judged by the
+    * parquet-native bloom filters in its footer? One footer open, no
+    * data IO. Conservative: a row group without a bloom (pre-spec
+    * file, unsupported type) keeps the file. */
+  private def bloomMayContain(c: Configuration, p: Path, column: String,
+      values: Seq[Any]): Boolean = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, c))
+    try {
+      reader.getFooter.getBlocks.asScala.exists { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == column) match {
+          case None => true // column absent (evolution): value reads NULL,
+          // only a NULL-matching predicate could hit — keep, re-filter
+          case Some(cc) =>
+            val bf = reader.getBloomFilterDataReader(b).readBloomFilter(cc)
+            if (bf == null) true // no bloom in this group: conservative
+            else values.exists(v =>
+              bloomHash(bf, cc, v).forall(bf.findHash))
+        }
+      }
+    } finally reader.close()
+  }
+
+  /** [[pruneFiles]] + parquet-native BLOOM consultation: files whose
+    * interval bounds admit the filter are additionally probed on every
+    * bloom column the filter pins to a point set — a file survives only
+    * if each such column MAY contain one of its values. On an UNSORTED
+    * layout (overlapping min/max everywhere) this is what keeps a
+    * needle DELETE/UPDATE/SELECT touched-files-priced: the probe costs
+    * one footer open per admitted file (parallel, metadata IO only),
+    * and the filter is re-applied on every scanned row, so — like all
+    * pruning here — a bloom can only skip IO, never change results. */
+  def pruneFilesBloom(spark: SparkSession, dir: String, snap: Snapshot,
+      filter: Column): Vector[FileEntry] = {
+    val base = pruneFiles(snap, filter)
+    if (snap.bloomCols.isEmpty || base.isEmpty) return base
+    val lookups = pointLookups(filter, snap.bloomCols)
+    if (lookups.isEmpty) return base
+    val c = conf(spark)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, base.size)))
+    try {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val fut = Future.traverse(base) { f => Future {
+        val keep = lookups.forall { case (column, values) =>
+          bloomMayContain(c, new Path(dir, f.path), column, values)
+        }
+        if (keep) Some(f) else None
+      }}
+      Await.result(fut, Duration.Inf).flatten
+    } finally pool.shutdown()
+  }
+
   // --------------------------------------------------------- merge
 
   /** MERGE `source` into the table on `key`: latest-wins upsert, with
@@ -2292,7 +2476,8 @@ object ManifestTable {
 
       val staged =
         if (touched.isEmpty && srcRows == 0) Vector.empty
-        else stage(spark, dir, rewritten, head.statsCols, head.partitionCols)
+        else stage(spark, dir, rewritten, head.statsCols,
+          head.partitionCols, head.bloomCols)
       // Rebase conflict test for concurrently ADDED files: overlap with
       // the source key range ⇒ the other commit may have landed rows
       // for keys this merge also resolved — interleaving them would
@@ -2383,12 +2568,13 @@ object ManifestTable {
 
   private[table] def deleteFrom(spark: SparkSession, dir: String,
       head: Snapshot, filter: Column): Snapshot = {
-    val touched = pruneFiles(head, filter)
+    val touched = pruneFilesBloom(spark, dir, head, filter)
     if (touched.isEmpty) return head
     val rewritten = scanWith(spark, dir, touched, head.schema, head.dvs,
         head.renames)
       .where(!coalesce(filter, lit(false)))
-    val staged = stage(spark, dir, rewritten, head.statsCols, head.partitionCols)
+    val staged = stage(spark, dir, rewritten, head.statsCols,
+      head.partitionCols, head.bloomCols)
     val expr = org.apache.spark.sql.GraftSqlBridge.expr(filter)
     commitRewrite(spark, dir, head, "delete",
       touched.map(_.path).toSet, staged,
@@ -2418,7 +2604,8 @@ object ManifestTable {
     val rewritten = scanWith(spark, dir, touched, head.schema, head.dvs,
         head.renames)
       .coalesce(math.max(touched.size, 1))
-    val staged = stage(spark, dir, rewritten, head.statsCols, head.partitionCols)
+    val staged = stage(spark, dir, rewritten, head.statsCols,
+      head.partitionCols, head.bloomCols)
     commitRewrite(spark, dir, head, "purge",
       touched.map(_.path).toSet, staged, _ => false, None)
   }
@@ -2445,7 +2632,7 @@ object ManifestTable {
         s"updateVector: column $c not in schema")
     }
     val hit = coalesce(filter, lit(false))
-    val touched = pruneFiles(head, filter)
+    val touched = pruneFilesBloom(spark, dir, head, filter)
     if (touched.isEmpty) return head
     val updated = scanWith(spark, dir, touched, schema, head.dvs,
       head.renames).where(hit)
@@ -2460,7 +2647,7 @@ object ManifestTable {
       case None => head // nothing matched: no commit
       case Some((rel, hitFiles)) =>
         val staged = stage(spark, dir, updated, head.statsCols,
-          head.partitionCols)
+          head.partitionCols, head.bloomCols)
         val dvs = head.dvs ++ hitFiles.map(f =>
           f.path -> (head.dvs.getOrElse(f.path, Vector.empty) :+ rel)).toMap
         // ONE commit carries both the hiding vector and the new copies,
@@ -2474,7 +2661,7 @@ object ManifestTable {
           "update-dv", head.statsCols, head.partitionCols, head.lastBatch,
           head.schemaJson, head.files ++ staged, head.constraints,
           head.dropped, dvs = dvs, txns = head.txns,
-          renames = head.renames), Some(head))
+          renames = head.renames, bloomCols = head.bloomCols), Some(head))
     }
   }
 
@@ -2518,7 +2705,7 @@ object ManifestTable {
         * manage purges manually. */
       autoPurgeAt: Int = 0): Snapshot = {
     val head = current(spark, dir)
-    val touched = pruneFiles(head, filter)
+    val touched = pruneFilesBloom(spark, dir, head, filter)
     if (touched.isEmpty) return head
     stageVector(spark, dir, head, touched, filter) match {
       case None => head // structural no-op: nothing matched
@@ -2529,7 +2716,7 @@ object ManifestTable {
           head.version, "delete-dv", head.statsCols, head.partitionCols,
           head.lastBatch, head.schemaJson, head.files, head.constraints,
           head.dropped, dvs = dvs, txns = head.txns,
-          renames = head.renames), Some(head))
+          renames = head.renames, bloomCols = head.bloomCols), Some(head))
         val breaching =
           if (autoPurgeAt <= 0) Set.empty[String]
           else committed.dvs.collect {
@@ -2606,7 +2793,7 @@ object ManifestTable {
     set.keys.foreach { c =>
       require(schema.fieldNames.contains(c), s"update: column $c not in schema")
     }
-    val touched = pruneFiles(head, filter)
+    val touched = pruneFilesBloom(spark, dir, head, filter)
     if (touched.isEmpty) return head
     val hit = coalesce(filter, lit(false))
     val rewritten = scanWith(spark, dir, touched, schema, head.dvs,
@@ -2624,7 +2811,8 @@ object ManifestTable {
       .select(schema.fieldNames.toSeq.map { c =>
         set.get(c).map(_.cast(schema(c).dataType).as(c)).getOrElse(col(c))
       }: _*), head.constraints, "update")
-    val staged = stage(spark, dir, rewritten, head.statsCols, head.partitionCols)
+    val staged = stage(spark, dir, rewritten, head.statsCols,
+      head.partitionCols, head.bloomCols)
     val expr = org.apache.spark.sql.GraftSqlBridge.expr(filter)
     commitRewrite(spark, dir, head, "update",
       touched.map(_.path).toSet, staged,
@@ -2753,7 +2941,8 @@ object ManifestTable {
         df.repartitionByRange(outFiles, col(a)).sortWithinPartitions(a)
       case _ => df.coalesce(outFiles)
     }
-    val staged = stage(spark, dir, packed, head.statsCols, head.partitionCols)
+    val staged = stage(spark, dir, packed, head.statsCols,
+      head.partitionCols, head.bloomCols)
     // a pure layout commit commutes with ANY concurrent row change that
     // kept the packed files alive — no read-write conflict possible
     commitRewrite(spark, dir, head, "compact",

@@ -359,7 +359,7 @@ object MergeInto {
       else {
         val out = outOpt.get
         val staged = ManifestTable.stage(spark, dir, out, head.statsCols,
-          head.partitionCols)
+          head.partitionCols, head.bloomCols)
         // rebase conflict: a concurrently ADDED file conflicts unless
         // PROVABLY disjoint from the source key range on some column
         lazy val srcRanges: Seq[Option[(Any, Any)]] =

@@ -1,0 +1,130 @@
+package graft.table
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Laws of parquet-native BLOOM file skipping (round-16 verdict #3):
+  * on a layout NOT sorted by the probe key, every file's [min, max]
+  * interval overlaps every other's, so interval pruning degenerates to
+  * "touch everything" — the opt-in per-file bloom (written by the
+  * parquet writer itself at stage time, consulted at plan time from
+  * the footers) restores touched-files pricing for point predicates:
+  *
+  *  - a needle probe on an UNSORTED 40-file bloom table keeps ~1 file
+  *    where interval pruning alone keeps all 40;
+  *  - results are EXACTLY those of the unpruned plan (a bloom can only
+  *    skip IO — the filter re-applies on every scanned row), for
+  *    reads, deleteVector and update alike;
+  *  - files written BEFORE the bloom spec (no filter in the footer)
+  *    are conservatively kept, so mixed generations stay exact;
+  *  - range predicates and disjunctions consult no bloom (intervals
+  *    only), IN-lists probe every listed value;
+  *  - the spec survives the delta log (carried by every commit,
+  *    round-tripped by checkpoints) and is guarded like the rest of
+  *    the layout spec (rename refused, concurrent spec drift is a
+  *    rebase conflict). */
+class BloomSkipSpec extends SparkSuite {
+
+  private def freshDir(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"bloom_$tag")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  /** 40 files, ids STRIPED mod 40 — every file's [min, max] on id
+    * spans nearly the whole domain, so interval pruning keeps all 40;
+    * id i lives ONLY in file i % 40. */
+  private def seedUnsorted(dir: String, bloom: Boolean): Unit = {
+    import spark.implicits._
+    val df = (0L until 4000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(40, col("id") % 40)
+    ManifestTable.create(spark, dir, df, statsCols = Seq("id"),
+      bloomCols = if (bloom) Seq("id") else Nil)
+  }
+
+  test("needle point probe on an unsorted 40-file table: interval " +
+    "pruning keeps all 40, the bloom keeps ~1 — and the answer is " +
+    "exactly the full scan's") {
+    val dir = freshDir("needle")
+    seedUnsorted(dir, bloom = true)
+    val snap = ManifestTable.snapshot(spark, dir)
+    assert(snap.files.size == 40 && snap.bloomCols == Seq("id"))
+    val probe = col("id") === 1234L
+    val interval = ManifestTable.pruneFiles(snap, probe)
+    assert(interval.size == 40,
+      s"striped ids must defeat interval pruning, kept ${interval.size}")
+    val bloomed = ManifestTable.pruneFilesBloom(spark, dir, snap, probe)
+    assert(bloomed.nonEmpty && bloomed.size <= 3,
+      s"bloom must keep ~1 of 40 files, kept ${bloomed.size}")
+    val got = ManifestTable.read(spark, dir, probe).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1234L, "v1234")))
+    // IN-list probes every value; absent values prune to nothing read
+    val in = col("id").isin(7L, 1234L, 999999L)
+    val inFiles = ManifestTable.pruneFilesBloom(spark, dir, snap, in)
+    assert(inFiles.size <= 6, s"IN probe kept ${inFiles.size}")
+    assert(ManifestTable.read(spark, dir, in).count() == 2L)
+    // range predicates consult no bloom — intervals only (all kept)
+    assert(ManifestTable.pruneFilesBloom(spark, dir, snap,
+      col("id") > 100L).size == 40)
+  }
+
+  test("needle deleteVector on the unsorted bloom table is " +
+    "touched-files-priced: the DV stage scans ~1 file, not 40, and " +
+    "the result equals the no-bloom twin's") {
+    val dirB = freshDir("dv_bloom")
+    val dirP = freshDir("dv_plain")
+    seedUnsorted(dirB, bloom = true)
+    seedUnsorted(dirP, bloom = false)
+    val probe = col("id") === 777L
+    assert(ManifestTable.pruneFilesBloom(spark, dirB,
+      ManifestTable.snapshot(spark, dirB), probe).size <= 3)
+    assert(ManifestTable.pruneFilesBloom(spark, dirP,
+      ManifestTable.snapshot(spark, dirP), probe).size == 40,
+      "the no-bloom twin must touch every file (overlapping intervals)")
+    ManifestTable.deleteVector(spark, dirB, probe)
+    ManifestTable.deleteVector(spark, dirP, probe)
+    def all(d: String) = ManifestTable.read(spark, d).collect()
+      .map(_.getLong(0)).toSet
+    assert(all(dirB) == all(dirP))
+    assert(!all(dirB).contains(777L) && all(dirB).size == 3999)
+    // update through the bloom seam too
+    ManifestTable.update(spark, dirB, col("id") === 778L,
+      Map("v" -> lit("updated")))
+    assert(ManifestTable.read(spark, dirB, col("id") === 778L)
+      .head().getString(1) == "updated")
+  }
+
+  test("mixed generations stay exact: files written before the bloom " +
+    "spec are conservatively kept; the spec survives checkpoints and " +
+    "rename of a bloom column is refused") {
+    import spark.implicits._
+    val dir = freshDir("mixed")
+    // generation 1: NO bloom spec
+    ManifestTable.create(spark, dir,
+      (0L until 100L).map(i => (i, s"old$i")).toDF("id", "v"),
+      statsCols = Seq("id"))
+    // opt in, then generation 2 carries blooms
+    ManifestTable.alterLayout(spark, dir, bloomCols = Some(Seq("id")))
+    ManifestTable.append(spark, dir,
+      (100L until 200L).map(i => (i, s"new$i")).toDF("id", "v"))
+    val snap = ManifestTable.snapshot(spark, dir)
+    assert(snap.bloomCols == Seq("id"))
+    // a probe into the OLD generation keeps the pre-spec file (no
+    // bloom in its footer) — never wrongly skipped
+    assert(ManifestTable.read(spark, dir, col("id") === 5L).count() == 1L)
+    // a probe for an id in NEITHER generation skips the bloomed file
+    val ghost = ManifestTable.pruneFilesBloom(spark, dir, snap,
+      col("id") === 5000L)
+    assert(ghost.size < snap.files.size,
+      "bloomed generation-2 files must skip a ghost probe")
+    // the spec survives a checkpoint round-trip
+    ManifestTable.checkpoint(spark, dir)
+    ManifestTable.clearSnapshotCache()
+    assert(ManifestTable.snapshot(spark, dir).bloomCols == Seq("id"))
+    // bloom columns are part of the layout spec: rename refused
+    val e = intercept[IllegalArgumentException](
+      ManifestTable.renameColumn(spark, dir, "id", "id2"))
+    assert(e.getMessage.contains("bloom"))
+  }
+}
