@@ -1061,7 +1061,7 @@ object ManifestTable {
     * putIfAbsent is a HARD LINK, which the kernel fails atomically
     * with EEXIST. (Object stores without either need a commit service
     * in front — same as Delta.) */
-  private[table] def publish(spark: SparkSession, dir: String,
+  private[graft] def publish(spark: SparkSession, dir: String,
       s0: Snapshot, parent: Option[Snapshot] = None): Snapshot = {
     // the DELTA against the parent is what hits the log — commit bytes
     // are ∝ touched files at any table size. Callers on the hot path

@@ -1435,11 +1435,18 @@ class MarqueeStressSpec extends AnyFunSuite {
       s"append record must be KB-sized at any file count: $deltaBytes")
     // the counterfactual: the nearest checkpoint carries the full
     // listing — linear in live files, ≫ the delta — and is paid once
-    // per CheckpointInterval, not per commit
+    // per CheckpointInterval, not per commit. Since r16 a checkpoint is
+    // two parts: the tiny JSON seal + the columnar files parquet.
     val sizes = logSizes()
-    val ck64 = sizes("c00000000000000000064.json")
-    val ck304 = sizes("c00000000000000000304.json")
-    assert(ck304 > ck64 * 3, s"checkpoint must grow with live files: $ck64 -> $ck304")
+    def ckBytes(v: Int): Long =
+      sizes(f"c$v%020d.json") +
+        sizes.getOrElse(f"c$v%020d.files.parquet", 0L)
+    val ck64 = ckBytes(64)
+    val ck304 = ckBytes(304)
+    // columnar checkpoints carry a fixed parquet footer/dictionary
+    // overhead that dominates at 64 entries, so growth is sub-linear
+    // at the small end — still strictly growing with live files
+    assert(ck304 > ck64 * 2, s"checkpoint must grow with live files: $ck64 -> $ck304")
     assert(ck304 > deltaBytes(320) * 50,
       s"delta must be far below the full listing: ${deltaBytes(320)} vs $ck304")
     // reads reconstruct through checkpoint + suffix: snapshot() cost is
@@ -1452,6 +1459,71 @@ class MarqueeStressSpec extends AnyFunSuite {
       appendWall.map { case (n, t) => f"$n -> $t%.2f s" }.mkString(", ") +
       f"; checkpoint bytes 64 -> $ck64, 304 -> $ck304; " +
       f"snapshot() after 320 commits $tSnap%.3f s")
+  }
+
+  test("plan-time metadata at scale: snapshot()+prune stay bounded as " +
+    "live files grow 100 -> 10k — warm reads are ZERO-parse cache hits, " +
+    "cold reads load the columnar checkpoint", Marquee) {
+    import graft.table.ManifestTable
+    import graft.table.ManifestTable.{ColStats, FileEntry, Snapshot}
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("mq_snap").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    ManifestTable.create(spark, dir,
+      spark.range(1000L).select(col("id").as("k"), (col("id") % 7).as("v"))
+        .coalesce(1), statsCols = Seq("k"))
+    // grow the MANIFEST synthetically (snapshot/prune are pure metadata
+    // paths — they never open data files, so fabricated entries measure
+    // exactly the plan-time cost a 10⁴-file table pays)
+    var head = ManifestTable.snapshot(spark, dir)
+    var next = 0
+    def grow(to: Int): Unit = {
+      while (head.files.size < to) {
+        val batch = (1 to math.min(500, to - head.files.size)).map { _ =>
+          next += 1
+          FileEntry(s"data/synth/f$next.parquet", 1000L, 1L << 20,
+            Map("k" -> ColStats(next * 1000L, next * 1000L + 999L)))
+        }.toVector
+        head = ManifestTable.publish(spark, dir, Snapshot(
+          head.version + 1, head.version, "append", head.statsCols,
+          head.partitionCols, head.lastBatch, head.schemaJson,
+          head.files ++ batch, head.constraints, head.dropped,
+          dvs = head.dvs, txns = head.txns, renames = head.renames,
+          bloomCols = head.bloomCols), Some(head))
+      }
+    }
+    def parses(): (Long, Long) =
+      (ManifestTable.checkpointLoads.get(), ManifestTable.deltaParses.get())
+    val report = scala.collection.mutable.ArrayBuffer.empty[String]
+    Seq(100, 1000, 10000).foreach { n =>
+      grow(n)
+      ManifestTable.checkpoint(spark, dir)
+      ManifestTable.clearSnapshotCache()
+      val (s0, d0) = parses()
+      val (cold, tCold) = timed(ManifestTable.snapshot(spark, dir))
+      val (s1, d1) = parses()
+      val (_, tWarm) = timed(ManifestTable.snapshot(spark, dir))
+      val (s2, d2) = parses()
+      val needle = col("k") === (n * 500L + 7)
+      val (kept, tPrune) = timed(ManifestTable.pruneFiles(cold, needle))
+      assert(cold.files.size == n)
+      assert(s1 - s0 >= 1, "cold read must load the checkpoint")
+      assert(s2 - s1 == 0 && d2 - d1 == 0,
+        s"warm read at $n files parsed something")
+      assert(kept.size <= 2, s"needle must prune to ~1 of $n files")
+      val lp = new Path(dir, "_graft_log")
+      val sizes = lp.getFileSystem(hc).listStatus(lp)
+        .map(s => s.getPath.getName -> s.getLen).toMap
+      val v = cold.version
+      val ckB = sizes(f"c$v%020d.json") +
+        sizes.getOrElse(f"c$v%020d.files.parquet", 0L)
+      report += f"$n files: cold ${tCold}%.3f s, warm ${tWarm}%.4f s, " +
+        f"prune ${tPrune}%.3f s, checkpoint ${ckB} B"
+      // warm reads are effectively free at every scale — the cache law
+      assert(tWarm < math.max(0.05, tCold),
+        s"warm read slower than cold at $n files")
+    }
+    info(report.mkString(" | "))
   }
 
   test("row-group pruning: 2M-row single-file table — kept bytes track " +
