@@ -338,8 +338,10 @@ object Graft {
     def create(spark: SparkSession, dir: String, df: DataFrame,
                statsCols: Seq[String] = Nil,
                partitionCols: Seq[String] = Nil,
-               constraints: Map[String, String] = Map.empty): ManifestTable.Snapshot =
-      ManifestTable.create(spark, dir, df, statsCols, partitionCols, constraints)
+               constraints: Map[String, String] = Map.empty,
+               bloomCols: Seq[String] = Nil): ManifestTable.Snapshot =
+      ManifestTable.create(spark, dir, df, statsCols, partitionCols,
+        constraints, bloomCols)
     /** Append-only commit (auto-retries version races). */
     def append(spark: SparkSession, dir: String, df: DataFrame): ManifestTable.Snapshot =
       ManifestTable.append(spark, dir, df)
@@ -415,10 +417,14 @@ object Graft {
                   matched: Seq[graft.table.MergeInto.WhenMatched] = Nil,
                   notMatched: Seq[graft.table.MergeInto.WhenNotMatched] = Nil,
                   notMatchedBySource:
-                    Seq[graft.table.MergeInto.WhenNotMatchedBySource] = Nil)
+                    Seq[graft.table.MergeInto.WhenNotMatchedBySource] = Nil,
+                  /** Additive MERGE schema evolution (`WITH SCHEMA
+                    * EVOLUTION`): source-only columns widen the table
+                    * in the SAME commit; pre-merge rows answer NULL. */
+                  schemaEvolution: Boolean = false)
         : ManifestTable.Snapshot =
       graft.table.MergeInto(spark, dir, source, keys, matched, notMatched,
-        notMatchedBySource)
+        notMatchedBySource, schemaEvolution)
     /** MERGE prepared against a frozen snapshot `version`, committed
       * under the optimistic rebase/conflict rules. */
     def mergeAt(spark: SparkSession, dir: String, version: Long,
@@ -493,8 +499,15 @@ object Graft {
       * incrementally). */
     def alterLayout(spark: SparkSession, dir: String,
                     statsCols: Option[Seq[String]] = None,
-                    partitionCols: Option[Seq[String]] = None): ManifestTable.Snapshot =
-      ManifestTable.alterLayout(spark, dir, statsCols, partitionCols)
+                    partitionCols: Option[Seq[String]] = None,
+                    bloomCols: Option[Seq[String]] = None): ManifestTable.Snapshot =
+      ManifestTable.alterLayout(spark, dir, statsCols, partitionCols,
+        bloomCols)
+    /** Checkpoint health: (head version, last checkpointed version,
+      * replay-suffix length a cold read pays) — the SQL twin is
+      * `CALL <catalog>.system.detail(table => …)`. */
+    def logHealth(spark: SparkSession, dir: String): (Long, Option[Long], Long) =
+      ManifestTable.logHealth(spark, dir)
     /** ALTER TABLE ADD/DROP CONSTRAINT (adds validate existing data;
       * one metadata commit). */
     def alterConstraints(spark: SparkSession, dir: String,
