@@ -271,13 +271,25 @@ object ManifestTable {
     * live files the driver holds ~one FileEntry vector per hot table
     * instead of re-parsing it per query plan. */
   private val SnapshotCacheSize = 64
+  /** Eviction is sized by CONTENT, not entry count: a snapshot costs
+    * its live-file count, so 64 small-table snapshots OR a couple of
+    * 10⁶-file giants fit, never 64 giants (driver-memory bound at any
+    * table size). */
+  private val SnapshotCacheMaxFiles = 4L * 1000 * 1000
   // key: (table dir, version, v-file fingerprint — see listLog)
   private val snapshotCache: java.util.Map[(String, Long, Long), Snapshot] =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[(String, Long, Long), Snapshot](64, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[(String, Long, Long), Snapshot]): Boolean =
-          size() > SnapshotCacheSize
+            e: java.util.Map.Entry[(String, Long, Long), Snapshot]): Boolean = {
+          if (size() <= 1) false
+          else {
+            var files = 0L
+            val it = values().iterator()
+            while (it.hasNext) files += it.next().files.size
+            size() > SnapshotCacheSize || files > SnapshotCacheMaxFiles
+          }
+        }
       })
 
   /** Observability counters for the metadata read path (spec hooks):
@@ -2055,11 +2067,29 @@ object ManifestTable {
 
   /** The subset of `snap.files` that MAY contain rows matching
     * `filter` (exposed so specs and maintenance tools can assert the
-    * pruned file list directly). */
+    * pruned file list directly). The per-file decision is pure, so a
+    * MANY-file manifest (10⁵+) is judged on a driver thread pool —
+    * plan-time pruning stays sub-second into the 10⁶-file range (and
+    * [[filesFrame]] remains the fully distributed escape hatch). */
   def pruneFiles(snap: Snapshot, filter: Column): Vector[FileEntry] = {
     val schema = snap.schema
-    snap.files.filter(f => mayMatch(f, schema,
-      org.apache.spark.sql.GraftSqlBridge.expr(filter)))
+    val e = org.apache.spark.sql.GraftSqlBridge.expr(filter)
+    val files = snap.files
+    if (files.size < 50000) files.filter(f => mayMatch(f, schema, e))
+    else {
+      val par = math.min(16, Runtime.getRuntime.availableProcessors())
+      val chunk = (files.size + par - 1) / par
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      try {
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val fut = Future.traverse(files.grouped(chunk).toVector) { g =>
+          Future(g.filter(f => mayMatch(f, schema, e)))
+        }
+        Await.result(fut, Duration.Inf).flatten
+      } finally pool.shutdown()
+    }
   }
 
   /** This file's [min, max] bounds for `name`: the exact partition
