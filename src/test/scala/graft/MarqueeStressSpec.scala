@@ -1329,6 +1329,61 @@ class MarqueeStressSpec extends AnyFunSuite {
       f"purge $t3%.1f s")
   }
 
+  test("needle DV deletes on an UNSORTED clone hold the touched-file " +
+    "floor with blooms — the no-bloom twin pays a full-table scan per " +
+    "needle", Marquee) {
+    // The r16 bloom claim at DV-marquee scale: on a layout NOT sorted
+    // by the key (every file's [min,max] spans the domain), interval
+    // pruning degenerates and each needle deleteVector must scan EVERY
+    // file to find its one row; the opt-in bloom restores the sorted-
+    // layout floor (scan ~1 file) at the cost of one footer open per
+    // admitted file. Same data, same deletes, twins differ only in
+    // bloomCols.
+    import graft.table.ManifestTable
+    val dirB = java.nio.file.Files.createTempDirectory("mq_ubloom").toString
+    val dirP = java.nio.file.Files.createTempDirectory("mq_uplain").toString
+    val base = spark.range(1000000L)
+      .select(col("id").as("k"), (col("id") % 97).as("v"))
+      .repartitionByRange(40, col("k") % 40) // unsorted: striped keys
+    ManifestTable.create(spark, dirB, base, statsCols = Seq("k"),
+      bloomCols = Seq("k"))
+    ManifestTable.create(spark, dirP, base, statsCols = Seq("k"))
+    val needles = (1 to 20).map(i => i * 40000L + 17L)
+    def drive(dir: String): (Double, Int) = {
+      var vectored = 0
+      val t0 = System.nanoTime()
+      needles.foreach { n =>
+        val s = ManifestTable.deleteVector(spark, dir, col("k") === n)
+        vectored = s.dvs.size
+      }
+      (((System.nanoTime() - t0) / 1e9), vectored)
+    }
+    // untimed warmup on BOTH twins: the first deleteVector of the JVM
+    // pays codegen/JIT for the whole path — without this, whichever
+    // twin runs first eats ~2 s of compile and the comparison is noise
+    Seq(dirB, dirP).foreach { d =>
+      ManifestTable.deleteVector(spark, d, col("k") === 1L)
+      ManifestTable.deleteVector(spark, d, col("k") === 2L)
+    }
+    val (tB, nB) = drive(dirB)
+    val (tP, nP) = drive(dirP)
+    // identical results, bloom-priced vs table-priced work
+    assert(ManifestTable.read(spark, dirB).count() == 1000000L - 22L)
+    assert(ManifestTable.read(spark, dirP).count() == 1000000L - 22L)
+    val headB = ManifestTable.snapshot(spark, dirB)
+    val probe = col("k") === (500000L + 17L)
+    assert(ManifestTable.pruneFilesBloom(spark, dirB, headB, probe).size <= 3,
+      "bloom must keep ~1 of ~40 unsorted files")
+    assert(ManifestTable.pruneFiles(headB, probe).size == headB.files.size,
+      "intervals alone must admit every file on the striped layout")
+    assert(tB < tP,
+      f"bloomed needle deletes ($tB%.1f s) must undercut the " +
+        f"full-scan twin ($tP%.1f s)")
+    info(f"20 needle DV deletes on 1M rows / 40 unsorted files: " +
+      f"bloomed $tB%.1f s ($nB files vectored) vs no-bloom $tP%.1f s " +
+      f"($nP files vectored) — per-needle scan is ~1 file vs 40")
+  }
+
   test("DV stacking cost curve: read stays vector-priced as commits " +
     "accumulate on one file; purge resets to the plain-scan floor", Marquee) {
     import graft.table.ManifestTable
