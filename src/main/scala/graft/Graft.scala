@@ -449,8 +449,12 @@ object Graft {
     def compact(spark: SparkSession, dir: String,
                 smallBytes: Long = 32L << 20,
                 targetBytes: Long = 128L << 20,
-                zorderBy: Seq[String] = Nil): ManifestTable.Snapshot =
-      ManifestTable.compact(spark, dir, smallBytes, targetBytes, zorderBy)
+                zorderBy: Seq[String] = Nil,
+                /** OPTIMIZE … WHERE: scope to files whose bounds may
+                  * match (whole files, never row filtering). */
+                where: Option[Column] = None): ManifestTable.Snapshot =
+      ManifestTable.compact(spark, dir, smallBytes, targetBytes, zorderBy,
+        where)
     /** Row-level changelog between two snapshots (multiset diff;
       * `_change` I/D). */
     def changes(spark: SparkSession, dir: String, from: Long, to: Long): DataFrame =

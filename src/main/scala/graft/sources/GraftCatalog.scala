@@ -278,11 +278,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"graft catalog: procedures live in the system namespace, got $ident")
     ident.name match {
       case "compact" => proc("compact",
-        "bin-pack small files: compact(table, small_mb, target_mb)",
+        "bin-pack small files: compact(table, small_mb, target_mb, " +
+          "predicate) — predicate scopes the compaction to files whose " +
+          "bounds may match it (OPTIMIZE ... WHERE)",
         Seq(p("table", StringType), pd("small_mb", LongType, "32"),
-          pd("target_mb", LongType, "128"))) { r =>
+          pd("target_mb", LongType, "128"),
+          pd("predicate", StringType, "''"))) { r =>
+        val pred = str(r, 3)
         ManifestTable.compact(spark, tableDirOf(str(r, 0)),
-          smallBytes = r.getLong(1) << 20, targetBytes = r.getLong(2) << 20)
+          smallBytes = r.getLong(1) << 20, targetBytes = r.getLong(2) << 20,
+          where = if (pred.isEmpty) None
+            else Some(org.apache.spark.sql.functions.expr(pred)))
       }
       case "zorder" => proc("zorder",
         "rewrite ALL files in Z-order: zorder(table, columns, target_mb)",

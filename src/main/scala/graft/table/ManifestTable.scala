@@ -2965,12 +2965,27 @@ object ManifestTable {
     * packed file gets tight bounds on BOTH dimensions — the manifest
     * stats then prune reads filtered on either column. */
   def compact(spark: SparkSession, dir: String, smallBytes: Long = 32L << 20,
-      targetBytes: Long = 128L << 20, zorderBy: Seq[String] = Nil): Snapshot = {
+      targetBytes: Long = 128L << 20, zorderBy: Seq[String] = Nil,
+      /** `OPTIMIZE … WHERE`: scope the compaction to files whose
+        * bounds (partition values / footer stats) MAY match this
+        * predicate — at 100 TB, maintenance targets one partition, not
+        * the table. The predicate selects whole FILES, never filters
+        * rows (a kept file's every row survives — compaction stays a
+        * pure layout commit); files it cannot match carry over
+        * untouched. */
+      where: Option[Column] = None): Snapshot = {
     val head = current(spark, dir)
     val schema = head.schema
     require(zorderBy.size <= 2 && zorderBy.forall(schema.fieldNames.contains),
       s"zorderBy must name at most two table columns, got $zorderBy")
-    val (small, big) = head.files.partition(_.bytes < smallBytes)
+    val inScope: FileEntry => Boolean = where match {
+      case None => _ => true
+      case Some(c) =>
+        val e = org.apache.spark.sql.GraftSqlBridge.expr(c)
+        f => mayMatch(f, schema, e)
+    }
+    val (small, big) = head.files.partition(f =>
+      f.bytes < smallBytes && inScope(f))
     if (small.size < 2) return head
     val df = scanWith(spark, dir, small, schema, head.dvs, head.renames)
     val outFiles = math.max(1L,

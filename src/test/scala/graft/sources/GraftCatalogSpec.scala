@@ -281,6 +281,46 @@ class GraftCatalogSpec extends SparkSuite {
       String.valueOf(e.getCause).contains("no procedure"))
   }
 
+  test("scoped compact (OPTIMIZE ... WHERE): CALL system.compact with a " +
+    "predicate packs only the files whose bounds may match — the other " +
+    "partition's files carry over by reference, contents exact") {
+    wh
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.sc")
+    val dir = s"$wh/sc/t"
+    ManifestTable.create(spark, dir,
+      (0L until 100L).map(i => (i, i % 2)).toDF("k", "p")
+        .repartitionByRange(2, col("p")),
+      statsCols = Seq("k"), partitionCols = Seq("p"))
+    // three more small files per partition
+    (1 to 3).foreach { g =>
+      ManifestTable.append(spark, dir,
+        (0L until 50L).map(i => (g * 1000L + i, i % 2)).toDF("k", "p")
+          .repartitionByRange(2, col("p")))
+    }
+    val before = ManifestTable.snapshot(spark, dir)
+    val p1Before = before.files.filter(
+      _.partitions.get("p").flatten.contains("1")).map(_.path).toSet
+    assert(before.files.size >= 8 && p1Before.size >= 4)
+    spark.sql("CALL lake.system.compact(table => 'sc.t', " +
+      "predicate => 'p = 0')")
+    val after = ManifestTable.snapshot(spark, dir)
+    assert(after.operation == "compact")
+    val p1After = after.files.filter(
+      _.partitions.get("p").flatten.contains("1")).map(_.path).toSet
+    assert(p1After == p1Before,
+      "out-of-scope partition files must carry over by reference")
+    val p0After = after.files.filterNot(f => p1After(f.path))
+    assert(p0After.size < before.files.size - p1Before.size,
+      "in-scope partition must actually pack")
+    assert(spark.sql("SELECT count(*), sum(k) FROM lake.sc.t").head()
+      .getLong(0) == 250L)
+    // facade twin of the same scoping decision
+    val kept = ManifestTable.compact(spark, dir,
+      where = Some(col("p") === 99L))
+    assert(kept.version == after.version, "no-match scope is a no-op")
+  }
+
   test("CALL system.detail: one row of snapshot totals, spec, DV " +
     "pressure and checkpoint health — a failed checkpoint surfaces as " +
     "a stale last_checkpoint, a growing replay_len and a counted " +
