@@ -37,7 +37,11 @@ import graft.table.ManifestTable
   * a restart.
   */
 class ChangeFeedSource(sqlContext: SQLContext, dir: String,
-    startingVersion: Long) extends Source {
+    startingVersion: Long, maxFilesPerTrigger: Option[Int] = None)
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit, ReadMaxFiles}
 
   private val spark = sqlContext.sparkSession
   private val tableSchema = ManifestTable.snapshot(spark, dir).schema
@@ -53,6 +57,55 @@ class ChangeFeedSource(sqlContext: SQLContext, dir: String,
   override def getOffset: Option[V1Offset] =
     ManifestTable.latestVersion(spark, dir)
       .filter(_ > startingVersion).map(LongOffset.apply)
+
+  /** ADMISSION CONTROL (`option("maxFilesPerTrigger", n)`), the CDC
+    * twin of the append source's: a restart against a deep commit
+    * backlog drains over micro-batches of ~n CHANGED-HANDS files
+    * (added + removed effective content — exactly what getBatch will
+    * scan) instead of landing the whole history in one batch. Whole
+    * commits, always ≥ 1 per trigger; counted from one LAZY forward
+    * replay over the admitted prefix only, no data IO. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(startOffset: V2Offset, limit: ReadLimit)
+      : V2Offset = {
+    ManifestTable.latestVersion(spark, dir).filter(_ > startingVersion) match {
+      case None => null
+      case Some(h) =>
+        val from = Option(startOffset)
+          .map(o => ver(o.asInstanceOf[V1Offset]) + 1)
+          .getOrElse(startingVersion + 1)
+        if (from > h) return Option(startOffset).orNull
+        val end = limit match {
+          case mf: ReadMaxFiles =>
+            var taken = 0
+            var endV = from // always include at least one commit
+            ManifestTable.snapshotPairs(spark, dir, from, h)
+              .takeWhile { case (prev, cur) =>
+                def eff(s: ManifestTable.Snapshot) = s.files.map(f =>
+                  f.path -> s.dvs.getOrElse(f.path, Vector.empty)).toMap
+                val pEff = prev.map(eff).getOrElse(
+                  Map.empty[String, Vector[String]])
+                val cEff = eff(cur)
+                val changed =
+                  cur.files.count(f => !pEff.get(f.path).contains(cEff(f.path))) +
+                    prev.map(_.files.count(f =>
+                      !cEff.get(f.path).contains(pEff(f.path)))).getOrElse(0)
+                val first = cur.version == from
+                if (first || taken + changed <= mf.maxFiles()) {
+                  taken += changed
+                  endV = cur.version
+                  true
+                } else false
+              }.foreach(_ => ())
+            endV
+          case _ => h
+        }
+        LongOffset(end)
+    }
+  }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(ver).getOrElse(startingVersion)
@@ -105,5 +158,6 @@ class ChangeFeedProvider extends StreamSourceProvider with DataSourceRegister {
       schema: Option[StructType], providerName: String,
       parameters: IMap[String, String]): Source =
     new ChangeFeedSource(sqlContext, dirOf(parameters),
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      parameters.get("maxFilesPerTrigger").map(_.toInt))
 }
