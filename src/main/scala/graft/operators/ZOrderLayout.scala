@@ -28,11 +28,13 @@ object ZOrderLayout {
 
   private val Bits = 16
 
-  /** 0..65535 rank of `c` within [lo, hi]; degenerate domains map to 0. */
-  private def normalized(c: Column, lo: Column, hi: Column): Column =
+  /** 0..2^bits−1 rank of `c` within [lo, hi]; degenerate domains map
+    * to 0. */
+  private def normalized(c: Column, lo: Column, hi: Column,
+      bits: Int = Bits): Column =
     when(hi > lo,
-      least(floor((c.cast("double") - lo) / ((hi - lo) / ((1 << Bits) - 1))),
-        lit((1 << Bits) - 1)).cast("long"))
+      least(floor((c.cast("double") - lo) / ((hi - lo) / ((1 << bits) - 1))),
+        lit((1 << bits) - 1)).cast("long"))
       .otherwise(lit(0L))
 
   /** Morton interleave of two 16-bit values: a's bit i → bit 2i,
@@ -56,6 +58,40 @@ object ZOrderLayout {
         normalized(col(colA), col("__alo"), col("__ahi")),
         normalized(col(colB), col("__blo"), col("__bhi"))))
       .drop("__alo", "__ahi", "__blo", "__bhi")
+  }
+
+  /** Morton interleave of n equal-width values: column j's bit i lands
+    * at position n·i + j (n·bits ≤ 62 keeps the code a non-negative
+    * long) — the straight generalization of [[morton]]. */
+  private def mortonN(vs: Seq[Column], bits: Int): Column =
+    (for { i <- 0 until bits; j <- vs.indices } yield
+      shiftleft(shiftright(vs(j), i).bitwiseAND(lit(1L)),
+        vs.size * i + j)).reduce(_ + _)
+
+  /** `df` with a `__z` Morton code over 2–4 columns — the
+    * `OPTIMIZE … ZORDER BY (a, b, c[, d])` shape. The 62-bit budget
+    * splits evenly (2 cols keep [[withZ]]'s 16-bit resolution; 3 cols
+    * get 20 bits each, 4 get 15), so every packed file stays tight on
+    * EVERY listed dimension; resolution per dimension falls as columns
+    * are added — the standard Z-order trade, which is why the arity is
+    * capped at 4 instead of silently degrading. Bounds come from one
+    * broadcast min/max aggregate, same as [[withZ]]. */
+  def withZN(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 4,
+      s"zorder: 2 to 4 columns, got ${cols.size}")
+    if (cols.size == 2) return withZ(df, cols.head, cols(1))
+    val bits = 62 / cols.size // 3 cols → 20 bits each, 4 → 15
+    val aggs = cols.zipWithIndex.flatMap { case (c, j) =>
+      Seq(min(col(c).cast("double")).as(s"__lo$j"),
+        max(col(c).cast("double")).as(s"__hi$j"))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val ranks = cols.zipWithIndex.map { case (c, j) =>
+      normalized(col(c), col(s"__lo$j"), col(s"__hi$j"), bits)
+    }
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", mortonN(ranks, bits))
+      .drop(cols.indices.flatMap(j => Seq(s"__lo$j", s"__hi$j")): _*)
   }
 
   /** Write `df` z-ordered on (colA, colB) into `files` range-partitioned

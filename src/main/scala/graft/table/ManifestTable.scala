@@ -2976,8 +2976,8 @@ object ManifestTable {
       where: Option[Column] = None): Snapshot = {
     val head = current(spark, dir)
     val schema = head.schema
-    require(zorderBy.size <= 2 && zorderBy.forall(schema.fieldNames.contains),
-      s"zorderBy must name at most two table columns, got $zorderBy")
+    require(zorderBy.size <= 4 && zorderBy.forall(schema.fieldNames.contains),
+      s"zorderBy must name at most four table columns, got $zorderBy")
     val inScope: FileEntry => Boolean = where match {
       case None => _ => true
       case Some(c) =>
@@ -2993,6 +2993,11 @@ object ManifestTable {
     val packed = zorderBy match {
       case Seq(a, b) =>
         graft.operators.ZOrderLayout.withZ(df, a, b)
+          .repartitionByRange(outFiles, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+      case many if many.size >= 3 => // 3–4 dims: the n-way interleave
+        graft.operators.ZOrderLayout.withZN(df, many)
           .repartitionByRange(outFiles, col("__z"))
           .sortWithinPartitions("__z")
           .drop("__z")

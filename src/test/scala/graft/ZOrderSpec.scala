@@ -66,6 +66,59 @@ class ZOrderSpec extends SparkSuite {
       s"z layout lost leading-key pruning entirely: $zLead of $total")
   }
 
+  test("3-column z-order: a filter on the THIRD dimension skips most " +
+    "rows where the linear layout scans everything; n-way interleave " +
+    "matches a reference") {
+    val li = Tables.lineitem(spark, sf("0.01"))
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z3").toString
+    val linDir = java.nio.file.Files.createTempDirectory("graft_lin3").toString
+    ZOrderLayout.withZN(li, Seq("l_orderkey", "l_partkey", "l_suppkey"))
+      .repartitionByRange(64, col("__z")).sortWithinPartitions("__z")
+      .drop("__z").write.mode("overwrite").parquet(zDir)
+    li.repartitionByRange(64, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(linDir)
+    val pred = col("l_suppkey") < 8
+    val matches = li.filter(pred).count()
+    val zScan = scannedRows(spark.read.parquet(zDir).filter(pred))
+    val linScan = scannedRows(spark.read.parquet(linDir).filter(pred))
+    info(s"third-dim filter: $matches match; scanned z3=$zScan " +
+      s"linear=$linScan")
+    assert(spark.read.parquet(zDir).filter(pred).count() == matches)
+    assert(zScan >= matches && linScan >= matches)
+    // three dimensions share the bit budget, so the win is smaller
+    // than the 2-col 4x law but must still be real
+    assert(zScan * 2 <= linScan,
+      s"3-col z-order scanned $zScan vs linear $linScan - no win")
+    // reference interleave law for n=3 (20 bits each): col j's bit i
+    // lands at 3i + j — checked on a value grid via the identity
+    // normalization (domain spans exactly [0, 2^20-1])
+    import spark.implicits._
+    def ref3(a: Long, b: Long, c: Long): Long =
+      (0 until 20).map(i => (((a >> i) & 1L) << (3 * i)) |
+        (((b >> i) & 1L) << (3 * i + 1)) |
+        (((c >> i) & 1L) << (3 * i + 2))).reduce(_ | _)
+    val top = (1L << 20) - 1 // 1048575 = 3·5²·11·31·41: use divisor stride
+    val step = top / 33 // 31785, divides exactly
+    val grid = for (a <- 0L to top by step; b <- 0L to top by step;
+      c <- Seq(0L, top / 3 * 3)) yield (a, b, c)
+    // c must also end exactly at a grid point covering the max
+    val grid2 = grid.filter(_._3 <= top) :+ ((top, top, top))
+    val df = grid2.toDF("a", "b", "c")
+    val got = ZOrderLayout.withZN(df, Seq("a", "b", "c"))
+      .select("a", "b", "c", "__z").collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    // identity normalization needs the domain max present per column —
+    // guaranteed by the appended (top, top, top) corner — and every
+    // sampled value to be an exact multiple of domain/(2^20-1) = 1
+    grid2.foreach { case (a, b, c) =>
+      assert(got((a, b, c)) == ref3(a, b, c),
+        s"morton3($a,$b,$c) = ${got((a, b, c))} != ${ref3(a, b, c)}")
+    }
+  }
+
   test("Morton code matches a reference bit-interleave on the full rank grid") {
     import spark.implicits._
     // withZ on a frame whose columns span exactly [0, 65535] makes the
