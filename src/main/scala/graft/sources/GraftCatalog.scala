@@ -427,7 +427,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 s.dvs.count(_._2.nonEmpty).toLong,
                 s.dvs.values.map(_.size).maxOption.getOrElse(0).toLong,
                 lastCk.getOrElse(-1L), replayLen,
-                graft.table.ManifestTable.checkpointWriteFailures.get()))
+                // per-TABLE failure count: one sick table must not
+                // inflate every table's health row
+                graft.table.ManifestTable.checkpointWriteFailures(dir)))
               val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
                 override def rows(): Array[InternalRow] = Array(row)
                 override def readSchema(): StructType = schema

@@ -318,9 +318,19 @@ private[sources] class GraftScanBuilder(options: CaseInsensitiveStringMap,
 /** One resolved scan: snapshot pinned at build time, manifest pruning
   * decided from the pushed filters. `prunedFilePaths` is the
   * spec-visible contract that SQL pushdown prunes the SAME file set as
-  * the Scala facade's `read(dir, filter)`. */
+  * the Scala facade's `read(dir, filter)`.
+  *
+  * Implements [[SupportsReportStatistics]] with the snapshot's EXACT
+  * post-prune rows/bytes (the manifest holds both per file — zero IO),
+  * so a small catalog table joined through the SQL front door plans a
+  * broadcast join at PLAN time instead of carrying Spark's
+  * default-infinite size estimate until AQE rescues it after a full
+  * build-side shuffle map stage. Time travel reads report the pinned
+  * HISTORICAL snapshot's size for free, because `snap` is already the
+  * resolved snapshot. */
 class GraftScan(options: CaseInsensitiveStringMap,
-    pushed: Array[Filter], required: StructType) extends V1Scan {
+    pushed: Array[Filter], required: StructType) extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   private val spark = SparkSession.active
   private val (dir, snap) = GraftTableProvider.resolve(spark, options)
@@ -329,30 +339,58 @@ class GraftScan(options: CaseInsensitiveStringMap,
     legs.reduceOption(_ && _)
   }
 
-  /** The file set this scan will read (root-relative). */
-  def prunedFilePaths: Seq[String] =
+  /** Pruned ONCE per scan: stats, `prunedFilePaths` and execution all
+    * reuse the same survivor set (bloom probes are not re-paid). */
+  private lazy val survivors: Vector[ManifestTable.FileEntry] =
     pruneCol.map(c => ManifestTable.pruneFilesBloom(spark, dir, snap, c))
-      .getOrElse(snap.files).map(_.path)
+      .getOrElse(snap.files)
+
+  /** The file set this scan will read (root-relative). */
+  def prunedFilePaths: Seq[String] = survivors.map(_.path)
 
   override def readSchema(): StructType = required
 
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val rows = survivors.iterator.map(_.rows).sum
+    // on-disk parquet bytes under-estimate the in-memory row width the
+    // join planner reasons about; scale by the same knob Spark's file
+    // sources use (spark.sql.sources.fileCompressionFactor, default 1.0)
+    val factor = spark.sessionState.conf.fileCompressionFactor
+    val bytes = math.max(1L,
+      (survivors.iterator.map(_.bytes).sum * factor).toLong)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
-    val frame = ManifestTable.readSnapshot(spark, dir, snap, pruneCol)
+    val frame = ManifestTable
+      .readSnapshot(spark, dir, snap, pruneCol, Some(survivors))
       .select(required.fieldNames.toSeq.map(col): _*)
-    new GraftV1Relation(context, required, frame).asInstanceOf[T]
+    new GraftV1Relation(context, required, frame,
+      survivors.iterator.map(_.bytes).sum).asInstanceOf[T]
   }
 }
 
 /** Execution-side V1 relation: the plan UNDER this scan is a normal
   * pruned parquet read (vectorized, codegen'd, row-group pushdown), so
-  * the V1 seam costs one InternalRow pass-through, no conversion. */
+  * the V1 seam costs one InternalRow pass-through, no conversion.
+  * `sizeInBytes` mirrors the scan's manifest-exact estimate (default
+  * would be spark.sql.defaultSizeInBytes = infinite). */
 private[sources] class GraftV1Relation(ctx: SQLContext,
-    relSchema: StructType, frame: DataFrame)
+    relSchema: StructType, frame: DataFrame, scanBytes: Long)
     extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = relSchema
   override def needConversion: Boolean = false
+  override def sizeInBytes: Long = math.max(1L,
+    (scanBytes * ctx.sparkSession.sessionState.conf.fileCompressionFactor)
+      .toLong)
   override def buildScan(): RDD[Row] =
     frame.queryExecution.toRdd.asInstanceOf[RDD[Row]]
 }

@@ -276,21 +276,43 @@ object ManifestTable {
     * 10⁶-file giants fit, never 64 giants (driver-memory bound at any
     * table size). */
   private val SnapshotCacheMaxFiles = 4L * 1000 * 1000
-  // key: (table dir, version, v-file fingerprint — see listLog)
-  private val snapshotCache: java.util.Map[(String, Long, Long), Snapshot] =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(String, Long, Long), Snapshot](64, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[(String, Long, Long), Snapshot]): Boolean = {
-          if (size() <= 1) false
-          else {
-            var files = 0L
-            val it = values().iterator()
-            while (it.hasNext) files += it.next().files.size
-            size() > SnapshotCacheSize || files > SnapshotCacheMaxFiles
-          }
-        }
-      })
+  // key: (table dir, version, v-file fingerprint — see listLog).
+  // Eviction keeps a RUNNING live-file total (O(1) per put, not a rescan
+  // of every cached snapshot) and loops until both bounds hold, so the
+  // content cap is enforced exactly — except the single-giant-snapshot
+  // case: the newest entry always stays even above the cap, because the
+  // caller is about to plan against it (evicting it would just force an
+  // immediate re-reconstruction of the same listing).
+  private object snapshotCache {
+    private val map =
+      new java.util.LinkedHashMap[(String, Long, Long), Snapshot](64, 0.75f, true)
+    private var cachedFiles = 0L
+    def get(k: (String, Long, Long)): Snapshot =
+      map.synchronized(map.get(k))
+    def put(k: (String, Long, Long), s: Snapshot): Unit = map.synchronized {
+      val prev = map.put(k, s)
+      cachedFiles += s.files.size.toLong -
+        (if (prev != null) prev.files.size.toLong else 0L)
+      val it = map.entrySet().iterator()
+      while (map.size > 1 &&
+        (map.size > SnapshotCacheSize || cachedFiles > SnapshotCacheMaxFiles)) {
+        cachedFiles -= it.next().getValue.files.size.toLong
+        it.remove()
+      }
+    }
+    /** Drop every cached snapshot of `dir` — create() calls this so an
+      * in-process DROP + re-CREATE at the same path can never be
+      * answered from the old table's entries, whatever the new v-files'
+      * fingerprints happen to be. */
+    def invalidateDir(dir: String): Unit = map.synchronized {
+      val it = map.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 == dir) { cachedFiles -= e.getValue.files.size.toLong; it.remove() }
+      }
+    }
+    def clear(): Unit = map.synchronized { map.clear(); cachedFiles = 0L }
+  }
 
   /** Observability counters for the metadata read path (spec hooks):
     * full-listing checkpoint loads, delta/log-entry parses, and
@@ -299,7 +321,19 @@ object ManifestTable {
     * visible, see `CALL system.detail`). */
   private[graft] val checkpointLoads = new java.util.concurrent.atomic.AtomicLong
   private[graft] val deltaParses = new java.util.concurrent.atomic.AtomicLong
-  private[graft] val checkpointWriteFailures = new java.util.concurrent.atomic.AtomicLong
+  /** Checkpoint WRITE failures, keyed by table dir: `CALL system.detail`
+    * reports the QUERIED table's count, so one sick table cannot inflate
+    * every table's health row. */
+  private[graft] val checkpointWriteFailuresByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
+  private[graft] def checkpointWriteFailures(dir: String): Long = {
+    val c = checkpointWriteFailuresByDir.get(dir)
+    if (c == null) 0L else c.get()
+  }
+  private def countCheckpointFailure(dir: String): Unit =
+    checkpointWriteFailuresByDir
+      .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong)
+      .incrementAndGet()
 
   private[graft] def clearSnapshotCache(): Unit = snapshotCache.clear()
 
@@ -349,7 +383,17 @@ object ManifestTable {
     }
   }
 
-  private def fileToken(len: Long, mtime: Long): Long = len * 1000003L + mtime
+  /** v-file fingerprint for the snapshot-cache key. Finalizer-mixed so
+    * (len, mtime) pairs that collide under a linear combination (equal
+    * length within mtime granularity) still map to distinct tokens
+    * whenever either input differs; the in-process drop/recreate case is
+    * additionally covered deterministically by
+    * [[snapshotCache.invalidateDir]] in [[create]]. */
+  private def fileToken(len: Long, mtime: Long): Long = {
+    var x = len * 0x9E3779B97F4A7C15L + mtime
+    x ^= x >>> 32; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 32
+    x
+  }
 
   private def listVersions(spark: SparkSession, dir: String): Seq[Long] =
     listLog(spark, dir)._1
@@ -491,11 +535,39 @@ object ManifestTable {
     deltaParses.incrementAndGet()
     val j = JsonMethods.parse(
       readText(spark, new Path(logPath(dir), deltaName(v))))
+    checkReaderVersion(j, s"$dir v$v")
     (j \ "kind") match {
       case JString("delta") => Right(parseDelta(j))
-      case _ => Left(parseManifest(j))
+      // "checkpoint" / no kind field = the pre-delta-log full-manifest
+      // wire format (each v-file is its own complete listing)
+      case JString("checkpoint") | JNothing => Left(parseManifest(j))
+      // an UNKNOWN kind must fail loudly, never parse as an (empty)
+      // full listing: a record written by a future format revision
+      // carries data this reader cannot see, and silently serving a
+      // truncated table is the one unforgivable failure mode
+      case JString(other) => throw new IllegalStateException(
+        s"manifest log $dir v$v has unknown record kind '$other' — " +
+          "written by a newer graft; upgrade this reader")
+      case other => throw new IllegalStateException(
+        s"manifest log $dir v$v has malformed kind $other")
     }
   }
+
+  /** Highest log-record revision this binary understands. Records carry
+    * `minReader` (absent = 1, the original format); a record demanding
+    * more fails loudly instead of being mis-parsed — the protocol
+    * action every production log format ships. */
+  private[table] val SupportedReaderVersion = 2L
+  private def checkReaderVersion(j: JValue, what: String): Unit =
+    (j \ "minReader") match {
+      case JNothing => ()
+      case v =>
+        val need = jLong(v)
+        if (need > SupportedReaderVersion) throw new IllegalStateException(
+          s"manifest record $what requires reader version $need, this " +
+            s"binary supports $SupportedReaderVersion — upgrade to read " +
+            "this table")
+    }
 
   /** Load checkpoint `c`: the current two-part format (tiny JSON meta
     * seal + columnar `c%020d.files.parquet` holding one row per
@@ -508,12 +580,21 @@ object ManifestTable {
     checkpointLoads.incrementAndGet()
     val j = JsonMethods.parse(
       readText(spark, new Path(logPath(dir), checkpointName(c))))
+    checkReaderVersion(j, s"$dir c$c")
     (j \ "kind") match {
       case JString("checkpoint-pq") =>
         val meta = parseManifest(j)
         meta.copy(files = readCkptFiles(spark,
           new Path(logPath(dir), ckptFilesName(c))))
-      case _ => parseManifest(j)
+      // "checkpoint" and the kind-less pre-delta-log format both carry
+      // the full inline listing; anything ELSE is a future revision and
+      // must fail loudly (see readLogEntry)
+      case JString("checkpoint") | JNothing => parseManifest(j)
+      case JString(other) => throw new IllegalStateException(
+        s"manifest checkpoint $dir c$c has unknown kind '$other' — " +
+          "written by a newer graft; upgrade this reader")
+      case other => throw new IllegalStateException(
+        s"manifest checkpoint $dir c$c has malformed kind $other")
     }
   }
 
@@ -665,7 +746,8 @@ object ManifestTable {
        else List("bloomCols" -> (JArray(bloomCols.toList.map(JString(_))): JValue)))
 
   private def renderDelta(d: DeltaRec): String = {
-    val obj = JObject(List("kind" -> (JString("delta"): JValue)) ++
+    val obj = JObject(List("kind" -> (JString("delta"): JValue),
+      "minReader" -> (JLong(1L): JValue)) ++
       renderMeta(d.version, d.parent, d.operation, d.lastBatch, d.ts,
         d.schemaJson, d.statsCols, d.partitionCols, d.constraints,
         d.dropped, d.txns, d.renames, d.bloomCols) ++
@@ -688,7 +770,11 @@ object ManifestTable {
     * `c%020d.files.parquet`. Readers never see the checkpoint until the
     * seal lands (putIfAbsent), so the two-part write is atomic. */
   private def renderCheckpointSeal(s: Snapshot): String = {
-    val obj = JObject(List("kind" -> (JString("checkpoint-pq"): JValue)) ++
+    // minReader 2: a reader that does not know the two-part format MUST
+    // refuse this seal (its files live in the sibling parquet — parsing
+    // the seal alone would reconstruct an empty table)
+    val obj = JObject(List("kind" -> (JString("checkpoint-pq"): JValue),
+      "minReader" -> (JLong(2L): JValue)) ++
       renderMeta(s.version, s.parent, s.operation, s.lastBatch, s.ts,
         s.schemaJson, s.statsCols, s.partitionCols, s.constraints,
         s.dropped, s.txns, s.renames, s.bloomCols) ++
@@ -991,6 +1077,46 @@ object ManifestTable {
     * copies, the shadow directory components are parsed back into the
     * manifest's per-file partition values, and the read path never
     * looks at a path again. */
+  /** Right-size the commit's file fan-out (optimization guide §6: aim
+    * for few, 128 MB-class files, never one tiny part file per
+    * incidental shuffle partition). A frame whose OPTIMIZER-estimated
+    * output is under `spark.graft.commit.targetFileBytes` (default
+    * 128 MB) per current partition is coalesced down to
+    * ceil(bytes / target) write tasks — every later scan, footer sweep
+    * and merge probe of the table then touches that many files instead
+    * of `spark.sql.shuffle.partitions`. Scale-adaptive by construction:
+    * the decision is driven by estimated BYTES, so a 100 TB commit
+    * keeps its full write parallelism and a metadata-sized one writes
+    * one file. Frames carrying an EXPLICIT Repartition operation are
+    * exempt — a caller that chose a layout (e.g. repartitionByRange for
+    * disjoint per-file key ranges) keeps it verbatim. Layout-only:
+    * committed CONTENT is identical either way. */
+  private def rightSized(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.conf.getOption("spark.graft.commit.targetFileBytes")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    if (target <= 0) return df // knob: <=0 disables right-sizing
+    try {
+      val deliberate = df.queryExecution.logical.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
+        case _ => false
+      }
+      if (deliberate) df
+      else {
+        val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (!est.isValidLong) df
+        else {
+          val want = math.max(1L, (est.toLong + target - 1) / target)
+          // coalesce to >= the frame's actual partition count is a
+          // no-op, so the RDD lineage is never materialized just to
+          // learn the count; a fan-out above the session's shuffle
+          // parallelism is left entirely to the writer
+          val cap = spark.sessionState.conf.numShufflePartitions.toLong
+          if (want >= cap) df else df.coalesce(want.toInt)
+        }
+      }
+    } catch { case NonFatal(_) => df } // sizing is advisory, never fatal
+  }
+
   private[table] def stage(spark: SparkSession, dir: String, df: DataFrame,
       statsCols: Seq[String], partitionCols: Seq[String],
       bloomCols: Seq[String] = Nil): Vector[FileEntry] = {
@@ -1003,10 +1129,11 @@ object ManifestTable {
     // the frame (possible mid-evolution) are simply not configured.
     val bloomOpts = bloomCols.filter(df.schema.fieldNames.contains)
       .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+    val out = rightSized(spark, df)
     if (partitionCols.isEmpty)
-      df.write.options(bloomOpts).parquet(abs.toString)
+      out.write.options(bloomOpts).parquet(abs.toString)
     else {
-      val shadowed = partitionCols.foldLeft(df) { (d, c) =>
+      val shadowed = partitionCols.foldLeft(out) { (d, c) =>
         d.withColumn(s"$PartPrefix$c", col(c))
       }
       shadowed.write.options(bloomOpts)
@@ -1119,7 +1246,7 @@ object ManifestTable {
     if (s.version > 0 && s.version % CheckpointInterval == 0)
       try writeCheckpoint(spark, dir, committed)
       catch { case NonFatal(e) =>
-        checkpointWriteFailures.incrementAndGet()
+        countCheckpointFailure(dir)
         log.warn(s"checkpoint write failed at $dir v${s.version} — " +
           "readers replay a longer delta suffix until one succeeds " +
           s"(${e.getClass.getSimpleName}: ${e.getMessage})")
@@ -1404,6 +1531,11 @@ object ManifestTable {
       bloomCols: Seq[String] = Nil): Snapshot = {
     require(latestVersion(spark, dir).isEmpty,
       s"table already exists at $dir — use append/overwrite/merge")
+    // a DROPPED table recreated at the same path must never be answered
+    // from the old table's cached snapshots (the v-file fingerprint
+    // usually catches this, but length+mtime can collide within the
+    // filesystem's mtime granularity — purge deterministically instead)
+    snapshotCache.invalidateDir(dir)
     (statsCols ++ partitionCols ++ bloomCols).foreach { c =>
       require(df.schema.fieldNames.contains(c), s"column $c not in schema")
     }
@@ -1930,10 +2062,15 @@ object ManifestTable {
     * pruned groups are never opened), then DV subtraction. The filter
     * is re-applied on everything scanned, so pruning only skips IO. */
   private[graft] def readSnapshot(spark: SparkSession, dir: String,
-      snap: Snapshot, filter: Option[Column]): DataFrame = filter match {
+      snap: Snapshot, filter: Option[Column],
+      /** Pruned survivor set a caller already computed for THIS
+        * (snapshot, filter) — e.g. the DSv2 scan, which prunes once for
+        * statistics + file listing + execution. */
+      precomputed: Option[Vector[FileEntry]] = None): DataFrame =
+    filter match {
     case Some(c) =>
       val expr = org.apache.spark.sql.GraftSqlBridge.expr(c)
-      val survivors = pruneFilesBloom(spark, dir, snap, c)
+      val survivors = precomputed.getOrElse(pruneFilesBloom(spark, dir, snap, c))
       // row-group pruning applies to multi-group files WITHOUT deletion
       // vectors (a DV read needs _metadata row positions over the whole
       // file); everything else scans the normal way
@@ -2278,15 +2415,12 @@ object ManifestTable {
     * filter, matching the column's PHYSICAL type (an INT32 column
     * hashed with a long would never match). None ⇒ untestable value /
     * type pair — the caller keeps the file. */
-  private def bloomHash(
+  private def bloomHashPrim(
       bf: org.apache.parquet.column.values.bloomfilter.BloomFilter,
-      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
-      v: Any): Option[Long] = {
+      typeName: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
+      isString: Boolean, v: Any): Option[Long] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    val isString = cc.getPrimitiveType.getLogicalTypeAnnotation
-      .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation
-        .StringLogicalTypeAnnotation]
-    (cc.getPrimitiveType.getPrimitiveTypeName, v) match {
+    (typeName, v) match {
       case (INT64, x: Long) => Some(bf.hash(x))
       case (INT32, x: Long) if x >= Int.MinValue && x <= Int.MaxValue =>
         Some(bf.hash(x.toInt))
@@ -2298,26 +2432,85 @@ object ManifestTable {
     }
   }
 
-  /** May this file contain ANY of `values` in `column`, judged by the
-    * parquet-native bloom filters in its footer? One footer open, no
-    * data IO. Conservative: a row group without a bloom (pre-spec
-    * file, unsupported type) keeps the file. */
-  private def bloomMayContain(c: Configuration, p: Path, column: String,
-      values: Seq[Any]): Boolean = {
+  /** Loaded bloom-filter state of one (file, column): one element per
+    * row group — None = no testable bloom in that group (pre-spec file,
+    * bloom-less group, column absent: conservative KEEP), Some(physical
+    * type, isString, filter). */
+  private type BloomState = Vector[Option[(
+    org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName, Boolean,
+    org.apache.parquet.column.values.bloomfilter.BloomFilter)]]
+
+  /** Bounded LRU cache of [[BloomState]] keyed by (file path, column).
+    * Data files are IMMUTABLE once committed (staged under a fresh UUID
+    * commit dir), so entries never invalidate; the bound is cumulative
+    * bloom BITSET bytes, so a hot needle workload re-probes from memory
+    * (zero footer RPCs after the first plan) without letting wide probe
+    * sets pin unbounded driver memory. */
+  private val BloomCacheMaxBytes = 64L * 1024 * 1024
+  private object bloomCache {
+    private val map = new java.util.LinkedHashMap[
+      (String, String), (BloomState, Long)](64, 0.75f, true)
+    private var bytes = 0L
+    def get(k: (String, String)): Option[BloomState] =
+      map.synchronized(Option(map.get(k)).map(_._1))
+    def put(k: (String, String), e: BloomState): Unit = map.synchronized {
+      val sz = e.iterator.flatten
+        .map(_._3.getBitsetSize.toLong).sum
+      val prev = map.put(k, (e, sz))
+      bytes += sz - (if (prev != null) prev._2 else 0L)
+      val it = map.entrySet().iterator()
+      while (map.size > 1 && bytes > BloomCacheMaxBytes) {
+        bytes -= it.next().getValue._2; it.remove()
+      }
+    }
+    def clear(): Unit = map.synchronized { map.clear(); bytes = 0L }
+  }
+  private[graft] def clearBloomCache(): Unit = bloomCache.clear()
+  /** Footer opens the bloom path actually paid (spec hook: a repeat of
+    * the same probe must add ZERO). */
+  private[graft] val bloomFooterOpens = new java.util.concurrent.atomic.AtomicLong
+
+  /** One footer open: harvest `column`'s bloom state for every row
+    * group of `p`. */
+  private def loadBloomState(c: Configuration, p: Path,
+      column: String): BloomState = {
+    bloomFooterOpens.incrementAndGet()
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, c))
     try {
-      reader.getFooter.getBlocks.asScala.exists { b =>
-        b.getColumns.asScala.find(_.getPath.toDotString == column) match {
-          case None => true // column absent (evolution): value reads NULL,
-          // only a NULL-matching predicate could hit — keep, re-filter
-          case Some(cc) =>
+      reader.getFooter.getBlocks.asScala.iterator.map { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == column).flatMap {
+          cc =>
             val bf = reader.getBloomFilterDataReader(b).readBloomFilter(cc)
-            if (bf == null) true // no bloom in this group: conservative
-            else values.exists(v =>
-              bloomHash(bf, cc, v).forall(bf.findHash))
+            if (bf == null) None
+            else {
+              val isString = cc.getPrimitiveType.getLogicalTypeAnnotation
+                .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation
+                  .StringLogicalTypeAnnotation]
+              Some((cc.getPrimitiveType.getPrimitiveTypeName, isString, bf))
+            }
         }
-      }
+      }.toVector
     } finally reader.close()
+  }
+
+  /** May this file contain ANY of `values` in `column`, judged by the
+    * parquet-native bloom filters in its footer? At most one footer
+    * open per (file, column) per process ([[bloomCache]]), no data IO.
+    * Conservative: a row group without a testable bloom keeps the
+    * file. */
+  private def bloomMayContain(c: Configuration, p: Path, column: String,
+      values: Seq[Any]): Boolean = {
+    val key = (p.toString, column)
+    val state = bloomCache.get(key).getOrElse {
+      val e = loadBloomState(c, p, column)
+      bloomCache.put(key, e)
+      e
+    }
+    state.isEmpty || state.exists {
+      case None => true
+      case Some((t, isString, bf)) =>
+        values.exists(v => bloomHashPrim(bf, t, isString, v).forall(bf.findHash))
+    }
   }
 
   /** [[pruneFiles]] + parquet-native BLOOM consultation: files whose
@@ -2337,20 +2530,45 @@ object ManifestTable {
     if (lookups.isEmpty) return base
     val c = conf(spark)
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.duration.{Duration, MILLISECONDS}
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(8, base.size)))
     try {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val fut = Future.traverse(base) { f => Future {
-        val keep = lookups.forall { case (column, values) =>
+      val futs = base.map { f => f -> Future {
+        if (bloomProbeDelayMs > 0) Thread.sleep(bloomProbeDelayMs.toLong)
+        lookups.forall { case (column, values) =>
           bloomMayContain(c, new Path(dir, f.path), column, values)
         }
-        if (keep) Some(f) else None
       }}
-      Await.result(fut, Duration.Inf).flatten
+      // BOUNDED await: one hung remote footer open must not stall the
+      // plan forever — past the deadline every unresolved probe falls
+      // back to conservative KEEP (a kept file is always correct; the
+      // filter is re-applied on scan), logged and counted.
+      val deadline = System.nanoTime() + bloomProbeTimeoutMs * 1000000L
+      futs.flatMap { case (f, fut) =>
+        val left = math.max(1L, (deadline - System.nanoTime()) / 1000000L)
+        try { if (Await.result(fut, Duration(left, MILLISECONDS))) Some(f)
+              else None }
+        catch { case _: java.util.concurrent.TimeoutException =>
+          bloomProbeTimeouts.incrementAndGet()
+          log.warn(s"bloom probe timed out for ${f.path} after " +
+            s"${bloomProbeTimeoutMs} ms — keeping the file (pruning is " +
+            "advisory, the filter re-applies on scan)")
+          Some(f)
+        }
+      }
     } finally pool.shutdown()
   }
+
+  /** Per-plan budget for the WHOLE bloom probe batch (the probes run in
+    * parallel; a batch that exceeds it degrades to interval-only
+    * pruning for the unresolved files). Spec-settable. */
+  @volatile private[graft] var bloomProbeTimeoutMs: Long = 30000L
+  /** Fault-injection seam (spec-only): artificial per-probe latency. */
+  @volatile private[graft] var bloomProbeDelayMs: Int = 0
+  /** Probes that hit the deadline and fell back to KEEP. */
+  private[graft] val bloomProbeTimeouts = new java.util.concurrent.atomic.AtomicLong
 
   // --------------------------------------------------------- merge
 
@@ -2453,7 +2671,14 @@ object ManifestTable {
     // RIDES the pruning probe via an observe node ABOVE the cache point
     // (metrics inside a cached subplan never report) — no separate
     // count() job; only a probe-less merge pays an explicit pass.
-    val resolved = cached.observe(obs, count(lit(1)).as("rows"))
+    // the source-key RANGE rides the same observe as the row count:
+    // the rebase-conflict test then costs zero extra jobs (previously a
+    // separate one-row aggregate pass over the cached source)
+    val keyType = schema(key).dataType
+    val rangeAggs = keyProbe(keyType).toSeq.flatMap { case (_, norm) =>
+      Seq(min(norm(col(key))).as("lo"), max(norm(col(key))).as("hi")) }
+    val resolved = cached.observe(obs,
+      count(lit(1)).as("rows"), rangeAggs: _*)
     var observed = false
     lazy val srcRows: Long = observedRows(observed, obs, cached)
     def maybeBroadcast(df: DataFrame): DataFrame =
@@ -2470,7 +2695,6 @@ object ManifestTable {
       // which a changelog with one far-away key (the
       // append-plus-update batch shape) would blow up to the whole
       // table.
-      val keyType = schema(key).dataType
       val statFiles = head.files.zipWithIndex.flatMap { case (fe, i) =>
         fileBounds(fe, schema, key).flatMap { case (mn, mx) =>
           keyProbe(keyType).map { case (t, _) => (i, mn, mx, t) }
@@ -2528,12 +2752,23 @@ object ManifestTable {
       // leave duplicate keys, so fail loudly. Lazily priced: the
       // happy path (no race) never runs the one-row range aggregate.
       // Outer None = key type unboundable (every added file conflicts);
-      // inner None = empty source (nothing can conflict).
+      // inner None = empty source (nothing can conflict). The range
+      // normally arrives via the probe's observe metrics (zero extra
+      // jobs); the explicit aggregate only runs when the observation
+      // was never set (probe-less merge / AQE empty-relation replan).
       lazy val srcRange: Option[Option[(Any, Any)]] =
         keyProbe(keyType).map { case (_, norm) =>
-          val r = resolved.agg(min(norm(col(key))).as("lo"),
-            max(norm(col(key))).as("hi")).head()
-          if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
+          observedMetrics(observed, obs) match {
+            case Some(m) =>
+              m.get("lo") match {
+                case Some(null) | None => None // empty source
+                case Some(lo) => Some((lo, m("hi")))
+              }
+            case None =>
+              val r = resolved.agg(min(norm(col(key))).as("lo"),
+                max(norm(col(key))).as("hi")).head()
+              if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
+          }
         }
       val conflicts: FileEntry => Boolean = f => srcRange match {
         case None => true // unboundable key type: conservative
@@ -2562,11 +2797,20 @@ object ManifestTable {
     * the ALREADY-CACHED source (the pre-observe cost, never worse). */
   private[table] def observedRows(observed: Boolean,
       obs: org.apache.spark.sql.Observation, cached: DataFrame): Long =
-    if (!observed) cached.count()
-    else obs.get.get("rows") match { // blocks until the probe's listener fired
+    observedMetrics(observed, obs).flatMap(_.get("rows")) match {
       case Some(n: Long) => n
       case _ => cached.count()
     }
+
+  /** The probe's observe metrics, or None when the observation never
+    * fired / completed empty (probe-less path, or AQE replanned the
+    * empty probe into a local relation and dropped CollectMetricsExec —
+    * see [[observedRows]]). Blocks until the listener fires when the
+    * probe DID run. */
+  private[table] def observedMetrics(observed: Boolean,
+      obs: org.apache.spark.sql.Observation): Option[Map[String, Any]] =
+    if (!observed) None
+    else Some(obs.get).filter(_.get("rows").exists(_.isInstanceOf[Long]))
 
   /** Probe-side type plan for the merge key: the Spark column type the
     * interval frame uses, and how to normalize the source key onto it.

@@ -174,7 +174,17 @@ object MergeInto {
     // cache point (metrics inside a cached subplan never report) — no
     // separate count() job; only a probe-less merge pays an explicit
     // pass.
-    val resolved = cached.observe(obs, count(lit(1)).as("rows"))
+    // per-key source RANGES ride the same observe as the row count: the
+    // rebase-conflict test then costs zero extra jobs (previously a
+    // separate one-row aggregate pass over the cached source)
+    val probedKeys = keys.flatMap { k =>
+      ManifestTable.keyProbe(schema(k).dataType)
+        .map { case (t, norm) => (k, t, norm) }
+    }
+    val rangeAggs = probedKeys.zipWithIndex.flatMap { case ((k, _, norm), j) =>
+      Seq(min(norm(col(k))).as(s"lo$j"), max(norm(col(k))).as(s"hi$j")) }
+    val resolved = cached.observe(obs,
+      count(lit(1)).as("rows"), rangeAggs: _*)
     var observed = false
     // fallback is load-bearing: an EMPTY probe result makes AQE replan
     // the stage into an empty relation, dropping the CollectMetricsExec
@@ -185,10 +195,7 @@ object MergeInto {
       else df
     try {
       // ---- per-column interval-intersection pruning probe ----
-      val probed = keys.flatMap { k =>
-        ManifestTable.keyProbe(schema(k).dataType)
-          .map { case (t, norm) => (k, t, norm) }
-      }
+      val probed = probedKeys
       val fileBoundsFor = (f: FileEntry) =>
         probed.map { case (k, _, _) => ManifestTable.fileBounds(f, schema, k) }
       val statFiles = head.files.zipWithIndex.flatMap { case (f, i) =>
@@ -364,15 +371,24 @@ object MergeInto {
         // PROVABLY disjoint from the source key range on some column
         lazy val srcRanges: Seq[Option[(Any, Any)]] =
           if (probed.isEmpty) Nil
-          else {
-            val aggs = probed.zipWithIndex.flatMap { case ((k, _, norm), j) =>
-              Seq(min(norm(col(k))).as(s"lo$j"), max(norm(col(k))).as(s"hi$j"))
+          else ManifestTable.observedMetrics(observed, obs) match {
+            // the probe pass already aggregated the ranges (zero extra
+            // jobs); null lo = empty source on that column
+            case Some(m) => probed.indices.map { j =>
+              m.get(s"lo$j") match {
+                case Some(null) | None => None
+                case Some(lo) => Some((lo, m(s"hi$j")))
+              }
             }
-            val r = resolved.agg(aggs.head, aggs.tail: _*).head()
-            probed.indices.map { j =>
-              if (r.isNullAt(2 * j)) None
-              else Some((r.get(2 * j), r.get(2 * j + 1)))
-            }
+            case None =>
+              val aggs = probed.zipWithIndex.flatMap { case ((k, _, norm), j) =>
+                Seq(min(norm(col(k))).as(s"lo$j"), max(norm(col(k))).as(s"hi$j"))
+              }
+              val r = resolved.agg(aggs.head, aggs.tail: _*).head()
+              probed.indices.map { j =>
+                if (r.isNullAt(2 * j)) None
+                else Some((r.get(2 * j), r.get(2 * j + 1)))
+              }
           }
         // a concurrently added file also conflicts when a BY SOURCE
         // clause may touch rows in it (unconditional ⇒ always)

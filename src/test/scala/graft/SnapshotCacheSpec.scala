@@ -184,13 +184,13 @@ class SnapshotCacheSpec extends SparkSuite {
     val dir = freshDir("ckfail")
     ManifestTable.create(spark, dir, kv(Seq(0L -> "r0")))
     // drive exactly to the checkpoint version (v16) with the seam armed
-    val fails0 = ManifestTable.checkpointWriteFailures.get()
+    val fails0 = ManifestTable.checkpointWriteFailures(dir)
     (1L to 16L).foreach { i =>
       if (i == 16L) ManifestTable.failNextCheckpoint = true
       ManifestTable.append(spark, dir, kv(Seq(i -> s"r$i")))
     }
-    assert(ManifestTable.checkpointWriteFailures.get() == fails0 + 1,
-      "injected checkpoint failure was not counted")
+    assert(ManifestTable.checkpointWriteFailures(dir) == fails0 + 1,
+      "injected checkpoint failure was not counted against THIS table")
     assert(ManifestTable.lastCheckpoint(spark, dir).isEmpty,
       "no checkpoint should exist after the injected failure")
     ManifestTable.clearSnapshotCache()

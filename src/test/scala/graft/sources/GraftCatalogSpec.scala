@@ -344,12 +344,13 @@ class GraftCatalogSpec extends SparkSuite {
     assert(d0.getAs[Long]("replay_len") == d0.getAs[Long]("version") + 1,
       "no checkpoint yet: a cold read replays the whole retained log")
     // a FAILED checkpoint write is visible: counter up, horizon stale
-    val fails0 = ManifestTable.checkpointWriteFailures.get()
+    val fails0 = d0.getAs[Long]("ckpt_write_failures")
     ManifestTable.failNextCheckpoint = true
     intercept[RuntimeException](
       spark.sql("CALL lake.system.checkpoint(table => 'det.t')"))
-    assert(ManifestTable.checkpointWriteFailures.get() >= fails0,
-      "manual checkpoint failures throw; publish-path ones are counted")
+    assert(detail().getAs[Long]("ckpt_write_failures") >= fails0,
+      "manual checkpoint failures throw; publish-path ones are counted " +
+        "per table")
     assert(detail().getAs[Long]("last_checkpoint") == -1L)
     // the healed checkpoint collapses the replay suffix to 1
     spark.sql("CALL lake.system.checkpoint(table => 'det.t')")
