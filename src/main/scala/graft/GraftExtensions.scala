@@ -68,5 +68,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL row-level DML on graft tables: UPDATE and MERGE INTO resolve
     // into the engine's own commit operations (see GraftSqlDml).
     ext.injectResolutionRule(s => new graft.sources.GraftSqlDmlRule(s))
+    // Plan-time statistics for graft scans: V1ScanWrapper hides the
+    // scan's SupportsReportStatistics from computeStats (and no
+    // optimizer extension point runs after that pushdown), so a
+    // planner strategy substitutes stats-bearing leaves, re-plans, and
+    // restores the original relations at the leaves (execution
+    // byte-identical) — see GraftScanStats.
+    ext.injectPlannerStrategy(s => org.apache.spark.sql.GraftScanStatsStrategy(
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]))
   }
 }

@@ -127,4 +127,54 @@ class BloomSkipSpec extends SparkSuite {
       ManifestTable.renameColumn(spark, dir, "id", "id2"))
     assert(e.getMessage.contains("bloom"))
   }
+
+  test("bloom state is cached per (file, column): a repeat of the same " +
+    "probe opens ZERO footers and keeps the SAME survivors") {
+    val dir = freshDir("cache")
+    seedUnsorted(dir, bloom = true)
+    val snap = ManifestTable.snapshot(spark, dir)
+    val probe = col("id") === 1234L
+    ManifestTable.clearBloomCache()
+    val opens0 = ManifestTable.bloomFooterOpens.get()
+    val first = ManifestTable.pruneFilesBloom(spark, dir, snap, probe)
+    val opensAfterFirst = ManifestTable.bloomFooterOpens.get()
+    assert(opensAfterFirst - opens0 == 40L,
+      "cold probe pays one footer open per interval-admitted file")
+    // hot path: same probe, a DIFFERENT value, and a second plan of the
+    // same needle all answer from the cache — data files are immutable
+    val again = ManifestTable.pruneFilesBloom(spark, dir, snap, probe)
+    val other = ManifestTable.pruneFilesBloom(spark, dir, snap,
+      col("id") === 777L)
+    assert(ManifestTable.bloomFooterOpens.get() == opensAfterFirst,
+      "warm probes must open zero footers")
+    assert(again.map(_.path) == first.map(_.path))
+    assert(other.nonEmpty && other.size <= 3)
+  }
+
+  test("a hung bloom probe falls back to conservative KEEP at the " +
+    "deadline: same results, timeout counted — the plan never stalls " +
+    "on one slow footer") {
+    val dir = freshDir("timeout")
+    seedUnsorted(dir, bloom = true)
+    val snap = ManifestTable.snapshot(spark, dir)
+    val probe = col("id") === 1234L
+    ManifestTable.clearBloomCache()
+    val timeouts0 = ManifestTable.bloomProbeTimeouts.get()
+    val (savedT, savedD) =
+      (ManifestTable.bloomProbeTimeoutMs, ManifestTable.bloomProbeDelayMs)
+    try {
+      ManifestTable.bloomProbeTimeoutMs = 50L
+      ManifestTable.bloomProbeDelayMs = 2000
+      val kept = ManifestTable.pruneFilesBloom(spark, dir, snap, probe)
+      assert(kept.size == 40,
+        "past the deadline every unresolved probe must KEEP its file")
+      assert(ManifestTable.bloomProbeTimeouts.get() > timeouts0,
+        "timeouts must be counted")
+      // and the query is still exactly right on the unpruned set
+      assert(ManifestTable.read(spark, dir, probe).count() == 1L)
+    } finally {
+      ManifestTable.bloomProbeTimeoutMs = savedT
+      ManifestTable.bloomProbeDelayMs = savedD
+    }
+  }
 }

@@ -43,6 +43,39 @@ class ManifestTableSpec extends SparkSuite {
     assert(content(dir) == (1L to 100L).map(i => (i, s"row$i")).toSet)
   }
 
+  test("small commits are right-sized: an incidental shuffle fan-out " +
+    "lands as ONE file; an explicit repartition keeps its layout " +
+    "verbatim; the knob disables it; content identical either way") {
+    // a 4-slice range frame (no shuffle, so AQE coalescing plays no
+    // part — this isolates the engine's own right-sizing) is
+    // metadata-sized and must land as ONE file
+    val tiny = spark.range(0L, 1000L, 1L, 4)
+      .selectExpr("id AS g", "id * 2 AS x")
+    val dir = freshDir("rightsize")
+    val snap = ManifestTable.create(spark, dir, tiny, statsCols = Seq("g"))
+    assert(snap.files.size == 1,
+      s"a tiny 4-slice commit must write 1 file, wrote ${snap.files.size}")
+    // deliberate layouts are untouched: repartitionByRange(3) = 3 files
+    val dir2 = freshDir("rightsize_explicit")
+    val snap2 = ManifestTable.create(spark, dir2,
+      kv((1L to 100L).map(i => i -> s"r$i"))
+        .repartitionByRange(3, col("k")), statsCols = Seq("k"))
+    assert(snap2.files.size == 3,
+      "an explicit repartition is a chosen layout — never coalesced")
+    // the knob disables right-sizing entirely
+    val dir3 = freshDir("rightsize_off")
+    spark.conf.set("spark.graft.commit.targetFileBytes", "0")
+    try {
+      val snap3 = ManifestTable.create(spark, dir3, tiny,
+        statsCols = Seq("g"))
+      assert(snap3.files.size == 4,
+        "with the knob off the frame's 4 slices land as-is")
+      assert(ManifestTable.read(spark, dir3).collect().toSet ==
+        ManifestTable.read(spark, dir).collect().toSet,
+        "layout never changes content")
+    } finally spark.conf.unset("spark.graft.commit.targetFileBytes")
+  }
+
   test("append accumulates; overwrite replaces; every old version stays " +
     "readable (time travel / snapshot isolation)") {
     val dir = freshDir("tt")

@@ -226,4 +226,68 @@ class SnapshotCacheSpec extends SparkSuite {
     assert(other.version == next.version + 1,
       "a second writer's batch was wrongly dropped")
   }
+
+  test("format protocol guard: an UNKNOWN record kind or a minReader " +
+    "above this binary fails LOUDLY — never an empty listing served " +
+    "as the table") {
+    val fs = new Path("/tmp").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def write(p: Path, s: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    // unknown v-file kind (a future revision's record)
+    val dir = freshDir("proto")
+    ManifestTable.create(spark, dir, kv(Seq(1L -> "a")))
+    ManifestTable.append(spark, dir, kv(Seq(2L -> "b")))
+    val lp = new Path(dir, "_graft_log")
+    write(new Path(lp, f"v${1L}%020d.json"),
+      """{"kind":"delta-v9","version":1,"parent":0}""")
+    ManifestTable.clearSnapshotCache()
+    val e1 = intercept[IllegalStateException](content(dir))
+    assert(e1.getMessage.contains("unknown record kind"))
+    // minReader above SupportedReaderVersion: refused even though the
+    // kind parses (the field is the forward-compat seam)
+    val dir2 = freshDir("proto2")
+    ManifestTable.create(spark, dir2, kv(Seq(1L -> "a")))
+    val lp2 = new Path(dir2, "_graft_log")
+    val v0 = new Path(lp2, f"v${0L}%020d.json")
+    val txt = {
+      val in = fs.open(v0)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+        bos.toString("UTF-8")
+      } finally in.close()
+    }
+    write(v0, txt.replaceFirst("\"minReader\":1", "\"minReader\":99"))
+    ManifestTable.clearSnapshotCache()
+    val e2 = intercept[IllegalStateException](content(dir2))
+    assert(e2.getMessage.contains("requires reader version 99"))
+    // an unknown CHECKPOINT kind is refused the same way (a two-part
+    // seal mis-read as a full listing was the round-16 ADVICE hazard)
+    val dir3 = freshDir("proto3")
+    ManifestTable.create(spark, dir3, kv(Seq(1L -> "a")))
+    ManifestTable.checkpoint(spark, dir3)
+    val c0 = new Path(new Path(dir3, "_graft_log"), f"c${0L}%020d.json")
+    write(c0, """{"kind":"checkpoint-v9","version":0,"parent":-1}""")
+    ManifestTable.clearSnapshotCache()
+    val e3 = intercept[IllegalStateException](content(dir3))
+    assert(e3.getMessage.contains("unknown kind"))
+  }
+
+  test("create() after an in-process drop purges the dir's cached " +
+    "snapshots — a recreated table can never answer from the old one") {
+    val dir = freshDir("recreate")
+    ManifestTable.create(spark, dir, kv(Seq(1L -> "old")))
+    assert(content(dir) == Set(1L -> "old")) // warm the cache
+    // out-of-band drop (no engine call sees it)
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(dir), true)
+    fs.mkdirs(new Path(dir))
+    ManifestTable.create(spark, dir, kv(Seq(2L -> "new")))
+    assert(content(dir) == Set(2L -> "new"),
+      "the recreated table must never serve the old table's snapshot")
+  }
 }

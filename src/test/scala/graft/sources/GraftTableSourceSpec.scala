@@ -110,4 +110,69 @@ class GraftTableSourceSpec extends SparkSuite {
         .where(col("k") === 999L).count() == 1L)
     } finally spark.sql("DROP TABLE IF EXISTS graft_tt")
   }
+
+  test("DSv2 plan-time statistics: the scan reports the snapshot's " +
+    "EXACT rows/bytes (post-prune, and the HISTORICAL size under time " +
+    "travel), so a small catalog table joined through SQL plans a " +
+    "BroadcastHashJoin WITHOUT a hint, AQE off") {
+    val dir = freshDir("stats")
+    seed(dir, n = 200L)
+    val snap = ManifestTable.snapshot(spark, dir)
+    def scanOf(extra: Map[String, String],
+        filters: Array[f.Filter] = Array.empty): GraftScan = {
+      val opts = new CaseInsensitiveStringMap(
+        (Map("path" -> dir) ++ extra).asJava)
+      val provider = new GraftTableProvider
+      val table = provider.getTable(provider.inferSchema(opts),
+        Array.empty, opts.asCaseSensitiveMap())
+      val sb = table.asInstanceOf[SupportsRead].newScanBuilder(opts)
+      if (filters.nonEmpty)
+        sb.asInstanceOf[SupportsPushDownFilters].pushFilters(filters)
+      sb.build().asInstanceOf[GraftScan]
+    }
+    // head scan: exact totals from the manifest (zero IO)
+    val st = scanOf(Map.empty).estimateStatistics()
+    assert(st.numRows().getAsLong == snap.totalRows)
+    assert(st.sizeInBytes().getAsLong == snap.totalBytes,
+      "default fileCompressionFactor 1.0 => manifest bytes verbatim")
+    // a pruned scan reports the SURVIVORS' stats, not the table's
+    val pruned = scanOf(Map.empty, Array(f.GreaterThan("k", 150L)))
+    assert(pruned.estimateStatistics().numRows().getAsLong
+      < snap.totalRows)
+    // time travel reports the HISTORICAL snapshot's size
+    ManifestTable.append(spark, dir, spark.range(1000)
+      .selectExpr("id + 1000 AS k", "CAST(id AS STRING) AS v"))
+    val head = ManifestTable.snapshot(spark, dir)
+    val v0 = scanOf(Map("versionAsOf" -> "0")).estimateStatistics()
+    assert(v0.numRows().getAsLong == snap.totalRows &&
+      v0.numRows().getAsLong < head.totalRows)
+    // the plan-quality law (round-16 verdict #1): a dim-sized catalog
+    // table joined through the SQL front door broadcasts at PLAN time —
+    // no hint, AQE off (so no runtime rescue can fake the pass); the
+    // big probe side is over the auto-broadcast threshold by estimate
+    val wh = freshDir("statswh")
+    spark.conf.set("spark.sql.catalog.gstat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gstat.warehouse", wh)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gstat.m")
+      spark.sql("""CREATE TABLE gstat.m.dim AS
+        SELECT id AS k, CAST(id % 7 AS STRING) AS v FROM range(50)""")
+      spark.range(10L * 1000 * 1000).selectExpr("id % 1000 AS k")
+        .createOrReplaceTempView("gstat_big")
+      val plan = spark.sql(
+        "SELECT b.k, d.v FROM gstat_big b JOIN gstat.m.dim d ON b.k = d.k")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"dim-sized graft table must broadcast at plan time, got:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        "the default-size estimate would have forced a sort-merge join")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.sql("DROP TABLE IF EXISTS gstat.m.dim")
+      spark.conf.unset("spark.sql.catalog.gstat")
+      spark.conf.unset("spark.sql.catalog.gstat.warehouse")
+    }
+  }
 }
