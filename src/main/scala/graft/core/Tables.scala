@@ -7,12 +7,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `spark.read.parquet` with pushdown + pruning left to the data source.
   */
 object Tables {
+  /** Resolved schema per (sf dir, table): the fixtures are immutable,
+    * so paying parquet footer schema inference ONCE per table per
+    * process (instead of once per query plan — hundreds of re-reads
+    * across a bench session) is pure metadata savings; at 100 TB this
+    * is what a catalog table's pinned schema gives every reader. Keyed
+    * per path, so different SF dirs never cross. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]
+
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
     // Pin timestamp writes to INT64 micros: the nanosAsLong legacy conf
     // (needed for events.ts) otherwise flips the writer to INT96, which the
     // oracle compare reads back as nanos.
     s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    s.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      _ => s.read.parquet(path).schema)
+    s.read.schema(schema).parquet(path)
   }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")

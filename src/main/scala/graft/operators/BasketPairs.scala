@@ -22,17 +22,26 @@ object BasketPairs {
       k: Int): DataFrame = {
     val sets = df.groupBy(col(basket).as("__k"))
       .agg(array_sort(collect_set(col(item))).as("__is"))
-    sets
-      .select(explode(flatten(expr(
-        """transform(__is, (x, i) ->
-          |  transform(slice(__is, i + 2, size(__is) - i - 1),
-          |    y -> struct(x AS item_a, y AS item_b)))""".stripMargin)))
-        .as("p"))
-      .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
+    pairExpand(sets)
+      .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_baskets"))
       .orderBy(desc("n_baskets"), col("item_a"), col("item_b"))
       .limit(k)
   }
+
+  /** Row-local ordered-pair expansion over the sorted per-basket set:
+    * posexplode + a plain explode of each element's strictly-greater
+    * tail slice — two GENERATE operators Spark runs inside whole-stage
+    * codegen, where the earlier flatten∘transform∘struct lambda chain
+    * took the interpreted higher-order-function path (the same rewrite
+    * CoTradeGraph.edges measured 35 % faster warm). `__is` is a sorted
+    * SET, so the tail slice is exactly the strictly-greater partner
+    * set — the emitted pair multiset is identical. */
+  private def pairExpand(sets: DataFrame): DataFrame = sets
+    .select(posexplode(col("__is")).as(Seq("__i", "__a")), col("__is"))
+    .select(col("__a").as("item_a"),
+      explode(slice(col("__is"), col("__i") + lit(2), size(col("__is"))))
+        .as("item_b"))
 
   /** Association rules (a → b) from the same basket frame: per directed
     * pair the co-occurrence count, antecedent support, confidence
@@ -52,13 +61,8 @@ object BasketPairs {
     val sets = df.groupBy(col(basket).as("__k"))
       .agg(array_sort(collect_set(col(item))).as("__is"))
       .localCheckpoint()
-    val pairs = sets
-      .select(explode(flatten(expr(
-        """transform(__is, (x, i) ->
-          |  transform(slice(__is, i + 2, size(__is) - i - 1),
-          |    y -> struct(x AS item_a, y AS item_b)))""".stripMargin)))
-        .as("p"))
-      .groupBy(col("p.item_a").as("ia"), col("p.item_b").as("ib"))
+    val pairs = pairExpand(sets)
+      .groupBy(col("item_a").as("ia"), col("item_b").as("ib"))
       .agg(count(lit(1)).as("n_both"))
     val supp = sets.select(explode(col("__is")).as("it"))
       .groupBy("it").agg(count(lit(1)).as("supp"))

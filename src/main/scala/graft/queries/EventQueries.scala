@@ -961,12 +961,17 @@ object EventQueries {
         .agg(array_sort(collect_set(col("event_type"))).as("ts"))
         // pair expansion and the type totals both ride this frame
         .localCheckpoint()
+      // posexplode + tail-slice explode: two codegen GENERATEs instead
+      // of the interpreted flatten∘transform∘struct lambda chain (the
+      // CoTradeGraph.edges rewrite, ~35 % faster warm); `ts` is a
+      // sorted SET, so the tail slice is exactly the strictly-greater
+      // partner set — identical pair multiset
       val p = sets
-        .select(explode(flatten(expr(
-          """transform(ts, (x, i) ->
-            |  transform(slice(ts, i + 2, size(ts) - i - 1),
-            |    y -> struct(x AS ta, y AS tb)))""".stripMargin))).as("q"))
-        .groupBy(col("q.ta").as("ta"), col("q.tb").as("tb"))
+        .select(posexplode(col("ts")).as(Seq("__i", "ta")), col("ts"))
+        .select(col("ta"),
+          explode(slice(col("ts"), col("__i") + lit(2), size(col("ts"))))
+            .as("tb"))
+        .groupBy(col("ta"), col("tb"))
         .agg(count(lit(1)).cast("long").as("n_both"))
       val tt = sets.select(explode(col("ts")).as("t"))
         .groupBy("t").agg(count(lit(1)).cast("long").as("nu"))

@@ -309,13 +309,17 @@ object TextQueries {
           md5(array_join(array_sort(array_distinct(
             split(col("text"), " "))), " ")).as("fp"))
         .distinct()
+      // posexplode + tail-slice explode: codegen GENERATEs instead of
+      // the interpreted flatten∘transform∘struct chain (CoTradeGraph
+      // rewrite); `ss` is a sorted SET, so the slice is exactly the
+      // strictly-greater partner set — identical pair multiset
       f.groupBy("fp")
         .agg(array_sort(collect_set(col("source"))).as("ss"))
-        .select(explode(flatten(expr(
-          """transform(ss, (x, i) ->
-            |  transform(slice(ss, i + 2, size(ss) - i - 1),
-            |    y -> struct(x AS sa, y AS sb)))""".stripMargin))).as("p"))
-        .groupBy(col("p.sa").as("src_a"), col("p.sb").as("src_b"))
+        .select(posexplode(col("ss")).as(Seq("__i", "src_a")), col("ss"))
+        .select(col("src_a"),
+          explode(slice(col("ss"), col("__i") + lit(2), size(col("ss"))))
+            .as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
         .agg(count(lit(1)).cast("long").as("n_shared"))
         .orderBy("src_a", "src_b")
     }
