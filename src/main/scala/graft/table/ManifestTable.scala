@@ -1154,11 +1154,17 @@ object ManifestTable {
     val sealed0 = found.result().sortBy(_.getPath.toString)
     // footer sweep: metadata-sized but LATENCY-bound (one footer open
     // per file) — run it on a small driver pool so a many-file commit
-    // pays max(latency), not sum(latency)
+    // pays max(latency), not sum(latency). BOUNDED await (same
+    // discipline as pruneFilesBloom): one hung remote footer must fail
+    // the commit loudly, never stall it forever — unlike pruning there
+    // is no conservative fallback (the stats ARE the commit's
+    // metadata), so the generous deadline scales with file count.
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.duration.{Duration, MILLISECONDS}
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(8, sealed0.size)))
+    val sweepDeadline = Duration(
+      math.max(600000L, 2000L * sealed0.size), MILLISECONDS)
     val entries = try {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val fut = Future.traverse(sealed0.toVector) { st => Future {
@@ -1176,7 +1182,13 @@ object ManifestTable {
         val (rows, stats, rgs) = footerStats(c, st.getPath, statsCols)
         FileEntry(s"$rel/$sub", rows, st.getLen, stats, parts, rgs)
       }}
-      Await.result(fut, Duration.Inf)
+      try Await.result(fut, sweepDeadline)
+      catch { case _: java.util.concurrent.TimeoutException =>
+        throw new IllegalStateException(
+          s"stage: footer sweep of ${sealed0.size} staged files did not " +
+            s"complete within $sweepDeadline — failing the commit " +
+            "loudly (nothing was published; staged bytes are vacuumable)")
+      }
     } finally pool.shutdown()
     // zero-row part files (an empty shuffle partition the writer still
     // materialized) carry no data AND no stats — listing them would
