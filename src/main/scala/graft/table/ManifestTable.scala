@@ -1117,6 +1117,37 @@ object ManifestTable {
     } catch { case NonFatal(_) => df } // sizing is advisory, never fatal
   }
 
+  /** One staged file → its manifest entry: parse the shadow partition
+    * components out of the path, read rows/stats/row-group bounds from
+    * the footer. Pure function of serializable inputs so the commit
+    * sweep can run it on the driver pool OR executor-side unchanged. */
+  private def sweepEntry(c: Configuration, absQ: String, rel: String,
+      pathStr: String, len: Long, statsCols: Seq[String]): FileEntry = {
+    val sub = pathStr.stripPrefix(absQ).stripPrefix("/")
+    val parts = sub.split('/').init.flatMap { comp =>
+      val eq = comp.indexOf('=')
+      if (eq < 0) None
+      else {
+        val name = comp.substring(0, eq).stripPrefix(PartPrefix)
+        val raw = ExternalCatalogUtils.unescapePathName(comp.substring(eq + 1))
+        Some(name -> (if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+          None else Some(raw)))
+      }
+    }.toMap
+    val (rows, stats, rgs) = footerStats(c, new Path(pathStr), statsCols)
+    FileEntry(s"$rel/$sub", rows, len, stats, parts, rgs)
+  }
+
+  /** Staged-file count above which the commit footer sweep runs as a
+    * Spark job instead of the driver pool (`<= 0` pins the driver
+    * path). Session-settable:
+    * `spark.graft.commit.sweepDistributeThreshold`. The default keeps
+    * metadata-sized commits jobless while routing a many-thousand-file
+    * overwrite's sweep onto the executors. */
+  @volatile private[graft] var sweepDistributeThreshold: Int = 64
+  /** Staged files swept executor-side (spec hook for the routing law). */
+  private[graft] val sweepDistributedFiles = new java.util.concurrent.atomic.AtomicLong
+
   private[table] def stage(spark: SparkSession, dir: String, df: DataFrame,
       statsCols: Seq[String], partitionCols: Seq[String],
       bloomCols: Seq[String] = Nil): Vector[FileEntry] = {
@@ -1153,43 +1184,59 @@ object ManifestTable {
     }
     val sealed0 = found.result().sortBy(_.getPath.toString)
     // footer sweep: metadata-sized but LATENCY-bound (one footer open
-    // per file) — run it on a small driver pool so a many-file commit
-    // pays max(latency), not sum(latency). BOUNDED await (same
-    // discipline as pruneFilesBloom): one hung remote footer must fail
-    // the commit loudly, never stall it forever — unlike pruning there
-    // is no conservative fallback (the stats ARE the commit's
-    // metadata), so the generous deadline scales with file count.
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.{Duration, MILLISECONDS}
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(8, sealed0.size)))
-    val sweepDeadline = Duration(
-      math.max(600000L, 2000L * sealed0.size), MILLISECONDS)
-    val entries = try {
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val fut = Future.traverse(sealed0.toVector) { st => Future {
-        val sub = st.getPath.toString.stripPrefix(absQ).stripPrefix("/")
-        val parts = sub.split('/').init.flatMap { comp =>
-          val eq = comp.indexOf('=')
-          if (eq < 0) None
-          else {
-            val name = comp.substring(0, eq).stripPrefix(PartPrefix)
-            val raw = ExternalCatalogUtils.unescapePathName(comp.substring(eq + 1))
-            Some(name -> (if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
-              None else Some(raw)))
-          }
-        }.toMap
-        val (rows, stats, rgs) = footerStats(c, st.getPath, statsCols)
-        FileEntry(s"$rel/$sub", rows, st.getLen, stats, parts, rgs)
-      }}
-      try Await.result(fut, sweepDeadline)
-      catch { case _: java.util.concurrent.TimeoutException =>
-        throw new IllegalStateException(
-          s"stage: footer sweep of ${sealed0.size} staged files did not " +
-            s"complete within $sweepDeadline — failing the commit " +
-            "loudly (nothing was published; staged bytes are vacuumable)")
-      }
-    } finally pool.shutdown()
+    // per file). Small commits sweep on a small driver pool (pays
+    // max(latency), not sum(latency), with a BOUNDED await — one hung
+    // remote footer must fail the commit loudly, never stall it
+    // forever; unlike pruning there is no conservative fallback, the
+    // stats ARE the commit's metadata). Past the distribute threshold
+    // the sweep runs as one Spark job instead (guide §5: the driver
+    // should do almost no data work) — a 10⁵-file overwrite would
+    // otherwise serialize 10⁵ remote footer opens through ≤8 driver
+    // threads; executor-side the sweep pays max(task latency) across
+    // the cluster, failures propagate through Spark's own retry/abort
+    // machinery, and only (path, len) pairs + FileEntry metadata cross
+    // the wire.
+    val sweepThreshold = spark.conf
+      .getOption("spark.graft.commit.sweepDistributeThreshold")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .getOrElse(sweepDistributeThreshold)
+    val entries = if (sweepThreshold > 0 && sealed0.size > sweepThreshold) {
+      val hconf = new org.apache.spark.util.SerializableConfiguration(c)
+      val items = sealed0.map(st => (st.getPath.toString, st.getLen))
+      val slices = math.max(1, math.min(items.size,
+        spark.sparkContext.defaultParallelism * 4))
+      val prevDesc = spark.sparkContext.getLocalProperty("spark.job.description")
+      spark.sparkContext.setJobDescription(
+        s"graft: commit footer sweep of ${items.size} staged files")
+      try {
+        val out = spark.sparkContext.parallelize(items, slices)
+          .map { case (p, len) =>
+            sweepEntry(hconf.value, absQ, rel, p, len, statsCols)
+          }.collect().toVector
+        sweepDistributedFiles.addAndGet(items.size.toLong)
+        out
+      } finally spark.sparkContext.setJobDescription(prevDesc)
+    } else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.{Duration, MILLISECONDS}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(8, sealed0.size)))
+      val sweepDeadline = Duration(
+        math.max(600000L, 2000L * sealed0.size), MILLISECONDS)
+      try {
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val fut = Future.traverse(sealed0.toVector) { st => Future {
+          sweepEntry(c, absQ, rel, st.getPath.toString, st.getLen, statsCols)
+        }}
+        try Await.result(fut, sweepDeadline)
+        catch { case _: java.util.concurrent.TimeoutException =>
+          throw new IllegalStateException(
+            s"stage: footer sweep of ${sealed0.size} staged files did not " +
+              s"complete within $sweepDeadline — failing the commit " +
+              "loudly (nothing was published; staged bytes are vacuumable)")
+        }
+      } finally pool.shutdown()
+    }
     // zero-row part files (an empty shuffle partition the writer still
     // materialized) carry no data AND no stats — listing them would
     // make every later stats-pruned operation treat them as unbounded
@@ -2533,13 +2580,22 @@ object ManifestTable {
     * needle DELETE/UPDATE/SELECT touched-files-priced: the probe costs
     * one footer open per admitted file (parallel, metadata IO only),
     * and the filter is re-applied on every scanned row, so — like all
-    * pruning here — a bloom can only skip IO, never change results. */
+    * pruning here — a bloom can only skip IO, never change results.
+    * Small admitted sets probe on a bounded driver pool (cached,
+    * deadline-guarded); past [[bloomDistributeThreshold]] files the
+    * probe runs as one Spark job so the driver never serializes 10⁵
+    * footer opens ([[pruneFilesBloomDistributed]]). */
   def pruneFilesBloom(spark: SparkSession, dir: String, snap: Snapshot,
       filter: Column): Vector[FileEntry] = {
     val base = pruneFiles(snap, filter)
     if (snap.bloomCols.isEmpty || base.isEmpty) return base
     val lookups = pointLookups(filter, snap.bloomCols)
     if (lookups.isEmpty) return base
+    val threshold = spark.conf.getOption("spark.graft.bloom.distributeThreshold")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .getOrElse(bloomDistributeThreshold)
+    if (threshold > 0 && base.size > threshold)
+      return pruneFilesBloomDistributed(spark, dir, base, lookups)
     val c = conf(spark)
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.{Duration, MILLISECONDS}
@@ -2573,9 +2629,64 @@ object ManifestTable {
     } finally pool.shutdown()
   }
 
+  /** The DISTRIBUTED twin of the driver-pool probe: one Spark job whose
+    * tasks open the admitted files' footers EXECUTOR-side and ship back
+    * one boolean per file. Routing point: above
+    * [[bloomDistributeThreshold]] admitted files the driver pool is the
+    * wrong place to pay footer latency (guide §5 — the driver should do
+    * almost no data work): a needle on a 10⁵-file unsorted table would
+    * serialize ~10⁵ remote footer opens through ≤8 driver threads,
+    * while a job pays max(task latency) across the cluster and each
+    * executor keeps its own [[bloomCache]] for repeats. Only relative
+    * paths + the pinned lookup values cross the wire — never bloom
+    * bytes — so the manifest/driver stay O(files). Conservative like
+    * every pruning path: a per-file probe error KEEPS that file, and a
+    * job-level failure degrades to interval-only pruning (the filter
+    * re-applies on every scanned row, so survivors-only-grow is always
+    * correct). */
+  private def pruneFilesBloomDistributed(spark: SparkSession, dir: String,
+      base: Vector[FileEntry],
+      lookups: Map[String, Seq[Any]]): Vector[FileEntry] = {
+    val hconf = new org.apache.spark.util.SerializableConfiguration(conf(spark))
+    val paths = base.map(_.path)
+    val slices = math.max(1, math.min(paths.size,
+      spark.sparkContext.defaultParallelism * 4))
+    val delay = bloomProbeDelayMs
+    val prevDesc = spark.sparkContext.getLocalProperty("spark.job.description")
+    spark.sparkContext.setJobDescription(
+      s"graft: bloom probe of ${paths.size} admitted files")
+    try {
+      val keep = spark.sparkContext.parallelize(paths, slices).map { rel =>
+        if (delay > 0) Thread.sleep(delay.toLong)
+        rel -> (try lookups.forall { case (column, values) =>
+          bloomMayContain(hconf.value, new Path(dir, rel), column, values)
+        } catch { case NonFatal(_) => true })
+      }.collect().toMap
+      bloomDistributedProbes.addAndGet(paths.size.toLong)
+      base.filter(f => keep.getOrElse(f.path, true))
+    } catch { case NonFatal(e) =>
+      log.warn(s"distributed bloom probe of ${paths.size} files failed — " +
+        "degrading to interval-only pruning (a kept file is always " +
+        s"correct; the filter re-applies on scan): " +
+        s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      base
+    } finally spark.sparkContext.setJobDescription(prevDesc)
+  }
+
+  /** Admitted-file count above which [[pruneFilesBloom]] probes via a
+    * Spark job instead of the driver pool (`<= 0` pins the driver
+    * path). Session-settable: `spark.graft.bloom.distributeThreshold`.
+    * The default keeps fixture-scale point plans jobless while routing
+    * the 10⁵-admitted-file case off the driver. */
+  @volatile private[graft] var bloomDistributeThreshold: Int = 256
+  /** Files probed executor-side (spec hook for the routing law). */
+  private[graft] val bloomDistributedProbes = new java.util.concurrent.atomic.AtomicLong
+
   /** Per-plan budget for the WHOLE bloom probe batch (the probes run in
     * parallel; a batch that exceeds it degrades to interval-only
-    * pruning for the unresolved files). Spec-settable. */
+    * pruning for the unresolved files). Spec-settable. Applies to the
+    * DRIVER-pool path; the distributed path is bounded by Spark's own
+    * task/job machinery instead. */
   @volatile private[graft] var bloomProbeTimeoutMs: Long = 30000L
   /** Fault-injection seam (spec-only): artificial per-probe latency. */
   @volatile private[graft] var bloomProbeDelayMs: Int = 0

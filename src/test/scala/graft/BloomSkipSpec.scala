@@ -151,6 +151,44 @@ class BloomSkipSpec extends SparkSuite {
     assert(other.nonEmpty && other.size <= 3)
   }
 
+  test("past the distribute threshold the probe runs as a Spark job: " +
+    "IDENTICAL survivors to the driver-pool path, counted, and the " +
+    "answer is still exactly the full scan's") {
+    val dir = freshDir("distributed")
+    seedUnsorted(dir, bloom = true)
+    val snap = ManifestTable.snapshot(spark, dir)
+    val probe = col("id") === 1234L
+    // reference survivors from the driver-pool path (threshold above
+    // the admitted count)
+    ManifestTable.clearBloomCache()
+    val saved = ManifestTable.bloomDistributeThreshold
+    try {
+      ManifestTable.bloomDistributeThreshold = 1000
+      val viaDriver = ManifestTable.pruneFilesBloom(spark, dir, snap, probe)
+      val jobProbes0 = ManifestTable.bloomDistributedProbes.get()
+      // now force the distributed route for the same 40-file probe
+      ManifestTable.bloomDistributeThreshold = 8
+      ManifestTable.clearBloomCache()
+      val viaJob = ManifestTable.pruneFilesBloom(spark, dir, snap, probe)
+      assert(ManifestTable.bloomDistributedProbes.get() - jobProbes0 == 40L,
+        "the routed probe must be counted (one per admitted file)")
+      assert(viaJob.map(_.path) == viaDriver.map(_.path),
+        "distributed and driver-pool probes must keep the SAME files")
+      assert(viaJob.nonEmpty && viaJob.size <= 3)
+      assert(ManifestTable.read(spark, dir, probe).count() == 1L)
+      // session conf overrides the default; <= 0 pins the driver path
+      spark.conf.set("spark.graft.bloom.distributeThreshold", "0")
+      try {
+        val jobProbes1 = ManifestTable.bloomDistributedProbes.get()
+        val pinned = ManifestTable.pruneFilesBloom(spark, dir, snap,
+          col("id") === 777L)
+        assert(ManifestTable.bloomDistributedProbes.get() == jobProbes1,
+          "threshold <= 0 must never route through a job")
+        assert(pinned.nonEmpty && pinned.size <= 3)
+      } finally spark.conf.unset("spark.graft.bloom.distributeThreshold")
+    } finally ManifestTable.bloomDistributeThreshold = saved
+  }
+
   test("a hung bloom probe falls back to conservative KEEP at the " +
     "deadline: same results, timeout counted — the plan never stalls " +
     "on one slow footer") {

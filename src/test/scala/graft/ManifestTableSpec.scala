@@ -76,6 +76,45 @@ class ManifestTableSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.commit.targetFileBytes")
   }
 
+  test("past the distribute threshold the commit footer sweep runs as a " +
+    "Spark job: IDENTICAL manifest entries to the driver-pool sweep " +
+    "(shadow partition paths included), counted, content equal") {
+    import spark.implicits._
+    // deterministic 12-file partitioned layout (explicit repartition is
+    // exempt from right-sizing on BOTH paths); the partition column
+    // exercises the shadow-path parsing executor-side
+    def frame = (0L until 240L).map(i => (i, i % 3, s"p$i"))
+      .toDF("k", "part", "v").repartition(4, col("k"))
+    val probes0 = ManifestTable.sweepDistributedFiles.get()
+    val dirDriver = freshDir("sweep_driver")
+    val s1 = ManifestTable.create(spark, dirDriver, frame,
+      statsCols = Seq("k"), partitionCols = Seq("part"))
+    assert(ManifestTable.sweepDistributedFiles.get() == probes0,
+      "below the threshold the sweep must stay on the driver pool")
+    val dirJob = freshDir("sweep_job")
+    spark.conf.set("spark.graft.commit.sweepDistributeThreshold", "1")
+    val s2 = try ManifestTable.create(spark, dirJob, frame,
+      statsCols = Seq("k"), partitionCols = Seq("part"))
+    finally spark.conf.unset("spark.graft.commit.sweepDistributeThreshold")
+    assert(ManifestTable.sweepDistributedFiles.get() - probes0 ==
+      s2.files.size.toLong, "the routed sweep must count one per file")
+    assert(s1.files.size > 1 && s1.files.size == s2.files.size)
+    // entries identical up to the commit-UUID path: same partition
+    // values, row counts, footer stats and row-group shapes
+    def canon(s: ManifestTable.Snapshot) = s.files
+      .map(f => (f.partitions.toSeq.sortBy(_._1), f.rows,
+        f.stats.toSeq.sortBy(_._1).toString, f.rgs.size))
+      .sortBy(_.toString)
+    assert(canon(s1) == canon(s2),
+      "driver-pool and distributed sweeps must read the same metadata")
+    def all(d: String) = ManifestTable.read(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(all(dirDriver) == all(dirJob))
+    // and the swept stats still PRUNE: a point probe keeps < all files
+    assert(ManifestTable.pruneFiles(s2, col("k") === 5L).size <
+      s2.files.size)
+  }
+
   test("append accumulates; overwrite replaces; every old version stays " +
     "readable (time travel / snapshot isolation)") {
     val dir = freshDir("tt")
