@@ -521,9 +521,32 @@ object ManifestTable {
   /** This version's commit wall-clock WITHOUT reconstructing the
     * snapshot — one tiny JSON parse (every log entry carries `ts`). */
   private def entryTs(spark: SparkSession, dir: String, v: Long): Long = {
+    tsParses.incrementAndGet()
     val j = JsonMethods.parse(
       readText(spark, new Path(logPath(dir), deltaName(v))))
     (j \ "ts").toOption.map(jLong).getOrElse(-1L)
+  }
+  /** ts-only log reads (spec hook: timestamp resolution over an
+    * n-commit history must stay O(log n), never one read per commit). */
+  private[graft] val tsParses = new java.util.concurrent.atomic.AtomicLong
+
+  /** Binary-search boundary over the retained versions' commit stamps:
+    * the FIRST index whose ts satisfies `pred` (stamps are forced
+    * strictly increasing at publish, so any up-closed predicate — `ts
+    * >= cutoff`, `ts > target` — splits the versions into a
+    * prefix/suffix and the boundary is exact). O(log n) ts-only parses
+    * at any history length; legacy records without a ts parse as −1,
+    * which is monotone-compatible because they can only PRECEDE
+    * stamped commits. */
+  private def tsBoundary(spark: SparkSession, dir: String,
+      versions: IndexedSeq[Long])(pred: Long => Boolean): Int = {
+    var lo = 0
+    var hi = versions.size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (pred(entryTs(spark, dir, versions(mid)))) hi = mid else lo = mid + 1
+    }
+    lo
   }
 
   /** One log file, either kind: Left(full snapshot) for checkpoint-
@@ -2243,16 +2266,23 @@ object ManifestTable {
     * before the first retained commit throws (same as asking for a
     * vacuumed version). */
   def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Long = {
-    // commit stamps are strictly increasing, so walking the retained
-    // versions DESCENDING and stopping at the first commit at or before
-    // tsMillis is exact and costs O(commits newer than tsMillis) tiny
-    // ts-only parses (no snapshot reconstruction), not O(history)
-    val hit = listVersions(spark, dir).reverseIterator
-      .map(v => (v, entryTs(spark, dir, v)))
-      .find { case (_, ts) => ts >= 0 && ts <= tsMillis }
+    // commit stamps are strictly increasing, so the answer is the last
+    // retained version at or before tsMillis — found by BINARY SEARCH:
+    // O(log history) tiny ts-only parses (no snapshot reconstruction),
+    // never one read per commit (a 10⁶-commit history would otherwise
+    // pay up to 10⁶ driver-side reads for an early timestamp)
+    val versions = listVersions(spark, dir).toVector
+    val firstAfter = tsBoundary(spark, dir, versions)(_ > tsMillis)
+    val hit = if (firstAfter == 0) None else {
+      val v = versions(firstAfter - 1)
+      // a legacy record without a ts (−1) can only sit below every
+      // stamped commit, so landing on one means nothing at or before
+      // tsMillis is resolvable — same answer the linear walk gave
+      if (entryTs(spark, dir, v) >= 0) Some(v) else None
+    }
     require(hit.nonEmpty,
       s"no snapshot of $dir committed at or before epoch-millis $tsMillis")
-    hit.get._1
+    hit.get
   }
 
   /** Time travel by wall clock: the table as of `tsMillis`. */
@@ -3402,7 +3432,13 @@ object ManifestTable {
       else System.currentTimeMillis() - retainMillis
     val young =
       if (retainMillis <= 0L) Set.empty[Long]
-      else versions.filter(v => entryTs(spark, dir, v) >= cutoff).toSet
+      else {
+        // stamps are strictly increasing ⇒ the young versions are a
+        // SUFFIX; find its start by binary search (O(log history)
+        // ts-only reads, never one per retained commit)
+        val vs = versions.toVector
+        vs.drop(tsBoundary(spark, dir, vs)(_ >= cutoff)).toSet
+      }
     val keep = versions.takeRight(keepLast).toSet ++ young
     // commit stamps are strictly increasing ⇒ the kept set is a SUFFIX
     val kept = versions.filter(keep)

@@ -134,6 +134,51 @@ class ManifestTableSpec extends SparkSuite {
     assert(hist.map(_.parent) == Seq(-1L, 0L, 1L))
   }
 
+  test("timestamp resolution is O(log history): versionAsOf and the " +
+    "retention vacuum binary-search the strictly-increasing commit " +
+    "stamps — never one log read per retained commit — and agree with " +
+    "the linear-scan reference everywhere") {
+    val dir = freshDir("tsbinsearch")
+    ManifestTable.create(spark, dir, kv(Seq(0L -> "v0")))
+    (1L to 23L).foreach(i =>
+      ManifestTable.append(spark, dir, kv(Seq(i -> s"v$i"))))
+    val hist = ManifestTable.history(spark, dir)
+    assert(hist.size == 24)
+    val stamps = hist.map(_.ts)
+    assert(stamps == stamps.sorted && stamps.distinct.size == 24,
+      "commit stamps must be strictly increasing")
+    // reference: what a linear scan over the full history answers
+    def ref(ts: Long): Option[Long] =
+      hist.filter(_.ts <= ts).lastOption.map(_.version)
+    val probes = Seq(stamps.head, stamps(10), stamps(10) + 1,
+      (stamps(9) + stamps(10)) / 2, stamps.last, stamps.last + 1000L)
+    probes.foreach { ts =>
+      assert(ManifestTable.versionAsOf(spark, dir, ts) == ref(ts).get,
+        s"versionAsOf($ts) must match the linear reference")
+    }
+    // asking before the first retained commit throws, like the linear walk
+    intercept[IllegalArgumentException](
+      ManifestTable.versionAsOf(spark, dir, stamps.head - 1))
+    // O(log n) law: one resolution over 24 commits reads a handful of
+    // stamps (boundary search + 1 verification), never 24
+    val p0 = ManifestTable.tsParses.get()
+    assert(ManifestTable.versionAsOf(spark, dir, stamps(10)) ==
+      hist(10).version)
+    val usedAsOf = ManifestTable.tsParses.get() - p0
+    assert(usedAsOf <= 7,
+      s"versionAsOf over 24 commits must read O(log n) stamps, read $usedAsOf")
+    // retention vacuum prices its young-suffix the same way (everything
+    // young here, so nothing is deleted and no history is lost)
+    val p1 = ManifestTable.tsParses.get()
+    val deleted = ManifestTable.vacuum(spark, dir, keepLast = 1,
+      retainMillis = 7L * 24 * 3600 * 1000)
+    val usedVacuum = ManifestTable.tsParses.get() - p1
+    assert(deleted == 0L && ManifestTable.history(spark, dir).size == 24)
+    assert(usedVacuum <= 6,
+      s"retention vacuum over 24 commits must read O(log n) stamps, " +
+        s"read $usedVacuum")
+  }
+
   test("commit is atomic putIfAbsent: the loser of a version race gets " +
     "ConcurrentCommitException and publishes nothing") {
     val dir = freshDir("race")
