@@ -226,10 +226,22 @@ object Bench {
       val compared = healed.keysIterator.count(medians.contains)
       println(s"""{"metric":"triage","beyond_envelope":${offenders.size},"compared":$compared,"envelope":"median*3.2+0.3s","offenders":[${offenders.mkString(",")}]}""")
     } catch { case scala.util.control.NonFatal(_) => () }
-    // Compact total-only line LAST: the driver tail-captures output, and in
-    // round 1 the single long line was truncated from the front ("parsed":
-    // null). A short final line always survives tail capture.
+    // Compact total-only line (kept for artifact continuity with earlier
+    // rounds): the driver tail-captures output, and in round 1 the single
+    // long line was truncated from the front ("parsed": null). A short
+    // line near the end always survives tail capture.
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    // Slim CONTRACT line LAST (round-17 verdict item 2): metric/value/
+    // queries/sf only, per-query seconds at millisecond precision — ~7 KB
+    // instead of the ~30 KB full-channel line above, so the driver's
+    // log-tail capture can finally parse per-query data (PERF per_query /
+    // scaling were empty in r16/r17 because the full line, printed first,
+    // lost its front to the tail window). Full-precision values and every
+    // integrity channel stay in the full line + the file artifact below.
+    // Additions/reordering only — the timing loop is untouched.
+    val qsSlim = healed.map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsSlim,"sf":"$sfDir"}""")
     // File artifact (round-7 advice): every BENCH_r*.json to date lost
     // ~35 queries to log-tail truncation; the engine writes the per-query
     // map itself so nothing depends on scraping an sbt log. Best-effort —

@@ -207,8 +207,8 @@ object TableQueries {
           Dsl.d2d(Dsl.dsum(col("p"))).as("price_sum"))
         .select(lit(tag).as("snap"), col("bucket"), col("n_rows"),
           col("key_sum"), col("price_sum"))
-      // catalog CTAS = CREATE (empty v0) + one append commit (v1)
-      fp(s.sql("SELECT * FROM gqcat.m.o VERSION AS OF 1"), "v0")
+      // catalog CTAS is ONE staged commit (r18): the data IS version 0
+      fp(s.sql("SELECT * FROM gqcat.m.o VERSION AS OF 0"), "v0")
         .unionByName(fp(s.sql("SELECT * FROM gqcat.m.o"), "v1"))
         .orderBy("snap", "bucket")
     },

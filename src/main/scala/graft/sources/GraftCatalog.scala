@@ -8,12 +8,15 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsNamespaces, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.{Dataset, Row}
 
 import graft.table.ManifestTable
 
@@ -44,7 +47,7 @@ import graft.table.ManifestTable
   * [[GraftTable]], so SQL gets the same manifest + row-group pruning
   * and the same commit protocol as everything else. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
 
   /** CHECK constraints are first-class on graft tables (enforced on
     * every write by [[ManifestTable]]), so the catalog advertises the
@@ -115,29 +118,70 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     graftTable(ident,
       Map("timestampAsOf" -> (timestampMicros / 1000L).toString))
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: JMap[String, String])
-      : Table = {
-    val dir = tablePath(ident)
-    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
-    val partitionCols = partitions.toSeq.map {
+  private def parsePartitions(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames.mkString(".")
       case other => sys.error(
         s"graft catalog: only identity partitioning is supported, got $other")
     }
+
+  private def csvProp(properties: JMap[String, String], k: String)
+      : Seq[String] = {
     val props = properties.asScala
-    def csv(k: String): Seq[String] =
-      props.get(TableCatalog.OPTION_PREFIX + k).orElse(props.get(k))
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil)
+    props.get(TableCatalog.OPTION_PREFIX + k).orElse(props.get(k))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String])
+      : Table = {
+    val dir = tablePath(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     ManifestTable.create(spark, dir.toString, empty,
-      statsCols = csv("statsCols"), partitionCols = partitionCols,
-      bloomCols = csv("bloomCols"))
+      statsCols = csvProp(properties, "statsCols"),
+      partitionCols = parsePartitions(partitions),
+      bloomCols = csvProp(properties, "bloomCols"))
     graftTable(ident, Map.empty)
   }
+
+  /** Atomic CTAS (round-17 verdict #3): implementing the staging
+    * catalog makes Spark route CREATE TABLE … AS SELECT through
+    * stageCreate → write → commitStagedChanges, so the data files land
+    * in the SAME version-0 commit — one commit + one footer sweep
+    * instead of create-empty + append (two commits, two sweeps and a
+    * DSv2 read-back per CTAS). The staged write reuses the normal
+    * stage() building block; nothing is visible (no `_graft_log`
+    * record) until commitStagedChanges publishes v0. */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String])
+      : StagedTable = {
+    val dir = tablePath(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    fs.mkdirs(dir.getParent)
+    new GraftStagedTable(dir.toString, schema,
+      csvProp(properties, "statsCols"), parsePartitions(partitions),
+      csvProp(properties, "bloomCols"))
+  }
+
+  /** REPLACE TABLE was never part of the declared surface (DROP +
+    * CREATE is the supported spelling); refuse loudly rather than
+    * half-replace. */
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String])
+      : StagedTable =
+    throw new UnsupportedOperationException(
+      "graft catalog: REPLACE TABLE is not supported — DROP TABLE then " +
+        "CREATE TABLE (or restore/overwrite for data-only replacement)")
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String])
+      : StagedTable =
+    if (tableExists(ident)) stageReplace(ident, schema, partitions, properties)
+    else stageCreate(ident, schema, partitions, properties)
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
@@ -496,6 +540,55 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       sys.error(s"graft catalog: namespace ${namespace.mkString(".")} " +
         "is not empty — use CASCADE")
     else fs.delete(p, true)
+  }
+}
+
+/** The table a staged CTAS writes into before it exists: data files are
+  * staged under the final table dir with NO log record (a table IS its
+  * `_graft_log`, so nothing is visible), and version 0 is published
+  * only by commitStagedChanges — Spark's atomic-CTAS protocol then
+  * guarantees readers can never observe a half-created table, and
+  * abort deletes the staged bytes. */
+private[sources] class GraftStagedTable(dir: String,
+    tableSchema: StructType, statsCols: Seq[String],
+    partitionCols: Seq[String], bloomCols: Seq[String])
+    extends StagedTable with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+  @volatile private var staged: Vector[ManifestTable.FileEntry] =
+    Vector.empty
+
+  override def name(): String = s"graft.`$dir`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: Dataset[Row], overwrite: Boolean)
+                : Unit =
+              staged = ManifestTable.stageForCreate(spark, dir, data,
+                statsCols, partitionCols, bloomCols)
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit =
+    ManifestTable.publishCreate(spark, dir, tableSchema.json,
+      statsCols, partitionCols, bloomCols, staged)
+
+  override def abortStagedChanges(): Unit = {
+    val c = spark.sparkContext.hadoopConfiguration
+    // staged paths are table-relative `data/<commitId>/…` — drop the
+    // whole per-stage commit dirs, leaving no orphan bytes behind
+    staged.map(f => f.path.split('/').take(2).mkString("/")).distinct
+      .foreach { d =>
+        val p = new Path(dir, d)
+        p.getFileSystem(c).delete(p, true)
+      }
   }
 }
 

@@ -1219,10 +1219,8 @@ object ManifestTable {
     // the cluster, failures propagate through Spark's own retry/abort
     // machinery, and only (path, len) pairs + FileEntry metadata cross
     // the wire.
-    val sweepThreshold = spark.conf
-      .getOption("spark.graft.commit.sweepDistributeThreshold")
-      .flatMap(v => scala.util.Try(v.toInt).toOption)
-      .getOrElse(sweepDistributeThreshold)
+    val sweepThreshold = intConf(spark,
+      "spark.graft.commit.sweepDistributeThreshold", sweepDistributeThreshold)
     val entries = if (sweepThreshold > 0 && sealed0.size > sweepThreshold) {
       val hconf = new org.apache.spark.util.SerializableConfiguration(c)
       val items = sealed0.map(st => (st.getPath.toString, st.getLen))
@@ -1232,12 +1230,28 @@ object ManifestTable {
       spark.sparkContext.setJobDescription(
         s"graft: commit footer sweep of ${items.size} staged files")
       try {
-        val out = spark.sparkContext.parallelize(items, slices)
-          .map { case (p, len) =>
-            sweepEntry(hconf.value, absQ, rel, p, len, statsCols)
-          }.collect().toVector
-        sweepDistributedFiles.addAndGet(items.size.toLong)
-        out
+        // same bounded-await-loud-failure semantics as the driver-pool
+        // branch below: one hung remote footer open must fail the
+        // commit, never stall it forever (r17 ADVICE — Spark has no
+        // default task timeout, so the job machinery alone is unbounded)
+        val deadlineMs = math.max(600000L, 2000L * items.size)
+        boundedDistributedJob(spark,
+          s"graft: commit footer sweep of ${items.size} staged files",
+          deadlineMs) {
+          spark.sparkContext.parallelize(items, slices)
+            .map { case (p, len) =>
+              sweepEntry(hconf.value, absQ, rel, p, len, statsCols)
+            }.collect().toVector
+        } match {
+          case Some(out) =>
+            sweepDistributedFiles.addAndGet(items.size.toLong)
+            out
+          case None => throw new IllegalStateException(
+            s"stage: distributed footer sweep of ${items.size} staged " +
+              s"files did not complete within $deadlineMs ms — job group " +
+              "cancelled, failing the commit loudly (nothing was " +
+              "published; staged bytes are vacuumable)")
+        }
       } finally spark.sparkContext.setJobDescription(prevDesc)
     } else {
       import scala.concurrent.{Await, ExecutionContext, Future}
@@ -1626,6 +1640,38 @@ object ManifestTable {
     val snap = Snapshot(0L, -1L, "create", statsCols, partitionCols, -1L,
       df.schema.json, files, constraints, bloomCols = bloomCols)
     publish(spark, dir, snap)
+  }
+
+  /** Two-phase CREATE for the SQL atomic-CTAS path (r17 verdict #3,
+    * [[graft.sources.GraftCatalog]] SupportsStagedTables): phase 1
+    * writes + sweeps the data files with NO log record — the table does
+    * not exist until [[publishCreate]] commits version 0 listing them,
+    * so CTAS pays ONE commit instead of create-empty + append (two
+    * commits, two footer sweeps, one read-back). Identical building
+    * blocks to [[create]], just split at the stage/publish seam. */
+  private[graft] def stageForCreate(spark: SparkSession, dir: String,
+      df: DataFrame, statsCols: Seq[String], partitionCols: Seq[String],
+      bloomCols: Seq[String]): Vector[FileEntry] = {
+    require(latestVersion(spark, dir).isEmpty,
+      s"table already exists at $dir — use append/overwrite/merge")
+    (statsCols ++ partitionCols ++ bloomCols).foreach { c =>
+      require(df.schema.fieldNames.contains(c), s"column $c not in schema")
+    }
+    stage(spark, dir, df, statsCols, partitionCols, bloomCols)
+  }
+
+  /** Phase 2 of the staged CTAS: publish version 0 over files staged by
+    * [[stageForCreate]]. Loses the race loudly if a table appeared at
+    * `dir` meanwhile (same guarantee as [[create]]). */
+  private[graft] def publishCreate(spark: SparkSession, dir: String,
+      schemaJson: String, statsCols: Seq[String], partitionCols: Seq[String],
+      bloomCols: Seq[String], files: Vector[FileEntry]): Snapshot = {
+    require(latestVersion(spark, dir).isEmpty,
+      s"table already exists at $dir — use append/overwrite/merge")
+    snapshotCache.invalidateDir(dir)
+    publish(spark, dir, Snapshot(0L, -1L, "create", statsCols,
+      partitionCols, -1L, schemaJson, files, Map.empty,
+      bloomCols = bloomCols))
   }
 
   /** Append-only commit; auto-retries the version race (an append is
@@ -2275,10 +2321,20 @@ object ManifestTable {
     val firstAfter = tsBoundary(spark, dir, versions)(_ > tsMillis)
     val hit = if (firstAfter == 0) None else {
       val v = versions(firstAfter - 1)
-      // a legacy record without a ts (−1) can only sit below every
-      // stamped commit, so landing on one means nothing at or before
-      // tsMillis is resolvable — same answer the linear walk gave
-      if (entryTs(spark, dir, v) >= 0) Some(v) else None
+      val t = entryTs(spark, dir, v)
+      if (t >= 0 && t <= tsMillis) Some(v)
+      else
+        // the boundary hit is unstamped (legacy −1) or out of range —
+        // either a legacy prefix (nothing stamped at or before
+        // tsMillis) or a mid-history record whose missing/unparsable
+        // ts broke the monotone invariant binary search relies on
+        // (r17 ADVICE). Fall back to the linear descending walk, which
+        // skips unstamped records and resolves to the next older
+        // stamped commit — exactly what the pre-binary-search code
+        // did; O(history) only on this corrupt/legacy path.
+        versions.reverseIterator
+          .map(v2 => v2 -> entryTs(spark, dir, v2))
+          .collectFirst { case (v2, t2) if t2 >= 0 && t2 <= tsMillis => v2 }
     }
     require(hit.nonEmpty,
       s"no snapshot of $dir committed at or before epoch-millis $tsMillis")
@@ -2588,18 +2644,71 @@ object ManifestTable {
     * Conservative: a row group without a testable bloom keeps the
     * file. */
   private def bloomMayContain(c: Configuration, p: Path, column: String,
-      values: Seq[Any]): Boolean = {
+      values: Seq[Any]): Boolean =
+    bloomProbeCounted(c, p, column, values)._1
+
+  /** [[bloomMayContain]] plus the number of footer opens this probe
+    * paid (0 on a cache hit): the distributed path ships the count back
+    * with the per-file boolean so the driver-side [[bloomFooterOpens]]
+    * law stays observable OFF local mode too (r17 ADVICE — caches and
+    * counters live per executor JVM there). */
+  private def bloomProbeCounted(c: Configuration, p: Path, column: String,
+      values: Seq[Any]): (Boolean, Int) = {
     val key = (p.toString, column)
-    val state = bloomCache.get(key).getOrElse {
-      val e = loadBloomState(c, p, column)
-      bloomCache.put(key, e)
-      e
+    val (state, opens) = bloomCache.get(key) match {
+      case Some(s) => (s, 0)
+      case None =>
+        val e = loadBloomState(c, p, column)
+        bloomCache.put(key, e)
+        (e, 1)
     }
-    state.isEmpty || state.exists {
+    (state.isEmpty || state.exists {
       case None => true
       case Some((t, isString, bf)) =>
         values.exists(v => bloomHashPrim(bf, t, isString, v).forall(bf.findHash))
+    }, opens)
+  }
+
+  /** Session int conf with a LOUD fallback: an unparsable value (e.g.
+    * "10k") logs a warning and uses the default instead of silently
+    * routing the caller onto the other code path (r17 ADVICE). */
+  private def intConf(spark: SparkSession, key: String, dflt: Int): Int =
+    spark.conf.getOption(key) match {
+      case None => dflt
+      case Some(v) => scala.util.Try(v.trim.toInt).getOrElse {
+        log.warn(s"ignoring unparsable $key='$v' — using default $dflt")
+        dflt
+      }
     }
+
+  /** Runs `body` (a job-submitting action) on a side thread under a
+    * driver-side DEADLINE: past it the job group is cancelled and None
+    * returns. Spark has no default task timeout and speculation is off
+    * by default, so one hung remote footer open would otherwise stall
+    * the calling distributed probe/sweep forever (r17 ADVICE — the
+    * driver-pool paths already had exactly this bound). The side thread
+    * inherits the caller's local properties (InheritableThreadLocal),
+    * and the job-group tag set inside it stays scoped to that thread;
+    * the group id is unique per call, so the cancel can never hit an
+    * unrelated job. */
+  private def boundedDistributedJob[T](spark: SparkSession, desc: String,
+      deadlineMs: Long)(body: => T): Option[T] = {
+    val groupId = s"graft-bounded-${UUID.randomUUID()}"
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.{Duration, MILLISECONDS}
+    try {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val fut = Future {
+        spark.sparkContext.setJobGroup(groupId, desc, interruptOnCancel = true)
+        try body finally spark.sparkContext.clearJobGroup()
+      }
+      try Some(Await.result(fut, Duration(deadlineMs, MILLISECONDS)))
+      catch { case _: java.util.concurrent.TimeoutException =>
+        spark.sparkContext.cancelJobGroup(groupId)
+        None
+      }
+    } finally pool.shutdown()
   }
 
   /** [[pruneFiles]] + parquet-native BLOOM consultation: files whose
@@ -2621,9 +2730,8 @@ object ManifestTable {
     if (snap.bloomCols.isEmpty || base.isEmpty) return base
     val lookups = pointLookups(filter, snap.bloomCols)
     if (lookups.isEmpty) return base
-    val threshold = spark.conf.getOption("spark.graft.bloom.distributeThreshold")
-      .flatMap(v => scala.util.Try(v.toInt).toOption)
-      .getOrElse(bloomDistributeThreshold)
+    val threshold = intConf(spark, "spark.graft.bloom.distributeThreshold",
+      bloomDistributeThreshold)
     if (threshold > 0 && base.size > threshold)
       return pruneFilesBloomDistributed(spark, dir, base, lookups)
     val c = conf(spark)
@@ -2686,14 +2794,45 @@ object ManifestTable {
     spark.sparkContext.setJobDescription(
       s"graft: bloom probe of ${paths.size} admitted files")
     try {
-      val keep = spark.sparkContext.parallelize(paths, slices).map { rel =>
-        if (delay > 0) Thread.sleep(delay.toLong)
-        rel -> (try lookups.forall { case (column, values) =>
-          bloomMayContain(hconf.value, new Path(dir, rel), column, values)
-        } catch { case NonFatal(_) => true })
-      }.collect().toMap
-      bloomDistributedProbes.addAndGet(paths.size.toLong)
-      base.filter(f => keep.getOrElse(f.path, true))
+      // deadline mirroring the driver-pool batch budget: 2 s per serial
+      // task-slot wave, floored at bloomProbeTimeoutMs — bounded even
+      // when one remote footer open hangs (Spark has no task timeout)
+      val par = math.max(1, spark.sparkContext.defaultParallelism)
+      val deadlineMs = math.max(bloomProbeTimeoutMs,
+        2000L * ((paths.size + par - 1) / par))
+      val collected = boundedDistributedJob(spark,
+        s"graft: bloom probe of ${paths.size} admitted files", deadlineMs) {
+        spark.sparkContext.parallelize(paths, slices).map { rel =>
+          if (delay > 0) Thread.sleep(delay.toLong)
+          rel -> (try {
+            var opens = 0
+            val keep = lookups.forall { case (column, values) =>
+              val (k, o) = bloomProbeCounted(hconf.value,
+                new Path(dir, rel), column, values)
+              opens += o; k
+            }
+            (keep, opens)
+          } catch { case NonFatal(_) => (true, 0) })
+        }.collect()
+      }
+      collected match {
+        case Some(arr) =>
+          bloomDistributedProbes.addAndGet(paths.size.toLong)
+          // off local mode the executors' footer opens are invisible to
+          // this JVM — fold the shipped counts into the driver counter
+          // (local mode shares the JVM, so they are already counted)
+          if (!spark.sparkContext.isLocal)
+            bloomFooterOpens.addAndGet(arr.iterator.map(_._2._2.toLong).sum)
+          val keep = arr.iterator.map { case (r, (k, _)) => r -> k }.toMap
+          base.filter(f => keep.getOrElse(f.path, true))
+        case None =>
+          bloomProbeTimeouts.incrementAndGet()
+          log.warn(s"distributed bloom probe of ${paths.size} files hit " +
+            s"its $deadlineMs ms deadline — job group cancelled, " +
+            "degrading to interval-only pruning (a kept file is always " +
+            "correct; the filter re-applies on scan)")
+          base
+      }
     } catch { case NonFatal(e) =>
       log.warn(s"distributed bloom probe of ${paths.size} files failed — " +
         "degrading to interval-only pruning (a kept file is always " +

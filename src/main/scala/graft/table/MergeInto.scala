@@ -77,6 +77,12 @@ object MergeInto {
 
   private val SrcStruct = "__src"
 
+  /** Merges whose insert set was derived from the rewrite pass's OWN
+    * observe — i.e. the touched files were scanned exactly once (spec
+    * hook for the single-pass law). */
+  private[graft] val singlePassMerges =
+    new java.util.concurrent.atomic.AtomicLong
+
   /** The source row's column `name` inside a WHEN MATCHED condition or
     * UPDATE SET expression (target columns are referenced plainly). */
   def src(name: String): Column = col(s"$SrcStruct.$name")
@@ -301,10 +307,32 @@ object MergeInto {
           lit("mergeInto: multiple source rows match target key ("),
           concat_ws(",", keys.map(c => col(c).cast("string")): _*),
           lit(") — deduplicate the source")))).otherwise(lit(true))
-      val joined = base.join(maybeBroadcast(srcKeyed), keys, "left")
+      val joined0 = base.join(maybeBroadcast(srcKeyed), keys, "left")
         .withColumn("__m", when(isMatched, clauseIdx).otherwise(lit(-1)))
         .withColumn("__s", when(!isMatched, bsClauseIdx).otherwise(lit(-1)))
         .where(guard)
+      // Single-pass rewrite+insert: the rewrite join above already reads
+      // every touched row, so the set of source keys that MATCHED rides
+      // the rewrite's own write job through a second observe (collect_set
+      // of the key tuple — bounded by the matched subset of the source,
+      // which the broadcast gate already materializes driver-side), and
+      // inserts are derived from the CACHED source anti-joined against
+      // that local key set — the touched files are never scanned a second
+      // time. Gated to the broadcast-sized source (a bulk source must not
+      // collect_set through the driver; its shuffle-join shape keeps the
+      // key-column anti-join) and to constraint-free tables (enforcement
+      // must keep its nothing-staged-on-violation ordering, which needs
+      // the insert frame BEFORE staging).
+      val rewriteNeeded = (matched.nonEmpty ||
+        notMatchedBySource.nonEmpty) && touched.nonEmpty
+      val singlePass = rewriteNeeded && notMatched.nonEmpty &&
+        head.constraints.isEmpty &&
+        srcRows <= ManifestTable.MaxBroadcastSourceRows
+      val mkObs = org.apache.spark.sql.Observation()
+      val joined = if (singlePass)
+        joined0.observe(mkObs, collect_set(when(isMatched,
+          struct(keys.map(col): _*))).as("__mk"))
+      else joined0
       val allDeletes = deleteIdx.map(i => col("__m") === i) ++
         bsDeleteIdx.map(i => col("__s") === i)
       val rewritten0 = allDeletes.reduceOption(_ || _)
@@ -331,13 +359,14 @@ object MergeInto {
                 .cast(schema(c).dataType)).otherwise(els)
           }
         }
+      def insertsFrom(matchedKeys: DataFrame): DataFrame = resolved
+        .join(matchedKeys, keys, "left_anti")
+        .withColumn("__n", insertClauseIdx)
+        .where(col("__n") =!= -1)
+        .select(cols.map(c => insertValueOf(c).as(c)): _*)
       val inserts =
         if (notMatched.isEmpty) None
-        else Some(resolved
-          .join(base.select(keys.map(col): _*), keys, "left_anti")
-          .withColumn("__n", insertClauseIdx)
-          .where(col("__n") =!= -1)
-          .select(cols.map(c => insertValueOf(c).as(c)): _*))
+        else Some(insertsFrom(base.select(keys.map(col): _*)))
 
       // constraints check the CHANGED rows only (updates + inserts);
       // pass-through rows conformed at their own commit
@@ -353,10 +382,10 @@ object MergeInto {
       // INSERT-only merges (no matched/by-source clause, or nothing
       // touched) stage just the new rows — no file rewrite; a merge
       // with nothing to rewrite AND nothing to insert is a no-op
-      val rewriteNeeded = (matched.nonEmpty ||
-        notMatchedBySource.nonEmpty) && touched.nonEmpty
       val outOpt: Option[DataFrame] =
-        if (rewriteNeeded)
+        if (singlePass)
+          Some(rewritten0.coalesce(math.max(touched.size, 1)))
+        else if (rewriteNeeded)
           Some(inserts.fold(rewritten0)(rewritten0.unionByName(_))
             .coalesce(math.max(touched.size, 1)))
         else inserts
@@ -365,8 +394,29 @@ object MergeInto {
       if (outOpt.isEmpty || (!rewriteNeeded && outOpt.get.isEmpty)) head
       else {
         val out = outOpt.get
-        val staged = ManifestTable.stage(spark, dir, out, head.statsCols,
+        val staged0 = ManifestTable.stage(spark, dir, out, head.statsCols,
           head.partitionCols, head.bloomCols)
+        val staged = if (!singlePass) staged0 else {
+          // the rewrite write above completed the observation; a missing
+          // metric (AQE replanned an empty rewrite subtree and dropped
+          // the CollectMetricsExec — same seam as
+          // ManifestTable.observedRows) falls back to the key-column
+          // anti-join against the touched scan — correct, just paying
+          // the second scan this path exists to avoid
+          val insertsDf = mkObs.get.get("__mk") match {
+            case Some(s: scala.collection.Seq[_]) =>
+              singlePassMerges.incrementAndGet()
+              val keySchema = StructType(keys.map(k =>
+                StructField(k, schema(k).dataType)).toArray)
+              val rows = s.toSeq.map(_.asInstanceOf[Row])
+              import scala.jdk.CollectionConverters._
+              insertsFrom(broadcast(
+                spark.createDataFrame(rows.asJava, keySchema)))
+            case _ => insertsFrom(base.select(keys.map(col): _*))
+          }
+          staged0 ++ ManifestTable.stage(spark, dir, insertsDf,
+            head.statsCols, head.partitionCols, head.bloomCols)
+        }
         // rebase conflict: a concurrently ADDED file conflicts unless
         // PROVABLY disjoint from the source key range on some column
         lazy val srcRanges: Seq[Option[(Any, Any)]] =

@@ -141,6 +141,49 @@ class MergeIntoSpec extends SparkSuite {
     assert(s.version == h.version, "merge touching nothing commits nothing")
   }
 
+  test("single-pass rewrite+insert (r18): a broadcast-sized merge with " +
+    "matched AND not-matched clauses derives its inserts from the " +
+    "rewrite pass's own observe — touched files are scanned once — " +
+    "and the result is identical to the two-scan fallback path") {
+    import spark.implicits._
+    val dirFast = freshDir("sp_fast")
+    val dirSlow = freshDir("sp_slow")
+    seed(dirFast)
+    seed(dirSlow)
+    // a trivially-true constraint pins dirSlow to the fallback path
+    // (enforcement needs the insert frame before staging)
+    ManifestTable.alterConstraints(spark, dirSlow,
+      add = Map("always" -> "k1 IS NOT NULL OR k1 IS NULL"))
+    val source = Seq(
+      (3L, 0L, "upd"),   // matched → UPDATE
+      (7L, 1L, "upd"),   // matched → UPDATE
+      (50L, 0L, "new"),  // unmatched → INSERT
+      (60L, 1L, "new"),  // unmatched → INSERT
+      (60L, 1L, null.asInstanceOf[String]) // duplicate unmatched key:
+        // inserts independently (cardinality rule is matched-only)
+    ).toDF("k1", "k2", "v")
+    def run(dir: String): Long = {
+      val before = MergeInto.singlePassMerges.get()
+      MergeInto(spark, dir, source, Seq("k1", "k2"),
+        matched = Seq(WhenMatched(UpdateAll)),
+        notMatched = Seq(WhenNotMatched(InsertAll)))
+      MergeInto.singlePassMerges.get() - before
+    }
+    assert(run(dirFast) == 1L,
+      "constraint-free broadcast-sized merge must take the single-pass path")
+    assert(run(dirSlow) == 0L,
+      "constraint table must keep the enforce-before-stage fallback")
+    val a = ManifestTable.read(spark, dirFast).select("k1", "k2", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq.sortBy(t => (t._1, t._2, Option(t._3).getOrElse("")))
+    val b = ManifestTable.read(spark, dirSlow).select("k1", "k2", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq.sortBy(t => (t._1, t._2, Option(t._3).getOrElse("")))
+    assert(a == b, "single-pass and fallback paths must agree exactly")
+    assert(a.count(t => t._1 == 60L && t._2 == 1L) == 2,
+      "duplicate unmatched source keys insert independently")
+  }
+
   test("constraints gate the CHANGED rows before commit: a violating " +
     "UPDATE aborts with the table untouched") {
     import spark.implicits._

@@ -71,6 +71,12 @@ class GraftCatalogSpec extends SparkSuite {
       "FROM range(30)")
     assert(spark.sql("SELECT count(*) FROM lake.silver.src")
       .head().getLong(0) == 30L)
+    // CTAS is ONE staged commit (r18): the data IS version 0 — no
+    // create-empty + append pair, half the commit cost at every CTAS
+    val ctasHist = ManifestTable.history(spark, s"$wh/silver/src")
+    assert(ctasHist.map(_.version) == Seq(0L),
+      s"CTAS must commit exactly once, got ${ctasHist.map(_.version)}")
+    assert(ctasHist.head.totalRows == 30L)
     // partitioned create: partition values recorded per file
     spark.sql("CREATE TABLE lake.silver.byg (k BIGINT, g BIGINT) " +
       "PARTITIONED BY (g)")
