@@ -153,16 +153,56 @@ object ManifestTable {
   final case class RowGroup(offset: Long, bytes: Long, rows: Long,
       stats: Map[String, ColStats] = Map.empty)
 
+  /** MANIFEST-RESIDENT bloom bitset for one row group of one column
+    * (r17 verdict #4): the parquet primitive type name + string flag
+    * (exactly what probe hashing needs) and the BlockSplitBloomFilter
+    * bitset verbatim — probing it is bit-identical to reading the same
+    * filter out of the footer, so survivors can never differ between
+    * the resident and footer paths. Content-equal (the bitset compares
+    * by value) so snapshot/entry equality laws stay meaningful. */
+  final case class BloomBits(typeName: String, isString: Boolean,
+      bits: Array[Byte]) {
+    override def equals(o: Any): Boolean = o match {
+      case b: BloomBits => typeName == b.typeName &&
+        isString == b.isString && java.util.Arrays.equals(bits, b.bits)
+      case _ => false
+    }
+    override def hashCode: Int =
+      (typeName.hashCode * 31 + (if (isString) 1 else 0)) * 31 +
+        java.util.Arrays.hashCode(bits)
+    /** May this row group contain any of `values`? Same hashing as the
+      * footer path ([[bloomHashPrim]]); an unknown type name (corrupt
+      * record) conservatively keeps the file. */
+    private[table] def mayContain(values: Seq[Any]): Boolean =
+      scala.util.Try {
+        val bf = new org.apache.parquet.column.values.bloomfilter
+          .BlockSplitBloomFilter(bits)
+        val t = org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+          .valueOf(typeName)
+        values.exists(v =>
+          bloomHashPrim(bf, t, isString, v).forall(bf.findHash))
+      }.getOrElse(true)
+  }
+
   /** One live data file: root-relative path, exact row count, byte
     * size, per-column footer stats (a column absent from the map ⇒ the
     * file always survives pruning on it), — for partitioned
     * tables — the file's partition values as written (None value ⇒ the
     * null partition), and per-row-group bounds when the file has more
-    * than one row group (see [[RowGroup]]). */
+    * than one row group (see [[RowGroup]]). `blooms` is the
+    * manifest-resident copy of the file's parquet bloom filters
+    * (column → one entry per row group, None = that row group wrote no
+    * testable filter), harvested at commit time when the file's total
+    * bitset bytes fit `spark.graft.bloom.manifestBudgetBytes` — a
+    * needle plan then probes straight from the snapshot with ZERO
+    * footer IO; files without resident state (pre-spec, or over
+    * budget) keep the footer path. Advisory metadata: a reader that
+    * ignores it only loses skipping, never correctness. */
   final case class FileEntry(path: String, rows: Long, bytes: Long,
       stats: Map[String, ColStats] = Map.empty,
       partitions: Map[String, Option[String]] = Map.empty,
-      rgs: Vector[RowGroup] = Vector.empty) {
+      rgs: Vector[RowGroup] = Vector.empty,
+      blooms: Map[String, Vector[Option[BloomBits]]] = Map.empty) {
     /** Convenience: this file's [min, max] on an INT64-statted column. */
     def longBounds(c: String): Option[(Long, Long)] = stats.get(c).collect {
       case ColStats(mn: Long, mx: Long) => (mn, mx)
@@ -731,7 +771,23 @@ object ManifestTable {
           (if (g.stats.isEmpty) Nil
            else List("stats" -> renderStats(g.stats))))
       }): JValue))
-    JObject(base ++ st ++ pt ++ rg)
+    // advisory field: an older reader that does not know it simply
+    // parses around it and loses skipping, never correctness — so no
+    // minReader bump (the format guard is for fields whose omission
+    // would corrupt results)
+    val bl =
+      if (f.blooms.isEmpty) Nil
+      else List("blooms" -> (JObject(f.blooms.toList.sortBy(_._1).map {
+        case (c, v) => c -> (JArray(v.toList.map {
+          case None => JNull: JValue
+          case Some(b) => JObject(List(
+            "t" -> (JString(b.typeName): JValue),
+            "s" -> (JBool(b.isString): JValue),
+            "b" -> (JString(java.util.Base64.getEncoder
+              .encodeToString(b.bits)): JValue)))
+        }): JValue)
+      }): JValue))
+    JObject(base ++ st ++ pt ++ rg ++ bl)
   }
 
   /** The metadata fields every log record carries in full — all
@@ -848,7 +904,16 @@ object ManifestTable {
       StructField("o", LongType, nullable = false),
       StructField("b", LongType, nullable = false),
       StructField("r", LongType, nullable = false),
-      StructField("stats", ckptStatsType)))))))
+      StructField("stats", ckptStatsType))))),
+    // manifest-resident bloom bitsets (advisory; nullable column, so a
+    // reader with the pre-r18 schema ignores it and one with this
+    // schema reads null = none from older checkpoints — additive in
+    // both directions, no reader-version bump needed)
+    StructField("blooms", MapType(StringType, ArrayType(StructType(Seq(
+      StructField("t", StringType, nullable = false),
+      StructField("s", BooleanType, nullable = false),
+      StructField("b", BinaryType, nullable = false))),
+      containsNull = true)))))
 
   private def encPrim(v: Any): String =
     JsonMethods.compact(JsonMethods.render(primToJson(v)))
@@ -860,7 +925,11 @@ object ManifestTable {
   private def fileRow(f: FileEntry): Row = Row(
     f.path, f.rows, f.bytes, statsMapRow(f.stats),
     f.partitions.map { case (c, v) => c -> v.orNull },
-    f.rgs.map(g => Row(g.offset, g.bytes, g.rows, statsMapRow(g.stats))))
+    f.rgs.map(g => Row(g.offset, g.bytes, g.rows, statsMapRow(g.stats))),
+    if (f.blooms.isEmpty) null
+    else f.blooms.map { case (c, v) =>
+      c -> v.map(_.map(b => Row(b.typeName, b.isString, b.bits)).orNull)
+    })
 
   private def readCkptFiles(spark: SparkSession, pq: Path): Vector[FileEntry] = {
     def stats(m: scala.collection.Map[String, Row]): Map[String, ColStats] =
@@ -879,7 +948,16 @@ object ManifestTable {
             .map(_.iterator.map(g => RowGroup(g.getLong(0), g.getLong(1),
               g.getLong(2),
               stats(g.getAs[scala.collection.Map[String, Row]](3)))).toVector)
-            .getOrElse(Vector.empty))
+            .getOrElse(Vector.empty),
+          Option(r.getAs[scala.collection.Map[String,
+            scala.collection.Seq[Row]]](6))
+            .map(_.iterator.map { case (c, v) =>
+              c -> Option(v).map(_.iterator.map(e =>
+                Option(e).map(b => BloomBits(b.getString(0), b.getBoolean(1),
+                  b.getAs[Array[Byte]](2)))).toVector)
+                .getOrElse(Vector.empty)
+            }.toMap)
+            .getOrElse(Map.empty))
       }.toVector
   }
 
@@ -943,11 +1021,26 @@ object ManifestTable {
       }
       case _ => Vector.empty[RowGroup]
     }
+    val blooms = (f \ "blooms") match {
+      case JObject(kv) => kv.map { case (c, v) =>
+        c -> (v match {
+          case JArray(es) => es.toVector.map {
+            case JNull | JNothing => None
+            case e => Some(BloomBits(
+              (e \ "t").values.toString,
+              (e \ "s") match { case JBool(b) => b; case _ => false },
+              java.util.Base64.getDecoder.decode((e \ "b").values.toString)))
+          }
+          case _ => Vector.empty[Option[BloomBits]]
+        })
+      }.toMap
+      case _ => Map.empty[String, Vector[Option[BloomBits]]]
+    }
     FileEntry(
       (f \ "path").values.toString,
       jLong(f \ "rows"),
       jLong(f \ "bytes"),
-      parseStats(f \ "stats", "stats"), parts, rgs)
+      parseStats(f \ "stats", "stats"), parts, rgs, blooms)
   }
 
   private def parseFiles(v: JValue, what: String): Vector[FileEntry] =
@@ -1025,8 +1118,10 @@ object ManifestTable {
     * row group carries non-null bounds of a supported physical type
     * (INT32/INT64/FLOAT/DOUBLE/BINARY-UTF8); a partial answer would
     * make pruning unsound, so it becomes "no stats" instead. */
-  private def footerStats(c: Configuration, p: Path, statsCols: Seq[String])
-      : (Long, Map[String, ColStats], Vector[RowGroup]) = {
+  private def footerStats(c: Configuration, p: Path, statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil, bloomBudget: Int = 0)
+      : (Long, Map[String, ColStats], Vector[RowGroup],
+        Map[String, Vector[Option[BloomBits]]]) = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, c))
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
@@ -1072,7 +1167,50 @@ object ManifestTable {
             statsCols.flatMap(k => blockBounds(b, k)
               .map { case (mn, mx) => k -> ColStats(mn, mx) }).toMap)
         }.toVector
-      (rows, stats, rgs)
+      // manifest-resident bloom harvest (r17 verdict #4): the footer is
+      // already open here, so copying the bitsets costs no extra IO
+      // round-trip; the PER-FILE byte budget keeps snapshot/log bytes
+      // O(files) with a bounded constant — a file whose filters exceed
+      // it simply keeps the (cached, distributable) footer probe path
+      val blooms: Map[String, Vector[Option[BloomBits]]] =
+        if (bloomCols.isEmpty || bloomBudget <= 0)
+          Map.empty[String, Vector[Option[BloomBits]]]
+        else {
+          val m = bloomCols.flatMap { k =>
+            val per = blocks.map { b =>
+              b.getColumns.asScala.find(_.getPath.toDotString == k)
+                .flatMap { cc =>
+                  val bf = reader.getBloomFilterDataReader(b)
+                    .readBloomFilter(cc)
+                  if (bf == null) None
+                  else {
+                    val isString = cc.getPrimitiveType
+                      .getLogicalTypeAnnotation.isInstanceOf[
+                        org.apache.parquet.schema.LogicalTypeAnnotation
+                          .StringLogicalTypeAnnotation]
+                    val out = new java.io.ByteArrayOutputStream(
+                      bf.getBitsetSize)
+                    bf.writeTo(out)
+                    Some(BloomBits(
+                      cc.getPrimitiveType.getPrimitiveTypeName.name,
+                      isString, out.toByteArray))
+                  }
+                }
+            }.toVector
+            if (per.forall(_.isEmpty)) None else Some(k -> per)
+          }.toMap
+          val total = m.valuesIterator.flatMap(_.iterator.flatten)
+            .map(_.bits.length.toLong).sum
+          if (total <= bloomBudget) m
+          else {
+            log.info(s"bloom harvest skipped for $p: $total bitset bytes " +
+              s"exceed the ${bloomBudget}B per-file budget " +
+              "(spark.graft.bloom.manifestBudgetBytes) — the file keeps " +
+              "the footer probe path")
+            Map.empty[String, Vector[Option[BloomBits]]]
+          }
+        }
+      (rows, stats, rgs, blooms)
     } finally reader.close()
   }
 
@@ -1145,7 +1283,8 @@ object ManifestTable {
     * the footer. Pure function of serializable inputs so the commit
     * sweep can run it on the driver pool OR executor-side unchanged. */
   private def sweepEntry(c: Configuration, absQ: String, rel: String,
-      pathStr: String, len: Long, statsCols: Seq[String]): FileEntry = {
+      pathStr: String, len: Long, statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil, bloomBudget: Int = 0): FileEntry = {
     val sub = pathStr.stripPrefix(absQ).stripPrefix("/")
     val parts = sub.split('/').init.flatMap { comp =>
       val eq = comp.indexOf('=')
@@ -1157,8 +1296,9 @@ object ManifestTable {
           None else Some(raw)))
       }
     }.toMap
-    val (rows, stats, rgs) = footerStats(c, new Path(pathStr), statsCols)
-    FileEntry(s"$rel/$sub", rows, len, stats, parts, rgs)
+    val (rows, stats, rgs, blooms) = footerStats(c, new Path(pathStr),
+      statsCols, bloomCols, bloomBudget)
+    FileEntry(s"$rel/$sub", rows, len, stats, parts, rgs, blooms)
   }
 
   /** Staged-file count above which the commit footer sweep runs as a
@@ -1181,8 +1321,27 @@ object ManifestTable {
     // writes (no extra data pass); they live in the footer and are
     // consulted at plan time by pruneFilesBloom. Columns absent from
     // the frame (possible mid-evolution) are simply not configured.
-    val bloomOpts = bloomCols.filter(df.schema.fieldNames.contains)
-      .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+    // ADAPTIVE sizing (r18): without it parquet-mr writes the MAXIMUM
+    // 1 MB bitset per column per row group regardless of cardinality
+    // (measured); adaptive right-sizes each bitset to the row group's
+    // observed NDV over 9 candidates (1 MB down to 4 KB at the same
+    // fpp target) — smaller footers AND bitsets that actually fit the
+    // manifest-residency budget below. Probe semantics are unchanged
+    // (the filter is self-describing).
+    val presentBloomCols = bloomCols.filter(df.schema.fieldNames.contains)
+    val bloomOpts =
+      if (presentBloomCols.isEmpty) Map.empty[String, String]
+      else presentBloomCols
+        .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap ++
+        Map("parquet.bloom.filter.adaptive.enabled" -> "true",
+          "parquet.bloom.filter.candidates.number" -> "9")
+    // per-file byte budget for copying bloom bitsets into the manifest
+    // (<= 0 disables harvesting; files over budget keep the footer
+    // probe path) — resolved once so both sweep routes agree
+    val bloomBudget =
+      if (presentBloomCols.isEmpty) 0
+      else intConf(spark, "spark.graft.bloom.manifestBudgetBytes",
+        bloomManifestBudgetBytes)
     val out = rightSized(spark, df)
     if (partitionCols.isEmpty)
       out.write.options(bloomOpts).parquet(abs.toString)
@@ -1240,7 +1399,8 @@ object ManifestTable {
           deadlineMs) {
           spark.sparkContext.parallelize(items, slices)
             .map { case (p, len) =>
-              sweepEntry(hconf.value, absQ, rel, p, len, statsCols)
+              sweepEntry(hconf.value, absQ, rel, p, len, statsCols,
+                presentBloomCols, bloomBudget)
             }.collect().toVector
         } match {
           case Some(out) =>
@@ -1263,7 +1423,8 @@ object ManifestTable {
       try {
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
         val fut = Future.traverse(sealed0.toVector) { st => Future {
-          sweepEntry(c, absQ, rel, st.getPath.toString, st.getLen, statsCols)
+          sweepEntry(c, absQ, rel, st.getPath.toString, st.getLen,
+            statsCols, presentBloomCols, bloomBudget)
         }}
         try Await.result(fut, sweepDeadline)
         catch { case _: java.util.concurrent.TimeoutException =>
@@ -2730,18 +2891,41 @@ object ManifestTable {
     if (snap.bloomCols.isEmpty || base.isEmpty) return base
     val lookups = pointLookups(filter, snap.bloomCols)
     if (lookups.isEmpty) return base
+    // MANIFEST-RESIDENT bitsets answer first (r17 verdict #4): a file
+    // whose harvested blooms cover every probed column is judged
+    // straight from the snapshot — ZERO footer IO, so a fully-harvested
+    // table's needle plan pays no per-file RPC at ANY table size, even
+    // fully cold. Files without resident state (pre-spec generations,
+    // or over the harvest byte budget at commit time) keep the footer
+    // path below, routed driver-pool vs distributed exactly as before.
+    val residentKeep: Map[String, Boolean] = base.iterator
+      .filter(f => lookups.keysIterator.forall(f.blooms.contains))
+      .map { f =>
+        f.path -> lookups.forall { case (column, values) =>
+          val state = f.blooms(column)
+          state.isEmpty || state.exists {
+            case None => true // a row group without a testable filter
+            case Some(bb) => bb.mayContain(values)
+          }
+        }
+      }.toMap
+    val needFooter = base.filterNot(f => residentKeep.contains(f.path))
+    def fuse(footerKeep: Map[String, Boolean]): Vector[FileEntry] =
+      base.filter(f => residentKeep.getOrElse(f.path,
+        footerKeep.getOrElse(f.path, true)))
+    if (needFooter.isEmpty) return fuse(Map.empty)
     val threshold = intConf(spark, "spark.graft.bloom.distributeThreshold",
       bloomDistributeThreshold)
-    if (threshold > 0 && base.size > threshold)
-      return pruneFilesBloomDistributed(spark, dir, base, lookups)
+    if (threshold > 0 && needFooter.size > threshold)
+      return fuse(pruneFilesBloomDistributed(spark, dir, needFooter, lookups))
     val c = conf(spark)
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.{Duration, MILLISECONDS}
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(8, base.size)))
+      math.max(1, math.min(8, needFooter.size)))
     try {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val futs = base.map { f => f -> Future {
+      val futs = needFooter.map { f => f -> Future {
         if (bloomProbeDelayMs > 0) Thread.sleep(bloomProbeDelayMs.toLong)
         lookups.forall { case (column, values) =>
           bloomMayContain(c, new Path(dir, f.path), column, values)
@@ -2752,18 +2936,17 @@ object ManifestTable {
       // back to conservative KEEP (a kept file is always correct; the
       // filter is re-applied on scan), logged and counted.
       val deadline = System.nanoTime() + bloomProbeTimeoutMs * 1000000L
-      futs.flatMap { case (f, fut) =>
+      fuse(futs.map { case (f, fut) =>
         val left = math.max(1L, (deadline - System.nanoTime()) / 1000000L)
-        try { if (Await.result(fut, Duration(left, MILLISECONDS))) Some(f)
-              else None }
+        f.path -> (try Await.result(fut, Duration(left, MILLISECONDS))
         catch { case _: java.util.concurrent.TimeoutException =>
           bloomProbeTimeouts.incrementAndGet()
           log.warn(s"bloom probe timed out for ${f.path} after " +
             s"${bloomProbeTimeoutMs} ms — keeping the file (pruning is " +
             "advisory, the filter re-applies on scan)")
-          Some(f)
-        }
-      }
+          true
+        })
+      }.toMap)
     } finally pool.shutdown()
   }
 
@@ -2784,7 +2967,7 @@ object ManifestTable {
     * correct). */
   private def pruneFilesBloomDistributed(spark: SparkSession, dir: String,
       base: Vector[FileEntry],
-      lookups: Map[String, Seq[Any]]): Vector[FileEntry] = {
+      lookups: Map[String, Seq[Any]]): Map[String, Boolean] = {
     val hconf = new org.apache.spark.util.SerializableConfiguration(conf(spark))
     val paths = base.map(_.path)
     val slices = math.max(1, math.min(paths.size,
@@ -2823,22 +3006,21 @@ object ManifestTable {
           // (local mode shares the JVM, so they are already counted)
           if (!spark.sparkContext.isLocal)
             bloomFooterOpens.addAndGet(arr.iterator.map(_._2._2.toLong).sum)
-          val keep = arr.iterator.map { case (r, (k, _)) => r -> k }.toMap
-          base.filter(f => keep.getOrElse(f.path, true))
+          arr.iterator.map { case (r, (k, _)) => r -> k }.toMap
         case None =>
           bloomProbeTimeouts.incrementAndGet()
           log.warn(s"distributed bloom probe of ${paths.size} files hit " +
             s"its $deadlineMs ms deadline — job group cancelled, " +
             "degrading to interval-only pruning (a kept file is always " +
             "correct; the filter re-applies on scan)")
-          base
+          Map.empty
       }
     } catch { case NonFatal(e) =>
       log.warn(s"distributed bloom probe of ${paths.size} files failed — " +
         "degrading to interval-only pruning (a kept file is always " +
         s"correct; the filter re-applies on scan): " +
         s"${e.getClass.getSimpleName}: ${e.getMessage}")
-      base
+      Map.empty
     } finally spark.sparkContext.setJobDescription(prevDesc)
   }
 
@@ -2848,6 +3030,17 @@ object ManifestTable {
     * The default keeps fixture-scale point plans jobless while routing
     * the 10⁵-admitted-file case off the driver. */
   @volatile private[graft] var bloomDistributeThreshold: Int = 256
+
+  /** Per-FILE byte budget for copying a staged file's bloom bitsets
+    * into the manifest (r17 verdict #4; session-settable:
+    * `spark.graft.bloom.manifestBudgetBytes`, `<= 0` disables).
+    * Sizing math behind the default: with adaptive write sizing a
+    * 64 KB bitset covers ~55 k distinct keys per file at the 1 % fpp
+    * target, and a fully-harvested 10⁵-file table costs the driver at
+    * most 6.4 GB of snapshot residency — the budget is the knob that
+    * trades first-probe footer RPCs against log/snapshot bytes, and
+    * files over it keep the (cached, distributable) footer path. */
+  @volatile private[graft] var bloomManifestBudgetBytes: Int = 64 * 1024
   /** Files probed executor-side (spec hook for the routing law). */
   private[graft] val bloomDistributedProbes = new java.util.concurrent.atomic.AtomicLong
 

@@ -33,13 +33,20 @@ class BloomSkipSpec extends SparkSuite {
 
   /** 40 files, ids STRIPED mod 40 — every file's [min, max] on id
     * spans nearly the whole domain, so interval pruning keeps all 40;
-    * id i lives ONLY in file i % 40. */
-  private def seedUnsorted(dir: String, bloom: Boolean): Unit = {
+    * id i lives ONLY in file i % 40. `manifestBudget` pins the bloom
+    * harvest for the table's commits: None = the default (resident
+    * bitsets), Some(0) = footer-path only (the laws that count footer
+    * opens / routing need files WITHOUT resident state). */
+  private def seedUnsorted(dir: String, bloom: Boolean,
+      manifestBudget: Option[Int] = None): Unit = {
     import spark.implicits._
     val df = (0L until 4000L).map(i => (i, s"v$i")).toDF("id", "v")
       .repartitionByRange(40, col("id") % 40)
-    ManifestTable.create(spark, dir, df, statsCols = Seq("id"),
+    val saved = ManifestTable.bloomManifestBudgetBytes
+    manifestBudget.foreach(ManifestTable.bloomManifestBudgetBytes = _)
+    try ManifestTable.create(spark, dir, df, statsCols = Seq("id"),
       bloomCols = if (bloom) Seq("id") else Nil)
+    finally ManifestTable.bloomManifestBudgetBytes = saved
   }
 
   test("needle point probe on an unsorted 40-file table: interval " +
@@ -131,7 +138,7 @@ class BloomSkipSpec extends SparkSuite {
   test("bloom state is cached per (file, column): a repeat of the same " +
     "probe opens ZERO footers and keeps the SAME survivors") {
     val dir = freshDir("cache")
-    seedUnsorted(dir, bloom = true)
+    seedUnsorted(dir, bloom = true, manifestBudget = Some(0))
     val snap = ManifestTable.snapshot(spark, dir)
     val probe = col("id") === 1234L
     ManifestTable.clearBloomCache()
@@ -155,7 +162,7 @@ class BloomSkipSpec extends SparkSuite {
     "IDENTICAL survivors to the driver-pool path, counted, and the " +
     "answer is still exactly the full scan's") {
     val dir = freshDir("distributed")
-    seedUnsorted(dir, bloom = true)
+    seedUnsorted(dir, bloom = true, manifestBudget = Some(0))
     val snap = ManifestTable.snapshot(spark, dir)
     val probe = col("id") === 1234L
     // reference survivors from the driver-pool path (threshold above
@@ -189,11 +196,63 @@ class BloomSkipSpec extends SparkSuite {
     } finally ManifestTable.bloomDistributeThreshold = saved
   }
 
+  test("manifest-resident blooms (r18): a fully-harvested table answers " +
+    "a needle probe with ZERO footer opens and the SAME survivors as " +
+    "the footer-path twin; the state survives a checkpoint + cold-cache " +
+    "round-trip; over-budget files keep the footer path; resident " +
+    "bytes respect the per-file budget") {
+    val dirR = freshDir("resident")
+    val dirF = freshDir("res_footer")
+    seedUnsorted(dirR, bloom = true) // default budget: harvested
+    seedUnsorted(dirF, bloom = true, manifestBudget = Some(0)) // twin
+    val snapR = ManifestTable.snapshot(spark, dirR)
+    assert(snapR.files.forall(_.blooms.contains("id")),
+      "every committed file must carry resident bloom state for id")
+    val budget = ManifestTable.bloomManifestBudgetBytes
+    assert(snapR.files.forall(f => f.blooms.valuesIterator
+      .flatMap(_.iterator.flatten).map(_.bits.length).sum <= budget),
+      s"resident bitset bytes must respect the ${budget}B per-file budget")
+    // resident state survives the columnar checkpoint + a cold cache
+    ManifestTable.checkpoint(spark, dirR)
+    ManifestTable.clearSnapshotCache()
+    val snapR2 = ManifestTable.snapshot(spark, dirR)
+    assert(snapR2.files.map(f => f.path -> f.blooms).toMap ==
+      snapR.files.map(f => f.path -> f.blooms).toMap,
+      "blooms must round-trip the checkpoint byte-identically")
+    // the marquee: a cold needle probe pays ZERO footer opens
+    val probe = col("id") === 1234L
+    ManifestTable.clearBloomCache()
+    val opens0 = ManifestTable.bloomFooterOpens.get()
+    val residentKept = ManifestTable.pruneFilesBloom(spark, dirR, snapR2,
+      probe)
+    assert(ManifestTable.bloomFooterOpens.get() == opens0,
+      "a fully-harvested table must probe with ZERO footer opens")
+    // identical survivors to the footer-path twin (same data, same
+    // striping, same filters — only WHERE the bitsets live differs)
+    ManifestTable.clearBloomCache()
+    val footerKept = ManifestTable.pruneFilesBloom(spark, dirF,
+      ManifestTable.snapshot(spark, dirF), probe)
+    def slot(fs: Vector[ManifestTable.FileEntry]): Set[Long] =
+      fs.flatMap(_.longBounds("id").map(_._1 % 40)).toSet
+    assert(residentKept.size == footerKept.size &&
+      slot(residentKept) == slot(footerKept),
+      "resident and footer probes must keep the same files")
+    assert(residentKept.nonEmpty && residentKept.size <= 3)
+    // results stay exactly the full scan's
+    assert(ManifestTable.read(spark, dirR, probe).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1234L, "v1234")))
+    // over-budget / disabled harvest leaves no resident state
+    assert(ManifestTable.snapshot(spark, dirF).files
+      .forall(_.blooms.isEmpty),
+      "budget 0 must leave bitsets in the footers only")
+  }
+
   test("a hung bloom probe falls back to conservative KEEP at the " +
     "deadline: same results, timeout counted — the plan never stalls " +
     "on one slow footer") {
     val dir = freshDir("timeout")
-    seedUnsorted(dir, bloom = true)
+    seedUnsorted(dir, bloom = true, manifestBudget = Some(0))
     val snap = ManifestTable.snapshot(spark, dir)
     val probe = col("id") === 1234L
     ManifestTable.clearBloomCache()
