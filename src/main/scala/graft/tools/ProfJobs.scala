@@ -24,6 +24,7 @@ object ProfJobs {
     case class JobRec(id: Int, desc: String, start: Long, var end: Long = 0L)
     val jobs = mutable.LinkedHashMap.empty[Int, JobRec]
     val stageShuffle = mutable.LinkedHashMap.empty[Int, (Long, Long, Long)]
+    val stageInput = mutable.LinkedHashMap.empty[Int, (Long, Long)]
     var record = false
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = if (record) {
@@ -43,13 +44,15 @@ object ProfJobs {
               (m.shuffleWriteMetrics.bytesWritten,
                 m.shuffleReadMetrics.totalBytesRead,
                 m.executorRunTime)
+            stageInput(e.stageInfo.stageId) =
+              (m.inputMetrics.bytesRead, m.inputMetrics.recordsRead)
           }
         }
     }
     spark.sparkContext.addSparkListener(listener)
     val fn = graft.SparkEntry.queries(name)
     (1 to runs).foreach { k =>
-      jobs.clear(); stageShuffle.clear()
+      jobs.clear(); stageShuffle.clear(); stageInput.clear()
       record = true
       val t0 = System.nanoTime()
       val n = fn(spark, d).count()
@@ -69,6 +72,8 @@ object ProfJobs {
         println(f"    [sum of job walls] $totalJob%.2f s  (gaps = driver-side work: plan, commit, footer sweeps)")
         val sh = stageShuffle.synchronized(stageShuffle.values.toVector)
         println(f"    [shuffle] write=${sh.map(_._1).sum / 1e6}%.1f MB read=${sh.map(_._2).sum / 1e6}%.1f MB  execRun=${sh.map(_._3).sum / 1e3}%.1f s")
+        val in = stageShuffle.synchronized(stageInput.values.toVector)
+        println(f"    [input] read=${in.map(_._1).sum / 1e6}%.2f MB records=${in.map(_._2).sum}%d  (a dropped duplicate scan shows here)")
       }
     }
     spark.stop()
